@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table access. All driver fixtures are single parquet files per
+  * table (TESTDATA.md / FIXTURES.md). At 100 TB each "file" becomes a
+  * directory of many parquet parts — `spark.read.parquet` handles both, so
+  * every query written against these helpers scales unchanged.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // The events fixture stores ts as parquet TIMESTAMP(NANOS), which
+      // Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read the
+      // raw int64 nanos and truncate to a micros TIMESTAMP_NTZ — the same
+      // value DuckDB's CAST(ts AS TIMESTAMP) produces, keeping oracle
+      // comparisons exact.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every fixture table as a temp view so `spark.sql` queries
+    * (scalar subqueries, LATERAL, CTEs) can name them like the DuckDB
+    * oracle does. Idempotent per session. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time ("as-of") join: for each left row, attach the payload of
+  * the most recent right row with `right.ts <= left.ts`, optionally per
+  * equi-key.
+  *
+  * The reference resolves point-in-time visibility at scan via its
+  * temporal index (xtdb/core2 `core2.temporal`, README.adoc:11); between
+  * two event streams the same semantics need a dedicated operator, which
+  * Spark lacks. Implementation is the scalable union+window pattern:
+  *
+  *   1. tag both inputs and union them (right payload columns are NULL on
+  *      left rows),
+  *   2. one window over `(keys…, ts, side)` computes `last(payload,
+  *      ignoreNulls)` — the running "latest right value seen so far",
+  *   3. keep only left rows.
+  *
+  * Cost: ONE shuffle on the keys (same as any equi-join), no range-join
+  * row explosion, spillable sort — this survives a 100× scale-up as long
+  * as keys are reasonably distributed. With no keys the window is a single
+  * partition: only use keyless as-of when the right side is small.
+  * Ties (`right.ts == left.ts`) count as visible (<=), matching SQL
+  * `FOR SYSTEM_TIME AS OF` inclusivity.
+  */
+object AsOfJoin {
+
+  def asOf(left: DataFrame, right: DataFrame,
+           leftTs: String, rightTs: String,
+           payload: Seq[String],
+           leftKeys: Seq[String] = Nil, rightKeys: Seq[String] = Nil): DataFrame = {
+    require(leftKeys.length == rightKeys.length, "key arity mismatch")
+    val keyNames = leftKeys.indices.map(i => s"_k$i")
+
+    val l = left
+      .withColumn("_t", col(leftTs)).withColumn("_side", lit(1))
+      .withColumns(keyNames.zip(leftKeys).map { case (k, c) => k -> col(c) }.toMap)
+    val rCols = keyNames.zip(rightKeys).map { case (k, c) => col(c).as(k) } ++
+      Seq(col(rightTs).as("_t"), lit(0).as("_side")) ++ payload.map(col)
+    val r = right.select(rCols: _*)
+
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort before left rows at equal _t => `<=` visibility
+    val w = Window.partitionBy(keyNames.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_side") === 1)
+      .drop("_t" +: "_side" +: keyNames: _*)
+  }
+}

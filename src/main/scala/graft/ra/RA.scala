@@ -1,0 +1,143 @@
+package graft.ra
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational-algebra combinators mirroring the reference engine's
+  * logical-plan operator inventory (xtdb/core2; see SURVEY.md §2.1 —
+  * upstream operators live under `core/src/core2/operator/`, cf.
+  * /root/reference/README.adoc:13 "full SQL capability ... multiple N-ary
+  * relations").
+  *
+  * Design stance: each op is a thin, declarative wrapper over the
+  * DataFrame API so Catalyst keeps full visibility — predicate pushdown,
+  * column pruning, join selection, whole-stage codegen all apply. This is
+  * the Spark-first replacement for core2's hand-built vectorized cursor
+  * tree (ICursor): we declare, Catalyst/Tungsten execute.
+  */
+object RA {
+
+  /** `:scan` — core2 pushes column selection, predicates and temporal
+    * bounds into per-chunk metadata/bloom pruning. Spark equivalent:
+    * parquet column projection + filter pushdown gives file/row-group
+    * pruning for free; callers pass `cols`/`pred` *before* any other op so
+    * the scan node receives them. */
+  def scan(spark: SparkSession, dir: String, table: String,
+           cols: Seq[String] = Nil, pred: Option[Column] = None): DataFrame = {
+    val base = spark.read.parquet(s"$dir/$table.parquet")
+    val projected = if (cols.nonEmpty) base.select(cols.map(col): _*) else base
+    pred.fold(projected)(projected.filter)
+  }
+
+  /** `:table` — literal inline relation (VALUES). */
+  def tableLit(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row],
+               schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+  /** `:select` — 3VL filter: rows kept only when predicate is TRUE
+    * (UNKNOWN drops), which is Spark's native filter semantics. */
+  def select(df: DataFrame, pred: Column): DataFrame = df.filter(pred)
+
+  /** `:project` — projection incl. computed expressions. */
+  def project(df: DataFrame, exprs: Column*): DataFrame = df.select(exprs: _*)
+
+  /** `:map` / project-extend — add computed columns, keep existing. */
+  def extend(df: DataFrame, cols: (String, Column)*): DataFrame =
+    df.withColumns(cols.toMap)
+
+  /** `:rename` */
+  def rename(df: DataFrame, renames: (String, String)*): DataFrame =
+    df.withColumnsRenamed(renames.toMap)
+
+  /** `:distinct` — bag→set; SQL DISTINCT treats NULLs as equal, as does
+    * Spark's distinct. */
+  def distinct(df: DataFrame): DataFrame = df.distinct()
+
+  /** `:union-all` — positional bag union. */
+  def unionAll(a: DataFrame, b: DataFrame): DataFrame = a.union(b)
+
+  /** `:intersect` — set intersect (NULL-safe, deduplicating). */
+  def intersect(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
+
+  /** `:difference` — set difference (EXCEPT). */
+  def difference(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
+
+  /** `:cross-join` */
+  def crossJoin(a: DataFrame, b: DataFrame): DataFrame = a.crossJoin(b)
+
+  /** `:join` / `:left-outer-join` / `:full-outer-join` / `:semi-join` /
+    * `:anti-join` — equi joins. Catalyst picks broadcast vs shuffle
+    * strategy; pass `broadcastRight = true` to force a broadcast of a
+    * known-small build side (dimension tables) as core2's hash join always
+    * builds on the right. */
+  def join(a: DataFrame, b: DataFrame, cond: Column,
+           joinType: String = "inner", broadcastRight: Boolean = false): DataFrame =
+    a.join(if (broadcastRight) broadcast(b) else b, cond, joinType)
+
+  /** `:group-by` — hash aggregation; Spark runs partial (map-side) +
+    * final aggregation with spill, strictly more scalable than core2's
+    * single in-memory hash (SURVEY.md §2.2). */
+  def groupBy(df: DataFrame, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+
+  /** `:order-by` — total sort; callers use `.asc_nulls_first` etc. for
+    * per-key null placement exactly as core2's order-by specs allow. */
+  def orderBy(df: DataFrame, keys: Column*): DataFrame = df.orderBy(keys: _*)
+
+  /** `:top` — offset + limit after sort. */
+  def top(df: DataFrame, offset: Int, limit: Int): DataFrame =
+    (if (offset > 0) df.offset(offset) else df).limit(limit)
+
+  /** `:unwind` — explode a list column, optionally with ordinality. */
+  def unwind(df: DataFrame, listCol: Column, as: String,
+             ordinality: Option[String] = None): DataFrame =
+    ordinality match {
+      case None => df.withColumn(as, explode(listCol))
+      case Some(ord) =>
+        df.select(df.columns.map(col) :+
+          posexplode(listCol).as(Seq(ord, as)): _*)
+          .withColumn(ord, col(ord).cast("long") + 1)
+    }
+
+  /** `:max-1-row` — scalar-subquery cardinality guard: error on >1 row,
+    * single all-NULL row on empty input (core2
+    * `operator/max_1_row.clj` semantics). The limit(2) probe keeps the
+    * check O(1) rows on the driver. */
+  def max1Row(df: DataFrame): DataFrame = {
+    val two = df.limit(2).collect()
+    if (two.length > 1)
+      throw new IllegalStateException("max-1-row: more than one row")
+    if (two.length == 1) df.limit(1)
+    else {
+      val spark = df.sparkSession
+      val nullRow = org.apache.spark.sql.Row(df.schema.fields.map(_ => null): _*)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(nullRow), 1),
+        org.apache.spark.sql.types.StructType(df.schema.fields.map(_.copy(nullable = true))))
+    }
+  }
+
+  /** `:fixpoint` (μ) — recursive fixpoint (WITH RECURSIVE / recursive
+    * datalog rules). Semi-naive evaluation: only the newly-derived
+    * frontier feeds the next step; `localCheckpoint` truncates lineage so
+    * plans don't grow exponentially across iterations (each iteration is
+    * a distributed union+distinct — no driver-side data). */
+  def fixpoint(base: DataFrame, step: DataFrame => DataFrame,
+               maxIter: Int = 100): DataFrame = {
+    var acc = base.distinct().localCheckpoint()
+    var frontier = acc
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val next = step(frontier).distinct().except(acc).localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        acc = acc.union(next).localCheckpoint()
+        frontier = next
+      }
+      i += 1
+    }
+    acc
+  }
+}
