@@ -1,0 +1,68 @@
+package graft.llm
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`/`array<double>`).
+  *
+  * All math is built from codegen'd higher-order Column functions
+  * (`zip_with` + `aggregate`), never UDFs, so the dot products stay inside
+  * whole-stage codegen. The brute-force path is the exact baseline; the
+  * LSH path buckets by deterministic random hyperplanes so candidate
+  * generation becomes an equi-join (shuffle on bucket id) — the shape
+  * that survives 100 TB, where an all-pairs cross join cannot.
+  */
+object Similarity {
+
+  /** Sequential left-fold dot product — same accumulation order as
+    * DuckDB's list_dot_product, so cross-engine results are bit-exact. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplane weights: md5 of "plane:dim"
+    * (computed once, driver-side, shipped as literals) — reproducible
+    * across runs/engines with no RNG state. */
+  def planeWeights(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      val h = MessageDigest.getInstance("MD5").digest(s"$p:$d".getBytes("UTF-8"))
+      ((h(0) & 0xff) - 127.5) / 127.5
+    }
+
+  /** Sign-bit LSH bucket id from `nPlanes` hyperplanes over array column
+    * `v`. Pure Column expression (hyperplanes are array literals). */
+  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column = {
+    val ws = planeWeights(nPlanes, dim)
+    ws.zipWithIndex.map { case (w, p) =>
+      when(dot(v, array(w.map(lit): _*)) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _).cast("long")
+  }
+
+  /** Exact brute-force top-k by cosine against one (broadcast) query
+    * vector — the correctness baseline; O(n·dim) scan, no shuffle. */
+  def bruteForceTopK(emb: DataFrame, vCol: String, queryVec: DataFrame,
+                     qCol: String, k: Int): DataFrame =
+    emb.crossJoin(broadcast(queryVec))
+      .withColumn("cos", cosine(col(vCol), col(qCol)))
+      .orderBy(col("cos").desc)
+      .limit(k)
+
+  /** LSH-bucketed ANN: candidates = rows sharing the query's bucket, then
+    * exact cosine within the bucket. Single-probe; recall/cost tuned by
+    * nPlanes. At scale the bucket column is precomputed + partitioned-by,
+    * turning every query into a single-bucket scan. */
+  def annTopK(emb: DataFrame, vCol: String, queryVec: DataFrame,
+              qCol: String, k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucket(col(vCol), nPlanes, dim))
+    val qb = queryVec.withColumn("qbucket", lshBucket(col(qCol), nPlanes, dim))
+    bucketed.join(broadcast(qb), col("bucket") === col("qbucket"))
+      .withColumn("cos", cosine(col(vCol), col(qCol)))
+      .orderBy(col("cos").desc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators: language ID, quality scoring, token counting,
+  * document fingerprinting. All pure Column expressions (codegen'd,
+  * shuffle only where an aggregation is inherent).
+  */
+object TextStats {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic and oracle-expressible (IN lists). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
+
+  /** (id, word) rows. */
+  def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+
+  /** Stopword-vote language ID per id; ties resolve en > es > de. */
+  def languageId(toks: DataFrame, idCol: String): DataFrame = {
+    def score(lang: String): Column =
+      sum(when(col("word").isInCollection(stopwords(lang)), 1).otherwise(0))
+    toks.groupBy(col(idCol))
+      .agg(score("en").as("s_en"), score("es").as("s_es"), score("de").as("s_de"))
+      .withColumn("pred_lang",
+        when(col("s_en") >= greatest(col("s_es"), col("s_de")), "en")
+          .when(col("s_es") >= col("s_de"), "es").otherwise("de"))
+  }
+
+  /** Whitespace and regex ("BPE-ish" [a-z]+|[0-9]+ pieces) token counts. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+"), lit(0)))
+        .cast("long").as("n_re_tokens"))
+
+  /** Canonical content fingerprint: md5 of the sorted distinct token set —
+    * an order-insensitive rolling-hash analog for near-identical docs. */
+  def fingerprint(textCol: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(textCol, " "))), " "))
+}

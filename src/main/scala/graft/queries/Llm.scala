@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import Rounding.r
+
+/** LLM-data-pipeline operators (SURVEY.md §2.8 / north star): dedup
+  * (exact, MinHash+LSH, exact n-gram Jaccard, SimHash), similarity search
+  * (brute-force + LSH ANN), text analysis (language-ID, quality, token
+  * counts, fingerprinting) and multimodal metadata plumbing.
+  *
+  * Everything uses deterministic md5-derived hashing so the DuckDB oracle
+  * can replicate results exactly; q46 (approximate ANN) is the one entry
+  * with no oracle (rows-only check) since approximation is the point.
+  */
+object Llm {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def embD(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "embeddings")
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("v"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: hash group-by on content
+    "q40_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      T(s, dir, "documents").groupBy($"text")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select($"keep_id", $"n_copies", $"text")
+        .orderBy("keep_id")
+    }),
+
+    // MinHash+LSH near-dup: bigram shingles → 4-hash signature → 2 bands
+    // → banded equi-join candidates → exact-Jaccard verify ≥ 0.5
+    "q41_dedup_minhash" -> ((s, dir) => {
+      import s.implicits._
+      val sh = Dedup.shingles(T(s, dir, "documents"), "doc_id", "text", n = 2)
+      val sig = Dedup.minhashSignature(sh, "doc_id", k = 4)
+      val cand = Dedup.minhashCandidates(sig, "doc_id", k = 4, bands = 2)
+      Dedup.jaccardOnCandidates(sh, "doc_id", cand)
+        .filter($"jaccard" >= 0.5)
+        .select($"id_a", $"id_b", r($"jaccard", 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // exact n-gram Jaccard near-dup: pairs sharing >=1 bigram shingle
+    // (the shingle join IS the blocking), verified ≥ 0.5
+    "q42_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val sh = Dedup.shingles(T(s, dir, "documents"), "doc_id", "text", n = 2)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("_n"))
+      val inter = sh.select($"doc_id".as("id_a"), $"shingle")
+        .join(sh.select($"doc_id".as("id_b"), $"shingle"), Seq("shingle"))
+        .filter($"id_a" < $"id_b")
+        .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("_i"))
+      inter
+        .join(sizes.select($"doc_id".as("id_a"), $"_n".as("_na")), "id_a")
+        .join(sizes.select($"doc_id".as("id_b"), $"_n".as("_nb")), "id_b")
+        .withColumn("j", $"_i" * lit(1.0) / ($"_na" + $"_nb" - $"_i"))
+        .filter($"j" >= 0.5)
+        .select($"id_a", $"id_b", r($"j", 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash 16-bit fingerprint per document (token-level)
+    "q43_simhash" -> ((s, dir) => {
+      import s.implicits._
+      val sh = Dedup.shingles(T(s, dir, "documents"), "doc_id", "text", n = 1)
+      Dedup.simhash(sh, "doc_id", nBits = 16).orderBy("doc_id")
+    }),
+
+    // brute-force cosine top-10 against the vec_id=0 query vector
+    "q44_cosine_topk" -> ((s, dir) => {
+      import s.implicits._
+      val e = embD(s, dir)
+      val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+      e.crossJoin(broadcast(q))
+        .withColumn("_cos", Similarity.cosine($"v", $"qv"))
+        .withColumn("cos", r($"_cos", 4))
+        .orderBy($"cos".desc, $"vec_id")
+        .select($"vec_id", $"cos")
+        .limit(10)
+    }),
+
+    // embedding near-dup pairs, blocked by label (equi-join blocking)
+    "q45_embed_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val e = embD(s, dir)
+      val a = e.select($"vec_id".as("vec_a"), $"label", $"v".as("va"))
+      val b = e.select($"vec_id".as("vec_b"), $"label", $"v".as("vb"))
+      a.join(b, Seq("label")).filter($"vec_a" < $"vec_b")
+        .withColumn("_cos", Similarity.cosine($"va", $"vb"))
+        .filter($"_cos" >= 0.35)
+        .select($"label", $"vec_a", $"vec_b", r($"_cos", 4).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // LSH-bucketed ANN top-10 (approximate — no oracle, rows-only check)
+    "q46_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val e = embD(s, dir)
+      val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+      Similarity.annTopK(e, "v", q, "qv", k = 10, nPlanes = 8, dim = 64)
+        .select($"vec_id", r($"cos", 4).as("cos"))
+    }),
+
+    // stopword-vote language ID
+    "q47_langid" -> ((s, dir) => {
+      val toks = TextStats.tokens(T(s, dir, "documents"), "doc_id", "text")
+      TextStats.languageId(toks, "doc_id")
+        .select(col("doc_id"), col("s_en").cast("long").as("s_en"),
+          col("s_es").cast("long").as("s_es"), col("s_de").cast("long").as("s_de"),
+          col("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // quality scoring: token stats, type-token ratio, stopword ratio
+    "q48_quality" -> ((s, dir) => {
+      import s.implicits._
+      T(s, dir, "documents")
+        .select($"doc_id", $"n_chars", explode(split($"text", " ")).as("word"))
+        .groupBy($"doc_id", $"n_chars")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct($"word").as("n_types"),
+          r(avg(length($"word")), 4).as("avg_tok_len"),
+          r(sum(when($"word".isInCollection(TextStats.stopwords("en")), 1)
+            .otherwise(0)) * lit(1.0) / count(lit(1)), 4).as("stop_ratio"))
+        .withColumn("ttr", r($"n_types" * lit(1.0) / $"n_tokens", 4))
+        .withColumn("chars_per_tok", r($"n_chars" * lit(1.0) / $"n_tokens", 4))
+        .orderBy("doc_id")
+    }),
+
+    // whitespace + regex token counting
+    "q49_token_count" -> ((s, dir) => {
+      TextStats.tokenCounts(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // canonical fingerprint dedup groups
+    "q50_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      T(s, dir, "documents")
+        .select($"doc_id", TextStats.fingerprint($"text").as("fp"))
+        .groupBy($"fp")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+        .select($"keep_id", $"n_docs", $"fp")
+        .orderBy("keep_id")
+    }),
+
+    // multimodal metadata extraction over binary payloads (stub decoder,
+    // real executor-side typed-Dataset plumbing)
+    "q51_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      val files = T(s, dir, "documents")
+        .select($"doc_id", $"source", $"text".cast("binary").as("content"))
+        .as[Multimodal.MediaFile]
+      Multimodal.extractMeta(files).toDF().orderBy("doc_id")
+    })
+  )
+
+  // DuckDB bigram-shingle CTE shared by the near-dup oracles
+  private val shCte = """
+    sh AS (SELECT doc_id, unnest(list_distinct(
+             [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))"""
+
+  // generated 16-bit simhash oracle: per-bit +-1 votes from md5 nibbles
+  private val simhashOracle: String = {
+    val hex = "0123456789abcdef"
+    val terms = (0 until 16).map { b =>
+      val j = b / 4 + 1; val k = b % 4
+      s"""CASE WHEN sum(CASE WHEN (((strpos('$hex', substring(md5(s), $j, 1)) - 1) >> $k) & 1) = 1
+         THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END"""
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS s
+        FROM documents)
+       SELECT doc_id, CAST($terms AS BIGINT) AS simhash
+       FROM t GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q40_dedup_exact" -> """
+      SELECT min(doc_id) AS keep_id, count(*) AS n_copies, text
+      FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "q41_dedup_minhash" -> s"""
+      WITH $shCte,
+      sig AS (SELECT doc_id, min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+                     min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3
+              FROM sh GROUP BY doc_id),
+      banded AS (SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bh FROM sig
+                 UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM banded a JOIN banded b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT id_a, id_b, count(*) AS i
+                FROM cand JOIN sh a ON a.doc_id = id_a
+                          JOIN sh b ON b.doc_id = id_b AND b.s = a.s
+                GROUP BY id_a, id_b)
+      SELECT id_a, id_b,
+             floor((i*1.0/(na.n + nb.n - i))*1000000 + 0.5)/1000000 AS jaccard
+      FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+      WHERE i*1.0/(na.n + nb.n - i) >= 0.5
+      ORDER BY id_a, id_b""",
+
+    "q42_ngram_jaccard" -> s"""
+      WITH $shCte,
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             floor((i*1.0/(na.n + nb.n - i))*1000000 + 0.5)/1000000 AS jaccard
+      FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+      WHERE i*1.0/(na.n + nb.n - i) >= 0.5
+      ORDER BY id_a, id_b""",
+
+    "q43_simhash" -> simhashOracle,
+
+    "q44_cosine_topk" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      SELECT vec_id,
+             floor((list_dot_product(v, qv) /
+                    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))))*10000 + 0.5)/10000 AS cos
+      FROM e, q
+      ORDER BY cos DESC, vec_id LIMIT 10""",
+
+    "q45_embed_pairs" -> """
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             floor((list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))*10000 + 0.5)/10000 AS cos
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+      ORDER BY vec_a, vec_b""",
+
+    "q47_langid" -> """
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      a AS (SELECT doc_id,
+              CAST(sum(CASE WHEN word IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+              CAST(sum(CASE WHEN word IN ('el','la','de','y','que') THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+              CAST(sum(CASE WHEN word IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS BIGINT) AS s_de
+            FROM t GROUP BY doc_id)
+      SELECT doc_id, s_en, s_es, s_de,
+             CASE WHEN s_en >= greatest(s_es, s_de) THEN 'en'
+                  WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang
+      FROM a ORDER BY doc_id""",
+
+    "q48_quality" -> """
+      SELECT doc_id, n_chars,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT word) AS BIGINT) AS n_types,
+             floor((avg(length(word)))*10000 + 0.5)/10000 AS avg_tok_len,
+             floor((sum(CASE WHEN word IN ('the','a','of','and','to') THEN 1 ELSE 0 END)*1.0
+                    / count(*))*10000 + 0.5)/10000 AS stop_ratio,
+             floor((count(DISTINCT word)*1.0 / count(*))*10000 + 0.5)/10000 AS ttr,
+             floor((n_chars*1.0 / count(*))*10000 + 0.5)/10000 AS chars_per_tok
+      FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY doc_id, n_chars ORDER BY doc_id""",
+
+    "q49_token_count" -> """
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens
+      FROM documents ORDER BY doc_id""",
+
+    "q50_fingerprint" -> """
+      SELECT min(doc_id) AS keep_id, count(*) AS n_docs,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      FROM documents GROUP BY fp ORDER BY keep_id""",
+
+    "q51_multimodal" -> """
+      SELECT doc_id, source,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(64 + octet_length(encode(text)) % 640 AS BIGINT) AS width,
+             CAST(48 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+             CAST(1 + octet_length(encode(text)) % 5 AS BIGINT) AS n_frames
+      FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.AsOfJoin
+import Rounding.r
+
+/** Event-stream analytics over the `events` fixture, batch-first so every
+  * operator is DuckDB-oracle-checkable (SURVEY.md §2.6): tumbling /
+  * sliding / session windows, JSON extraction, and stream-to-stream as-of
+  * joins. The same plans run under Structured Streaming via
+  * graft.streaming (readStream + watermark), which is not oracle-checked.
+  *
+  * The reference has no streaming-SQL surface (its log is ingestion
+  * infrastructure only, xtdb/core2 `core2.log`); these operators are part
+  * of the north-star extension surface.
+  */
+object Streams {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // JSON property extraction (events.props is a JSON string column)
+    "q34_json_extract" -> ((s, dir) => {
+      import s.implicits._
+      T(s, dir, "events").select($"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        $"event_type")
+        .orderBy("event_id")
+    }),
+
+    // tumbling 1h windows: count + sum per (window, type)
+    "q35_tumbling" -> ((s, dir) => {
+      import s.implicits._
+      T(s, dir, "events")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), r(sum($"value"), 2).as("sum_value"))
+        .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
+        .orderBy("ws", "event_type")
+    }),
+
+    // sliding 1h windows every 15min (each event lands in 4 windows)
+    "q36_sliding" -> ((s, dir) => {
+      import s.implicits._
+      T(s, dir, "events")
+        .groupBy(window($"ts", "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), r(sum($"value"), 2).as("sum_value"))
+        .select($"window.start".as("ws"), $"n", $"sum_value")
+        .orderBy("ws")
+    }),
+
+    // session windows, 6h inactivity gap, per user
+    "q37_session" -> ((s, dir) => {
+      import s.implicits._
+      T(s, dir, "events")
+        .groupBy(session_window($"ts", "6 hours"), $"user_id")
+        .agg(count(lit(1)).as("n"), r(sum($"value"), 2).as("sum_value"))
+        .select($"user_id", $"session_window.start".as("session_start"),
+          $"n", $"sum_value")
+        .orderBy("user_id", "session_start")
+    }),
+
+    // stream-to-stream as-of join: each purchase sees the user's most
+    // recent error at-or-before it (keyed union+window operator: single
+    // shuffle on user_id, scales with key cardinality)
+    "q38_asof_event" -> ((s, dir) => {
+      import s.implicits._
+      val ev = T(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val errors = ev.filter($"event_type" === "error")
+        .select($"user_id".as("err_user"), $"ts".as("_rts"),
+          $"ts".as("err_ts"), $"value".as("err_value"))
+      AsOfJoin.asOf(purchases, errors,
+        leftTs = "ts", rightTs = "_rts",
+        payload = Seq("err_ts", "err_value"),
+        leftKeys = Seq("user_id"), rightKeys = Seq("err_user"))
+        .select($"event_id", $"user_id", $"ts", $"err_ts", $"err_value")
+        .orderBy("event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q34_json_extract" -> """
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, event_type
+      FROM events ORDER BY event_id""",
+
+    "q35_tumbling" -> """
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
+             count(*) AS n, floor((sum(value))*100 + 0.5)/100 AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+
+    "q36_sliding" -> """
+      SELECT g.ws AS ws, count(*) AS n, floor((sum(value))*100 + 0.5)/100 AS sum_value
+      FROM events e
+      JOIN generate_series(TIMESTAMP '2023-12-31 23:15:00',
+                           TIMESTAMP '2024-02-01 00:00:00',
+                           INTERVAL 15 MINUTE) g(ws)
+        ON CAST(e.ts AS TIMESTAMP) >= g.ws
+       AND CAST(e.ts AS TIMESTAMP) <  g.ws + INTERVAL 1 HOUR
+      GROUP BY g.ws ORDER BY ws""",
+
+    "q37_session" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      m AS (SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 6 HOUR
+                           THEN 1 ELSE 0 END AS new_s FROM e),
+      s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      SELECT user_id, min(ts) AS session_start, count(*) AS n,
+             floor((sum(value))*100 + 0.5)/100 AS sum_value
+      FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    "q38_asof_event" -> """
+      SELECT p.event_id, p.user_id, p.ts, e.err_ts, e.err_value
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN LATERAL (
+        SELECT CAST(x.ts AS TIMESTAMP) AS err_ts, x.value AS err_value
+        FROM events x
+        WHERE x.user_id = p.user_id AND x.event_type = 'error'
+          AND CAST(x.ts AS TIMESTAMP) <= p.ts
+        ORDER BY x.ts DESC LIMIT 1) e ON TRUE
+      ORDER BY p.event_id"""
+  )
+}
