@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up JVM/codegen/catalog paths once so per-query timings measure
+    // query execution rather than first-use initialization.
+    try SparkEntry.queries.get("q00_tpch_q1").foreach(_(spark, sfDir).count())
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -54,18 +54,51 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard over candidate pairs, from (id, shingle) rows. */
-  def jaccardOnCandidates(sh: DataFrame, idCol: String,
-                          candidates: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
-    val inter = candidates
-      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("shingle").as("_s2")), "id_b")
-      .filter(col("shingle") === col("_s2"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_i"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("_n").as("_na")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("_n").as("_nb")), "id_b")
+  /** Keep only shingles whose document frequency is ≤ maxDf. Ultra-common
+    * shingles carry no dedup signal but make pair generation quadratic on
+    * hot keys (join skew) — pruning them is the standard trick that keeps
+    * shingle-join blocking linear-ish at corpus scale. */
+  def rareShingles(sh: DataFrame, maxDf: Int): DataFrame = {
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select("shingle")
+    sh.join(dfreq, Seq("shingle"), "left_semi")
+  }
+
+  /** Per-id rarest-`k` shingle prefix (globally ordered by document
+    * frequency asc, then shingle): the All-Pairs/PPJoin prefix-filtering
+    * idea — near-identical sets share their globally-rarest members, so
+    * joining only on the prefix turns candidate generation near-linear
+    * while keeping recall high (k = ⌊(1-t)·n⌋+1 makes it exact; small
+    * fixed k trades a provable bound for a much smaller join on corpora
+    * with uniform shingle frequencies). */
+  def rarestPrefix(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_df"), col("shingle"))
+    sh.join(broadcast(dfreq), "shingle")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col(idCol), col("shingle"))
+  }
+
+  /** Exact Jaccard over candidate pairs. Verification is array-based:
+    * each id's full shingle set is collected ONCE as sorted xxhash64
+    * values (long arrays intersect far faster than string arrays and the
+    * intersection COUNT is hash-invariant, so results are unchanged),
+    * then every candidate pair does a single codegen'd `array_intersect`
+    * — O(|candidates|·set size), never touching non-candidate pairs.
+    * `broadcastSets` fits fixture scale; disable it when the per-id set
+    * table itself is large (it then shuffles on id like any equi-join). */
+  def jaccardOnCandidates(sh: DataFrame, idCol: String, candidates: DataFrame,
+                          broadcastSets: Boolean = true): DataFrame = {
+    val arrs0 = sh.groupBy(col(idCol))
+      .agg(sort_array(array_distinct(collect_list(xxhash64(col("shingle"))))).as("_arr"))
+      .withColumn("_n", size(col("_arr")))
+    val arrs = if (broadcastSets) broadcast(arrs0) else arrs0
+    candidates
+      .join(arrs.select(col(idCol).as("id_a"), col("_arr").as("_aa"), col("_n").as("_na")), "id_a")
+      .join(arrs.select(col(idCol).as("id_b"), col("_arr").as("_ab"), col("_n").as("_nb")), "id_b")
+      .withColumn("_i", size(array_intersect(col("_aa"), col("_ab"))))
       .withColumn("jaccard",
         col("_i") * lit(1.0) / (col("_na") + col("_nb") - col("_i")))
       .select(col("id_a"), col("id_b"), col("jaccard"))

