@@ -18,11 +18,22 @@ object Tables {
       // Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read the
       // raw int64 nanos and truncate to a micros TIMESTAMP_NTZ — the same
       // value DuckDB's CAST(ts AS TIMESTAMP) produces, keeping oracle
-      // comparisons exact.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+      // comparisons exact. The legacy-conf change is scoped: set for the
+      // duration of the (lazy) plan construction, then restored, so other
+      // reads in the session keep their configured behavior.
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try {
+        // floor-division on the int64 nanos (not `div`, which truncates
+        // toward zero and would diverge from DuckDB on pre-epoch values)
+        spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", org.apache.spark.sql.functions.expr(
+            "CAST(timestamp_micros((ts - pmod(ts, 1000)) div 1000) AS TIMESTAMP_NTZ)"))
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -19,12 +19,17 @@ object Dedup {
   /** Distinct word-n-gram shingles per document: (id, shingle) rows. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
     val w = split(col(textCol), " ")
+    // Guard documents shorter than n words: sequence(0, size-n) would be
+    // DESCENDING there (crashing element_at with index 0); such docs have
+    // no n-grams, matching SQL generate_series semantics.
     val grams =
       if (n == 1) array_distinct(w)
-      else array_distinct(transform(
-        sequence(lit(0), size(w) - n),
-        i => (0 until n).map(j => element_at(w, (i + j + 1).cast("int")))
-          .reduce((a, b) => concat(a, lit(" "), b))))
+      else when(size(w) >= n,
+        array_distinct(transform(
+          sequence(lit(0), size(w) - n),
+          i => (0 until n).map(j => element_at(w, (i + j + 1).cast("int")))
+            .reduce((a, b) => concat(a, lit(" "), b)))))
+        .otherwise(array().cast("array<string>"))
     df.select(col(idCol), explode(grams).as("shingle"))
   }
 

@@ -83,15 +83,18 @@ object Analytics {
         .orderBy("o_orderkey")
     }),
 
-    // nested types: list index/len/slice, array + struct constructors
+    // nested types: list index/len/slice, array + struct constructors.
+    // Nested OUTPUTS are serialized (array_join / to_json) because the
+    // driver's pandas compare can't hash raw arrays/dicts; the nested
+    // computation itself stays native.
     "q30_nested" -> ((s, dir) => {
       import s.implicits._
       T(s, dir, "documents").select($"doc_id",
         element_at(split($"text", " "), 2).as("second_word"),
         size(split($"text", " ")).cast("long").as("n_words"),
-        slice(split($"text", " "), 2, 3).as("mid_words"),
-        array($"lang", $"source").as("pair"),
-        struct($"lang".as("lang"), $"source".as("source")).as("meta"))
+        array_join(slice(split($"text", " "), 2, 3), " ").as("mid_words"),
+        array_join(array($"lang", $"source"), "|").as("pair"),
+        to_json(struct($"lang".as("lang"), $"source".as("source"))).as("meta"))
         .orderBy("doc_id")
     }),
 
@@ -194,9 +197,9 @@ object Analytics {
       SELECT doc_id,
         string_split(text,' ')[2] AS second_word,
         CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
-        string_split(text,' ')[2:4] AS mid_words,
-        [lang, source] AS pair,
-        {'lang': lang, 'source': source} AS meta
+        array_to_string(string_split(text,' ')[2:4], ' ') AS mid_words,
+        array_to_string([lang, source], '|') AS pair,
+        CAST(to_json({'lang': lang, 'source': source}) AS VARCHAR) AS meta
       FROM documents ORDER BY doc_id""",
 
     "q31_period_predicates" -> """

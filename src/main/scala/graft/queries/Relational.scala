@@ -157,12 +157,13 @@ object Relational {
         .orderBy("nk")
     }),
 
-    // #12 :difference (EXCEPT)
+    // #12 :difference (EXCEPT) — nations with customers but no wealthy
+    // supplier (non-empty by construction so the op is actually exercised)
     "q09_except" -> ((s, dir) => {
       import s.implicits._
       RA.difference(
         T(s, dir, "customer").select($"c_nationkey".as("nk")),
-        T(s, dir, "supplier").select($"s_nationkey".as("nk")))
+        T(s, dir, "supplier").filter($"s_acctbal" > 6000).select($"s_nationkey".as("nk")))
         .orderBy("nk")
     }),
 
@@ -209,10 +210,12 @@ object Relational {
         .select($"c_custkey", $"c_name").orderBy("c_custkey")
     }),
 
-    // #18 :anti-join (NOT EXISTS)
+    // #18 :anti-join (NOT EXISTS) — customers with no high-value order
+    // (non-empty: every customer has orders, not every one a big order)
     "q15_anti_join" -> ((s, dir) => {
       import s.implicits._
-      RA.join(T(s, dir, "customer"), T(s, dir, "orders"),
+      RA.join(T(s, dir, "customer"),
+        T(s, dir, "orders").filter($"o_totalprice" > 450000),
         $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name").orderBy("c_custkey")
     }),
@@ -305,11 +308,12 @@ object Relational {
         .orderBy("x")
     }),
 
-    // §2.2 array_agg (order-canonicalized)
+    // §2.2 array_agg (order-canonicalized; serialized to a string on both
+    // engines because the driver's pandas compare can't hash raw arrays)
     "q24_array_agg" -> ((s, dir) => {
       import s.implicits._
       T(s, dir, "lineitem").groupBy($"l_orderkey")
-        .agg(sort_array(collect_list($"l_linenumber")).as("lines"))
+        .agg(array_join(sort_array(collect_list($"l_linenumber")), ",").as("lines"))
         .orderBy("l_orderkey")
     })
   )
@@ -392,7 +396,8 @@ object Relational {
 
     "q09_except" -> """
       SELECT c_nationkey AS nk FROM customer
-      EXCEPT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""",
+      EXCEPT SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 6000
+      ORDER BY nk""",
 
     "q10_cross_join" -> """
       SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name""",
@@ -420,7 +425,8 @@ object Relational {
 
     "q15_anti_join" -> """
       SELECT c_custkey, c_name FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 450000)
       ORDER BY c_custkey""",
 
     "q16_groupby_aggs" -> """
@@ -480,7 +486,7 @@ object Relational {
       SELECT x FROM t ORDER BY x""",
 
     "q24_array_agg" -> """
-      SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+      SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS lines
       FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""
   )
 }

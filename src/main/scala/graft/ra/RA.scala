@@ -105,17 +105,19 @@ object RA {
     * `operator/max_1_row.clj` semantics). The limit(2) probe keeps the
     * check O(1) rows on the driver. */
   def max1Row(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     val two = df.limit(2).collect()
     if (two.length > 1)
       throw new IllegalStateException("max-1-row: more than one row")
-    if (two.length == 1) df.limit(1)
-    else {
-      val spark = df.sparkSession
-      val nullRow = org.apache.spark.sql.Row(df.schema.fields.map(_ => null): _*)
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(Seq(nullRow), 1),
-        org.apache.spark.sql.types.StructType(df.schema.fields.map(_.copy(nullable = true))))
-    }
+    // Build the result from the already-collected row — never re-execute
+    // the plan (a second run could return a different row on
+    // nondeterministic input, or a different cardinality on a live source).
+    val rows =
+      if (two.length == 1) two.toSeq
+      else Seq(org.apache.spark.sql.Row(df.schema.fields.map(_ => null): _*))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(df.schema.fields.map(_.copy(nullable = true))))
   }
 
   /** `:fixpoint` (μ) — recursive fixpoint (WITH RECURSIVE / recursive
@@ -138,6 +140,11 @@ object RA {
       }
       i += 1
     }
+    // A silently truncated closure is indistinguishable from a converged
+    // one — fail loudly instead (WITH RECURSIVE would keep iterating).
+    if (!done)
+      throw new IllegalStateException(
+        s"fixpoint: no convergence after $maxIter iterations")
     acc
   }
 }
