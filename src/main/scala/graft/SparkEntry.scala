@@ -15,7 +15,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Analytics.queries ++
       graft.queries.Streams.queries ++
-      graft.queries.Llm.queries
+      graft.queries.Llm.queries ++
+      graft.queries.Bitemp.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.Analytics.oracle ++
       graft.queries.Streams.oracle ++
-      graft.queries.Llm.oracle
+      graft.queries.Llm.oracle ++
+      graft.queries.Bitemp.oracle
 }

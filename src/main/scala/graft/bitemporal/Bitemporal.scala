@@ -1,0 +1,187 @@
+package graft.bitemporal
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Bitemporal versioning: every record carries a system-time interval
+  * (when the database believed it) and a valid-time interval (when it is
+  * true in the modeled world). This is the reference engine's defining
+  * capability (xtdb/core2, /root/reference/README.adoc:11: "system time"
+  * + "validity/effectivity" versioning).
+  *
+  * Representation: a *rectangle* relation with convention columns
+  * `_id, _valid_from, _valid_to, _system_from, _system_to` (half-open
+  * `[from, to)` intervals, far-future sentinel `9999-12-31` instead of
+  * NULL so range predicates stay sargable and parquet min/max stats prune
+  * files — SURVEY.md §1.4). The reference resolves visibility with an
+  * in-memory kd-tree + grid file (core2.temporal); here the same job is
+  * done by sargable filters over the rectangle table, which Catalyst
+  * pushes into the parquet scan — at 100 TB, partitioning the rectangle
+  * table by `date(_system_from)` makes `asOf` prune to a handful of
+  * partitions.
+  *
+  * Two folds turn an op log (put/delete/erase) into rectangles:
+  *
+  *   - [[foldAppendOnly]] — pure window-function plan (one shuffle on
+  *     `_id`, whole-stage codegen, spillable) for the dominant ingest
+  *     pattern: valid-from monotone per id, unbounded valid-to. This is
+  *     the 100 TB path.
+  *   - [[fold]] — the fully general algorithm (arbitrary valid-time
+  *     portions, interval splitting, erase) as a per-id sorted fold.
+  *     One shuffle on `_id` (sort-based grouping, spills); per-id state
+  *     is O(live versions). Genuine imperative per-group logic, the one
+  *     place the DataFrame algebra can't express the semantics.
+  */
+object Bitemporal {
+
+  /** `9999-12-31T00:00:00Z` in epoch micros — the far-future sentinel. */
+  val SentinelMicros: Long =
+    java.time.Instant.parse("9999-12-31T00:00:00Z").getEpochSecond * 1000000L
+
+  val sentinelTs: Column = timestamp_micros(lit(SentinelMicros))
+
+  val Put = "put"
+  val Delete = "delete"
+  val Erase = "erase"
+
+  /** Normalize an op log to the internal micros representation.
+    * Expected input columns: `_id` (long-castable), `_op`
+    * (put|delete|erase), `_tx_id` (orders ops per id; any long-castable),
+    * `_system_from` (timestamp), `_valid_from` (timestamp), `_valid_to`
+    * (timestamp, NULL = unbounded), plus payload columns. */
+  // fixture timestamps are TIMESTAMP_NTZ; session TZ is UTC, so the
+  // NTZ↔TZ casts here are value-preserving
+  private def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  private def prep(ops: DataFrame, payloadCols: Seq[String]): DataFrame =
+    ops.select(
+      col("_id").cast("long").as("_id"),
+      col("_op").as("_op"),
+      col("_tx_id").cast("long").as("_tx"),
+      micros(col("_system_from")).as("_sys"),
+      micros(col("_valid_from")).as("_vf"),
+      coalesce(micros(col("_valid_to")), lit(SentinelMicros)).as("_vt"),
+      struct(payloadCols.map(col): _*).as("_p"))
+
+  private def ntz(c: Column): Column = timestamp_micros(c).cast("timestamp_ntz")
+
+  private def unpack(folded: DataFrame): DataFrame =
+    folded.select(col("_id"), col("_p.*"),
+      ntz(col("_vf")).as("_valid_from"),
+      ntz(col("_vt")).as("_valid_to"),
+      ntz(col("_sf")).as("_system_from"),
+      ntz(col("_st")).as("_system_to"))
+
+  /** General bitemporal fold: op log → rectangles.
+    *
+    * Per id, in `(_system_from, _tx_id)` order, a set of *current
+    * segments* (valid-time intervals of the latest system version) is
+    * maintained; a put/delete over `[pf, pt)` closes the overlapped part
+    * of each current segment at this op's system time (emitting its
+    * finished rectangle) and re-opens the non-overlapped remnants —
+    * interval splitting, the SQL:2011 `FOR PORTION OF` semantics. Erase
+    * removes the id's entire history (the one retroactive operation,
+    * matching core2's GDPR-style erase). Surviving segments emit with
+    * `system_to = sentinel`.
+    */
+  def fold(ops: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val p = prep(ops, payloadCols)
+    val spark = p.sparkSession
+    import spark.implicits._
+    val payloadType = p.schema("_p").dataType
+    val outSchema = StructType(Seq(
+      StructField("_id", LongType, nullable = false),
+      StructField("_p", payloadType),
+      StructField("_vf", LongType, nullable = false),
+      StructField("_vt", LongType, nullable = false),
+      StructField("_sf", LongType, nullable = false),
+      StructField("_st", LongType, nullable = false)))
+
+    final case class Seg(vf: Long, vt: Long, p: Row, sf: Long)
+
+    val folded = p.groupByKey(_.getLong(0))
+      .flatMapSortedGroups($"_sys", $"_tx") { (id: Long, it: Iterator[Row]) =>
+        val emitted = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var segs = List.empty[Seg]
+        it.foreach { r =>
+          val op = r.getString(1)
+          val sys = r.getLong(3)
+          val pf = r.getLong(4)
+          val pt = r.getLong(5)
+          op match {
+            case Erase =>
+              // erase drops the id's full history, including already
+              // emitted rectangles — the single physically-destructive op
+              emitted.clear(); segs = Nil
+            case _ if pf >= pt => // empty portion: no-op
+            case _ =>
+              val (hit, keep) = segs.partition(s => s.vf < pt && pf < s.vt)
+              var next = keep
+              hit.foreach { s =>
+                // close the whole segment's system version at `sys`...
+                if (sys > s.sf) emitted += Row(id, s.p, s.vf, s.vt, s.sf, sys)
+                // ...and re-open the valid-time remnants outside [pf, pt)
+                if (s.vf < pf) next ::= Seg(s.vf, pf, s.p, sys)
+                if (s.vt > pt) next ::= Seg(pt, s.vt, s.p, sys)
+              }
+              if (op == Put) next ::= Seg(pf, pt, r.getStruct(6), sys)
+              segs = next
+          }
+        }
+        segs.foreach(s => emitted += Row(id, s.p, s.vf, s.vt, s.sf, SentinelMicros))
+        emitted
+      }(Encoders.row(outSchema))
+    unpack(folded)
+  }
+
+  /** Append-only fold — the scalable special case: every op's valid
+    * interval is `[vf, ∞)` with `vf` nondecreasing per id in
+    * `(_system_from, _tx_id)` order (the natural shape of event-sourced
+    * ingest, where facts arrive in application-time order).
+    *
+    * Then each put is clipped by at most the NEXT op of the same id, so
+    * the whole fold is two `lead()` window columns + a union — pure
+    * codegen, one shuffle, no per-group state. Emits per put:
+    *   1. `[vf, ∞) × [sys, nextSys)` — as believed until superseded
+    *   2. `[vf, nextVf) × [nextSys, ∞)` — the clipped version thereafter
+    * (degenerate intervals skipped). Deletes emit nothing but clip.
+    * Erase is not representable here — use [[fold]].
+    */
+  def foldAppendOnly(ops: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val p = prep(ops, payloadCols)
+    val w = Window.partitionBy(col("_id")).orderBy(col("_sys"), col("_tx"))
+    val x = p
+      .withColumn("_nvf", lead(col("_vf"), 1).over(w))
+      .withColumn("_nsys", lead(col("_sys"), 1).over(w))
+    val sent = lit(SentinelMicros)
+    val r1 = x.filter(col("_op") === Put && coalesce(col("_nsys"), sent) > col("_sys"))
+      .select(col("_id"), col("_p"), col("_vf"), sent.as("_vt"),
+        col("_sys").as("_sf"), coalesce(col("_nsys"), sent).as("_st"))
+    val r2 = x.filter(col("_op") === Put && col("_nvf").isNotNull && col("_nvf") > col("_vf"))
+      .select(col("_id"), col("_p"), col("_vf"), col("_nvf").as("_vt"),
+        col("_nsys").as("_sf"), sent.as("_st"))
+    unpack(r1.unionByName(r2))
+  }
+
+  /** Bitemporal visibility filter — the reference's *basis*
+    * (`FOR SYSTEM_TIME AS OF s FOR APPLICATION_TIME AS OF v`). Sargable:
+    * all four comparisons reach the parquet scan and prune row groups /
+    * partitions. */
+  def asOf(rectangles: DataFrame, validTime: Column, systemTime: Column): DataFrame =
+    rectangles.filter(
+      col("_system_from") <= systemTime && systemTime < col("_system_to") &&
+        col("_valid_from") <= validTime && validTime < col("_valid_to"))
+
+  /** Snapshot of the latest known state: system = valid = now. */
+  def currentState(rectangles: DataFrame): DataFrame = {
+    val now = current_timestamp()
+    asOf(rectangles, now, now)
+  }
+
+  /** Valid-time history as currently believed (latest system version). */
+  def currentHistory(rectangles: DataFrame, systemTime: Column): DataFrame =
+    rectangles.filter(
+      col("_system_from") <= systemTime && systemTime < col("_system_to"))
+}

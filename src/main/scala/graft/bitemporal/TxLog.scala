@@ -1,0 +1,119 @@
+package graft.bitemporal
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Append-only transaction log on parquet — the storage analog of the
+  * reference's log + object-store split (xtdb/core2 `core2.log` /
+  * `core2.object-store`; README.adoc:13 "transactions").
+  *
+  * Layout: `dir/log/tx_<id>.parquet`, one file per transaction, columns
+  * `_tx_id, _system_from, _op, _id, _valid_from, _valid_to, <payload…>`.
+  * The single-writer directory assigns monotonically increasing tx ids
+  * (core2's log does the same via its single log-appender); system time
+  * is stamped per transaction, so every row of a tx shares one
+  * `_system_from` — exactly core2's "tx time" semantics.
+  *
+  * Scale: the log is the ingest tail. [[compact]] folds it into a base
+  * rectangle table partitioned by `date(_system_from)` so `asOf` scans
+  * prune partitions; readers union base + unapplied tail. Erase is the
+  * one op that rewrites base files (matching the reference's erase).
+  */
+final class TxLog(val dir: String) {
+  private val logDir: Path = Paths.get(dir, "log")
+  private val baseDir: Path = Paths.get(dir, "base")
+  Files.createDirectories(logDir)
+
+  def txFiles(): Seq[Path] = {
+    val s = Files.list(logDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.getFileName.toString.startsWith("tx_")).toSeq
+        .sortBy(_.getFileName.toString)
+    } finally s.close()
+  }
+
+  def nextTxId(): Long =
+    txFiles().map(_.getFileName.toString.stripPrefix("tx_").stripSuffix(".parquet").toLong)
+      .maxOption.fold(0L)(_ + 1L)
+
+  /** Append one transaction. `ops` must carry `_op, _id, _valid_from,
+    * _valid_to` + payload columns; `_tx_id`/`_system_from` are assigned
+    * here (monotonic id, caller-supplied system time for deterministic
+    * replay — production would stamp the wall clock). */
+  def append(ops: DataFrame, systemTime: java.sql.Timestamp): Long = {
+    val txId = nextTxId()
+    ops.withColumn("_tx_id", lit(txId))
+      .withColumn("_system_from", lit(systemTime))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(logDir.resolve(f"tx_$txId%09d.parquet").toString)
+    txId
+  }
+
+  /** Read the whole log (or the tail after `afterTx`). */
+  def read(spark: SparkSession, afterTx: Long = -1L): DataFrame = {
+    val files = txFiles().map(_.toString)
+    require(files.nonEmpty, s"empty tx log at $logDir")
+    val df = spark.read.parquet(files: _*)
+    if (afterTx < 0) df else df.filter(col("_tx_id") > afterTx)
+  }
+
+  /** Fold the full log into the base rectangle table, partitioned by
+    * system-from date for partition-pruned time travel. Returns the last
+    * folded tx id (readers union base + `read(spark, lastTx)` tail). */
+  def compact(spark: SparkSession, payloadCols: Seq[String]): Long = {
+    val log = read(spark)
+    val last = txFiles().size - 1L
+    Bitemporal.fold(log, payloadCols)
+      .withColumn("_sys_date", to_date(col("_system_from")))
+      .write.mode("overwrite").partitionBy("_sys_date")
+      .parquet(baseDir.toString)
+    last
+  }
+
+  def readBase(spark: SparkSession): DataFrame =
+    spark.read.parquet(baseDir.toString).drop("_sys_date")
+}
+
+object TxLog {
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+}
+
+/** Builders shaping user data into log ops — the SQL DML mapping
+  * (INSERT/UPDATE = put, DELETE = delete, ERASE = erase; core2 compiles
+  * DML statements to the same put/delete/erase ops, README.adoc:13). */
+object TxOps {
+  import Bitemporal.{Delete, Erase, Put}
+
+  /** put: rows become documents; valid interval defaults to `[vf, ∞)`. */
+  def put(rows: DataFrame, id: Column, validFrom: Column,
+          validTo: Option[Column] = None, payload: Seq[(String, Column)] = Nil): DataFrame =
+    rows.select(
+      lit(Put).as("_op") +: id.cast("long").as("_id") +:
+        validFrom.as("_valid_from") +:
+        validTo.getOrElse(lit(null).cast("timestamp")).as("_valid_to") +:
+        payload.map { case (n, c) => c.as(n) }: _*)
+
+  /** delete: payload columns must be typed nulls matching the put schema
+    * (all tx files of one log share a schema), e.g.
+    * `"bal" -> lit(null).cast("double")`. */
+  def delete(rows: DataFrame, id: Column, validFrom: Column,
+             validTo: Option[Column] = None, payload: Seq[(String, Column)] = Nil): DataFrame =
+    rows.select(
+      lit(Delete).as("_op") +: id.cast("long").as("_id") +:
+        validFrom.as("_valid_from") +:
+        validTo.getOrElse(lit(null).cast("timestamp")).as("_valid_to") +:
+        payload.map { case (n, c) => c.as(n) }: _*)
+
+  def erase(rows: DataFrame, id: Column, payload: Seq[(String, Column)] = Nil): DataFrame =
+    rows.select(
+      lit(Erase).as("_op") +: id.cast("long").as("_id") +:
+        lit("0001-01-01 00:00:00").cast("timestamp").as("_valid_from") +:
+        lit(null).cast("timestamp").as("_valid_to") +:
+        payload.map { case (n, c) => c.as(n) }: _*)
+}

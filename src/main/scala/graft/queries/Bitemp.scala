@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.bitemporal.{Bitemporal, TxLog, TxOps}
+
+/** Bitemporal operator catalog — the reference's headline capability
+  * (xtdb/core2, README.adoc:11: system-time + valid-time versioning).
+  * The op log is derived deterministically from the `orders` fixture so
+  * every query has a DuckDB oracle twin that re-derives the same
+  * rectangles in SQL.
+  */
+object Bitemp {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val sentSql = "TIMESTAMP '9999-12-31 00:00:00'"
+
+  /** Orders as a put/delete op stream: doc id = customer, fact = latest
+    * order price, valid from the order date onward; every 7th order key
+    * is a delete. System time = order date + a key-derived second offset
+    * (keeps system time strictly increasing within almost every id while
+    * staying deterministic and oracle-expressible). */
+  private def orderOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "orders").select(
+      when($"o_orderkey" % 7 === 0, Bitemporal.Delete).otherwise(Bitemporal.Put).as("_op"),
+      $"o_custkey".as("_id"),
+      $"o_orderkey".as("_tx_id"),
+      expr("timestampadd(SECOND, CAST(o_orderkey % 86400 AS INT), o_orderdate)").as("_system_from"),
+      $"o_orderdate".as("_valid_from"),
+      lit(null).cast("timestamp").as("_valid_to"),
+      $"o_totalprice".as("price"))
+  }
+
+  // oracle CTE producing the same rectangles via lead() — the append-only
+  // fold's exact algebra, shared by q52/q53
+  private val rectsCte = s"""
+    ops AS (SELECT o_custkey AS _id, o_orderkey AS tx,
+                   o_orderdate + (o_orderkey % 86400) * INTERVAL '1 second' AS sys,
+                   o_orderdate AS vf,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'delete' ELSE 'put' END AS op,
+                   o_totalprice AS price
+            FROM orders),
+    x AS (SELECT *, lead(vf)  OVER w AS nvf, lead(sys) OVER w AS nsys
+          FROM ops WINDOW w AS (PARTITION BY _id ORDER BY sys, tx)),
+    rects AS (
+      SELECT _id, price, vf AS _valid_from, $sentSql AS _valid_to,
+             sys AS _system_from, coalesce(nsys, $sentSql) AS _system_to
+      FROM x WHERE op = 'put' AND coalesce(nsys, $sentSql) > sys
+      UNION ALL
+      SELECT _id, price, vf, nvf, nsys, $sentSql
+      FROM x WHERE op = 'put' AND nvf IS NOT NULL AND nvf > vf)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // the bitemporal fold itself: op log → rectangle relation (scalable
+    // append-only path: two lead() columns, one shuffle, codegen)
+    "q52_bitemp_fold" -> ((s, dir) => {
+      import s.implicits._
+      Bitemporal.foldAppendOnly(orderOps(s, dir), Seq("price"))
+        .orderBy($"_id", $"_system_from", $"_valid_from", $"_valid_to")
+    }),
+
+    // time travel: FOR SYSTEM_TIME AS OF 1998-01-01 FOR APPLICATION_TIME
+    // AS OF 1997-01-01 — over the GENERAL fold (put/delete/erase +
+    // interval splitting), cross-checking it against the same oracle
+    "q53_bitemp_asof" -> ((s, dir) => {
+      import s.implicits._
+      Bitemporal.asOf(
+        Bitemporal.fold(orderOps(s, dir), Seq("price")),
+        validTime = lit("1997-01-01").cast("timestamp"),
+        systemTime = lit("1998-01-01").cast("timestamp"))
+        .orderBy($"_id")
+    }),
+
+    // UPDATE ... FOR PORTION OF valid-time: a finite-validity put splits
+    // the previous version into up to two remnants (SQL:2011 portion
+    // semantics, the interval-splitting hard part of SURVEY.md §7.3)
+    "q54_bitemp_portion" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val firstTwo = T(s, dir, "orders")
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"o_custkey")))
+        .filter($"n" === 2)
+      val ops = firstTwo.select(
+        lit(Bitemporal.Put).as("_op"),
+        $"o_custkey".as("_id"),
+        $"rn".cast("long").as("_tx_id"),
+        when($"rn" === 1, lit("2010-01-01")).otherwise(lit("2010-01-02"))
+          .cast("timestamp").as("_system_from"),
+        $"o_orderdate".as("_valid_from"),
+        when($"rn" === 2, expr("o_orderdate + INTERVAL 30 DAY"))
+          .otherwise(lit(null).cast("timestamp")).as("_valid_to"),
+        $"o_totalprice".as("price"))
+      Bitemporal.fold(ops, Seq("price"))
+        .orderBy($"_id", $"_system_from", $"_valid_from", $"_valid_to")
+    }),
+
+    // storage round-trip: three transactions appended to a parquet tx
+    // log (put all / delete negatives / re-put one segment), compacted to
+    // a date-partitioned rectangle base, then read back under a basis —
+    // put/delete + log + compaction + asOf end-to-end
+    "q55_txlog_current" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/txlog_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      val log = new TxLog(tmp)
+      val cust = T(s, dir, "customer")
+      def ts(x: String) = java.sql.Timestamp.valueOf(x)
+      log.append(TxOps.put(cust, $"c_custkey", lit("2000-01-01").cast("timestamp"),
+        None, Seq("bal" -> $"c_acctbal")), ts("2020-01-01 00:00:00"))
+      log.append(TxOps.delete(cust.filter($"c_acctbal" < 0), $"c_custkey",
+        lit("2001-01-01").cast("timestamp"), None,
+        Seq("bal" -> lit(null).cast("double"))), ts("2020-01-02 00:00:00"))
+      log.append(TxOps.put(cust.filter($"c_mktsegment" === "BUILDING"), $"c_custkey",
+        lit("2002-01-01").cast("timestamp"), None,
+        Seq("bal" -> ($"c_acctbal" + 100))), ts("2020-01-03 00:00:00"))
+      log.compact(s, Seq("bal"))
+      Bitemporal.asOf(log.readBase(s),
+        validTime = lit("2001-06-15").cast("timestamp"),
+        systemTime = lit("2020-01-02 12:00:00").cast("timestamp"))
+        .select($"_id", $"bal")
+        .orderBy($"_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q52_bitemp_fold" -> s"""
+      WITH $rectsCte
+      SELECT _id, price, _valid_from, _valid_to, _system_from, _system_to
+      FROM rects ORDER BY _id, _system_from, _valid_from, _valid_to""",
+
+    "q53_bitemp_asof" -> s"""
+      WITH $rectsCte
+      SELECT _id, price, _valid_from, _valid_to, _system_from, _system_to
+      FROM rects
+      WHERE _system_from <= TIMESTAMP '1998-01-01' AND TIMESTAMP '1998-01-01' < _system_to
+        AND _valid_from  <= TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-01-01' < _valid_to
+      ORDER BY _id""",
+
+    "q54_bitemp_portion" -> s"""
+      WITH ranked AS (
+        SELECT o_custkey AS _id, o_orderdate AS d, o_totalprice AS price,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders),
+      pair AS (
+        SELECT a._id, a.d AS d1, a.price AS p1, b.d AS d2, b.price AS p2
+        FROM ranked a JOIN ranked b ON a._id = b._id AND a.rn = 1 AND b.rn = 2),
+      rects AS (
+        SELECT _id, p1 AS price, d1 AS _valid_from, $sentSql AS _valid_to,
+               TIMESTAMP '2010-01-01' AS _system_from, TIMESTAMP '2010-01-02' AS _system_to
+        FROM pair
+        UNION ALL  -- left remnant of the base version
+        SELECT _id, p1, d1, d2, TIMESTAMP '2010-01-02', $sentSql FROM pair WHERE d1 < d2
+        UNION ALL  -- the updated portion
+        SELECT _id, p2, d2, d2 + INTERVAL 30 DAY, TIMESTAMP '2010-01-02', $sentSql FROM pair
+        UNION ALL  -- right remnant of the base version
+        SELECT _id, p1, d2 + INTERVAL 30 DAY, $sentSql, TIMESTAMP '2010-01-02', $sentSql FROM pair)
+      SELECT _id, price, _valid_from, _valid_to, _system_from, _system_to
+      FROM rects ORDER BY _id, _system_from, _valid_from, _valid_to""",
+
+    "q55_txlog_current" -> """
+      SELECT c_custkey AS _id, c_acctbal AS bal FROM customer
+      WHERE c_acctbal >= 0 ORDER BY _id"""
+  )
+}
