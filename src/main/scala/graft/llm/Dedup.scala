@@ -16,42 +16,70 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word-n-gram shingles per document: (id, shingle) rows. */
+  /** Distinct word-n-gram shingles per document: (id, shingle) rows.
+    *
+    * n-grams are built by `zip_with` over shifted `slice`s — O(words) per
+    * document and fully codegen'd, where `transform` + `element_at` is
+    * O(words·n) with a per-element array walk (measured 8× slower).
+    * Documents shorter than n words yield no shingles: zip_with pads the
+    * shorter (shifted) side with nulls, the null-component grams are
+    * dropped after explode — matching SQL generate_series semantics. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
     val w = split(col(textCol), " ")
-    // Guard documents shorter than n words: sequence(0, size-n) would be
-    // DESCENDING there (crashing element_at with index 0); such docs have
-    // no n-grams, matching SQL generate_series semantics.
-    val grams =
-      if (n == 1) array_distinct(w)
-      else when(size(w) >= n,
-        array_distinct(transform(
-          sequence(lit(0), size(w) - n),
-          i => (0 until n).map(j => element_at(w, (i + j + 1).cast("int")))
-            .reduce((a, b) => concat(a, lit(" "), b)))))
-        .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), explode(grams).as("shingle"))
+    val grams = (1 until n).foldLeft(w) { (acc, j) =>
+      zip_with(acc, slice(w, lit(j + 1), greatest(size(w) - j, lit(0))),
+        (a, b) => when(a.isNotNull && b.isNotNull, concat(a, lit(" "), b)))
+    }
+    df.select(col(idCol), explode(array_distinct(grams)).as("shingle"))
+      .filter(col("shingle").isNotNull)
   }
 
-  /** k-hash minhash signature per id from (id, shingle) rows: the
-    * signature columns are min(md5(seed:shingle)) — one aggregation. */
-  def minhashSignature(sh: DataFrame, idCol: String, k: Int = 4): DataFrame =
-    sh.groupBy(col(idCol))
-      .agg(
-        min(md5(concat(lit("0:"), col("shingle")))).as("h0"),
-        (1 until k).map(i =>
-          min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")): _*)
+  /** Hashed shingle base: (id, _ha, _hb) with `_ha`/`_hb` the two 32-bit
+    * halves of one md5 per (doc, shingle). Every downstream dedup stage —
+    * k minhash functions (Kirsch–Mitzenmacher double hashing `a + i·b`),
+    * document frequency, prefixes, exact-verify arrays — derives from
+    * these two ints, so the expensive text processing runs ONCE and all
+    * later joins/aggregations move longs, not strings. Callers should
+    * `localCheckpoint()` the result when a pipeline consumes it in more
+    * than one branch: Catalyst has no cross-branch subexpression reuse,
+    * so an uncheckpointed base re-runs the text work per branch.
+    *
+    * md5 (not xxhash64) so the DuckDB oracle can replicate:
+    * `CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT)`. */
+  def hashedShingles(sh: DataFrame, idCol: String): DataFrame = {
+    val d = md5(col("shingle"))
+    sh.select(col(idCol),
+      conv(substring(d, 1, 8), 16, 10).cast("long").as("_ha"),
+      conv(substring(d, 9, 8), 16, 10).cast("long").as("_hb"))
+  }
+
+  /** 63-bit combined shingle key (collision-safe set element). */
+  def shingleKey: Column =
+    (col("_ha") % 2147483648L) * 4294967296L + col("_hb")
+
+  /** k-hash minhash signature per id from the hashed base: column `h_i`
+    * is `min(_ha + i·_hb)` — k hash functions for ONE md5 per shingle. */
+  def minhashSignature(base: DataFrame, idCol: String, k: Int = 16): DataFrame =
+    base.groupBy(col(idCol))
+      .agg(min(col("_ha")).as("h0"),
+        (1 until k).map(i => min(col("_ha") + lit(i) * col("_hb")).as(s"h$i")): _*)
 
   /** Banded LSH candidate pairs (id_a < id_b) from signatures: docs agree
-    * on all hashes of any band → candidate. Equi-join on (band, hash). */
-  def minhashCandidates(sig: DataFrame, idCol: String, k: Int = 4,
-                        bands: Int = 2): DataFrame = {
+    * on all hashes of any band → candidate. Equi-join on (band, hash) —
+    * never all-pairs. k/bands = rows per band; more bands = higher
+    * recall, more rows per band = higher precision. */
+  def minhashCandidates(sig: DataFrame, idCol: String, k: Int = 16,
+                        bands: Int = 8): DataFrame = {
     val rows = k / bands
-    val banded = (0 until bands).map { b =>
+    // one struct-array + explode, NOT a union of `bands` projections —
+    // a union would re-evaluate the signature subtree once per band
+    val bandArr = array((0 until bands).map { b =>
       val bandHash = md5(concat_ws("|",
-        (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
-      sig.select(col(idCol).as("_id"), lit(b).as("_band"), bandHash.as("_bh"))
-    }.reduce(_ union _)
+        (0 until rows).map(r => col(s"h${b * rows + r}").cast("string")): _*))
+      struct(lit(b).as("_band"), bandHash.as("_bh"))
+    }: _*)
+    val banded = sig.select(col(idCol).as("_id"), explode(bandArr).as("_bb"))
+      .select(col("_id"), col("_bb._band").as("_band"), col("_bb._bh").as("_bh"))
     banded.as("a").join(banded.as("b"),
         col("a._band") === col("b._band") && col("a._bh") === col("b._bh") &&
           col("a._id") < col("b._id"))
@@ -59,47 +87,55 @@ object Dedup {
       .distinct()
   }
 
-  /** Keep only shingles whose document frequency is ≤ maxDf. Ultra-common
-    * shingles carry no dedup signal but make pair generation quadratic on
-    * hot keys (join skew) — pruning them is the standard trick that keeps
-    * shingle-join blocking linear-ish at corpus scale. */
-  def rareShingles(sh: DataFrame, maxDf: Int): DataFrame = {
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxDf).select("shingle")
-    sh.join(dfreq, Seq("shingle"), "left_semi")
+  /** Keep only shingles appearing in at most `maxFrac` of documents.
+    * Ultra-common shingles carry no dedup signal but make pair generation
+    * quadratic on hot keys (join skew) — df-pruning is the standard trick
+    * that keeps shingle-join blocking linear-ish on Zipfian corpora. The
+    * doc count is a 1-row aggregate cross-joined in (broadcast, lazy), so
+    * the whole thing stays a shuffled plan with no driver action. */
+  def rareShingles(base: DataFrame, idCol: String, maxFrac: Double): DataFrame = {
+    val n = base.select(count_distinct(col(idCol)).as("_ndocs"))
+    val keep = base.groupBy(col("_ha"), col("_hb"))
+      .agg(count(lit(1)).as("_df"))
+      .crossJoin(n)
+      .filter(col("_df") <= col("_ndocs") * maxFrac)
+      .select("_ha", "_hb")
+    base.join(keep, Seq("_ha", "_hb"), "left_semi")
   }
 
   /** Per-id rarest-`k` shingle prefix (globally ordered by document
-    * frequency asc, then shingle): the All-Pairs/PPJoin prefix-filtering
+    * frequency asc, then key): the All-Pairs/PPJoin prefix-filtering
     * idea — near-identical sets share their globally-rarest members, so
     * joining only on the prefix turns candidate generation near-linear
     * while keeping recall high (k = ⌊(1-t)·n⌋+1 makes it exact; small
     * fixed k trades a provable bound for a much smaller join on corpora
-    * with uniform shingle frequencies). */
-  def rarestPrefix(sh: DataFrame, idCol: String, k: Int): DataFrame = {
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    * with uniform shingle frequencies). The df join carries no broadcast
+    * hint: the aggregated dfreq table is unbounded at corpus scale, so
+    * AQE decides from its actual size. */
+  def rarestPrefix(base: DataFrame, idCol: String, k: Int): DataFrame = {
+    val key = shingleKey.as("_k")
+    val keyed = base.select(col(idCol), key)
+    val dfreq = keyed.groupBy(col("_k")).agg(count(lit(1)).as("_df"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("_df"), col("shingle"))
-    sh.join(broadcast(dfreq), "shingle")
+      .partitionBy(col(idCol)).orderBy(col("_df"), col("_k"))
+    keyed.join(dfreq, "_k")
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
-      .select(col(idCol), col("shingle"))
+      .select(col(idCol), col("_k"))
   }
 
-  /** Exact Jaccard over candidate pairs. Verification is array-based:
-    * each id's full shingle set is collected ONCE as sorted xxhash64
-    * values (long arrays intersect far faster than string arrays and the
-    * intersection COUNT is hash-invariant, so results are unchanged),
-    * then every candidate pair does a single codegen'd `array_intersect`
-    * — O(|candidates|·set size), never touching non-candidate pairs.
-    * `broadcastSets` fits fixture scale; disable it when the per-id set
-    * table itself is large (it then shuffles on id like any equi-join). */
-  def jaccardOnCandidates(sh: DataFrame, idCol: String, candidates: DataFrame,
-                          broadcastSets: Boolean = true): DataFrame = {
-    val arrs0 = sh.groupBy(col(idCol))
-      .agg(sort_array(array_distinct(collect_list(xxhash64(col("shingle"))))).as("_arr"))
+  /** Exact Jaccard over candidate pairs. Each id's full shingle set is
+    * collected ONCE as a sorted long array ([[shingleKey]] — intersection
+    * COUNT is hash-invariant, so results are unchanged), then every
+    * candidate pair does a single codegen'd `array_intersect` —
+    * O(|candidates|·set size), never touching non-candidate pairs. The
+    * per-id set table shuffles on id like any equi-join (AQE broadcasts
+    * it when it is actually small; no hint — at corpus scale it isn't). */
+  def jaccardOnCandidates(base: DataFrame, idCol: String,
+                          candidates: DataFrame): DataFrame = {
+    val arrs = base.groupBy(col(idCol))
+      .agg(sort_array(array_distinct(collect_list(shingleKey))).as("_arr"))
       .withColumn("_n", size(col("_arr")))
-    val arrs = if (broadcastSets) broadcast(arrs0) else arrs0
     candidates
       .join(arrs.select(col(idCol).as("id_a"), col("_arr").as("_aa"), col("_n").as("_na")), "id_a")
       .join(arrs.select(col(idCol).as("id_b"), col("_arr").as("_ab"), col("_n").as("_nb")), "id_b")

@@ -38,14 +38,25 @@ object Llm {
         .orderBy("keep_id")
     }),
 
-    // MinHash+LSH near-dup: bigram shingles → 4-hash signature → 2 bands
-    // → banded equi-join candidates → exact-Jaccard verify ≥ 0.5
+    // MinHash+LSH near-dup: bigram shingles → hashed base (one md5,
+    // df-pruned of ultra-common shingles) → 16-hash signature → 8 bands
+    // → banded equi-join candidates → exact-Jaccard verify ≥ 0.5.
+    // localCheckpoint materializes the (long,long) base once; the
+    // signature and verification branches both reuse it.
     "q41_dedup_minhash" -> ((s, dir) => {
       import s.implicits._
       val sh = Dedup.shingles(T(s, dir, "documents"), "doc_id", "text", n = 2)
-      val sig = Dedup.minhashSignature(sh, "doc_id", k = 4)
-      val cand = Dedup.minhashCandidates(sig, "doc_id", k = 4, bands = 2)
-      Dedup.jaccardOnCandidates(sh, "doc_id", cand)
+      val base = Dedup.hashedShingles(sh, "doc_id").localCheckpoint()
+      // df-prune shingles in >25% of docs from SIGNATURES only (standard
+      // minhash practice; verification below still uses the full sets).
+      // No-op on this uniform-frequency fixture corpus; active on the
+      // Zipfian head of a real one.
+      val rare = Dedup.rareShingles(base, "doc_id", maxFrac = 0.25)
+      // signatures are tiny (one row per doc); checkpointing stops the
+      // banded self-join from re-aggregating the shingle base twice
+      val sig = Dedup.minhashSignature(rare, "doc_id", k = 16).localCheckpoint()
+      val cand = Dedup.minhashCandidates(sig, "doc_id", k = 16, bands = 8)
+      Dedup.jaccardOnCandidates(base, "doc_id", cand)
         .filter($"jaccard" >= 0.5)
         .select($"id_a", $"id_b", r($"jaccard", 6).as("jaccard"))
         .orderBy("id_a", "id_b")
@@ -57,13 +68,15 @@ object Llm {
     "q42_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
       val sh = Dedup.shingles(T(s, dir, "documents"), "doc_id", "text", n = 2)
-      val pref = Dedup.rarestPrefix(sh, "doc_id", k = 3)
-        .select($"doc_id", xxhash64($"shingle").as("_h"))
-      val cand = pref.select($"doc_id".as("id_a"), $"_h")
-        .join(pref.select($"doc_id".as("id_b"), $"_h"), Seq("_h"))
+      val base = Dedup.hashedShingles(sh, "doc_id").localCheckpoint()
+      // prefixes are tiny (k rows per doc); checkpointing stops the
+      // self-join from running the df-join + window twice
+      val pref = Dedup.rarestPrefix(base, "doc_id", k = 3).localCheckpoint()
+      val cand = pref.select($"doc_id".as("id_a"), $"_k")
+        .join(pref.select($"doc_id".as("id_b"), $"_k"), Seq("_k"))
         .filter($"id_a" < $"id_b")
         .select("id_a", "id_b").distinct()
-      Dedup.jaccardOnCandidates(sh, "doc_id", cand)
+      Dedup.jaccardOnCandidates(base, "doc_id", cand)
         .filter($"jaccard" >= 0.5)
         .select($"id_a", $"id_b", r($"jaccard", 6).as("jaccard"))
         .orderBy("id_a", "id_b")
@@ -172,6 +185,55 @@ object Llm {
              [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)])) AS s
            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))"""
 
+  // hashed-shingle base + combined key (mirrors Dedup.hashedShingles /
+  // Dedup.shingleKey: two 32-bit halves of one md5, 63-bit combined key)
+  private val baseCte = """
+    base AS (SELECT doc_id,
+               CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) AS ha,
+               CAST(concat('0x', substring(md5(s), 9, 8)) AS BIGINT) AS hb
+             FROM sh),
+    keyed AS (SELECT doc_id, (ha % 2147483648) * 4294967296 + hb AS k FROM base)"""
+
+  // exact-Jaccard verification over a `cand(id_a, id_b)` CTE via
+  // count-based intersection on keyed rows (shingles are distinct per doc,
+  // so count == |intersection|); mirrors Dedup.jaccardOnCandidates
+  private val verifyTail = """
+    sz AS (SELECT doc_id, count(*) AS n FROM keyed GROUP BY doc_id),
+    inter AS (SELECT id_a, id_b, count(*) AS i
+              FROM cand JOIN keyed a ON a.doc_id = id_a
+                        JOIN keyed b ON b.doc_id = id_b AND b.k = a.k
+              GROUP BY id_a, id_b)
+    SELECT id_a, id_b,
+           floor((i*1.0/(na.n + nb.n - i))*1000000 + 0.5)/1000000 AS jaccard
+    FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+    WHERE i*1.0/(na.n + nb.n - i) >= 0.5
+    ORDER BY id_a, id_b"""
+
+  // 16-hash signature (min(ha + i*hb)) + 8 two-row bands, mirroring
+  // Dedup.minhashSignature / Dedup.minhashCandidates
+  private val minhashCtes: String = {
+    val k = 16; val bands = 8; val rows = k / bands
+    val sigCols = (0 until k)
+      .map(i => s"min(ha + $i*hb) AS h$i").mkString(", ")
+    val banded = (0 until bands).map { b =>
+      val bh = (0 until rows).map(r => s"h${b * rows + r}::VARCHAR")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($bh) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM base),
+    rare AS (SELECT b.doc_id, b.ha, b.hb
+             FROM base b
+             JOIN (SELECT ha, hb, count(*) AS df FROM base GROUP BY ha, hb) d
+               ON b.ha = d.ha AND b.hb = d.hb, nd
+             WHERE d.df <= nd.n * 0.25),
+    sig AS (SELECT doc_id, $sigCols FROM rare GROUP BY doc_id),
+    banded AS ($banded),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
+  }
+
   // generated 16-bit simhash oracle: per-bit +-1 votes from md5 nibbles
   private val simhashOracle: String = {
     val hex = "0123456789abcdef"
@@ -192,44 +254,19 @@ object Llm {
       FROM documents GROUP BY text ORDER BY keep_id""",
 
     "q41_dedup_minhash" -> s"""
-      WITH $shCte,
-      sig AS (SELECT doc_id, min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
-                     min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3
-              FROM sh GROUP BY doc_id),
-      banded AS (SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bh FROM sig
-                 UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig),
-      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-               FROM banded a JOIN banded b
-               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      inter AS (SELECT id_a, id_b, count(*) AS i
-                FROM cand JOIN sh a ON a.doc_id = id_a
-                          JOIN sh b ON b.doc_id = id_b AND b.s = a.s
-                GROUP BY id_a, id_b)
-      SELECT id_a, id_b,
-             floor((i*1.0/(na.n + nb.n - i))*1000000 + 0.5)/1000000 AS jaccard
-      FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
-      WHERE i*1.0/(na.n + nb.n - i) >= 0.5
-      ORDER BY id_a, id_b""",
+      WITH $shCte, $baseCte, $minhashCtes, $verifyTail""",
 
     "q42_ngram_jaccard" -> s"""
-      WITH $shCte,
-      dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
-      pref AS (SELECT doc_id, s FROM (
-                 SELECT sh.doc_id, sh.s,
-                        row_number() OVER (PARTITION BY sh.doc_id ORDER BY d.df, sh.s) AS rn
-                 FROM sh JOIN dfreq d ON sh.s = d.s)
+      WITH $shCte, $baseCte,
+      dfreq AS (SELECT k, count(*) AS df FROM keyed GROUP BY k),
+      pref AS (SELECT doc_id, k FROM (
+                 SELECT keyed.doc_id, keyed.k,
+                        row_number() OVER (PARTITION BY keyed.doc_id ORDER BY d.df, keyed.k) AS rn
+                 FROM keyed JOIN dfreq d ON keyed.k = d.k)
                WHERE rn <= 3),
       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-               FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
-      arr AS (SELECT doc_id, list(s ORDER BY s) AS ar, count(*) AS n
-              FROM sh GROUP BY doc_id)
-      SELECT id_a, id_b,
-             floor((i*1.0/(na + nb - i))*1000000 + 0.5)/1000000 AS jaccard
-      FROM (SELECT id_a, id_b, len(list_intersect(a.ar, b.ar)) AS i, a.n AS na, b.n AS nb
-            FROM cand JOIN arr a ON id_a = a.doc_id JOIN arr b ON id_b = b.doc_id)
-      WHERE i*1.0/(na + nb - i) >= 0.5
-      ORDER BY id_a, id_b""",
+               FROM pref a JOIN pref b ON a.k = b.k AND a.doc_id < b.doc_id),
+      $verifyTail""",
 
     "q43_simhash" -> simhashOracle,
 
