@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *
   *   1. tag both inputs and union them (right payload columns are NULL on
   *      left rows),
-  *   2. one window over `(keys…, ts, side)` computes `last(payload,
-  *      ignoreNulls)` — the running "latest right value seen so far",
+  *   2. one window over `(keys…, ts, side)` computes `last(struct(
+  *      payload…), ignoreNulls)` — the running "latest right ROW seen so
+  *      far" (a single struct so NULL payload *values* on a matching
+  *      right row are preserved, not skipped),
   *   3. keep only left rows.
   *
   * Cost: ONE shuffle on the keys (same as any equi-join), no range-join
@@ -43,15 +45,24 @@ object AsOfJoin {
     val r = right.select(rCols: _*)
 
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    // right rows sort before left rows at equal _t => `<=` visibility
+    // right rows sort before left rows at equal _t => `<=` visibility.
+    // Ties BETWEEN right rows (equal key and _t) are not ordered — which
+    // one wins is undefined, exactly as in SQL's `last value per group`
+    // without a full tiebreaker; callers needing determinism must ensure
+    // right ts are unique per key (or pre-aggregate).
     val w = Window.partitionBy(keyNames.map(col): _*)
       .orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
+    // Fill ONE struct of all payload columns (non-null exactly when a
+    // right row exists): per-column fills would skip a genuinely-NULL
+    // payload value on a matching right row and surface a stale older
+    // value — and could mix values from different right rows.
+    val filled = unioned.withColumn("_pay",
+      last(when(col("_side") === 0, struct(payload.map(col): _*)),
+        ignoreNulls = true).over(w))
     filled.filter(col("_side") === 1)
-      .drop("_t" +: "_side" +: keyNames: _*)
+      .select((left.columns.filterNot(payload.contains).map(col) ++
+        payload.map(p => col("_pay")(p).as(p))): _*)
   }
 }

@@ -127,24 +127,42 @@ object RA {
     * a distributed union+distinct — no driver-side data). */
   def fixpoint(base: DataFrame, step: DataFrame => DataFrame,
                maxIter: Int = 100): DataFrame = {
-    var acc = base.distinct().localCheckpoint()
-    var frontier = acc
-    var i = 0
-    var done = false
-    while (!done && i < maxIter) {
-      val next = step(frontier).distinct().except(acc).localCheckpoint()
-      if (next.isEmpty) done = true
-      else {
-        acc = acc.union(next).localCheckpoint()
-        frontier = next
+    // Re-alias every column (fresh expression IDs): when `step` derives
+    // its result from the same DataFrame as `base` (e.g. joining the edge
+    // relation each iteration), union/except children would share
+    // attribute IDs, which breaks Catalyst's Union constraint rewriting.
+    def fresh(df: DataFrame): DataFrame =
+      df.select(df.columns.map(c => col(c).as(c)): _*)
+    // Constraint propagation is scope-disabled: localCheckpoint'd
+    // set-op/join plans snapshot constraints that can reference attrs of
+    // discarded subtrees (stale after checkpointing), which breaks Union
+    // constraint rewriting at analysis time on later iterations. The
+    // LogicalRDDs created here snapshot (empty) constraints eagerly, so
+    // the returned plan stays clean after the conf is restored.
+    val spark = base.sparkSession
+    val confKey = "spark.sql.constraintPropagation.enabled"
+    val oldConf = spark.conf.get(confKey, "true")
+    spark.conf.set(confKey, "false")
+    try {
+      var acc = base.distinct().localCheckpoint()
+      var frontier = acc
+      var i = 0
+      var done = false
+      while (!done && i < maxIter) {
+        val next = fresh(step(frontier).distinct()).except(acc).localCheckpoint()
+        if (next.isEmpty) done = true
+        else {
+          acc = acc.union(fresh(next)).localCheckpoint()
+          frontier = next
+        }
+        i += 1
       }
-      i += 1
-    }
-    // A silently truncated closure is indistinguishable from a converged
-    // one — fail loudly instead (WITH RECURSIVE would keep iterating).
-    if (!done)
-      throw new IllegalStateException(
-        s"fixpoint: no convergence after $maxIter iterations")
-    acc
+      // A silently truncated closure is indistinguishable from a converged
+      // one — fail loudly instead (WITH RECURSIVE would keep iterating).
+      if (!done)
+        throw new IllegalStateException(
+          s"fixpoint: no convergence after $maxIter iterations")
+      acc
+    } finally spark.conf.set(confKey, oldConf)
   }
 }

@@ -1,0 +1,150 @@
+package graft.bitemporal
+
+import java.time.{Instant, ZoneOffset}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Property tests for the bitemporal fold: random op logs are folded to
+  * rectangles, and EVERY (id, valid-time, system-time) point in a small
+  * universe is checked against an independent naive Scala oracle that
+  * replays the op log directly (never touching the fold's algorithm).
+  * This is the test-first plan of SURVEY.md §7.3 for the interval-
+  * splitting hard part.
+  */
+class BitemporalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** deterministic property sampling (no scalatest-scalacheck bridge in
+    * the offline cache): draw `n` cases from `gen` with fixed seeds */
+  private def forSamples[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  // ---- op-log model ------------------------------------------------------
+  sealed trait Op { def id: Long }
+  case class Put(id: Long, vf: Long, vt: Option[Long], p: String) extends Op
+  case class Del(id: Long, vf: Long, vt: Option[Long]) extends Op
+  case class Erase(id: Long) extends Op
+
+  private val genOp: Gen[Op] = for {
+    id <- Gen.choose(1L, 3L)
+    vf <- Gen.choose(0L, 7L)
+    len <- Gen.choose(1L, 8L)
+    vt <- Gen.option(Gen.const(vf + len))
+    op <- Gen.frequency(
+      (7, Gen.const(Put(id, vf, vt, s"p$id-$vf-$len"))),
+      (2, Gen.const(Del(id, vf, vt))),
+      (1, Gen.const(Erase(id))))
+  } yield op
+
+  private val genLog: Gen[List[Op]] = Gen.choose(1, 12).flatMap(Gen.listOfN(_, genOp))
+
+  private def ts(sec: Long): Timestamp = Timestamp.from(Instant.ofEpochSecond(sec))
+  private def micros(sec: Long): Long = sec * 1000000L
+
+  private val opSchema = StructType(Seq(
+    StructField("_op", StringType), StructField("_id", LongType),
+    StructField("_tx_id", LongType), StructField("_system_from", TimestampType),
+    StructField("_valid_from", TimestampType), StructField("_valid_to", TimestampType),
+    StructField("p", StringType)))
+
+  /** ops indexed by position; op i gets sys time = i seconds, tx id = i. */
+  private def toDf(log: List[Op]) = {
+    val rows = log.zipWithIndex.map {
+      case (Put(id, vf, vt, p), i) =>
+        Row("put", id, i.toLong, ts(i.toLong), ts(vf), vt.map(ts).orNull, p)
+      case (Del(id, vf, vt), i) =>
+        Row("delete", id, i.toLong, ts(i.toLong), ts(vf), vt.map(ts).orNull, null)
+      case (Erase(id), i) =>
+        Row("erase", id, i.toLong, ts(i.toLong), ts(0L), null, null)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), opSchema)
+  }
+
+  /** Naive oracle: payload visible for id at valid-point v, system-point s.
+    * Erase wipes ALL history before it (even retroactively); then ops with
+    * sys <= s replay in order over the single valid-point v. */
+  private def naive(log: List[Op], id: Long, v: Long, s: Long): Option[String] = {
+    val lastErase = log.zipWithIndex.collect {
+      case (Erase(`id`), i) => i
+    }.lastOption.getOrElse(-1)
+    var cur: Option[String] = None
+    log.zipWithIndex.drop(lastErase + 1).takeWhile(_._2 <= s).foreach {
+      case (Put(`id`, vf, vt, p), _) =>
+        if (v >= vf && v < vt.getOrElse(Long.MaxValue)) cur = Some(p)
+      case (Del(`id`, vf, vt), _) =>
+        if (v >= vf && v < vt.getOrElse(Long.MaxValue)) cur = None
+      case _ =>
+    }
+    cur
+  }
+
+  private case class Rect(id: Long, p: String, vf: Long, vt: Long, sf: Long, st: Long)
+
+  private def foldToRects(log: List[Op], appendOnly: Boolean = false): Seq[Rect] = {
+    val f = if (appendOnly) Bitemporal.foldAppendOnly(toDf(log), Seq("p"))
+            else Bitemporal.fold(toDf(log), Seq("p"))
+    f.collect().map { r =>
+      def m(i: Int): Long = r.getAs[java.time.LocalDateTime](i)
+        .toInstant(ZoneOffset.UTC).getEpochSecond * 1000000L +
+        r.getAs[java.time.LocalDateTime](i).getNano / 1000L
+      Rect(r.getLong(0), r.getString(1), m(2), m(3), m(4), m(5))
+    }.toSeq
+  }
+
+  private def visible(rects: Seq[Rect], id: Long, v: Long, s: Long): Seq[String] =
+    rects.filter(r => r.id == id &&
+      r.vf <= micros(v) && micros(v) < r.vt &&
+      r.sf <= micros(s) && micros(s) < r.st).map(_.p)
+
+  test("fold matches the naive oracle at every point; rectangles never overlap") {
+    forSamples(genLog, 12) { log =>
+      val rects = foldToRects(log)
+      for (id <- 1L to 3L; v <- 0L to 16L; s <- 0L until log.length.toLong) {
+        val vis = visible(rects, id, v, s)
+        assert(vis.length <= 1,
+          s"overlapping rectangles for id=$id v=$v s=$s in $log")
+        assert(vis.headOption == naive(log, id, v, s),
+          s"mismatch id=$id v=$v s=$s log=$log rects=$rects")
+      }
+    }
+  }
+
+  test("asOf(now) == latest put state (no erase, unbounded puts)") {
+    val log = List(
+      Put(1, 0, None, "a"), Put(1, 3, None, "b"),
+      Put(2, 1, None, "x"), Del(2, 0, None), Put(2, 5, None, "y"))
+    val rects = foldToRects(log)
+    // now: far future valid + system
+    assert(visible(rects, 1, 15, 4) == Seq("b"))
+    assert(visible(rects, 2, 15, 4) == Seq("y"))
+  }
+
+  private val genAppendOnlyLog: Gen[List[Op]] = for {
+    n <- Gen.choose(1, 10)
+    kinds <- Gen.listOfN(n, Gen.frequency((8, Gen.const(true)), (2, Gen.const(false))))
+    // vf nondecreasing per id, vt unbounded: the foldAppendOnly contract
+    steps <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 2L), Gen.choose(0L, 2L)))
+  } yield {
+    val vfs = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    kinds.zip(steps).zipWithIndex.map { case ((isPut, (id, dv)), i) =>
+      vfs(id) += dv
+      if (isPut) Put(id, vfs(id), None, s"p$i") else Del(id, vfs(id), None)
+    }
+  }
+
+  test("foldAppendOnly == fold on append-only logs") {
+    forSamples(genAppendOnlyLog, 12) { log =>
+      val general = foldToRects(log).toSet
+      val fast = foldToRects(log, appendOnly = true).toSet
+      assert(fast == general, s"log=$log")
+    }
+  }
+}

@@ -1,0 +1,137 @@
+package graft.ra
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Per-operator unit tests over tiny literal relations — the shape of the
+  * reference's per-operator Clojure test suites (core/test/core2/operator). */
+class RASpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test(":table literal relation") {
+    val df = RA.tableLit(spark, Seq(Row(1L, "a"), Row(2L, null)),
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType))))
+    assert(rows(df) == Set(Seq(1L, "a"), Seq(2L, null)))
+  }
+
+  test(":scan reads parquet with projection and predicate") {
+    val dir = java.nio.file.Files.createTempDirectory("ra_scan").toString
+    Seq((1, "x", 10.0), (2, "y", 20.0)).toDF("id", "s", "v")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val df = RA.scan(spark, dir, "t", cols = Seq("id", "v"),
+      pred = Some(col("v") > 15.0))
+    assert(df.columns.toSeq == Seq("id", "v"))
+    assert(rows(df) == Set(Seq(2, 20.0)))
+  }
+
+  test(":select keeps only TRUE (3VL: UNKNOWN drops)") {
+    val df = Seq(Some(1), Some(5), None).toDF("x")
+    assert(rows(RA.select(df, col("x") > 2)) == Set(Seq(5)))
+    // NOT(UNKNOWN) is still UNKNOWN -> null row drops on both sides
+    assert(rows(RA.select(df, !(col("x") > 2))) == Set(Seq(1)))
+  }
+
+  test(":project and :map/extend") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    assert(rows(RA.project(df, col("a"))) == Set(Seq(1)))
+    val ext = RA.extend(df, "c" -> (col("a") + col("b")))
+    assert(ext.columns.toSeq == Seq("a", "b", "c"))
+    assert(rows(ext) == Set(Seq(1, 2, 3)))
+  }
+
+  test(":rename") {
+    val df = RA.rename(Seq((1, 2)).toDF("a", "b"), "a" -> "x")
+    assert(df.columns.toSeq == Seq("x", "b"))
+  }
+
+  test(":distinct treats NULLs as equal (SQL DISTINCT)") {
+    val df = Seq(Some(1), None, None, Some(1)).toDF("x")
+    assert(RA.distinct(df).count() == 2)
+  }
+
+  test("set ops: union-all is bag, intersect/difference are set") {
+    val a = Seq(1, 1, 2).toDF("x")
+    val b = Seq(1, 3).toDF("x")
+    assert(RA.unionAll(a, b).count() == 5)
+    assert(rows(RA.intersect(a, b)) == Set(Seq(1)))
+    assert(rows(RA.difference(a, b)) == Set(Seq(2)))
+  }
+
+  test("joins: inner/left/full/semi/anti") {
+    val a = Seq((1, "a1"), (2, "a2")).toDF("k", "av")
+    val b = Seq((2, "b2"), (3, "b3")).toDF("k2", "bv")
+    val cond = col("k") === col("k2")
+    assert(rows(RA.join(a, b, cond).select("av", "bv")) == Set(Seq("a2", "b2")))
+    assert(rows(RA.join(a, b, cond, "left_outer").select("av", "bv")) ==
+      Set(Seq("a1", null), Seq("a2", "b2")))
+    assert(RA.join(a, b, cond, "full_outer").count() == 3)
+    assert(rows(RA.join(a, b, cond, "left_semi")) == Set(Seq(2, "a2")))
+    assert(rows(RA.join(a, b, cond, "left_anti")) == Set(Seq(1, "a1")))
+  }
+
+  test(":cross-join") {
+    assert(RA.crossJoin(Seq(1, 2).toDF("a"), Seq(3, 4).toDF("b")).count() == 4)
+  }
+
+  test(":group-by with keys and global") {
+    val df = Seq(("g1", 1), ("g1", 3), ("g2", 5)).toDF("g", "v")
+    assert(rows(RA.groupBy(df, Seq(col("g")), Seq(sum("v").as("s")))) ==
+      Set(Seq("g1", 4L), Seq("g2", 5L)))
+    assert(rows(RA.groupBy(df, Nil, Seq(count(lit(1)).as("n")))) == Set(Seq(3L)))
+  }
+
+  test(":order-by nulls placement and :top offset/limit") {
+    val df = Seq(Some(2), None, Some(1)).toDF("x")
+    assert(RA.orderBy(df, col("x").asc_nulls_first).collect().map(_.get(0)).toSeq ==
+      Seq(null, 1, 2))
+    val sorted = RA.orderBy(Seq(3, 1, 2).toDF("x"), col("x").asc)
+    assert(RA.top(sorted, 1, 1).collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test(":unwind with and without ordinality") {
+    val df = Seq((1, Seq("a", "b"))).toDF("id", "xs")
+    assert(RA.unwind(df, col("xs"), "x").select("x").count() == 2)
+    val ord = RA.unwind(df, col("xs"), "x", ordinality = Some("i"))
+    assert(rows(ord.select("i", "x")) == Set(Seq(1L, "a"), Seq(2L, "b")))
+  }
+
+  test(":max-1-row: passes 1 row, NULL row on empty, throws on 2") {
+    val one = RA.max1Row(Seq(7).toDF("x"))
+    assert(rows(one) == Set(Seq(7)))
+    val empty = RA.max1Row(Seq.empty[Int].toDF("x"))
+    assert(rows(empty) == Set(Seq(null)))
+    assertThrows[IllegalStateException] {
+      RA.max1Row(Seq(1, 2).toDF("x"))
+    }
+  }
+
+  test(":fixpoint computes transitive closure (semi-naive)") {
+    // edges of a chain 1->2->3->4 plus a cycle 4->2
+    val edges = Seq((1, 2), (2, 3), (3, 4), (4, 2)).toDF("src", "dst")
+    val base = edges
+    val closure = RA.fixpoint(base, prev =>
+      prev.as("p").join(edges.as("e"), col("p.dst") === col("e.src"))
+        .select(col("p.src").as("src"), col("e.dst").as("dst")))
+    val got = rows(closure)
+    // reachability from 1: 2,3,4 (and back around the cycle)
+    assert(got.contains(Seq(1, 4)))
+    assert(got.contains(Seq(1, 2)))
+    assert(got.contains(Seq(2, 2))) // via the cycle
+    assert(closure.count() == got.size) // distinct
+  }
+
+  test(":fixpoint throws on non-convergence at maxIter") {
+    val df = Seq(1).toDF("x")
+    assertThrows[IllegalStateException] {
+      // step strictly grows forever
+      RA.fixpoint(df, prev => prev.select((col("x") + 1).as("x")), maxIter = 3)
+    }
+  }
+}
