@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.Analytics.queries ++
       graft.queries.Streams.queries ++
       graft.queries.Llm.queries ++
-      graft.queries.Bitemp.queries
+      graft.queries.Bitemp.queries ++
+      graft.queries.DatalogQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
       graft.queries.Analytics.oracle ++
       graft.queries.Streams.oracle ++
       graft.queries.Llm.oracle ++
-      graft.queries.Bitemp.oracle
+      graft.queries.Bitemp.oracle ++
+      graft.queries.DatalogQ.oracle
 }

@@ -1,0 +1,114 @@
+package graft.datalog
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import Datalog._
+
+/** Datalog compiler semantics on tiny literal entity tables. */
+class DatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // people(_id, name, age, parent); parent references another _id
+  private lazy val people = Seq(
+    (1L, "ada", 36, Option.empty[Long]),
+    (2L, "bob", 11, Some(1L)),
+    (3L, "cyd", 8, Some(1L)),
+    (4L, "dee", 2, Some(2L)))
+    .toDF("_id", "name", "age", "parent")
+
+  private lazy val attrs = Datalog.attrsOf((people, "_id"))
+
+  private def rows(q: Query): Set[Seq[Any]] =
+    Datalog.run(q, attrs).collect().map(_.toSeq).toSet
+
+  test("triple patterns unify on shared variables") {
+    // child name + parent name
+    val q = Query(
+      find = Seq(FVar("cn"), FVar("pn")),
+      where = Seq(
+        Triple(V("c"), "name", V("cn")),
+        Triple(V("c"), "parent", V("p")),
+        Triple(V("p"), "name", V("pn"))))
+    assert(rows(q) == Set(Seq("bob", "ada"), Seq("cyd", "ada"), Seq("dee", "bob")))
+  }
+
+  test("constants in entity and value positions") {
+    val q = Query(Seq(FVar("n")), Seq(Triple(C(2L), "name", V("n"))))
+    assert(rows(q) == Set(Seq("bob")))
+    val q2 = Query(Seq(FVar("e")), Seq(Triple(V("e"), "name", C("cyd"))))
+    assert(rows(q2) == Set(Seq(3L)))
+  }
+
+  test("predicate and binding clauses") {
+    val q = Query(
+      find = Seq(FVar("n"), FVar("age2")),
+      where = Seq(
+        Triple(V("e"), "name", V("n")),
+        Triple(V("e"), "age", V("a")),
+        Pred(Seq("a"), vs => vs.head > 10),
+        Bind("age2", Seq("a"), vs => vs.head * 2)))
+    assert(rows(q) == Set(Seq("ada", 72), Seq("bob", 22)))
+  }
+
+  test("not-join: people who are nobody's parent") {
+    val q = Query(
+      find = Seq(FVar("n")),
+      where = Seq(
+        Triple(V("e"), "name", V("n")),
+        NotJoin(Seq("e"), Seq(Triple(V("c"), "parent", V("e"))))))
+    assert(rows(q) == Set(Seq("cyd"), Seq("dee")))
+  }
+
+  test("or-join: union of branches") {
+    val q = Query(
+      find = Seq(FVar("n")),
+      where = Seq(
+        Triple(V("e"), "name", V("n")),
+        OrJoin(Seq("e"), Seq(
+          Seq(Triple(V("e"), "age", V("a")), Pred(Seq("a"), vs => vs.head < 5)),
+          Seq(Triple(V("e"), "name", C("ada")))))))
+    assert(rows(q) == Set(Seq("ada"), Seq("dee")))
+  }
+
+  test("aggregates group by the non-agg find variables") {
+    val q = Query(
+      find = Seq(FVar("p"), FAgg("count", "c", "n_kids"),
+        FAgg("max", "a", "oldest")),
+      where = Seq(
+        Triple(V("c"), "parent", V("p")),
+        Triple(V("c"), "age", V("a"))))
+    assert(rows(q) == Set(Seq(1L, 2L, 11), Seq(2L, 1L, 2)))
+  }
+
+  test("recursive rule: ancestor via fixpoint") {
+    val ancestor = Rule("ancestor", Seq("d", "a"), Seq(
+      Seq(Triple(V("d"), "parent", V("a"))),
+      Seq(RuleCall("ancestor", Seq(V("d"), V("m"))),
+        Triple(V("m"), "parent", V("a")))))
+    val q = Query(
+      find = Seq(FVar("dn"), FVar("an")),
+      where = Seq(
+        RuleCall("ancestor", Seq(V("x"), V("y"))),
+        Triple(V("x"), "name", V("dn")),
+        Triple(V("y"), "name", V("an"))),
+      rules = Seq(ancestor))
+    assert(rows(q) == Set(
+      Seq("bob", "ada"), Seq("cyd", "ada"),
+      Seq("dee", "bob"), Seq("dee", "ada")))
+  }
+
+  test("rule call with constant argument filters") {
+    val ancestor = Rule("ancestor", Seq("d", "a"), Seq(
+      Seq(Triple(V("d"), "parent", V("a"))),
+      Seq(RuleCall("ancestor", Seq(V("d"), V("m"))),
+        Triple(V("m"), "parent", V("a")))))
+    // descendants of ada (id 1)
+    val q = Query(
+      find = Seq(FVar("d")),
+      where = Seq(RuleCall("ancestor", Seq(V("d"), C(1L)))),
+      rules = Seq(ancestor))
+    assert(rows(q) == Set(Seq(2L), Seq(3L), Seq(4L)))
+  }
+}
