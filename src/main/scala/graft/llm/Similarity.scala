@@ -57,12 +57,13 @@ object Similarity {
     * nPlanes. At scale the bucket column is precomputed + partitioned-by,
     * turning every query into a single-bucket scan. */
   def annTopK(emb: DataFrame, vCol: String, queryVec: DataFrame,
-              qCol: String, k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+              qCol: String, k: Int, nPlanes: Int = 8, dim: Int = 64,
+              tieBreak: Seq[Column] = Nil): DataFrame = {
     val bucketed = emb.withColumn("bucket", lshBucket(col(vCol), nPlanes, dim))
     val qb = queryVec.withColumn("qbucket", lshBucket(col(qCol), nPlanes, dim))
     bucketed.join(broadcast(qb), col("bucket") === col("qbucket"))
       .withColumn("cos", cosine(col(vCol), col(qCol)))
-      .orderBy(col("cos").desc)
+      .orderBy(col("cos").desc +: tieBreak: _*)
       .limit(k)
   }
 }

@@ -23,8 +23,16 @@ import org.apache.spark.sql.functions._
   *
   * Cost: ONE shuffle on the keys (same as any equi-join), no range-join
   * row explosion, spillable sort — this survives a 100× scale-up as long
-  * as keys are reasonably distributed. With no keys the window is a single
-  * partition: only use keyless as-of when the right side is small.
+  * as keys are reasonably distributed.
+  *
+  * With NO keys the window would be one partition — the textbook
+  * single-reducer bottleneck — so the keyless case takes a different
+  * plan entirely ([[asOfBroadcast]]): the right side (which must be
+  * small for a keyless as-of to make sense at all) is aggregated into
+  * one sorted array, broadcast, and probed per left row with a
+  * codegen'd O(log n) binary search ([[graft.functions.SortedLastLeq]]).
+  * No shuffle of the left side at all.
+  *
   * Ties (`right.ts == left.ts`) count as visible (<=), matching SQL
   * `FOR SYSTEM_TIME AS OF` inclusivity.
   */
@@ -35,6 +43,8 @@ object AsOfJoin {
            payload: Seq[String],
            leftKeys: Seq[String] = Nil, rightKeys: Seq[String] = Nil): DataFrame = {
     require(leftKeys.length == rightKeys.length, "key arity mismatch")
+    if (leftKeys.isEmpty)
+      return asOfBroadcast(left, right, leftTs, rightTs, payload)
     val keyNames = leftKeys.indices.map(i => s"_k$i")
 
     val l = left
@@ -62,6 +72,32 @@ object AsOfJoin {
       last(when(col("_side") === 0, struct(payload.map(col): _*)),
         ignoreNulls = true).over(w))
     filled.filter(col("_side") === 1)
+      .select((left.columns.filterNot(payload.contains).map(col) ++
+        payload.map(p => col("_pay")(p).as(p))): _*)
+  }
+
+  /** Keyless as-of via broadcast + binary search: right is collapsed to
+    * ONE row holding `sort_array(struct(ts_micros, payload…))`, broadcast
+    * to every task, and each left row resolves its match with an
+    * O(log |right|) probe. The left side is never shuffled — the plan
+    * scales with the left scan alone. Ties between right rows with equal
+    * ts resolve to the greatest (ts, payload…) tuple (array sort order). */
+  def asOfBroadcast(left: DataFrame, right: DataFrame,
+                    leftTs: String, rightTs: String,
+                    payload: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    graft.functions.SortedLastLeq.register(spark)
+    val packed = right
+      .filter(col(rightTs).isNotNull)
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col(rightTs).cast("timestamp")).as("_t") +:
+          payload.map(col): _*))).as("_arr"))
+    left.crossJoin(broadcast(packed))
+      .withColumn("_lk", unix_micros(col(leftTs).cast("timestamp")))
+      .withColumn("_idx", expr("sorted_last_leq(_arr, _lk)"))
+      // get() is 0-based and NULL-safe: _idx = 0 (no right row yet) maps
+      // to index -1 -> NULL struct -> NULL payload columns
+      .withColumn("_pay", get(col("_arr"), col("_idx") - 1))
       .select((left.columns.filterNot(payload.contains).map(col) ++
         payload.map(p => col("_pay")(p).as(p))): _*)
   }

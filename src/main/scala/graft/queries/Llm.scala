@@ -116,12 +116,15 @@ object Llm {
         .orderBy("vec_a", "vec_b")
     }),
 
-    // LSH-bucketed ANN top-10 (approximate — no oracle, rows-only check)
+    // LSH-bucketed ANN top-10. Approximate by design, but fully
+    // deterministic (md5-derived hyperplanes), so the DuckDB oracle
+    // replays the exact bucket computation with the same plane literals.
     "q46_ann_lsh" -> ((s, dir) => {
       import s.implicits._
       val e = embD(s, dir)
       val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
-      Similarity.annTopK(e, "v", q, "qv", k = 10, nPlanes = 8, dim = 64)
+      Similarity.annTopK(e, "v", q, "qv", k = 10, nPlanes = 8, dim = 64,
+          tieBreak = Seq($"vec_id"))
         .select($"vec_id", r($"cos", 4).as("cos"))
     }),
 
@@ -248,7 +251,30 @@ object Llm {
        FROM t GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  // ANN oracle: the hyperplanes are deterministic (md5 of "plane:dim",
+  // Similarity.planeWeights), so the oracle ships the SAME plane weights
+  // as SQL array literals and replays bucket assignment + cosine exactly
+  private val annOracle: String = {
+    val ws = Similarity.planeWeights(8, 64)
+    def arr(w: Array[Double]) = w.mkString("[", ", ", "]")
+    def bucket(v: String) = ws.zipWithIndex.map { case (w, p) =>
+      s"(CASE WHEN list_dot_product($v, ${arr(w)}) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    b AS (SELECT vec_id, v, ${bucket("v")} AS bucket FROM e),
+    qb AS (SELECT qv, ${bucket("qv")} AS qbucket FROM q),
+    cand AS (SELECT vec_id,
+               list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos
+             FROM b JOIN qb ON bucket = qbucket),
+    top AS (SELECT vec_id, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 10)
+    SELECT vec_id, floor(cos*10000 + 0.5)/10000 AS cos FROM top"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q46_ann_lsh" -> annOracle,
     "q40_dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, text
       FROM documents GROUP BY text ORDER BY keep_id""",

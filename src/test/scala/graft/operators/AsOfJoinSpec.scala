@@ -66,6 +66,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == Set((0, None), (5, Some("x"))))
   }
 
+  test("keyless as-of (broadcast binary-search path) matches the naive oracle") {
+    forSamples(genCase, 12) { case (left0, right0) =>
+      // drop keys: one global stream, unique right ts
+      val left = left0.map(_._2)
+      val right = right0.map(r => (r._2, r._3)).distinctBy(_._1)
+      val l = left.toDF("ts")
+      val r = right.toDF("rts", "v")
+      val got = AsOfJoin.asOf(l, r, "ts", "rts", Seq("v"))
+        .collect().map(x => (x.getInt(0), Option(x.getString(1))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap
+      left.distinct.foreach { t =>
+        val expect = right.filter(_._1 <= t).sortBy(_._1).lastOption.map(_._2)
+        assert(got(t).forall(_ == expect),
+          s"probe $t: got ${got(t)} expected $expect; right=$right")
+      }
+    }
+  }
+
+  test("keyless as-of: timestamps, NULL before first right row") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq(ts("2020-01-01 00:00:00"), ts("2020-03-15 00:00:00"))
+      .toDF("ts")
+    val r = Seq((ts("2020-02-01 00:00:00"), 42)).toDF("rts", "v")
+    val out = AsOfJoin.asOf(l, r, "ts", "rts", Seq("v"))
+      .collect().map(x => (x.getTimestamp(0), Option(x.get(1)))).toSet
+    assert(out == Set(
+      (ts("2020-01-01 00:00:00"), None),
+      (ts("2020-03-15 00:00:00"), Some(42))))
+  }
+
   test("multiple payload columns come from the SAME right row") {
     val l = Seq((1, 10)).toDF("k", "ts")
     val r = Seq((1, 1, Some("a1"), Some("b1")), (1, 5, None, Some("b2")))
