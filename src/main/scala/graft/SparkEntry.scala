@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.Streams.queries ++
       graft.queries.Llm.queries ++
       graft.queries.Bitemp.queries ++
-      graft.queries.DatalogQ.queries
+      graft.queries.DatalogQ.queries ++
+      graft.queries.Extras.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
       graft.queries.Streams.oracle ++
       graft.queries.Llm.oracle ++
       graft.queries.Bitemp.oracle ++
-      graft.queries.DatalogQ.oracle
+      graft.queries.DatalogQ.oracle ++
+      graft.queries.Extras.oracle
 }

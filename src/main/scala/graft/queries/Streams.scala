@@ -4,13 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.AsOfJoin
+import graft.streaming.Streaming
 import Rounding.r
 
 /** Event-stream analytics over the `events` fixture, batch-first so every
   * operator is DuckDB-oracle-checkable (SURVEY.md §2.6): tumbling /
   * sliding / session windows, JSON extraction, and stream-to-stream as-of
-  * joins. The same plans run under Structured Streaming via
-  * graft.streaming (readStream + watermark), which is not oracle-checked.
+  * joins. The window aggregations are built by
+  * [[graft.streaming.Streaming]] — the SAME functions run these plans
+  * under Structured Streaming (readStream + watermark, see
+  * StreamingSpec), which is not oracle-checked.
   *
   * The reference has no streaming-SQL surface (its log is ingestion
   * infrastructure only, xtdb/core2 `core2.log`); these operators are part
@@ -35,9 +38,9 @@ object Streams {
     // tumbling 1h windows: count + sum per (window, type)
     "q35_tumbling" -> ((s, dir) => {
       import s.implicits._
-      T(s, dir, "events")
-        .groupBy(window($"ts", "1 hour"), $"event_type")
-        .agg(count(lit(1)).as("n"), r(sum($"value"), 2).as("sum_value"))
+      Streaming.tumblingAgg(T(s, dir, "events"), "ts", "1 hour",
+          keys = Seq($"event_type"),
+          aggs = Seq(count(lit(1)).as("n"), r(sum($"value"), 2).as("sum_value")))
         .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
         .orderBy("ws", "event_type")
     }),
@@ -45,9 +48,9 @@ object Streams {
     // sliding 1h windows every 15min (each event lands in 4 windows)
     "q36_sliding" -> ((s, dir) => {
       import s.implicits._
-      T(s, dir, "events")
-        .groupBy(window($"ts", "1 hour", "15 minutes"))
-        .agg(count(lit(1)).as("n"), r(sum($"value"), 2).as("sum_value"))
+      Streaming.slidingAgg(T(s, dir, "events"), "ts", "1 hour", "15 minutes",
+          keys = Nil,
+          aggs = Seq(count(lit(1)).as("n"), r(sum($"value"), 2).as("sum_value")))
         .select($"window.start".as("ws"), $"n", $"sum_value")
         .orderBy("ws")
     }),
@@ -55,9 +58,9 @@ object Streams {
     // session windows, 6h inactivity gap, per user
     "q37_session" -> ((s, dir) => {
       import s.implicits._
-      T(s, dir, "events")
-        .groupBy(session_window($"ts", "6 hours"), $"user_id")
-        .agg(count(lit(1)).as("n"), r(sum($"value"), 2).as("sum_value"))
+      Streaming.sessionAgg(T(s, dir, "events"), "ts", "6 hours",
+          keys = Seq($"user_id"),
+          aggs = Seq(count(lit(1)).as("n"), r(sum($"value"), 2).as("sum_value")))
         .select($"user_id", $"session_window.start".as("session_start"),
           $"n", $"sum_value")
         .orderBy("user_id", "session_start")

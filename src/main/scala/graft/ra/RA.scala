@@ -34,6 +34,14 @@ object RA {
                schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
+  /** `:csv` — CSV source with DECLARED schema (the reference's csv
+    * operator takes explicit column types; no inference pass, which
+    * would mean a second full read at 100 TB). */
+  def csv(spark: SparkSession, path: String,
+          schema: org.apache.spark.sql.types.StructType,
+          header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
   /** `:select` — 3VL filter: rows kept only when predicate is TRUE
     * (UNKNOWN drops), which is Spark's native filter semantics. */
   def select(df: DataFrame, pred: Column): DataFrame = df.filter(pred)

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming layer (SURVEY.md §7.2 step 7): the SAME
+  * declarative window aggregations the batch catalog uses, runnable over
+  * an unbounded source with watermarks. One function builds the plan;
+  * whether it executes batch or incremental is decided solely by the
+  * input DataFrame (`spark.read` vs `spark.readStream`) — Spark's
+  * unified-plan promise, which the batch-first oracle strategy of
+  * SURVEY.md §2.6 relies on.
+  *
+  * The reference's only stream is its transaction log (ingestion
+  * infrastructure, xtdb/core2 `core2.log`); [[txLogStream]] mirrors that
+  * by tailing a [[graft.bitemporal.TxLog]] directory as a stream.
+  */
+object Streaming {
+
+  /** Tail a directory of files as a stream (declared schema — no
+    * inference pass). With `maxFilesPerTrigger`, each micro-batch
+    * consumes a bounded slice: backpressure at 100 TB ingest. */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType,
+                 format: String = "parquet",
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger",
+        maxFilesPerTrigger.map(_.toString).getOrElse("1000"))
+    r.format(format).load(dir)
+  }
+
+  /** The reference's log-as-stream: tail the tx-log directory of a
+    * bitemporal table. Each row is one (tx, op); downstream can fold
+    * micro-batches into rectangles via foreachBatch + TxLog.compact. */
+  def txLogStream(spark: SparkSession, txLogDir: String,
+                  schema: StructType): DataFrame =
+    // each tx is one parquet directory (TxLog.append) -> glob into them
+    fileStream(spark, s"$txLogDir/log/tx_*", schema)
+
+  /** Tumbling window aggregation; identical plan for batch/streaming
+    * inputs (watermark applied only when streaming — a watermark on a
+    * batch frame is a no-op anyway, but keeping it conditional makes the
+    * batch plan byte-identical to the pre-streaming one). */
+  def tumblingAgg(events: DataFrame, tsCol: String, windowDur: String,
+                  keys: Seq[Column], aggs: Seq[Column],
+                  watermark: Option[String] = None): DataFrame =
+    withWm(events, tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Sliding window aggregation (each event lands in dur/slide windows). */
+  def slidingAgg(events: DataFrame, tsCol: String, windowDur: String,
+                 slide: String, keys: Seq[Column], aggs: Seq[Column],
+                 watermark: Option[String] = None): DataFrame =
+    withWm(events, tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur, slide) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Session window aggregation (inactivity gap). Streaming requires a
+    * watermark (state cannot be retained forever); batch does not. */
+  def sessionAgg(events: DataFrame, tsCol: String, gap: String,
+                 keys: Seq[Column], aggs: Seq[Column],
+                 watermark: Option[String] = None): DataFrame =
+    withWm(events, tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  private def withWm(df: DataFrame, tsCol: String, wm: Option[String]): DataFrame =
+    wm.fold(df)(w => df.withWatermark(tsCol, w))
+
+  /** Drain all currently-available input through a streaming plan into
+    * an in-memory table (test/dev sink), blocking until done. */
+  def runAvailableToMemory(df: DataFrame, name: String,
+                           outputMode: String = "complete"): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+}

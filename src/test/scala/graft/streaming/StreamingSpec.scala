@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The unified-plan promise, verified: the same Streaming.* window
+  * aggregations produce identical results when run incrementally over a
+  * file stream (micro-batches, watermark, AvailableNow) as when run in
+  * one batch over the same data. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("stream_events").toString
+    // two separate files -> at least two micro-batches with
+    // maxFilesPerTrigger=1
+    Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0, 1L),
+      (ts("2024-01-01 10:45:00"), "click", 2.0, 1L),
+      (ts("2024-01-01 11:10:00"), "buy", 10.0, 2L))
+      .toDF("ts", "event_type", "value", "user_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/f1")
+    Seq(
+      (ts("2024-01-01 11:30:00"), "click", 3.0, 2L),
+      (ts("2024-01-01 13:00:00"), "buy", 20.0, 1L))
+      .toDF("ts", "event_type", "value", "user_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/f2")
+    // flatten both into one directory for the file source
+    val flat = Files.createTempDirectory("stream_flat").toString
+    spark.read.parquet(s"$dir/f1").coalesce(1).write.mode("append").parquet(flat)
+    spark.read.parquet(s"$dir/f2").coalesce(1).write.mode("append").parquet(flat)
+    flat
+  }
+
+  private def schema = spark.read.parquet(eventsDir).schema
+
+  test("tumbling agg: streaming (watermark + AvailableNow) == batch") {
+    val stream = Streaming.fileStream(spark, eventsDir, schema,
+      maxFilesPerTrigger = Some(1))
+    val agg = Streaming.tumblingAgg(stream, "ts", "1 hour",
+      keys = Seq($"event_type"),
+      aggs = Seq(count(lit(1)).as("n"), sum($"value").as("sv")),
+      watermark = Some("2 hours"))
+    Streaming.runAvailableToMemory(agg, "tumbling_out")
+
+    val batch = Streaming.tumblingAgg(spark.read.parquet(eventsDir), "ts",
+        "1 hour", Seq($"event_type"),
+        Seq(count(lit(1)).as("n"), sum($"value").as("sv")))
+      .select($"window.start", $"event_type", $"n", $"sv")
+      .collect().map(_.toSeq).toSet
+
+    val streamed = spark.table("tumbling_out")
+      .select($"window.start", $"event_type", $"n", $"sv")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("session agg: streaming == batch") {
+    val stream = Streaming.fileStream(spark, eventsDir, schema,
+      maxFilesPerTrigger = Some(1))
+    val agg = Streaming.sessionAgg(stream, "ts", "1 hour",
+      keys = Seq($"user_id"),
+      aggs = Seq(count(lit(1)).as("n")),
+      watermark = Some("2 hours"))
+    Streaming.runAvailableToMemory(agg, "session_out")
+
+    val batch = Streaming.sessionAgg(spark.read.parquet(eventsDir), "ts",
+        "1 hour", Seq($"user_id"), Seq(count(lit(1)).as("n")))
+      .select($"user_id", $"session_window.start", $"n")
+      .collect().map(_.toSeq).toSet
+    val streamed = spark.table("session_out")
+      .select($"user_id", $"session_window.start", $"n")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("tx-log stream tails a bitemporal TxLog directory") {
+    import graft.bitemporal.{TxLog, TxOps}
+    val dir = Files.createTempDirectory("txlog_stream").toString
+    val log = new TxLog(dir)
+    val rows = Seq((1L, 100.0), (2L, 200.0)).toDF("id", "bal")
+    log.append(TxOps.put(rows, $"id", lit("2020-01-01").cast("timestamp"),
+      None, Seq("bal" -> $"bal")), ts("2020-06-01 00:00:00"))
+    log.append(TxOps.put(rows.filter($"id" === 1), $"id",
+      lit("2021-01-01").cast("timestamp"), None,
+      Seq("bal" -> ($"bal" + 1))), ts("2020-06-02 00:00:00"))
+
+    val sch = log.read(spark).schema
+    val stream = Streaming.txLogStream(spark, dir, sch)
+    assert(stream.isStreaming)
+    Streaming.runAvailableToMemory(
+      stream.groupBy($"_op").agg(count(lit(1)).as("n")), "txlog_out")
+    val got = spark.table("txlog_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("put" -> 3L))
+  }
+}
