@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.Llm.queries ++
       graft.queries.Bitemp.queries ++
       graft.queries.DatalogQ.queries ++
-      graft.queries.Extras.queries
+      graft.queries.Extras.queries ++
+      graft.queries.TpchMore.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.Llm.oracle ++
       graft.queries.Bitemp.oracle ++
       graft.queries.DatalogQ.oracle ++
-      graft.queries.Extras.oracle
+      graft.queries.Extras.oracle ++
+      graft.queries.TpchMore.oracle
 }

@@ -112,6 +112,67 @@ object Extras {
       RA.unwind(df, $"parts", "part", ordinality = Some("ord"))
         .select($"o_orderkey", $"ord", $"part")
         .orderBy("o_orderkey", "ord")
+    }),
+
+    // §2.1 #23 :max-1-row (scalar-subquery cardinality guard) + §2.4
+    // explicit cast surface: numeric↔numeric incl. decimal, number→string,
+    // string→timestamp, timestamp→date
+    "q64_max1row_cast" -> ((s, dir) => {
+      import s.implicits._
+      val one = T(s, dir, "lineitem")
+        .agg(r(avg($"l_extendedprice"), 4).as("avg_price"))
+      RA.max1Row(one)
+        .select(
+          $"avg_price",
+          // decimal/date round-trips serialized to double/string for the
+          // cross-engine compare (pandas types diverge on raw decimal/date)
+          $"avg_price".cast("decimal(14,2)").cast("double").as("price_dec"),
+          $"avg_price".cast("int").as("price_int"),
+          $"avg_price".cast("decimal(14,2)").cast("string").as("price_str"),
+          lit("2020-06-15 12:30:00").cast("timestamp").as("ts_from_str"),
+          lit("2020-06-15 12:30:00").cast("timestamp").cast("date")
+            .cast("string").as("date_from_ts"))
+    }),
+
+    // dynamic schema (§1.4 DUV → VariantType): events.props parsed ONCE
+    // to a Variant column, fields typed on access — the Spark-4 analog of
+    // the reference's per-cell dynamic typing (Arrow DenseUnionVector)
+    "q65_variant_json" -> ((s, dir) => {
+      import s.implicits._
+      T(s, dir, "events")
+        .select($"event_id", parse_json($"props").as("v"))
+        .select(
+          $"event_id",
+          variant_get($"v", "$.k", "long").as("k_long"),
+          variant_get($"v", "$.k", "string").as("k_str"),
+          try_variant_get($"v", "$.missing", "string").isNull
+            .as("missing_is_null"))
+        .orderBy("event_id")
+    }),
+
+    // beyond-reference: ROLLUP hierarchy totals (Spark rollup ==
+    // GROUP BY ROLLUP; NULL marks the rolled-up levels in both engines)
+    "q66_rollup" -> ((s, dir) => {
+      import s.implicits._
+      T(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), r(sum($"l_quantity"), 4).as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_last, $"l_linestatus".asc_nulls_last)
+    }),
+
+    // beyond-reference, 100 TB posture: sketch aggregation. Approx
+    // implementations differ per engine, so the CHECK is exact-side:
+    // both engines assert their own approx_count_distinct lands within
+    // 5% of the exact count — output is (exact, within_5pct=true)
+    "q67_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      T(s, dir, "lineitem")
+        .agg(
+          count_distinct($"l_partkey").as("exact_parts"),
+          approx_count_distinct($"l_partkey").as("approx"))
+        .select($"exact_parts",
+          (abs($"approx" - $"exact_parts") <= $"exact_parts" * 0.05)
+            .as("within_5pct"))
     })
   )
 
@@ -165,6 +226,37 @@ object Extras {
              unnest(parts) AS part
       FROM (SELECT o_orderkey, string_split(o_orderpriority, '-') AS parts
             FROM orders WHERE o_orderkey % 1000 = 0)
-      ORDER BY o_orderkey, ord"""
+      ORDER BY o_orderkey, ord""",
+
+    "q64_max1row_cast" -> """
+      WITH one AS (SELECT floor((avg(l_extendedprice))*10000 + 0.5)/10000 AS avg_price
+                   FROM lineitem)
+      SELECT avg_price,
+             CAST(CAST(avg_price AS DECIMAL(14,2)) AS DOUBLE) AS price_dec,
+             CAST(avg_price AS INTEGER) AS price_int,
+             CAST(CAST(avg_price AS DECIMAL(14,2)) AS VARCHAR) AS price_str,
+             TIMESTAMP '2020-06-15 12:30:00' AS ts_from_str,
+             CAST(CAST(TIMESTAMP '2020-06-15 12:30:00' AS DATE) AS VARCHAR) AS date_from_ts
+      FROM one""",
+
+    "q65_variant_json" -> """
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+             json_extract_string(props, '$.k') AS k_str,
+             json_extract_string(props, '$.missing') IS NULL AS missing_is_null
+      FROM events ORDER BY event_id""",
+
+    "q66_rollup" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             floor((sum(l_quantity))*10000 + 0.5)/10000 AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""",
+
+    "q67_approx_distinct" -> """
+      SELECT count(DISTINCT l_partkey) AS exact_parts,
+             abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+               <= count(DISTINCT l_partkey) * 0.05 AS within_5pct
+      FROM lineitem"""
   )
 }
