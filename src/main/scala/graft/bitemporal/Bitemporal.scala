@@ -167,12 +167,19 @@ object Bitemporal {
 
   /** Bitemporal visibility filter — the reference's *basis*
     * (`FOR SYSTEM_TIME AS OF s FOR APPLICATION_TIME AS OF v`). Sargable:
-    * all four comparisons reach the parquet scan and prune row groups /
-    * partitions. */
-  def asOf(rectangles: DataFrame, validTime: Column, systemTime: Column): DataFrame =
-    rectangles.filter(
+    * all four comparisons reach the parquet scan and prune row groups.
+    * When the input carries a `_sys_date` partition column (a compacted
+    * [[TxLog]] base), an equivalent predicate on it is added so Catalyst
+    * prunes whole PARTITIONS (`PartitionFilters` in the scan) — rows
+    * written after the basis can never be visible at it. */
+  def asOf(rectangles: DataFrame, validTime: Column, systemTime: Column): DataFrame = {
+    val visible = rectangles.filter(
       col("_system_from") <= systemTime && systemTime < col("_system_to") &&
         col("_valid_from") <= validTime && validTime < col("_valid_to"))
+    if (rectangles.columns.contains("_sys_date"))
+      visible.filter(col("_sys_date") <= to_date(systemTime)).drop("_sys_date")
+    else visible
+  }
 
   /** Snapshot of the latest known state: system = valid = now. */
   def currentState(rectangles: DataFrame): DataFrame = {

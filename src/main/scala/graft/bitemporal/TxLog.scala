@@ -73,8 +73,13 @@ final class TxLog(val dir: String) {
     last
   }
 
+  /** The base rectangle table, KEEPING the `_sys_date` partition column:
+    * [[Bitemporal.asOf]] turns it into a partition-pruning predicate, so
+    * a time-travel scan touches only partitions with `_sys_date <=
+    * date(systemTime)` — the Spark-native replacement for the
+    * reference's temporal index (SURVEY.md §1.4). */
   def readBase(spark: SparkSession): DataFrame =
-    spark.read.parquet(baseDir.toString).drop("_sys_date")
+    spark.read.parquet(baseDir.toString)
 }
 
 object TxLog {

