@@ -82,6 +82,21 @@ object RA {
            joinType: String = "inner", broadcastRight: Boolean = false): DataFrame =
     a.join(if (broadcastRight) broadcast(b) else b, cond, joinType)
 
+  /** Salted equi-join for skewed keys: the hot-key antidote when AQE's
+    * skew-join splitting isn't enough (e.g. a single key holding >1 task's
+    * worth of rows on BOTH sides is un-splittable without replication).
+    * Left rows get a random salt in [0, salt); right rows are replicated
+    * `salt` times (explode of a literal range); the join key becomes
+    * (key, salt), spreading each hot key over `salt` reducers. Use when
+    * the right side is the smaller-but-not-broadcastable one. */
+  def saltedJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
+                 salt: Int, joinType: String = "inner"): DataFrame = {
+    require(salt > 1, "salt must be > 1")
+    val sa = a.withColumn("_salt", (rand(seed = 42) * salt).cast("int"))
+    val sb = b.withColumn("_salt", explode(array((0 until salt).map(lit): _*)))
+    sa.join(sb, keys :+ "_salt", joinType).drop("_salt")
+  }
+
   /** `:group-by` — hash aggregation; Spark runs partial (map-side) +
     * final aggregation with spill, strictly more scalable than core2's
     * single in-memory hash (SURVEY.md §2.2). */

@@ -1,0 +1,82 @@
+package graft.bitemporal
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** FOR SYSTEM_TIME / FOR APPLICATION_TIME SQL sugar vs the Column-API
+  * basis filters. */
+class BitemporalSqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(sec: Long) = Timestamp.from(Instant.ofEpochSecond(sec))
+
+  private val opSchema = StructType(Seq(
+    StructField("_op", StringType), StructField("_id", LongType),
+    StructField("_tx_id", LongType), StructField("_system_from", TimestampType),
+    StructField("_valid_from", TimestampType), StructField("_valid_to", TimestampType),
+    StructField("price", DoubleType)))
+
+  private lazy val rects = {
+    val ops = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("put", 1L, 0L, ts(100), ts(0), null, 10.0),
+      Row("put", 1L, 1L, ts(200), ts(50), null, 20.0),
+      Row("put", 2L, 2L, ts(150), ts(0), null, 99.0)), 1), opSchema)
+    Bitemporal.fold(ops, Seq("price"))
+  }
+
+  test("both clauses, either order, match the Column-API asOf") {
+    val apiRows = Bitemporal.asOf(rects,
+        validTime = lit(ts(10)), systemTime = lit(ts(250)))
+      .select(col("_id"), col("price"))
+      .collect().map(_.toSeq).toSet
+
+    val sysFirst = BitemporalSql.sql(spark,
+      s"""SELECT _id, price FROM prices
+          FOR SYSTEM_TIME AS OF '${ts(250)}'
+          FOR APPLICATION_TIME AS OF '${ts(10)}'""",
+      Map("prices" -> rects)).collect().map(_.toSeq).toSet
+    assert(sysFirst == apiRows)
+
+    val appFirst = BitemporalSql.sql(spark,
+      s"""SELECT _id, price FROM prices
+          FOR APPLICATION_TIME AS OF '${ts(10)}'
+          FOR SYSTEM_TIME AS OF '${ts(250)}'""",
+      Map("prices" -> rects)).collect().map(_.toSeq).toSet
+    assert(appFirst == apiRows)
+
+    // at system time 250 both ids are visible; id 1's valid-time point 10
+    // is the first put's remnant [0, 50)
+    assert(apiRows == Set(Seq(1L, 10.0), Seq(2L, 99.0)))
+  }
+
+  test("single clause defaults the other to now; no clause = current state") {
+    val one = BitemporalSql.sql(spark,
+      s"SELECT _id, price FROM prices FOR SYSTEM_TIME AS OF '${ts(120)}' ORDER BY _id",
+      Map("prices" -> rects)).collect().map(_.toSeq).toSeq
+    // system 120: only the first put exists; valid defaults to NOW which
+    // its [0, inf) interval covers
+    assert(one == Seq(Seq(1L, 10.0)))
+
+    val current = BitemporalSql.sql(spark,
+      "SELECT _id, price FROM prices ORDER BY _id",
+      Map("prices" -> rects)).collect().map(_.toSeq).toSeq
+    // now: id1's latest version covers now from valid 50 on; id2 visible
+    assert(current == Seq(Seq(1L, 20.0), Seq(2L, 99.0)))
+  }
+
+  test("aggregation over a time-travel view") {
+    val out = BitemporalSql.sql(spark,
+      s"""SELECT count(*) AS n, sum(price) AS total
+          FROM prices FOR SYSTEM_TIME AS OF '${ts(250)}'
+               FOR APPLICATION_TIME AS OF '${ts(60)}'""",
+      Map("prices" -> rects)).collect()(0)
+    // valid 60 as of sys 250: id1 -> 20.0 (second put), id2 -> 99.0
+    assert(out.getLong(0) == 2 && out.getDouble(1) == 119.0)
+  }
+}

@@ -80,6 +80,18 @@ class RASpec extends AnyFunSuite {
     assert(RA.crossJoin(Seq(1, 2).toDF("a"), Seq(3, 4).toDF("b")).count() == 4)
   }
 
+  test("salted join == plain join (skew-spreading is semantics-preserving)") {
+    // heavy skew: key 1 dominates
+    val a = (Seq.fill(50)(1) ++ Seq(2, 3)).zipWithIndex.toDF("k", "av")
+    val b = Seq((1, "x"), (1, "y"), (2, "z")).toDF("k", "bv")
+    val plain = a.join(b, Seq("k")).select("k", "av", "bv")
+      .collect().map(_.toSeq).toSet
+    val salted = RA.saltedJoin(a, b, Seq("k"), salt = 4)
+      .select("k", "av", "bv").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.size == 101) // 50*2 + 1
+  }
+
   test(":group-by with keys and global") {
     val df = Seq(("g1", 1), ("g1", 3), ("g2", 5)).toDF("g", "v")
     assert(rows(RA.groupBy(df, Seq(col("g")), Seq(sum("v").as("s")))) ==
