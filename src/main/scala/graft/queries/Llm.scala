@@ -179,6 +179,29 @@ object Llm {
         .select($"doc_id", $"source", $"text".cast("binary").as("content"))
         .as[Multimodal.MediaFile]
       Multimodal.extractMeta(files).toDF().orderBy("doc_id")
+    }),
+
+    // frame sampling: one media row explodes into every 2nd frame
+    // (flatMap — rows-out proportional to frames, no driver loop)
+    "q68_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val files = T(s, dir, "documents")
+        .select($"doc_id", $"source", $"text".cast("binary").as("content"))
+        .as[Multimodal.MediaFile]
+      Multimodal.sampleFrames(files, stride = 2).toDF()
+        .select($"doc_id", $"frame_idx", $"width", $"height")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // aspect-preserving resize geometry (integer-exact, so the oracle
+    // replicates the clamping math precisely)
+    "q69_resize" -> ((s, dir) => {
+      import s.implicits._
+      val files = T(s, dir, "documents")
+        .select($"doc_id", $"source", $"text".cast("binary").as("content"))
+        .as[Multimodal.MediaFile]
+      Multimodal.resizeMeta(files, maxW = 320, maxH = 240).toDF()
+        .orderBy("doc_id")
     })
   )
 
@@ -356,6 +379,28 @@ object Llm {
              CAST(64 + octet_length(encode(text)) % 640 AS BIGINT) AS width,
              CAST(48 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
              CAST(1 + octet_length(encode(text)) % 5 AS BIGINT) AS n_frames
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+
+    "q68_frame_sample" -> """
+      WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+      SELECT doc_id,
+             CAST(unnest(generate_series(1, 1 + n % 5, 2)) AS BIGINT) AS frame_idx,
+             CAST(64 + n % 640 AS BIGINT) AS width,
+             CAST(48 + (n * 7) % 480 AS BIGINT) AS height
+      FROM m ORDER BY doc_id, frame_idx""",
+
+    "q69_resize" -> """
+      WITH m AS (SELECT doc_id,
+                        CAST(64 + octet_length(encode(text)) % 640 AS BIGINT) AS w,
+                        CAST(48 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS h
+                 FROM documents)
+      SELECT doc_id, w AS width, h AS height,
+             CASE WHEN w <= 320 AND h <= 240 THEN w
+                  WHEN w * 240 >= h * 320 THEN 320
+                  ELSE greatest(1, (w * 240) // h) END AS out_width,
+             CASE WHEN w <= 320 AND h <= 240 THEN h
+                  WHEN w * 240 >= h * 320 THEN greatest(1, (h * 320) // w)
+                  ELSE 240 END AS out_height
+      FROM m ORDER BY doc_id"""
   )
 }
