@@ -52,6 +52,54 @@ object Similarity {
       .orderBy(col("cos").desc)
       .limit(k)
 
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
+    * its nearest of `nCentroids` centroid "cells"; a query probes only
+    * the `nProbe` cells whose centroids are closest to it, then ranks
+    * exactly within them. At 100 TB the table is partitioned by cell id
+    * so a query touches nProbe partitions instead of the full corpus.
+    *
+    * Centroids are picked DETERMINISTICALLY (the vectors whose id column
+    * equals `i * idStride` for i < nCentroids) instead of by k-means:
+    * reproducible across engines (DuckDB oracle replays the exact same
+    * assignment) and rebuild-free — the quality/recall tradeoff vs
+    * trained centroids is the standard one, the plan shape is identical. */
+  def ivfAssign(emb: DataFrame, idCol: String, vCol: String,
+                nCentroids: Int, idStride: Long = 1L): DataFrame = {
+    val cents = emb
+      .filter(col(idCol) % idStride === 0 && col(idCol) / idStride < nCentroids)
+      .select((col(idCol) / idStride).cast("long").as("_cid"), col(vCol).as("_cv"))
+    // nCentroids is small by construction -> broadcast; rank each vector's
+    // cosine against every centroid and keep the argmax cell
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_ccos").desc, col("_cid"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("_ccos", cosine(col(vCol), col("_cv")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_cv", "_rn")
+      .withColumnRenamed("_cid", "cell")
+      .withColumnRenamed("_ccos", "cell_cos")
+  }
+
+  /** IVF ANN top-k: probe the query's `nProbe` nearest cells only. */
+  def ivfTopK(assigned: DataFrame, vCol: String, queryVec: DataFrame,
+              qCol: String, k: Int, nCentroids: Int, nProbe: Int,
+              emb: DataFrame, idCol: String, idStride: Long = 1L,
+              tieBreak: Seq[Column] = Nil): DataFrame = {
+    val cents = emb
+      .filter(col(idCol) % idStride === 0 && col(idCol) / idStride < nCentroids)
+      .select((col(idCol) / idStride).cast("long").as("_cid"), col(vCol).as("_cv"))
+    val probes = queryVec.crossJoin(broadcast(cents))
+      .withColumn("_ccos", cosine(col(qCol), col("_cv")))
+      .orderBy(col("_ccos").desc, col("_cid"))
+      .limit(nProbe)
+      .select(col("_cid").as("cell"), col(qCol))
+    assigned.join(broadcast(probes), "cell")
+      .withColumn("cos", cosine(col(vCol), col(qCol)))
+      .orderBy(col("cos").desc +: tieBreak: _*)
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN: candidates = rows sharing the query's bucket, then
     * exact cosine within the bucket. Single-probe; recall/cost tuned by
     * nPlanes. At scale the bucket column is precomputed + partitioned-by,

@@ -128,6 +128,21 @@ object Llm {
         .select($"vec_id", r($"cos", 4).as("cos"))
     }),
 
+    // IVF ANN top-10: deterministic coarse quantizer (16 cells, centroid
+    // vectors = vec_id 0,7,...,105), probe the query's 4 nearest cells,
+    // exact rank within them — the partition-pruned scale path
+    "q70_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val e = embD(s, dir)
+      val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+      val assigned = Similarity.ivfAssign(e, "vec_id", "v",
+        nCentroids = 16, idStride = 7)
+      Similarity.ivfTopK(assigned, "v", q, "qv", k = 10,
+          nCentroids = 16, nProbe = 4, emb = e, idCol = "vec_id",
+          idStride = 7, tieBreak = Seq($"vec_id"))
+        .select($"vec_id", r($"cos", 4).as("cos"))
+    }),
+
     // stopword-vote language ID
     "q47_langid" -> ((s, dir) => {
       val toks = TextStats.tokens(T(s, dir, "documents"), "doc_id", "text")
@@ -296,8 +311,40 @@ object Llm {
     SELECT vec_id, floor(cos*10000 + 0.5)/10000 AS cos FROM top"""
   }
 
+  // IVF oracle: replays the deterministic centroid pick, cell assignment
+  // (argmax cosine, ties to lower cell id), 4-cell probe, exact rank
+  private val ivfOracle: String = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT CAST(vec_id // 7 AS BIGINT) AS cid, v AS cv
+              FROM e WHERE vec_id % 7 = 0 AND vec_id // 7 < 16),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, c.cv) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                 DESC, c.cid) AS rn
+        FROM e CROSS JOIN cents c)
+      WHERE rn = 1),
+    probes AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               list_dot_product(q.qv, c.cv) /
+                 (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+        FROM q CROSS JOIN cents c
+        ORDER BY ccos DESC, c.cid LIMIT 4)),
+    top AS (
+      SELECT a.vec_id,
+             list_dot_product(a.v, q.qv) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      FROM assign a JOIN probes p ON a.cid = p.cid CROSS JOIN q
+      ORDER BY cos DESC, a.vec_id LIMIT 10)
+    SELECT vec_id, floor(cos*10000 + 0.5)/10000 AS cos FROM top"""
+
   val oracle: Map[String, String] = Map(
     "q46_ann_lsh" -> annOracle,
+    "q70_ann_ivf" -> ivfOracle,
     "q40_dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, text
       FROM documents GROUP BY text ORDER BY keep_id""",
