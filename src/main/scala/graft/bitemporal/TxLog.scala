@@ -73,6 +73,27 @@ final class TxLog(val dir: String) {
     last
   }
 
+  /** Current rectangles WITHOUT requiring a fresh compaction: ids
+    * untouched since `lastCompacted` are served straight from the base
+    * (anti join against the tail's tiny id set — a broadcast at scale);
+    * touched ids are re-folded from their FULL log history. Read cost
+    * scales with the tail's id count, not the table — the reference's
+    * "queries include the live chunk ⇒ read-your-writes" semantics
+    * (SURVEY.md §3.3) without rewriting the base. */
+  def readAll(spark: SparkSession, payloadCols: Seq[String],
+              lastCompacted: Long): DataFrame = {
+    val tail = read(spark, afterTx = lastCompacted)
+    if (tail.isEmpty) return readBase(spark).drop("_sys_date")
+    val touched = tail.select(col("_id").cast("long").as("_id")).distinct()
+    val untouched = readBase(spark).drop("_sys_date")
+      .join(touched, Seq("_id"), "left_anti")
+    val log = read(spark)
+    val refolded = Bitemporal.fold(
+      log.join(touched, log("_id").cast("long") === touched("_id"), "left_semi"),
+      payloadCols)
+    untouched.unionByName(refolded)
+  }
+
   /** The base rectangle table, KEEPING the `_sys_date` partition column:
     * [[Bitemporal.asOf]] turns it into a partition-pruning predicate, so
     * a time-travel scan touches only partitions with `_sys_date <=

@@ -145,6 +145,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** POSITIONAL word-n-gram shingles: (id, pos, shingle) rows, pos
+    * 1-based — the input to windowed/rolling fingerprints where gram
+    * ORDER matters (unlike the distinct-set shingles above). */
+  def positionalShingles(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 2): DataFrame = {
+    val w = split(col(textCol), " ")
+    val grams = (1 until n).foldLeft(w) { (acc, j) =>
+      zip_with(acc, slice(w, lit(j + 1), greatest(size(w) - j, lit(0))),
+        (a, b) => when(a.isNotNull && b.isNotNull, concat(a, lit(" "), b)))
+    }
+    df.select(col(idCol), posexplode(grams).as(Seq("_pos0", "shingle")))
+      .filter(col("shingle").isNotNull)
+      .select(col(idCol), (col("_pos0") + 1).as("pos"), col("shingle"))
+  }
+
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken): hash every
+    * positional shingle (the rolling-hash step — one md5-derived int per
+    * gram), then keep the MIN hash of each sliding window of `w`
+    * consecutive grams; the distinct survivors are the document's
+    * fingerprint set. Guarantees any shared run of w+n-1 words between
+    * two documents shares a fingerprint — the standard plagiarism/
+    * near-dup sketch with provable recall, unlike bag-of-words md5.
+    * One window over (id, pos) — single shuffle on id. */
+  def winnowing(df: DataFrame, idCol: String, textCol: String,
+                n: Int = 2, w: Int = 4): DataFrame = {
+    val pos = positionalShingles(df, idCol, textCol, n)
+      .withColumn("_h", conv(substring(md5(col("shingle")), 1, 8), 16, 10)
+        .cast("long"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    pos
+      .withColumn("_wmin", min(col("_h")).over(win))
+      .withColumn("_wn", count(lit(1)).over(win))
+      .filter(col("_wn") === w) // only full windows fingerprint
+      .select(col(idCol), col("_wmin").as("fp"))
+      .distinct()
+  }
+
   /** SimHash fingerprint (nBits ≤ 16) per id from (id, shingle) rows:
     * per-bit ±1 votes from md5-nibble bits, sign → bit. Pure aggregation,
     * one shuffle, no pairwise work. */

@@ -175,6 +175,16 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // winnowing fingerprints (rolling-hash min-in-window sketch): count
+    // + min fingerprint per doc, plus docs paired by a shared fingerprint
+    "q71_winnowing" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.winnowing(T(s, dir, "documents"), "doc_id", "text", n = 2, w = 4)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_fp"), min($"fp").as("min_fp"))
+        .orderBy("doc_id")
+    }),
+
     // canonical fingerprint dedup groups
     "q50_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -414,6 +424,25 @@ object Llm {
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens
       FROM documents ORDER BY doc_id""",
+
+    "q71_winnowing" -> """
+      WITH pos AS (
+        SELECT doc_id,
+               unnest([struct_pack(pos := i,
+                        h := CAST(concat('0x', substring(md5(w[i] || ' ' || w[i+1]), 1, 8)) AS BIGINT))
+                       for i in generate_series(1, len(w) - 1)],
+                      recursive := true)
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      wins AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+               count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        FROM pos),
+      fp AS (SELECT DISTINCT doc_id, wmin AS fp FROM wins WHERE wn = 4)
+      SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp
+      FROM fp GROUP BY doc_id ORDER BY doc_id""",
 
     "q50_fingerprint" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS n_docs,

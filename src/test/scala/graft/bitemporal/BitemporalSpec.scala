@@ -164,6 +164,34 @@ class BitemporalSpec extends AnyFunSuite {
     assert(!q.columns.contains("_sys_date"))
   }
 
+  test("readAll: base + unapplied tail == full re-fold (read-your-writes)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("txlog_tail").toString
+    val log = new TxLog(dir)
+    val rows = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v")
+    log.append(TxOps.put(rows, $"id", lit("2000-01-01").cast("timestamp"),
+      None, Seq("v" -> $"v")), ts(100))
+    val lastCompacted = log.compact(spark, Seq("v"))
+    // tail: update id 1, delete id 2 — id 3 untouched
+    log.append(TxOps.put(rows.filter($"id" === 1), $"id",
+      lit("2002-01-01").cast("timestamp"), None,
+      Seq("v" -> ($"v" + 10))), ts(200))
+    log.append(TxOps.delete(rows.filter($"id" === 2), $"id",
+      lit("2003-01-01").cast("timestamp"), None,
+      Seq("v" -> lit(null).cast("double"))), ts(300))
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("_id", "v", "_valid_from", "_valid_to", "_system_from", "_system_to")
+        .collect().map(_.toSeq).toSet
+    val incremental = canon(log.readAll(spark, Seq("v"), lastCompacted))
+    val full = canon(Bitemporal.fold(log.read(spark), Seq("v")))
+    assert(incremental == full)
+    // and with an empty tail it is exactly the base
+    val fresh = log.compact(spark, Seq("v"))
+    assert(canon(log.readAll(spark, Seq("v"), fresh)) == full)
+  }
+
   test("foldAppendOnly == fold on append-only logs") {
     forSamples(genAppendOnlyLog, 12) { log =>
       val general = foldToRects(log).toSet
