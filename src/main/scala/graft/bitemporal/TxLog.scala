@@ -52,11 +52,15 @@ final class TxLog(val dir: String) {
     txId
   }
 
-  /** Read the whole log (or the tail after `afterTx`). */
+  /** Read the whole log (or the tail after `afterTx`). `mergeSchema`
+    * makes the log SCHEMALESS across transactions (the reference's
+    * dynamic-document model, README.adoc:12): a tx may carry payload
+    * columns earlier txs never mentioned; absent columns read as NULL
+    * with nullable supertype widening. */
   def read(spark: SparkSession, afterTx: Long = -1L): DataFrame = {
     val files = txFiles().map(_.toString)
     require(files.nonEmpty, s"empty tx log at $logDir")
-    val df = spark.read.parquet(files: _*)
+    val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
     if (afterTx < 0) df else df.filter(col("_tx_id") > afterTx)
   }
 

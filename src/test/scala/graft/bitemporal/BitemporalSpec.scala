@@ -192,6 +192,24 @@ class BitemporalSpec extends AnyFunSuite {
     assert(canon(log.readAll(spark, Seq("v"), fresh)) == full)
   }
 
+  test("schemaless log: a tx may introduce new payload columns (mergeSchema)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("txlog_dyn").toString
+    val log = new TxLog(dir)
+    // tx0 documents carry only `a`; tx1 documents carry a and a NEW `b`
+    log.append(TxOps.put(Seq((1L, 10.0)).toDF("id", "a"), $"id",
+      lit("2000-01-01").cast("timestamp"), None, Seq("a" -> $"a")), ts(100))
+    log.append(TxOps.put(Seq((2L, 20.0, "x")).toDF("id", "a", "b"), $"id",
+      lit("2000-01-01").cast("timestamp"), None,
+      Seq("a" -> $"a", "b" -> $"b")), ts(200))
+    val merged = log.read(spark)
+    assert(merged.columns.contains("b"))
+    val rects = Bitemporal.fold(merged, Seq("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    assert(rects == Set((1L, 10.0, None), (2L, 20.0, Some("x"))))
+  }
+
   test("foldAppendOnly == fold on append-only logs") {
     forSamples(genAppendOnlyLog, 12) { log =>
       val general = foldToRects(log).toSet
