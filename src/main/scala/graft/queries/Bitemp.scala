@@ -101,6 +101,33 @@ object Bitemp {
         .orderBy($"_id", $"_system_from", $"_valid_from", $"_valid_to")
     }),
 
+    // read-your-writes: compact after tx0, then append two MORE txs and
+    // read through readAll (base for untouched ids + re-fold of touched
+    // ids) under a current basis — the live-tail path, never recompacted
+    "q72_txlog_tail" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/txtail_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      val log = new TxLog(tmp)
+      val cust = T(s, dir, "customer")
+      def ts(x: String) = java.sql.Timestamp.valueOf(x)
+      log.append(TxOps.put(cust, $"c_custkey", lit("2000-01-01").cast("timestamp"),
+        None, Seq("bal" -> $"c_acctbal")), ts("2020-01-01 00:00:00"))
+      val compacted = log.compact(s, Seq("bal"))
+      // tail: bump BUILDING balances, delete negative ones
+      log.append(TxOps.put(cust.filter($"c_mktsegment" === "BUILDING"), $"c_custkey",
+        lit("2001-01-01").cast("timestamp"), None,
+        Seq("bal" -> ($"c_acctbal" + 500))), ts("2020-01-02 00:00:00"))
+      log.append(TxOps.delete(cust.filter($"c_acctbal" < 0), $"c_custkey",
+        lit("2001-01-01").cast("timestamp"), None,
+        Seq("bal" -> lit(null).cast("double"))), ts("2020-01-03 00:00:00"))
+      Bitemporal.asOf(log.readAll(s, Seq("bal"), compacted),
+        validTime = lit("2002-01-01").cast("timestamp"),
+        systemTime = lit("2020-06-01").cast("timestamp"))
+        .select($"_id", $"bal")
+        .orderBy($"_id")
+    }),
+
     // storage round-trip: three transactions appended to a parquet tx
     // log (put all / delete negatives / re-put one segment), compacted to
     // a date-partitioned rectangle base, then read back under a basis —
@@ -167,6 +194,18 @@ object Bitemp {
 
     "q55_txlog_current" -> """
       SELECT c_custkey AS _id, c_acctbal AS bal FROM customer
-      WHERE c_acctbal >= 0 ORDER BY _id"""
+      WHERE c_acctbal >= 0 ORDER BY _id""",
+
+    // current state after the tail: the delete (latest tx) removes every
+    // negative balance — including BUILDING ones whose bumped put it
+    // supersedes; surviving BUILDING customers show +500 from the 2001
+    // put, everyone else the original balance
+    "q72_txlog_tail" -> """
+      SELECT c_custkey AS _id,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 500
+                  ELSE c_acctbal END AS bal
+      FROM customer
+      WHERE c_acctbal >= 0
+      ORDER BY _id"""
   )
 }
