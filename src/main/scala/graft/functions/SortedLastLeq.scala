@@ -23,6 +23,8 @@ case class SortedLastLeq(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
 
+  override def prettyName: String = "sorted_last_leq"
+
   private lazy val numFields: Int = left.dataType match {
     case ArrayType(s: StructType, _) => s.size
     case _ => 0

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape regressions: these assertions lock the properties
+  * that make the catalog scale — pushed-down scans, broadcast dimension
+  * joins, no accidental cartesians or single-partition windows. A change
+  * that silently loses one of these would still be CORRECT (and pass the
+  * oracle) while dying at 100×; this spec fails instead. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q00 (TPC-H Q1): shipdate filter reaches the parquet scan") {
+    val p = plan("q00_tpch_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q0f (TPC-H Q10): all three dimension joins broadcast, none sort-merge") {
+    val p = plan("q0f_tpch_q10")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q33 (keyless as-of): no window, no shuffle of the left side") {
+    val p = plan("q33_asof_join")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row packed right side
+    assert(p.contains("sorted_last_leq"), p)
+  }
+
+  test("q38 (keyed as-of): single hash-partitioned window, no cartesian") {
+    val p = plan("q38_asof_event")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q41/q42 (near-dup): candidate generation is equi-join, never cartesian") {
+    Seq("q41_dedup_minhash", "q42_ngram_jaccard").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
+  test("q01 (scan): column pruning — only requested columns in ReadSchema") {
+    val df = SparkEntry.queries("q01_scan")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // q01 projects a column subset; the scan must not read the full row
+    assert(read.nonEmpty, p)
+    assert(!read.contains("l_tax") || df.columns.contains("l_tax"),
+      s"unpruned scan: $read")
+  }
+
+  test("q46/q70 (ANN): bucket/cell probe joins are broadcasts of tiny sides") {
+    Seq("q46_ann_lsh", "q70_ann_ivf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+}
