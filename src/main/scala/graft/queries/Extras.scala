@@ -160,6 +160,22 @@ object Extras {
         .orderBy($"l_returnflag".asc_nulls_last, $"l_linestatus".asc_nulls_last)
     }),
 
+    // §2.4 conditional/boolean leftovers: least/greatest (NULL-skipping),
+    // IS [NOT] TRUE / IS UNKNOWN over a genuinely UNKNOWN predicate arm
+    "q73_least_greatest_istrue" -> ((s, dir) => {
+      import s.implicits._
+      val unknownable = when($"c_acctbal" > 0, $"c_acctbal" > 5000) // NULL when <= 0
+      T(s, dir, "customer")
+        .select(
+          $"c_custkey",
+          least($"c_acctbal", lit(0.0)).as("least_v"),
+          greatest($"c_acctbal", $"c_custkey".cast("double")).as("greatest_v"),
+          expr("(CASE WHEN c_acctbal > 0 THEN c_acctbal > 5000 END) IS TRUE").as("is_true"),
+          expr("(CASE WHEN c_acctbal > 0 THEN c_acctbal > 5000 END) IS NOT TRUE").as("is_not_true"),
+          unknownable.isNull.as("is_unknown"))
+        .orderBy("c_custkey")
+    }),
+
     // beyond-reference, 100 TB posture: sketch aggregation. Approx
     // implementations differ per engine, so the CHECK is exact-side:
     // both engines assert their own approx_count_distinct lands within
@@ -252,6 +268,15 @@ object Extras {
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""",
+
+    "q73_least_greatest_istrue" -> """
+      SELECT c_custkey,
+             least(c_acctbal, 0.0) AS least_v,
+             greatest(c_acctbal, CAST(c_custkey AS DOUBLE)) AS greatest_v,
+             (CASE WHEN c_acctbal > 0 THEN c_acctbal > 5000 END) IS TRUE AS is_true,
+             (CASE WHEN c_acctbal > 0 THEN c_acctbal > 5000 END) IS NOT TRUE AS is_not_true,
+             (CASE WHEN c_acctbal > 0 THEN c_acctbal > 5000 END) IS NULL AS is_unknown
+      FROM customer ORDER BY c_custkey""",
 
     "q67_approx_distinct" -> """
       SELECT count(DISTINCT l_partkey) AS exact_parts,
