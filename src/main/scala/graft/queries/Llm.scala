@@ -185,6 +185,28 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // tf-idf: top-3 most characteristic terms per document — tf per
+    // (doc, term) and df per term are two aggregations off one explode;
+    // the per-doc top-k is a window. All shuffles are on doc or term
+    // keys; the df table joins back by term (AQE broadcasts when small).
+    "q74_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      val toks = T(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .filter(length($"term") > 0)
+      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df_ = toks.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = T(s, dir, "documents").select(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df_, "term").crossJoin(n)
+        .withColumn("tfidf", r($"tf" * log($"n_docs" * 1.0 / $"df"), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+      scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+        .select($"doc_id", $"rk".cast("long").as("rk"), $"term", $"tfidf")
+        .orderBy("doc_id", "rk")
+    }),
+
     // canonical fingerprint dedup groups
     "q50_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -443,6 +465,22 @@ object Llm {
       fp AS (SELECT DISTINCT doc_id, wmin AS fp FROM wins WHERE wn = 4)
       SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp
       FROM fp GROUP BY doc_id ORDER BY doc_id""",
+
+    "q74_tfidf" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+      t AS (SELECT * FROM toks WHERE length(term) > 0),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df
+             FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (SELECT doc_id, term,
+                        floor((tf * ln(n_docs * 1.0 / df))*1000000 + 0.5)/1000000 AS tfidf
+                 FROM tf JOIN df USING (term), n),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, term) AS rk FROM scored)
+      SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf
+      FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""",
 
     "q50_fingerprint" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS n_docs,
