@@ -100,6 +100,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe LSH ANN: probe the query's bucket AND every Hamming-1
+    * neighbor (each sign bit flipped once) — nPlanes+1 buckets total.
+    * Vectors near a hyperplane land on either side; probing the
+    * neighbors recovers most of the recall single-probe loses, for
+    * (p+1)/2^p of the corpus scanned. Probes ship as a tiny exploded
+    * relation → one equi-join, same shape as single-probe. */
+  def annTopKMultiProbe(emb: DataFrame, vCol: String, queryVec: DataFrame,
+                        qCol: String, k: Int, nPlanes: Int = 8, dim: Int = 64,
+                        tieBreak: Seq[Column] = Nil): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucket(col(vCol), nPlanes, dim))
+    val qb = queryVec.withColumn("_qb", lshBucket(col(qCol), nPlanes, dim))
+    val probeArr = array(col("_qb") +:
+      (0 until nPlanes).map(p => col("_qb").bitwiseXOR(lit(1L << p))): _*)
+    val probes = qb.select(col(qCol), explode(probeArr).as("bucket"))
+    bucketed.join(broadcast(probes), "bucket")
+      .withColumn("cos", cosine(col(vCol), col(qCol)))
+      .orderBy(col("cos").desc +: tieBreak: _*)
+      .limit(k)
+  }
+
+  /** Label-free near-duplicate PAIRS via LSH blocking: vectors sharing a
+    * sign-bucket are candidates (equi-join on bucket id — never
+    * all-pairs), then exact cosine filters. The unlabeled-corpus
+    * counterpart of label-blocked pairing. */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vCol: String,
+                      nPlanes: Int, dim: Int, minCos: Double): DataFrame = {
+    val b = emb.select(col(idCol), col(vCol),
+      lshBucket(col(vCol), nPlanes, dim).as("bucket"))
+    val l = b.select(col("bucket"), col(idCol).as("id_a"), col(vCol).as("_va"))
+    val r = b.select(col("bucket"), col(idCol).as("id_b"), col(vCol).as("_vb"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("_va"), col("_vb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** LSH-bucketed ANN: candidates = rows sharing the query's bucket, then
     * exact cosine within the bucket. Single-probe; recall/cost tuned by
     * nPlanes. At scale the bucket column is precomputed + partitioned-by,

@@ -143,6 +143,28 @@ object Llm {
         .select($"vec_id", r($"cos", 4).as("cos"))
     }),
 
+    // multi-probe LSH ANN top-10: query bucket + all Hamming-1 neighbor
+    // buckets — recovers the recall single-probe loses at hyperplane
+    // boundaries, still one equi-join
+    "q75_ann_multiprobe" -> ((s, dir) => {
+      import s.implicits._
+      val e = embD(s, dir)
+      val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+      Similarity.annTopKMultiProbe(e, "v", q, "qv", k = 10, nPlanes = 8,
+          dim = 64, tieBreak = Seq($"vec_id"))
+        .select($"vec_id", r($"cos", 4).as("cos"))
+    }),
+
+    // label-free embedding near-dup pairs: LSH-bucket blocking (64 sign
+    // buckets) instead of the label key q45 relies on
+    "q76_embed_lsh_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.lshNearDupPairs(embD(s, dir), "vec_id", "v",
+          nPlanes = 6, dim = 64, minCos = 0.35)
+        .select($"id_a", $"id_b", r($"cos", 4).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // stopword-vote language ID
     "q47_langid" -> ((s, dir) => {
       val toks = TextStats.tokens(T(s, dir, "documents"), "doc_id", "text")
@@ -321,15 +343,19 @@ object Llm {
        FROM t GROUP BY doc_id ORDER BY doc_id"""
   }
 
-  // ANN oracle: the hyperplanes are deterministic (md5 of "plane:dim",
-  // Similarity.planeWeights), so the oracle ships the SAME plane weights
-  // as SQL array literals and replays bucket assignment + cosine exactly
-  private val annOracle: String = {
-    val ws = Similarity.planeWeights(8, 64)
+  // The hyperplanes are deterministic (md5 of "plane:dim",
+  // Similarity.planeWeights), so oracles ship the SAME plane weights as
+  // SQL array literals and replay bucket assignment + cosine exactly
+  private def bucketSql(v: String, nPlanes: Int): String = {
+    val ws = Similarity.planeWeights(nPlanes, 64)
     def arr(w: Array[Double]) = w.mkString("[", ", ", "]")
-    def bucket(v: String) = ws.zipWithIndex.map { case (w, p) =>
+    ws.zipWithIndex.map { case (w, p) =>
       s"(CASE WHEN list_dot_product($v, ${arr(w)}) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
+  }
+
+  private val annOracle: String = {
+    def bucket(v: String) = bucketSql(v, 8)
     s"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
@@ -374,9 +400,37 @@ object Llm {
       ORDER BY cos DESC, a.vec_id LIMIT 10)
     SELECT vec_id, floor(cos*10000 + 0.5)/10000 AS cos FROM top"""
 
+  private val multiProbeOracle: String = {
+    val flips = (0 until 8).map(p => s"xor(qb, ${1L << p})").mkString(", ")
+    s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    b AS (SELECT vec_id, v, ${bucketSql("v", 8)} AS bucket FROM e),
+    qb0 AS (SELECT qv, CAST(${bucketSql("qv", 8)} AS BIGINT) AS qb FROM q),
+    probes AS (SELECT qv, unnest([qb, $flips]) AS bucket FROM qb0),
+    top AS (SELECT vec_id,
+              list_dot_product(v, qv) /
+                (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos
+            FROM b JOIN probes ON b.bucket = probes.bucket
+            ORDER BY cos DESC, vec_id LIMIT 10)
+    SELECT vec_id, floor(cos*10000 + 0.5)/10000 AS cos FROM top"""
+  }
+
+  private val lshPairsOracle: String = s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, ${bucketSql("v", 6)} AS bucket FROM e),
+    pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                     list_dot_product(a.v, b2.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) AS cos
+              FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+    SELECT id_a, id_b, floor(cos*10000 + 0.5)/10000 AS cos
+    FROM pairs WHERE cos >= 0.35 ORDER BY id_a, id_b"""
+
   val oracle: Map[String, String] = Map(
     "q46_ann_lsh" -> annOracle,
     "q70_ann_ivf" -> ivfOracle,
+    "q75_ann_multiprobe" -> multiProbeOracle,
+    "q76_embed_lsh_pairs" -> lshPairsOracle,
     "q40_dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, text
       FROM documents GROUP BY text ORDER BY keep_id""",
