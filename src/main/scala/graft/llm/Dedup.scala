@@ -145,6 +145,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** SimHash near-dup pairs within Hamming distance `maxDist`, found by
+    * pigeonhole banding: the nBits fingerprint splits into `maxDist + 1`
+    * bands — two fingerprints within maxDist must agree EXACTLY on at
+    * least one band, so candidates come from a band equi-join (never
+    * all-pairs) and are verified with one `bit_count(xor)`. */
+  def simhashPairs(fp: DataFrame, idCol: String, nBits: Int,
+                   maxDist: Int): DataFrame = {
+    val bands = maxDist + 1
+    val width = nBits / bands
+    val bandArr = array((0 until bands).map { b =>
+      val bits = shiftright(col("simhash"), b * width) % (1L << width)
+      struct(lit(b).as("_band"), bits.as("_bh"))
+    }: _*)
+    val banded = fp.select(col(idCol).as("_id"), col("simhash"),
+        explode(bandArr).as("_bb"))
+      .select(col("_id"), col("simhash"),
+        col("_bb._band").as("_band"), col("_bb._bh").as("_bh"))
+    banded.as("a").join(banded.as("b"),
+        col("a._band") === col("b._band") && col("a._bh") === col("b._bh") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** POSITIONAL word-n-gram shingles: (id, pos, shingle) rows, pos
     * 1-based — the input to windowed/rolling fingerprints where gram
     * ORDER matters (unlike the distinct-set shingles above). */
@@ -184,9 +211,11 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash fingerprint (nBits ≤ 16) per id from (id, shingle) rows:
+  /** SimHash fingerprint (nBits ≤ 63) per id from (id, shingle) rows:
     * per-bit ±1 votes from md5-nibble bits, sign → bit. Pure aggregation,
-    * one shuffle, no pairwise work. */
+    * one shuffle, no pairwise work. Use ≥48 bits when the fingerprint
+    * feeds [[simhashPairs]] — banding needs wide bands for selective
+    * blocking (a 4-bit band has 16 values: every bucket is hot). */
   def simhash(sh: DataFrame, idCol: String, nBits: Int = 16): DataFrame = {
     val hex = "0123456789abcdef"
     val nibble = (j: Int) =>

@@ -89,6 +89,17 @@ object Llm {
       Dedup.simhash(sh, "doc_id", nBits = 16).orderBy("doc_id")
     }),
 
+    // simhash near-dup pairs within Hamming distance 3: 48-bit
+    // fingerprint, pigeonhole banding (4 bands of 12 bits — 4096 values
+    // per band keeps buckets selective) -> band equi-join -> bit_count
+    "q77_simhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val sh = Dedup.shingles(T(s, dir, "documents"), "doc_id", "text", n = 1)
+      val fp = Dedup.simhash(sh, "doc_id", nBits = 48).localCheckpoint()
+      Dedup.simhashPairs(fp, "doc_id", nBits = 48, maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // brute-force cosine top-10 against the vec_id=0 query vector
     "q44_cosine_topk" -> ((s, dir) => {
       import s.implicits._
@@ -329,10 +340,10 @@ object Llm {
              ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
   }
 
-  // generated 16-bit simhash oracle: per-bit +-1 votes from md5 nibbles
-  private val simhashOracle: String = {
+  // generated simhash oracle: per-bit +-1 votes from md5 nibbles
+  private def simhashOracleN(nBits: Int): String = {
     val hex = "0123456789abcdef"
-    val terms = (0 until 16).map { b =>
+    val terms = (0 until nBits).map { b =>
       val j = b / 4 + 1; val k = b % 4
       s"""CASE WHEN sum(CASE WHEN (((strpos('$hex', substring(md5(s), $j, 1)) - 1) >> $k) & 1) = 1
          THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END"""
@@ -342,6 +353,7 @@ object Llm {
        SELECT doc_id, CAST($terms AS BIGINT) AS simhash
        FROM t GROUP BY doc_id ORDER BY doc_id"""
   }
+  private val simhashOracle: String = simhashOracleN(16)
 
   // The hyperplanes are deterministic (md5 of "plane:dim",
   // Similarity.planeWeights), so oracles ship the SAME plane weights as
@@ -426,7 +438,24 @@ object Llm {
     SELECT id_a, id_b, floor(cos*10000 + 0.5)/10000 AS cos
     FROM pairs WHERE cos >= 0.35 ORDER BY id_a, id_b"""
 
+  // simhash pair oracle: 4 bands of 12 bits over the generated 48-bit
+  // simhash CTE, band equi-join, bit_count(xor) verify
+  private val simhashPairsOracle: String = {
+    val banded = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 12}) % 4096 AS bh FROM fp")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH fp AS (${simhashOracleN(48)}),
+    banded AS ($banded),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+             FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, dist FROM cand WHERE dist <= 3 ORDER BY id_a, id_b"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q77_simhash_pairs" -> simhashPairsOracle,
     "q46_ann_lsh" -> annOracle,
     "q70_ann_ivf" -> ivfOracle,
     "q75_ann_multiprobe" -> multiProbeOracle,
