@@ -20,8 +20,10 @@ object Extras {
 
   /** Deterministic CSV fixture, written once (driver-side, 100 tiny
     * rows) to an absolute path both engines read: Spark via RA.csv with
-    * a declared schema, DuckDB via read_csv. */
-  val csvPath = "/tmp/graft_csv_fixture.csv"
+    * a declared schema, DuckDB via read_csv. Lives under the repo target
+    * dir (not /tmp) so the oracle-compare step, which may run later,
+    * still finds it. */
+  val csvPath = "/root/repo/target/graft_csv_fixture.csv"
   private def ensureCsv(): Unit = {
     val p = Paths.get(csvPath)
     if (!Files.exists(p)) {
