@@ -150,7 +150,16 @@ object Bitemporal {
     * Erase is not representable here — use [[fold]].
     */
   def foldAppendOnly(ops: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    // Contract violations (erase ops, finite valid-to) would not error —
+    // they would produce plausible-looking WRONG rectangles (dropped
+    // erases, valid-to widened to the sentinel). Validate distributed:
+    // assert_true raises on the first violating row, coalesce(NULL,true)
+    // keeps the filter transparent otherwise.
     val p = prep(ops, payloadCols)
+      .filter(coalesce(assert_true(
+        col("_op") =!= Erase && col("_vt") === SentinelMicros,
+        lit("foldAppendOnly contract: no erase ops, unbounded valid-to " +
+          "only — use Bitemporal.fold for the general case")), lit(true)))
     val w = Window.partitionBy(col("_id")).orderBy(col("_sys"), col("_tx"))
     val x = p
       .withColumn("_nvf", lead(col("_vf"), 1).over(w))

@@ -35,11 +35,10 @@ object BitemporalSql {
           tables: Map[String, DataFrame]): DataFrame = {
     var rewritten = query
     val m = tableWithClauses.matcher(query)
-    val seen = scala.collection.mutable.Set.empty[String]
+    val created = scala.collection.mutable.ArrayBuffer.empty[String]
     while (m.find()) {
       val table = m.group(1)
       tables.get(table).foreach { rects =>
-        seen += table
         var sys: Option[String] = None
         var valid: Option[String] = None
         val cm = onePeriod.matcher(m.group(2))
@@ -52,15 +51,24 @@ object BitemporalSql {
         val view = s"${table}_asof_${viewId.incrementAndGet()}"
         Bitemporal.asOf(rects, tsOrNow(valid), tsOrNow(sys))
           .createOrReplaceTempView(view)
+        created += view
         rewritten = rewritten.replace(m.group(0), view)
       }
     }
-    // tables referenced with no temporal clause: current basis
+    // any remaining BARE reference (incl. a table also used WITH a
+    // clause elsewhere in the query) serves the current basis. The
+    // rewritten aliases never match: `prices_asof_1` has no word
+    // boundary after `prices`.
     tables.foreach { case (name, rects) =>
-      if (!seen(name) && rewritten.matches(s"(?is).*\\b$name\\b.*")) {
+      if (rewritten.matches(s"(?is).*\\b$name\\b.*")) {
         Bitemporal.currentState(rects).createOrReplaceTempView(name)
+        created += name
       }
     }
-    spark.sql(rewritten)
+    // spark.sql analyzes eagerly, so the returned plan is bound to the
+    // view snapshots; dropping them immediately prevents unbounded
+    // temp-view accumulation and raw-name shadowing of catalog tables
+    try spark.sql(rewritten)
+    finally created.foreach(spark.catalog.dropTempView(_))
   }
 }

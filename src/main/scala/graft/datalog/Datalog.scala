@@ -138,10 +138,11 @@ object Datalog {
         v match {
           case C(value) => rel = rel.filter(col("_v") === lit(value))
           case V(n) =>
-            // [?x a ?x] self-unification: both positions the same var
-            if (rel.columns.contains(n) && n != "_v")
-              rel = rel.filter(col("_v") === col(n))
-            rel = rel.withColumnRenamed("_v", n)
+            // [?x a ?x] self-unification: filter on equality, then DROP
+            // _v (renaming would duplicate the column name)
+            if (rel.columns.contains(n))
+              rel = rel.filter(col("_v") === col(n)).drop("_v")
+            else rel = rel.withColumnRenamed("_v", n)
         }
         val keep = rel.columns.filterNot(c => c == "_e" || c == "_v")
         val r = rel.select(keep.map(col): _*)
@@ -195,6 +196,19 @@ object Datalog {
     }
     val (recBodies, baseBodies) = rule.bodies.partition(isRec)
     require(baseBodies.nonEmpty, s"rule ${rule.name}: no non-recursive body")
+    // Non-linear recursion (two self-calls in one body) would need
+    // (delta × all) ∪ (all × delta) semi-naive deltas; substituting the
+    // frontier for BOTH calls silently loses old×new derivations —
+    // reject instead of returning an incomplete fixpoint.
+    recBodies.foreach { b =>
+      val selfCalls = b.count {
+        case RuleCall(n, _) => n == rule.name
+        case _ => false
+      }
+      require(selfCalls == 1,
+        s"rule ${rule.name}: only linear recursion (one self-call per " +
+          s"body) is supported; found $selfCalls")
+    }
 
     val base = baseBodies.map(b => compileClauses(b, attrs, rules - rule.name)
         .select(rule.params.map(col): _*))

@@ -63,11 +63,17 @@ object Similarity {
     * reproducible across engines (DuckDB oracle replays the exact same
     * assignment) and rebuild-free — the quality/recall tradeoff vs
     * trained centroids is the standard one, the plan shape is identical. */
+  /** The deterministic centroid relation shared by [[ivfAssign]] and
+    * [[ivfTopK]] — one definition so the two calls cannot disagree on
+    * (nCentroids, idStride). */
+  def ivfCentroids(emb: DataFrame, idCol: String, vCol: String,
+                   nCentroids: Int, idStride: Long): DataFrame =
+    emb.filter(col(idCol) % idStride === 0 && col(idCol) / idStride < nCentroids)
+      .select((col(idCol) / idStride).cast("long").as("_cid"), col(vCol).as("_cv"))
+
   def ivfAssign(emb: DataFrame, idCol: String, vCol: String,
                 nCentroids: Int, idStride: Long = 1L): DataFrame = {
-    val cents = emb
-      .filter(col(idCol) % idStride === 0 && col(idCol) / idStride < nCentroids)
-      .select((col(idCol) / idStride).cast("long").as("_cid"), col(vCol).as("_cv"))
+    val cents = ivfCentroids(emb, idCol, vCol, nCentroids, idStride)
     // nCentroids is small by construction -> broadcast; rank each vector's
     // cosine against every centroid and keep the argmax cell
     val w = org.apache.spark.sql.expressions.Window
@@ -86,9 +92,7 @@ object Similarity {
               qCol: String, k: Int, nCentroids: Int, nProbe: Int,
               emb: DataFrame, idCol: String, idStride: Long = 1L,
               tieBreak: Seq[Column] = Nil): DataFrame = {
-    val cents = emb
-      .filter(col(idCol) % idStride === 0 && col(idCol) / idStride < nCentroids)
-      .select((col(idCol) / idStride).cast("long").as("_cid"), col(vCol).as("_cv"))
+    val cents = ivfCentroids(emb, idCol, vCol, nCentroids, idStride)
     val probes = queryVec.crossJoin(broadcast(cents))
       .withColumn("_ccos", cosine(col(qCol), col("_cv")))
       .orderBy(col("_ccos").desc, col("_cid"))

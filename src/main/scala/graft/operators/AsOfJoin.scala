@@ -52,7 +52,13 @@ object AsOfJoin {
       .withColumns(keyNames.zip(leftKeys).map { case (k, c) => k -> col(c) }.toMap)
     val rCols = keyNames.zip(rightKeys).map { case (k, c) => col(c).as(k) } ++
       Seq(col(rightTs).as("_t"), lit(0).as("_side")) ++ payload.map(col)
-    val r = right.select(rCols: _*)
+    // NULL keys never match in an equi-join; without this filter the
+    // window partitioning would group NULL-key right rows with NULL-key
+    // left probes and fill their payloads. NULL-key LEFT rows still
+    // emit (with NULL payload), like the left side of an outer join.
+    val r = right
+      .filter(rightKeys.map(col(_).isNotNull).reduce(_ && _))
+      .select(rCols: _*)
 
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows sort before left rows at equal _t => `<=` visibility.

@@ -26,6 +26,7 @@ object Extras {
   val csvPath = "/root/repo/target/graft_csv_fixture.csv"
   private def ensureCsv(): Unit = {
     val p = Paths.get(csvPath)
+    Files.createDirectories(p.getParent)
     if (!Files.exists(p)) {
       val rows = (1 to 100).map { i =>
         val cat = Seq("red", "green", "blue")(i % 3)
@@ -129,7 +130,9 @@ object Extras {
           // decimal/date round-trips serialized to double/string for the
           // cross-engine compare (pandas types diverge on raw decimal/date)
           $"avg_price".cast("decimal(14,2)").cast("double").as("price_dec"),
-          $"avg_price".cast("int").as("price_int"),
+          // floor first: Spark's double->int cast truncates but DuckDB's
+          // rounds half-up; an explicit floor is identical in both
+          floor($"avg_price").cast("int").as("price_int"),
           $"avg_price".cast("decimal(14,2)").cast("string").as("price_str"),
           lit("2020-06-15 12:30:00").cast("timestamp").as("ts_from_str"),
           lit("2020-06-15 12:30:00").cast("timestamp").cast("date")
@@ -251,7 +254,7 @@ object Extras {
                    FROM lineitem)
       SELECT avg_price,
              CAST(CAST(avg_price AS DECIMAL(14,2)) AS DOUBLE) AS price_dec,
-             CAST(avg_price AS INTEGER) AS price_int,
+             CAST(floor(avg_price) AS INTEGER) AS price_int,
              CAST(CAST(avg_price AS DECIMAL(14,2)) AS VARCHAR) AS price_str,
              TIMESTAMP '2020-06-15 12:30:00' AS ts_from_str,
              CAST(CAST(TIMESTAMP '2020-06-15 12:30:00' AS DATE) AS VARCHAR) AS date_from_ts

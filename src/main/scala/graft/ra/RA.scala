@@ -92,6 +92,12 @@ object RA {
   def saltedJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
                  salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 1, "salt must be > 1")
+    // right replicas would each surface once as null-padded rows under
+    // right/full outer — only left-preserving types are semantics-safe
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin: right-preserving join type '$joinType' would " +
+        "duplicate unmatched right rows per salt replica")
     val sa = a.withColumn("_salt", (rand(seed = 42) * salt).cast("int"))
     val sb = b.withColumn("_salt", explode(array((0 until salt).map(lit): _*)))
     sa.join(sb, keys :+ "_salt", joinType).drop("_salt")

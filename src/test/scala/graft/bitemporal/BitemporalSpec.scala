@@ -210,6 +210,17 @@ class BitemporalSpec extends AnyFunSuite {
     assert(rects == Set((1L, 10.0, None), (2L, 20.0, Some("x"))))
   }
 
+  test("foldAppendOnly rejects contract violations instead of mis-folding") {
+    // erase op
+    assertThrows[Exception] {
+      foldToRects(List(Put(1, 0, None, "a"), Erase(1)), appendOnly = true)
+    }
+    // finite valid-to
+    assertThrows[Exception] {
+      foldToRects(List(Put(1, 0, Some(5), "a")), appendOnly = true)
+    }
+  }
+
   test("foldAppendOnly == fold on append-only logs") {
     forSamples(genAppendOnlyLog, 12) { log =>
       val general = foldToRects(log).toSet

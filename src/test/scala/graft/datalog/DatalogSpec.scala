@@ -99,6 +99,29 @@ class DatalogSpec extends AnyFunSuite {
       Seq("dee", "bob"), Seq("dee", "ada")))
   }
 
+  test("self-unification [?x a ?x] binds entity == value") {
+    // nobody is their own parent -> empty; add a self-loop to check the
+    // positive case
+    val q = Query(Seq(FVar("x")), Seq(Triple(V("x"), "parent", V("x"))))
+    assert(rows(q).isEmpty)
+    val withLoop = people.union(
+      Seq((9L, "zed", 1, Some(9L))).toDF("_id", "name", "age", "parent"))
+    val got = Datalog.run(q, Datalog.attrsOf((withLoop, "_id")))
+      .collect().map(_.toSeq).toSet
+    assert(got == Set(Seq(9L)))
+  }
+
+  test("non-linear recursive rules are rejected, not silently truncated") {
+    val nonLinear = Rule("path", Seq("x", "y"), Seq(
+      Seq(Triple(V("x"), "parent", V("y"))),
+      Seq(RuleCall("path", Seq(V("x"), V("z"))),
+        RuleCall("path", Seq(V("z"), V("y"))))))
+    assertThrows[IllegalArgumentException] {
+      Datalog.run(Query(Seq(FVar("x"), FVar("y")),
+        Seq(RuleCall("path", Seq(V("x"), V("y")))), Seq(nonLinear)), attrs)
+    }
+  }
+
   test("rule call with constant argument filters") {
     val ancestor = Rule("ancestor", Seq("d", "a"), Seq(
       Seq(Triple(V("d"), "parent", V("a"))),

@@ -96,6 +96,16 @@ class AsOfJoinSpec extends AnyFunSuite {
       (ts("2020-03-15 00:00:00"), Some(42))))
   }
 
+  test("NULL keys never match (equi-join semantics), NULL-key probes still emit") {
+    val l = Seq((Some(1), 10), (Option.empty[Int], 10)).toDF("k", "ts")
+    val r = Seq((Option.empty[Int], 5, "nullkey"), (Some(1), 5, "one"))
+      .toDF("rk", "rts", "v")
+    val out = AsOfJoin.asOf(l, r, "ts", "rts", Seq("v"),
+        leftKeys = Seq("k"), rightKeys = Seq("rk"))
+      .collect().map(x => (Option(x.get(0)), Option(x.getString(2)))).toSet
+    assert(out == Set((Some(1), Some("one")), (None, None)))
+  }
+
   test("multiple payload columns come from the SAME right row") {
     val l = Seq((1, 10)).toDF("k", "ts")
     val r = Seq((1, 1, Some("a1"), Some("b1")), (1, 5, None, Some("b2")))

@@ -90,6 +90,10 @@ class RASpec extends AnyFunSuite {
       .select("k", "av", "bv").collect().map(_.toSeq).toSet
     assert(salted == plain)
     assert(plain.size == 101) // 50*2 + 1
+    // right-preserving types would duplicate unmatched right rows
+    assertThrows[IllegalArgumentException] {
+      RA.saltedJoin(a, b, Seq("k"), salt = 4, joinType = "right_outer")
+    }
   }
 
   test(":group-by with keys and global") {
