@@ -57,8 +57,12 @@ object Datalog {
   final case class FVar(name: String) extends Find
   final case class FAgg(fn: String, v: String, as: String) extends Find
 
+  /** `in`: externally-bound parameters (the reference's `:in` clause) —
+    * each (name, value) becomes a pre-bound logic variable visible to
+    * top-level clauses (joined/filtered like any other binding). */
   final case class Query(find: Seq[Find], where: Seq[Clause],
-                         rules: Seq[Rule] = Nil)
+                         rules: Seq[Rule] = Nil,
+                         in: Seq[(String, Any)] = Nil)
 
   /** Attribute resolver: attribute name → 2-col DataFrame `(_e, _v)`.
     * The Spark analog of the reference's scan-per-attribute over the
@@ -83,7 +87,13 @@ object Datalog {
 
   def run(q: Query, attrs: AttrSource): DataFrame = {
     val ruleIndex = q.rules.map(r => r.name -> r).toMap
-    val rel = compileClauses(q.where, attrs, ruleIndex)
+    val init = if (q.in.isEmpty) None else Some {
+      val spark = org.apache.spark.sql.SparkSession.active
+      q.in.foldLeft(spark.range(1).select()) {
+        case (df, (n, v)) => df.withColumn(n, lit(v))
+      }
+    }
+    val rel = compileClauses(q.where, attrs, ruleIndex, init)
 
     val aggs = q.find.collect { case a: FAgg => a }
     val keys = q.find.collect { case FVar(n) => n }
@@ -109,8 +119,9 @@ object Datalog {
   /** Compile a conjunction into a DataFrame whose columns are the bound
     * logic variables. */
   private def compileClauses(clauses: Seq[Clause], attrs: AttrSource,
-                             rules: Map[String, Rule]): DataFrame = {
-    val dfs = clauses.foldLeft(Option.empty[DataFrame]) { (accOpt, clause) =>
+                             rules: Map[String, Rule],
+                             init: Option[DataFrame] = None): DataFrame = {
+    val dfs = clauses.foldLeft(init) { (accOpt, clause) =>
       Some(addClause(accOpt, clause, attrs, rules))
     }
     dfs.getOrElse(throw new IllegalArgumentException("empty :where"))

@@ -3,6 +3,7 @@ package graft.queries
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -181,6 +182,47 @@ object Extras {
         .orderBy("c_custkey")
     }),
 
+    // beyond-reference: exact percentiles (both engines interpolate
+    // linearly for continuous percentiles)
+    "q78_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      T(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          r(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          r(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          r(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy("l_returnflag")
+    }),
+
+    // beyond-reference: edit-distance fuzzy matching (levenshtein is
+    // built in to both engines); top-5 closest customer names to a probe
+    "q79_edit_distance" -> ((s, dir) => {
+      import s.implicits._
+      T(s, dir, "customer")
+        .select($"c_custkey", $"c_name",
+          levenshtein($"c_name", lit("Customer#000000042")).cast("long").as("dist"))
+        .orderBy($"dist".asc, $"c_custkey".asc)
+        .limit(5)
+    }),
+
+    // §2.3 beyond the rank family: distribution window functions
+    // (ntile / percent_rank / cume_dist) + first/last frame values
+    "q80_window_dist" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window
+        .partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment",
+          ntile(4).over(w).cast("long").as("quartile"),
+          r(percent_rank().over(w), 6).as("pct_rank"),
+          r(cume_dist().over(w), 6).as("cume"),
+          first($"c_custkey").over(wf).as("poorest"),
+          last($"c_custkey").over(wf).as("richest"))
+        .orderBy("c_custkey")
+    }),
+
     // beyond-reference, 100 TB posture: sketch aggregation. Approx
     // implementations differ per engine, so the CHECK is exact-side:
     // both engines assert their own approx_count_distinct lands within
@@ -282,6 +324,31 @@ object Extras {
              (CASE WHEN c_acctbal > 0 THEN c_acctbal > 5000 END) IS NOT TRUE AS is_not_true,
              (CASE WHEN c_acctbal > 0 THEN c_acctbal > 5000 END) IS NULL AS is_unknown
       FROM customer ORDER BY c_custkey""",
+
+    "q78_percentiles" -> """
+      SELECT l_returnflag,
+             floor((quantile_cont(l_extendedprice, 0.5))*10000 + 0.5)/10000 AS p50,
+             floor((quantile_cont(l_extendedprice, 0.9))*10000 + 0.5)/10000 AS p90,
+             floor((quantile_cont(l_extendedprice, 0.99))*10000 + 0.5)/10000 AS p99
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q79_edit_distance" -> """
+      SELECT c_custkey, c_name,
+             CAST(levenshtein(c_name, 'Customer#000000042') AS BIGINT) AS dist
+      FROM customer ORDER BY dist, c_custkey LIMIT 5""",
+
+    "q80_window_dist" -> """
+      SELECT c_custkey, c_mktsegment,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             floor((percent_rank() OVER w)*1000000 + 0.5)/1000000 AS pct_rank,
+             floor((cume_dist() OVER w)*1000000 + 0.5)/1000000 AS cume,
+             first_value(c_custkey) OVER wf AS poorest,
+             last_value(c_custkey) OVER wf AS richest
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+             wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY c_custkey""",
 
     "q67_approx_distinct" -> """
       SELECT count(DISTINCT l_partkey) AS exact_parts,

@@ -122,6 +122,24 @@ class DatalogSpec extends AnyFunSuite {
     }
   }
 
+  test(":in parameters bind as logic variables") {
+    val q = Query(
+      find = Seq(FVar("n")),
+      where = Seq(
+        Triple(V("e"), "name", V("n")),
+        Triple(V("e"), "age", V("a")),
+        Pred(Seq("a", "min_age"), vs => vs(0) >= vs(1))),
+      in = Seq("min_age" -> 11))
+    assert(rows(q) == Set(Seq("ada"), Seq("bob")))
+    // same query, different binding — no recompilation of the AST
+    assert(rows(q.copy(in = Seq("min_age" -> 30))) == Set(Seq("ada")))
+    // an in-var can also unify directly inside a pattern position
+    val q2 = Query(Seq(FVar("n")),
+      Seq(Triple(V("who"), "name", V("n"))),
+      in = Seq("who" -> 2L))
+    assert(rows(q2) == Set(Seq("bob")))
+  }
+
   test("rule call with constant argument filters") {
     val ancestor = Rule("ancestor", Seq("d", "a"), Seq(
       Seq(Triple(V("d"), "parent", V("a"))),
