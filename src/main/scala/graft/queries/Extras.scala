@@ -182,6 +182,18 @@ object Extras {
         .orderBy("c_custkey")
     }),
 
+    // beyond-reference: explicit GROUPING SETS (rollup's general form)
+    "q81_grouping_sets" -> ((s, dir) => {
+      import s.implicits._
+      T(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_linestatus"), Seq()),
+          $"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), r(sum($"l_quantity"), 4).as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_last, $"l_linestatus".asc_nulls_last,
+          $"n".asc)
+    }),
+
     // beyond-reference: exact percentiles (both engines interpolate
     // linearly for continuous percentiles)
     "q78_percentiles" -> ((s, dir) => {
@@ -324,6 +336,13 @@ object Extras {
              (CASE WHEN c_acctbal > 0 THEN c_acctbal > 5000 END) IS NOT TRUE AS is_not_true,
              (CASE WHEN c_acctbal > 0 THEN c_acctbal > 5000 END) IS NULL AS is_unknown
       FROM customer ORDER BY c_custkey""",
+
+    "q81_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             floor((sum(l_quantity))*10000 + 0.5)/10000 AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST, n""",
 
     "q78_percentiles" -> """
       SELECT l_returnflag,
