@@ -52,10 +52,15 @@ object Datalog {
     * recursion) — compiled through the fixpoint operator. */
   final case class Rule(name: String, params: Seq[String], bodies: Seq[Seq[Clause]])
 
-  /** `:find` element: a variable or an aggregate over one. */
+  /** `:find` element: a variable, an aggregate over one, or a pull. */
   sealed trait Find
   final case class FVar(name: String) extends Find
   final case class FAgg(fn: String, v: String, as: String) extends Find
+  /** pull-style projection `(pull ?v [attrs…])`: the entity bound to
+    * `v` materializes as ONE struct column of the named attributes
+    * (absent attribute → NULL field) — the reference datalog's document
+    * fetch. Not combinable with aggregates. */
+  final case class FPull(v: String, attrs: Seq[String], as: String) extends Find
 
   /** `in`: externally-bound parameters (the reference's `:in` clause) —
     * each (name, value) becomes a pre-bound logic variable visible to
@@ -97,7 +102,27 @@ object Datalog {
 
     val aggs = q.find.collect { case a: FAgg => a }
     val keys = q.find.collect { case FVar(n) => n }
-    if (aggs.isEmpty) rel.select(keys.map(col): _*)
+    val pulls = q.find.collect { case p: FPull => p }
+    require(aggs.isEmpty || pulls.isEmpty,
+      "pull and aggregates cannot mix in one :find")
+    if (pulls.nonEmpty) {
+      // left-join each pulled attribute on the entity var, then pack
+      val joined = pulls.foldLeft(rel) { (acc, p) =>
+        p.attrs.foldLeft(acc) { (a2, attr) =>
+          a2.join(attrs(attr).select(col("_e").as(p.v),
+            col("_v").as(s"_pull_${p.as}_$attr")), Seq(p.v), "left")
+        }
+      }
+      val packed = pulls.foldLeft(joined) { (acc, p) =>
+        acc.withColumn(p.as, struct(
+          p.attrs.map(a => col(s"_pull_${p.as}_$a").as(a)): _*))
+      }
+      packed.select(q.find.map {
+        case FVar(n) => col(n)
+        case FPull(_, _, as) => col(as)
+        case _ => throw new IllegalStateException
+      }: _*)
+    } else if (aggs.isEmpty) rel.select(keys.map(col): _*)
     else {
       val aggCols = aggs.map { a =>
         val c = col(a.v)

@@ -67,6 +67,20 @@ object DatalogQ {
         .orderBy("seg")
     }),
 
+    // pull-style projection: each matched entity fetched as a document
+    // struct (serialized to JSON for the cross-engine compare)
+    "q83_datalog_pull" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, to_json}
+      Datalog.run(Query(
+        find = Seq(FVar("c"), FPull("c", Seq("c_name", "c_nationkey"), "doc")),
+        where = Seq(
+          Triple(V("c"), "c_acctbal", V("bal")),
+          Pred(Seq("bal"), vs => vs.head > 9950.0))),
+        attrs(s, dir))
+        .select(col("c"), to_json(col("doc")).as("doc"))
+        .orderBy("c")
+    }),
+
     // recursive rule → fixpoint: reachability over a derived edge
     // relation (nation n → (n*7+1) mod 25) from node 0 —
     // {:find [?x] :where [(reach ?x)]
@@ -106,6 +120,11 @@ object DatalogQ {
                         WHERE o2.o_custkey = c_custkey
                           AND o2.o_totalprice > 350000.0)
       GROUP BY c_mktsegment ORDER BY seg""",
+
+    "q83_datalog_pull" -> """
+      SELECT c_custkey AS c,
+             to_json(struct_pack(c_name := c_name, c_nationkey := c_nationkey)) AS doc
+      FROM customer WHERE c_acctbal > 9950.0 ORDER BY c""",
 
     "q58_datalog_recursion" -> """
       WITH RECURSIVE e AS (

@@ -182,6 +182,21 @@ object Extras {
         .orderBy("c_custkey")
     }),
 
+    // §2.1 #11/#12 bag variants: INTERSECT ALL / EXCEPT ALL keep
+    // duplicate multiplicities (core2 relations are bags, README:13) —
+    // counted per group so the compare is over multiplicities
+    "q82_bag_setops" -> ((s, dir) => {
+      import s.implicits._
+      val a = T(s, dir, "orders").filter($"o_orderkey" % 3 === 0)
+        .select($"o_orderpriority".as("p"))
+      val b = T(s, dir, "orders").filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderpriority".as("p"))
+      a.intersectAll(b).withColumn("which", lit("intersect_all"))
+        .unionByName(a.exceptAll(b).withColumn("which", lit("except_all")))
+        .groupBy($"which", $"p").agg(count(lit(1)).as("n"))
+        .orderBy("which", "p")
+    }),
+
     // beyond-reference: explicit GROUPING SETS (rollup's general form)
     "q81_grouping_sets" -> ((s, dir) => {
       import s.implicits._
@@ -336,6 +351,14 @@ object Extras {
              (CASE WHEN c_acctbal > 0 THEN c_acctbal > 5000 END) IS NOT TRUE AS is_not_true,
              (CASE WHEN c_acctbal > 0 THEN c_acctbal > 5000 END) IS NULL AS is_unknown
       FROM customer ORDER BY c_custkey""",
+
+    "q82_bag_setops" -> """
+      WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 3 = 0),
+      b AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 2 = 0),
+      u AS (SELECT p, 'intersect_all' AS which FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b)
+            UNION ALL
+            SELECT p, 'except_all' FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b))
+      SELECT which, p, count(*) AS n FROM u GROUP BY which, p ORDER BY which, p""",
 
     "q81_grouping_sets" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -122,6 +122,18 @@ class DatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("pull fetches entity attributes as a struct, absent -> NULL field") {
+    val q = Query(
+      find = Seq(FVar("e"), FPull("e", Seq("name", "parent"), "doc")),
+      where = Seq(Triple(V("e"), "age", V("a")),
+        Pred(Seq("a"), vs => vs.head > 30)))
+    val out = Datalog.run(q, attrs).collect()
+    assert(out.length == 1)
+    val doc = out(0).getStruct(1)
+    assert(doc.getString(0) == "ada")
+    assert(doc.isNullAt(1)) // ada has no parent attribute
+  }
+
   test(":in parameters bind as logic variables") {
     val q = Query(
       find = Seq(FVar("n")),
