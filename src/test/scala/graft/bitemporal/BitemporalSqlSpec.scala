@@ -70,6 +70,20 @@ class BitemporalSqlSpec extends AnyFunSuite {
     assert(current == Seq(Seq(1L, 20.0), Seq(2L, 99.0)))
   }
 
+  test("same table with AND without a clause in one query") {
+    val out = BitemporalSql.sql(spark,
+      s"""SELECT old._id, old.price AS old_price, cur.price AS cur_price
+          FROM prices FOR SYSTEM_TIME AS OF '${ts(120)}' old
+          JOIN prices cur ON old._id = cur._id""",
+      Map("prices" -> rects)).collect()
+    // at sys 120 only id1's first put exists (price 10); current state
+    // has id1 -> 20
+    assert(out.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet ==
+      Set((1L, 10.0, 20.0)))
+    // and the temp views were dropped afterward
+    assert(!spark.catalog.tableExists("prices"))
+  }
+
   test("aggregation over a time-travel view") {
     val out = BitemporalSql.sql(spark,
       s"""SELECT count(*) AS n, sum(price) AS total
