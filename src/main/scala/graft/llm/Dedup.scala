@@ -145,6 +145,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected pair graph (the dedup
+    * clustering step: near-dup PAIRS → duplicate CLUSTERS → one
+    * canonical doc per cluster). Iterative min-label propagation:
+    * each round every node takes the min component label among itself
+    * and its neighbors — O(E) shuffle work per round, rounds = graph
+    * diameter (near-dup clusters are shallow), checkpointed lineage.
+    * This is the scalable alternative to a transitive-closure fixpoint,
+    * whose intermediate relation is O(component²). */
+  def connectedComponents(edges: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val und = edges.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(edges.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbr = und.join(labels, und("dst") === labels("id"))
+        .select(und("src").as("id"), col("comp"))
+      val next = labels.unionByName(nbr)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("l"), col("n.id") === col("l.id"))
+        .filter(col("n.comp") =!= col("l.comp")).count()
+      labels = next
+      i += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents: no convergence after $maxIter rounds")
+    labels
+  }
+
   /** SimHash near-dup pairs within Hamming distance `maxDist`, found by
     * pigeonhole banding: the nBits fingerprint splits into `maxDist + 1`
     * bands — two fingerprints within maxDist must agree EXACTLY on at

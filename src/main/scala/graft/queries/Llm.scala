@@ -62,6 +62,26 @@ object Llm {
         .orderBy("id_a", "id_b")
     }),
 
+    // dedup clustering: verified near-dup pairs -> connected components
+    // (min-label propagation) -> cluster id + size per doc — the step
+    // that turns pairwise similarity into "keep one canonical doc"
+    "q84_dup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val sh = Dedup.shingles(T(s, dir, "documents"), "doc_id", "text", n = 2)
+      val base = Dedup.hashedShingles(sh, "doc_id").localCheckpoint()
+      val rare = Dedup.rareShingles(base, "doc_id", maxFrac = 0.25)
+      val sig = Dedup.minhashSignature(rare, "doc_id", k = 16).localCheckpoint()
+      val cand = Dedup.minhashCandidates(sig, "doc_id", k = 16, bands = 8)
+      val pairs = Dedup.jaccardOnCandidates(base, "doc_id", cand)
+        .filter($"jaccard" >= 0.5).select("id_a", "id_b").localCheckpoint()
+      Dedup.connectedComponents(pairs)
+        .groupBy($"comp")
+        .agg(count(lit(1)).as("cluster_size"),
+          min($"id").as("keep_id"), max($"id").as("max_id"))
+        .select($"comp", $"cluster_size", $"keep_id", $"max_id")
+        .orderBy("comp")
+    }),
+
     // exact n-gram Jaccard near-dup: prefix-filtered candidates (pairs
     // sharing one of their 3 globally-rarest shingles — PPJoin-style
     // blocking), then exact array-intersect Jaccard, verified ≥ 0.5
@@ -303,17 +323,40 @@ object Llm {
   // exact-Jaccard verification over a `cand(id_a, id_b)` CTE via
   // count-based intersection on keyed rows (shingles are distinct per doc,
   // so count == |intersection|); mirrors Dedup.jaccardOnCandidates
-  private val verifyTail = """
+  private val verifyCtes = """
     sz AS (SELECT doc_id, count(*) AS n FROM keyed GROUP BY doc_id),
     inter AS (SELECT id_a, id_b, count(*) AS i
               FROM cand JOIN keyed a ON a.doc_id = id_a
                         JOIN keyed b ON b.doc_id = id_b AND b.k = a.k
-              GROUP BY id_a, id_b)
+              GROUP BY id_a, id_b)"""
+  private val verifyTail = verifyCtes + """
     SELECT id_a, id_b,
            floor((i*1.0/(na.n + nb.n - i))*1000000 + 0.5)/1000000 AS jaccard
     FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
     WHERE i*1.0/(na.n + nb.n - i) >= 0.5
     ORDER BY id_a, id_b"""
+
+  // connected components of the verified pair graph via recursive
+  // closure + min label (fine at oracle scale; the Spark side uses
+  // min-label propagation, which scales)
+  // lazy: interpolates minhashCtes, which is defined further down the
+  // file (strict val init order would splice a null)
+  private lazy val dupClustersOracle: String = s"""
+    WITH RECURSIVE $shCte, $baseCte, $minhashCtes, $verifyCtes,
+    pairs AS (SELECT id_a, id_b
+              FROM inter JOIN sz na ON id_a = na.doc_id
+                         JOIN sz nb ON id_b = nb.doc_id
+              WHERE i*1.0/(na.n + nb.n - i) >= 0.5),
+    und AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM und),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, und.b FROM reach JOIN und ON reach.r = und.a),
+    comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+    SELECT comp, count(*) AS cluster_size, min(id) AS keep_id, max(id) AS max_id
+    FROM comp GROUP BY comp ORDER BY comp"""
 
   // 16-hash signature (min(ha + i*hb)) + 8 two-row bands, mirroring
   // Dedup.minhashSignature / Dedup.minhashCandidates
@@ -455,6 +498,7 @@ object Llm {
   }
 
   val oracle: Map[String, String] = Map(
+    "q84_dup_clusters" -> dupClustersOracle,
     "q77_simhash_pairs" -> simhashPairsOracle,
     "q46_ann_lsh" -> annOracle,
     "q70_ann_ivf" -> ivfOracle,

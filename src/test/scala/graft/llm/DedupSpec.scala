@@ -75,6 +75,14 @@ class DedupSpec extends AnyFunSuite {
     assert(perDoc.forall(_ <= 2))
   }
 
+  test("connectedComponents: chain merges transitively, islands stay apart") {
+    // chain 1-2-3 (via 2) plus island {10, 11}
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash: identical docs get identical fingerprints") {
     val sh = Dedup.shingles(docs, "doc_id", "text", n = 1)
     val fp = Dedup.simhash(sh, "doc_id", nBits = 16)
