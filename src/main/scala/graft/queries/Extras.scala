@@ -210,15 +210,17 @@ object Extras {
     }),
 
     // beyond-reference: exact percentiles (both engines interpolate
-    // linearly for continuous percentiles)
+    // linearly). ONE array-form aggregation — three separate percentile
+    // calls would each sort the group's values
     "q78_percentiles" -> ((s, dir) => {
       import s.implicits._
       T(s, dir, "lineitem")
         .groupBy($"l_returnflag")
-        .agg(
-          r(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          r(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          r(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("_p"))
+        .select($"l_returnflag",
+          r(element_at($"_p", 1), 4).as("p50"),
+          r(element_at($"_p", 2), 4).as("p90"),
+          r(element_at($"_p", 3), 4).as("p99"))
         .orderBy("l_returnflag")
     }),
 
@@ -369,10 +371,13 @@ object Extras {
 
     "q78_percentiles" -> """
       SELECT l_returnflag,
-             floor((quantile_cont(l_extendedprice, 0.5))*10000 + 0.5)/10000 AS p50,
-             floor((quantile_cont(l_extendedprice, 0.9))*10000 + 0.5)/10000 AS p90,
-             floor((quantile_cont(l_extendedprice, 0.99))*10000 + 0.5)/10000 AS p99
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+             floor((q[1])*10000 + 0.5)/10000 AS p50,
+             floor((q[2])*10000 + 0.5)/10000 AS p90,
+             floor((q[3])*10000 + 0.5)/10000 AS p99
+      FROM (SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]) AS q
+            FROM lineitem GROUP BY l_returnflag)
+      ORDER BY l_returnflag""",
 
     "q79_edit_distance" -> """
       SELECT c_custkey, c_name,
