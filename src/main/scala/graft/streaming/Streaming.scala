@@ -70,6 +70,27 @@ object Streaming {
   private def withWm(df: DataFrame, tsCol: String, wm: Option[String]): DataFrame =
     wm.fold(df)(w => df.withWatermark(tsCol, w))
 
+  /** Streaming exact dedup with CUSTOM keyed state
+    * (flatMapGroupsWithState): emit only the FIRST row ever seen per
+    * key — state is one boolean per key, persisted across micro-batches
+    * by the state store, so a duplicate arriving hours later is still
+    * suppressed (dropDuplicates needs a watermark column to bound its
+    * state; this is the unbounded-key-set variant). Works identically
+    * on a batch DataFrame (state scoped to the single batch). */
+  def firstPerKey(events: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val enc = Encoders.row(events.schema)
+    events.groupByKey((r: Row) => String.valueOf(r.getAs[Any](keyCol)))(Encoders.STRING)
+      .flatMapGroupsWithState[Boolean, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); it.take(1) }
+      }(Encoders.scalaBoolean, enc)
+      .toDF(events.columns: _*)
+  }
+
   /** Drain all currently-available input through a streaming plan into
     * an in-memory table (test/dev sink), blocking until done. */
   def runAvailableToMemory(df: DataFrame, name: String,

@@ -83,6 +83,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("firstPerKey: custom keyed state dedups across micro-batches") {
+    val dir = Files.createTempDirectory("stream_dedup").toString
+    // duplicate user 1 appears in BOTH files: only the state store can
+    // suppress the second occurrence (they land in different batches)
+    Seq((1L, "a"), (2L, "b"), (1L, "a")).toDF("uid", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((1L, "a"), (3L, "c")).toDF("uid", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val sch = spark.read.parquet(dir).schema
+    val stream = Streaming.fileStream(spark, dir, sch, maxFilesPerTrigger = Some(1))
+    Streaming.runAvailableToMemory(
+      Streaming.firstPerKey(stream, "uid"), "dedup_out", outputMode = "append")
+    val got = spark.table("dedup_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // batch path: same operator, state scoped to the one batch
+    val batch = Streaming.firstPerKey(spark.read.parquet(dir), "uid")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(batch == got)
+  }
+
   test("tx-log stream tails a bitemporal TxLog directory") {
     import graft.bitemporal.{TxLog, TxOps}
     val dir = Files.createTempDirectory("txlog_stream").toString
