@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end facade test: the workflow a reference user would run —
+  * transactions in, time travel out, SQL sugar on top. */
+class GraftTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("put / delete / compact / asOf / current / sql round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_table").toString
+    val t = new GraftTable(spark, dir, Seq("price"))
+    val rows = Seq((1L, 100.0), (2L, 200.0)).toDF("id", "price")
+
+    t.put(rows, $"id", lit("2020-01-01").cast("timestamp"), None,
+      Seq("price" -> $"price"), ts("2024-01-01 00:00:00"))
+    t.put(rows.filter($"id" === 1), $"id", lit("2021-01-01").cast("timestamp"),
+      None, Seq("price" -> ($"price" + 10)), ts("2024-01-02 00:00:00"))
+    t.compact()
+    // tail after compaction: delete id 2 (read-your-writes, no recompact)
+    t.delete(rows.filter($"id" === 2), $"id",
+      lit("2020-01-01").cast("timestamp"), None,
+      Seq("price" -> lit(null).cast("double")), ts("2024-01-03 00:00:00"))
+
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"price").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // current: id1 updated to 110 (valid since 2021), id2 deleted
+    assert(state(t.current()) == Map(1L -> 110.0))
+    // system time before the delete: both ids visible, id1 still 110
+    assert(state(t.asOf(ts("2022-01-01 00:00:00"), ts("2024-01-02 12:00:00"))) ==
+      Map(1L -> 110.0, 2L -> 200.0))
+    // valid time before the update, same system time: id1 original price
+    assert(state(t.asOf(ts("2020-06-01 00:00:00"), ts("2024-01-02 12:00:00"))) ==
+      Map(1L -> 100.0, 2L -> 200.0))
+    // history at the latest system time: id1 has two valid-time versions
+    assert(t.history(ts("2024-01-04 00:00:00"))
+      .filter($"_id" === 1).count() == 2)
+
+    // SQL sugar over the same table
+    val viaSql = t.sql("prices",
+      """SELECT _id, price FROM prices
+         FOR SYSTEM_TIME AS OF '2024-01-02 12:00:00'
+         FOR APPLICATION_TIME AS OF '2022-01-01 00:00:00'""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == Map(1L -> 110.0, 2L -> 200.0))
+  }
+
+  test("erase removes full history at compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_erase").toString
+    val t = new GraftTable(spark, dir, Seq("price"))
+    val rows = Seq((1L, 100.0), (2L, 200.0)).toDF("id", "price")
+    t.put(rows, $"id", lit("2020-01-01").cast("timestamp"), None,
+      Seq("price" -> $"price"), ts("2024-01-01 00:00:00"))
+    t.erase(rows.filter($"id" === 1), $"id",
+      Seq("price" -> lit(null).cast("double")), ts("2024-01-02 00:00:00"))
+    t.compact()
+    // even queries at a basis BEFORE the erase see nothing of id 1
+    assert(t.asOf(ts("2020-06-01 00:00:00"), ts("2024-01-01 12:00:00"))
+      .select($"_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+}
