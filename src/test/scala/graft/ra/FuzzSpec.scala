@@ -35,6 +35,8 @@ class FuzzSpec extends AnyFunSuite {
   private case class Dist(p: Plan) extends Plan
   private case class Uni(p1: Plan, p2: Plan) extends Plan
   private case class JoinA(p1: Plan, p2: Plan) extends Plan // equi on "a"
+  private case class SemiA(p1: Plan, p2: Plan, anti: Boolean) extends Plan // on "a"
+  private case class AggA(p: Plan, valCol: Int) extends Plan // group by "a"
 
   private def colsOf(p: Plan): Vector[String] = p match {
     case Base(0) => t1.cols
@@ -45,6 +47,8 @@ class FuzzSpec extends AnyFunSuite {
     case Uni(q, _) => colsOf(q)
     case JoinA(l, r) =>
       colsOf(l) ++ colsOf(r).filterNot(_ == "a").map("r_" + _)
+    case SemiA(l, _, _) => colsOf(l)
+    case AggA(_, _) => Vector("a", "cnt", "tot")
   }
 
   // ---- naive evaluator (independent of Spark) -------------------------
@@ -79,6 +83,24 @@ class FuzzSpec extends AnyFunSuite {
         if x(li).isDefined && x(li) == y(ri) // NULL never joins
       } yield x ++ y.zipWithIndex.collect { case (v, i) if i != ri => v }
       Rel(colsOf(p), rows)
+    case SemiA(l, r, anti) =>
+      val (rl, rr) = (evalNaive(l), evalNaive(r))
+      val (li, ri) = (rl.cols.indexOf("a"), rr.cols.indexOf("a"))
+      val rKeys = rr.rows.flatMap(_(ri)).toSet // NULL never matches
+      rl.copy(rows = rl.rows.filter(row =>
+        row(li).exists(rKeys.contains) != anti &&
+          (anti || row(li).isDefined)))
+    case AggA(q, vc) =>
+      val r = evalNaive(q)
+      val (ai, vi) = (r.cols.indexOf("a"), vc % r.cols.length)
+      // SQL GROUP BY: NULL keys group together; count/sum skip NULLs,
+      // sum of all-NULL group is NULL
+      Rel(Vector("a", "cnt", "tot"),
+        r.rows.groupBy(_(ai)).map { case (k, rows) =>
+          val vs = rows.flatMap(_(vi))
+          Vector(k, Some(rows.size),
+            if (vs.isEmpty) None else Some(vs.sum))
+        }.toSeq)
   }
 
   // ---- Spark evaluator via RA combinators -----------------------------
@@ -108,12 +130,31 @@ class FuzzSpec extends AnyFunSuite {
         .foldLeft(dr0)((d, c) => d.withColumnRenamed(c, "r_" + c))
       RA.join(dl, dr.withColumnRenamed("a", "_ra"), dl("a") === col("_ra"))
         .drop("_ra")
+    case SemiA(l, r, anti) =>
+      val dl = evalSpark(l)
+      val dr = evalSpark(r).select(col("a").as("_ra"))
+      RA.join(dl, dr, dl("a") === col("_ra"),
+        if (anti) "left_anti" else "left_semi")
+    case AggA(q, vc) =>
+      val df = evalSpark(q)
+      val v = col(df.columns(vc % df.columns.length))
+      RA.groupBy(df, Seq(col("a")),
+        Seq(count(lit(1)).cast("int").as("cnt"), sum(v).cast("int").as("tot")))
   }
 
   // ---- generator ------------------------------------------------------
   private def genPlan(rnd: scala.util.Random, depth: Int): Plan = {
     if (depth == 0) Base(rnd.nextInt(2))
-    else rnd.nextInt(6) match {
+    else rnd.nextInt(8) match {
+      case 6 =>
+        val l = genPlan(rnd, depth - 1)
+        val r = genPlan(rnd, depth - 1)
+        if (colsOf(l).contains("a") && colsOf(r).contains("a"))
+          SemiA(l, r, rnd.nextBoolean())
+        else Dist(l)
+      case 7 =>
+        val q = genPlan(rnd, depth - 1)
+        if (colsOf(q).contains("a")) AggA(q, rnd.nextInt(4)) else Dist(q)
       case 0 => Base(rnd.nextInt(2))
       case 1 =>
         val q = genPlan(rnd, depth - 1)
