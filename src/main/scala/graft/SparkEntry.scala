@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.Bitemp.queries ++
       graft.queries.DatalogQ.queries ++
       graft.queries.Extras.queries ++
-      graft.queries.TpchMore.queries
+      graft.queries.TpchMore.queries ++
+      graft.queries.TpchRest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.Bitemp.oracle ++
       graft.queries.DatalogQ.oracle ++
       graft.queries.Extras.oracle ++
-      graft.queries.TpchMore.oracle
+      graft.queries.TpchMore.oracle ++
+      graft.queries.TpchRest.oracle
 }
