@@ -31,25 +31,32 @@ object TpchRest {
 
     // Q2-shape: min-cost supplier per part (supply cost derived as the
     // min unit price ever charged in lineitem), Europe-only suppliers.
-    // Aggregate-then-rejoin replaces the correlated scalar subquery; the
-    // per-(part,supp) cost is deterministic (min of exact divisions), so
-    // the equality re-join is safe cross-engine.
+    // The correlated scalar subquery becomes a window-min over ONE
+    // aggregation (an agg-then-rejoin would re-compute the whole cost
+    // subtree — Spark has no cross-branch CSE), and the part filter is
+    // semi-joined into lineitem before the group-by so the big scan is
+    // pruned at the source. Per-(part,supp) cost is deterministic (min
+    // of exact divisions), so the equality filter is safe cross-engine.
     "q0j_tpch_q2" -> ((s, dir) => {
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
       val eu = T(s, dir, "supplier")
         .join(broadcast(T(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(T(s, dir, "region").filter($"r_name" === "EUROPE")),
           $"n_regionkey" === $"r_regionkey")
         .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      val pp = broadcast(T(s, dir, "part")
+        .filter($"p_size".between(10, 20) && $"p_type" === "STANDARD")
+        .select($"p_partkey", $"p_brand"))
       val cost = T(s, dir, "lineitem")
+        .join(pp.select($"p_partkey"), $"l_partkey" === $"p_partkey", "left_semi")
         .groupBy($"l_partkey", $"l_suppkey")
         .agg(min($"l_extendedprice" / $"l_quantity").as("supplycost"))
-      val euCost = cost.join(broadcast(eu), $"l_suppkey" === $"s_suppkey")
-      val best = euCost.groupBy($"l_partkey".as("bp"))
-        .agg(min($"supplycost").as("best_cost"))
-      T(s, dir, "part").filter($"p_size".between(10, 20) && $"p_type" === "STANDARD")
-        .join(euCost, $"p_partkey" === $"l_partkey")
-        .join(best, $"p_partkey" === $"bp" && $"supplycost" === $"best_cost")
+      cost.join(broadcast(eu), $"l_suppkey" === $"s_suppkey")
+        .withColumn("best_cost",
+          min($"supplycost").over(Window.partitionBy($"l_partkey")))
+        .filter($"supplycost" === $"best_cost")
+        .join(pp, $"l_partkey" === $"p_partkey")
         .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_brand")
     }),
 
@@ -242,20 +249,25 @@ object TpchRest {
     }),
 
     // Q21-shape: suppliers who alone shipped late on multi-supplier
-    // finished orders — EXISTS (semi) + NOT EXISTS (anti) with a
-    // same-order-different-supplier non-equi conjunct. "Late" is derived
-    // from shipdate vs orderdate (no commit/receipt dates in the fixture).
+    // finished orders. The EXISTS / NOT EXISTS pair is evaluated with
+    // per-order windows instead of semi+anti self-joins: one shuffle by
+    // orderkey (the join), then both distinct-supplier counts ride the
+    // SAME partitioning (no further exchange), vs ~5 lineitem-scale
+    // shuffles for the self-join form. "another supplier exists" ⟺
+    // nsupp ≥ 2; "no other supplier late" ⟺ the late-supplier set is
+    // exactly {self} ⟺ nlate = 1 on a late row. "Late" is derived from
+    // shipdate vs orderdate (no commit/receipt dates in the fixture).
     "q0u_tpch_q21" -> ((s, dir) => {
       import s.implicits._
-      val li = T(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey", $"l_shipdate")
-      val l1 = li.join(T(s, dir, "orders").filter($"o_orderstatus" === "F")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"l_orderkey")
+      T(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+        .join(T(s, dir, "orders").filter($"o_orderstatus" === "F")
           .select($"o_orderkey", $"o_orderdate"), $"l_orderkey" === $"o_orderkey")
-        .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
-        .select($"l_orderkey", $"l_suppkey")
-      val others = li.select($"l_orderkey".as("ok2"), $"l_suppkey".as("sk2")).distinct()
-      val lateOthers = l1.select($"l_orderkey".as("ok3"), $"l_suppkey".as("sk3")).distinct()
-      l1.join(others, $"l_orderkey" === $"ok2" && $"l_suppkey" =!= $"sk2", "left_semi")
-        .join(lateOthers, $"l_orderkey" === $"ok3" && $"l_suppkey" =!= $"sk3", "left_anti")
+        .withColumn("late", $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+        .withColumn("nsupp", size(collect_set($"l_suppkey").over(w)))
+        .withColumn("nlate", size(collect_set(when($"late", $"l_suppkey")).over(w)))
+        .filter($"late" && $"nsupp" >= 2 && $"nlate" === 1)
         .join(broadcast(T(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
         .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
         .orderBy($"numwait".desc, $"s_name")
