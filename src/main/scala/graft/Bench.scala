@@ -19,7 +19,12 @@ object Bench {
     // query execution rather than first-use initialization.
     try SparkEntry.queries.get("q00_tpch_q1").foreach(f => run(f(spark, sfDir)))
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated name substrings to bench a subset (dev loop)
+    val keep: String => Boolean = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(p) => val pats = p.split(','); n => pats.exists(n.contains)
+      case None => _ => true
+    }
+    val results = SparkEntry.queries.filter(e => keep(e._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9

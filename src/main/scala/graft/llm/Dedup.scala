@@ -160,18 +160,24 @@ object Dedup {
       .localCheckpoint()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
+    val compType = labels.schema("comp").dataType
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
+      // carry each node's previous label (_old) through the same
+      // aggregation — every id has exactly one labels row, so
+      // max(_old) recovers it and the convergence check is a
+      // filter+count over the checkpointed result, not a second
+      // join+shuffle against the previous round
       val nbr = und.join(labels, und("dst") === labels("id"))
-        .select(und("src").as("id"), col("comp"))
-      val next = labels.unionByName(nbr)
-        .groupBy("id").agg(min("comp").as("comp"))
+        .select(und("src").as("id"), col("comp"),
+          lit(null).cast(compType).as("_old"))
+      val next = labels.select(col("id"), col("comp"), col("comp").as("_old"))
+        .unionByName(nbr)
+        .groupBy("id").agg(min("comp").as("comp"), max("_old").as("_old"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("l"), col("n.id") === col("l.id"))
-        .filter(col("n.comp") =!= col("l.comp")).count()
-      labels = next
+      changed = next.filter(col("comp") =!= col("_old")).count()
+      labels = next.drop("_old")
       i += 1
     }
     if (changed > 0)
