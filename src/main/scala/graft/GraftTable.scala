@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.bitemporal.{Bitemporal, BitemporalSql, TxLog, TxOps}
+import graft.bitemporal.{Bitemporal, BitemporalDml, BitemporalSql, TxLog, TxOps}
 
 /** The user-facing bitemporal table — the facade a reference (xtdb/core2)
   * user lands on: submit put/delete/erase transactions, read the current
@@ -69,4 +69,70 @@ final class GraftTable(spark: SparkSession, dir: String,
     * `FOR SYSTEM_TIME / FOR APPLICATION_TIME AS OF` support. */
   def sql(name: String, query: String): DataFrame =
     BitemporalSql.sql(spark, query, Map(name -> rectangles()))
+
+  /** SQL DML (`INSERT`/`UPDATE`/`DELETE`/`ERASE`, see
+    * [[BitemporalDml]]) submitted as one transaction at `systemTime`;
+    * returns the tx id. `name` must match the statement's target table.
+    *
+    * Semantics (matching the reference's tx submit, SURVEY.md §3.3):
+    *  - INSERT column list must contain `_id` and every payload column
+    *    (one log = one schema); `_valid_from`/`_valid_to` are optional
+    *    (default `[systemTime, ∞)`). A `SELECT` source may read any
+    *    temp view already registered in the session; its output binds
+    *    to the column list positionally.
+    *  - UPDATE/DELETE/ERASE predicates and SET right-hand sides bind
+    *    over the table's CURRENT state (system = valid = now); an
+    *    unassigned payload column keeps its current value. FOR PORTION
+    *    OF APPLICATION_TIME limits the write's valid interval.
+    */
+  def dml(name: String, statement: String, systemTime: Timestamp): Long = {
+    import BitemporalDml._
+    val stmt = BitemporalDml.parse(statement)
+    require(stmt.table.equalsIgnoreCase(name),
+      s"statement targets '${stmt.table}', not '$name'")
+    def interval(p: Option[Portion]): (Column, Option[Column]) = p match {
+      case Some(Portion(f, t)) =>
+        (lit(f).cast("timestamp"), Some(lit(t).cast("timestamp")))
+      case None => (lit(systemTime), None)
+    }
+    def nullPayload(df: DataFrame): Seq[(String, Column)] =
+      payloadCols.map(c => c -> lit(null).cast(df.schema(c).dataType))
+    stmt match {
+      case Insert(_, cols, source) =>
+        val bad = cols.filterNot(c =>
+          c == "_id" || c == "_valid_from" || c == "_valid_to" ||
+            payloadCols.contains(c))
+        require(bad.isEmpty, s"unknown insert columns: ${bad.mkString(", ")}")
+        require(cols.contains("_id"), "INSERT column list must contain _id")
+        val missing = payloadCols.filterNot(cols.contains)
+        require(missing.isEmpty,   // one log = one schema; a null here has no type yet
+          s"INSERT must list every payload column; missing: ${missing.mkString(", ")}")
+        val srcSql = if (source.toUpperCase.startsWith("VALUES"))
+          s"SELECT * FROM ( $source ) AS __v(${cols.mkString(", ")})"
+        else source
+        val src = spark.sql(srcSql).toDF(cols: _*)
+        val vf = if (cols.contains("_valid_from")) col("_valid_from").cast("timestamp")
+                 else lit(systemTime)
+        val vt = if (cols.contains("_valid_to"))
+                   Some(col("_valid_to").cast("timestamp")) else None
+        put(src, col("_id"), vf, vt, payloadCols.map(c => c -> col(c)), systemTime)
+      case Update(_, portion, sets, where) =>
+        val rows = current().filter(expr(where))
+        val (vf, vt) = interval(portion)
+        val payload = payloadCols.map { c =>
+          c -> sets.collectFirst { case (n, rhs) if n == c => expr(rhs) }
+            .getOrElse(col(c))
+        }
+        val unknown = sets.map(_._1).filterNot(payloadCols.contains)
+        require(unknown.isEmpty, s"SET of non-payload column: ${unknown.mkString(", ")}")
+        put(rows, col("_id"), vf, vt, payload, systemTime)
+      case Delete(_, portion, where) =>
+        val rows = current().filter(expr(where))
+        val (vf, vt) = interval(portion)
+        delete(rows, col("_id"), vf, vt, nullPayload(rows), systemTime)
+      case Erase(_, where) =>
+        val rows = current().filter(expr(where))
+        erase(rows, col("_id"), nullPayload(rows), systemTime)
+    }
+  }
 }

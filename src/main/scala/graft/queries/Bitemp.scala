@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{GraftTable, Tables}
 import graft.bitemporal.{Bitemporal, TxLog, TxOps}
 
 /** Bitemporal operator catalog — the reference's headline capability
@@ -153,6 +153,36 @@ object Bitemp {
         systemTime = lit("2020-01-02 12:00:00").cast("timestamp"))
         .select($"_id", $"bal")
         .orderBy($"_id")
+    }),
+
+    // SQL DML end-to-end: the reference's four write statements
+    // (INSERT / UPDATE / DELETE / ERASE — SURVEY.md §3.3) parsed by
+    // BitemporalDml, compiled onto tx-log puts/deletes/erases, then
+    // read back through the temporal-SQL sugar at an explicit basis.
+    // DELETE binds over the post-update current state; ERASE only sees
+    // rows still current, so already-deleted ids keep their history
+    "q85_sql_dml" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/dml_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      val t = new GraftTable(s, tmp, Seq("bal"))
+      def ts(x: String) = java.sql.Timestamp.valueOf(x)
+      T(s, dir, "customer").createOrReplaceTempView("dml_cust")
+      t.dml("acct", """INSERT INTO acct (_id, _valid_from, bal)
+        SELECT c_custkey, TIMESTAMP '2000-01-01 00:00:00', c_acctbal
+        FROM dml_cust""", ts("2020-01-01 00:00:00"))
+      t.dml("acct", "UPDATE acct SET bal = bal + 500 WHERE bal < 0",
+        ts("2020-01-02 00:00:00"))
+      t.dml("acct", "DELETE FROM acct WHERE bal > 9000",
+        ts("2020-01-03 00:00:00"))
+      t.dml("acct", "ERASE FROM acct WHERE _id % 100 = 7",
+        ts("2020-01-04 00:00:00"))
+      t.compact()
+      s.catalog.dropTempView("dml_cust")   // writes are applied eagerly
+      t.sql("acct", """SELECT _id, bal FROM acct
+          FOR SYSTEM_TIME AS OF '2020-06-01 00:00:00'
+          FOR APPLICATION_TIME AS OF '2021-01-01 00:00:00'""")
+        .orderBy($"_id")
     })
   )
 
@@ -206,6 +236,20 @@ object Bitemp {
                   ELSE c_acctbal END AS bal
       FROM customer
       WHERE c_acctbal >= 0
+      ORDER BY _id""",
+
+    // end state at the read basis: +500 where the update hit (negatives),
+    // minus post-update balances > 9000 (the DELETE), minus _id % 100 = 7
+    // (the ERASE — it binds after the delete, but at this basis the
+    // difference is invisible: deleted rows are absent either way)
+    "q85_sql_dml" -> """
+      WITH s1 AS (
+        SELECT c_custkey AS _id,
+               CASE WHEN c_acctbal < 0 THEN c_acctbal + 500
+                    ELSE c_acctbal END AS bal
+        FROM customer)
+      SELECT _id, bal FROM s1
+      WHERE NOT bal > 9000 AND _id % 100 <> 7
       ORDER BY _id"""
   )
 }

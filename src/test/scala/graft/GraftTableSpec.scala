@@ -53,6 +53,59 @@ class GraftTableSpec extends AnyFunSuite {
     assert(viaSql == Map(1L -> 110.0, 2L -> 200.0))
   }
 
+  test("SQL DML: insert / update / portion delete / erase round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dml").toString
+    val t = new GraftTable(spark, dir, Seq("bal"))
+
+    t.dml("acct", """INSERT INTO acct (_id, _valid_from, bal)
+      VALUES (1, TIMESTAMP '2020-01-01 00:00:00', 100.0D),
+             (2, TIMESTAMP '2020-01-01 00:00:00', -50.0D),
+             (3, TIMESTAMP '2020-01-01 00:00:00', 30.0D)""",
+      ts("2024-01-01 00:00:00"))
+    // SET rhs reads the current value; WHERE binds over current state
+    t.dml("acct", "UPDATE acct SET bal = bal + 500 WHERE bal < 0",
+      ts("2024-01-02 00:00:00"))
+    // portion delete: id 3 loses only 2021, keeps before/after
+    t.dml("acct", """DELETE FROM acct
+      FOR PORTION OF APPLICATION_TIME
+        FROM '2021-01-01 00:00:00' TO '2022-01-01 00:00:00'
+      WHERE _id = 3""", ts("2024-01-03 00:00:00"))
+    t.dml("acct", "ERASE FROM acct WHERE _id = 1", ts("2024-01-04 00:00:00"))
+    t.compact()
+
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"bal").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // current: id1 erased, id2 updated to 450, id3 back (portion over)
+    assert(state(t.current()) == Map(2L -> 450.0, 3L -> 30.0))
+    // inside the deleted portion id3 is absent; id1 erased even in the
+    // past; id2 still shows -50 — the portionless UPDATE is valid only
+    // from its system time (2024) on, so valid-time 2021 predates it
+    assert(state(t.asOf(ts("2021-06-01 00:00:00"), ts("2024-01-03 12:00:00"))) ==
+      Map(2L -> -50.0))
+    // INSERT ... SELECT from a registered view
+    Seq((9L, 9.0)).toDF("id", "v").createOrReplaceTempView("dml_src")
+    t.dml("acct",
+      "INSERT INTO acct (_id, bal) SELECT id, v FROM dml_src",
+      ts("2024-01-05 00:00:00"))
+    assert(state(t.current()) == Map(2L -> 450.0, 3L -> 30.0, 9L -> 9.0))
+    spark.catalog.dropTempView("dml_src")
+  }
+
+  test("DML rejects malformed and mistargeted statements") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dml_bad").toString
+    val t = new GraftTable(spark, dir, Seq("bal"))
+    intercept[IllegalArgumentException] {
+      t.dml("acct", "UPSERT INTO acct VALUES (1)", ts("2024-01-01 00:00:00"))
+    }
+    intercept[IllegalArgumentException] {
+      t.dml("acct", "ERASE FROM other WHERE _id = 1", ts("2024-01-01 00:00:00"))
+    }
+    intercept[IllegalArgumentException] {   // missing payload column
+      t.dml("acct", "INSERT INTO acct (_id) VALUES (1)", ts("2024-01-01 00:00:00"))
+    }
+  }
+
   test("erase removes full history at compaction") {
     val dir = java.nio.file.Files.createTempDirectory("graft_erase").toString
     val t = new GraftTable(spark, dir, Seq("price"))
