@@ -3,30 +3,84 @@ package graft.bitemporal
 import java.util.concurrent.atomic.AtomicLong
 import java.util.regex.Pattern
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** SQL:2011 temporal-query sugar: rewrites
-  * `<table> FOR SYSTEM_TIME AS OF '<ts>' [FOR APPLICATION_TIME AS OF
-  * '<ts>']` (either clause, either order) into a scan of the
-  * basis-filtered rectangle relation, then hands the remaining ANSI SQL
-  * to Spark's own parser — the same front-end split as the reference,
-  * where temporal clauses resolve to scan bounds before planning
-  * (xtdb/core2 resolves a *basis* per query, README.adoc:11; SURVEY.md
-  * §3.1 step 5).
+/** SQL:2011 temporal-query sugar: rewrites the temporal table clauses
   *
-  * Omitted clauses default to now, matching the reference's "current
-  * rectangle unless asked otherwise".
+  *   <table> FOR SYSTEM_TIME|APPLICATION_TIME
+  *     AS OF '<ts>'                    — point-in-time snapshot
+  *   | FROM '<a>' TO '<b>'            — versions overlapping [a, b)
+  *   | BETWEEN '<a>' AND '<b>'        — versions overlapping [a, b]
+  *   | ALL  (also: FOR ALL <dim>)     — no filter on that dimension
+  *
+  * (either dimension, either order, 0–2 clauses per table) into a scan
+  * of the spec-filtered rectangle relation, then hands the remaining
+  * ANSI SQL to Spark's own parser — the same front-end split as the
+  * reference, where temporal clauses resolve to scan bounds before
+  * planning (xtdb/core2 resolves a *basis* per query, README.adoc:11;
+  * SURVEY.md §3.1 step 5).
+  *
+  * Omitted dimensions default to AS OF now, matching the reference's
+  * "current rectangle unless asked otherwise".
   */
 object BitemporalSql {
 
   private val viewId = new AtomicLong()
 
-  private val clause = "FOR\\s+(SYSTEM_TIME|APPLICATION_TIME)\\s+AS\\s+OF\\s+" +
-    "(?:TIMESTAMP\\s+)?'([^']+)'"
+  /** One dimension's temporal spec. */
+  private sealed trait Spec
+  private final case class AsOf(ts: Column) extends Spec
+  private final case class Range(from: Column, to: Column,
+                                 inclusiveEnd: Boolean) extends Spec
+  private case object All extends Spec
+
+  private val ts = "(?:TIMESTAMP\\s+)?'([^']+)'"
+  private val clause =
+    "FOR\\s+ALL\\s+(SYSTEM_TIME|APPLICATION_TIME)|" +
+      "FOR\\s+(SYSTEM_TIME|APPLICATION_TIME)\\s+" +
+      s"(?:AS\\s+OF\\s+$ts|FROM\\s+$ts\\s+TO\\s+$ts|BETWEEN\\s+$ts\\s+AND\\s+$ts|ALL)"
   private val tableWithClauses =
-    Pattern.compile(s"(\\w+)((?:\\s+$clause){1,2})", Pattern.CASE_INSENSITIVE)
+    Pattern.compile(s"(\\w+)((?:\\s+(?:$clause)){1,2})", Pattern.CASE_INSENSITIVE)
   private val onePeriod = Pattern.compile(clause, Pattern.CASE_INSENSITIVE)
+
+  // onePeriod groups: 1 = FOR-ALL dim; 2 = dim; 3 = as-of ts;
+  // 4,5 = from/to; 6,7 = between bounds
+  private def specOf(m: java.util.regex.Matcher): (String, Spec) = {
+    def t(g: Int) = lit(m.group(g)).cast("timestamp")
+    if (m.group(1) != null) (m.group(1), All)
+    else (m.group(2),
+      if (m.group(3) != null) AsOf(t(3))
+      else if (m.group(4) != null) Range(t(4), t(5), inclusiveEnd = false)
+      else if (m.group(6) != null) Range(t(6), t(7), inclusiveEnd = true)
+      else All)
+  }
+
+  /** The rectangle filter for one dimension's `[from, to)` columns. */
+  private def dimFilter(from: String, to: String, spec: Spec): Column =
+    spec match {
+      case AsOf(t) => col(from) <= t && t < col(to)
+      case Range(a, b, incl) =>
+        (if (incl) col(from) <= b else col(from) < b) && col(to) > a
+      case All => lit(true)
+    }
+
+  /** Spec-filtered scan; prunes `_sys_date` partitions when the system
+    * dimension has an upper bound (see [[Bitemporal.asOf]]). */
+  private def filtered(rects: DataFrame, valid: Spec, sys: Spec): DataFrame = {
+    val base = rects.filter(
+      dimFilter("_valid_from", "_valid_to", valid) &&
+        dimFilter("_system_from", "_system_to", sys))
+    if (!rects.columns.contains("_sys_date")) base
+    else {
+      val pruned = sys match {
+        case AsOf(t) => base.filter(col("_sys_date") <= to_date(t))
+        case Range(_, b, _) => base.filter(col("_sys_date") <= to_date(b))
+        case All => base
+      }
+      pruned.drop("_sys_date")
+    }
+  }
 
   /** Run `query` with temporal-clause sugar over the given bitemporal
     * rectangle tables (e.g. a folded [[TxLog]] base). Tables referenced
@@ -39,17 +93,17 @@ object BitemporalSql {
     while (m.find()) {
       val table = m.group(1)
       tables.get(table).foreach { rects =>
-        var sys: Option[String] = None
-        var valid: Option[String] = None
+        var sys: Option[Spec] = None
+        var valid: Option[Spec] = None
         val cm = onePeriod.matcher(m.group(2))
         while (cm.find()) {
-          if (cm.group(1).equalsIgnoreCase("SYSTEM_TIME")) sys = Some(cm.group(2))
-          else valid = Some(cm.group(2))
+          val (dim, spec) = specOf(cm)
+          if (dim.equalsIgnoreCase("SYSTEM_TIME")) sys = Some(spec)
+          else valid = Some(spec)
         }
-        def tsOrNow(o: Option[String]) =
-          o.map(s => lit(s).cast("timestamp")).getOrElse(current_timestamp())
+        def orNow(o: Option[Spec]) = o.getOrElse(AsOf(current_timestamp()))
         val view = s"${table}_asof_${viewId.incrementAndGet()}"
-        Bitemporal.asOf(rects, tsOrNow(valid), tsOrNow(sys))
+        filtered(rects, orNow(valid), orNow(sys))
           .createOrReplaceTempView(view)
         created += view
         rewritten = rewritten.replace(m.group(0), view)

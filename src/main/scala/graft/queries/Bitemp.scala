@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftTable, Tables}
-import graft.bitemporal.{Bitemporal, TxLog, TxOps}
+import graft.bitemporal.{Bitemporal, BitemporalSql, TxLog, TxOps}
 
 /** Bitemporal operator catalog — the reference's headline capability
   * (xtdb/core2, README.adoc:11: system-time + valid-time versioning).
@@ -183,6 +183,20 @@ object Bitemp {
           FOR SYSTEM_TIME AS OF '2020-06-01 00:00:00'
           FOR APPLICATION_TIME AS OF '2021-01-01 00:00:00'""")
         .orderBy($"_id")
+    }),
+
+    // SQL:2011 range travel: FOR SYSTEM_TIME FROM..TO (versions whose
+    // system interval overlaps [a, b)) with FOR ALL APPLICATION_TIME
+    // (full valid-time history of each) — the audit/history query shape
+    "q86_temporal_range" -> ((s, dir) => {
+      import s.implicits._
+      BitemporalSql.sql(s, """
+          SELECT _id, price, _valid_from, _valid_to, _system_from, _system_to
+          FROM hist
+          FOR SYSTEM_TIME FROM '1996-01-01 00:00:00' TO '1997-01-01 00:00:00'
+          FOR ALL APPLICATION_TIME
+          ORDER BY _id, _system_from, _valid_from, _valid_to""",
+        Map("hist" -> Bitemporal.foldAppendOnly(orderOps(s, dir), Seq("price"))))
     })
   )
 
@@ -250,6 +264,15 @@ object Bitemp {
         FROM customer)
       SELECT _id, bal FROM s1
       WHERE NOT bal > 9000 AND _id % 100 <> 7
-      ORDER BY _id"""
+      ORDER BY _id""",
+
+    // overlap with [a, b): _system_from < b AND _system_to > a
+    "q86_temporal_range" -> s"""
+      WITH $rectsCte
+      SELECT _id, price, _valid_from, _valid_to, _system_from, _system_to
+      FROM rects
+      WHERE _system_from < TIMESTAMP '1997-01-01 00:00:00'
+        AND _system_to   > TIMESTAMP '1996-01-01 00:00:00'
+      ORDER BY _id, _system_from, _valid_from, _valid_to"""
   )
 }

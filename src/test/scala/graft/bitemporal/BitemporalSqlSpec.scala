@@ -84,6 +84,44 @@ class BitemporalSqlSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("prices"))
   }
 
+  test("FROM..TO / BETWEEN..AND ranges and FOR ALL history") {
+    // system-time range [120, 200): only the first put's system interval
+    // [100, 200) overlaps; FOR ALL APPLICATION_TIME keeps all its
+    // valid-time versions (just the one rectangle here)
+    val fromTo = BitemporalSql.sql(spark,
+      s"""SELECT _id, price FROM prices
+          FOR SYSTEM_TIME FROM '${ts(120)}' TO '${ts(200)}'
+          FOR ALL APPLICATION_TIME""",
+      Map("prices" -> rects)).collect().map(_.toSeq).toSet
+    assert(fromTo == Set(Seq(1L, 10.0), Seq(2L, 99.0)))
+
+    // FROM..TO end is exclusive: a rectangle starting exactly at the end
+    // bound is out; BETWEEN..AND includes it
+    val exclusive = BitemporalSql.sql(spark,
+      s"""SELECT DISTINCT price FROM prices
+          FOR SYSTEM_TIME FROM '${ts(0)}' TO '${ts(200)}'
+          FOR ALL APPLICATION_TIME""",
+      Map("prices" -> rects)).collect().map(_.getDouble(0)).toSet
+    assert(exclusive == Set(10.0, 99.0))
+    val inclusive = BitemporalSql.sql(spark,
+      s"""SELECT DISTINCT price FROM prices
+          FOR SYSTEM_TIME BETWEEN '${ts(0)}' AND '${ts(200)}'
+          FOR ALL APPLICATION_TIME""",
+      Map("prices" -> rects)).collect().map(_.getDouble(0)).toSet
+    assert(inclusive == Set(10.0, 20.0, 99.0))
+
+    // full history: every rectangle of every id, both spellings of ALL
+    val all = BitemporalSql.sql(spark,
+      """SELECT count(*) AS n FROM prices
+         FOR ALL SYSTEM_TIME FOR ALL APPLICATION_TIME""",
+      Map("prices" -> rects)).collect()(0).getLong(0)
+    val allPostfix = BitemporalSql.sql(spark,
+      """SELECT count(*) AS n FROM prices
+         FOR SYSTEM_TIME ALL FOR APPLICATION_TIME ALL""",
+      Map("prices" -> rects)).collect()(0).getLong(0)
+    assert(all == rects.count() && allPostfix == all)
+  }
+
   test("aggregation over a time-travel view") {
     val out = BitemporalSql.sql(spark,
       s"""SELECT count(*) AS n, sum(price) AS total
