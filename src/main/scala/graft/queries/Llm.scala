@@ -65,6 +65,30 @@ object Llm {
     // dedup clustering: verified near-dup pairs -> connected components
     // (min-label propagation) -> cluster id + size per doc — the step
     // that turns pairwise similarity into "keep one canonical doc"
+    // end-to-end corpus curation — the composed training-data-prep
+    // pipeline the individual operators serve: token-length quality
+    // gate → exact dedup (keep lowest doc_id per text) → language-ID
+    // of the keepers → per-language corpus stats. One explode + three
+    // key shuffles; every stage is the already-verified operator
+    "q87_corpus_prep" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val lang = TextStats.languageId(
+          TextStats.tokens(docs, "doc_id", "text"), "doc_id")
+        .select($"doc_id", $"pred_lang")
+      val keep = docs.withColumn("n_toks", size(split($"text", " ")).cast("long"))
+        .filter($"n_toks".between(5, 1000))
+        .groupBy($"text")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+          max($"n_toks").as("n_toks"))
+      keep.join(lang, keep("keep_id") === lang("doc_id"))
+        .groupBy($"pred_lang", floor($"n_toks" / 20).as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_copies" - 1).as("n_dupes_removed"),
+          sum($"n_toks").as("total_tokens"))
+        .orderBy($"pred_lang", $"len_bucket")
+    }),
+
     "q84_dup_clusters" -> ((s, dir) => {
       import s.implicits._
       val sh = Dedup.shingles(T(s, dir, "documents"), "doc_id", "text", n = 2)
@@ -499,6 +523,34 @@ object Llm {
 
   val oracle: Map[String, String] = Map(
     "q84_dup_clusters" -> dupClustersOracle,
+
+    // same tokenization/tie rules as q47; sums cast to BIGINT (DuckDB
+    // sum() is HUGEINT) to keep dtype parity with Spark's longs
+    "q87_corpus_prep" -> """
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      a AS (SELECT doc_id,
+              sum(CASE WHEN word IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS s_en,
+              sum(CASE WHEN word IN ('el','la','de','y','que') THEN 1 ELSE 0 END) AS s_es,
+              sum(CASE WHEN word IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS s_de
+            FROM t GROUP BY doc_id),
+      lang AS (SELECT doc_id,
+                 CASE WHEN s_en >= greatest(s_es, s_de) THEN 'en'
+                      WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang
+               FROM a),
+      keep AS (SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+                      max(n_toks) AS n_toks
+               FROM (SELECT doc_id, text,
+                            len(string_split(text, ' ')) AS n_toks
+                     FROM documents)
+               WHERE n_toks BETWEEN 5 AND 1000
+               GROUP BY text)
+      SELECT pred_lang,
+             n_toks // 20 AS len_bucket,
+             count(*) AS n_docs,
+             CAST(sum(n_copies - 1) AS BIGINT) AS n_dupes_removed,
+             CAST(sum(n_toks) AS BIGINT) AS total_tokens
+      FROM keep JOIN lang ON keep.keep_id = lang.doc_id
+      GROUP BY pred_lang, len_bucket ORDER BY pred_lang, len_bucket""",
     "q77_simhash_pairs" -> simhashPairsOracle,
     "q46_ann_lsh" -> annOracle,
     "q70_ann_ivf" -> ivfOracle,
