@@ -165,13 +165,22 @@ object Bitemporal {
       .withColumn("_nvf", lead(col("_vf"), 1).over(w))
       .withColumn("_nsys", lead(col("_sys"), 1).over(w))
     val sent = lit(SentinelMicros)
-    val r1 = x.filter(col("_op") === Put && coalesce(col("_nsys"), sent) > col("_sys"))
-      .select(col("_id"), col("_p"), col("_vf"), sent.as("_vt"),
-        col("_sys").as("_sf"), coalesce(col("_nsys"), sent).as("_st"))
-    val r2 = x.filter(col("_op") === Put && col("_nvf").isNotNull && col("_nvf") > col("_vf"))
-      .select(col("_id"), col("_p"), col("_vf"), col("_nvf").as("_vt"),
-        col("_nsys").as("_sf"), sent.as("_st"))
-    unpack(r1.unionByName(r2))
+    // One pass: each put yields ≤2 rectangles (its own system interval +
+    // the remnant closed by the successor's valid-from). A union of two
+    // filtered branches would re-run the scan+shuffle+window per branch
+    // (Catalyst has no cross-branch CSE) — struct-explode keeps the fold
+    // at exactly one shuffle.
+    def rect(vf: Column, vt: Column, sf: Column, st: Column) =
+      struct(vf.as("_vf"), vt.as("_vt"), sf.as("_sf"), st.as("_st"))
+    unpack(x.filter(col("_op") === Put)
+      .select(col("_id"), col("_p"), explode(array_compact(array(
+        when(coalesce(col("_nsys"), sent) > col("_sys"),
+          rect(col("_vf"), sent, col("_sys"), coalesce(col("_nsys"), sent))),
+        when(col("_nvf").isNotNull && col("_nvf") > col("_vf"),
+          rect(col("_vf"), col("_nvf"), col("_nsys"), sent))))).as("_r"))
+      .select(col("_id"), col("_p"), col("_r._vf").as("_vf"),
+        col("_r._vt").as("_vt"), col("_r._sf").as("_sf"),
+        col("_r._st").as("_st")))
   }
 
   /** Bitemporal visibility filter — the reference's *basis*
