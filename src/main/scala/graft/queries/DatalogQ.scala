@@ -81,6 +81,26 @@ object DatalogQ {
         .orderBy("c")
     }),
 
+    // or-join: disjunctive branches unified on the bound var ?c —
+    // customers that are high-balance OR in the AUTOMOBILE segment —
+    // {:find [?c ?name]
+    //  :where [[?c :c_name ?name]
+    //          (or-join [?c]
+    //            (and [?c :c_acctbal ?bal] [(> ?bal 9000)])
+    //            [?c :c_mktsegment "AUTOMOBILE"])]}
+    "q88_datalog_orjoin" -> ((s, dir) => {
+      Datalog.run(Query(
+        find = Seq(FVar("c"), FVar("name")),
+        where = Seq(
+          Triple(V("c"), "c_name", V("name")),
+          OrJoin(Seq("c"), Seq(
+            Seq(Triple(V("c"), "c_acctbal", V("bal")),
+              Pred(Seq("bal"), vs => vs.head > 9000.0)),
+            Seq(Triple(V("c"), "c_mktsegment", C("AUTOMOBILE"))))))),
+        attrs(s, dir))
+        .orderBy("c")
+    }),
+
     // recursive rule → fixpoint: reachability over a derived edge
     // relation (nation n → (n*7+1) mod 25) from node 0 —
     // {:find [?x] :where [(reach ?x)]
@@ -125,6 +145,11 @@ object DatalogQ {
       SELECT c_custkey AS c,
              to_json(struct_pack(c_name := c_name, c_nationkey := c_nationkey)) AS doc
       FROM customer WHERE c_acctbal > 9950.0 ORDER BY c""",
+
+    "q88_datalog_orjoin" -> """
+      SELECT c_custkey AS c, c_name AS name FROM customer
+      WHERE c_acctbal > 9000.0 OR c_mktsegment = 'AUTOMOBILE'
+      ORDER BY c""",
 
     "q58_datalog_recursion" -> """
       WITH RECURSIVE e AS (
