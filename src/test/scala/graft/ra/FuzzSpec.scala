@@ -37,6 +37,7 @@ class FuzzSpec extends AnyFunSuite {
   private case class JoinA(p1: Plan, p2: Plan) extends Plan // equi on "a"
   private case class SemiA(p1: Plan, p2: Plan, anti: Boolean) extends Plan // on "a"
   private case class AggA(p: Plan, valCol: Int) extends Plan // group by "a"
+  private case class BagOp(p1: Plan, p2: Plan, inter: Boolean) extends Plan // ALL set ops
 
   private def colsOf(p: Plan): Vector[String] = p match {
     case Base(0) => t1.cols
@@ -49,6 +50,7 @@ class FuzzSpec extends AnyFunSuite {
       colsOf(l) ++ colsOf(r).filterNot(_ == "a").map("r_" + _)
     case SemiA(l, _, _) => colsOf(l)
     case AggA(_, _) => Vector("a", "cnt", "tot")
+    case BagOp(q, _, _) => colsOf(q)
   }
 
   // ---- naive evaluator (independent of Spark) -------------------------
@@ -90,6 +92,17 @@ class FuzzSpec extends AnyFunSuite {
       rl.copy(rows = rl.rows.filter(row =>
         row(li).exists(rKeys.contains) != anti &&
           (anti || row(li).isDefined)))
+    case BagOp(q1, q2, inter) =>
+      // bag semantics, NULL-safe row equality (None == None):
+      // INTERSECT ALL keeps min(n1, n2) copies, EXCEPT ALL max(0, n1-n2)
+      val (r1, r2) = (evalNaive(q1), evalNaive(q2))
+      val c2 = r2.rows.groupBy(identity).view.mapValues(_.size).toMap
+      val seen = scala.collection.mutable.Map.empty[Row, Int]
+      r1.copy(rows = r1.rows.filter { row =>
+        val u = seen.getOrElse(row, 0)
+        seen(row) = u + 1
+        if (inter) u < c2.getOrElse(row, 0) else u >= c2.getOrElse(row, 0)
+      })
     case AggA(q, vc) =>
       val r = evalNaive(q)
       val (ai, vi) = (r.cols.indexOf("a"), vc % r.cols.length)
@@ -135,6 +148,9 @@ class FuzzSpec extends AnyFunSuite {
       val dr = evalSpark(r).select(col("a").as("_ra"))
       RA.join(dl, dr, dl("a") === col("_ra"),
         if (anti) "left_anti" else "left_semi")
+    case BagOp(q1, q2, inter) =>
+      if (inter) evalSpark(q1).intersectAll(evalSpark(q2))
+      else evalSpark(q1).exceptAll(evalSpark(q2))
     case AggA(q, vc) =>
       val df = evalSpark(q)
       val v = col(df.columns(vc % df.columns.length))
@@ -145,7 +161,13 @@ class FuzzSpec extends AnyFunSuite {
   // ---- generator ------------------------------------------------------
   private def genPlan(rnd: scala.util.Random, depth: Int): Plan = {
     if (depth == 0) Base(rnd.nextInt(2))
-    else rnd.nextInt(8) match {
+    else rnd.nextInt(9) match {
+      case 8 =>
+        // second operand = a filtered variant of the first: identical
+        // schema, overlapping-but-different bag -> non-trivial ALL ops
+        val q = genPlan(rnd, depth - 1)
+        BagOp(q, Filt(q, rnd.nextInt(4), rnd.nextInt(3), rnd.nextInt(5)),
+          rnd.nextBoolean())
       case 6 =>
         val l = genPlan(rnd, depth - 1)
         val r = genPlan(rnd, depth - 1)
