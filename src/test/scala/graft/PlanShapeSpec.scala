@@ -39,6 +39,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q52 (append-only fold): ONE scan and ONE window — no cross-branch re-compute") {
+    val p = plan("q52_bitemp_fold")
+    def count(needle: String) =
+      p.sliding(needle.length).count(_ == needle)
+    assert(count("Scan parquet") == 1, p)
+    assert(count("Window") == 1, p)
+    assert(!p.contains("Union"), p)
+  }
+
   test("q41/q42 (near-dup): candidate generation is equi-join, never cartesian") {
     Seq("q41_dedup_minhash", "q42_ngram_jaccard").foreach { q =>
       val p = plan(q)
