@@ -24,15 +24,53 @@ object Bench {
       case Some(p) => val pats = p.split(','); n => pats.exists(n.contains)
       case None => _ => true
     }
-    val results = SparkEntry.queries.filter(e => keep(e._1)).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Each query runs twice: the COLD pass (fresh plan: analysis +
+    // codegen + execution) is the headline number, comparable to prior
+    // rounds; the WARM pass re-executes the identical plan so codegen/
+    // JIT noise is visible per query instead of polluting comparisons.
+    // Failures are RECORDED, never swallowed — a broken query must not
+    // bench as ~0 s and flatter the total.
+    final case class R(cold: Double, warm: Double, err: Option[String])
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results: Seq[(String, R)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).filter(e => keep(e._1)).map {
+        case (name, fn) =>
+          val r =
+            try {
+              val cold = time(run(fn(spark, sfDir)))
+              val warm = time(run(fn(spark, sfDir)))
+              R(cold, warm, None)
+            } catch {
+              case e: Throwable =>
+                R(-1.0, -1.0, Some(s"${e.getClass.getSimpleName}: " +
+                  Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\n\r\t]", " ")
+                    .take(200)))
+            }
+          name -> r
+      }
+    def j(d: Double) = if (d < 0) "null" else f"$d%.3f"
+    val qs = results.map { case (k, r) => s"\"$k\":${j(r.cold)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val warm = results.map { case (k, r) => s"\"$k\":${j(r.warm)}" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, R(_, _, Some(e))) => s"\"$k\":\"$e\"" }
+      .mkString("{", ",", "}")
+    val ok = results.filter(_._2.err.isEmpty)
+    val total = ok.map(_._2.cold).sum
+    val totalWarm = ok.map(_._2.warm).sum
+    val json =
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,""" +
+        s""""warm":$warm,"warm_total":${j(totalWarm)},"errors":$errs,""" +
+        s""""n_ok":${ok.size},"n_err":${results.size - ok.size},"sf":"$sfDir"}"""
+    println(json)
+    // stdout alone is lossy (prior rounds' captured tails truncated
+    // mid-dict) — persist the full artifact too.
+    val out = java.nio.file.Paths.get("target")
+    java.nio.file.Files.createDirectories(out)
+    java.nio.file.Files.write(out.resolve("bench_last.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -161,9 +161,20 @@ object Bitemporal {
         lit("foldAppendOnly contract: no erase ops, unbounded valid-to " +
           "only — use Bitemporal.fold for the general case")), lit(true)))
     val w = Window.partitionBy(col("_id")).orderBy(col("_sys"), col("_tx"))
+    // The third contract condition — _valid_from nondecreasing per id —
+    // is checked in the SAME window pass (lag over the identical spec
+    // costs nothing extra): an out-of-order put is clipped only by its
+    // lead, never by earlier overlapping ops, i.e. wrong rectangles.
     val x = p
       .withColumn("_nvf", lead(col("_vf"), 1).over(w))
       .withColumn("_nsys", lead(col("_sys"), 1).over(w))
+      .withColumn("_pvf", lag(col("_vf"), 1).over(w))
+      .filter(coalesce(assert_true(
+        col("_pvf").isNull || col("_vf") >= col("_pvf"),
+        lit("foldAppendOnly contract: _valid_from must be nondecreasing " +
+          "per id in (_system_from, _tx_id) order — use Bitemporal.fold " +
+          "for out-of-order valid time")), lit(true)))
+      .drop("_pvf")
     val sent = lit(SentinelMicros)
     // One pass: each put yields ≤2 rectangles (its own system interval +
     // the remnant closed by the successor's valid-from). A union of two

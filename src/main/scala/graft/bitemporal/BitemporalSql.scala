@@ -110,13 +110,20 @@ object BitemporalSql {
       }
     }
     // any remaining BARE reference (incl. a table also used WITH a
-    // clause elsewhere in the query) serves the current basis. The
-    // rewritten aliases never match: `prices_asof_1` has no word
-    // boundary after `prices`.
+    // clause elsewhere in the query) serves the current basis. Bare
+    // references are rewritten to a GENERATED alias like the clause
+    // path — registering under the raw name would clobber (and then
+    // delete) any pre-existing session temp view of the same name.
+    // The rewritten aliases never re-match: `prices_cur_1` has no word
+    // boundary after `prices` (`_` is a word char).
     tables.foreach { case (name, rects) =>
-      if (rewritten.matches(s"(?is).*\\b$name\\b.*")) {
-        Bitemporal.currentState(rects).createOrReplaceTempView(name)
-        created += name
+      val bare = Pattern.compile(s"(?i)\\b${Pattern.quote(name)}\\b")
+      val bm = bare.matcher(rewritten)
+      if (bm.find()) {
+        val view = s"${name}_cur_${viewId.incrementAndGet()}"
+        Bitemporal.currentState(rects).createOrReplaceTempView(view)
+        created += view
+        rewritten = bm.replaceAll(java.util.regex.Matcher.quoteReplacement(view))
       }
     }
     // spark.sql analyzes eagerly, so the returned plan is bound to the

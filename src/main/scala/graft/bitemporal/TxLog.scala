@@ -68,8 +68,17 @@ final class TxLog(val dir: String) {
     * system-from date for partition-pruned time travel. Returns the last
     * folded tx id (readers union base + `read(spark, lastTx)` tail). */
   def compact(spark: SparkSession, payloadCols: Seq[String]): Long = {
-    val log = read(spark)
-    val last = txFiles().size - 1L
+    // One directory listing: the returned id is the max tx id of the
+    // files actually folded. A second listing (or size-1 with id gaps)
+    // could report a tx as compacted that the fold never saw — readAll
+    // would then silently drop its effects until the next compact.
+    val files = txFiles()
+    require(files.nonEmpty, s"empty tx log at $logDir")
+    val last = files
+      .map(_.getFileName.toString.stripPrefix("tx_").stripSuffix(".parquet").toLong)
+      .max
+    val log = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(_.toString): _*)
     Bitemporal.fold(log, payloadCols)
       .withColumn("_sys_date", to_date(col("_system_from")))
       .write.mode("overwrite").partitionBy("_sys_date")

@@ -77,10 +77,17 @@ object Datalog {
   /** Entity tables → attribute sources: every non-id column `c` of
     * `table` (id column `idCol`) becomes attribute `c` with `_e = idCol`. */
   def attrsOf(tables: (DataFrame, String)*): AttrSource = {
-    val index: Map[String, (DataFrame, String)] =
-      tables.flatMap { case (df, idCol) =>
-        df.columns.filterNot(_ == idCol).map(c => c -> (df, idCol))
-      }.toMap
+    val pairs = tables.flatMap { case (df, idCol) =>
+      df.columns.filterNot(_ == idCol).map(c => c -> (df, idCol))
+    }
+    // last-wins toMap would silently shadow an attribute shared by two
+    // tables, resolving triples against the wrong relation — require
+    // globally unique attribute names (the document model's namespace)
+    val dups = pairs.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"ambiguous attribute name(s) across entity tables: ${dups.mkString(", ")}" +
+        " — rename the columns (e.g. prefix with the entity type)")
+    val index: Map[String, (DataFrame, String)] = pairs.toMap
     attr => {
       val (df, idCol) = index.getOrElse(attr,
         throw new IllegalArgumentException(s"unknown attribute: $attr"))

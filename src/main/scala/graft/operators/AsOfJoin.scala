@@ -56,8 +56,12 @@ object AsOfJoin {
     // window partitioning would group NULL-key right rows with NULL-key
     // left probes and fill their payloads. NULL-key LEFT rows still
     // emit (with NULL payload), like the left side of an outer join.
+    // NULL right timestamps likewise never satisfy `ts <= probe` (the
+    // comparison is UNKNOWN), but a NULL _t sorts FIRST in the window
+    // and would fill every probe — filter them like the broadcast path.
     val r = right
-      .filter(rightKeys.map(col(_).isNotNull).reduce(_ && _))
+      .filter((rightKeys.map(col(_).isNotNull) :+ col(rightTs).isNotNull)
+        .reduce(_ && _))
       .select(rCols: _*)
 
     val unioned = l.unionByName(r, allowMissingColumns = true)
