@@ -46,10 +46,23 @@ object Datalog {
   final case class OrJoin(vars: Seq[String], branches: Seq[Seq[Clause]]) extends Clause
   /** rule invocation, possibly recursive. */
   final case class RuleCall(name: String, args: Seq[Term]) extends Clause
+  /** subquery clause `(q {:find … :where …} ?in…)` destructured to `bind`
+    * names. Decorrelated set-oriented evaluation — the sub-query runs
+    * ONCE, seeded with the DISTINCT outer bindings of `inVars`;
+    * aggregates in the sub-`:find` group per in-binding; results
+    * natural-join back on the in vars (no per-outer-row re-execution —
+    * the Spark-shaped equivalent of the reference planner's subquery
+    * decorrelation, SURVEY.md §4). Outer rows with an empty sub-result
+    * drop, the reference's relational-binding semantics. */
+  final case class SubQuery(find: Seq[Find], where: Seq[Clause],
+                            inVars: Seq[String], bind: Seq[String]) extends Clause
 
   /** One rule: named, with parameter list and one or more bodies
-    * (bodies union). A body may recursively call its own rule (linear
-    * recursion) — compiled through the fixpoint operator. */
+    * (bodies union). Bodies may call their own rule or other rules
+    * recursively — linear, NON-LINEAR (two self-calls) and MUTUAL
+    * recursion all compile via multi-relation semi-naive fixpoint
+    * ([[graft.ra.RA.fixpointN]]). Recursion under not-join is rejected
+    * (non-stratified). */
   final case class Rule(name: String, params: Seq[String], bodies: Seq[Seq[Clause]])
 
   /** `:find` element: a variable, an aggregate over one, or a pull. */
@@ -131,21 +144,20 @@ object Datalog {
       }: _*)
     } else if (aggs.isEmpty) rel.select(keys.map(col): _*)
     else {
-      val aggCols = aggs.map { a =>
-        val c = col(a.v)
-        (a.fn match {
-          case "count" => count(c)
-          case "count-distinct" => count_distinct(c)
-          case "sum" => sum(c)
-          case "avg" => avg(c)
-          case "min" => min(c)
-          case "max" => max(c)
-          case other => throw new IllegalArgumentException(s"agg: $other")
-        }).as(a.as)
-      }
+      val aggCols = aggs.map(a => aggFn(a.fn, col(a.v)).as(a.as))
       RA.groupBy(rel, keys.map(col), aggCols)
         .select((keys.map(col) ++ aggs.map(a => col(a.as))): _*)
     }
+  }
+
+  private def aggFn(fn: String, c: Column): Column = fn match {
+    case "count" => count(c)
+    case "count-distinct" => count_distinct(c)
+    case "sum" => sum(c)
+    case "avg" => avg(c)
+    case "min" => min(c)
+    case "max" => max(c)
+    case other => throw new IllegalArgumentException(s"agg: $other")
   }
 
   /** Compile a conjunction into a DataFrame whose columns are the bound
@@ -216,65 +228,185 @@ object Datalog {
       case RuleCall(name, args) =>
         val rule = rules.getOrElse(name,
           throw new IllegalArgumentException(s"unknown rule: $name"))
-        val rel = compileRule(rule, attrs, rules)
-        // unify rule params with call-site args
-        var r = rel.toDF(rule.params: _*)
-        args.zip(rule.params).foreach {
-          case (C(value), p) => r = r.filter(col(p) === lit(value))
-          case (V(n), p) => if (n != p) r = r.withColumnRenamed(p, n)
-        }
-        val outCols = args.collect { case V(n) => n }
-        val proj = r.select(outCols.map(col): _*)
+        val proj = bindCall(compileRule(rule, attrs, rules), rule.params, args)
         acc.fold(proj)(naturalJoin(_, proj))
+
+      case SubQuery(find, where, inVars, bind) =>
+        require(find.length == bind.length,
+          "subquery: bind arity must match :find arity")
+        val a = acc.getOrElse(
+          throw new IllegalArgumentException("subquery before any pattern"))
+        val seed =
+          if (inVars.isEmpty) None
+          else Some(a.select(inVars.map(col): _*).distinct())
+        val rel = compileClauses(where, attrs, rules, seed)
+        val aggs = find.collect { case x: FAgg => x }
+        val computed =
+          if (aggs.isEmpty) rel
+          else {
+            // aggregates group per in-binding (and per sub-:find var) —
+            // the decorrelated form of "the subquery runs per outer row"
+            val keys = (inVars ++ find.collect { case FVar(n) => n }).distinct
+            RA.groupBy(rel, keys.map(col), aggs.map(x => aggFn(x.fn, col(x.v)).as(x.as)))
+          }
+        val outCols = inVars.map(col) ++ find.zip(bind).map {
+          case (FVar(n), b) => col(n).as(b)
+          case (FAgg(_, _, as), b) => col(as).as(b)
+          case (_: FPull, _) =>
+            throw new IllegalArgumentException("subquery: pull not supported")
+        }
+        naturalJoin(a, computed.select(outCols: _*).distinct())
+
+      case FrontierClause(rel) =>
+        // internal marker, only valid inside compileFrontierBody
+        acc.fold(rel)(naturalJoin(_, rel))
     }
+
+  /** Unify a compiled rule relation's params with call-site args:
+    * constants filter, repeated variables unify (equality), the rest
+    * rename; projects to the call's distinct variable names. */
+  private def bindCall(rel: DataFrame, params: Seq[String], args: Seq[Term]): DataFrame = {
+    require(args.length == params.length,
+      s"rule call arity ${args.length} != params ${params.length}")
+    // temp names avoid collisions between param names and arg var names
+    var r = rel.toDF(params.map("_arg_" + _): _*)
+    args.zip(params).foreach { case (a, p0) =>
+      val p = "_arg_" + p0
+      a match {
+        case C(value) => r = r.filter(col(p) === lit(value))
+        case V(n) =>
+          // repeated var across args, e.g. (sg ?x ?x): unify by equality
+          if (r.columns.contains(n)) r = r.filter(col(p) === col(n)).drop(p)
+          else r = r.withColumnRenamed(p, n)
+      }
+    }
+    r.select(args.collect { case V(n) => n }.distinct.map(col): _*)
+  }
+
+  /** All rule names invoked anywhere in `clauses`, including nested
+    * not-join / or-join / subquery bodies. */
+  private def callsIn(clauses: Seq[Clause]): Seq[String] = clauses.flatMap {
+    case RuleCall(n, _) => Seq(n)
+    case NotJoin(_, sub) => callsIn(sub)
+    case OrJoin(_, branches) => branches.flatMap(callsIn)
+    case SubQuery(_, where, _, _) => callsIn(where)
+    case _ => Nil
+  }
+
+  /** The strongly-connected component of `entry` in the rule-call graph
+    * — empty iff `entry` is not (self- or mutually) recursive. */
+  private def sccOf(entry: String, rules: Map[String, Rule]): Set[String] = {
+    val direct: Map[String, Set[String]] = rules.map { case (n, r) =>
+      n -> r.bodies.flatMap(callsIn).toSet.intersect(rules.keySet)
+    }
+    def reach(from: String): Set[String] = {
+      var seen = Set.empty[String]
+      var stack = direct.getOrElse(from, Set.empty).toList
+      while (stack.nonEmpty) {
+        val h = stack.head; stack = stack.tail
+        if (!seen(h)) { seen += h; stack = direct.getOrElse(h, Set.empty).toList ::: stack }
+      }
+      seen
+    }
+    val fromEntry = reach(entry)
+    if (!fromEntry(entry)) Set.empty
+    else fromEntry.filter(n => reach(n)(entry))
+  }
 
   /** Compile a (possibly recursive) rule to a relation of its params.
-    * Bodies that call the rule itself are the recursive step (linear
-    * recursion, semi-naive via RA.fixpoint); the rest are the base. */
+    * Non-recursive rules are plain body unions. Recursive rules compile
+    * with their whole strongly-connected component through
+    * [[RA.fixpointN]] — covering linear, non-linear (several self-calls
+    * per body) and mutually recursive rule sets. */
   private def compileRule(rule: Rule, attrs: AttrSource,
                           rules: Map[String, Rule]): DataFrame = {
-    def isRec(b: Seq[Clause]) = b.exists {
-      case RuleCall(n, _) => n == rule.name
-      case _ => false
-    }
-    val (recBodies, baseBodies) = rule.bodies.partition(isRec)
-    require(baseBodies.nonEmpty, s"rule ${rule.name}: no non-recursive body")
-    // Non-linear recursion (two self-calls in one body) would need
-    // (delta × all) ∪ (all × delta) semi-naive deltas; substituting the
-    // frontier for BOTH calls silently loses old×new derivations —
-    // reject instead of returning an incomplete fixpoint.
-    recBodies.foreach { b =>
-      val selfCalls = b.count {
-        case RuleCall(n, _) => n == rule.name
+    val group = sccOf(rule.name, rules)
+    if (group.isEmpty)
+      rule.bodies.map(b => compileClauses(b, attrs, rules - rule.name)
+          .select(rule.params.map(col): _*))
+        .reduce(_ unionByName _).distinct()
+    else compileScc(group.toSeq.sorted, attrs, rules)(rule.name)
+  }
+
+  /** Semi-naive evaluation of one strongly-connected set of rules:
+    * per iteration, each recursive body expands to ONE VARIANT PER
+    * recursive-call position — that position reads the callee's DELTA,
+    * every other recursive call reads the full accumulator — i.e. the
+    * (Δ×all) ∪ (all×Δ) rewriting, so old×new derivations are never
+    * lost. Each variant is a declarative join plan; Catalyst plans every
+    * iteration independently (broadcasts the usually-small delta). */
+  private def compileScc(members: Seq[String], attrs: AttrSource,
+                         rules: Map[String, Rule]): Map[String, DataFrame] = {
+    val inScc = members.toSet
+    // nested calls from inside a not-join would be non-stratified
+    // negation-through-recursion; under or-join/subquery the delta
+    // substitution wouldn't be a plain conjunction — reject all three
+    // loudly (lift the recursion into its own rule body instead).
+    val outerRules = rules -- inScc
+    val parts = members.map { n =>
+      val r = rules(n)
+      r.bodies.foreach(_.foreach {
+        case NotJoin(_, sub) => require(callsIn(sub).forall(!inScc(_)),
+          s"rule $n: recursive call under not-join is not stratified")
+        case OrJoin(_, bs) => require(bs.flatMap(callsIn).forall(!inScc(_)),
+          s"rule $n: recursive call under or-join unsupported — lift the " +
+            "branch into its own rule body")
+        case SubQuery(_, w, _, _) => require(callsIn(w).forall(!inScc(_)),
+          s"rule $n: recursive call inside a subquery is unsupported")
+        case _ => ()
+      })
+      val (rec, base) = r.bodies.partition(_.exists {
+        case RuleCall(c, _) => inScc(c)
         case _ => false
-      }
-      require(selfCalls == 1,
-        s"rule ${rule.name}: only linear recursion (one self-call per " +
-          s"body) is supported; found $selfCalls")
+      })
+      (r, base, rec)
+    }
+    require(parts.exists(_._2.nonEmpty),
+      s"recursive rule set ${members.mkString(", ")}: no non-recursive body")
+
+    val bases: Seq[Option[DataFrame]] = parts.map { case (r, base, _) =>
+      if (base.isEmpty) None
+      else Some(base.map(b => compileClauses(b, attrs, outerRules)
+          .select(r.params.map(col): _*))
+        .reduce(_ unionByName _))
     }
 
-    val base = baseBodies.map(b => compileClauses(b, attrs, rules - rule.name)
-        .select(rule.params.map(col): _*))
-      .reduce(_ unionByName _)
-
-    if (recBodies.isEmpty) base.distinct()
-    else RA.fixpoint(base, frontier => {
-      recBodies.map { b =>
-        // replace the self-call clause with the frontier bindings
-        val replaced = b.map {
-          case RuleCall(n, args) if n == rule.name =>
-            var f = frontier.toDF(rule.params: _*)
-            args.zip(rule.params).foreach {
-              case (C(value), p) => f = f.filter(col(p) === lit(value))
-              case (V(n), p) => if (n != p) f = f.withColumnRenamed(p, n)
+    val accs = RA.fixpointN(bases, (accVec, deltaVec) => {
+      val accOf = members.zip(accVec).toMap
+      val deltaOf = members.zip(deltaVec).toMap
+      parts.map { case (r, _, recBodies) =>
+        val variants = recBodies.flatMap { b =>
+          val recPositions = b.zipWithIndex.collect {
+            case (RuleCall(n, _), i) if inScc(n) => i
+          }
+          recPositions.flatMap { di =>
+            // resolve every recursive call; a variant referencing a
+            // relation with no facts yet contributes nothing — skip it
+            val resolved = b.zipWithIndex.foldLeft(
+              Option(Vector.empty[Clause])) {
+              case (None, _) => None
+              case (Some(cs), (RuleCall(n, cargs), i)) if inScc(n) =>
+                (if (i == di) deltaOf(n) else accOf(n))
+                  .map(rel => cs :+ FrontierClause(
+                    bindCall(rel, rules(n).params, cargs)))
+              case (Some(cs), (other, _)) => Some(cs :+ other)
             }
-            FrontierClause(f.select(args.collect { case V(n) => n }.map(col): _*))
-          case other => other
+            resolved.map(cs => compileFrontierBody(cs, attrs, outerRules)
+              .select(r.params.map(col): _*))
+          }
         }
-        compileFrontierBody(replaced, attrs, rules - rule.name)
-          .select(rule.params.map(col): _*)
-      }.reduce(_ unionByName _)
+        if (variants.isEmpty) None else Some(variants.reduce(_ unionByName _))
+      }
     })
+    members.zip(accs).map {
+      case (n, Some(rel)) => n -> rel
+      case (n, None) =>
+        // a member that never derived facts: the empty relation (typed
+        // columns are unknowable in the schemaless model; NullType
+        // columns join to nothing, which is exactly the semantics)
+        val spark = org.apache.spark.sql.SparkSession.active
+        n -> spark.range(0).select(rules(n).params.map(p => lit(null).as(p)): _*)
+    }.toMap
   }
 
   /** internal marker: a pre-compiled relation injected into a body. */

@@ -122,6 +122,87 @@ object DatalogQ {
             Triple(V("e"), "src", V("y")), Triple(V("e"), "dst", V("x"))))))),
         attrSrc)
         .orderBy("x")
+    }),
+
+    // NON-LINEAR recursion — two self-calls in one body:
+    //   path(x,y) :- edge(x,y).
+    //   path(x,y) :- path(x,z), path(z,y).
+    // compiled via the (Δ×all)∪(all×Δ) semi-naive expansion
+    // (RA.fixpointN); answer = full transitive closure, identical to the
+    // linear formulation the DuckDB oracle uses —
+    // {:find [?x ?y] :where [(path ?x ?y)]
+    //  :rules [[(path ?x ?y) [?e :src ?x] [?e :dst ?y]]
+    //          [(path ?x ?y) (path ?x ?z) (path ?z ?y)]]}
+    "q89_datalog_nonlinear" -> ((s, dir) => {
+      import s.implicits._
+      val edges = T(s, dir, "nation").select(
+        $"n_nationkey".cast("long").as("edge_id"),
+        $"n_nationkey".cast("long").as("src"),
+        (($"n_nationkey" * 7 + 1) % 25).cast("long").as("dst"))
+      val attrSrc = Datalog.attrsOf((edges, "edge_id"))
+      Datalog.run(Query(
+        find = Seq(FVar("x"), FVar("y")),
+        where = Seq(RuleCall("path", Seq(V("x"), V("y")))),
+        rules = Seq(Rule("path", Seq("x", "y"), Seq(
+          Seq(Triple(V("e"), "src", V("x")), Triple(V("e"), "dst", V("y"))),
+          Seq(RuleCall("path", Seq(V("x"), V("z"))),
+            RuleCall("path", Seq(V("z"), V("y")))))))),
+        attrSrc)
+        .orderBy("x", "y")
+    }),
+
+    // MUTUAL recursion over the successor chain n → n+1 (n = 0..24):
+    //   even(0).  even(x) :- odd(y), succ(y,x).  odd(x) :- even(y), succ(y,x).
+    // `odd` has NO base body — it derives only from `even`'s deltas; the
+    // two rules evaluate together as one strongly-connected component —
+    // {:find [?x] :where [(even ?x)]
+    //  :rules [[(even ?x) [?e :s_from ?x] [(= ?x 0)]]
+    //          [(even ?x) (odd ?y)  [?e :s_from ?y] [?e :s_to ?x]]
+    //          [(odd ?x)  (even ?y) [?e :s_from ?y] [?e :s_to ?x]]]}
+    "q90_datalog_mutual" -> ((s, dir) => {
+      import s.implicits._
+      val succ = T(s, dir, "nation").select(
+        $"n_nationkey".cast("long").as("succ_id"),
+        $"n_nationkey".cast("long").as("s_from"),
+        ($"n_nationkey" + 1).cast("long").as("s_to"))
+      val attrSrc = Datalog.attrsOf((succ, "succ_id"))
+      Datalog.run(Query(
+        find = Seq(FVar("x")),
+        where = Seq(RuleCall("even", Seq(V("x")))),
+        rules = Seq(
+          Rule("even", Seq("x"), Seq(
+            Seq(Triple(V("e"), "s_from", V("x")),
+              Pred(Seq("x"), vs => vs.head === 0L)),
+            Seq(RuleCall("odd", Seq(V("y"))),
+              Triple(V("e"), "s_from", V("y")), Triple(V("e"), "s_to", V("x"))))),
+          Rule("odd", Seq("x"), Seq(
+            Seq(RuleCall("even", Seq(V("y"))),
+              Triple(V("e"), "s_from", V("y")), Triple(V("e"), "s_to", V("x"))))))),
+        attrSrc)
+        .orderBy("x")
+    }),
+
+    // subquery clause — per-nation max customer balance via a
+    // decorrelated sub-:find aggregate, then nations whose max-balance
+    // customer count is wanted alongside the name —
+    // {:find [?nname ?mx]
+    //  :where [[?n :n_name ?nname]
+    //          [(q {:find [(max ?bal)] :in [?n]
+    //               :where [[?c :c_nationkey ?n] [?c :c_acctbal ?bal]]})
+    //           ?mx]]}
+    "q91_datalog_subquery" -> ((s, dir) => {
+      Datalog.run(Query(
+        find = Seq(FVar("nname"), FVar("mx")),
+        where = Seq(
+          Triple(V("n"), "n_name", V("nname")),
+          SubQuery(
+            find = Seq(FAgg("max", "bal", "mx")),
+            where = Seq(
+              Triple(V("c"), "c_nationkey", V("n")),
+              Triple(V("c"), "c_acctbal", V("bal"))),
+            inVars = Seq("n"), bind = Seq("mx")))),
+        attrs(s, dir))
+        .orderBy("nname")
     })
   )
 
@@ -159,6 +240,28 @@ object DatalogQ {
       reach(x) AS (
         SELECT dst FROM e WHERE src = 0
         UNION SELECT e.dst FROM reach JOIN e ON e.src = reach.x)
-      SELECT x FROM reach ORDER BY x"""
+      SELECT x FROM reach ORDER BY x""",
+
+    // non-linear datalog closure == linear SQL closure (same fixpoint)
+    "q89_datalog_nonlinear" -> """
+      WITH RECURSIVE e AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS src,
+               CAST((n_nationkey * 7 + 1) % 25 AS BIGINT) AS dst
+        FROM nation),
+      path(x, y) AS (
+        SELECT src, dst FROM e
+        UNION SELECT p.x, e.dst FROM path p JOIN e ON e.src = p.y)
+      SELECT x, y FROM path ORDER BY x, y""",
+
+    // even/odd over the 0..24 successor chain: evens are exactly the
+    // even keys (25 exists only as odd(25), not in the find)
+    "q90_datalog_mutual" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS x FROM nation
+      WHERE n_nationkey % 2 = 0 ORDER BY x""",
+
+    "q91_datalog_subquery" -> """
+      SELECT n_name AS nname, max(c_acctbal) AS mx
+      FROM nation JOIN customer ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY nname"""
   )
 }

@@ -194,4 +194,65 @@ object RA {
       acc
     } finally spark.conf.set(confKey, oldConf)
   }
+
+  /** Multi-relation semi-naive fixpoint (μ over a vector of relations) —
+    * the general engine for MUTUALLY recursive and NON-LINEAR datalog
+    * rules, where [[fixpoint]]'s single accumulator can't represent the
+    * state. `None` stands for a relation with no facts yet (a rule with
+    * no base body derives only from other members' deltas), avoiding
+    * fabricated empty schemas.
+    *
+    * `step(accs, deltas)` must return, per relation, the facts derivable
+    * using AT LEAST ONE delta — the caller implements the
+    * (Δ×all) ∪ (all×Δ) expansion per rule body; this driver handles
+    * dedup (`distinct`), novelty (`except acc`), accumulation, lineage
+    * truncation (`localCheckpoint` — plans would otherwise grow
+    * exponentially across iterations) and convergence. Distributed
+    * throughout: each iteration is union/distinct/except jobs, no
+    * driver-side data beyond the per-relation emptiness probe. */
+  def fixpointN(bases: Seq[Option[DataFrame]],
+                step: (Seq[Option[DataFrame]], Seq[Option[DataFrame]]) => Seq[Option[DataFrame]],
+                maxIter: Int = 100): Seq[Option[DataFrame]] = {
+    require(bases.exists(_.nonEmpty),
+      "fixpointN: at least one relation needs base facts")
+    def fresh(df: DataFrame): DataFrame =
+      df.select(df.columns.map(c => col(c).as(c)): _*)
+    // Same constraint-propagation scope-disable as [[fixpoint]] (stale
+    // snapshot constraints on localCheckpoint'd set-op plans).
+    val spark = bases.flatten.head.sparkSession
+    val confKey = "spark.sql.constraintPropagation.enabled"
+    val oldConf = spark.conf.get(confKey, "true")
+    spark.conf.set(confKey, "false")
+    try {
+      var accs = bases.map(_.map(_.distinct().localCheckpoint()))
+      var deltas = accs
+      var i = 0
+      var done = false
+      while (!done && i < maxIter) {
+        val derived = step(accs, deltas)
+        require(derived.length == accs.length, "fixpointN: step arity mismatch")
+        val next = accs.zip(derived).map { case (accOpt, dOpt) =>
+          dOpt.map { d =>
+            val novel = accOpt.fold(fresh(d.distinct()))(acc =>
+              fresh(d.distinct()).except(acc))
+            novel.localCheckpoint()
+          }.filter(n => !n.isEmpty)
+        }
+        if (next.forall(_.isEmpty)) done = true
+        else {
+          accs = accs.zip(next).map {
+            case (accOpt, Some(n)) =>
+              Some(accOpt.fold(n)(a => a.union(fresh(n)).localCheckpoint()))
+            case (accOpt, None) => accOpt
+          }
+          deltas = next
+        }
+        i += 1
+      }
+      if (!done)
+        throw new IllegalStateException(
+          s"fixpointN: no convergence after $maxIter iterations")
+      accs
+    } finally spark.conf.set(confKey, oldConf)
+  }
 }

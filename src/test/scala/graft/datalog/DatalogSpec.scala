@@ -111,15 +111,71 @@ class DatalogSpec extends AnyFunSuite {
     assert(got == Set(Seq(9L)))
   }
 
-  test("non-linear recursive rules are rejected, not silently truncated") {
+  test("non-linear recursion: two self-calls per body compute the full closure") {
+    // path(x,y) :- parent(x,y).  path(x,y) :- path(x,z), path(z,y).
     val nonLinear = Rule("path", Seq("x", "y"), Seq(
       Seq(Triple(V("x"), "parent", V("y"))),
       Seq(RuleCall("path", Seq(V("x"), V("z"))),
         RuleCall("path", Seq(V("z"), V("y"))))))
+    val got = rows(Query(Seq(FVar("x"), FVar("y")),
+      Seq(RuleCall("path", Seq(V("x"), V("y")))), Seq(nonLinear)))
+    assert(got == Set(
+      Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 2L), Seq(4L, 1L)))
+  }
+
+  test("mutual recursion: SCC with a base-less member evaluates together") {
+    // anc1(d,a) :- parent(d,a).   anc1(d,a) :- anc2(d,m), parent(m,a).
+    // anc2(d,a) :- anc1(d,a).     (anc2 has NO base body)
+    val anc1 = Rule("anc1", Seq("d", "a"), Seq(
+      Seq(Triple(V("d"), "parent", V("a"))),
+      Seq(RuleCall("anc2", Seq(V("d"), V("m"))),
+        Triple(V("m"), "parent", V("a")))))
+    val anc2 = Rule("anc2", Seq("d", "a"), Seq(
+      Seq(RuleCall("anc1", Seq(V("d"), V("a"))))))
+    val got = rows(Query(Seq(FVar("x"), FVar("y")),
+      Seq(RuleCall("anc1", Seq(V("x"), V("y")))), Seq(anc1, anc2)))
+    assert(got == Set(
+      Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 2L), Seq(4L, 1L)))
+  }
+
+  test("recursion under not-join is rejected as non-stratified") {
+    val bad = Rule("r", Seq("x"), Seq(
+      Seq(Triple(V("x"), "parent", V("p"))),
+      Seq(RuleCall("r", Seq(V("y"))),
+        Triple(V("x"), "parent", V("y")),
+        NotJoin(Seq("x"), Seq(RuleCall("r", Seq(V("x"))))))))
     assertThrows[IllegalArgumentException] {
-      Datalog.run(Query(Seq(FVar("x"), FVar("y")),
-        Seq(RuleCall("path", Seq(V("x"), V("y")))), Seq(nonLinear)), attrs)
+      Datalog.run(Query(Seq(FVar("x")),
+        Seq(RuleCall("r", Seq(V("x")))), Seq(bad)), attrs)
     }
+  }
+
+  test("subquery: decorrelated aggregate per in-binding") {
+    // max child age per parent
+    val q = Query(
+      find = Seq(FVar("p"), FVar("mx")),
+      where = Seq(
+        Triple(V("c0"), "parent", V("p")),
+        SubQuery(
+          find = Seq(FAgg("max", "a", "mx")),
+          where = Seq(Triple(V("c"), "parent", V("p")),
+            Triple(V("c"), "age", V("a"))),
+          inVars = Seq("p"), bind = Seq("mx"))))
+    assert(rows(q) == Set(Seq(1L, 11), Seq(2L, 2)))
+  }
+
+  test("subquery: relational (non-aggregate) results join back on in vars") {
+    // per person: their grandchildren via a nested two-hop subquery
+    val q = Query(
+      find = Seq(FVar("gp"), FVar("gc")),
+      where = Seq(
+        Triple(V("gp"), "name", V("_n")),
+        SubQuery(
+          find = Seq(FVar("g")),
+          where = Seq(Triple(V("k"), "parent", V("gp")),
+            Triple(V("g"), "parent", V("k"))),
+          inVars = Seq("gp"), bind = Seq("gc"))))
+    assert(rows(q) == Set(Seq(1L, 4L)))
   }
 
   test("pull fetches entity attributes as a struct, absent -> NULL field") {
