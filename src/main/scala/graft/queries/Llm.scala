@@ -62,9 +62,6 @@ object Llm {
         .orderBy("id_a", "id_b")
     }),
 
-    // dedup clustering: verified near-dup pairs -> connected components
-    // (min-label propagation) -> cluster id + size per doc — the step
-    // that turns pairwise similarity into "keep one canonical doc"
     // end-to-end corpus curation — the composed training-data-prep
     // pipeline the individual operators serve: token-length quality
     // gate → exact dedup (keep lowest doc_id per text) → language-ID
@@ -89,6 +86,9 @@ object Llm {
         .orderBy($"pred_lang", $"len_bucket")
     }),
 
+    // dedup clustering: verified near-dup pairs -> connected components
+    // (min-label propagation) -> cluster id + size per doc — the step
+    // that turns pairwise similarity into "keep one canonical doc"
     "q84_dup_clusters" -> ((s, dir) => {
       import s.implicits._
       val sh = Dedup.shingles(T(s, dir, "documents"), "doc_id", "text", n = 2)
@@ -158,13 +158,19 @@ object Llm {
     }),
 
     // embedding near-dup pairs, blocked by label (equi-join blocking);
-    // norms precomputed once per vector, pairs only pay one dot product
+    // norms precomputed once per vector, pairs only pay one dot product.
+    // The block join is SALTED: label blocking alone leaves one
+    // un-splittable quadratic reducer per hot (Zipfian) label; salting
+    // spreads each label's pair enumeration over `salt` reducers while
+    // emitting the EXACT same pairs (the salt only partitions the work —
+    // right side replicated per salt, each unordered pair matched once)
     "q45_embed_pairs" -> ((s, dir) => {
       import s.implicits._
       val e = embD(s, dir).withColumn("_nrm", Similarity.norm($"v"))
       val a = e.select($"vec_id".as("vec_a"), $"label", $"v".as("va"), $"_nrm".as("_nra"))
       val b = e.select($"vec_id".as("vec_b"), $"label", $"v".as("vb"), $"_nrm".as("_nrb"))
-      a.join(b, Seq("label")).filter($"vec_a" < $"vec_b")
+      graft.ra.RA.saltedJoin(a, b, Seq("label"), salt = 16)
+        .filter($"vec_a" < $"vec_b")
         .withColumn("_cos", Similarity.dot($"va", $"vb") / ($"_nra" * $"_nrb"))
         .filter($"_cos" >= 0.35)
         .select($"label", $"vec_a", $"vec_b", r($"_cos", 4).as("cos"))
@@ -386,8 +392,10 @@ object Llm {
   // Dedup.minhashSignature / Dedup.minhashCandidates
   private val minhashCtes: String = {
     val k = 16; val bands = 8; val rows = k / bands
+    // (ha + i*hb) % p, matching Dedup.minhashSignature's modulus (both
+    // operands non-negative, so DuckDB % == Spark pmod)
     val sigCols = (0 until k)
-      .map(i => s"min(ha + $i*hb) AS h$i").mkString(", ")
+      .map(i => s"min((ha + $i*hb) % 2147483647) AS h$i").mkString(", ")
     val banded = (0 until bands).map { b =>
       val bh = (0 until rows).map(r => s"h${b * rows + r}::VARCHAR")
         .mkString(" || '|' || ")

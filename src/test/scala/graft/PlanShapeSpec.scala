@@ -66,6 +66,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unpruned scan: $read")
   }
 
+  test("q45 (embed pairs): label block join is salted — no single-key quadratic reducer") {
+    val p = plan("q45_embed_pairs")
+    // the pair join must key on (label, _salt), not label alone: a hot
+    // label would otherwise be one un-splittable quadratic reducer
+    val joinLine = p.linesIterator.find(_.contains("Join"))
+      .filter(_.contains("_salt")).orElse(
+        p.linesIterator.find(l => l.contains("hashpartitioning") && l.contains("_salt")))
+    assert(joinLine.nonEmpty, s"no salted join key in plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q46/q70 (ANN): bucket/cell probe joins are broadcasts of tiny sides") {
     Seq("q46_ann_lsh", "q70_ann_ivf").foreach { q =>
       val p = plan(q)

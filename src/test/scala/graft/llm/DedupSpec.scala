@@ -90,4 +90,74 @@ class DedupSpec extends AnyFunSuite {
     assert(fp(1L) == fp(6L))
     assert(fp.values.forall(v => v >= 0 && v < (1 << 16)))
   }
+
+  // --- banded-LSH recall at PRODUCTION parameters -------------------------
+  //
+  // The catalog's q41 keeps k=16/b=8 so the DuckDB oracle can replay all k
+  // signature columns; production corpora should run k=128/b=32 (r=4 rows
+  // per band: P[candidate] = 1-(1-j^4)^32, i.e. ≥0.87 at j=0.5, ≥0.99 at
+  // j≥0.6). This seeded-corpus property test PROVES that recall curve on
+  // exact ground truth — and that a mis-banded config (few wide bands)
+  // collapses, so a bad parameter change cannot slip through quietly.
+
+  /** Seeded synthetic shingle-set corpus: `nPairs` (A,B) pairs built to a
+    * target Jaccard in [0.6, 0.9] (exact value computed from the sets) +
+    * `nNoise` unrelated docs with disjoint sets. Ids: pair docs (i, i+1)
+    * for even i < 2*nPairs; noise ids from 1000. */
+  private def syntheticCorpus(nPairs: Int, nNoise: Int, setSize: Int)
+  : (org.apache.spark.sql.DataFrame, Map[(Long, Long), Double]) = {
+    val rnd = new scala.util.Random(42)
+    var wordId = 0
+    def freshWords(n: Int): Seq[String] =
+      (0 until n).map { _ => wordId += 1; s"w$wordId" }
+    val rows = Seq.newBuilder[(Long, String)]
+    val truth = Map.newBuilder[(Long, Long), Double]
+    (0 until nPairs).foreach { p =>
+      val a = freshWords(setSize)
+      val targetJ = 0.6 + 0.1 * (p % 4) // 0.6 / 0.7 / 0.8 / 0.9
+      val m = math.round(2 * setSize * targetJ / (1 + targetJ)).toInt
+      val b = rnd.shuffle(a).take(m) ++ freshWords(setSize - m)
+      val (idA, idB) = (2L * p, 2L * p + 1)
+      rows ++= a.map((idA, _)); rows ++= b.map((idB, _))
+      val inter = a.toSet.intersect(b.toSet).size.toDouble
+      truth += (idA, idB) -> inter / (a.toSet ++ b.toSet).size
+    }
+    (1000 until 1000 + nNoise).foreach { i =>
+      rows ++= freshWords(setSize).map((i.toLong, _))
+    }
+    (rows.result().toDF("doc_id", "shingle"), truth.result())
+  }
+
+  private def candidatePairs(corpus: org.apache.spark.sql.DataFrame,
+                             k: Int, bands: Int): Set[(Long, Long)] = {
+    val base = Dedup.hashedShingles(corpus, "doc_id").localCheckpoint()
+    val sig = Dedup.minhashSignature(base, "doc_id", k = k)
+    Dedup.minhashCandidates(sig, "doc_id", k = k, bands = bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash recall at k=128/b=32: >=95% of true j>=0.6 pairs are candidates") {
+    val (corpus, truth) = syntheticCorpus(nPairs = 50, nNoise = 100, setSize = 60)
+    assert(truth.values.forall(_ >= 0.55), "corpus construction drifted")
+    val cands = candidatePairs(corpus, k = 128, bands = 32)
+    val recall = truth.keys.count(cands.contains).toDouble / truth.size
+    assert(recall >= 0.95, s"recall $recall at k=128/b=32 " +
+      s"(missed: ${truth.keys.filterNot(cands.contains).toSeq.sorted})")
+  }
+
+  test("minhash precision guard: unrelated (j~0) docs almost never collide") {
+    val (corpus, truth) = syntheticCorpus(nPairs = 50, nNoise = 100, setSize = 60)
+    val cands = candidatePairs(corpus, k = 128, bands = 32)
+    val falseCands = cands.filterNot(truth.contains)
+    // disjoint sets collide on a band only by 4-hash accident
+    assert(falseCands.size <= 5, s"${falseCands.size} false candidates: $falseCands")
+  }
+
+  test("mis-banded config (k=128, 4 wide bands) collapses recall — test has teeth") {
+    val (corpus, truth) = syntheticCorpus(nPairs = 50, nNoise = 0, setSize = 60)
+    val cands = candidatePairs(corpus, k = 128, bands = 4)
+    // r=32 rows/band: P[candidate] = 1-(1-j^32)^4 ~ 0.13 even at j=0.9
+    val recall = truth.keys.count(cands.contains).toDouble / truth.size
+    assert(recall < 0.5, s"wide-band recall unexpectedly high: $recall")
+  }
 }
