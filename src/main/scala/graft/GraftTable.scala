@@ -24,6 +24,8 @@ final class GraftTable(spark: SparkSession, dir: String,
                        payloadCols: Seq[String]) {
   private val log = new TxLog(dir)
   private var lastCompacted: Long = -1L
+  private val txFns =
+    scala.collection.mutable.Map.empty[String, (GraftTable, Seq[Any]) => DataFrame]
 
   /** Submit a put transaction: rows become document versions valid from
     * `validFrom` (to `validTo`, default unbounded). Returns the tx id. */
@@ -45,6 +47,24 @@ final class GraftTable(spark: SparkSession, dir: String,
   def erase(rows: DataFrame, id: Column,
             payload: Seq[(String, Column)], systemTime: Timestamp): Long =
     log.append(TxOps.erase(rows, id, payload), systemTime)
+
+  /** Register a named transaction function — the reference's write-side
+    * escape hatch (`[:call f args…]`, SURVEY.md §3.3). The function maps
+    * (this table, call args) to an ops DataFrame built with the
+    * [[TxOps]] builders; it runs AT APPEND TIME inside the single-writer
+    * log, so it can read the table's own current state and derive ops
+    * from it — the read-modify-write pattern (conditional put,
+    * increment) that plain puts can't express race-free. */
+  def registerTxFn(name: String, f: (GraftTable, Seq[Any]) => DataFrame): Unit =
+    txFns(name) = f
+
+  /** Execute a registered transaction function; the ops it returns are
+    * appended as ONE transaction at `systemTime`. Returns the tx id. */
+  def call(name: String, args: Seq[Any], systemTime: Timestamp): Long = {
+    val f = txFns.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown tx function: $name"))
+    log.append(f(this, args), systemTime)
+  }
 
   /** Fold the log into the partitioned rectangle base. */
   def compact(): Unit = { lastCompacted = log.compact(spark, payloadCols) }

@@ -156,6 +156,43 @@ object Extras {
         .orderBy("event_id")
     }),
 
+    // heterogeneous DUV end-to-end (§1.4): a tx log whose document
+    // attribute `v` CHANGES TYPE across transactions — tx0 puts every
+    // nation with an integer v, tx1 re-puts the even ids with a string
+    // v. The log's payload is the schemaless JSON document column; read
+    // back at a basis, parsed ONCE to Variant, and typed-accessed down
+    // BOTH branches (try_variant_get long → NULL on the string branch;
+    // string access stringifies the int branch) plus the runtime type
+    // tag — the Arrow DenseUnionVector semantics on Spark's VariantType
+    "q92_duv_hetero" -> ((s, dir) => {
+      import s.implicits._
+      import graft.bitemporal.{Bitemporal, TxLog, TxOps}
+      val tmp = s"target/duv_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      val log = new TxLog(tmp)
+      val nat = T(s, dir, "nation")
+      def ts(x: String) = java.sql.Timestamp.valueOf(x)
+      log.append(TxOps.put(nat, $"n_nationkey",
+        lit("2000-01-01").cast("timestamp"), None,
+        Seq("doc" -> to_json(struct($"n_regionkey".cast("long").as("v"))))),
+        ts("2020-01-01 00:00:00"))
+      log.append(TxOps.put(nat.filter($"n_nationkey" % 2 === 0), $"n_nationkey",
+        lit("2001-01-01").cast("timestamp"), None,
+        Seq("doc" -> to_json(struct($"n_name".as("v"))))),
+        ts("2020-01-02 00:00:00"))
+      log.compact(s, Seq("doc"))
+      Bitemporal.asOf(log.readBase(s),
+          validTime = lit("2002-01-01").cast("timestamp"),
+          systemTime = lit("2020-06-01").cast("timestamp"))
+        .select($"_id", parse_json($"doc").as("vd"))
+        .select($"_id",
+          try_variant_get($"vd", "$.v", "long").as("v_int"),
+          variant_get($"vd", "$.v", "string").as("v_str"),
+          (expr("schema_of_variant(variant_get(vd, '$.v'))") === "STRING")
+            .as("v_is_string"))
+        .orderBy($"_id")
+    }),
+
     // beyond-reference: ROLLUP hierarchy totals (Spark rollup ==
     // GROUP BY ROLLUP; NULL marks the rolled-up levels in both engines)
     "q66_rollup" -> ((s, dir) => {
@@ -337,6 +374,17 @@ object Extras {
              json_extract_string(props, '$.k') AS k_str,
              json_extract_string(props, '$.missing') IS NULL AS missing_is_null
       FROM events ORDER BY event_id""",
+
+    // the current state after the two txs is derivable directly: even
+    // ids carry the tx1 string doc, odd ids the tx0 integer doc
+    "q92_duv_hetero" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS _id,
+             CASE WHEN n_nationkey % 2 = 0 THEN NULL
+                  ELSE CAST(n_regionkey AS BIGINT) END AS v_int,
+             CASE WHEN n_nationkey % 2 = 0 THEN n_name
+                  ELSE CAST(CAST(n_regionkey AS BIGINT) AS VARCHAR) END AS v_str,
+             n_nationkey % 2 = 0 AS v_is_string
+      FROM nation ORDER BY _id""",
 
     "q66_rollup" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -106,6 +106,43 @@ class GraftTableSpec extends AnyFunSuite {
     }
   }
 
+  test("tx function (:call): read-modify-write executed at append time") {
+    import graft.bitemporal.TxOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_call").toString
+    val t = new GraftTable(spark, dir, Seq("bal"))
+    val rows = Seq((1L, 100.0), (2L, 200.0)).toDF("id", "bal")
+    t.put(rows, $"id", lit("2020-01-01").cast("timestamp"), None,
+      Seq("bal" -> $"bal"), ts("2024-01-01 00:00:00"))
+
+    // increment(id, amount, validFrom): derive the op from the table's
+    // OWN current state — impossible to express race-free as a plain put
+    t.registerTxFn("increment", (tbl, args) => {
+      val Seq(id: Long, amount: Double, vf: String) = args
+      TxOps.put(tbl.current().filter($"_id" === id),
+        $"_id", lit(vf).cast("timestamp"), None,
+        Seq("bal" -> ($"bal" + amount)))
+    })
+    t.call("increment", Seq(1L, 25.0, "2021-01-01"), ts("2024-01-02 00:00:00"))
+
+    def state() = t.current().select($"_id", $"bal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state() == Map(1L -> 125.0, 2L -> 200.0))
+
+    // a second call reads its own previous write (compounding)
+    t.call("increment", Seq(1L, 25.0, "2022-01-01"), ts("2024-01-03 00:00:00"))
+    assert(state() == Map(1L -> 150.0, 2L -> 200.0))
+    // the call-generated ops fold like any tx: basis before the second
+    // call still sees the first increment only
+    assert(t.asOf(ts("2023-01-01 00:00:00"), ts("2024-01-02 12:00:00"))
+      .select($"_id", $"bal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(1L -> 125.0, 2L -> 200.0))
+
+    intercept[IllegalArgumentException] {
+      t.call("nope", Nil, ts("2024-01-04 00:00:00"))
+    }
+  }
+
   test("erase removes full history at compaction") {
     val dir = java.nio.file.Files.createTempDirectory("graft_erase").toString
     val t = new GraftTable(spark, dir, Seq("price"))

@@ -126,4 +126,58 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("put" -> 3L))
   }
+
+  test("ingest loop end-to-end: stream -> foreachBatch compact -> asOf read-your-writes") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.bitemporal.{Bitemporal, TxLog, TxOps}
+    val dir = Files.createTempDirectory("txlog_ingest").toString
+    val ckpt = Files.createTempDirectory("txlog_ingest_ckpt").toString
+    val log = new TxLog(dir)
+    val r0 = Seq((1L, 100.0), (2L, 200.0)).toDF("id", "bal")
+    log.append(TxOps.put(r0, $"id", lit("2020-01-01").cast("timestamp"),
+      None, Seq("bal" -> $"bal")), ts("2020-06-01 00:00:00"))
+    log.append(TxOps.put(r0.filter($"id" === 1), $"id",
+      lit("2021-01-01").cast("timestamp"), None,
+      Seq("bal" -> ($"bal" + 1))), ts("2020-06-02 00:00:00"))
+
+    // the reference's ingestion loop: tail the log as a stream; each
+    // micro-batch folds the log into the base rectangle table
+    val sch = log.read(spark).schema
+    @volatile var lastCompacted = -1L
+    def drain(): Unit = {
+      val q = Streaming.txLogStream(spark, dir, sch).writeStream
+        .foreachBatch { (_: DataFrame, _: Long) =>
+          lastCompacted = log.compact(spark, Seq("bal"))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(lastCompacted == 1L)
+
+    def balsAt(valid: String, sys: String): Map[Long, Double] =
+      Bitemporal.asOf(log.readBase(spark),
+          lit(valid).cast("timestamp"), lit(sys).cast("timestamp"))
+        .select($"_id", $"bal").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // basis after both txs, valid 2021+: the streamed update is visible
+    assert(balsAt("2021-06-01 00:00:00", "2020-06-03 00:00:00") ==
+      Map(1L -> 101.0, 2L -> 200.0))
+    // system basis BETWEEN the two txs: still the original belief
+    assert(balsAt("2021-06-01 00:00:00", "2020-06-01 12:00:00") ==
+      Map(1L -> 100.0, 2L -> 200.0))
+
+    // a late tx arrives on the log; re-draining the SAME checkpointed
+    // stream processes only the new file and re-compacts
+    log.append(TxOps.put(Seq((3L, 300.0)).toDF("id", "bal"), $"id",
+      lit("2020-01-01").cast("timestamp"), None,
+      Seq("bal" -> $"bal")), ts("2020-06-04 00:00:00"))
+    drain()
+    assert(lastCompacted == 2L)
+    assert(balsAt("2021-06-01 00:00:00", "2020-06-05 00:00:00") ==
+      Map(1L -> 101.0, 2L -> 200.0, 3L -> 300.0))
+  }
 }
