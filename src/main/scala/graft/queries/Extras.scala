@@ -193,6 +193,36 @@ object Extras {
         .orderBy($"_id")
     }),
 
+    // :arrow source (§2.1 #4, de-descoped): nation round-trips through
+    // an Arrow IPC file (the reference's native chunk format) and reads
+    // back via the custom executor-side ArrowFileReader source
+    "q94_arrow_source" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.ArrowSource
+      val tmp = s"target/arrow_${new java.io.File(dir).getName}/nation.arrow"
+      ArrowSource.writeOne(T(s, dir, "nation").select(
+        $"n_nationkey".cast("long").as("key"), $"n_name".as("name"),
+        $"n_regionkey".cast("long").as("region")), tmp)
+      ArrowSource.read(s, Seq(tmp)).orderBy("key")
+    }),
+
+    // :mark-join (§2.1 #27, de-descoped): NULL-aware IN as a 3VL mark
+    // column — mark_urgent over a null-free subquery (TRUE/FALSE only),
+    // mark_big over one with NULLs (no-match degrades to UNKNOWN, the
+    // NOT IN trap made visible as data)
+    "q93_mark_join" -> ((s, dir) => {
+      import s.implicits._
+      val cust = T(s, dir, "customer")
+      val ord = T(s, dir, "orders")
+      val urgent = ord.filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_custkey")
+      val big = ord.select(when($"o_totalprice" > 150000, $"o_custkey").as("k"))
+      val m1 = RA.markJoin(cust, urgent, $"c_custkey", $"o_custkey", "mark_urgent")
+      val m2 = RA.markJoin(m1, big, $"c_custkey", $"k", "mark_big")
+      m2.select($"c_custkey", $"mark_urgent", $"mark_big")
+        .orderBy("c_custkey")
+    }),
+
     // beyond-reference: ROLLUP hierarchy totals (Spark rollup ==
     // GROUP BY ROLLUP; NULL marks the rolled-up levels in both engines)
     "q66_rollup" -> ((s, dir) => {
@@ -374,6 +404,22 @@ object Extras {
              json_extract_string(props, '$.k') AS k_str,
              json_extract_string(props, '$.missing') IS NULL AS missing_is_null
       FROM events ORDER BY event_id""",
+
+    // the arrow round-trip must reproduce the source table exactly
+    "q94_arrow_source" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS name,
+             CAST(n_regionkey AS BIGINT) AS region
+      FROM nation ORDER BY key""",
+
+    // DuckDB's IN-subquery in the select list has exactly the 3VL mark
+    // semantics the operator implements
+    "q93_mark_join" -> """
+      SELECT c_custkey,
+             c_custkey IN (SELECT o_custkey FROM orders
+                           WHERE o_orderpriority = '1-URGENT') AS mark_urgent,
+             c_custkey IN (SELECT CASE WHEN o_totalprice > 150000
+                                       THEN o_custkey END FROM orders) AS mark_big
+      FROM customer ORDER BY c_custkey""",
 
     // the current state after the two txs is derivable directly: even
     // ids carry the tx1 string doc, odd ids the tx0 integer doc

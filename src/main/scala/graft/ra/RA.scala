@@ -103,6 +103,36 @@ object RA {
     sa.join(sb, keys :+ "_salt", joinType).drop("_salt")
   }
 
+  /** `:mark-join` — NULL-aware EXISTS/IN as a first-class operator
+    * (core2's planner primitive for `x IN (subquery)` / NOT IN): keeps
+    * every left row and adds a THREE-VALUED `mark` column —
+    *   TRUE   a definite match exists,
+    *   FALSE  definitely no match (incl. empty right, even for NULL x),
+    *   NULL   unknown — x IS NULL with a nonempty right, or no match
+    *          while the right side contains NULLs.
+    * Shape: one equi-join on the DISTINCT non-null right keys (AQE
+    * decides broadcast vs shuffle) + a broadcast 1-row right summary —
+    * never a per-row subquery. Negate `mark` for NOT IN and UNKNOWN
+    * drops rows, which is exactly the trap NOT IN is famous for. */
+  def markJoin(left: DataFrame, right: DataFrame,
+               leftKey: Column, rightKey: Column,
+               as: String = "mark"): DataFrame = {
+    val stats = right.agg(
+      count(lit(1)).as("_mk_total"),
+      count(when(rightKey.isNull, 1)).as("_mk_nulls"))
+    val keys = right.select(rightKey.as("_mk_k"))
+      .filter(col("_mk_k").isNotNull)
+      .distinct().withColumn("_mk_hit", lit(true))
+    left.crossJoin(broadcast(stats))
+      .join(keys, leftKey === col("_mk_k"), "left")
+      .withColumn(as,
+        when(col("_mk_hit"), lit(true))
+          .when(col("_mk_total") === 0, lit(false))
+          .when(leftKey.isNull || col("_mk_nulls") > 0, lit(null).cast("boolean"))
+          .otherwise(lit(false)))
+      .drop("_mk_total", "_mk_nulls", "_mk_k", "_mk_hit")
+  }
+
   /** `:group-by` — hash aggregation; Spark runs partial (map-side) +
     * final aggregation with spill, strictly more scalable than core2's
     * single in-memory hash (SURVEY.md §2.2). */

@@ -150,4 +150,21 @@ class RASpec extends AnyFunSuite {
       RA.fixpoint(df, prev => prev.select((col("x") + 1).as("x")), maxIter = 3)
     }
   }
+
+  test(":mark-join full 3VL truth table (the NULL-aware IN primitive)") {
+    val left = Seq[Option[Int]](Some(1), Some(2), None).toDF("x")
+    def marks(right: org.apache.spark.sql.DataFrame): Map[Option[Int], Option[Boolean]] =
+      RA.markJoin(left, right, col("x"), col("y")).collect()
+        .map(r => (Option(r.get(0)).map(_.asInstanceOf[Int]),
+          Option(r.get(1)).map(_.asInstanceOf[Boolean]))).toMap
+    // null-free right {1, 5}: match=TRUE, no-match=FALSE, null x=NULL
+    assert(marks(Seq[Option[Int]](Some(1), Some(5)).toDF("y")) ==
+      Map(Some(1) -> Some(true), Some(2) -> Some(false), None -> None))
+    // right WITH a NULL {1, null}: no-match becomes UNKNOWN
+    assert(marks(Seq[Option[Int]](Some(1), None).toDF("y")) ==
+      Map(Some(1) -> Some(true), Some(2) -> None, None -> None))
+    // empty right: FALSE for every x, even NULL (SQL: x IN () is FALSE)
+    assert(marks(Seq.empty[Option[Int]].toDF("y")) ==
+      Map(Some(1) -> Some(false), Some(2) -> Some(false), None -> Some(false)))
+  }
 }
