@@ -42,4 +42,25 @@ object TextStats {
     * an order-insensitive rolling-hash analog for near-identical docs. */
   def fingerprint(textCol: Column): Column =
     md5(array_join(array_sort(array_distinct(split(textCol, " "))), " "))
+
+  /** Gopher/MassiveText-style REPETITION quality signals per document —
+    * the boilerplate filters applied before LLM training:
+    *   `top2_frac`  mass fraction of the most frequent word 2-gram,
+    *   `dup5_frac`  fraction of 5-gram occurrences that are repeats.
+    * Word-based (the fixture corpus has no line structure); each order
+    * is one explode + one shuffle on the id — no pairwise work. Docs
+    * too short for an order yield NULL for that signal (left joins). */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("n_words"))
+    val top2 = Dedup.positionalShingles(df, idCol, textCol, n = 2)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg((max(col("_c")) * lit(1.0) / sum(col("_c"))).as("top2_frac"))
+    val dup5 = Dedup.positionalShingles(df, idCol, textCol, n = 5)
+      .groupBy(col(idCol))
+      .agg((lit(1.0) - count_distinct(col("shingle")) * lit(1.0) / count(lit(1)))
+        .as("dup5_frac"))
+    base.join(top2, Seq(idCol), "left").join(dup5, Seq(idCol), "left")
+  }
 }

@@ -301,6 +301,57 @@ object Llm {
         .orderBy("keep_id")
     }),
 
+    // Gopher/MassiveText repetition filters: most-frequent-bigram mass +
+    // duplicated-5-gram fraction — the boilerplate signals LLM pipelines
+    // threshold on before training
+    "q95_repetition" -> ((s, dir) => {
+      import s.implicits._
+      TextStats.repetition(T(s, dir, "documents"), "doc_id", "text")
+        .select($"doc_id", $"n_words",
+          r($"top2_frac", 4).as("top2_frac"), r($"dup5_frac", 4).as("dup5_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // benchmark decontamination (GPT-3/PaLM style): flag training docs
+    // sharing any word n-gram with the eval set (here doc_id < 5, n=4
+    // at fixture scale; production uses 13-grams). Shape: the eval
+    // gram set is the SMALL side by construction -> broadcast semi-join
+    // against the train grams — candidate generation is an equi-join,
+    // never a scan of train x eval
+    "q96_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val grams = Dedup.positionalShingles(
+          T(s, dir, "documents"), "doc_id", "text", n = 4)
+        .select($"doc_id", $"shingle")
+      val eval = grams.filter($"doc_id" < 5).select($"shingle").distinct()
+      grams.filter($"doc_id" >= 5)
+        .join(broadcast(eval), Seq("shingle"), "left_semi")
+        .groupBy($"doc_id")
+        .agg(count_distinct($"shingle").as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic stratified sampling for data mixing: per-language
+    // keep rates (en 0.5 / es 0.25 / de 1.0) applied via an md5-derived
+    // uniform in [0,1) — reproducible on any engine, no RNG state, and
+    // embarrassingly parallel (pure map after the language aggregate)
+    "q97_sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val lang = TextStats.languageId(
+          TextStats.tokens(docs, "doc_id", "text"), "doc_id")
+        .select($"doc_id", $"pred_lang")
+      val rate = when($"pred_lang" === "en", 0.5)
+        .when($"pred_lang" === "es", 0.25).otherwise(1.0)
+      lang
+        .withColumn("_u",
+          conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+            .cast("double") / 4294967296.0)
+        .filter($"_u" < rate)
+        .select($"doc_id", $"pred_lang")
+        .orderBy("doc_id")
+    }),
+
     // multimodal metadata extraction over binary payloads (stub decoder,
     // real executor-side typed-Dataset plumbing)
     "q51_multimodal" -> ((s, dir) => {
@@ -603,6 +654,57 @@ object Llm {
       WHERE list_dot_product(a.v, b.v) /
             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
       ORDER BY vec_a, vec_b""",
+
+    // positional n-grams via DuckDB list comprehension (same pattern as
+    // the q71 winnowing oracle); identical floor-rounding to 4 digits
+    "q95_repetition" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      bi AS (SELECT doc_id,
+               unnest([w[i] || ' ' || w[i+1]
+                       for i in generate_series(1, len(w) - 1)]) AS g FROM w),
+      bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+      bagg AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top2_frac
+               FROM bc GROUP BY doc_id),
+      fv AS (SELECT doc_id,
+               unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                       for i in generate_series(1, len(w) - 4)]) AS g FROM w),
+      fagg AS (SELECT doc_id, 1.0 - count(DISTINCT g) * 1.0 / count(*) AS dup5_frac
+               FROM fv GROUP BY doc_id),
+      base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM w)
+      SELECT base.doc_id, n_words,
+             floor(top2_frac*10000 + 0.5)/10000 AS top2_frac,
+             floor(dup5_frac*10000 + 0.5)/10000 AS dup5_frac
+      FROM base LEFT JOIN bagg USING (doc_id) LEFT JOIN fagg USING (doc_id)
+      ORDER BY doc_id""",
+
+    "q96_decontaminate" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (SELECT doc_id,
+              unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                      for i in generate_series(1, len(w) - 3)]) AS g FROM w),
+      ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 5)
+      SELECT doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared
+      FROM g JOIN ev ON g.g = ev.g
+      WHERE doc_id >= 5 GROUP BY doc_id ORDER BY doc_id""",
+
+    "q97_sample_stratified" -> """
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      a AS (SELECT doc_id,
+              sum(CASE WHEN word IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS s_en,
+              sum(CASE WHEN word IN ('el','la','de','y','que') THEN 1 ELSE 0 END) AS s_es,
+              sum(CASE WHEN word IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS s_de
+            FROM t GROUP BY doc_id),
+      lang AS (SELECT doc_id,
+                 CASE WHEN s_en >= greatest(s_es, s_de) THEN 'en'
+                      WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang
+               FROM a),
+      s AS (SELECT doc_id, pred_lang,
+              CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                / 4294967296.0 AS u
+            FROM lang)
+      SELECT doc_id, pred_lang FROM s
+      WHERE u < CASE pred_lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25 ELSE 1.0 END
+      ORDER BY doc_id""",
 
     "q47_langid" -> """
       WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
