@@ -185,7 +185,7 @@ object RA {
     * plans don't grow exponentially across iterations (each iteration is
     * a distributed union+distinct — no driver-side data). */
   def fixpoint(base: DataFrame, step: DataFrame => DataFrame,
-               maxIter: Int = 100): DataFrame = {
+               maxIter: Int = 100, compactEvery: Int = 8): DataFrame = {
     // Re-alias every column (fresh expression IDs): when `step` derives
     // its result from the same DataFrame as `base` (e.g. joining the edge
     // relation each iteration), union/except children would share
@@ -211,7 +211,14 @@ object RA {
         val next = fresh(step(frontier).distinct()).except(acc).localCheckpoint()
         if (next.isEmpty) done = true
         else {
-          acc = acc.union(fresh(next)).localCheckpoint()
+          // acc accumulates as a union of CHECKPOINTED deltas and is
+          // itself re-checkpointed only every few iterations: per-round
+          // re-materialization of the whole accumulator would be
+          // quadratic I/O over iterations, while never compacting grows
+          // the union plan (and per-iteration analysis cost) without
+          // bound — compacting every `compactEvery` rounds bounds both.
+          acc = acc.union(fresh(next))
+          if (i % compactEvery == compactEvery - 1) acc = acc.localCheckpoint()
           frontier = next
         }
         i += 1
@@ -242,7 +249,7 @@ object RA {
     * driver-side data beyond the per-relation emptiness probe. */
   def fixpointN(bases: Seq[Option[DataFrame]],
                 step: (Seq[Option[DataFrame]], Seq[Option[DataFrame]]) => Seq[Option[DataFrame]],
-                maxIter: Int = 100): Seq[Option[DataFrame]] = {
+                maxIter: Int = 100, compactEvery: Int = 8): Seq[Option[DataFrame]] = {
     require(bases.exists(_.nonEmpty),
       "fixpointN: at least one relation needs base facts")
     def fresh(df: DataFrame): DataFrame =
@@ -270,9 +277,12 @@ object RA {
         }
         if (next.forall(_.isEmpty)) done = true
         else {
+          // union of checkpointed deltas with periodic compaction, as
+          // in [[fixpoint]] — amortized-linear I/O, bounded plan size
           accs = accs.zip(next).map {
             case (accOpt, Some(n)) =>
-              Some(accOpt.fold(n)(a => a.union(fresh(n)).localCheckpoint()))
+              val u = accOpt.fold(n)(a => a.union(fresh(n)))
+              Some(if (i % compactEvery == compactEvery - 1) u.localCheckpoint() else u)
             case (accOpt, None) => accOpt
           }
           deltas = next

@@ -77,6 +77,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q96 (decontaminate): eval gram set broadcasts, train side never shuffles for the join") {
+    val p = plan("q96_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q46/q70 (ANN): bucket/cell probe joins are broadcasts of tiny sides") {
     Seq("q46_ann_lsh", "q70_ann_ivf").foreach { q =>
       val p = plan(q)
