@@ -75,9 +75,17 @@ object Datalog {
     * fetch. Not combinable with aggregates. */
   final case class FPull(v: String, attrs: Seq[String], as: String) extends Find
 
-  /** `in`: externally-bound parameters (the reference's `:in` clause) —
-    * each (name, value) becomes a pre-bound logic variable visible to
-    * top-level clauses (joined/filtered like any other binding). */
+  /** `in`: externally-bound parameters (the reference's `:in` clause).
+    * The VALUE's shape selects the binding form, mirroring the
+    * reference's scalar / collection / relation bindings:
+    *   - plain value          → scalar binding `?name`
+    *   - `Iterable[_]`        → collection binding `[?name ...]`
+    *     (a SET of alternatives — duplicates collapse)
+    *   - `DataFrame`          → relation binding `[[?a ?b] ...]`: its
+    *     COLUMN NAMES are the logic variables (the tuple name is
+    *     documentation); rows join like any other clause
+    * All bindings cross-combine, then unify with the body by natural
+    * join — exactly how triple clauses bind. */
   final case class Query(find: Seq[Find], where: Seq[Clause],
                          rules: Seq[Rule] = Nil,
                          in: Seq[(String, Any)] = Nil)
@@ -114,9 +122,23 @@ object Datalog {
     val ruleIndex = q.rules.map(r => r.name -> r).toMap
     val init = if (q.in.isEmpty) None else Some {
       val spark = org.apache.spark.sql.SparkSession.active
-      q.in.foldLeft(spark.range(1).select()) {
-        case (df, (n, v)) => df.withColumn(n, lit(v))
+      val scalars = q.in.filter {
+        case (_, _: DataFrame) | (_, _: Iterable[_]) => false
+        case _ => true
       }
+      val base =
+        if (scalars.isEmpty) Nil
+        else Seq(scalars.foldLeft(spark.range(1).select()) {
+          case (df, (n, v)) => df.withColumn(n, lit(v))
+        })
+      val shaped = q.in.collect {
+        case (_, rel: DataFrame) => rel
+        case (n, vs: Iterable[_]) =>
+          // collection binding is a SET of alternatives
+          spark.range(1)
+            .select(explode(array(vs.toSeq.map(lit): _*)).as(n)).distinct()
+      }
+      (base ++ shaped).reduce(_ crossJoin _)
     }
     val rel = compileClauses(q.where, attrs, ruleIndex, init)
 

@@ -208,6 +208,24 @@ class DatalogSpec extends AnyFunSuite {
     assert(rows(q2) == Set(Seq("bob")))
   }
 
+  test(":in collection binding is a set of alternatives") {
+    val q = Query(
+      find = Seq(FVar("n")),
+      where = Seq(Triple(V("who"), "name", V("n"))),
+      in = Seq("who" -> Seq(1L, 3L, 3L, 99L))) // dup collapses, 99 unmatched
+    assert(rows(q) == Set(Seq("ada"), Seq("cyd")))
+  }
+
+  test(":in relation binding joins its named columns") {
+    val rel = Seq((2L, "low"), (3L, "mid"), (7L, "none"))
+      .toDF("who", "tier")
+    val q = Query(
+      find = Seq(FVar("n"), FVar("tier")),
+      where = Seq(Triple(V("who"), "name", V("n"))),
+      in = Seq("who tier" -> rel))
+    assert(rows(q) == Set(Seq("bob", "low"), Seq("cyd", "mid")))
+  }
+
   test("rule call with constant argument filters") {
     val ancestor = Rule("ancestor", Seq("d", "a"), Seq(
       Seq(Triple(V("d"), "parent", V("a"))),
