@@ -220,4 +220,36 @@ object Bitemporal {
   def currentHistory(rectangles: DataFrame, systemTime: Column): DataFrame =
     rectangles.filter(
       col("_system_from") <= systemTime && systemTime < col("_system_to"))
+
+  /** Valid-time INNER join — the SQL:2011 temporal-join shape: rows of
+    * `a` and `b` with equal `keys` and OVERLAPPING half-open
+    * `[_valid_from, _valid_to)` intervals; the output interval is the
+    * INTERSECTION. `b`'s temporal columns (and any payload name clash)
+    * take `suffix`.
+    *
+    * Scale: an ordinary equi-join shuffle on the keys — the overlap
+    * predicate evaluates inside each key group, never a range
+    * cross-product. Cost envelope identical to any keyed join; a
+    * skewed key takes [[graft.ra.RA.saltedJoin]] the same way. */
+  def validTimeJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
+                    suffix: String = "_r"): DataFrame = {
+    val tcols = Seq("_valid_from", "_valid_to")
+    require((tcols ++ keys).forall(a.columns.contains) &&
+      (tcols ++ keys).forall(b.columns.contains),
+      s"validTimeJoin: both sides need ${keys.mkString(", ")} and $tcols")
+    val bR = b.columns.foldLeft(b) { (df, c) =>
+      if (keys.contains(c)) df
+      else if (tcols.contains(c) || a.columns.contains(c))
+        df.withColumnRenamed(c, c + suffix)
+      else df
+    }
+    a.join(bR, keys)
+      .filter(col("_valid_from") < col("_valid_to" + suffix) &&
+        col("_valid_from" + suffix) < col("_valid_to"))
+      .withColumn("_valid_from",
+        greatest(col("_valid_from"), col("_valid_from" + suffix)))
+      .withColumn("_valid_to",
+        least(col("_valid_to"), col("_valid_to" + suffix)))
+      .drop("_valid_from" + suffix, "_valid_to" + suffix)
+  }
 }

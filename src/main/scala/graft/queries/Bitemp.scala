@@ -57,6 +57,30 @@ object Bitemp {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // valid-time temporal join (SQL:2011 shape): order "activity"
+    // intervals [orderdate, +60d) joined with lineitem shipping
+    // intervals [shipdate, receiptdate) on the order key — overlap
+    // filter inside the key group, output interval = intersection.
+    // Dates serialize to strings for the cross-engine compare
+    "q98_temporal_join" -> ((s, dir) => {
+      import s.implicits._
+      val o = T(s, dir, "orders").filter($"o_totalprice" > 250000)
+        .select($"o_orderkey".as("k"),
+          $"o_orderdate".as("_valid_from"),
+          date_add($"o_orderdate", 60).as("_valid_to"),
+          $"o_totalprice")
+      val l = T(s, dir, "lineitem")
+        .select($"l_orderkey".as("k"),
+          $"l_shipdate".as("_valid_from"),
+          date_add($"l_shipdate", 14).as("_valid_to"),
+          $"l_quantity")
+      Bitemporal.validTimeJoin(o, l, Seq("k"))
+        .select($"k", $"_valid_from".cast("string").as("vf"),
+          $"_valid_to".cast("string").as("vt"),
+          $"o_totalprice", $"l_quantity")
+        .orderBy("k", "vf", "vt", "l_quantity")
+    }),
+
     // the bitemporal fold itself: op log → rectangle relation (scalable
     // append-only path: two lead() columns, one shuffle, codegen)
     "q52_bitemp_fold" -> ((s, dir) => {
@@ -201,6 +225,18 @@ object Bitemp {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q98_temporal_join" -> """
+      SELECT o_orderkey AS k,
+             CAST(greatest(o_orderdate, l_shipdate) AS VARCHAR) AS vf,
+             CAST(least(CAST(o_orderdate + INTERVAL 60 DAY AS DATE),
+                        CAST(l_shipdate + INTERVAL 14 DAY AS DATE)) AS VARCHAR) AS vt,
+             o_totalprice, l_quantity
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_totalprice > 250000
+        AND o_orderdate < CAST(l_shipdate + INTERVAL 14 DAY AS DATE)
+        AND l_shipdate < CAST(o_orderdate + INTERVAL 60 DAY AS DATE)
+      ORDER BY k, vf, vt, l_quantity""",
     "q52_bitemp_fold" -> s"""
       WITH $rectsCte
       SELECT _id, price, _valid_from, _valid_to, _system_from, _system_to

@@ -219,6 +219,31 @@ class BitemporalSpec extends AnyFunSuite {
     assertThrows[Exception] {
       foldToRects(List(Put(1, 0, Some(5), "a")), appendOnly = true)
     }
+    // out-of-order valid-from per id (the third contract condition: an
+    // out-of-order put is clipped only by its lead -> wrong rectangles)
+    assertThrows[Exception] {
+      foldToRects(List(Put(1, 10, None, "a"), Put(1, 5, None, "b")),
+        appendOnly = true)
+    }
+  }
+
+  test("validTimeJoin: half-open overlap, intersected output interval") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val a = Seq((1L, d("2020-01-01"), d("2020-02-01"), "A"))
+      .toDF("k", "_valid_from", "_valid_to", "pa")
+    val b = Seq(
+      (1L, d("2020-02-01"), d("2020-03-01"), "touch"), // touching: NO join
+      (1L, d("2020-01-15"), d("2020-03-01"), "over"),  // overlap
+      (2L, d("2020-01-10"), d("2020-01-20"), "key"))   // other key
+      .toDF("k", "_valid_from", "_valid_to", "pb")
+    val got = Bitemporal.validTimeJoin(a, b, Seq("k"))
+      .select(col("k"), col("_valid_from").cast("string"),
+        col("_valid_to").cast("string"), col("pa"), col("pb"))
+      .collect().map(_.toSeq).toSet
+    assert(got == Set(
+      Seq(1L, "2020-01-15", "2020-02-01", "A", "over")))
   }
 
   test("foldAppendOnly == fold on append-only logs") {

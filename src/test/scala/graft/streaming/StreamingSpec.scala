@@ -127,6 +127,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map("put" -> 3L))
   }
 
+  test("streaming curation front-half: quality gate + fingerprint dedup == batch") {
+    import graft.llm.TextStats
+    val dir = Files.createTempDirectory("stream_curate").toString
+    // duplicate content arrives in DIFFERENT files (micro-batches); a
+    // too-short doc must be gated out before dedup state is touched
+    Seq((1L, "the quick brown fox jumps"), (2L, "short"),
+      (3L, "completely different words here today"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    Seq((4L, "jumps fox brown quick the"), // same fingerprint as doc 1
+      (5L, "yet another clean document body"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+
+    def pipeline(docs: org.apache.spark.sql.DataFrame) =
+      Streaming.firstPerKey(
+        docs.filter(size(split($"text", " ")) >= 3)
+          .withColumn("fp", TextStats.fingerprint($"text")),
+        "fp")
+
+    val sch = spark.read.parquet(dir).schema
+    Streaming.runAvailableToMemory(
+      pipeline(Streaming.fileStream(spark, dir, sch, maxFilesPerTrigger = Some(1))),
+      "curate_out", outputMode = "append")
+    val streamed = spark.table("curate_out").collect()
+      .map(_.getLong(0)).toSet
+    // doc 2 gated (too short), doc 4 deduped against doc 1's fingerprint
+    // ACROSS batches (order-insensitive fingerprint, state-store memory)
+    assert(streamed == Set(1L, 3L, 5L))
+    val batch = pipeline(spark.read.parquet(dir)).collect().map(_.getLong(0)).toSet
+    assert(batch == streamed)
+  }
+
   test("ingest loop end-to-end: stream -> foreachBatch compact -> asOf read-your-writes") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.streaming.Trigger
