@@ -97,6 +97,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Distinct word-n-gram shingles as ONE ARRAY COLUMN per document —
+    * the un-exploded twin of [[shingles]], for per-row (shuffle-free)
+    * signature computation via higher-order functions. */
+  def shingleArray(textCol: Column, n: Int = 2): Column = {
+    val w = split(textCol, " ")
+    val grams = (1 until n).foldLeft(w) { (acc, j) =>
+      zip_with(acc, slice(w, lit(j + 1), greatest(size(w) - j, lit(0))),
+        (a, b) => when(a.isNotNull && b.isNotNull, concat(a, lit(" "), b)))
+    }
+    array_compact(array_distinct(grams))
+  }
+
+  /** Per-ROW minhash signature columns over a shingle ARRAY — identical
+    * values to [[minhashSignature]] (same md5 split + mod-p double
+    * hashing) but computed with `transform`/`array_min`, so there is NO
+    * aggregation shuffle: the signature is a pure map over each row.
+    * This is the streaming-friendly form (and the batch form when the
+    * doc already carries its shingle set). */
+  def minhashSignatureCols(gramsCol: Column, k: Int): Seq[Column] = {
+    def ha(g: Column) = conv(substring(md5(g), 1, 8), 16, 10).cast("long")
+    def hb(g: Column) = conv(substring(md5(g), 9, 8), 16, 10).cast("long")
+    (0 until k).map(i =>
+      array_min(transform(gramsCol,
+        g => pmod(ha(g) + lit(i) * hb(g), lit(HashPrime)))).as(s"h$i"))
+  }
+
   /** Keep only shingles appearing in at most `maxFrac` of documents.
     * Ultra-common shingles carry no dedup signal but make pair generation
     * quadratic on hot keys (join skew) — df-pruning is the standard trick

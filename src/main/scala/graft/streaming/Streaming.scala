@@ -91,6 +91,65 @@ object Streaming {
       .toDF(events.columns: _*)
   }
 
+  /** STREAMING near-dup candidate generation — the incremental form of
+    * the batch MinHash+LSH pipeline ([[graft.llm.Dedup]]): as documents
+    * arrive, emit (id_a, id_b) candidate pairs against EVERYTHING seen
+    * so far, across micro-batches.
+    *
+    *   1. signature: per-row `transform`/`array_min` over the shingle
+    *      array ([[graft.llm.Dedup.minhashSignatureCols]]) — identical
+    *      values to the batch signature, but NO aggregation shuffle;
+    *   2. banding: k/bands rows per band, md5 band hash, explode —
+    *      the (band, hash) bucket id is the shuffle key;
+    *   3. state: one keyed-state group per bucket holds the doc ids
+    *      seen in that bucket; each arriving doc emits a pair per
+    *      prior occupant. State size per bucket = its occupancy —
+    *      exactly the quantity LSH banding keeps small (a hot bucket
+    *      means the band is too coarse, same knob as batch).
+    *
+    * Works identically on a batch DataFrame (state scoped to the one
+    * batch), which the parity test exploits. Pairs may repeat across
+    * bands/batches — downstream dedups (same contract as the batch
+    * candidate join before `distinct`). */
+  def streamingNearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+                                 k: Int = 16, bands: Int = 8): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.llm.Dedup
+    val rows = k / bands
+    val sig = docs.select(
+      col(idCol).cast("long").as("_id") +:
+        Dedup.minhashSignatureCols(Dedup.shingleArray(col(textCol), 2), k): _*)
+    val bandArr = array((0 until bands).map { b =>
+      md5(concat_ws("|",
+        (lit(b) +: (0 until rows).map(r => col(s"h${b * rows + r}").cast("string"))): _*))
+    }: _*)
+    val banded = sig.select(col("_id"), explode(bandArr).as("_bucket"))
+    val outEnc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("id_b",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+    banded.groupByKey((r: Row) => r.getString(1))(Encoders.STRING)
+      .flatMapGroupsWithState[List[Long], Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[Row], state: GroupState[List[Long]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          it.foreach { r =>
+            val id = r.getLong(0)
+            if (!seen.contains(id)) {
+              seen.foreach(o =>
+                out += Row(math.min(o, id), math.max(o, id)))
+              seen ::= id
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }(Encoders.kryo[List[Long]], outEnc)
+      .toDF("id_a", "id_b")
+  }
+
   /** Drain all currently-available input through a streaming plan into
     * an in-memory table (test/dev sink), blocking until done. */
   def runAvailableToMemory(df: DataFrame, name: String,

@@ -158,6 +158,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == streamed)
   }
 
+  test("streaming near-dup candidates == batch MinHash LSH candidates") {
+    import graft.llm.Dedup
+    val dir = Files.createTempDirectory("stream_neardup").toString
+    // near-dups split ACROSS files: the pair (1, 11) can only be found
+    // with cross-micro-batch bucket state
+    Seq((1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated content about query engines and joins"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    Seq((11L, "the quick brown fox jumps over the lazy dog today"),
+      (12L, "another unrelated body of words entirely different topic"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+
+    val sch = spark.read.parquet(dir).schema
+    Streaming.runAvailableToMemory(
+      Streaming.streamingNearDupCandidates(
+        Streaming.fileStream(spark, dir, sch, maxFilesPerTrigger = Some(1)),
+        "doc_id", "text"),
+      "neardup_out", outputMode = "append")
+    val streamed = spark.table("neardup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch oracle: the exploded-base pipeline (same hashes, same bands)
+    val docs = spark.read.parquet(dir)
+    val batchCands = Dedup.minhashCandidates(
+        Dedup.minhashSignature(
+          Dedup.hashedShingles(Dedup.shingles(docs, "doc_id", "text"), "doc_id"),
+          "doc_id", k = 16),
+        "doc_id", k = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batchCands)
+    assert(streamed.contains((1L, 11L)), s"cross-batch pair missed: $streamed")
+    // the same operator run as one batch agrees too
+    val oneBatch = Streaming.streamingNearDupCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oneBatch == batchCands)
+  }
+
   test("ingest loop end-to-end: stream -> foreachBatch compact -> asOf read-your-writes") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.streaming.Trigger
