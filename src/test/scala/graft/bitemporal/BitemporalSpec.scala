@@ -140,6 +140,29 @@ class BitemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("compact returns the max tx id actually folded (id gaps tolerated)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("txlog_gap").toString
+    val log = new TxLog(dir)
+    val rows = Seq((1L, 1.0)).toDF("id", "v")
+    (0 to 2).foreach { i =>
+      log.append(TxOps.put(rows, $"id", lit("2000-01-01").cast("timestamp"),
+        None, Seq("v" -> ($"v" + i))), ts(100L * (i + 1)))
+    }
+    // id gap: tx 1 removed; the watermark must be the max FOLDED id (2),
+    // not a directory-size count (which would report 1 and re-fold tx 2
+    // as unapplied tail forever)
+    TxLog.deleteRecursively(
+      new java.io.File(s"$dir/log/tx_${"%09d".format(1)}.parquet"))
+    val last = log.compact(spark, Seq("v"))
+    assert(last == 2L)
+    // readAll at that watermark: empty tail, serves purely from base
+    val cur = Bitemporal.currentState(log.readAll(spark, Seq("v"), last))
+      .select($"_id", $"v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(cur.toSet == Set((1L, 3.0))) // tx2's put (v+2) is the latest
+  }
+
   test("asOf over a compacted TxLog base prunes partitions by _sys_date") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -131,4 +131,20 @@ class BitemporalSqlSpec extends AnyFunSuite {
     // valid 60 as of sys 250: id1 -> 20.0 (second put), id2 -> 99.0
     assert(out.getLong(0) == 2 && out.getDouble(1) == 119.0)
   }
+
+  test("a pre-existing session temp view sharing the table name survives") {
+    import spark.implicits._
+    // a user view named `prices` exists BEFORE the temporal query runs;
+    // the bare-reference rewrite must not clobber or delete it
+    Seq((42, "mine")).toDF("a", "b").createOrReplaceTempView("prices")
+    try {
+      val n = BitemporalSql.sql(spark,
+        "SELECT count(*) AS n FROM prices", Map("prices" -> rects))
+        .collect()(0).getLong(0)
+      assert(n == 2) // the TEMPORAL table was queried (current state)
+      // ...and the user's view is untouched afterwards
+      val mine = spark.sql("SELECT b FROM prices").collect()(0).getString(0)
+      assert(mine == "mine")
+    } finally spark.catalog.dropTempView("prices")
+  }
 }

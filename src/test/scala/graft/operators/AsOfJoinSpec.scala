@@ -47,6 +47,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL right TIMESTAMP never matches (ts <= probe is UNKNOWN)") {
+    // a NULL _t sorts first in the window; without the right-side
+    // isNotNull filter its payload would fill EVERY probe
+    val l = Seq((1, 10), (1, 20)).toDF("k", "ts")
+    val r = Seq((1, Option.empty[Int], "ghost"), (1, Some(15), "real"))
+      .toDF("rk", "rts", "v")
+    val got = AsOfJoin.asOf(l, r, "ts", "rts", Seq("v"),
+        leftKeys = Seq("k"), rightKeys = Seq("rk"))
+      .collect().map(x => x.getInt(1) -> Option(x.getString(2))).toMap
+    assert(got == Map(10 -> None, 20 -> Some("real")))
+  }
+
   test("NULL payload on the matching right row is preserved (not skipped)") {
     val l = Seq((1, 10)).toDF("k", "ts")
     val r = Seq((1, 1, Some("old")), (1, 5, None)).toDF("rk", "rts", "v")
