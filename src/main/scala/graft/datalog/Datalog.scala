@@ -44,6 +44,13 @@ object Datalog {
   final case class NotJoin(vars: Seq[String], clauses: Seq[Clause]) extends Clause
   /** or-join: bindings matching ANY branch (unified on `vars`). */
   final case class OrJoin(vars: Seq[String], branches: Seq[Seq[Clause]]) extends Clause
+  /** plain `not`: negation unifying on every variable the sub-clauses
+    * share with the bindings so far (the reference's implicit form;
+    * `not-join` is the explicit one). */
+  final case class Not(clauses: Seq[Clause]) extends Clause
+  /** plain `or`: disjunction unifying on the variables ALL branches
+    * bind (the reference requires branches to bind the same vars). */
+  final case class Or(branches: Seq[Seq[Clause]]) extends Clause
   /** rule invocation, possibly recursive. */
   final case class RuleCall(name: String, args: Seq[Term]) extends Clause
   /** subquery clause `(q {:find … :where …} ?in…)` destructured to `bind`
@@ -279,10 +286,38 @@ object Datalog {
         }
         naturalJoin(a, computed.select(outCols: _*).distinct())
 
+      case Not(sub) =>
+        val a = acc.getOrElse(
+          throw new IllegalArgumentException("not before any pattern"))
+        val vars = a.columns.toSeq.filter(varsIn(sub).contains)
+        require(vars.nonEmpty,
+          "not: sub-clauses share no variable with the outer bindings — " +
+            "use not-join with an explicit var list")
+        addClause(Some(a), NotJoin(vars, sub), attrs, rules)
+
+      case Or(branches) =>
+        val common = branches.map(varsIn).reduce(_ intersect _)
+        require(common.nonEmpty, "or: branches bind no common variable")
+        addClause(acc, OrJoin(common.toSeq.sorted, branches), attrs, rules)
+
       case FrontierClause(rel) =>
         // internal marker, only valid inside compileFrontierBody
         acc.fold(rel)(naturalJoin(_, rel))
     }
+
+  /** Variables a clause list makes visible to its surroundings. */
+  private def varsIn(cs: Seq[Clause]): Set[String] = cs.flatMap {
+    case Triple(e, _, v) => Seq(e, v).collect { case V(n) => n }
+    case Pred(vs, _) => vs
+    case Bind(out, vs, _) => out +: vs
+    case NotJoin(vs, _) => vs
+    case OrJoin(vs, _) => vs
+    case Not(sub) => varsIn(sub)
+    case Or(bs) => bs.map(varsIn).reduce(_ intersect _)
+    case RuleCall(_, args) => args.collect { case V(n) => n }
+    case SubQuery(_, _, inVars, bind) => inVars ++ bind
+    case FrontierClause(rel) => rel.columns.toSeq
+  }.toSet
 
   /** Unify a compiled rule relation's params with call-site args:
     * constants filter, repeated variables unify (equality), the rest
@@ -311,6 +346,8 @@ object Datalog {
     case RuleCall(n, _) => Seq(n)
     case NotJoin(_, sub) => callsIn(sub)
     case OrJoin(_, branches) => branches.flatMap(callsIn)
+    case Not(sub) => callsIn(sub)
+    case Or(branches) => branches.flatMap(callsIn)
     case SubQuery(_, where, _, _) => callsIn(where)
     case _ => Nil
   }
@@ -375,6 +412,11 @@ object Datalog {
             "branch into its own rule body")
         case SubQuery(_, w, _, _) => require(callsIn(w).forall(!inScc(_)),
           s"rule $n: recursive call inside a subquery is unsupported")
+        case Not(sub) => require(callsIn(sub).forall(!inScc(_)),
+          s"rule $n: recursive call under not is not stratified")
+        case Or(bs) => require(bs.flatMap(callsIn).forall(!inScc(_)),
+          s"rule $n: recursive call under or unsupported — lift the " +
+            "branch into its own rule body")
         case _ => ()
       })
       val (rec, base) = r.bodies.partition(_.exists {

@@ -250,6 +250,29 @@ class BitemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("validTimeJoin matches a naive interval-intersection oracle (differential)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    (1 to 6).foreach { _ =>
+      def side(tag: String) = Seq.fill(10)((rnd.nextInt(3).toLong, {
+        val f = rnd.nextInt(20); (f, f + 1 + rnd.nextInt(8))
+      })).zipWithIndex.map { case ((k, (f, t)), i) => (k, f, t, s"$tag$i") }
+      val as = side("a"); val bs = side("b")
+      val naive = for {
+        (ka, fa, ta, pa) <- as; (kb, fb, tb, pb) <- bs
+        if ka == kb && fa < tb && fb < ta
+      } yield (ka, math.max(fa, fb), math.min(ta, tb), pa, pb)
+      val got = Bitemporal.validTimeJoin(
+          as.toDF("k", "_valid_from", "_valid_to", "pa"),
+          bs.toDF("k", "_valid_from", "_valid_to", "pb"), Seq("k"))
+        .select(col("k"), col("_valid_from"), col("_valid_to"), col("pa"), col("pb"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getString(3), r.getString(4))).toSet
+      assert(got == naive.toSet, s"as=$as bs=$bs")
+    }
+  }
+
   test("validTimeJoin: half-open overlap, intersected output interval") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

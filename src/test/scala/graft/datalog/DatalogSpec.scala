@@ -61,6 +61,25 @@ class DatalogSpec extends AnyFunSuite {
     assert(rows(q) == Set(Seq("cyd"), Seq("dee")))
   }
 
+  test("plain not / or derive their unification vars implicitly") {
+    // not: same result as the explicit not-join test
+    val qn = Query(
+      find = Seq(FVar("n")),
+      where = Seq(
+        Triple(V("e"), "name", V("n")),
+        Not(Seq(Triple(V("c"), "parent", V("e"))))))
+    assert(rows(qn) == Set(Seq("cyd"), Seq("dee")))
+    // or: branches bind ?e; unifies on it like the or-join test
+    val qo = Query(
+      find = Seq(FVar("n")),
+      where = Seq(
+        Triple(V("e"), "name", V("n")),
+        Or(Seq(
+          Seq(Triple(V("e"), "age", V("a")), Pred(Seq("a"), vs => vs.head < 5)),
+          Seq(Triple(V("e"), "name", C("ada")))))))
+    assert(rows(qo) == Set(Seq("ada"), Seq("dee")))
+  }
+
   test("or-join: union of branches") {
     val q = Query(
       find = Seq(FVar("n")),

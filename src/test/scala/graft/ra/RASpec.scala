@@ -151,6 +151,28 @@ class RASpec extends AnyFunSuite {
     }
   }
 
+  test(":mark-join matches a naive 3VL IN evaluator on random data (differential)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 8).foreach { _ =>
+      val left = Seq.fill(12)(if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(6)))
+      val right = Seq.fill(rnd.nextInt(8))(
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(6)))
+      val naive: Option[Int] => Option[Boolean] = x =>
+        if (right.isEmpty) Some(false)
+        else if (x.nonEmpty && right.contains(x)) Some(true)
+        else if (x.isEmpty || right.contains(None)) None
+        else Some(false)
+      val got = RA.markJoin(left.toDF("x"), right.toDF("y"), col("x"), col("y"))
+        .collect()
+        .map(r => (Option(r.get(0)).map(_.asInstanceOf[Int]),
+          Option(r.get(1)).map(_.asInstanceOf[Boolean])))
+      assert(got.length == left.length) // every left row exactly once
+      got.foreach { case (x, m) =>
+        assert(m == naive(x), s"x=$x right=$right got=$m expected=${naive(x)}")
+      }
+    }
+  }
+
   test(":mark-join full 3VL truth table (the NULL-aware IN primitive)") {
     val left = Seq[Option[Int]](Some(1), Some(2), None).toDF("x")
     def marks(right: org.apache.spark.sql.DataFrame): Map[Option[Int], Option[Boolean]] =
