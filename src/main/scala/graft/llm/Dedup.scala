@@ -169,13 +169,16 @@ object Dedup {
     * it when it is actually small; no hint — at corpus scale it isn't). */
   def jaccardOnCandidates(base: DataFrame, idCol: String,
                           candidates: DataFrame): DataFrame = {
+    graft.functions.SortedIntersectCount.register(base.sparkSession)
     val arrs = base.groupBy(col(idCol))
       .agg(sort_array(array_distinct(collect_list(shingleKey))).as("_arr"))
       .withColumn("_n", size(col("_arr")))
     candidates
       .join(arrs.select(col(idCol).as("id_a"), col("_arr").as("_aa"), col("_n").as("_na")), "id_a")
       .join(arrs.select(col(idCol).as("id_b"), col("_arr").as("_ab"), col("_n").as("_nb")), "id_b")
-      .withColumn("_i", size(array_intersect(col("_aa"), col("_ab"))))
+      // codegen'd single merge pass over the sorted arrays — no
+      // intermediate array / hash set per pair (SortedIntersectCount)
+      .withColumn("_i", expr("sorted_intersect_count(_aa, _ab)"))
       .withColumn("jaccard",
         col("_i") * lit(1.0) / (col("_na") + col("_nb") - col("_i")))
       .select(col("id_a"), col("id_b"), col("jaccard"))
