@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential left-fold dot product — same accumulation order as
-    * DuckDB's list_dot_product, so cross-engine results are bit-exact. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential dot product — same index-order accumulation as DuckDB's
+    * list_dot_product, so cross-engine results are bit-exact. Backed by
+    * the codegen'd [[graft.functions.VecDot]] primitive loop (no
+    * intermediate zipped array per pair — the pair-mining hot path). */
+  def dot(a: Column, b: Column): Column = {
+    graft.functions.VecDot.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("vec_dot", a, b)
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
