@@ -352,6 +352,48 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // curation pipeline v2 — the full modern recipe end-to-end:
+    // repetition/length quality gate (q95) → benchmark decontamination
+    // (q96) → exact dedup (q40) → language-ID (q47) → stratified
+    // sampling (q97) → per-language corpus stats. Shuffle ledger: two
+    // n-gram explodes + four key shuffles + one broadcast semi-join;
+    // every stage is an independently-oracle-checked operator
+    "q99_curation_v2" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val rep = TextStats.repetition(docs, "doc_id", "text")
+      val gated = docs.join(
+        rep.filter($"n_words".between(5, 1000) &&
+            coalesce($"dup5_frac", lit(0.0)) < 0.2)
+          .select($"doc_id", $"n_words"), "doc_id")
+      val grams = Dedup.positionalShingles(docs, "doc_id", "text", n = 4)
+        .select($"doc_id", $"shingle")
+      val evalG = grams.filter($"doc_id" < 5).select($"shingle").distinct()
+      val contaminated = grams.filter($"doc_id" >= 5)
+        .join(broadcast(evalG), Seq("shingle"), "left_semi")
+        .select($"doc_id").distinct()
+      val clean = gated.filter($"doc_id" >= 5)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val keep = clean.groupBy($"text")
+        .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"),
+          max($"n_words").as("n_words"))
+      val lang = TextStats.languageId(
+          TextStats.tokens(keep.select($"doc_id", $"text"), "doc_id", "text"),
+          "doc_id")
+        .select($"doc_id", $"pred_lang")
+      val sampled = keep.join(lang, "doc_id")
+        .withColumn("_u",
+          conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+            .cast("double") / 4294967296.0)
+        .filter($"_u" < when($"pred_lang" === "en", 0.5)
+          .when($"pred_lang" === "es", 0.25).otherwise(1.0))
+      sampled.groupBy($"pred_lang", floor($"n_words" / 20).as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_copies").as("n_source_docs"),
+          sum($"n_words").as("total_tokens"))
+        .orderBy($"pred_lang", $"len_bucket")
+    }),
+
     // multimodal metadata extraction over binary payloads (stub decoder,
     // real executor-side typed-Dataset plumbing)
     "q51_multimodal" -> ((s, dir) => {
@@ -654,6 +696,54 @@ object Llm {
       WHERE list_dot_product(a.v, b.v) /
             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
       ORDER BY vec_a, vec_b""",
+
+    // the composed pipeline re-derived stage by stage in SQL
+    "q99_curation_v2" -> """
+      WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      fv AS (SELECT doc_id,
+               unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                       for i in generate_series(1, len(w) - 4)]) AS g FROM w),
+      rep AS (SELECT doc_id, 1.0 - count(DISTINCT g) * 1.0 / count(*) AS dup5_frac
+              FROM fv GROUP BY doc_id),
+      gated AS (
+        SELECT w.doc_id, w.text, CAST(len(w.w) AS BIGINT) AS n_words
+        FROM w LEFT JOIN rep ON w.doc_id = rep.doc_id
+        WHERE len(w.w) BETWEEN 5 AND 1000
+          AND coalesce(rep.dup5_frac, 0.0) < 0.2),
+      g4 AS (SELECT doc_id,
+               unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                       for i in generate_series(1, len(w) - 3)]) AS g FROM w),
+      ev AS (SELECT DISTINCT g FROM g4 WHERE doc_id < 5),
+      contaminated AS (SELECT DISTINCT g4.doc_id FROM g4 JOIN ev ON g4.g = ev.g
+                       WHERE g4.doc_id >= 5),
+      clean AS (SELECT * FROM gated
+                WHERE doc_id >= 5
+                  AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      keep AS (SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+                      max(n_words) AS n_words
+               FROM clean GROUP BY text),
+      t AS (SELECT k.doc_id, unnest(string_split(d.text, ' ')) AS word
+            FROM keep k JOIN documents d ON k.doc_id = d.doc_id),
+      a AS (SELECT doc_id,
+              sum(CASE WHEN word IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS s_en,
+              sum(CASE WHEN word IN ('el','la','de','y','que') THEN 1 ELSE 0 END) AS s_es,
+              sum(CASE WHEN word IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS s_de
+            FROM t GROUP BY doc_id),
+      lang AS (SELECT doc_id,
+                 CASE WHEN s_en >= greatest(s_es, s_de) THEN 'en'
+                      WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang
+               FROM a),
+      sampled AS (
+        SELECT k.doc_id, k.n_copies, k.n_words, l.pred_lang
+        FROM keep k JOIN lang l ON k.doc_id = l.doc_id
+        WHERE CAST(concat('0x', substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                / 4294967296.0
+              < CASE l.pred_lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25 ELSE 1.0 END)
+      SELECT pred_lang, n_words // 20 AS len_bucket, count(*) AS n_docs,
+             CAST(sum(n_copies) AS BIGINT) AS n_source_docs,
+             CAST(sum(n_words) AS BIGINT) AS total_tokens
+      FROM sampled GROUP BY pred_lang, len_bucket
+      ORDER BY pred_lang, len_bucket""",
 
     // positional n-grams via DuckDB list comprehension (same pattern as
     // the q71 winnowing oracle); identical floor-rounding to 4 digits

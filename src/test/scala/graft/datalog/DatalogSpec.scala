@@ -157,6 +157,23 @@ class DatalogSpec extends AnyFunSuite {
       Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 2L), Seq(4L, 1L)))
   }
 
+  test("STRATIFIED negation over a recursive rule (not-join against a closure)") {
+    // people with NO ancestor relationship to ada (id 1): ada herself
+    // (self is not an ancestor) — negation over the completed `ancestor`
+    // fixpoint is stratified and must compile
+    val ancestor = Rule("ancestor", Seq("d", "a"), Seq(
+      Seq(Triple(V("d"), "parent", V("a"))),
+      Seq(RuleCall("ancestor", Seq(V("d"), V("m"))),
+        Triple(V("m"), "parent", V("a")))))
+    val q = Query(
+      find = Seq(FVar("n")),
+      where = Seq(
+        Triple(V("e"), "name", V("n")),
+        NotJoin(Seq("e"), Seq(RuleCall("ancestor", Seq(V("e"), C(1L)))))),
+      rules = Seq(ancestor))
+    assert(rows(q) == Set(Seq("ada")))
+  }
+
   test("recursion under not-join is rejected as non-stratified") {
     val bad = Rule("r", Seq("x"), Seq(
       Seq(Triple(V("x"), "parent", V("p"))),
