@@ -193,6 +193,22 @@ object Extras {
         .orderBy($"_id")
     }),
 
+    // §2.7 Aggregator tier: bounded top-k per group (k-element buffer,
+    // partial+final agg) vs collect_list-then-slice's O(group) buffer —
+    // the hot-group-safe form. Doubles serialize as integer cents for
+    // the cross-engine compare
+    "q100_topk_agg" -> ((s, dir) => {
+      import s.implicits._
+      val top5 = udaf(new graft.functions.TopKDoubles(5))
+      T(s, dir, "customer")
+        .groupBy($"c_mktsegment")
+        .agg(top5($"c_acctbal").as("_top"))
+        .select($"c_mktsegment",
+          array_join(transform($"_top",
+            d => round(d * 100).cast("long").cast("string")), ",").as("top5_cents"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // :arrow source (§2.1 #4, de-descoped): nation round-trips through
     // an Arrow IPC file (the reference's native chunk format) and reads
     // back via the custom executor-side ArrowFileReader source
@@ -404,6 +420,13 @@ object Extras {
              json_extract_string(props, '$.k') AS k_str,
              json_extract_string(props, '$.missing') IS NULL AS missing_is_null
       FROM events ORDER BY event_id""",
+
+    "q100_topk_agg" -> """
+      SELECT c_mktsegment,
+             array_to_string(list_transform(
+               (array_agg(c_acctbal ORDER BY c_acctbal DESC))[1:5],
+               x -> CAST(round(x*100) AS BIGINT)), ',') AS top5_cents
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     // the arrow round-trip must reproduce the source table exactly
     "q94_arrow_source" -> """
