@@ -239,6 +239,16 @@ object Extras {
         .orderBy("c_custkey")
     }),
 
+    // CUBE: all 2^n grouping combinations (rollup covers the hierarchy,
+    // grouping sets the explicit list — cube completes the §2.2 trio)
+    "q101_cube" -> ((s, dir) => {
+      import s.implicits._
+      T(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), r(sum($"l_extendedprice"), 4).as("sum_price"))
+        .orderBy($"l_returnflag".asc_nulls_last, $"l_linestatus".asc_nulls_last)
+    }),
+
     // beyond-reference: ROLLUP hierarchy totals (Spark rollup ==
     // GROUP BY ROLLUP; NULL marks the rolled-up levels in both engines)
     "q66_rollup" -> ((s, dir) => {
@@ -454,6 +464,13 @@ object Extras {
                   ELSE CAST(CAST(n_regionkey AS BIGINT) AS VARCHAR) END AS v_str,
              n_nationkey % 2 = 0 AS v_is_string
       FROM nation ORDER BY _id""",
+
+    "q101_cube" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             floor((sum(l_extendedprice))*10000 + 0.5)/10000 AS sum_price
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""",
 
     "q66_rollup" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n,
