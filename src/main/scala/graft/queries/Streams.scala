@@ -83,6 +83,29 @@ object Streams {
         leftKeys = Seq("user_id"), rightKeys = Seq("err_user"))
         .select($"event_id", $"user_id", $"ts", $"err_ts", $"err_value")
         .orderBy("event_id")
+    }),
+
+    // conversion funnel: purchases attributed to the LAST click of the
+    // same user (keyed as-of join) within a 30-minute window, counted
+    // per user — the composed sequence-analytics shape (attribution,
+    // sessionized conversion) on the as-of operator. Window math in
+    // integer seconds for cross-engine exactness
+    "q102_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = T(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("cu"), $"ts".as("_rts"), $"ts".as("click_ts"))
+      AsOfJoin.asOf(purchases, clicks,
+          leftTs = "ts", rightTs = "_rts", payload = Seq("click_ts"),
+          leftKeys = Seq("user_id"), rightKeys = Seq("cu"))
+        .filter($"click_ts".isNotNull &&
+          (unix_micros($"ts".cast("timestamp")) -
+            unix_micros($"click_ts".cast("timestamp"))) <= 1800L * 1000000L)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_conversions"))
+        .orderBy($"user_id")
     })
   )
 
@@ -127,6 +150,19 @@ object Streams {
         WHERE x.user_id = p.user_id AND x.event_type = 'error'
           AND CAST(x.ts AS TIMESTAMP) <= p.ts
         ORDER BY x.ts DESC LIMIT 1) e ON TRUE
-      ORDER BY p.event_id"""
+      ORDER BY p.event_id""",
+
+    "q102_funnel" -> """
+      SELECT p.user_id, count(*) AS n_conversions
+      FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase') p
+      JOIN LATERAL (
+        SELECT CAST(x.ts AS TIMESTAMP) AS click_ts
+        FROM events x
+        WHERE x.user_id = p.user_id AND x.event_type = 'click'
+          AND CAST(x.ts AS TIMESTAMP) <= p.ts
+        ORDER BY x.ts DESC LIMIT 1) c ON TRUE
+      WHERE date_diff('second', c.click_ts, p.ts) <= 1800
+      GROUP BY p.user_id ORDER BY p.user_id"""
   )
 }
