@@ -93,9 +93,17 @@ object Datalog {
     *     documentation); rows join like any other clause
     * All bindings cross-combine, then unify with the body by natural
     * join — exactly how triple clauses bind. */
+  /** `keys`: rename the find outputs (the reference's `:keys` — result
+    * maps keyed by these names). `orderBy`: (find-column, ascending)
+    * pairs; `limit`/`offset` complete the reference's query-map pagination
+    * surface (applied AFTER ordering, as `:top` does). */
   final case class Query(find: Seq[Find], where: Seq[Clause],
                          rules: Seq[Rule] = Nil,
-                         in: Seq[(String, Any)] = Nil)
+                         in: Seq[(String, Any)] = Nil,
+                         keys: Seq[String] = Nil,
+                         orderBy: Seq[(String, Boolean)] = Nil,
+                         limit: Option[Int] = None,
+                         offset: Int = 0)
 
   /** Attribute resolver: attribute name → 2-col DataFrame `(_e, _v)`.
     * The Spark analog of the reference's scan-per-attribute over the
@@ -154,7 +162,7 @@ object Datalog {
     val pulls = q.find.collect { case p: FPull => p }
     require(aggs.isEmpty || pulls.isEmpty,
       "pull and aggregates cannot mix in one :find")
-    if (pulls.nonEmpty) {
+    val projected = if (pulls.nonEmpty) {
       // left-join each pulled attribute on the entity var, then pack
       val joined = pulls.foldLeft(rel) { (acc, p) =>
         p.attrs.foldLeft(acc) { (a2, attr) =>
@@ -176,6 +184,32 @@ object Datalog {
       val aggCols = aggs.map(a => aggFn(a.fn, col(a.v)).as(a.as))
       RA.groupBy(rel, keys.map(col), aggCols)
         .select((keys.map(col) ++ aggs.map(a => col(a.as))): _*)
+    }
+    finishQuery(q, projected)
+  }
+
+  /** `:order-by` / `:offset` / `:limit` / `:keys` post-processing —
+    * ordering binds to the find-element names BEFORE any `:keys`
+    * renaming (the reference's query-map semantics). */
+  private def finishQuery(q: Query, projected: DataFrame): DataFrame = {
+    val ordered =
+      if (q.orderBy.isEmpty) projected
+      else projected.orderBy(q.orderBy.map {
+        case (n, asc) => if (asc) col(n).asc else col(n).desc
+      }: _*)
+    val paged = (q.offset, q.limit) match {
+      case (0, None) => ordered
+      case (off, lim) =>
+        require(q.orderBy.nonEmpty,
+          ":limit/:offset without :order-by would be nondeterministic")
+        val o = if (off > 0) ordered.offset(off) else ordered
+        lim.fold(o)(o.limit)
+    }
+    if (q.keys.isEmpty) paged
+    else {
+      require(q.keys.length == paged.columns.length,
+        s":keys arity ${q.keys.length} != find arity ${paged.columns.length}")
+      paged.toDF(q.keys: _*)
     }
   }
 

@@ -262,6 +262,28 @@ class DatalogSpec extends AnyFunSuite {
     assert(rows(q) == Set(Seq("bob", "low"), Seq("cyd", "mid")))
   }
 
+  test(":order-by / :limit / :offset / :keys query-map surface") {
+    val base = Query(
+      find = Seq(FVar("n"), FVar("a")),
+      where = Seq(Triple(V("e"), "name", V("n")),
+        Triple(V("e"), "age", V("a"))))
+    // order desc by age, top 2, renamed via :keys
+    val q = base.copy(orderBy = Seq("a" -> false), limit = Some(2),
+      keys = Seq("who", "years"))
+    val out = Datalog.run(q, attrs)
+    assert(out.columns.toSeq == Seq("who", "years"))
+    assert(out.collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("ada", 36), ("bob", 11)))
+    // offset skips from the front of the ordering
+    val q2 = base.copy(orderBy = Seq("a" -> true), offset = 3)
+    assert(Datalog.run(q2, attrs).collect().map(_.getString(0)).toSeq ==
+      Seq("ada"))
+    // limit without order-by is rejected (nondeterministic page)
+    assertThrows[IllegalArgumentException] {
+      Datalog.run(base.copy(limit = Some(1)), attrs)
+    }
+  }
+
   test("rule call with constant argument filters") {
     val ancestor = Rule("ancestor", Seq("d", "a"), Seq(
       Seq(Triple(V("d"), "parent", V("a"))),
