@@ -89,4 +89,15 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$q: $p")
     }
   }
+
+  test("q98/q99/q102 (composed ops): key joins only — never cartesian") {
+    Seq("q98_temporal_join", "q99_curation_v2", "q102_funnel").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      // BroadcastNestedLoopJoin appears only for the as-of packed-array
+      // probe (1-row build side) — q102's filter runs on a keyed window
+      // as-of, which must not degrade to a nested loop
+      if (q == "q102_funnel") assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
 }
