@@ -43,6 +43,20 @@ object Analytics {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // RANGE frames — value-based bounds with peer-group (ties included)
+    // semantics, the window path ROWS frames don't exercise: sum over
+    // all orders within 50000 of the current price, and the count of
+    // peers at-or-below (ties counted, unlike ROWS)
+    "q103_range_frames" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice")
+      T(s, dir, "orders").select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        r(sum($"o_totalprice").over(w.rangeBetween(-50000L, 0L)), 2).as("near_sum"),
+        count(lit(1)).over(w.rangeBetween(Window.unboundedPreceding, 0L))
+          .as("peers_le"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // datetime surface: extract, date_trunc, interval arithmetic, epoch
     "q27_datetime" -> ((s, dir) => {
       import s.implicits._
@@ -151,6 +165,14 @@ object Analytics {
         CAST(rank()       OVER (PARTITION BY c_nationkey ORDER BY floor(c_acctbal/1000) DESC) AS BIGINT) AS rnk,
         CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY floor(c_acctbal/1000) DESC) AS BIGINT) AS drnk
       FROM customer ORDER BY c_nationkey, c_custkey""",
+
+    "q103_range_frames" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        floor((sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+              RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW))*100 + 0.5)/100 AS near_sum,
+        CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peers_le
+      FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "q26_window_frames" -> """
       SELECT o_custkey, o_orderkey, o_totalprice,
