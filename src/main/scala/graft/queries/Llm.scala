@@ -394,6 +394,30 @@ object Llm {
         .orderBy($"pred_lang", $"len_bucket")
     }),
 
+    // PII scrubbing: email/phone masking via anchored regex replace —
+    // the redaction pass training pipelines run before tokenization.
+    // The fixture corpus carries no PII, so deterministic synthetic
+    // contact strings are injected per doc and must all be caught
+    // (patterns kept to the regex subset Java and RE2 treat alike)
+    "q104_pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      val withPii = T(s, dir, "documents").select($"doc_id",
+        concat($"text", lit(" contact user"), $"doc_id", lit("@example.com"),
+          lit(" or 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+          .as("text"))
+      val scrubbed = withPii.select($"doc_id",
+        regexp_replace(
+          regexp_replace($"text",
+            lit("[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"), lit("<EMAIL>")),
+          lit("[0-9]{3}-[0-9]{4}"), lit("<PHONE>")).as("text"))
+      scrubbed.select($"doc_id", md5($"text").as("scrubbed_md5"),
+          ($"text".contains("<EMAIL>") && $"text".contains("<PHONE>"))
+            .as("masked"),
+          (!$"text".rlike("@") && !$"text".rlike("[0-9]{3}-[0-9]{4}"))
+            .as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal metadata extraction over binary payloads (stub decoder,
     // real executor-side typed-Dataset plumbing)
     "q51_multimodal" -> ((s, dir) => {
@@ -696,6 +720,24 @@ object Llm {
       WHERE list_dot_product(a.v, b.v) /
             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
       ORDER BY vec_a, vec_b""",
+
+    "q104_pii_scrub" -> """
+      WITH p AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    || ' or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text
+        FROM p)
+      SELECT doc_id, md5(text) AS scrubbed_md5,
+             (contains(text, '<EMAIL>') AND contains(text, '<PHONE>')) AS masked,
+             (NOT regexp_matches(text, '@')
+              AND NOT regexp_matches(text, '[0-9]{3}-[0-9]{4}')) AS clean
+      FROM s ORDER BY doc_id""",
 
     // the composed pipeline re-derived stage by stage in SQL
     "q99_curation_v2" -> """
