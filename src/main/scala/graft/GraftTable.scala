@@ -66,8 +66,11 @@ final class GraftTable(spark: SparkSession, dir: String,
     log.append(f(this, args), systemTime)
   }
 
-  /** Fold the log into the partitioned rectangle base. */
-  def compact(): Unit = { lastCompacted = log.compact(spark, payloadCols) }
+  /** Fold the log into the partitioned rectangle base — incrementally
+    * when one exists (cost ∝ tail ids, not total history). */
+  def compact(): Unit = {
+    lastCompacted = log.compactIncremental(spark, payloadCols, lastCompacted)
+  }
 
   /** All rectangles: compacted base + re-fold of ids touched since. */
   def rectangles(): DataFrame =

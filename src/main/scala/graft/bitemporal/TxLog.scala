@@ -107,6 +107,42 @@ final class TxLog(val dir: String) {
     untouched.unionByName(refolded)
   }
 
+  /** Incremental compaction — write-path cost ∝ the TAIL, not the full
+    * history: ids untouched since `lastCompacted` keep their base
+    * rectangles verbatim (anti join on the tail's tiny id set); touched
+    * ids are re-folded from their FULL log history (erase included).
+    * The merged base writes to a temp dir and swaps in (the old base is
+    * an input of the plan — overwrite-in-place would read-while-write).
+    * Falls back to a full [[compact]] when there is no base yet.
+    * Returns the new compaction watermark (max folded tx id). */
+  def compactIncremental(spark: SparkSession, payloadCols: Seq[String],
+                         lastCompacted: Long): Long = {
+    val files = txFiles()
+    require(files.nonEmpty, s"empty tx log at $logDir")
+    val ids = files.map(
+      _.getFileName.toString.stripPrefix("tx_").stripSuffix(".parquet").toLong)
+    val last = ids.max
+    if (lastCompacted < 0 || !Files.exists(baseDir))
+      return compact(spark, payloadCols)
+    if (last <= lastCompacted) return lastCompacted
+    val all = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(_.toString): _*)
+    val touched = all.filter(col("_tx_id") > lastCompacted)
+      .select(col("_id").cast("long").as("_id")).distinct()
+    val untouched = readBase(spark).join(touched, Seq("_id"), "left_anti")
+    val refolded = Bitemporal.fold(
+        all.join(touched, all("_id").cast("long") === touched("_id"), "left_semi"),
+        payloadCols)
+      .withColumn("_sys_date", to_date(col("_system_from")))
+    val tmp = Paths.get(dir, "base_tmp")
+    TxLog.deleteRecursively(tmp.toFile)
+    untouched.unionByName(refolded)
+      .write.mode("overwrite").partitionBy("_sys_date").parquet(tmp.toString)
+    TxLog.deleteRecursively(baseDir.toFile)
+    Files.move(tmp, baseDir)
+    last
+  }
+
   /** The base rectangle table, KEEPING the `_sys_date` partition column:
     * [[Bitemporal.asOf]] turns it into a partition-pruning predicate, so
     * a time-travel scan touches only partitions with `_sys_date <=

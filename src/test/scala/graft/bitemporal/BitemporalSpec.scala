@@ -163,6 +163,42 @@ class BitemporalSpec extends AnyFunSuite {
     assert(cur.toSet == Set((1L, 3.0))) // tx2's put (v+2) is the latest
   }
 
+  test("incremental compaction == full compaction, erase in the tail included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def rects(log: TxLog) = log.readBase(spark).drop("_sys_date")
+      .collect().map(_.toSeq).toSet
+    def build(dir: String, incremental: Boolean): Set[Seq[Any]] = {
+      val log = new TxLog(dir)
+      val rows = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v")
+      log.append(TxOps.put(rows, $"id", lit("2000-01-01").cast("timestamp"),
+        None, Seq("v" -> $"v")), ts(100))
+      val first = log.compact(spark, Seq("v"))
+      // tail: update id 1, erase id 2 — id 3 untouched (base-served)
+      log.append(TxOps.put(rows.filter($"id" === 1), $"id",
+        lit("2001-01-01").cast("timestamp"), None,
+        Seq("v" -> ($"v" + 10))), ts(200))
+      log.append(TxOps.erase(rows.filter($"id" === 2), $"id",
+        Seq("v" -> lit(null).cast("double"))), ts(300))
+      val last =
+        if (incremental) log.compactIncremental(spark, Seq("v"), first)
+        else log.compact(spark, Seq("v"))
+      assert(last == 2L)
+      rects(log)
+    }
+    val full = build(
+      java.nio.file.Files.createTempDirectory("txinc_full").toString,
+      incremental = false)
+    val inc = build(
+      java.nio.file.Files.createTempDirectory("txinc_inc").toString,
+      incremental = true)
+    assert(inc == full)
+    // erase took effect and the update folded
+    assert(!inc.exists(_.head == 2L))
+    assert(inc.exists(r => r.head == 1L && r(1) == 11.0))
+    assert(inc.exists(r => r.head == 3L && r(1) == 3.0))
+  }
+
   test("asOf over a compacted TxLog base prunes partitions by _sys_date") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
