@@ -84,6 +84,23 @@ final class GraftTable(spark: SparkSession, dir: String,
   /** The latest known state (system = valid = now). */
   def current(): DataFrame = Bitemporal.currentState(rectangles())
 
+  /** The reference's `entity` lookup: one id's document at a basis
+    * (defaults to now/now), None when not visible. The id filter lands
+    * on the rectangle scan (sargable), so this is a pruned point read,
+    * not a table scan. */
+  def entity(id: Long,
+             validTime: Option[Timestamp] = None,
+             systemTime: Option[Timestamp] = None): Option[org.apache.spark.sql.Row] = {
+    val vt = validTime.map(lit(_)).getOrElse(current_timestamp())
+    val st = systemTime.map(lit(_)).getOrElse(current_timestamp())
+    val rows = Bitemporal.asOf(rectangles().filter(col("_id") === id), vt, st)
+      .limit(2).collect()
+    require(rows.length <= 1,
+      s"entity $id: ${rows.length} rectangles visible at one basis — " +
+        "overlapping valid intervals in the log")
+    rows.headOption
+  }
+
   /** Valid-time history as believed at `systemTime`. */
   def history(systemTime: Timestamp): DataFrame =
     Bitemporal.currentHistory(rectangles(), lit(systemTime))

@@ -143,6 +143,24 @@ class GraftTableSpec extends AnyFunSuite {
     }
   }
 
+  test("entity: point lookup at a basis") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_entity").toString
+    val t = new GraftTable(spark, dir, Seq("price"))
+    val rows = Seq((1L, 100.0)).toDF("id", "price")
+    t.put(rows, $"id", lit("2020-01-01").cast("timestamp"), None,
+      Seq("price" -> $"price"), ts("2024-01-01 00:00:00"))
+    t.put(rows, $"id", lit("2021-01-01").cast("timestamp"), None,
+      Seq("price" -> ($"price" + 10)), ts("2024-01-02 00:00:00"))
+    // current: the updated version
+    assert(t.entity(1L).map(_.getAs[Double]("price")) == Some(110.0))
+    // valid-time travel: the original version
+    assert(t.entity(1L, validTime = Some(ts("2020-06-01 00:00:00")))
+      .map(_.getAs[Double]("price")) == Some(100.0))
+    // unknown id / before any put → None
+    assert(t.entity(99L).isEmpty)
+    assert(t.entity(1L, validTime = Some(ts("2019-01-01 00:00:00"))).isEmpty)
+  }
+
   test("erase removes full history at compaction") {
     val dir = java.nio.file.Files.createTempDirectory("graft_erase").toString
     val t = new GraftTable(spark, dir, Seq("price"))
