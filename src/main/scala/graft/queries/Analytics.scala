@@ -57,6 +57,18 @@ object Analytics {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // value histogram: width_bucket equi-width binning per event type —
+    // the distribution-profiling aggregate (one shuffle, n_bins rows out)
+    "q105_histogram" -> ((s, dir) => {
+      import s.implicits._
+      T(s, dir, "events")
+        .filter($"value".isNotNull)
+        .groupBy($"event_type",
+          width_bucket($"value", lit(0.0), lit(500.0), lit(10)).as("bucket"))
+        .agg(count(lit(1)).as("n"), r(avg($"value"), 4).as("avg_value"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // datetime surface: extract, date_trunc, interval arithmetic, epoch
     "q27_datetime" -> ((s, dir) => {
       import s.implicits._
@@ -165,6 +177,18 @@ object Analytics {
         CAST(rank()       OVER (PARTITION BY c_nationkey ORDER BY floor(c_acctbal/1000) DESC) AS BIGINT) AS rnk,
         CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY floor(c_acctbal/1000) DESC) AS BIGINT) AS drnk
       FROM customer ORDER BY c_nationkey, c_custkey""",
+
+    // DuckDB has no width_bucket — replay the equi-width binning rule
+    // (0 below range, n_bins+1 at-or-above max, else floor(v/width)+1)
+    "q105_histogram" -> """
+      SELECT event_type,
+             CAST(CASE WHEN value < 0.0 THEN 0
+                       WHEN value >= 500.0 THEN 11
+                       ELSE floor(value / 50.0) + 1 END AS BIGINT) AS bucket,
+             count(*) AS n,
+             floor((avg(value))*10000 + 0.5)/10000 AS avg_value
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, bucket ORDER BY event_type, bucket""",
 
     "q103_range_frames" -> """
       SELECT o_custkey, o_orderkey, o_totalprice,
