@@ -110,6 +110,12 @@ object Datalog {
     * document store. */
   type AttrSource = String => DataFrame
 
+  /** An attr source that can ENUMERATE its attributes — what wildcard
+    * pull `(pull ?e [*])` needs. [[attrsOf]] always returns one. */
+  trait CatalogedAttrSource extends (String => DataFrame) {
+    def attributes: Seq[String]
+  }
+
   /** Entity tables → attribute sources: every non-id column `c` of
     * `table` (id column `idCol`) becomes attribute `c` with `_e = idCol`. */
   def attrsOf(tables: (DataFrame, String)*): AttrSource = {
@@ -124,10 +130,13 @@ object Datalog {
       s"ambiguous attribute name(s) across entity tables: ${dups.mkString(", ")}" +
         " — rename the columns (e.g. prefix with the entity type)")
     val index: Map[String, (DataFrame, String)] = pairs.toMap
-    attr => {
-      val (df, idCol) = index.getOrElse(attr,
-        throw new IllegalArgumentException(s"unknown attribute: $attr"))
-      df.select(col(idCol).as("_e"), col(attr).as("_v"))
+    new CatalogedAttrSource {
+      override val attributes: Seq[String] = pairs.map(_._1)
+      override def apply(attr: String): DataFrame = {
+        val (df, idCol) = index.getOrElse(attr,
+          throw new IllegalArgumentException(s"unknown attribute: $attr"))
+        df.select(col(idCol).as("_e"), col(attr).as("_v"))
+      }
     }
   }
 
@@ -163,14 +172,24 @@ object Datalog {
     require(aggs.isEmpty || pulls.isEmpty,
       "pull and aggregates cannot mix in one :find")
     val projected = if (pulls.nonEmpty) {
+      // wildcard pull expands to the source's full attribute catalog
+      // (name order) — the reference's `(pull ?e [*])` document fetch
+      val expanded = pulls.map { p =>
+        if (p.attrs != Seq("*")) p
+        else attrs match {
+          case c: CatalogedAttrSource => p.copy(attrs = c.attributes.sorted)
+          case _ => throw new IllegalArgumentException(
+            "(pull ?e [*]) needs a CatalogedAttrSource (use Datalog.attrsOf)")
+        }
+      }
       // left-join each pulled attribute on the entity var, then pack
-      val joined = pulls.foldLeft(rel) { (acc, p) =>
+      val joined = expanded.foldLeft(rel) { (acc, p) =>
         p.attrs.foldLeft(acc) { (a2, attr) =>
           a2.join(attrs(attr).select(col("_e").as(p.v),
             col("_v").as(s"_pull_${p.as}_$attr")), Seq(p.v), "left")
         }
       }
-      val packed = pulls.foldLeft(joined) { (acc, p) =>
+      val packed = expanded.foldLeft(joined) { (acc, p) =>
         acc.withColumn(p.as, struct(
           p.attrs.map(a => col(s"_pull_${p.as}_$a").as(a)): _*))
       }

@@ -226,6 +226,18 @@ class DatalogSpec extends AnyFunSuite {
     assert(doc.isNullAt(1)) // ada has no parent attribute
   }
 
+  test("wildcard pull (pull ?e [*]) fetches every attribute") {
+    val q = Query(
+      find = Seq(FVar("e"), FPull("e", Seq("*"), "doc")),
+      where = Seq(Triple(V("e"), "name", C("dee"))))
+    val out = Datalog.run(q, attrs).collect()
+    assert(out.length == 1)
+    val doc = out(0).getStruct(1)
+    // alphabetical attribute order: age, name, parent
+    assert(doc.schema.fieldNames.toSeq == Seq("age", "name", "parent"))
+    assert(doc.getInt(0) == 2 && doc.getString(1) == "dee" && doc.getLong(2) == 2L)
+  }
+
   test(":in parameters bind as logic variables") {
     val q = Query(
       find = Seq(FVar("n")),
