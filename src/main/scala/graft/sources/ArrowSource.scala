@@ -7,9 +7,12 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.{ListVector, StructVector}
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
-import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.arrow.vector.util.Text
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -19,27 +22,45 @@ import org.apache.spark.sql.types._
   * source on the arrow-java libs Spark already ships:
   *
   *   - the DRIVER reads only the first file's footer for the schema,
-  *   - EXECUTORS open their files with `ArrowFileReader` and emit rows —
-  *     one task per file, no data through the driver,
+  *   - EXECUTORS open their files with `ArrowFileReader` and emit rows
+  *     LAZILY, one record batch in memory at a time — per-task memory is
+  *     one batch, not the whole file (a 100 TB chunk store has many
+  *     multi-batch files; buffering a file per task would OOM),
+  *   - cleanup is tied to task completion (`addTaskCompletionListener`),
+  *     so early-terminating consumers (limit, take) still release the
+  *     allocator,
   *   - columns decode via the typed vector API (no reflection per cell).
   *
-  * Scale: like any file source, parallelism = number of files; a 100 TB
-  * arrow dataset is many chunk files, each a single task reading
-  * record batches (per-task memory is one file's batches — arrow chunks
-  * are sized for that by construction). Type subset: the primitive
-  * types the reference's chunks use (int32/64, float32/64, utf8, bool).
+  * Type coverage matches the reference's chunk types (SURVEY §1.3):
+  * int8/16/32/64, float32/64, utf8, bool, binary, date, timestamp
+  * (second/milli/micro/nano, with and without tz), decimal, list,
+  * struct — nested types recurse.
   */
 object ArrowSource {
 
-  private def toSpark(t: ArrowType): DataType = t match {
+  /** Arrow field (incl. children for list/struct) → Spark type. */
+  private def toSpark(f: Field): DataType = f.getType match {
     case i: ArrowType.Int if i.getBitWidth == 64 => LongType
     case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
-    case f: ArrowType.FloatingPoint
-      if f.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
-    case f: ArrowType.FloatingPoint
-      if f.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+    case i: ArrowType.Int if i.getBitWidth == 16 => ShortType
+    case i: ArrowType.Int if i.getBitWidth == 8 => ByteType
+    case fp: ArrowType.FloatingPoint
+      if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+    case fp: ArrowType.FloatingPoint
+      if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
     case _: ArrowType.Utf8 => StringType
     case _: ArrowType.Bool => BooleanType
+    case _: ArrowType.Binary => BinaryType
+    case _: ArrowType.Date => DateType
+    case t: ArrowType.Timestamp =>
+      if (t.getTimezone != null) TimestampType else TimestampNTZType
+    case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
+    case _: ArrowType.List =>
+      val el = f.getChildren.get(0)
+      ArrayType(toSpark(el), el.isNullable)
+    case _: ArrowType.Struct =>
+      StructType(f.getChildren.asScala.map(c =>
+        StructField(c.getName, toSpark(c), c.isNullable)).toSeq)
     case other =>
       throw new IllegalArgumentException(s"unsupported arrow type: $other")
   }
@@ -51,100 +72,258 @@ object ArrowSource {
     try {
       val r = new ArrowFileReader(ch, alloc)
       try StructType(r.getVectorSchemaRoot.getSchema.getFields.asScala.map(f =>
-        StructField(f.getName, toSpark(f.getType), f.isNullable)).toSeq)
+        StructField(f.getName, toSpark(f), f.isNullable)).toSeq)
       finally r.close()
     } finally { ch.close(); alloc.close() }
   }
 
-  /** Read Arrow IPC files as a DataFrame — one task per file. */
+  /** Read Arrow IPC files as a DataFrame — one task per file, one
+    * record batch resident per task at a time. */
   def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "arrow source: no files")
     val schema = sparkSchema(paths.head)
-    val rdd = spark.sparkContext.parallelize(paths, paths.size).flatMap { p =>
-      val alloc = new RootAllocator()
-      val ch = FileChannel.open(Paths.get(p), StandardOpenOption.READ)
-      val r = new ArrowFileReader(ch, alloc)
-      try {
-        val root = r.getVectorSchemaRoot
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        while (r.loadNextBatch()) {
-          val vs = root.getFieldVectors.asScala.toIndexedSeq
-          var i = 0
-          while (i < root.getRowCount) {
-            out += Row(vs.map(v => cell(v, i)): _*)
-            i += 1
-          }
-        }
-        out
-      } finally { r.close(); ch.close(); alloc.close() }
-    }
+    val rdd = spark.sparkContext.parallelize(paths, paths.size)
+      .flatMap(p => new ArrowFileIterator(p))
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Lazy per-batch row iterator over one Arrow IPC file. Loads the next
+    * record batch only when the previous one is exhausted; closes the
+    * reader+allocator at end-of-file, on [[close]], or (inside Spark) at
+    * task completion — whichever comes first. `batchesLoaded` exists so
+    * tests can PROVE streaming decode (read 1 row of an N-batch file →
+    * 1 batch loaded). */
+  private[graft] final class ArrowFileIterator(path: String)
+      extends Iterator[Row] with AutoCloseable {
+    private val alloc = new RootAllocator()
+    private val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    private val reader = new ArrowFileReader(ch, alloc)
+    private val root = reader.getVectorSchemaRoot
+    private var closed = false
+    private var vs: IndexedSeq[FieldVector] = IndexedSeq.empty
+    private var n = 0
+    private var i = 0
+    var batchesLoaded: Int = 0
+
+    Option(TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => close()))
+
+    def close(): Unit = if (!closed) {
+      closed = true
+      reader.close(); ch.close(); alloc.close()
+    }
+
+    @annotation.tailrec
+    private def ensure(): Boolean =
+      if (i < n) true
+      else if (closed) false
+      else if (reader.loadNextBatch()) {
+        batchesLoaded += 1
+        vs = root.getFieldVectors.asScala.toIndexedSeq
+        n = root.getRowCount
+        i = 0
+        ensure()
+      } else { close(); false }
+
+    override def hasNext: Boolean = ensure()
+
+    override def next(): Row = {
+      if (!ensure()) throw new NoSuchElementException("arrow iterator exhausted")
+      val row = Row(vs.map(v => cell(v, i)): _*)
+      i += 1
+      row
+    }
+  }
+
+  /** Decode one cell to its Spark external type; recurses into
+    * list/struct children. */
   private def cell(v: FieldVector, i: Int): Any =
     if (v.isNull(i)) null
     else v match {
       case x: BigIntVector => x.get(i)
       case x: IntVector => x.get(i)
+      case x: SmallIntVector => x.get(i)
+      case x: TinyIntVector => x.get(i)
       case x: Float8Vector => x.get(i)
       case x: Float4Vector => x.get(i)
       case x: VarCharVector => new String(x.get(i), "UTF-8")
       case x: BitVector => x.get(i) == 1
+      case x: VarBinaryVector => x.get(i)
+      case x: DateDayVector => java.time.LocalDate.ofEpochDay(x.get(i).toLong)
+      case x: DateMilliVector =>
+        java.time.LocalDate.ofEpochDay(Math.floorDiv(x.get(i), 86400000L))
+      case x: TimeStampVector =>
+        val t = x.getField.getType.asInstanceOf[ArrowType.Timestamp]
+        val raw = x.get(i)
+        val micros = t.getUnit match {
+          case TimeUnit.SECOND => Math.multiplyExact(raw, 1000000L)
+          case TimeUnit.MILLISECOND => Math.multiplyExact(raw, 1000L)
+          case TimeUnit.MICROSECOND => raw
+          case TimeUnit.NANOSECOND => Math.floorDiv(raw, 1000L)
+        }
+        val inst = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L)
+        if (t.getTimezone != null) inst
+        else java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
+      case x: DecimalVector => x.getObject(i)
+      case x: ListVector =>
+        val dv = x.getDataVector
+        (x.getElementStartIndex(i) until x.getElementEndIndex(i))
+          .map(j => cell(dv, j))
+      case x: StructVector =>
+        Row(x.getChildrenFromFields.asScala.map(c => cell(c, i)).toSeq: _*)
       case other =>
         throw new IllegalArgumentException(s"unsupported vector: ${other.getClass}")
     }
 
+  private def scalarArrow(dt: DataType): ArrowType = dt match {
+    case LongType => new ArrowType.Int(64, true)
+    case IntegerType => new ArrowType.Int(32, true)
+    case ShortType => new ArrowType.Int(16, true)
+    case ByteType => new ArrowType.Int(8, true)
+    case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+    case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+    case StringType => new ArrowType.Utf8()
+    case BooleanType => new ArrowType.Bool()
+    case BinaryType => new ArrowType.Binary()
+    case DateType => new ArrowType.Date(DateUnit.DAY)
+    case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+    case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
+    case d: DecimalType => new ArrowType.Decimal(d.precision, d.scale, 128)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported spark type: $other")
+  }
+
+  private def toArrowField(name: String, dt: DataType, nullable: Boolean): Field =
+    dt match {
+      case ArrayType(et, cn) =>
+        new Field(name, new FieldType(nullable, new ArrowType.List(), null),
+          Seq(toArrowField("element", et, cn)).asJava)
+      case st: StructType =>
+        new Field(name, new FieldType(nullable, new ArrowType.Struct(), null),
+          st.fields.map(f => toArrowField(f.name, f.dataType, f.nullable)).toSeq.asJava)
+      case scalar =>
+        new Field(name, new FieldType(nullable, scalarArrow(scalar), null), null)
+    }
+
+  private def timestampMicros(v: Any): Long = v match {
+    case ts: java.sql.Timestamp =>
+      Math.multiplyExact(Math.floorDiv(ts.getTime, 1000L), 1000000L) +
+        ts.getNanos / 1000L
+    case inst: java.time.Instant =>
+      Math.multiplyExact(inst.getEpochSecond, 1000000L) + inst.getNano / 1000L
+    case ldt: java.time.LocalDateTime =>
+      timestampMicros(ldt.toInstant(java.time.ZoneOffset.UTC))
+    case other =>
+      throw new IllegalArgumentException(s"not a timestamp: ${other.getClass}")
+  }
+
+  private def dateDays(v: Any): Int = v match {
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case d: java.time.LocalDate => d.toEpochDay.toInt
+    case other =>
+      throw new IllegalArgumentException(s"not a date: ${other.getClass}")
+  }
+
+  /** Set one scalar cell on a vector (write path). */
+  private def setScalar(vec: FieldVector, i: Int, dt: DataType, v: Any): Unit =
+    dt match {
+      case LongType => vec.asInstanceOf[BigIntVector]
+        .setSafe(i, v.asInstanceOf[Long])
+      case IntegerType => vec.asInstanceOf[IntVector]
+        .setSafe(i, v.asInstanceOf[Int])
+      case ShortType => vec.asInstanceOf[SmallIntVector]
+        .setSafe(i, v.asInstanceOf[Short])
+      case ByteType => vec.asInstanceOf[TinyIntVector]
+        .setSafe(i, v.asInstanceOf[Byte])
+      case DoubleType => vec.asInstanceOf[Float8Vector]
+        .setSafe(i, v.asInstanceOf[Double])
+      case FloatType => vec.asInstanceOf[Float4Vector]
+        .setSafe(i, v.asInstanceOf[Float])
+      case StringType => vec.asInstanceOf[VarCharVector]
+        .setSafe(i, v.asInstanceOf[String].getBytes("UTF-8"))
+      case BooleanType => vec.asInstanceOf[BitVector]
+        .setSafe(i, if (v.asInstanceOf[Boolean]) 1 else 0)
+      case BinaryType => vec.asInstanceOf[VarBinaryVector]
+        .setSafe(i, v.asInstanceOf[Array[Byte]])
+      case DateType => vec.asInstanceOf[DateDayVector].setSafe(i, dateDays(v))
+      case TimestampType => vec.asInstanceOf[TimeStampMicroTZVector]
+        .setSafe(i, timestampMicros(v))
+      case TimestampNTZType => vec.asInstanceOf[TimeStampMicroVector]
+        .setSafe(i, timestampMicros(v))
+      case _: DecimalType => vec.asInstanceOf[DecimalVector]
+        .setSafe(i, v.asInstanceOf[java.math.BigDecimal])
+      case other =>
+        throw new IllegalArgumentException(s"unsupported spark type: $other")
+    }
+
+  /** Write one list element through a list writer (write path; the
+    * fixture writer supports scalar elements — enough for embedding
+    * arrays and shingle lists). */
+  private def writeListElem(
+      w: org.apache.arrow.vector.complex.impl.UnionListWriter,
+      dt: DataType, v: Any): Unit =
+    if (v == null) throw new IllegalArgumentException(
+      "arrow fixture writer: null list elements unsupported")
+    else dt match {
+      case LongType => w.bigInt().writeBigInt(v.asInstanceOf[Long])
+      case IntegerType => w.integer().writeInt(v.asInstanceOf[Int])
+      case DoubleType => w.float8().writeFloat8(v.asInstanceOf[Double])
+      case FloatType => w.float4().writeFloat4(v.asInstanceOf[Float])
+      case StringType => w.varChar().writeVarChar(new Text(v.asInstanceOf[String]))
+      case BooleanType => w.bit().writeBit(if (v.asInstanceOf[Boolean]) 1 else 0)
+      case other => throw new IllegalArgumentException(
+        s"arrow fixture writer: unsupported list element type $other")
+    }
+
   /** Write a DataFrame to ONE Arrow IPC file via a driver-side collect —
     * a fixture/interchange utility (small results out to arrow
-    * consumers), NOT a distributed sink; [[read]] is the operator. */
-  def writeOne(df: DataFrame, path: String): Unit = {
+    * consumers), NOT a distributed sink; [[read]] is the operator.
+    * `batchSize` splits the rows into multiple record batches so tests
+    * can build multi-batch files and prove streaming decode. */
+  def writeOne(df: DataFrame, path: String, batchSize: Int = Int.MaxValue): Unit = {
     val schema = df.schema
-    val fields = schema.fields.map { f =>
-      val at = f.dataType match {
-        case LongType => new ArrowType.Int(64, true)
-        case IntegerType => new ArrowType.Int(32, true)
-        case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-        case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
-        case StringType => new ArrowType.Utf8()
-        case BooleanType => new ArrowType.Bool()
-        case other =>
-          throw new IllegalArgumentException(s"unsupported spark type: $other")
-      }
-      new Field(f.name, new FieldType(f.nullable, at, null), null)
-    }
+    val fields = schema.fields.map(f => toArrowField(f.name, f.dataType, f.nullable))
     val rows = df.collect()
     val alloc = new RootAllocator()
     val root = VectorSchemaRoot.create(new ArrowSchema(fields.toSeq.asJava), alloc)
     try {
-      root.allocateNew()
-      rows.zipWithIndex.foreach { case (row, i) =>
-        schema.fields.zipWithIndex.foreach { case (f, j) =>
-          if (!row.isNullAt(j)) f.dataType match {
-            case LongType =>
-              root.getVector(j).asInstanceOf[BigIntVector].setSafe(i, row.getLong(j))
-            case IntegerType =>
-              root.getVector(j).asInstanceOf[IntVector].setSafe(i, row.getInt(j))
-            case DoubleType =>
-              root.getVector(j).asInstanceOf[Float8Vector].setSafe(i, row.getDouble(j))
-            case FloatType =>
-              root.getVector(j).asInstanceOf[Float4Vector].setSafe(i, row.getFloat(j))
-            case StringType =>
-              root.getVector(j).asInstanceOf[VarCharVector]
-                .setSafe(i, row.getString(j).getBytes("UTF-8"))
-            case BooleanType =>
-              root.getVector(j).asInstanceOf[BitVector]
-                .setSafe(i, if (row.getBoolean(j)) 1 else 0)
-            case _ => ()
-          }
-        }
-      }
-      root.setRowCount(rows.length)
       Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
       val ch = FileChannel.open(Paths.get(path), StandardOpenOption.CREATE,
         StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
       val w = new ArrowFileWriter(root, null, ch)
-      try { w.start(); w.writeBatch(); w.end() }
-      finally { w.close(); ch.close() }
+      try {
+        w.start()
+        rows.grouped(math.max(1, batchSize)).foreach { batch =>
+          root.allocateNew()
+          batch.zipWithIndex.foreach { case (row, i) =>
+            schema.fields.zipWithIndex.foreach { case (f, j) =>
+              if (!row.isNullAt(j)) f.dataType match {
+                case ArrayType(et, _) =>
+                  val lv = root.getVector(j).asInstanceOf[ListVector]
+                  val lw = lv.getWriter
+                  lw.setPosition(i)
+                  lw.startList()
+                  row.getSeq[Any](j).foreach(e => writeListElem(lw, et, e))
+                  lw.endList()
+                case st: StructType =>
+                  val sv = root.getVector(j).asInstanceOf[StructVector]
+                  sv.setIndexDefined(i)
+                  val inner = row.getStruct(j)
+                  st.fields.zipWithIndex.foreach { case (sf, k) =>
+                    if (!inner.isNullAt(k))
+                      setScalar(sv.getChild(sf.name), i, sf.dataType, inner.get(k))
+                  }
+                case scalar => setScalar(root.getVector(j), i, scalar, row.get(j))
+              }
+            }
+          }
+          root.setRowCount(batch.length)
+          w.writeBatch()
+        }
+        w.end()
+      } finally { w.close(); ch.close() }
     } finally { root.close(); alloc.close() }
   }
 }

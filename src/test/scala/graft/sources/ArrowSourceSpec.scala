@@ -2,26 +2,91 @@ package graft.sources
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
 
-/** Arrow IPC round-trip: all supported types, nulls, multiple files. */
+/** Arrow IPC round-trip: full chunk-type coverage (SURVEY §1.3), nulls,
+  * multiple files, and a streaming-decode proof (per-batch laziness). */
 class ArrowSourceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("round-trip preserves all supported types and nulls") {
+  private def tmp(prefix: String, name: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve(name).toString
+
+  test("round-trip preserves primitive types and nulls") {
     val df = Seq(
       (1L, Some(10), Some(1.5), Some("a"), Some(true)),
       (2L, None, None, None, None),
       (3L, Some(-7), Some(-0.25), Some("üñïçode"), Some(false)))
       .toDF("id", "i", "d", "s", "b")
-    val path = java.nio.file.Files.createTempDirectory("arrow_rt")
-      .resolve("t.arrow").toString
+    val path = tmp("arrow_rt", "t.arrow")
     ArrowSource.writeOne(df, path)
 
     val back = ArrowSource.read(spark, Seq(path))
     assert(back.schema == df.schema)
     assert(back.orderBy("id").collect().toSeq ==
       df.orderBy("id").collect().toSeq)
+  }
+
+  test("round-trip preserves date, timestamp (tz + ntz), decimal, binary") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", DateType),
+      StructField("ts", TimestampType),
+      StructField("tsntz", TimestampNTZType),
+      StructField("dec", DecimalType(12, 3)),
+      StructField("bin", BinaryType)))
+    val rows = Seq(
+      Row(1L, java.sql.Date.valueOf("2024-02-29"),
+        java.sql.Timestamp.valueOf("2024-02-29 12:34:56.123456"),
+        java.time.LocalDateTime.parse("1999-12-31T23:59:59.999999"),
+        new java.math.BigDecimal("12345.678"),
+        Array[Byte](1, 2, -3)),
+      Row(2L, null, null, null, null, null),
+      Row(3L, java.sql.Date.valueOf("1969-07-20"),
+        java.sql.Timestamp.valueOf("1969-07-20 20:17:40.0"),
+        java.time.LocalDateTime.parse("1969-07-20T20:17:40"),
+        new java.math.BigDecimal("-0.001"),
+        Array.empty[Byte]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val path = tmp("arrow_temporal", "t.arrow")
+    ArrowSource.writeOne(df, path)
+
+    val back = ArrowSource.read(spark, Seq(path))
+    assert(back.schema == df.schema)
+    val got = back.orderBy("id").collect()
+    val want = df.orderBy("id").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      (0 until 5).foreach(j => assert(g.get(j) == w.get(j), s"col $j"))
+      // Array[Byte] equality is reference-based; compare contents
+      assert(java.util.Arrays.equals(
+        Option(g.getAs[Array[Byte]](5)).getOrElse(Array.empty),
+        Option(w.getAs[Array[Byte]](5)).getOrElse(Array.empty)))
+    }
+  }
+
+  test("round-trip preserves list and struct columns (nested recursion)") {
+    val df = Seq(
+      (1L, Seq(1.0, 2.5, -3.0), Some(("x", 10L))),
+      (2L, Seq.empty[Double], None),
+      (3L, Seq(0.0), Some(("y", -1L))))
+      .toDF("id", "emb", "meta")
+    val path = tmp("arrow_nested", "t.arrow")
+    ArrowSource.writeOne(df, path)
+
+    val back = ArrowSource.read(spark, Seq(path))
+    assert(back.schema("emb").dataType ==
+      ArrayType(DoubleType, containsNull = false))
+    assert(back.schema("meta").dataType.isInstanceOf[StructType])
+    val got = back.orderBy("id").collect()
+    assert(got(0).getSeq[Double](1) == Seq(1.0, 2.5, -3.0))
+    assert(got(0).getStruct(2) == Row("x", 10L))
+    assert(got(1).getSeq[Double](1) == Seq.empty)
+    assert(got(1).isNullAt(2))
+    assert(got(2).getStruct(2) == Row("y", -1L))
   }
 
   test("multiple files read as one relation, one task per file") {
@@ -36,12 +101,28 @@ class ArrowSourceSpec extends AnyFunSuite {
     assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("decode is streaming: reading 3 rows of a 5-batch file loads 2 batches") {
+    val df = (1L to 10L).map(i => (i, s"row$i")).toDF("id", "v")
+    val path = tmp("arrow_stream", "t.arrow")
+    ArrowSource.writeOne(df, path, batchSize = 2) // 5 record batches
+
+    val it = new ArrowSource.ArrowFileIterator(path)
+    try {
+      val first3 = it.take(3).toList.map(_.getLong(0))
+      assert(first3 == List(1L, 2L, 3L))
+      assert(it.batchesLoaded == 2,
+        s"expected lazy per-batch decode, loaded ${it.batchesLoaded}")
+    } finally it.close()
+
+    // and the full read over the multi-batch file is still correct
+    val back = ArrowSource.read(spark, Seq(path))
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq == (1L to 10L))
+  }
+
   test("unsupported arrow type fails loudly, not silently") {
-    val df = Seq((1L, Seq(1, 2))).toDF("id", "arr")
+    val df = Seq((1L, Map("k" -> 1))).toDF("id", "m")
     assertThrows[IllegalArgumentException] {
-      ArrowSource.writeOne(df,
-        java.nio.file.Files.createTempDirectory("arrow_bad")
-          .resolve("bad.arrow").toString)
+      ArrowSource.writeOne(df, tmp("arrow_bad", "bad.arrow"))
     }
   }
 }
