@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
@@ -418,39 +418,58 @@ object Llm {
         .orderBy("doc_id")
     }),
 
-    // multimodal metadata extraction over binary payloads (stub decoder,
-    // real executor-side typed-Dataset plumbing)
+    // multimodal metadata extraction over binary payloads. The payloads
+    // are REAL format bytes (spec-valid PNG/JPEG/GIF built executor-side
+    // with doc_id-derived dimensions — the only way a SQL oracle can
+    // know the expected answer), and extractMeta parses their container
+    // headers with the real magic-byte decoder.
     "q51_multimodal" -> ((s, dir) => {
-      import s.implicits._
-      val files = T(s, dir, "documents")
-        .select($"doc_id", $"source", $"text".cast("binary").as("content"))
-        .as[Multimodal.MediaFile]
-      Multimodal.extractMeta(files).toDF().orderBy("doc_id")
+      Multimodal.extractMeta(mediaFixture(s, dir)).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_frames"))
+        .orderBy("doc_id")
     }),
 
-    // frame sampling: one media row explodes into every 2nd frame
-    // (flatMap — rows-out proportional to frames, no driver loop)
+    // frame sampling: one media row explodes into every 2nd frame, the
+    // frame count parsed from the real container header (APNG acTL /
+    // GIF image descriptors). flatMap — rows-out ∝ frames, no driver loop
     "q68_frame_sample" -> ((s, dir) => {
-      import s.implicits._
-      val files = T(s, dir, "documents")
-        .select($"doc_id", $"source", $"text".cast("binary").as("content"))
-        .as[Multimodal.MediaFile]
-      Multimodal.sampleFrames(files, stride = 2).toDF()
-        .select($"doc_id", $"frame_idx", $"width", $"height")
+      Multimodal.sampleFrames(mediaFixture(s, dir), stride = 2).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"))
         .orderBy("doc_id", "frame_idx")
     }),
 
-    // aspect-preserving resize geometry (integer-exact, so the oracle
-    // replicates the clamping math precisely)
+    // aspect-preserving resize geometry over header-parsed dimensions
+    // (integer-exact, so the oracle replicates the clamping math)
     "q69_resize" -> ((s, dir) => {
-      import s.implicits._
-      val files = T(s, dir, "documents")
-        .select($"doc_id", $"source", $"text".cast("binary").as("content"))
-        .as[Multimodal.MediaFile]
-      Multimodal.resizeMeta(files, maxW = 320, maxH = 240).toDF()
+      Multimodal.resizeMeta(mediaFixture(s, dir), maxW = 40, maxH = 30).toDF()
         .orderBy("doc_id")
     })
   )
+
+  /** Synthetic-but-real media corpus: every document gets a spec-valid
+    * PNG / JPEG / GIF payload (rotating on doc_id % 3) whose dimensions
+    * and frame count derive from doc_id, so DuckDB can state the
+    * expected header-parse output in pure arithmetic while Spark runs
+    * the honest byte-level decoder. Built executor-side via a typed map
+    * — at 100 TB the media bytes would come straight off parquet binary
+    * columns instead. */
+  private def mediaFixture(s: SparkSession, dir: String):
+      Dataset[Multimodal.MediaFile] = {
+    import s.implicits._
+    T(s, dir, "documents").select($"doc_id", $"source").as[(Long, String)]
+      .map { case (id, src) =>
+        val w = (16 + id % 64).toInt
+        val h = (12 + (id * 7) % 48).toInt
+        val fr = (1 + id % 4).toInt
+        val bytes = (id % 3) match {
+          case 0 => Multimodal.makePng(w, h, fr)
+          case 1 => Multimodal.makeJpeg(w, h)
+          case _ => Multimodal.makeGif(w, h, fr)
+        }
+        Multimodal.MediaFile(id, src, bytes)
+      }
+  }
 
   // DuckDB bigram-shingle CTE shared by the near-dup oracles
   private val shCte = """
@@ -909,33 +928,38 @@ object Llm {
       FROM documents GROUP BY fp ORDER BY keep_id""",
 
     "q51_multimodal" -> """
-      SELECT doc_id, source,
-             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             CAST(64 + octet_length(encode(text)) % 640 AS BIGINT) AS width,
-             CAST(48 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
-             CAST(1 + octet_length(encode(text)) % 5 AS BIGINT) AS n_frames
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                  ELSE 'gif' END AS format,
+             CAST(16 + doc_id % 64 AS BIGINT) AS width,
+             CAST(12 + (doc_id * 7) % 48 AS BIGINT) AS height,
+             CAST(CASE WHEN doc_id % 3 = 1 THEN 1
+                       ELSE 1 + doc_id % 4 END AS BIGINT) AS n_frames
       FROM documents ORDER BY doc_id""",
 
     "q68_frame_sample" -> """
-      WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+      WITH m AS (SELECT doc_id,
+                        CASE WHEN doc_id % 3 = 1 THEN 1
+                             ELSE 1 + doc_id % 4 END AS fr
+                 FROM documents)
       SELECT doc_id,
-             CAST(unnest(generate_series(1, 1 + n % 5, 2)) AS BIGINT) AS frame_idx,
-             CAST(64 + n % 640 AS BIGINT) AS width,
-             CAST(48 + (n * 7) % 480 AS BIGINT) AS height
+             CAST(unnest(generate_series(1, fr, 2)) AS BIGINT) AS frame_idx,
+             CAST(16 + doc_id % 64 AS BIGINT) AS width,
+             CAST(12 + (doc_id * 7) % 48 AS BIGINT) AS height
       FROM m ORDER BY doc_id, frame_idx""",
 
     "q69_resize" -> """
       WITH m AS (SELECT doc_id,
-                        CAST(64 + octet_length(encode(text)) % 640 AS BIGINT) AS w,
-                        CAST(48 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS h
+                        CAST(16 + doc_id % 64 AS BIGINT) AS w,
+                        CAST(12 + (doc_id * 7) % 48 AS BIGINT) AS h
                  FROM documents)
       SELECT doc_id, w AS width, h AS height,
-             CASE WHEN w <= 320 AND h <= 240 THEN w
-                  WHEN w * 240 >= h * 320 THEN 320
-                  ELSE greatest(1, (w * 240) // h) END AS out_width,
-             CASE WHEN w <= 320 AND h <= 240 THEN h
-                  WHEN w * 240 >= h * 320 THEN greatest(1, (h * 320) // w)
-                  ELSE 240 END AS out_height
+             CASE WHEN w <= 40 AND h <= 30 THEN w
+                  WHEN w * 30 >= h * 40 THEN 40
+                  ELSE greatest(1, (w * 30) // h) END AS out_width,
+             CASE WHEN w <= 40 AND h <= 30 THEN h
+                  WHEN w * 30 >= h * 40 THEN greatest(1, (h * 40) // w)
+                  ELSE 30 END AS out_height
       FROM m ORDER BY doc_id"""
   )
 }
