@@ -84,12 +84,31 @@ object BitemporalSql {
 
   /** Run `query` with temporal-clause sugar over the given bitemporal
     * rectangle tables (e.g. a folded [[TxLog]] base). Tables referenced
-    * WITHOUT a temporal clause are served at the current basis. */
+    * WITHOUT a temporal clause are served at the current basis.
+    *
+    * Two-stage rewrite: (1) the temporal CLAUSES — a multi-keyword
+    * grammar that cannot occur inside a string literal — are replaced
+    * textually with unique placeholder names; (2) the query is parsed
+    * by Spark's own parser and table references are substituted at the
+    * PLAN level (`UnresolvedRelation` nodes, including inside
+    * expression subqueries). Stage 2 means a table name appearing in a
+    * string literal, a column name, or a qualified identifier is left
+    * untouched by construction — no `\b`-regex surgery on query text —
+    * and each substituted relation keeps its original name as its
+    * correlation alias, so `SELECT prices.price FROM prices` works.
+    * No temp views are created: nothing in the session catalog is
+    * touched or clobbered. */
   def sql(spark: SparkSession, query: String,
           tables: Map[String, DataFrame]): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    import org.apache.spark.sql.graftbridge.PlanBridge
+
+    // stage 1: temporal clauses -> placeholder relation names
     var rewritten = query
+    val placeholders = scala.collection.mutable.Map
+      .empty[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
     val m = tableWithClauses.matcher(query)
-    val created = scala.collection.mutable.ArrayBuffer.empty[String]
     while (m.find()) {
       val table = m.group(1)
       tables.get(table).foreach { rects =>
@@ -102,34 +121,25 @@ object BitemporalSql {
           else valid = Some(spec)
         }
         def orNow(o: Option[Spec]) = o.getOrElse(AsOf(current_timestamp()))
-        val view = s"${table}_asof_${viewId.incrementAndGet()}"
-        filtered(rects, orNow(valid), orNow(sys))
-          .createOrReplaceTempView(view)
-        created += view
-        rewritten = rewritten.replace(m.group(0), view)
+        val ph = s"graft_temporal_${viewId.incrementAndGet()}"
+        placeholders(ph) = SubqueryAlias(table, PlanBridge.logicalPlan(
+          filtered(rects, orNow(valid), orNow(sys))))
+        rewritten = rewritten.replace(m.group(0), ph)
       }
     }
-    // any remaining BARE reference (incl. a table also used WITH a
-    // clause elsewhere in the query) serves the current basis. Bare
-    // references are rewritten to a GENERATED alias like the clause
-    // path — registering under the raw name would clobber (and then
-    // delete) any pre-existing session temp view of the same name.
-    // The rewritten aliases never re-match: `prices_cur_1` has no word
-    // boundary after `prices` (`_` is a word char).
-    tables.foreach { case (name, rects) =>
-      val bare = Pattern.compile(s"(?i)\\b${Pattern.quote(name)}\\b")
-      val bm = bare.matcher(rewritten)
-      if (bm.find()) {
-        val view = s"${name}_cur_${viewId.incrementAndGet()}"
-        Bitemporal.currentState(rects).createOrReplaceTempView(view)
-        created += view
-        rewritten = bm.replaceAll(java.util.regex.Matcher.quoteReplacement(view))
-      }
+
+    // stage 2: parse, then splice relations into the unresolved plan
+    val byLower = tables.map { case (k, v) => k.toLowerCase -> ((k, v)) }
+    val parsed = PlanBridge.parsePlan(spark, rewritten)
+    val spliced = parsed.transformUpWithSubqueries {
+      case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
+        val ident = u.multipartIdentifier.head
+        placeholders.get(ident).orElse(
+          byLower.get(ident.toLowerCase).map { case (name, rects) =>
+            SubqueryAlias(name,
+              PlanBridge.logicalPlan(Bitemporal.currentState(rects)))
+          }).getOrElse(u)
     }
-    // spark.sql analyzes eagerly, so the returned plan is bound to the
-    // view snapshots; dropping them immediately prevents unbounded
-    // temp-view accumulation and raw-name shadowing of catalog tables
-    try spark.sql(rewritten)
-    finally created.foreach(spark.catalog.dropTempView(_))
+    PlanBridge.ofRows(spark, spliced)
   }
 }

@@ -132,6 +132,51 @@ class BitemporalSqlSpec extends AnyFunSuite {
     assert(out.getLong(0) == 2 && out.getDouble(1) == 119.0)
   }
 
+  test("table name inside a string literal is not rewritten") {
+    // the old \b-regex rewrite would mangle 'prices went up' / 'prices';
+    // plan-level splicing leaves literals alone by construction
+    val out = BitemporalSql.sql(spark,
+      """SELECT _id, concat('prices went up: ', CAST(price AS STRING)) AS msg
+         FROM prices WHERE 'prices' = 'prices' ORDER BY _id""",
+      Map("prices" -> rects)).collect()
+    assert(out.length == 2)
+    assert(out(0).getString(1) == "prices went up: 20.0") // current basis
+  }
+
+  test("a column named like the table is not rewritten") {
+    import spark.implicits._
+    val ops = Seq((1L, 5.0)).toDF("_id", "stock")
+      .select(lit("put").as("_op"), col("_id"), lit(0L).as("_tx_id"),
+        lit(ts(10)).as("_system_from"), lit(ts(0)).as("_valid_from"),
+        lit(null).cast("timestamp").as("_valid_to"), col("stock"))
+    val stockRects = Bitemporal.fold(ops, Seq("stock"))
+    // the relation AND one of its columns are both named `stock`
+    val out = BitemporalSql.sql(spark,
+      "SELECT stock FROM stock WHERE stock > 1.0",
+      Map("stock" -> stockRects)).collect()
+    assert(out.map(_.getDouble(0)).toSeq == Seq(5.0))
+  }
+
+  test("qualified column references keep working (alias = table name)") {
+    val out = BitemporalSql.sql(spark,
+      s"""SELECT prices._id, prices.price
+          FROM prices WHERE prices.price > 15.0 ORDER BY prices._id""",
+      Map("prices" -> rects)).collect().map(_.toSeq).toSeq
+    assert(out == Seq(Seq(1L, 20.0), Seq(2L, 99.0)))
+  }
+
+  test("temporal table inside an expression subquery is substituted") {
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("k").createOrReplaceTempView("graft_sql_probe")
+    try {
+      val out = BitemporalSql.sql(spark,
+        """SELECT k FROM graft_sql_probe
+           WHERE k IN (SELECT _id FROM prices) ORDER BY k""",
+        Map("prices" -> rects)).collect().map(_.getLong(0)).toSeq
+      assert(out == Seq(1L, 2L))
+    } finally spark.catalog.dropTempView("graft_sql_probe")
+  }
+
   test("a pre-existing session temp view sharing the table name survives") {
     import spark.implicits._
     // a user view named `prices` exists BEFORE the temporal query runs;
