@@ -450,26 +450,30 @@ object Datalog {
   private def compileScc(members: Seq[String], attrs: AttrSource,
                          rules: Map[String, Rule]): Map[String, DataFrame] = {
     val inScc = members.toSet
-    // nested calls from inside a not-join would be non-stratified
-    // negation-through-recursion; under or-join/subquery the delta
-    // substitution wouldn't be a plain conjunction — reject all three
-    // loudly (lift the recursion into its own rule body instead).
+    // AUTO-LIFT disjunctive recursion: a recursive call under or /
+    // or-join is legal datalog but the delta substitution needs plain
+    // conjunctions — distribute each such disjunction into one body per
+    // branch (union-through-join is exact relational algebra), renaming
+    // or-join branch-LOCAL variables fresh so inlining cannot capture
+    // outer vars of the same name.
+    val lifted: Map[String, Rule] = members.map { n =>
+      val r = rules(n)
+      n -> r.copy(bodies = r.bodies.flatMap(b => liftDisjunctions(b, inScc)))
+    }.toMap
+    // what remains non-conjunctive is genuinely rejected: a recursive
+    // call under not/not-join is non-stratified negation-through-
+    // recursion, and under a subquery the grouping would have to see a
+    // moving input.
     val outerRules = rules -- inScc
     val parts = members.map { n =>
-      val r = rules(n)
+      val r = lifted(n)
       r.bodies.foreach(_.foreach {
         case NotJoin(_, sub) => require(callsIn(sub).forall(!inScc(_)),
           s"rule $n: recursive call under not-join is not stratified")
-        case OrJoin(_, bs) => require(bs.flatMap(callsIn).forall(!inScc(_)),
-          s"rule $n: recursive call under or-join unsupported — lift the " +
-            "branch into its own rule body")
         case SubQuery(_, w, _, _) => require(callsIn(w).forall(!inScc(_)),
           s"rule $n: recursive call inside a subquery is unsupported")
         case Not(sub) => require(callsIn(sub).forall(!inScc(_)),
           s"rule $n: recursive call under not is not stratified")
-        case Or(bs) => require(bs.flatMap(callsIn).forall(!inScc(_)),
-          s"rule $n: recursive call under or unsupported — lift the " +
-            "branch into its own rule body")
         case _ => ()
       })
       val (rec, base) = r.bodies.partition(_.exists {
@@ -524,6 +528,68 @@ object Datalog {
         val spark = org.apache.spark.sql.SparkSession.active
         n -> spark.range(0).select(rules(n).params.map(p => lit(null).as(p)): _*)
     }.toMap
+  }
+
+  private val liftId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Distribute `or`/`or-join` clauses whose branches contain in-SCC
+    * recursive calls into one conjunctive body per branch. Repeats until
+    * no recursive disjunction remains (nested or-inside-or lifts too).
+    * `or` branches bind the same variables by contract, so they inline
+    * as-is; `or-join` branch vars OUTSIDE the declared unify vars are
+    * branch-local — renamed fresh so inlining can't capture outer vars. */
+  private def liftDisjunctions(body: Seq[Clause],
+                               inScc: Set[String]): Seq[Seq[Clause]] = {
+    val idx = body.indexWhere {
+      case Or(bs) => bs.flatMap(callsIn).exists(inScc)
+      case OrJoin(_, bs) => bs.flatMap(callsIn).exists(inScc)
+      case _ => false
+    }
+    if (idx < 0) Seq(body)
+    else {
+      val (pre, rest) = body.splitAt(idx)
+      val suffix = rest.tail
+      val branches: Seq[Seq[Clause]] = rest.head match {
+        // plain `or` unifies on the vars ALL branches bind; `or-join` on
+        // its declared vars — anything else is branch-local
+        case Or(bs) => rescope(bs, bs.map(varsIn).reduce(_ intersect _))
+        case OrJoin(unify, bs) => rescope(bs, unify.toSet)
+        case _ => throw new IllegalStateException("indexWhere lied")
+      }
+      branches.flatMap(b => liftDisjunctions(pre ++ b ++ suffix, inScc))
+    }
+  }
+
+  /** Rename each branch's vars OUTSIDE `keep` fresh (branch scope). */
+  private def rescope(bs: Seq[Seq[Clause]],
+                      keep: Set[String]): Seq[Seq[Clause]] =
+    bs.map { b =>
+      val local = varsIn(b) -- keep
+      if (local.isEmpty) b
+      else renameVars(b, local.map(v =>
+        v -> s"${v}__lift${liftId.incrementAndGet()}").toMap)
+    }
+
+  /** Consistently rename logic variables across a clause tree. */
+  private def renameVars(cs: Seq[Clause], m: Map[String, String]): Seq[Clause] = {
+    def rT(t: Term): Term = t match {
+      case V(n) if m.contains(n) => V(m(n))
+      case other => other
+    }
+    def rS(n: String): String = m.getOrElse(n, n)
+    cs.map {
+      case Triple(e, a, v) => Triple(rT(e), a, rT(v))
+      case Pred(vs, f) => Pred(vs.map(rS), f)
+      case Bind(out, vs, f) => Bind(rS(out), vs.map(rS), f)
+      case NotJoin(vs, sub) => NotJoin(vs.map(rS), renameVars(sub, m))
+      case OrJoin(vs, bs) => OrJoin(vs.map(rS), bs.map(renameVars(_, m)))
+      case Not(sub) => Not(renameVars(sub, m))
+      case Or(bs) => Or(bs.map(renameVars(_, m)))
+      case RuleCall(n, args) => RuleCall(n, args.map(rT))
+      case SubQuery(f, w, inVars, bind) =>
+        SubQuery(f, renameVars(w, m), inVars.map(rS), bind.map(rS))
+      case fc: FrontierClause => fc
+    }
   }
 
   /** internal marker: a pre-compiled relation injected into a body. */

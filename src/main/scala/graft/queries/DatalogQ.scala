@@ -124,6 +124,35 @@ object DatalogQ {
         .orderBy("x")
     }),
 
+    // DISJUNCTIVE recursion — the whole closure as ONE body whose
+    // or-join holds both the base and the recursive branch (r3 rejected
+    // this; the compiler now auto-lifts each branch into its own
+    // conjunctive body, renaming the branch-local ?y) —
+    // {:find [?x] :where [(reach ?x)]
+    //  :rules [[(reach ?x)
+    //           (or-join [?x]
+    //             (and [?e :src 0] [?e :dst ?x])
+    //             (and (reach ?y) [?e :src ?y] [?e :dst ?x]))]]}
+    "q106_datalog_or_recursion" -> ((s, dir) => {
+      import s.implicits._
+      val edges = T(s, dir, "nation").select(
+        $"n_nationkey".cast("long").as("edge_id"),
+        $"n_nationkey".cast("long").as("src"),
+        (($"n_nationkey" * 7 + 1) % 25).cast("long").as("dst"))
+      val attrSrc = Datalog.attrsOf((edges, "edge_id"))
+      Datalog.run(Query(
+        find = Seq(FVar("x")),
+        where = Seq(RuleCall("reach", Seq(V("x")))),
+        rules = Seq(Rule("reach", Seq("x"), Seq(Seq(
+          OrJoin(Seq("x"), Seq(
+            Seq(Triple(V("e"), "src", C(0L)), Triple(V("e"), "dst", V("x"))),
+            Seq(RuleCall("reach", Seq(V("y"))),
+              Triple(V("e"), "src", V("y")),
+              Triple(V("e"), "dst", V("x")))))))))),
+        attrSrc)
+        .orderBy("x")
+    }),
+
     // NON-LINEAR recursion — two self-calls in one body:
     //   path(x,y) :- edge(x,y).
     //   path(x,y) :- path(x,z), path(z,y).
@@ -233,6 +262,17 @@ object DatalogQ {
       ORDER BY c""",
 
     "q58_datalog_recursion" -> """
+      WITH RECURSIVE e AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS src,
+               CAST((n_nationkey * 7 + 1) % 25 AS BIGINT) AS dst
+        FROM nation),
+      reach(x) AS (
+        SELECT dst FROM e WHERE src = 0
+        UNION SELECT e.dst FROM reach JOIN e ON e.src = reach.x)
+      SELECT x FROM reach ORDER BY x""",
+
+    // disjunctive-recursion formulation == the plain linear closure
+    "q106_datalog_or_recursion" -> """
       WITH RECURSIVE e AS (
         SELECT CAST(n_nationkey AS BIGINT) AS src,
                CAST((n_nationkey * 7 + 1) % 25 AS BIGINT) AS dst

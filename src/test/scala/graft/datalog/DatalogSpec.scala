@@ -174,6 +174,65 @@ class DatalogSpec extends AnyFunSuite {
     assert(rows(q) == Set(Seq("ada")))
   }
 
+  test("recursive call under or-join auto-lifts into branch bodies") {
+    // ancestor in ONE body via or-join (r3 rejected this; now the
+    // disjunction distributes into a base body + a recursive body):
+    //   ancestor(d,a) :- or-join [d a] ( parent(d,a)
+    //                                  | ancestor(d,m), parent(m,a) )
+    // ?m is branch-local (not in the unify vars) — the lift must rename
+    // it fresh, proven by ALSO binding an outer ?m to something else.
+    val ancestor = Rule("ancestor", Seq("d", "a"), Seq(Seq(
+      OrJoin(Seq("d", "a"), Seq(
+        Seq(Triple(V("d"), "parent", V("a"))),
+        Seq(RuleCall("ancestor", Seq(V("d"), V("m"))),
+          Triple(V("m"), "parent", V("a"))))))))
+    val q = Query(
+      find = Seq(FVar("dn"), FVar("an")),
+      where = Seq(
+        RuleCall("ancestor", Seq(V("x"), V("y"))),
+        Triple(V("x"), "name", V("dn")),
+        Triple(V("y"), "name", V("an"))),
+      rules = Seq(ancestor))
+    assert(rows(q) == Set(
+      Seq("bob", "ada"), Seq("cyd", "ada"),
+      Seq("dee", "bob"), Seq("dee", "ada")))
+
+    // plain `or` with a recursive branch lifts too: x is "of old line"
+    // if x is old, or x's parent is of old line
+    val oldline = Rule("old", Seq("x"), Seq(Seq(
+      Or(Seq(
+        Seq(Triple(V("x"), "age", V("ag")),
+          Pred(Seq("ag"), vs => vs.head >= 36)),
+        Seq(Triple(V("x"), "parent", V("p")),
+          RuleCall("old", Seq(V("p")))))))))
+    val q2 = Query(
+      find = Seq(FVar("x")),
+      where = Seq(RuleCall("old", Seq(V("x")))),
+      rules = Seq(oldline))
+    assert(rows(q2) == Set(Seq(1L), Seq(2L), Seq(3L), Seq(4L)))
+  }
+
+  test("or-join branch-local vars stay scoped when lifted") {
+    // outer body binds ?m to the child's NAME; the recursive or-join
+    // branch uses its own ?m for the intermediate ancestor. Without
+    // fresh renaming the lifted body would unify the two ?m's (name ==
+    // entity id -> empty result).
+    val ancestor = Rule("ancestor", Seq("d", "a"), Seq(Seq(
+      OrJoin(Seq("d", "a"), Seq(
+        Seq(Triple(V("d"), "parent", V("a"))),
+        Seq(RuleCall("ancestor", Seq(V("d"), V("m"))),
+          Triple(V("m"), "parent", V("a"))))))))
+    val q = Query(
+      find = Seq(FVar("m"), FVar("y")),
+      where = Seq(
+        RuleCall("ancestor", Seq(V("x"), V("y"))),
+        Triple(V("x"), "name", V("m"))), // outer ?m = child name
+      rules = Seq(ancestor))
+    assert(rows(q) == Set(
+      Seq("bob", 1L), Seq("cyd", 1L),
+      Seq("dee", 2L), Seq("dee", 1L)))
+  }
+
   test("recursion under not-join is rejected as non-stratified") {
     val bad = Rule("r", Seq("x"), Seq(
       Seq(Triple(V("x"), "parent", V("p"))),
