@@ -101,21 +101,34 @@ object Streaming {
     *      values to the batch signature, but NO aggregation shuffle;
     *   2. banding: k/bands rows per band, md5 band hash, explode —
     *      the (band, hash) bucket id is the shuffle key;
-    *   3. state: one keyed-state group per bucket holds the doc ids
-    *      seen in that bucket; each arriving doc emits a pair per
+    *   3. state: one keyed-state group per bucket holds the SET of doc
+    *      ids seen in that bucket; each arriving doc emits a pair per
     *      prior occupant. State size per bucket = its occupancy —
     *      exactly the quantity LSH banding keeps small (a hot bucket
-    *      means the band is too coarse, same knob as batch).
+    *      means the band is too coarse, same knob as batch) — and is
+    *      HARD-BOUNDED by `maxBucketOccupancy`: a full bucket still
+    *      emits pairs against its occupants but stops growing (pairs
+    *      among post-cap arrivals in a pathological bucket are
+    *      sacrificed for bounded memory; retune the band instead).
+    *      For continuous deployments, `stateTtlMs = Some(ms)` evicts
+    *      buckets idle that long, so total state tracks the active
+    *      working set instead of all history. TTL is OPT-IN because a
+    *      processing-time timeout keeps finite drains (AvailableNow /
+    *      Once triggers, and this operator's batch-mode use) from ever
+    *      terminating — Spark schedules wake-ups to service the
+    *      timeouts; use it with a continuous trigger only.
     *
     * Works identically on a batch DataFrame (state scoped to the one
-    * batch), which the parity test exploits. Pairs may repeat across
-    * bands/batches — downstream dedups (same contract as the batch
-    * candidate join before `distinct`). */
+    * batch). Pairs may repeat across bands/batches — downstream dedups
+    * (same contract as the batch candidate join before `distinct`). */
   def streamingNearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
-                                 k: Int = 16, bands: Int = 8): DataFrame = {
+                                 k: Int = 16, bands: Int = 8,
+                                 maxBucketOccupancy: Int = 256,
+                                 stateTtlMs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.llm.Dedup
+    require(maxBucketOccupancy > 0 && stateTtlMs.forall(_ > 0))
     val rows = k / bands
     val sig = docs.select(
       col(idCol).cast("long").as("_id") +:
@@ -130,23 +143,29 @@ object Streaming {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("id_b",
         org.apache.spark.sql.types.LongType, nullable = false))))
+    val timeoutConf = if (stateTtlMs.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
     banded.groupByKey((r: Row) => r.getString(1))(Encoders.STRING)
-      .flatMapGroupsWithState[List[Long], Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: String, it: Iterator[Row], state: GroupState[List[Long]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-          it.foreach { r =>
-            val id = r.getLong(0)
-            if (!seen.contains(id)) {
-              seen.foreach(o =>
-                out += Row(math.min(o, id), math.max(o, id)))
-              seen ::= id
+      .flatMapGroupsWithState[Set[Long], Row](OutputMode.Append(), timeoutConf) {
+        (_: String, it: Iterator[Row], state: GroupState[Set[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Set.empty[Long])
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            it.foreach { r =>
+              val id = r.getLong(0)
+              if (!seen.contains(id)) {
+                seen.foreach(o =>
+                  out += Row(math.min(o, id), math.max(o, id)))
+                if (seen.size < maxBucketOccupancy) seen += id
+              }
             }
+            state.update(seen)
+            // refresh the TTL on every touch; only idle buckets expire
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(seen)
-          out.iterator
-      }(Encoders.kryo[List[Long]], outEnc)
+      }(Encoders.kryo[Set[Long]], outEnc)
       .toDF("id_a", "id_b")
   }
 

@@ -195,6 +195,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(oneBatch == batchCands)
   }
 
+  test("near-dup bucket state is hard-bounded under a hot bucket") {
+    // 10 IDENTICAL docs -> identical signatures -> all land in the same
+    // bucket per band. With maxBucketOccupancy = 4 each bucket's state
+    // stops growing at 4 ids: arrival i emits min(i, 4) pairs, and every
+    // emitted pair has its LOWER side among the first 4 arrivals — the
+    // observable proof that the state set never exceeded the cap.
+    val text = "identical content repeated verbatim in every document"
+    val docs = (0L until 10L).map(i => (i, text)).toDF("doc_id", "text")
+    val pairs = Streaming.streamingNearDupCandidates(
+        docs.coalesce(1), "doc_id", "text", maxBucketOccupancy = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bands = 8
+    val perBucket = (0 until 10).map(i => math.min(i, 4)).sum // 0+1+2+3+4*6
+    assert(pairs.length == perBucket * bands,
+      s"expected ${perBucket * bands} raw pairs, got ${pairs.length}")
+    assert(pairs.forall(_._1 < 4), "a pair references a post-cap occupant")
+    // distinct candidates: first-4 ids vs everyone after them
+    assert(pairs.toSet == (for {
+      a <- 0L until 4L; b <- (a + 1) until 10L
+    } yield (a, b)).toSet)
+    // and with the default cap the same input yields all 45 pairs
+    val uncapped = Streaming.streamingNearDupCandidates(
+        docs.coalesce(1), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 45)
+  }
+
+  test("near-dup state TTL path runs under a continuous trigger") {
+    // TTL uses ProcessingTimeTimeout, which would keep an AvailableNow
+    // drain alive forever — so it is opt-in and must be driven by a
+    // continuous-trigger query: processAllAvailable + stop. Candidates
+    // within the active window are unaffected.
+    val dir = Files.createTempDirectory("stream_ttl").toString
+    Seq((1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    val sch = spark.read.parquet(dir).schema
+    val q = Streaming.streamingNearDupCandidates(
+        Streaming.fileStream(spark, dir, sch, maxFilesPerTrigger = Some(1)),
+        "doc_id", "text", stateTtlMs = Some(60000L))
+      .writeStream.format("memory").queryName("ttl_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L))
+      .start()
+    try {
+      // with timeouts registered the engine keeps scheduling wake-up
+      // batches, so processAllAvailable never settles — poll the sink
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def got() = spark.table("ttl_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      while (!got().contains((1L, 11L)) && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(got().contains((1L, 11L)), s"pair missed under TTL config: ${got()}")
+    } finally q.stop()
+  }
+
   test("ingest loop end-to-end: stream -> foreachBatch compact -> asOf read-your-writes") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.streaming.Trigger
