@@ -79,11 +79,27 @@ final class TxLog(val dir: String) {
       .max
     val log = spark.read.option("mergeSchema", "true")
       .parquet(files.map(_.toString): _*)
-    Bitemporal.fold(log, payloadCols)
-      .withColumn("_sys_date", to_date(col("_system_from")))
-      .write.mode("overwrite").partitionBy("_sys_date")
-      .parquet(baseDir.toString)
+    writeBase(Bitemporal.fold(log, payloadCols)
+      .withColumn("_sys_date", to_date(col("_system_from"))), baseDir)
     last
+  }
+
+  /** Base write layout: range-cluster by `(_sys_date, _id)` and sort
+    * within tasks, so each parquet file inside a `_sys_date` partition
+    * covers a NARROW id range. `entity()`'s `_id = x` point read then
+    * skips every other file via parquet row-group min/max stats — the
+    * Spark-native stand-in for the reference's id-keyed temporal index
+    * (SURVEY.md §1.4): no scan of the visible partitions, just footer
+    * checks. Sorting also makes the files splittable-friendly (sorted
+    * row groups ⇒ tight stats per group, not just per file). */
+  private def writeBase(rects: DataFrame, target: Path): Unit = {
+    // explicit partition count: an implicit range shuffle would be AQE-
+    // coalesced into one file on small bases, erasing the id clustering
+    val n = rects.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    rects.repartitionByRange(n, col("_sys_date"), col("_id"))
+      .sortWithinPartitions("_sys_date", "_id")
+      .write.mode("overwrite").partitionBy("_sys_date")
+      .parquet(target.toString)
   }
 
   /** Current rectangles WITHOUT requiring a fresh compaction: ids
@@ -136,8 +152,7 @@ final class TxLog(val dir: String) {
       .withColumn("_sys_date", to_date(col("_system_from")))
     val tmp = Paths.get(dir, "base_tmp")
     TxLog.deleteRecursively(tmp.toFile)
-    untouched.unionByName(refolded)
-      .write.mode("overwrite").partitionBy("_sys_date").parquet(tmp.toString)
+    writeBase(untouched.unionByName(refolded), tmp)
     TxLog.deleteRecursively(baseDir.toFile)
     Files.move(tmp, baseDir)
     last

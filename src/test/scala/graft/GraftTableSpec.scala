@@ -161,6 +161,49 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.entity(1L, validTime = Some(ts("2019-01-01 00:00:00"))).isEmpty)
   }
 
+  test("entity point read prunes to the id's file via min/max clustering") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val t = new GraftTable(spark, dir, Seq("price"))
+    val rows = spark.range(400).select($"id", ($"id" * 1.0).as("price"))
+    t.put(rows, $"id", lit("2020-01-01").cast("timestamp"), None,
+      Seq("price" -> $"price"), ts("2024-01-01 00:00:00"))
+    t.compact()
+    // base layout: several files per _sys_date partition, each a narrow
+    // sorted id range (test session: 4 shuffle partitions -> ~100 each)
+    val baseFiles = new java.io.File(s"$dir/base").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    assert(baseFiles.length > 1, "expected a multi-file clustered base")
+
+    // the id filter is pushed to the parquet scan...
+    val probe = t.rectangles().filter(col("_id") === 123L)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(_id,123)"), plan)
+
+    // ...and the sorted layout lets row-group stats skip the other
+    // files: records actually read ~ one file's rows, not the table
+    var records = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        synchronized { records += e.taskMetrics.inputMetrics.recordsRead }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(t.entity(123L).map(_.getAs[Double]("price")) == Some(123.0))
+      // let the listener bus drain
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1L
+      while (System.nanoTime() < deadline && records != last) {
+        last = records; Thread.sleep(300)
+      }
+      assert(records > 0, "listener saw no input metrics")
+      assert(records <= 200,
+        s"point read touched $records records — min/max pruning lost " +
+          "(full base would be 400)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("erase removes full history at compaction") {
     val dir = java.nio.file.Files.createTempDirectory("graft_erase").toString
     val t = new GraftTable(spark, dir, Seq("price"))
