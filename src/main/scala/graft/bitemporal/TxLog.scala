@@ -92,15 +92,16 @@ final class TxLog(val dir: String) {
     * (SURVEY.md §1.4): no scan of the visible partitions, just footer
     * checks. Sorting also makes the files splittable-friendly (sorted
     * row groups ⇒ tight stats per group, not just per file). */
-  private def writeBase(rects: DataFrame, target: Path): Unit = {
-    // explicit partition count: an implicit range shuffle would be AQE-
-    // coalesced into one file on small bases, erasing the id clustering
-    val n = rects.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    rects.repartitionByRange(n, col("_sys_date"), col("_id"))
+  private def writeBase(rects: DataFrame, target: Path): Unit =
+    // implicit range shuffle: AQE right-sizes the partition count to
+    // its advisory target, so a small base compacts into FEW files (no
+    // 32-tiny-file writes per compact) while a 100 TB base still splits
+    // into many id-disjoint ~64 MB files. Tests that need a multi-file
+    // base shrink spark.sql.adaptive.advisoryPartitionSizeInBytes.
+    rects.repartitionByRange(col("_sys_date"), col("_id"))
       .sortWithinPartitions("_sys_date", "_id")
       .write.mode("overwrite").partitionBy("_sys_date")
       .parquet(target.toString)
-  }
 
   /** Current rectangles WITHOUT requiring a fresh compaction: ids
     * untouched since `lastCompacted` are served straight from the base

@@ -164,21 +164,33 @@ class GraftTableSpec extends AnyFunSuite {
   test("entity point read prunes to the id's file via min/max clustering") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     val t = new GraftTable(spark, dir, Seq("price"))
-    val rows = spark.range(400).select($"id", ($"id" * 1.0).as("price"))
+    val rows = spark.range(4000).select($"id", ($"id" * 1.0).as("price"))
     t.put(rows, $"id", lit("2020-01-01").cast("timestamp"), None,
       Seq("price" -> $"price"), ts("2024-01-01 00:00:00"))
-    t.compact()
+    // production lets AQE size base files (one file for a table this
+    // small); shrink its size targets so the write splits and the
+    // pruning is observable. parallelismFirst coalesces down to
+    // minPartitionSize, so that is the one that must shrink.
+    val keys = Seq("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val old = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "4096"))
+    try t.compact()
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
     // base layout: several files per _sys_date partition, each a narrow
-    // sorted id range (test session: 4 shuffle partitions -> ~100 each)
+    // sorted id range
     val baseFiles = new java.io.File(s"$dir/base").listFiles()
       .filter(_.isDirectory).flatMap(_.listFiles())
       .filter(_.getName.endsWith(".parquet"))
     assert(baseFiles.length > 1, "expected a multi-file clustered base")
 
     // the id filter is pushed to the parquet scan...
-    val probe = t.rectangles().filter(col("_id") === 123L)
+    val probe = t.rectangles().filter(col("_id") === 1234L)
     val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("EqualTo(_id,123)"), plan)
+    assert(plan.contains("EqualTo(_id,1234)"), plan)
 
     // ...and the sorted layout lets row-group stats skip the other
     // files: records actually read ~ one file's rows, not the table
@@ -190,7 +202,7 @@ class GraftTableSpec extends AnyFunSuite {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      assert(t.entity(123L).map(_.getAs[Double]("price")) == Some(123.0))
+      assert(t.entity(1234L).map(_.getAs[Double]("price")) == Some(1234.0))
       // let the listener bus drain
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
       var last = -1L
@@ -198,9 +210,9 @@ class GraftTableSpec extends AnyFunSuite {
         last = records; Thread.sleep(300)
       }
       assert(records > 0, "listener saw no input metrics")
-      assert(records <= 200,
+      assert(records <= 2000,
         s"point read touched $records records — min/max pruning lost " +
-          "(full base would be 400)")
+          "(full base would be 4000)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
