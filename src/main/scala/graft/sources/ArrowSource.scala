@@ -65,26 +65,45 @@ object ArrowSource {
       throw new IllegalArgumentException(s"unsupported arrow type: $other")
   }
 
-  /** Spark schema of an Arrow IPC file (driver-side footer read only). */
-  def sparkSchema(path: String): StructType = {
+  /** Arrow field list from a file footer (driver-side read only). */
+  private[sources] def footerFields(path: String): Seq[Field] = {
     val alloc = new RootAllocator()
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
     try {
       val r = new ArrowFileReader(ch, alloc)
-      try StructType(r.getVectorSchemaRoot.getSchema.getFields.asScala.map(f =>
-        StructField(f.getName, toSpark(f), f.isNullable)).toSeq)
+      try r.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
       finally r.close()
     } finally { ch.close(); alloc.close() }
   }
 
+  /** Spark schema of an Arrow IPC file (driver-side footer read only). */
+  def sparkSchema(path: String): StructType =
+    StructType(footerFields(path).map(f =>
+      StructField(f.getName, toSpark(f), f.isNullable)))
+
   /** Read Arrow IPC files as a DataFrame — one task per file, one
-    * record batch resident per task at a time. */
+    * record batch resident per task at a time.
+    *
+    * Two physical paths, chosen from the footer schema: when every
+    * column is coverable by Spark's `ArrowColumnVector` accessors the
+    * scan goes through [[ArrowIpcDataSource]] (DataSourceV2, COLUMNAR
+    * batches wrapping the arrow buffers zero-copy, column pruning
+    * pushed into the source); otherwise (non-micro timestamps,
+    * DateMilli) the row-at-a-time lazy iterator serves as fallback. */
   def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "arrow source: no files")
-    val schema = sparkSchema(paths.head)
-    val rdd = spark.sparkContext.parallelize(paths, paths.size)
-      .flatMap(p => new ArrowFileIterator(p))
-    spark.createDataFrame(rdd, schema)
+    val fields = footerFields(paths.head)
+    if (fields.forall(ArrowIpcDataSource.columnarSupported)) {
+      spark.read.format(classOf[ArrowIpcDataSource].getName)
+        .option(ArrowIpcDataSource.PathsOption, paths.mkString("\n"))
+        .load()
+    } else {
+      val schema = StructType(fields.map(f =>
+        StructField(f.getName, toSpark(f), f.isNullable)))
+      val rdd = spark.sparkContext.parallelize(paths, paths.size)
+        .flatMap(p => new ArrowFileIterator(p))
+      spark.createDataFrame(rdd, schema)
+    }
   }
 
   /** Lazy per-batch row iterator over one Arrow IPC file. Loads the next

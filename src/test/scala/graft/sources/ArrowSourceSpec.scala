@@ -119,6 +119,28 @@ class ArrowSourceSpec extends AnyFunSuite {
     assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq == (1L to 10L))
   }
 
+  test("read is a columnar DSv2 scan with column pruning pushed down") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = (1L to 100L).map(i => (i, s"v$i", i * 0.5)).toDF("id", "v", "x")
+    val path = tmp("arrow_v2", "t.arrow")
+    ArrowSource.writeOne(df, path, batchSize = 40)
+
+    val pruned = ArrowSource.read(spark, Seq(path)).select("id")
+    val plan = pruned.queryExecution.executedPlan
+    // the scan is the v2 columnar batch scan, rows come out of the
+    // codegen'd ColumnarToRow, and only the requested column is read
+    val scans = plan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, s"expected BatchScanExec, got:\n$plan")
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("id"),
+      s"column pruning not pushed: ${scans.head.scan.readSchema()}")
+    assert(plan.toString.contains("ColumnarToRow"), plan.toString)
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == (1L to 100L))
+
+    // full-width read through the columnar path agrees with the source
+    val back = ArrowSource.read(spark, Seq(path))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
   test("unsupported arrow type fails loudly, not silently") {
     val df = Seq((1L, Map("k" -> 1))).toDF("id", "m")
     assertThrows[IllegalArgumentException] {
