@@ -222,6 +222,27 @@ object Extras {
       ArrowSource.read(s, Seq(tmp)).orderBy("key")
     }),
 
+    // :arrow columnar path: EMBEDDING vectors (list<double>) round-trip
+    // through a multi-batch Arrow IPC file and come back via the
+    // DataSourceV2 columnar scan (ArrowColumnVector wraps the list
+    // buffers zero-copy) — then a per-label self-dot aggregate proves
+    // the nested data decoded exactly
+    "q107_arrow_columnar" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.ArrowSource
+      val tmp = s"target/arrow_${new java.io.File(dir).getName}/embeddings.arrow"
+      ArrowSource.writeOne(
+        T(s, dir, "embeddings").select(
+          $"vec_id".cast("long").as("vec_id"), $"label",
+          transform($"embedding", x => x.cast("double")).as("v")),
+        tmp, batchSize = 256)
+      ArrowSource.read(s, Seq(tmp))
+        .withColumn("_sq", aggregate($"v", lit(0.0), (acc, x) => acc + x * x))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"), r(avg($"_sq"), 4).as("avg_self_dot"))
+        .orderBy("label")
+    }),
+
     // :mark-join (§2.1 #27, de-descoped): NULL-aware IN as a 3VL mark
     // column — mark_urgent over a null-free subquery (TRUE/FALSE only),
     // mark_big over one with NULLs (no-match degrades to UNKNOWN, the
@@ -443,6 +464,15 @@ object Extras {
       SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS name,
              CAST(n_regionkey AS BIGINT) AS region
       FROM nation ORDER BY key""",
+
+    // arrow round-trip is identity, so the oracle states the aggregate
+    // over the original parquet table directly
+    "q107_arrow_columnar" -> """
+      SELECT label, count(*) AS n,
+             floor(avg(list_sum(list_transform(embedding::DOUBLE[],
+                                               x -> x * x)))*10000 + 0.5)/10000
+               AS avg_self_dot
+      FROM embeddings GROUP BY label ORDER BY label""",
 
     // DuckDB's IN-subquery in the select list has exactly the 3VL mark
     // semantics the operator implements
