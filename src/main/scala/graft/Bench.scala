@@ -18,7 +18,12 @@ object Bench {
     // Warm up JVM/codegen/catalog paths once so per-query timings measure
     // query execution rather than first-use initialization.
     try SparkEntry.queries.get("q00_tpch_q1").foreach(f => run(f(spark, sfDir)))
-    catch { case _: Throwable => }
+    catch {
+      case e: Throwable =>
+        // warm-up failure doesn't abort the bench (the per-query loop
+        // will record the real error) but must not be invisible either
+        System.err.println(s"[bench] warm-up failed: $e")
+    }
     // optional comma-separated name substrings to bench a subset (dev loop)
     val keep: String => Boolean = sys.env.get("SPARK_GRAFT_QUERIES") match {
       case Some(p) => val pats = p.split(','); n => pats.exists(n.contains)

@@ -159,4 +159,31 @@ object Similarity {
       .orderBy(col("cos").desc +: tieBreak: _*)
       .limit(k)
   }
+
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023, "SemDeDup"):
+    * block vectors into IVF cells via the deterministic coarse
+    * quantizer, then flag any vector whose cosine to a LOWER-id vector
+    * in the SAME cell reaches `tau` as a semantic duplicate (the kept
+    * representative is the cell-local min id, the paper's "keep one per
+    * near-dup set" rule with a reproducible choice).
+    *
+    * Scale shape: the pairwise pass is an equi-join on the cell id —
+    * quadratic only WITHIN a cell, the SemDeDup tradeoff; `nCentroids`
+    * is the knob exactly like the paper's k-means k, and at 100 TB the
+    * table is partitioned by cell so each cell's pass is local. */
+  def semanticDupFlags(emb: DataFrame, idCol: String, vCol: String,
+                       nCentroids: Int, tau: Double,
+                       idStride: Long = 1L): DataFrame = {
+    val assigned = ivfAssign(emb, idCol, vCol, nCentroids, idStride)
+      .select(col(idCol), col("cell"), col(vCol))
+    val a = assigned.select(col("cell"), col(idCol).as("_ia"), col(vCol).as("_va"))
+    val b = assigned.select(col("cell"), col(idCol).as("_ib"), col(vCol).as("_vb"))
+    val dups = a.join(b, "cell")
+      .filter(col("_ib") < col("_ia"))
+      .filter(cosine(col("_va"), col("_vb")) >= tau)
+      .select(col("_ia").as(idCol)).distinct()
+    assigned.join(dups.withColumn("_dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("_dup"), lit(false)).as("is_dup"))
+  }
 }

@@ -63,4 +63,26 @@ object TextStats {
         .as("dup5_frac"))
     base.join(top2, Seq(idCol), "left").join(dup5, Seq(idCol), "left")
   }
+
+  /** GPT-style sequence packing metadata: documents are concatenated in
+    * id order WITHIN A SHARD and chunked into training sequences of
+    * `budget` tokens; each doc gets its shard-local start offset and the
+    * sequence id its first token lands in. Deterministic (id-ordered),
+    * and the window partitions by SHARD — there is deliberately no
+    * global-order variant, because a single global cumulative sum is a
+    * one-partition window that cannot scale; shards are the independent
+    * writer units at 100 TB (exactly how training-data pipelines shard
+    * their tokenizer output). Token count = whitespace tokens (swap in
+    * any tokenizer count column upstream). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    shardCol: Column, budget: Int): DataFrame = {
+    require(budget > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(idCol), shardCol.as("shard"),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("seq_id", (col("start_off") / budget).cast("long"))
+  }
 }

@@ -418,6 +418,33 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // SemDeDup-style semantic dedup: IVF-cell blocking + within-cell
+    // cosine >= tau against lower-id vectors; summarized per cell
+    // (assignment, pairwise pass and threshold all deterministic, so
+    // the oracle replays them exactly)
+    "q108_semantic_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val e = embD(s, dir).select($"vec_id", $"v")
+      Similarity.semanticDupFlags(e, "vec_id", "v",
+          nCentroids = 8, tau = 0.95)
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"is_dup", 1L).otherwise(0L)).as("n_dup"))
+        .orderBy("cell")
+    }),
+
+    // GPT-style sequence packing: concat-in-id-order per shard, chunk
+    // at a 512-token budget — per-doc shard-local start offset and
+    // landing sequence id (window partitioned by shard: no global-order
+    // single-partition window)
+    "q109_sequence_pack" -> ((s, dir) => {
+      import s.implicits._
+      TextStats.packSequences(T(s, dir, "documents"), "doc_id", "text",
+          ($"doc_id" % 8).cast("long"), budget = 512)
+        .select($"doc_id", $"shard", $"n_tok", $"start_off", $"seq_id")
+        .orderBy("doc_id")
+    }),
+
     // multimodal metadata extraction over binary payloads. The payloads
     // are REAL format bytes (spec-valid PNG/JPEG/GIF built executor-side
     // with doc_id-derived dimensions — the only way a SQL oracle can
@@ -926,6 +953,44 @@ object Llm {
       SELECT min(doc_id) AS keep_id, count(*) AS n_docs,
              md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
       FROM documents GROUP BY fp ORDER BY keep_id""",
+
+    // replays the deterministic quantizer: centroids = vec_id < 8, each
+    // vector argmax-assigned by cosine (ties -> lower centroid id), then
+    // the same lower-id-witness pairwise threshold within cells
+    "q108_semantic_dedup" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      asg AS (
+        SELECT vec_id, v,
+               (SELECT cid FROM c
+                ORDER BY list_dot_product(e.v, c.cv) /
+                         (sqrt(list_dot_product(e.v, e.v)) *
+                          sqrt(list_dot_product(c.cv, c.cv))) DESC, cid
+                LIMIT 1) AS cell
+        FROM e),
+      dups AS (
+        SELECT DISTINCT a.vec_id FROM asg a JOIN asg b USING (cell)
+        WHERE b.vec_id < a.vec_id
+          AND list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) >= 0.95)
+      SELECT cell, count(*) AS n,
+             CAST(count(*) FILTER (WHERE vec_id IN (SELECT vec_id FROM dups))
+                  AS BIGINT) AS n_dup
+      FROM asg GROUP BY cell ORDER BY cell""",
+
+    "q109_sequence_pack" -> """
+      WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                 FROM documents)
+      SELECT doc_id, shard, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tok
+                  AS BIGINT) AS start_off,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tok)
+                        / 512) AS BIGINT) AS seq_id
+      FROM t ORDER BY doc_id""",
 
     "q51_multimodal" -> """
       SELECT doc_id,

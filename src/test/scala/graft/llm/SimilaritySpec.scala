@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Semantic dedup (SemDeDup shape) and sequence packing semantics on
+  * hand-built fixtures. */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("semanticDupFlags: lower-id witness within a cell flags the dup") {
+    // 2 orthogonal directions; centroids = ids 0 and 1. id 2 is nearly
+    // id 0's vector (cos ~ 0.9987 >= 0.95 -> dup, witness id 0); id 3 is
+    // a rotated vector in id 1's cell but below tau (cos ~ 0.89).
+    val e = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(0.0, 1.0)),
+      (2L, Seq(1.0, 0.05)),
+      (3L, Seq(0.5, 1.0)))
+      .toDF("vec_id", "v")
+    val out = Similarity.semanticDupFlags(e, "vec_id", "v",
+        nCentroids = 2, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(0L) == (0L, false)) // centroid itself, kept
+    assert(out(1L) == (1L, false))
+    assert(out(2L)._1 == 0L && out(2L)._2, "near-copy of id 0 must flag")
+    assert(out(3L)._1 == 1L && !out(3L)._2, "below-tau vector must keep")
+  }
+
+  test("semanticDupFlags: duplicates in different cells are NOT flagged") {
+    // ids 2 and 3 are identical but land in different cells (each is a
+    // centroid's near-copy) — blocking semantics: only same-cell pairs
+    // are compared, so neither flags against the other; both flag
+    // against their own cell's centroid instead.
+    val e = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(0.0, 1.0)),
+      (2L, Seq(1.0, 0.01)),
+      (3L, Seq(0.01, 1.0)))
+      .toDF("vec_id", "v")
+    val out = Similarity.semanticDupFlags(e, "vec_id", "v",
+        nCentroids = 2, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(0L -> false, 1L -> false, 2L -> true, 3L -> true))
+  }
+
+  test("packSequences: per-shard concat-and-chunk offsets") {
+    val docs = Seq(
+      (0L, "a b c"),        // shard 0: 3 tokens, off 0, seq 0
+      (1L, "d e"),          // shard 1: 2 tokens, off 0, seq 0
+      (2L, "f g h i"),      // shard 0: off 3, crosses budget 4 -> seq 0
+      (4L, "j k l m n"),    // shard 0: off 7, seq 1
+      (3L, "o p q r s t"))  // shard 1: off 2, seq 0
+      .toDF("doc_id", "text")
+    val out = TextStats.packSequences(docs, "doc_id", "text",
+        (col("doc_id") % 2).cast("long"), budget = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) == (0L, 3L, 0L, 0L))
+    assert(out(2L) == (0L, 4L, 3L, 0L)) // starts inside seq 0
+    assert(out(4L) == (0L, 5L, 7L, 1L))
+    assert(out(1L) == (1L, 2L, 0L, 0L))
+    assert(out(3L) == (1L, 6L, 2L, 0L))
+    // shards are independent: no cross-shard offset bleed
+    assert(out(1L)._3 == 0L && out(3L)._3 == 2L)
+  }
+}
