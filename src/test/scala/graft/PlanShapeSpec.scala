@@ -100,4 +100,20 @@ class PlanShapeSpec extends AnyFunSuite {
       if (q == "q102_funnel") assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
     }
   }
+
+  test("q108 (semantic dedup): pairwise pass is an equi-join on the cell id") {
+    val p = plan("q108_semantic_dedup")
+    // the only nested loop allowed is the tiny broadcast centroid table
+    // (8 rows); the vector-vs-vector pass must hash-join on `cell`
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q109 (sequence packing): window partitions by shard, never global") {
+    val p = plan("q109_sequence_pack")
+    // a global cumulative sum would plan Exchange SinglePartition before
+    // the Window — the one shape that cannot scale
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
