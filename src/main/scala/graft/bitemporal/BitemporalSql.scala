@@ -104,29 +104,39 @@ object BitemporalSql {
     import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
     import org.apache.spark.sql.graftbridge.PlanBridge
 
-    // stage 1: temporal clauses -> placeholder relation names
-    var rewritten = query
+    // stage 1: temporal clauses -> placeholder relation names. Each
+    // match replaces at ITS OWN position (appendReplacement) — a plain
+    // text replace would also rewrite a same-text PREFIX inside a
+    // longer two-clause reference of the same table, leaving a dangling
+    // clause fragment behind.
     val placeholders = scala.collection.mutable.Map
       .empty[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
     val m = tableWithClauses.matcher(query)
+    val sb = new StringBuffer
     while (m.find()) {
       val table = m.group(1)
-      tables.get(table).foreach { rects =>
-        var sys: Option[Spec] = None
-        var valid: Option[Spec] = None
-        val cm = onePeriod.matcher(m.group(2))
-        while (cm.find()) {
-          val (dim, spec) = specOf(cm)
-          if (dim.equalsIgnoreCase("SYSTEM_TIME")) sys = Some(spec)
-          else valid = Some(spec)
-        }
-        def orNow(o: Option[Spec]) = o.getOrElse(AsOf(current_timestamp()))
-        val ph = s"graft_temporal_${viewId.incrementAndGet()}"
-        placeholders(ph) = SubqueryAlias(table, PlanBridge.logicalPlan(
-          filtered(rects, orNow(valid), orNow(sys))))
-        rewritten = rewritten.replace(m.group(0), ph)
+      val replacement = tables.get(table) match {
+        case None => m.group(0) // not ours: pass through verbatim
+        case Some(rects) =>
+          var sys: Option[Spec] = None
+          var valid: Option[Spec] = None
+          val cm = onePeriod.matcher(m.group(2))
+          while (cm.find()) {
+            val (dim, spec) = specOf(cm)
+            if (dim.equalsIgnoreCase("SYSTEM_TIME")) sys = Some(spec)
+            else valid = Some(spec)
+          }
+          def orNow(o: Option[Spec]) = o.getOrElse(AsOf(current_timestamp()))
+          val ph = s"graft_temporal_${viewId.incrementAndGet()}"
+          placeholders(ph) = SubqueryAlias(table, PlanBridge.logicalPlan(
+            filtered(rects, orNow(valid), orNow(sys))))
+          ph
       }
+      m.appendReplacement(sb,
+        java.util.regex.Matcher.quoteReplacement(replacement))
     }
+    m.appendTail(sb)
+    val rewritten = sb.toString
 
     // stage 2: parse, then splice relations into the unresolved plan
     val byLower = tables.map { case (k, v) => k.toLowerCase -> ((k, v)) }

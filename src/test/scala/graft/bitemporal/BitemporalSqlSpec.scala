@@ -165,6 +165,23 @@ class BitemporalSqlSpec extends AnyFunSuite {
     assert(out == Seq(Seq(1L, 20.0), Seq(2L, 99.0)))
   }
 
+  test("a 1-clause reference that prefixes a 2-clause reference survives") {
+    // both reference `prices` with the SAME first clause text; the
+    // shorter match must not text-replace inside the longer one (which
+    // would leave a dangling `FOR APPLICATION_TIME ALL` fragment)
+    val out = BitemporalSql.sql(spark,
+      s"""SELECT a._id, a.price AS cur_p, count(b.price) AS n_hist
+          FROM prices FOR SYSTEM_TIME AS OF '${ts(250)}' a
+          JOIN prices FOR SYSTEM_TIME AS OF '${ts(250)}' FOR APPLICATION_TIME ALL b
+            ON a._id = b._id
+          GROUP BY a._id, a.price ORDER BY a._id""",
+      Map("prices" -> rects)).collect()
+    // at sys 250: a sees the current-valid rows (id1 -> 20, id2 -> 99);
+    // b sees ALL valid-time rectangles (id1 has 2: [0,50) and [50,inf))
+    assert(out.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq((1L, 20.0, 2L), (2L, 99.0, 1L)))
+  }
+
   test("temporal table inside an expression subquery is substituted") {
     import spark.implicits._
     Seq(1L, 2L, 3L).toDF("k").createOrReplaceTempView("graft_sql_probe")
