@@ -160,6 +160,71 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product quantization (Jégou et al. 2011): split each vector into
+    * `m` subvectors of `subDim` dims; per subspace, a k-codeword
+    * codebook; a vector's code = per-subspace argmin squared distance.
+    * Codewords are BORROWED deterministically (subvectors of the first
+    * k ids — same reproducibility rationale as [[ivfCentroids]]).
+    * Squared distance uses the dot identity ‖a−b‖² = a·a − 2a·b + b·b
+    * with the sequential-fold dot product, so the DuckDB oracle is
+    * bit-identical. Codebook size m×k is tiny by construction →
+    * broadcast everywhere. */
+  def pqCodebook(emb: DataFrame, idCol: String, vCol: String,
+                 m: Int, k: Int, subDim: Int): DataFrame = {
+    val cents = emb.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("c"), col(vCol).as("_cv"))
+    val js = emb.sparkSession.range(m).select(col("id").cast("int").as("j"))
+    cents.crossJoin(broadcast(js))
+      .select(col("j"), col("c"),
+        slice(col("_cv"), col("j") * subDim + 1, lit(subDim)).as("w"))
+  }
+
+  private def dist2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** PQ encode: one (id, j, code) row per vector and subspace — n×m×k
+    * distance evaluations against a broadcast codebook, embarrassingly
+    * parallel (the standard PQ encode cost); argmin ties break to the
+    * lower codeword id. */
+  def pqEncode(emb: DataFrame, idCol: String, vCol: String,
+               m: Int, k: Int, subDim: Int): DataFrame = {
+    val cb = broadcast(pqCodebook(emb, idCol, vCol, m, k, subDim))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("j")).orderBy(col("_dist"), col("c"))
+    emb.crossJoin(cb)
+      .withColumn("_sv", slice(col(vCol), col("j") * subDim + 1, lit(subDim)))
+      .withColumn("_dist", dist2(col("_sv"), col("w")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("j"), col("c").as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query builds an
+    * m×k distance table against the codebook (tiny → broadcast); each
+    * vector's approximate distance is the sum of its codes' table
+    * entries, folded IN SUBSPACE ORDER so the accumulation is
+    * deterministic and cross-engine exact. This is the IVF-PQ read
+    * path at 100 TB: codes are bytes, the scan never touches the raw
+    * vectors. */
+  def pqAdcTopK(emb: DataFrame, idCol: String, vCol: String,
+                queryVec: DataFrame, qCol: String, topK: Int,
+                m: Int, k: Int, subDim: Int): DataFrame = {
+    val cb = pqCodebook(emb, idCol, vCol, m, k, subDim)
+    val dt = queryVec.crossJoin(cb)
+      .withColumn("_sq", slice(col(qCol), col("j") * subDim + 1, lit(subDim)))
+      .select(col("j"), col("c").as("code"),
+        dist2(col("_sq"), col("w")).as("_dj"))
+    pqEncode(emb, idCol, vCol, m, k, subDim)
+      .join(broadcast(dt), Seq("j", "code"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("j"), col("_dj")))).as("_ds"))
+      .withColumn("adist",
+        aggregate(col("_ds"), lit(0.0), (acc, x) => acc + x.getField("_dj")))
+      .select(col(idCol), col("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(topK)
+  }
+
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023, "SemDeDup"):
     * block vectors into IVF cells via the deterministic coarse
     * quantizer, then flag any vector whose cosine to a LOWER-id vector

@@ -445,6 +445,32 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // product quantization encode: 8 subspaces x 16 borrowed codewords
+    // over the 64-dim embeddings; per-vector code string (argmin ties
+    // to the lower codeword — deterministic, oracle replays it)
+    "q110_pq_encode" -> ((s, dir) => {
+      import s.implicits._
+      val e = embD(s, dir).select($"vec_id", $"v")
+      Similarity.pqEncode(e, "vec_id", "v", m = 8, k = 16, subDim = 8)
+        .groupBy($"vec_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct($"j", $"code"))),
+            x => x.getField("code").cast("string")), ",").as("codes"))
+        .orderBy("vec_id")
+    }),
+
+    // ADC search over the PQ codes: query 0's m x k distance table,
+    // per-vector approximate distance summed in subspace order
+    // (deterministic fold -> bit-exact vs the oracle), top 10
+    "q111_pq_adc_topk" -> ((s, dir) => {
+      import s.implicits._
+      val e = embD(s, dir).select($"vec_id", $"v")
+      val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+      Similarity.pqAdcTopK(e, "vec_id", "v", q, "qv", topK = 10,
+          m = 8, k = 16, subDim = 8)
+        .select($"vec_id", r($"adist", 6).as("adist"))
+    }),
+
     // multimodal metadata extraction over binary payloads. The payloads
     // are REAL format bytes (spec-valid PNG/JPEG/GIF built executor-side
     // with doc_id-derived dimensions — the only way a SQL oracle can
@@ -991,6 +1017,58 @@ object Llm {
                                           ROWS UNBOUNDED PRECEDING) - n_tok)
                         / 512) AS BIGINT) AS seq_id
       FROM t ORDER BY doc_id""",
+
+    // PQ oracle: same borrowed codebook (vec_id < 16), same subvector
+    // slices, same dot-identity squared distance, same tie-break
+    "q110_pq_encode" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cb AS (SELECT t.j, c.vec_id AS c,
+                    list_slice(c.v, t.j*8+1, (t.j+1)*8) AS w
+             FROM (SELECT vec_id, v FROM e WHERE vec_id < 16) c,
+                  generate_series(0, 7) AS t(j)),
+      d AS (SELECT vec_id, j, c,
+                   list_dot_product(sv, sv) - 2*list_dot_product(sv, w)
+                     + list_dot_product(w, w) AS dist
+            FROM (SELECT e.vec_id, cb.j, cb.c, cb.w,
+                         list_slice(e.v, cb.j*8+1, (cb.j+1)*8) AS sv
+                  FROM e, cb) AS sub),
+      best AS (SELECT vec_id, j, c,
+                      row_number() OVER (PARTITION BY vec_id, j
+                                         ORDER BY dist, c) AS rn
+               FROM d)
+      SELECT vec_id, string_agg(c::VARCHAR, ',' ORDER BY j) AS codes
+      FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""",
+
+    "q111_pq_adc_topk" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cb AS (SELECT t.j, c.vec_id AS c,
+                    list_slice(c.v, t.j*8+1, (t.j+1)*8) AS w
+             FROM (SELECT vec_id, v FROM e WHERE vec_id < 16) c,
+                  generate_series(0, 7) AS t(j)),
+      d AS (SELECT vec_id, j, c,
+                   list_dot_product(sv, sv) - 2*list_dot_product(sv, w)
+                     + list_dot_product(w, w) AS dist
+            FROM (SELECT e.vec_id, cb.j, cb.c, cb.w,
+                         list_slice(e.v, cb.j*8+1, (cb.j+1)*8) AS sv
+                  FROM e, cb) AS sub),
+      enc AS (SELECT vec_id, j, c FROM (
+                SELECT vec_id, j, c,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY dist, c) AS rn
+                FROM d) WHERE rn = 1),
+      dt AS (SELECT j, c,
+                    list_dot_product(sq, sq) - 2*list_dot_product(sq, w)
+                      + list_dot_product(w, w) AS dj
+             FROM (SELECT cb.j, cb.c, cb.w,
+                          list_slice(q.qv, cb.j*8+1, (cb.j+1)*8) AS sq
+                   FROM cb, (SELECT v AS qv FROM e WHERE vec_id = 0) q)
+                  AS qsub),
+      a AS (SELECT enc.vec_id,
+                   list_sum(array_agg(dt.dj ORDER BY enc.j)) AS adist
+            FROM enc JOIN dt ON enc.j = dt.j AND enc.c = dt.c
+            GROUP BY enc.vec_id)
+      SELECT vec_id, floor(adist*1000000 + 0.5)/1000000 AS adist
+      FROM a ORDER BY a.adist, vec_id LIMIT 10""",
 
     "q51_multimodal" -> """
       SELECT doc_id,

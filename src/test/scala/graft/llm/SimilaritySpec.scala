@@ -46,6 +46,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out == Map(0L -> false, 1L -> false, 2L -> true, 3L -> true))
   }
 
+  test("pqEncode: codeword-source vectors encode to their own codes") {
+    // 4 vectors in 2 subspaces of 2 dims, k=2 codewords borrowed from
+    // ids 0/1: ids 0 and 1 must self-encode (distance 0 to their own
+    // subvector); ids 2/3 pick the nearest codeword per subspace.
+    val e = Seq(
+      (0L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (1L, Seq(5.0, 5.0, 0.0, 0.0)),
+      (2L, Seq(0.1, 0.1, 0.2, 0.1)),   // near cw0 in j0, near cw1 in j1
+      (3L, Seq(4.0, 4.0, 9.0, 9.0)))   // near cw1 in j0, near cw0 in j1
+      .toDF("vec_id", "v")
+    val codes = Similarity.pqEncode(e, "vec_id", "v", m = 2, k = 2, subDim = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(codes((0L, 0)) == 0L && codes((0L, 1)) == 0L)
+    assert(codes((1L, 0)) == 1L && codes((1L, 1)) == 1L)
+    assert(codes((2L, 0)) == 0L && codes((2L, 1)) == 1L)
+    assert(codes((3L, 0)) == 1L && codes((3L, 1)) == 0L)
+  }
+
+  test("pqAdcTopK: the query's own vector ranks first with ~zero distance") {
+    val e = Seq(
+      (0L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (1L, Seq(5.0, 5.0, 0.0, 0.0)),
+      (2L, Seq(0.1, 0.1, 9.9, 9.9)),
+      (3L, Seq(6.0, 6.0, 1.0, 1.0)))
+      .toDF("vec_id", "v")
+    val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+    val top = Similarity.pqAdcTopK(e, "vec_id", "v", q, "qv", topK = 4,
+        m = 2, k = 2, subDim = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // id 0 is a codeword source: its ADC distance is exactly the
+    // query-to-codeword distance = 0; id 2 shares its codes -> next
+    assert(top.head._1 == 0L && top.head._2 == 0.0)
+    assert(top.map(_._1).take(2).toSet == Set(0L, 2L))
+    assert(top.map(_._2).sorted.toSeq == top.map(_._2).toSeq) // ascending
+  }
+
   test("packSequences: per-shard concat-and-chunk offsets") {
     val docs = Seq(
       (0L, "a b c"),        // shard 0: 3 tokens, off 0, seq 0
