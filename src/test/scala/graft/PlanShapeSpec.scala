@@ -116,4 +116,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("q111 (PQ ADC): distance table joins codes by hash, no cartesian") {
+    val p = plan("q111_pq_adc_topk")
+    // the codebook/distance-table cross joins are tiny broadcast sides
+    // (m*k rows); the codes-to-table join must be a hash equi-join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
