@@ -208,6 +208,10 @@ object RA {
       var i = 0
       var done = false
       while (!done && i < maxIter) {
+        // distinct() BEFORE except is deliberate, not redundant: EXCEPT
+        // dedups only AFTER its anti join, while closure steps re-derive
+        // the same fact many times — pre-dedup shrinks the anti-join
+        // probe side by the re-derivation factor.
         val next = fresh(step(frontier).distinct()).except(acc).localCheckpoint()
         if (next.isEmpty) done = true
         else {
@@ -270,6 +274,8 @@ object RA {
         require(derived.length == accs.length, "fixpointN: step arity mismatch")
         val next = accs.zip(derived).map { case (accOpt, dOpt) =>
           dOpt.map { d =>
+            // pre-distinct is deliberate (see [[fixpoint]]): dedup before
+            // the EXCEPT anti join, not only after it
             val novel = accOpt.fold(fresh(d.distinct()))(acc =>
               fresh(d.distinct()).except(acc))
             novel.localCheckpoint()
