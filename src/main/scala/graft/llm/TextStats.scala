@@ -64,6 +64,43 @@ object TextStats {
     base.join(top2, Seq(idCol), "left").join(dup5, Seq(idCol), "left")
   }
 
+  /** BM25 relevance (Robertson–Spärck Jones; Lucene's +1 idf variant)
+    * of each document against a literal term set:
+    *   Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    *   idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+    * Docs matching no term are omitted. Per-doc term scores fold in
+    * TERM ORDER (sorted struct collect) so the floating-point sum is
+    * deterministic and cross-engine exact. Shape: one token explode,
+    * keyed aggregations, df/corpus stats broadcast — no pairwise work;
+    * at 100 TB this is the standard two-pass sparse scorer. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty)
+    val toks = tokens(df, idCol, textCol)
+    val dl = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("double").as("_dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("_n"),
+      avg(col("_dl")).as("_avgdl"))
+    val tf = toks.filter(col("word").isInCollection(terms))
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+    val dfreq = tf.groupBy(col("word"))
+      .agg(count(lit(1)).cast("double").as("_df"))
+    tf.join(broadcast(dfreq), "word")
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5) + 1.0))
+      .withColumn("_s", col("_idf") * col("_tf") * (lit(k1) + 1.0) /
+        (col("_tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("_dl") / col("_avgdl"))))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("word"), col("_s")))).as("_ws"))
+      .withColumn("bm25",
+        aggregate(col("_ws"), lit(0.0), (acc, x) => acc + x.getField("_s")))
+      .select(col(idCol), col("bm25"))
+  }
+
   /** GPT-style sequence packing metadata: documents are concatenated in
     * id order WITHIN A SHARD and chunked into training sequences of
     * `budget` tokens; each doc gets its shard-local start offset and the

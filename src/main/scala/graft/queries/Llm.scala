@@ -471,6 +471,17 @@ object Llm {
         .select($"vec_id", r($"adist", 6).as("adist"))
     }),
 
+    // BM25 ranking against a literal query ("hash join scan") — the
+    // classic sparse retrieval scorer on top of the tf-idf machinery;
+    // per-doc term scores folded in term order for a deterministic sum
+    "q112_bm25" -> ((s, dir) => {
+      import s.implicits._
+      TextStats.bm25(T(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("hash", "join", "scan"))
+        .select($"doc_id", r($"bm25", 6).as("bm25"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal metadata extraction over binary payloads. The payloads
     // are REAL format bytes (spec-valid PNG/JPEG/GIF built executor-side
     // with doc_id-derived dimensions — the only way a SQL oracle can
@@ -1017,6 +1028,26 @@ object Llm {
                                           ROWS UNBOUNDED PRECEDING) - n_tok)
                         / 512) AS BIGINT) AS seq_id
       FROM t ORDER BY doc_id""",
+
+    "q112_bm25" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+      dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+             FROM toks GROUP BY doc_id),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+             FROM toks WHERE word IN ('hash', 'join', 'scan')
+             GROUP BY doc_id, word),
+      dfreq AS (SELECT word, CAST(count(*) AS DOUBLE) AS df
+                FROM tf GROUP BY word),
+      s AS (SELECT tf.doc_id, tf.word,
+                   ln((n - df + 0.5)/(df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+                     / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+            FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id), stats)
+      SELECT doc_id,
+             floor(list_sum(array_agg(s ORDER BY word))*1000000 + 0.5)/1000000
+               AS bm25
+      FROM s GROUP BY doc_id ORDER BY doc_id""",
 
     // PQ oracle: same borrowed codebook (vec_id < 16), same subvector
     // slices, same dot-identity squared distance, same tie-break

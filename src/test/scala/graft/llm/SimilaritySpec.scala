@@ -82,6 +82,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.map(_._2).sorted.toSeq == top.map(_._2).toSeq) // ascending
   }
 
+  test("bm25: matches the hand-computed formula on a tiny corpus") {
+    val docs = Seq(
+      (1L, "spark joins data with data"), // dl 5; data tf 2
+      (2L, "data"),                       // dl 1; data tf 1
+      (3L, "no match here at all"))       // dl 5; no term
+      .toDF("doc_id", "text")
+    val got = TextStats.bm25(docs, "doc_id", "text",
+        terms = Seq("data", "spark"), k1 = 1.2, b = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val n = 3.0
+    val avgdl = (5.0 + 1.0 + 5.0) / 3.0
+    def idf(df: Double) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf: Double, df: Double, dl: Double) =
+      idf(df) * tf * (1.2 + 1.0) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    // doc 1: data(tf 2, df 2) + spark(tf 1, df 1); doc 2: data only
+    val d1 = term(2, 2, 5) + term(1, 1, 5)
+    val d2 = term(1, 2, 1)
+    assert(math.abs(got(1L) - d1) < 1e-12, s"${got(1L)} vs $d1")
+    assert(math.abs(got(2L) - d2) < 1e-12, s"${got(2L)} vs $d2")
+    assert(!got.contains(3L), "termless doc must be omitted")
+    // shorter doc with the rarer... sanity: both scores positive
+    assert(d1 > 0 && d2 > 0)
+  }
+
   test("packSequences: per-shard concat-and-chunk offsets") {
     val docs = Seq(
       (0L, "a b c"),        // shard 0: 3 tokens, off 0, seq 0
