@@ -243,6 +243,26 @@ object Extras {
         .orderBy("label")
     }),
 
+    // :arrow DISTRIBUTED sink: documents shuffle-partitioned 4 ways,
+    // each partition writes its own chunk file executor-side (the
+    // reference indexer's seal-to-object-store shape), read back via
+    // the columnar scan and aggregated — identity round-trip, so the
+    // oracle states the aggregate over the original table
+    "q113_arrow_sink" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.ArrowSource
+      val tmp = s"target/arrow_${new java.io.File(dir).getName}/docs_sink"
+      graft.bitemporal.TxLog.deleteRecursively(new java.io.File(tmp))
+      val paths = ArrowSource.write(
+        T(s, dir, "documents").select($"doc_id", $"lang", $"n_chars")
+          .repartition(4, $"doc_id"),
+        tmp, batchSize = 256)
+      ArrowSource.read(s, paths)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("total_chars"))
+        .orderBy("lang")
+    }),
+
     // :mark-join (§2.1 #27, de-descoped): NULL-aware IN as a 3VL mark
     // column — mark_urgent over a null-free subquery (TRUE/FALSE only),
     // mark_big over one with NULLs (no-match degrades to UNKNOWN, the
@@ -464,6 +484,11 @@ object Extras {
       SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS name,
              CAST(n_regionkey AS BIGINT) AS region
       FROM nation ORDER BY key""",
+
+    "q113_arrow_sink" -> """
+      SELECT lang, count(*) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY lang ORDER BY lang""",
 
     // arrow round-trip is identity, so the oracle states the aggregate
     // over the original parquet table directly

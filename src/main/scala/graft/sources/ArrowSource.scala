@@ -296,15 +296,12 @@ object ArrowSource {
         s"arrow fixture writer: unsupported list element type $other")
     }
 
-  /** Write a DataFrame to ONE Arrow IPC file via a driver-side collect —
-    * a fixture/interchange utility (small results out to arrow
-    * consumers), NOT a distributed sink; [[read]] is the operator.
-    * `batchSize` splits the rows into multiple record batches so tests
-    * can build multi-batch files and prove streaming decode. */
-  def writeOne(df: DataFrame, path: String, batchSize: Int = Int.MaxValue): Unit = {
-    val schema = df.schema
+  /** Stream rows into one Arrow IPC file, `batchSize` rows per record
+    * batch — per-call memory is one batch's vectors. Shared by the
+    * driver-side fixture writer and the distributed sink. */
+  private def writeFile(schema: StructType, rows: Iterator[Row],
+                        path: String, batchSize: Int): Unit = {
     val fields = schema.fields.map(f => toArrowField(f.name, f.dataType, f.nullable))
-    val rows = df.collect()
     val alloc = new RootAllocator()
     val root = VectorSchemaRoot.create(new ArrowSchema(fields.toSeq.asJava), alloc)
     try {
@@ -344,5 +341,36 @@ object ArrowSource {
         w.end()
       } finally { w.close(); ch.close() }
     } finally { root.close(); alloc.close() }
+  }
+
+  /** Write a DataFrame to ONE Arrow IPC file via a driver-side collect —
+    * a fixture/interchange utility (small results out to arrow
+    * consumers); [[write]] is the distributed sink. `batchSize` splits
+    * the rows into multiple record batches so tests can build
+    * multi-batch files and prove streaming decode. */
+  def writeOne(df: DataFrame, path: String, batchSize: Int = Int.MaxValue): Unit =
+    writeFile(df.schema, df.collect().iterator, path, batchSize)
+
+  /** DISTRIBUTED Arrow IPC sink: each non-empty partition writes its own
+    * `part-NNNNN.arrow` file under `dir`, executor-side, streaming its
+    * rows through `batchSize`-row record batches (per-task memory = one
+    * batch). Mirrors the reference indexer sealing live chunks to the
+    * object store as per-chunk Arrow files — and [[read]]'s
+    * one-task-per-file parallelism on the way back. `dir` must be
+    * storage every executor can reach (shared FS / object store; local
+    * FS in local mode). Returns the written file paths. */
+  def write(df: DataFrame, dir: String, batchSize: Int = 4096): Seq[String] = {
+    val schema = df.schema
+    // fail fast on the driver for unsupported types, not per-task
+    schema.fields.foreach(f => toArrowField(f.name, f.dataType, f.nullable))
+    Files.createDirectories(Paths.get(dir))
+    df.rdd.mapPartitionsWithIndex { case (i, rows) =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val p = Paths.get(dir, f"part-$i%05d.arrow").toString
+        writeFile(schema, rows, p, batchSize)
+        Iterator.single(p)
+      }
+    }.collect().toSeq.sorted
   }
 }

@@ -141,6 +141,24 @@ class ArrowSourceSpec extends AnyFunSuite {
     assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
   }
 
+  test("distributed sink: one file per non-empty partition, exact round-trip") {
+    val df = (1L to 1000L).map(i => (i, s"doc$i", i * 0.25)).toDF("id", "t", "x")
+      .repartition(4)
+    val dir = java.nio.file.Files.createTempDirectory("arrow_sink").toString
+    val paths = ArrowSource.write(df, dir, batchSize = 100)
+    assert(paths.size == 4, s"expected 4 part files, got $paths")
+    assert(paths.forall(_.endsWith(".arrow")))
+    val back = ArrowSource.read(spark, paths)
+    assert(back.rdd.getNumPartitions == 4) // one read task per part file
+    assert(back.schema == df.schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // empty partitions produce no file
+    val sparse = (1L to 3L).map(i => (i, "v")).toDF("id", "v").repartition(8)
+    val dir2 = java.nio.file.Files.createTempDirectory("arrow_sparse").toString
+    val paths2 = ArrowSource.write(sparse, dir2)
+    assert(paths2.size <= 3 && paths2.nonEmpty)
+  }
+
   test("unsupported arrow type fails loudly, not silently") {
     val df = Seq((1L, Map("k" -> 1))).toDF("id", "m")
     assertThrows[IllegalArgumentException] {
