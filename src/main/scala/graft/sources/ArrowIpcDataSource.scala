@@ -150,8 +150,13 @@ private final class ArrowColumnarReader(path: String, columns: Array[String])
   override def next(): Boolean =
     if (!reader.loadNextBatch()) false
     else {
-      val vecs: Array[ColumnVector] =
-        columns.map(c => new ArrowColumnVector(root.getVector(c)): ColumnVector)
+      val vecs: Array[ColumnVector] = columns.map { c =>
+        val v = root.getVector(c)
+        if (v == null) throw new IllegalArgumentException(
+          s"arrow file $path has no column '$c' — all files of one " +
+            "read must share the first file's schema")
+        new ArrowColumnVector(v): ColumnVector
+      }
       batch = new ColumnarBatch(vecs, root.getRowCount)
       true
     }

@@ -125,6 +125,34 @@ class ScaleSpec extends AnyFunSuite {
       s"driver heap grew ${heapGrowth}MB — results are leaking to the driver")
   }
 
+  scaleTest("semantic dedup stays linear-ish when centroids scale with n") {
+    // SemDeDup's pairwise pass is quadratic WITHIN a cell, so the scale
+    // contract is nCentroids ∝ n (cell occupancy stays constant). Run
+    // 4k vs 40k synthetic embeddings with centroids scaled 10x and
+    // assert the wall-clock ratio stays linear-ish — with FIXED
+    // centroids the within-cell work would grow ~100x.
+    import graft.llm.Similarity
+    def embeddings(n: Long): org.apache.spark.sql.DataFrame =
+      spark.range(n).map { boxed =>
+        val id: Long = boxed
+        val rnd = new scala.util.Random(id * 0x9E3779B97F4A7C15L)
+        val base = Array.fill(16)(rnd.nextDouble() - 0.5)
+        (id, base.toSeq)
+      }.toDF("vec_id", "v").localCheckpoint()
+    def run(docs: org.apache.spark.sql.DataFrame, cents: Int): Long =
+      Similarity.semanticDupFlags(docs, "vec_id", "v",
+        nCentroids = cents, tau = 0.9)
+        .filter($"is_dup").count()
+    run(embeddings(500), 8) // warm-up
+    val (_, tS) = timed(run(embeddings(small), 40))
+    val (_, tB) = timed(run(embeddings(big), 400))
+    info(f"semantic dedup: $small docs/40 cells in $tS%.1fs; " +
+      f"$big docs/400 cells in $tB%.1fs (ratio ${tB / tS}%.1fx)")
+    assert(tB <= tS * 30 + 10,
+      f"semantic dedup: $tB%.1fs at 10x data with 10x centroids — " +
+        "cell occupancy is not staying bounded")
+  }
+
   scaleTest("fixpoint sustains 120 iterations with flat driver memory") {
     // a pure 120-diameter chain: every iteration derives exactly one new
     // row, the worst case for plan growth / checkpoint churn
