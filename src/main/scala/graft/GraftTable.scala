@@ -107,6 +107,15 @@ final class GraftTable(spark: SparkSession, dir: String,
 
   /** ANSI SQL over this table (registered under `name`) with
     * `FOR SYSTEM_TIME / FOR APPLICATION_TIME AS OF` support. */
+  /** Export the full rectangle history (or any DataFrame derived from
+    * this table) as Arrow IPC chunk files — the reference's native
+    * chunk format (its object store holds exactly such files), one file
+    * per partition, written executor-side. An external arrow consumer
+    * (or [[graft.sources.ArrowSource.read]]) can then work the chunks
+    * without parquet. Returns the written paths. */
+  def exportArrowChunks(outDir: String, batchSize: Int = 4096): Seq[String] =
+    graft.sources.ArrowSource.write(rectangles(), outDir, batchSize)
+
   def sql(name: String, query: String): DataFrame =
     BitemporalSql.sql(spark, query, Map(name -> rectangles()))
 

@@ -216,6 +216,27 @@ class GraftTableSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("exportArrowChunks: rectangle history round-trips through arrow") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_export").toString
+    val t = new GraftTable(spark, dir, Seq("price"))
+    val rows = Seq((1L, 100.0), (2L, 200.0)).toDF("id", "price")
+    t.put(rows, $"id", lit("2020-01-01").cast("timestamp"), None,
+      Seq("price" -> $"price"), ts("2024-01-01 00:00:00"))
+    t.put(rows.filter($"id" === 1), $"id",
+      lit("2021-01-01").cast("timestamp"), None,
+      Seq("price" -> ($"price" + 10)), ts("2024-01-02 00:00:00"))
+    val out = java.nio.file.Files.createTempDirectory("graft_chunks").toString
+    val paths = t.exportArrowChunks(out)
+    assert(paths.nonEmpty && paths.forall(_.endsWith(".arrow")))
+    val back = graft.sources.ArrowSource.read(spark, paths)
+    val want = t.rectangles()
+    assert(back.count() == want.count())
+    assert(back.columns.sorted.toSeq == want.columns.sorted.toSeq)
+    // id 1's full bitemporal history: the superseded system-time version
+    // plus the two current valid-time pieces = 3 rectangles
+    assert(back.filter(col("_id") === 1).count() == 3)
+  }
+
   test("erase removes full history at compaction") {
     val dir = java.nio.file.Files.createTempDirectory("graft_erase").toString
     val t = new GraftTable(spark, dir, Seq("price"))
