@@ -79,17 +79,23 @@ object Similarity {
   def ivfAssign(emb: DataFrame, idCol: String, vCol: String,
                 nCentroids: Int, idStride: Long = 1L): DataFrame = {
     val cents = ivfCentroids(emb, idCol, vCol, nCentroids, idStride)
-    // nCentroids is small by construction -> broadcast; rank each vector's
-    // cosine against every centroid and keep the argmax cell
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("_ccos").desc, col("_cid"))
-    emb.crossJoin(broadcast(cents))
+    // nCentroids is small by construction -> broadcast. The argmax cell
+    // per vector is a max_by aggregation, NOT a window: aggregation
+    // gets a map-side partial, so the shuffle carries n rows instead of
+    // the n×k candidate expansion a window rank would sort. Ordering
+    // key (cos, -cid) = highest cosine, ties to the LOWER centroid id.
+    val cand = emb.crossJoin(broadcast(cents))
       .withColumn("_ccos", cosine(col(vCol), col("_cv")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_cv", "_rn")
-      .withColumnRenamed("_cid", "cell")
-      .withColumnRenamed("_ccos", "cell_cos")
+      .drop("_cv")
+    val payload = struct(
+      (emb.columns.filterNot(_ == idCol).map(col) :+
+        col("_cid") :+ col("_ccos")): _*)
+    cand.groupBy(col(idCol))
+      .agg(max_by(payload, struct(col("_ccos"), -col("_cid"))).as("_best"))
+      .select(col(idCol) +: cand.columns
+        .filterNot(c => c == idCol || c == "_cid" || c == "_ccos")
+        .map(c => col(s"_best.$c")) :+
+        col("_best._cid").as("cell") :+ col("_best._ccos").as("cell_cos"): _*)
   }
 
   /** IVF ANN top-k: probe the query's `nProbe` nearest cells only. */
@@ -189,14 +195,13 @@ object Similarity {
   def pqEncode(emb: DataFrame, idCol: String, vCol: String,
                m: Int, k: Int, subDim: Int): DataFrame = {
     val cb = broadcast(pqCodebook(emb, idCol, vCol, m, k, subDim))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol), col("j")).orderBy(col("_dist"), col("c"))
+    // argmin per (id, subspace) as a min_by aggregation (map-side
+    // partial: shuffle n×m rows, not n×m×k); ties to the lower codeword
     emb.crossJoin(cb)
       .withColumn("_sv", slice(col(vCol), col("j") * subDim + 1, lit(subDim)))
       .withColumn("_dist", dist2(col("_sv"), col("w")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col(idCol), col("j"), col("c").as("code"))
+      .groupBy(col(idCol), col("j"))
+      .agg(min_by(col("c"), struct(col("_dist"), col("c"))).as("code"))
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query builds an
