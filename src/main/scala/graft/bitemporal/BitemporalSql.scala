@@ -82,16 +82,47 @@ object BitemporalSql {
     }
   }
 
+  /** Offsets (inclusive start, exclusive end) of every quoted literal
+    * in `q` — single- or double-quoted, honoring doubled-quote and
+    * backslash escapes (both accepted by Spark's default lexer). Keeps
+    * stage 1's clause rewrite out of string literals. */
+  private def literalSpans(q: String): Seq[(Int, Int)] = {
+    val spans = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '\'' || c == '"') {
+        val quote = c
+        val start = i
+        i += 1
+        var closed = false
+        while (i < q.length && !closed) {
+          val d = q.charAt(i)
+          if (d == '\\') i += 2
+          else if (d == quote) {
+            if (i + 1 < q.length && q.charAt(i + 1) == quote) i += 2 // '' escape
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+        spans += ((start, i))
+      } else i += 1
+    }
+    spans.result()
+  }
+
   /** Run `query` with temporal-clause sugar over the given bitemporal
     * rectangle tables (e.g. a folded [[TxLog]] base). Tables referenced
     * WITHOUT a temporal clause are served at the current basis.
     *
-    * Two-stage rewrite: (1) the temporal CLAUSES — a multi-keyword
-    * grammar that cannot occur inside a string literal — are replaced
-    * textually with unique placeholder names; (2) the query is parsed
-    * by Spark's own parser and table references are substituted at the
-    * PLAN level (`UnresolvedRelation` nodes, including inside
-    * expression subqueries). Stage 2 means a table name appearing in a
+    * Two-stage rewrite: (1) the temporal CLAUSES are replaced textually
+    * with unique placeholder names — matches starting inside a quoted
+    * literal are skipped (the quote positions are tokenized first), so
+    * a string literal CONTAINING a full temporal clause passes through
+    * untouched; (2) the query is parsed by Spark's own parser and table
+    * references are substituted at the PLAN level (`UnresolvedRelation`
+    * nodes, including inside expression subqueries), with CTE-defined
+    * names shadowing registered tables scope-wise exactly as a catalog
+    * table would be shadowed. Stage 2 means a table name appearing in a
     * string literal, a column name, or a qualified identifier is left
     * untouched by construction — no `\b`-regex surgery on query text —
     * and each substituted relation keeps its original name as its
@@ -101,7 +132,8 @@ object BitemporalSql {
   def sql(spark: SparkSession, query: String,
           tables: Map[String, DataFrame]): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
     import org.apache.spark.sql.graftbridge.PlanBridge
 
     // stage 1: temporal clauses -> placeholder relation names. Each
@@ -109,13 +141,16 @@ object BitemporalSql {
     // text replace would also rewrite a same-text PREFIX inside a
     // longer two-clause reference of the same table, leaving a dangling
     // clause fragment behind.
+    val spans = literalSpans(query)
     val placeholders = scala.collection.mutable.Map
       .empty[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
     val m = tableWithClauses.matcher(query)
     val sb = new StringBuffer
     while (m.find()) {
       val table = m.group(1)
+      val inLiteral = spans.exists(s => m.start >= s._1 && m.start < s._2)
       val replacement = tables.get(table) match {
+        case _ if inLiteral => m.group(0) // inside a quoted literal: verbatim
         case None => m.group(0) // not ours: pass through verbatim
         case Some(rects) =>
           var sys: Option[Spec] = None
@@ -138,18 +173,41 @@ object BitemporalSql {
     m.appendTail(sb)
     val rewritten = sb.toString
 
-    // stage 2: parse, then splice relations into the unresolved plan
+    // stage 2: parse, then splice relations into the unresolved plan.
+    // The traversal tracks CTE scopes explicitly: a name defined by a
+    // WITH clause shadows a registered table inside that WITH's scope
+    // (definitions + body) — substituting it would silently serve the
+    // rectangle table where the user's CTE should resolve. Substitution
+    // happens pre-analysis, so this scoping must be done by hand.
     val byLower = tables.map { case (k, v) => k.toLowerCase -> ((k, v)) }
-    val parsed = PlanBridge.parsePlan(spark, rewritten)
-    val spliced = parsed.transformUpWithSubqueries {
-      case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
-        val ident = u.multipartIdentifier.head
-        placeholders.get(ident).orElse(
-          byLower.get(ident.toLowerCase).map { case (name, rects) =>
-            SubqueryAlias(name,
-              PlanBridge.logicalPlan(Bitemporal.currentState(rects)))
-          }).getOrElse(u)
-    }
-    PlanBridge.ofRows(spark, spliced)
+    def splice(plan: LogicalPlan, shadowed: Set[String]): LogicalPlan =
+      plan match {
+        case w: UnresolvedWith =>
+          // all sibling CTE names shadow throughout the WITH scope
+          // (later definitions may reference earlier ones; recursive
+          // CTEs reference themselves)
+          val inner = shadowed ++ w.cteRelations.map(_._1.toLowerCase)
+          w.copy(
+            cteRelations = w.cteRelations.map { case (n, sa, lim) =>
+              (n, splice(sa, inner).asInstanceOf[SubqueryAlias], lim)
+            },
+            child = splice(w.child, inner))
+        case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
+          val ident = u.multipartIdentifier.head
+          placeholders.get(ident).orElse {
+            if (shadowed.contains(ident.toLowerCase)) None
+            else byLower.get(ident.toLowerCase).map { case (name, rects) =>
+              SubqueryAlias(name,
+                PlanBridge.logicalPlan(Bitemporal.currentState(rects)))
+            }
+          }.getOrElse(u)
+        case other =>
+          other.mapChildren(splice(_, shadowed))
+            .transformExpressionsUp {
+              case se: SubqueryExpression =>
+                se.withNewPlan(splice(se.plan, shadowed))
+            }
+      }
+    PlanBridge.ofRows(spark, splice(PlanBridge.parsePlan(spark, rewritten), Set.empty))
   }
 }

@@ -98,9 +98,11 @@ object Multimodal {
       var m = b(pos + 1) & 0xff
       while (m == 0xff && pos + 2 < b.length) { pos += 1; m = b(pos + 1) & 0xff }
       if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+        if (pos + 9 > b.length)
+          throw new IllegalArgumentException("jpeg: truncated SOF segment")
         return MediaInfo("jpeg", be16(b, pos + 7).toLong, be16(b, pos + 5).toLong, 1L)
-      } else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
-        pos += 2 // standalone markers carry no length
+      } else if (m == 0xd8 || m == 0xd9 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        pos += 2 // standalone markers (incl. EOI) carry no length
       } else {
         pos += 2 + be16(b, pos + 2)
       }
@@ -117,17 +119,25 @@ object Multimodal {
     var pos = 13
     if ((b(10) & 0x80) != 0) pos += 3 * (1 << ((b(10) & 0x07) + 1)) // global color table
     var frames = 0L
+    // every byte read is bounds-checked: a truncated payload fails with
+    // the documented loud IllegalArgumentException, never an
+    // ArrayIndexOutOfBoundsException from an unbounded index
+    def u8(p: Int): Int = {
+      if (p >= b.length)
+        throw new IllegalArgumentException("gif: truncated stream")
+      b(p) & 0xff
+    }
     def skipSubBlocks(): Unit = {
-      var sz = b(pos) & 0xff
-      while (sz != 0) { pos += 1 + sz; sz = b(pos) & 0xff }
+      var sz = u8(pos)
+      while (sz != 0) { pos += 1 + sz; sz = u8(pos) }
       pos += 1 // block terminator
     }
     var done = false
     while (!done && pos < b.length) {
-      (b(pos) & 0xff) match {
+      u8(pos) match {
         case 0x2c => // image descriptor
           frames += 1
-          val packed = b(pos + 9) & 0xff
+          val packed = u8(pos + 9)
           pos += 10
           if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 0x07) + 1))
           pos += 1 // LZW min code size

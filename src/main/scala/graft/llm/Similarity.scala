@@ -214,6 +214,14 @@ object Similarity {
   def pqAdcTopK(emb: DataFrame, idCol: String, vCol: String,
                 queryVec: DataFrame, qCol: String, topK: Int,
                 m: Int, k: Int, subDim: Int): DataFrame = {
+    // single-query contract, enforced: a second query row would create
+    // duplicate (j, code) keys in the broadcast distance table and the
+    // join below would silently sum each subspace distance once per
+    // query row. limit(2) keeps the probe O(1) rows on the driver.
+    val qRows = queryVec.limit(2).count()
+    require(qRows == 1,
+      s"pqAdcTopK: queryVec must have exactly 1 row (got ${
+        if (qRows > 1) "2+" else "0"})")
     val cb = pqCodebook(emb, idCol, vCol, m, k, subDim)
     val dt = queryVec.crossJoin(cb)
       .withColumn("_sq", slice(col(qCol), col("j") * subDim + 1, lit(subDim)))

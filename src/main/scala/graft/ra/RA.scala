@@ -98,7 +98,15 @@ object RA {
       "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
       s"saltedJoin: right-preserving join type '$joinType' would " +
         "duplicate unmatched right rows per salt replica")
-    val sa = a.withColumn("_salt", (rand(seed = 42) * salt).cast("int"))
+    // salt derived from the DATA, not rand(): Spark's rand is
+    // partition-index-seeded, so a stage retry after an AQE repartition
+    // can re-deal salts mid-query (rows migrate reducers; results not
+    // byte-reproducible across cluster layouts). Hashing every left
+    // column spreads a hot key just as well — only full-duplicate rows
+    // co-locate, which is harmless — and is deterministic under any
+    // physical layout.
+    val sa = a.withColumn("_salt",
+      pmod(xxhash64(a.columns.map(col): _*), lit(salt.toLong)).cast("int"))
     val sb = b.withColumn("_salt", explode(array((0 until salt).map(lit): _*)))
     sa.join(sb, keys :+ "_salt", joinType).drop("_salt")
   }
@@ -212,8 +220,14 @@ object RA {
         // dedups only AFTER its anti join, while closure steps re-derive
         // the same fact many times — pre-dedup shrinks the anti-join
         // probe side by the re-derivation factor.
-        val next = fresh(step(frontier).distinct()).except(acc).localCheckpoint()
-        if (next.isEmpty) done = true
+        // checkpoint + convergence probe in ONE job: the count that
+        // materializes the local checkpoint is returned instead of
+        // discarded (see RddBridge.localCheckpointWithCount) — the
+        // eager-checkpoint + isEmpty pair was two scheduler round-trips
+        // per iteration, pure overhead on deep recursions (q90 ~26 iters).
+        val (next, n) = org.apache.spark.sql.graftbridge.RddBridge
+          .localCheckpointWithCount(fresh(step(frontier).distinct()).except(acc))
+        if (n == 0L) done = true
         else {
           // acc accumulates as a union of CHECKPOINTED deltas and is
           // itself re-checkpointed only every few iterations: per-round
@@ -273,13 +287,18 @@ object RA {
         val derived = step(accs, deltas)
         require(derived.length == accs.length, "fixpointN: step arity mismatch")
         val next = accs.zip(derived).map { case (accOpt, dOpt) =>
-          dOpt.map { d =>
+          dOpt.flatMap { d =>
             // pre-distinct is deliberate (see [[fixpoint]]): dedup before
-            // the EXCEPT anti join, not only after it
+            // the EXCEPT anti join, not only after it. Checkpoint +
+            // convergence probe in ONE job per relation per iteration
+            // (see [[fixpoint]]) instead of the eager-checkpoint/isEmpty
+            // pair.
             val novel = accOpt.fold(fresh(d.distinct()))(acc =>
               fresh(d.distinct()).except(acc))
-            novel.localCheckpoint()
-          }.filter(n => !n.isEmpty)
+            val (cp, n) = org.apache.spark.sql.graftbridge.RddBridge
+              .localCheckpointWithCount(novel)
+            if (n == 0L) None else Some(cp)
+          }
         }
         if (next.forall(_.isEmpty)) done = true
         else {

@@ -367,9 +367,20 @@ object ArrowSource {
     df.rdd.mapPartitionsWithIndex { case (i, rows) =>
       if (!rows.hasNext) Iterator.empty
       else {
-        val p = Paths.get(dir, f"part-$i%05d.arrow").toString
-        writeFile(schema, rows, p, batchSize)
-        Iterator.single(p)
+        // task-attempt-unique temp file + atomic rename: a speculative
+        // or retried attempt writing the final path concurrently would
+        // interleave bytes into a corrupt chunk; with rename-on-success
+        // the final name only ever points at one complete file
+        // (last-rename-wins), and losing attempts leave only temp junk
+        val attempt = Option(TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val finalP = Paths.get(dir, f"part-$i%05d.arrow")
+        val tmpP = Paths.get(dir, f".part-$i%05d.arrow.$attempt.tmp")
+        writeFile(schema, rows, tmpP.toString, batchSize)
+        Files.move(tmpP, finalP,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Iterator.single(finalP.toString)
       }
     }.collect().toSeq.sorted
   }

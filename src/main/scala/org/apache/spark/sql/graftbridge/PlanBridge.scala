@@ -27,3 +27,24 @@ object PlanBridge {
     df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.logical
 }
+
+object RddBridge {
+  /** Local-checkpoint `df` and return (checkpointed frame, row count) in
+    * ONE job. `Dataset.localCheckpoint(eager = true)` runs an internal
+    * `rdd.count()` to materialize the checkpoint and THROWS THE COUNT
+    * AWAY; iterative drivers (fixpoint) then pay a second job just to
+    * learn whether the delta was empty. This mirrors the Dataset
+    * implementation (same `toRdd.map(_.copy())` + `localCheckpoint` +
+    * count + `LogicalRDD.fromDataset`) but hands the count back — the
+    * convergence probe rides along free, a bare RDD job with no second
+    * Catalyst plan. */
+  def localCheckpointWithCount(df: DataFrame): (DataFrame, Long) = {
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val n = rdd.count()
+    val plan = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(rdd, ds, isStreaming = false)
+    (classic.Dataset.ofRows(ds.sparkSession, plan), n)
+  }
+}

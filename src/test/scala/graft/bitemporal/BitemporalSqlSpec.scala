@@ -209,4 +209,36 @@ class BitemporalSqlSpec extends AnyFunSuite {
       assert(mine == "mine")
     } finally spark.catalog.dropTempView("prices")
   }
+
+  test("a user CTE shadows a registered table of the same name") {
+    // WITH prices AS (...) must resolve to the CTE, not the rectangle
+    // table — plan-level splice runs pre-analysis, so the shadowing is
+    // tracked scope-wise by hand
+    val out = BitemporalSql.sql(spark,
+      """WITH prices AS (SELECT 7 AS seven)
+         SELECT seven FROM prices""",
+      Map("prices" -> rects)).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(7))
+
+    // ...but OUTSIDE the WITH scope (a sibling subquery under a UNION
+    // with its own WITH) the registered table still resolves; and a CTE
+    // may itself read the registered table under a DIFFERENT name
+    val mixed = BitemporalSql.sql(spark,
+      """WITH mine AS (SELECT count(*) AS n FROM prices)
+         SELECT n FROM mine""",
+      Map("prices" -> rects)).collect()
+    assert(mixed.map(_.getLong(0)).toSeq == Seq(2L)) // current state rows
+  }
+
+  test("temporal clause inside a string literal is not rewritten") {
+    val out = BitemporalSql.sql(spark,
+      s"""SELECT 'prices FOR SYSTEM_TIME AS OF ''2020-01-01''' AS s,
+                 count(*) AS n
+          FROM prices FOR SYSTEM_TIME AS OF '${ts(250)}'
+          GROUP BY s""",
+      Map("prices" -> rects)).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "prices FOR SYSTEM_TIME AS OF '2020-01-01'")
+    assert(out(0).getLong(1) == 2L) // the REAL clause still applied
+  }
 }

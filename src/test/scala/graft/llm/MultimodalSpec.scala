@@ -78,6 +78,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decode throws IllegalArgumentException (not AIOOBE) on truncation") {
+    // every prefix of every valid file must fail LOUDLY with the
+    // documented exception — never ArrayIndexOutOfBoundsException
+    val wholes = Seq(Multimodal.makePng(16, 8, 3), Multimodal.makeJpeg(24, 12),
+      Multimodal.makeGif(10, 6, 2))
+    for (whole <- wholes; cut <- 0 until whole.length) {
+      val sliced = whole.take(cut)
+      try { Multimodal.decode(sliced); () }
+      catch {
+        case _: IllegalArgumentException => () // the documented failure
+        case e: Throwable =>
+          fail(s"truncated at $cut/${whole.length}: got ${e.getClass.getName}")
+      }
+    }
+    // a JPEG whose stream hits EOI before any SOF: loud, specific
+    val eoiFirst = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte,
+      0xff.toByte, 0xd9.toByte)
+    val e = intercept[IllegalArgumentException](Multimodal.decode(eoiFirst))
+    assert(e.getMessage.contains("no SOF"))
+  }
+
   private def files = Seq(
     Multimodal.MediaFile(1L, "s0", Multimodal.makePng(64, 48, 1)),
     Multimodal.MediaFile(2L, "s1", Multimodal.makeGif(20, 10, 4)),

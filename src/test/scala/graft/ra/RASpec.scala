@@ -94,6 +94,24 @@ class RASpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       RA.saltedJoin(a, b, Seq("k"), salt = 4, joinType = "right_outer")
     }
+    // the salt actually spreads the hot key over multiple reducers
+    val saltDistinct = a.withColumn("_salt",
+        pmod(xxhash64(a.columns.map(col): _*), lit(4L)).cast("int"))
+      .filter(col("k") === 1).select("_salt").distinct().count()
+    assert(saltDistinct > 1, "hot key must land on >1 salt bucket")
+  }
+
+  test("salted join is deterministic under repartition (data-derived salt)") {
+    val a = (Seq.fill(40)(1) ++ Seq(2, 3)).zipWithIndex.toDF("k", "av")
+    val b = Seq((1, "x"), (1, "y"), (2, "z")).toDF("k", "bv")
+    val once = RA.saltedJoin(a, b, Seq("k"), salt = 4)
+      .collect().map(_.toSeq).toSet
+    // a different physical layout of the left side must produce the
+    // identical result set — rand()-based salting could re-deal salts
+    // per partition layout; xxhash64-of-data cannot
+    val relaid = RA.saltedJoin(a.repartition(7), b, Seq("k"), salt = 4)
+      .collect().map(_.toSeq).toSet
+    assert(relaid == once)
   }
 
   test(":group-by with keys and global") {
