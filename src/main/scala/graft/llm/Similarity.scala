@@ -63,28 +63,33 @@ object Similarity {
     * exactly within them. At 100 TB the table is partitioned by cell id
     * so a query touches nProbe partitions instead of the full corpus.
     *
-    * Centroids are picked DETERMINISTICALLY (the vectors whose id column
-    * equals `i * idStride` for i < nCentroids) instead of by k-means:
-    * reproducible across engines (DuckDB oracle replays the exact same
-    * assignment) and rebuild-free — the quality/recall tradeoff vs
-    * trained centroids is the standard one, the plan shape is identical. */
-  /** The deterministic centroid relation shared by [[ivfAssign]] and
-    * [[ivfTopK]] — one definition so the two calls cannot disagree on
-    * (nCentroids, idStride). */
+    * Centroid provenance is an EXPLICIT input: every IVF entry point
+    * takes a centroid relation of shape `(_cid long, _cv array<double>)`
+    * — borrowed ([[ivfCentroids]]), trained ([[ivfTrain]]), or loaded
+    * from anywhere (the library contract for sparse/non-contiguous id
+    * spaces, where the borrow would silently yield fewer cells). The
+    * `(nCentroids, idStride)` overloads keep the deterministic borrow
+    * as the zero-config default. */
+  /** The deterministic borrowed-centroid relation (the vectors whose id
+    * equals `i * idStride` for i < nCentroids): reproducible across
+    * engines (the DuckDB oracle replays the exact same assignment) and
+    * rebuild-free. Assumes ids are dense multiples of `idStride`; for
+    * sparse id spaces pass trained/explicit centroids instead. */
   def ivfCentroids(emb: DataFrame, idCol: String, vCol: String,
                    nCentroids: Int, idStride: Long): DataFrame =
     emb.filter(col(idCol) % idStride === 0 && col(idCol) / idStride < nCentroids)
       .select((col(idCol) / idStride).cast("long").as("_cid"), col(vCol).as("_cv"))
 
+  /** Cell assignment against an explicit centroid relation
+    * `(_cid, _cv)`. nCentroids is small by construction -> broadcast.
+    * The argmax cell per vector is a max_by aggregation, NOT a window:
+    * aggregation gets a map-side partial, so the shuffle carries n rows
+    * instead of the n×k candidate expansion a window rank would sort.
+    * Ordering key (cos, -cid) = highest cosine, ties to the LOWER
+    * centroid id. */
   def ivfAssign(emb: DataFrame, idCol: String, vCol: String,
-                nCentroids: Int, idStride: Long = 1L): DataFrame = {
-    val cents = ivfCentroids(emb, idCol, vCol, nCentroids, idStride)
-    // nCentroids is small by construction -> broadcast. The argmax cell
-    // per vector is a max_by aggregation, NOT a window: aggregation
-    // gets a map-side partial, so the shuffle carries n rows instead of
-    // the n×k candidate expansion a window rank would sort. Ordering
-    // key (cos, -cid) = highest cosine, ties to the LOWER centroid id.
-    val cand = emb.crossJoin(broadcast(cents))
+                centroids: DataFrame): DataFrame = {
+    val cand = emb.crossJoin(broadcast(centroids))
       .withColumn("_ccos", cosine(col(vCol), col("_cv")))
       .drop("_cv")
     val payload = struct(
@@ -98,13 +103,18 @@ object Similarity {
         col("_best._cid").as("cell") :+ col("_best._ccos").as("cell_cos"): _*)
   }
 
-  /** IVF ANN top-k: probe the query's `nProbe` nearest cells only. */
+  def ivfAssign(emb: DataFrame, idCol: String, vCol: String,
+                nCentroids: Int, idStride: Long = 1L): DataFrame =
+    ivfAssign(emb, idCol, vCol,
+      ivfCentroids(emb, idCol, vCol, nCentroids, idStride))
+
+  /** IVF ANN top-k against an explicit centroid relation: probe the
+    * query's `nProbe` nearest cells only. `assigned` must carry the
+    * `cell` column produced by [[ivfAssign]] with the SAME centroids. */
   def ivfTopK(assigned: DataFrame, vCol: String, queryVec: DataFrame,
-              qCol: String, k: Int, nCentroids: Int, nProbe: Int,
-              emb: DataFrame, idCol: String, idStride: Long = 1L,
-              tieBreak: Seq[Column] = Nil): DataFrame = {
-    val cents = ivfCentroids(emb, idCol, vCol, nCentroids, idStride)
-    val probes = queryVec.crossJoin(broadcast(cents))
+              qCol: String, k: Int, nProbe: Int, centroids: DataFrame,
+              tieBreak: Seq[Column]): DataFrame = {
+    val probes = queryVec.crossJoin(broadcast(centroids))
       .withColumn("_ccos", cosine(col(qCol), col("_cv")))
       .orderBy(col("_ccos").desc, col("_cid"))
       .limit(nProbe)
@@ -113,6 +123,60 @@ object Similarity {
       .withColumn("cos", cosine(col(vCol), col(qCol)))
       .orderBy(col("cos").desc +: tieBreak: _*)
       .limit(k)
+  }
+
+  def ivfTopK(assigned: DataFrame, vCol: String, queryVec: DataFrame,
+              qCol: String, k: Int, nCentroids: Int, nProbe: Int,
+              emb: DataFrame, idCol: String, idStride: Long = 1L,
+              tieBreak: Seq[Column] = Nil): DataFrame =
+    ivfTopK(assigned, vCol, queryVec, qCol, k, nProbe,
+      ivfCentroids(emb, idCol, vCol, nCentroids, idStride), tieBreak)
+
+  /** Cross-engine-exact rounding (same formula as the oracle twins):
+    * floor(x·10⁶+0.5)/10⁶ on exact IEEE ops. Lloyd means are rounded
+    * through this so Spark and the replaying oracle produce IDENTICAL
+    * centroid values (raw float sums differ sub-ulp with aggregation
+    * order; rounding absorbs it and the next iteration starts from the
+    * same literals in both engines). */
+  private def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
+  /** Element-wise mean of the `dim`-wide array column `vCol` per group:
+    * dim parallel `avg` aggregates reassembled into an array — fully
+    * codegen'd, one map-side-combined shuffle, never a collect. */
+  private def meanVec(df: DataFrame, groupCols: Seq[Column], vCol: String,
+                      dim: Int, out: String): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(array((0 until dim).map(i => r6(avg(col(vCol).getItem(i)))): _*)
+        .as(out))
+
+  /** Distributed Lloyd's training for the IVF coarse quantizer
+    * (spherical k-means): assign by max cosine (ties to the lower cell
+    * id), recentre on the element-wise mean. Means are NOT normalized —
+    * cosine is scale-invariant in the centroid, so the un-normalized
+    * mean assigns identically to the normalized one. Deterministic end
+    * to end: borrowed-centroid init, FIXED `iters` iterations (no
+    * convergence test), round-6 means — an oracle replays it exactly.
+    * Cells that go empty keep their previous centroid.
+    *
+    * Scale shape per iteration: one broadcast (k×dim centroids), one
+    * max_by aggregation (map-side partial), one dim-column avg
+    * aggregation over n rows — no window, no collect; localCheckpoint
+    * keeps the iterated lineage flat like [[graft.ra.RA.fixpoint]]. */
+  def ivfTrain(emb: DataFrame, idCol: String, vCol: String,
+               nCentroids: Int, dim: Int, iters: Int,
+               idStride: Long = 1L): DataFrame = {
+    var cents = ivfCentroids(emb, idCol, vCol, nCentroids, idStride)
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(emb.select(col(idCol), col(vCol)),
+        idCol, vCol, cents)
+      val means = meanVec(assigned, Seq(col("cell").as("_cid")), vCol,
+        dim, "_mv")
+      cents = cents.select(col("_cid"), col("_cv").as("_prev"))
+        .join(means, Seq("_cid"), "left")
+        .select(col("_cid"), coalesce(col("_mv"), col("_prev")).as("_cv"))
+        .localCheckpoint()
+    }
+    cents
   }
 
   /** Multi-probe LSH ANN: probe the query's bucket AND every Hamming-1
@@ -169,12 +233,17 @@ object Similarity {
   /** Product quantization (Jégou et al. 2011): split each vector into
     * `m` subvectors of `subDim` dims; per subspace, a k-codeword
     * codebook; a vector's code = per-subspace argmin squared distance.
-    * Codewords are BORROWED deterministically (subvectors of the first
-    * k ids — same reproducibility rationale as [[ivfCentroids]]).
     * Squared distance uses the dot identity ‖a−b‖² = a·a − 2a·b + b·b
     * with the sequential-fold dot product, so the DuckDB oracle is
     * bit-identical. Codebook size m×k is tiny by construction →
-    * broadcast everywhere. */
+    * broadcast everywhere.
+    *
+    * Like the IVF family, the codebook is an EXPLICIT input of shape
+    * `(j int, c long, w array<double>)` — borrowed ([[pqCodebook]]),
+    * trained ([[pqTrain]]), or loaded. */
+  /** Deterministic borrowed codebook: subvectors of the first k ids —
+    * same reproducibility rationale (and same dense-id assumption) as
+    * [[ivfCentroids]]. */
   def pqCodebook(emb: DataFrame, idCol: String, vCol: String,
                  m: Int, k: Int, subDim: Int): DataFrame = {
     val cents = emb.filter(col(idCol) < k)
@@ -188,20 +257,56 @@ object Similarity {
   private def dist2(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
-  /** PQ encode: one (id, j, code) row per vector and subspace — n×m×k
-    * distance evaluations against a broadcast codebook, embarrassingly
-    * parallel (the standard PQ encode cost); argmin ties break to the
-    * lower codeword id. */
+  /** PQ encode against an explicit codebook: one (id, j, code) row per
+    * vector and subspace — n×m×k distance evaluations against a
+    * broadcast codebook, embarrassingly parallel (the standard PQ
+    * encode cost); argmin ties break to the lower codeword id. The
+    * argmin per (id, subspace) is a min_by aggregation (map-side
+    * partial: shuffle n×m rows, not n×m×k). */
   def pqEncode(emb: DataFrame, idCol: String, vCol: String,
-               m: Int, k: Int, subDim: Int): DataFrame = {
-    val cb = broadcast(pqCodebook(emb, idCol, vCol, m, k, subDim))
-    // argmin per (id, subspace) as a min_by aggregation (map-side
-    // partial: shuffle n×m rows, not n×m×k); ties to the lower codeword
-    emb.crossJoin(cb)
+               codebook: DataFrame, subDim: Int): DataFrame =
+    emb.crossJoin(broadcast(codebook))
       .withColumn("_sv", slice(col(vCol), col("j") * subDim + 1, lit(subDim)))
       .withColumn("_dist", dist2(col("_sv"), col("w")))
       .groupBy(col(idCol), col("j"))
       .agg(min_by(col("c"), struct(col("_dist"), col("c"))).as("code"))
+
+  def pqEncode(emb: DataFrame, idCol: String, vCol: String,
+               m: Int, k: Int, subDim: Int): DataFrame =
+    pqEncode(emb, idCol, vCol, pqCodebook(emb, idCol, vCol, m, k, subDim),
+      subDim)
+
+  /** Distributed Lloyd's per subspace for the PQ codebook: every
+    * subspace trains independently on its subvectors (assign by min
+    * squared distance, ties to the lower codeword; recentre on the
+    * round-6 element-wise mean; empty codewords keep their previous
+    * value). Same determinism contract as [[ivfTrain]]: borrowed init +
+    * fixed iterations, so an oracle replays it. One broadcast + two
+    * map-side-combined aggregations per iteration, across ALL subspaces
+    * at once (j is just another grouping key — m never multiplies the
+    * number of jobs). */
+  def pqTrain(emb: DataFrame, idCol: String, vCol: String,
+              m: Int, k: Int, subDim: Int, iters: Int): DataFrame = {
+    val js = emb.sparkSession.range(m).select(col("id").cast("int").as("j"))
+    val sub = emb.select(col(idCol), col(vCol)).crossJoin(broadcast(js))
+      .select(col(idCol), col("j"),
+        slice(col(vCol), col("j") * subDim + 1, lit(subDim)).as("_sv"))
+    var cb = pqCodebook(emb, idCol, vCol, m, k, subDim)
+    for (_ <- 0 until iters) {
+      val enc = sub.join(broadcast(cb), Seq("j"))
+        .withColumn("_dist", dist2(col("_sv"), col("w")))
+        .groupBy(col(idCol), col("j"))
+        .agg(min_by(struct(col("c"), col("_sv")),
+          struct(col("_dist"), col("c"))).as("_best"))
+        .select(col("j"), col("_best.c").as("c"), col("_best._sv").as("_sv"))
+      val means = meanVec(enc, Seq(col("j"), col("c")), "_sv", subDim, "_mw")
+      cb = cb.select(col("j"), col("c"), col("w").as("_prev"))
+        .join(means, Seq("j", "c"), "left")
+        .select(col("j"), col("c"),
+          coalesce(col("_mw"), col("_prev")).as("w"))
+        .localCheckpoint()
+    }
+    cb
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query builds an
@@ -213,7 +318,7 @@ object Similarity {
     * vectors. */
   def pqAdcTopK(emb: DataFrame, idCol: String, vCol: String,
                 queryVec: DataFrame, qCol: String, topK: Int,
-                m: Int, k: Int, subDim: Int): DataFrame = {
+                codebook: DataFrame, subDim: Int): DataFrame = {
     // single-query contract, enforced: a second query row would create
     // duplicate (j, code) keys in the broadcast distance table and the
     // join below would silently sum each subspace distance once per
@@ -222,12 +327,11 @@ object Similarity {
     require(qRows == 1,
       s"pqAdcTopK: queryVec must have exactly 1 row (got ${
         if (qRows > 1) "2+" else "0"})")
-    val cb = pqCodebook(emb, idCol, vCol, m, k, subDim)
-    val dt = queryVec.crossJoin(cb)
+    val dt = queryVec.crossJoin(codebook)
       .withColumn("_sq", slice(col(qCol), col("j") * subDim + 1, lit(subDim)))
       .select(col("j"), col("c").as("code"),
         dist2(col("_sq"), col("w")).as("_dj"))
-    pqEncode(emb, idCol, vCol, m, k, subDim)
+    pqEncode(emb, idCol, vCol, codebook, subDim)
       .join(broadcast(dt), Seq("j", "code"))
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("j"), col("_dj")))).as("_ds"))
@@ -237,6 +341,12 @@ object Similarity {
       .orderBy(col("adist"), col(idCol))
       .limit(topK)
   }
+
+  def pqAdcTopK(emb: DataFrame, idCol: String, vCol: String,
+                queryVec: DataFrame, qCol: String, topK: Int,
+                m: Int, k: Int, subDim: Int): DataFrame =
+    pqAdcTopK(emb, idCol, vCol, queryVec, qCol, topK,
+      pqCodebook(emb, idCol, vCol, m, k, subDim), subDim)
 
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023, "SemDeDup"):
     * block vectors into IVF cells via the deterministic coarse
@@ -251,8 +361,15 @@ object Similarity {
     * table is partitioned by cell so each cell's pass is local. */
   def semanticDupFlags(emb: DataFrame, idCol: String, vCol: String,
                        nCentroids: Int, tau: Double,
-                       idStride: Long = 1L): DataFrame = {
-    val assigned = ivfAssign(emb, idCol, vCol, nCentroids, idStride)
+                       idStride: Long = 1L): DataFrame =
+    semanticDupFlags(emb, idCol, vCol,
+      ivfCentroids(emb, idCol, vCol, nCentroids, idStride), tau)
+
+  /** [[semanticDupFlags]] against an explicit (borrowed/trained/loaded)
+    * centroid relation. */
+  def semanticDupFlags(emb: DataFrame, idCol: String, vCol: String,
+                       centroids: DataFrame, tau: Double): DataFrame = {
+    val assigned = ivfAssign(emb, idCol, vCol, centroids)
       .select(col(idCol), col("cell"), col(vCol))
     val a = assigned.select(col("cell"), col(idCol).as("_ia"), col(vCol).as("_va"))
     val b = assigned.select(col("cell"), col(idCol).as("_ib"), col(vCol).as("_vb"))

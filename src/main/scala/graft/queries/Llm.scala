@@ -471,6 +471,39 @@ object Llm {
         .select($"vec_id", r($"adist", 6).as("adist"))
     }),
 
+    // TRAINED IVF: 2 fixed Lloyd's iterations (spherical k-means —
+    // assign by cosine, recentre on the round-6 element-wise mean) from
+    // the borrowed init, then the same probe/rank read path as q70.
+    // Training is deterministic end to end, so the oracle replays every
+    // iteration; round-6 means make the centroid literals identical
+    // across engines despite aggregation-order float noise
+    "q114_ivf_trained" -> ((s, dir) => {
+      import s.implicits._
+      val e = embD(s, dir).select($"vec_id", $"v")
+      val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+      val cents = Similarity.ivfTrain(e, "vec_id", "v",
+        nCentroids = 8, dim = 64, iters = 2, idStride = 7)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "v", cents)
+      Similarity.ivfTopK(assigned, "v", q, "qv", k = 10, nProbe = 3,
+          cents, tieBreak = Seq($"vec_id"))
+        .select($"vec_id", r($"cos", 4).as("cos"))
+    }),
+
+    // TRAINED PQ: 2 fixed Lloyd's iterations per subspace (all
+    // subspaces train in the same two aggregations — j is a grouping
+    // key) from the borrowed codebook, then the q111 ADC read path
+    // against the trained codebook
+    "q115_pq_trained" -> ((s, dir) => {
+      import s.implicits._
+      val e = embD(s, dir).select($"vec_id", $"v")
+      val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+      val cb = Similarity.pqTrain(e, "vec_id", "v",
+        m = 8, k = 16, subDim = 8, iters = 2)
+      Similarity.pqAdcTopK(e, "vec_id", "v", q, "qv", topK = 10,
+          codebook = cb, subDim = 8)
+        .select($"vec_id", r($"adist", 6).as("adist"))
+    }),
+
     // BM25 ranking against a literal query ("hash join scan") — the
     // classic sparse retrieval scorer on top of the tf-idf machinery;
     // per-doc term scores folded in term order for a deterministic sum
@@ -729,7 +762,99 @@ object Llm {
     SELECT id_a, id_b, dist FROM cand WHERE dist <= 3 ORDER BY id_a, id_b"""
   }
 
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  // trained-IVF oracle: replays BOTH Lloyd's iterations — assignment
+  // (argmax cosine, ties to lower cid) and the round-6 element-wise
+  // mean recentre (floor(x*1e6+0.5)/1e6, the cross-engine formula) —
+  // then the 3-probe top-10 read path against the trained centroids
+  private val ivfTrainedOracle: String = {
+    val iters = (1 to 2).map { t =>
+      val prev = s"c${t - 1}"
+      s"""a$t AS (SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+        FROM e CROSS JOIN $prev c) WHERE rn = 1),
+      m$t AS (SELECT cid, g.pos AS pos,
+                     floor(avg(v[g.pos])*1000000 + 0.5)/1000000 AS val
+              FROM a$t, generate_series(1, 64) AS g(pos)
+              GROUP BY cid, g.pos),
+      n$t AS (SELECT cid, list(val ORDER BY pos) AS cv FROM m$t GROUP BY cid),
+      c$t AS (SELECT p.cid, coalesce(n$t.cv, p.cv) AS cv
+              FROM $prev p LEFT JOIN n$t USING (cid))"""
+    }.mkString(",\n")
+    s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT CAST(vec_id // 7 AS BIGINT) AS cid, v AS cv
+           FROM e WHERE vec_id % 7 = 0 AND vec_id // 7 < 8),
+    $iters,
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    assign AS (SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+        FROM e CROSS JOIN c2 c) WHERE rn = 1),
+    probes AS (SELECT cid FROM (
+        SELECT c.cid, ${cosSql("q.qv", "c.cv")} AS ccos
+        FROM q CROSS JOIN c2 c
+        ORDER BY ccos DESC, c.cid LIMIT 3)),
+    top AS (SELECT a.vec_id, ${cosSql("a.v", "q.qv")} AS cos
+            FROM assign a JOIN probes p ON a.cid = p.cid CROSS JOIN q
+            ORDER BY cos DESC, a.vec_id LIMIT 10)
+    SELECT vec_id, floor(cos*10000 + 0.5)/10000 AS cos FROM top"""
+  }
+
+  // trained-PQ oracle: replays both per-subspace Lloyd's iterations
+  // (argmin squared distance via the dot identity, ties to lower
+  // codeword; round-6 mean recentre), then the q111 ADC read path
+  // against the trained codebook
+  private val pqTrainedOracle: String = {
+    def d2(a: String, b: String) =
+      s"list_dot_product($a, $a) - 2*list_dot_product($a, $b) + list_dot_product($b, $b)"
+    val iters = (1 to 2).map { t =>
+      val prev = s"cb${t - 1}"
+      s"""enc$t AS (SELECT vec_id, j, c, sv FROM (
+        SELECT sub.vec_id, sub.j, p.c, sub.sv,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                 ORDER BY ${d2("sub.sv", "p.w")}, p.c) AS rn
+        FROM sub JOIN $prev p ON sub.j = p.j) WHERE rn = 1),
+      m$t AS (SELECT j, c, g.pos AS pos,
+                     floor(avg(sv[g.pos])*1000000 + 0.5)/1000000 AS val
+              FROM enc$t, generate_series(1, 8) AS g(pos)
+              GROUP BY j, c, g.pos),
+      n$t AS (SELECT j, c, list(val ORDER BY pos) AS w
+              FROM m$t GROUP BY j, c),
+      cb$t AS (SELECT p.j, p.c, coalesce(n$t.w, p.w) AS w
+               FROM $prev p LEFT JOIN n$t ON p.j = n$t.j AND p.c = n$t.c)"""
+    }.mkString(",\n")
+    s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb0 AS (SELECT t.j, c.vec_id AS c, list_slice(c.v, t.j*8+1, (t.j+1)*8) AS w
+            FROM (SELECT vec_id, v FROM e WHERE vec_id < 16) c,
+                 generate_series(0, 7) AS t(j)),
+    sub AS (SELECT e.vec_id, t.j, list_slice(e.v, t.j*8+1, (t.j+1)*8) AS sv
+            FROM e, generate_series(0, 7) AS t(j)),
+    $iters,
+    enc AS (SELECT vec_id, j, c FROM (
+        SELECT sub.vec_id, sub.j, p.c,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                 ORDER BY ${d2("sub.sv", "p.w")}, p.c) AS rn
+        FROM sub JOIN cb2 p ON sub.j = p.j) WHERE rn = 1),
+    dt AS (SELECT p.j, p.c, ${d2("list_slice(q.qv, p.j*8+1, (p.j+1)*8)", "p.w")} AS dj
+           FROM cb2 p, (SELECT v AS qv FROM e WHERE vec_id = 0) q),
+    a AS (SELECT enc.vec_id,
+                 list_sum(array_agg(dt.dj ORDER BY enc.j)) AS adist
+          FROM enc JOIN dt ON enc.j = dt.j AND enc.c = dt.c
+          GROUP BY enc.vec_id),
+    top AS (SELECT vec_id, adist FROM a ORDER BY adist, vec_id LIMIT 10)
+    SELECT vec_id, floor(adist*1000000 + 0.5)/1000000 AS adist FROM top"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q114_ivf_trained" -> ivfTrainedOracle,
+    "q115_pq_trained" -> pqTrainedOracle,
     "q84_dup_clusters" -> dupClustersOracle,
 
     // same tokenization/tie rules as q47; sums cast to BIGINT (DuckDB
