@@ -193,6 +193,41 @@ object Extras {
         .orderBy($"_id")
     }),
 
+    // the FULL special-tier arrow chunk (§1.3/§1.4): a DENSE-UNION
+    // column (per-cell bigint|utf8), arrow.uuid (fixed-binary-16) and
+    // arrow.uri extension columns, a DICTIONARY-encoded utf8 column,
+    // ZSTD-compressed record batches — the formats real 100 TB chunk
+    // stores emit. The fixture is generated from nation driver-side
+    // (tiny, a writer demo); the operator under test is the READ:
+    // union→Variant typed access, uuid→canonical string, dict decode
+    "q116_hetero_chunk" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.{ArrowFixtures, ArrowSource}
+      val tmp = s"target/hetero_${new java.io.File(dir).getName}/nation.arrow"
+      val rows = T(s, dir, "nation")
+        .select($"n_nationkey".cast("long"), $"n_name",
+          $"n_regionkey".cast("long"))
+        .collect().toSeq.sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"uuid:$id".getBytes("UTF-8"))
+          val bb = java.nio.ByteBuffer.wrap(md5)
+          ArrowFixtures.HeteroRow(id,
+            if (id % 2 == 0) null else java.lang.Long.valueOf(r.getLong(2)),
+            if (id % 2 == 0) r.getString(1) else null,
+            new java.util.UUID(bb.getLong, bb.getLong),
+            s"file:///nation/$id", s"r${r.getLong(2)}")
+        }
+      ArrowFixtures.writeHeteroChunk(rows, tmp, codec = Some("zstd"))
+      ArrowSource.read(s, Seq(tmp))
+        .select($"id",
+          try_variant_get($"v", "$", "long").as("v_int"),
+          variant_get($"v", "$", "string").as("v_str"),
+          $"doc_uuid", $"src_uri", $"tag")
+        .orderBy("id")
+    }),
+
     // §2.7 Aggregator tier: bounded top-k per group (k-element buffer,
     // partial+final agg) vs collect_list-then-slice's O(group) buffer —
     // the hot-group-safe form. Doubles serialize as integer cents for
@@ -519,6 +554,25 @@ object Extras {
                   ELSE CAST(CAST(n_regionkey AS BIGINT) AS VARCHAR) END AS v_str,
              n_nationkey % 2 = 0 AS v_is_string
       FROM nation ORDER BY _id""",
+
+    // the hetero chunk derives every column from nation deterministically;
+    // the uuid is md5("uuid:"||id) rendered in canonical 8-4-4-4-12 form
+    // (java.util.UUID over the same 16 bytes big-endian)
+    "q116_hetero_chunk" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS id,
+             CASE WHEN n_nationkey % 2 = 0 THEN NULL
+                  ELSE CAST(n_regionkey AS BIGINT) END AS v_int,
+             CASE WHEN n_nationkey % 2 = 0 THEN n_name
+                  ELSE CAST(CAST(n_regionkey AS BIGINT) AS VARCHAR) END AS v_str,
+             substr(md5('uuid:' || CAST(n_nationkey AS BIGINT)), 1, 8) || '-' ||
+               substr(md5('uuid:' || CAST(n_nationkey AS BIGINT)), 9, 4) || '-' ||
+               substr(md5('uuid:' || CAST(n_nationkey AS BIGINT)), 13, 4) || '-' ||
+               substr(md5('uuid:' || CAST(n_nationkey AS BIGINT)), 17, 4) || '-' ||
+               substr(md5('uuid:' || CAST(n_nationkey AS BIGINT)), 21, 12)
+               AS doc_uuid,
+             'file:///nation/' || CAST(n_nationkey AS BIGINT) AS src_uri,
+             'r' || CAST(n_regionkey AS BIGINT) AS tag
+      FROM nation ORDER BY id""",
 
     "q101_cube" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -59,8 +59,14 @@ object ArrowIpcDataSource {
 
   /** Can every column be served through Spark's ArrowColumnVector
     * accessors? (micro-precision timestamps and day dates only;
-    * recursing into list/struct children.) */
-  private[sources] def columnarSupported(f: Field): Boolean = f.getType match {
+    * recursing into list/struct children.) Dictionary-encoded and
+    * extension-typed fields need per-cell conversion (index→value,
+    * bytes→uuid string), so they take [[ArrowSource.read]]'s row path. */
+  private[sources] def columnarSupported(f: Field): Boolean =
+    f.getDictionary == null && ArrowSource.extName(f).isEmpty &&
+      storageSupported(f)
+
+  private def storageSupported(f: Field): Boolean = f.getType match {
     case i: ArrowType.Int => Seq(8, 16, 32, 64).contains(i.getBitWidth)
     case fp: ArrowType.FloatingPoint =>
       fp.getPrecision == FloatingPointPrecision.SINGLE ||
@@ -143,7 +149,8 @@ private final class ArrowColumnarReader(path: String, columns: Array[String])
     extends PartitionReader[ColumnarBatch] {
   private val alloc = new RootAllocator()
   private val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
-  private val reader = new ArrowFileReader(ch, alloc)
+  private val reader = new ArrowFileReader(ch, alloc,
+    org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
   private val root = reader.getVectorSchemaRoot
   private var batch: ColumnarBatch = _
 

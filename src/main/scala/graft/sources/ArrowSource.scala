@@ -5,15 +5,19 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.arrow.compression.CommonsCompressionFactory
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
-import org.apache.arrow.vector.complex.{ListVector, StructVector}
+import org.apache.arrow.vector.complex.{DenseUnionVector, ListVector, StructVector}
+import org.apache.arrow.vector.compression.CompressionUtil
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.ipc.message.IpcOption
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.arrow.vector.util.Text
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, parse_json}
 import org.apache.spark.sql.types._
 
 /** `:arrow` — Arrow-IPC file source (SURVEY.md §2.1 #4). The reference's
@@ -38,8 +42,36 @@ import org.apache.spark.sql.types._
   */
 object ArrowSource {
 
-  /** Arrow field (incl. children for list/struct) → Spark type. */
-  private def toSpark(f: Field): DataType = f.getType match {
+  /** Canonical Arrow extension-type name from field metadata (the IPC
+    * spec's `ARROW:extension:name` key), if any. Unregistered extension
+    * types come back from arrow-java as their STORAGE type with the
+    * metadata preserved — exactly what we key off. */
+  private[sources] def extName(f: Field): Option[String] =
+    Option(f.getMetadata).flatMap(m => Option(m.get("ARROW:extension:name")))
+
+  /** Arrow field (incl. children for list/struct) → Spark type.
+    *
+    * Three special tiers before the storage-type match (SURVEY §1.3/§1.4):
+    *   - DICTIONARY-encoded fields (the memory-format schema shows the
+    *     index type + a non-null encoding) decode to their utf8 values
+    *     → StringType; non-utf8 dictionaries fail loudly at decode,
+    *   - EXTENSION types: uuid (fixed-binary-16 storage) reads as its
+    *     canonical string form, uri (utf8 storage) as a plain string,
+    *   - DENSE UNIONS (per-cell dynamic typing, the reference's
+    *     DenseUnionVector) decode to a JSON scalar string that
+    *     [[read]] parses into a real VariantType column.
+    */
+  private def toSpark(f: Field): DataType =
+    if (f.getDictionary != null) StringType
+    else extName(f) match {
+      case Some(n) if n == "arrow.uuid" || n.endsWith("/uuid") || n == "uuid" =>
+        StringType
+      case Some(n) if n == "arrow.uri" || n.endsWith("/uri") || n == "uri" =>
+        StringType
+      case _ => storageToSpark(f)
+    }
+
+  private def storageToSpark(f: Field): DataType = f.getType match {
     case i: ArrowType.Int if i.getBitWidth == 64 => LongType
     case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
     case i: ArrowType.Int if i.getBitWidth == 16 => ShortType
@@ -61,8 +93,16 @@ object ArrowSource {
     case _: ArrowType.Struct =>
       StructType(f.getChildren.asScala.map(c =>
         StructField(c.getName, toSpark(c), c.isNullable)).toSeq)
+    case _: ArrowType.FixedSizeBinary => BinaryType
+    case _: ArrowType.Union => StringType // JSON scalar; read() → Variant
     case other =>
       throw new IllegalArgumentException(s"unsupported arrow type: $other")
+  }
+
+  private def isDenseUnion(f: Field): Boolean = f.getType match {
+    case u: ArrowType.Union =>
+      u.getMode == org.apache.arrow.vector.types.UnionMode.Dense
+    case _ => false
   }
 
   /** Arrow field list from a file footer (driver-side read only). */
@@ -70,7 +110,7 @@ object ArrowSource {
     val alloc = new RootAllocator()
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
     try {
-      val r = new ArrowFileReader(ch, alloc)
+      val r = new ArrowFileReader(ch, alloc, CommonsCompressionFactory.INSTANCE)
       try r.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
       finally r.close()
     } finally { ch.close(); alloc.close() }
@@ -102,7 +142,15 @@ object ArrowSource {
         StructField(f.getName, toSpark(f), f.isNullable)))
       val rdd = spark.sparkContext.parallelize(paths, paths.size)
         .flatMap(p => new ArrowFileIterator(p))
-      spark.createDataFrame(rdd, schema)
+      val base = spark.createDataFrame(rdd, schema)
+      // dense-union columns arrive as JSON scalar strings; surface them
+      // as real VariantType columns (§1.4 DUV → Variant mapping) so the
+      // caller gets typed access (variant_get) + the runtime type tag
+      val unions = fields.filter(isDenseUnion).map(_.getName).toSet
+      if (unions.isEmpty) base
+      else base.select(fields.map(f =>
+        if (unions(f.getName)) parse_json(col(f.getName)).as(f.getName)
+        else col(f.getName)): _*)
     }
   }
 
@@ -116,7 +164,8 @@ object ArrowSource {
       extends Iterator[Row] with AutoCloseable {
     private val alloc = new RootAllocator()
     private val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
-    private val reader = new ArrowFileReader(ch, alloc)
+    private val reader =
+      new ArrowFileReader(ch, alloc, CommonsCompressionFactory.INSTANCE)
     private val root = reader.getVectorSchemaRoot
     private var closed = false
     private var vs: IndexedSeq[FieldVector] = IndexedSeq.empty
@@ -126,6 +175,52 @@ object ArrowSource {
 
     Option(TaskContext.get()).foreach(
       _.addTaskCompletionListener[Unit](_ => close()))
+
+    /** Per-column decode function, chosen ONCE from the field (not per
+      * cell): dictionary indexes resolve against the file's dictionary
+      * values (loaded lazily by the reader with the first batch), uuid
+      * extension bytes render canonically, dense unions render as JSON
+      * scalars for [[read]]'s parse_json, everything else goes through
+      * the generic [[cell]] decode. */
+    private lazy val decoders: IndexedSeq[(FieldVector, Int) => Any] =
+      root.getSchema.getFields.asScala.toIndexedSeq.map { f =>
+        if (f.getDictionary != null) {
+          val dictId = f.getDictionary.getId
+          // resolved on first use: the reader materializes dictionary
+          // batches together with the first record batch
+          lazy val values = {
+            val d = reader.getDictionaryVectors.get(dictId)
+            require(d != null, s"arrow file $path: dictionary $dictId missing")
+            d.getVector match {
+              case vc: VarCharVector => vc
+              case other => throw new IllegalArgumentException(
+                s"only utf8 dictionaries supported, got ${other.getClass}")
+            }
+          }
+          (v: FieldVector, i: Int) =>
+            if (v.isNull(i)) null
+            else {
+              val idx = v match {
+                case x: IntVector => x.get(i)
+                case x: BigIntVector => x.get(i).toInt
+                case x: SmallIntVector => x.get(i).toInt
+                case x: TinyIntVector => x.get(i).toInt
+                case other => throw new IllegalArgumentException(
+                  s"unsupported dictionary index vector: ${other.getClass}")
+              }
+              new String(values.get(idx), "UTF-8")
+            }
+        } else if (extName(f).exists(n =>
+            n == "arrow.uuid" || n.endsWith("/uuid") || n == "uuid")) {
+          (v: FieldVector, i: Int) =>
+            if (v.isNull(i)) null
+            else uuidString(v.asInstanceOf[FixedSizeBinaryVector].get(i))
+        } else if (isDenseUnion(f)) {
+          (v: FieldVector, i: Int) =>
+            if (v.isNull(i)) null
+            else jsonScalar(v.asInstanceOf[DenseUnionVector].getObject(i))
+        } else (v: FieldVector, i: Int) => cell(v, i)
+      }
 
     def close(): Unit = if (!closed) {
       closed = true
@@ -148,10 +243,46 @@ object ArrowSource {
 
     override def next(): Row = {
       if (!ensure()) throw new NoSuchElementException("arrow iterator exhausted")
-      val row = Row(vs.map(v => cell(v, i)): _*)
+      val row = Row(vs.indices.map(j => decoders(j)(vs(j), i)): _*)
       i += 1
       row
     }
+  }
+
+  /** 16 storage bytes → canonical lowercase UUID string (the typed
+    * surface of the `arrow.uuid` extension type, SURVEY §1.3). */
+  private def uuidString(b: Array[Byte]): String = {
+    require(b.length == 16, s"uuid storage must be 16 bytes, got ${b.length}")
+    val bb = java.nio.ByteBuffer.wrap(b)
+    new java.util.UUID(bb.getLong, bb.getLong).toString
+  }
+
+  /** Dense-union cell value → JSON scalar text, preserving the runtime
+    * type for Variant (string quotes vs bare number/bool — variant_get
+    * and schema_of_variant see exactly the union's type tag). */
+  private def jsonScalar(v: Any): String = v match {
+    case null => null
+    case t: Text => jsonQuote(t.toString)
+    case s: String => jsonQuote(s)
+    case b: java.lang.Boolean => b.toString
+    case n: java.lang.Number => n.toString
+    case other => throw new IllegalArgumentException(
+      s"unsupported dense-union member for variant decode: ${other.getClass}")
+  }
+
+  /** JSON-quote to PURE ASCII: control chars AND all non-ASCII escape
+    * as \u sequences, so the variant parse downstream is immune to the
+    * JVM default charset (containers often run POSIX/ASCII, where a
+    * literal 'ö' in the JSON text would decode to replacement chars). */
+  private def jsonQuote(s: String): String = {
+    val sb = new StringBuilder(s.length + 2).append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' || c > '~' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
   }
 
   /** Decode one cell to its Spark external type; recurses into
@@ -186,6 +317,7 @@ object ArrowSource {
         if (t.getTimezone != null) inst
         else java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
       case x: DecimalVector => x.getObject(i)
+      case x: FixedSizeBinaryVector => x.get(i)
       case x: ListVector =>
         val dv = x.getDataVector
         (x.getElementStartIndex(i) until x.getElementEndIndex(i))
@@ -296,11 +428,22 @@ object ArrowSource {
         s"arrow fixture writer: unsupported list element type $other")
     }
 
+  /** IPC body-buffer codec by name: the two formats real Arrow chunk
+    * stores emit ("zstd", "lz4" = LZ4_FRAME). None = uncompressed. */
+  private def codecType(codec: Option[String]): Option[CompressionUtil.CodecType] =
+    codec.map {
+      case "zstd" => CompressionUtil.CodecType.ZSTD
+      case "lz4" => CompressionUtil.CodecType.LZ4_FRAME
+      case other => throw new IllegalArgumentException(
+        s"unsupported arrow codec '$other' (zstd | lz4)")
+    }
+
   /** Stream rows into one Arrow IPC file, `batchSize` rows per record
     * batch — per-call memory is one batch's vectors. Shared by the
     * driver-side fixture writer and the distributed sink. */
   private def writeFile(schema: StructType, rows: Iterator[Row],
-                        path: String, batchSize: Int): Unit = {
+                        path: String, batchSize: Int,
+                        codec: Option[String] = None): Unit = {
     val fields = schema.fields.map(f => toArrowField(f.name, f.dataType, f.nullable))
     val alloc = new RootAllocator()
     val root = VectorSchemaRoot.create(new ArrowSchema(fields.toSeq.asJava), alloc)
@@ -308,7 +451,12 @@ object ArrowSource {
       Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
       val ch = FileChannel.open(Paths.get(path), StandardOpenOption.CREATE,
         StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
-      val w = new ArrowFileWriter(root, null, ch)
+      val w = codecType(codec) match {
+        case Some(ct) => new ArrowFileWriter(root, null, ch,
+          null: java.util.Map[String, String], IpcOption.DEFAULT,
+          CommonsCompressionFactory.INSTANCE, ct)
+        case None => new ArrowFileWriter(root, null, ch)
+      }
       try {
         w.start()
         rows.grouped(math.max(1, batchSize)).foreach { batch =>
@@ -348,8 +496,9 @@ object ArrowSource {
     * consumers); [[write]] is the distributed sink. `batchSize` splits
     * the rows into multiple record batches so tests can build
     * multi-batch files and prove streaming decode. */
-  def writeOne(df: DataFrame, path: String, batchSize: Int = Int.MaxValue): Unit =
-    writeFile(df.schema, df.collect().iterator, path, batchSize)
+  def writeOne(df: DataFrame, path: String, batchSize: Int = Int.MaxValue,
+               codec: Option[String] = None): Unit =
+    writeFile(df.schema, df.collect().iterator, path, batchSize, codec)
 
   /** DISTRIBUTED Arrow IPC sink: each non-empty partition writes its own
     * `part-NNNNN.arrow` file under `dir`, executor-side, streaming its
@@ -359,10 +508,12 @@ object ArrowSource {
     * one-task-per-file parallelism on the way back. `dir` must be
     * storage every executor can reach (shared FS / object store; local
     * FS in local mode). Returns the written file paths. */
-  def write(df: DataFrame, dir: String, batchSize: Int = 4096): Seq[String] = {
+  def write(df: DataFrame, dir: String, batchSize: Int = 4096,
+            codec: Option[String] = None): Seq[String] = {
     val schema = df.schema
-    // fail fast on the driver for unsupported types, not per-task
+    // fail fast on the driver for unsupported types/codec, not per-task
     schema.fields.foreach(f => toArrowField(f.name, f.dataType, f.nullable))
+    codecType(codec)
     Files.createDirectories(Paths.get(dir))
     df.rdd.mapPartitionsWithIndex { case (i, rows) =>
       if (!rows.hasNext) Iterator.empty
@@ -376,7 +527,7 @@ object ArrowSource {
           .map(_.taskAttemptId()).getOrElse(0L)
         val finalP = Paths.get(dir, f"part-$i%05d.arrow")
         val tmpP = Paths.get(dir, f".part-$i%05d.arrow.$attempt.tmp")
-        writeFile(schema, rows, tmpP.toString, batchSize)
+        writeFile(schema, rows, tmpP.toString, batchSize, codec)
         Files.move(tmpP, finalP,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -165,4 +165,57 @@ class ArrowSourceSpec extends AnyFunSuite {
       ArrowSource.writeOne(df, tmp("arrow_bad", "bad.arrow"))
     }
   }
+
+  test("zstd and lz4 compressed record batches round-trip exactly") {
+    val df = (1L to 500L).map(i => (i, "text " * 20 + i, i * 0.5))
+      .toDF("id", "s", "d")
+    for (codec <- Seq("zstd", "lz4")) {
+      val path = tmp(s"arrow_$codec", s"t_$codec.arrow")
+      ArrowSource.writeOne(df, path, batchSize = 128, codec = Some(codec))
+      val back = ArrowSource.read(spark, Seq(path))
+      assert(back.orderBy("id").collect().toSeq ==
+        df.orderBy("id").collect().toSeq, s"codec $codec")
+      // compression must actually bite on this repetitive text
+      val plain = tmp("arrow_plain", "t_plain.arrow")
+      ArrowSource.writeOne(df, plain, batchSize = 128)
+      assert(new java.io.File(path).length < new java.io.File(plain).length,
+        s"$codec file not smaller than uncompressed")
+    }
+  }
+
+  test("hetero chunk: dense union reads as Variant, uuid/uri as strings, " +
+      "dictionary utf8 decodes") {
+    import ArrowFixtures.HeteroRow
+    def uuidOf(i: Long) = new java.util.UUID(i, i * 31 + 7)
+    val rows = Seq(
+      HeteroRow(1L, 42L, null, uuidOf(1), "s3://bucket/a", "news"),
+      HeteroRow(2L, null, "hello \"w\"", uuidOf(2), "s3://bucket/b", "web"),
+      HeteroRow(3L, -7L, null, uuidOf(3), "s3://bucket/c", "news"),
+      HeteroRow(4L, null, "wörld", uuidOf(4), "s3://bucket/d", "web"))
+    val path = tmp("arrow_hetero", "hetero.arrow")
+    ArrowFixtures.writeHeteroChunk(rows, path, codec = Some("zstd"))
+
+    val back = ArrowSource.read(spark, Seq(path))
+    assert(back.schema("v").dataType == VariantType)
+    assert(back.schema("doc_uuid").dataType == StringType)
+    assert(back.schema("src_uri").dataType == StringType)
+    assert(back.schema("tag").dataType == StringType)
+
+    import org.apache.spark.sql.functions._
+    val got = back.select($"id",
+        try_variant_get($"v", "$", "long").as("v_long"),
+        variant_get($"v", "$", "string").as("v_str"),
+        expr("schema_of_variant(v)").as("v_type"),
+        $"doc_uuid", $"src_uri", $"tag")
+      .orderBy("id").collect()
+    assert(got.map(r => Option(r.get(1))).toSeq ==
+      Seq(Some(42L), None, Some(-7L), None))
+    assert(got.map(_.getString(2)).toSeq ==
+      Seq("42", "hello \"w\"", "-7", "wörld"))
+    assert(got.map(_.getString(3)).toSeq ==
+      Seq("BIGINT", "STRING", "BIGINT", "STRING"))
+    assert(got.map(_.getString(4)).toSeq == rows.map(_.uuid.toString))
+    assert(got.map(_.getString(5)).toSeq == rows.map(_.uri))
+    assert(got.map(_.getString(6)).toSeq == Seq("news", "web", "news", "web"))
+  }
 }
