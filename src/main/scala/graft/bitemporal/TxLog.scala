@@ -42,12 +42,34 @@ final class TxLog(val dir: String) {
   /** Append one transaction. `ops` must carry `_op, _id, _valid_from,
     * _valid_to` + payload columns; `_tx_id`/`_system_from` are assigned
     * here (monotonic id, caller-supplied system time for deterministic
-    * replay — production would stamp the wall clock). */
-  def append(ops: DataFrame, systemTime: java.sql.Timestamp): Long = {
+    * replay — production would stamp the wall clock).
+    *
+    * One task per tx (`coalesce(1)`) — right for the OLTP-ish tail of
+    * small transactions, where one part file per tx avoids a tiny-file
+    * explosion. For large ingests use [[appendBulk]]: same monotonic tx
+    * semantics, N-way parallel write. */
+  def append(ops: DataFrame, systemTime: java.sql.Timestamp): Long =
+    appendShaped(ops.coalesce(1), systemTime)
+
+  /** Bulk-load append: ONE transaction (one monotonic `_tx_id`, one
+    * `_system_from`, one atomically-visible directory) written by
+    * `partitions` parallel tasks instead of [[append]]'s single task.
+    * The tx directory itself is the manifest: Spark's parquet commit
+    * protocol publishes `_SUCCESS` + the part files together, and
+    * [[read]]/[[compact]] list whole `tx_*` directories, so a reader
+    * never sees a half-written transaction. `partitions <= 0` keeps the
+    * incoming partitioning (no extra shuffle — the right call when the
+    * load is already well-partitioned). */
+  def appendBulk(ops: DataFrame, systemTime: java.sql.Timestamp,
+                 partitions: Int = 0): Long =
+    appendShaped(if (partitions > 0) ops.repartition(partitions) else ops,
+      systemTime)
+
+  private def appendShaped(ops: DataFrame,
+                           systemTime: java.sql.Timestamp): Long = {
     val txId = nextTxId()
     ops.withColumn("_tx_id", lit(txId))
       .withColumn("_system_from", lit(systemTime))
-      .coalesce(1)
       .write.mode("overwrite").parquet(logDir.resolve(f"tx_$txId%09d.parquet").toString)
     txId
   }

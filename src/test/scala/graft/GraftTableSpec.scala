@@ -237,6 +237,36 @@ class GraftTableSpec extends AnyFunSuite {
     assert(back.filter(col("_id") === 1).count() == 3)
   }
 
+  test("appendBulk: N-way parallel tx write, same semantics as append") {
+    import graft.bitemporal.{Bitemporal, TxLog, TxOps}
+    val dir = java.nio.file.Files.createTempDirectory("graft_bulk").toString
+    val log = new TxLog(dir)
+    val rows = (1L to 1000L).map(i => (i, i * 1.5)).toDF("id", "bal")
+
+    // bulk load as tx 0 across 4 tasks, then a small append as tx 1
+    val tx0 = log.appendBulk(TxOps.put(rows, $"id",
+      lit("2020-01-01").cast("timestamp"), None, Seq("bal" -> $"bal")),
+      ts("2024-01-01 00:00:00"), partitions = 4)
+    val tx1 = log.append(TxOps.put(rows.filter($"id" === 1), $"id",
+      lit("2021-01-01").cast("timestamp"), None,
+      Seq("bal" -> ($"bal" + 1))), ts("2024-01-02 00:00:00"))
+    assert(tx0 == 0L && tx1 == 1L, "tx ids stay monotonic across both paths")
+
+    // the bulk tx directory really has N part files (the parallel write)
+    val parts = new java.io.File(s"$dir/log")
+      .listFiles().filter(_.getName.startsWith("tx_000000000")).head
+      .listFiles().count(_.getName.startsWith("part-"))
+    assert(parts == 4, s"expected 4 part files in the bulk tx, got $parts")
+
+    // fold + asOf see the bulk rows exactly like appended ones
+    log.compact(spark, Seq("bal"))
+    val cur = Bitemporal.asOf(log.readBase(spark),
+      validTime = lit("2022-01-01").cast("timestamp"),
+      systemTime = lit("2024-06-01").cast("timestamp"))
+    assert(cur.count() == 1000L)
+    assert(cur.filter($"_id" === 1).select("bal").as[Double].head() == 2.5)
+  }
+
   test("erase removes full history at compaction") {
     val dir = java.nio.file.Files.createTempDirectory("graft_erase").toString
     val t = new GraftTable(spark, dir, Seq("price"))
