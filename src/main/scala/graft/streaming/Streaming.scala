@@ -169,6 +169,48 @@ object Streaming {
       .toDF("id_a", "id_b")
   }
 
+  /** Transport-agnostic tx-op decoding (the upstream log had a Kafka
+    * module; the transport is an implementation detail). `lines` is ANY
+    * streaming or batch DataFrame with a string `value` column — the
+    * socket source, a Kafka topic (`CAST(value AS STRING)`), a text
+    * file stream — carrying one JSON object per record with the TxLog
+    * op contract: `_op` ("put" | "delete" | "erase"), `_id`,
+    * `_valid_from`, `_valid_to`, plus the payload fields. Malformed
+    * records surface as all-null rows (from_json's PERMISSIVE mode) for
+    * the caller to quarantine rather than a killed stream. */
+  def txOpsFromJson(lines: DataFrame,
+                    payloadSchema: StructType): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = payloadSchema.fields.foldLeft(new StructType()
+      .add("_op", StringType).add("_id", LongType)
+      .add("_valid_from", TimestampType)
+      .add("_valid_to", TimestampType))((s, f) => s.add(f))
+    lines.select(from_json(col("value"), schema).as("_j")).select(col("_j.*"))
+  }
+
+  /** The write side of the ingestion loop over a NON-file transport:
+    * each micro-batch commits as ONE monotonic transaction
+    * ([[graft.bitemporal.TxLog.append]]) and incrementally compacts, so
+    * an `asOf` read right after a batch sees its writes. `systemTimeOf`
+    * maps batchId → the tx system time (deterministic in tests;
+    * production stamps the wall clock). The result is running; stop it
+    * via the returned handle. */
+  def ingestOpStream(ops: DataFrame, logDir: String, payloadCols: Seq[String],
+                     systemTimeOf: Long => java.sql.Timestamp,
+                     checkpoint: Option[String] = None): StreamingQuery = {
+    val log = new graft.bitemporal.TxLog(logDir)
+    @volatile var lastCompacted = -1L
+    val w = ops.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        log.append(batch, systemTimeOf(batchId))
+        lastCompacted =
+          log.compactIncremental(batch.sparkSession, payloadCols, lastCompacted)
+      }
+    }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   /** Drain all currently-available input through a streaming plan into
     * an in-memory table (test/dev sink), blocking until done. */
   def runAvailableToMemory(df: DataFrame, name: String,

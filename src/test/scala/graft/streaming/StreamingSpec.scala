@@ -304,4 +304,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(balsAt("2021-06-01 00:00:00", "2020-06-05 00:00:00") ==
       Map(1L -> 101.0, 2L -> 200.0, 3L -> 300.0))
   }
+
+  test("socket tx-op stream: transport-agnostic ingest -> compact -> asOf") {
+    import org.apache.spark.sql.types._
+    import graft.bitemporal.Bitemporal
+    // a tiny line server standing in for any non-file transport (the
+    // upstream analog is a Kafka log; swapping the source format is the
+    // only difference — txOpsFromJson/ingestOpStream are shared)
+    val server = new java.net.ServerSocket(0)
+    @volatile var out: java.io.PrintWriter = null
+    val acceptor = new Thread(() => {
+      val s = server.accept()
+      out = new java.io.PrintWriter(s.getOutputStream, true)
+    })
+    acceptor.setDaemon(true); acceptor.start()
+
+    val dir = Files.createTempDirectory("txlog_socket").toString
+    val log = new graft.bitemporal.TxLog(dir)
+    val lines = spark.readStream.format("socket")
+      .option("host", "localhost").option("port", server.getLocalPort).load()
+    val ops = Streaming.txOpsFromJson(lines,
+      new StructType().add("bal", DoubleType))
+    val q = Streaming.ingestOpStream(ops, dir, Seq("bal"),
+      batchId => ts(f"2024-01-01 00:${batchId % 60}%02d:00"))
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (out == null && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(out != null, "socket source never connected")
+
+      def op(o: String, id: Long, vf: String, bal: java.lang.Double) =
+        s"""{"_op":"$o","_id":$id,"_valid_from":"$vf","_valid_to":null""" +
+          (if (bal == null) ",\"bal\":null}" else s""","bal":$bal}""")
+      def drainUntil(cond: => Boolean): Unit = {
+        val dl = System.currentTimeMillis() + 30000
+        while (!cond && System.currentTimeMillis() < dl) {
+          q.processAllAvailable(); Thread.sleep(100)
+        }
+        assert(cond, "streamed ops never reached the compacted base")
+      }
+      def current: Map[Long, Double] =
+        Bitemporal.asOf(log.readBase(spark),
+            lit("2023-01-01").cast("timestamp"),
+            lit("2025-01-01").cast("timestamp"))
+          .select($"_id", $"bal").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+      // phase 1: three puts over the wire
+      Seq(op("put", 1, "2020-01-01 00:00:00", 100.0),
+        op("put", 2, "2020-01-01 00:00:00", 200.0),
+        op("put", 3, "2020-01-01 00:00:00", 300.0)).foreach(out.println)
+      drainUntil(log.txFiles().nonEmpty && current.size == 3)
+
+      // phase 2: an update for id 1 and a brand-new id 4
+      Seq(op("put", 1, "2022-01-01 00:00:00", 101.0),
+        op("put", 4, "2020-01-01 00:00:00", 400.0)).foreach(out.println)
+      drainUntil(current.get(1L).contains(101.0) && current.size == 4)
+
+      assert(current == Map(1L -> 101.0, 2L -> 200.0, 3L -> 300.0, 4L -> 400.0))
+      // time travel below the update's valid time: the original belief
+      val older = Bitemporal.asOf(log.readBase(spark),
+          lit("2021-01-01").cast("timestamp"),
+          lit("2025-01-01").cast("timestamp"))
+        .select($"_id", $"bal").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(older(1L) == 100.0)
+    } finally {
+      q.stop()
+      if (out != null) out.close()
+      server.close()
+    }
+  }
 }
