@@ -22,6 +22,10 @@ import graft.functions.{SortedIntersectCount, SortedLastLeq, VecDot}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the SQL front door: temporal clauses + DML on GraftServer-registered
+    // tables resolve in plain spark.sql — locally and over Spark Connect
+    ext.injectParser((session, delegate) =>
+      new graft.server.GraftSqlParser(session, delegate))
     ext.injectFunction((FunctionIdentifier("sorted_last_leq"),
       new ExpressionInfo(classOf[SortedLastLeq].getName, "sorted_last_leq"),
       (exprs: Seq[Expression]) => SortedLastLeq(exprs.head, exprs(1))))

@@ -28,6 +28,16 @@ object PlanBridge {
       .queryExecution.logical
 }
 
+object ConfBridge {
+  /** Set a key on the LIVE SparkContext conf (`sc.conf` is
+    * private[spark]; `getConf` hands back a copy) — needed to point
+    * static-conf consumers like the Connect service at a port chosen
+    * after context startup. */
+  def setContextConf(sc: org.apache.spark.SparkContext,
+                     key: String, value: String): Unit =
+    sc.conf.set(key, value): Unit
+}
+
 object RddBridge {
   /** Local-checkpoint `df` and return (checkpointed frame, row count) in
     * ONE job. `Dataset.localCheckpoint(eager = true)` runs an internal
