@@ -228,6 +228,29 @@ object Extras {
         .orderBy("id")
     }),
 
+    // the WRITE half of the §1.4 mapping: a heterogeneous VariantType
+    // column (long | string per row) exports to an Arrow dense union
+    // and reads back with its per-row runtime types intact — the full
+    // Variant ⇄ DenseUnion round-trip, compressed
+    "q117_variant_arrow" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.ArrowSource
+      val tmp = s"target/varrt_${new java.io.File(dir).getName}/nation_v.arrow"
+      val v = T(s, dir, "nation").select(
+        $"n_nationkey".cast("long").as("id"),
+        parse_json(
+          when($"n_nationkey" % 2 === 0,
+            concat(lit("\""), $"n_name", lit("\"")))
+            .otherwise($"n_regionkey".cast("long").cast("string"))).as("v"))
+      ArrowSource.writeOne(v, tmp, codec = Some("lz4"))
+      ArrowSource.read(s, Seq(tmp))
+        .select($"id",
+          try_variant_get($"v", "$", "long").as("v_int"),
+          variant_get($"v", "$", "string").as("v_str"),
+          expr("schema_of_variant(v)").as("v_type"))
+        .orderBy("id")
+    }),
+
     // §2.7 Aggregator tier: bounded top-k per group (k-element buffer,
     // partial+final agg) vs collect_list-then-slice's O(group) buffer —
     // the hot-group-safe form. Doubles serialize as integer cents for
@@ -572,6 +595,18 @@ object Extras {
                AS doc_uuid,
              'file:///nation/' || CAST(n_nationkey AS BIGINT) AS src_uri,
              'r' || CAST(n_regionkey AS BIGINT) AS tag
+      FROM nation ORDER BY id""",
+
+    // the arrow round-trip is identity on values AND runtime types:
+    // even ids carry the string branch, odd ids the long branch
+    "q117_variant_arrow" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS id,
+             CASE WHEN n_nationkey % 2 = 0 THEN NULL
+                  ELSE CAST(n_regionkey AS BIGINT) END AS v_int,
+             CASE WHEN n_nationkey % 2 = 0 THEN n_name
+                  ELSE CAST(CAST(n_regionkey AS BIGINT) AS VARCHAR) END AS v_str,
+             CASE WHEN n_nationkey % 2 = 0 THEN 'STRING'
+                  ELSE 'BIGINT' END AS v_type
       FROM nation ORDER BY id""",
 
     "q101_cube" -> """

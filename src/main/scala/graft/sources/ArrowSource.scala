@@ -265,9 +265,21 @@ object ArrowSource {
     case t: Text => jsonQuote(t.toString)
     case s: String => jsonQuote(s)
     case b: java.lang.Boolean => b.toString
+    case d: java.lang.Double => jsonDouble(d)
+    case f: java.lang.Float => jsonDouble(f.toDouble)
     case n: java.lang.Number => n.toString
     case other => throw new IllegalArgumentException(
       s"unsupported dense-union member for variant decode: ${other.getClass}")
+  }
+
+  /** Floating members keep their DOUBLE runtime type through the JSON
+    * intermediary: Spark's variant parser types plain decimal text
+    * (`2.5`) as DECIMAL but exponent forms (`2.5E0`) as DOUBLE. */
+  private def jsonDouble(d: Double): String = {
+    require(!d.isNaN && !d.isInfinite,
+      s"cannot represent $d in a variant (JSON has no NaN/Infinity)")
+    val s = d.toString
+    if (s.contains('E') || s.contains('e')) s else s + "E0"
   }
 
   /** JSON-quote to PURE ASCII: control chars AND all non-ASCII escape
@@ -354,9 +366,84 @@ object ArrowSource {
       case st: StructType =>
         new Field(name, new FieldType(nullable, new ArrowType.Struct(), null),
           st.fields.map(f => toArrowField(f.name, f.dataType, f.nullable)).toSeq.asJava)
+      case VariantType =>
+        // per-cell dynamic typing writes back to its native Arrow form:
+        // a dense union over the scalar member set the read side decodes
+        // (§1.4 both directions). Type ids are positional (0..3).
+        new Field(name,
+          new FieldType(nullable,
+            new ArrowType.Union(org.apache.arrow.vector.types.UnionMode.Dense,
+              Array(0, 1, 2, 3)), null),
+          Seq(
+            Field.nullable("i64", new ArrowType.Int(64, true)),
+            Field.nullable("f64",
+              new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)),
+            Field.nullable("utf8", new ArrowType.Utf8()),
+            Field.nullable("bool", new ArrowType.Bool())).asJava)
       case scalar =>
         new Field(name, new FieldType(nullable, scalarArrow(scalar), null), null)
     }
+
+  /** Write one Variant cell into a dense-union vector slot: the
+    * variant's RUNTIME type picks the union member (long | double |
+    * string | bool; variant-null and SQL-null both land as a null child
+    * entry — dense unions have no validity of their own). Non-scalar
+    * variants (objects/arrays) fail loudly: export them as JSON text
+    * columns instead (`to_json`). */
+  private def setVariant(duv: DenseUnionVector, i: Int, cell: Any): Unit = {
+    import org.apache.arrow.vector.holders._
+    import org.apache.spark.types.variant.VariantUtil
+    val variant = cell match {
+      case null => null
+      case vv: org.apache.spark.unsafe.types.VariantVal =>
+        new org.apache.spark.types.variant.Variant(vv.getValue, vv.getMetadata)
+      case other => throw new IllegalArgumentException(
+        s"not a variant cell: ${other.getClass}")
+    }
+    val t = if (variant == null) VariantUtil.Type.NULL else variant.getType
+    t match {
+      case VariantUtil.Type.LONG =>
+        duv.setTypeId(i, 0)
+        val h = new NullableBigIntHolder
+        h.isSet = 1; h.value = variant.getLong
+        duv.setSafe(i, h)
+      case VariantUtil.Type.DOUBLE =>
+        duv.setTypeId(i, 1)
+        val h = new NullableFloat8Holder
+        h.isSet = 1; h.value = variant.getDouble
+        duv.setSafe(i, h)
+      case VariantUtil.Type.DECIMAL =>
+        // no variable-precision decimal member in the union: decimals
+        // export through the f64 member (documented lossy-to-double)
+        duv.setTypeId(i, 1)
+        val h = new NullableFloat8Holder
+        h.isSet = 1; h.value = variant.getDecimal.doubleValue
+        duv.setSafe(i, h)
+      case VariantUtil.Type.STRING =>
+        val bytes = variant.getString.getBytes("UTF-8")
+        val buf = duv.getAllocator.buffer(math.max(1, bytes.length).toLong)
+        try {
+          buf.setBytes(0, bytes)
+          val h = new NullableVarCharHolder
+          h.isSet = 1; h.buffer = buf; h.start = 0; h.end = bytes.length
+          duv.setTypeId(i, 2)
+          duv.setSafe(i, h)
+        } finally buf.close()
+      case VariantUtil.Type.BOOLEAN =>
+        duv.setTypeId(i, 3)
+        val h = new NullableBitHolder
+        h.isSet = 1; h.value = if (variant.getBoolean) 1 else 0
+        duv.setSafe(i, h)
+      case VariantUtil.Type.NULL =>
+        // dense unions have ONE null notion (a null child slot): variant
+        // null and SQL null collapse — both read back as SQL null
+        duv.setTypeId(i, 0)
+        duv.setSafe(i, new NullableBigIntHolder) // isSet = 0: null slot
+      case other => throw new IllegalArgumentException(
+        s"unsupported variant runtime type for arrow export: $other " +
+          "(scalar long/double/string/bool only; to_json object variants)")
+    }
+  }
 
   private def timestampMicros(v: Any): Long = v match {
     case ts: java.sql.Timestamp =>
@@ -463,7 +550,12 @@ object ArrowSource {
           root.allocateNew()
           batch.zipWithIndex.foreach { case (row, i) =>
             schema.fields.zipWithIndex.foreach { case (f, j) =>
-              if (!row.isNullAt(j)) f.dataType match {
+              // dense unions carry no validity buffer: a variant cell
+              // must be written even when null (as a null child slot)
+              if (f.dataType == VariantType)
+                setVariant(root.getVector(j).asInstanceOf[DenseUnionVector],
+                  i, if (row.isNullAt(j)) null else row.get(j))
+              else if (!row.isNullAt(j)) f.dataType match {
                 case ArrayType(et, _) =>
                   val lv = root.getVector(j).asInstanceOf[ListVector]
                   val lw = lv.getWriter

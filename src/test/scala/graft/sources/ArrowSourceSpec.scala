@@ -166,6 +166,41 @@ class ArrowSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("Variant columns round-trip through a dense union (write AND read)") {
+    import org.apache.spark.sql.functions._
+    // one column, four runtime types + variant-null + SQL null
+    val df = Seq(
+      (1L, "42"), (2L, "\"hi \\u00f6\""), (3L, "2.5"), (4L, "true"),
+      (5L, "null"), (6L, null))
+      .toDF("id", "j")
+      .select($"id", when($"j".isNotNull, parse_json($"j")).as("v"))
+    val path = tmp("arrow_variant", "v.arrow")
+    ArrowSource.writeOne(df, path, codec = Some("zstd"))
+
+    val back = ArrowSource.read(spark, Seq(path))
+    assert(back.schema("v").dataType == VariantType)
+    val got = back.select($"id",
+        expr("schema_of_variant(v)").as("t"),
+        try_variant_get($"v", "$", "long").as("l"),
+        variant_get($"v", "$", "string").as("s"))
+      .orderBy("id").collect()
+    // variant-null and SQL null both land as a null union slot (dense
+    // unions have no second null notion), so both read back as SQL null
+    assert(got.map(_.getString(1)).toSeq ==
+      Seq("BIGINT", "STRING", "DOUBLE", "BOOLEAN", null, null))
+    assert(Option(got(0).get(2)).contains(42L))
+    assert(got(1).getString(3) == "hi ö")
+    assert(got(2).getString(3) == "2.5")
+    assert(got(3).getString(3) == "true")
+    assert(got(4).isNullAt(3) && got(5).isNullAt(3))
+
+    // distributed sink handles variants too (driver-side type check ok)
+    val dir = java.nio.file.Files.createTempDirectory("arrow_variant_d").toString
+    val paths = ArrowSource.write(df.repartition(2), dir)
+    assert(paths.nonEmpty)
+    assert(ArrowSource.read(spark, paths).count() == 6)
+  }
+
   test("zstd and lz4 compressed record batches round-trip exactly") {
     val df = (1L to 500L).map(i => (i, "text " * 20 + i, i * 0.5))
       .toDF("id", "s", "d")
