@@ -70,7 +70,15 @@ final class TxLog(val dir: String) {
     val txId = nextTxId()
     ops.withColumn("_tx_id", lit(txId))
       .withColumn("_system_from", lit(systemTime))
-      .write.mode("overwrite").parquet(logDir.resolve(f"tx_$txId%09d.parquet").toString)
+      .write.mode("overwrite")
+      // tx files are ordered by ARRIVAL, not id, so `_id = x` point reads
+      // (entity(), incremental refold) can't skip them on min/max stats
+      // the way the range-clustered base does. A per-row-group bloom on
+      // `_id` restores the skip — the analog of the reference's per-chunk
+      // bloom filters (xtdb/core2 `core2.bloom`): footer check, no data
+      // pages read for row groups that can't contain the id.
+      .option("parquet.bloom.filter.enabled#_id", "true")
+      .parquet(logDir.resolve(f"tx_$txId%09d.parquet").toString)
     txId
   }
 
@@ -123,6 +131,11 @@ final class TxLog(val dir: String) {
     rects.repartitionByRange(col("_sys_date"), col("_id"))
       .sortWithinPartitions("_sys_date", "_id")
       .write.mode("overwrite").partitionBy("_sys_date")
+      // belt over the min/max braces: clustering gives tight per-group
+      // id ranges, but a sparse id space leaves gaps INSIDE a range that
+      // stats can't see; the bloom rejects those too (core2.bloom kept
+      // one per chunk for the same reason)
+      .option("parquet.bloom.filter.enabled#_id", "true")
       .parquet(target.toString)
 
   /** Current rectangles WITHOUT requiring a fresh compaction: ids

@@ -267,6 +267,71 @@ class GraftTableSpec extends AnyFunSuite {
     assert(cur.filter($"_id" === 1).select("bal").as[Double].head() == 2.5)
   }
 
+  test("log and base carry _id bloom filters; blooms skip what stats can't") {
+    import graft.bitemporal.{TxLog, TxOps}
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val log = new TxLog(dir)
+    // SHUFFLED ids: every row group's min/max spans ~the whole id range,
+    // so stat pruning is useless by construction — any skip is the bloom
+    val rows = spark.range(4000)
+      .orderBy(xxhash64($"id")).select($"id", ($"id" * 1.0).as("price"))
+    // small row groups so one tx file holds several (prod default 128 MB)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    hc.set("parquet.block.size", "16384")
+    try log.append(TxOps.put(rows, $"id", lit("2020-01-01").cast("timestamp"),
+      None, Seq("price" -> $"price")), ts("2024-01-01 00:00:00"))
+    finally oldBlock.fold(hc.unset("parquet.block.size"))(
+      hc.set("parquet.block.size", _))
+    log.compact(spark, Seq("price"))
+
+    // footers: both layouts publish a bloom on _id
+    def bloomOffsets(f: java.io.File): Seq[Long] = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), hc)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.toSeq.map(
+          _.getColumns.asScala.find(_.getPath.toDotString == "_id").get
+            .getBloomFilterOffset)
+      } finally r.close()
+    }
+    def parquetFiles(d: java.io.File): Seq[java.io.File] = {
+      val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      kids.filter(f => f.isFile && f.getName.endsWith(".parquet")) ++
+        kids.filter(_.isDirectory).flatMap(parquetFiles)
+    }
+    val txGroups = parquetFiles(new java.io.File(s"$dir/log"))
+      .flatMap(bloomOffsets)
+    assert(txGroups.size > 3, s"expected several row groups, got $txGroups")
+    assert(txGroups.forall(_ > 0), s"tx row group missing _id bloom: $txGroups")
+    assert(parquetFiles(new java.io.File(s"$dir/base"))
+      .flatMap(bloomOffsets).forall(_ > 0), "base row group missing _id bloom")
+
+    // read side: a point read over the shuffled LOG touches a fraction
+    // of the rows — row groups the bloom rejects are never decoded
+    var records = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        synchronized { records += e.taskMetrics.inputMetrics.recordsRead }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(log.read(spark).filter($"_id" === 1234L).count() == 1)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1L
+      while (System.nanoTime() < deadline && records != last) {
+        last = records; Thread.sleep(300)
+      }
+      assert(records > 0, "listener saw no input metrics")
+      assert(records < 4000,
+        s"point read decoded $records of 4000 rows — bloom skip lost " +
+          "(shuffled ids make min/max useless here)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("erase removes full history at compaction") {
     val dir = java.nio.file.Files.createTempDirectory("graft_erase").toString
     val t = new GraftTable(spark, dir, Seq("price"))
