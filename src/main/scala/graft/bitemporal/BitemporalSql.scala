@@ -136,15 +136,21 @@ object BitemporalSql {
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
     import org.apache.spark.sql.graftbridge.PlanBridge
 
+    // stage 0: SQL:2011 period predicates (OVERLAPS/CONTAINS/...)
+    // expand to plain comparisons — Spark's parser has no PERIOD
+    // grammar, so this must happen on the text (see [[PeriodSql]]);
+    // idempotent when the query has none.
+    val query0 = PeriodSql.expand(query)
+
     // stage 1: temporal clauses -> placeholder relation names. Each
     // match replaces at ITS OWN position (appendReplacement) — a plain
     // text replace would also rewrite a same-text PREFIX inside a
     // longer two-clause reference of the same table, leaving a dangling
     // clause fragment behind.
-    val spans = literalSpans(query)
+    val spans = literalSpans(query0)
     val placeholders = scala.collection.mutable.Map
       .empty[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
-    val m = tableWithClauses.matcher(query)
+    val m = tableWithClauses.matcher(query0)
     val sb = new StringBuffer
     while (m.find()) {
       val table = m.group(1)

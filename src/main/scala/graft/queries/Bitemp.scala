@@ -221,6 +221,22 @@ object Bitemp {
           FOR ALL APPLICATION_TIME
           ORDER BY _id, _system_from, _valid_from, _valid_to""",
         Map("hist" -> Bitemporal.foldAppendOnly(orderOps(s, dir), Seq("price"))))
+    }),
+
+    // SQL:2011 period PREDICATES as SQL text (reference grammar shape:
+    // <table>.APPLICATION_TIME CONTAINS ts, <period> OVERLAPS <period>;
+    // README.adoc:11) — PeriodSql expands them to sargable comparisons
+    // before the parse, so they compose with the FOR ALL clauses
+    "q118_period_sql" -> ((s, dir) => {
+      BitemporalSql.sql(s, """
+          SELECT _id, price, _valid_from, _valid_to, _system_from, _system_to
+          FROM hist FOR ALL SYSTEM_TIME FOR ALL APPLICATION_TIME
+          WHERE hist.APPLICATION_TIME CONTAINS TIMESTAMP '1996-06-01 00:00:00'
+            AND hist.SYSTEM_TIME OVERLAPS
+                PERIOD(TIMESTAMP '1996-01-01 00:00:00',
+                       TIMESTAMP '1997-01-01 00:00:00')
+          ORDER BY _id, _system_from, _valid_from, _valid_to""",
+        Map("hist" -> Bitemporal.foldAppendOnly(orderOps(s, dir), Seq("price"))))
     })
   )
 
@@ -309,6 +325,17 @@ object Bitemp {
       FROM rects
       WHERE _system_from < TIMESTAMP '1997-01-01 00:00:00'
         AND _system_to   > TIMESTAMP '1996-01-01 00:00:00'
+      ORDER BY _id, _system_from, _valid_from, _valid_to""",
+
+    // the period predicates' defined expansions, written out by hand
+    "q118_period_sql" -> s"""
+      WITH $rectsCte
+      SELECT _id, price, _valid_from, _valid_to, _system_from, _system_to
+      FROM rects
+      WHERE _valid_from <= TIMESTAMP '1996-06-01 00:00:00'
+        AND TIMESTAMP '1996-06-01 00:00:00' < _valid_to
+        AND _system_from < TIMESTAMP '1997-01-01 00:00:00'
+        AND TIMESTAMP '1996-01-01 00:00:00' < _system_to
       ORDER BY _id, _system_from, _valid_from, _valid_to"""
   )
 }

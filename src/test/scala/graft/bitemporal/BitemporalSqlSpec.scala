@@ -122,6 +122,33 @@ class BitemporalSqlSpec extends AnyFunSuite {
     assert(all == rects.count() && allPostfix == all)
   }
 
+  test("period predicates in SQL text match the Periods Column algebra") {
+    import graft.ra.Periods
+    // CONTAINS a point, on the valid dimension, over full history
+    val viaSql = BitemporalSql.sql(spark,
+      s"""SELECT _id, price FROM prices
+          FOR ALL SYSTEM_TIME FOR ALL APPLICATION_TIME
+          WHERE prices.APPLICATION_TIME CONTAINS TIMESTAMP '${ts(60)}'
+            AND prices.SYSTEM_TIME OVERLAPS
+                PERIOD(TIMESTAMP '${ts(150)}', TIMESTAMP '${ts(250)}')""",
+      Map("prices" -> rects)).collect().map(_.toSeq).toSet
+    val viaApi = rects.filter(
+        Periods.containsTs(
+          Periods.period(col("_valid_from"), col("_valid_to")), lit(ts(60))) &&
+        Periods.overlaps(
+          Periods.period(col("_system_from"), col("_system_to")),
+          Periods.period(lit(ts(150)), lit(ts(250)))))
+      .select(col("_id"), col("price")).collect().map(_.toSeq).toSet
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+
+    // a period predicate inside a string literal is data, not syntax
+    val literal = BitemporalSql.sql(spark,
+      """SELECT 'prices.APPLICATION_TIME CONTAINS TIMESTAMP ''x''' AS s
+         FROM prices""",
+      Map("prices" -> rects)).collect()(0).getString(0)
+    assert(literal == "prices.APPLICATION_TIME CONTAINS TIMESTAMP 'x'")
+  }
+
   test("aggregation over a time-travel view") {
     val out = BitemporalSql.sql(spark,
       s"""SELECT count(*) AS n, sum(price) AS total
