@@ -134,7 +134,32 @@ final class GraftTable(spark: SparkSession, dir: String,
     *    unassigned payload column keeps its current value. FOR PORTION
     *    OF APPLICATION_TIME limits the write's valid interval.
     */
-  def dml(name: String, statement: String, systemTime: Timestamp): Long = {
+  def dml(name: String, statement: String, systemTime: Timestamp): Long =
+    log.append(compileDml(name, statement, systemTime), systemTime)
+
+  /** SEVERAL DML statements as ONE atomic transaction — the reference's
+    * submit-tx shape (a tx is a VECTOR of ops; SURVEY.md §3.3): one
+    * `_tx_id`, one `_system_from`, one atomically-visible log file, so
+    * a reader sees all of the statements' effects or none.
+    *
+    * Read semantics: every statement reads the PRE-transaction state
+    * (one snapshot) — an UPDATE in the same tx does NOT see a sibling
+    * INSERT's rows. That matches the reference, where a transaction's
+    * ops are data applied together, and read-modify-write ACROSS ops
+    * belongs to transaction functions ([[registerTxFn]]/[[call]]).
+    * Consequently two statements must not write overlapping valid
+    * intervals of one id (the fold's no-overlap invariant). */
+  def dmlTx(name: String, statements: Seq[String],
+            systemTime: Timestamp): Long = {
+    require(statements.nonEmpty, "empty transaction")
+    val ops = statements.map(compileDml(name, _, systemTime))
+      .reduce(_.unionByName(_))
+    log.append(ops, systemTime)
+  }
+
+  /** One statement -> its tx-log op rows (not yet appended). */
+  private def compileDml(name: String, statement: String,
+                         systemTime: Timestamp): DataFrame = {
     import BitemporalDml._
     val stmt = BitemporalDml.parse(statement)
     require(stmt.table.equalsIgnoreCase(name),
@@ -164,7 +189,7 @@ final class GraftTable(spark: SparkSession, dir: String,
                  else lit(systemTime)
         val vt = if (cols.contains("_valid_to"))
                    Some(col("_valid_to").cast("timestamp")) else None
-        put(src, col("_id"), vf, vt, payloadCols.map(c => c -> col(c)), systemTime)
+        TxOps.put(src, col("_id"), vf, vt, payloadCols.map(c => c -> col(c)))
       case Update(_, portion, sets, where) =>
         val rows = current().filter(expr(where))
         val (vf, vt) = interval(portion)
@@ -174,14 +199,14 @@ final class GraftTable(spark: SparkSession, dir: String,
         }
         val unknown = sets.map(_._1).filterNot(payloadCols.contains)
         require(unknown.isEmpty, s"SET of non-payload column: ${unknown.mkString(", ")}")
-        put(rows, col("_id"), vf, vt, payload, systemTime)
+        TxOps.put(rows, col("_id"), vf, vt, payload)
       case Delete(_, portion, where) =>
         val rows = current().filter(expr(where))
         val (vf, vt) = interval(portion)
-        delete(rows, col("_id"), vf, vt, nullPayload(rows), systemTime)
+        TxOps.delete(rows, col("_id"), vf, vt, nullPayload(rows))
       case Erase(_, where) =>
         val rows = current().filter(expr(where))
-        erase(rows, col("_id"), nullPayload(rows), systemTime)
+        TxOps.erase(rows, col("_id"), nullPayload(rows))
     }
   }
 }

@@ -267,6 +267,40 @@ class GraftTableSpec extends AnyFunSuite {
     assert(cur.filter($"_id" === 1).select("bal").as[Double].head() == 2.5)
   }
 
+  test("dmlTx: several statements, one atomic transaction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dmltx").toString
+    val t = new GraftTable(spark, dir, Seq("bal"))
+    t.dml("acct", """INSERT INTO acct (_id, bal)
+      VALUES (1, CAST(100.0 AS DOUBLE)), (2, CAST(200.0 AS DOUBLE)),
+             (3, CAST(300.0 AS DOUBLE))""", ts("2020-01-01 00:00:00"))
+
+    // one tx: update id 1, delete id 2, insert id 4
+    val txId = t.dmlTx("acct", Seq(
+      "UPDATE acct SET bal = bal + 1 WHERE _id = 1",
+      "DELETE FROM acct WHERE _id = 2",
+      "INSERT INTO acct (_id, bal) VALUES (4, CAST(400.0 AS DOUBLE))"),
+      ts("2020-02-01 00:00:00"))
+    assert(txId == 1L, "three statements consumed ONE tx id")
+
+    def state(at: String) =
+      t.asOf(ts(at), ts(at)).select($"_id", $"bal").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // before the tx: none of the three effects
+    assert(state("2020-01-15 00:00:00") ==
+      Map(1L -> 100.0, 2L -> 200.0, 3L -> 300.0))
+    // after: ALL of them, atomically at one system time
+    assert(state("2020-03-01 00:00:00") ==
+      Map(1L -> 101.0, 3L -> 300.0, 4L -> 400.0))
+
+    // snapshot reads: an UPDATE does not see a sibling INSERT's rows
+    val tx2 = t.dmlTx("acct", Seq(
+      "INSERT INTO acct (_id, bal) VALUES (5, CAST(500.0 AS DOUBLE))",
+      "UPDATE acct SET bal = 0.0 WHERE _id = 5"), ts("2020-04-01 00:00:00"))
+    assert(tx2 == 2L)
+    assert(state("2020-05-01 00:00:00")(5L) == 500.0,
+      "statement 2 read the pre-tx snapshot, so id 5 keeps its inserted bal")
+  }
+
   test("log and base carry _id bloom filters; blooms skip what stats can't") {
     import graft.bitemporal.{TxLog, TxOps}
     val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
