@@ -223,6 +223,34 @@ object Bitemp {
         Map("hist" -> Bitemporal.foldAppendOnly(orderOps(s, dir), Seq("price"))))
     }),
 
+    // multi-statement atomic transaction (reference submit-tx: a tx is
+    // a VECTOR of ops): same effects as q85's sequential txs where the
+    // statements are independent — but UPDATE/DELETE here read the
+    // PRE-tx snapshot, all effects land at ONE system time
+    "q119_dml_tx" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/dmltx_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      val t = new GraftTable(s, tmp, Seq("bal"))
+      def ts(x: String) = java.sql.Timestamp.valueOf(x)
+      T(s, dir, "customer").createOrReplaceTempView("dmltx_cust")
+      t.dml("acct", """INSERT INTO acct (_id, _valid_from, bal)
+        SELECT c_custkey, TIMESTAMP '2000-01-01 00:00:00', c_acctbal
+        FROM dmltx_cust""", ts("2020-01-01 00:00:00"))
+      // one tx: both statements see the post-insert snapshot; their
+      // predicates are disjoint so the union is overlap-free
+      t.dmlTx("acct", Seq(
+        "UPDATE acct SET bal = bal + 500 WHERE bal < 0",
+        "DELETE FROM acct WHERE bal > 9000"),
+        ts("2020-01-02 00:00:00"))
+      t.compact()
+      s.catalog.dropTempView("dmltx_cust")
+      t.sql("acct", """SELECT _id, bal FROM acct
+          FOR SYSTEM_TIME AS OF '2020-06-01 00:00:00'
+          FOR APPLICATION_TIME AS OF '2021-01-01 00:00:00'""")
+        .orderBy($"_id")
+    }),
+
     // SQL:2011 period PREDICATES as SQL text (reference grammar shape:
     // <table>.APPLICATION_TIME CONTAINS ts, <period> OVERLAPS <period>;
     // README.adoc:11) — PeriodSql expands them to sargable comparisons
@@ -326,6 +354,19 @@ object Bitemp {
       WHERE _system_from < TIMESTAMP '1997-01-01 00:00:00'
         AND _system_to   > TIMESTAMP '1996-01-01 00:00:00'
       ORDER BY _id, _system_from, _valid_from, _valid_to""",
+
+    // same algebra as q85 minus the erase: update-then-delete over the
+    // insert snapshot (the predicates are disjoint, so one-tx snapshot
+    // semantics and sequential semantics agree — by construction)
+    "q119_dml_tx" -> """
+      WITH s1 AS (
+        SELECT c_custkey AS _id,
+               CASE WHEN c_acctbal < 0 THEN c_acctbal + 500
+                    ELSE c_acctbal END AS bal
+        FROM customer)
+      SELECT _id, bal FROM s1
+      WHERE NOT bal > 9000
+      ORDER BY _id""",
 
     // the period predicates' defined expansions, written out by hand
     "q118_period_sql" -> s"""

@@ -228,6 +228,31 @@ object Extras {
         .orderBy("id")
     }),
 
+    // native recursive CTE through the SQL front end (Spark 4.1
+    // UnionLoop; UNION ALL form — cyclic closure stays with the
+    // semi-naive fixpoint, q23/q58/q90, since Spark rejects UNION
+    // DISTINCT recursion): 5-hop reachability over an ACYCLIC ladder
+    // derived from nation, joined back to payload in the recursive
+    // branch. DuckDB runs the identical text.
+    "q120_recursive_cte" -> ((s, dir) => {
+      T(s, dir, "nation").createOrReplaceTempView("rcte_nation")
+      val out = s.sql("""
+        WITH RECURSIVE
+        edges AS (
+          SELECT n_nationkey AS src, n_nationkey + 5 AS dst
+          FROM rcte_nation WHERE n_nationkey < 20),
+        reach(node, hops) AS (
+          SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT CAST(e.dst AS BIGINT), r.hops + 1
+          FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node, hops, n.n_name AS name
+        FROM reach JOIN rcte_nation n ON n.n_nationkey = reach.node
+        ORDER BY node""")
+      s.catalog.dropTempView("rcte_nation")
+      out
+    }),
+
     // the WRITE half of the §1.4 mapping: a heterogeneous VariantType
     // column (long | string per row) exports to an Arrow dense union
     // and reads back with its per-row runtime types intact — the full
@@ -596,6 +621,20 @@ object Extras {
              'file:///nation/' || CAST(n_nationkey AS BIGINT) AS src_uri,
              'r' || CAST(n_regionkey AS BIGINT) AS tag
       FROM nation ORDER BY id""",
+
+    "q120_recursive_cte" -> """
+      WITH RECURSIVE
+      edges AS (
+        SELECT n_nationkey AS src, n_nationkey + 5 AS dst
+        FROM nation WHERE n_nationkey < 20),
+      reach(node, hops) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT CAST(e.dst AS BIGINT), r.hops + 1
+        FROM reach r JOIN edges e ON e.src = r.node)
+      SELECT node, hops, n.n_name AS name
+      FROM reach JOIN nation n ON n.n_nationkey = reach.node
+      ORDER BY node""",
 
     // the arrow round-trip is identity on values AND runtime types:
     // even ids carry the string branch, odd ids the long branch
