@@ -124,4 +124,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q114/q115 (trained quantizers): assignment joins broadcast the centroids") {
+    // Lloyd's assigns points to centroids by broadcasting the centroid
+    // set (k rows), never by shuffling the point side against it; the
+    // final plans must keep every join a broadcast, no cartesian of
+    // data-sized relations
+    Seq("q114_ivf_trained", "q115_pq_trained").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("SortMergeJoin"), s"$q: $p")
+    }
+  }
+
+  test("q118 (period predicates in SQL): plain comparisons, no cartesian") {
+    // over the fold the predicate sits above the Window (nothing can
+    // push through it), but it must be ORDINARY comparisons on the
+    // rectangle columns, not an opaque predicate
+    val p = plan("q118_period_sql")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("_valid_from") && p.contains("_system_to"), p)
+  }
+
+  test("period predicate over a scan-backed table pushes into the scan") {
+    // the expansion is sargable where sargability is possible: on a
+    // parquet-backed relation the CONTAINS point comparison reaches
+    // PushedFilters — proof the rewrite costs nothing at 100 TB
+    import graft.bitemporal.PeriodSql
+    graft.Tables.load(spark, dir, "orders").createOrReplaceTempView("psql_orders")
+    try {
+      val q = PeriodSql.expand(
+        """SELECT o_orderkey FROM psql_orders
+           WHERE PERIOD(o_orderdate, o_orderdate + INTERVAL 30 DAY)
+                 CONTAINS TIMESTAMP '1996-06-01 00:00:00'""")
+      val p = spark.sql(q).queryExecution.executedPlan.toString
+      assert(p.contains("PushedFilters:") &&
+        p.contains("LessThanOrEqual(o_orderdate"), p)
+    } finally spark.catalog.dropTempView("psql_orders")
+  }
 }

@@ -109,6 +109,15 @@ class GraftConnectServerSpec extends AnyFunSuite {
       // 4. the graft custom expressions resolve over the wire too
       assert(run("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
         == Seq(Seq(11.0)))
+
+      // 5. SQL:2011 period predicates arrive as plain text and expand
+      // server-side: full history where the system period contains the
+      // captured basis = the belief held between the txs
+      assert(run("SELECT _id, price FROM prices " +
+        "FOR ALL SYSTEM_TIME FOR ALL APPLICATION_TIME " +
+        s"WHERE prices.SYSTEM_TIME CONTAINS TIMESTAMP '$betweenTx' " +
+        "ORDER BY _id")
+        == Seq(Seq[Any](1L, 10.0), Seq[Any](2L, 20.0)))
     } finally {
       channel.shutdownNow()
       GraftServer.stop()
