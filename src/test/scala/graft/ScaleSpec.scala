@@ -153,6 +153,31 @@ class ScaleSpec extends AnyFunSuite {
         "cell occupancy is not staying bounded")
   }
 
+  scaleTest("trained quantizer (Lloyd's) stays linear in the corpus") {
+    // each Lloyd's iteration is one broadcast-assign (map-side) + one
+    // mean aggregation — cost ∝ n·k·dim with NO pairwise term. 10x the
+    // corpus at fixed k/iters must cost ~10x, and the centroid relation
+    // itself must stay k rows (driver-safe to collect/broadcast).
+    import graft.llm.Similarity
+    def embeddings(n: Long): org.apache.spark.sql.DataFrame =
+      spark.range(n).map { boxed =>
+        val id: Long = boxed
+        val rnd = new scala.util.Random(id * 0x9E3779B97F4A7C15L)
+        (id, Array.fill(16)(rnd.nextDouble() - 0.5).toSeq)
+      }.toDF("vec_id", "v").localCheckpoint()
+    def run(docs: org.apache.spark.sql.DataFrame): Long =
+      Similarity.ivfTrain(docs, "vec_id", "v",
+        nCentroids = 32, dim = 16, iters = 4).count()
+    run(embeddings(500)) // warm-up
+    val (kS, tS) = timed(run(embeddings(small)))
+    val (kB, tB) = timed(run(embeddings(big)))
+    info(f"ivfTrain: $small docs in $tS%.1fs; $big docs in $tB%.1fs " +
+      f"(ratio ${tB / tS}%.1fx)")
+    assert(kS == 32 && kB == 32, "centroid relation must stay k rows")
+    assert(tB <= tS * 30 + 10,
+      f"ivfTrain: $tB%.1fs at 10x data — assignment is not map-side linear")
+  }
+
   scaleTest("fixpoint sustains 120 iterations with flat driver memory") {
     // a pure 120-diameter chain: every iteration derives exactly one new
     // row, the worst case for plan growth / checkpoint churn
