@@ -348,6 +348,49 @@ object Similarity {
     pqAdcTopK(emb, idCol, vCol, queryVec, qCol, topK,
       pqCodebook(emb, idCol, vCol, m, k, subDim), subDim)
 
+  /** Composed IVF-PQ search — the FAISS-IVFPQ read shape, i.e. the ANN
+    * path that holds at 100 TB: the coarse quantizer restricts the
+    * search to the query's `nProbe` cells, and distance WITHIN them
+    * comes from the precomputed PQ codes via the broadcast ADC table,
+    * so the search reads m byte-sized codes per candidate in the
+    * probed cells and never a raw vector.
+    *
+    * `assigned` is [[ivfAssign]]'s output (cell per id) and `codes` is
+    * [[pqEncode]]'s `(id, j, code)` — both computed ONCE at index-build
+    * time; at scale both live clustered/partitioned by `cell`, which
+    * turns the probe join below into a partition-pruned scan instead
+    * of a shuffle. Quantizers are explicit relations (borrowed,
+    * trained, or loaded). Single-query contract as [[pqAdcTopK]]. */
+  def ivfPqTopK(assigned: DataFrame, idCol: String, codes: DataFrame,
+                queryVec: DataFrame, qCol: String, topK: Int, nProbe: Int,
+                centroids: DataFrame, codebook: DataFrame,
+                subDim: Int): DataFrame = {
+    val qRows = queryVec.limit(2).count()
+    require(qRows == 1,
+      s"ivfPqTopK: queryVec must have exactly 1 row (got ${
+        if (qRows > 1) "2+" else "0"})")
+    val probes = queryVec.crossJoin(broadcast(centroids))
+      .withColumn("_ccos", cosine(col(qCol), col("_cv")))
+      .orderBy(col("_ccos").desc, col("_cid"))
+      .limit(nProbe)
+      .select(col("_cid").as("cell"))
+    val dt = queryVec.crossJoin(codebook)
+      .withColumn("_sq", slice(col(qCol), col("j") * subDim + 1, lit(subDim)))
+      .select(col("j"), col("c").as("code"),
+        dist2(col("_sq"), col("w")).as("_dj"))
+    val candidates = assigned.join(broadcast(probes), "cell")
+      .select(col(idCol))
+    codes.join(candidates, Seq(idCol))
+      .join(broadcast(dt), Seq("j", "code"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("j"), col("_dj")))).as("_ds"))
+      .withColumn("adist",
+        aggregate(col("_ds"), lit(0.0), (acc, x) => acc + x.getField("_dj")))
+      .select(col(idCol), col("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(topK)
+  }
+
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023, "SemDeDup"):
     * block vectors into IVF cells via the deterministic coarse
     * quantizer, then flag any vector whose cosine to a LOWER-id vector

@@ -504,6 +504,27 @@ object Llm {
         .select($"vec_id", r($"adist", 6).as("adist"))
     }),
 
+    // COMPOSED IVF-PQ search (the FAISS-IVFPQ read path): coarse
+    // quantizer restricts the scan to 4 probed cells, PQ-ADC ranks the
+    // candidates from their precomputed byte codes — raw vectors never
+    // read at query time. Index structures (cell assignment + codes)
+    // built once from the deterministic quantizers
+    "q121_ivfpq_search" -> ((s, dir) => {
+      import s.implicits._
+      val e = embD(s, dir).select($"vec_id", $"v")
+      val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+      val cents = Similarity.ivfCentroids(e, "vec_id", "v",
+        nCentroids = 16, idStride = 7)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "v", cents)
+        .select($"vec_id", $"cell")
+      val cb = Similarity.pqCodebook(e, "vec_id", "v",
+        m = 8, k = 16, subDim = 8)
+      val codes = Similarity.pqEncode(e, "vec_id", "v", cb, subDim = 8)
+      Similarity.ivfPqTopK(assigned, "vec_id", codes, q, "qv",
+          topK = 10, nProbe = 4, cents, cb, subDim = 8)
+        .select($"vec_id", r($"adist", 6).as("adist"))
+    }),
+
     // BM25 ranking against a literal query ("hash join scan") — the
     // classic sparse retrieval scorer on top of the tf-idf machinery;
     // per-doc term scores folded in term order for a deterministic sum
@@ -1219,6 +1240,59 @@ object Llm {
                           list_slice(q.qv, cb.j*8+1, (cb.j+1)*8) AS sq
                    FROM cb, (SELECT v AS qv FROM e WHERE vec_id = 0) q)
                   AS qsub),
+      a AS (SELECT enc.vec_id,
+                   list_sum(array_agg(dt.dj ORDER BY enc.j)) AS adist
+            FROM enc JOIN dt ON enc.j = dt.j AND enc.c = dt.c
+            GROUP BY enc.vec_id)
+      SELECT vec_id, floor(adist*1000000 + 0.5)/1000000 AS adist
+      FROM a ORDER BY a.adist, vec_id LIMIT 10""",
+
+    // q70's probe CTEs composed with q111's ADC CTEs: encode only the
+    // candidates (identical rows to encoding all then filtering — the
+    // codes are per-vector constants)
+    "q121_ivfpq_search" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cents AS (SELECT CAST(vec_id // 7 AS BIGINT) AS cid, v AS cv
+                FROM e WHERE vec_id % 7 = 0 AND vec_id // 7 < 16),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      assign AS (
+        SELECT vec_id, v, cid FROM (
+          SELECT e.vec_id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.v, c.cv) /
+                     (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                   DESC, c.cid) AS rn
+          FROM e CROSS JOIN cents c)
+        WHERE rn = 1),
+      probes AS (
+        SELECT cid FROM (
+          SELECT c.cid,
+                 list_dot_product(q.qv, c.cv) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+          FROM q CROSS JOIN cents c
+          ORDER BY ccos DESC, c.cid LIMIT 4)),
+      cand AS (SELECT a.vec_id, a.v FROM assign a JOIN probes p ON a.cid = p.cid),
+      cb AS (SELECT t.j, c.vec_id AS c,
+                    list_slice(c.v, t.j*8+1, (t.j+1)*8) AS w
+             FROM (SELECT vec_id, v FROM e WHERE vec_id < 16) c,
+                  generate_series(0, 7) AS t(j)),
+      d AS (SELECT vec_id, j, c,
+                   list_dot_product(sv, sv) - 2*list_dot_product(sv, w)
+                     + list_dot_product(w, w) AS dist
+            FROM (SELECT cand.vec_id, cb.j, cb.c, cb.w,
+                         list_slice(cand.v, cb.j*8+1, (cb.j+1)*8) AS sv
+                  FROM cand, cb) AS sub),
+      enc AS (SELECT vec_id, j, c FROM (
+                SELECT vec_id, j, c,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY dist, c) AS rn
+                FROM d) WHERE rn = 1),
+      dt AS (SELECT j, c,
+                    list_dot_product(sq, sq) - 2*list_dot_product(sq, w)
+                      + list_dot_product(w, w) AS dj
+             FROM (SELECT cb.j, cb.c, cb.w,
+                          list_slice(q.qv, cb.j*8+1, (cb.j+1)*8) AS sq
+                   FROM cb, q) AS qsub),
       a AS (SELECT enc.vec_id,
                    list_sum(array_agg(dt.dj ORDER BY enc.j)) AS adist
             FROM enc JOIN dt ON enc.j = dt.j AND enc.c = dt.c

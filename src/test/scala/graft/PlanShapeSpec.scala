@@ -137,6 +137,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q121 (composed IVF-PQ): probes and ADC table broadcast, codes join by hash") {
+    val p = plan("q121_ivfpq_search")
+    // the only non-broadcast joins may be the candidate-id and code
+    // equi-joins; the data side must never cartesian or sort-merge
+    // against the quantizer relations
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q118 (period predicates in SQL): plain comparisons, no cartesian") {
     // over the fold the predicate sits above the Window (nothing can
     // push through it), but it must be ORDINARY comparisons on the

@@ -128,4 +128,31 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(rt >= rb - 0.1,
       f"trained codebook ($rt%.3f) regressed vs borrowed ($rb%.3f)")
   }
+
+  test("composed IVF-PQ recall@10 >= 0.4 (both approximations stacked)") {
+    // the 100 TB read path loses recall to BOTH the cell restriction
+    // and the code quantization; with trained quantizers it must still
+    // find a usable fraction of the true neighbors, and probing MORE
+    // cells must not lose recall
+    val m = 4; val kCodes = 16; val subDim = dim / m
+    val cents = Similarity.ivfTrain(corpus, "id", "v",
+      nCentroids = nClusters, dim = dim, iters = 3,
+      idStride = perCluster.toLong)
+    val assigned = Similarity.ivfAssign(corpus, "id", "v", cents)
+      .select(col("id"), col("cell")).cache()
+    val cb = Similarity.pqTrain(corpus, "id", "v", m, kCodes, subDim,
+      iters = 3).cache()
+    val codes = Similarity.pqEncode(corpus, "id", "v", cb, subDim).cache()
+
+    def run(nProbe: Int): Double = avgRecall { q =>
+      Similarity.ivfPqTopK(assigned, "id", codes, qDf(q), "qv", k10,
+        nProbe, cents, cb, subDim)
+    }
+    val r4 = run(4)
+    val r8 = run(8)
+    info(f"ivf-pq recall@10: 4-probe = $r4%.3f, 8-probe = $r8%.3f")
+    assert(r4 >= 0.4, f"composed IVF-PQ recall $r4%.3f below floor")
+    assert(r8 >= r4, "more probes must not lose recall")
+    assigned.unpersist(); cb.unpersist(); codes.unpersist()
+  }
 }
