@@ -116,6 +116,15 @@ final class GraftTable(spark: SparkSession, dir: String,
   def exportArrowChunks(outDir: String, batchSize: Int = 4096): Seq[String] =
     graft.sources.ArrowSource.write(rectangles(), outDir, batchSize)
 
+  /** The chunk-metadata relation (the reference's `core2.metadata` /
+    * `core2.bloom` surface): one row per (file, row group, column) with
+    * min/max/null-count/row-count and bloom presence, derived from the
+    * parquet footers of this table's log + base — a footer-only
+    * distributed pass, no data pages read. See
+    * [[graft.bitemporal.ChunkMetadata]]. */
+  def metadata(): DataFrame =
+    graft.bitemporal.ChunkMetadata.forPaths(spark, Seq(dir))
+
   def sql(name: String, query: String): DataFrame =
     BitemporalSql.sql(spark, query, Map(name -> rectangles()))
 

@@ -251,6 +251,31 @@ object Bitemp {
         .orderBy($"_id")
     }),
 
+    // the chunk-metadata relation (core2.metadata analog) is itself
+    // oracle-checked: DuckDB's parquet_metadata() reads the SAME
+    // footers our distributed pass reads — per-file _id min/max/rows
+    // over the compacted base must agree byte-for-byte
+    "q122_chunk_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/metaq_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      val t = new GraftTable(s, tmp, Seq("bal"))
+      def ts(x: String) = java.sql.Timestamp.valueOf(x)
+      T(s, dir, "customer").createOrReplaceTempView("metaq_cust")
+      t.dml("acct", """INSERT INTO acct (_id, _valid_from, bal)
+        SELECT c_custkey, TIMESTAMP '2000-01-01 00:00:00', c_acctbal
+        FROM metaq_cust""", ts("2020-01-01 00:00:00"))
+      t.compact()
+      s.catalog.dropTempView("metaq_cust")
+      t.metadata()
+        .filter($"column" === "_id" && $"file".contains("/base/"))
+        .groupBy($"file")
+        .agg(min($"min".cast("long")).as("min_id"),
+          max($"max".cast("long")).as("max_id"),
+          sum($"rows").as("n_rows"))
+        .orderBy($"file")
+    }),
+
     // SQL:2011 period PREDICATES as SQL text (reference grammar shape:
     // <table>.APPLICATION_TIME CONTAINS ts, <period> OVERLAPS <period>;
     // README.adoc:11) — PeriodSql expands them to sargable comparisons
@@ -354,6 +379,19 @@ object Bitemp {
       WHERE _system_from < TIMESTAMP '1997-01-01 00:00:00'
         AND _system_to   > TIMESTAMP '1996-01-01 00:00:00'
       ORDER BY _id, _system_from, _valid_from, _valid_to""",
+
+    // DuckDB reads the same footers our distributed pass read. The
+    // fixture path is relative to the oracle's working dir (/root/repo),
+    // matching the Spark side's target/ path
+    "q122_chunk_metadata" -> """
+      SELECT file_name AS file,
+             CAST(min(CAST(stats_min_value AS BIGINT)) AS BIGINT) AS min_id,
+             CAST(max(CAST(stats_max_value AS BIGINT)) AS BIGINT) AS max_id,
+             CAST(sum(num_values) AS BIGINT) AS n_rows
+      FROM parquet_metadata('/root/repo/target/metaq_sf0.01/base/*/*.parquet')
+      WHERE path_in_schema = '_id'
+      GROUP BY file_name
+      ORDER BY file""",
 
     // same algebra as q85 minus the erase: update-then-delete over the
     // insert snapshot (the predicates are disjoint, so one-tx snapshot

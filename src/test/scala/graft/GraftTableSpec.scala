@@ -366,6 +366,45 @@ class GraftTableSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("metadata(): footer-derived min/max + bloom presence replay pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta").toString
+    val t = new GraftTable(spark, dir, Seq("price"))
+    t.put(spark.range(4000).select($"id", ($"id" * 1.0).as("price")),
+      $"id", lit("2020-01-01").cast("timestamp"), None,
+      Seq("price" -> $"price"), ts("2024-01-01 00:00:00"))
+    // shrink AQE sizing so the base splits into several id-clustered files
+    val keys = Seq("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val old = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "4096"))
+    try t.compact()
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+
+    val meta = t.metadata().cache()
+    // every row group of every file publishes an _id bloom
+    assert(meta.filter($"column" === "_id" && !$"has_bloom").count() == 0)
+    // replay the planner's file pruning from metadata alone: candidate
+    // base files for _id = 1234 must be a strict subset of the base
+    val idMeta = meta.filter($"column" === "_id" &&
+      $"file".contains("/base/")).select($"file", $"min", $"max").collect()
+    assert(idMeta.length > 1, "expected a multi-file clustered base")
+    val candidates = idMeta.filter(r =>
+      r.getString(1).toLong <= 1234L && 1234L <= r.getString(2).toLong)
+    assert(candidates.length == 1,
+      s"clustering should pin _id=1234 to ONE file, got ${candidates.length}")
+    // min/max are tight per file (clustered, sorted ranges don't overlap)
+    val ranges = idMeta.map(r => (r.getString(1).toLong, r.getString(2).toLong))
+      .sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi), (lo2, _)) => hi < lo2
+      case _ => true
+    }, s"base id ranges overlap: ${ranges.toSeq}")
+    meta.unpersist()
+  }
+
   test("erase removes full history at compaction") {
     val dir = java.nio.file.Files.createTempDirectory("graft_erase").toString
     val t = new GraftTable(spark, dir, Seq("price"))
