@@ -391,6 +391,30 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Semantic decontamination: flag training vectors whose cosine to
+    * ANY eval-set vector reaches `tau` — the embedding-space complement
+    * of n-gram decontamination (exact-match grams miss paraphrases;
+    * embeddings catch them). Exactness is the point of a contamination
+    * audit, so this is a full comparison against the eval side, NOT an
+    * ANN shortcut — scalable because the eval set is small BY
+    * CONSTRUCTION (benchmarks are thousands of rows, the corpus is
+    * billions): broadcast the eval vectors once, one map-side pass over
+    * the corpus, a per-id max aggregation, zero shuffles of the big
+    * side beyond the group-by's map-side-combined partial. */
+  def semanticContamination(train: DataFrame, idCol: String, vCol: String,
+                            evalSet: DataFrame, eCol: String,
+                            tau: Double, roundTo: Int = 4): DataFrame = {
+    val p = math.pow(10, roundTo)
+    train.crossJoin(broadcast(evalSet))
+      .withColumn("_cos", cosine(col(vCol), col(eCol)))
+      .groupBy(col(idCol))
+      .agg(max(col("_cos")).as("_mc"))
+      // flag on the ROUNDED value so the verdict is cross-engine exact
+      .withColumn("max_eval_cos", floor(col("_mc") * p + 0.5) / p)
+      .withColumn("contaminated", col("max_eval_cos") >= tau)
+      .drop("_mc")
+  }
+
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023, "SemDeDup"):
     * block vectors into IVF cells via the deterministic coarse
     * quantizer, then flag any vector whose cosine to a LOWER-id vector

@@ -504,6 +504,21 @@ object Llm {
         .select($"vec_id", r($"adist", 6).as("adist"))
     }),
 
+    // semantic decontamination: embedding-space contamination audit
+    // against a held-out eval set (every 50th vector) — the paraphrase-
+    // catching complement of q96's exact n-gram decontamination. Exact
+    // by design (broadcast the small eval side, full comparison), flag
+    // on the rounded cosine so the verdict is cross-engine stable
+    "q123_semantic_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val e = embD(s, dir).select($"vec_id", $"v")
+      val ev = e.filter($"vec_id" % 50 === 0).select($"v".as("ev"))
+      val train = e.filter($"vec_id" % 50 =!= 0)
+      Similarity.semanticContamination(train, "vec_id", "v", ev, "ev",
+          tau = 0.35)
+        .orderBy("vec_id")
+    }),
+
     // COMPOSED IVF-PQ search (the FAISS-IVFPQ read path): coarse
     // quantizer restricts the scan to 4 probed cells, PQ-ADC ranks the
     // candidates from their precomputed byte codes — raw vectors never
@@ -1246,6 +1261,21 @@ object Llm {
             GROUP BY enc.vec_id)
       SELECT vec_id, floor(adist*1000000 + 0.5)/1000000 AS adist
       FROM a ORDER BY a.adist, vec_id LIMIT 10""",
+
+    "q123_semantic_decontaminate" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ev AS (SELECT v AS evv FROM e WHERE vec_id % 50 = 0),
+      tr AS (SELECT vec_id, v FROM e WHERE vec_id % 50 <> 0),
+      m AS (SELECT tr.vec_id,
+                   max(list_dot_product(tr.v, ev.evv) /
+                     (sqrt(list_dot_product(tr.v, tr.v)) *
+                      sqrt(list_dot_product(ev.evv, ev.evv)))) AS mc
+            FROM tr CROSS JOIN ev GROUP BY tr.vec_id),
+      rmax AS (SELECT vec_id,
+                      floor(mc*10000 + 0.5)/10000 AS max_eval_cos
+               FROM m)
+      SELECT vec_id, max_eval_cos, max_eval_cos >= 0.35 AS contaminated
+      FROM rmax ORDER BY vec_id""",
 
     // q70's probe CTEs composed with q111's ADC CTEs: encode only the
     // candidates (identical rows to encoding all then filtering — the

@@ -146,6 +146,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q123 (semantic decontamination): eval side broadcasts, corpus never shuffles for it") {
+    val p = plan("q123_semantic_decontaminate")
+    // the full train×eval comparison is exact BY DESIGN (contamination
+    // audit); it scales because the eval side is tiny and broadcast —
+    // a non-broadcast cartesian would shuffle the corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q118 (period predicates in SQL): plain comparisons, no cartesian") {
     // over the fold the predicate sits above the Window (nothing can
     // push through it), but it must be ORDINARY comparisons on the

@@ -73,4 +73,54 @@ class PeriodSqlSpec extends AnyFunSuite {
     val q = "SELECT a, b FROM t WHERE x OVERLAPS_COL = 1 AND y = 'CONTAINS'"
     assert(e(q) == q)
   }
+
+  test("every predicate form agrees with the Periods Column algebra") {
+    import org.apache.spark.sql.functions._
+    import graft.ra.Periods
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // 300 random half-open interval pairs over a SMALL instant domain
+    // (0..9 seconds) so boundary cases (touching, equal, contained)
+    // occur often rather than never
+    val rnd = new scala.util.Random(11)
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val rows = (1 to 300).map { i =>
+      val Seq(af, at, bf, bt) = Seq.fill(2) {
+        val a = rnd.nextInt(10); val b = rnd.nextInt(10)
+        (math.min(a, b), math.max(a, b) + 1)
+      }.flatMap { case (lo, hi) => Seq(lo, hi) }
+      (i.toLong, t(af), t(at), t(bf), t(bt))
+    }
+    val df = rows.toDF("id", "a_from", "a_to", "b_from", "b_to")
+    df.createOrReplaceTempView("pp_prop")
+    try {
+      val forms: Seq[(String, (Periods.Period, Periods.Period) => org.apache.spark.sql.Column)] = Seq(
+        "OVERLAPS" -> Periods.overlaps,
+        "EQUALS" -> Periods.equalsP,
+        "CONTAINS" -> Periods.contains,
+        "PRECEDES" -> Periods.precedes,
+        "SUCCEEDS" -> Periods.succeeds,
+        "IMMEDIATELY PRECEDES" -> Periods.immediatelyPrecedes,
+        "IMMEDIATELY SUCCEEDS" -> Periods.immediatelySucceeds)
+      val pa = Periods.period(col("a_from"), col("a_to"))
+      val pb = Periods.period(col("b_from"), col("b_to"))
+      forms.foreach { case (verb, fn) =>
+        val viaSql = spark.sql(PeriodSql.expand(
+            s"SELECT id FROM pp_prop WHERE PERIOD(a_from, a_to) $verb PERIOD(b_from, b_to)"))
+          .collect().map(_.getLong(0)).toSet
+        val viaApi = df.filter(fn(pa, pb)).select($"id")
+          .collect().map(_.getLong(0)).toSet
+        assert(viaSql == viaApi, s"$verb diverged: sql ${viaSql.size} vs api ${viaApi.size}")
+        assert(viaSql.nonEmpty || verb == "EQUALS",
+          s"$verb: degenerate fixture, nothing matched") // EQUALS may be rare
+      }
+      // CONTAINS point form
+      val viaSqlPt = spark.sql(PeriodSql.expand(
+          "SELECT id FROM pp_prop WHERE PERIOD(a_from, a_to) CONTAINS TIMESTAMP '1970-01-01 00:00:05'"))
+        .collect().map(_.getLong(0)).toSet
+      val viaApiPt = df.filter(Periods.containsTs(pa, lit(t(5))))
+        .select($"id").collect().map(_.getLong(0)).toSet
+      assert(viaSqlPt == viaApiPt && viaSqlPt.nonEmpty)
+    } finally spark.catalog.dropTempView("pp_prop")
+  }
 }
