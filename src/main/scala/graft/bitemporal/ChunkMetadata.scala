@@ -31,7 +31,12 @@ object ChunkMetadata {
     StructField("nulls", LongType, nullable = true),
     StructField("min", StringType, nullable = true),
     StructField("max", StringType, nullable = true),
-    StructField("has_bloom", BooleanType, nullable = false)))
+    StructField("has_bloom", BooleanType, nullable = false),
+    // fully dictionary-encoded chunks carry NO bloom by design
+    // (parquet-mr skips it: the dictionary already gives exact
+    // point-lookup filtering) — a chunk is point-skippable iff
+    // has_bloom OR dict_encoded
+    StructField("dict_encoded", BooleanType, nullable = false)))
 
   /** Metadata rows for every parquet file under `paths` (files or
     * directories, recursively). Footers are read executor-side. */
@@ -59,8 +64,11 @@ object ChunkMetadata {
                     if (stats.hasNonNullValue) stats.maxAsString else null,
                     if (stats.isNumNullsSet) Long.box(stats.getNumNulls)
                     else null)
+                val dict = c.getEncodings.asScala.exists(e =>
+                  e == org.apache.parquet.column.Encoding.RLE_DICTIONARY ||
+                    e == org.apache.parquet.column.Encoding.PLAIN_DICTIONARY)
                 Row(f, gi, c.getPath.toDotString, block.getRowCount,
-                  nulls, mn, mx, c.getBloomFilterOffset >= 0)
+                  nulls, mn, mx, c.getBloomFilterOffset >= 0, dict)
               }.toSeq
           }.toSeq
         } finally r.close()

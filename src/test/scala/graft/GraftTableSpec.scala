@@ -384,8 +384,10 @@ class GraftTableSpec extends AnyFunSuite {
     }
 
     val meta = t.metadata().cache()
-    // every row group of every file publishes an _id bloom
-    assert(meta.filter($"column" === "_id" && !$"has_bloom").count() == 0)
+    // every _id row group is point-skippable (bloom, or fully
+    // dictionary-encoded where parquet deliberately omits the bloom)
+    assert(meta.filter($"column" === "_id" &&
+      !$"has_bloom" && !$"dict_encoded").count() == 0)
     // replay the planner's file pruning from metadata alone: candidate
     // base files for _id = 1234 must be a strict subset of the base
     val idMeta = meta.filter($"column" === "_id" &&
