@@ -391,6 +391,48 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Batch ANN — the production serving shape: N queries answered in
+    * ONE pass instead of N jobs. The query relation `(qid, qv)` is
+    * small (a request batch) and broadcasts; per-query top-k is a
+    * window partitioned BY QUERY ID, so ranking parallelizes across
+    * queries (no global sort, no SinglePartition; the q111-style
+    * single-query `orderBy.limit` would serialize a batch). */
+  def bruteForceTopKBatch(emb: DataFrame, idCol: String, vCol: String,
+                          queries: DataFrame, qidCol: String, qCol: String,
+                          k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("cos").desc, col(idCol))
+    emb.crossJoin(broadcast(queries))
+      .withColumn("cos", cosine(col(vCol), col(qCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col(qidCol), col(idCol), col("cos"))
+  }
+
+  /** Batch IVF ANN: each query probes ITS OWN nProbe nearest cells —
+    * the probe relation is (nq × nProbe) rows, still broadcast-sized;
+    * the candidate join stays a single equi-join on the cell id for
+    * the whole batch. Same per-query window rank as
+    * [[bruteForceTopKBatch]]. */
+  def ivfTopKBatch(assigned: DataFrame, idCol: String, vCol: String,
+                   queries: DataFrame, qidCol: String, qCol: String,
+                   k: Int, nProbe: Int, centroids: DataFrame): DataFrame = {
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("_ccos").desc, col("_cid"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("_ccos", cosine(col(qCol), col("_cv")))
+      .withColumn("_rn", row_number().over(pw))
+      .filter(col("_rn") <= nProbe)
+      .select(col(qidCol), col(qCol), col("_cid").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("cos").desc, col(idCol))
+    assigned.join(broadcast(probes), "cell")
+      .withColumn("cos", cosine(col(vCol), col(qCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col(qidCol), col(idCol), col("cos"))
+  }
+
   /** Semantic decontamination: flag training vectors whose cosine to
     * ANY eval-set vector reaches `tau` — the embedding-space complement
     * of n-gram decontamination (exact-match grams miss paraphrases;

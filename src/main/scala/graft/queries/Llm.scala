@@ -504,6 +504,36 @@ object Llm {
         .select($"vec_id", r($"adist", 6).as("adist"))
     }),
 
+    // batch ANN serving: 3 queries answered in ONE pass — per-query
+    // top-5 via a window partitioned by query id (parallel across
+    // queries), not 3 separate jobs
+    "q124_ann_batch" -> ((s, dir) => {
+      import s.implicits._
+      val e = embD(s, dir).select($"vec_id", $"v")
+      val qs = e.filter($"vec_id".isin(0L, 1L, 2L))
+        .select($"vec_id".as("qid"), $"v".as("qv"))
+      Similarity.bruteForceTopKBatch(e, "vec_id", "v", qs, "qid", "qv", k = 5)
+        .select($"qid", $"vec_id", r($"cos", 4).as("cos"))
+        .orderBy($"qid", $"cos".desc, $"vec_id")
+    }),
+
+    // batch IVF: each query probes its own 4 nearest cells; one
+    // equi-join serves the whole batch
+    "q125_ann_batch_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val e = embD(s, dir).select($"vec_id", $"v")
+      val qs = e.filter($"vec_id".isin(0L, 1L, 2L))
+        .select($"vec_id".as("qid"), $"v".as("qv"))
+      val cents = Similarity.ivfCentroids(e, "vec_id", "v",
+        nCentroids = 16, idStride = 7)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "v", cents)
+        .select($"vec_id", $"v", $"cell")
+      Similarity.ivfTopKBatch(assigned, "vec_id", "v", qs, "qid", "qv",
+          k = 5, nProbe = 4, cents)
+        .select($"qid", $"vec_id", r($"cos", 4).as("cos"))
+        .orderBy($"qid", $"cos".desc, $"vec_id")
+    }),
+
     // semantic decontamination: embedding-space contamination audit
     // against a held-out eval set (every 50th vector) — the paraphrase-
     // catching complement of q96's exact n-gram decontamination. Exact
@@ -1261,6 +1291,60 @@ object Llm {
             GROUP BY enc.vec_id)
       SELECT vec_id, floor(adist*1000000 + 0.5)/1000000 AS adist
       FROM a ORDER BY a.adist, vec_id LIMIT 10""",
+
+    "q124_ann_batch" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+      sc AS (SELECT qs.qid, e.vec_id,
+                    list_dot_product(e.v, qs.qv) /
+                      (sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(qs.qv, qs.qv))) AS cos
+             FROM e CROSS JOIN qs),
+      rk AS (SELECT qid, vec_id, cos,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos DESC, vec_id) AS rn
+             FROM sc)
+      SELECT qid, vec_id, floor(cos*10000 + 0.5)/10000 AS cos
+      FROM rk WHERE rn <= 5
+      ORDER BY qid, cos DESC, vec_id""",
+
+    "q125_ann_batch_ivf" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cents AS (SELECT CAST(vec_id // 7 AS BIGINT) AS cid, v AS cv
+                FROM e WHERE vec_id % 7 = 0 AND vec_id // 7 < 16),
+      qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+      assign AS (
+        SELECT vec_id, v, cid FROM (
+          SELECT e.vec_id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.v, c.cv) /
+                     (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                   DESC, c.cid) AS rn
+          FROM e CROSS JOIN cents c)
+        WHERE rn = 1),
+      pc AS (SELECT qs.qid, c.cid,
+                    list_dot_product(qs.qv, c.cv) /
+                      (sqrt(list_dot_product(qs.qv, qs.qv)) *
+                       sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+             FROM qs CROSS JOIN cents c),
+      probes AS (SELECT qid, cid FROM (
+                   SELECT qid, cid,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY ccos DESC, cid) AS rn
+                   FROM pc) WHERE rn <= 4),
+      sc AS (SELECT p.qid, a.vec_id,
+                    list_dot_product(a.v, qs.qv) /
+                      (sqrt(list_dot_product(a.v, a.v)) *
+                       sqrt(list_dot_product(qs.qv, qs.qv))) AS cos
+             FROM assign a JOIN probes p ON a.cid = p.cid
+                  JOIN qs ON qs.qid = p.qid),
+      rk AS (SELECT qid, vec_id, cos,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos DESC, vec_id) AS rn
+             FROM sc)
+      SELECT qid, vec_id, floor(cos*10000 + 0.5)/10000 AS cos
+      FROM rk WHERE rn <= 5
+      ORDER BY qid, cos DESC, vec_id""",
 
     "q123_semantic_decontaminate" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -146,6 +146,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q124/q125 (batch ANN): per-QUERY windows, never a global sort") {
+    // the serving batch must rank inside hash-partitioned per-qid
+    // windows — an orderBy.limit would plan a SinglePartition exchange
+    // and serialize the whole batch through one task
+    Seq("q124_ann_batch", "q125_ann_batch_ivf").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      // the Window must be hash-partitioned by qid, not single-partition
+      assert(!p.contains("SinglePartition"), s"$q: $p")
+    }
+  }
+
   test("q123 (semantic decontamination): eval side broadcasts, corpus never shuffles for it") {
     val p = plan("q123_semantic_decontaminate")
     // the full train×eval comparison is exact BY DESIGN (contamination

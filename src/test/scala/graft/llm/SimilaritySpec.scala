@@ -46,6 +46,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out == Map(0L -> false, 1L -> false, 2L -> true, 3L -> true))
   }
 
+  test("batch ANN == per-query single ANN (brute and IVF)") {
+    val rnd = new scala.util.Random(3)
+    val e = (0L until 120L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+      .toDF("vec_id", "v").cache()
+    val qids = Seq(5L, 40L, 99L)
+    val qs = e.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+
+    // brute force: the batch answer for each qid equals the single-query
+    // top-k (same ranking, same tie-break)
+    val batch = Similarity.bruteForceTopKBatch(e, "vec_id", "v",
+        qs, "qid", "qv", k = 7)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    qids.foreach { q =>
+      val single = Similarity.bruteForceTopK(e, "v",
+          e.filter($"vec_id" === q).select($"v".as("qv")), "qv", 7)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      assert(batch(q) == single, s"brute batch diverged for qid $q")
+    }
+
+    // IVF: same equivalence through the probed-cell path
+    val cents = Similarity.ivfCentroids(e, "vec_id", "v",
+      nCentroids = 8, idStride = 15)
+    val assigned = Similarity.ivfAssign(e, "vec_id", "v", cents).cache()
+    val ivfBatch = Similarity.ivfTopKBatch(assigned, "vec_id", "v",
+        qs, "qid", "qv", k = 7, nProbe = 3, cents)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    qids.foreach { q =>
+      val single = Similarity.ivfTopK(assigned, "v",
+          e.filter($"vec_id" === q).select($"v".as("qv")), "qv", 7,
+          nProbe = 3, cents, tieBreak = Seq($"vec_id"))
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      assert(ivfBatch(q) == single, s"ivf batch diverged for qid $q")
+    }
+    e.unpersist(); assigned.unpersist()
+  }
+
   test("pqEncode: codeword-source vectors encode to their own codes") {
     // 4 vectors in 2 subspaces of 2 dims, k=2 codewords borrowed from
     // ids 0/1: ids 0 and 1 must self-encode (distance 0 to their own
