@@ -433,6 +433,31 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("cos"))
   }
 
+  /** Batch ADC: the PQ read path for a request batch. The distance
+    * table is keyed BY QUERY ID — (nq × m × k) rows, still broadcast-
+    * sized — so one codes⋈table join and one (qid, id) aggregation
+    * serve every query at once; this is the multi-query form whose
+    * single-query contract [[pqAdcTopK]] enforces with a require. */
+  def pqAdcTopKBatch(codes: DataFrame, idCol: String,
+                     queries: DataFrame, qidCol: String, qCol: String,
+                     topK: Int, codebook: DataFrame,
+                     subDim: Int): DataFrame = {
+    val dt = queries.crossJoin(codebook)
+      .withColumn("_sq", slice(col(qCol), col("j") * subDim + 1, lit(subDim)))
+      .select(col(qidCol), col("j"), col("c").as("code"),
+        dist2(col("_sq"), col("w")).as("_dj"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("adist"), col(idCol))
+    codes.join(broadcast(dt), Seq("j", "code"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(array_sort(collect_list(struct(col("j"), col("_dj")))).as("_ds"))
+      .withColumn("adist",
+        aggregate(col("_ds"), lit(0.0), (acc, x) => acc + x.getField("_dj")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= topK)
+      .select(col(qidCol), col(idCol), col("adist"))
+  }
+
   /** Semantic decontamination: flag training vectors whose cosine to
     * ANY eval-set vector reaches `tau` — the embedding-space complement
     * of n-gram decontamination (exact-match grams miss paraphrases;

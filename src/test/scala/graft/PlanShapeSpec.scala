@@ -146,11 +146,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q124/q125 (batch ANN): per-QUERY windows, never a global sort") {
+  test("q124/q125/q126 (batch ANN): per-QUERY windows, never a global sort") {
     // the serving batch must rank inside hash-partitioned per-qid
     // windows — an orderBy.limit would plan a SinglePartition exchange
     // and serialize the whole batch through one task
-    Seq("q124_ann_batch", "q125_ann_batch_ivf").foreach { q =>
+    Seq("q124_ann_batch", "q125_ann_batch_ivf", "q126_pq_adc_batch").foreach { q =>
       val p = plan(q)
       assert(p.contains("Window"), s"$q: $p")
       assert(!p.contains("CartesianProduct"), s"$q: $p")

@@ -82,6 +82,21 @@ class SimilaritySpec extends AnyFunSuite {
         .collect().map(_.getAs[Long]("vec_id")).toSet
       assert(ivfBatch(q) == single, s"ivf batch diverged for qid $q")
     }
+    // PQ ADC: batch result per qid == the single-query contract path
+    val cb = Similarity.pqCodebook(e, "vec_id", "v", 4, 8, 2)
+    val codes = Similarity.pqEncode(e, "vec_id", "v", cb, 2)
+    val adcBatch = Similarity.pqAdcTopKBatch(codes, "vec_id",
+        qs, "qid", "qv", topK = 7, cb, subDim = 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(r => (r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet }
+    qids.foreach { q =>
+      val single = Similarity.pqAdcTopK(e, "vec_id", "v",
+          e.filter($"vec_id" === q).select($"v".as("qv")), "qv", 7, cb, 2)
+        .collect().map(r => (r.getAs[Long]("vec_id"),
+          math.round(r.getAs[Double]("adist") * 1e9))).toSet
+      assert(adcBatch(q) == single, s"adc batch diverged for qid $q")
+    }
     e.unpersist(); assigned.unpersist()
   }
 
