@@ -39,9 +39,15 @@ object ChunkMetadata {
     StructField("dict_encoded", BooleanType, nullable = false)))
 
   /** Metadata rows for every parquet file under `paths` (files or
-    * directories, recursively). Footers are read executor-side. */
+    * directories, recursively). Listing goes through the Hadoop
+    * FileSystem API (works on HDFS/S3/local alike, same as the footer
+    * reads); names-only on the driver, footers read executor-side. */
   def forPaths(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    val files = paths.flatMap(p => listParquet(new java.io.File(p)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = paths.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      listParquet(path.getFileSystem(conf), path)
+    }
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
@@ -76,9 +82,11 @@ object ChunkMetadata {
     spark.createDataFrame(rows, schema)
   }
 
-  private def listParquet(f: java.io.File): Seq[String] =
-    if (f.isFile)
-      if (f.getName.endsWith(".parquet")) Seq(f.getAbsolutePath) else Nil
-    else Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
-      .flatMap(listParquet)
+  private def listParquet(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val st = fs.getFileStatus(p)
+    if (st.isFile)
+      if (p.getName.endsWith(".parquet")) Seq(p.toUri.getPath) else Nil
+    else fs.listStatus(p).toSeq.flatMap(c => listParquet(fs, c.getPath))
+  }
 }

@@ -60,7 +60,7 @@ object PeriodSql {
       "IMMEDIATELY\\s+PRECEDES|IMMEDIATELY\\s+SUCCEEDS)\\s+",
     Pattern.CASE_INSENSITIVE)
   private val pointHead = Pattern.compile(
-    "(?:(?:TIMESTAMP|DATE)\\s+)?'", Pattern.CASE_INSENSITIVE)
+    "(?:(?:TIMESTAMP|DATE)\\s*)?'", Pattern.CASE_INSENSITIVE)
 
   private def cols(alias: String, dim: String): P = {
     val q = if (alias == null) "" else s"$alias."
