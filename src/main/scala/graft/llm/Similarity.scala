@@ -433,6 +433,43 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("cos"))
   }
 
+  /** Batch composed IVF-PQ: the full-scale read path for a request
+    * batch — per-query probed cells (nq × nProbe rows) and a qid-keyed
+    * ADC table (nq × m × k rows), both broadcast; one candidate join,
+    * one codes join, per-query window rank. A code row joins once per
+    * query that probes its cell, so the work is Σ(candidates per
+    * query) — the same total as running the queries separately, in ONE
+    * pass. */
+  def ivfPqTopKBatch(assigned: DataFrame, idCol: String, codes: DataFrame,
+                     queries: DataFrame, qidCol: String, qCol: String,
+                     topK: Int, nProbe: Int, centroids: DataFrame,
+                     codebook: DataFrame, subDim: Int): DataFrame = {
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("_ccos").desc, col("_cid"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("_ccos", cosine(col(qCol), col("_cv")))
+      .withColumn("_rn", row_number().over(pw))
+      .filter(col("_rn") <= nProbe)
+      .select(col(qidCol), col("_cid").as("cell"))
+    val candidates = assigned.join(broadcast(probes), "cell")
+      .select(col(qidCol), col(idCol))
+    val dt = queries.crossJoin(codebook)
+      .withColumn("_sq", slice(col(qCol), col("j") * subDim + 1, lit(subDim)))
+      .select(col(qidCol), col("j"), col("c").as("code"),
+        dist2(col("_sq"), col("w")).as("_dj"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("adist"), col(idCol))
+    codes.join(candidates, Seq(idCol))
+      .join(broadcast(dt), Seq(qidCol, "j", "code"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(array_sort(collect_list(struct(col("j"), col("_dj")))).as("_ds"))
+      .withColumn("adist",
+        aggregate(col("_ds"), lit(0.0), (acc, x) => acc + x.getField("_dj")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= topK)
+      .select(col(qidCol), col(idCol), col("adist"))
+  }
+
   /** Batch ADC: the PQ read path for a request batch. The distance
     * table is keyed BY QUERY ID — (nq × m × k) rows, still broadcast-
     * sized — so one codes⋈table join and one (qid, id) aggregation

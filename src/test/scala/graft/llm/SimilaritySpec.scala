@@ -97,6 +97,22 @@ class SimilaritySpec extends AnyFunSuite {
           math.round(r.getAs[Double]("adist") * 1e9))).toSet
       assert(adcBatch(q) == single, s"adc batch diverged for qid $q")
     }
+    // composed IVF-PQ: batch per qid == the single-query composition
+    val ipBatch = Similarity.ivfPqTopKBatch(assigned.select($"vec_id", $"cell"),
+        "vec_id", codes, qs, "qid", "qv", topK = 7, nProbe = 3, cents, cb,
+        subDim = 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(r => (r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet }
+    qids.foreach { q =>
+      val single = Similarity.ivfPqTopK(assigned.select($"vec_id", $"cell"),
+          "vec_id", codes,
+          e.filter($"vec_id" === q).select($"v".as("qv")), "qv", 7,
+          nProbe = 3, cents, cb, subDim = 2)
+        .collect().map(r => (r.getAs[Long]("vec_id"),
+          math.round(r.getAs[Double]("adist") * 1e9))).toSet
+      assert(ipBatch(q) == single, s"ivf-pq batch diverged for qid $q")
+    }
     e.unpersist(); assigned.unpersist()
   }
 
