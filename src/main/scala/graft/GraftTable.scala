@@ -187,9 +187,23 @@ final class GraftTable(spark: SparkSession, dir: String,
             payloadCols.contains(c))
         require(bad.isEmpty, s"unknown insert columns: ${bad.mkString(", ")}")
         require(cols.contains("_id"), "INSERT column list must contain _id")
+        // the reference's puts carry attribute SUBSETS (schemaless
+        // documents): an omitted payload column inserts as a typed null
+        // once the log knows the type; the very first insert must still
+        // list every column (a null has no type before the schema exists)
         val missing = payloadCols.filterNot(cols.contains)
-        require(missing.isEmpty,   // one log = one schema; a null here has no type yet
-          s"INSERT must list every payload column; missing: ${missing.mkString(", ")}")
+        val knownTypes: Map[String, org.apache.spark.sql.types.DataType] =
+          if (missing.isEmpty) Map.empty
+          else {
+            val known = scala.util.Try(log.read(spark).schema).toOption
+              .map(sc => sc.fields.map(f => f.name -> f.dataType).toMap)
+              .getOrElse(Map.empty)
+            val untyped = missing.filterNot(known.contains)
+            require(untyped.isEmpty,
+              "INSERT omits payload column(s) the log has never seen " +
+                s"(no type to null-fill): ${untyped.mkString(", ")}")
+            known
+          }
         val srcSql = if (source.toUpperCase.startsWith("VALUES"))
           s"SELECT * FROM ( $source ) AS __v(${cols.mkString(", ")})"
         else source
@@ -198,7 +212,10 @@ final class GraftTable(spark: SparkSession, dir: String,
                  else lit(systemTime)
         val vt = if (cols.contains("_valid_to"))
                    Some(col("_valid_to").cast("timestamp")) else None
-        TxOps.put(src, col("_id"), vf, vt, payloadCols.map(c => c -> col(c)))
+        TxOps.put(src, col("_id"), vf, vt, payloadCols.map { c =>
+          c -> (if (cols.contains(c)) col(c)
+                else lit(null).cast(knownTypes(c)))
+        })
       case Update(_, portion, sets, where) =>
         val rows = current().filter(expr(where))
         val (vf, vt) = interval(portion)

@@ -52,9 +52,9 @@ object BitemporalDml {
   private def portionOf(m: java.util.regex.Matcher, a: Int, b: Int) =
     Option(m.group(a)).map(f => Portion(f, m.group(b)))
 
-  /** Split `a = x, b = y` on top-level commas (parens and single-quoted
-    * strings in the right-hand sides are respected). */
-  private[bitemporal] def splitTopLevel(s: String): Seq[String] = {
+  /** Split on a top-level separator (parens and single-quoted strings
+    * are respected) — `,` for SET lists, `;` for statement batches. */
+  private[graft] def splitTopLevel(s: String, sep: Char = ','): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0; var inStr = false; var start = 0
     var i = 0
@@ -63,7 +63,7 @@ object BitemporalDml {
         case '\'' => inStr = !inStr
         case '(' if !inStr => depth += 1
         case ')' if !inStr => depth -= 1
-        case ',' if !inStr && depth == 0 =>
+        case c if c == sep && !inStr && depth == 0 =>
           out += s.substring(start, i); start = i + 1
         case _ =>
       }

@@ -49,16 +49,25 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     if (referenced.isEmpty) return delegate.parsePlan(sqlText)
 
     if (dmlHead.matcher(sqlText).find()) {
-      // DML that doesn't parse as a graft statement (or targets an
-      // unregistered table) belongs to Spark's own surface
-      scala.util.Try(graft.bitemporal.BitemporalDml.parse(sqlText).table)
+      // A `;`-separated batch is ONE transaction (the reference's
+      // submit-tx takes a vector of ops) — every statement must parse
+      // as graft DML and target the SAME registered table. DML that
+      // doesn't parse as a graft statement (or targets an unregistered
+      // table) belongs to Spark's own surface.
+      val statements =
+        graft.bitemporal.BitemporalDml.splitTopLevel(sqlText, ';')
+      scala.util.Try(statements.map(s =>
+          graft.bitemporal.BitemporalDml.parse(s).table).distinct)
         .toOption
+        .collect { case Seq(target) => target } // one table per tx
         .flatMap(target => tables.collectFirst {
           case (n, t) if n.equalsIgnoreCase(target) => (n, t)
         }) match {
           case Some((name, table)) =>
-            val txId = table.dml(name, sqlText,
-              new java.sql.Timestamp(System.currentTimeMillis()))
+            val now = new java.sql.Timestamp(System.currentTimeMillis())
+            val txId =
+              if (statements.size == 1) table.dml(name, statements.head, now)
+              else table.dmlTx(name, statements, now)
             import session.implicits._
             PlanBridge.logicalPlan(Seq(txId).toDF("tx_id"))
           case None => delegate.parsePlan(sqlText)

@@ -267,6 +267,25 @@ class GraftTableSpec extends AnyFunSuite {
     assert(cur.filter($"_id" === 1).select("bal").as[Double].head() == 2.5)
   }
 
+  test("INSERT with a payload-column subset null-fills from the log schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_subset").toString
+    val t = new GraftTable(spark, dir, Seq("bal", "note"))
+    // the FIRST insert must carry every payload column (types unknown)
+    intercept[IllegalArgumentException] {
+      t.dml("acct", "INSERT INTO acct (_id, bal) VALUES (1, 1.0D)",
+        ts("2020-01-01 00:00:00"))
+    }
+    t.dml("acct", """INSERT INTO acct (_id, bal, note)
+      VALUES (1, 1.0D, 'full')""", ts("2020-01-01 00:00:00"))
+    // afterwards a subset insert works: `note` null-fills as a STRING
+    t.dml("acct", "INSERT INTO acct (_id, bal) VALUES (2, 2.0D)",
+      ts("2020-01-02 00:00:00"))
+    val got = t.current().select($"_id", $"bal", $"note")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.isNullAt(2))))
+      .toMap
+    assert(got == Map(1L -> ((1.0, false)), 2L -> ((2.0, true))))
+  }
+
   test("dmlTx: several statements, one atomic transaction") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dmltx").toString
     val t = new GraftTable(spark, dir, Seq("bal"))

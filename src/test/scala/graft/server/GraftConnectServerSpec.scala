@@ -118,6 +118,15 @@ class GraftConnectServerSpec extends AnyFunSuite {
         s"WHERE prices.SYSTEM_TIME CONTAINS TIMESTAMP '$betweenTx' " +
         "ORDER BY _id")
         == Seq(Seq[Any](1L, 10.0), Seq[Any](2L, 20.0)))
+
+      // 6. a `;`-separated DML batch over the wire is ONE transaction
+      // (the reference's submit-tx vector): one tx id comes back, both
+      // effects land atomically
+      assert(run("UPDATE prices SET price = 99.0D WHERE _id = 2; " +
+        "INSERT INTO prices (_id, price) VALUES (3, 30.0D)")
+        == Seq(Seq(2L)))
+      assert(run("SELECT _id, price FROM prices ORDER BY _id")
+        == Seq(Seq[Any](1L, 11.0), Seq[Any](2L, 99.0), Seq[Any](3L, 30.0)))
     } finally {
       channel.shutdownNow()
       GraftServer.stop()
