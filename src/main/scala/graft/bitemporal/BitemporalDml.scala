@@ -10,9 +10,11 @@ import java.util.regex.Pattern
   *   INSERT INTO t (_id[, _valid_from[, _valid_to]], payload...)
   *     VALUES (...), ... | SELECT ...           → put
   *   UPDATE t [FOR PORTION OF APPLICATION_TIME FROM 'a' TO 'b']
-  *     SET col = expr, ... WHERE pred           → put over matching rows
-  *   DELETE FROM t [FOR PORTION OF ...] WHERE pred → delete
-  *   ERASE  FROM t WHERE pred                   → erase (whole history)
+  *     SET col = expr, ... [WHERE pred]         → put over matching rows
+  *   DELETE FROM t [FOR PORTION OF ...] [WHERE pred] → delete
+  *   ERASE  FROM t [WHERE pred]                 → erase (whole history)
+  *
+  * An omitted WHERE targets every current row (standard SQL).
   *
   * Only the temporal clauses are parsed here; VALUES/SELECT sources, SET
   * right-hand sides and WHERE predicates are handed verbatim to Spark's
@@ -42,12 +44,13 @@ object BitemporalDml {
     "\\s+FROM\\s+(?:TIMESTAMP\\s+)?'([^']+)'\\s+TO\\s+(?:TIMESTAMP\\s+)?'([^']+)')?"
   private val insertRe =
     re("^\\s*INSERT\\s+INTO\\s+(\\w+)\\s*\\(([^)]*)\\)\\s*((?:VALUES|SELECT)\\b.*)$")
+  // WHERE is optional (standard SQL: no predicate = every current row)
   private val updateRe =
-    re(s"^\\s*UPDATE\\s+(\\w+)$portionRe\\s+SET\\s+(.*?)\\s+WHERE\\s+(.*)$$")
+    re(s"^\\s*UPDATE\\s+(\\w+)$portionRe\\s+SET\\s+(.*?)(?:\\s+WHERE\\s+(.*))?$$")
   private val deleteRe =
-    re(s"^\\s*DELETE\\s+FROM\\s+(\\w+)$portionRe\\s+WHERE\\s+(.*)$$")
+    re(s"^\\s*DELETE\\s+FROM\\s+(\\w+)$portionRe(?:\\s+WHERE\\s+(.*))?$$")
   private val eraseRe =
-    re("^\\s*ERASE\\s+FROM\\s+(\\w+)\\s+WHERE\\s+(.*)$")
+    re("^\\s*ERASE\\s+FROM\\s+(\\w+)(?:\\s+WHERE\\s+(.*))?$")
 
   private def portionOf(m: java.util.regex.Matcher, a: Int, b: Int) =
     Option(m.group(a)).map(f => Portion(f, m.group(b)))
@@ -80,6 +83,7 @@ object BitemporalDml {
       return Insert(ins.group(1),
         ins.group(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
         ins.group(3).trim)
+    def where(g: String): String = Option(g).map(_.trim).getOrElse("true")
     val upd = updateRe.matcher(s)
     if (upd.matches())
       return Update(upd.group(1), portionOf(upd, 2, 3),
@@ -87,12 +91,12 @@ object BitemporalDml {
           val eq = a.indexOf('=')
           require(eq > 0, s"malformed SET assignment: $a")
           (a.substring(0, eq).trim, a.substring(eq + 1).trim)
-        }, upd.group(5).trim)
+        }, where(upd.group(5)))
     val del = deleteRe.matcher(s)
     if (del.matches())
-      return Delete(del.group(1), portionOf(del, 2, 3), del.group(4).trim)
+      return Delete(del.group(1), portionOf(del, 2, 3), where(del.group(4)))
     val era = eraseRe.matcher(s)
-    if (era.matches()) return Erase(era.group(1), era.group(2).trim)
+    if (era.matches()) return Erase(era.group(1), where(era.group(2)))
     throw new IllegalArgumentException(
       s"unsupported DML statement (expected INSERT/UPDATE/DELETE/ERASE): $s")
   }

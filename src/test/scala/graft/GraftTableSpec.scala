@@ -92,6 +92,20 @@ class GraftTableSpec extends AnyFunSuite {
     spark.catalog.dropTempView("dml_src")
   }
 
+  test("WHERE-less UPDATE/DELETE target every current row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nowhere").toString
+    val t = new GraftTable(spark, dir, Seq("bal"))
+    t.dml("acct", "INSERT INTO acct (_id, bal) " +
+      "VALUES (1, 1.0D), (2, 2.0D), (3, 3.0D)", ts("2020-01-01 00:00:00"))
+    t.dml("acct", "UPDATE acct SET bal = bal + 10", ts("2020-01-02 00:00:00"))
+    assert(t.current().agg(sum($"bal")).head().getDouble(0) == 36.0)
+    t.dml("acct", "DELETE FROM acct", ts("2020-01-03 00:00:00"))
+    assert(t.current().count() == 0)
+    // the past is intact — delete only closes validity going forward
+    assert(t.asOf(ts("2020-01-02 12:00:00"), ts("2020-01-02 12:00:00"))
+      .count() == 3)
+  }
+
   test("DML rejects malformed and mistargeted statements") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dml_bad").toString
     val t = new GraftTable(spark, dir, Seq("bal"))
