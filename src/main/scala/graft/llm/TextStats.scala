@@ -122,4 +122,34 @@ object TextStats {
       .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
       .withColumn("seq_id", (col("start_off") / budget).cast("long"))
   }
+
+  /** Overlapping document chunking — the context-window splitter every
+    * embedding/RAG/training pipeline runs before vectorizing: each doc
+    * becomes ⌈(n_tok − overlap) / stride⌉ chunks of up to `chunkTokens`
+    * whitespace tokens, consecutive chunks sharing `overlap` tokens
+    * (stride = chunkTokens − overlap). Pure per-row map + explode: no
+    * shuffle, no state, embarrassingly parallel at any scale. Chunk
+    * ids and boundaries are derived, not generated — deterministic and
+    * oracle-replayable. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap / $chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = split(col(textCol), " ")
+    // chunk count: 1 for short docs, else ceil((n - overlap) / stride)
+    val nChunks = greatest(lit(1L),
+      ceil((size(toks).cast("long") - overlap) / lit(stride.toDouble))
+        .cast("long"))
+    df.select(col(idCol), toks.as("_toks"), nChunks.as("_nc"))
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0L), col("_nc") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("tok_start"),
+        array_join(
+          slice(col("_toks"), (col("chunk_id") * stride + 1).cast("int"),
+            lit(chunkTokens)), " ").as("chunk_text"))
+      .withColumn("n_tok",
+        size(split(col("chunk_text"), " ")).cast("long"))
+  }
 }

@@ -42,9 +42,38 @@ object Extras {
     StructField("id", LongType), StructField("name", StringType),
     StructField("cat", StringType), StructField("score", DoubleType)))
 
+  /** Deterministic JSONL fixture, same lifecycle as [[csvPath]]. */
+  val jsonlPath = "/root/repo/target/graft_jsonl_fixture.jsonl"
+  private def ensureJsonl(): Unit = {
+    val p = Paths.get(jsonlPath)
+    Files.createDirectories(p.getParent)
+    if (!Files.exists(p)) {
+      val rows = (1 to 120).map { i =>
+        val kind = Seq("doc", "code", "math")(i % 3)
+        s"""{"id": $i, "kind": "$kind", "stars": ${i % 5}}"""
+      }
+      Files.write(p, (rows.mkString("\n") + "\n").getBytes("UTF-8"))
+    }
+  }
+  private val jsonlSchema = StructType(Seq(
+    StructField("id", LongType), StructField("kind", StringType),
+    StructField("stars", LongType)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.1 #3 :csv — declared-schema csv scan + filter/agg on top
+    // JSONL source (declared schema, no inference pass): the corpus
+    // interchange format — filter + per-source stats over it
+    "q128_jsonl_source" -> ((s, dir) => {
+      import s.implicits._
+      ensureJsonl()
+      RA.jsonl(s, jsonlPath, jsonlSchema)
+        .filter($"stars" >= 2)
+        .groupBy($"kind")
+        .agg(count(lit(1)).as("n"), r(avg($"stars"), 4).as("avg_stars"))
+        .orderBy("kind")
+    }),
+
     "q59_csv_source" -> ((s, dir) => {
       import s.implicits._
       ensureCsv()
@@ -621,6 +650,15 @@ object Extras {
              'file:///nation/' || CAST(n_nationkey AS BIGINT) AS src_uri,
              'r' || CAST(n_regionkey AS BIGINT) AS tag
       FROM nation ORDER BY id""",
+
+    "q128_jsonl_source" -> s"""
+      SELECT kind, count(*) AS n,
+             floor(avg(stars)*10000 + 0.5)/10000 AS avg_stars
+      FROM read_json('$jsonlPath',
+        columns = {id: 'BIGINT', kind: 'VARCHAR', stars: 'BIGINT'},
+        format = 'newline_delimited')
+      WHERE stars >= 2
+      GROUP BY kind ORDER BY kind""",
 
     "q120_recursive_cte" -> """
       WITH RECURSIVE

@@ -504,6 +504,16 @@ object Llm {
         .select($"vec_id", r($"adist", 6).as("adist"))
     }),
 
+    // overlapping context-window chunking (64-token chunks, 16-token
+    // overlap) — the splitter run before embedding/RAG/vectorizing;
+    // pure map + explode, no shuffle
+    "q127_doc_chunking" -> ((s, dir) => {
+      import s.implicits._
+      TextStats.chunkDocuments(T(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // batch ANN serving: 3 queries answered in ONE pass — per-query
     // top-5 via a window partitioned by query id (parallel across
     // queries), not 3 separate jobs
@@ -1307,6 +1317,27 @@ object Llm {
             GROUP BY enc.vec_id)
       SELECT vec_id, floor(adist*1000000 + 0.5)/1000000 AS adist
       FROM a ORDER BY a.adist, vec_id LIMIT 10""",
+
+    // list_slice is END-inclusive in DuckDB (Spark's slice takes a
+    // LENGTH) — hence start+1 .. start+64
+    "q127_doc_chunking" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      n AS (SELECT doc_id, toks,
+                   greatest(1, CAST(ceil((len(toks) - 16) / 48.0) AS BIGINT))
+                     AS nc
+            FROM d),
+      c AS (SELECT doc_id, toks,
+                   unnest(generate_series(0, nc - 1)) AS chunk_id
+            FROM n),
+      x AS (SELECT doc_id, chunk_id, chunk_id * 48 AS tok_start,
+                   array_to_string(
+                     list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64),
+                     ' ') AS chunk_text
+            FROM c)
+      SELECT doc_id, chunk_id, tok_start, chunk_text,
+             len(string_split(chunk_text, ' ')) AS n_tok
+      FROM x ORDER BY doc_id, chunk_id""",
 
     // q111's encode/ADC CTEs with a qid-keyed distance table
     "q126_pq_adc_batch" -> """

@@ -42,6 +42,14 @@ object RA {
           header: Boolean = true): DataFrame =
     spark.read.schema(schema).option("header", header.toString).csv(path)
 
+  /** JSONL (newline-delimited JSON) source with DECLARED schema — the
+    * interchange format training-data pipelines actually move corpora
+    * in. Same no-inference stance as [[csv]]: an inference pass is a
+    * second full read at 100 TB. Splittable per line like csv. */
+  def jsonl(spark: SparkSession, path: String,
+            schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** `:select` — 3VL filter: rows kept only when predicate is TRUE
     * (UNKNOWN drops), which is Spark's native filter semantics. */
   def select(df: DataFrame, pred: Column): DataFrame = df.filter(pred)
