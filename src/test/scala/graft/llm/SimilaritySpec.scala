@@ -178,6 +178,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(d1 > 0 && d2 > 0)
   }
 
+  test("chunkDocuments: overlap, boundaries, short docs") {
+    // chunk 4 / overlap 1 => stride 3
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // 8 tok: ceil(7/3)=3 chunks at 0,3,6
+      (2L, "x"),               // shorter than a chunk: exactly one chunk
+      (3L, "p q r s"))         // == chunkTokens: exactly one chunk
+      .toDF("doc_id", "text")
+    val out = TextStats.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    assert(out((1L, 0L)) == ((0L, "a b c d", 4L)))
+    assert(out((1L, 1L)) == ((3L, "d e f g", 4L))) // shares 'd'
+    assert(out((1L, 2L)) == ((6L, "g h", 2L)))     // tail remainder
+    assert(out((2L, 0L)) == ((0L, "x", 1L)))
+    assert(out((3L, 0L)) == ((0L, "p q r s", 4L)))
+    assert(out.size == 5, "no spurious chunks")
+    // every token of doc 1 appears in some chunk (no coverage gap)
+    val covered = out.collect { case ((1L, _), (_, t, _)) => t.split(" ") }
+      .flatten.toSet
+    assert(covered == Set("a", "b", "c", "d", "e", "f", "g", "h"))
+    intercept[IllegalArgumentException] {
+      TextStats.chunkDocuments(docs, "doc_id", "text", 4, 4) // overlap too big
+    }
+  }
+
   test("packSequences: per-shard concat-and-chunk offsets") {
     val docs = Seq(
       (0L, "a b c"),        // shard 0: 3 tokens, off 0, seq 0
