@@ -86,7 +86,15 @@ object ChunkMetadata {
                           p: org.apache.hadoop.fs.Path): Seq[String] = {
     val st = fs.getFileStatus(p)
     if (st.isFile)
-      if (p.getName.endsWith(".parquet")) Seq(p.toUri.getPath) else Nil
+      if (p.getName.endsWith(".parquet")) {
+        // local files surface as plain paths (what external footer
+        // readers expect); remote URIs (s3://bucket/…, hdfs://…) keep
+        // scheme AND authority — stripping them would re-open against
+        // the local FS on the executor
+        val uri = p.toUri
+        Seq(if (uri.getScheme == null || uri.getScheme == "file")
+          uri.getPath else p.toString)
+      } else Nil
     else fs.listStatus(p).toSeq.flatMap(c => listParquet(fs, c.getPath))
   }
 }
