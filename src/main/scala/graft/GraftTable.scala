@@ -143,8 +143,13 @@ final class GraftTable(spark: SparkSession, dir: String,
     *    unassigned payload column keeps its current value. FOR PORTION
     *    OF APPLICATION_TIME limits the write's valid interval.
     */
-  def dml(name: String, statement: String, systemTime: Timestamp): Long =
-    log.append(compileDml(name, statement, systemTime), systemTime)
+  def dml(name: String, statement: String, systemTime: Timestamp): Long = {
+    val ops = compileDml(name, statement, systemTime)
+    // only INSERT can self-overlap within one statement (duplicate ids
+    // in its source) — see requireDisjoint
+    if (statement.trim.take(6).equalsIgnoreCase("INSERT")) requireDisjoint(ops)
+    log.append(ops, systemTime)
+  }
 
   /** SEVERAL DML statements as ONE atomic transaction — the reference's
     * submit-tx shape (a tx is a VECTOR of ops; SURVEY.md §3.3): one
@@ -163,7 +168,45 @@ final class GraftTable(spark: SparkSession, dir: String,
     require(statements.nonEmpty, "empty transaction")
     val ops = statements.map(compileDml(name, _, systemTime))
       .reduce(_.unionByName(_))
+    requireDisjoint(ops)
     log.append(ops, systemTime)
+  }
+
+  /** Enforce the fold's no-overlap invariant BEFORE the tx is
+    * acknowledged: two ops of one transaction must not write
+    * overlapping valid intervals of one `_id` (all ops share one
+    * `_system_from`, so the fold has no order to break the tie — e.g.
+    * `UPDATE t SET bal=1 WHERE _id=1; UPDATE t SET bal=2 WHERE _id=1`
+    * would land two full-width rectangles for id 1 and silently corrupt
+    * every later read). Also rejects an erase combined with any other
+    * op on the same id in one tx (erase drops the id's whole history —
+    * "erase and also write" has no coherent joint meaning).
+    *
+    * Cost: one window pass over the tx's own ops (tx-sized, tiny next
+    * to the append's write job). Within ONE statement only INSERT can
+    * produce the hazard (duplicate ids in the source); UPDATE/DELETE/
+    * ERASE read from `current()`, which is disjoint per id by the fold
+    * invariant — so [[dml]] checks inserts only. */
+  private def requireDisjoint(ops: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val inf = lit("9999-12-31 00:00:00").cast("timestamp")
+    val eraseIds = ops.groupBy("_id").agg(
+        sum(when(col("_op") === Bitemporal.Erase, 1).otherwise(0)).as("_erases"),
+        count(lit(1)).as("_ops"))
+      .filter(col("_erases") > 0 && col("_ops") > col("_erases"))
+      .select("_id").limit(1).collect()
+    require(eraseIds.isEmpty,
+      s"transaction mixes ERASE with other writes for _id ${eraseIds.headOption.map(_.get(0)).getOrElse("")} — " +
+        "an erase drops the id's whole history; submit it alone")
+    val w = Window.partitionBy("_id").orderBy(col("_valid_from"), col("_valid_to"))
+    val bad = ops.filter(col("_op") =!= Bitemporal.Erase)
+      .withColumn("_prev_to",
+        lag(coalesce(col("_valid_to"), inf), 1).over(w))
+      .filter(col("_prev_to").isNotNull && col("_prev_to") > col("_valid_from"))
+      .select("_id").limit(1).collect()
+    require(bad.isEmpty,
+      s"transaction writes overlapping valid intervals for _id ${bad.headOption.map(_.get(0)).getOrElse("")} — " +
+        "use disjoint FOR PORTION OF intervals or separate transactions")
   }
 
   /** One statement -> its tx-log op rows (not yet appended). */

@@ -20,6 +20,16 @@ import org.apache.spark.sql.types._
   * Uses: pruning audits ("which files could contain `_id = x`?"),
   * compaction quality checks (id-range tightness per file), and the
   * reference's metadata-driven scan planning replayed by hand.
+  *
+  * `min`/`max` are BOUNDS, not necessarily exact values: parquet
+  * writers may truncate string/binary statistics (e.g.
+  * `parquet.statistics.truncate.length`), rounding the stored min DOWN
+  * (prefix) and the stored max UP (prefix with last byte incremented).
+  * Range pruning against them stays sound — `[min, max]` always
+  * contains the true value range — but equality of a string `min` to a
+  * data value must not be assumed, and audits comparing bounds across
+  * files should treat string bounds as conservative. Numeric and
+  * temporal stats are exact.
   */
 object ChunkMetadata {
 

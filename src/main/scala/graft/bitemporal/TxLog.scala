@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * Layout: `dir/log/tx_<id>.parquet`, one file per transaction, columns
   * `_tx_id, _system_from, _op, _id, _valid_from, _valid_to, <payload…>`.
-  * The single-writer directory assigns monotonically increasing tx ids
-  * (core2's log does the same via its single log-appender); system time
-  * is stamped per transaction, so every row of a tx shares one
-  * `_system_from` — exactly core2's "tx time" semantics.
+  * The directory assigns monotonically increasing tx ids (core2's log
+  * does the same via its single log-appender); concurrent appends are
+  * safe: in-process writers serialize on a per-directory lock, and the
+  * id itself is claimed by an atomic create-fails-if-exists directory
+  * create, so no two writers — even in different processes — can ever
+  * be acknowledged for the same tx id. System time is stamped per
+  * transaction, so every row of a tx shares one `_system_from` —
+  * exactly core2's "tx time" semantics.
   *
   * Scale: the log is the ingest tail. [[compact]] folds it into a base
   * rectangle table partitioned by `date(_system_from)` so `asOf` scans
@@ -25,19 +29,47 @@ final class TxLog(val dir: String) {
   private val logDir: Path = Paths.get(dir, "log")
   private val baseDir: Path = Paths.get(dir, "base")
   Files.createDirectories(logDir)
+  // One lock per CANONICAL log directory (not per TxLog instance): the
+  // Spark Connect front door runs DML on concurrent gRPC handler
+  // threads, possibly through distinct TxLog/GraftTable instances over
+  // the same directory. Serializing append on the directory makes tx-id
+  // assignment + write + commit one atomic step for every in-process
+  // writer — the reference's single log-appender (core2.log assigns tx
+  // ids from a single writer for the same reason).
+  private val appendLock: Object = TxLog.lockFor(logDir)
 
+  /** COMMITTED transactions only: a tx directory is visible once
+    * Spark's commit protocol has published `_SUCCESS` (task files move
+    * in first, the marker lands last). A claimed-but-unfinished or
+    * crashed-writer directory is invisible to readers, compaction and
+    * id recovery — never a half-written transaction. */
   def txFiles(): Seq[Path] = {
     val s = Files.list(logDir)
     try {
       import scala.jdk.CollectionConverters._
-      s.iterator().asScala.filter(_.getFileName.toString.startsWith("tx_")).toSeq
+      s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("tx_"))
+        .filter(p => !Files.isDirectory(p) || Files.exists(p.resolve("_SUCCESS")))
+        .toSeq
         .sortBy(_.getFileName.toString)
     } finally s.close()
   }
 
-  def nextTxId(): Long =
-    txFiles().map(_.getFileName.toString.stripPrefix("tx_").stripSuffix(".parquet").toLong)
-      .maxOption.fold(0L)(_ + 1L)
+  /** Every tx id a directory entry exists for, committed or not —
+    * abandoned claims included, so allocation never reuses an id that
+    * some writer (even a crashed one) may have acknowledged. */
+  private def claimedTxIds(): Seq[Long] = {
+    val s = Files.list(logDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("tx_"))
+        .map(_.stripPrefix("tx_").stripSuffix(".parquet").toLong)
+        .toSeq
+    } finally s.close()
+  }
+
+  def nextTxId(): Long = claimedTxIds().maxOption.fold(0L)(_ + 1L)
 
   /** Append one transaction. `ops` must carry `_op, _id, _valid_from,
     * _valid_to` + payload columns; `_tx_id`/`_system_from` are assigned
@@ -66,21 +98,43 @@ final class TxLog(val dir: String) {
       systemTime)
 
   private def appendShaped(ops: DataFrame,
-                           systemTime: java.sql.Timestamp): Long = {
-    val txId = nextTxId()
-    ops.withColumn("_tx_id", lit(txId))
-      .withColumn("_system_from", lit(systemTime))
-      .write.mode("overwrite")
-      // tx files are ordered by ARRIVAL, not id, so `_id = x` point reads
-      // (entity(), incremental refold) can't skip them on min/max stats
-      // the way the range-clustered base does. A per-row-group bloom on
-      // `_id` restores the skip — the analog of the reference's per-chunk
-      // bloom filters (xtdb/core2 `core2.bloom`): footer check, no data
-      // pages read for row groups that can't contain the id.
-      .option("parquet.bloom.filter.enabled#_id", "true")
-      .parquet(logDir.resolve(f"tx_$txId%09d.parquet").toString)
-    txId
-  }
+                           systemTime: java.sql.Timestamp): Long =
+    appendLock.synchronized {
+      // Atomic id claim, safe even against writers OUTSIDE this JVM:
+      // POSIX mkdir fails with EEXIST if the directory exists, so the
+      // first writer to create `tx_<id>` owns that id; a loser re-lists
+      // and retries with the next free id. The old list-max+1 +
+      // mode(overwrite) scheme let two concurrent writers compute the
+      // same id and the second SILENTLY overwrite the first's
+      // acknowledged transaction. (Cross-process writers serialize ids
+      // correctly but may commit out of order — a lower id landing
+      // after a compaction watermark advanced past it; in-process
+      // writers can't, the directory lock covers them. Multi-process
+      // ingest should share one TxLog-owning process, like the
+      // reference's single log node.)
+      var txId = nextTxId()
+      var claimed: Path = null
+      while (claimed == null) {
+        val target = logDir.resolve(f"tx_$txId%09d.parquet")
+        try { claimed = Files.createDirectory(target) }
+        catch { case _: java.nio.file.FileAlreadyExistsException => txId += 1 }
+      }
+      ops.withColumn("_tx_id", lit(txId))
+        .withColumn("_system_from", lit(systemTime))
+        // append INTO the claimed (empty) directory: the commit protocol
+        // moves part files in, then `_SUCCESS` makes the tx visible to
+        // txFiles(); overwrite would delete the claim marker first.
+        .write.mode("append")
+        // tx files are ordered by ARRIVAL, not id, so `_id = x` point reads
+        // (entity(), incremental refold) can't skip them on min/max stats
+        // the way the range-clustered base does. A per-row-group bloom on
+        // `_id` restores the skip — the analog of the reference's per-chunk
+        // bloom filters (xtdb/core2 `core2.bloom`): footer check, no data
+        // pages read for row groups that can't contain the id.
+        .option("parquet.bloom.filter.enabled#_id", "true")
+        .parquet(claimed.toString)
+      txId
+    }
 
   /** Read the whole log (or the tail after `afterTx`). `mergeSchema`
     * makes the log SCHEMALESS across transactions (the reference's
@@ -204,6 +258,15 @@ final class TxLog(val dir: String) {
 }
 
 object TxLog {
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** The append lock for a log directory, shared by every TxLog
+    * instance over the same canonical path in this JVM. */
+  private def lockFor(logDir: Path): Object =
+    locks.computeIfAbsent(
+      logDir.toAbsolutePath.normalize.toString, _ => new Object)
+
   def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit

@@ -257,6 +257,20 @@ object Similarity {
   private def dist2(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
+  /** Enforce the single-query contract AND evaluate the query-side plan
+    * exactly once: collect the one row (limit(2) keeps the probe O(1))
+    * and re-literalize it as a local relation, so every downstream use
+    * (probe selection, ADC distance table) reads the literal instead of
+    * re-running the caller's plan. */
+  private def materializeSingleRow(queryVec: DataFrame, op: String): DataFrame = {
+    val rows = queryVec.limit(2).collect()
+    require(rows.length == 1,
+      s"$op: queryVec must have exactly 1 row (got ${
+        if (rows.length > 1) "2+" else "0"})")
+    queryVec.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), queryVec.schema)
+  }
+
   /** PQ encode against an explicit codebook: one (id, j, code) row per
     * vector and subspace — n×m×k distance evaluations against a
     * broadcast codebook, embarrassingly parallel (the standard PQ
@@ -322,12 +336,11 @@ object Similarity {
     // single-query contract, enforced: a second query row would create
     // duplicate (j, code) keys in the broadcast distance table and the
     // join below would silently sum each subspace distance once per
-    // query row. limit(2) keeps the probe O(1) rows on the driver.
-    val qRows = queryVec.limit(2).count()
-    require(qRows == 1,
-      s"pqAdcTopK: queryVec must have exactly 1 row (got ${
-        if (qRows > 1) "2+" else "0"})")
-    val dt = queryVec.crossJoin(codebook)
+    // query row. The probe doubles as the ONLY evaluation of the
+    // query-side plan: the collected row is re-literalized as a local
+    // relation, so the distance table below never recomputes it.
+    val qv = Similarity.materializeSingleRow(queryVec, "pqAdcTopK")
+    val dt = qv.crossJoin(codebook)
       .withColumn("_sq", slice(col(qCol), col("j") * subDim + 1, lit(subDim)))
       .select(col("j"), col("c").as("code"),
         dist2(col("_sq"), col("w")).as("_dj"))
@@ -365,16 +378,16 @@ object Similarity {
                 queryVec: DataFrame, qCol: String, topK: Int, nProbe: Int,
                 centroids: DataFrame, codebook: DataFrame,
                 subDim: Int): DataFrame = {
-    val qRows = queryVec.limit(2).count()
-    require(qRows == 1,
-      s"ivfPqTopK: queryVec must have exactly 1 row (got ${
-        if (qRows > 1) "2+" else "0"})")
-    val probes = queryVec.crossJoin(broadcast(centroids))
+    // evaluate the query-side plan ONCE (it feeds the probe selection
+    // AND the ADC distance table — without materialization it would
+    // run up to three times per search)
+    val qv = Similarity.materializeSingleRow(queryVec, "ivfPqTopK")
+    val probes = qv.crossJoin(broadcast(centroids))
       .withColumn("_ccos", cosine(col(qCol), col("_cv")))
       .orderBy(col("_ccos").desc, col("_cid"))
       .limit(nProbe)
       .select(col("_cid").as("cell"))
-    val dt = queryVec.crossJoin(codebook)
+    val dt = qv.crossJoin(codebook)
       .withColumn("_sq", slice(col(qCol), col("j") * subDim + 1, lit(subDim)))
       .select(col("j"), col("c").as("code"),
         dist2(col("_sq"), col("w")).as("_dj"))

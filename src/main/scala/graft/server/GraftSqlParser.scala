@@ -38,6 +38,14 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     java.util.regex.Pattern.compile(
       "^\\s*(INSERT|UPDATE|DELETE|ERASE)\\b", java.util.regex.Pattern.CASE_INSENSITIVE)
 
+  // the table a DML statement's HEAD names, recognizable without a full
+  // parse — used to decide whether a failed graft parse should surface
+  // its error (target is registered) or the text belongs to Spark
+  private val dmlTarget =
+    java.util.regex.Pattern.compile(
+      "^\\s*(?:INSERT\\s+INTO|UPDATE|DELETE\\s+FROM|ERASE\\s+FROM)\\s+([A-Za-z_][A-Za-z0-9_]*)",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+
   override def parsePlan(sqlText: String): LogicalPlan = {
     val tables = GraftServer.registered
     if (GraftSqlParser.inRewrite.get() || tables.isEmpty)
@@ -51,18 +59,37 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     if (dmlHead.matcher(sqlText).find()) {
       // A `;`-separated batch is ONE transaction (the reference's
       // submit-tx takes a vector of ops) — every statement must parse
-      // as graft DML and target the SAME registered table. DML that
-      // doesn't parse as a graft statement (or targets an unregistered
-      // table) belongs to Spark's own surface.
+      // as graft DML and target the SAME registered table. DML whose
+      // head targets only unregistered tables belongs to Spark's own
+      // surface; but once a statement's HEAD names a registered table,
+      // a parse failure (or a batch spanning two tables) is OUR error
+      // to report — silently delegating would surface a misleading
+      // TABLE_OR_VIEW_NOT_FOUND from Spark, or worse, hit a same-named
+      // catalog table.
       val statements =
         graft.bitemporal.BitemporalDml.splitTopLevel(sqlText, ';')
-      scala.util.Try(statements.map(s =>
-          graft.bitemporal.BitemporalDml.parse(s).table).distinct)
-        .toOption
-        .collect { case Seq(target) => target } // one table per tx
-        .flatMap(target => tables.collectFirst {
-          case (n, t) if n.equalsIgnoreCase(target) => (n, t)
-        }) match {
+      val headsRegistered = statements.exists { s =>
+        val m = dmlTarget.matcher(s)
+        m.find() && tables.keys.exists(_.equalsIgnoreCase(m.group(1)))
+      }
+      if (!headsRegistered) delegate.parsePlan(sqlText)
+      else {
+        val parsed = statements.map(s =>
+          scala.util.Try(graft.bitemporal.BitemporalDml.parse(s)))
+        parsed.zipWithIndex.collectFirst {
+          case (scala.util.Failure(e), i) => (e, i)
+        }.foreach { case (e, i) =>
+          throw new IllegalArgumentException(
+            s"DML batch targets a graft-registered table but statement ${i + 1} of " +
+              s"${statements.size} is not valid graft DML: ${e.getMessage}", e)
+        }
+        val targets = parsed.map(_.get.table).distinct
+        require(targets.size == 1,
+          "a graft DML transaction must target ONE table; batch targets " +
+            targets.mkString(", "))
+        tables.collectFirst {
+          case (n, t) if n.equalsIgnoreCase(targets.head) => (n, t)
+        } match {
           case Some((name, table)) =>
             val now = new java.sql.Timestamp(System.currentTimeMillis())
             val txId =
@@ -72,6 +99,7 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             PlanBridge.logicalPlan(Seq(txId).toDF("tx_id"))
           case None => delegate.parsePlan(sqlText)
         }
+      }
     } else {
       GraftSqlParser.inRewrite.set(true)
       try PlanBridge.logicalPlan(BitemporalSql.sql(session, sqlText,

@@ -334,6 +334,111 @@ class GraftTableSpec extends AnyFunSuite {
       "statement 2 read the pre-tx snapshot, so id 5 keeps its inserted bal")
   }
 
+  test("dmlTx rejects overlapping writes to one id within a transaction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dmlov").toString
+    val t = new GraftTable(spark, dir, Seq("bal"))
+    t.dml("acct", """INSERT INTO acct (_id, bal)
+      VALUES (1, CAST(100.0 AS DOUBLE)), (2, CAST(200.0 AS DOUBLE))""",
+      ts("2020-01-01 00:00:00"))
+
+    // two UPDATEs of the same id: both ops would write full-width
+    // rectangles at ONE system time — the fold invariant the advisor
+    // flagged; must fail before the tx is acknowledged
+    val e1 = intercept[IllegalArgumentException] {
+      t.dmlTx("acct", Seq(
+        "UPDATE acct SET bal = CAST(1.0 AS DOUBLE) WHERE _id = 1",
+        "UPDATE acct SET bal = CAST(2.0 AS DOUBLE) WHERE _id = 1"), ts("2020-02-01 00:00:00"))
+    }
+    assert(e1.getMessage.contains("overlapping valid intervals"))
+
+    // ERASE mixed with another write on the same id: no coherent meaning
+    val e2 = intercept[IllegalArgumentException] {
+      t.dmlTx("acct", Seq(
+        "ERASE FROM acct WHERE _id = 2",
+        "UPDATE acct SET bal = CAST(9.0 AS DOUBLE) WHERE _id = 2"), ts("2020-02-01 00:00:00"))
+    }
+    assert(e2.getMessage.contains("ERASE"))
+
+    // a single INSERT with duplicate ids is the same hazard
+    val e3 = intercept[IllegalArgumentException] {
+      t.dml("acct", """INSERT INTO acct (_id, bal)
+        VALUES (7, CAST(1.0 AS DOUBLE)), (7, CAST(2.0 AS DOUBLE))""",
+        ts("2020-02-01 00:00:00"))
+    }
+    assert(e3.getMessage.contains("overlapping valid intervals"))
+
+    // rejected txs left NO trace: the log still has only the seed tx
+    assert(t.current().count() == 2)
+
+    // disjoint FOR PORTION OF intervals on one id are legal in one tx
+    t.dmlTx("acct", Seq(
+      """UPDATE acct FOR PORTION OF APPLICATION_TIME
+         FROM '2021-01-01 00:00:00' TO '2022-01-01 00:00:00'
+         SET bal = CAST(111.0 AS DOUBLE) WHERE _id = 1""",
+      """UPDATE acct FOR PORTION OF APPLICATION_TIME
+         FROM '2022-01-01 00:00:00' TO '2023-01-01 00:00:00'
+         SET bal = CAST(222.0 AS DOUBLE) WHERE _id = 1"""), ts("2020-03-01 00:00:00"))
+    def balAt(valid: String) =
+      t.asOf(ts(valid), ts("2020-04-01 00:00:00"))
+        .filter($"_id" === 1).select($"bal").collect().map(_.getDouble(0)).toSeq
+    assert(balAt("2021-06-01 00:00:00") == Seq(111.0))
+    assert(balAt("2022-06-01 00:00:00") == Seq(222.0))
+    assert(balAt("2023-06-01 00:00:00") == Seq(100.0))
+  }
+
+  test("concurrent appenders: distinct tx ids, no lost transactions") {
+    import graft.bitemporal.{TxLog, TxOps}
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc").toString
+    // two TxLog instances over ONE directory (the Spark Connect shape:
+    // concurrent gRPC handlers, possibly distinct facade instances)
+    val logs = Seq(new TxLog(dir), new TxLog(dir))
+    val threads = 8
+    val perThread = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    try {
+      val futures = (0 until threads).map { ti =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val rows = Seq((ti.toLong, 1.0)).toDF("id", "price")
+            val ops = TxOps.put(rows, $"id", lit("2020-01-01").cast("timestamp"),
+              None, Seq("price" -> $"price"))
+            for (_ <- 0 until perThread)
+              ids.add(logs(ti % 2).append(ops, ts("2024-01-01 00:00:00")))
+          }
+        })
+      }
+      futures.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+
+    val total = threads * perThread
+    assert(ids.size == total,
+      s"every append acknowledged a UNIQUE tx id (got ${ids.size}/$total)")
+    val log = logs.head
+    assert(log.txFiles().size == total, "no transaction was overwritten")
+    assert(log.read(spark).count() == total, "every tx's rows survive")
+    assert(log.read(spark).select($"_tx_id").distinct().count() == total)
+  }
+
+  test("abandoned tx claim: id never reused, invisible to readers") {
+    import graft.bitemporal.{TxLog, TxOps}
+    val dir = java.nio.file.Files.createTempDirectory("graft_claim").toString
+    val log = new TxLog(dir)
+    val rows = Seq((1L, 1.0)).toDF("id", "price")
+    val ops = TxOps.put(rows, $"id", lit("2020-01-01").cast("timestamp"),
+      None, Seq("price" -> $"price"))
+    assert(log.append(ops, ts("2024-01-01 00:00:00")) == 0L)
+    // a crashed writer's claim: directory exists, no _SUCCESS ever lands
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(dir, "log", "tx_000000001.parquet"))
+    // readers skip it; the next append claims PAST it (the dead writer
+    // may have acknowledged id 1 before dying — never reuse it)
+    assert(log.txFiles().size == 1, "uncommitted claim invisible")
+    assert(log.append(ops, ts("2024-01-02 00:00:00")) == 2L)
+    assert(log.read(spark).count() == 2)
+    assert(log.compact(spark, Seq("price")) == 2L)
+  }
+
   test("log and base carry _id bloom filters; blooms skip what stats can't") {
     import graft.bitemporal.{TxLog, TxOps}
     val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString

@@ -127,6 +127,26 @@ class GraftConnectServerSpec extends AnyFunSuite {
         == Seq(Seq(2L)))
       assert(run("SELECT _id, price FROM prices ORDER BY _id")
         == Seq(Seq[Any](1L, 11.0), Seq[Any](2L, 99.0), Seq[Any](3L, 30.0)))
+
+      // 7. a batch that targets the registered table but contains an
+      // invalid statement surfaces the GRAFT parse error (statement
+      // index + cause), not Spark's misleading TABLE_OR_VIEW_NOT_FOUND
+      val badStmt = intercept[
+        org.sparkproject.connect.grpc.StatusRuntimeException] {
+        run("UPDATE prices SET price = 1.0D WHERE _id = 1; UPDATE prices")
+      }
+      assert(badStmt.getMessage.contains("not valid graft DML"),
+        s"got: ${badStmt.getMessage}")
+
+      // 8. a batch spanning two tables is rejected as a mixed tx (one
+      // submit-tx = one table), again with OUR error
+      val mixed = intercept[
+        org.sparkproject.connect.grpc.StatusRuntimeException] {
+        run("UPDATE prices SET price = 1.0D WHERE _id = 1; " +
+          "UPDATE other_ledger SET price = 1.0D WHERE _id = 1")
+      }
+      assert(mixed.getMessage.contains("ONE table"),
+        s"got: ${mixed.getMessage}")
     } finally {
       channel.shutdownNow()
       GraftServer.stop()
