@@ -596,6 +596,42 @@ object Llm {
         .select($"vec_id", r($"adist", 6).as("adist"))
     }),
 
+    // ADC shortlist + EXACT re-rank (the FAISS refine / ScaNN reorder
+    // read shape): the quantized scan proposes 30 candidates, the true
+    // cosine re-ranks them and keeps 10 — recall is bounded by
+    // shortlist membership, not code resolution (raw ADC tops out at
+    // ~0.70 recall@10 on the recall-spec corpus; refine measures 1.0).
+    // Raw vectors are point-looked-up for the 30 ids only
+    "q129_pq_refine" -> ((s, dir) => {
+      import s.implicits._
+      val e = embD(s, dir).select($"vec_id", $"v")
+      val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+      val cb = Similarity.pqCodebook(e, "vec_id", "v",
+        m = 8, k = 16, subDim = 8)
+      Similarity.pqAdcRefineTopK(e, "vec_id", "v", q, "qv", topK = 10,
+          shortlist = 30, codebook = cb, subDim = 8)
+        .select($"vec_id", r($"cos", 4).as("cos"))
+    }),
+
+    // the FULL production ANN read path: IVF cell restriction → PQ-ADC
+    // shortlist from byte codes → exact refine of 30 candidates
+    "q130_ivfpq_refine" -> ((s, dir) => {
+      import s.implicits._
+      val e = embD(s, dir).select($"vec_id", $"v")
+      val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+      val cents = Similarity.ivfCentroids(e, "vec_id", "v",
+        nCentroids = 16, idStride = 7)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "v", cents)
+        .select($"vec_id", $"cell")
+      val cb = Similarity.pqCodebook(e, "vec_id", "v",
+        m = 8, k = 16, subDim = 8)
+      val codes = Similarity.pqEncode(e, "vec_id", "v", cb, subDim = 8)
+      Similarity.ivfPqRefineTopK(assigned, "vec_id", codes, e, "v",
+          q, "qv", topK = 10, shortlist = 30, nProbe = 4,
+          cents, cb, subDim = 8)
+        .select($"vec_id", r($"cos", 4).as("cos"))
+    }),
+
     // BM25 ranking against a literal query ("hash join scan") — the
     // classic sparse retrieval scorer on top of the tf-idf machinery;
     // per-doc term scores folded in term order for a deterministic sum
@@ -898,10 +934,12 @@ object Llm {
     SELECT vec_id, floor(cos*10000 + 0.5)/10000 AS cos FROM top"""
   }
 
-  // trained-PQ oracle: replays both per-subspace Lloyd's iterations
-  // (argmin squared distance via the dot identity, ties to lower
-  // codeword; round-6 mean recentre), then the q111 ADC read path
-  // against the trained codebook
+  // trained-PQ oracle: replays the hash-sampled init (k seeds = the k
+  // smallest md5(id) — DuckDB's md5 of the decimal string agrees with
+  // Spark's) and both per-subspace Lloyd's iterations (argmin squared
+  // distance via the dot identity, ties to lower codeword; round-6
+  // mean recentre), then the q111 ADC read path against the trained
+  // codebook
   private val pqTrainedOracle: String = {
     def d2(a: String, b: String) =
       s"list_dot_product($a, $a) - 2*list_dot_product($a, $b) + list_dot_product($b, $b)"
@@ -923,9 +961,12 @@ object Llm {
     }.mkString(",\n")
     s"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cb0 AS (SELECT t.j, c.vec_id AS c, list_slice(c.v, t.j*8+1, (t.j+1)*8) AS w
-            FROM (SELECT vec_id, v FROM e WHERE vec_id < 16) c,
-                 generate_series(0, 7) AS t(j)),
+    cb0 AS (SELECT t.j, s.rn - 1 AS c, list_slice(s.v, t.j*8+1, (t.j+1)*8) AS w
+            FROM (SELECT v, row_number() OVER (
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                  FROM e) s,
+                 generate_series(0, 7) AS t(j)
+            WHERE s.rn <= 16),
     sub AS (SELECT e.vec_id, t.j, list_slice(e.v, t.j*8+1, (t.j+1)*8) AS sv
             FROM e, generate_series(0, 7) AS t(j)),
     $iters,
@@ -1497,6 +1538,102 @@ object Llm {
             GROUP BY enc.vec_id)
       SELECT vec_id, floor(adist*1000000 + 0.5)/1000000 AS adist
       FROM a ORDER BY a.adist, vec_id LIMIT 10""",
+
+    // q111's ADC CTEs with LIMIT 30 → exact cosine re-rank of the
+    // shortlist (the refine tail)
+    "q129_pq_refine" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cb AS (SELECT t.j, c.vec_id AS c,
+                    list_slice(c.v, t.j*8+1, (t.j+1)*8) AS w
+             FROM (SELECT vec_id, v FROM e WHERE vec_id < 16) c,
+                  generate_series(0, 7) AS t(j)),
+      d AS (SELECT vec_id, j, c,
+                   list_dot_product(sv, sv) - 2*list_dot_product(sv, w)
+                     + list_dot_product(w, w) AS dist
+            FROM (SELECT e.vec_id, cb.j, cb.c, cb.w,
+                         list_slice(e.v, cb.j*8+1, (cb.j+1)*8) AS sv
+                  FROM e, cb) AS sub),
+      enc AS (SELECT vec_id, j, c FROM (
+                SELECT vec_id, j, c,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY dist, c) AS rn
+                FROM d) WHERE rn = 1),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      dt AS (SELECT j, c,
+                    list_dot_product(sq, sq) - 2*list_dot_product(sq, w)
+                      + list_dot_product(w, w) AS dj
+             FROM (SELECT cb.j, cb.c, cb.w,
+                          list_slice(q.qv, cb.j*8+1, (cb.j+1)*8) AS sq
+                   FROM cb, q) AS qsub),
+      a AS (SELECT enc.vec_id,
+                   list_sum(array_agg(dt.dj ORDER BY enc.j)) AS adist
+            FROM enc JOIN dt ON enc.j = dt.j AND enc.c = dt.c
+            GROUP BY enc.vec_id),
+      short AS (SELECT vec_id FROM a ORDER BY adist, vec_id LIMIT 30),
+      top AS (SELECT e.vec_id,
+                     list_dot_product(e.v, q.qv) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(q.qv, q.qv))) AS cos
+              FROM e JOIN short USING (vec_id) CROSS JOIN q
+              ORDER BY cos DESC, e.vec_id LIMIT 10)
+      SELECT vec_id, floor(cos*10000 + 0.5)/10000 AS cos FROM top""",
+
+    // q121's CTEs with LIMIT 30 → exact cosine re-rank of the shortlist
+    "q130_ivfpq_refine" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cents AS (SELECT CAST(vec_id // 7 AS BIGINT) AS cid, v AS cv
+                FROM e WHERE vec_id % 7 = 0 AND vec_id // 7 < 16),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      assign AS (
+        SELECT vec_id, v, cid FROM (
+          SELECT e.vec_id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.v, c.cv) /
+                     (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                   DESC, c.cid) AS rn
+          FROM e CROSS JOIN cents c)
+        WHERE rn = 1),
+      probes AS (
+        SELECT cid FROM (
+          SELECT c.cid,
+                 list_dot_product(q.qv, c.cv) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+          FROM q CROSS JOIN cents c
+          ORDER BY ccos DESC, c.cid LIMIT 4)),
+      cand AS (SELECT a.vec_id, a.v FROM assign a JOIN probes p ON a.cid = p.cid),
+      cb AS (SELECT t.j, c.vec_id AS c,
+                    list_slice(c.v, t.j*8+1, (t.j+1)*8) AS w
+             FROM (SELECT vec_id, v FROM e WHERE vec_id < 16) c,
+                  generate_series(0, 7) AS t(j)),
+      d AS (SELECT vec_id, j, c,
+                   list_dot_product(sv, sv) - 2*list_dot_product(sv, w)
+                     + list_dot_product(w, w) AS dist
+            FROM (SELECT cand.vec_id, cb.j, cb.c, cb.w,
+                         list_slice(cand.v, cb.j*8+1, (cb.j+1)*8) AS sv
+                  FROM cand, cb) AS sub),
+      enc AS (SELECT vec_id, j, c FROM (
+                SELECT vec_id, j, c,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY dist, c) AS rn
+                FROM d) WHERE rn = 1),
+      dt AS (SELECT j, c,
+                    list_dot_product(sq, sq) - 2*list_dot_product(sq, w)
+                      + list_dot_product(w, w) AS dj
+             FROM (SELECT cb.j, cb.c, cb.w,
+                          list_slice(q.qv, cb.j*8+1, (cb.j+1)*8) AS sq
+                   FROM cb, q) AS qsub),
+      a AS (SELECT enc.vec_id,
+                   list_sum(array_agg(dt.dj ORDER BY enc.j)) AS adist
+            FROM enc JOIN dt ON enc.j = dt.j AND enc.c = dt.c
+            GROUP BY enc.vec_id),
+      short AS (SELECT vec_id FROM a ORDER BY adist, vec_id LIMIT 30),
+      top AS (SELECT e.vec_id,
+                     list_dot_product(e.v, q.qv) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(q.qv, q.qv))) AS cos
+              FROM e JOIN short USING (vec_id) CROSS JOIN q
+              ORDER BY cos DESC, e.vec_id LIMIT 10)
+      SELECT vec_id, floor(cos*10000 + 0.5)/10000 AS cos FROM top""",
 
     "q51_multimodal" -> """
       SELECT doc_id,

@@ -129,6 +129,43 @@ class SimilarityRecallSpec extends AnyFunSuite {
       f"trained codebook ($rt%.3f) regressed vs borrowed ($rb%.3f)")
   }
 
+  test("PQ refine (ADC shortlist + exact re-rank) recall@10 >= 0.85") {
+    // the production answer to raw ADC's resolution ceiling (measured
+    // ~0.70 at m=4/k=16 — more Lloyd's iterations do NOT raise it, the
+    // quantizer is converged): re-rank the 3k-candidate shortlist with
+    // the true cosine. Recall is then bounded by shortlist membership
+    val m = 4; val kCodes = 16; val subDim = dim / m
+    val cb = Similarity.pqTrain(corpus, "id", "v", m, kCodes, subDim,
+      iters = 3).cache()
+    val r = avgRecall { q =>
+      Similarity.pqAdcRefineTopK(corpus, "id", "v", qDf(q), "qv", k10,
+        shortlist = 3 * k10, codebook = cb, subDim = subDim)
+    }
+    info(f"pq refine recall@10 = $r%.3f")
+    assert(r >= 0.85, f"PQ refine recall $r%.3f below floor")
+    cb.unpersist()
+  }
+
+  test("composed IVF-PQ refine recall@10 >= 0.85 (the full read path)") {
+    val m = 4; val kCodes = 16; val subDim = dim / m
+    val cents = Similarity.ivfTrain(corpus, "id", "v",
+      nCentroids = nClusters, dim = dim, iters = 3,
+      idStride = perCluster.toLong)
+    val assigned = Similarity.ivfAssign(corpus, "id", "v", cents)
+      .select(col("id"), col("cell")).cache()
+    val cb = Similarity.pqTrain(corpus, "id", "v", m, kCodes, subDim,
+      iters = 3).cache()
+    val codes = Similarity.pqEncode(corpus, "id", "v", cb, subDim).cache()
+    val r = avgRecall { q =>
+      Similarity.ivfPqRefineTopK(assigned, "id", codes, corpus, "v",
+        qDf(q), "qv", k10, shortlist = 3 * k10, nProbe = 4,
+        cents, cb, subDim)
+    }
+    info(f"ivf-pq refine recall@10 (4-probe) = $r%.3f")
+    assert(r >= 0.85, f"composed IVF-PQ refine recall $r%.3f below floor")
+    assigned.unpersist(); cb.unpersist(); codes.unpersist()
+  }
+
   test("composed IVF-PQ recall@10 >= 0.4 (both approximations stacked)") {
     // the 100 TB read path loses recall to BOTH the cell restriction
     // and the code quantization; with trained quantizers it must still
