@@ -55,22 +55,27 @@ object BitemporalDml {
   private def portionOf(m: java.util.regex.Matcher, a: Int, b: Int) =
     Option(m.group(a)).map(f => Portion(f, m.group(b)))
 
-  /** Split on a top-level separator (parens and single-quoted strings
-    * are respected) — `,` for SET lists, `;` for statement batches. */
+  /** Split on a top-level separator — `,` for SET lists, `;` for
+    * statement batches. Parens nest; separators inside string literals,
+    * quoted identifiers and comments ([[SqlText]] spans) don't split —
+    * a `;` in `-- a comment` or inside `'a;b'` stays put. */
   private[graft] def splitTopLevel(s: String, sep: Char = ','): Seq[String] = {
+    val spans = SqlText.maskedSpans(s)
     val out = Seq.newBuilder[String]
-    var depth = 0; var inStr = false; var start = 0
+    var depth = 0; var start = 0
     var i = 0
     while (i < s.length) {
-      s.charAt(i) match {
-        case '\'' => inStr = !inStr
-        case '(' if !inStr => depth += 1
-        case ')' if !inStr => depth -= 1
-        case c if c == sep && !inStr && depth == 0 =>
-          out += s.substring(start, i); start = i + 1
-        case _ =>
+      if (SqlText.masked(spans, i)) i += 1
+      else {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case c if c == sep && depth == 0 =>
+            out += s.substring(start, i); start = i + 1
+          case _ =>
+        }
+        i += 1
       }
-      i += 1
     }
     out += s.substring(start)
     out.result().map(_.trim).filter(_.nonEmpty)

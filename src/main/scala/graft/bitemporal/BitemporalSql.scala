@@ -82,34 +82,6 @@ object BitemporalSql {
     }
   }
 
-  /** Offsets (inclusive start, exclusive end) of every quoted literal
-    * in `q` — single- or double-quoted, honoring doubled-quote and
-    * backslash escapes (both accepted by Spark's default lexer). Keeps
-    * stage 1's clause rewrite out of string literals. */
-  private def literalSpans(q: String): Seq[(Int, Int)] = {
-    val spans = Seq.newBuilder[(Int, Int)]
-    var i = 0
-    while (i < q.length) {
-      val c = q.charAt(i)
-      if (c == '\'' || c == '"') {
-        val quote = c
-        val start = i
-        i += 1
-        var closed = false
-        while (i < q.length && !closed) {
-          val d = q.charAt(i)
-          if (d == '\\') i += 2
-          else if (d == quote) {
-            if (i + 1 < q.length && q.charAt(i + 1) == quote) i += 2 // '' escape
-            else { closed = true; i += 1 }
-          } else i += 1
-        }
-        spans += ((start, i))
-      } else i += 1
-    }
-    spans.result()
-  }
-
   /** Run `query` with temporal-clause sugar over the given bitemporal
     * rectangle tables (e.g. a folded [[TxLog]] base). Tables referenced
     * WITHOUT a temporal clause are served at the current basis.
@@ -146,8 +118,11 @@ object BitemporalSql {
     // match replaces at ITS OWN position (appendReplacement) — a plain
     // text replace would also rewrite a same-text PREFIX inside a
     // longer two-clause reference of the same table, leaving a dangling
-    // clause fragment behind.
-    val spans = literalSpans(query0)
+    // clause fragment behind. Masked spans ([[SqlText]]) cover string
+    // literals AND comments/quoted identifiers, so a clause spelled
+    // inside `-- a comment` or a `"SYSTEM_TIME"` identifier never
+    // triggers the rewrite.
+    val spans = SqlText.maskedSpans(query0)
     val placeholders = scala.collection.mutable.Map
       .empty[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
     val m = tableWithClauses.matcher(query0)
@@ -207,6 +182,26 @@ object BitemporalSql {
                 PlanBridge.logicalPlan(Bitemporal.currentState(rects)))
             }
           }.getOrElse(u)
+        // Spark's NATIVE time-travel spelling (`t TIMESTAMP AS OF ts`,
+        // the one temporal clause Spark 4's grammar parses itself)
+        // resolved at the PLAN level for registered tables: system time
+        // as of ts, valid time current — the same defaulting as the
+        // SQL:2011 `FOR SYSTEM_TIME AS OF` spelling. Version-based
+        // travel and shadowed/unregistered names fall through to Spark.
+        case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+          (tt.relation match {
+            case u: UnresolvedRelation
+              if u.multipartIdentifier.size == 1 && tt.version.isEmpty &&
+                tt.timestamp.isDefined &&
+                !shadowed.contains(u.multipartIdentifier.head.toLowerCase) =>
+              byLower.get(u.multipartIdentifier.head.toLowerCase)
+                .map { case (name, rects) =>
+                  val t = PlanBridge.column(tt.timestamp.get).cast("timestamp")
+                  SubqueryAlias(name, PlanBridge.logicalPlan(
+                    filtered(rects, AsOf(current_timestamp()), AsOf(t))))
+                }
+            case _ => None
+          }).getOrElse(tt)
         case other =>
           other.mapChildren(splice(_, shadowed))
             .transformExpressionsUp {

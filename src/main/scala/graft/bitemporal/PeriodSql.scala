@@ -154,14 +154,15 @@ object PeriodSql {
   }
 
   /** Expand every period predicate in `query` to plain SQL comparisons;
-    * text inside quoted literals passes through untouched. Idempotent
-    * on queries without period predicates. */
+    * text inside quoted literals, quoted identifiers and comments
+    * ([[SqlText]] spans) passes through untouched. Idempotent on
+    * queries without period predicates. */
   def expand(query: String): String = {
     val out = new StringBuilder
     var i = 0
-    var literals = literalSpansOf(query)
+    val literals = SqlText.maskedSpans(query)
     while (i < query.length) {
-      val inLiteral = literals.exists(s => i >= s._1 && i < s._2)
+      val inLiteral = SqlText.masked(literals, i)
       // operands only start at a word boundary: mid-identifier offsets
       // (MY_APPLICATION_TIME, USER_PERIOD(...)) must not half-match
       val atBoundary = i == 0 || {
@@ -196,26 +197,4 @@ object PeriodSql {
     out.toString
   }
 
-  /** Quote spans, shared shape with [[BitemporalSql]]'s tokenizer. */
-  private def literalSpansOf(q: String): Seq[(Int, Int)] = {
-    val spans = Seq.newBuilder[(Int, Int)]
-    var i = 0
-    while (i < q.length) {
-      val c = q.charAt(i)
-      if (c == '\'' || c == '"') {
-        val quote = c; val start = i; i += 1
-        var closed = false
-        while (i < q.length && !closed) {
-          val d = q.charAt(i)
-          if (d == '\\') i += 2
-          else if (d == quote) {
-            if (i + 1 < q.length && q.charAt(i + 1) == quote) i += 2
-            else { closed = true; i += 1 }
-          } else i += 1
-        }
-        spans += ((start, i))
-      } else i += 1
-    }
-    spans.result()
-  }
 }

@@ -26,6 +26,13 @@ object PlanBridge {
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.logical
+
+  /** Wrap a (possibly unresolved) Catalyst expression as a Column —
+    * used to carry a parsed time-travel timestamp expression into a
+    * DataFrame filter, where analysis resolves it in context. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
 }
 
 object ConfBridge {

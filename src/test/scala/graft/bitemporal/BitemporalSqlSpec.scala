@@ -268,4 +268,59 @@ class BitemporalSqlSpec extends AnyFunSuite {
     assert(out(0).getString(0) == "prices FOR SYSTEM_TIME AS OF '2020-01-01'")
     assert(out(0).getLong(1) == 2L) // the REAL clause still applied
   }
+
+  test("comments with apostrophes don't derail the clause rewrite") {
+    // the old per-file literal scanner had no comment lexing: the
+    // apostrophe in `don't` opened a phantom string span that swallowed
+    // the REAL clause after it, silently serving the current basis
+    val out = BitemporalSql.sql(spark,
+      s"""SELECT _id, price -- don't travel? yes, travel
+          FROM prices FOR SYSTEM_TIME AS OF '${ts(120)}'
+          /* block comment, can't break it,
+             /* nested as Spark allows */ still inside */
+          ORDER BY _id""",
+      Map("prices" -> rects)).collect().map(_.toSeq).toSeq
+    assert(out == Seq(Seq(1L, 10.0))) // the ts(120) clause DID apply
+  }
+
+  test("a clause spelled inside a comment is never applied") {
+    val out = BitemporalSql.sql(spark,
+      s"""SELECT _id, price
+          FROM prices
+          -- FOR SYSTEM_TIME AS OF '${ts(120)}'
+          ORDER BY _id""",
+      Map("prices" -> rects)).collect().map(_.toSeq).toSeq
+    // commented clause ignored: CURRENT basis (both ids, id1 at 20)
+    assert(out == Seq(Seq(1L, 20.0), Seq(2L, 99.0)))
+  }
+
+  test("native TIMESTAMP AS OF spelling resolves at the plan level") {
+    // Spark's own time-travel grammar (no graft text rewrite involved:
+    // the parser produces RelationTimeTravel, splice resolves it) —
+    // system time as of ts, valid time current, same defaulting as the
+    // SQL:2011 spelling
+    val out = BitemporalSql.sql(spark,
+      s"SELECT _id, price FROM prices TIMESTAMP AS OF '${ts(120)}' ORDER BY _id",
+      Map("prices" -> rects)).collect().map(_.toSeq).toSeq
+    assert(out == Seq(Seq(1L, 10.0)))
+
+    // and a CTE of the same name still shadows it
+    val shadowed = BitemporalSql.sql(spark,
+      s"""WITH prices AS (SELECT 7 AS seven)
+          SELECT seven FROM prices""",
+      Map("prices" -> rects)).collect()
+    assert(shadowed.map(_.getInt(0)).toSeq == Seq(7))
+  }
+
+  test("temporal clause inside a nested CTE body is rewritten") {
+    val out = BitemporalSql.sql(spark,
+      s"""WITH outer_cte AS (
+            WITH inner_cte AS (
+              SELECT _id, price
+              FROM prices FOR SYSTEM_TIME AS OF '${ts(120)}')
+            SELECT * FROM inner_cte)
+          SELECT _id, price FROM outer_cte ORDER BY _id""",
+      Map("prices" -> rects)).collect().map(_.toSeq).toSeq
+    assert(out == Seq(Seq(1L, 10.0)))
+  }
 }

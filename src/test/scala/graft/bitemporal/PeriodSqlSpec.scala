@@ -74,6 +74,35 @@ class PeriodSqlSpec extends AnyFunSuite {
     assert(e(q) == q)
   }
 
+  test("predicates inside comments pass through; after comments expand") {
+    // in a line comment (note the apostrophe BEFORE it — the comment
+    // lexer must not let `don't` open a phantom literal either)
+    val q1 = """SELECT 'don''t' AS s FROM t
+      -- t.SYSTEM_TIME CONTAINS TIMESTAMP '2020-01-01'
+      WHERE t.APPLICATION_TIME OVERLAPS u.APPLICATION_TIME"""
+    val x1 = e(q1)
+    assert(x1.contains("-- t.SYSTEM_TIME CONTAINS TIMESTAMP '2020-01-01'"),
+      "commented predicate stayed verbatim")
+    assert(x1.contains("(t._valid_from < u._valid_to AND u._valid_from < t._valid_to)"),
+      "the real predicate after the comment still expanded")
+    // in a nested block comment
+    val q2 = """SELECT 1 FROM t /* a /* nested */ comment with
+      t.SYSTEM_TIME CONTAINS TIMESTAMP '2020' */
+      WHERE PERIOD(a, b) PRECEDES PERIOD(c, d)"""
+    val x2 = e(q2)
+    assert(x2.contains("t.SYSTEM_TIME CONTAINS TIMESTAMP '2020' */"))
+    assert(x2.contains("((b) <= (c))"))
+  }
+
+  test("period keywords as quoted identifiers / aliases pass through") {
+    // backtick-quoted identifier spelled like the period word
+    val q1 = "SELECT `SYSTEM_TIME` FROM t WHERE `SYSTEM_TIME` = 1"
+    assert(e(q1) == q1)
+    // a column ALIASED to the period word (no predicate verb follows)
+    val q2 = "SELECT _valid_from AS application_time FROM t ORDER BY application_time"
+    assert(e(q2) == q2)
+  }
+
   test("every predicate form agrees with the Periods Column algebra") {
     import org.apache.spark.sql.functions._
     import graft.ra.Periods
