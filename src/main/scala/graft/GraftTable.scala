@@ -85,21 +85,96 @@ final class GraftTable(spark: SparkSession, dir: String,
   def current(): DataFrame = Bitemporal.currentState(rectangles())
 
   /** The reference's `entity` lookup: one id's document at a basis
-    * (defaults to now/now), None when not visible. The id filter lands
-    * on the rectangle scan (sargable), so this is a pruned point read,
-    * not a table scan. */
+    * (defaults to now/now), None when not visible. Reads ONLY the files
+    * whose chunk metadata says they can contain the id (the reference's
+    * metadata-driven scan planning, `core2.metadata`): per-file `_id`
+    * min/max from the parquet footers — computed once per immutable
+    * file, cached driver-side — decide the file list BEFORE Spark ever
+    * lists the table, and the id filter still lands sargable on the
+    * scan for row-group pruning within the chosen files. */
   def entity(id: Long,
              validTime: Option[Timestamp] = None,
              systemTime: Option[Timestamp] = None): Option[org.apache.spark.sql.Row] = {
     val vt = validTime.map(lit(_)).getOrElse(current_timestamp())
     val st = systemTime.map(lit(_)).getOrElse(current_timestamp())
-    val rows = Bitemporal.asOf(rectangles().filter(col("_id") === id), vt, st)
+    val rows = Bitemporal.asOf(entityRectangles(id).filter(col("_id") === id), vt, st)
       .limit(2).collect()
     require(rows.length <= 1,
       s"entity $id: ${rows.length} rectangles visible at one basis — " +
         "overlapping valid intervals in the log")
     rows.headOption
   }
+
+  // ---- metadata-driven file pruning (the default point-read path) ----
+
+  /** Per-file `_id` (min, max) from parquet footers, cached: part files
+    * are immutable once committed (every write lands new names), so an
+    * entry never invalidates; only files not yet seen pay the footer
+    * pass. */
+  private val idRangeCache =
+    scala.collection.mutable.Map.empty[String, (Long, Long)]
+
+  /** The part files under `paths` that can contain `id` per their
+    * footer `_id` stats. Files without usable stats are kept (never
+    * prune on absence of evidence). */
+  private def covering(paths: Seq[String], id: Long): Seq[String] = {
+    if (paths.isEmpty) return Nil
+    val parts = graft.bitemporal.ChunkMetadata.files(spark, paths)
+    val missing = parts.filterNot(idRangeCache.contains)
+    if (missing.nonEmpty) {
+      graft.bitemporal.ChunkMetadata.forPaths(spark, missing)
+        .filter(col("column") === "_id" &&
+          col("min").isNotNull && col("max").isNotNull)
+        .groupBy("file")
+        .agg(min(col("min").cast("long")).as("mn"),
+          max(col("max").cast("long")).as("mx"))
+        .collect()
+        .foreach(r => idRangeCache(r.getString(0)) =
+          (r.getLong(1), r.getLong(2)))
+      missing.filterNot(idRangeCache.contains)
+        .foreach(f => idRangeCache(f) = (Long.MinValue, Long.MaxValue))
+    }
+    parts.filter { f =>
+      val (mn, mx) = idRangeCache(f); mn <= id && id <= mx
+    }
+  }
+
+  /** Rectangles for ONE id, from the minimal file set: an id untouched
+    * since the last compaction reads just the base files covering it
+    * (usually one — the base is `(_sys_date, _id)`-clustered); a
+    * touched id re-folds its full history from the log files covering
+    * it. Same per-id semantics as [[TxLog.readAll]]. */
+  private def entityRectangles(id: Long): DataFrame = {
+    def none = rectangles().filter(lit(false)) // schema-only, no scan
+    def foldPruned(parts: Seq[String]): DataFrame =
+      if (parts.isEmpty) none
+      else {
+        val df = spark.read.option("mergeSchema", "true").parquet(parts: _*)
+        // schemaless edge: if the id's files predate a payload column,
+        // the pruned union lacks it — fall back to the full read where
+        // mergeSchema over the whole log supplies the type
+        if (payloadCols.forall(df.columns.contains))
+          Bitemporal.fold(df, payloadCols)
+        else rectangles()
+      }
+    val logDirs = log.txFiles().map(_.toString)
+    if (lastCompacted < 0) foldPruned(covering(logDirs, id))
+    else if (covering(log.txFilesAfter(lastCompacted).map(_.toString), id)
+        .nonEmpty)
+      foldPruned(covering(logDirs, id))
+    else {
+      val baseDir = java.nio.file.Paths.get(dir, "base").toString
+      val baseParts = covering(Seq(baseDir), id)
+      if (baseParts.isEmpty) none
+      else spark.read.option("basePath", baseDir).parquet(baseParts: _*)
+        .drop("_sys_date")
+    }
+  }
+
+  /** The files a point read of `id` would open — the observable for
+    * pruning tests. */
+  private[graft] def entityScanFiles(id: Long): Seq[String] =
+    entityRectangles(id).inputFiles.toSeq
 
   /** Valid-time history as believed at `systemTime`. */
   def history(systemTime: Timestamp): DataFrame =

@@ -48,21 +48,27 @@ object ChunkMetadata {
     // has_bloom OR dict_encoded
     StructField("dict_encoded", BooleanType, nullable = false)))
 
+  /** Every parquet file under `paths` (files or directories,
+    * recursively), in the exact path form the `file` column uses. */
+  def files(spark: SparkSession, paths: Seq[String]): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      listParquet(path.getFileSystem(conf), path)
+    }
+  }
+
   /** Metadata rows for every parquet file under `paths` (files or
     * directories, recursively). Listing goes through the Hadoop
     * FileSystem API (works on HDFS/S3/local alike, same as the footer
     * reads); names-only on the driver, footers read executor-side. */
   def forPaths(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val files = paths.flatMap { p =>
-      val path = new org.apache.hadoop.fs.Path(p)
-      listParquet(path.getFileSystem(conf), path)
-    }
+    val fileList = files(spark, paths)
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
     val rows = spark.sparkContext
-      .parallelize(files, math.max(1, math.min(files.size, 32)))
+      .parallelize(fileList, math.max(1, math.min(fileList.size, 32)))
       .flatMap { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f), confBc.value.value)

@@ -71,6 +71,12 @@ final class TxLog(val dir: String) {
 
   def nextTxId(): Long = claimedTxIds().maxOption.fold(0L)(_ + 1L)
 
+  /** Committed tx files with id strictly greater than `afterTx`. */
+  def txFilesAfter(afterTx: Long): Seq[Path] =
+    txFiles().filter(p =>
+      p.getFileName.toString.stripPrefix("tx_").stripSuffix(".parquet")
+        .toLong > afterTx)
+
   /** Append one transaction. `ops` must carry `_op, _id, _valid_from,
     * _valid_to` + payload columns; `_tx_id`/`_system_from` are assigned
     * here (monotonic id, caller-supplied system time for deterministic

@@ -230,6 +230,57 @@ class GraftTableSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("entity consults chunk metadata: point read opens only covering files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_metaprune").toString
+    val t = new GraftTable(spark, dir, Seq("price"))
+    val rows = spark.range(4000).select($"id", ($"id" * 1.0).as("price"))
+    t.put(rows, $"id", lit("2020-01-01").cast("timestamp"), None,
+      Seq("price" -> $"price"), ts("2024-01-01 00:00:00"))
+    val keys = Seq("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val old = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "4096"))
+    try t.compact()
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // a tail tx AFTER compaction touching ONE unrelated id
+    t.put(rows.filter($"id" === 3999), $"id",
+      lit("2021-01-01").cast("timestamp"), None,
+      Seq("price" -> ($"price" + 1)), ts("2024-01-02 00:00:00"))
+
+    val baseFiles = new java.io.File(s"$dir/base").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    assert(baseFiles.length > 1, "expected a multi-file clustered base")
+    val totalFiles = baseFiles.length +
+      new java.io.File(s"$dir/log").listFiles().length
+
+    // untouched id: the read consults the footer metadata FIRST and
+    // opens only the base file(s) whose _id range covers it — never
+    // the log tail, and fewer files than the table has
+    val opened = t.entityScanFiles(1234L)
+    assert(opened.nonEmpty)
+    assert(opened.forall(_.contains("/base/")),
+      s"untouched id must be served from base only, opened: $opened")
+    assert(opened.size < baseFiles.length,
+      s"metadata pruning opened ${opened.size} of ${baseFiles.length} " +
+        "base files — no pruning happened")
+    assert(t.entity(1234L).map(_.getAs[Double]("price")) == Some(1234.0))
+
+    // touched id: full history re-fold, but STILL only the log files
+    // covering the id (both txs here), never the whole table
+    val openedTouched = t.entityScanFiles(3999L)
+    assert(openedTouched.exists(_.contains("/log/")))
+    assert(openedTouched.size < totalFiles)
+    assert(t.entity(3999L).map(_.getAs[Double]("price")) == Some(3999.0 + 1))
+
+    // absent id beyond every file's range: zero files opened
+    assert(t.entityScanFiles(999999L).isEmpty)
+    assert(t.entity(999999L).isEmpty)
+  }
+
   test("exportArrowChunks: rectangle history round-trips through arrow") {
     val dir = java.nio.file.Files.createTempDirectory("graft_export").toString
     val t = new GraftTable(spark, dir, Seq("price"))
