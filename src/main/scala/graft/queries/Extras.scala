@@ -282,6 +282,31 @@ object Extras {
       out
     }),
 
+    // UNION-distinct recursion — the spelling Spark's analyzer rejects
+    // (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) but standard SQL (and
+    // DuckDB) accept, and the only one that terminates on a CYCLE:
+    // reachability over a 5-cycle (0→5→10→15→20→0). Routed through
+    // RA.fixpoint at the plan level (graft.ra.RecursiveSql); DuckDB
+    // runs the identical text natively
+    "q131_recursive_union" -> ((s, dir) => {
+      T(s, dir, "nation").createOrReplaceTempView("rcteu_nation")
+      val out = graft.ra.RecursiveSql.sql(s, """
+        WITH RECURSIVE
+        edges AS (
+          SELECT n_nationkey AS src, (n_nationkey + 5) % 25 AS dst
+          FROM rcteu_nation),
+        reach(node) AS (
+          SELECT CAST(0 AS BIGINT)
+          UNION
+          SELECT CAST(e.dst AS BIGINT)
+          FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node, n.n_name AS name
+        FROM reach JOIN rcteu_nation n ON n.n_nationkey = reach.node
+        ORDER BY node""")
+      s.catalog.dropTempView("rcteu_nation")
+      out
+    }),
+
     // the WRITE half of the §1.4 mapping: a heterogeneous VariantType
     // column (long | string per row) exports to an Arrow dense union
     // and reads back with its per-row runtime types intact — the full
@@ -671,6 +696,20 @@ object Extras {
         SELECT CAST(e.dst AS BIGINT), r.hops + 1
         FROM reach r JOIN edges e ON e.src = r.node)
       SELECT node, hops, n.n_name AS name
+      FROM reach JOIN nation n ON n.n_nationkey = reach.node
+      ORDER BY node""",
+
+    "q131_recursive_union" -> """
+      WITH RECURSIVE
+      edges AS (
+        SELECT n_nationkey AS src, (n_nationkey + 5) % 25 AS dst
+        FROM nation),
+      reach(node) AS (
+        SELECT CAST(0 AS BIGINT)
+        UNION
+        SELECT CAST(e.dst AS BIGINT)
+        FROM reach r JOIN edges e ON e.src = r.node)
+      SELECT node, n.n_name AS name
       FROM reach JOIN nation n ON n.n_nationkey = reach.node
       ORDER BY node""",
 
