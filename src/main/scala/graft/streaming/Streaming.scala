@@ -211,6 +211,26 @@ object Streaming {
     w.start()
   }
 
+  /** SQL confs for DURABLE keyed state: the RocksDB state store keeps
+    * each operator's state off-heap and snapshots it to the query's
+    * CHECKPOINT location, so a restarted query resumes with its
+    * cross-batch memory intact (the near-dup bucket sets, firstPerKey's
+    * seen-keys) instead of re-deriving from reprocessed input — and
+    * state size stops being bounded by executor heap (the default
+    * HDFS-backed provider keeps the full map on-heap per partition,
+    * which a 100 TB ingest's dedup state outgrows). Changelog
+    * checkpointing ships per-batch deltas instead of full snapshots —
+    * the right default for large state.
+    *
+    * Apply to the session before STARTING the query (the provider binds
+    * at query start):
+    * `Streaming.rocksDbStateConf.foreach { case (k, v) => spark.conf.set(k, v) }` */
+  val rocksDbStateConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   /** Drain all currently-available input through a streaming plan into
     * an in-memory table (test/dev sink), blocking until done. */
   def runAvailableToMemory(df: DataFrame, name: String,

@@ -195,6 +195,86 @@ class StreamingSpec extends AnyFunSuite {
     assert(oneBatch == batchCands)
   }
 
+  test("RocksDB state store: near-dup state survives a restart from checkpoint") {
+    import graft.llm.Dedup
+    val dir = Files.createTempDirectory("stream_rocks").toString
+    val ckpt = Files.createTempDirectory("stream_rocks_ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+
+    def drainOnce(): Unit = {
+      val q = Streaming.streamingNearDupCandidates(
+          Streaming.fileStream(spark, dir, sch, maxFilesPerTrigger = Some(1)),
+          "doc_id", "text")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => got.add((r.getLong(0), r.getLong(1)))): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    val old = Streaming.rocksDbStateConf.keys
+      .map(k => k -> spark.conf.getOption(k)).toSeq
+    Streaming.rocksDbStateConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // run 1: the first half of the corpus
+      Seq((1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "completely unrelated content about query engines and joins"))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+      drainOnce()
+      val afterRun1 = got.size()
+
+      // the state actually lives in RocksDB files under the checkpoint
+      // (changelog checkpointing => .changelog/.zip artifacts, not the
+      // HDFS provider's .delta/.snapshot)
+      val stateFiles = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(s"$ckpt/state"))
+      }
+      assert(stateFiles.exists(f => f.getName.endsWith(".changelog") ||
+          f.getName.endsWith(".zip")),
+        s"no RocksDB state artifacts under $ckpt/state: " +
+          stateFiles.map(_.getName).mkString(", "))
+
+      // run 2: a RESTARTED query (same checkpoint) sees the second half;
+      // the cross-RESTART pair (1, 11) is derivable only if run 1's
+      // bucket state was durably recovered
+      Seq((11L, "the quick brown fox jumps over the lazy dog today"),
+        (12L, "another unrelated body of words entirely different topic"))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+      drainOnce()
+
+      val streamed = got.iterator()
+      val pairs = scala.collection.mutable.Set.empty[(Long, Long)]
+      while (streamed.hasNext) pairs += streamed.next()
+      assert(pairs.contains((1L, 11L)),
+        s"cross-restart pair missed (state not recovered): $pairs")
+
+      // full parity with the batch LSH candidate set over all four docs
+      val docs = spark.read.parquet(dir)
+      val batchCands = Dedup.minhashCandidates(
+          Dedup.minhashSignature(
+            Dedup.hashedShingles(Dedup.shingles(docs, "doc_id", "text"), "doc_id"),
+            "doc_id", k = 16),
+          "doc_id", k = 16, bands = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.toSet == batchCands,
+        s"restart output $pairs != batch $batchCands (run1 emitted $afterRun1)")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("near-dup bucket state is hard-bounded under a hot bucket") {
     // 10 IDENTICAL docs -> identical signatures -> all land in the same
     // bucket per band. With maxBucketOccupancy = 4 each bucket's state
