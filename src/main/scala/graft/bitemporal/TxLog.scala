@@ -220,13 +220,21 @@ final class TxLog(val dir: String) {
   }
 
   /** Incremental compaction — write-path cost ∝ the TAIL, not the full
-    * history: ids untouched since `lastCompacted` keep their base
-    * rectangles verbatim (anti join on the tail's tiny id set); touched
-    * ids are re-folded from their FULL log history (erase included).
-    * The merged base writes to a temp dir and swaps in (the old base is
-    * an input of the plan — overwrite-in-place would read-while-write).
-    * Falls back to a full [[compact]] when there is no base yet.
-    * Returns the new compaction watermark (max folded tx id). */
+    * history, in BOTH compute and I/O: ids untouched since
+    * `lastCompacted` keep their base rectangles verbatim (anti join on
+    * the tail's tiny id set); touched ids are re-folded from their FULL
+    * log history (erase included); and only the AFFECTED `_sys_date`
+    * partitions are rewritten — a partition holding no touched id's
+    * rows keeps its files byte-for-byte (at 100 TB almost all of the
+    * base: a day's compaction rewrites the touched ids' history dates,
+    * not the table). Affected = partitions holding a touched id's old
+    * rows ∪ partitions the re-folded rectangles land in.
+    *
+    * The new partition contents write to a temp dir first (the old base
+    * is an input of the plan — overwrite-in-place would
+    * read-while-write), then swap in per partition directory. Falls
+    * back to a full [[compact]] when there is no base yet. Returns the
+    * new compaction watermark (max folded tx id). */
   def compactIncremental(spark: SparkSession, payloadCols: Seq[String],
                          lastCompacted: Long): Long = {
     val files = txFiles()
@@ -241,16 +249,32 @@ final class TxLog(val dir: String) {
       .parquet(files.map(_.toString): _*)
     val touched = all.filter(col("_tx_id") > lastCompacted)
       .select(col("_id").cast("long").as("_id")).distinct()
-    val untouched = readBase(spark).join(touched, Seq("_id"), "left_anti")
+    val base = readBase(spark)
     val refolded = Bitemporal.fold(
         all.join(touched, all("_id").cast("long") === touched("_id"), "left_semi"),
         payloadCols)
       .withColumn("_sys_date", to_date(col("_system_from")))
+    // the affected partition set is small by construction (the touched
+    // ids' history dates) — one driver-side collect of distinct dates
+    val affected: Seq[java.sql.Date] =
+      base.join(touched, Seq("_id"), "left_semi").select(col("_sys_date"))
+        .union(refolded.select(col("_sys_date")))
+        .distinct().collect().map(_.getDate(0)).toSeq
+    if (affected.isEmpty) return last // tail touched nothing visible
+    val untouchedInAffected = base
+      .filter(col("_sys_date").isin(affected: _*))
+      .join(touched, Seq("_id"), "left_anti")
     val tmp = Paths.get(dir, "base_tmp")
     TxLog.deleteRecursively(tmp.toFile)
-    writeBase(untouched.unionByName(refolded), tmp)
-    TxLog.deleteRecursively(baseDir.toFile)
-    Files.move(tmp, baseDir)
+    writeBase(untouchedInAffected.unionByName(refolded), tmp)
+    affected.foreach { d =>
+      val name = s"_sys_date=$d"
+      val dst = baseDir.resolve(name)
+      TxLog.deleteRecursively(dst.toFile) // a fully-erased partition just goes
+      val src = tmp.resolve(name)
+      if (Files.exists(src)) { Files.move(src, dst); () }
+    }
+    TxLog.deleteRecursively(tmp.toFile)
     last
   }
 

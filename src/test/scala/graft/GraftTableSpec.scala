@@ -281,6 +281,51 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.entity(999999L).isEmpty)
   }
 
+  test("incremental compaction rewrites ONLY affected _sys_date partitions") {
+    import graft.bitemporal.{TxLog, TxOps}
+    val dir = java.nio.file.Files.createTempDirectory("graft_partcompact").toString
+    val log = new TxLog(dir)
+    def put(ids: Seq[Long], sysTime: String, bump: Double = 0.0) = {
+      val rows = ids.toDF("id").select($"id", ($"id" * 1.0 + bump).as("price"))
+      log.append(TxOps.put(rows, $"id", lit("2020-01-01").cast("timestamp"),
+        None, Seq("price" -> $"price")), ts(sysTime))
+    }
+    // two system dates -> two base partitions
+    put(Seq(1L, 2L), "2024-01-01 00:00:00")
+    put(Seq(10L, 11L), "2024-01-02 00:00:00")
+    val lastFull = log.compact(spark, Seq("price"))
+    def partFiles(d: String): Map[String, Long] = {
+      val p = new java.io.File(s"$dir/base/_sys_date=$d")
+      Option(p.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val day1Before = partFiles("2024-01-01")
+    val day2Before = partFiles("2024-01-02")
+    assert(day1Before.nonEmpty && day2Before.nonEmpty)
+
+    // a tail tx on day 3 touching ONLY id 10 (whose history lives in
+    // the day-2 partition)
+    put(Seq(10L), "2024-01-03 00:00:00", bump = 100.0)
+    val lastInc = log.compactIncremental(spark, Seq("price"), lastFull)
+    assert(lastInc > lastFull)
+
+    // day-1 partition: byte-identical files (names AND mtimes) — the
+    // partition-scoped rewrite never touched it
+    assert(partFiles("2024-01-01") == day1Before,
+      "untouched partition was rewritten")
+    // day-2 rewritten (id 10's old rows closed), day-3 created
+    assert(partFiles("2024-01-02") != day2Before)
+    assert(partFiles("2024-01-03").nonEmpty)
+
+    // and the data is right: id 10 now 110.0, others untouched
+    val state = graft.bitemporal.Bitemporal
+      .currentState(log.readBase(spark).drop("_sys_date"))
+      .select($"_id", $"price").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state == Map(1L -> 1.0, 2L -> 2.0, 10L -> 110.0, 11L -> 11.0))
+  }
+
   test("exportArrowChunks: rectangle history round-trips through arrow") {
     val dir = java.nio.file.Files.createTempDirectory("graft_export").toString
     val t = new GraftTable(spark, dir, Seq("price"))
