@@ -599,6 +599,53 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("adist"))
   }
 
+  /** Batch exact-refine tail ([[pqAdcRefineTopK]]'s serving form): the
+    * qid-keyed ADC shortlist proposes `shortlist` candidates per query,
+    * the raw vectors are point-looked-up ONCE for the union of all
+    * shortlists (one id-keyed join, pruned by the storage layer's
+    * clustering/blooms), and the true cosine ranks per query via a
+    * qid-partitioned window — never a global sort, same contract as the
+    * other batch paths. */
+  def pqAdcRefineTopKBatch(codes: DataFrame, idCol: String,
+                           emb: DataFrame, vCol: String,
+                           queries: DataFrame, qidCol: String, qCol: String,
+                           topK: Int, shortlist: Int, codebook: DataFrame,
+                           subDim: Int): DataFrame = {
+    val short = pqAdcTopKBatch(codes, idCol, queries, qidCol, qCol,
+      shortlist, codebook, subDim).select(col(qidCol), col(idCol))
+    refineBatch(emb, idCol, vCol, short, queries, qidCol, qCol, topK)
+  }
+
+  /** Batch composed IVF-PQ with the exact-refine tail — the full
+    * production serving path: per-query probed cells → qid-keyed ADC
+    * shortlist from byte codes → one point-lookup of the shortlisted
+    * raw vectors → per-query exact re-rank. */
+  def ivfPqRefineTopKBatch(assigned: DataFrame, idCol: String,
+                           codes: DataFrame, emb: DataFrame, vCol: String,
+                           queries: DataFrame, qidCol: String, qCol: String,
+                           topK: Int, shortlist: Int, nProbe: Int,
+                           centroids: DataFrame, codebook: DataFrame,
+                           subDim: Int): DataFrame = {
+    val short = ivfPqTopKBatch(assigned, idCol, codes, queries, qidCol,
+      qCol, shortlist, nProbe, centroids, codebook, subDim)
+      .select(col(qidCol), col(idCol))
+    refineBatch(emb, idCol, vCol, short, queries, qidCol, qCol, topK)
+  }
+
+  private def refineBatch(emb: DataFrame, idCol: String, vCol: String,
+                          short: DataFrame, queries: DataFrame,
+                          qidCol: String, qCol: String,
+                          topK: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("cos").desc, col(idCol))
+    emb.join(broadcast(short), Seq(idCol))
+      .join(broadcast(queries), Seq(qidCol))
+      .withColumn("cos", cosine(col(vCol), col(qCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= topK)
+      .select(col(qidCol), col(idCol), col("cos"))
+  }
+
   /** Semantic decontamination: flag training vectors whose cosine to
     * ANY eval-set vector reaches `tau` — the embedding-space complement
     * of n-gram decontamination (exact-match grams miss paraphrases;

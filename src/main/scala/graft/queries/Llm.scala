@@ -560,6 +560,24 @@ object Llm {
         .orderBy($"qid", $"adist", $"vec_id")
     }),
 
+    // batch REFINE serving: the q126 qid-keyed ADC shortlist (30 per
+    // query) + ONE point-lookup of the union of shortlists + per-query
+    // exact re-rank — the full production serving path for a request
+    // batch, recall bounded by shortlist membership per query
+    "q132_pq_refine_batch" -> ((s, dir) => {
+      import s.implicits._
+      val e = embD(s, dir).select($"vec_id", $"v")
+      val qs = e.filter($"vec_id".isin(0L, 1L, 2L))
+        .select($"vec_id".as("qid"), $"v".as("qv"))
+      val cb = Similarity.pqCodebook(e, "vec_id", "v",
+        m = 8, k = 16, subDim = 8)
+      val codes = Similarity.pqEncode(e, "vec_id", "v", cb, subDim = 8)
+      Similarity.pqAdcRefineTopKBatch(codes, "vec_id", e, "v",
+          qs, "qid", "qv", topK = 5, shortlist = 30, cb, subDim = 8)
+        .select($"qid", $"vec_id", r($"cos", 4).as("cos"))
+        .orderBy($"qid", $"cos".desc, $"vec_id")
+    }),
+
     // semantic decontamination: embedding-space contamination audit
     // against a held-out eval set (every 50th vector) — the paraphrase-
     // catching complement of q96's exact n-gram decontamination. Exact
@@ -1416,6 +1434,54 @@ object Llm {
       SELECT qid, vec_id, floor(adist*1000000 + 0.5)/1000000 AS adist
       FROM rk WHERE rn <= 5
       ORDER BY qid, adist, vec_id""",
+
+    // q126's CTEs with a per-qid LIMIT-30 shortlist, re-ranked exactly
+    "q132_pq_refine_batch" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+      cb AS (SELECT t.j, c.vec_id AS c,
+                    list_slice(c.v, t.j*8+1, (t.j+1)*8) AS w
+             FROM (SELECT vec_id, v FROM e WHERE vec_id < 16) c,
+                  generate_series(0, 7) AS t(j)),
+      d AS (SELECT vec_id, j, c,
+                   list_dot_product(sv, sv) - 2*list_dot_product(sv, w)
+                     + list_dot_product(w, w) AS dist
+            FROM (SELECT e.vec_id, cb.j, cb.c, cb.w,
+                         list_slice(e.v, cb.j*8+1, (cb.j+1)*8) AS sv
+                  FROM e, cb) AS sub),
+      enc AS (SELECT vec_id, j, c FROM (
+                SELECT vec_id, j, c,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY dist, c) AS rn
+                FROM d) WHERE rn = 1),
+      dt AS (SELECT qid, j, c,
+                    list_dot_product(sq, sq) - 2*list_dot_product(sq, w)
+                      + list_dot_product(w, w) AS dj
+             FROM (SELECT qs.qid, cb.j, cb.c, cb.w,
+                          list_slice(qs.qv, cb.j*8+1, (cb.j+1)*8) AS sq
+                   FROM cb, qs) AS qsub),
+      a AS (SELECT dt.qid, enc.vec_id,
+                   list_sum(array_agg(dt.dj ORDER BY enc.j)) AS adist
+            FROM enc JOIN dt ON enc.j = dt.j AND enc.c = dt.c
+            GROUP BY dt.qid, enc.vec_id),
+      short AS (SELECT qid, vec_id FROM (
+                  SELECT qid, vec_id,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY adist, vec_id) AS rn
+                  FROM a) WHERE rn <= 30),
+      sc AS (SELECT s.qid, s.vec_id,
+                    list_dot_product(e.v, qs.qv) /
+                      (sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(qs.qv, qs.qv))) AS cos
+             FROM short s JOIN e ON e.vec_id = s.vec_id
+                          JOIN qs ON qs.qid = s.qid),
+      rk AS (SELECT qid, vec_id, cos,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos DESC, vec_id) AS rn
+             FROM sc)
+      SELECT qid, vec_id, floor(cos*10000 + 0.5)/10000 AS cos
+      FROM rk WHERE rn <= 5
+      ORDER BY qid, cos DESC, vec_id""",
 
     "q124_ann_batch" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -30,12 +30,22 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * [[RA.fixpointN]]'s / the datalog front end's job). */
 object RecursiveSql {
 
-  def sql(spark: SparkSession, query: String): DataFrame =
-    PlanBridge.parsePlan(spark, query) match {
+  def sql(spark: SparkSession, query: String): DataFrame = {
+    val plan = PlanBridge.parsePlan(spark, query)
+    rewritePlan(spark, plan).getOrElse(PlanBridge.ofRows(spark, plan))
+  }
+
+  /** Plan-level entry for delegating parsers ([[graft.server.GraftSqlParser]]):
+    * Some(compiled result) when `plan` is a WITH containing a
+    * UNION-distinct recursive CTE — the shape Spark's analyzer would
+    * reject — None otherwise (including native UNION ALL recursion,
+    * which must stay with Spark's UnionLoop). */
+  def rewritePlan(spark: SparkSession, plan: LogicalPlan): Option[DataFrame] =
+    plan match {
       case w: UnresolvedWith if w.cteRelations.exists { case (n, sa, _) =>
           isDistinctRecursive(n, sa) } =>
-        compile(spark, w)
-      case other => PlanBridge.ofRows(spark, other)
+        Some(compile(spark, w))
+      case _ => None
     }
 
   private def isDistinctRecursive(name: String, sa: SubqueryAlias): Boolean =

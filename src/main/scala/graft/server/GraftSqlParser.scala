@@ -24,6 +24,10 @@ import graft.bitemporal.BitemporalSql
   *     [[graft.GraftTable.dml]], stamped with the wall clock, and
   *     return a one-row `(tx_id)` relation — executed when the
   *     statement is parsed, exactly like DDL;
+  *   - `WITH RECURSIVE … UNION` (distinct — the spelling Spark's own
+  *     analyzer rejects) compiles onto [[graft.ra.RecursiveSql]]'s
+  *     fixpoint bridge, so remote SQL gets both standard recursion
+  *     spellings;
   *   - everything else goes verbatim to Spark's own parser.
   *
   * Re-entrancy: the graft rewrite itself parses the clause-stripped
@@ -48,13 +52,23 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     val tables = GraftServer.registered
-    if (GraftSqlParser.inRewrite.get() || tables.isEmpty)
-      return delegate.parsePlan(sqlText)
+    if (GraftSqlParser.inRewrite.get()) return delegate.parsePlan(sqlText)
+
+    // WITH RECURSIVE … UNION (distinct) — the recursion spelling
+    // Spark's analyzer rejects — compiles onto the fixpoint bridge, so
+    // a remote Connect client gets BOTH standard spellings. Native
+    // UNION ALL recursion and everything else pass through untouched.
+    def recursionBridged(plan: LogicalPlan): LogicalPlan =
+      graft.ra.RecursiveSql.rewritePlan(session, plan)
+        .map(PlanBridge.logicalPlan).getOrElse(plan)
+
+    if (tables.isEmpty) return recursionBridged(delegate.parsePlan(sqlText))
 
     val referenced = tables.keys.filter(n =>
       java.util.regex.Pattern.compile(s"(?i)\\b${java.util.regex.Pattern.quote(n)}\\b")
         .matcher(sqlText).find())
-    if (referenced.isEmpty) return delegate.parsePlan(sqlText)
+    if (referenced.isEmpty)
+      return recursionBridged(delegate.parsePlan(sqlText))
 
     if (dmlHead.matcher(sqlText).find()) {
       // A `;`-separated batch is ONE transaction (the reference's

@@ -159,6 +159,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q129/q130 (refine): shortlist broadcasts into the point-lookup, no cartesian with the corpus") {
+    // the exact tail reads raw vectors for the SHORTLIST only: the
+    // shortlist relation (3k rows) must broadcast into an id-keyed hash
+    // join against the corpus — a cartesian there would scan the raw
+    // vectors the quantized path exists to avoid. (q130's inner
+    // codes⋈candidates join may legitimately sort-merge — both sides
+    // are corpus-derived and shuffle by id at scale.)
+    Seq("q129_pq_refine", "q130_ivfpq_refine").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("q132 (batch refine): per-query windows, shortlist broadcast, never a global sort") {
+    val p = plan("q132_pq_refine_batch")
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q123 (semantic decontamination): eval side broadcasts, corpus never shuffles for it") {
     val p = plan("q123_semantic_decontaminate")
     // the full train×eval comparison is exact BY DESIGN (contamination

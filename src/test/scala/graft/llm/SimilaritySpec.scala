@@ -113,6 +113,37 @@ class SimilaritySpec extends AnyFunSuite {
           math.round(r.getAs[Double]("adist") * 1e9))).toSet
       assert(ipBatch(q) == single, s"ivf-pq batch diverged for qid $q")
     }
+    // REFINE tails: batch per qid == the single-query refine (both PQ
+    // and composed IVF-PQ)
+    val rfBatch = Similarity.pqAdcRefineTopKBatch(codes, "vec_id", e, "v",
+        qs, "qid", "qv", topK = 7, shortlist = 21, cb, subDim = 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(r => (r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet }
+    qids.foreach { q =>
+      val single = Similarity.pqAdcRefineTopK(e, "vec_id", "v",
+          e.filter($"vec_id" === q).select($"v".as("qv")), "qv", 7,
+          shortlist = 21, cb, subDim = 2)
+        .collect().map(r => (r.getAs[Long]("vec_id"),
+          math.round(r.getAs[Double]("cos") * 1e9))).toSet
+      assert(rfBatch(q) == single, s"pq refine batch diverged for qid $q")
+    }
+    val iprBatch = Similarity.ivfPqRefineTopKBatch(
+        assigned.select($"vec_id", $"cell"), "vec_id", codes, e, "v",
+        qs, "qid", "qv", topK = 7, shortlist = 21, nProbe = 3, cents, cb,
+        subDim = 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(r => (r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet }
+    qids.foreach { q =>
+      val single = Similarity.ivfPqRefineTopK(
+          assigned.select($"vec_id", $"cell"), "vec_id", codes, e, "v",
+          e.filter($"vec_id" === q).select($"v".as("qv")), "qv", 7,
+          shortlist = 21, nProbe = 3, cents, cb, subDim = 2)
+        .collect().map(r => (r.getAs[Long]("vec_id"),
+          math.round(r.getAs[Double]("cos") * 1e9))).toSet
+      assert(iprBatch(q) == single, s"ivf-pq refine batch diverged for qid $q")
+    }
     e.unpersist(); assigned.unpersist()
   }
 

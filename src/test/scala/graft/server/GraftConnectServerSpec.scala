@@ -128,6 +128,18 @@ class GraftConnectServerSpec extends AnyFunSuite {
       assert(run("SELECT _id, price FROM prices ORDER BY _id")
         == Seq(Seq[Any](1L, 11.0), Seq[Any](2L, 99.0), Seq[Any](3L, 30.0)))
 
+      // 6b. WITH RECURSIVE ... UNION (distinct) over the wire: the
+      // spelling Spark's analyzer rejects compiles onto the fixpoint
+      // bridge server-side — cyclic closure terminates
+      run("CREATE OR REPLACE TEMPORARY VIEW wire_edges AS " +
+        "SELECT * FROM VALUES (0, 5), (5, 10), (10, 0) AS t(src, dst)")
+      assert(run("""WITH RECURSIVE reach(node) AS (
+          SELECT 0
+          UNION
+          SELECT e.dst FROM reach r JOIN wire_edges e ON e.src = r.node)
+        SELECT node FROM reach ORDER BY node""")
+        == Seq(Seq(0), Seq(5), Seq(10)))
+
       // 7. a batch that targets the registered table but contains an
       // invalid statement surfaces the GRAFT parse error (statement
       // index + cause), not Spark's misleading TABLE_OR_VIEW_NOT_FOUND
