@@ -81,5 +81,37 @@ class UserJourneySpec extends AnyFunSuite {
     val paths = t.exportArrowChunks(outDir)
     val back = graft.sources.ArrowSource.read(spark, paths)
     assert(back.count() == t.rectangles().count())
+
+    // 7. the write side is safe against races and bad transactions:
+    //    a tx with overlapping writes on one id fails BEFORE being
+    //    acknowledged, leaving the table exactly as it was
+    val before = t.current().count()
+    intercept[IllegalArgumentException] {
+      t.dmlTx("prices", Seq(
+        "UPDATE prices SET price = CAST(1.0 AS DOUBLE) WHERE _id = 5",
+        "UPDATE prices SET price = CAST(2.0 AS DOUBLE) WHERE _id = 5"),
+        ts("2024-04-01 00:00:00"))
+    }
+    assert(t.current().count() == before)
+
+    // 8. native Spark time-travel spelling over the same table (plan-
+    //    level resolution — no graft text rewrite involved)
+    val nativeTT = t.sql("prices",
+      """SELECT price FROM prices TIMESTAMP AS OF '2024-02-15 00:00:00'
+         WHERE _id = 1""").head().getDouble(0)
+    assert(nativeTT == 2.0)
+
+    // 9. a recursive UNION-distinct closure over data DERIVED from the
+    //    table — the SQL spelling Spark alone rejects
+    t.current().select(($"_id" % 5).as("src"), (($"_id" + 1) % 5).as("dst"))
+      .distinct().createOrReplaceTempView("journey_edges")
+    val reach = graft.ra.RecursiveSql.sql(spark, """
+      WITH RECURSIVE r(node) AS (
+        SELECT CAST(0 AS BIGINT)
+        UNION
+        SELECT e.dst FROM r JOIN journey_edges e ON e.src = r.node)
+      SELECT count(*) AS n FROM r""").head().getLong(0)
+    assert(reach == 5) // the 0→1→2→3→4→0 cycle closes, and terminates
+    spark.catalog.dropTempView("journey_edges")
   }
 }
