@@ -294,20 +294,54 @@ object RA {
       while (!done && i < maxIter) {
         val derived = step(accs, deltas)
         require(derived.length == accs.length, "fixpointN: step arity mismatch")
-        val next = accs.zip(derived).map { case (accOpt, dOpt) =>
-          dOpt.flatMap { d =>
-            // pre-distinct is deliberate (see [[fixpoint]]): dedup before
-            // the EXCEPT anti join, not only after it. Checkpoint +
-            // convergence probe in ONE job per relation per iteration
-            // (see [[fixpoint]]) instead of the eager-checkpoint/isEmpty
-            // pair.
-            val novel = accOpt.fold(fresh(d.distinct()))(acc =>
-              fresh(d.distinct()).except(acc))
-            val (cp, n) = org.apache.spark.sql.graftbridge.RddBridge
-              .localCheckpointWithCount(novel)
-            if (n == 0L) None else Some(cp)
-          }
+        // pre-distinct is deliberate (see [[fixpoint]]): dedup before
+        // the EXCEPT anti join, not only after it. The per-relation
+        // novel-delta plans stay LAZY and are fused into one tagged
+        // union, so checkpoint + convergence probe for the WHOLE vector
+        // is ONE Spark job per iteration — not r sequential scheduler
+        // round-trips (recursion depth × r jobs is exactly what makes
+        // deep mutual recursion latency-bound). Spark's DAG scheduler
+        // runs the independent per-relation stages of that single job
+        // concurrently. Driver-THREAD concurrency (futures per relation)
+        // was tried and measured no faster locally while adding
+        // planning-lock contention; fusing is deterministic — the job
+        // count per iteration drops from r to 1 (asserted in RASpec).
+        val novels: Seq[Option[DataFrame]] = accs.zip(derived).map {
+          case (accOpt, dOpt) =>
+            dOpt.map { d =>
+              accOpt.fold(fresh(d.distinct()))(acc =>
+                fresh(d.distinct()).except(acc))
+            }
         }
+        val live = novels.zipWithIndex.collect { case (Some(n), idx) => (n, idx) }
+        val next: Seq[Option[DataFrame]] =
+          if (live.isEmpty) Seq.fill(novels.size)(None)
+          else if (live.size == 1) {
+            // single live relation: nothing to fuse
+            val (n, idx) = live.head
+            val (cp, cnt) = org.apache.spark.sql.graftbridge.RddBridge
+              .localCheckpointWithCount(n)
+            novels.indices.map(j => if (j == idx && cnt > 0L) Some(cp) else None)
+          } else {
+            // (_tag, _s0 … _s{r-1}): each branch packs its own columns
+            // into its struct slot and nulls the others, so heterogeneous
+            // schemas union by position.
+            val schemas = live.map { case (n, idx) => idx -> n.schema }.toMap
+            val fusedPlan = live.map { case (n, idx) =>
+              n.select(lit(idx).as("_tag") +: live.map { case (_, j) =>
+                if (j == idx) struct(n.columns.map(col): _*).as(s"_s$j")
+                else lit(null).cast(schemas(j)).as(s"_s$j")
+              }: _*)
+            }.reduce(_.unionAll(_))
+            val (cp, counts) = org.apache.spark.sql.graftbridge.RddBridge
+              .localCheckpointWithTagCounts(fusedPlan)
+            novels.indices.map { j =>
+              if (counts.getOrElse(j, 0L) == 0L) None
+              else Some(cp.where(col("_tag") === j).select(
+                schemas(j).fieldNames.toSeq.map(f =>
+                  col(s"_s$j").getField(f).as(f)): _*))
+            }
+          }
         if (next.forall(_.isEmpty)) done = true
         else {
           // union of checkpointed deltas with periodic compaction, as

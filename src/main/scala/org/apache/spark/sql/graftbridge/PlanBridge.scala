@@ -46,6 +46,13 @@ object ConfBridge {
 }
 
 object RddBridge {
+  /** Convergence-probe actions issued (both checkpoint-with-count
+    * variants). Tests assert the STRUCTURAL contract — fixpointN fuses a
+    * whole relation vector into one probe per iteration — against this
+    * counter; Spark-level job counts are an AQE implementation detail
+    * (each materialized query stage is its own job). */
+  val probeActions = new java.util.concurrent.atomic.AtomicLong
+
   /** Local-checkpoint `df` and return (checkpointed frame, row count) in
     * ONE job. `Dataset.localCheckpoint(eager = true)` runs an internal
     * `rdd.count()` to materialize the checkpoint and THROWS THE COUNT
@@ -56,6 +63,7 @@ object RddBridge {
     * convergence probe rides along free, a bare RDD job with no second
     * Catalyst plan. */
   def localCheckpointWithCount(df: DataFrame): (DataFrame, Long) = {
+    probeActions.incrementAndGet()
     val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
@@ -63,5 +71,24 @@ object RddBridge {
     val plan = org.apache.spark.sql.execution.LogicalRDD
       .fromDataset(rdd, ds, isStreaming = false)
     (classic.Dataset.ofRows(ds.sparkSession, plan), n)
+  }
+
+  /** [[localCheckpointWithCount]] for a TAGGED UNION: `df`'s first
+    * column must be an int discriminator. Returns the checkpointed
+    * frame plus per-tag row counts, still in ONE job — `fixpointN`
+    * fuses all per-relation convergence probes of an iteration into a
+    * single tagged plan, and this hands back each relation's emptiness
+    * verdict without per-relation jobs. The tag map is driver-side but
+    * bounded by the number of relations, not data. */
+  def localCheckpointWithTagCounts(df: DataFrame): (DataFrame, Map[Int, Long]) = {
+    probeActions.incrementAndGet()
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val counts: Map[Int, Long] =
+      rdd.map(_.getInt(0)).countByValue().toMap
+    val plan = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(rdd, ds, isStreaming = false)
+    (classic.Dataset.ofRows(ds.sparkSession, plan), counts)
   }
 }

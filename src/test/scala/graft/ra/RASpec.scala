@@ -207,4 +207,42 @@ class RASpec extends AnyFunSuite {
     assert(marks(Seq.empty[Option[Int]].toDF("y")) ==
       Map(Some(1) -> Some(false), Some(2) -> Some(false), None -> Some(false)))
   }
+
+  test(":fixpointN fused probe: ONE job per iteration, heterogeneous schemas") {
+    // Two mutually recursive counters with DIFFERENT schemas — exercises
+    // the tagged-union fusion path (struct slot per relation):
+    //   a(n)      :- b(m), n = m+1, n <= N
+    //   b(m, tag) :- a(n), m = n+1, m <= N
+    val N = 6
+    val baseA = Seq(0).toDF("n")
+    val baseB = Seq((0L, "b")).toDF("m", "tag")
+    val probes0 = org.apache.spark.sql.graftbridge.RddBridge.probeActions.get
+    val res = RA.fixpointN(Seq(Some(baseA), Some(baseB)), (_, deltas) => Seq(
+      deltas(1).map(_.select((col("m") + 1).cast("int").as("n"))
+        .where(col("n") <= N)),
+      deltas(0).map(_.select((col("n") + 1).cast("long").as("m"),
+        lit("b").as("tag")).where(col("m") <= N))))
+    val probes = org.apache.spark.sql.graftbridge.RddBridge.probeActions.get - probes0
+    // correctness through the pack/unpack round-trip
+    assert(rows(res(0).get) == (0 to N).map(i => Seq(i)).toSet)
+    assert(rows(res(1).get) == (0L to N.toLong).map(i => Seq(i, "b")).toSet)
+    // 7 iterations (deltas 1..6 then the all-empty probe), ONE fused
+    // probe action each — the pre-fusion driver paid one PER RELATION
+    // per iteration (14 here). Spark job counts are not asserted: under
+    // AQE each materialized query stage is its own job by design.
+    assert(probes == 7L, s"expected 7 fused probes (1/iteration), got $probes")
+  }
+
+  test(":fixpointN fused probe survives a relation going quiet then reviving") {
+    // a feeds b only below 3; b keeps counting to 5 alone; a must stay
+    // converged (None deltas) while b continues — exercises live-subset
+    // fusion and the single-live fast path in the same run
+    val res = RA.fixpointN(Seq(Some(Seq(0).toDF("n")), None), (_, deltas) => Seq(
+      None,
+      deltas(0).map(_.select((col("n") + 1).as("v")).where(col("v") <= 3))
+        .orElse(deltas(1).map(_.select((col("v") + 1).as("v"))
+          .where(col("v") <= 5)))))
+    assert(rows(res(0).get) == Set(Seq(0)))
+    assert(rows(res(1).get) == (1 to 5).map(i => Seq(i)).toSet)
+  }
 }
