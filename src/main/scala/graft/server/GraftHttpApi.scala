@@ -1,0 +1,177 @@
+package graft.server
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, struct, to_json}
+
+/** The reference's OTHER remote surface: a plain HTTP + JSON endpoint
+  * (alongside the Arrow-native wire served by [[GraftServer]] /
+  * Spark Connect — /root/reference/README.adoc:14 names the remote
+  * driver direction; the upstream 2.x line serves submit-tx/query over
+  * HTTP+JSON as its mainstream connector). Zero new dependencies: the
+  * JDK's built-in `com.sun.net.httpserver` + Spark's own JSON codec.
+  *
+  *   - `POST /query`  body = SQL text → `{"columns":[…],"rows":[{…}…],
+  *     "rowCount":n}`. The full graft SQL surface applies (temporal
+  *     clauses, period predicates, DML, WITH RECURSIVE … UNION) because
+  *     execution goes through `spark.sql` and the session carries
+  *     [[GraftSqlParser]]. `?limit=N` caps the result server-side.
+  *   - `POST /tx`     body = DML text (`;`-batch = one atomic tx) →
+  *     `{"txId":n}`. Rejects non-DML loudly rather than returning rows.
+  *   - `GET  /status` → engine + registered tables.
+  *
+  * Scale posture: results STREAM — rows are encoded by Spark's
+  * `to_json` (codegen'd, executor-side) and written chunked via
+  * `toLocalIterator`, so driver + handler memory is bounded by one
+  * partition regardless of result size; there is no collect. The first
+  * partition is forced BEFORE headers go out, so planning/analysis and
+  * first-wave runtime errors still surface as HTTP 4xx/5xx rather than
+  * a truncated 200.
+  *
+  * Binds 127.0.0.1 by default — exposing the port beyond the host is a
+  * deployment decision (reverse proxy / service mesh), not a library
+  * default. */
+object GraftHttpApi {
+
+  /** Start the endpoint; `port` 0 picks an ephemeral port (read it off
+    * the returned server's address). Stop with `server.stop(0)`. */
+  def start(spark: SparkSession, port: Int,
+            bindHost: String = "127.0.0.1", poolSize: Int = 8): HttpServer = {
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress(bindHost, port), 0)
+    // bounded pool: each in-flight request holds one thread while its
+    // partitions stream; excess requests queue in the server backlog
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      poolSize,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-http"); t.setDaemon(true); t
+      })
+    server.setExecutor(pool)
+    server.createContext("/status", handler(spark, statusHandler))
+    server.createContext("/query", handler(spark, queryHandler))
+    server.createContext("/tx", handler(spark, txHandler))
+    server.createContext("/", handler(spark, (ex, _) =>
+      respond(ex, 404, s"""{"error":${jstr("not found: " + ex.getRequestURI.getPath)}}""")))
+    server.start()
+    server
+  }
+
+  // ---- handlers ------------------------------------------------------
+
+  private def statusHandler(ex: HttpExchange, spark: SparkSession): Unit = {
+    if (ex.getRequestMethod != "GET") return respond(ex, 405, methodErr(ex))
+    val tables = GraftServer.registered.keys.toSeq.sorted
+    respond(ex, 200,
+      s"""{"ok":true,"engine":"graft","sparkVersion":${jstr(spark.version)},""" +
+        s""""tables":[${tables.map(jstr).mkString(",")}]}""")
+  }
+
+  private def queryHandler(ex: HttpExchange, spark: SparkSession): Unit = {
+    if (ex.getRequestMethod != "POST") return respond(ex, 405, methodErr(ex))
+    val sql = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    if (sql.trim.isEmpty)
+      return respond(ex, 400, s"""{"error":"empty SQL body"}""")
+    val limit = Option(ex.getRequestURI.getQuery).flatMap(q =>
+      q.split('&').collectFirst {
+        case kv if kv.startsWith("limit=") => kv.stripPrefix("limit=").toInt
+      })
+    val df0 = spark.sql(sql)
+    streamResult(ex, limit.fold(df0)(df0.limit))
+  }
+
+  private def txHandler(ex: HttpExchange, spark: SparkSession): Unit = {
+    if (ex.getRequestMethod != "POST") return respond(ex, 405, methodErr(ex))
+    val sql = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    // DML executes AT PARSE TIME inside spark.sql (like DDL) and yields
+    // a one-row (tx_id) relation — anything else is a misuse of /tx
+    val df = spark.sql(sql)
+    if (df.columns.toSeq != Seq("tx_id"))
+      return respond(ex, 400,
+        s"""{"error":"POST /tx expects graft DML (INSERT/UPDATE/DELETE/ERASE """ +
+          s"""on a registered table); got a result of ${df.columns.mkString(", ")} — use /query"}""")
+    val txId = df.collect()(0).getLong(0)
+    respond(ex, 200, s"""{"txId":$txId}""")
+  }
+
+  /** Stream `df` as one JSON document without materializing it: rows
+    * are rendered executor-side by `to_json` (explicit nulls — field
+    * presence shouldn't depend on the value) and pulled one PARTITION
+    * at a time. */
+  private def streamResult(ex: HttpExchange, df: DataFrame): Unit = {
+    val names = df.columns
+    val rows = df.select(to_json(
+      struct(names.map(n => col(s"`$n`")): _*),
+      Map("ignoreNullFields" -> "false")).as("j"))
+    val it = rows.toLocalIterator()
+    val nonEmpty = it.hasNext // forces partition 1 BEFORE headers commit
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, 0) // length 0 = chunked
+    val out = ex.getResponseBody
+    out.write(
+      s"""{"columns":[${names.map(jstr).mkString(",")}],"rows":["""
+        .getBytes(UTF_8))
+    var n = 0L
+    while (it.hasNext) {
+      if (n > 0) out.write(','.toInt)
+      out.write(it.next().getString(0).getBytes(UTF_8))
+      n += 1
+    }
+    val _ = nonEmpty
+    out.write(s"""],"rowCount":$n}""".getBytes(UTF_8))
+    out.close()
+  }
+
+  // ---- plumbing ------------------------------------------------------
+
+  private def handler(spark: SparkSession,
+                      f: (HttpExchange, SparkSession) => Unit): HttpHandler =
+    (ex: HttpExchange) =>
+      try {
+        // handler threads carry no active-session thread-local;
+        // SQLConf.get during planning would fall back to defaults
+        SparkSession.setActiveSession(spark)
+        f(ex, spark)
+      } catch {
+        case e: Throwable =>
+          val code = e match {
+            case _: AnalysisException => 400 // incl. ParseException
+            case _: IllegalArgumentException => 400 // graft DML batch errors
+            case _ => 500
+          }
+          val msg = s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").take(2000)
+          // best-effort: if the response already started streaming the
+          // connection just drops (client sees truncated chunked body)
+          try respond(ex, code, s"""{"error":${jstr(msg)}}""")
+          catch { case _: Throwable => }
+      } finally ex.close()
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val out = ex.getResponseBody
+    out.write(bytes)
+    out.close()
+  }
+
+  private def methodErr(ex: HttpExchange): String =
+    s"""{"error":${jstr(s"method ${ex.getRequestMethod} not allowed on ${ex.getRequestURI.getPath}")}}"""
+
+  private def jstr(s: String): String = {
+    val sb = new StringBuilder(s.length + 2).append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+}

@@ -1,0 +1,148 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end over HTTP: a plain `java.net.http.HttpClient` drives the
+  * JSON front door — transactions, current reads, time travel, period
+  * predicates, recursion, errors — mirroring GraftConnectServerSpec's
+  * wire journey on the second connector surface. Responses are parsed
+  * with jackson (shipped inside Spark), not string-matched.
+  *
+  * Needs its own SparkContext (extensions bind at session creation),
+  * same pattern as GraftConnectServerSpec. */
+class GraftHttpApiSpec extends AnyFunSuite {
+
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  test("HTTP front door: status, wire tx, query, time travel, errors") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-http-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val dir = java.nio.file.Files.createTempDirectory("graft_http").toString
+    val table = new graft.GraftTable(spark, dir, Seq("bal"))
+    GraftServer.register("accts", table)
+    val server = GraftHttpApi.start(spark, port = 0)
+    val port = server.getAddress.getPort
+    val client = HttpClient.newHttpClient()
+
+    def send(method: String, path: String, body: String): (Int, String) = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      val req = (if (method == "GET") b.GET()
+                 else b.POST(HttpRequest.BodyPublishers.ofString(body))).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    def post(path: String, body: String) = send("POST", path, body)
+    def get(path: String) = send("GET", path, "")
+    /** rows of a 200 /query response as (column → text) maps. */
+    def rows(body: String): Seq[Map[String, String]] = {
+      val root = om.readTree(body)
+      assert(root.get("rowCount").asLong ==
+        root.get("rows").size.toLong)
+      (0 until root.get("rows").size).map { i =>
+        val r = root.get("rows").get(i)
+        import scala.jdk.CollectionConverters._
+        r.properties().asScala.map(e =>
+          e.getKey -> e.getValue.asText(null)).toMap
+      }
+    }
+
+    try {
+      // status: engine + registry visible
+      val (sc, sb) = get("/status")
+      assert(sc == 200, sb)
+      val st = om.readTree(sb)
+      assert(st.get("ok").asBoolean)
+      assert((0 until st.get("tables").size)
+        .map(st.get("tables").get(_).asText).contains("accts"))
+
+      // submit txs over HTTP; basis captured between them
+      val (c1, b1) = post("/tx",
+        "INSERT INTO accts (_id, bal) VALUES (1, 100.0D), (2, 200.0D)")
+      assert(c1 == 200, b1)
+      assert(om.readTree(b1).get("txId").asLong == 0L)
+      Thread.sleep(1100)
+      val between = java.time.LocalDateTime.now()
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      Thread.sleep(1100)
+      assert(om.readTree(post("/tx",
+        "UPDATE accts SET bal = 150.0D WHERE _id = 1")._2)
+        .get("txId").asLong == 1L)
+
+      // current read: columns + typed rows + explicit row count
+      val (c2, b2) = post("/query", "SELECT _id, bal FROM accts ORDER BY _id")
+      assert(c2 == 200, b2)
+      val doc = om.readTree(b2)
+      assert((0 until doc.get("columns").size)
+        .map(doc.get("columns").get(_).asText) == Seq("_id", "bal"))
+      assert(rows(b2) == Seq(
+        Map("_id" -> "1", "bal" -> "150.0"),
+        Map("_id" -> "2", "bal" -> "200.0")))
+
+      // time travel: AS OF the inter-tx basis = the original belief
+      assert(rows(post("/query", "SELECT _id, bal FROM accts " +
+        s"FOR SYSTEM_TIME AS OF '$between' ORDER BY _id")._2) == Seq(
+        Map("_id" -> "1", "bal" -> "100.0"),
+        Map("_id" -> "2", "bal" -> "200.0")))
+
+      // period predicate as text, expanded server-side
+      assert(rows(post("/query", "SELECT _id, bal FROM accts " +
+        "FOR ALL SYSTEM_TIME FOR ALL APPLICATION_TIME " +
+        s"WHERE accts.SYSTEM_TIME CONTAINS TIMESTAMP '$between' " +
+        "ORDER BY _id")._2).map(_("bal")) == Seq("100.0", "200.0"))
+
+      // server-side limit cap
+      assert(rows(post("/query?limit=1",
+        "SELECT _id FROM accts ORDER BY _id")._2).size == 1)
+
+      // nulls are EXPLICIT fields, not omitted
+      val nb = post("/query", "SELECT CAST(NULL AS INT) AS v, 7 AS w")._2
+      val nrow = om.readTree(nb).get("rows").get(0)
+      assert(nrow.has("v") && nrow.get("v").isNull && nrow.get("w").asInt == 7)
+
+      // recursion (UNION-distinct spelling) through the same endpoint
+      assert(post("/query", "CREATE OR REPLACE TEMPORARY VIEW http_edges AS " +
+        "SELECT * FROM VALUES (0, 5), (5, 10), (10, 0) AS t(src, dst)")._1 == 200)
+      assert(rows(post("/query",
+        """WITH RECURSIVE reach(node) AS (
+            SELECT 0
+            UNION
+            SELECT e.dst FROM reach r JOIN http_edges e ON e.src = r.node)
+          SELECT node FROM reach ORDER BY node""")._2).map(_("node")) ==
+        Seq("0", "5", "10"))
+
+      // errors: bad SQL → 400 with a message, not a 200 or a 500
+      val (e1, eb1) = post("/query", "SELEC nope FROM nowhere")
+      assert(e1 == 400, s"$e1 $eb1")
+      assert(om.readTree(eb1).get("error").asText.nonEmpty)
+      // graft DML batch errors surface OUR diagnostics over HTTP
+      val (e2, eb2) = post("/tx",
+        "UPDATE accts SET bal = 1.0D WHERE _id = 1; UPDATE accts")
+      assert(e2 == 400 && om.readTree(eb2).get("error").asText
+        .contains("not valid graft DML"), s"$e2 $eb2")
+      // /tx refuses non-DML instead of silently returning rows
+      val (e3, eb3) = post("/tx", "SELECT 1 AS x")
+      assert(e3 == 400 && om.readTree(eb3).get("error").asText
+        .contains("/query"), s"$e3 $eb3")
+      // wrong method / unknown path
+      assert(get("/query")._1 == 405)
+      assert(get("/nope")._1 == 404)
+    } finally {
+      server.stop(0)
+      GraftServer.unregister("accts")
+    }
+  }
+}
