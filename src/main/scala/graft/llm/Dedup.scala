@@ -205,18 +205,21 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       // carry each node's previous label (_old) through the same
       // aggregation — every id has exactly one labels row, so
-      // max(_old) recovers it and the convergence check is a
-      // filter+count over the checkpointed result, not a second
-      // join+shuffle against the previous round
+      // max(_old) recovers it; the convergence check ("did any label
+      // change") is a boolean column counted DURING the checkpoint
+      // materialization, so each round is ONE job, not
+      // eager-checkpoint + filter().count()
       val nbr = und.join(labels, und("dst") === labels("id"))
         .select(und("src").as("id"), col("comp"),
           lit(null).cast(compType).as("_old"))
       val next = labels.select(col("id"), col("comp"), col("comp").as("_old"))
         .unionByName(nbr)
         .groupBy("id").agg(min("comp").as("comp"), max("_old").as("_old"))
-        .localCheckpoint()
-      changed = next.filter(col("comp") =!= col("_old")).count()
-      labels = next.drop("_old")
+        .withColumn("_chg", !(col("comp") <=> col("_old")))
+      val (cp, nChanged) = org.apache.spark.sql.graftbridge.RddBridge
+        .localCheckpointWithTrueCount(next, boolOrdinal = 3)
+      changed = nChanged
+      labels = cp.select("id", "comp")
       i += 1
     }
     if (changed > 0)

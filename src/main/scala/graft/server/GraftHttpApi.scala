@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions.{col, struct, to_json}
   *     clauses, period predicates, DML, WITH RECURSIVE … UNION) because
   *     execution goes through `spark.sql` and the session carries
   *     [[GraftSqlParser]]. `?limit=N` caps the result server-side.
+  *     `Accept: application/vnd.apache.arrow.stream` switches the body
+  *     to Arrow IPC stream format (record batches, same bounded-memory
+  *     streaming) for Arrow-native clients.
   *   - `POST /tx`     body = DML text (`;`-batch = one atomic tx) →
   *     `{"txId":n}`. Rejects non-DML loudly rather than returning rows.
   *   - `GET  /status` → engine + registered tables.
@@ -79,7 +82,10 @@ object GraftHttpApi {
         case kv if kv.startsWith("limit=") => kv.stripPrefix("limit=").toInt
       })
     val df0 = spark.sql(sql)
-    streamResult(ex, limit.fold(df0)(df0.limit))
+    val df = limit.fold(df0)(df0.limit)
+    val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+    if (accept.contains("arrow")) streamArrow(ex, df)
+    else streamResult(ex, df)
   }
 
   private def txHandler(ex: HttpExchange, spark: SparkSession): Unit = {
@@ -121,6 +127,25 @@ object GraftHttpApi {
     }
     val _ = nonEmpty
     out.write(s"""],"rowCount":$n}""".getBytes(UTF_8))
+    out.close()
+  }
+
+  /** `Accept: application/vnd.apache.arrow.stream` — the Arrow-native
+    * answer (the reference is Arrow-everywhere; its remote driver
+    * direction is Flight SQL): same bounded-memory streaming as the
+    * JSON path, record batches instead of JSON rows. Schema validation
+    * and the first partition are forced BEFORE headers commit. */
+  private def streamArrow(ex: HttpExchange, df: DataFrame): Unit = {
+    import scala.jdk.CollectionConverters._
+    graft.sources.ArrowSource.validateSchema(df.schema)
+    val it = df.toLocalIterator()
+    val nonEmpty = it.hasNext // force partition 1 before headers
+    val _ = nonEmpty
+    ex.getResponseHeaders.set("Content-Type",
+      "application/vnd.apache.arrow.stream")
+    ex.sendResponseHeaders(200, 0)
+    val out = ex.getResponseBody
+    graft.sources.ArrowSource.writeIpcStream(df.schema, it.asScala, out)
     out.close()
   }
 

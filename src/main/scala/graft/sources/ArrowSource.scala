@@ -546,40 +546,72 @@ object ArrowSource {
       }
       try {
         w.start()
-        rows.grouped(math.max(1, batchSize)).foreach { batch =>
-          root.allocateNew()
-          batch.zipWithIndex.foreach { case (row, i) =>
-            schema.fields.zipWithIndex.foreach { case (f, j) =>
-              // dense unions carry no validity buffer: a variant cell
-              // must be written even when null (as a null child slot)
-              if (f.dataType == VariantType)
-                setVariant(root.getVector(j).asInstanceOf[DenseUnionVector],
-                  i, if (row.isNullAt(j)) null else row.get(j))
-              else if (!row.isNullAt(j)) f.dataType match {
-                case ArrayType(et, _) =>
-                  val lv = root.getVector(j).asInstanceOf[ListVector]
-                  val lw = lv.getWriter
-                  lw.setPosition(i)
-                  lw.startList()
-                  row.getSeq[Any](j).foreach(e => writeListElem(lw, et, e))
-                  lw.endList()
-                case st: StructType =>
-                  val sv = root.getVector(j).asInstanceOf[StructVector]
-                  sv.setIndexDefined(i)
-                  val inner = row.getStruct(j)
-                  st.fields.zipWithIndex.foreach { case (sf, k) =>
-                    if (!inner.isNullAt(k))
-                      setScalar(sv.getChild(sf.name), i, sf.dataType, inner.get(k))
-                  }
-                case scalar => setScalar(root.getVector(j), i, scalar, row.get(j))
-              }
-            }
-          }
-          root.setRowCount(batch.length)
-          w.writeBatch()
-        }
+        writeBatches(root, w, schema, rows, batchSize)
         w.end()
       } finally { w.close(); ch.close() }
+    } finally { root.close(); alloc.close() }
+  }
+
+  /** The shared row→record-batch loop behind the file and stream
+    * writers — per-call memory is one `batchSize`-row batch. */
+  private def writeBatches(root: VectorSchemaRoot,
+                           w: org.apache.arrow.vector.ipc.ArrowWriter,
+                           schema: StructType, rows: Iterator[Row],
+                           batchSize: Int): Unit =
+    rows.grouped(math.max(1, batchSize)).foreach { batch =>
+      root.allocateNew()
+      batch.zipWithIndex.foreach { case (row, i) =>
+        schema.fields.zipWithIndex.foreach { case (f, j) =>
+          // dense unions carry no validity buffer: a variant cell
+          // must be written even when null (as a null child slot)
+          if (f.dataType == VariantType)
+            setVariant(root.getVector(j).asInstanceOf[DenseUnionVector],
+              i, if (row.isNullAt(j)) null else row.get(j))
+          else if (!row.isNullAt(j)) f.dataType match {
+            case ArrayType(et, _) =>
+              val lv = root.getVector(j).asInstanceOf[ListVector]
+              val lw = lv.getWriter
+              lw.setPosition(i)
+              lw.startList()
+              row.getSeq[Any](j).foreach(e => writeListElem(lw, et, e))
+              lw.endList()
+            case st: StructType =>
+              val sv = root.getVector(j).asInstanceOf[StructVector]
+              sv.setIndexDefined(i)
+              val inner = row.getStruct(j)
+              st.fields.zipWithIndex.foreach { case (sf, k) =>
+                if (!inner.isNullAt(k))
+                  setScalar(sv.getChild(sf.name), i, sf.dataType, inner.get(k))
+              }
+            case scalar => setScalar(root.getVector(j), i, scalar, row.get(j))
+          }
+        }
+      }
+      root.setRowCount(batch.length)
+      w.writeBatch()
+    }
+
+  /** Validate that `schema` is expressible as Arrow — same check the
+    * writers apply, surfaced so callers (e.g. the HTTP connector) can
+    * fail fast BEFORE committing a response status. */
+  def validateSchema(schema: StructType): Unit =
+    schema.fields.foreach(f => toArrowField(f.name, f.dataType, f.nullable))
+
+  /** Stream rows onto `out` in Arrow IPC STREAM format (no footer —
+    * the wire format, vs the file format's seekable footer): one
+    * `batchSize`-row record batch in memory at a time, so an HTTP
+    * response can carry an unbounded result with bounded memory.
+    * Caller owns `out`. */
+  def writeIpcStream(schema: StructType, rows: Iterator[Row],
+                     out: java.io.OutputStream, batchSize: Int = 4096): Unit = {
+    val fields = schema.fields.map(f => toArrowField(f.name, f.dataType, f.nullable))
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(new ArrowSchema(fields.toSeq.asJava), alloc)
+    try {
+      val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+        root, null, java.nio.channels.Channels.newChannel(out))
+      try { w.start(); writeBatches(root, w, schema, rows, batchSize); w.end() }
+      finally w.close()
     } finally { root.close(); alloc.close() }
   }
 

@@ -80,6 +80,26 @@ object RddBridge {
     * single tagged plan, and this hands back each relation's emptiness
     * verdict without per-relation jobs. The tag map is driver-side but
     * bounded by the number of relations, not data. */
+  /** [[localCheckpointWithCount]] counting only rows whose boolean
+    * column at `boolOrdinal` is true — iterative drivers whose
+    * convergence test is a PREDICATE (e.g. label-propagation's "did any
+    * label change") fold checkpoint + that conditional count into one
+    * job instead of eager-checkpoint + filter().count(). The column
+    * must be non-nullable (use `!(a <=> b)`, not `a =!= b`). */
+  def localCheckpointWithTrueCount(df: DataFrame, boolOrdinal: Int)
+      : (DataFrame, Long) = {
+    probeActions.incrementAndGet()
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    // computing the filtered child materializes the parent's checkpoint
+    // (every partition is fully iterated), same as a bare count
+    val n = rdd.filter(_.getBoolean(boolOrdinal)).count()
+    val plan = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(rdd, ds, isStreaming = false)
+    (classic.Dataset.ofRows(ds.sparkSession, plan), n)
+  }
+
   def localCheckpointWithTagCounts(df: DataFrame): (DataFrame, Map[Int, Long]) = {
     probeActions.incrementAndGet()
     val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]

@@ -83,6 +83,20 @@ class DedupSpec extends AnyFunSuite {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: ONE probe action per propagation round") {
+    // path 0-1-2-3 (diameter 3) converges in exactly 4 rounds: labels
+    // reach (3,2,1) changes, then (2,1), then (1), then the all-quiet
+    // confirm round. Checkpoint + convergence count fuse into one
+    // action per round — 4 total, deterministically.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val before = org.apache.spark.sql.graftbridge.RddBridge.probeActions.get
+    val comp = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probes = org.apache.spark.sql.graftbridge.RddBridge.probeActions.get - before
+    assert(comp == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+    assert(probes == 4L, s"expected 4 probe actions (1/round), got $probes")
+  }
+
   test("simhash: identical docs get identical fingerprints") {
     val sh = Dedup.shingles(docs, "doc_id", "text", n = 1)
     val fp = Dedup.simhash(sh, "doc_id", nBits = 16)

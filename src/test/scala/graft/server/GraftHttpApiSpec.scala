@@ -124,6 +124,33 @@ class GraftHttpApiSpec extends AnyFunSuite {
           SELECT node FROM reach ORDER BY node""")._2).map(_("node")) ==
         Seq("0", "5", "10"))
 
+      // Arrow-native answer: the Accept header switches the body to
+      // Arrow IPC stream format, decoded here with the arrow-java reader
+      val areq = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/query"))
+        .header("Accept", "application/vnd.apache.arrow.stream")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "SELECT _id, bal FROM accts ORDER BY _id")).build()
+      val aresp = client.send(areq, HttpResponse.BodyHandlers.ofByteArray())
+      assert(aresp.statusCode() == 200)
+      assert(aresp.headers().firstValue("Content-Type").orElse("")
+        .contains("arrow"))
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val rdr = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(aresp.body()), alloc)
+      try {
+        val got = Seq.newBuilder[(Long, Double)]
+        val root = rdr.getVectorSchemaRoot
+        while (rdr.loadNextBatch()) {
+          val ids = root.getVector("_id")
+            .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+          val bals = root.getVector("bal")
+            .asInstanceOf[org.apache.arrow.vector.Float8Vector]
+          (0 until root.getRowCount).foreach(r =>
+            got += ((ids.get(r), bals.get(r))))
+        }
+        assert(got.result() == Seq((1L, 150.0), (2L, 200.0)))
+      } finally { rdr.close(); alloc.close() }
+
       // errors: bad SQL → 400 with a message, not a 200 or a 500
       val (e1, eb1) = post("/query", "SELEC nope FROM nowhere")
       assert(e1 == 400, s"$e1 $eb1")
