@@ -332,6 +332,196 @@ object Multimodal {
     })
   }
 
+  // --------------------------------------------------------- audio / video
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** Parsed WAV (RIFF/WAVE) metadata. */
+  final case class AudioInfo(format: String, sampleRate: Long, channels: Long,
+                             bitsPerSample: Long, nSamples: Long,
+                             durationMs: Long)
+
+  /** Typed audio metadata row. */
+  final case class AudioMeta(doc_id: Long, source: String, format: String,
+                             n_bytes: Long, sample_rate: Long, channels: Long,
+                             bits_per_sample: Long, n_samples: Long,
+                             duration_ms: Long)
+
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length > 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** WAV: walk the RIFF chunk list — `fmt ` gives the PCM layout,
+    * `data`'s length gives the sample count; duration floors to ms.
+    * RIFF chunks are word-aligned (odd payloads pad one byte) and the
+    * walker honors that; truncated/missing chunks throw loudly with
+    * bounds checked BEFORE every read. */
+  def decodeWav(b: Array[Byte]): AudioInfo = {
+    require(isWav(b), s"not a RIFF/WAVE payload (${b.length} bytes)")
+    var o = 12
+    var sampleRate = -1L; var channels = -1L; var bits = -1L; var dataLen = -1L
+    while (o + 8 <= b.length && (sampleRate < 0 || dataLen < 0)) {
+      val isFmt = b(o) == 'f' && b(o + 1) == 'm' && b(o + 2) == 't' && b(o + 3) == ' '
+      val isData = b(o) == 'd' && b(o + 1) == 'a' && b(o + 2) == 't' && b(o + 3) == 'a'
+      val len = le32(b, o + 4)
+      if (isFmt) {
+        require(o + 24 <= b.length && len >= 16,
+          s"truncated fmt chunk at offset $o")
+        channels = le16(b, o + 10).toLong
+        sampleRate = le32(b, o + 12)
+        bits = le16(b, o + 22).toLong
+      } else if (isData) {
+        require(o + 8 + len <= b.length,
+          s"data chunk claims $len bytes past end of payload")
+        dataLen = len
+      }
+      // len is unsigned-32 as Long: advance in Long space, reject
+      // anything Int can't index (no in-memory payload is that big)
+      val next = o.toLong + 8L + len + (len & 1L)
+      require(next <= Int.MaxValue, s"chunk at $o claims $len bytes")
+      o = next.toInt
+    }
+    require(sampleRate > 0 && channels > 0 && bits > 0,
+      "RIFF/WAVE without a valid fmt chunk")
+    require(dataLen >= 0, "RIFF/WAVE without a data chunk")
+    val frameBytes = math.max(1L, channels * (bits / 8))
+    val n = dataLen / frameBytes
+    AudioInfo("wav", sampleRate, channels, bits, n, n * 1000L / sampleRate)
+  }
+
+  /** Minimal spec-valid PCM WAV encoder: real RIFF sizes, fmt layout
+    * and a deterministic sample ramp as honest payload bytes. */
+  def makeWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+              nSamples: Int): Array[Byte] = {
+    require(bitsPerSample % 8 == 0 && bitsPerSample > 0, "whole-byte samples only")
+    val frameBytes = channels * bitsPerSample / 8
+    val dataLen = nSamples * frameBytes
+    val out = new ByteArrayOutputStream(44 + dataLen)
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def w32(v: Long): Unit =
+      (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    ascii("RIFF"); w32(36L + dataLen); ascii("WAVE")
+    ascii("fmt "); w32(16); w16(1 /* PCM */); w16(channels)
+    w32(sampleRate.toLong); w32(sampleRate.toLong * frameBytes)
+    w16(frameBytes); w16(bitsPerSample)
+    ascii("data"); w32(dataLen.toLong)
+    (0 until dataLen).foreach(i => out.write((i * 31 + 7) & 0xff))
+    out.toByteArray
+  }
+
+  /** Parsed MP4 (ISO BMFF) movie-header metadata. */
+  final case class VideoInfo(format: String, timescale: Long, duration: Long,
+                             durationMs: Long, nTracks: Long)
+
+  /** Typed video metadata row. */
+  final case class VideoMeta(doc_id: Long, source: String, format: String,
+                             n_bytes: Long, duration_ms: Long, n_tracks: Long)
+
+  private def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** MP4: walk the top-level box list to `moov`, then its children —
+    * `mvhd` (version 0 or 1) gives timescale + duration, `trak` boxes
+    * count tracks. Never touches `mdat`: header-only, the 100 TB shape
+    * (media payload bytes stay unread on the executor). */
+  def decodeMp4(b: Array[Byte]): VideoInfo = {
+    require(isMp4(b), s"not an ISO BMFF payload (${b.length} bytes)")
+    var timescale = -1L; var duration = -1L; var nTracks = 0L
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val size = be32(b, o)
+        require(size >= 8 && o + size <= to,
+          s"box at offset $o claims $size bytes in a ${to - o}-byte span")
+        val typ = new String(b, o + 4, 4, "US-ASCII")
+        if (depth == 0 && typ == "moov") walk(o + 8, (o + size).toInt, 1)
+        else if (depth == 1 && typ == "trak") nTracks += 1
+        else if (depth == 1 && typ == "mvhd") {
+          require(o + 12 <= to, s"truncated mvhd at offset $o")
+          val version = b(o + 8) & 0xff
+          if (version == 1) {
+            require(o + 40 <= to, "truncated mvhd v1")
+            timescale = be32(b, o + 28)
+            duration = (be32(b, o + 32) << 32) | be32(b, o + 36)
+          } else {
+            require(o + 28 <= to, "truncated mvhd v0")
+            timescale = be32(b, o + 20)
+            duration = be32(b, o + 24)
+          }
+        }
+        o += size.toInt
+      }
+    }
+    walk(0, b.length, 0)
+    require(timescale > 0, "ISO BMFF without a moov/mvhd box")
+    VideoInfo("mp4", timescale, duration, duration * 1000L / timescale, nTracks)
+  }
+
+  /** Minimal spec-valid ISO BMFF encoder: real box syntax for the
+    * metadata boxes header extraction reads — `ftyp`, `moov` holding an
+    * mvhd v0 and `nTracks` trak/tkhd children. No mdat (media payload):
+    * exactly the byte span a metadata pass touches at scale. */
+  def makeMp4(timescale: Int, duration: Long, nTracks: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def w32(v: Long): Unit =
+      (3 to 0 by -1).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    // ftyp: major brand isom, minor version 0, one compatible brand
+    w32(20); ascii("ftyp"); ascii("isom"); w32(0); ascii("isom")
+    val mvhdSize = 108
+    val tkhdSize = 92
+    val trakSize = 8 + tkhdSize
+    w32(8L + mvhdSize + nTracks.toLong * trakSize); ascii("moov")
+    w32(mvhdSize.toLong); ascii("mvhd")
+    w32(0) // version 0 + flags
+    w32(0); w32(0) // creation, modification
+    w32(timescale.toLong); w32(duration)
+    w32(0x00010000L); w32(0x01000000L) // rate 1.0; volume 1.0 + reserved
+    w32(0); w32(0) // reserved
+    Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L).foreach(w32)
+    (0 until 6).foreach(_ => w32(0)) // pre_defined
+    w32(nTracks.toLong + 1) // next_track_ID
+    (1 to nTracks).foreach { t =>
+      w32(trakSize.toLong); ascii("trak")
+      w32(tkhdSize.toLong); ascii("tkhd")
+      w32(7) // version 0, flags: enabled|in-movie|in-preview
+      w32(0); w32(0) // creation, modification
+      w32(t.toLong); w32(0) // track_ID, reserved
+      w32(duration)
+      w32(0); w32(0) // reserved
+      w32(0); w32(0) // layer+group; volume+reserved
+      Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L).foreach(w32)
+      w32(0); w32(0) // width, height (16.16 — 0 for non-visual fixture)
+    }
+    out.toByteArray
+  }
+
+  /** Audio metadata extraction over binary payloads — the WAV
+    * counterpart of [[extractMeta]]: one executor-side pass, header
+    * bytes only. */
+  def extractAudioMeta(files: Dataset[MediaFile]): Dataset[AudioMeta] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.map { f =>
+      val a = decodeWav(f.content)
+      AudioMeta(f.doc_id, f.source, a.format, f.content.length.toLong,
+        a.sampleRate, a.channels, a.bitsPerSample, a.nSamples, a.durationMs)
+    })
+  }
+
+  /** Video metadata extraction over binary payloads — ISO BMFF movie
+    * header, same executor-side single pass. */
+  def extractVideoMeta(files: Dataset[MediaFile]): Dataset[VideoMeta] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.map { f =>
+      val v = decodeMp4(f.content)
+      VideoMeta(f.doc_id, f.source, v.format, f.content.length.toLong,
+        v.durationMs, v.nTracks)
+    })
+  }
+
   /** Feature extraction stub: fixed-width float vector per media row
     * (real impl: an ONNX/image-model forward pass per batch). The
     * deterministic fake hashes byte windows so the vector is stable and

@@ -687,6 +687,24 @@ object Llm {
     "q69_resize" -> ((s, dir) => {
       Multimodal.resizeMeta(mediaFixture(s, dir), maxW = 40, maxH = 30).toDF()
         .orderBy("doc_id")
+    }),
+
+    // audio metadata: real RIFF/WAVE chunk-walk over spec-valid PCM
+    // payloads (doc_id-derived layout so the oracle is arithmetic)
+    "q133_audio_meta" -> ((s, dir) => {
+      Multimodal.extractAudioMeta(wavFixture(s, dir)).toDF()
+        .select(col("doc_id"), col("format"), col("sample_rate"),
+          col("channels"), col("n_samples"), col("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
+    // video metadata: real ISO BMFF box-walk (moov/mvhd/trak) — header
+    // boxes only, mdat never read, the 100 TB metadata-pass shape
+    "q134_video_meta" -> ((s, dir) => {
+      Multimodal.extractVideoMeta(mp4Fixture(s, dir)).toDF()
+        .select(col("doc_id"), col("format"), col("duration_ms"),
+          col("n_tracks"))
+        .orderBy("doc_id")
     })
   )
 
@@ -711,6 +729,34 @@ object Llm {
           case _ => Multimodal.makeGif(w, h, fr)
         }
         Multimodal.MediaFile(id, src, bytes)
+      }
+  }
+
+  /** WAV corpus, same contract as [[mediaFixture]]: spec-valid PCM
+    * payloads whose layout derives from doc_id in oracle-expressible
+    * arithmetic. */
+  private def wavFixture(s: SparkSession, dir: String):
+      Dataset[Multimodal.MediaFile] = {
+    import s.implicits._
+    T(s, dir, "documents").select($"doc_id", $"source").as[(Long, String)]
+      .map { case (id, src) =>
+        val sr = (8000 + (id % 4) * 4000).toInt
+        val ch = (1 + id % 2).toInt
+        val n = (1600 + (id * 13) % 800).toInt
+        Multimodal.MediaFile(id, src, Multimodal.makeWav(sr, ch, 16, n))
+      }
+  }
+
+  /** MP4 corpus: spec-valid metadata boxes (ftyp/moov/mvhd/trak), box
+    * parameters derived from doc_id. */
+  private def mp4Fixture(s: SparkSession, dir: String):
+      Dataset[Multimodal.MediaFile] = {
+    import s.implicits._
+    T(s, dir, "documents").select($"doc_id", $"source").as[(Long, String)]
+      .map { case (id, src) =>
+        val dur = 3000L + (id * 17) % 6000
+        val tracks = (1 + id % 3).toInt
+        Multimodal.MediaFile(id, src, Multimodal.makeMp4(600, dur, tracks))
       }
   }
 
@@ -1734,6 +1780,24 @@ object Llm {
              CASE WHEN w <= 40 AND h <= 30 THEN h
                   WHEN w * 30 >= h * 40 THEN greatest(1, (h * 40) // w)
                   ELSE 30 END AS out_height
-      FROM m ORDER BY doc_id"""
+      FROM m ORDER BY doc_id""",
+
+    "q133_audio_meta" -> """
+      WITH a AS (SELECT doc_id,
+                        CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sr,
+                        CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+                        CAST(1600 + (doc_id * 13) % 800 AS BIGINT) AS n
+                 FROM documents)
+      SELECT doc_id, 'wav' AS format, sr AS sample_rate, ch AS channels,
+             n AS n_samples, (n * 1000) // sr AS duration_ms
+      FROM a ORDER BY doc_id""",
+
+    "q134_video_meta" -> """
+      WITH v AS (SELECT doc_id,
+                        CAST(3000 + (doc_id * 17) % 6000 AS BIGINT) AS dur
+                 FROM documents)
+      SELECT doc_id, 'mp4' AS format, (dur * 1000) // 600 AS duration_ms,
+             CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks
+      FROM v ORDER BY doc_id"""
   )
 }

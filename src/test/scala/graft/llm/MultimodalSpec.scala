@@ -154,4 +154,103 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.values.forall(v => v.length == 8 && v.forall(x => x >= 0f && x <= 1f)))
     assert(a(9L) == Seq.fill(8)(0f)) // empty payload -> zero vector
   }
+
+  test("wav: encoder -> decoder round-trip, exact layout back") {
+    val a = Multimodal.decodeWav(Multimodal.makeWav(16000, 2, 16, 1234))
+    assert(a == Multimodal.AudioInfo("wav", 16000, 2, 16, 1234,
+      1234L * 1000 / 16000))
+    // mono 8-bit as well — frame size 1 byte
+    val m = Multimodal.decodeWav(Multimodal.makeWav(8000, 1, 8, 800))
+    assert(m.nSamples == 800 && m.durationMs == 100)
+  }
+
+  test("wav: javax.sound agrees with our encoder AND our decoder") {
+    val bytes = Multimodal.makeWav(22050, 2, 16, 2000)
+    val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new ByteArrayInputStream(bytes))
+    assert(fmt.getFormat.getSampleRate == 22050f)
+    assert(fmt.getFormat.getChannels == 2)
+    assert(fmt.getFormat.getSampleSizeInBits == 16)
+    assert(fmt.getFrameLength == 2000)
+    val ours = Multimodal.decodeWav(bytes)
+    assert(ours.sampleRate == 22050 && ours.channels == 2 &&
+      ours.nSamples == 2000)
+  }
+
+  test("wav: chunk walk skips unknown + odd-length chunks (word alignment)") {
+    // splice a 3-byte junk chunk (odd: consumes 4 with its pad byte)
+    // between WAVE and fmt — decoder must skip it and still land
+    val whole = Multimodal.makeWav(12000, 1, 16, 600)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(whole, 0, 12)
+    out.write("junk".getBytes("US-ASCII")); out.write(Array[Byte](3, 0, 0, 0))
+    out.write(Array[Byte](1, 2, 3, 0)) // payload + pad
+    out.write(whole, 12, whole.length - 12)
+    val spliced = out.toByteArray
+    // RIFF size field is now stale, which the walker never trusts anyway
+    val a = Multimodal.decodeWav(spliced)
+    assert(a.sampleRate == 12000 && a.nSamples == 600)
+  }
+
+  test("wav/mp4: loud IllegalArgumentException on every truncation point") {
+    def loud(name: String, f: Array[Byte] => Any, whole: Array[Byte]): Unit =
+      for (cut <- 0 until whole.length) {
+        try { f(whole.take(cut)); () }
+        catch {
+          case _: IllegalArgumentException => () // the documented failure
+          case e: Throwable => fail(
+            s"$name truncated at $cut/${whole.length}: got ${e.getClass.getName}")
+        }
+      }
+    loud("wav", Multimodal.decodeWav, Multimodal.makeWav(8000, 1, 16, 100))
+    loud("mp4", Multimodal.decodeMp4, Multimodal.makeMp4(600, 4500, 2))
+  }
+
+  test("mp4: encoder -> decoder round-trip; v1 mvhd; mdat never needed") {
+    val v = Multimodal.decodeMp4(Multimodal.makeMp4(600, 4500, 3))
+    assert(v == Multimodal.VideoInfo("mp4", 600, 4500, 4500L * 1000 / 600, 3))
+    // hand-build an mvhd VERSION 1 (64-bit duration) moov: the decoder
+    // must read the wide fields — our encoder only emits v0
+    val v0 = Multimodal.makeMp4(1000, 7, 1)
+    // v0 mvhd starts after ftyp(20) + moov header(8); grow it 12 bytes
+    // (creation/modification/duration widen 4→8)
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(x: Long): Unit =
+      (3 to 0 by -1).foreach(i => out.write(((x >> (8 * i)) & 0xff).toInt))
+    out.write(v0, 0, 20) // ftyp unchanged
+    val moovSize = (8 + 120 + 100).toLong // header + mvhd v1 + trak
+    w32(moovSize); out.write("moov".getBytes("US-ASCII"))
+    w32(120); out.write("mvhd".getBytes("US-ASCII"))
+    out.write(Array[Byte](1, 0, 0, 0)) // version 1
+    w32(0); w32(0); w32(0); w32(0) // creation, modification (64-bit each)
+    w32(90000) // timescale
+    w32(1); w32(0x2A05F200L) // duration = 2^32 + 0x2A05F200 (> 32 bits)
+    w32(0x00010000L); w32(0x01000000L); w32(0); w32(0)
+    Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L).foreach(w32)
+    (0 until 6).foreach(_ => w32(0))
+    w32(2)
+    out.write(v0, v0.length - 100, 100) // the one trak box, unchanged
+    val wide = Multimodal.decodeMp4(out.toByteArray)
+    val dur = (1L << 32) | 0x2A05F200L
+    assert(wide.timescale == 90000 && wide.duration == dur &&
+      wide.durationMs == dur * 1000 / 90000 && wide.nTracks == 1)
+  }
+
+  test("extractAudioMeta / extractVideoMeta: executor-side passes") {
+    val wavs = Seq(
+      Multimodal.MediaFile(1L, "s0", Multimodal.makeWav(8000, 1, 16, 400)),
+      Multimodal.MediaFile(2L, "s1", Multimodal.makeWav(16000, 2, 16, 800)))
+      .toDS()
+    val am = Multimodal.extractAudioMeta(wavs).collect()
+      .map(x => x.doc_id -> x).toMap
+    assert(am(1L).sample_rate == 8000 && am(1L).duration_ms == 50)
+    assert(am(2L).channels == 2 && am(2L).n_samples == 800)
+    val mp4s = Seq(
+      Multimodal.MediaFile(1L, "s0", Multimodal.makeMp4(600, 3000, 1)),
+      Multimodal.MediaFile(2L, "s1", Multimodal.makeMp4(600, 4501, 2))).toDS()
+    val vm = Multimodal.extractVideoMeta(mp4s).collect()
+      .map(x => x.doc_id -> x).toMap
+    assert(vm(1L).duration_ms == 5000 && vm(1L).n_tracks == 1)
+    assert(vm(2L).duration_ms == 4501L * 1000 / 600 && vm(2L).n_tracks == 2)
+  }
 }
