@@ -24,7 +24,8 @@ object Dedup {
     * Documents shorter than n words yield no shingles: zip_with pads the
     * shorter (shifted) side with nulls, the null-component grams are
     * dropped after explode — matching SQL generate_series semantics. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+  def shingles(df0: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val df = graft.util.Par.spread(df0)
     val w = split(col(textCol), " ")
     val grams = (1 until n).foldLeft(w) { (acc, j) =>
       zip_with(acc, slice(w, lit(j + 1), greatest(size(w) - j, lit(0))),
@@ -258,8 +259,9 @@ object Dedup {
   /** POSITIONAL word-n-gram shingles: (id, pos, shingle) rows, pos
     * 1-based — the input to windowed/rolling fingerprints where gram
     * ORDER matters (unlike the distinct-set shingles above). */
-  def positionalShingles(df: DataFrame, idCol: String, textCol: String,
+  def positionalShingles(df0: DataFrame, idCol: String, textCol: String,
                          n: Int = 2): DataFrame = {
+    val df = graft.util.Par.spread(df0)
     val w = split(col(textCol), " ")
     val grams = (1 until n).foldLeft(w) { (acc, j) =>
       zip_with(acc, slice(w, lit(j + 1), greatest(size(w) - j, lit(0))),

@@ -18,7 +18,8 @@ object TextStats {
 
   /** (id, word) rows. */
   def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+    graft.util.Par.spread(df)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
 
   /** Stopword-vote language ID per id; ties resolve en > es > de. */
   def languageId(toks: DataFrame, idCol: String): DataFrame = {

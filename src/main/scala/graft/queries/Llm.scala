@@ -718,7 +718,8 @@ object Llm {
   private def mediaFixture(s: SparkSession, dir: String):
       Dataset[Multimodal.MediaFile] = {
     import s.implicits._
-    T(s, dir, "documents").select($"doc_id", $"source").as[(Long, String)]
+    graft.util.Par.spread(T(s, dir, "documents").select($"doc_id", $"source"))
+      .as[(Long, String)]
       .map { case (id, src) =>
         val w = (16 + id % 64).toInt
         val h = (12 + (id * 7) % 48).toInt
@@ -738,7 +739,8 @@ object Llm {
   private def wavFixture(s: SparkSession, dir: String):
       Dataset[Multimodal.MediaFile] = {
     import s.implicits._
-    T(s, dir, "documents").select($"doc_id", $"source").as[(Long, String)]
+    graft.util.Par.spread(T(s, dir, "documents").select($"doc_id", $"source"))
+      .as[(Long, String)]
       .map { case (id, src) =>
         val sr = (8000 + (id % 4) * 4000).toInt
         val ch = (1 + id % 2).toInt
@@ -752,7 +754,8 @@ object Llm {
   private def mp4Fixture(s: SparkSession, dir: String):
       Dataset[Multimodal.MediaFile] = {
     import s.implicits._
-    T(s, dir, "documents").select($"doc_id", $"source").as[(Long, String)]
+    graft.util.Par.spread(T(s, dir, "documents").select($"doc_id", $"source"))
+      .as[(Long, String)]
       .map { case (id, src) =>
         val dur = 3000L + (id * 17) % 6000
         val tracks = (1 + id % 3).toInt

@@ -52,9 +52,14 @@ object GenScale {
     def off(c: String): Column = col("_c") * Stride + col(c)
 
     def write(name: String, df: DataFrame): Unit = {
-      df.drop("_c").write.mode("overwrite")
+      // many-file layout: a scaled table must also scale its SPLIT
+      // count — a single-row-group file caps every downstream scan at
+      // one task regardless of cluster size (real 100 TB tables are
+      // thousands of files; the fixture should have the same shape)
+      val parts = math.max(spark.sparkContext.defaultParallelism, factor)
+      df.drop("_c").repartition(parts).write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
-      println(s"[genscale] $name: ${factor}x written")
+      println(s"[genscale] $name: ${factor}x written ($parts files)")
     }
 
     def load(name: String): DataFrame =
