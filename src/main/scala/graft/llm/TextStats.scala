@@ -44,6 +44,42 @@ object TextStats {
   def fingerprint(textCol: Column): Column =
     md5(array_join(array_sort(array_distinct(split(textCol, " "))), " "))
 
+  /** Unigram-LM cross-entropy + perplexity per document — the CCNet-
+    * style "how surprising is this text under a corpus LM" quality
+    * signal used to bucket training data (head/middle/tail). The LM is
+    * trained on the corpus itself in the same job: global add-one-
+    * smoothed word probabilities p(w) = (c(w)+1)/(N+V), per-doc score
+    * −Σ tf(w)·ln p(w) / len(doc), perplexity = exp of that.
+    *
+    * Scale shape: one shuffle for the vocab count, one equi-join of
+    * per-doc tf rows against the vocab (AQE broadcasts small vocabs;
+    * shuffles on `word` otherwise — vocab is sublinear in corpus size),
+    * one shuffle for the per-doc aggregate; corpus N/V ride along as a
+    * broadcast 1-row frame. Per-doc summation runs over the word-sorted
+    * list so float results are bit-identical in any engine. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(df, idCol, textCol)
+    val counts = toks.groupBy(col("word"))
+      .agg(count(lit(1)).cast("double").as("_c"))
+    val stats = counts.agg(sum(col("_c")).as("_n"),
+      count(lit(1)).cast("double").as("_v"))
+    val tf = toks.groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+    tf.join(counts, "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("_b",
+        -log((col("_c") + 1.0) / (col("_n") + col("_v"))) * col("_tf"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("word"), col("_b")))).as("_ws"),
+        sum(col("_tf")).as("_ntok"))
+      .withColumn("_sum",
+        aggregate(col("_ws"), lit(0.0), (acc, x) => acc + x.getField("_b")))
+      .withColumn("cross_entropy", col("_sum") / col("_ntok"))
+      .withColumn("ppl", exp(col("cross_entropy")))
+      .select(col(idCol), col("_ntok").cast("long").as("n_tokens"),
+        col("cross_entropy"), col("ppl"))
+  }
+
   /** Gopher/MassiveText-style REPETITION quality signals per document —
     * the boilerplate filters applied before LLM training:
     *   `top2_frac`  mass fraction of the most frequent word 2-gram,

@@ -74,6 +74,28 @@ object Extras {
         .orderBy("kind")
     }),
 
+    // ORC round-trip (columnar sink + source): write a pruned lineitem
+    // slice as ORC, read it back, aggregate. Spark's ORC support is
+    // first-class (vectorized reader, predicate pushdown) — the oracle
+    // runs the same aggregate on the parquet original, so the compare
+    // proves the round-trip is lossless. The write is part of the
+    // measured query on purpose: a sink benchmark that skipped the sink
+    // would be fiction.
+    "q136_orc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val path = "/root/repo/target/graft_orc_fixture_" +
+        Integer.toHexString(dir.hashCode)
+      T(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+        .filter($"l_orderkey" % 7 === 0)
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .filter($"l_quantity" > 10.0)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), r(sum($"l_quantity"), 4).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "q59_csv_source" -> ((s, dir) => {
       import s.implicits._
       ensureCsv()
@@ -684,6 +706,16 @@ object Extras {
         format = 'newline_delimited')
       WHERE stars >= 2
       GROUP BY kind ORDER BY kind""",
+
+    // the ORC file holds exactly the filtered parquet slice, so the
+    // oracle aggregates the parquet original directly — a value
+    // mismatch would mean the ORC round-trip lost or mangled rows
+    "q136_orc_roundtrip" -> """
+      SELECT l_returnflag, count(*) AS n,
+             floor(sum(l_quantity)*10000 + 0.5)/10000 AS sum_qty
+      FROM lineitem
+      WHERE l_orderkey % 7 = 0 AND l_quantity > 10.0
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q120_recursive_cte" -> """
       WITH RECURSIVE

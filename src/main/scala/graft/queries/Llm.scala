@@ -705,6 +705,42 @@ object Llm {
         .select(col("doc_id"), col("format"), col("duration_ms"),
           col("n_tracks"))
         .orderBy("doc_id")
+    }),
+
+    // corpus-LM perplexity scoring (CCNet shape): add-one unigram LM
+    // trained on the corpus in the same job, per-doc cross-entropy +
+    // perplexity — the head/middle/tail quality bucketing signal
+    "q137_lm_perplexity" -> ((s, dir) => {
+      import s.implicits._
+      TextStats.lmScore(T(s, dir, "documents"), "doc_id", "text")
+        .select($"doc_id", $"n_tokens",
+          r($"cross_entropy", 6).as("cross_entropy"), r($"ppl", 4).as("ppl"))
+        .orderBy("doc_id")
+    }),
+
+    // bloom-prefiltered decontamination: the eval gram set is sketched
+    // into one bloom filter (Spark's own sketch aggregate, registered by
+    // BloomFunctions) that rides the plan as a scalar-subquery CONSTANT,
+    // so the corpus side is probed map-side — no shuffle, no broadcast
+    // of the gram table for the prefilter. The exact semi-join then
+    // removes bloom false positives, so results are IDENTICAL to the
+    // exact join (blooms have no false negatives); at 100 TB the sketch
+    // cuts the join input to the contaminated sliver.
+    "q135_bloom_decontaminate" -> ((s, dir) => {
+      graft.functions.BloomFunctions.register(s)
+      Dedup.positionalShingles(
+          T(s, dir, "documents"), "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("shingle"))
+        .createOrReplaceTempView("g135")
+      s.sql("""
+        WITH ev AS (SELECT DISTINCT shingle FROM g135 WHERE doc_id < 10),
+        b AS (SELECT graft_bloom_agg(xxhash64(shingle), 16384L, 131072L) AS bf
+              FROM ev)
+        SELECT doc_id, CAST(count(DISTINCT g.shingle) AS BIGINT) AS n_shared
+        FROM g135 g LEFT SEMI JOIN ev ON g.shingle = ev.shingle
+        WHERE g.doc_id >= 10
+          AND graft_might_contain((SELECT bf FROM b), xxhash64(g.shingle))
+        GROUP BY doc_id ORDER BY doc_id""")
     })
   )
 
@@ -1801,6 +1837,39 @@ object Llm {
                  FROM documents)
       SELECT doc_id, 'mp4' AS format, (dur * 1000) // 600 AS duration_ms,
              CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks
-      FROM v ORDER BY doc_id"""
+      FROM v ORDER BY doc_id""",
+
+    // same add-one unigram LM; the per-doc sum runs over the word-
+    // sorted list (list_sum(array_agg(ORDER BY word))) to mirror the
+    // Spark side's sorted-struct aggregate bit for bit
+    "q137_lm_perplexity" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+      counts AS (SELECT word, CAST(count(*) AS DOUBLE) AS c
+                 FROM toks GROUP BY word),
+      stats AS (SELECT sum(c) AS n, CAST(count(*) AS DOUBLE) AS v FROM counts),
+      tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+             FROM toks GROUP BY doc_id, word),
+      s AS (SELECT doc_id, word, tf, -ln((c + 1.0)/(n + v)) * tf AS b
+            FROM tf JOIN counts USING (word), stats)
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             floor((list_sum(array_agg(b ORDER BY word)) / sum(tf))*1000000
+                   + 0.5)/1000000 AS cross_entropy,
+             floor(exp(list_sum(array_agg(b ORDER BY word)) / sum(tf))*10000
+                   + 0.5)/10000 AS ppl
+      FROM s GROUP BY doc_id ORDER BY doc_id""",
+
+    // the bloom is a prefilter only (no false negatives; positives are
+    // removed by the exact semi-join) — the oracle is the plain exact
+    // 3-gram decontamination join
+    "q135_bloom_decontaminate" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (SELECT doc_id,
+              unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                      for i in generate_series(1, len(w) - 2)]) AS g FROM w),
+      ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
+      SELECT doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared
+      FROM g JOIN ev ON g.g = ev.g
+      WHERE doc_id >= 10 GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -190,6 +190,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q135 (bloom decontamination): sketch probes map-side, no cartesian") {
+    val p = plan("q135_bloom_decontaminate")
+    // the bloom rides as a scalar-subquery constant: the corpus side is
+    // filtered by might_contain BEFORE the exact confirm join — a plan
+    // that instead joined corpus grams against the eval table first
+    // would lose the entire point of the sketch
+    assert(p.contains("might_contain(Subquery"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the confirm semi-join must be an equi-join (broadcast or shuffled)
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("q118 (period predicates in SQL): plain comparisons, no cartesian") {
     // over the fold the predicate sits above the Window (nothing can
     // push through it), but it must be ORDINARY comparisons on the
