@@ -66,6 +66,16 @@ final class GraftTable(spark: SparkSession, dir: String,
     log.append(f(this, args), systemTime)
   }
 
+  /** An incrementally-maintained COUNT/SUM view over this table at a
+    * fixed valid-time basis (system = latest) — see
+    * [[graft.bitemporal.Matview]]: `refresh()` folds only the log tail,
+    * state rewrites only the hash buckets whose groups changed. */
+  def matview(name: String, groupCol: String, sumCols: Seq[String],
+              validAt: Timestamp, nBuckets: Int = 32): graft.bitemporal.Matview =
+    new graft.bitemporal.Matview(spark, log,
+      java.nio.file.Paths.get(dir, "matview", name), payloadCols,
+      groupCol, sumCols, validAt, nBuckets)
+
   /** Fold the log into the partitioned rectangle base — incrementally
     * when one exists (cost ∝ tail ids, not total history). */
   def compact(): Unit = {

@@ -1,0 +1,169 @@
+package graft.bitemporal
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained aggregate view over a bitemporal tx log —
+  * COUNT/SUM (and anything derivable: AVG) per group at a FIXED
+  * bitemporal basis, kept current by folding only the log TAIL into
+  * stored per-group state instead of recomputing the aggregate.
+  *
+  * Classic self-maintainable IVM, shaped for the 100 TB tier:
+  *
+  *   - refresh work ∝ the tail: tail tx files are file-pruned by the
+  *     watermark (never listed, let alone read, for old txs); the
+  *     touched ids' PRIOR contribution re-folds only their history
+  *     rows (sargable `_id` semi-join over the sorted, bloom-filtered
+  *     log — the same point-read path `entity()` uses);
+  *   - state writes ∝ touched GROUPS: state is hash-bucketed on the
+  *     group key and only buckets holding a changed group are
+  *     rewritten (temp-write + directory swap, the
+  *     [[TxLog.compactIncremental]] pattern) — a refresh that touches
+  *     3 groups rewrites ≤ 3 of [[nBuckets]] bucket directories;
+  *   - no driver-side data: the only collects are the affected bucket
+  *     ids (≤ nBuckets longs) and the watermark.
+  *
+  * The basis (`validAt`, system = latest) is fixed at construction so
+  * incrementality is sound: a row's visibility at the basis changes
+  * only through new transactions, never through wall-clock drift.
+  * COUNT/SUM only (MIN/MAX are not self-maintainable under deletes —
+  * they'd need the full group re-read; the classic IVM restriction).
+  * For exact parity with a from-scratch recompute use exact-typed sum
+  * columns (integral/DECIMAL): incremental float sums differ from
+  * recomputed ones in the last bits, decimals never do.
+  */
+final class Matview private[graft] (
+    spark: SparkSession, log: TxLog, stateRoot: Path,
+    payloadCols: Seq[String], groupCol: String, sumCols: Seq[String],
+    validAt: Timestamp, nBuckets: Int) {
+  require(sumCols.forall(payloadCols.contains),
+    s"sum columns $sumCols must be payload columns $payloadCols")
+  require(nBuckets > 0, "nBuckets must be positive")
+
+  private val dataDir = stateRoot.resolve("state")
+  private val wmFile = stateRoot.resolve("_watermark")
+  // "system = latest" probe: any timestamp beyond every real system
+  // time selects exactly the open (_system_to = ∞) rectangles
+  private val sysProbe = Timestamp.valueOf("9998-01-01 00:00:00")
+
+  /** Last tx id folded into the state, -1 before the first refresh. */
+  def watermark: Long =
+    if (Files.exists(wmFile))
+      new String(Files.readAllBytes(wmFile), UTF_8).trim.toLong
+    else -1L
+
+  private def setWatermark(w: Long): Unit = {
+    Files.createDirectories(stateRoot)
+    val tmp = stateRoot.resolve("_watermark.tmp")
+    Files.write(tmp, w.toString.getBytes(UTF_8))
+    Files.move(tmp, wmFile,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  private def sumAlias(c: String) = s"sum_$c"
+
+  /** Hash bucket of the group key (null-safe: null groups get a real
+    * bucket, not a hive default partition). */
+  private def bucketCol =
+    pmod(xxhash64(coalesce(col(groupCol).cast("string"), lit("\\u0000:null-group"))),
+      lit(nBuckets.toLong))
+
+  private def readTx(files: Seq[Path]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(files.map(_.toString): _*)
+
+  /** Per-group contribution of `ops` at the view's basis. */
+  private def contrib(ops: DataFrame): DataFrame =
+    Bitemporal.asOf(Bitemporal.fold(ops, payloadCols),
+        lit(validAt), lit(sysProbe))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sumCols.map(c => sum(col(c)).as(sumAlias(c))): _*)
+
+  /** Fold every tx past the watermark into the state. Returns the new
+    * watermark (= old one when the log has nothing new). */
+  def refresh(): Long = {
+    val files = log.txFiles()
+    if (files.isEmpty) return watermark
+    val last = files
+      .map(_.getFileName.toString.stripPrefix("tx_").stripSuffix(".parquet").toLong)
+      .max
+    val w = watermark
+    if (last <= w) return w
+
+    if (w < 0 || !Files.exists(dataDir)) {
+      // first build: one full fold, all buckets written once
+      contrib(readTx(files)).withColumn("_bucket", bucketCol)
+        .repartition(col("_bucket"))
+        .write.mode("overwrite").partitionBy("_bucket")
+        .parquet(dataDir.toString)
+      setWatermark(last)
+      return last
+    }
+
+    val tail = readTx(log.txFilesAfter(w))
+    val touched = tail.select(col("_id").cast("long").as("_id")).distinct()
+    val hist = {
+      val all = readTx(files)
+      all.join(touched, all("_id").cast("long") === touched("_id"), "left_semi")
+    }
+    val oldC = contrib(hist.filter(col("_tx_id") <= w))
+    val newC = contrib(hist)
+    // delta per group: new minus old, null-safe on the group key
+    val o = oldC.as("o")
+    val nw = newC.as("n")
+    val key = col(s"n.$groupCol") <=> col(s"o.$groupCol")
+    val delta = nw.join(o, key, "full_outer")
+      .select(
+        coalesce(col(s"n.$groupCol"), col(s"o.$groupCol")).as(groupCol) +:
+          (coalesce(col("n.n"), lit(0L)) - coalesce(col("o.n"), lit(0L))).as("n") +:
+          sumCols.map { c =>
+            val a = sumAlias(c)
+            (coalesce(col(s"n.$a"), lit(0)) - coalesce(col(s"o.$a"), lit(0))).as(a)
+          }: _*)
+      .withColumn("_bucket", bucketCol)
+    // ≤ nBuckets longs — the only data-dependent collect in a refresh
+    val affected: Seq[Long] =
+      delta.select(col("_bucket")).distinct().collect().map(_.getLong(0)).toSeq
+    if (affected.isEmpty) { setWatermark(last); return last }
+
+    val state = spark.read.parquet(dataDir.toString)
+      .filter(col("_bucket").isin(affected: _*))
+    val s = state.as("s")
+    val d = delta.as("d")
+    val mkey = col(s"s.$groupCol") <=> col(s"d.$groupCol")
+    val merged = s.join(d, mkey, "full_outer")
+      .select(
+        coalesce(col(s"s.$groupCol"), col(s"d.$groupCol")).as(groupCol) +:
+          (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n") +:
+          sumCols.map { c =>
+            val a = sumAlias(c)
+            (coalesce(col(s"s.$a"), lit(0)) + coalesce(col(s"d.$a"), lit(0))).as(a)
+          } :+
+          coalesce(col("s._bucket"), col("d._bucket")).as("_bucket"): _*)
+      .filter(col("n") > 0) // a group whose last row left the view goes away
+    // temp-write + per-bucket directory swap: untouched buckets keep
+    // their files byte for byte
+    val tmp = stateRoot.resolve("state_tmp")
+    TxLog.deleteRecursively(tmp.toFile)
+    merged.repartition(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(tmp.toString)
+    affected.foreach { b =>
+      val name = s"_bucket=$b"
+      val dst = dataDir.resolve(name)
+      TxLog.deleteRecursively(dst.toFile)
+      val src = tmp.resolve(name)
+      if (Files.exists(src)) { Files.move(src, dst): Unit }
+    }
+    TxLog.deleteRecursively(tmp.toFile)
+    setWatermark(last)
+    last
+  }
+
+  /** The maintained view: (group, n, sum_*) — read-only, no recompute. */
+  def read(): DataFrame =
+    spark.read.parquet(dataDir.toString).drop("_bucket")
+}

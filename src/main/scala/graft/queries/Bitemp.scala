@@ -57,6 +57,44 @@ object Bitemp {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // incrementally-maintained aggregate view: populate, refresh, then
+    // update + delete txs folded by a SECOND (incremental) refresh —
+    // the served state must equal the from-scratch aggregate, which is
+    // exactly what the oracle computes arithmetically
+    "q138_matview" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mv_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      val t = new GraftTable(s, tmp, Seq("grp", "bal"))
+      def ts(x: String) = java.sql.Timestamp.valueOf(x)
+      val cust = T(s, dir, "customer").select($"c_custkey".as("id"),
+        $"c_nationkey".cast("string").as("g"),
+        $"c_acctbal".cast("decimal(12,2)").as("m"))
+      val mv = t.matview("by_nation", "grp", Seq("bal"),
+        ts("2030-01-01 00:00:00"), nBuckets = 16)
+      t.put(cust, $"id", lit("2000-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "bal" -> $"m"), ts("2020-01-01 00:00:00"))
+      mv.refresh()
+      // +100 to every 10th account (valid from mid-2000), then delete
+      // every 13th — both folded incrementally on the second refresh
+      t.put(cust.filter($"id" % 10 === 0)
+          .withColumn("m2", ($"m" + 100).cast("decimal(12,2)")),
+        $"id", lit("2000-06-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "bal" -> $"m2"), ts("2020-01-02 00:00:00"))
+      t.delete(cust.filter($"id" % 13 === 0), $"id",
+        lit("2000-01-01").cast("timestamp"), None,
+        Seq("grp" -> lit(null).cast("string"),
+          "bal" -> lit(null).cast("decimal(12,2)")),
+        ts("2020-01-03 00:00:00"))
+      mv.refresh()
+      // decimals keep the incremental arithmetic exact; the surfaced
+      // column goes out as DOUBLE (penny sums sit far below 2^53, so
+      // the conversion is exact in both engines)
+      mv.read()
+        .select($"grp", $"n", $"sum_bal".cast("double").as("sum_bal"))
+        .orderBy("grp")
+    }),
+
     // valid-time temporal join (SQL:2011 shape): order "activity"
     // intervals [orderdate, +60d) joined with lineitem shipping
     // intervals [shipdate, receiptdate) on the order key — overlap
@@ -392,6 +430,19 @@ object Bitemp {
       WHERE path_in_schema = '_id'
       GROUP BY file_name
       ORDER BY file""",
+
+    // from-scratch recompute of the maintained view: every 13th account
+    // deleted, every remaining 10th account +100, grouped by nation
+    "q138_matview" -> """
+      WITH c AS (SELECT c_custkey AS k, CAST(c_nationkey AS VARCHAR) AS grp,
+                        CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+                 FROM customer),
+      eff AS (SELECT grp,
+                     CASE WHEN k % 10 = 0 THEN bal + 100 ELSE bal END AS bal
+              FROM c WHERE k % 13 <> 0)
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(bal) AS DOUBLE) AS sum_bal
+      FROM eff GROUP BY grp ORDER BY grp""",
 
     // same algebra as q85 minus the erase: update-then-delete over the
     // insert snapshot (the predicates are disjoint, so one-tx snapshot

@@ -1,0 +1,130 @@
+package graft.bitemporal
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftTable, TestSpark}
+
+/** Incremental matview: every refresh must land on exactly the state a
+  * from-scratch recompute would produce (parity), while rewriting only
+  * the buckets whose groups changed (incrementality). */
+class MatviewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val validAt = ts("2030-01-01 00:00:00")
+
+  private def freshTable(): (GraftTable, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    (new GraftTable(spark, dir, Seq("grp", "amt")), dir)
+  }
+
+  /** Ground truth: full recompute of the view from the table. */
+  private def recompute(t: GraftTable): Map[String, (Long, java.math.BigDecimal)] =
+    Bitemporal.asOf(t.rectangles(), lit(validAt), lit(ts("9998-01-01 00:00:00")))
+      .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"amt").as("s"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2)))
+      .toMap
+
+  private def viewState(mv: Matview): Map[String, (Long, java.math.BigDecimal)] =
+    mv.read().collect()
+      .map(r => (r.getString(r.fieldIndex("grp")),
+        (r.getLong(r.fieldIndex("n")), r.getDecimal(r.fieldIndex("sum_amt")))))
+      .toMap
+
+  private def assertParity(mv: Matview, t: GraftTable): Unit = {
+    val want = recompute(t)
+    val got = viewState(mv)
+    assert(got.keySet == want.keySet, s"groups: $got vs $want")
+    want.foreach { case (g, (n, s)) =>
+      val (gn, gs) = got(g)
+      assert(gn == n, s"group $g count: $gn != $n")
+      assert(gs.compareTo(s) == 0, s"group $g sum: $gs != $s")
+    }
+  }
+
+  private def amt(x: String) = lit(x).cast("decimal(12,2)")
+
+  test("refresh parity through put / update / group-move / delete / erase") {
+    val (t, _) = freshTable()
+    val mv = t.matview("by_grp", "grp", Seq("amt"), validAt, nBuckets = 8)
+
+    // tx1: initial population, three groups
+    t.put(Seq((1L, "a", "10.00"), (2L, "a", "20.00"), (3L, "b", "5.50"),
+        (4L, "c", "7.25")).toDF("id", "g", "m"),
+      $"id", lit("2020-01-01").cast("timestamp"), None,
+      Seq("grp" -> $"g", "amt" -> $"m".cast("decimal(12,2)")),
+      ts("2024-01-01 00:00:00"))
+    assert(mv.refresh() == 0L)
+    assertParity(mv, t)
+
+    // tx2: in-place update (id 1 amount), group move (id 3 b -> c)
+    t.put(Seq((1L, "a", "11.00"), (3L, "c", "6.00")).toDF("id", "g", "m"),
+      $"id", lit("2020-06-01").cast("timestamp"), None,
+      Seq("grp" -> $"g", "amt" -> $"m".cast("decimal(12,2)")),
+      ts("2024-01-02 00:00:00"))
+    mv.refresh()
+    assertParity(mv, t)
+    // group b is gone entirely (its only member moved to c)
+    assert(!viewState(mv).contains("b"))
+
+    // tx3: delete id 2, erase id 4
+    t.delete(Seq(2L).toDF("id"), $"id", lit("2020-01-01").cast("timestamp"),
+      None, Seq("grp" -> lit(null).cast("string"),
+        "amt" -> lit(null).cast("decimal(12,2)")),
+      ts("2024-01-03 00:00:00"))
+    t.erase(Seq(4L).toDF("id"), $"id",
+      Seq("grp" -> lit(null).cast("string"),
+        "amt" -> lit(null).cast("decimal(12,2)")),
+      ts("2024-01-04 00:00:00"))
+    mv.refresh()
+    assertParity(mv, t)
+    assert(viewState(mv).keySet == Set("a", "c"))
+
+    // idle refresh: watermark unchanged, state unchanged
+    val before = viewState(mv)
+    val w = mv.watermark
+    assert(mv.refresh() == w)
+    assert(viewState(mv) == before)
+  }
+
+  test("refresh rewrites only the buckets of changed groups") {
+    val (t, dir) = freshTable()
+    // many groups spread over many buckets
+    val mv = t.matview("by_grp", "grp", Seq("amt"), validAt, nBuckets = 16)
+    t.put(spark.range(200).select($"id", concat(lit("g"), $"id" % 40).as("g"),
+        lit("1.00").cast("decimal(12,2)").as("m")),
+      $"id", lit("2020-01-01").cast("timestamp"), None,
+      Seq("grp" -> $"g", "amt" -> $"m"), ts("2024-01-01 00:00:00"))
+    mv.refresh()
+    val stateDir = java.nio.file.Paths.get(dir, "matview", "by_grp", "state")
+    def mtimes(): Map[String, Long] = {
+      val s = java.nio.file.Files.list(stateDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.getFileName.toString.startsWith("_bucket="))
+          .map(p => p.getFileName.toString ->
+            java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      } finally s.close()
+    }
+    val nonEmptyBuckets = mtimes().size
+    assert(nonEmptyBuckets > 4, s"want spread groups, got $nonEmptyBuckets buckets")
+    val before = mtimes()
+    Thread.sleep(1100) // parquet mtime granularity
+    // touch ONE group (one id of g7)
+    t.put(Seq((7L, "g7", "2.00")).toDF("id", "g", "m"),
+      $"id", lit("2021-01-01").cast("timestamp"), None,
+      Seq("grp" -> $"g", "amt" -> $"m".cast("decimal(12,2)")),
+      ts("2024-01-02 00:00:00"))
+    mv.refresh()
+    assertParity(mv, t)
+    val after = mtimes()
+    val rewritten = after.filter { case (k, v) => before.get(k).forall(_ != v) }
+    assert(rewritten.size == 1,
+      s"one group changed, but rewrote buckets: ${rewritten.keys}")
+  }
+}
