@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering for multi-dimension file pruning.
+  *
+  * Range-clustering a table on ONE column gives parquet files tight
+  * min/max stats on that column and useless stats on every other; a
+  * selective predicate on the second dimension then admits every file.
+  * Interleaving the bits of several normalized dimensions into one sort
+  * key makes each written file cover a small HYPER-RECTANGLE of the
+  * value space, so min/max footer stats prune files for predicates on
+  * ANY of the clustered dimensions — the standard layout trick for
+  * multi-tenant scan tables (Delta/Iceberg `ZORDER BY`).
+  *
+  * Shape: one 1-row min/max aggregate (broadcast back), one range
+  * shuffle on the interleaved key, an in-task sort — all linear, no
+  * driver data. The z-value is a pure Column expression (codegen'd
+  * shift/mask terms), exact for any numeric/date/timestamp input.
+  */
+object ZOrder {
+
+  /** Bit-interleaved z-value of `cols`, each min/max-normalized to
+    * `bits` bits using the ALREADY-JOINED `_zmn_<c>`/`_zmx_<c>` bounds
+    * columns. k·bits must fit a long. */
+  private def zExpr(cols: Seq[String], bits: Int): Column = {
+    val k = cols.size
+    val maxQ = (1L << bits) - 1
+    val quantized = cols.map { c =>
+      val mn = col(s"_zmn_$c")
+      val mx = col(s"_zmx_$c")
+      val span = mx - mn
+      val q = when(span <= 0.0 || col(c).isNull, lit(0L))
+        .otherwise(least(lit(maxQ),
+          floor((col(c).cast("double") - mn) / span * maxQ).cast("long")))
+      q
+    }
+    (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      quantized.zipWithIndex.foldLeft(acc) { case (a, (q, i)) =>
+        a + shiftleft(shiftright(q, b) bitwiseAND lit(1L), b * k + i)
+      }
+    }
+  }
+
+  /** Cluster `df` into `nFiles` z-ordered range partitions on `cols`
+    * (each written file then covers a tile of the value space). The
+    * result is ready to `.write.parquet(...)`: same rows, same schema,
+    * z-curve order. */
+  def cluster(df: DataFrame, cols: Seq[String], nFiles: Int,
+              bits: Int = 12): DataFrame = {
+    require(cols.size >= 2, "z-order needs at least two dimensions")
+    require(cols.size * bits <= 62, s"${cols.size} dims x $bits bits overflow")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"_zmn_$c"),
+      max(col(c)).cast("double").as(s"_zmx_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val helper = Seq("_z") ++ cols.flatMap(c => Seq(s"_zmn_$c", s"_zmx_$c"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("_z", zExpr(cols, bits))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop(helper: _*)
+  }
+}

@@ -74,6 +74,24 @@ object Extras {
         .orderBy("kind")
     }),
 
+    // z-order clustered write + 2-dimension pruned read-back: the
+    // clustering is a pure reordering (oracle proves content parity);
+    // ZOrderSpec proves the footer-level pruning both dims get from it
+    "q139_zorder_scan" -> ((s, dir) => {
+      import s.implicits._
+      val path = "/root/repo/target/graft_zorder_" +
+        Integer.toHexString(dir.hashCode)
+      graft.operators.ZOrder.cluster(
+          T(s, dir, "lineitem").select($"l_orderkey", $"l_partkey", $"l_quantity"),
+          Seq("l_orderkey", "l_partkey"), nFiles = 8)
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter($"l_partkey" <= 200 && $"l_orderkey" <= 30000)
+        .groupBy($"l_partkey")
+        .agg(count(lit(1)).as("n"), r(sum($"l_quantity"), 4).as("sum_qty"))
+        .orderBy("l_partkey")
+    }),
+
     // ORC round-trip (columnar sink + source): write a pruned lineitem
     // slice as ORC, read it back, aggregate. Spark's ORC support is
     // first-class (vectorized reader, predicate pushdown) — the oracle
@@ -706,6 +724,13 @@ object Extras {
         format = 'newline_delimited')
       WHERE stars >= 2
       GROUP BY kind ORDER BY kind""",
+
+    "q139_zorder_scan" -> """
+      SELECT l_partkey, count(*) AS n,
+             floor(sum(l_quantity)*10000 + 0.5)/10000 AS sum_qty
+      FROM lineitem
+      WHERE l_partkey <= 200 AND l_orderkey <= 30000
+      GROUP BY l_partkey ORDER BY l_partkey""",
 
     // the ORC file holds exactly the filtered parquet slice, so the
     // oracle aggregates the parquet original directly — a value
