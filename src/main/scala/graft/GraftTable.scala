@@ -232,8 +232,9 @@ final class GraftTable(spark: SparkSession, dir: String,
     val ops = compileDml(name, statement, systemTime)
     // only INSERT can self-overlap within one statement (duplicate ids
     // in its source) — see requireDisjoint
-    if (statement.trim.take(6).equalsIgnoreCase("INSERT")) requireDisjoint(ops)
-    log.append(ops, systemTime)
+    if (statement.trim.take(6).equalsIgnoreCase("INSERT"))
+      validatedAppend(ops, systemTime)
+    else log.append(ops, systemTime)
   }
 
   /** SEVERAL DML statements as ONE atomic transaction — the reference's
@@ -253,8 +254,17 @@ final class GraftTable(spark: SparkSession, dir: String,
     require(statements.nonEmpty, "empty transaction")
     val ops = statements.map(compileDml(name, _, systemTime))
       .reduce(_.unionByName(_))
-    requireDisjoint(ops)
-    log.append(ops, systemTime)
+    validatedAppend(ops, systemTime)
+  }
+
+  /** [[requireDisjoint]] then append as ONE transaction. The ops plan is
+    * cached across the check + write, so a DML source that is expensive
+    * to compute (an INSERT...SELECT over a big join) evaluates once, not
+    * once for the validation pass and again for the append. */
+  private def validatedAppend(ops: DataFrame, systemTime: Timestamp): Long = {
+    val cached = ops.cache()
+    try { requireDisjoint(cached); log.append(cached, systemTime) }
+    finally { cached.unpersist(); () }
   }
 
   /** Enforce the fold's no-overlap invariant BEFORE the tx is

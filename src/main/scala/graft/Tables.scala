@@ -25,11 +25,21 @@ object Tables {
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")
       try {
-        // floor-division on the int64 nanos (not `div`, which truncates
-        // toward zero and would diverge from DuckDB on pre-epoch values)
-        spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", org.apache.spark.sql.functions.expr(
-            "CAST(timestamp_micros((ts - pmod(ts, 1000)) div 1000) AS TIMESTAMP_NTZ)"))
+        val raw = spark.read.parquet(s"$dir/events.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            // nanos fixture: floor-division on the int64 nanos (not `div`,
+            // which truncates toward zero and would diverge from DuckDB on
+            // pre-epoch values)
+            raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+              "CAST(timestamp_micros((ts - pmod(ts, 1000)) div 1000) AS TIMESTAMP_NTZ)"))
+          case _ =>
+            // micros fixture (fixture generations differ): already a
+            // timestamp — normalize to NTZ so both generations present one
+            // schema to every query and to the oracle compare
+            raw.withColumn("ts",
+              org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz"))
+        }
       } finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None    => spark.conf.unset(key)
