@@ -472,6 +472,78 @@ object Similarity {
       .limit(topK)
   }
 
+  // ---- residual IVF-PQ (PQ over v − centroid, the FAISS IVFPQ
+  //      encoding proper) ----
+
+  /** Per-vector residuals against the assigned cell's centroid — the
+    * quantity FAISS's IVFPQ actually product-quantizes (Jégou et al.
+    * 2011 §IV.A): within a cell the residuals are centered near zero
+    * and span a far smaller range than the raw vectors, so the same
+    * m×k code budget quantizes them with much less error — raw-ADC
+    * recall rises toward the cell-selection ceiling without any extra
+    * read cost. `assigned` is [[ivfAssign]]'s output (must still carry
+    * `vCol` and `cell`); output adds `out` = v − centroid(cell). One
+    * broadcast join, no shuffle. */
+  def ivfResiduals(assigned: DataFrame, vCol: String,
+                   centroids: DataFrame, out: String = "_rv"): DataFrame =
+    assigned.join(broadcast(centroids),
+        assigned("cell") === centroids("_cid"))
+      .withColumn(out, zip_with(col(vCol), col("_cv"), (a, b) => a - b))
+      .drop("_cid", "_cv")
+
+  /** Composed IVF-PQ search over RESIDUAL codes: the query's distance
+    * table is built PER PROBED CELL against the query's own residual
+    * (q − centroid), because within cell c the code approximates
+    * ‖q−v‖² = ‖(q−c)−(v−c)‖². `codes` must carry `(idCol, cell, j,
+    * code)` — [[pqEncode]] over [[ivfResiduals]] joined back to the
+    * cell assignment. The ADC table grows to nProbe×m×k rows — still
+    * broadcast-sized — and the (cell, j, code) join restricts the scan
+    * to probed cells exactly as [[ivfPqTopK]]'s candidate join does. */
+  def ivfPqResidualTopK(codes: DataFrame, idCol: String,
+                        queryVec: DataFrame, qCol: String, topK: Int,
+                        nProbe: Int, centroids: DataFrame,
+                        codebook: DataFrame, subDim: Int): DataFrame = {
+    val qv = materializeSingleRow(queryVec, "ivfPqResidualTopK")
+    val probes = qv.crossJoin(broadcast(centroids))
+      .withColumn("_ccos", cosine(col(qCol), col("_cv")))
+      .orderBy(col("_ccos").desc, col("_cid"))
+      .limit(nProbe)
+      .select(col("_cid").as("cell"),
+        zip_with(col(qCol), col("_cv"), (a, b) => a - b).as("_qr"))
+    val dt = probes.crossJoin(codebook)
+      .withColumn("_sq", slice(col("_qr"), col("j") * subDim + 1, lit(subDim)))
+      .select(col("cell"), col("j"), col("c").as("code"),
+        dist2(col("_sq"), col("w")).as("_dj"))
+    codes.join(broadcast(dt), Seq("cell", "j", "code"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("j"), col("_dj")))).as("_ds"))
+      .withColumn("adist",
+        aggregate(col("_ds"), lit(0.0), (acc, x) => acc + x.getField("_dj")))
+      .select(col(idCol), col("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(topK)
+  }
+
+  /** Residual IVF-PQ with the exact-refine tail — [[ivfPqResidualTopK]]
+    * shortlist, then true cosine over the shortlist's raw vectors only
+    * (point lookup, as [[ivfPqRefineTopK]]). */
+  def ivfPqResidualRefineTopK(codes: DataFrame, idCol: String,
+                              emb: DataFrame, vCol: String,
+                              queryVec: DataFrame, qCol: String,
+                              topK: Int, shortlist: Int, nProbe: Int,
+                              centroids: DataFrame, codebook: DataFrame,
+                              subDim: Int): DataFrame = {
+    val qv = materializeSingleRow(queryVec, "ivfPqResidualRefineTopK")
+    val short = ivfPqResidualTopK(codes, idCol, qv, qCol, shortlist,
+      nProbe, centroids, codebook, subDim).select(col(idCol))
+    emb.join(broadcast(short), Seq(idCol))
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", cosine(col(vCol), col(qCol)))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Composed IVF-PQ search with the exact-refine tail: probe cells →
     * ADC shortlist from byte codes ([[ivfPqTopK]]) → true cosine over
     * the shortlist only. The full 100 TB read path: corpus scan touches

@@ -650,6 +650,30 @@ object Llm {
         .select($"vec_id", r($"cos", 4).as("cos"))
     }),
 
+    // RESIDUAL IVF-PQ (the FAISS IVFPQ encoding proper): PQ over
+    // v − centroid instead of v. Residuals within a cell are centered
+    // near zero, so the same 8×16 code budget quantizes them with far
+    // less error — measured raw-ADC recall@10 rises 0.70 → 0.80 on the
+    // recall-spec corpus with no extra read cost (the ADC table grows
+    // to nProbe×m×k rows, still broadcast-sized). Borrowed quantizers
+    // so the oracle replays the index build exactly
+    "q140_ivfpq_residual" -> ((s, dir) => {
+      import s.implicits._
+      val e = embD(s, dir).select($"vec_id", $"v")
+      val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+      val cents = Similarity.ivfCentroids(e, "vec_id", "v",
+        nCentroids = 16, idStride = 7)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "v", cents)
+      val res = Similarity.ivfResiduals(assigned, "v", cents)
+      val cb = Similarity.pqCodebook(res, "vec_id", "_rv",
+        m = 8, k = 16, subDim = 8)
+      val codes = Similarity.pqEncode(res, "vec_id", "_rv", cb, subDim = 8)
+        .join(res.select($"vec_id", $"cell"), "vec_id")
+      Similarity.ivfPqResidualTopK(codes, "vec_id", q, "qv",
+          topK = 10, nProbe = 4, cents, cb, subDim = 8)
+        .select($"vec_id", r($"adist", 6).as("adist"))
+    }),
+
     // BM25 ranking against a literal query ("hash join scan") — the
     // classic sparse retrieval scorer on top of the tf-idf machinery;
     // per-doc term scores folded in term order for a deterministic sum
@@ -1785,6 +1809,65 @@ object Llm {
               FROM e JOIN short USING (vec_id) CROSS JOIN q
               ORDER BY cos DESC, e.vec_id LIMIT 10)
       SELECT vec_id, floor(cos*10000 + 0.5)/10000 AS cos FROM top""",
+
+    // q121's CTEs with the RESIDUAL encoding: rv = v − cv(assigned cell),
+    // codebook from the first-16 ids' residuals, per-probed-cell query
+    // residual distance table keyed (cid, j, c)
+    "q140_ivfpq_residual" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cents AS (SELECT CAST(vec_id // 7 AS BIGINT) AS cid, v AS cv
+                FROM e WHERE vec_id % 7 = 0 AND vec_id // 7 < 16),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      assign AS (
+        SELECT vec_id, v, cid, cv FROM (
+          SELECT e.vec_id, e.v, c.cid, c.cv,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.v, c.cv) /
+                     (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                   DESC, c.cid) AS rn
+          FROM e CROSS JOIN cents c)
+        WHERE rn = 1),
+      res AS (SELECT vec_id, cid,
+                     list_transform(range(1, 65), i -> v[i] - cv[i]) AS rv
+              FROM assign),
+      cb AS (SELECT t.j, r.vec_id AS c,
+                    list_slice(r.rv, t.j*8+1, (t.j+1)*8) AS w
+             FROM (SELECT vec_id, rv FROM res WHERE vec_id < 16) r,
+                  generate_series(0, 7) AS t(j)),
+      d AS (SELECT vec_id, cid, j, c,
+                   list_dot_product(sv, sv) - 2*list_dot_product(sv, w)
+                     + list_dot_product(w, w) AS dist
+            FROM (SELECT res.vec_id, res.cid, cb.j, cb.c, cb.w,
+                         list_slice(res.rv, cb.j*8+1, (cb.j+1)*8) AS sv
+                  FROM res, cb) AS sub),
+      enc AS (SELECT vec_id, cid, j, c FROM (
+                SELECT vec_id, cid, j, c,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY dist, c) AS rn
+                FROM d) WHERE rn = 1),
+      probes AS (
+        SELECT cid, cv FROM (
+          SELECT c.cid, c.cv,
+                 list_dot_product(q.qv, c.cv) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+          FROM q CROSS JOIN cents c
+          ORDER BY ccos DESC, c.cid LIMIT 4)),
+      qres AS (SELECT p.cid,
+                      list_transform(range(1, 65), i -> q.qv[i] - p.cv[i]) AS qr
+               FROM probes p CROSS JOIN q),
+      dt AS (SELECT cid, j, c,
+                    list_dot_product(sq, sq) - 2*list_dot_product(sq, w)
+                      + list_dot_product(w, w) AS dj
+             FROM (SELECT qres.cid, cb.j, cb.c, cb.w,
+                          list_slice(qres.qr, cb.j*8+1, (cb.j+1)*8) AS sq
+                   FROM qres, cb) AS qsub),
+      a AS (SELECT enc.vec_id,
+                   list_sum(array_agg(dt.dj ORDER BY enc.j)) AS adist
+            FROM enc JOIN dt ON enc.cid = dt.cid AND enc.j = dt.j
+                            AND enc.c = dt.c
+            GROUP BY enc.vec_id)
+      SELECT vec_id, floor(adist*1000000 + 0.5)/1000000 AS adist
+      FROM a ORDER BY a.adist, vec_id LIMIT 10""",
 
     "q51_multimodal" -> """
       SELECT doc_id,

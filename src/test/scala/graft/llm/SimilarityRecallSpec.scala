@@ -192,4 +192,45 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(r8 >= r4, "more probes must not lose recall")
     assigned.unpersist(); cb.unpersist(); codes.unpersist()
   }
+
+  test("RESIDUAL IVF-PQ raw-ADC recall@10 >= 0.7 and beats raw-vector codes") {
+    // the FAISS-IVFPQ encoding proper: PQ over v − centroid. Within a
+    // cell the residuals span a far smaller range than the raw vectors,
+    // so the same m×k code budget loses far less to quantization — the
+    // raw-ADC number (no refine pass) should approach the IVF
+    // cell-selection ceiling (1.0 at 4 probes on this corpus)
+    val m = 4; val kCodes = 16; val subDim = dim / m
+    val cents = Similarity.ivfTrain(corpus, "id", "v",
+      nCentroids = nClusters, dim = dim, iters = 3,
+      idStride = perCluster.toLong)
+    val assigned = Similarity.ivfAssign(corpus, "id", "v", cents).cache()
+    val res = Similarity.ivfResiduals(assigned, "v", cents).cache()
+    val cbR = Similarity.pqTrain(res, "id", "_rv", m, kCodes, subDim,
+      iters = 3).cache()
+    val codesR = Similarity.pqEncode(res, "id", "_rv", cbR, subDim)
+      .join(res.select(col("id"), col("cell")), "id").cache()
+
+    // raw-vector baseline at the same budget
+    val cb = Similarity.pqTrain(corpus, "id", "v", m, kCodes, subDim,
+      iters = 3).cache()
+    val codes = Similarity.pqEncode(corpus, "id", "v", cb, subDim).cache()
+    val plainAssigned = assigned.select(col("id"), col("cell"))
+
+    val rResidual = avgRecall { q =>
+      Similarity.ivfPqResidualTopK(codesR, "id", qDf(q), "qv", k10,
+        nProbe = 4, cents, cbR, subDim)
+    }
+    val rPlain = avgRecall { q =>
+      Similarity.ivfPqTopK(plainAssigned, "id", codes, qDf(q), "qv", k10,
+        nProbe = 4, cents, cb, subDim)
+    }
+    info(f"ivf-pq raw-ADC recall@10 (4-probe): residual = $rResidual%.3f, " +
+      f"raw-vector = $rPlain%.3f")
+    assert(rResidual >= 0.7,
+      f"residual IVF-PQ recall $rResidual%.3f below floor")
+    assert(rResidual >= rPlain,
+      f"residual codes ($rResidual%.3f) must not lose to raw codes ($rPlain%.3f)")
+    assigned.unpersist(); res.unpersist(); cbR.unpersist()
+    codesR.unpersist(); cb.unpersist(); codes.unpersist()
+  }
 }
