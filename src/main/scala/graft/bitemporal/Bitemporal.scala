@@ -252,4 +252,86 @@ object Bitemporal {
         least(col("_valid_to"), col("_valid_to" + suffix)))
       .drop("_valid_from" + suffix, "_valid_to" + suffix)
   }
+
+  /** Interval-weighted aggregation over a valid-time history — "what
+    * was the average X over [from, to)", where a version counts in
+    * proportion to how long it was valid inside the window (the
+    * temporal-AVG every bitemporal store gets asked for; plain AVG
+    * over versions would weight a 1-day blip equally with a 10-year
+    * steady state). Returns, per `byCols` group: `weighted_sum`
+    * (Σ value·overlap-seconds), `covered_secs` (Σ overlap-seconds) and
+    * `time_weighted_avg` (their ratio).
+    *
+    * Scale: a sargable overlap filter + one map-side-combined hash
+    * aggregation — the same envelope as any groupBy; no window, no
+    * self-join, no sort. */
+  def timeWeighted(history: DataFrame, from: Column, to: Column,
+                   valueCol: String, byCols: Seq[String]): DataFrame = {
+    val w = (unix_micros(least(col("_valid_to"), to).cast("timestamp")) -
+      unix_micros(greatest(col("_valid_from"), from).cast("timestamp")))
+      .cast("double") / lit(1e6)
+    history.filter(col("_valid_from") < to && from < col("_valid_to"))
+      .withColumn("_w", w)
+      .groupBy(byCols.map(col): _*)
+      .agg(sum(col(valueCol) * col("_w")).as("weighted_sum"),
+        sum(col("_w")).as("covered_secs"))
+      .withColumn("time_weighted_avg",
+        col("weighted_sum") / col("covered_secs"))
+  }
+
+  /** Piecewise-constant aggregate timeline (the classic temporal
+    * aggregation / sweep operator): every interval contributes +value
+    * at `_valid_from` and −value at `_valid_to`; the running total over
+    * the sorted change points is SUM(value) over each elementary
+    * interval. Output: one row per distinct change point `t` with
+    * `agg` = the sum valid over [t, next change point).
+    *
+    * Scale — the hard case is the GLOBAL timeline (empty `byCols`),
+    * where a naive window would move every change point to ONE
+    * partition. This uses the textbook two-phase distributed prefix
+    * sum instead: range-repartition the per-t deltas by `t`, compute
+    * each range's local prefix sums in parallel (window partitioned by
+    * the range id), and add per-range offsets — the cumulative sums of
+    * the ranges' totals, a #partitions-sized relation computed with one
+    * tiny aggregation and collected (bounded by the shuffle-partition
+    * count, like AQE's own stats — never O(data)). With `byCols` the
+    * window partitions by the group key directly and no offset pass is
+    * needed. */
+  def timelineSweep(history: DataFrame, valueCol: String,
+                    byCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val events = history.select(
+      (byCols.map(col) :+ explode(array(
+        struct(col("_valid_from").as("t"),
+          col(valueCol).cast("double").as("d")),
+        struct(col("_valid_to").as("t"),
+          (-col(valueCol)).cast("double").as("d")))).as("_e")): _*)
+      .select(byCols.map(col) :+ col("_e.t").as("t") :+
+        col("_e.d").as("d"): _*)
+    val deltas = events.groupBy(byCols.map(col) :+ col("t"): _*)
+      .agg(sum(col("d")).as("_delta"))
+    if (byCols.nonEmpty) {
+      val w = Window.partitionBy(byCols.map(col): _*).orderBy(col("t"))
+      deltas.withColumn("agg", sum(col("_delta")).over(w)).drop("_delta")
+    } else {
+      val ranged = deltas.repartitionByRange(col("t"))
+        .sortWithinPartitions(col("t"))
+        .withColumn("_pid", spark_partition_id())
+        .localCheckpoint() // pin range placement: _pid must mean the same
+                           // partition in both reads below
+      val totals = ranged.groupBy(col("_pid"))
+        .agg(sum(col("_delta")).as("_tot"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1)))
+        .sortBy(_._1)
+      val offsets = totals.map(_._1)
+        .zip(totals.map(_._2).scanLeft(0.0)(_ + _))
+      val spark = history.sparkSession
+      import spark.implicits._
+      val offDf = offsets.toSeq.toDF("_pid", "_off")
+      val w = Window.partitionBy(col("_pid")).orderBy(col("t"))
+      ranged.join(broadcast(offDf), Seq("_pid"))
+        .withColumn("agg", sum(col("_delta")).over(w) + col("_off"))
+        .drop("_pid", "_delta", "_off")
+    }
+  }
 }

@@ -328,6 +328,43 @@ object Bitemp {
                        TIMESTAMP '1997-01-01 00:00:00')
           ORDER BY _id, _system_from, _valid_from, _valid_to""",
         Map("hist" -> Bitemporal.foldAppendOnly(orderOps(s, dir), Seq("price"))))
+    }),
+
+    // interval-weighted aggregation: time-weighted average order value
+    // per customer over a 2-year window — each order's value counts in
+    // proportion to how long its 90-day validity overlaps the window.
+    // Whole-dollar values keep every product and sum integer-valued in
+    // double (< 2^53), so the cross-engine hash is exact with no
+    // rounding gymnastics
+    "q141_time_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val h = T(s, dir, "orders").select(
+        $"o_custkey",
+        $"o_orderdate".cast("timestamp").as("_valid_from"),
+        expr("o_orderdate + INTERVAL 90 DAY").cast("timestamp").as("_valid_to"),
+        expr("CAST(round(o_totalprice) AS BIGINT)").cast("double").as("dollars"))
+      Bitemporal.timeWeighted(h,
+          lit("1995-01-01 00:00:00").cast("timestamp"),
+          lit("1997-01-01 00:00:00").cast("timestamp"),
+          "dollars", Seq("o_custkey"))
+        .select($"o_custkey", $"weighted_sum", $"covered_secs",
+          Rounding.r($"time_weighted_avg", 6).as("time_weighted_avg"))
+        .orderBy($"o_custkey")
+    }),
+
+    // the temporal-aggregation sweep: total open-order value (cents)
+    // over TIME — one row per change point, piecewise-constant between
+    // them. Exercises the GLOBAL (ungrouped) path: two-phase
+    // distributed prefix sum, never a single-partition window
+    "q142_timeline_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val h = T(s, dir, "orders").select(
+        $"o_orderdate".cast("timestamp").as("_valid_from"),
+        expr("o_orderdate + INTERVAL 90 DAY").cast("timestamp").as("_valid_to"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      Bitemporal.timelineSweep(h, "cents")
+        .select($"t", $"agg")
+        .orderBy($"t")
     })
   )
 
@@ -466,6 +503,41 @@ object Bitemp {
         AND TIMESTAMP '1996-06-01 00:00:00' < _valid_to
         AND _system_from < TIMESTAMP '1997-01-01 00:00:00'
         AND TIMESTAMP '1996-01-01 00:00:00' < _system_to
-      ORDER BY _id, _system_from, _valid_from, _valid_to"""
+      ORDER BY _id, _system_from, _valid_from, _valid_to""",
+
+    // overlap-clamped weights in seconds, spelled out by hand
+    "q141_time_weighted" -> """
+      WITH iv AS (SELECT o_custkey,
+                         o_orderdate::TIMESTAMP AS vf,
+                         (o_orderdate + INTERVAL 90 DAY)::TIMESTAMP AS vt,
+                         CAST(CAST(round(o_totalprice) AS BIGINT) AS DOUBLE) AS dollars
+                  FROM orders),
+      o AS (SELECT o_custkey, dollars,
+                   CAST(date_diff('second',
+                     greatest(vf, TIMESTAMP '1995-01-01 00:00:00'),
+                     least(vt, TIMESTAMP '1997-01-01 00:00:00')) AS DOUBLE) AS w
+            FROM iv
+            WHERE vf < TIMESTAMP '1997-01-01 00:00:00'
+              AND TIMESTAMP '1995-01-01 00:00:00' < vt)
+      SELECT o_custkey,
+             sum(dollars * w) AS weighted_sum,
+             sum(w) AS covered_secs,
+             floor((sum(dollars * w) / sum(w)) * 1000000 + 0.5) / 1000000
+               AS time_weighted_avg
+      FROM o GROUP BY o_custkey ORDER BY o_custkey""",
+
+    // ±value events at interval endpoints, running sum over sorted
+    // change points
+    "q142_timeline_sweep" -> """
+      WITH iv AS (SELECT o_orderdate::TIMESTAMP AS vf,
+                         (o_orderdate + INTERVAL 90 DAY)::TIMESTAMP AS vt,
+                         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders),
+      ev AS (SELECT vf AS t, CAST(cents AS DOUBLE) AS d FROM iv
+             UNION ALL
+             SELECT vt AS t, -CAST(cents AS DOUBLE) AS d FROM iv),
+      del AS (SELECT t, sum(d) AS delta FROM ev GROUP BY t)
+      SELECT t, sum(delta) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS agg
+      FROM del ORDER BY t"""
   )
 }

@@ -335,4 +335,72 @@ class BitemporalSpec extends AnyFunSuite {
       assert(fast == general, s"log=$log")
     }
   }
+
+  test("timeWeighted: overlap-clamped seconds, versions outside the window drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val h = Seq(
+      // id 1: 10.0 for 2 days in-window, then 20.0 for 1 day in-window
+      (1L, ts("2020-01-01 00:00:00"), ts("2020-01-03 00:00:00"), 10.0),
+      (1L, ts("2020-01-03 00:00:00"), ts("2020-01-10 00:00:00"), 20.0),
+      // id 2: interval straddles the window start — clamped to 1 day
+      (2L, ts("2019-12-25 00:00:00"), ts("2020-01-02 00:00:00"), 5.0),
+      // id 3: fully before the window — contributes nothing
+      (3L, ts("2019-01-01 00:00:00"), ts("2019-06-01 00:00:00"), 99.0))
+      .toDF("id", "_valid_from", "_valid_to", "v")
+    val got = Bitemporal.timeWeighted(h,
+        lit("2020-01-01 00:00:00").cast("timestamp"),
+        lit("2020-01-04 00:00:00").cast("timestamp"), "v", Seq("id"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val day = 86400.0
+    assert(got.toSeq == Seq(
+      (1L, 10.0 * 2 * day + 20.0 * 1 * day, 3 * day,
+        (10.0 * 2 + 20.0) / 3),
+      (2L, 5.0 * 1 * day, 1 * day, 5.0)))
+  }
+
+  test("timelineSweep: global two-phase prefix sum == naive event sweep") {
+    import spark.implicits._
+    // deterministic pseudo-random intervals, enough rows to span many
+    // range partitions (the offset path must actually compose them)
+    val rows = (0 until 5000).map { i =>
+      val from = (i * 2654435761L) % 1000
+      val len = 1 + (i * 40503L) % 97
+      (new java.sql.Timestamp(from * 1000L),
+        new java.sql.Timestamp((from + len) * 1000L),
+        (i % 11).toDouble - 3.0)
+    }
+    val h = rows.toDF("_valid_from", "_valid_to", "v")
+    val got = Bitemporal.timelineSweep(h, "v")
+      .orderBy("t").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getDouble(1)))
+    // naive oracle
+    val events = rows.flatMap { case (f, t, v) =>
+      Seq((f.getTime, v), (t.getTime, -v)) }
+    val expect = events.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1)
+      .scanLeft((0L, 0.0)) { case ((_, acc), (t, d)) => (t, acc + d) }
+      .drop(1)
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case ((tg, ag), (te, ae)) =>
+      assert(tg == te && math.abs(ag - ae) < 1e-6, s"at t=$tg: $ag vs $ae")
+    }
+  }
+
+  test("timelineSweep grouped: per-key window, no offset pass") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val h = Seq(
+      ("a", ts(0), ts(10), 1.0), ("a", ts(5), ts(15), 2.0),
+      ("b", ts(0), ts(20), 7.0))
+      .toDF("k", "_valid_from", "_valid_to", "v")
+    val got = Bitemporal.timelineSweep(h, "v", Seq("k"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000, r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("a", 0L, 1.0), ("a", 5L, 3.0), ("a", 10L, 2.0), ("a", 15L, 0.0),
+      ("b", 0L, 7.0), ("b", 20L, 0.0)))
+  }
 }
