@@ -253,6 +253,37 @@ object Bitemporal {
       .drop("_valid_from" + suffix, "_valid_to" + suffix)
   }
 
+  /** System-time DIFF between two bases — the audit question "what did
+    * the database learn between s1 and s2?" (at valid time `validTime`):
+    * one row per id whose visible version differs between the bases,
+    * labeled `added` / `removed` / `updated`, with the old and new
+    * payload side by side. The reference's tx-log consumers answer this
+    * by replaying the log; over rectangles it is two basis filters and
+    * one full outer join.
+    *
+    * Scale: both snapshot scans are sargable (the [[asOf]] predicates
+    * reach the parquet stats, `_sys_date` partitions prune) and the
+    * join is an ordinary `_id` equi-join — broadcastable when one basis
+    * is close to the other (the diff of a day touches a day's ids). */
+  def sysDiff(rectangles: DataFrame, validTime: Column,
+              s1: Column, s2: Column,
+              payloadCols: Seq[String]): DataFrame = {
+    def side(sys: Column, tag: String) =
+      asOf(rectangles, validTime, sys).select(
+        col("_id") +: lit(true).as(s"_in$tag") +:
+          payloadCols.map(c => col(c).as(s"$tag$c")): _*)
+    val changed = payloadCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    side(s1, "old_").join(side(s2, "new_"), Seq("_id"), "full_outer")
+      .withColumn("change",
+        when(col("_inold_").isNull, "added")
+          .when(col("_innew_").isNull, "removed")
+          .when(changed, "updated"))
+      .filter(col("change").isNotNull)
+      .drop("_inold_", "_innew_")
+  }
+
   /** Interval-weighted aggregation over a valid-time history — "what
     * was the average X over [from, to)", where a version counts in
     * proportion to how long it was valid inside the window (the

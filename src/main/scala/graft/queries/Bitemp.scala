@@ -365,6 +365,20 @@ object Bitemp {
       Bitemporal.timelineSweep(h, "cents")
         .select($"t", $"agg")
         .orderBy($"t")
+    }),
+
+    // system-time diff between two bases (the audit query): which ids'
+    // visible version changed between 1996 and 1998, labeled
+    // added/removed/updated with old and new payload side by side
+    "q143_sys_diff" -> ((s, dir) => {
+      import s.implicits._
+      Bitemporal.sysDiff(
+          Bitemporal.fold(orderOps(s, dir), Seq("price")),
+          validTime = lit("1997-06-01 00:00:00").cast("timestamp"),
+          s1 = lit("1996-01-01 00:00:00").cast("timestamp"),
+          s2 = lit("1998-01-01 00:00:00").cast("timestamp"),
+          payloadCols = Seq("price"))
+        .orderBy($"_id")
     })
   )
 
@@ -538,6 +552,30 @@ object Bitemp {
              SELECT vt AS t, -CAST(cents AS DOUBLE) AS d FROM iv),
       del AS (SELECT t, sum(d) AS delta FROM ev GROUP BY t)
       SELECT t, sum(delta) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS agg
-      FROM del ORDER BY t"""
+      FROM del ORDER BY t""",
+
+    // the two basis snapshots re-derived from the rectangle CTE, full
+    // outer join on _id, change kind by presence/null-safe inequality
+    "q143_sys_diff" -> s"""
+      WITH $rectsCte,
+      s1 AS (SELECT _id, price FROM rects
+             WHERE _system_from <= TIMESTAMP '1996-01-01 00:00:00'
+               AND TIMESTAMP '1996-01-01 00:00:00' < _system_to
+               AND _valid_from <= TIMESTAMP '1997-06-01 00:00:00'
+               AND TIMESTAMP '1997-06-01 00:00:00' < _valid_to),
+      s2 AS (SELECT _id, price FROM rects
+             WHERE _system_from <= TIMESTAMP '1998-01-01 00:00:00'
+               AND TIMESTAMP '1998-01-01 00:00:00' < _system_to
+               AND _valid_from <= TIMESTAMP '1997-06-01 00:00:00'
+               AND TIMESTAMP '1997-06-01 00:00:00' < _valid_to),
+      d AS (SELECT coalesce(s1._id, s2._id) AS _id,
+                   s1.price AS old_price, s2.price AS new_price,
+                   CASE WHEN s1._id IS NULL THEN 'added'
+                        WHEN s2._id IS NULL THEN 'removed'
+                        WHEN s1.price IS DISTINCT FROM s2.price
+                          THEN 'updated' END AS change
+            FROM s1 FULL OUTER JOIN s2 ON s1._id = s2._id)
+      SELECT _id, old_price, new_price, change
+      FROM d WHERE change IS NOT NULL ORDER BY _id"""
   )
 }

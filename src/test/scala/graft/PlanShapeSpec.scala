@@ -227,4 +227,37 @@ class PlanShapeSpec extends AnyFunSuite {
         p.contains("LessThanOrEqual(o_orderdate"), p)
     } finally spark.catalog.dropTempView("psql_orders")
   }
+
+  test("q140 (residual IVF-PQ): per-cell ADC table broadcasts, codes join by hash") {
+    // the (cell, j, code)-keyed distance table is nProbe*m*k rows —
+    // broadcast; the codes scan must hash-join against it, never
+    // cartesian, and never shuffle for a tiny side
+    val p = plan("q140_ivfpq_residual")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q141 (time-weighted agg): one hash aggregation, no window, no join") {
+    val p = plan("q141_time_weighted")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q142 (timeline sweep): prefix-sum windows are per-range, never single-partition") {
+    // the global timeline must NOT plan Exchange SinglePartition before
+    // its Window — the two-phase offset scheme keeps every window
+    // partition-local (the final presentation orderBy is a range sort)
+    val p = plan("q142_timeline_sweep")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q143 (system-time diff): basis filters sargable shapes, id equi-join only") {
+    val p = plan("q143_sys_diff")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
 }
