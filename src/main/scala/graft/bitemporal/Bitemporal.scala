@@ -253,6 +253,59 @@ object Bitemporal {
       .drop("_valid_from" + suffix, "_valid_to" + suffix)
   }
 
+  /** KEYLESS interval overlap join — the range-join shape open-source
+    * Spark has no native strategy for (a naive formulation plans a
+    * cartesian product with an overlap filter). Implemented by TIME
+    * BINNING: each interval explodes to the fixed-width bins it
+    * touches, the join is an ordinary `_bin` equi-join, the exact
+    * overlap predicate filters inside each bin, and a pair is emitted
+    * exactly once — in the first bin both intervals share, which is
+    * the bin of `greatest(a.from, b.from)` (both contain that instant
+    * whenever they overlap), so no distinct pass is ever needed.
+    * Output matches [[validTimeJoin]]: intersected interval, `b`'s
+    * clashes suffixed.
+    *
+    * Scale: shuffle ≈ Σ(interval length / binWidth + 1) rows per side —
+    * `binWidth` trades replication (long intervals touch many bins)
+    * against per-bin join density (short bins spread hot periods over
+    * more reducers). Pick it near the TYPICAL interval length; a
+    * handful of replicas per row keeps the join linear where the naive
+    * plan is quadratic. Empty intervals (from >= to) are dropped, as
+    * the half-open semantics dictate. */
+  def intervalJoin(a: DataFrame, b: DataFrame, binSeconds: Long,
+                   suffix: String = "_r"): DataFrame = {
+    val tcols = Seq("_valid_from", "_valid_to")
+    require(tcols.forall(a.columns.contains) &&
+      tcols.forall(b.columns.contains),
+      s"intervalJoin: both sides need $tcols")
+    require(binSeconds > 0, "intervalJoin: binSeconds must be positive")
+    val bw = binSeconds * 1000000L // micros per bin
+    def bins(df: DataFrame) = df
+      .filter(col("_valid_from") < col("_valid_to"))
+      .withColumn("_bin", explode(sequence(
+        floor(unix_micros(col("_valid_from")) / bw).cast("long"),
+        floor((unix_micros(col("_valid_to")) - 1) / bw).cast("long"))))
+    val bPrep = b.columns.foldLeft(b) { (df, c) =>
+      if (!tcols.contains(c) && a.columns.contains(c))
+        df.withColumnRenamed(c, c + suffix)
+      else df
+    }
+    val bBinned = bins(bPrep)
+      .withColumnRenamed("_valid_from", "_valid_from" + suffix)
+      .withColumnRenamed("_valid_to", "_valid_to" + suffix)
+    bins(a).join(bBinned, "_bin")
+      .filter(col("_valid_from") < col("_valid_to" + suffix) &&
+        col("_valid_from" + suffix) < col("_valid_to"))
+      .filter(col("_bin") === floor(
+        unix_micros(greatest(col("_valid_from"), col("_valid_from" + suffix))) /
+          bw).cast("long"))
+      .withColumn("_valid_from",
+        greatest(col("_valid_from"), col("_valid_from" + suffix)))
+      .withColumn("_valid_to",
+        least(col("_valid_to"), col("_valid_to" + suffix)))
+      .drop("_bin", "_valid_from" + suffix, "_valid_to" + suffix)
+  }
+
   /** System-time DIFF between two bases — the audit question "what did
     * the database learn between s1 and s2?" (at valid time `validTime`):
     * one row per id whose visible version differs between the bases,

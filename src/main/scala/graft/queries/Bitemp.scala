@@ -379,6 +379,28 @@ object Bitemp {
           s2 = lit("1998-01-01 00:00:00").cast("timestamp"),
           payloadCols = Seq("price"))
         .orderBy($"_id")
+    }),
+
+    // KEYLESS interval overlap join (no equality key at all — the shape
+    // Spark would otherwise plan as a cartesian product): high-value
+    // order validity windows × heavy-lineitem ship windows, matched on
+    // time overlap alone via 30-day binning; each pair emitted once
+    // (first-shared-bin rule), output interval = intersection
+    "q144_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      val a = T(s, dir, "orders").filter($"o_totalprice" > 495000)
+        .select($"o_orderkey",
+          $"o_orderdate".cast("timestamp").as("_valid_from"),
+          expr("o_orderdate + INTERVAL 30 DAY").cast("timestamp").as("_valid_to"))
+      val b = T(s, dir, "lineitem").filter($"l_quantity" === 50)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_shipdate".cast("timestamp").as("_valid_from"),
+          expr("l_shipdate + INTERVAL 14 DAY").cast("timestamp").as("_valid_to"))
+      Bitemporal.intervalJoin(a, b, binSeconds = 30L * 86400)
+        .select($"o_orderkey", $"l_orderkey", $"l_linenumber",
+          $"_valid_from".cast("string").as("vf"),
+          $"_valid_to".cast("string").as("vt"))
+        .orderBy($"o_orderkey", $"l_orderkey", $"l_linenumber")
     })
   )
 
@@ -576,6 +598,25 @@ object Bitemp {
                           THEN 'updated' END AS change
             FROM s1 FULL OUTER JOIN s2 ON s1._id = s2._id)
       SELECT _id, old_price, new_price, change
-      FROM d WHERE change IS NOT NULL ORDER BY _id"""
+      FROM d WHERE change IS NOT NULL ORDER BY _id""",
+
+    // the same overlap join as a plain theta join (DuckDB's IEJoin
+    // handles it natively — the contrast IS the point: Spark needs the
+    // binning strategy, the result sets must be identical)
+    "q144_interval_join" -> """
+      WITH a AS (SELECT o_orderkey,
+                        o_orderdate::TIMESTAMP AS vf,
+                        (o_orderdate + INTERVAL 30 DAY)::TIMESTAMP AS vt
+                 FROM orders WHERE o_totalprice > 495000),
+      b AS (SELECT l_orderkey, l_linenumber,
+                   l_shipdate::TIMESTAMP AS vf,
+                   (l_shipdate + INTERVAL 14 DAY)::TIMESTAMP AS vt
+            FROM lineitem WHERE l_quantity = 50)
+      SELECT a.o_orderkey, b.l_orderkey, b.l_linenumber,
+             CAST(greatest(a.vf, b.vf) AS VARCHAR) AS vf,
+             CAST(least(a.vt, b.vt) AS VARCHAR) AS vt
+      FROM a, b
+      WHERE a.vf < b.vt AND b.vf < a.vt
+      ORDER BY a.o_orderkey, b.l_orderkey, b.l_linenumber"""
   )
 }

@@ -260,4 +260,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
       p.contains("ShuffledHashJoin"), p)
   }
+
+  test("q144 (keyless interval join): bin equi-join, NEVER a cartesian product") {
+    // the entire point of the binning strategy: a keyless overlap join
+    // must still plan as an equi-join on the bin id
+    val p = plan("q144_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
 }

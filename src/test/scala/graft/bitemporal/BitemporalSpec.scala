@@ -389,6 +389,37 @@ class BitemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalJoin == naive cartesian overlap join (differential, each pair once)") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // adversarial widths: intervals from a fraction of a bin to many
+    // bins wide, plus empty intervals that must drop
+    val rnd = new scala.util.Random(11)
+    val aRows = (0 until 120).map { i =>
+      val f = rnd.nextInt(10000); val len = rnd.nextInt(400) - 2
+      (i.toLong, ts(f), ts(f + len))
+    }
+    val bRows = (0 until 150).map { i =>
+      val f = rnd.nextInt(10000); val len = rnd.nextInt(90) - 2
+      (i.toLong, ts(f), ts(f + len))
+    }
+    val a = aRows.toDF("aid", "_valid_from", "_valid_to")
+    val b = bRows.toDF("bid", "_valid_from", "_valid_to")
+    for (binSeconds <- Seq(7L, 100L, 5000L)) {
+      val got = Bitemporal.intervalJoin(a, b, binSeconds)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.distinct.length,
+        s"bin=$binSeconds: pair emitted more than once")
+      val expect = for {
+        (ai, af, at) <- aRows if af.before(at)
+        (bi, bf, bt) <- bRows if bf.before(bt)
+        if af.before(bt) && bf.before(at)
+      } yield (ai, bi)
+      assert(got.toSet == expect.toSet,
+        s"bin=$binSeconds: ${got.length} vs ${expect.length} pairs")
+    }
+  }
+
   test("timelineSweep grouped: per-key window, no offset pass") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
