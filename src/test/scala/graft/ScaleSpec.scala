@@ -178,6 +178,46 @@ class ScaleSpec extends AnyFunSuite {
       f"ivfTrain: $tB%.1fs at 10x data — assignment is not map-side linear")
   }
 
+  scaleTest("temporal ops (timeline sweep, interval join) scale linearly-ish") {
+    import org.apache.spark.sql.functions._
+    // deterministic executor-side interval generation, hot-period skew:
+    // 20% of intervals cluster into 1% of the time range
+    def intervals(n: Long): DataFrame =
+      spark.range(n).select(
+        col("id"),
+        when(col("id") % 5 === 0, (col("id") % 100) * 1000L)
+          .otherwise((col("id") * 2654435761L) % 10000000L).as("_f"),
+        (col("id") % 997 + 1).as("_len"))
+        .select(col("id"),
+          timestamp_micros(col("_f") * 1000000L).as("_valid_from"),
+          timestamp_micros((col("_f") + col("_len")) * 1000000L).as("_valid_to"),
+          (col("id") % 13).cast("double").as("v"))
+        .localCheckpoint()
+    def sweep(df: DataFrame): Long =
+      graft.bitemporal.Bitemporal.timelineSweep(df, "v").count()
+    def ijoin(df: DataFrame): Long = {
+      // self-join a thinned side against the full side (keyless) —
+      // result count scales ~linearly when the thin side is fixed-rate
+      val a = df.filter(col("id") % 100 === 0)
+        .select(col("id").as("aid"), col("_valid_from"), col("_valid_to"))
+      graft.bitemporal.Bitemporal.intervalJoin(a, df, binSeconds = 1000L)
+        .count()
+    }
+    val warm = intervals(500)
+    sweep(warm); ijoin(warm)
+    val s = intervals(small); val b = intervals(big)
+    for ((label, run) <- Seq[(String, DataFrame => Long)](
+        ("timeline-sweep", sweep), ("interval-join", ijoin))) {
+      val (nS, tS) = timed(run(s))
+      val (nB, tB) = timed(run(b))
+      info(f"$label: n=$small -> $nS in $tS%.1fs; n=$big -> $nB in $tB%.1fs " +
+        f"(ratio ${tB / tS}%.1fx)")
+      assert(nB > nS, s"$label: bigger input produced fewer rows")
+      assert(tB <= tS * 30 + 10,
+        f"$label: $tB%.1fs at 10x data vs $tS%.1fs — super-linear blowup")
+    }
+  }
+
   scaleTest("fixpoint sustains 120 iterations with flat driver memory") {
     // a pure 120-diameter chain: every iteration derives exactly one new
     // row, the worst case for plan growth / checkpoint churn
