@@ -21,9 +21,24 @@ import graft.bitemporal.{Bitemporal, BitemporalDml, BitemporalSql, TxLog, TxOps}
   * unapplied tail (read-your-writes, cost ∝ tail) — see SCALING.md.
   */
 final class GraftTable(spark: SparkSession, dir: String,
-                       payloadCols: Seq[String]) {
+                       payloadCols: Seq[String],
+                       autoCompactEvery: Int = 0) {
   private val log = new TxLog(dir)
   private var lastCompacted: Long = -1L
+
+  /** Opt-in compaction policy (`autoCompactEvery` = N > 0): after a
+    * write lands, compact when the unapplied tail reaches N
+    * transactions — the reference's background chunk-sealing loop as a
+    * synchronous bound on tail length. Read cost is ∝ tail (readAll
+    * re-folds touched ids), so a bounded tail bounds every read's
+    * overhead; incremental compaction keeps the write amplification at
+    * O(touched partitions). Off by default: batch loads compact once at
+    * the end, not every N txs. */
+  private def maybeAutoCompact(): Unit =
+    if (autoCompactEvery > 0 &&
+      log.txFilesAfter(lastCompacted).size >= autoCompactEvery) compact()
+
+  private def appended[A](txId: A): A = { maybeAutoCompact(); txId }
   private val txFns =
     scala.collection.mutable.Map.empty[String, (GraftTable, Seq[Any]) => DataFrame]
 
@@ -33,20 +48,20 @@ final class GraftTable(spark: SparkSession, dir: String,
           validTo: Option[Column] = None,
           payload: Seq[(String, Column)],
           systemTime: Timestamp): Long =
-    log.append(TxOps.put(rows, id, validFrom, validTo, payload), systemTime)
+    appended(log.append(TxOps.put(rows, id, validFrom, validTo, payload), systemTime))
 
   /** Submit a delete over a valid-time portion. */
   def delete(rows: DataFrame, id: Column, validFrom: Column,
              validTo: Option[Column] = None,
              payload: Seq[(String, Column)],
              systemTime: Timestamp): Long =
-    log.append(TxOps.delete(rows, id, validFrom, validTo, payload), systemTime)
+    appended(log.append(TxOps.delete(rows, id, validFrom, validTo, payload), systemTime))
 
   /** Submit an erase: the id's entire history is removed (applied
     * physically at the next [[compact]]). */
   def erase(rows: DataFrame, id: Column,
             payload: Seq[(String, Column)], systemTime: Timestamp): Long =
-    log.append(TxOps.erase(rows, id, payload), systemTime)
+    appended(log.append(TxOps.erase(rows, id, payload), systemTime))
 
   /** Register a named transaction function — the reference's write-side
     * escape hatch (`[:call f args…]`, SURVEY.md §3.3). The function maps
@@ -63,7 +78,7 @@ final class GraftTable(spark: SparkSession, dir: String,
   def call(name: String, args: Seq[Any], systemTime: Timestamp): Long = {
     val f = txFns.getOrElse(name,
       throw new IllegalArgumentException(s"unknown tx function: $name"))
-    log.append(f(this, args), systemTime)
+    appended(log.append(f(this, args), systemTime))
   }
 
   /** An incrementally-maintained COUNT/SUM view over this table at a
@@ -233,8 +248,8 @@ final class GraftTable(spark: SparkSession, dir: String,
     // only INSERT can self-overlap within one statement (duplicate ids
     // in its source) — see requireDisjoint
     if (statement.trim.take(6).equalsIgnoreCase("INSERT"))
-      validatedAppend(ops, systemTime)
-    else log.append(ops, systemTime)
+      appended(validatedAppend(ops, systemTime))
+    else appended(log.append(ops, systemTime))
   }
 
   /** SEVERAL DML statements as ONE atomic transaction — the reference's
@@ -263,7 +278,7 @@ final class GraftTable(spark: SparkSession, dir: String,
     * once for the validation pass and again for the append. */
   private def validatedAppend(ops: DataFrame, systemTime: Timestamp): Long = {
     val cached = ops.cache()
-    try { requireDisjoint(cached); log.append(cached, systemTime) }
+    try { requireDisjoint(cached); appended(log.append(cached, systemTime)) }
     finally { cached.unpersist(); () }
   }
 

@@ -138,6 +138,43 @@ object TextStats {
       .select(col(idCol), col("bm25"))
   }
 
+  /** Linear text-classifier inference — the fastText-quality-filter
+    * shape every web-scale pipeline runs (GPT-3/LLaMA/RefinedWeb style:
+    * a linear model over token features scores each document, the score
+    * gates inclusion). The model is an explicit `(term, weight)`
+    * relation — trained anywhere, loaded here — plus a bias; the score
+    * is sigmoid(bias + Σ tf(term)·weight / doc-length), i.e. logistic
+    * regression over mean term features.
+    *
+    * Scale: tokens join a BROADCAST weight table (vocabularies of
+    * interest are small next to a corpus), per-doc sums are map-side
+    * combined, and the matched-term fold runs in sorted term order so
+    * the double summation is deterministic and cross-engine exact (the
+    * q112 BM25 pattern). Docs with no matched term score
+    * sigmoid(bias). */
+  def linearScore(df: DataFrame, idCol: String, textCol: String,
+                  weights: DataFrame, bias: Double): DataFrame = {
+    require(Seq("term", "weight").forall(weights.columns.contains),
+      "weights must have (term, weight) columns")
+    val toks = tokens(df, idCol, textCol)
+    val dl = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("double").as("_dl"))
+    val contrib = toks
+      .join(broadcast(weights), col("word") === col("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg((count(lit(1)).cast("double") * first(col("weight"))).as("_c"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("term"), col("_c")))).as("_cs"))
+      .withColumn("_num",
+        aggregate(col("_cs"), lit(0.0), (acc, x) => acc + x.getField("_c")))
+      .select(col(idCol), col("_num"))
+    dl.join(contrib, Seq(idCol), "left")
+      .withColumn("_logit",
+        lit(bias) + coalesce(col("_num"), lit(0.0)) / col("_dl"))
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("_logit"))))
+      .select(col(idCol), col("score"))
+  }
+
   /** GPT-style sequence packing metadata: documents are concatenated in
     * id order WITHIN A SHARD and chunked into training sequences of
     * `budget` tokens; each doc gets its shard-local start offset and the

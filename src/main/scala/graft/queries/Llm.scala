@@ -685,6 +685,22 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // linear classifier inference (the fastText quality-filter shape):
+    // logistic regression over mean term features, model = an explicit
+    // broadcast (term, weight) relation + bias; matched-term fold in
+    // sorted term order for a deterministic double sum
+    "q145_quality_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val model = Seq(
+        ("table", 0.8), ("query", 0.6), ("data", 0.5), ("join", 0.7),
+        ("slow", -1.2), ("error", -1.5), ("a", -0.3), ("the", -0.2))
+        .toDF("term", "weight")
+      TextStats.linearScore(T(s, dir, "documents"), "doc_id", "text",
+          model, bias = -0.1)
+        .select($"doc_id", r($"score", 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal metadata extraction over binary payloads. The payloads
     // are REAL format bytes (spec-valid PNG/JPEG/GIF built executor-side
     // with doc_id-derived dimensions — the only way a SQL oracle can
@@ -1433,6 +1449,28 @@ object Llm {
              floor(list_sum(array_agg(s ORDER BY word))*1000000 + 0.5)/1000000
                AS bm25
       FROM s GROUP BY doc_id ORDER BY doc_id""",
+
+    // same model weights as VALUES, same term-ordered fold, same
+    // sigmoid; unmatched docs score sigmoid(bias) via the left join
+    "q145_quality_classifier" -> """
+      WITH w(term, weight) AS (VALUES
+        ('table', 0.8), ('query', 0.6), ('data', 0.5), ('join', 0.7),
+        ('slow', -1.2), ('error', -1.5), ('a', -0.3), ('the', -0.2)),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+      dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+             FROM toks GROUP BY doc_id),
+      c AS (SELECT doc_id, term,
+                   CAST(count(*) AS DOUBLE) * first(weight) AS c
+            FROM toks JOIN w ON word = term
+            GROUP BY doc_id, term),
+      num AS (SELECT doc_id, list_sum(array_agg(c ORDER BY term)) AS num
+              FROM c GROUP BY doc_id)
+      SELECT dl.doc_id,
+             floor((1.0 / (1.0 + exp(-(-0.1 + coalesce(num, 0.0) / dl))))
+                   * 1000000 + 0.5) / 1000000 AS score
+      FROM dl LEFT JOIN num ON dl.doc_id = num.doc_id
+      ORDER BY dl.doc_id""",
 
     // PQ oracle: same borrowed codebook (vec_id < 16), same subvector
     // slices, same dot-identity squared distance, same tie-break

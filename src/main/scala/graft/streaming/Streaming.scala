@@ -211,6 +211,27 @@ object Streaming {
     w.start()
   }
 
+  /** CONTINUOUS matview maintenance — the reference's "live index kept
+    * current from the log" as a Structured Streaming loop: tail the
+    * table's tx-log directory and refresh the view each micro-batch.
+    * The stream is only the TRIGGER; `refresh()` itself is
+    * watermark-exact (it folds committed tx files past the view's own
+    * watermark, nothing else), so duplicate triggers, empty batches and
+    * restarts are all harmless — the view never double-counts, and a
+    * crashed maintainer resumes from the view's persisted watermark
+    * with no checkpoint coordination between the two. */
+  def maintainMatview(spark: SparkSession, tableDir: String,
+                      schema: StructType, view: graft.bitemporal.Matview,
+                      checkpoint: Option[String] = None,
+                      availableNow: Boolean = false): StreamingQuery = {
+    val w = txLogStream(spark, tableDir, schema)
+      .writeStream.foreachBatch { (_: DataFrame, _: Long) =>
+        view.refresh(); ()
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** SQL confs for DURABLE keyed state: the RocksDB state store keeps
     * each operator's state off-heap and snapshots it to the query's
     * CHECKPOINT location, so a restarted query resumes with its

@@ -396,6 +396,38 @@ class GraftTableSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((1.0, false)), 2L -> ((2.0, true))))
   }
 
+  test("autoCompactEvery bounds the tail: compaction triggers itself") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_autoc").toString
+    val t = new GraftTable(spark, dir, Seq("bal"), autoCompactEvery = 2)
+    def baseFiles(): Long = {
+      val base = java.nio.file.Paths.get(dir, "base")
+      if (!java.nio.file.Files.exists(base)) -1L
+      else java.nio.file.Files.walk(base).filter(_.toString.endsWith(".parquet"))
+        .count()
+    }
+    t.dml("acct", "INSERT INTO acct (_id, bal) VALUES (1, CAST(10.0 AS DOUBLE))",
+      ts("2020-01-01 00:00:00"))
+    assert(baseFiles() == -1L, "one tx: below the threshold, no compaction")
+    t.dml("acct", "INSERT INTO acct (_id, bal) VALUES (2, CAST(20.0 AS DOUBLE))",
+      ts("2020-01-02 00:00:00"))
+    assert(baseFiles() > 0, "second tx reached the threshold: base exists")
+    t.dml("acct", "UPDATE acct SET bal = CAST(11.0 AS DOUBLE) WHERE _id = 1",
+      ts("2020-01-03 00:00:00"))
+    // third tx: tail = 1 < 2, NOT compacted again — state must still be
+    // exact through the base + tail union
+    val got = t.current().select("_id", "bal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 11.0), (2L, 20.0)))
+    // default stays manual: no base ever appears without opting in
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_autoc2").toString
+    val t2 = new GraftTable(spark, dir2, Seq("bal"))
+    t2.dml("acct", "INSERT INTO acct (_id, bal) VALUES (1, CAST(1.0 AS DOUBLE))",
+      ts("2020-01-01 00:00:00"))
+    t2.dml("acct", "INSERT INTO acct (_id, bal) VALUES (2, CAST(2.0 AS DOUBLE))",
+      ts("2020-01-02 00:00:00"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir2, "base")))
+  }
+
   test("dmlTx: several statements, one atomic transaction") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dmltx").toString
     val t = new GraftTable(spark, dir, Seq("bal"))

@@ -127,4 +127,40 @@ class MatviewSpec extends AnyFunSuite {
     assert(rewritten.size == 1,
       s"one group changed, but rewrote buckets: ${rewritten.keys}")
   }
+
+  test("continuous maintenance: stream-triggered refresh reaches parity; restart is idempotent") {
+    val (t, dir) = freshTable()
+    val mv = t.matview("live", "grp", Seq("amt"), validAt, nBuckets = 4)
+    t.put(Seq((1L, "a", "10.00"), (2L, "b", "20.00")).toDF("id", "g", "m"),
+      $"id", lit("2020-01-01").cast("timestamp"), None,
+      Seq("grp" -> $"g", "amt" -> $"m".cast("decimal(12,2)")),
+      ts("2024-01-01 00:00:00"))
+    val schema = t.rectangles().sparkSession.read
+      .option("mergeSchema", "true").parquet(s"$dir/log/tx_*").schema
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mv_ckpt").toString
+
+    // drain available txs through the maintainer, then stop
+    def drain(): Unit = {
+      val q = graft.streaming.Streaming.maintainMatview(spark, dir, schema,
+        mv, checkpoint = Some(ckpt), availableNow = true)
+      q.awaitTermination()
+    }
+    drain()
+    assertParity(mv, t)
+
+    // more txs while the maintainer is DOWN; a restarted maintainer
+    // catches up from the view's own watermark (no double counting even
+    // though the stream checkpoint and view watermark are independent)
+    t.put(Seq((1L, "a", "11.00"), (3L, "c", "7.00")).toDF("id", "g", "m"),
+      $"id", lit("2020-06-01").cast("timestamp"), None,
+      Seq("grp" -> $"g", "amt" -> $"m".cast("decimal(12,2)")),
+      ts("2024-01-02 00:00:00"))
+    drain()
+    assertParity(mv, t)
+
+    // an extra drain with nothing new must not change the state
+    val before = viewState(mv)
+    drain()
+    assert(viewState(mv) == before)
+  }
 }
