@@ -685,6 +685,19 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // heavy hitters with EXACT counts via Misra-Gries candidate
+    // prefilter: the shuffle carries only plausible-heavy keys, the
+    // verify pass keeps results exact (guarantee holds: minCount 940 >=
+    // N/sketchSize ~ 27k/64)
+    "q147_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val words = T(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("word"))
+      graft.operators.Frequency.heavyHitters(words, "word",
+          sketchSize = 64, minCount = 940)
+        .orderBy($"word")
+    }),
+
     // linear classifier inference (the fastText quality-filter shape):
     // logistic regression over mean term features, model = an explicit
     // broadcast (term, weight) relation + bias; matched-term fold in
@@ -1449,6 +1462,13 @@ object Llm {
              floor(list_sum(array_agg(s ORDER BY word))*1000000 + 0.5)/1000000
                AS bm25
       FROM s GROUP BY doc_id ORDER BY doc_id""",
+
+    // plain exact GROUP BY HAVING — the sketch is invisible to results
+    "q147_heavy_hitters" -> """
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word HAVING count(*) >= 940
+      ORDER BY word""",
 
     // same model weights as VALUES, same term-ordered fold, same
     // sigmoid; unmatched docs score sigmoid(bias) via the left join

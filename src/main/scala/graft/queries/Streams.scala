@@ -106,6 +106,23 @@ object Streams {
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_conversions"))
         .orderBy($"user_id")
+    }),
+
+    // gap-filling resample: purchase values onto a per-user 6-hour grid
+    // for January 2024, last observation carried forward through empty
+    // buckets (null until a user's first purchase) — the regularization
+    // every event consumer does before charting/joining time series
+    "q146_resample_locf" -> ((s, dir) => {
+      import s.implicits._
+      val purchases = T(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", r($"value", 2).as("value"))
+      graft.operators.TimeSeries.resampleLocf(purchases,
+          keyCols = Seq("user_id"), tsCol = "ts", valueCols = Seq("value"),
+          stepSeconds = 6L * 3600,
+          from = lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+          to = lit("2024-01-31 00:00:00").cast("timestamp_ntz"))
+        .orderBy($"user_id", $"t")
     })
   )
 
@@ -163,6 +180,32 @@ object Streams {
           AND CAST(x.ts AS TIMESTAMP) <= p.ts
         ORDER BY x.ts DESC LIMIT 1) c ON TRUE
       WHERE date_diff('second', c.click_ts, p.ts) <= 1800
-      GROUP BY p.user_id ORDER BY p.user_id"""
+      GROUP BY p.user_id ORDER BY p.user_id""",
+
+    // same bucket floor (micros), same struct-max winner (latest event,
+    // value breaks exact-timestamp ties), same LOCF window
+    "q146_resample_locf" -> """
+      WITH p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                         floor(value*100 + 0.5)/100 AS value
+                  FROM events WHERE event_type = 'purchase'),
+      p AS (SELECT * FROM p0
+            WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-31 00:00:00'),
+      obs AS (SELECT user_id,
+                     make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS t,
+                     (max({'ts': ts, 'v': value})).v AS v
+              FROM p GROUP BY 1, 2),
+      grid AS (SELECT u.user_id, g.t
+               FROM (SELECT DISTINCT user_id FROM p0) u
+               CROSS JOIN generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                          TIMESTAMP '2024-01-30 18:00:00',
+                                          INTERVAL 6 HOUR) g(t))
+      SELECT grid.user_id, grid.t,
+             last_value(obs.v IGNORE NULLS)
+               OVER (PARTITION BY grid.user_id ORDER BY grid.t
+                     ROWS UNBOUNDED PRECEDING) AS value
+      FROM grid LEFT JOIN obs
+        ON grid.user_id = obs.user_id AND grid.t = obs.t
+      ORDER BY grid.user_id, grid.t"""
   )
 }

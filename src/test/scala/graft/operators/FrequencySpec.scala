@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** heavyHitters must be EXACT (differential vs plain groupBy) whenever
+  * the guarantee minCount ≥ N/sketchSize holds — including under heavy
+  * skew and adversarial partitioning, which is where a sketch could
+  * silently drop a qualifying key. */
+class FrequencySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def exact(df: org.apache.spark.sql.DataFrame, min: Long) =
+    df.groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= min)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+  test("zipfian skew, many partitions: sketch-prefiltered == exact") {
+    // ~zipf over 5000 keys, 200k rows; key w0 alone is ~10% of the mass
+    val words = spark.range(200000).select(
+      concat(lit("w"), floor(pow(rand(7), 8.0) * 5000).cast("long"))
+        .as("word"))
+      .repartition(37) // partition count ≠ key structure
+      .localCheckpoint()
+    val n = words.count()
+    val sketchSize = 256
+    val minCount = math.max(n / sketchSize, 1L) // guarantee boundary
+    val got = Frequency.heavyHitters(words, "word", sketchSize, minCount)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = exact(words, minCount)
+    assert(want.nonEmpty, "fixture produced no heavy hitters")
+    assert(got == want, s"got ${got.size} vs want ${want.size}")
+  }
+
+  test("all-distinct keys: no false positives survive the verify pass") {
+    val words = spark.range(5000)
+      .select(concat(lit("u"), $"id").as("word")).localCheckpoint()
+    val got = Frequency.heavyHitters(words, "word",
+      sketchSize = 16, minCount = 2)
+    assert(got.count() == 0)
+  }
+
+  test("null keys are ignored, not counted or crashed on") {
+    val words = Seq(Some("a"), Some("a"), Some("a"), None, None)
+      .toDF("word")
+    val got = Frequency.heavyHitters(words, "word",
+      sketchSize = 4, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 3L)))
+  }
+}
