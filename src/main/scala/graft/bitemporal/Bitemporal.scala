@@ -42,6 +42,10 @@ object Bitemporal {
 
   val sentinelTs: Column = timestamp_micros(lit(SentinelMicros))
 
+  /** The sentinel in the NTZ flavor [[fold]]'s output carries. */
+  val sentinelNtz: Column =
+    timestamp_micros(lit(SentinelMicros)).cast("timestamp_ntz")
+
   val Put = "put"
   val Delete = "delete"
   val Erase = "erase"
@@ -251,6 +255,48 @@ object Bitemporal {
       .withColumn("_valid_to",
         least(col("_valid_to"), col("_valid_to" + suffix)))
       .drop("_valid_from" + suffix, "_valid_to" + suffix)
+  }
+
+  /** FOLD FROM STATE — apply an op batch to an ALREADY-FOLDED rectangle
+    * relation without replaying history: true incremental maintenance
+    * of the bitemporal relation, the step that makes compaction cost
+    * ∝ tail instead of ∝ touched ids' full history (an id written
+    * daily for 10 years re-folds 3650 ops today; from state it folds
+    * its CURRENT segments + today's ops).
+    *
+    * Correctness: [[fold]]'s per-id running state is exactly its list
+    * of open segments, and each open segment is reconstructible from
+    * its output rectangle — a `system_to = sentinel` rectangle
+    * `[vf, vt) × [sf, ∞)` re-enters the fold as a pseudo-put of
+    * `[vf, vt)` at system time `sf` (tx −1, so it sorts before any
+    * real op at the same instant). Current rectangles of one id are
+    * valid-time disjoint, so folding the pseudo-puts alone reproduces
+    * the open-segment state bit-for-bit; folding them WITH the new ops
+    * is then identical to folding the id's full history plus the ops.
+    * Closed rectangles are already-emitted output: they pass through
+    * untouched — except for ids the batch ERASES, whose entire emitted
+    * history drops (the fold's `emitted.clear()`), matching the
+    * reference's retroactive erase.
+    *
+    * Contract (same as the log's): system times are monotonic — an op
+    * batch never carries a system time earlier than the state's open
+    * segments. */
+  def applyOps(state: DataFrame, ops: DataFrame,
+               payloadCols: Seq[String]): DataFrame = {
+    val open = state.filter(col("_system_to") === sentinelNtz)
+    val closed = state.filter(col("_system_to") =!= sentinelNtz)
+    val erased = ops.filter(col("_op") === Erase)
+      .select(col("_id").cast("long").as("_id")).distinct()
+    val pseudo = open.select(
+      lit(Put).as("_op") +: col("_id") +: lit(-1L).as("_tx_id") +:
+        (Seq("_system_from", "_valid_from", "_valid_to") ++ payloadCols)
+          .map(col): _*)
+    val refolded = fold(
+      pseudo.unionByName(ops.select(pseudo.columns.map(col): _*)),
+      payloadCols)
+    closed.join(erased, Seq("_id"), "left_anti")
+      .select(refolded.columns.map(col): _*)
+      .unionByName(refolded)
   }
 
   /** KEYLESS interval overlap join — the range-join shape open-source

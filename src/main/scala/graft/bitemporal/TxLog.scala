@@ -210,13 +210,38 @@ final class TxLog(val dir: String) {
     val tail = read(spark, afterTx = lastCompacted)
     if (tail.isEmpty) return readBase(spark).drop("_sys_date")
     val touched = tail.select(col("_id").cast("long").as("_id")).distinct()
-    val untouched = readBase(spark).drop("_sys_date")
-      .join(touched, Seq("_id"), "left_anti")
-    val log = read(spark)
-    val refolded = Bitemporal.fold(
-      log.join(touched, log("_id").cast("long") === touched("_id"), "left_semi"),
-      payloadCols)
-    untouched.unionByName(refolded)
+    val base = readBase(spark).drop("_sys_date")
+    val untouched = base.join(touched, Seq("_id"), "left_anti")
+    untouched.unionByName(refoldTouched(spark, payloadCols, touched, tail, base))
+  }
+
+  /** Touched ids' new rectangles via FOLD FROM STATE
+    * ([[Bitemporal.applyOps]]): the tail ops apply to the touched ids'
+    * BASE rectangles, so the cost is ∝ tail + their current segments —
+    * never their full log history (the pre-r6 path re-read and re-fold
+    * every op an id ever saw; at 100 TB a long-lived hot id makes that
+    * the whole table's history). Ids first seen in the tail have no
+    * base state and fold from their tail ops alone. */
+  private def refoldTouched(spark: SparkSession, payloadCols: Seq[String],
+                            touched: DataFrame, tail: DataFrame,
+                            base: DataFrame): DataFrame = {
+    // schemaless normalization: a tail tx may introduce payload columns
+    // the base predates, and a short tail may lack columns older txs
+    // carried — null-fill either side with the type from whichever side
+    // knows it (the mergeSchema contract of read())
+    def typeOf(c: String) =
+      base.schema.fields.find(_.name == c)
+        .orElse(tail.schema.fields.find(_.name == c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"payload column $c exists in neither base nor tail")).dataType
+    def withAll(df: DataFrame) = payloadCols.foldLeft(df)((d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(typeOf(c))))
+    val state = withAll(base).join(touched, Seq("_id"), "left_semi")
+    val opsAll = withAll(tail)
+    val ops = opsAll.join(touched,
+      opsAll("_id").cast("long") === touched("_id"), "left_semi")
+    Bitemporal.applyOps(state, ops, payloadCols)
   }
 
   /** Incremental compaction — write-path cost ∝ the TAIL, not the full
@@ -245,15 +270,13 @@ final class TxLog(val dir: String) {
     if (lastCompacted < 0 || !Files.exists(baseDir))
       return compact(spark, payloadCols)
     if (last <= lastCompacted) return lastCompacted
-    val all = spark.read.option("mergeSchema", "true")
-      .parquet(files.map(_.toString): _*)
-    val touched = all.filter(col("_tx_id") > lastCompacted)
-      .select(col("_id").cast("long").as("_id")).distinct()
+    val tail = read(spark, afterTx = lastCompacted)
+    val touched = tail.select(col("_id").cast("long").as("_id")).distinct()
     val base = readBase(spark)
-    val refolded = Bitemporal.fold(
-        all.join(touched, all("_id").cast("long") === touched("_id"), "left_semi"),
-        payloadCols)
-      .withColumn("_sys_date", to_date(col("_system_from")))
+    val refolded =
+      refoldTouched(spark, payloadCols, touched, tail,
+          base.drop("_sys_date"))
+        .withColumn("_sys_date", to_date(col("_system_from")))
     // the affected partition set is small by construction (the touched
     // ids' history dates) — one driver-side collect of distinct dates
     val affected: Seq[java.sql.Date] =

@@ -336,6 +336,30 @@ class BitemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("applyOps (fold from state) == full fold at EVERY split point") {
+    // the property that makes tail-only compaction safe: folding a
+    // prefix, re-entering its rectangles as state, and applying the
+    // suffix ops must equal folding the whole log — across random logs
+    // with puts/portion-deletes/erases and every possible watermark
+    forSamples(genLog, 10) { log =>
+      val whole = foldToRects(log).toSet
+      (1 until log.length).foreach { split =>
+        val stateDf = Bitemporal.fold(toDf(log.take(split)), Seq("p"))
+        val opsDf = toDf(log).filter(
+          org.apache.spark.sql.functions.col("_tx_id") >= split)
+        val viaState = Bitemporal.applyOps(stateDf, opsDf, Seq("p"))
+          .collect().map { r =>
+            def m(i: Int): Long = r.getAs[java.time.LocalDateTime](i)
+              .toInstant(ZoneOffset.UTC).getEpochSecond * 1000000L +
+              r.getAs[java.time.LocalDateTime](i).getNano / 1000L
+            Rect(r.getLong(0), r.getString(1), m(2), m(3), m(4), m(5))
+          }.toSet
+        assert(viaState == whole,
+          s"split=$split log=$log\nviaState=$viaState\nwhole=$whole")
+      }
+    }
+  }
+
   test("timeWeighted: overlap-clamped seconds, versions outside the window drop") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
