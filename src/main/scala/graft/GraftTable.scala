@@ -24,7 +24,10 @@ final class GraftTable(spark: SparkSession, dir: String,
                        payloadCols: Seq[String],
                        autoCompactEvery: Int = 0) {
   private val log = new TxLog(dir)
-  private var lastCompacted: Long = -1L
+  // a truncated log's prefix lives only in the base: a fresh instance
+  // must treat the truncation point as already-compacted, never try to
+  // fold the (gone) full log
+  private var lastCompacted: Long = log.truncatedUpTo().getOrElse(-1L)
 
   /** Opt-in compaction policy (`autoCompactEvery` = N > 0): after a
     * write lands, compact when the unapplied tail reaches N
@@ -95,6 +98,20 @@ final class GraftTable(spark: SparkSession, dir: String,
     * when one exists (cost ∝ tail ids, not total history). */
   def compact(): Unit = {
     lastCompacted = log.compactIncremental(spark, payloadCols, lastCompacted)
+  }
+
+  /** Log retention: compact, then DELETE the tx files the base now
+    * fully represents — the reference's log/object-store split made
+    * operational (the log is the ingest buffer; the compacted base is
+    * the durable columnar store). Safe because every read path refolds
+    * touched ids FROM BASE STATE ([[graft.bitemporal.Bitemporal.applyOps]]),
+    * never from pre-watermark history; the truncation point persists in
+    * the log directory so fresh instances recover it. Time travel is
+    * unaffected — the base keeps the full rectangle history (erase
+    * excepted, as always). */
+  def vacuumLog(): Unit = {
+    compact()
+    log.truncate(lastCompacted)
   }
 
   /** All rectangles: compacted base + re-fold of ids touched since. */
@@ -182,17 +199,34 @@ final class GraftTable(spark: SparkSession, dir: String,
           Bitemporal.fold(df, payloadCols)
         else rectangles()
       }
-    val logDirs = log.txFiles().map(_.toString)
-    if (lastCompacted < 0) foldPruned(covering(logDirs, id))
-    else if (covering(log.txFilesAfter(lastCompacted).map(_.toString), id)
-        .nonEmpty)
-      foldPruned(covering(logDirs, id))
-    else {
-      val baseDir = java.nio.file.Paths.get(dir, "base").toString
+    if (lastCompacted < 0)
+      return foldPruned(covering(log.txFiles().map(_.toString), id))
+    val baseDir = java.nio.file.Paths.get(dir, "base").toString
+    def baseState: DataFrame = {
+      val baseParts = covering(Seq(baseDir), id)
+      if (baseParts.isEmpty)
+        log.readBase(spark).drop("_sys_date").filter(lit(false))
+      else spark.read.option("basePath", baseDir).parquet(baseParts: _*)
+        .drop("_sys_date")
+    }
+    val tailParts = covering(log.txFilesAfter(lastCompacted).map(_.toString), id)
+    if (tailParts.isEmpty) {
       val baseParts = covering(Seq(baseDir), id)
       if (baseParts.isEmpty) none
       else spark.read.option("basePath", baseDir).parquet(baseParts: _*)
         .drop("_sys_date")
+    } else {
+      // touched id: FOLD FROM STATE over the minimal file set — its
+      // covering base files are the state, its covering tail files the
+      // ops; pre-watermark log files are never read (and may be
+      // truncated away entirely, see [[vacuumLog]])
+      val ops = spark.read.option("mergeSchema", "true").parquet(tailParts: _*)
+      val state = baseState
+      if (payloadCols.forall(c =>
+            ops.columns.contains(c) && state.columns.contains(c)))
+        Bitemporal.applyOps(state.filter(col("_id") === id),
+          ops.filter(col("_id").cast("long") === id), payloadCols)
+      else rectangles() // schema-drift edge: full path supplies types
     }
   }
 
@@ -348,9 +382,13 @@ final class GraftTable(spark: SparkSession, dir: String,
         val knownTypes: Map[String, org.apache.spark.sql.types.DataType] =
           if (missing.isEmpty) Map.empty
           else {
-            val known = scala.util.Try(log.read(spark).schema).toOption
-              .map(sc => sc.fields.map(f => f.name -> f.dataType).toMap)
-              .getOrElse(Map.empty)
+            // the log may be truncated ([[vacuumLog]]); the base then
+            // remembers the types the departed tx files established
+            def schemaOf(df: => DataFrame) =
+              scala.util.Try(df.schema).toOption
+                .map(sc => sc.fields.map(f => f.name -> f.dataType).toMap)
+                .getOrElse(Map.empty[String, org.apache.spark.sql.types.DataType])
+            val known = schemaOf(log.readBase(spark)) ++ schemaOf(log.read(spark))
             val untyped = missing.filterNot(known.contains)
             require(untyped.isEmpty,
               "INSERT omits payload column(s) the log has never seen " +

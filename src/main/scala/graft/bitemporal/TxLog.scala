@@ -69,7 +69,50 @@ final class TxLog(val dir: String) {
     } finally s.close()
   }
 
-  def nextTxId(): Long = claimedTxIds().maxOption.fold(0L)(_ + 1L)
+  def nextTxId(): Long =
+    claimedTxIds().maxOption.orElse(truncatedUpTo()).fold(0L)(_ + 1L)
+
+  // ---- log truncation (the reference's log-retention story: the log
+  //      is the INGEST BUFFER, the compacted base is the durable store;
+  //      once compacted, tx files before the watermark carry no
+  //      information a reader still needs — fold-from-state re-folds
+  //      touched ids from base rectangles, never from history) ----
+
+  private val truncMarker = logDir.resolve("_truncated")
+
+  /** The highest tx id ever truncated away, if any — persisted so a
+    * FRESH TxLog/GraftTable over this directory knows the base (not
+    * the log) is the source of truth up to that point, and so id
+    * allocation never reuses a truncated id. */
+  def truncatedUpTo(): Option[Long] =
+    if (Files.exists(truncMarker))
+      Some(new String(Files.readAllBytes(truncMarker), "UTF-8").trim.toLong)
+    else None
+
+  /** Delete committed tx files with id ≤ `uptoTx`. The CALLER contract
+    * is that a compaction watermark ≥ `uptoTx` exists (the base holds
+    * every truncated tx's effects); this is enforced as far as the log
+    * can see — the base directory must exist. The marker persists
+    * first (temp + atomic move), so a crash between marker and deletes
+    * leaves a recoverable prefix: stale files ≤ marker are re-deleted
+    * on the next truncate, and every reader already ignores them via
+    * the watermark. */
+  def truncate(uptoTx: Long): Unit = appendLock.synchronized {
+    require(Files.exists(baseDir),
+      "truncate: no compacted base — truncating would lose history")
+    require(truncatedUpTo().forall(_ <= uptoTx),
+      "truncate: watermark may not move backwards")
+    val tmp = logDir.resolve("_truncated.tmp")
+    Files.write(tmp, uptoTx.toString.getBytes("UTF-8"))
+    Files.move(tmp, truncMarker,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    txFiles().filter(txIdOf(_) <= uptoTx)
+      .foreach(p => TxLog.deleteRecursively(p.toFile))
+  }
+
+  private def txIdOf(p: Path): Long =
+    p.getFileName.toString.stripPrefix("tx_").stripSuffix(".parquet").toLong
 
   /** Committed tx files with id strictly greater than `afterTx`. */
   def txFilesAfter(afterTx: Long): Seq[Path] =
@@ -207,6 +250,10 @@ final class TxLog(val dir: String) {
     * (SURVEY.md §3.3) without rewriting the base. */
   def readAll(spark: SparkSession, payloadCols: Seq[String],
               lastCompacted: Long): DataFrame = {
+    // a truncated-and-quiet log may have NO files at all — the base is
+    // the whole story then
+    if (txFilesAfter(lastCompacted).isEmpty)
+      return readBase(spark).drop("_sys_date")
     val tail = read(spark, afterTx = lastCompacted)
     if (tail.isEmpty) return readBase(spark).drop("_sys_date")
     val touched = tail.select(col("_id").cast("long").as("_id")).distinct()
@@ -263,9 +310,14 @@ final class TxLog(val dir: String) {
   def compactIncremental(spark: SparkSession, payloadCols: Seq[String],
                          lastCompacted: Long): Long = {
     val files = txFiles()
-    require(files.nonEmpty, s"empty tx log at $logDir")
-    val ids = files.map(
-      _.getFileName.toString.stripPrefix("tx_").stripSuffix(".parquet").toLong)
+    if (files.isEmpty) {
+      // legal only for a truncated log whose base already holds
+      // everything; an un-compacted empty log is still a caller error
+      require(lastCompacted >= 0 && Files.exists(baseDir),
+        s"empty tx log at $logDir")
+      return lastCompacted
+    }
+    val ids = files.map(txIdOf)
     val last = ids.max
     if (lastCompacted < 0 || !Files.exists(baseDir))
       return compact(spark, payloadCols)

@@ -396,6 +396,50 @@ class GraftTableSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((1.0, false)), 2L -> ((2.0, true))))
   }
 
+  test("vacuumLog: truncated log, base is source of truth, fresh instance intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    val t = new GraftTable(spark, dir, Seq("bal"))
+    t.dml("acct", """INSERT INTO acct (_id, _valid_from, bal) VALUES
+      (1, TIMESTAMP '2020-01-01 00:00:00', CAST(10.0 AS DOUBLE)),
+      (2, TIMESTAMP '2020-01-01 00:00:00', CAST(20.0 AS DOUBLE))""",
+      ts("2020-01-01 00:00:00"))
+    t.dml("acct", "UPDATE acct SET bal = CAST(11.0 AS DOUBLE) WHERE _id = 1",
+      ts("2020-01-02 00:00:00"))
+    t.vacuumLog()
+    // every pre-watermark tx file is GONE
+    val logFiles = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, "log")).toArray.map(_.toString)
+    assert(!logFiles.exists(_.contains("tx_")), s"tx files remain: ${logFiles.toSeq}")
+
+    // a FRESH instance over the truncated directory: reads, time travel
+    // and point reads all come from the base
+    val t2 = new GraftTable(spark, dir, Seq("bal"))
+    def cur(t: GraftTable): Seq[(Long, Option[Double])] =
+      t.current().select("_id", "bal").collect()
+        .map(r => (r.getLong(0),
+          Option(r.get(1)).map(_.asInstanceOf[Double]))).sortBy(_._1).toSeq
+    assert(cur(t2) == Seq((1L, Some(11.0)), (2L, Some(20.0))))
+    assert(t2.asOf(ts("2020-01-01 12:00:00"), ts("2020-01-01 12:00:00"))
+      .filter($"_id" === 1).select($"bal").collect().map(_.getDouble(0)).toSeq
+      == Seq(10.0), "time travel to the truncated prefix still works (base keeps history)")
+    assert(t2.entity(1L).map(_.getAs[Double]("bal")) == Some(11.0))
+
+    // new writes after truncation: tx ids continue past the watermark,
+    // read-your-writes works, subset INSERT types resolve from the BASE
+    t2.dml("acct", "INSERT INTO acct (_id) VALUES (3)",
+      ts("2020-01-03 00:00:00"))
+    assert(cur(t2).map(_._1) == Seq(1L, 2L, 3L))
+    assert(t2.entity(3L).isDefined)
+    t2.dml("acct", "UPDATE acct SET bal = CAST(12.0 AS DOUBLE) WHERE _id = 1",
+      ts("2020-01-04 00:00:00"))
+    assert(cur(t2).take(1) == Seq((1L, Some(12.0))))
+    // compact + vacuum again — repeatable lifecycle
+    t2.vacuumLog()
+    val t3 = new GraftTable(spark, dir, Seq("bal"))
+    assert(cur(t3) == Seq((1L, Some(12.0)), (2L, Some(20.0)), (3L, None)))
+    assert(t3.entity(1L).map(_.getAs[Double]("bal")) == Some(12.0))
+  }
+
   test("autoCompactEvery bounds the tail: compaction triggers itself") {
     val dir = java.nio.file.Files.createTempDirectory("graft_autoc").toString
     val t = new GraftTable(spark, dir, Seq("bal"), autoCompactEvery = 2)
