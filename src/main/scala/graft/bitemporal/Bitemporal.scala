@@ -257,6 +257,36 @@ object Bitemporal {
       .drop("_valid_from" + suffix, "_valid_to" + suffix)
   }
 
+  /** Valid-time COALESCING — the period-algebra normalization SQL:2011
+    * left out and every temporal paper asks for: merge rectangles of
+    * one id that are ADJACENT OR OVERLAPPING in valid time and agree on
+    * payload and system interval, so a history fragmented by repeated
+    * same-value portion writes reads back as the minimal rectangle set
+    * (equal visibility at every bitemporal point, fewer rows).
+    *
+    * Gaps-and-islands over `(id, system interval, payload)` groups: one
+    * window pass ordered by valid-from (island starts where valid-from
+    * exceeds the running max of previous valid-tos), one aggregation to
+    * the islands' envelopes. Scale: window + agg both partition by the
+    * group key — no self-join, no collect. */
+  def coalesceValid(rects: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = (Seq("_id", "_system_from", "_system_to") ++ payloadCols).map(col)
+    val w = Window.partitionBy(grp: _*).orderBy(col("_valid_from"), col("_valid_to"))
+    val runMax = max(col("_valid_to"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    rects
+      .withColumn("_new", when(
+        runMax.isNull || col("_valid_from") > runMax, 1).otherwise(0))
+      .withColumn("_island", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(grp :+ col("_island"): _*)
+      .agg(min(col("_valid_from")).as("_valid_from"),
+        max(col("_valid_to")).as("_valid_to"))
+      .drop("_island")
+      .select(rects.columns.map(col): _*)
+  }
+
   /** FOLD FROM STATE — apply an op batch to an ALREADY-FOLDED rectangle
     * relation without replaying history: true incremental maintenance
     * of the bitemporal relation, the step that makes compaction cost

@@ -401,6 +401,25 @@ object Bitemp {
           $"_valid_from".cast("string").as("vf"),
           $"_valid_to".cast("string").as("vt"))
         .orderBy($"o_orderkey", $"l_orderkey", $"l_linenumber")
+    }),
+
+    // valid-time COALESCING (period-algebra normalization): heavy
+    // lineitems become per-order ship windows; windows of one order
+    // that touch/overlap and agree on the payload merge to their
+    // envelope — equal visibility, minimal rectangle count
+    "q148_coalesce_valid" -> ((s, dir) => {
+      import s.implicits._
+      val rects = T(s, dir, "lineitem").filter($"l_quantity" >= 48)
+        .select($"l_orderkey".as("_id"), $"l_returnflag".as("flag"),
+          lit("1990-01-01 00:00:00").cast("timestamp").as("_system_from"),
+          lit("9999-12-31 00:00:00").cast("timestamp").as("_system_to"),
+          $"l_shipdate".cast("timestamp").as("_valid_from"),
+          expr("l_shipdate + INTERVAL 30 DAY").cast("timestamp").as("_valid_to"))
+      Bitemporal.coalesceValid(rects, Seq("flag"))
+        .select($"_id", $"flag",
+          $"_valid_from".cast("string").as("vf"),
+          $"_valid_to".cast("string").as("vt"))
+        .orderBy($"_id", $"flag", $"vf")
     })
   )
 
@@ -617,6 +636,26 @@ object Bitemp {
              CAST(least(a.vt, b.vt) AS VARCHAR) AS vt
       FROM a, b
       WHERE a.vf < b.vt AND b.vf < a.vt
-      ORDER BY a.o_orderkey, b.l_orderkey, b.l_linenumber"""
+      ORDER BY a.o_orderkey, b.l_orderkey, b.l_linenumber""",
+
+    // the same gaps-and-islands: island starts where valid-from clears
+    // the running max of previous valid-tos, islands aggregate to
+    // their envelope
+    "q148_coalesce_valid" -> """
+      WITH r AS (SELECT l_orderkey AS _id, l_returnflag AS flag,
+                        l_shipdate::TIMESTAMP AS vf,
+                        (l_shipdate + INTERVAL 30 DAY)::TIMESTAMP AS vt
+                 FROM lineitem WHERE l_quantity >= 48),
+      m AS (SELECT *, max(vt) OVER (PARTITION BY _id, flag ORDER BY vf, vt
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS runmax FROM r),
+      i AS (SELECT *, sum(CASE WHEN runmax IS NULL OR vf > runmax
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY _id, flag ORDER BY vf, vt
+                            ROWS UNBOUNDED PRECEDING) AS island FROM m)
+      SELECT _id, flag, CAST(min(vf) AS VARCHAR) AS vf,
+             CAST(max(vt) AS VARCHAR) AS vt
+      FROM i GROUP BY _id, flag, island
+      ORDER BY _id, flag, vf"""
   )
 }

@@ -360,6 +360,34 @@ class BitemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("coalesceValid: touching/overlapping same-payload rectangles merge, nothing else") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val sent = t(999999L)
+    val rows = Seq(
+      // id 1, payload a: [0,10)+[10,20) touch -> [0,20); [25,30) gap stays
+      (1L, "a", t(0), sent, t(0), t(10)),
+      (1L, "a", t(0), sent, t(10), t(20)),
+      (1L, "a", t(0), sent, t(25), t(30)),
+      // id 1, payload b: different payload never merges with a
+      (1L, "b", t(0), sent, t(20), t(25)),
+      // id 2: overlapping same payload -> envelope
+      (2L, "a", t(0), sent, t(60), t(75)),
+      (2L, "a", t(0), sent, t(70), t(80)),
+      // id 2: same valid adjacency but DIFFERENT system interval — kept
+      (2L, "a", t(5), sent, t(80), t(90)))
+      .toDF("_id", "flag", "_system_from", "_system_to",
+        "_valid_from", "_valid_to")
+    val got = Bitemporal.coalesceValid(rows, Seq("flag"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime / 1000, r.getTimestamp(4).getTime / 1000,
+        r.getTimestamp(5).getTime / 1000)).toSet
+    assert(got == Set(
+      (1L, "a", 0L, 0L, 20L), (1L, "a", 0L, 25L, 30L),
+      (1L, "b", 0L, 20L, 25L),
+      (2L, "a", 0L, 60L, 80L), (2L, "a", 5L, 80L, 90L)))
+  }
+
   test("timeWeighted: overlap-clamped seconds, versions outside the window drop") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
