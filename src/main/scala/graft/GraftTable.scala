@@ -24,10 +24,12 @@ final class GraftTable(spark: SparkSession, dir: String,
                        payloadCols: Seq[String],
                        autoCompactEvery: Int = 0) {
   private val log = new TxLog(dir)
-  // a truncated log's prefix lives only in the base: a fresh instance
-  // must treat the truncation point as already-compacted, never try to
-  // fold the (gone) full log
-  private var lastCompacted: Long = log.truncatedUpTo().getOrElse(-1L)
+  // recover the compaction watermark persisted with the base: a fresh
+  // instance serves untouched ids from the base instead of re-folding
+  // the whole log — and for a truncated log (whose prefix lives ONLY in
+  // the base) this is the correctness requirement, not an optimization
+  private var lastCompacted: Long =
+    log.baseWatermark().orElse(log.truncatedUpTo()).getOrElse(-1L)
 
   /** Opt-in compaction policy (`autoCompactEvery` = N > 0): after a
     * write lands, compact when the unapplied tail reaches N

@@ -83,15 +83,49 @@ final class Matview private[graft] (
       .agg(count(lit(1)).as("n"),
         sumCols.map(c => sum(col(c)).as(sumAlias(c))): _*)
 
+  /** Rebuild the whole state from the RECTANGLE relation (base +
+    * tail via the persisted base watermark) — the path that stays
+    * correct when the log has been TRUNCATED ([[TxLog.truncate]]): the
+    * incremental delta needs touched ids' full op history, which a
+    * truncated log no longer has; the rectangles still determine the
+    * view exactly. Cost = one full view recompute — the documented
+    * price of retention, paid only on the first refresh after a
+    * truncation advances past this view's watermark. */
+  private def rebuildFromState(last: Long): Long = {
+    val visible = Bitemporal.asOf(log.readAllAuto(spark, payloadCols),
+      lit(validAt), lit(sysProbe))
+    val agg = visible.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sumCols.map(c => sum(col(c)).as(sumAlias(c))): _*)
+      .withColumn("_bucket", bucketCol)
+    agg.repartition(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket")
+      .parquet(dataDir.toString)
+    setWatermark(last)
+    last
+  }
+
   /** Fold every tx past the watermark into the state. Returns the new
-    * watermark (= old one when the log has nothing new). */
+    * watermark (= old one when the log has nothing new).
+    *
+    * Retention interaction: the incremental delta structurally needs a
+    * touched id's FULL op history (old and new contribution are both
+    * re-derived from its ops), so once the log has been truncated
+    * ([[TxLog.truncate]]) refresh permanently switches to
+    * [[rebuildFromState]] — exact at any truncation, at full-recompute
+    * cost. The standard tension between retention and incremental view
+    * maintenance: vacuum less often than you refresh, or accept the
+    * recompute. */
   def refresh(): Long = {
-    val files = log.txFiles()
-    if (files.isEmpty) return watermark
-    val last = files
-      .map(_.getFileName.toString.stripPrefix("tx_").stripSuffix(".parquet").toLong)
-      .max
     val w = watermark
+    val truncated = log.truncatedUpTo()
+    val files = log.txFiles()
+    val last = (files.map(_.getFileName.toString
+        .stripPrefix("tx_").stripSuffix(".parquet").toLong) ++ truncated)
+      .maxOption.getOrElse(-1L)
+    if (truncated.isDefined)
+      return if (last > w) rebuildFromState(last) else w
+    if (files.isEmpty) return w
     if (last <= w) return w
 
     if (w < 0 || !Files.exists(dataDir)) {

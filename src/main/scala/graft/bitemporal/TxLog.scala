@@ -214,6 +214,7 @@ final class TxLog(val dir: String) {
       .parquet(files.map(_.toString): _*)
     writeBase(Bitemporal.fold(log, payloadCols)
       .withColumn("_sys_date", to_date(col("_system_from"))), baseDir)
+    setBaseWatermark(last)
     last
   }
 
@@ -335,7 +336,7 @@ final class TxLog(val dir: String) {
       base.join(touched, Seq("_id"), "left_semi").select(col("_sys_date"))
         .union(refolded.select(col("_sys_date")))
         .distinct().collect().map(_.getDate(0)).toSeq
-    if (affected.isEmpty) return last // tail touched nothing visible
+    if (affected.isEmpty) { setBaseWatermark(last); return last } // tail touched nothing visible
     val untouchedInAffected = base
       .filter(col("_sys_date").isin(affected: _*))
       .join(touched, Seq("_id"), "left_anti")
@@ -350,8 +351,39 @@ final class TxLog(val dir: String) {
       if (Files.exists(src)) { Files.move(src, dst); () }
     }
     TxLog.deleteRecursively(tmp.toFile)
+    setBaseWatermark(last)
     last
   }
+
+  // ---- persisted base watermark: which tx ids the base represents ----
+
+  private def bwFile = Paths.get(dir, "_base_watermark")
+
+  /** Max tx id folded into the base, persisted at every compaction so
+    * FRESH instances (and derived consumers like matviews) know where
+    * the base ends and the live tail begins without re-folding the
+    * log. */
+  def baseWatermark(): Option[Long] =
+    if (Files.exists(bwFile))
+      Some(new String(Files.readAllBytes(bwFile), "UTF-8").trim.toLong)
+    else None
+
+  private def setBaseWatermark(w: Long): Unit = {
+    val tmp = Paths.get(dir, "_base_watermark.tmp")
+    Files.write(tmp, w.toString.getBytes("UTF-8"))
+    Files.move(tmp, bwFile,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  /** [[readAll]] driven by the PERSISTED base watermark: correct from
+    * any fresh instance, truncated log included (where a full re-fold
+    * is impossible — the history lives only in the base). */
+  def readAllAuto(spark: SparkSession, payloadCols: Seq[String]): DataFrame =
+    baseWatermark() match {
+      case Some(w) => readAll(spark, payloadCols, w)
+      case None => Bitemporal.fold(read(spark), payloadCols)
+    }
 
   /** The base rectangle table, KEEPING the `_sys_date` partition column:
     * [[Bitemporal.asOf]] turns it into a partition-pruning predicate, so

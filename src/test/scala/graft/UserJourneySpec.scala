@@ -18,6 +18,71 @@ class UserJourneySpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("operate for a week: auto-compact -> matview -> vacuum -> restart -> audit") {
+    // the operational loop a production deployment runs: continuous DML
+    // with a bounded tail, an incrementally-maintained view, periodic
+    // log retention, process restarts between all of it — and the audit
+    // diff at the end sees exactly the week's net change
+    val dir = java.nio.file.Files.createTempDirectory("graft_ops").toString
+    val t = new GraftTable(spark, dir, Seq("grp", "amt"), autoCompactEvery = 3)
+    def day(d: Int) = ts(f"2024-01-$d%02d 00:00:00")
+
+    // day 1: initial load; days 2-6: one tx per day (updates + a delete)
+    t.put(spark.range(1, 41).select($"id",
+        concat(lit("g"), $"id" % 4).as("g"), ($"id" * 10.0).as("m")),
+      $"id", lit("2024-01-01").cast("timestamp"), None,
+      Seq("grp" -> $"g", "amt" -> $"m"), day(1))
+    val mv = t.matview("weekly", "grp", Seq("amt"),
+      validAt = ts("2030-01-01 00:00:00"), nBuckets = 4)
+    for (d <- 2 to 6) {
+      if (d % 2 == 0)
+        t.dml("acct", s"UPDATE acct SET amt = CAST(${d * 100}.0 AS DOUBLE) " +
+          s"WHERE _id = ${d}", day(d))
+      else
+        t.dml("acct", s"DELETE FROM acct WHERE _id = ${d + 20}", day(d))
+      mv.refresh()
+    }
+    // matview parity with a from-scratch recompute, through auto-compacts
+    def recompute() = graft.bitemporal.Bitemporal.asOf(t.rectangles(),
+        lit(ts("2030-01-01 00:00:00")), lit(ts("2029-01-01 00:00:00")))
+      .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"amt").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    def view() = mv.read().collect()
+      .map(r => (r.getString(r.fieldIndex("grp")),
+        r.getLong(r.fieldIndex("n")),
+        r.getDouble(r.fieldIndex("sum_amt")))).toSet
+    assert(view() == recompute())
+
+    // day 7: retention — compact + truncate, then RESTART the process
+    t.vacuumLog()
+    val t2 = new GraftTable(spark, dir, Seq("grp", "amt"), autoCompactEvery = 3)
+    assert(t2.current().count() == 40 - 2) // deletes on days 3 and 5
+
+    // the week's audit: what changed between day 1 and day 7 beliefs —
+    // visible entirely from the truncated table
+    val diff = graft.bitemporal.Bitemporal.sysDiff(t2.rectangles(),
+        validTime = lit(ts("2024-01-06 12:00:00")),
+        s1 = lit(day(1)), s2 = lit(day(7)),
+        payloadCols = Seq("grp", "amt"))
+      .collect().map(r => (r.getLong(r.fieldIndex("_id")),
+        r.getString(r.fieldIndex("change")))).toSet
+    assert(diff == Set((2L, "updated"), (4L, "updated"), (6L, "updated"),
+      (23L, "removed"), (25L, "removed")))
+
+    // life goes on after restart + truncation: more DML, more refresh
+    t2.dml("acct", "UPDATE acct SET amt = CAST(999.0 AS DOUBLE) WHERE _id = 1",
+      ts("2024-01-08 00:00:00"))
+    assert(t2.entity(1L).map(_.getAs[Double]("amt")) == Some(999.0))
+    assert(mv.refresh() >= 0)
+    assert(view() == recompute2(t2))
+  }
+
+  private def recompute2(t: GraftTable) =
+    graft.bitemporal.Bitemporal.asOf(t.rectangles(),
+        lit(ts("2030-01-01 00:00:00")), lit(ts("2029-01-01 00:00:00")))
+      .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"amt").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
   test("ingest -> time travel -> SQL -> period predicates -> metadata -> export") {
     val dir = java.nio.file.Files.createTempDirectory("graft_journey").toString
     val t = new GraftTable(spark, dir, Seq("price"))
