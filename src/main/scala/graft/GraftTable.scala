@@ -284,7 +284,7 @@ final class GraftTable(spark: SparkSession, dir: String,
     // only INSERT can self-overlap within one statement (duplicate ids
     // in its source) — see requireDisjoint
     if (statement.trim.take(6).equalsIgnoreCase("INSERT"))
-      appended(validatedAppend(ops, systemTime))
+      validatedAppend(ops, systemTime) // already wraps appended()
     else appended(log.append(ops, systemTime))
   }
 

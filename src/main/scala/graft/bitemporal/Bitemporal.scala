@@ -359,8 +359,12 @@ object Bitemporal {
     def bins(df: DataFrame) = df
       .filter(col("_valid_from") < col("_valid_to"))
       .withColumn("_bin", explode(sequence(
-        floor(unix_micros(col("_valid_from")) / bw).cast("long"),
-        floor((unix_micros(col("_valid_to")) - 1) / bw).cast("long"))))
+        // explicit cast through "timestamp": NTZ rectangle inputs (fold
+        // output) bin identically to the LTZ paths used by
+        // timeWeighted/resampleLocf instead of relying on implicit
+        // NTZ→LTZ coercion inside unix_micros
+        floor(unix_micros(col("_valid_from").cast("timestamp")) / bw).cast("long"),
+        floor((unix_micros(col("_valid_to").cast("timestamp")) - 1) / bw).cast("long"))))
     val bPrep = b.columns.foldLeft(b) { (df, c) =>
       if (!tcols.contains(c) && a.columns.contains(c))
         df.withColumnRenamed(c, c + suffix)

@@ -98,9 +98,20 @@ final class Matview private[graft] (
       .agg(count(lit(1)).as("n"),
         sumCols.map(c => sum(col(c)).as(sumAlias(c))): _*)
       .withColumn("_bucket", bucketCol)
+    // temp-write + directory swap (same pattern as the incremental
+    // path): a concurrent read() during the rebuild sees either the
+    // complete old state or the complete new one, never a partial
+    // overwrite-in-place.
+    val tmp = stateRoot.resolve("state_rebuild_tmp")
+    TxLog.deleteRecursively(tmp.toFile)
     agg.repartition(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket")
-      .parquet(dataDir.toString)
+      .parquet(tmp.toString)
+    val old = stateRoot.resolve("state_rebuild_old")
+    TxLog.deleteRecursively(old.toFile)
+    if (Files.exists(dataDir)) { Files.move(dataDir, old): Unit }
+    Files.move(tmp, dataDir): Unit
+    TxLog.deleteRecursively(old.toFile)
     setWatermark(last)
     last
   }

@@ -91,15 +91,20 @@ final class TxLog(val dir: String) {
 
   /** Delete committed tx files with id ≤ `uptoTx`. The CALLER contract
     * is that a compaction watermark ≥ `uptoTx` exists (the base holds
-    * every truncated tx's effects); this is enforced as far as the log
-    * can see — the base directory must exist. The marker persists
-    * first (temp + atomic move), so a crash between marker and deletes
-    * leaves a recoverable prefix: stale files ≤ marker are re-deleted
-    * on the next truncate, and every reader already ignores them via
-    * the watermark. */
+    * every truncated tx's effects); enforced against the PERSISTED
+    * base watermark, so a direct call beyond the last compaction
+    * cannot silently delete committed tx files whose effects are not
+    * yet folded into the base. The marker persists first (temp +
+    * atomic move), so a crash between marker and deletes leaves a
+    * recoverable prefix: stale files ≤ marker are re-deleted on the
+    * next truncate, and every reader already ignores them via the
+    * watermark. */
   def truncate(uptoTx: Long): Unit = appendLock.synchronized {
     require(Files.exists(baseDir),
       "truncate: no compacted base — truncating would lose history")
+    require(baseWatermark().exists(_ >= uptoTx),
+      s"truncate: base watermark ${baseWatermark().getOrElse(-1L)} < $uptoTx — " +
+        "truncating beyond the compacted base would lose history")
     require(truncatedUpTo().forall(_ <= uptoTx),
       "truncate: watermark may not move backwards")
     val tmp = logDir.resolve("_truncated.tmp")

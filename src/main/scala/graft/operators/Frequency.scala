@@ -40,10 +40,8 @@ object Frequency {
             case Some(v) => m(k) = v + 1
             case None if m.size < sketchSize => m(k) = 1L
             case None => // decrement-all step of Misra-Gries
-              val dead = new scala.collection.mutable.ArrayBuffer[String]
-              m.foreach { case (key, v) =>
-                if (v == 1L) dead += key else m(key) = v - 1 }
-              dead.foreach(m.remove)
+              m.mapValuesInPlace((_, v) => v - 1L)
+              m.filterInPlace((_, v) => v > 0L)
           }
         }
         m.keysIterator
