@@ -360,7 +360,11 @@ object Llm {
     // every stage is an independently-oracle-checked operator
     "q99_curation_v2" -> ((s, dir) => {
       import s.implicits._
-      val docs = T(s, dir, "documents")
+      // spread ONCE at the top of the chain: the stages' own Par.spread
+      // calls then no-op (input already at target parallelism) and the
+      // single exchange is reused across every subtree of the final
+      // plan, instead of each stage paying its own repartition
+      val docs = graft.util.Par.spread(T(s, dir, "documents"))
       val rep = TextStats.repetition(docs, "doc_id", "text")
       val gated = docs.join(
         rep.filter($"n_words".between(5, 1000) &&

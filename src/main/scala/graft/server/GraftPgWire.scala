@@ -1,0 +1,381 @@
+package graft.server
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException, InputStream, OutputStream}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.parser.ParseException
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.bitemporal.SqlText
+
+/** PostgreSQL wire-protocol (v3) front door — the reference's
+  * mainstream-compatibility connector shape (/root/reference/
+  * README.adoc:14 frames SQL accessibility through stock clients;
+  * upstream serves a pgwire endpoint for exactly this reason): any
+  * Postgres client speaking the SIMPLE QUERY flow (`psql`, drivers in
+  * simple-query mode) can connect and run the full graft SQL surface —
+  * temporal clauses, period predicates, DML, recursion — because every
+  * statement goes through `spark.sql` on a session carrying
+  * [[GraftSqlParser]].
+  *
+  * Scope (documented, not hidden):
+  *   - Simple query protocol only. Extended-protocol messages
+  *     (Parse/Bind/Execute) get a clean `ErrorResponse` naming the
+  *     limitation, and the connection stays usable — clients that can
+  *     fall back to simple mode (psql always, JDBC with
+  *     `preferQueryMode=simple`) work.
+  *   - Text result format only (format code 0) — the protocol's
+  *     baseline every client supports.
+  *   - Auth is trust-mode (AuthenticationOk to any startup); binding
+  *     beyond 127.0.0.1 is a deployment decision, as with
+  *     [[GraftHttpApi]].
+  *
+  * Scale posture: rows stream — the per-column PG text rendering runs
+  * executor-side (codegen'd Column expressions, no driver-side row
+  * formatting), and the writer pulls one partition at a time via
+  * `toLocalIterator`, so driver memory is bounded by one partition
+  * regardless of result size. DML statements return their `tx_id` as a
+  * one-row result set (the honest answer — affected-row counts are not
+  * knowable at submit time in an append-only bitemporal log).
+  */
+object GraftPgWire {
+
+  final class Handle private[GraftPgWire] (
+      private[GraftPgWire] val server: ServerSocket) {
+    def port: Int = server.getLocalPort
+    def stop(): Unit = try server.close() catch { case _: Throwable => }
+  }
+
+  /** Start the listener; `port` 0 picks an ephemeral port. */
+  def start(spark: SparkSession, port: Int,
+            bindHost: String = "127.0.0.1", poolSize: Int = 8): Handle = {
+    val server = new ServerSocket(
+      port, 50, java.net.InetAddress.getByName(bindHost))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      poolSize,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-pgwire"); t.setDaemon(true); t
+      })
+    val acceptor = new Thread(() => {
+      try {
+        while (!server.isClosed) {
+          val sock = server.accept()
+          pool.execute(() => serve(spark, sock))
+        }
+      } catch {
+        case _: SocketException => // closed — normal shutdown
+        case _: Throwable =>
+      } finally pool.shutdown()
+    }, "graft-pgwire-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    new Handle(server)
+  }
+
+  // ---- connection lifecycle ------------------------------------------
+
+  private val SslRequestCode = 80877103
+  private val GssRequestCode = 80877104
+  private val CancelRequestCode = 80877102
+  private val ProtocolV3 = 196608
+
+  private def serve(spark: SparkSession, sock: Socket): Unit = {
+    try {
+      sock.setTcpNoDelay(true)
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      val out = new DataOutputStream(
+        new BufferedOutputStream(sock.getOutputStream))
+      SparkSession.setActiveSession(spark)
+      if (!handshake(in, out)) return
+      queryLoop(spark, in, out)
+    } catch {
+      case _: EOFException => // client went away — normal
+      case _: SocketException =>
+      case _: Throwable =>
+    } finally {
+      try sock.close() catch { case _: Throwable => }
+    }
+  }
+
+  /** Consume SSL/GSSENC probes (decline with 'N'), then the startup
+    * message. Returns false when the connection should close without a
+    * session (cancel requests, unsupported protocol). */
+  private def handshake(in: DataInputStream, out: DataOutputStream): Boolean = {
+    var code = 0
+    var body: Array[Byte] = null
+    var done = false
+    while (!done) {
+      val len = in.readInt()
+      require(len >= 8 && len < (1 << 20), s"pgwire: bad startup length $len")
+      code = in.readInt()
+      body = new Array[Byte](len - 8)
+      in.readFully(body)
+      if (code == SslRequestCode || code == GssRequestCode) {
+        out.writeByte('N'); out.flush() // no TLS/GSS — proceed in clear
+      } else done = true
+    }
+    if (code == CancelRequestCode) return false
+    if (code != ProtocolV3) {
+      sendError(out, "08P01", s"unsupported protocol version $code")
+      out.flush()
+      return false
+    }
+    // startup params (user/database/...) — accepted, not enforced
+    send(out, 'R', b => b.writeInt(0)) // AuthenticationOk
+    Seq(
+      "server_version" -> "14.0 (graft)",
+      "server_encoding" -> "UTF8",
+      "client_encoding" -> "UTF8",
+      "DateStyle" -> "ISO, MDY",
+      "integer_datetimes" -> "on",
+      "standard_conforming_strings" -> "on",
+      "TimeZone" -> "UTC"
+    ).foreach { case (k, v) =>
+      send(out, 'S', b => { writeCString(b, k); writeCString(b, v) })
+    }
+    send(out, 'K', b => { b.writeInt(0); b.writeInt(0) }) // BackendKeyData
+    readyForQuery(out)
+    true
+  }
+
+  private def queryLoop(spark: SparkSession, in: DataInputStream,
+                        out: DataOutputStream): Unit = {
+    while (true) {
+      val tpe = in.read()
+      if (tpe < 0) return // EOF
+      val len = in.readInt()
+      require(len >= 4 && len < (1 << 30), s"pgwire: bad message length $len")
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      tpe.toChar match {
+        case 'Q' =>
+          val sql = cString(body)
+          runSimpleQuery(spark, out, sql)
+          readyForQuery(out)
+        case 'X' => return // Terminate
+        case 'S' => readyForQuery(out) // stray Sync — stay usable
+        case 'P' | 'B' | 'D' | 'E' | 'C' | 'F' | 'H' =>
+          sendError(out, "0A000",
+            "graft pgwire speaks the simple query protocol only — " +
+              "use psql, or a driver in simple-query mode " +
+              "(e.g. JDBC preferQueryMode=simple)")
+          // swallow the rest of the extended-protocol batch up to Sync,
+          // then ReadyForQuery so the client can recover
+          drainToSync(in)
+          readyForQuery(out)
+        case other =>
+          sendError(out, "08P01", s"unexpected message type '$other'")
+          readyForQuery(out)
+      }
+      out.flush()
+    }
+  }
+
+  private def drainToSync(in: DataInputStream): Unit = {
+    var done = false
+    while (!done) {
+      val tpe = in.read()
+      if (tpe < 0) throw new EOFException
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      if (tpe.toChar == 'S') done = true
+    }
+  }
+
+  // ---- simple query --------------------------------------------------
+
+  /** One 'Q' message: split on top-level semicolons (the shared lexer
+    * masks literals/comments, so `';'` inside a string never splits),
+    * run each statement, send its result cycle. An error aborts the
+    * remainder of the batch, per protocol. */
+  private def runSimpleQuery(spark: SparkSession, out: DataOutputStream,
+                             sql: String): Unit = {
+    val statements = splitStatements(sql)
+    if (statements.isEmpty) {
+      send(out, 'I', _ => ()) // EmptyQueryResponse
+      return
+    }
+    statements.foreach { st =>
+      try execStatement(spark, out, st)
+      catch {
+        case e: Throwable =>
+          sendError(out, sqlState(e), errMessage(e))
+          return // abort batch
+      }
+    }
+  }
+
+  private[server] def splitStatements(sql: String): Seq[String] = {
+    val spans = SqlText.maskedSpans(sql)
+    val parts = Seq.newBuilder[String]
+    var start = 0
+    var i = 0
+    while (i < sql.length) {
+      if (sql.charAt(i) == ';' && !SqlText.masked(spans, i)) {
+        parts += sql.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    parts += sql.substring(start)
+    parts.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def execStatement(spark: SparkSession, out: DataOutputStream,
+                            st: String): Unit = {
+    val df = spark.sql(st)
+    val schema = df.schema
+    if (schema.isEmpty) { // DDL-style statement with no result relation
+      send(out, 'C', b => writeCString(b, commandTag(st, 0L)))
+      return
+    }
+    sendRowDescription(out, schema)
+    val n = streamRows(out, df)
+    send(out, 'C', b => writeCString(b, commandTag(st, n)))
+  }
+
+  private def commandTag(st: String, n: Long): String = {
+    val kw = st.trim.takeWhile(c => c.isLetter).toUpperCase
+    kw match {
+      // graft DML yields a 1-row tx_id relation; the tag keeps the
+      // client's verb so psql prints INSERT/UPDATE/... as expected
+      case "INSERT" => s"INSERT 0 $n"
+      case "UPDATE" | "DELETE" | "ERASE" => s"$kw $n"
+      case _ => s"SELECT $n"
+    }
+  }
+
+  // ---- result encoding -----------------------------------------------
+
+  /** Spark type → (pg type oid, pg typlen). Text format throughout, so
+    * the oid only guides client-side parsing/pretty-printing. */
+  private def pgType(dt: DataType): (Int, Int) = dt match {
+    case BooleanType => (16, 1)
+    case ByteType | ShortType => (21, 2)
+    case IntegerType => (23, 4)
+    case LongType => (20, 8)
+    case FloatType => (700, 4)
+    case DoubleType => (701, 8)
+    case _: DecimalType => (1700, -1)
+    case DateType => (1082, 4)
+    case TimestampNTZType => (1114, 8)
+    case TimestampType => (1184, 8)
+    case BinaryType => (17, -1)
+    case _: ArrayType | _: MapType | _: StructType => (114, -1) // json
+    case _ => (25, -1) // text
+  }
+
+  private def sendRowDescription(out: DataOutputStream, schema: StructType): Unit =
+    send(out, 'T', b => {
+      b.writeShort(schema.length)
+      schema.fields.foreach { f =>
+        val (oid, typlen) = pgType(f.dataType)
+        writeCString(b, f.name)
+        b.writeInt(0) // table oid — not a catalog table
+        b.writeShort(0) // column attribute number
+        b.writeInt(oid)
+        b.writeShort(typlen)
+        b.writeInt(-1) // typmod
+        b.writeShort(0) // format: text
+      }
+    })
+
+  /** PG text rendering as a Column expression, so formatting runs
+    * executor-side inside codegen, not per-row on the driver. */
+  private def pgText(c: org.apache.spark.sql.Column, dt: DataType)
+      : org.apache.spark.sql.Column = dt match {
+    case BooleanType =>
+      when(c === true, "t").when(c === false, "f") // null stays null
+    case TimestampType | TimestampNTZType =>
+      date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    case BinaryType => concat(lit("\\x"), lower(hex(c)))
+    case _: ArrayType | _: MapType | _: StructType => to_json(c)
+    case _ => c.cast("string")
+  }
+
+  /** Stream every row as a DataRow; returns the row count. Partition-
+    * at-a-time via toLocalIterator — no collect. */
+  private def streamRows(out: DataOutputStream, df: DataFrame): Long = {
+    val cols = df.schema.fields.map(f =>
+      pgText(col(s"`${f.name}`"), f.dataType).as(f.name))
+    val it = df.select(cols.toIndexedSeq: _*).toLocalIterator()
+    var n = 0L
+    val width = df.schema.length
+    while (it.hasNext) {
+      val row = it.next()
+      send(out, 'D', b => {
+        b.writeShort(width)
+        var i = 0
+        while (i < width) {
+          if (row.isNullAt(i)) b.writeInt(-1)
+          else {
+            val bytes = row.getString(i).getBytes(UTF_8)
+            b.writeInt(bytes.length)
+            b.write(bytes)
+          }
+          i += 1
+        }
+      })
+      n += 1
+    }
+    n
+  }
+
+  // ---- errors --------------------------------------------------------
+
+  private def sqlState(e: Throwable): String = e match {
+    case _: ParseException => "42601" // syntax_error
+    case _: AnalysisException => "42P01" // undefined object / analysis
+    case _: IllegalArgumentException => "22023" // invalid parameter
+    case _: UnsupportedOperationException => "0A000"
+    case _ => "XX000" // internal_error
+  }
+
+  private def errMessage(e: Throwable): String =
+    s"${e.getClass.getSimpleName}: " +
+      Option(e.getMessage).getOrElse("").take(2000)
+
+  private def sendError(out: DataOutputStream, code: String, msg: String): Unit =
+    send(out, 'E', b => {
+      b.writeByte('S'); writeCString(b, "ERROR")
+      b.writeByte('V'); writeCString(b, "ERROR")
+      b.writeByte('C'); writeCString(b, code)
+      b.writeByte('M'); writeCString(b, msg)
+      b.writeByte(0)
+    })
+
+  private def readyForQuery(out: DataOutputStream): Unit = {
+    send(out, 'Z', b => b.writeByte('I'))
+    out.flush()
+  }
+
+  // ---- framing -------------------------------------------------------
+
+  private def send(out: DataOutputStream, tpe: Char,
+                   payload: DataOutputStream => Unit): Unit = {
+    val buf = new ByteArrayOutputStream()
+    val b = new DataOutputStream(buf)
+    payload(b)
+    b.flush()
+    out.writeByte(tpe)
+    out.writeInt(4 + buf.size())
+    buf.writeTo(out)
+  }
+
+  private def writeCString(out: DataOutputStream, s: String): Unit = {
+    out.write(s.getBytes(UTF_8))
+    out.writeByte(0)
+  }
+
+  private def cString(body: Array[Byte]): String = {
+    val end = body.indexOf(0.toByte) match {
+      case -1 => body.length
+      case i => i
+    }
+    new String(body, 0, end, UTF_8)
+  }
+}

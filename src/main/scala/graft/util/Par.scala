@@ -1,6 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Parallelism guard for per-row-expensive map stages.
   *
@@ -21,24 +22,52 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
 
-  /** Inputs below this estimated size keep their layout: the exchange
-    * would cost more than the serial map it parallelizes. Tunable via
-    * `spark.graft.spread.minBytes`. */
+  /** Partitions below this estimated size keep their layout: the
+    * exchange would cost more than the serial work it parallelizes.
+    * Tunable via `spark.graft.spread.minBytes`. */
   private val MinBytesKey = "spark.graft.spread.minBytes"
   private val MinBytesDefault = 4L * 1024 * 1024
 
   /** Round-robin repartition `df` to the session's default parallelism
     * iff its current plan has less than half that many partitions AND
-    * the optimizer's size estimate says the serial work is worth an
-    * exchange. Both probes plan the query without launching a job. */
+    * the optimizer's size estimate says each EXISTING partition carries
+    * enough serial work to be worth an exchange. Gating on bytes PER
+    * PARTITION (not total bytes) keeps small chained pipelines exchange-
+    * free: a 6-partition 10 MB input already finishes its map stage
+    * quickly, while one 200 MB fat partition genuinely starves the
+    * cluster. Both probes plan the query without launching a job.
+    *
+    * Chained callers (tokenize → shingle → score over one input) should
+    * spread ONCE at the top and pass the result through: downstream
+    * spread calls then see `current == target` and no-op, and Spark's
+    * exchange reuse dedupes the single repartition across the subtrees
+    * of the final plan. */
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    if (spark.conf.getOption("spark.graft.spread.enabled").contains("false"))
+      return df
     val target = spark.sparkContext.defaultParallelism
+    // A plan that already contains a shuffle-inducing operator runs its
+    // tail at the session shuffle parallelism — nothing to fix, and
+    // probing it would be actively harmful: under AQE, `df.rdd` on a
+    // plan with exchanges EXECUTES the upstream query stages to settle
+    // the final plan (measured ~2 s per call on a join+agg subtree).
+    // Only a narrow, exchange-free chain over a leaf scan can be
+    // under-parallel, and for those `.rdd` is pure planning.
+    val plan = df.queryExecution.optimizedPlan
+    val alreadyWide = plan.find {
+      case _: Aggregate | _: Join | _: Sort | _: Window |
+           _: RepartitionOperation | _: GlobalLimit => true
+      case _ => false
+    }.isDefined
+    if (alreadyWide) return df
     val current = df.rdd.getNumPartitions
     if (current * 2 > target) return df
     val minBytes =
       spark.conf.getOption(MinBytesKey).map(_.toLong).getOrElse(MinBytesDefault)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes >= minBytes) df.repartition(target) else df
+    val bytes = plan.stats.sizeInBytes
+    if (bytes / BigInt(math.max(current, 1)) >= minBytes)
+      df.repartition(target)
+    else df
   }
 }
