@@ -209,7 +209,7 @@ object GraftPgWire {
     }
   }
 
-  private[server] def splitStatements(sql: String): Seq[String] = {
+  private[graft] def splitStatements(sql: String): Seq[String] = {
     val spans = SqlText.maskedSpans(sql)
     val parts = Seq.newBuilder[String]
     var start = 0
