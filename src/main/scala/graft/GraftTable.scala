@@ -91,10 +91,12 @@ final class GraftTable(spark: SparkSession, dir: String,
     * [[graft.bitemporal.Matview]]: `refresh()` folds only the log tail,
     * state rewrites only the hash buckets whose groups changed. */
   def matview(name: String, groupCol: String, sumCols: Seq[String],
-              validAt: Timestamp, nBuckets: Int = 32): graft.bitemporal.Matview =
+              validAt: Timestamp, nBuckets: Int = 32,
+              minCols: Seq[String] = Nil,
+              maxCols: Seq[String] = Nil): graft.bitemporal.Matview =
     new graft.bitemporal.Matview(spark, log,
       java.nio.file.Paths.get(dir, "matview", name), payloadCols,
-      groupCol, sumCols, validAt, nBuckets)
+      groupCol, sumCols, validAt, nBuckets, minCols, maxCols)
 
   /** Fold the log into the partitioned rectangle base — incrementally
     * when one exists (cost ∝ tail ids, not total history). */
@@ -151,20 +153,43 @@ final class GraftTable(spark: SparkSession, dir: String,
 
   // ---- metadata-driven file pruning (the default point-read path) ----
 
-  /** Per-file `_id` (min, max) from parquet footers, cached: part files
-    * are immutable once committed (every write lands new names), so an
-    * entry never invalidates; only files not yet seen pay the footer
-    * pass. */
+  /** Per-file `_id` (min, max) from parquet footers, cached driver-side
+    * with an LRU BOUND: part files are immutable once committed (every
+    * write lands new names), so an entry never invalidates — but the
+    * file COUNT is unbounded over a table's life (millions of base
+    * files at the 100 TB tier), so the cache must not grow with it.
+    * Eviction is pure cost, never correctness: an evicted file repays
+    * one footer pass on its next point read. Cap tunable via
+    * `spark.graft.entity.metaCacheSize` (entries ≈ 250 bytes each;
+    * the 64k default holds ~16 MB worst case). */
+  private val idRangeCacheCap: Int =
+    spark.conf.getOption("spark.graft.entity.metaCacheSize")
+      .map(_.toInt).getOrElse(1 << 16)
   private val idRangeCache =
-    scala.collection.mutable.Map.empty[String, (Long, Long)]
+    new java.util.LinkedHashMap[String, (Long, Long)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long)]): Boolean =
+        size() > idRangeCacheCap
+    }
+
+  /** Cache occupancy — the observable for the boundedness spec. */
+  private[graft] def idRangeCacheSize: Int = idRangeCache.size
 
   /** The part files under `paths` that can contain `id` per their
     * footer `_id` stats. Files without usable stats are kept (never
-    * prune on absence of evidence). */
+    * prune on absence of evidence). Looked-up ranges are held locally
+    * for the final filter, so pruning stays exact even when this very
+    * call overflows the LRU. */
   private def covering(paths: Seq[String], id: Long): Seq[String] = {
     if (paths.isEmpty) return Nil
     val parts = graft.bitemporal.ChunkMetadata.files(spark, paths)
-    val missing = parts.filterNot(idRangeCache.contains)
+    val local = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val missing = parts.filter { f =>
+      Option(idRangeCache.get(f)) match {
+        case Some(r) => local(f) = r; false
+        case None => true
+      }
+    }
     if (missing.nonEmpty) {
       graft.bitemporal.ChunkMetadata.forPaths(spark, missing)
         .filter(col("column") === "_id" &&
@@ -173,13 +198,18 @@ final class GraftTable(spark: SparkSession, dir: String,
         .agg(min(col("min").cast("long")).as("mn"),
           max(col("max").cast("long")).as("mx"))
         .collect()
-        .foreach(r => idRangeCache(r.getString(0)) =
-          (r.getLong(1), r.getLong(2)))
-      missing.filterNot(idRangeCache.contains)
-        .foreach(f => idRangeCache(f) = (Long.MinValue, Long.MaxValue))
+        .foreach { r =>
+          val range = (r.getLong(1), r.getLong(2))
+          local(r.getString(0)) = range
+          idRangeCache.put(r.getString(0), range): Unit
+        }
+      missing.filterNot(local.contains).foreach { f =>
+        local(f) = (Long.MinValue, Long.MaxValue)
+        idRangeCache.put(f, (Long.MinValue, Long.MaxValue)): Unit
+      }
     }
     parts.filter { f =>
-      val (mn, mx) = idRangeCache(f); mn <= id && id <= mx
+      val (mn, mx) = local(f); mn <= id && id <= mx
     }
   }
 

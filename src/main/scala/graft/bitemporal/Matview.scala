@@ -30,8 +30,12 @@ import org.apache.spark.sql.functions._
   * The basis (`validAt`, system = latest) is fixed at construction so
   * incrementality is sound: a row's visibility at the basis changes
   * only through new transactions, never through wall-clock drift.
-  * COUNT/SUM only (MIN/MAX are not self-maintainable under deletes —
-  * they'd need the full group re-read; the classic IVM restriction).
+  * COUNT/SUM are self-maintainable; MIN/MAX are NOT under
+  * deletes/updates (the classic IVM restriction) and are served by the
+  * documented fallback: each refresh recomputes extremes for the
+  * TOUCHED GROUPS ONLY by re-reading their member rows at the basis
+  * (group predicate pushed into the base scan). A COUNT/SUM-only view
+  * never pays that read — refresh stays ∝ tail.
   * For exact parity with a from-scratch recompute use exact-typed sum
   * columns (integral/DECIMAL): incremental float sums differ from
   * recomputed ones in the last bits, decimals never do.
@@ -39,9 +43,12 @@ import org.apache.spark.sql.functions._
 final class Matview private[graft] (
     spark: SparkSession, log: TxLog, stateRoot: Path,
     payloadCols: Seq[String], groupCol: String, sumCols: Seq[String],
-    validAt: Timestamp, nBuckets: Int) {
+    validAt: Timestamp, nBuckets: Int,
+    minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil) {
   require(sumCols.forall(payloadCols.contains),
     s"sum columns $sumCols must be payload columns $payloadCols")
+  require((minCols ++ maxCols).forall(payloadCols.contains),
+    s"min/max columns ${minCols ++ maxCols} must be payload columns $payloadCols")
   require(nBuckets > 0, "nBuckets must be positive")
 
   private val dataDir = stateRoot.resolve("state")
@@ -65,6 +72,13 @@ final class Matview private[graft] (
   }
 
   private def sumAlias(c: String) = s"sum_$c"
+  private def minAlias(c: String) = s"min_$c"
+  private def maxAlias(c: String) = s"max_$c"
+  private def mmAliases: Seq[String] =
+    minCols.map(minAlias) ++ maxCols.map(maxAlias)
+  private def mmAggs =
+    minCols.map(c => min(col(c)).as(minAlias(c))) ++
+      maxCols.map(c => max(col(c)).as(maxAlias(c)))
 
   /** Hash bucket of the group key (null-safe: null groups get a real
     * bucket, not a hive default partition). */
@@ -75,13 +89,22 @@ final class Matview private[graft] (
   private def readTx(files: Seq[Path]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(files.map(_.toString): _*)
 
-  /** Per-group contribution of `ops` at the view's basis. */
+  /** Per-group COUNT/SUM contribution of `ops` at the view's basis —
+    * the self-maintainable part, used on both sides of the delta. */
   private def contrib(ops: DataFrame): DataFrame =
     Bitemporal.asOf(Bitemporal.fold(ops, payloadCols),
         lit(validAt), lit(sysProbe))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         sumCols.map(c => sum(col(c)).as(sumAlias(c))): _*)
+
+  /** Full per-group aggregate INCLUDING min/max — only valid over a
+    * COMPLETE visible relation (first build, truncation rebuild), never
+    * over a delta: min/max don't subtract. */
+  private def fullAgg(visible: DataFrame): DataFrame =
+    visible.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sumCols.map(c => sum(col(c)).as(sumAlias(c))) ++ mmAggs: _*)
 
   /** Rebuild the whole state from the RECTANGLE relation (base +
     * tail via the persisted base watermark) — the path that stays
@@ -94,10 +117,7 @@ final class Matview private[graft] (
   private def rebuildFromState(last: Long): Long = {
     val visible = Bitemporal.asOf(log.readAllAuto(spark, payloadCols),
       lit(validAt), lit(sysProbe))
-    val agg = visible.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"),
-        sumCols.map(c => sum(col(c)).as(sumAlias(c))): _*)
-      .withColumn("_bucket", bucketCol)
+    val agg = fullAgg(visible).withColumn("_bucket", bucketCol)
     // temp-write + directory swap (same pattern as the incremental
     // path): a concurrent read() during the rebuild sees either the
     // complete old state or the complete new one, never a partial
@@ -141,7 +161,9 @@ final class Matview private[graft] (
 
     if (w < 0 || !Files.exists(dataDir)) {
       // first build: one full fold, all buckets written once
-      contrib(readTx(files)).withColumn("_bucket", bucketCol)
+      fullAgg(Bitemporal.asOf(Bitemporal.fold(readTx(files), payloadCols),
+          lit(validAt), lit(sysProbe)))
+        .withColumn("_bucket", bucketCol)
         .repartition(col("_bucket"))
         .write.mode("overwrite").partitionBy("_bucket")
         .parquet(dataDir.toString)
@@ -180,16 +202,50 @@ final class Matview private[graft] (
     val s = state.as("s")
     val d = delta.as("d")
     val mkey = col(s"s.$groupCol") <=> col(s"d.$groupCol")
-    val merged = s.join(d, mkey, "full_outer")
+    val countSum = s.join(d, mkey, "full_outer")
       .select(
         coalesce(col(s"s.$groupCol"), col(s"d.$groupCol")).as(groupCol) +:
           (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n") +:
-          sumCols.map { c =>
+          (sumCols.map { c =>
             val a = sumAlias(c)
             (coalesce(col(s"s.$a"), lit(0)) + coalesce(col(s"d.$a"), lit(0))).as(a)
-          } :+
+          } ++
+            // state's min/max ride along for groups in an affected
+            // bucket that this refresh does NOT touch (null for brand
+            // new groups — every new group is touched, so the re-read
+            // below always overwrites it)
+            mmAliases.map(a => col(s"s.$a").as(a))) :+
           coalesce(col("s._bucket"), col("d._bucket")).as("_bucket"): _*)
       .filter(col("n") > 0) // a group whose last row left the view goes away
+    // MIN/MAX fallback (the classic IVM restriction: extremes are not
+    // self-maintainable under deletes/updates): the TOUCHED GROUPS —
+    // and only those — re-read their member rows at the basis and
+    // recompute extremes from scratch. The member read pushes the
+    // group predicate into the base scan (footer min/max pruning);
+    // COUNT/SUM-only views skip all of this, keeping refresh ∝ tail.
+    val merged =
+      if (mmAliases.isEmpty) countSum
+      else {
+        val touchedGroups = delta.select(col(groupCol)).distinct()
+        val visible = Bitemporal.asOf(log.readAllAuto(spark, payloadCols),
+          lit(validAt), lit(sysProbe))
+        val mm = fullAgg(visible.join(touchedGroups,
+            visible(groupCol) <=> touchedGroups(groupCol), "left_semi"))
+          .select(col(groupCol) +: lit(true).as("_mm") +:
+            mmAliases.map(a => col(a).as(s"_r_$a")): _*)
+        val mrg = countSum.as("m").join(mm.as("r"),
+          col(s"m.$groupCol") <=> col(s"r.$groupCol"), "left")
+        mrg.select(
+          col(s"m.$groupCol").as(groupCol) +: col("m.n").as("n") +:
+            (sumCols.map(c => col(s"m.${sumAlias(c)}").as(sumAlias(c))) ++
+              // the _mm flag (not coalesce) decides: a touched group
+              // whose recomputed extreme is legitimately NULL (all
+              // values null) must not fall back to the stale state
+              mmAliases.map(a =>
+                when(col("_mm") === true, col(s"_r_$a"))
+                  .otherwise(col(s"m.$a")).as(a))) :+
+            col("m._bucket").as("_bucket"): _*)
+      }
     // temp-write + per-bucket directory swap: untouched buckets keep
     // their files byte for byte
     val tmp = stateRoot.resolve("state_tmp")

@@ -775,4 +775,199 @@ object Similarity {
       .select(col(idCol), col("cell"),
         coalesce(col("_dup"), lit(false)).as("is_dup"))
   }
+
+  // ---- OPQ-style space rotation before the subspace split (Ge et al.,
+  //      "Optimized Product Quantization", CVPR 2013) ----
+
+  /** Per-dimension variances: one pos-exploded, map-side-combined
+    * aggregation (n×d rows shuffled as d partials). */
+  def dimVariances(emb: DataFrame, vCol: String, dim: Int): Array[Double] = {
+    val rows = emb
+      .select(posexplode(col(vCol).cast("array<double>")).as(Seq("_p", "_x")))
+      .groupBy(col("_p")).agg(var_pop(col("_x")).as("_var"))
+      .collect() // d rows
+    val out = new Array[Double](dim)
+    rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    out
+  }
+
+  /** Variance-balanced dimension PERMUTATION — the axis-aligned special
+    * case of OPQ's eigenvalue allocation: rank dimensions by variance
+    * (descending, ties to the lower index) and snake-deal the ranks
+    * across the m subspaces, so no subspace hoards the high-variance
+    * axes the way the natural order does on PCA-like or sorted
+    * embeddings. Closed-form from the rank (deal round r%..., no greedy
+    * state), so a SQL oracle can replay it exactly. Returns `perm`
+    * where new position i reads original dimension `perm(i)`. */
+  def pqSnakePermutation(variances: Array[Double], m: Int): Seq[Int] = {
+    val dim = variances.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val ranked = variances.zipWithIndex
+      .sortBy { case (v, i) => (-v, i) }.map(_._2) // rank -> original dim
+    val perm = new Array[Int](dim)
+    ranked.zipWithIndex.foreach { case (origDim, r) =>
+      val round = r / m
+      val idx = r % m
+      val subspace = if (round % 2 == 0) idx else m - 1 - idx // snake
+      perm(subspace * subDim + round) = origDim
+    }
+    perm.toSeq
+  }
+
+  /** Apply a dimension permutation as a pure Column expression. */
+  def permute(df: DataFrame, vCol: String, perm: Seq[Int],
+              out: String): DataFrame =
+    df.withColumn(out,
+      array(perm.map(i => element_at(col(vCol), i + 1)): _*))
+
+  /** OPQ non-parametric init rotation: eigendecompose the data
+    * covariance (one distributed pass via RowMatrix.computeCovariance —
+    * a d×d driver matrix, fine to d ≈ thousands) and allocate the
+    * eigenvectors to the m subspaces balancing Σ log λ (the OPQ paper's
+    * balanced-variance-product criterion), greedily into the emptiest
+    * bucket. Deterministic: eigenpairs ordered by (−λ, index), greedy
+    * ties to the lower bucket. Rows of the returned matrix are the
+    * rotated basis in subspace order: rotated_i = R(i) · v. The
+    * rotation is orthogonal, so distances — and therefore ADC — are
+    * exact in the rotated space; only the subspace INDEPENDENCE
+    * assumption improves. */
+  def opqRotation(emb: DataFrame, vCol: String, dim: Int,
+                  m: Int): Array[Array[Double]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    import org.apache.spark.mllib.linalg.Vectors
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rm = new RowMatrix(
+      emb.select(col(vCol).cast("array<double>")).rdd
+        .map(r => Vectors.dense(r.getSeq[Double](0).toArray)))
+    val cov = rm.computeCovariance()
+    val es = breeze.linalg.eigSym(
+      new breeze.linalg.DenseMatrix(dim, dim, cov.toArray))
+    // eigenpairs descending by eigenvalue
+    val order = (0 until dim)
+      .sortBy(i => (-es.eigenvalues(i), i))
+    // greedy Σ log λ balance into m buckets of subDim slots
+    val sums = new Array[Double](m)
+    val buckets = Array.fill(m)(List.newBuilder[Int])
+    val counts = new Array[Int](m)
+    order.foreach { e =>
+      val b = (0 until m).filter(counts(_) < subDim)
+        .minBy(i => (sums(i), i))
+      buckets(b) += e
+      counts(b) += 1
+      sums(b) += math.log(math.max(es.eigenvalues(e), 1e-12))
+    }
+    buckets.flatMap(_.result()).map { e =>
+      Array.tabulate(dim)(j => es.eigenvectors(j, e))
+    }
+  }
+
+  /** Rotation as a Column: d codegen'd dot products against literal
+    * basis rows. */
+  def rotateCol(c: Column, rot: Array[Array[Double]]): Column =
+    array(rot.map(r =>
+      dot(c.cast("array<double>"), typedlit(r.toSeq))).toIndexedSeq: _*)
+
+  /** Apply a rotation matrix (rows = new basis) as Column expressions:
+    * d codegen'd dot products per row against literal basis vectors. */
+  def rotate(df: DataFrame, vCol: String, rot: Array[Array[Double]],
+             out: String): DataFrame =
+    df.withColumn(out, rotateCol(col(vCol), rot))
+
+  /** Σ y·xᵀ over (x, y) vector pairs — the d×d Procrustes cross-matrix,
+    * one distributed treeAggregate pass (a d×d accumulator per
+    * partition, like RowMatrix.computeCovariance). */
+  private def sumOuter(xy: DataFrame, dim: Int)
+      : breeze.linalg.DenseMatrix[Double] = {
+    xy.rdd.treeAggregate(breeze.linalg.DenseMatrix.zeros[Double](dim, dim))(
+      (acc, row) => {
+        val x = row.getSeq[Double](0)
+        val y = row.getSeq[Double](1)
+        var i = 0
+        while (i < dim) {
+          var j = 0
+          while (j < dim) { acc(i, j) += y(i) * x(j); j += 1 }
+          i += 1
+        }
+        acc
+      },
+      _ + _)
+  }
+
+  /** FULL OPQ (the parametric alternation of Ge et al. §4): start from
+    * the eigen-allocation rotation, then alternate
+    *   (1) Lloyd's PQ codebook in the rotated space,
+    *   (2) the optimal orthogonal rotation for that codebook — the
+    *       Procrustes solution R = U·Vᵀ of Σ y·xᵀ = U·S·Vᵀ, where y is
+    *       each vector's CODEWORD RECONSTRUCTION.
+    * Each alternation is two distributed passes (encode+decode, then
+    * the d×d cross-matrix) plus a driver-side d×d SVD. Deterministic:
+    * seeded init, fixed iteration counts, no RNG. Returns (rotation,
+    * codebook-in-rotated-space); encode/search must apply the rotation
+    * to vectors and queries alike ([[rotateCol]]). */
+  def opqTrain(emb: DataFrame, idCol: String, vCol: String, dim: Int,
+               m: Int, k: Int, subDim: Int, lloydIters: Int,
+               opqIters: Int,
+               initRot: Option[Array[Array[Double]]] = None)
+      : (Array[Array[Double]], DataFrame) = {
+    var rot = initRot.getOrElse(opqRotation(emb, vCol, dim, m))
+    var cb: DataFrame = null
+    val x = emb.select(col(idCol),
+      col(vCol).cast("array<double>").as("_x"))
+    for (t <- 0 until opqIters) {
+      val w = x.withColumn("_w", rotateCol(col("_x"), rot))
+      // carry the codebook across alternations (monotone total error):
+      // only the FIRST round starts from the hash-sampled init
+      cb = (if (cb == null) pqTrain(w, idCol, "_w", m, k, subDim, lloydIters)
+            else pqTrain(w, idCol, "_w", m, k, subDim, lloydIters, cb))
+        .localCheckpoint()
+      if (t < opqIters - 1) {
+        val recon = pqEncode(w, idCol, "_w", cb, subDim)
+          .join(broadcast(cb.withColumnRenamed("c", "code")), Seq("j", "code"))
+          .groupBy(col(idCol))
+          .agg(array_sort(collect_list(struct(col("j"), col("w")))).as("_l"))
+          .select(col(idCol),
+            flatten(transform(col("_l"), s => s.getField("w"))).as("_y"))
+        val a = sumOuter(x.join(recon, idCol).select(col("_x"), col("_y")), dim)
+        val svd = breeze.linalg.svd(a)
+        val r = svd.U * svd.Vt
+        rot = Array.tabulate(dim)(i => Array.tabulate(dim)(j => r(i, j)))
+      }
+    }
+    (rot, cb)
+  }
+
+  /** [[ivfPqResidualTopK]] with an OPQ rotation on the RESIDUAL space:
+    * codes were trained on rotated residuals, so the query side rotates
+    * its per-cell residual (q − centroid) with the same matrix before
+    * building the distance table. The rotation is orthogonal —
+    * ‖R(q−c) − R(v−c)‖ = ‖(q−c) − (v−c)‖ — so ADC stays exact in the
+    * rotated space and cell selection is untouched. */
+  def ivfPqOpqResidualTopK(codes: DataFrame, idCol: String,
+                           queryVec: DataFrame, qCol: String, topK: Int,
+                           nProbe: Int, centroids: DataFrame,
+                           codebook: DataFrame, subDim: Int,
+                           rot: Array[Array[Double]]): DataFrame = {
+    val qv = materializeSingleRow(queryVec, "ivfPqOpqResidualTopK")
+    val probes = qv.crossJoin(broadcast(centroids))
+      .withColumn("_ccos", cosine(col(qCol), col("_cv")))
+      .orderBy(col("_ccos").desc, col("_cid"))
+      .limit(nProbe)
+      .select(col("_cid").as("cell"),
+        rotateCol(zip_with(col(qCol), col("_cv"), (a, b) => a - b), rot)
+          .as("_qr"))
+    val dt = probes.crossJoin(codebook)
+      .withColumn("_sq", slice(col("_qr"), col("j") * subDim + 1, lit(subDim)))
+      .select(col("cell"), col("j"), col("c").as("code"),
+        dist2(col("_sq"), col("w")).as("_dj"))
+    codes.join(broadcast(dt), Seq("cell", "j", "code"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("j"), col("_dj")))).as("_ds"))
+      .withColumn("adist",
+        aggregate(col("_ds"), lit(0.0), (acc, x) => acc + x.getField("_dj")))
+      .select(col(idCol), col("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(topK)
+  }
 }

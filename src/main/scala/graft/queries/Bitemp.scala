@@ -95,6 +95,45 @@ object Bitemp {
         .orderBy("grp")
     }),
 
+    // matview with MIN/MAX (r7): extremes are NOT self-maintainable —
+    // the delete below removes many groups' maxima, so the refresh must
+    // exercise the documented fallback (touched groups re-read their
+    // members at the basis); untouched groups keep stored extremes.
+    // COUNT/SUM stay incremental alongside
+    "q149_matview_minmax" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvmm_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      val t = new GraftTable(s, tmp, Seq("grp", "bal"))
+      def ts(x: String) = java.sql.Timestamp.valueOf(x)
+      val cust = T(s, dir, "customer").select($"c_custkey".as("id"),
+        $"c_nationkey".cast("string").as("g"),
+        $"c_acctbal".cast("decimal(12,2)").as("m"))
+      val mv = t.matview("mm_nation", "grp", Seq("bal"),
+        ts("2030-01-01 00:00:00"), nBuckets = 16,
+        minCols = Seq("bal"), maxCols = Seq("bal"))
+      t.put(cust, $"id", lit("2000-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "bal" -> $"m"), ts("2020-01-01 00:00:00"))
+      mv.refresh()
+      // raise every 11th account by 250, then delete every 7th — both
+      // land on the SECOND refresh, deleting group extremes en masse
+      t.put(cust.filter($"id" % 11 === 0)
+          .withColumn("m2", ($"m" + 250).cast("decimal(12,2)")),
+        $"id", lit("2000-06-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "bal" -> $"m2"), ts("2020-01-02 00:00:00"))
+      t.delete(cust.filter($"id" % 7 === 0), $"id",
+        lit("2000-01-01").cast("timestamp"), None,
+        Seq("grp" -> lit(null).cast("string"),
+          "bal" -> lit(null).cast("decimal(12,2)")),
+        ts("2020-01-03 00:00:00"))
+      mv.refresh()
+      mv.read()
+        .select($"grp", $"n",
+          $"min_bal".cast("double").as("min_bal"),
+          $"max_bal".cast("double").as("max_bal"))
+        .orderBy("grp")
+    }),
+
     // valid-time temporal join (SQL:2011 shape): order "activity"
     // intervals [orderdate, +60d) joined with lineitem shipping
     // intervals [shipdate, receiptdate) on the order key — overlap
@@ -534,6 +573,19 @@ object Bitemp {
               FROM c WHERE k % 13 <> 0)
       SELECT grp, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(bal) AS DOUBLE) AS sum_bal
+      FROM eff GROUP BY grp ORDER BY grp""",
+
+    // from-scratch recompute of the min/max view's final state
+    "q149_matview_minmax" -> """
+      WITH c AS (SELECT c_custkey AS k, CAST(c_nationkey AS VARCHAR) AS grp,
+                        CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+                 FROM customer),
+      eff AS (SELECT grp,
+                     CASE WHEN k % 11 = 0 THEN bal + 250 ELSE bal END AS bal
+              FROM c WHERE k % 7 <> 0)
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(min(bal) AS DOUBLE) AS min_bal,
+             CAST(max(bal) AS DOUBLE) AS max_bal
       FROM eff GROUP BY grp ORDER BY grp""",
 
     // same algebra as q85 minus the erase: update-then-delete over the

@@ -281,6 +281,49 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.entity(999999L).isEmpty)
   }
 
+  test("entity metadata cache is LRU-bounded; pruning unchanged under eviction") {
+    // the 100x watch item: a table's base file count is unbounded over
+    // its life, so the per-file _id range cache must not grow with it.
+    // Cap the cache far below the table's file count and prove point
+    // reads still prune exactly — eviction costs a footer re-read,
+    // never correctness.
+    val dir = java.nio.file.Files.createTempDirectory("graft_lru").toString
+    spark.conf.set("spark.graft.entity.metaCacheSize", "2")
+    try {
+      val t = new GraftTable(spark, dir, Seq("price"))
+      val rows = spark.range(4000).select($"id", ($"id" * 1.0).as("price"))
+      t.put(rows, $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("price" -> $"price"), ts("2024-01-01 00:00:00"))
+      val keys = Seq("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+      val old = keys.map(k => k -> spark.conf.getOption(k))
+      keys.foreach(spark.conf.set(_, "4096"))
+      try t.compact()
+      finally old.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      val baseFiles = new java.io.File(s"$dir/base").listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles())
+        .filter(_.getName.endsWith(".parquet"))
+      assert(baseFiles.length > 2,
+        s"need more base files than the cache cap, got ${baseFiles.length}")
+
+      // sweep point reads across the id range: every read prunes and
+      // answers correctly while the cache NEVER exceeds its cap
+      Seq(10L, 1500L, 2500L, 3900L, 10L, 3000L).foreach { id =>
+        val opened = t.entityScanFiles(id)
+        assert(opened.nonEmpty && opened.size < baseFiles.length,
+          s"no pruning for id $id: ${opened.size} of ${baseFiles.length}")
+        assert(t.entity(id).map(_.getAs[Double]("price")) == Some(id * 1.0))
+        assert(t.idRangeCacheSize <= 2,
+          s"cache grew past cap: ${t.idRangeCacheSize}")
+      }
+      // absent id: still exact (no stale pruning ranges survive eviction)
+      assert(t.entityScanFiles(999999L).isEmpty)
+    } finally spark.conf.unset("spark.graft.entity.metaCacheSize")
+  }
+
   test("incremental compaction rewrites ONLY affected _sys_date partitions") {
     import graft.bitemporal.{TxLog, TxOps}
     val dir = java.nio.file.Files.createTempDirectory("graft_partcompact").toString

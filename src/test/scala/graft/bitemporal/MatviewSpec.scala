@@ -92,6 +92,78 @@ class MatviewSpec extends AnyFunSuite {
     assert(viewState(mv) == before)
   }
 
+  test("MIN/MAX parity through put / update / group-move / delete / erase") {
+    // extremes are NOT self-maintainable: deleting the max forces the
+    // group re-read fallback — exactly the cases exercised here
+    val (t, _) = freshTable()
+    val mv = t.matview("mm_grp", "grp", Seq("amt"), validAt, nBuckets = 8,
+      minCols = Seq("amt"), maxCols = Seq("amt"))
+
+    def recomputeMm(): Map[String, (java.math.BigDecimal, java.math.BigDecimal)] =
+      Bitemporal.asOf(t.rectangles(), lit(validAt), lit(ts("9998-01-01 00:00:00")))
+        .groupBy($"grp").agg(min($"amt").as("mn"), max($"amt").as("mx"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getDecimal(1), r.getDecimal(2))).toMap
+    def viewMm(): Map[String, (java.math.BigDecimal, java.math.BigDecimal)] =
+      mv.read().collect()
+        .map(r => (r.getString(r.fieldIndex("grp")),
+          (r.getDecimal(r.fieldIndex("min_amt")),
+            r.getDecimal(r.fieldIndex("max_amt"))))).toMap
+    def assertMmParity(): Unit = {
+      val want = recomputeMm(); val got = viewMm()
+      assert(got.keySet == want.keySet, s"groups: $got vs $want")
+      want.foreach { case (g, (mn, mx)) =>
+        val (gmn, gmx) = got(g)
+        assert(gmn.compareTo(mn) == 0, s"group $g min: $gmn != $mn")
+        assert(gmx.compareTo(mx) == 0, s"group $g max: $gmx != $mx")
+      }
+    }
+
+    // tx1: a {10, 20, 30}; b {5}; c {7}
+    t.put(Seq((1L, "a", "10.00"), (2L, "a", "20.00"), (5L, "a", "30.00"),
+        (3L, "b", "5.50"), (4L, "c", "7.25")).toDF("id", "g", "m"),
+      $"id", lit("2020-01-01").cast("timestamp"), None,
+      Seq("grp" -> $"g", "amt" -> $"m".cast("decimal(12,2)")),
+      ts("2024-01-01 00:00:00"))
+    mv.refresh()
+    assertMmParity()
+    assertParity(mv, t) // count/sum still exact alongside
+
+    // tx2: DELETE the max of a (id 5, 30.00) — pure re-read territory;
+    // move b's only member to c (b disappears, c's min drops)
+    t.delete(Seq(5L).toDF("id"), $"id", lit("2020-01-01").cast("timestamp"),
+      None, Seq("grp" -> lit(null).cast("string"),
+        "amt" -> lit(null).cast("decimal(12,2)")),
+      ts("2024-01-02 00:00:00"))
+    t.put(Seq((3L, "c", "6.00")).toDF("id", "g", "m"),
+      $"id", lit("2020-06-01").cast("timestamp"), None,
+      Seq("grp" -> $"g", "amt" -> $"m".cast("decimal(12,2)")),
+      ts("2024-01-03 00:00:00"))
+    mv.refresh()
+    assertMmParity()
+    assert(viewMm()("a")._2.compareTo(new java.math.BigDecimal("20.00")) == 0,
+      "deleting the max must surface the runner-up")
+    assert(!viewMm().contains("b"))
+
+    // tx3: update a's min downward; erase c's id 4 (c's max falls to 6)
+    t.put(Seq((1L, "a", "1.00")).toDF("id", "g", "m"),
+      $"id", lit("2020-06-01").cast("timestamp"), None,
+      Seq("grp" -> $"g", "amt" -> $"m".cast("decimal(12,2)")),
+      ts("2024-01-04 00:00:00"))
+    t.erase(Seq(4L).toDF("id"), $"id",
+      Seq("grp" -> lit(null).cast("string"),
+        "amt" -> lit(null).cast("decimal(12,2)")),
+      ts("2024-01-05 00:00:00"))
+    mv.refresh()
+    assertMmParity()
+    assertParity(mv, t)
+
+    // idle refresh leaves extremes intact
+    val before = viewMm()
+    mv.refresh()
+    assert(viewMm() == before)
+  }
+
   test("refresh rewrites only the buckets of changed groups") {
     val (t, dir) = freshTable()
     // many groups spread over many buckets

@@ -233,4 +233,156 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assigned.unpersist(); res.unpersist(); cbR.unpersist()
     codesR.unpersist(); cb.unpersist(); codes.unpersist()
   }
+
+  // ---- OPQ (r7): learned rotation before the subspace split ---------
+
+  /** Anisotropic twin of the corpus: v' = Q·D·v with Q a seeded random
+    * orthogonal matrix and D a decaying diagonal (condition ~20) — the
+    * regime real embeddings live in and the one OPQ exists for. On the
+    * ISOTROPIC corpus above, within-cluster noise is rotation-invariant
+    * by construction, so NO rotation can improve the codes (measured:
+    * OPQ lowers total quantization error 1024 -> 544 yet recall stays
+    * ~0.8 — the error reduction is all in between-cluster directions).
+    */
+  private lazy val anisoMap: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(11)
+    val g = breeze.linalg.DenseMatrix.fill(dim, dim)(rnd.nextGaussian())
+    val q = breeze.linalg.qr(g).q
+    val d = breeze.linalg.diag(breeze.linalg.DenseVector.tabulate(dim)(i =>
+      math.pow(0.82, i)))
+    val a = q * d
+    Array.tabulate(dim)(i => Array.tabulate(dim)(j => a(i, j)))
+  }
+
+  private def mapVec(q: Seq[Double]): Seq[Double] =
+    anisoMap.map(row => row.zip(q).map { case (a, b) => a * b }.sum).toSeq
+
+  private lazy val anisoCorpus = {
+    import spark.implicits._
+    corpus.collect().map(r =>
+      (r.getLong(0), mapVec(r.getSeq[Double](1)))).toSeq
+      .toDF("id", "v").cache()
+  }
+  private lazy val anisoQueries: Seq[Seq[Double]] = queries.map(mapVec)
+  private lazy val anisoTruths: Seq[Set[Long]] = anisoQueries.map { q =>
+    ids(Similarity.bruteForceTopK(anisoCorpus, "v", qDf(q), "qv", k10))
+  }
+  private def anisoAvgRecall(f: Seq[Double] => DataFrame): Double =
+    anisoQueries.zip(anisoTruths).map { case (q, t) => recall(ids(f(q)), t) }
+      .sum / anisoQueries.size
+
+  test("OPQ alternation monotonically reduces quantization error") {
+    // the implementation invariant that holds on ANY corpus: each
+    // Lloyd's step and each Procrustes rotation step lowers (never
+    // raises) total squared reconstruction error
+    val m = 4; val kCodes = 16; val subDim = dim / m
+    val eye = Array.tabulate(dim)(i =>
+      Array.tabulate(dim)(j => if (i == j) 1.0 else 0.0))
+    def qerr(rot: Array[Array[Double]], cb: DataFrame): Double = {
+      val w = Similarity.rotate(corpus, "v", rot, "_w")
+        .select(col("id"), col("_w"))
+      val recon = Similarity.pqEncode(w, "id", "_w", cb, subDim)
+        .join(broadcast(cb.withColumnRenamed("c", "code")), Seq("j", "code"))
+        .groupBy(col("id"))
+        .agg(array_sort(collect_list(struct(col("j"), col("w")))).as("_l"))
+        .select(col("id"),
+          flatten(transform(col("_l"), x => x.getField("w"))).as("_y"))
+      w.join(recon, "id")
+        .select(aggregate(zip_with(col("_w"), col("_y"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("e"))
+        .agg(sum(col("e"))).collect()(0).getDouble(0)
+    }
+    val errs = (1 to 3).map { it =>
+      val (rot, cb) = Similarity.opqTrain(corpus, "id", "v", dim, m, kCodes,
+        subDim, lloydIters = 2, opqIters = it, initRot = Some(eye))
+      qerr(rot, cb)
+    }
+    info(f"qerr by opqIters: ${errs.map(e => f"$e%.1f").mkString(" -> ")}")
+    assert(errs.sliding(2).forall { case Seq(a, b) => b <= a + 1e-6 },
+      s"alternation raised quantization error: $errs")
+  }
+
+  test("OPQ raw-ADC beats plain PQ on anisotropic embeddings (same budget)") {
+    // q111's budget (m=4, k=16): on correlated dims the axis-aligned
+    // split wastes codewords; the learned rotation recovers a large
+    // fraction of the loss (measured 0.64 plain -> 0.77 OPQ). The
+    // floors hold margin; the >= plain + 0.05 delta is the mechanism
+    // claim itself.
+    val m = 4; val kCodes = 16; val subDim = dim / m
+    val cbPlain = Similarity.pqTrain(anisoCorpus, "id", "v", m, kCodes,
+      subDim, iters = 3).cache()
+    val rPlain = anisoAvgRecall { q =>
+      Similarity.pqAdcTopK(anisoCorpus, "id", "v", qDf(q), "qv", k10,
+        cbPlain, subDim)
+    }
+    val (rot, cbOpq) = Similarity.opqTrain(anisoCorpus, "id", "v", dim,
+      m, kCodes, subDim, lloydIters = 4, opqIters = 2)
+    val rotated = Similarity.rotate(anisoCorpus, "v", rot, "_w")
+      .select(col("id"), col("_w")).cache()
+    def rotQ(q: Seq[Double]): Seq[Double] =
+      rot.map(row => row.zip(q).map { case (a, b) => a * b }.sum).toSeq
+    val rOpq = anisoAvgRecall { q =>
+      Similarity.pqAdcTopK(rotated, "id", "_w", qDf(rotQ(q)), "qv",
+        k10, cbOpq, subDim)
+    }
+    info(f"anisotropic raw-ADC recall@10: plain = $rPlain%.3f, opq = $rOpq%.3f")
+    assert(rOpq >= 0.70, f"OPQ raw-ADC $rOpq%.3f below floor")
+    assert(rOpq >= rPlain + 0.05,
+      f"OPQ ($rOpq%.3f) must beat plain ($rPlain%.3f) on correlated dims")
+    cbPlain.unpersist(); rotated.unpersist()
+  }
+
+  test("residual raw-ADC recall@10 >= 0.85 at the 16-bit code budget") {
+    // the r6 polish target (raw-ADC 0.80 -> >= 0.85, identical budget),
+    // reached by SPENDING THE SAME BITS BETTER, measured on both corpus
+    // geometries:
+    //  - isotropic fixture: reslice m=4,k=16 (4 bits x 4 subspaces) to
+    //    m=2,k=256 (8 bits x 2) — same 16 bits/vector, finer codewords
+    //    where the isotropic noise needs them (0.800 -> 0.870). No
+    //    rotation can help here: within-cell residual noise is
+    //    rotation-invariant by construction (OPQ measured flat-to-worse
+    //    while still LOWERING quantization error — MSE is not ranking).
+    //  - anisotropic corpus (the realistic geometry): residual coding
+    //    alone already clears the floor at m=4,k=16 (measured 0.880).
+    // Guidance this test locks in: budget goes residual-first, then
+    // subspace slicing, then OPQ (which wins only on correlated dims —
+    // previous test).
+    val cents = Similarity.ivfTrain(corpus, "id", "v",
+      nCentroids = nClusters, dim = dim, iters = 3,
+      idStride = perCluster.toLong)
+    val assigned = Similarity.ivfAssign(corpus, "id", "v", cents).cache()
+    val res = Similarity.ivfResiduals(assigned, "v", cents).cache()
+    val m2 = 2; val k256 = 256; val sd2 = dim / m2
+    val cb2 = Similarity.pqTrain(res, "id", "_rv", m2, k256, sd2,
+      iters = 3).cache()
+    val codes2 = Similarity.pqEncode(res, "id", "_rv", cb2, sd2)
+      .join(res.select(col("id"), col("cell")), "id").cache()
+    val rIso = avgRecall { q =>
+      Similarity.ivfPqResidualTopK(codes2, "id", qDf(q), "qv", k10,
+        nProbe = 4, cents, cb2, sd2)
+    }
+
+    val m4 = 4; val k16 = 16; val sd4 = dim / m4
+    val centsA = Similarity.ivfTrain(anisoCorpus, "id", "v",
+      nCentroids = nClusters, dim = dim, iters = 3,
+      idStride = perCluster.toLong)
+    val assignedA = Similarity.ivfAssign(anisoCorpus, "id", "v", centsA)
+      .cache()
+    val resA = Similarity.ivfResiduals(assignedA, "v", centsA).cache()
+    val cbA = Similarity.pqTrain(resA, "id", "_rv", m4, k16, sd4,
+      iters = 3).cache()
+    val codesA = Similarity.pqEncode(resA, "id", "_rv", cbA, sd4)
+      .join(resA.select(col("id"), col("cell")), "id").cache()
+    val rAniso = anisoAvgRecall { q =>
+      Similarity.ivfPqResidualTopK(codesA, "id", qDf(q), "qv", k10,
+        nProbe = 4, centsA, cbA, sd4)
+    }
+    info(f"residual raw-ADC recall@10 at 16 bits: " +
+      f"iso m=2/k=256 = $rIso%.3f, aniso m=4/k=16 = $rAniso%.3f")
+    assert(rIso >= 0.85, f"resliced residual raw-ADC $rIso%.3f below 0.85")
+    assert(rAniso >= 0.85, f"aniso residual raw-ADC $rAniso%.3f below 0.85")
+    assigned.unpersist(); res.unpersist(); cb2.unpersist()
+    codes2.unpersist(); assignedA.unpersist(); resA.unpersist()
+    cbA.unpersist(); codesA.unpersist()
+  }
 }
