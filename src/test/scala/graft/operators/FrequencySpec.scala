@@ -50,4 +50,23 @@ class FrequencySpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == Set(("a", 3L)))
   }
+
+  test("plan shape: native aggregate, no encoder round-trip, no distinct") {
+    // the r7 rewrite claim, asserted mechanically: the candidate pass
+    // is a TypedImperativeAggregate — data rows stay in Tungsten format
+    // end to end (no Deserialize/SerializeFromObject), and no
+    // candidate-distinct exchange exists (the only shuffled candidate
+    // data is sketch-sized aggregate partials)
+    val words = spark.range(2000)
+      .select(concat(lit("w"), $"id" % 10).as("word")).localCheckpoint()
+    val hh = Frequency.heavyHitters(words, "word",
+      sketchSize = 16, minCount = 10)
+    hh.collect()
+    val plan = hh.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") &&
+      !plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"),
+      s"encoder round-trip in plan:\n$plan")
+    assert(plan.contains("misra_gries"), s"native aggregate missing:\n$plan")
+  }
 }
