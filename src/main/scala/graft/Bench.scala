@@ -47,9 +47,15 @@ object Bench {
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_GC=1: force a full GC between queries — isolates the
+    // suite-context inflation mechanism (heap pressure from 170 queries
+    // sharing one JVM) from per-query cost; see BASELINE.md "driver
+    // capture vs solo runs"
+    val gcBetween = sys.env.get("SPARK_GRAFT_GC").contains("1")
     val results: Seq[(String, R)] =
       SparkEntry.queries.toSeq.sortBy(_._1).filter(e => keep(e._1)).map {
         case (name, fn) =>
+          if (gcBetween) { spark.catalog.clearCache(); System.gc() }
           val r =
             try {
               val cold = time(run(fn(spark, sfDir)))
