@@ -1,6 +1,6 @@
 package graft.server
 
-import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException, InputStream, OutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException}
 import java.net.{ServerSocket, Socket, SocketException}
 import java.nio.charset.StandardCharsets.UTF_8
 
@@ -22,13 +22,18 @@ import graft.bitemporal.SqlText
   * [[GraftSqlParser]].
   *
   * Scope (documented, not hidden):
-  *   - Simple query protocol only. Extended-protocol messages
-  *     (Parse/Bind/Execute) get a clean `ErrorResponse` naming the
-  *     limitation, and the connection stays usable — clients that can
-  *     fall back to simple mode (psql always, JDBC with
-  *     `preferQueryMode=simple`) work.
-  *   - Text result format only (format code 0) — the protocol's
-  *     baseline every client supports.
+  *   - Simple query protocol AND the extended protocol's standard flow
+  *     (Parse/Bind/Describe/Execute/Close/Sync/Flush — what stock JDBC
+  *     sends). Parameters arrive in text format and are spliced as
+  *     escaped SQL literals at Bind ($n outside masked spans); graft
+  *     DML is described as its tx_id relation WITHOUT planning (DML
+  *     executes at parse time by design) and runs once, at Execute.
+  *     Not implemented: portal suspension (a maxRows limit completes
+  *     the portal via a plan-level LIMIT instead) and the function
+  *     call ('F') protocol.
+  *   - Text parameter and result format only (format code 0) — the
+  *     protocol's baseline every client supports; binary is rejected
+  *     with a clear error.
   *   - Auth is trust-mode (AuthenticationOk to any startup); binding
   *     beyond 127.0.0.1 is a deployment decision, as with
   *     [[GraftHttpApi]].
@@ -141,8 +146,19 @@ object GraftPgWire {
     true
   }
 
+  /** Per-connection extended-protocol state: prepared statements (name
+    * → SQL with $n placeholders) and portals (name → SQL with params
+    * substituted). */
+  private final class ConnState {
+    val statements = scala.collection.mutable.Map.empty[String, String]
+    val portals = scala.collection.mutable.Map.empty[String, String]
+    var errored = false // inside an extended batch after an error: skip
+                        // everything except Sync, per protocol
+  }
+
   private def queryLoop(spark: SparkSession, in: DataInputStream,
                         out: DataOutputStream): Unit = {
+    val st = new ConnState
     while (true) {
       val tpe = in.read()
       if (tpe < 0) return // EOF
@@ -150,40 +166,223 @@ object GraftPgWire {
       require(len >= 4 && len < (1 << 30), s"pgwire: bad message length $len")
       val body = new Array[Byte](len - 4)
       in.readFully(body)
-      tpe.toChar match {
+      val c = tpe.toChar
+      if (st.errored && c != 'S' && c != 'X' && c != 'Q') {
+        // error state: discard until Sync
+      } else c match {
         case 'Q' =>
+          st.errored = false
           val sql = cString(body)
           runSimpleQuery(spark, out, sql)
           readyForQuery(out)
         case 'X' => return // Terminate
-        case 'S' => readyForQuery(out) // stray Sync — stay usable
-        case 'P' | 'B' | 'D' | 'E' | 'C' | 'F' | 'H' =>
-          sendError(out, "0A000",
-            "graft pgwire speaks the simple query protocol only — " +
-              "use psql, or a driver in simple-query mode " +
-              "(e.g. JDBC preferQueryMode=simple)")
-          // swallow the rest of the extended-protocol batch up to Sync,
-          // then ReadyForQuery so the client can recover
-          drainToSync(in)
+        case 'S' => // Sync: end of extended batch
+          st.errored = false
           readyForQuery(out)
+        case 'P' => extended(st, out) { parse(st, out, body) }
+        case 'B' => extended(st, out) { bind(st, out, body) }
+        case 'D' => extended(st, out) { describe(spark, st, out, body) }
+        case 'E' => extended(st, out) { execute(spark, st, out, body) }
+        case 'C' => extended(st, out) { closeMsg(st, out, body) }
+        case 'H' => out.flush() // Flush
+        case 'F' =>
+          sendError(out, "0A000", "function call protocol not supported")
+          st.errored = true
         case other =>
           sendError(out, "08P01", s"unexpected message type '$other'")
-          readyForQuery(out)
+          st.errored = true
       }
       out.flush()
     }
   }
 
-  private def drainToSync(in: DataInputStream): Unit = {
-    var done = false
-    while (!done) {
-      val tpe = in.read()
-      if (tpe < 0) throw new EOFException
-      val len = in.readInt()
-      val body = new Array[Byte](len - 4)
-      in.readFully(body)
-      if (tpe.toChar == 'S') done = true
+  /** Run one extended-protocol action; on failure send ErrorResponse
+    * and enter the skip-until-Sync error state. */
+  private def extended(st: ConnState, out: DataOutputStream)
+                      (body: => Unit): Unit =
+    try body
+    catch {
+      case e: Throwable =>
+        sendError(out, sqlState(e), errMessage(e))
+        st.errored = true
     }
+
+  // ---- extended protocol ---------------------------------------------
+
+  /** Parse: store the statement text; parameter type oids are accepted
+    * and ignored (parameters arrive in text format and are spliced as
+    * SQL literals at Bind). The SQL itself is NOT planned here —
+    * planning at Parse would EXECUTE graft DML (which runs at parse
+    * time by design), and Describe/Execute handle both cases lazily. */
+  private def parse(st: ConnState, out: DataOutputStream,
+                    body: Array[Byte]): Unit = {
+    val in = new DataInputStream(new ByteArrayInputStream(body))
+    val name = readCString(in)
+    val sql = readCString(in)
+    val nTypes = in.readShort()
+    (0 until nTypes.toInt).foreach(_ => in.readInt()) // declared oids
+    st.statements(name) = sql
+    send(out, '1', _ => ()) // ParseComplete
+  }
+
+  /** Bind: substitute text-format parameter values for $1..$n (outside
+    * masked spans) and store the portal. Binary parameter format is
+    * rejected loudly — text covers every JDBC/psql default. */
+  private def bind(st: ConnState, out: DataOutputStream,
+                   body: Array[Byte]): Unit = {
+    val in = new DataInputStream(new ByteArrayInputStream(body))
+    val portal = readCString(in)
+    val stmt = readCString(in)
+    val sql = st.statements.getOrElse(stmt,
+      throw new IllegalArgumentException(s"unknown prepared statement '$stmt'"))
+    val nFmt = in.readShort()
+    val fmts = (0 until nFmt.toInt).map(_ => in.readShort())
+    require(fmts.forall(_ == 0),
+      "binary parameter format not supported — send parameters in text format")
+    val nParams = in.readShort()
+    val params: Seq[Option[String]] = (0 until nParams.toInt).map { _ =>
+      val plen = in.readInt()
+      if (plen == -1) None
+      else {
+        val b = new Array[Byte](plen); in.readFully(b)
+        Some(new String(b, UTF_8))
+      }
+    }
+    // result format codes — text required
+    val nRes = in.readShort()
+    val res = (0 until nRes.toInt).map(_ => in.readShort())
+    require(res.forall(_ == 0),
+      "binary result format not supported — request text results")
+    st.portals(portal) = substituteParams(sql, params)
+    send(out, '2', _ => ()) // BindComplete
+  }
+
+  /** Splice text parameters as SQL literals: `$n` outside masked spans
+    * becomes a quoted-and-escaped string literal (NULL for null).
+    * Numeric-looking values still work as strings — Spark coerces
+    * literal strings in comparisons/arithmetic like Postgres does. */
+  private[graft] def substituteParams(sql: String,
+                                      params: Seq[Option[String]]): String = {
+    if (params.isEmpty) return sql
+    val spans = SqlText.maskedSpans(sql)
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '$' && !SqlText.masked(spans, i) && i + 1 < sql.length &&
+          sql.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j).isDigit) j += 1
+        val idx = sql.substring(i + 1, j).toInt
+        require(idx >= 1 && idx <= params.length,
+          s"parameter $$$idx out of range (${params.length} bound)")
+        out.append(params(idx - 1) match {
+          case None => "NULL"
+          case Some(v) => "'" + v.replace("'", "''") + "'"
+        })
+        i = j
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Describe statement ('S') or portal ('P'): ParameterDescription
+    * (statements only) + RowDescription. Graft DML is described as its
+    * one-row tx_id relation WITHOUT planning (planning executes DML);
+    * queries analyze lazily (no job runs). */
+  private def describe(spark: SparkSession, st: ConnState,
+                       out: DataOutputStream, body: Array[Byte]): Unit = {
+    val in = new DataInputStream(new ByteArrayInputStream(body))
+    val kind = in.read().toChar
+    val name = readCString(in)
+    val sql = kind match {
+      case 'S' => st.statements.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown prepared statement '$name'"))
+      case 'P' => st.portals.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown portal '$name'"))
+      case other =>
+        throw new IllegalArgumentException(s"bad describe kind '$other'")
+    }
+    // highest $n outside masked spans (0 for a portal — already spliced)
+    val maxP = {
+      val spans = SqlText.maskedSpans(sql)
+      var m = 0
+      var i = 0
+      while (i < sql.length) {
+        if (sql.charAt(i) == '$' && !SqlText.masked(spans, i)) {
+          var j = i + 1
+          while (j < sql.length && sql.charAt(j).isDigit) j += 1
+          if (j > i + 1) m = math.max(m, sql.substring(i + 1, j).toInt)
+          i = j
+        } else i += 1
+      }
+      m
+    }
+    if (kind == 'S') {
+      // ParameterDescription — all text (they are spliced as literals)
+      send(out, 't', b => {
+        b.writeShort(maxP)
+        (0 until maxP).foreach(_ => b.writeInt(25)) // text
+      })
+    }
+    // a parameterized statement analyzes with NULL placeholders — the
+    // row SHAPE is what Describe promises, not parameter-driven types
+    val analyzable =
+      if (maxP == 0) sql
+      else substituteParams(sql, Seq.fill(maxP)(None))
+    if (isDml(sql)) {
+      send(out, 'T', b => { // synthesized tx_id bigint row description
+        b.writeShort(1)
+        writeCString(b, "tx_id")
+        b.writeInt(0); b.writeShort(0); b.writeInt(20)
+        b.writeShort(8); b.writeInt(-1); b.writeShort(0)
+      })
+    } else {
+      val schema = spark.sql(analyzable).schema // analysis only — no job
+      if (schema.isEmpty) send(out, 'n', _ => ()) // NoData
+      else sendRowDescription(out, schema)
+    }
+  }
+
+  private def isDml(sql: String): Boolean =
+    java.util.regex.Pattern
+      .compile("^\\s*(INSERT|UPDATE|DELETE|ERASE)\\b",
+        java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(sql).find()
+
+  /** Execute a portal: DataRows (+ optional row limit) and
+    * CommandComplete — the RowDescription was Describe's job. A
+    * maxRows limit is applied as a plan-level LIMIT and completes the
+    * portal (no PortalSuspended — every mainstream driver re-executes
+    * rather than resumes). */
+  private def execute(spark: SparkSession, st: ConnState,
+                      out: DataOutputStream, body: Array[Byte]): Unit = {
+    val in = new DataInputStream(new ByteArrayInputStream(body))
+    val portal = readCString(in)
+    val maxRows = in.readInt()
+    val sql = st.portals.getOrElse(portal,
+      throw new IllegalArgumentException(s"unknown portal '$portal'"))
+    val df0 = spark.sql(sql) // DML executes here, once
+    val df = if (maxRows > 0) df0.limit(maxRows) else df0
+    if (df.schema.isEmpty) {
+      send(out, 'C', b => writeCString(b, commandTag(sql, 0L)))
+    } else {
+      val n = streamRows(out, df)
+      send(out, 'C', b => writeCString(b, commandTag(sql, n)))
+    }
+  }
+
+  private def closeMsg(st: ConnState, out: DataOutputStream,
+                       body: Array[Byte]): Unit = {
+    val in = new DataInputStream(new ByteArrayInputStream(body))
+    val kind = in.read().toChar
+    val name = readCString(in)
+    kind match {
+      case 'S' => st.statements.remove(name): Unit
+      case 'P' => st.portals.remove(name): Unit
+      case _ =>
+    }
+    send(out, '3', _ => ()) // CloseComplete
   }
 
   // ---- simple query --------------------------------------------------
@@ -369,6 +568,13 @@ object GraftPgWire {
   private def writeCString(out: DataOutputStream, s: String): Unit = {
     out.write(s.getBytes(UTF_8))
     out.writeByte(0)
+  }
+
+  private def readCString(in: DataInputStream): String = {
+    val buf = new ByteArrayOutputStream()
+    var b = in.read()
+    while (b > 0) { buf.write(b); b = in.read() }
+    new String(buf.toByteArray, UTF_8)
   }
 
   private def cString(body: Array[Byte]): String = {

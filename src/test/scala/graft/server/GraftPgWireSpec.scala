@@ -60,17 +60,53 @@ class GraftPgWireSpec extends AnyFunSuite {
       readUntilReady()
     }
 
-    /** Send a raw extended-protocol Parse + Sync (to prove rejection). */
-    def parseSync(): Seq[Msg] = {
-      val stmt = "SELECT 1".getBytes(UTF_8)
-      out.writeByte('P')
-      out.writeInt(4 + 1 + stmt.length + 1 + 2)
-      out.writeByte(0) // unnamed statement
-      out.write(stmt); out.writeByte(0)
-      out.writeShort(0) // no parameter types
-      out.writeByte('S'); out.writeInt(4)
-      out.flush()
-      readUntilReady()
+    // ---- extended protocol client ----
+
+    private def cstr(s: String): Array[Byte] = {
+      val b = s.getBytes(UTF_8); java.util.Arrays.copyOf(b, b.length + 1)
+    }
+    private def msg(tpe: Char, payload: Array[Byte]): Unit = {
+      out.writeByte(tpe); out.writeInt(4 + payload.length); out.write(payload)
+    }
+    def parseMsg(name: String, sql: String): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(b)
+      d.write(cstr(name)); d.write(cstr(sql)); d.writeShort(0)
+      msg('P', b.toByteArray)
+    }
+    def bindMsg(portal: String, stmt: String,
+                params: Seq[Option[String]]): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(b)
+      d.write(cstr(portal)); d.write(cstr(stmt))
+      d.writeShort(0) // param format codes: default text
+      d.writeShort(params.size)
+      params.foreach {
+        case None => d.writeInt(-1)
+        case Some(v) =>
+          val vb = v.getBytes(UTF_8); d.writeInt(vb.length); d.write(vb)
+      }
+      d.writeShort(0) // result formats: default text
+      msg('B', b.toByteArray)
+    }
+    def describeMsg(kind: Char, name: String): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(kind); b.write(cstr(name), 0, name.getBytes(UTF_8).length + 1)
+      msg('D', b.toByteArray)
+    }
+    def executeMsg(portal: String, maxRows: Int): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(b)
+      d.write(cstr(portal)); d.writeInt(maxRows)
+      msg('E', b.toByteArray)
+    }
+    def closeStmtMsg(name: String): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write('S'); b.write(cstr(name), 0, name.getBytes(UTF_8).length + 1)
+      msg('C', b.toByteArray)
+    }
+    def sync(): Seq[Msg] = {
+      msg('S', Array.emptyByteArray); out.flush(); readUntilReady()
     }
 
     def terminate(): Unit = {
@@ -259,9 +295,71 @@ class GraftPgWireSpec extends AnyFunSuite {
       assert(aborted.count(_.tpe == 'T') == 1)
       assert(aborted.exists(_.tpe == 'E'))
 
-      // extended protocol rejected cleanly, connection stays usable
-      val ext = c.parseSync()
-      assert(Wire.errFields(ext.find(_.tpe == 'E').get.body)('C') == "0A000")
+      // ---- extended protocol: the standard JDBC flow ----
+      // Parse named stmt + Describe(S) + Bind + Describe(P) + Execute
+      c.parseMsg("s1", "SELECT _id, bal FROM pgaccts WHERE _id = $1")
+      c.describeMsg('S', "s1")
+      c.bindMsg("", "s1", Seq(Some("1")))
+      c.describeMsg('P', "")
+      c.executeMsg("", 0)
+      val ext = c.sync()
+      assert(ext.exists(_.tpe == '1'), "ParseComplete") // 1
+      assert(ext.exists(_.tpe == '2'), "BindComplete") // 2
+      val pd = ext.find(_.tpe == 't').get // ParameterDescription
+      assert(new DataInputStream(
+        new java.io.ByteArrayInputStream(pd.body)).readShort() == 1)
+      assert(ext.count(_.tpe == 'T') == 2) // Describe S and P
+      assert(Wire.dataRow(ext.find(_.tpe == 'D').get.body) ==
+        Seq(Some("1"), Some("150.0")))
+      assert(Wire.cstr(new DataInputStream(new java.io.ByteArrayInputStream(
+        ext.find(_.tpe == 'C').get.body))) == "SELECT 1")
+
+      // DML through the extended protocol: described WITHOUT executing
+      // (tx_id synthesized), executed EXACTLY ONCE at Execute
+      c.parseMsg("", "UPDATE pgaccts SET bal = bal + 1.0D WHERE _id = 2")
+      c.bindMsg("", "", Nil)
+      c.describeMsg('P', "")
+      c.executeMsg("", 0)
+      val dml = c.sync()
+      assert(Wire.rowDesc(dml.find(_.tpe == 'T').get.body).map(_._1) ==
+        Seq("tx_id"))
+      assert(Wire.cstr(new DataInputStream(new java.io.ByteArrayInputStream(
+        dml.find(_.tpe == 'C').get.body))) == "UPDATE 1")
+      val after2 = c.query("SELECT bal FROM pgaccts WHERE _id = 2")
+      assert(Wire.dataRow(after2.find(_.tpe == 'D').get.body) ==
+        Seq(Some("201.0"))) // exactly +1.0 — described, not double-run
+
+      // maxRows completes the portal with a plan-level LIMIT
+      c.parseMsg("", "SELECT _id FROM pgaccts ORDER BY _id")
+      c.bindMsg("", "", Nil)
+      c.executeMsg("", 1)
+      val lim = c.sync()
+      assert(lim.count(_.tpe == 'D') == 1)
+
+      // NULL parameter and masked-$ safety in one statement
+      c.parseMsg("", "SELECT $1 AS a, '$2 not a param' AS b")
+      c.bindMsg("", "", Seq(None))
+      c.describeMsg('P', "")
+      c.executeMsg("", 0)
+      val nul = c.sync()
+      assert(Wire.dataRow(nul.find(_.tpe == 'D').get.body) ==
+        Seq(None, Some("$2 not a param")))
+
+      // extended-protocol error: unknown portal -> ErrorResponse, then
+      // everything until Sync is skipped and the connection recovers
+      c.executeMsg("no_such_portal", 0)
+      c.parseMsg("", "SELECT 1") // must be ignored (error state)
+      val err = c.sync()
+      assert(err.exists(_.tpe == 'E'))
+      assert(!err.exists(_.tpe == '1'), "post-error Parse must be skipped")
+      assert(err.last.tpe == 'Z')
+
+      // Close a named statement
+      c.parseMsg("s2", "SELECT 5 AS five")
+      c.closeStmtMsg("s2")
+      val closed = c.sync()
+      assert(closed.exists(_.tpe == '3'), "CloseComplete")
+
       val stillUp = c.query("SELECT 9 AS ok")
       assert(Wire.dataRow(stillUp.find(_.tpe == 'D').get.body) ==
         Seq(Some("9")))
@@ -282,6 +380,22 @@ class GraftPgWireSpec extends AnyFunSuite {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
     }
+  }
+
+  test("substituteParams: escaping, NULL, masked spans, range check") {
+    assert(GraftPgWire.substituteParams("SELECT $1, $2",
+      Seq(Some("a'b"), None)) == "SELECT 'a''b', NULL")
+    assert(GraftPgWire.substituteParams("SELECT '$1' AS lit, $1",
+      Seq(Some("x"))) == "SELECT '$1' AS lit, 'x'")
+    assert(GraftPgWire.substituteParams("-- $1\nSELECT $1",
+      Seq(Some("y"))) == "-- $1\nSELECT 'y'")
+    assert(GraftPgWire.substituteParams("SELECT $1 + $1",
+      Seq(Some("2"))) == "SELECT '2' + '2'")
+    intercept[IllegalArgumentException] {
+      GraftPgWire.substituteParams("SELECT $3", Seq(Some("x")))
+    }
+    // no params bound: text passes through untouched (cost-free path)
+    assert(GraftPgWire.substituteParams("SELECT $tag", Nil) == "SELECT $tag")
   }
 
   test("splitStatements respects literals and comments") {
