@@ -173,7 +173,8 @@ final class GraftTable(spark: SparkSession, dir: String,
     }
 
   /** Cache occupancy — the observable for the boundedness spec. */
-  private[graft] def idRangeCacheSize: Int = idRangeCache.size
+  private[graft] def idRangeCacheSize: Int =
+    idRangeCache.synchronized { idRangeCache.size }
 
   /** The part files under `paths` that can contain `id` per their
     * footer `_id` stats. Files without usable stats are kept (never
@@ -184,28 +185,36 @@ final class GraftTable(spark: SparkSession, dir: String,
     if (paths.isEmpty) return Nil
     val parts = graft.bitemporal.ChunkMetadata.files(spark, paths)
     val local = scala.collection.mutable.Map.empty[String, (Long, Long)]
-    val missing = parts.filter { f =>
-      Option(idRangeCache.get(f)) match {
-        case Some(r) => local(f) = r; false
-        case None => true
+    // all LRU access under the map's lock: an access-ordered
+    // LinkedHashMap RELINKS on get(), so even reads are structural
+    // mutations — concurrent point reads on a shared table would
+    // otherwise corrupt the list
+    val missing = idRangeCache.synchronized {
+      parts.filter { f =>
+        Option(idRangeCache.get(f)) match {
+          case Some(r) => local(f) = r; false
+          case None => true
+        }
       }
     }
     if (missing.nonEmpty) {
-      graft.bitemporal.ChunkMetadata.forPaths(spark, missing)
+      val fetched = graft.bitemporal.ChunkMetadata.forPaths(spark, missing)
         .filter(col("column") === "_id" &&
           col("min").isNotNull && col("max").isNotNull)
         .groupBy("file")
         .agg(min(col("min").cast("long")).as("mn"),
           max(col("max").cast("long")).as("mx"))
-        .collect()
-        .foreach { r =>
+        .collect() // footer pass runs OUTSIDE the lock
+      idRangeCache.synchronized {
+        fetched.foreach { r =>
           val range = (r.getLong(1), r.getLong(2))
           local(r.getString(0)) = range
           idRangeCache.put(r.getString(0), range): Unit
         }
-      missing.filterNot(local.contains).foreach { f =>
-        local(f) = (Long.MinValue, Long.MaxValue)
-        idRangeCache.put(f, (Long.MinValue, Long.MaxValue)): Unit
+        missing.filterNot(local.contains).foreach { f =>
+          local(f) = (Long.MinValue, Long.MaxValue)
+          idRangeCache.put(f, (Long.MinValue, Long.MaxValue)): Unit
+        }
       }
     }
     parts.filter { f =>

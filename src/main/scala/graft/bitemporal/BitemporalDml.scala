@@ -82,7 +82,9 @@ object BitemporalDml {
   }
 
   def parse(statement: String): Stmt = {
-    val s = statement.trim.stripSuffix(";")
+    // leading comments are routing noise, not grammar (`/* retry */
+    // UPDATE …` — same stripping the parser's head detection applies)
+    val s = SqlText.stripLeadingComments(statement).trim.stripSuffix(";")
     val ins = insertRe.matcher(s)
     if (ins.matches())
       return Insert(ins.group(1),

@@ -119,9 +119,14 @@ final class Matview private[graft] (
       lit(validAt), lit(sysProbe))
     val agg = fullAgg(visible).withColumn("_bucket", bucketCol)
     // temp-write + directory swap (same pattern as the incremental
-    // path): a concurrent read() during the rebuild sees either the
-    // complete old state or the complete new one, never a partial
-    // overwrite-in-place.
+    // path): a concurrent read() sees either the complete old state or
+    // the complete new one — never a partial overwrite-in-place — with
+    // ONE caveat: POSIX cannot atomically exchange two directories, so
+    // a read landing exactly between the two renames below fails with
+    // path-not-found (a retryable error, not wrong data). A crash in
+    // that window self-heals: rebuildFromState derives everything from
+    // the rectangles, never from prior state, so the next refresh
+    // (watermark still behind) rebuilds from scratch.
     val tmp = stateRoot.resolve("state_rebuild_tmp")
     TxLog.deleteRecursively(tmp.toFile)
     agg.repartition(col("_bucket"))

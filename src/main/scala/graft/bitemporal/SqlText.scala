@@ -77,4 +77,23 @@ object SqlText {
 
   def masked(spans: Seq[(Int, Int)], i: Int): Boolean =
     spans.exists(s => i >= s._1 && i < s._2)
+
+  /** `q` with leading comments and whitespace removed — the text whose
+    * FIRST TOKEN decides statement routing (`/* retry */ UPDATE …` is
+    * an UPDATE). Only comment spans are skipped: a leading string
+    * literal or quoted identifier is real syntax and stays. */
+  def stripLeadingComments(q: String): String = {
+    val spans = maskedSpans(q)
+    var i = 0
+    var moved = true
+    while (moved && i < q.length) {
+      moved = false
+      while (i < q.length && q.charAt(i).isWhitespace) { i += 1; moved = true }
+      spans.find(s => s._1 == i &&
+          (q.startsWith("--", i) || q.startsWith("/*", i))).foreach { s =>
+        i = s._2; moved = true
+      }
+    }
+    q.substring(i)
+  }
 }

@@ -7,7 +7,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -37,16 +37,30 @@ case class MisraGries(
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
 
-  private lazy val sketchSize: Int = sketchSizeExpr match {
-    case Literal(v, IntegerType) => v.asInstanceOf[Int]
-    case other => throw new IllegalArgumentException(
-      s"misra_gries: sketchSize must be an integer literal, got $other")
+  private lazy val sketchSize: Int = {
+    require(sketchSizeExpr.foldable && sketchSizeExpr.dataType == IntegerType,
+      s"misra_gries: sketchSize must be an INT literal, got $sketchSizeExpr")
+    val v = sketchSizeExpr.eval()
+    require(v != null, "misra_gries: sketchSize must not be NULL")
+    v.asInstanceOf[Int]
   }
 
   override def prettyName: String = "misra_gries"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(child, sketchSizeExpr)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != StringType)
+      TypeCheckFailure(
+        s"misra_gries: key must be STRING, got ${child.dataType.simpleString}")
+    else if (!(sketchSizeExpr.foldable &&
+        sketchSizeExpr.dataType == IntegerType))
+      TypeCheckFailure("misra_gries: sketchSize must be an INT literal")
+    else TypeCheckSuccess
+  }
 
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
@@ -91,7 +105,12 @@ case class MisraGries(
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.size)
-    buf.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    buf.foreach { case (k, c) =>
+      // length-prefixed raw UTF-8 — writeUTF caps at 65,535 encoded
+      // bytes and would crash on long-text keys
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(c)
+    }
     out.flush()
     bytes.toByteArray
   }
@@ -101,7 +120,13 @@ case class MisraGries(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { val k = in.readUTF(); buf(k) = in.readLong(); i += 1 }
+    while (i < n) {
+      val klen = in.readInt()
+      val kb = new Array[Byte](klen); in.readFully(kb)
+      buf(new String(kb, java.nio.charset.StandardCharsets.UTF_8)) =
+        in.readLong()
+      i += 1
+    }
     buf
   }
 
@@ -123,7 +148,11 @@ object MisraGries {
       spark.sessionState.functionRegistry.registerFunction(
         id,
         new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
-        (exprs: Seq[Expression]) => MisraGries(exprs.head, exprs(1)))
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2,
+            s"misra_gries takes (key, sketchSize), got ${exprs.length} args")
+          MisraGries(exprs.head, exprs(1))
+        })
     }
   }
 }

@@ -502,14 +502,29 @@ object Similarity {
   def ivfPqResidualTopK(codes: DataFrame, idCol: String,
                         queryVec: DataFrame, qCol: String, topK: Int,
                         nProbe: Int, centroids: DataFrame,
-                        codebook: DataFrame, subDim: Int): DataFrame = {
-    val qv = materializeSingleRow(queryVec, "ivfPqResidualTopK")
+                        codebook: DataFrame, subDim: Int): DataFrame =
+    residualAdcTopK(codes, idCol, queryVec, qCol, topK, nProbe,
+      centroids, codebook, subDim, rot = None, op = "ivfPqResidualTopK")
+
+  /** Shared residual-ADC pipeline: probe selection → per-cell query
+    * residual (optionally rotated into the codes' OPQ space) →
+    * broadcast distance table → subspace-ordered ADC fold. ONE
+    * implementation so tie-breaking/probe-ordering fixes can never
+    * diverge between the plain and OPQ read paths. */
+  private def residualAdcTopK(codes: DataFrame, idCol: String,
+                              queryVec: DataFrame, qCol: String, topK: Int,
+                              nProbe: Int, centroids: DataFrame,
+                              codebook: DataFrame, subDim: Int,
+                              rot: Option[Array[Array[Double]]],
+                              op: String): DataFrame = {
+    val qv = materializeSingleRow(queryVec, op)
+    val qr0 = zip_with(col(qCol), col("_cv"), (a, b) => a - b)
+    val qr = rot.fold(qr0)(r => rotateCol(qr0, r))
     val probes = qv.crossJoin(broadcast(centroids))
       .withColumn("_ccos", cosine(col(qCol), col("_cv")))
       .orderBy(col("_ccos").desc, col("_cid"))
       .limit(nProbe)
-      .select(col("_cid").as("cell"),
-        zip_with(col(qCol), col("_cv"), (a, b) => a - b).as("_qr"))
+      .select(col("_cid").as("cell"), qr.as("_qr"))
     val dt = probes.crossJoin(codebook)
       .withColumn("_sq", slice(col("_qr"), col("j") * subDim + 1, lit(subDim)))
       .select(col("cell"), col("j"), col("c").as("code"),
@@ -948,26 +963,8 @@ object Similarity {
                            queryVec: DataFrame, qCol: String, topK: Int,
                            nProbe: Int, centroids: DataFrame,
                            codebook: DataFrame, subDim: Int,
-                           rot: Array[Array[Double]]): DataFrame = {
-    val qv = materializeSingleRow(queryVec, "ivfPqOpqResidualTopK")
-    val probes = qv.crossJoin(broadcast(centroids))
-      .withColumn("_ccos", cosine(col(qCol), col("_cv")))
-      .orderBy(col("_ccos").desc, col("_cid"))
-      .limit(nProbe)
-      .select(col("_cid").as("cell"),
-        rotateCol(zip_with(col(qCol), col("_cv"), (a, b) => a - b), rot)
-          .as("_qr"))
-    val dt = probes.crossJoin(codebook)
-      .withColumn("_sq", slice(col("_qr"), col("j") * subDim + 1, lit(subDim)))
-      .select(col("cell"), col("j"), col("c").as("code"),
-        dist2(col("_sq"), col("w")).as("_dj"))
-    codes.join(broadcast(dt), Seq("cell", "j", "code"))
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("j"), col("_dj")))).as("_ds"))
-      .withColumn("adist",
-        aggregate(col("_ds"), lit(0.0), (acc, x) => acc + x.getField("_dj")))
-      .select(col(idCol), col("adist"))
-      .orderBy(col("adist"), col(idCol))
-      .limit(topK)
-  }
+                           rot: Array[Array[Double]]): DataFrame =
+    residualAdcTopK(codes, idCol, queryVec, qCol, topK, nProbe,
+      centroids, codebook, subDim, rot = Some(rot),
+      op = "ivfPqOpqResidualTopK")
 }

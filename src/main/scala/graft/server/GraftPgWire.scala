@@ -27,10 +27,16 @@ import graft.bitemporal.SqlText
   *     sends). Parameters arrive in text format and are spliced as
   *     escaped SQL literals at Bind ($n outside masked spans); graft
   *     DML is described as its tx_id relation WITHOUT planning (DML
-  *     executes at parse time by design) and runs once, at Execute.
-  *     Not implemented: portal suspension (a maxRows limit completes
-  *     the portal via a plan-level LIMIT instead) and the function
-  *     call ('F') protocol.
+  *     executes at parse time by design) and runs once, at Execute;
+  *     Execute(maxRows) suspends the portal ('s') over a LIVE iterator
+  *     and resumes on the next Execute — the pgjdbc fetchSize flow.
+  *     Not implemented: the function call ('F') protocol.
+  *   - Simple-query batches where every statement is graft DML submit
+  *     UNSPLIT as one atomic transaction (the session parser's
+  *     `;`-batch path, same as HTTP /tx); mixed query/DML batches run
+  *     statement-by-statement and are NOT atomic — the append-only log
+  *     has no rollback, so partial application is possible there and
+  *     documented.
   *   - Text parameter and result format only (format code 0) — the
   *     protocol's baseline every client supports; binary is rejected
   *     with a clear error.
@@ -146,12 +152,21 @@ object GraftPgWire {
     true
   }
 
+  /** A bound portal: params already spliced; `rows` holds the live
+    * result iterator across Execute calls once the portal starts
+    * (the fetchSize flow: Execute(maxRows) → PortalSuspended →
+    * Execute resumes HERE, never re-running the query). */
+  private final class Portal(val sql: String) {
+    var rows: java.util.Iterator[org.apache.spark.sql.Row] = _
+    var width: Int = 0
+    var served: Long = 0L
+  }
+
   /** Per-connection extended-protocol state: prepared statements (name
-    * → SQL with $n placeholders) and portals (name → SQL with params
-    * substituted). */
+    * → SQL with $n placeholders) and portals. */
   private final class ConnState {
     val statements = scala.collection.mutable.Map.empty[String, String]
-    val portals = scala.collection.mutable.Map.empty[String, String]
+    val portals = scala.collection.mutable.Map.empty[String, Portal]
     var errored = false // inside an extended batch after an error: skip
                         // everything except Sync, per protocol
   }
@@ -253,7 +268,7 @@ object GraftPgWire {
     val res = (0 until nRes.toInt).map(_ => in.readShort())
     require(res.forall(_ == 0),
       "binary result format not supported — request text results")
-    st.portals(portal) = substituteParams(sql, params)
+    st.portals(portal) = new Portal(substituteParams(sql, params))
     send(out, '2', _ => ()) // BindComplete
   }
 
@@ -278,7 +293,12 @@ object GraftPgWire {
           s"parameter $$$idx out of range (${params.length} bound)")
         out.append(params(idx - 1) match {
           case None => "NULL"
-          case Some(v) => "'" + v.replace("'", "''") + "'"
+          // Spark's lexer honors BACKSLASH escapes inside single-quoted
+          // literals (unlike standard_conforming_strings Postgres), so
+          // backslashes must double too — a value ending in \ would
+          // otherwise swallow the closing quote (injection vector)
+          case Some(v) =>
+            "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
         })
         i = j
       } else { out.append(c); i += 1 }
@@ -299,7 +319,7 @@ object GraftPgWire {
       case 'S' => st.statements.getOrElse(name,
         throw new IllegalArgumentException(s"unknown prepared statement '$name'"))
       case 'P' => st.portals.getOrElse(name,
-        throw new IllegalArgumentException(s"unknown portal '$name'"))
+        throw new IllegalArgumentException(s"unknown portal '$name'")).sql
       case other =>
         throw new IllegalArgumentException(s"bad describe kind '$other'")
     }
@@ -337,39 +357,69 @@ object GraftPgWire {
         b.writeInt(0); b.writeShort(0); b.writeInt(20)
         b.writeShort(8); b.writeInt(-1); b.writeShort(0)
       })
-    } else {
+    } else if (isAnalyzableQuery(sql)) {
       val schema = spark.sql(analyzable).schema // analysis only — no job
       if (schema.isEmpty) send(out, 'n', _ => ()) // NoData
       else sendRowDescription(out, schema)
+    } else {
+      // DDL / SET / unknown commands execute EAGERLY inside spark.sql —
+      // describing one must not run it; the shape is unknown until
+      // Execute, so answer NoData (what PG answers for utility commands)
+      send(out, 'n', _ => ())
     }
   }
 
-  private def isDml(sql: String): Boolean =
-    java.util.regex.Pattern
-      .compile("^\\s*(INSERT|UPDATE|DELETE|ERASE)\\b",
-        java.util.regex.Pattern.CASE_INSENSITIVE)
-      .matcher(sql).find()
+  /** First significant keyword — skipping comments (lexer spans) and
+    * whitespace, so `/* retry */ INSERT ...` classifies as INSERT. */
+  private[graft] def firstKeyword(sql: String): String = {
+    val spans = SqlText.maskedSpans(sql)
+    var i = 0
+    while (i < sql.length &&
+        (SqlText.masked(spans, i) || sql.charAt(i).isWhitespace)) i += 1
+    val start = i
+    while (i < sql.length && sql.charAt(i).isLetter) i += 1
+    sql.substring(start, i).toUpperCase
+  }
 
-  /** Execute a portal: DataRows (+ optional row limit) and
-    * CommandComplete — the RowDescription was Describe's job. A
-    * maxRows limit is applied as a plan-level LIMIT and completes the
-    * portal (no PortalSuspended — every mainstream driver re-executes
-    * rather than resumes). */
+  private def isDml(sql: String): Boolean =
+    Set("INSERT", "UPDATE", "DELETE", "ERASE").contains(firstKeyword(sql))
+
+  /** Statements that are SAFE to analyze lazily at Describe — anything
+    * else (DDL, SET, unknown commands) may execute eagerly inside
+    * `spark.sql` and must not run before Execute. */
+  private def isAnalyzableQuery(sql: String): Boolean =
+    Set("SELECT", "WITH", "VALUES", "TABLE", "FROM").contains(firstKeyword(sql))
+
+  /** Execute a portal: DataRows up to `maxRows` (0 = all) — the
+    * RowDescription was Describe's job. When rows remain past the
+    * limit the portal SUSPENDS ('s') and keeps its live iterator, so
+    * the next Execute on the same portal RESUMES instead of
+    * re-running the query — the pgjdbc fetchSize flow. The query
+    * (including graft DML) runs exactly once, at the first Execute. */
   private def execute(spark: SparkSession, st: ConnState,
                       out: DataOutputStream, body: Array[Byte]): Unit = {
     val in = new DataInputStream(new ByteArrayInputStream(body))
-    val portal = readCString(in)
+    val name = readCString(in)
     val maxRows = in.readInt()
-    val sql = st.portals.getOrElse(portal,
-      throw new IllegalArgumentException(s"unknown portal '$portal'"))
-    val df0 = spark.sql(sql) // DML executes here, once
-    val df = if (maxRows > 0) df0.limit(maxRows) else df0
-    if (df.schema.isEmpty) {
-      send(out, 'C', b => writeCString(b, commandTag(sql, 0L)))
-    } else {
-      val n = streamRows(out, df)
-      send(out, 'C', b => writeCString(b, commandTag(sql, n)))
+    val p = st.portals.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown portal '$name'"))
+    if (p.rows == null) { // first Execute: run the query once
+      val df = spark.sql(p.sql)
+      if (df.schema.isEmpty) {
+        send(out, 'C', b => writeCString(b, commandTag(p.sql, 0L)))
+        return
+      }
+      p.width = df.schema.length
+      p.rows = textProjection(df).toLocalIterator()
     }
+    var n = 0L
+    while (p.rows.hasNext && (maxRows <= 0 || n < maxRows)) {
+      sendDataRow(out, p.rows.next(), p.width)
+      n += 1
+      p.served += 1
+    }
+    if (p.rows.hasNext) send(out, 's', _ => ()) // PortalSuspended
+    else send(out, 'C', b => writeCString(b, commandTag(p.sql, p.served)))
   }
 
   private def closeMsg(st: ConnState, out: DataOutputStream,
@@ -390,12 +440,27 @@ object GraftPgWire {
   /** One 'Q' message: split on top-level semicolons (the shared lexer
     * masks literals/comments, so `';'` inside a string never splits),
     * run each statement, send its result cycle. An error aborts the
-    * remainder of the batch, per protocol. */
+    * remainder of the batch, per protocol.
+    *
+    * Atomicity: a batch in which EVERY statement is graft DML is NOT
+    * split — it goes to `spark.sql` whole, where the session parser
+    * submits it as ONE atomic transaction (same semantics as the HTTP
+    * /tx endpoint), so an error applies none of it. A MIXED batch
+    * (queries interleaved with DML) runs statement-by-statement and is
+    * not atomic — the engine's log has no rollback; clients needing
+    * all-or-nothing DML send DML-only batches. */
   private def runSimpleQuery(spark: SparkSession, out: DataOutputStream,
                              sql: String): Unit = {
     val statements = splitStatements(sql)
     if (statements.isEmpty) {
       send(out, 'I', _ => ()) // EmptyQueryResponse
+      return
+    }
+    if (statements.length > 1 && statements.forall(isDml)) {
+      try execStatement(spark, out, sql) // unsplit: one atomic tx
+      catch {
+        case e: Throwable => sendError(out, sqlState(e), errMessage(e))
+      }
       return
     }
     statements.foreach { st =>
@@ -496,29 +561,37 @@ object GraftPgWire {
     case _ => c.cast("string")
   }
 
+  /** Every column rendered to its PG text form, executor-side. */
+  private def textProjection(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map(f =>
+      pgText(col(s"`${f.name}`"), f.dataType).as(f.name))
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  private def sendDataRow(out: DataOutputStream,
+                          row: org.apache.spark.sql.Row, width: Int): Unit =
+    send(out, 'D', b => {
+      b.writeShort(width)
+      var i = 0
+      while (i < width) {
+        if (row.isNullAt(i)) b.writeInt(-1)
+        else {
+          val bytes = row.getString(i).getBytes(UTF_8)
+          b.writeInt(bytes.length)
+          b.write(bytes)
+        }
+        i += 1
+      }
+    })
+
   /** Stream every row as a DataRow; returns the row count. Partition-
     * at-a-time via toLocalIterator — no collect. */
   private def streamRows(out: DataOutputStream, df: DataFrame): Long = {
-    val cols = df.schema.fields.map(f =>
-      pgText(col(s"`${f.name}`"), f.dataType).as(f.name))
-    val it = df.select(cols.toIndexedSeq: _*).toLocalIterator()
+    val it = textProjection(df).toLocalIterator()
     var n = 0L
     val width = df.schema.length
     while (it.hasNext) {
-      val row = it.next()
-      send(out, 'D', b => {
-        b.writeShort(width)
-        var i = 0
-        while (i < width) {
-          if (row.isNullAt(i)) b.writeInt(-1)
-          else {
-            val bytes = row.getString(i).getBytes(UTF_8)
-            b.writeInt(bytes.length)
-            b.write(bytes)
-          }
-          i += 1
-        }
-      })
+      sendDataRow(out, it.next(), width)
       n += 1
     }
     n

@@ -70,7 +70,10 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     if (referenced.isEmpty)
       return recursionBridged(delegate.parsePlan(sqlText))
 
-    if (dmlHead.matcher(sqlText).find()) {
+    // head detection is lexer-aware: `/* retry */ UPDATE t …` is an
+    // UPDATE (clients legitimately prefix retried statements)
+    if (dmlHead.matcher(
+        graft.bitemporal.SqlText.stripLeadingComments(sqlText)).find()) {
       // A `;`-separated batch is ONE transaction (the reference's
       // submit-tx takes a vector of ops) — every statement must parse
       // as graft DML and target the SAME registered table. DML whose
@@ -83,7 +86,8 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       val statements =
         graft.bitemporal.BitemporalDml.splitTopLevel(sqlText, ';')
       val headsRegistered = statements.exists { s =>
-        val m = dmlTarget.matcher(s)
+        val m = dmlTarget.matcher(
+          graft.bitemporal.SqlText.stripLeadingComments(s))
         m.find() && tables.keys.exists(_.equalsIgnoreCase(m.group(1)))
       }
       if (!headsRegistered) delegate.parsePlan(sqlText)

@@ -51,6 +51,34 @@ class FrequencySpec extends AnyFunSuite {
     assert(got == Set(("a", 3L)))
   }
 
+  test("keys beyond writeUTF's 64KB limit survive sketch serialization") {
+    // regression guard: the aggregate serializer is length-prefixed raw
+    // UTF-8, not writeUTF (which throws past 65,535 encoded bytes)
+    val big = "x" * 70000
+    val words = (Seq.fill(5)(big) ++ Seq("small")).toDF("word")
+      .repartition(3) // forces partial-buffer serialize + merge
+    val got = Frequency.heavyHitters(words, "word",
+      sketchSize = 4, minCount = 5)
+      .collect().map(r => (r.getString(0).length, r.getLong(1))).toSet
+    assert(got == Set((70000, 5L)))
+  }
+
+  test("misra_gries type errors surface at analysis, not mid-job") {
+    graft.functions.MisraGries.register(spark)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(3).select(
+        org.apache.spark.sql.functions.call_function("misra_gries",
+          $"id", org.apache.spark.sql.functions.lit(4))).collect()
+    }
+    assert(e1.getMessage.contains("STRING"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(3).select(
+        org.apache.spark.sql.functions.call_function("misra_gries",
+          $"id".cast("string"), $"id".cast("int"))).collect()
+    }
+    assert(e2.getMessage.contains("INT literal"), e2.getMessage)
+  }
+
   test("plan shape: native aggregate, no encoder round-trip, no distinct") {
     // the r7 rewrite claim, asserted mechanically: the candidate pass
     // is a TypedImperativeAggregate — data rows stay in Tungsten format

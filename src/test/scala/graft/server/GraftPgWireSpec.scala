@@ -329,12 +329,53 @@ class GraftPgWireSpec extends AnyFunSuite {
       assert(Wire.dataRow(after2.find(_.tpe == 'D').get.body) ==
         Seq(Some("201.0"))) // exactly +1.0 — described, not double-run
 
-      // maxRows completes the portal with a plan-level LIMIT
+      // fetchSize flow: Execute(maxRows=1) SUSPENDS the portal over a
+      // live iterator; the next Execute RESUMES (no re-run), then
+      // CommandComplete counts every row served across both fetches
       c.parseMsg("", "SELECT _id FROM pgaccts ORDER BY _id")
       c.bindMsg("", "", Nil)
       c.executeMsg("", 1)
+      c.executeMsg("", 0)
       val lim = c.sync()
-      assert(lim.count(_.tpe == 'D') == 1)
+      assert(lim.count(_.tpe == 'D') == 2) // 1 + the remaining 1
+      assert(lim.exists(_.tpe == 's'), "PortalSuspended after maxRows")
+      assert(Wire.cstr(new DataInputStream(new java.io.ByteArrayInputStream(
+        lim.find(_.tpe == 'C').get.body))) == "SELECT 2")
+      val fetched = lim.filter(_.tpe == 'D').map(m => Wire.dataRow(m.body))
+      assert(fetched == Seq(Seq(Some("1")), Seq(Some("2"))))
+
+      // DML behind a leading comment still classifies as DML: Describe
+      // synthesizes tx_id WITHOUT executing; the value moves exactly once
+      c.parseMsg("", "/* retry */ UPDATE pgaccts SET bal = bal + 1.0D " +
+        "WHERE _id = 2")
+      c.bindMsg("", "", Nil)
+      c.describeMsg('P', "")
+      c.executeMsg("", 0)
+      val cdml = c.sync()
+      assert(Wire.rowDesc(cdml.find(_.tpe == 'T').get.body).map(_._1) ==
+        Seq("tx_id"))
+      val after2b = c.query("SELECT bal FROM pgaccts WHERE _id = 2")
+      assert(Wire.dataRow(after2b.find(_.tpe == 'D').get.body) ==
+        Seq(Some("202.0"))) // 201 + exactly 1
+
+      // backslash-bearing parameter survives splicing intact (the
+      // injection vector: Spark's lexer honors \' inside literals)
+      c.parseMsg("", "SELECT $1 AS p")
+      c.bindMsg("", "", Seq(Some("""C:\dir\""")))
+      c.executeMsg("", 0)
+      val bs = c.sync()
+      assert(Wire.dataRow(bs.find(_.tpe == 'D').get.body) ==
+        Seq(Some("""C:\dir\""")))
+
+      // multi-statement DML batch over simple protocol = ONE atomic tx
+      // (the parser's ;-batch path): one result cycle, one tx id
+      val txb = c.query(
+        "INSERT INTO pgaccts (_id, bal) VALUES (10, 1.0D); " +
+          "INSERT INTO pgaccts (_id, bal) VALUES (11, 2.0D)")
+      assert(txb.count(_.tpe == 'T') == 1, "unsplit atomic DML batch")
+      val txn = c.query("SELECT count(*) AS n FROM pgaccts")
+      assert(Wire.dataRow(txn.find(_.tpe == 'D').get.body) ==
+        Seq(Some("4")))
 
       // NULL parameter and masked-$ safety in one statement
       c.parseMsg("", "SELECT $1 AS a, '$2 not a param' AS b")
@@ -372,7 +413,7 @@ class GraftPgWireSpec extends AnyFunSuite {
       c2.startup("user" -> "other")
       val again = c2.query("SELECT count(*) AS n FROM pgaccts")
       assert(Wire.dataRow(again.find(_.tpe == 'D').get.body) ==
-        Seq(Some("2")))
+        Seq(Some("4"))) // 1, 2 + the atomic batch's 10, 11
       c2.terminate()
     } finally {
       handle.stop()
@@ -385,6 +426,10 @@ class GraftPgWireSpec extends AnyFunSuite {
   test("substituteParams: escaping, NULL, masked spans, range check") {
     assert(GraftPgWire.substituteParams("SELECT $1, $2",
       Seq(Some("a'b"), None)) == "SELECT 'a''b', NULL")
+    assert(GraftPgWire.substituteParams("SELECT $1",
+      Seq(Some("""a\""" ))) == """SELECT 'a\\'""")
+    assert(GraftPgWire.substituteParams("SELECT $1",
+      Seq(Some("""\' OR 1=1 --"""))) == """SELECT '\\'' OR 1=1 --'""")
     assert(GraftPgWire.substituteParams("SELECT '$1' AS lit, $1",
       Seq(Some("x"))) == "SELECT '$1' AS lit, 'x'")
     assert(GraftPgWire.substituteParams("-- $1\nSELECT $1",
