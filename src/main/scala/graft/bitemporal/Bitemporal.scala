@@ -377,8 +377,8 @@ object Bitemporal {
       .filter(col("_valid_from") < col("_valid_to" + suffix) &&
         col("_valid_from" + suffix) < col("_valid_to"))
       .filter(col("_bin") === floor(
-        unix_micros(greatest(col("_valid_from"), col("_valid_from" + suffix))) /
-          bw).cast("long"))
+        unix_micros(greatest(col("_valid_from"), col("_valid_from" + suffix))
+          .cast("timestamp")) / bw).cast("long"))
       .withColumn("_valid_from",
         greatest(col("_valid_from"), col("_valid_from" + suffix)))
       .withColumn("_valid_to",

@@ -296,6 +296,96 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact substring duplicate spans — the suffix-array dedup family
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better") re-expressed for a distributed engine: every
+    * maximal token interval covered by k-token windows that occur at
+    * ≥ 2 positions anywhere in the corpus (other documents OR the same
+    * document). A suffix array finds duplicates of ANY length; fixing
+    * the window at k detects exactly the spans of length ≥ k — the
+    * practical use (Lee et al. use 50 BPE tokens) — at O(tokens) work
+    * and no giant global sort.
+    *
+    * Scale shape: tokenize → positional k-gram windows (zip_with chain,
+    * codegen'd, one row per window start) → window-content frequency
+    * (ONE shuffle on the gram; partial aggregation combines map-side,
+    * so a mega-duplicated gram ships one (gram, count) row per
+    * partition, not its occurrence list — skew-safe) → left-semi join
+    * duplicated grams back (AQE broadcasts the duplicated set when
+    * small — it is sublinear in corpus size for natural text; an
+    * ordinary equi-join otherwise) → per-document merge of overlapping
+    * window coverage into maximal spans (window over (id, pos) —
+    * partitioned by document, never global).
+    *
+    * Two window starts p < q produce contiguous coverage iff q ≤ p + k,
+    * so islands break where the start gap exceeds k (lag + running sum
+    * of break flags — gap-and-islands with variable gap). Output:
+    * (id, span_start, span_len, n_windows), span_start 1-based,
+    * span_len ≥ k. Documents shorter than k tokens yield no windows
+    * and no spans. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, "duplicateSpans: k must be >= 1")
+    val grams = positionalShingles(df, idCol, textCol, k)
+    val dup = grams.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2)
+      .select(col("shingle"))
+    val marked = grams.join(dup, Seq("shingle"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val runW = w.rowsBetween(Long.MinValue, 0)
+    marked
+      .withColumn("_brk",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") - lag(col("pos"), 1).over(w) > k, 1).otherwise(0))
+      .withColumn("_grp", sum(col("_brk")).over(runW))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k - 1).as("_span_end"),
+        count(lit(1)).cast("long").as("n_windows"))
+      .select(col(idCol),
+        col("span_start").cast("long").as("span_start"),
+        (col("_span_end") - col("span_start") + 1).cast("long").as("span_len"),
+        col("n_windows"))
+  }
+
+  /** Remove every duplicated span found by [[duplicateSpans]] from the
+    * corpus — the aggressive variant of Lee et al.'s dedup (ALL
+    * occurrences go, no canonical survivor; the conservative
+    * keep-one-occurrence variant needs a global canonical-occurrence
+    * choice that serves no training-data purpose the MinHash document
+    * path doesn't already cover). Returns one row per input document:
+    * (id, clean_text, n_removed) — documents without duplicated spans
+    * keep their text verbatim (byte-identical, including any run of
+    * separator spaces), fully-duplicated documents come back with
+    * clean_text = '' so downstream length filters can drop them.
+    *
+    * Scale shape: cost of [[duplicateSpans]] + one per-id equi-join of
+    * the (small) span lists against the corpus + a codegen'd
+    * index-lambda filter over each token array — no extra shuffle over
+    * the token stream, no re-tokenization join. */
+  def scrubDuplicateSpans(df0: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame = {
+    val df = graft.util.Par.spread(df0)
+    val spans = duplicateSpans(df, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_len")))
+        .as("_spans"))
+    df.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_spans").isNull, col(textCol)).otherwise(
+          array_join(filter(split(col(textCol), " "), (_, i) =>
+            !exists(col("_spans"), s =>
+              i + 1 >= s("span_start") &&
+                i + 1 <= s("span_start") + s("span_len") - 1)), " "))
+          .as("clean_text"),
+        when(col("_spans").isNull, 0L).otherwise(
+          aggregate(col("_spans"), lit(0L), (acc, s) =>
+            acc + s("span_len").cast("long"))).as("n_removed"))
+  }
+
   /** SimHash fingerprint (nBits ≤ 63) per id from (id, shingle) rows:
     * per-bit ±1 votes from md5-nibble bits, sign → bit. Pure aggregation,
     * one shuffle, no pairwise work. Use ≥48 bits when the fingerprint

@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-mix composition operators: exact-count domain sampling and
+  * per-domain quantile gates — the steps that turn a scored, deduped
+  * corpus into the dataset a training run actually reads.
+  *
+  * Both are deterministic (md5 priorities / exact percentiles, no RNG)
+  * so a mix is reproducible from the corpus alone.
+  */
+object Mixture {
+
+  /** Largest-remainder (Hamilton) apportionment of `total` over the
+    * weight map: floor the exact quotas, hand the leftover units to the
+    * largest fractional remainders (ties by domain name). Pure driver
+    * arithmetic on the ≤|domains|-entry map — no data touched. */
+  def apportion(weights: Map[String, Double], total: Long): Map[String, Long] = {
+    require(weights.nonEmpty, "apportion: empty weight map")
+    require(weights.values.forall(_ >= 0) && weights.values.sum > 0,
+      "apportion: weights must be non-negative with positive sum")
+    require(total >= 0, "apportion: negative total")
+    val wsum = weights.values.sum
+    val exact = weights.toSeq.sortBy(_._1)
+      .map { case (d, w) => (d, total * w / wsum) }
+    val base = exact.map { case (d, q) => (d, q.toLong) }
+    val left = total - base.map(_._2).sum
+    val bump = exact.map { case (d, q) => (d, q - q.toLong) }
+      .sortBy { case (d, r) => (-r, d) }
+      .take(left.toInt).map(_._1).toSet
+    base.map { case (d, q) => (d, q + (if (bump(d)) 1L else 0L)) }.toMap
+  }
+
+  /** Exact-count domain mixture sample — "the run needs `total` documents
+    * at weights w_d per domain". Quotas come from [[apportion]]; within a
+    * domain the quota is filled by deterministic hash priority
+    * (md5 of the id, ties by id), so the output size is exact
+    * (Σ min(quota_d, |domain_d|)), reproducible, and independent of
+    * partitioning — unlike rate-based stratified sampling (q97) whose
+    * output size is only expected. A domain smaller than its quota
+    * contributes its whole population; the shortfall is NOT reallocated
+    * (reallocation makes every domain's membership depend on every
+    * other domain's cardinality — a second global pass at 100 TB for a
+    * handful of rows; callers who care re-run with adjusted weights).
+    *
+    * Scale shape: one shuffle keyed by the domain for the per-domain
+    * rank, plus a broadcast join against the ≤|domains|-row quota
+    * relation. With FEW, HUGE domains the rank partition is the
+    * hotspot; the refinement at that scale is a two-pass threshold cut
+    * (estimate the quota-th smallest hash from a sample, pre-filter to
+    * that sliver, rank only survivors) — same results, rank input cut
+    * to ~quota rows; not wired here because it trades exactness
+    * guarantees for the prefilter unless a per-domain count check
+    * backs it up. */
+  def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
+                    weights: Map[String, Double], total: Long): DataFrame = {
+    val spark = df.sparkSession
+    val quotas = apportion(weights, total).toSeq.sortBy(_._1)
+    val qdf = spark.createDataFrame(quotas).toDF(domainCol, "_quota")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(qdf), Seq(domainCol))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= col("_quota"))
+      .drop("_rk", "_quota")
+  }
+
+  /** Keep rows whose score clears their domain's exact `q`-quantile
+    * (linear interpolation — Spark `percentile`, DuckDB/Postgres
+    * `quantile_cont`/`percentile_cont`): the per-domain quality gate
+    * ("top 30% of each language by classifier score") that a global
+    * threshold gets wrong when score distributions differ by domain.
+    *
+    * Scale shape: one aggregation shuffle for the ≤|domains|-row
+    * threshold relation (exact percentile spills sorted runs — fine at
+    * any domain size), broadcast back, filter map-side. Swap the agg to
+    * `percentile_approx` when thresholds may be approximate. */
+  def quantileKeep(df: DataFrame, domainCol: String, scoreCol: String,
+                   q: Double): DataFrame = {
+    require(q >= 0 && q <= 1, "quantileKeep: q must be in [0,1]")
+    val thr = df.groupBy(col(domainCol))
+      .agg(expr(s"percentile($scoreCol, $q)").as("_thr"))
+    df.join(broadcast(thr), Seq(domainCol))
+      .filter(col(scoreCol) >= col("_thr"))
+      .drop("_thr")
+  }
+}

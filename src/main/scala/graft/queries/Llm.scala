@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Dedup, Mixture, Multimodal, Similarity, TextStats}
 import Rounding.r
 
 /** LLM-data-pipeline operators (SURVEY.md §2.8 / north star): dedup
@@ -798,6 +798,61 @@ object Llm {
         WHERE g.doc_id >= 10
           AND graft_might_contain((SELECT bf FROM b), xxhash64(g.shingle))
         GROUP BY doc_id ORDER BY doc_id""")
+    }),
+
+    // exact substring dedup (suffix-array family, Lee et al. 2022):
+    // maximal token spans covered by 6-token windows occurring >= 2
+    // times anywhere in the corpus — one gram-frequency shuffle, semi-
+    // join back, per-doc island merge; never a global sort
+    "q150_substring_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(T(s, dir, "documents"), "doc_id", "text", k = 6)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // the matching corpus rewrite: every duplicated span removed from
+    // every document (aggressive variant — no canonical survivor),
+    // untouched documents byte-identical, span lists joined per id
+    "q151_substring_scrub" -> ((s, dir) => {
+      Dedup.scrubDuplicateSpans(T(s, dir, "documents"), "doc_id", "text",
+          k = 6)
+        .orderBy("doc_id")
+    }),
+
+    // exact-count training mix: largest-remainder apportionment of 97
+    // docs over length-bucket weights (exact binary fractions so both
+    // engines' float paths agree bit-for-bit), per-domain quota filled
+    // by deterministic md5 priority — output size exact (all three
+    // buckets exceed their quota), unlike rate-based q97
+    "q152_mixture_sample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+        .withColumn("bucket", when($"n_chars" < 250, "short")
+          .when($"n_chars" < 400, "mid").otherwise("long"))
+      Mixture.mixtureSample(docs, "doc_id", "bucket",
+          Map("short" -> 0.5, "mid" -> 0.3125, "long" -> 0.1875),
+          total = 97)
+        .select($"bucket", $"doc_id")
+        .orderBy("bucket", "doc_id")
+    }),
+
+    // per-domain quantile gate: keep docs whose type-token ratio clears
+    // their length bucket's exact 0.4-quantile — the per-domain quality
+    // threshold a global cut gets wrong when distributions differ
+    // (long docs repeat words, so their TTRs sit lower)
+    "q153_quantile_gate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val dom = docs.select($"doc_id",
+        when($"n_chars" < 250, "short")
+          .when($"n_chars" < 400, "mid").otherwise("long").as("bucket"))
+      val ttr = docs
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .groupBy($"doc_id")
+        .agg((countDistinct($"word") * lit(1.0) / count(lit(1))).as("ttr"))
+      Mixture.quantileKeep(dom.join(ttr, "doc_id"), "bucket", "ttr",
+          q = 0.4)
+        .select($"bucket", $"doc_id", r($"ttr", 4).as("ttr"))
+        .orderBy("bucket", "doc_id")
     })
   )
 
@@ -2015,6 +2070,130 @@ object Llm {
       ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
       SELECT doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared
       FROM g JOIN ev ON g.g = ev.g
-      WHERE doc_id >= 10 GROUP BY doc_id ORDER BY doc_id"""
+      WHERE doc_id >= 10 GROUP BY doc_id ORDER BY doc_id""",
+
+    // exact substring dedup: 6-token windows duplicated anywhere in the
+    // corpus (>= 2 occurrences, same doc counts), merged per doc into
+    // maximal covered spans — starts p < q chain iff q <= p + k
+    "q150_substring_spans" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      g AS (SELECT doc_id,
+              unnest([struct_pack(pos := i,
+                       gram := array_to_string(toks[i:i+5], ' '))
+                      for i in generate_series(1, len(toks) - 5)],
+                     recursive := true)
+            FROM w),
+      d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+      b AS (SELECT doc_id, pos,
+              CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        IS NULL
+                   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        > 6
+                   THEN 1 ELSE 0 END AS brk
+            FROM m),
+      isl AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM b)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + 6 - min(pos) AS BIGINT) AS span_len,
+             count(*) AS n_windows
+      FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
+
+    // the corpus rewrite: tokens inside any duplicated span dropped,
+    // order preserved; documents without spans byte-identical, fully-
+    // covered documents come back empty (left join + coalesce)
+    "q151_substring_scrub" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      g AS (SELECT doc_id,
+              unnest([struct_pack(pos := i,
+                       gram := array_to_string(toks[i:i+5], ' '))
+                      for i in generate_series(1, len(toks) - 5)],
+                     recursive := true)
+            FROM w),
+      d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+      b AS (SELECT doc_id, pos,
+              CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        IS NULL
+                   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        > 6
+                   THEN 1 ELSE 0 END AS brk
+            FROM m),
+      isl AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM b),
+      sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+             FROM isl GROUP BY doc_id, grp),
+      tok AS (SELECT doc_id,
+                unnest([struct_pack(pos := i, tok := toks[i])
+                        for i in generate_series(1, len(toks))],
+                       recursive := true)
+              FROM w),
+      kept AS (SELECT t.doc_id, t.pos, t.tok
+               FROM tok t
+               WHERE NOT EXISTS (SELECT 1 FROM sp
+                                 WHERE sp.doc_id = t.doc_id
+                                   AND t.pos BETWEEN sp.s AND sp.e)),
+      agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct
+              FROM kept GROUP BY doc_id),
+      rm AS (SELECT doc_id, sum(e - s + 1) AS nr FROM sp GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(agg.ct, '') AS clean_text,
+             CAST(coalesce(rm.nr, 0) AS BIGINT) AS n_removed
+      FROM documents d
+      LEFT JOIN agg ON agg.doc_id = d.doc_id
+      LEFT JOIN rm ON rm.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
+
+    // largest-remainder apportionment replayed in SQL (weights are
+    // exact binary fractions: every product/floor/remainder is exact,
+    // so the two engines' quota math is bit-identical), then the same
+    // md5-priority rank per length bucket
+    "q152_mixture_sample" -> """
+      WITH dom AS (SELECT doc_id,
+                     CASE WHEN n_chars < 250 THEN 'short'
+                          WHEN n_chars < 400 THEN 'mid'
+                          ELSE 'long' END AS bucket
+                   FROM documents),
+      wt(bucket, w) AS (VALUES ('short', 0.5), ('mid', 0.3125),
+                               ('long', 0.1875)),
+      ws AS (SELECT sum(w) AS s FROM wt),
+      ex AS (SELECT bucket, 97 * w / s AS ex FROM wt, ws),
+      fl AS (SELECT bucket, floor(ex) AS b, ex - floor(ex) AS rem FROM ex),
+      rk AS (SELECT bucket, b,
+               row_number() OVER (ORDER BY rem DESC, bucket) AS r FROM fl),
+      lf AS (SELECT 97 - sum(b) AS l FROM fl),
+      quota AS (SELECT bucket,
+                  b + CASE WHEN r <= l THEN 1 ELSE 0 END AS quota
+                FROM rk, lf),
+      ranked AS (SELECT doc_id, bucket,
+                   row_number() OVER (PARTITION BY bucket
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS prk
+                 FROM dom)
+      SELECT bucket, doc_id
+      FROM ranked JOIN quota USING (bucket)
+      WHERE prk <= quota ORDER BY bucket, doc_id""",
+
+    // the same length buckets + TTR, threshold = exact interpolated
+    // 0.4-quantile per bucket (quantile_cont = Spark percentile)
+    "q153_quantile_gate" -> """
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+      dom AS (SELECT doc_id,
+                CASE WHEN n_chars < 250 THEN 'short'
+                     WHEN n_chars < 400 THEN 'mid'
+                     ELSE 'long' END AS bucket
+              FROM documents),
+      ttr AS (SELECT doc_id, count(DISTINCT word) * 1.0 / count(*) AS ttr
+              FROM t GROUP BY doc_id),
+      j AS (SELECT dom.doc_id, bucket, ttr
+            FROM dom JOIN ttr USING (doc_id)),
+      thr AS (SELECT bucket, quantile_cont(ttr, 0.4) AS th
+              FROM j GROUP BY bucket)
+      SELECT bucket, doc_id, floor(ttr*10000 + 0.5)/10000 AS ttr
+      FROM j JOIN thr USING (bucket)
+      WHERE ttr >= th ORDER BY bucket, doc_id"""
   )
 }

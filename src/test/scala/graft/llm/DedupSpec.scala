@@ -174,4 +174,132 @@ class DedupSpec extends AnyFunSuite {
     val recall = truth.keys.count(cands.contains).toDouble / truth.size
     assert(recall < 0.5, s"wide-band recall unexpectedly high: $recall")
   }
+
+  // ---- exact substring dedup (duplicateSpans / scrubDuplicateSpans) ----
+
+  /** Brute-force reference: mark every k-window start whose gram occurs
+    * >= 2 times corpus-wide, chain starts with gap <= k into islands,
+    * report (id, span_start, span_len, n_windows). */
+  private def oracleSpans(docs: Seq[(Long, String)],
+                          k: Int): Set[(Long, Long, Long, Long)] = {
+    val grams = docs.flatMap { case (id, t) =>
+      val w = t.split(" ", -1)
+      (0 to w.length - k).map(i => (id, i + 1, w.slice(i, i + k).mkString(" ")))
+    }
+    val counts = grams.groupBy(_._3).map { case (g, occ) => (g, occ.size) }
+    val marked = grams.filter(g => counts(g._3) >= 2)
+      .groupBy(_._1).map { case (id, occ) => (id, occ.map(_._2).sorted) }
+    marked.toSeq.flatMap { case (id, ps) =>
+      val islands = ps.foldLeft(List.empty[List[Int]]) { (acc, p) =>
+        acc match {
+          case (h @ (last :: _)) :: t if p - last <= k => (p :: h) :: t
+          case _ => List(p) :: acc
+        }
+      }
+      islands.map { isl =>
+        val s = isl.min; val e = isl.max + k - 1
+        (id, s.toLong, (e - s + 1).toLong, isl.size.toLong)
+      }
+    }.toSet
+  }
+
+  private def spansOf(df: org.apache.spark.sql.DataFrame, k: Int) =
+    Dedup.duplicateSpans(df, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+  test("duplicateSpans: cross-doc shared run merges overlapping windows") {
+    val d = Seq(
+      (1L, "x1 x2 common one two three four x3"),
+      (2L, "y1 common one two three four y2 y3 y4"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+    // k=3: shared 5-token run "common one two three four" → starts chain
+    val got = spansOf(d, 3)
+    assert(got == Set((1L, 3L, 5L, 3L), (2L, 2L, 5L, 3L)), got)
+    assert(got == oracleSpans(
+      Seq((1L, "x1 x2 common one two three four x3"),
+        (2L, "y1 common one two three four y2 y3 y4"),
+        (3L, "z1 z2 z3 z4 z5 z6 z7 z8")), 3))
+  }
+
+  test("duplicateSpans: within-doc repetition counts as duplication") {
+    val d = Seq((1L, "a b c pad1 pad2 pad3 pad4 a b c")).toDF("doc_id", "text")
+    // "a b c" occurs twice IN THE SAME doc: starts 1 and 8, gap 7 > k=3
+    // → two separate spans
+    val got = spansOf(d, 3)
+    assert(got == Set((1L, 1L, 3L, 1L), (1L, 8L, 3L, 1L)), got)
+  }
+
+  test("duplicateSpans: starts with gap <= k merge (contiguous coverage)") {
+    // doc 1 repeats "a b c" at starts 1 and 4 (gap 3 = k): coverage
+    // [1,3] ∪ [4,6] is contiguous → ONE span of 6; doc 2 supplies the
+    // second occurrence so the gram is corpus-duplicated
+    val d = Seq(
+      (1L, "a b c a b c tail1 tail2"),
+      (2L, "pre a b c post1 post2 post3")).toDF("doc_id", "text")
+    val got = spansOf(d, 3)
+    // duplicated starts are 1 and 4 ("a b c"; the straddling grams
+    // "b c a"/"c a b" are unique) — gap 3 = k chains them into ONE span
+    assert(got.contains((1L, 1L, 6L, 2L)), got)
+    assert(got == oracleSpans(Seq(
+      (1L, "a b c a b c tail1 tail2"),
+      (2L, "pre a b c post1 post2 post3")), 3), got)
+  }
+
+  test("duplicateSpans: docs shorter than k and empty docs yield nothing") {
+    val d = Seq((1L, "a b"), (2L, ""), (3L, "a b"))
+      .toDF("doc_id", "text")
+    assert(spansOf(d, 3).isEmpty)
+  }
+
+  test("duplicateSpans: seeded random corpus matches brute-force oracle") {
+    val rng = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val corpus = (1L to 40L).map(id =>
+      (id, Seq.fill(6 + rng.nextInt(15))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" ")))
+    for (k <- Seq(2, 3, 4)) {
+      val got = spansOf(corpus.toDF("doc_id", "text"), k)
+      assert(got == oracleSpans(corpus, k), s"k=$k")
+    }
+  }
+
+  test("duplicateSpans plan: no cartesian, gram frequency partial-aggs") {
+    val d = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val p = Dedup.duplicateSpans(d, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial count"), p)
+  }
+
+  test("scrubDuplicateSpans: removes spans, keeps clean docs byte-identical") {
+    val d = Seq(
+      (1L, "x1 x2 common one two three four x3"),
+      (2L, "y1 common one two three four y2 y3 y4"),
+      (3L, "z1  z2 z3"), // double space survives verbatim (no spans)
+      (4L, "")).toDF("doc_id", "text")
+    val got = Dedup.scrubDuplicateSpans(d, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toMap2
+    assert(got(1L) == ("x1 x2 x3", 5L), got)
+    assert(got(2L) == ("y1 y2 y3 y4", 5L), got)
+    assert(got(3L) == ("z1  z2 z3", 0L), got)
+    assert(got(4L) == ("", 0L), got)
+  }
+
+  test("scrubDuplicateSpans: fully-duplicated doc comes back empty") {
+    val d = Seq(
+      (1L, "a b c"),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.scrubDuplicateSpans(d, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toMap2
+    assert(got(1L) == ("", 3L) && got(2L) == ("", 3L), got)
+  }
+
+  implicit private class RowsToMap(
+      rows: Array[(Long, String, Long)]) {
+    def toMap2: Map[Long, (String, Long)] =
+      rows.map { case (id, t, n) => (id, (t, n)) }.toMap
+  }
 }
