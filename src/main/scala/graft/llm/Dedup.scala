@@ -326,12 +326,23 @@ object Dedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int): DataFrame = {
     require(k >= 1, "duplicateSpans: k must be >= 1")
+    // frequency + semi-join move an 8-byte hash of the gram, not the
+    // k-token gram string itself — the hash is INTERNAL (the output is
+    // (id, pos) spans; the oracle recomputes duplication on strings),
+    // so the cheap codegen'd xxhash64 applies rather than the md5 path
+    // the oracle-replayed hashes need. Same 64-bit collision-safety
+    // trade as every hashed dedup path in this file. Measured at
+    // sf0.1: parity with shuffling the strings (shuffle bytes aren't
+    // the bottleneck at that size) and ~1 s faster than an md5+conv
+    // key (string hex parsing bill); kept because the ~5×-narrower
+    // shuffle is what matters when the gram stream is TBs.
     val grams = positionalShingles(df, idCol, textCol, k)
-    val dup = grams.groupBy(col("shingle"))
+      .select(col(idCol), col("pos"), xxhash64(col("shingle")).as("_k"))
+    val dup = grams.groupBy(col("_k"))
       .agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= 2)
-      .select(col("shingle"))
-    val marked = grams.join(dup, Seq("shingle"), "left_semi")
+      .select(col("_k"))
+    val marked = grams.join(dup, Seq("_k"), "left_semi")
       .select(col(idCol), col("pos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))

@@ -125,6 +125,25 @@ class ScaleSpec extends AnyFunSuite {
       s"driver heap grew ${heapGrowth}MB — results are leaking to the driver")
   }
 
+  scaleTest("exact substring dedup scales linearly-ish from n to 10n docs") {
+    // q150 shape: positional k-gram windows → gram-frequency shuffle →
+    // island merge. The zipfian head makes individual WORDS hot but
+    // 6-gram WINDOWS mostly unique except in the 20% near-dup copies —
+    // exactly the duplicated-span structure the operator hunts. The
+    // quadratic to catch: anything that pairs occurrences per gram
+    // (the frequency count must stay an aggregate, never a self-join).
+    def spans(docs: DataFrame): Long =
+      Dedup.duplicateSpans(docs, "doc_id", "text", k = 6).count()
+    spans(corpus(500)) // warm-up untimed
+    val (nS, tS) = timed(spans(corpus(small)))
+    val (nB, tB) = timed(spans(corpus(big)))
+    info(f"substring-spans: n=$small -> $nS in $tS%.1fs; " +
+      f"n=$big -> $nB in $tB%.1fs (ratio ${tB / tS}%.1fx)")
+    assert(nB > nS, "bigger corpus found fewer duplicate spans")
+    assert(tB <= tS * 30 + 10,
+      f"substring-spans: $tB%.1fs at 10x data vs $tS%.1fs — super-linear")
+  }
+
   scaleTest("semantic dedup stays linear-ish when centroids scale with n") {
     // SemDeDup's pairwise pass is quadratic WITHIN a cell, so the scale
     // contract is nCentroids ∝ n (cell occupancy stays constant). Run
