@@ -357,6 +357,91 @@ final class GraftTable(spark: SparkSession, dir: String,
     finally { cached.unpersist(); () }
   }
 
+  /** [[requireDisjoint]] then append via the N-way parallel bulk path
+    * (one atomic tx, many writer tasks) — [[validatedAppend]] for loads
+    * too big for the single-task tx writer. */
+  private def validatedAppendBulk(ops: DataFrame, systemTime: Timestamp,
+                                  partitions: Int): Long = {
+    val cached = ops.cache()
+    try {
+      requireDisjoint(cached)
+      appended(log.appendBulk(cached, systemTime, partitions))
+    } finally { cached.unpersist(); () }
+  }
+
+  /** The payload column names this table was opened with. */
+  def payloadColumns: Seq[String] = payloadCols
+
+  /** Column → type map the log already knows (base ∪ tail schemas —
+    * the log may be truncated by [[vacuumLog]], in which case the base
+    * remembers the types the departed tx files established). The
+    * source of truth for null-filling omitted INSERT columns and for
+    * typing text ingest ([[copyFrom]]); empty where the log is empty. */
+  private def knownLogTypes(): Map[String, org.apache.spark.sql.types.DataType] = {
+    def schemaOf(df: => DataFrame) =
+      scala.util.Try(df.schema).toOption
+        .map(sc => sc.fields.map(f => f.name -> f.dataType).toMap)
+        .getOrElse(Map.empty[String, org.apache.spark.sql.types.DataType])
+    schemaOf(log.readBase(spark)) ++ schemaOf(log.read(spark))
+  }
+
+  /** Bulk TEXT ingest — the landing for pgwire `COPY ... FROM STDIN`
+    * (and any row-oriented text feed): rows of cells (null = SQL NULL)
+    * under an explicit column list become ONE atomic put transaction
+    * via the parallel [[TxLog.appendBulk]] path, validated by the same
+    * no-overlap check as SQL INSERT.
+    *
+    * Typing: cells cast to the types the log already knows (ANSI mode —
+    * malformed text fails the COPY rather than silently nulling);
+    * `_id` defaults to long and `_valid_from`/`_valid_to` to timestamp
+    * when the log is fresh; payload columns the log has NEVER seen
+    * ingest as strings (the schemaless document model: the first
+    * writer pins a column's type, and a text loader that guessed types
+    * would pin them wrong). Omitted payload columns null-fill exactly
+    * like subset INSERT.
+    *
+    * Scale note: rows arrive as a driver-side collection because the
+    * wire protocol funnels through one socket — this is the
+    * moderate-load path. TB-scale loads should read files
+    * executor-side and go through [[put]]/[[TxLog.appendBulk]]. */
+  def copyFrom(cols: Seq[String], rows: Seq[Seq[String]],
+               systemTime: Timestamp, partitions: Int = 0): Long = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+    val bad = cols.filterNot(c =>
+      c == "_id" || c == "_valid_from" || c == "_valid_to" ||
+        payloadCols.contains(c))
+    require(bad.isEmpty, s"unknown COPY columns: ${bad.mkString(", ")}")
+    require(cols.contains("_id"), "COPY column list must contain _id")
+    require(rows.forall(_.length == cols.length),
+      s"COPY row with ${rows.find(_.length != cols.length).get.length} " +
+        s"cells; expected ${cols.length}")
+    val known = knownLogTypes()
+    val missing = payloadCols.filterNot(cols.contains)
+    val untyped = missing.filterNot(known.contains)
+    require(untyped.isEmpty,
+      "COPY omits payload column(s) the log has never seen " +
+        s"(no type to null-fill): ${untyped.mkString(", ")}")
+    val jrows = new java.util.ArrayList[org.apache.spark.sql.Row](rows.size)
+    rows.foreach(r => jrows.add(org.apache.spark.sql.Row.fromSeq(r)))
+    val stringDf = spark.createDataFrame(jrows,
+      StructType(cols.map(StructField(_, StringType))))
+    val typed = stringDf.select(cols.map { c =>
+      val t = c match {
+        case "_id" => known.getOrElse(c, LongType)
+        case "_valid_from" | "_valid_to" => TimestampType
+        case other => known.getOrElse(other, StringType)
+      }
+      col(c).cast(t).as(c)
+    }: _*)
+    val vf = if (cols.contains("_valid_from")) col("_valid_from")
+             else lit(systemTime)
+    val vt = if (cols.contains("_valid_to")) Some(col("_valid_to")) else None
+    val ops = TxOps.put(typed, col("_id"), vf, vt, payloadCols.map { c =>
+      c -> (if (cols.contains(c)) col(c) else lit(null).cast(known(c)))
+    })
+    validatedAppendBulk(ops, systemTime, partitions)
+  }
+
   /** Enforce the fold's no-overlap invariant BEFORE the tx is
     * acknowledged: two ops of one transaction must not write
     * overlapping valid intervals of one `_id` (all ops share one
@@ -423,13 +508,7 @@ final class GraftTable(spark: SparkSession, dir: String,
         val knownTypes: Map[String, org.apache.spark.sql.types.DataType] =
           if (missing.isEmpty) Map.empty
           else {
-            // the log may be truncated ([[vacuumLog]]); the base then
-            // remembers the types the departed tx files established
-            def schemaOf(df: => DataFrame) =
-              scala.util.Try(df.schema).toOption
-                .map(sc => sc.fields.map(f => f.name -> f.dataType).toMap)
-                .getOrElse(Map.empty[String, org.apache.spark.sql.types.DataType])
-            val known = schemaOf(log.readBase(spark)) ++ schemaOf(log.read(spark))
+            val known = knownLogTypes()
             val untyped = missing.filterNot(known.contains)
             require(untyped.isEmpty,
               "INSERT omits payload column(s) the log has never seen " +

@@ -188,7 +188,7 @@ object GraftPgWire {
         case 'Q' =>
           st.errored = false
           val sql = cString(body)
-          runSimpleQuery(spark, out, sql)
+          runSimpleQuery(spark, in, out, sql)
           readyForQuery(out)
         case 'X' => return // Terminate
         case 'S' => // Sync: end of extended batch
@@ -449,11 +449,24 @@ object GraftPgWire {
     * (queries interleaved with DML) runs statement-by-statement and is
     * not atomic — the engine's log has no rollback; clients needing
     * all-or-nothing DML send DML-only batches. */
-  private def runSimpleQuery(spark: SparkSession, out: DataOutputStream,
-                             sql: String): Unit = {
+  private def runSimpleQuery(spark: SparkSession, in: DataInputStream,
+                             out: DataOutputStream, sql: String): Unit = {
     val statements = splitStatements(sql)
     if (statements.isEmpty) {
       send(out, 'I', _ => ()) // EmptyQueryResponse
+      return
+    }
+    if (statements.exists(s => firstKeyword(s) == "COPY")) {
+      // COPY switches the connection into its own sub-protocol — a
+      // sibling statement in the same Query would race the data stream
+      if (statements.length > 1) {
+        sendError(out, "0A000", "COPY must be the only statement in a query")
+        return
+      }
+      try runCopy(spark, in, out, statements.head)
+      catch {
+        case e: Throwable => sendError(out, sqlState(e), errMessage(e))
+      }
       return
     }
     if (statements.length > 1 && statements.forall(isDml)) {
@@ -471,6 +484,183 @@ object GraftPgWire {
           return // abort batch
       }
     }
+  }
+
+  // ---- COPY FROM STDIN (text format) ---------------------------------
+
+  private val copyRe = java.util.regex.Pattern.compile(
+    "^\\s*COPY\\s+(\\w+)\\s*(?:\\(([^)]*)\\))?\\s+FROM\\s+STDIN\\s*;?\\s*$",
+    java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
+
+  private val copyOutRe = java.util.regex.Pattern.compile(
+    "^\\s*COPY\\s+(?:(\\w+)|\\((.+)\\))\\s+TO\\s+STDOUT\\s*;?\\s*$",
+    java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
+
+  private def runCopy(spark: SparkSession, in: DataInputStream,
+                      out: DataOutputStream, stmt: String): Unit =
+    if (copyRe.matcher(stmt).matches()) runCopyIn(spark, in, out, stmt)
+    else if (copyOutRe.matcher(stmt).matches()) runCopyOut(spark, out, stmt)
+    else throw new IllegalArgumentException(
+      "unsupported COPY form; use COPY <table> [(col, ...)] FROM STDIN " +
+        "or COPY <table | (query)> TO STDOUT")
+
+  /** `COPY <table | (query)> TO STDOUT` — the export half `psql \\copy
+    * ... to <file>` speaks: CopyOutResponse, one CopyData frame per row
+    * in COPY text format (same escaping [[parseCopyText]] accepts, so a
+    * COPY TO feeds a COPY FROM byte-for-byte), CopyDone + `COPY n`.
+    * The table form reads the registered graft table's current state
+    * through the session parser (same resolution as any SELECT); rows
+    * render executor-side and stream partition-at-a-time. */
+  private def runCopyOut(spark: SparkSession, out: DataOutputStream,
+                         stmt: String): Unit = {
+    val m = copyOutRe.matcher(stmt)
+    require(m.matches(), "copy-out form")
+    val query = Option(m.group(2)).getOrElse(s"SELECT * FROM ${m.group(1)}")
+    val df = spark.sql(query)
+    val width = df.schema.length
+    send(out, 'H', b => { // CopyOutResponse: text, per-column text
+      b.writeByte(0)
+      b.writeShort(width)
+      (0 until width).foreach(_ => b.writeShort(0))
+    })
+    val it = textProjection(df).toLocalIterator()
+    var n = 0L
+    while (it.hasNext) {
+      val row = it.next()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < width) {
+        if (i > 0) sb.append('\t')
+        if (row.isNullAt(i)) sb.append("\\N")
+        else sb.append(copyEscape(row.getString(i)))
+        i += 1
+      }
+      sb.append('\n')
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeByte('d'); out.writeInt(4 + bytes.length); out.write(bytes)
+      n += 1
+    }
+    send(out, 'c', _ => ()) // CopyDone
+    send(out, 'C', b => writeCString(b, s"COPY $n"))
+  }
+
+  /** COPY text escaping — the inverse of [[parseCopyText]]'s unescape. */
+  private def copyEscape(s: String): String = {
+    var i = 0; var needs = false
+    while (i < s.length && !needs) {
+      val c = s.charAt(i)
+      needs = c == '\\' || c == '\t' || c == '\n' || c == '\r'
+      i += 1
+    }
+    if (!needs) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length + 8)
+      var j = 0
+      while (j < s.length) {
+        s.charAt(j) match {
+          case '\\' => sb.append("\\\\")
+          case '\t' => sb.append("\\t")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case c => sb.append(c)
+        }
+        j += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** `COPY <table> [(cols)] FROM STDIN` — the Postgres bulk-load flow
+    * stock `psql \copy` speaks: CopyInResponse, stream of CopyData
+    * frames in COPY text format (tab-separated, `\N` = NULL, backslash
+    * escapes, optional `\.` terminator line), CopyDone → ONE atomic
+    * graft transaction through [[graft.GraftTable.copyFrom]]'s parallel
+    * bulk append (same no-overlap validation as SQL INSERT). CopyFail
+    * aborts with the client's message; nothing is written. Binary
+    * format and COPY TO are not offered (text is what `\copy` sends by
+    * default, and reads already stream through every query path). */
+  private def runCopyIn(spark: SparkSession, in: DataInputStream,
+                        out: DataOutputStream, stmt: String): Unit = {
+    val m = copyRe.matcher(stmt)
+    if (!m.matches())
+      throw new IllegalArgumentException(
+        "unsupported COPY form; use: COPY <table> [(col, ...)] FROM STDIN")
+    val tableName = m.group(1)
+    val table = GraftServer.registered.getOrElse(tableName,
+      GraftServer.registered.collectFirst {
+        case (n, t) if n.equalsIgnoreCase(tableName) => t
+      }.getOrElse(throw new NoSuchElementException(
+        s"relation '$tableName' is not a registered graft table")))
+    val cols = Option(m.group(2))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse("_id" +: table.payloadColumns)
+    send(out, 'G', b => { // CopyInResponse: text format, per-column text
+      b.writeByte(0)
+      b.writeShort(cols.size)
+      cols.foreach(_ => b.writeShort(0))
+    })
+    out.flush()
+    val buf = new java.io.ByteArrayOutputStream()
+    var done = false
+    var fail: Option[String] = None
+    while (!done) {
+      val tpe = in.read()
+      if (tpe < 0) throw new EOFException("client closed during COPY")
+      val len = in.readInt()
+      require(len >= 4 && len < (1 << 30), s"pgwire: bad message length $len")
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      tpe.toChar match {
+        case 'd' => buf.write(body) // CopyData — frames may split rows
+        case 'c' => done = true // CopyDone
+        case 'f' => fail = Some(cString(body)); done = true // CopyFail
+        case 'H' | 'S' => // Flush/Sync mid-copy: pg ignores these
+        case other =>
+          fail = Some(s"unexpected message '$other' during COPY"); done = true
+      }
+    }
+    fail match {
+      case Some(msg) =>
+        sendError(out, "57014", s"COPY from stdin failed: $msg")
+      case None =>
+        val rows = parseCopyText(
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+        val n = rows.length
+        table.copyFrom(cols, rows,
+          new java.sql.Timestamp(System.currentTimeMillis()))
+        send(out, 'C', b => writeCString(b, s"COPY $n"))
+    }
+  }
+
+  /** COPY text format: newline-separated rows, tab-separated cells,
+    * `\N` = NULL, a lone `\.` line terminates (pre-v3 compat — psql
+    * still sends it), backslash escapes per the Postgres spec. */
+  private[graft] def parseCopyText(text: String): Seq[Seq[String]] = {
+    def unescape(cell: String): String = {
+      val sb = new java.lang.StringBuilder(cell.length)
+      var i = 0
+      while (i < cell.length) {
+        val ch = cell.charAt(i)
+        if (ch == '\\' && i + 1 < cell.length) {
+          cell.charAt(i + 1) match {
+            case 'b' => sb.append('\b'); case 'f' => sb.append('\f')
+            case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
+            case 't' => sb.append('\t'); case 'v' => sb.append(11.toChar)
+            case '\\' => sb.append('\\')
+            case other => sb.append(other) // \X → X, incl. \" and digits
+          }
+          i += 2
+        } else { sb.append(ch); i += 1 }
+      }
+      sb.toString
+    }
+    text.split("\n", -1).iterator
+      .map(l => if (l.endsWith("\r")) l.dropRight(1) else l)
+      .takeWhile(_ != "\\.")
+      .filter(_.nonEmpty)
+      .map(_.split("\t", -1).toSeq
+        .map(c => if (c == "\\N") null else unescape(c)))
+      .toSeq
   }
 
   private[graft] def splitStatements(sql: String): Seq[String] = {
@@ -602,6 +792,7 @@ object GraftPgWire {
   private def sqlState(e: Throwable): String = e match {
     case _: ParseException => "42601" // syntax_error
     case _: AnalysisException => "42P01" // undefined object / analysis
+    case _: NoSuchElementException => "42P01" // undefined_table (COPY)
     case _: IllegalArgumentException => "22023" // invalid parameter
     case _: UnsupportedOperationException => "0A000"
     case _ => "XX000" // internal_error

@@ -114,6 +114,34 @@ class GraftPgWireSpec extends AnyFunSuite {
       sock.close()
     }
 
+    // ---- COPY sub-protocol client ----
+
+    /** Send the COPY query; return the FIRST response message —
+      * CopyInResponse ('G') on success, ErrorResponse ('E') otherwise
+      * (caller then drains to ReadyForQuery). */
+    def copyStart(sql: String): Msg = {
+      val bytes = sql.getBytes(UTF_8)
+      out.writeByte('Q')
+      out.writeInt(4 + bytes.length + 1)
+      out.write(bytes); out.writeByte(0)
+      out.flush()
+      readMsg()
+    }
+    def copyData(chunk: Array[Byte]): Unit = {
+      out.writeByte('d'); out.writeInt(4 + chunk.length); out.write(chunk)
+    }
+    def copyDone(): Seq[Msg] = {
+      out.writeByte('c'); out.writeInt(4); out.flush()
+      readUntilReady()
+    }
+    def copyFail(reason: String): Seq[Msg] = {
+      val b = reason.getBytes(UTF_8)
+      out.writeByte('f'); out.writeInt(4 + b.length + 1)
+      out.write(b); out.writeByte(0); out.flush()
+      readUntilReady()
+    }
+    def drainUntilReady(): Seq[Msg] = readUntilReady()
+
     private def readMsg(): Msg = {
       val tpe = in.read()
       assert(tpe >= 0, "server closed connection unexpectedly")
@@ -421,6 +449,154 @@ class GraftPgWireSpec extends AnyFunSuite {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
     }
+  }
+
+  test("pgwire COPY FROM STDIN: bulk load, nulls/escapes, fail, errors") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-pgwire-copy-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val dir = java.nio.file.Files.createTempDirectory("graft_pgcopy").toString
+    val table = new graft.GraftTable(spark, dir, Seq("bal", "note"))
+    GraftServer.register("pgcopy", table)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_pgfresh").toString
+    GraftServer.register("pgfresh",
+      new graft.GraftTable(spark, dir2, Seq("note")))
+    val handle = GraftPgWire.start(spark, port = 0)
+    try {
+      val c = new PgClient(handle.port)
+      assert(c.sslProbe() == 'N')
+      c.startup("user" -> "tester", "database" -> "graft")
+
+      // seed types through DML so COPY text casts to double/string
+      c.query("INSERT INTO pgcopy (_id, bal, note) VALUES (1, 1.5D, 'seed')")
+
+      // explicit columns; CopyInResponse must declare text + 3 columns
+      val g = c.copyStart("COPY pgcopy (_id, bal, note) FROM STDIN")
+      assert(g.tpe == 'G', s"expected CopyInResponse, got ${g.tpe}")
+      val gin = new DataInputStream(new java.io.ByteArrayInputStream(g.body))
+      assert(gin.readByte() == 0) // overall format: text
+      assert(gin.readShort() == 3)
+      assert((0 until 3).forall(_ => gin.readShort() == 0))
+      // two rows; the frame boundary splits row 2 mid-cell, row 2 has a
+      // NULL bal and an escaped tab + backslash in note; \. terminates
+      c.copyData("2\t200.5\thello\n3\t\\N\twor".getBytes(UTF_8))
+      c.copyData("ld a\\tb c\\\\d\n\\.\n".getBytes(UTF_8))
+      val doneMsgs = c.copyDone()
+      val tag = Wire.cstr(new DataInputStream(new java.io.ByteArrayInputStream(
+        doneMsgs.find(_.tpe == 'C').get.body)))
+      assert(tag == "COPY 2", tag)
+
+      // rows landed typed: bal renders as a double (oid 701), the
+      // escapes decoded, NULL preserved
+      val sel = c.query(
+        "SELECT _id, bal, note FROM pgcopy WHERE _id >= 2 ORDER BY _id")
+      val desc = Wire.rowDesc(sel.find(_.tpe == 'T').get.body)
+      // bal typed double (701), note text (25) — proves the COPY text
+      // cells cast to the types the seed INSERT established
+      assert(desc(1)._2 == 701 && desc(2)._2 == 25, desc)
+      val rows = sel.filter(_.tpe == 'D').map(m => Wire.dataRow(m.body))
+      assert(rows == Seq(
+        Seq(Some("2"), Some("200.5"), Some("hello")),
+        Seq(Some("3"), None, Some("world a\tb c\\d"))), rows)
+
+      // no column list → (_id ++ payloadColumns) order
+      val g2 = c.copyStart("COPY pgcopy FROM STDIN")
+      assert(g2.tpe == 'G')
+      c.copyData("4\t4.25\tdefaults\n".getBytes(UTF_8))
+      c.copyDone()
+      val sel2 = c.query("SELECT bal, note FROM pgcopy WHERE _id = 4")
+      assert(Wire.dataRow(sel2.find(_.tpe == 'D').get.body) ==
+        Seq(Some("4.25"), Some("defaults")))
+
+      // CopyFail: server answers 57014 and writes NOTHING
+      val g3 = c.copyStart("COPY pgcopy (_id, bal, note) FROM STDIN")
+      assert(g3.tpe == 'G')
+      c.copyData("9\t9.0\tghost\n".getBytes(UTF_8))
+      val failMsgs = c.copyFail("client changed its mind")
+      val err = Wire.errFields(failMsgs.find(_.tpe == 'E').get.body)
+      assert(err('C') == "57014", err)
+      assert(err('M').contains("changed its mind"))
+      val ghost = c.query("SELECT count(*) AS n FROM pgcopy WHERE _id = 9")
+      assert(Wire.dataRow(ghost.find(_.tpe == 'D').get.body) == Seq(Some("0")))
+
+      // fresh table, no prior types: payload ingests as text
+      val g4 = c.copyStart("COPY pgfresh (_id, note) FROM STDIN")
+      assert(g4.tpe == 'G')
+      c.copyData("1\tplain text\n".getBytes(UTF_8))
+      c.copyDone()
+      val self = c.query("SELECT note FROM pgfresh WHERE _id = 1")
+      assert(Wire.dataRow(self.find(_.tpe == 'D').get.body) ==
+        Seq(Some("plain text")))
+
+      // unknown table → 42P01 before any CopyInResponse
+      val g5 = c.copyStart("COPY nosuch (_id) FROM STDIN")
+      assert(g5.tpe == 'E')
+      assert(Wire.errFields(g5.body)('C') == "42P01")
+      c.drainUntilReady()
+
+      // bad cast inside the data → error, connection stays usable
+      val g6 = c.copyStart("COPY pgcopy (_id, bal, note) FROM STDIN")
+      assert(g6.tpe == 'G')
+      c.copyData("5\tnot_a_number\tx\n".getBytes(UTF_8))
+      val badMsgs = c.copyDone()
+      assert(badMsgs.exists(_.tpe == 'E'), badMsgs.map(_.tpe))
+      val after = c.query("SELECT count(*) AS n FROM pgcopy WHERE _id = 5")
+      assert(Wire.dataRow(after.find(_.tpe == 'D').get.body) == Seq(Some("0")))
+
+      // COPY must be alone in a Query batch
+      val mixed = c.query("SELECT 1; COPY pgcopy (_id) FROM STDIN")
+      assert(Wire.errFields(mixed.find(_.tpe == 'E').get.body)('C') == "0A000")
+
+      // COPY TO STDOUT: CopyOutResponse + CopyData frames whose text is
+      // byte-for-byte what COPY FROM accepts (escapes, \N) + CopyDone
+      val exp = c.query("COPY (SELECT _id, bal, note FROM pgcopy " +
+        "WHERE _id IN (2, 3) ORDER BY _id) TO STDOUT")
+      val h = exp.find(_.tpe == 'H').get
+      val hin = new DataInputStream(new java.io.ByteArrayInputStream(h.body))
+      assert(hin.readByte() == 0 && hin.readShort() == 3)
+      val text = exp.filter(_.tpe == 'd')
+        .map(m => new String(m.body, UTF_8)).mkString
+      assert(text == "2\t200.5\thello\n3\t\\N\tworld a\\tb c\\\\d\n", text)
+      assert(exp.exists(_.tpe == 'c')) // CopyDone
+      assert(Wire.cstr(new DataInputStream(new java.io.ByteArrayInputStream(
+        exp.find(_.tpe == 'C').get.body))) == "COPY 2")
+      // round-trip: the exported text parses back to the same cells
+      assert(GraftPgWire.parseCopyText(text) == Seq(
+        Seq("2", "200.5", "hello"),
+        Seq("3", null, "world a\tb c\\d")))
+
+      // table form exports the current state through the session parser
+      val expT = c.query("COPY pgfresh TO STDOUT")
+      assert(expT.exists(_.tpe == 'H') && expT.count(_.tpe == 'd') == 1)
+
+      c.terminate()
+    } finally {
+      handle.stop()
+      GraftServer.unregister("pgcopy")
+      GraftServer.unregister("pgfresh")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  test("parseCopyText: escapes, nulls, terminator, crlf") {
+    val rows = GraftPgWire.parseCopyText(
+      "1\ta\\tb\t\\N\r\n2\tc\\\\d\te\n\\.\nignored\n")
+    assert(rows == Seq(
+      Seq("1", "a\tb", null),
+      Seq("2", "c\\d", "e")), rows)
+    assert(GraftPgWire.parseCopyText("").isEmpty)
+    assert(GraftPgWire.parseCopyText("\\.\n").isEmpty)
   }
 
   test("substituteParams: escaping, NULL, masked spans, range check") {
