@@ -226,4 +226,53 @@ object TextStats {
       .withColumn("n_tok",
         size(split(col("chunk_text"), " ")).cast("long"))
   }
+
+  /** Content-defined chunking — the Rabin/rolling-hash boundary rule
+    * storage dedup and dedup-friendly splitters use: a chunk boundary
+    * falls wherever the hash of the n-token window starting at a
+    * position is ≡ 0 (mod `divisor`), so boundaries are decided by
+    * CONTENT. An edit near the top of a document shifts only its own
+    * chunk, and every later chunk re-synchronizes to identical
+    * fingerprints — the resync property fixed-stride chunking lacks
+    * (spec-asserted), which is what makes chunk-level dedup across
+    * near-identical documents work. Expected chunk length ≈ divisor
+    * window starts.
+    *
+    * Chunks are islands of window starts between boundaries (a
+    * boundary at start p closes the chunk through p). `n_tokens`
+    * spans min start … max start + n − 1 — adjacent chunks share the
+    * n−1 seam tokens, the shingled-coverage view a fingerprint needs.
+    * `chunk_fp` = md5 of the chunk's token span (the dedup key).
+    *
+    * Scale shape: one window pass + one aggregation, both partitioned
+    * by document; the fingerprint join back to the token array is a
+    * per-id equi-join. Hashes are md5-derived → oracle-replayable. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                n: Int = 3, divisor: Int = 16): DataFrame = {
+    require(n >= 1, "cdcChunks: n must be >= 1")
+    require(divisor >= 2, "cdcChunks: divisor must be >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val chunks = Dedup.positionalShingles(df, idCol, textCol, n)
+      .withColumn("_h",
+        conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"))
+      .withColumn("_b",
+        (pmod(col("_h"), lit(divisor.toLong)) === 0).cast("int"))
+      .withColumn("_idx", coalesce(
+        sum(col("_b")).over(w.rowsBetween(Long.MinValue, -1)), lit(0)))
+      .groupBy(col(idCol), col("_idx"))
+      .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("_end"),
+        count(lit(1)).cast("long").as("n_windows"))
+    chunks
+      .join(df.select(col(idCol), split(col(textCol), " ").as("_toks")),
+        Seq(idCol))
+      .select(col(idCol),
+        col("_idx").cast("long").as("chunk_idx"),
+        col("start_pos").cast("long").as("start_pos"),
+        col("n_windows"),
+        (col("_end") - col("start_pos") + n).cast("long").as("n_tokens"),
+        md5(array_join(slice(col("_toks"), col("start_pos").cast("int"),
+          (col("_end") - col("start_pos") + n).cast("int")), " "))
+          .as("chunk_fp"))
+  }
 }

@@ -853,6 +853,15 @@ object Llm {
           q = 0.4)
         .select($"bucket", $"doc_id", r($"ttr", 4).as("ttr"))
         .orderBy("bucket", "doc_id")
+    }),
+
+    // content-defined chunking: rolling-hash boundaries (3-token window
+    // hash ≡ 0 mod 16) → chunks that RESYNC across edits, with md5
+    // fingerprints — the dedup-friendly splitter, vs q127's fixed stride
+    "q154_cdc_chunks" -> ((s, dir) => {
+      TextStats.cdcChunks(T(s, dir, "documents"), "doc_id", "text",
+          n = 3, divisor = 16)
+        .orderBy("doc_id", "chunk_idx")
     })
   )
 
@@ -2194,6 +2203,38 @@ object Llm {
               FROM j GROUP BY bucket)
       SELECT bucket, doc_id, floor(ttr*10000 + 0.5)/10000 AS ttr
       FROM j JOIN thr USING (bucket)
-      WHERE ttr >= th ORDER BY bucket, doc_id"""
+      WHERE ttr >= th ORDER BY bucket, doc_id""",
+
+    // same rolling-hash boundary rule: 32-bit md5 prefix of each
+    // 3-token window, boundary when ≡ 0 mod 16, chunk index = count of
+    // boundaries strictly before the window start
+    "q154_cdc_chunks" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      g AS (SELECT doc_id,
+              unnest([struct_pack(pos := i,
+                       h := CAST(concat('0x', substring(md5(
+                              array_to_string(toks[i:i+2], ' ')), 1, 8))
+                            AS BIGINT))
+                      for i in generate_series(1, len(toks) - 2)],
+                     recursive := true)
+            FROM w),
+      b AS (SELECT doc_id, pos,
+              CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END AS bf FROM g),
+      cix AS (SELECT doc_id, pos,
+                coalesce(sum(bf) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cidx
+              FROM b),
+      ch AS (SELECT doc_id, cidx, min(pos) AS s, max(pos) AS e,
+               count(*) AS nw
+             FROM cix GROUP BY doc_id, cidx)
+      SELECT ch.doc_id, CAST(cidx AS BIGINT) AS chunk_idx,
+             CAST(s AS BIGINT) AS start_pos,
+             CAST(nw AS BIGINT) AS n_windows,
+             CAST(e - s + 3 AS BIGINT) AS n_tokens,
+             md5(array_to_string(toks[s:e+2], ' ')) AS chunk_fp
+      FROM ch JOIN w ON w.doc_id = ch.doc_id
+      ORDER BY ch.doc_id, chunk_idx"""
   )
 }
