@@ -545,7 +545,7 @@ object GraftPgWire {
   }
 
   /** COPY text escaping — the inverse of [[parseCopyText]]'s unescape. */
-  private def copyEscape(s: String): String = {
+  private[graft] def copyEscape(s: String): String = {
     var i = 0; var needs = false
     while (i < s.length && !needs) {
       val c = s.charAt(i)

@@ -56,6 +56,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q150-q154 (substring dedup / mixture / CDC): no cartesian; blocking shapes") {
+    Seq("q150_substring_spans", "q151_substring_scrub",
+        "q152_mixture_sample", "q153_quantile_gate",
+        "q154_cdc_chunks").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+    // the duplicated-gram set comes back as a SEMI join on the hash key
+    // (an inner join would duplicate marked positions per occurrence)
+    assert(plan("q150_substring_spans").contains("LeftSemi"),
+      plan("q150_substring_spans"))
+    // the ≤|domains|-row quota relation broadcasts
+    assert(plan("q152_mixture_sample").contains("BroadcastHashJoin"),
+      plan("q152_mixture_sample"))
+  }
+
   test("q01 (scan): column pruning — only requested columns in ReadSchema") {
     val df = SparkEntry.queries("q01_scan")(spark, dir)
     val p = df.queryExecution.executedPlan.toString

@@ -589,6 +589,22 @@ class GraftPgWireSpec extends AnyFunSuite {
     }
   }
 
+  test("COPY text round-trip property: escape → parse = identity") {
+    // adversarial cells: every escape-relevant char, the \N lookalike,
+    // multi-byte text — encode rows the way COPY TO does and assert
+    // COPY FROM's parser recovers the exact cells
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(3, Gen.listOfN(8, Gen.oneOf(
+      'a', 'ü', '\\', '\t', '\n', '\r', 'N', '.', ' ')).map(_.mkString))
+    (0 until 500).foreach { i =>
+      val cells = gen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val encoded = cells.map(GraftPgWire.copyEscape).mkString("\t") + "\n"
+      assert(GraftPgWire.parseCopyText(encoded) == Seq(cells),
+        s"seed $i: $cells")
+    }
+  }
+
   test("parseCopyText: escapes, nulls, terminator, crlf") {
     val rows = GraftPgWire.parseCopyText(
       "1\ta\\tb\t\\N\r\n2\tc\\\\d\te\n\\.\nignored\n")
