@@ -90,6 +90,20 @@ final class GraftTable(spark: SparkSession, dir: String,
     * fixed valid-time basis (system = latest) — see
     * [[graft.bitemporal.Matview]]: `refresh()` folds only the log tail,
     * state rewrites only the hash buckets whose groups changed. */
+  /** Incrementally-maintained JOIN aggregate view: this table as the
+    * FACT side joined to `dim` on `fkCol = dim._id`, COUNT/SUM per
+    * `groupCol` (a payload column of either table) at the fixed basis
+    * `validAt` — the Δ(A⋈B) IVM rules over both tx logs' tails; see
+    * [[graft.bitemporal.JoinMatview]] for semantics and cost model. */
+  def joinMatview(name: String, dim: GraftTable, fkCol: String,
+                  groupCol: String, sumCols: Seq[String],
+                  validAt: Timestamp,
+                  nBuckets: Int = 64): graft.bitemporal.JoinMatview =
+    new graft.bitemporal.JoinMatview(spark, log, payloadCols,
+      dim.log, dim.payloadColumns,
+      java.nio.file.Paths.get(dir, "join_matview", name),
+      fkCol, groupCol, sumCols, validAt, nBuckets)
+
   def matview(name: String, groupCol: String, sumCols: Seq[String],
               validAt: Timestamp, nBuckets: Int = 32,
               minCols: Seq[String] = Nil,

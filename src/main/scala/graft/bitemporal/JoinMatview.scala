@@ -1,0 +1,259 @@
+package graft.bitemporal
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained JOIN aggregate view over TWO bitemporal tx
+  * logs — COUNT/SUM per group of `fact ⋈ dim ON fact.fk = dim._id` at a
+  * fixed bitemporal basis, kept current from the two logs' TAILS by the
+  * classic join-IVM delta rules:
+  *
+  *   Δ(A ⋈ B) = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
+  *
+  * expressed here with the bitemporal twist that "Δ per table" is
+  * (visible contribution after) − (visible contribution before) for
+  * the rows the tail touches — and for a join, "touched" propagates
+  * across the join edge: a fact row is affected when ITS OWN id has
+  * tail ops OR its fk references a dim id with tail ops (the dim-side
+  * group-move case: updating one dim row re-groups every fact that
+  * points at it, with no fact op at all).
+  *
+  * Cost model (the honest 100 TB statement):
+  *   - fact-side refresh work ∝ tail ops + fact rows referencing
+  *     touched dim ids. The latter is a pushed `fk IN (touched dims)`
+  *     semi-join over the fact relation — sargable when the fact base
+  *     is fk-clustered (Z-order or sort by fk at compaction), a full
+  *     fact scan when not; either way never a full recompute of the
+  *     view, and dim churn is typically tiny;
+  *   - dim-side work ∝ one dim relation scan (dims are the small side
+  *     by construction — AQE broadcasts them into the join);
+  *   - state writes ∝ touched groups (hash-bucketed, only affected
+  *     buckets rewritten — temp-write + per-bucket directory swap,
+  *     same as [[Matview]]);
+  *   - the only data-dependent collect is the affected bucket ids
+  *     (≤ nBuckets longs).
+  *
+  * MIN/MAX are not offered on join views (not self-maintainable under
+  * either table's deletes; the single-table [[Matview]] documents the
+  * group re-read fallback — the same approach would work here but the
+  * re-read crosses the join, so it is left out rather than hidden).
+  * Exact-typed sum columns (integral/DECIMAL) give bit parity with a
+  * from-scratch recompute, as with [[Matview]].
+  *
+  * Truncation of EITHER log permanently switches refresh to the exact
+  * rebuild-from-state path (incremental deltas need full op history
+  * for touched ids), mirroring [[Matview]]'s retention tradeoff.
+  */
+final class JoinMatview private[graft] (
+    spark: SparkSession,
+    factLog: TxLog, factCols: Seq[String],
+    dimLog: TxLog, dimCols: Seq[String],
+    stateRoot: Path, fkCol: String, groupCol: String, sumCols: Seq[String],
+    validAt: Timestamp, nBuckets: Int) {
+  require(factCols.contains(fkCol), s"fk column $fkCol must be a fact payload column")
+  require(sumCols.forall(factCols.contains),
+    s"sum columns $sumCols must be fact payload columns $factCols")
+  require(factCols.contains(groupCol) || dimCols.contains(groupCol),
+    s"group column $groupCol must be a payload column of either table")
+  require((factCols.toSet & dimCols.toSet).isEmpty,
+    s"fact/dim payload names must be disjoint: ${factCols.toSet & dimCols.toSet}")
+  require(nBuckets > 0, "nBuckets must be positive")
+
+  private val dataDir = stateRoot.resolve("state")
+  private val wmFile = stateRoot.resolve("_watermark")
+  private val sysProbe = Timestamp.valueOf("9998-01-01 00:00:00")
+
+  /** (fact, dim) tx watermarks folded into the state; (-1, -1) fresh. */
+  def watermarks: (Long, Long) =
+    if (Files.exists(wmFile)) {
+      val parts = new String(Files.readAllBytes(wmFile), UTF_8).trim
+        .split(" ")
+      (parts(0).toLong, parts(1).toLong)
+    } else (-1L, -1L)
+
+  private def setWatermarks(a: Long, b: Long): Unit = {
+    Files.createDirectories(stateRoot)
+    val tmp = stateRoot.resolve("_watermark.tmp")
+    Files.write(tmp, s"$a $b".getBytes(UTF_8))
+    Files.move(tmp, wmFile,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  private def sumAlias(c: String) = s"sum_$c"
+
+  private def bucketCol =
+    pmod(xxhash64(coalesce(col(groupCol).cast("string"),
+      lit("\\u0000:null-group"))), lit(nBuckets.toLong))
+
+  private def readTx(files: Seq[Path]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(files.map(_.toString): _*)
+
+  private def lastOf(log: TxLog): Long =
+    (log.txFiles().map(_.getFileName.toString
+      .stripPrefix("tx_").stripSuffix(".parquet").toLong) ++
+      log.truncatedUpTo()).maxOption.getOrElse(-1L)
+
+  /** Visible rows of one side at the basis, projected to the columns
+    * the join needs (side-tagged id, so the join has no name clash). */
+  private def project(v: DataFrame, idAs: String,
+                      keep: Seq[String]): DataFrame =
+    v.select(col("_id").cast("long").as(idAs) +: keep.map(col): _*)
+
+  private def visibleFact: DataFrame =
+    Bitemporal.asOf(factLog.readAllAuto(spark, factCols),
+      lit(validAt), lit(sysProbe))
+  private def visibleDim: DataFrame =
+    Bitemporal.asOf(dimLog.readAllAuto(spark, dimCols),
+      lit(validAt), lit(sysProbe))
+
+  private def factKeep: Seq[String] =
+    (Seq(fkCol) ++ sumCols ++ (if (factCols.contains(groupCol)) Seq(groupCol) else Nil)).distinct
+  private def dimKeep: Seq[String] =
+    if (dimCols.contains(groupCol)) Seq(groupCol) else Nil
+
+  /** fact ⋈ dim on fk = dim id, then the per-group COUNT/SUM. */
+  private def joinAgg(fact: DataFrame, dim: DataFrame): DataFrame =
+    fact.join(dim, col(fkCol).cast("long") === col("_dim_id"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sumCols.map(c => sum(col(c)).as(sumAlias(c))): _*)
+
+  /** Exact full recompute → state (first build, or after truncation of
+    * either log). Same temp-write + swap as [[Matview]]. */
+  private def rebuild(lastA: Long, lastB: Long): (Long, Long) = {
+    val agg = joinAgg(project(visibleFact, "_fact_id", factKeep),
+        project(visibleDim, "_dim_id", dimKeep))
+      .withColumn("_bucket", bucketCol)
+    val tmp = stateRoot.resolve("state_rebuild_tmp")
+    TxLog.deleteRecursively(tmp.toFile)
+    agg.repartition(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(tmp.toString)
+    val old = stateRoot.resolve("state_rebuild_old")
+    TxLog.deleteRecursively(old.toFile)
+    if (Files.exists(dataDir)) { Files.move(dataDir, old): Unit }
+    Files.move(tmp, dataDir): Unit
+    TxLog.deleteRecursively(old.toFile)
+    setWatermarks(lastA, lastB)
+    (lastA, lastB)
+  }
+
+  /** Fold both logs' tails into the state; returns the new watermarks. */
+  def refresh(): (Long, Long) = {
+    val (wA, wB) = watermarks
+    val (lastA, lastB) = (lastOf(factLog), lastOf(dimLog))
+    if (lastA <= wA && lastB <= wB) return (wA, wB)
+    // the view first builds once BOTH logs hold data (an inner join
+    // with an empty side is empty — nothing to materialize yet)
+    if (lastA < 0 || lastB < 0) return (wA, wB)
+    if (factLog.truncatedUpTo().isDefined || dimLog.truncatedUpTo().isDefined ||
+      wA < 0 || !Files.exists(dataDir))
+      return rebuild(lastA, lastB)
+
+    // touched ids per side (tail-sized)
+    val ta = if (lastA > wA)
+      readTx(factLog.txFilesAfter(wA))
+        .select(col("_id").cast("long").as("_t_id")).distinct()
+    else spark.range(0).select(col("id").as("_t_id"))
+    val tb = if (lastB > wB)
+      readTx(dimLog.txFilesAfter(wB))
+        .select(col("_id").cast("long").as("_t_id")).distinct()
+    else spark.range(0).select(col("id").as("_t_id"))
+
+    // OLD visible rows of the touched ids: re-fold their own op history
+    // up to the watermark (the same point-read shape Matview uses)
+    def oldTouched(log: TxLog, cols: Seq[String], touched: DataFrame,
+                   w: Long): DataFrame = {
+      val all = readTx(log.txFiles())
+      val hist = all.join(touched,
+        all("_id").cast("long") === touched("_t_id"), "left_semi")
+      Bitemporal.asOf(Bitemporal.fold(hist.filter(col("_tx_id") <= w), cols),
+        lit(validAt), lit(sysProbe))
+    }
+    def semiOn(df: DataFrame, key: Column, ids: DataFrame): DataFrame =
+      df.join(ids, key === ids("_t_id"), "left_semi")
+    def antiOn(df: DataFrame, key: Column, ids: DataFrame): DataFrame =
+      df.join(ids, key === ids("_t_id"), "left_anti")
+
+    val vaNew = project(visibleFact, "_fact_id", factKeep)
+    val vbNew = project(visibleDim, "_dim_id", dimKeep)
+    val vaOldT = project(oldTouched(factLog, factCols, ta, wA),
+      "_fact_id", factKeep)
+    // dim OLD relation: untouched dims unchanged; touched dims re-folded
+    val vbOld = antiOn(vbNew, col("_dim_id"), tb)
+      .unionByName(project(oldTouched(dimLog, dimCols, tb, wB),
+        "_dim_id", dimKeep))
+
+    // affected fact rows: own id touched, or fk references a touched dim
+    val affNew = semiOn(vaNew, col("_fact_id"), ta)
+      .unionByName(semiOn(antiOn(vaNew, col("_fact_id"), ta),
+        col(fkCol).cast("long"), tb))
+    val affOld = vaOldT // own id touched: every old version is affected
+      .unionByName(semiOn(antiOn(vaNew, col("_fact_id"), ta),
+        col(fkCol).cast("long"), tb))
+
+    val newC = joinAgg(affNew, vbNew)
+    val oldC = joinAgg(affOld, vbOld)
+    // the state's sum types are pinned to the plain aggregate's types:
+    // uncapped, each merge's +/- widens decimal precision by one until
+    // the parquet byte width no longer matches older bucket files
+    // (FIXED_LEN_BYTE_ARRAY grows at p=23 and p=26) and reads fail
+    val sumT: Map[String, org.apache.spark.sql.types.DataType] =
+      sumCols.map(c => sumAlias(c) ->
+        newC.schema(sumAlias(c)).dataType).toMap
+    val o = oldC.as("o"); val nw = newC.as("n")
+    val delta = nw.join(o, col(s"n.$groupCol") <=> col(s"o.$groupCol"),
+        "full_outer")
+      .select(
+        coalesce(col(s"n.$groupCol"), col(s"o.$groupCol")).as(groupCol) +:
+          (coalesce(col("n.n"), lit(0L)) - coalesce(col("o.n"), lit(0L)))
+            .as("n") +:
+          sumCols.map { c =>
+            val a = sumAlias(c)
+            (coalesce(col(s"n.$a"), lit(0)) - coalesce(col(s"o.$a"), lit(0)))
+              .cast(sumT(a)).as(a)
+          }: _*)
+      .withColumn("_bucket", bucketCol)
+    val affected: Seq[Long] =
+      delta.select(col("_bucket")).distinct().collect().map(_.getLong(0)).toSeq
+    if (affected.isEmpty) { setWatermarks(lastA, lastB); return (lastA, lastB) }
+
+    val state = spark.read.parquet(dataDir.toString)
+      .filter(col("_bucket").isin(affected: _*))
+    val s = state.as("s"); val d = delta.as("d")
+    val merged = s.join(d, col(s"s.$groupCol") <=> col(s"d.$groupCol"),
+        "full_outer")
+      .select(
+        coalesce(col(s"s.$groupCol"), col(s"d.$groupCol")).as(groupCol) +:
+          (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+            .as("n") +:
+          sumCols.map { c =>
+            val a = sumAlias(c)
+            (coalesce(col(s"s.$a"), lit(0)) + coalesce(col(s"d.$a"), lit(0)))
+              .cast(sumT(a)).as(a)
+          } :+
+          coalesce(col("s._bucket"), col("d._bucket")).as("_bucket"): _*)
+      .filter(col("n") > 0) // group left the join entirely
+    val tmp = stateRoot.resolve("state_tmp")
+    TxLog.deleteRecursively(tmp.toFile)
+    merged.repartition(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(tmp.toString)
+    affected.foreach { b =>
+      val name = s"_bucket=$b"
+      val dst = dataDir.resolve(name)
+      TxLog.deleteRecursively(dst.toFile)
+      val src = tmp.resolve(name)
+      if (Files.exists(src)) { Files.move(src, dst): Unit }
+    }
+    TxLog.deleteRecursively(tmp.toFile)
+    setWatermarks(lastA, lastB)
+    (lastA, lastB)
+  }
+
+  /** The maintained view: (group, n, sum_*) — read-only, no recompute. */
+  def read(): DataFrame =
+    spark.read.parquet(dataDir.toString).drop("_bucket")
+}

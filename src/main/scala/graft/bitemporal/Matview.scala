@@ -184,6 +184,14 @@ final class Matview private[graft] (
     }
     val oldC = contrib(hist.filter(col("_tx_id") <= w))
     val newC = contrib(hist)
+    // sum types pinned to the plain aggregate's: uncapped, each delta/
+    // merge +/- widens decimal precision by one per refresh until the
+    // parquet FIXED_LEN byte width diverges from older bucket files
+    // (grows at p=24) and state reads fail — regression-tested by
+    // MatviewSpec's many-refresh test
+    val sumT: Map[String, org.apache.spark.sql.types.DataType] =
+      sumCols.map(c => sumAlias(c) ->
+        newC.schema(sumAlias(c)).dataType).toMap
     // delta per group: new minus old, null-safe on the group key
     val o = oldC.as("o")
     val nw = newC.as("n")
@@ -194,7 +202,8 @@ final class Matview private[graft] (
           (coalesce(col("n.n"), lit(0L)) - coalesce(col("o.n"), lit(0L))).as("n") +:
           sumCols.map { c =>
             val a = sumAlias(c)
-            (coalesce(col(s"n.$a"), lit(0)) - coalesce(col(s"o.$a"), lit(0))).as(a)
+            (coalesce(col(s"n.$a"), lit(0)) - coalesce(col(s"o.$a"), lit(0)))
+              .cast(sumT(a)).as(a)
           }: _*)
       .withColumn("_bucket", bucketCol)
     // ≤ nBuckets longs — the only data-dependent collect in a refresh
@@ -213,7 +222,8 @@ final class Matview private[graft] (
           (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n") +:
           (sumCols.map { c =>
             val a = sumAlias(c)
-            (coalesce(col(s"s.$a"), lit(0)) + coalesce(col(s"d.$a"), lit(0))).as(a)
+            (coalesce(col(s"s.$a"), lit(0)) + coalesce(col(s"d.$a"), lit(0)))
+              .cast(sumT(a)).as(a)
           } ++
             // state's min/max ride along for groups in an affected
             // bucket that this refresh does NOT touch (null for brand

@@ -134,6 +134,52 @@ object Bitemp {
         .orderBy("grp")
     }),
 
+    // JOIN matview (r7): orders ⋈ customers grouped by the CUSTOMER's
+    // region — maintained incrementally from BOTH logs' tails by the
+    // Δ(A⋈B) rules. The second refresh folds a fact tail (price bump +
+    // deletes) AND a dim tail (every 10th customer relocates — its
+    // orders re-group with zero fact ops, the join-IVM case)
+    "q155_join_matview" -> ((s, dir) => {
+      import s.implicits._
+      val base = new java.io.File(dir).getName
+      val ftmp = s"target/jmv_f_$base"; val dtmp = s"target/jmv_d_$base"
+      TxLog.deleteRecursively(new java.io.File(ftmp))
+      TxLog.deleteRecursively(new java.io.File(dtmp))
+      val fact = new GraftTable(s, ftmp, Seq("cust", "amt"))
+      val dim = new GraftTable(s, dtmp, Seq("region"))
+      def ts(x: String) = java.sql.Timestamp.valueOf(x)
+      val cust = T(s, dir, "customer").select($"c_custkey".as("id"),
+        $"c_nationkey".cast("string").as("rg"))
+      val ord = T(s, dir, "orders").select($"o_orderkey".as("id"),
+        $"o_custkey".cast("long").as("ck"),
+        $"o_totalprice".cast("decimal(14,2)").as("m"))
+      val mv = fact.joinMatview("by_region", dim, "cust", "region",
+        Seq("amt"), ts("2030-01-01 00:00:00"), nBuckets = 16)
+      dim.put(cust, $"id", lit("2000-01-01").cast("timestamp"), None,
+        Seq("region" -> $"rg"), ts("2020-01-01 00:00:00"))
+      fact.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+        Seq("cust" -> $"ck", "amt" -> $"m"), ts("2020-01-01 00:00:01"))
+      mv.refresh()
+      // fact tail: +50 on every 20th order, delete every 31st
+      fact.put(ord.filter($"id" % 20 === 0)
+          .withColumn("m2", ($"m" + 50).cast("decimal(14,2)")),
+        $"id", lit("2000-06-01").cast("timestamp"), None,
+        Seq("cust" -> $"ck", "amt" -> $"m2"), ts("2020-01-02 00:00:00"))
+      fact.delete(ord.filter($"id" % 31 === 0), $"id",
+        lit("2000-01-01").cast("timestamp"), None,
+        Seq("cust" -> lit(null).cast("long"),
+          "amt" -> lit(null).cast("decimal(14,2)")),
+        ts("2020-01-02 00:00:01"))
+      // dim tail: group move — every 10th customer relocates to '99'
+      dim.put(cust.filter($"id" % 10 === 0).withColumn("rg2", lit("99")),
+        $"id", lit("2000-01-01").cast("timestamp"), None,
+        Seq("region" -> $"rg2"), ts("2020-01-02 00:00:02"))
+      mv.refresh()
+      mv.read()
+        .select($"region", $"n", $"sum_amt".cast("double").as("sum_amt"))
+        .orderBy("region")
+    }),
+
     // valid-time temporal join (SQL:2011 shape): order "activity"
     // intervals [orderdate, +60d) joined with lineitem shipping
     // intervals [shipdate, receiptdate) on the order key — overlap
@@ -587,6 +633,24 @@ object Bitemp {
              CAST(min(bal) AS DOUBLE) AS min_bal,
              CAST(max(bal) AS DOUBLE) AS max_bal
       FROM eff GROUP BY grp ORDER BY grp""",
+
+    // from-scratch recompute of the join view's final state: effective
+    // customer regions (group move applied) joined to effective orders
+    // (price bump applied, deletes removed)
+    "q155_join_matview" -> """
+      WITH cd AS (SELECT c_custkey AS k,
+                    CASE WHEN c_custkey % 10 = 0 THEN '99'
+                         ELSE CAST(c_nationkey AS VARCHAR) END AS region
+                  FROM customer),
+      oe AS (SELECT o_custkey AS ck,
+                    CASE WHEN o_orderkey % 20 = 0
+                         THEN CAST(o_totalprice AS DECIMAL(14,2)) + 50
+                         ELSE CAST(o_totalprice AS DECIMAL(14,2)) END AS amt
+             FROM orders WHERE o_orderkey % 31 <> 0)
+      SELECT region, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(amt) AS DOUBLE) AS sum_amt
+      FROM oe JOIN cd ON oe.ck = cd.k
+      GROUP BY region ORDER BY region""",
 
     // same algebra as q85 minus the erase: update-then-delete over the
     // insert snapshot (the predicates are disjoint, so one-tx snapshot

@@ -1,0 +1,191 @@
+package graft.bitemporal
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftTable, TestSpark}
+
+/** Join-IVM parity: every refresh of the fact⋈dim aggregate view must
+  * land on exactly the state a from-scratch recompute of the join
+  * would produce — including the case with NO fact ops at all (a dim
+  * group-move re-groups every referencing fact), which is the part
+  * single-table IVM can't express. */
+class JoinMatviewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val validAt = ts("2030-01-01 00:00:00")
+  private val sysProbe = ts("9998-01-01 00:00:00")
+  private var sysTick = 0
+  private def sys(): Timestamp = { sysTick += 1; ts(f"2020-01-01 00:00:$sysTick%02d") }
+
+  private def fresh(): (GraftTable, GraftTable, String) = {
+    val fdir = java.nio.file.Files.createTempDirectory("graft_jmv_f").toString
+    val ddir = java.nio.file.Files.createTempDirectory("graft_jmv_d").toString
+    (new GraftTable(spark, fdir, Seq("cust", "amt")),
+      new GraftTable(spark, ddir, Seq("region")), fdir)
+  }
+
+  /** Ground truth: full recompute of the join view from both tables. */
+  private def recompute(fact: GraftTable, dim: GraftTable)
+      : Map[String, (Long, java.math.BigDecimal)] = {
+    val vf = Bitemporal.asOf(fact.rectangles(), lit(validAt), lit(sysProbe))
+      .select($"cust", $"amt")
+    val vd = Bitemporal.asOf(dim.rectangles(), lit(validAt), lit(sysProbe))
+      .select($"_id".cast("long").as("_did"), $"region")
+    vf.join(vd, $"cust".cast("long") === $"_did")
+      .groupBy($"region").agg(count(lit(1)).as("n"), sum($"amt").as("s"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2)))
+      .toMap
+  }
+
+  private def viewState(mv: JoinMatview): Map[String, (Long, java.math.BigDecimal)] =
+    mv.read().collect()
+      .map(r => (r.getString(r.fieldIndex("region")),
+        (r.getLong(r.fieldIndex("n")),
+          r.getDecimal(r.fieldIndex("sum_amt")))))
+      .toMap
+
+  private def assertParity(mv: JoinMatview, fact: GraftTable,
+                           dim: GraftTable): Unit = {
+    val want = recompute(fact, dim)
+    val got = viewState(mv)
+    assert(got.keySet == want.keySet, s"groups: $got vs $want")
+    want.foreach { case (g, (n, s)) =>
+      val (gn, gs) = got(g)
+      assert(gn == n, s"group $g count: $gn != $n")
+      assert(gs.compareTo(s) == 0, s"group $g sum: $gs != $s")
+    }
+  }
+
+  private def putDims(dim: GraftTable, rows: Seq[(Long, String)]): Unit =
+    dim.put(rows.toDF("id", "rg"), $"id",
+      lit("2000-01-01").cast("timestamp"), None,
+      Seq("region" -> $"rg"), sys()): Unit
+
+  private def putFacts(fact: GraftTable,
+                       rows: Seq[(Long, Long, String)]): Unit =
+    fact.put(rows.toDF("id", "c", "m"), $"id",
+      lit("2000-01-01").cast("timestamp"), None,
+      Seq("cust" -> $"c", "amt" -> $"m".cast("decimal(12,2)")), sys()): Unit
+
+  test("join view parity: fact ops, dim group-move, deletes, both tails") {
+    val (fact, dim, _) = fresh()
+    val mv = fact.joinMatview("by_region", dim, "cust", "region",
+      Seq("amt"), validAt, nBuckets = 8)
+
+    putDims(dim, Seq((1L, "east"), (2L, "east"), (3L, "west")))
+    putFacts(fact, Seq((10L, 1L, "10.00"), (11L, 1L, "20.00"),
+      (12L, 2L, "5.50"), (13L, 3L, "7.25")))
+    mv.refresh()
+    assertParity(mv, fact, dim)
+
+    // fact-only tail: insert + value update + delete
+    putFacts(fact, Seq((14L, 3L, "100.00"))) // new fact
+    putFacts(fact, Seq((10L, 1L, "11.00"))) // update amt
+    fact.delete(Seq(12L).toDF("id"), $"id",
+      lit("2000-01-01").cast("timestamp"), None,
+      Seq("cust" -> lit(null).cast("long"),
+        "amt" -> lit(null).cast("decimal(12,2)")), sys())
+    mv.refresh()
+    assertParity(mv, fact, dim)
+
+    // dim-only tail: GROUP MOVE — dim 1 relocates east → west; facts
+    // 10/11 re-group with zero fact ops (the join-IVM case)
+    putDims(dim, Seq((1L, "west")))
+    mv.refresh()
+    assertParity(mv, fact, dim)
+    assert(viewState(mv)("west")._1 == 4L, viewState(mv))
+
+    // dim delete: inner join drops dim 2's facts from the view
+    dim.delete(Seq(2L).toDF("id"), $"id",
+      lit("2000-01-01").cast("timestamp"), None,
+      Seq("region" -> lit(null).cast("string")), sys())
+    mv.refresh()
+    assertParity(mv, fact, dim)
+
+    // BOTH tails in one refresh: new dim + facts referencing it + a
+    // second group move back
+    putDims(dim, Seq((4L, "north"), (1L, "east")))
+    putFacts(fact, Seq((15L, 4L, "1.25"), (16L, 4L, "2.75")))
+    mv.refresh()
+    assertParity(mv, fact, dim)
+    assert(viewState(mv)("north") == ((2L, new java.math.BigDecimal("4.00"))))
+
+    // fact erase (history removal) folds through refresh too
+    fact.erase(Seq(13L).toDF("id"), $"id",
+      Seq("cust" -> lit(null).cast("long"),
+        "amt" -> lit(null).cast("decimal(12,2)")), sys())
+    mv.refresh()
+    assertParity(mv, fact, dim)
+
+    // no-op refresh: watermarks already current
+    val w = mv.watermarks
+    assert(mv.refresh() == w)
+  }
+
+  test("incrementality: a refresh touching one group rewrites only its bucket") {
+    val (fact, dim, fdir) = fresh()
+    // many groups so they land in distinct buckets
+    val n = 24
+    putDims(dim, (1L to n.toLong).map(i => (i, s"r$i")))
+    putFacts(fact, (1L to n.toLong).map(i => (100 + i, i, "10.00")))
+    val mv = fact.joinMatview("by_region", dim, "cust", "region",
+      Seq("amt"), validAt, nBuckets = 16)
+    mv.refresh()
+
+    // bucket dirs live under the fact table's dir/join_matview/<name>/state
+    val stateDir = new java.io.File(s"$fdir/join_matview/by_region/state")
+    def bucketMtimes(): Map[String, Long] =
+      stateDir.listFiles().filter(_.getName.startsWith("_bucket="))
+        .flatMap(d => d.listFiles().map(f =>
+          s"${d.getName}/${f.getName}" -> f.lastModified())).toMap
+
+    val before = bucketMtimes()
+    Thread.sleep(1100) // parquet mtime granularity
+    putFacts(fact, Seq((999L, 1L, "5.00"))) // touches group r1 only
+    mv.refresh()
+    val after = bucketMtimes()
+    assertParity(mv, fact, dim)
+    // a rewritten bucket swaps in files with NEW names: changed = any
+    // key added, removed, or re-timestamped, in either direction
+    val changed = (after.keySet ++ before.keySet).filter(k =>
+      before.get(k) != after.get(k))
+    val changedBuckets = changed.map(_.split("/")(0))
+    assert(changedBuckets.size <= 2, s"buckets rewritten: $changedBuckets")
+    val untouched = before.keySet -- changed
+    assert(untouched.nonEmpty, "some buckets must survive untouched")
+    untouched.foreach(k => assert(before(k) == after(k)))
+  }
+
+  test("restart recovers watermarks; truncation switches to exact rebuild") {
+    val (fact, dim, _) = fresh()
+    putDims(dim, Seq((1L, "east"), (2L, "west")))
+    putFacts(fact, Seq((10L, 1L, "10.00"), (11L, 2L, "20.00")))
+    val mv = fact.joinMatview("jv", dim, "cust", "region",
+      Seq("amt"), validAt, nBuckets = 4)
+    mv.refresh()
+    assertParity(mv, fact, dim)
+
+    // fresh instance over the same state dir: watermarks recovered,
+    // refresh is a no-op, read serves
+    val mv2 = fact.joinMatview("jv", dim, "cust", "region",
+      Seq("amt"), validAt, nBuckets = 4)
+    assert(mv2.watermarks == mv.watermarks)
+    assertParity(mv2, fact, dim)
+
+    // vacuum the FACT log (compact + truncate): the incremental delta
+    // can no longer see touched ids' history → refresh must take the
+    // exact rebuild path and still land on parity
+    putFacts(fact, Seq((12L, 1L, "1.00")))
+    fact.compact()
+    fact.vacuumLog()
+    putFacts(fact, Seq((13L, 2L, "2.00")))
+    mv2.refresh()
+    assertParity(mv2, fact, dim)
+  }
+}

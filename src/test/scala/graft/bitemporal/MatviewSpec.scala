@@ -235,4 +235,24 @@ class MatviewSpec extends AnyFunSuite {
     drain()
     assert(viewState(mv) == before)
   }
+
+  test("many refreshes keep the state's decimal type fixed (no widening)") {
+    // regression: delta/merge +/- used to widen decimal precision by
+    // one per refresh; once the parquet FIXED_LEN byte width crossed a
+    // boundary (p=24), reading older bucket files against the wider
+    // inferred schema failed. Ten refreshes on ONE group cross every
+    // boundary if widening recurs.
+    val (t, _) = freshTable()
+    val mv = t.matview("tight", "grp", Seq("amt"), validAt, nBuckets = 2)
+    (1 to 10).foreach { i =>
+      t.put(Seq((i.toLong, "g", f"$i%d.00")).toDF("id", "g", "m"),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "amt" -> $"m".cast("decimal(12,2)")),
+        ts(f"2024-01-01 00:00:$i%02d"))
+      mv.refresh()
+      assertParity(mv, t)
+    }
+    val dt = mv.read().schema("sum_amt").dataType
+    assert(dt == org.apache.spark.sql.types.DecimalType(22, 2), dt.toString)
+  }
 }
