@@ -232,6 +232,31 @@ object Streaming {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** Continuous maintenance of a JOIN matview: new tx files in EITHER
+    * log trigger a refresh. Only the arrival SIGNAL is consumed (each
+    * log stream projects to one literal column so the union never
+    * fights over schemas) — `refresh()` re-derives everything from the
+    * logs themselves and is watermark-exact, so duplicate triggers,
+    * batches that straddle both logs, and restarts never double-count
+    * (same argument as [[maintainMatview]]; join parity is proven in
+    * JoinMatviewSpec, trigger/restart behavior in its streaming test). */
+  def maintainJoinMatview(spark: SparkSession,
+                          factDir: String, factSchema: StructType,
+                          dimDir: String, dimSchema: StructType,
+                          view: graft.bitemporal.JoinMatview,
+                          checkpoint: Option[String] = None,
+                          availableNow: Boolean = false): StreamingQuery = {
+    val ticks = txLogStream(spark, factDir, factSchema)
+      .select(lit(1).as("_tick"))
+      .unionByName(txLogStream(spark, dimDir, dimSchema)
+        .select(lit(1).as("_tick")))
+    val w = ticks.writeStream.foreachBatch { (_: DataFrame, _: Long) =>
+      view.refresh(); ()
+    }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** SQL confs for DURABLE keyed state: the RocksDB state store keeps
     * each operator's state off-heap and snapshots it to the query's
     * CHECKPOINT location, so a restarted query resumes with its

@@ -162,6 +162,50 @@ class JoinMatviewSpec extends AnyFunSuite {
     untouched.foreach(k => assert(before(k) == after(k)))
   }
 
+  test("continuous maintenance: EITHER log's new txs trigger refresh to parity") {
+    val (fact, dim, fdir) = fresh()
+    val ddir = {
+      // dim's dir isn't returned by fresh(); recover it from the log
+      // files the put below creates — simpler: make a dedicated pair
+      java.nio.file.Files.createTempDirectory("graft_jmv_d2").toString
+    }
+    val dim2 = new GraftTable(spark, ddir, Seq("region"))
+    putDims(dim2, Seq((1L, "east"), (2L, "west")))
+    putFacts(fact, Seq((10L, 1L, "10.00"), (11L, 2L, "20.00")))
+    val mv = fact.joinMatview("live", dim2, "cust", "region",
+      Seq("amt"), validAt, nBuckets = 4)
+    val fSchema = spark.read.option("mergeSchema", "true")
+      .parquet(s"$fdir/log/tx_*").schema
+    val dSchema = spark.read.option("mergeSchema", "true")
+      .parquet(s"$ddir/log/tx_*").schema
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_jmv_ckpt").toString
+    def drain(): Unit = {
+      val q = graft.streaming.Streaming.maintainJoinMatview(spark,
+        fdir, fSchema, ddir, dSchema, mv,
+        checkpoint = Some(ckpt), availableNow = true)
+      q.awaitTermination()
+    }
+    drain()
+    assertParity(mv, fact, dim2)
+
+    // while the maintainer is DOWN: a fact tx AND a dim group-move;
+    // the restarted maintainer folds both (batches may straddle logs)
+    putFacts(fact, Seq((12L, 1L, "5.00")))
+    putDims(dim2, Seq((2L, "east")))
+    drain()
+    assertParity(mv, fact, dim2)
+
+    // dim-ONLY tail: the dim stream alone must trigger the refresh
+    putDims(dim2, Seq((1L, "west")))
+    drain()
+    assertParity(mv, fact, dim2)
+
+    // idempotence: nothing new → state unchanged
+    val before = viewState(mv)
+    drain()
+    assert(viewState(mv) == before)
+  }
+
   test("restart recovers watermarks; truncation switches to exact rebuild") {
     val (fact, dim, _) = fresh()
     putDims(dim, Seq((1L, "east"), (2L, "west")))
