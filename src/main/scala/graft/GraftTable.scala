@@ -473,6 +473,16 @@ final class GraftTable(spark: SparkSession, dir: String,
     * invariant — so [[dml]] checks inserts only. */
   private def requireDisjoint(ops: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
+    // reject NULL keys/instants BEFORE the append: a committed op with
+    // a null _id (e.g. a COPY `\N` cell or INSERT NULL literal) would
+    // ack the transaction and then crash EVERY later fold/read of the
+    // table — log poisoning, found only after the client is gone.
+    // (_valid_to null is legal: unbounded.)
+    val nulls = ops.filter(col("_id").isNull || col("_valid_from").isNull)
+      .limit(1).collect()
+    require(nulls.isEmpty,
+      "op with NULL _id or _valid_from — every row of a transaction " +
+        "needs a non-null id and valid-from instant")
     val inf = lit("9999-12-31 00:00:00").cast("timestamp")
     val eraseIds = ops.groupBy("_id").agg(
         sum(when(col("_op") === Bitemporal.Erase, 1).otherwise(0)).as("_erases"),

@@ -103,11 +103,15 @@ final class JoinMatview private[graft] (
                       keep: Seq[String]): DataFrame =
     v.select(col("_id").cast("long").as(idAs) +: keep.map(col): _*)
 
-  private def visibleFact: DataFrame =
-    Bitemporal.asOf(factLog.readAllAuto(spark, factCols),
+  // all visible relations are pinned to the tx ids the refresh will
+  // RECORD as its watermarks: a tx committing concurrently must stay
+  // wholly in the next refresh, or it would fold into state now AND
+  // again later (the double-count race — found by review)
+  private def visibleFact(upToTx: Long): DataFrame =
+    Bitemporal.asOf(factLog.readAllAuto(spark, factCols, upToTx),
       lit(validAt), lit(sysProbe))
-  private def visibleDim: DataFrame =
-    Bitemporal.asOf(dimLog.readAllAuto(spark, dimCols),
+  private def visibleDim(upToTx: Long): DataFrame =
+    Bitemporal.asOf(dimLog.readAllAuto(spark, dimCols, upToTx),
       lit(validAt), lit(sysProbe))
 
   private def factKeep: Seq[String] =
@@ -125,11 +129,14 @@ final class JoinMatview private[graft] (
   /** Exact full recompute → state (first build, or after truncation of
     * either log). Same temp-write + swap as [[Matview]]. */
   private def rebuild(lastA: Long, lastB: Long): (Long, Long) = {
-    val agg = joinAgg(project(visibleFact, "_fact_id", factKeep),
-        project(visibleDim, "_dim_id", dimKeep))
+    val agg = joinAgg(project(visibleFact(lastA), "_fact_id", factKeep),
+        project(visibleDim(lastB), "_dim_id", dimKeep))
       .withColumn("_bucket", bucketCol)
     val tmp = stateRoot.resolve("state_rebuild_tmp")
     TxLog.deleteRecursively(tmp.toFile)
+    // schema sidecar: a join that matches nothing writes a file-less
+    // parquet dir — without the pinned schema every later read throws
+    MvState.writeSchema(stateRoot, agg)
     agg.repartition(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(tmp.toString)
     val old = stateRoot.resolve("state_rebuild_old")
@@ -153,13 +160,16 @@ final class JoinMatview private[graft] (
       wA < 0 || !Files.exists(dataDir))
       return rebuild(lastA, lastB)
 
-    // touched ids per side (tail-sized)
+    // touched ids per side (tail-sized), bounded to the recorded
+    // watermarks — same snapshot discipline as the visibles
+    def idOf(p: java.nio.file.Path): Long = p.getFileName.toString
+      .stripPrefix("tx_").stripSuffix(".parquet").toLong
     val ta = if (lastA > wA)
-      readTx(factLog.txFilesAfter(wA))
+      readTx(factLog.txFilesAfter(wA).filter(idOf(_) <= lastA))
         .select(col("_id").cast("long").as("_t_id")).distinct()
     else spark.range(0).select(col("id").as("_t_id"))
     val tb = if (lastB > wB)
-      readTx(dimLog.txFilesAfter(wB))
+      readTx(dimLog.txFilesAfter(wB).filter(idOf(_) <= lastB))
         .select(col("_id").cast("long").as("_t_id")).distinct()
     else spark.range(0).select(col("id").as("_t_id"))
 
@@ -167,7 +177,7 @@ final class JoinMatview private[graft] (
     // up to the watermark (the same point-read shape Matview uses)
     def oldTouched(log: TxLog, cols: Seq[String], touched: DataFrame,
                    w: Long): DataFrame = {
-      val all = readTx(log.txFiles())
+      val all = readTx(log.txFiles().filter(idOf(_) <= w))
       val hist = all.join(touched,
         all("_id").cast("long") === touched("_t_id"), "left_semi")
       Bitemporal.asOf(Bitemporal.fold(hist.filter(col("_tx_id") <= w), cols),
@@ -178,8 +188,8 @@ final class JoinMatview private[graft] (
     def antiOn(df: DataFrame, key: Column, ids: DataFrame): DataFrame =
       df.join(ids, key === ids("_t_id"), "left_anti")
 
-    val vaNew = project(visibleFact, "_fact_id", factKeep)
-    val vbNew = project(visibleDim, "_dim_id", dimKeep)
+    val vaNew = project(visibleFact(lastA), "_fact_id", factKeep)
+    val vbNew = project(visibleDim(lastB), "_dim_id", dimKeep)
     val vaOldT = project(oldTouched(factLog, factCols, ta, wA),
       "_fact_id", factKeep)
     // dim OLD relation: untouched dims unchanged; touched dims re-folded
@@ -221,7 +231,7 @@ final class JoinMatview private[graft] (
       delta.select(col("_bucket")).distinct().collect().map(_.getLong(0)).toSeq
     if (affected.isEmpty) { setWatermarks(lastA, lastB); return (lastA, lastB) }
 
-    val state = spark.read.parquet(dataDir.toString)
+    val state = MvState.readState(spark, stateRoot, dataDir)
       .filter(col("_bucket").isin(affected: _*))
     val s = state.as("s"); val d = delta.as("d")
     val merged = s.join(d, col(s"s.$groupCol") <=> col(s"d.$groupCol"),
@@ -237,23 +247,12 @@ final class JoinMatview private[graft] (
           } :+
           coalesce(col("s._bucket"), col("d._bucket")).as("_bucket"): _*)
       .filter(col("n") > 0) // group left the join entirely
-    val tmp = stateRoot.resolve("state_tmp")
-    TxLog.deleteRecursively(tmp.toFile)
-    merged.repartition(col("_bucket"))
-      .write.mode("overwrite").partitionBy("_bucket").parquet(tmp.toString)
-    affected.foreach { b =>
-      val name = s"_bucket=$b"
-      val dst = dataDir.resolve(name)
-      TxLog.deleteRecursively(dst.toFile)
-      val src = tmp.resolve(name)
-      if (Files.exists(src)) { Files.move(src, dst): Unit }
-    }
-    TxLog.deleteRecursively(tmp.toFile)
+    MvState.swapBuckets(stateRoot, dataDir, merged, affected)
     setWatermarks(lastA, lastB)
     (lastA, lastB)
   }
 
   /** The maintained view: (group, n, sum_*) — read-only, no recompute. */
   def read(): DataFrame =
-    spark.read.parquet(dataDir.toString).drop("_bucket")
+    MvState.readState(spark, stateRoot, dataDir).drop("_bucket")
 }

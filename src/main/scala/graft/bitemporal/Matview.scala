@@ -115,7 +115,11 @@ final class Matview private[graft] (
     * price of retention, paid only on the first refresh after a
     * truncation advances past this view's watermark. */
   private def rebuildFromState(last: Long): Long = {
-    val visible = Bitemporal.asOf(log.readAllAuto(spark, payloadCols),
+    // upToTx pins the fold to the watermark being recorded — a tx
+    // committing mid-rebuild must stay ABOVE the watermark (it would
+    // otherwise fold into state now and again on the next refresh)
+    val visible = Bitemporal.asOf(
+      log.readAllAuto(spark, payloadCols, upToTx = last),
       lit(validAt), lit(sysProbe))
     val agg = fullAgg(visible).withColumn("_bucket", bucketCol)
     // temp-write + directory swap (same pattern as the incremental
@@ -129,6 +133,7 @@ final class Matview private[graft] (
     // (watermark still behind) rebuilds from scratch.
     val tmp = stateRoot.resolve("state_rebuild_tmp")
     TxLog.deleteRecursively(tmp.toFile)
+    MvState.writeSchema(stateRoot, agg)
     agg.repartition(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket")
       .parquet(tmp.toString)
@@ -166,9 +171,12 @@ final class Matview private[graft] (
 
     if (w < 0 || !Files.exists(dataDir)) {
       // first build: one full fold, all buckets written once
-      fullAgg(Bitemporal.asOf(Bitemporal.fold(readTx(files), payloadCols),
+      val firstAgg = fullAgg(Bitemporal.asOf(
+          Bitemporal.fold(readTx(files), payloadCols),
           lit(validAt), lit(sysProbe)))
         .withColumn("_bucket", bucketCol)
+      MvState.writeSchema(stateRoot, firstAgg)
+      firstAgg
         .repartition(col("_bucket"))
         .write.mode("overwrite").partitionBy("_bucket")
         .parquet(dataDir.toString)
@@ -176,7 +184,13 @@ final class Matview private[graft] (
       return last
     }
 
-    val tail = readTx(log.txFilesAfter(w))
+    // the tail re-lists the directory — bound it to the `last` this
+    // refresh will record, so a concurrently landing tx stays wholly
+    // in the NEXT refresh (its id would otherwise join `touched` while
+    // the pinned hist lacks its ops — harmless for COUNT/SUM deltas,
+    // but the bound makes the snapshot airtight rather than argued)
+    val tail = readTx(log.txFilesAfter(w).filter(_.getFileName.toString
+      .stripPrefix("tx_").stripSuffix(".parquet").toLong <= last))
     val touched = tail.select(col("_id").cast("long").as("_id")).distinct()
     val hist = {
       val all = readTx(files)
@@ -211,7 +225,7 @@ final class Matview private[graft] (
       delta.select(col("_bucket")).distinct().collect().map(_.getLong(0)).toSeq
     if (affected.isEmpty) { setWatermark(last); return last }
 
-    val state = spark.read.parquet(dataDir.toString)
+    val state = MvState.readState(spark, stateRoot, dataDir)
       .filter(col("_bucket").isin(affected: _*))
     val s = state.as("s")
     val d = delta.as("d")
@@ -242,7 +256,8 @@ final class Matview private[graft] (
       if (mmAliases.isEmpty) countSum
       else {
         val touchedGroups = delta.select(col(groupCol)).distinct()
-        val visible = Bitemporal.asOf(log.readAllAuto(spark, payloadCols),
+        val visible = Bitemporal.asOf(
+          log.readAllAuto(spark, payloadCols, upToTx = last),
           lit(validAt), lit(sysProbe))
         val mm = fullAgg(visible.join(touchedGroups,
             visible(groupCol) <=> touchedGroups(groupCol), "left_semi"))
@@ -261,8 +276,39 @@ final class Matview private[graft] (
                   .otherwise(col(s"m.$a")).as(a))) :+
             col("m._bucket").as("_bucket"): _*)
       }
-    // temp-write + per-bucket directory swap: untouched buckets keep
-    // their files byte for byte
+    MvState.swapBuckets(stateRoot, dataDir, merged, affected)
+    setWatermark(last)
+    last
+  }
+
+  /** The maintained view: (group, n, sum_*) — read-only, no recompute. */
+  def read(): DataFrame =
+    MvState.readState(spark, stateRoot, dataDir).drop("_bucket")
+}
+
+/** State-store helpers shared by [[Matview]] and [[JoinMatview]]. */
+private[bitemporal] object MvState {
+  /** Persist the state relation's schema beside it. A refresh that
+    * empties every bucket (all rows deleted), or a join view whose
+    * first build matches nothing, writes a parquet directory with NO
+    * data files — a schema-less read of it would then throw
+    * UNABLE_TO_INFER_SCHEMA on every later refresh() and read(),
+    * permanently (found by review). With the sidecar, empty state
+    * reads as an empty relation and the view keeps working. */
+  def writeSchema(stateRoot: Path, df: DataFrame): Unit = {
+    Files.createDirectories(stateRoot)
+    val tmp = stateRoot.resolve("_schema.tmp")
+    Files.write(tmp, df.schema.json.getBytes(UTF_8))
+    Files.move(tmp, stateRoot.resolve("_schema"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Temp-write + per-bucket directory swap: `merged` (which must
+    * carry `_bucket`) replaces exactly the `affected` bucket dirs;
+    * untouched buckets keep their files byte for byte. A bucket whose
+    * groups all vanished is deleted and not replaced. */
+  def swapBuckets(stateRoot: Path, dataDir: Path, merged: DataFrame,
+                  affected: Seq[Long]): Unit = {
     val tmp = stateRoot.resolve("state_tmp")
     TxLog.deleteRecursively(tmp.toFile)
     merged.repartition(col("_bucket"))
@@ -275,11 +321,19 @@ final class Matview private[graft] (
       if (Files.exists(src)) { Files.move(src, dst): Unit }
     }
     TxLog.deleteRecursively(tmp.toFile)
-    setWatermark(last)
-    last
   }
 
-  /** The maintained view: (group, n, sum_*) — read-only, no recompute. */
-  def read(): DataFrame =
-    spark.read.parquet(dataDir.toString).drop("_bucket")
+  /** Read the state dir, schema-pinned when the sidecar exists (also
+    * immune to mixed-footer inference order); plain inference for
+    * state written before the sidecar existed. */
+  def readState(spark: SparkSession, stateRoot: Path,
+                dataDir: Path): DataFrame = {
+    val sf = stateRoot.resolve("_schema")
+    if (Files.exists(sf))
+      spark.read.schema(org.apache.spark.sql.types.DataType
+          .fromJson(new String(Files.readAllBytes(sf), UTF_8))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .parquet(dataDir.toString)
+    else spark.read.parquet(dataDir.toString)
+  }
 }

@@ -255,12 +255,22 @@ final class TxLog(val dir: String) {
     * "queries include the live chunk ⇒ read-your-writes" semantics
     * (SURVEY.md §3.3) without rewriting the base. */
   def readAll(spark: SparkSession, payloadCols: Seq[String],
-              lastCompacted: Long): DataFrame = {
-    // a truncated-and-quiet log may have NO files at all — the base is
+              lastCompacted: Long,
+              upToTx: Long = Long.MaxValue): DataFrame = {
+    // `upToTx` pins the relation to a tx-id SNAPSHOT: a reader that
+    // derived a watermark from one directory listing can exclude
+    // transactions committed between that listing and this read —
+    // without the bound, a matview refresh could fold tx N+1 into
+    // state while recording watermark N, double-counting N+1 on the
+    // next refresh (found by review; exercised by MatviewSpec).
+    // A truncated-and-quiet log may have NO files at all — the base is
     // the whole story then
-    if (txFilesAfter(lastCompacted).isEmpty)
+    val tailFiles = txFilesAfter(lastCompacted).filter(txIdOf(_) <= upToTx)
+    if (tailFiles.isEmpty)
       return readBase(spark).drop("_sys_date")
-    val tail = read(spark, afterTx = lastCompacted)
+    val tail = spark.read.option("mergeSchema", "true")
+      .parquet(tailFiles.map(_.toString): _*)
+      .filter(col("_tx_id") > lastCompacted)
     if (tail.isEmpty) return readBase(spark).drop("_sys_date")
     val touched = tail.select(col("_id").cast("long").as("_id")).distinct()
     val base = readBase(spark).drop("_sys_date")
@@ -384,10 +394,14 @@ final class TxLog(val dir: String) {
   /** [[readAll]] driven by the PERSISTED base watermark: correct from
     * any fresh instance, truncated log included (where a full re-fold
     * is impossible — the history lives only in the base). */
-  def readAllAuto(spark: SparkSession, payloadCols: Seq[String]): DataFrame =
+  def readAllAuto(spark: SparkSession, payloadCols: Seq[String],
+                  upToTx: Long = Long.MaxValue): DataFrame =
     baseWatermark() match {
-      case Some(w) => readAll(spark, payloadCols, w)
-      case None => Bitemporal.fold(read(spark), payloadCols)
+      case Some(w) => readAll(spark, payloadCols, w, upToTx)
+      case None =>
+        Bitemporal.fold(
+          if (upToTx == Long.MaxValue) read(spark)
+          else read(spark).filter(col("_tx_id") <= upToTx), payloadCols)
     }
 
   /** The base rectangle table, KEEPING the `_sys_date` partition column:

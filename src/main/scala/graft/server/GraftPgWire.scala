@@ -594,6 +594,17 @@ object GraftPgWire {
     val cols = Option(m.group(2))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse("_id" +: table.payloadColumns)
+    // validate the column list BEFORE CopyInResponse (as Postgres
+    // does): a bad list must fail fast, not after the client streamed
+    // and the server buffered an entire upload that can never apply
+    val badCols = cols.filterNot(c =>
+      c == "_id" || c == "_valid_from" || c == "_valid_to" ||
+        table.payloadColumns.contains(c))
+    if (badCols.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown COPY columns: ${badCols.mkString(", ")}")
+    if (!cols.contains("_id"))
+      throw new IllegalArgumentException("COPY column list must contain _id")
     send(out, 'G', b => { // CopyInResponse: text format, per-column text
       b.writeByte(0)
       b.writeShort(cols.size)
@@ -654,10 +665,17 @@ object GraftPgWire {
       }
       sb.toString
     }
-    text.split("\n", -1).iterator
+    // only the split artifact AFTER the final newline is dropped —
+    // an INTERIOR empty line is a real row whose single column is the
+    // empty string (matching COPY TO, which emits "\n" for it; the
+    // old .filter(_.nonEmpty) silently lost such rows and broke the
+    // round-trip)
+    val lines = text.split("\n", -1).toSeq
+    val body = if (lines.nonEmpty && lines.last.isEmpty) lines.init
+               else lines
+    body.iterator
       .map(l => if (l.endsWith("\r")) l.dropRight(1) else l)
       .takeWhile(_ != "\\.")
-      .filter(_.nonEmpty)
       .map(_.split("\t", -1).toSeq
         .map(c => if (c == "\\N") null else unescape(c)))
       .toSeq

@@ -390,6 +390,36 @@ class GraftTableSpec extends AnyFunSuite {
     assert(back.filter(col("_id") === 1).count() == 3)
   }
 
+  test("readAllAuto(upToTx): tx-id snapshot excludes later transactions") {
+    import graft.bitemporal.{TxLog, TxOps}
+    val dir = java.nio.file.Files.createTempDirectory("graft_upto").toString
+    val log = new TxLog(dir)
+    def putBal(id: Long, bal: Double, at: String): Long =
+      log.append(TxOps.put(Seq((id, bal)).toDF("id", "bal"), $"id",
+        lit("2020-01-01").cast("timestamp"), None, Seq("bal" -> $"bal")),
+        ts(at))
+    val t0 = putBal(1L, 10.0, "2024-01-01 00:00:00")
+    putBal(1L, 20.0, "2024-01-02 00:00:00")
+    putBal(2L, 30.0, "2024-01-03 00:00:00")
+    def visibleAt(upTo: Long): Map[Long, Double] =
+      graft.bitemporal.Bitemporal.currentState(
+          log.readAllAuto(spark, Seq("bal"), upToTx = upTo))
+        .select(col("_id").cast("long"), col("bal"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the bound is what closes the matview refresh race: a reader that
+    // recorded watermark N must fold EXACTLY the txs <= N, even if the
+    // directory now holds later ones
+    assert(visibleAt(t0) == Map(1L -> 10.0))
+    assert(visibleAt(t0 + 1) == Map(1L -> 20.0))
+    assert(visibleAt(Long.MaxValue) == Map(1L -> 20.0, 2L -> 30.0))
+    // and the bound composes with a compacted base: compact at t0+1,
+    // then the bound beyond the base watermark folds base + bounded tail
+    log.compactIncremental(spark, Seq("bal"), -1L)
+    putBal(2L, 40.0, "2024-01-04 00:00:00")
+    assert(visibleAt(t0 + 2) == Map(1L -> 20.0, 2L -> 30.0))
+    assert(visibleAt(Long.MaxValue) == Map(1L -> 20.0, 2L -> 40.0))
+  }
+
   test("appendBulk: N-way parallel tx write, same semantics as append") {
     import graft.bitemporal.{Bitemporal, TxLog, TxOps}
     val dir = java.nio.file.Files.createTempDirectory("graft_bulk").toString

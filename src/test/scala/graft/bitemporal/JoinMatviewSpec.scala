@@ -206,6 +206,35 @@ class JoinMatviewSpec extends AnyFunSuite {
     assert(viewState(mv) == before)
   }
 
+  test("empty join results never poison the state (schema sidecar)") {
+    // first build with DANGLING fks: nothing matches → the state dir
+    // has no parquet data files; reads and refreshes must keep working
+    val (fact, dim, _) = fresh()
+    putDims(dim, Seq((1L, "east")))
+    putFacts(fact, Seq((10L, 777L, "10.00"))) // fk 777 matches no dim
+    val mv = fact.joinMatview("empty", dim, "cust", "region",
+      Seq("amt"), validAt, nBuckets = 4)
+    mv.refresh()
+    assert(mv.read().collect().isEmpty)
+    mv.refresh() // second refresh over empty state: no crash, no-op
+    assert(mv.read().collect().isEmpty)
+
+    // facts arrive that DO match → incremental refresh fills the view
+    putFacts(fact, Seq((11L, 1L, "5.00")))
+    mv.refresh()
+    assertParity(mv, fact, dim)
+
+    // then every matching fact leaves → all buckets empty again
+    fact.delete(Seq(11L).toDF("id"), $"id",
+      lit("2000-01-01").cast("timestamp"), None,
+      Seq("cust" -> lit(null).cast("long"),
+        "amt" -> lit(null).cast("decimal(12,2)")), sys())
+    mv.refresh()
+    assert(mv.read().collect().isEmpty)
+    mv.refresh()
+    assert(mv.read().collect().isEmpty)
+  }
+
   test("restart recovers watermarks; truncation switches to exact rebuild") {
     val (fact, dim, _) = fresh()
     putDims(dim, Seq((1L, "east"), (2L, "west")))

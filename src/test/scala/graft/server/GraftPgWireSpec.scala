@@ -556,6 +556,23 @@ class GraftPgWireSpec extends AnyFunSuite {
       val mixed = c.query("SELECT 1; COPY pgcopy (_id) FROM STDIN")
       assert(Wire.errFields(mixed.find(_.tpe == 'E').get.body)('C') == "0A000")
 
+      // a NULL _id cell must be rejected BEFORE the tx commits — a
+      // committed null id would crash every later fold of the table
+      val g7 = c.copyStart("COPY pgcopy (_id, bal, note) FROM STDIN")
+      assert(g7.tpe == 'G')
+      c.copyData("\\N\t1.0\toops\n".getBytes(UTF_8))
+      val nullMsgs = c.copyDone()
+      assert(nullMsgs.exists(_.tpe == 'E'), nullMsgs.map(_.tpe))
+      val stillWorks = c.query("SELECT count(*) AS n FROM pgcopy")
+      assert(stillWorks.exists(_.tpe == 'D'), "table must stay readable")
+
+      // a bad column list fails BEFORE CopyInResponse (no upload
+      // buffered for a statement that can never apply)
+      val g8 = c.copyStart("COPY pgcopy (_id, nope) FROM STDIN")
+      assert(g8.tpe == 'E', s"expected pre-G error, got ${g8.tpe}")
+      assert(Wire.errFields(g8.body)('M').contains("unknown COPY columns"))
+      c.drainUntilReady()
+
       // COPY TO STDOUT: CopyOutResponse + CopyData frames whose text is
       // byte-for-byte what COPY FROM accepts (escapes, \N) + CopyDone
       val exp = c.query("COPY (SELECT _id, bal, note FROM pgcopy " +
@@ -595,8 +612,9 @@ class GraftPgWireSpec extends AnyFunSuite {
     // COPY FROM's parser recovers the exact cells
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
-    val gen = Gen.listOfN(3, Gen.listOfN(8, Gen.oneOf(
-      'a', 'ü', '\\', '\t', '\n', '\r', 'N', '.', ' ')).map(_.mkString))
+    val gen = Gen.listOfN(3, Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        'a', 'ü', '\\', '\t', '\n', '\r', 'N', '.', ' ')).map(_.mkString)))
     (0 until 500).foreach { i =>
       val cells = gen.pureApply(Gen.Parameters.default, Seed(i.toLong))
       val encoded = cells.map(GraftPgWire.copyEscape).mkString("\t") + "\n"
@@ -613,6 +631,13 @@ class GraftPgWireSpec extends AnyFunSuite {
       Seq("2", "c\\d", "e")), rows)
     assert(GraftPgWire.parseCopyText("").isEmpty)
     assert(GraftPgWire.parseCopyText("\\.\n").isEmpty)
+    // an INTERIOR empty line is a real one-empty-column row (what
+    // COPY TO emits for an empty string) — only the artifact after
+    // the final newline drops; the old filter silently lost the row
+    assert(GraftPgWire.parseCopyText("\na\n") ==
+      Seq(Seq(""), Seq("a")))
+    assert(GraftPgWire.parseCopyText("a\n\nb\n") ==
+      Seq(Seq("a"), Seq(""), Seq("b")))
   }
 
   test("substituteParams: escaping, NULL, masked spans, range check") {
