@@ -86,10 +86,6 @@ final class GraftTable(spark: SparkSession, dir: String,
     appended(log.append(f(this, args), systemTime))
   }
 
-  /** An incrementally-maintained COUNT/SUM view over this table at a
-    * fixed valid-time basis (system = latest) — see
-    * [[graft.bitemporal.Matview]]: `refresh()` folds only the log tail,
-    * state rewrites only the hash buckets whose groups changed. */
   /** Incrementally-maintained JOIN aggregate view: this table as the
     * FACT side joined to `dim` on `fkCol = dim._id`, COUNT/SUM per
     * `groupCol` (a payload column of either table) at the fixed basis
@@ -104,6 +100,10 @@ final class GraftTable(spark: SparkSession, dir: String,
       java.nio.file.Paths.get(dir, "join_matview", name),
       fkCol, groupCol, sumCols, validAt, nBuckets)
 
+  /** An incrementally-maintained COUNT/SUM view over this table at a
+    * fixed valid-time basis (system = latest) — see
+    * [[graft.bitemporal.Matview]]: `refresh()` folds only the log tail,
+    * state rewrites only the hash buckets whose groups changed. */
   def matview(name: String, groupCol: String, sumCols: Seq[String],
               validAt: Timestamp, nBuckets: Int = 32,
               minCols: Seq[String] = Nil,

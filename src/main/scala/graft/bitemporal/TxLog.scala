@@ -263,14 +263,41 @@ final class TxLog(val dir: String) {
     // without the bound, a matview refresh could fold tx N+1 into
     // state while recording watermark N, double-counting N+1 on the
     // next refresh (found by review; exercised by MatviewSpec).
-    // A truncated-and-quiet log may have NO files at all — the base is
-    // the whole story then
-    val tailFiles = txFilesAfter(lastCompacted).filter(txIdOf(_) <= upToTx)
+    //
+    // The snapshot is only airtight against appends, which are
+    // monotonic: a CONCURRENT compaction can advance the base past
+    // `upToTx` between the caller's listing and this read, baking in
+    // txs the snapshot must exclude. Re-read the persisted watermark
+    // here: if it moved past `upToTx`, refold the snapshot wholly from
+    // the log (possible until truncate() deletes the prefix — and
+    // truncation plus a concurrent compaction racing a snapshot reader
+    // is outside the supported single-maintainer contract, so throw).
+    // Matview maintenance assumes ONE maintainer process per view not
+    // racing compact/vacuum; this guard turns a violated assumption
+    // into a full refold or a loud error instead of silent
+    // double-counting.
+    val bw = baseWatermark().getOrElse(-1L)
+    if (bw > upToTx) {
+      require(truncatedUpTo().isEmpty,
+        s"snapshot at tx $upToTx unrecoverable: base compacted to $bw and " +
+          "the log prefix is truncated")
+      val snapFiles = txFiles().filter(txIdOf(_) <= upToTx)
+      if (snapFiles.isEmpty) // nothing existed at the snapshot — empty
+        return readBase(spark).drop("_sys_date").limit(0) // …with schema
+      val log = spark.read.option("mergeSchema", "true")
+        .parquet(snapFiles.map(_.toString): _*)
+      return Bitemporal.fold(log, payloadCols)
+    }
+    // the base may also have advanced WITHIN the snapshot bound
+    // (lastCompacted < bw <= upToTx) — serving untouched rows from the
+    // newer base with the tail cut at bw is both correct and cheaper
+    val effCompacted = math.max(lastCompacted, bw)
+    val tailFiles = txFilesAfter(effCompacted).filter(txIdOf(_) <= upToTx)
     if (tailFiles.isEmpty)
       return readBase(spark).drop("_sys_date")
     val tail = spark.read.option("mergeSchema", "true")
       .parquet(tailFiles.map(_.toString): _*)
-      .filter(col("_tx_id") > lastCompacted)
+      .filter(col("_tx_id") > effCompacted)
     if (tail.isEmpty) return readBase(spark).drop("_sys_date")
     val touched = tail.select(col("_id").cast("long").as("_id")).distinct()
     val base = readBase(spark).drop("_sys_date")

@@ -43,6 +43,14 @@ object Mixture {
     * (reallocation makes every domain's membership depend on every
     * other domain's cardinality — a second global pass at 100 TB for a
     * handful of rows; callers who care re-run with adjusted weights).
+    * Domains present in the data but ABSENT from the weight map are
+    * treated as weight 0 and dropped — but only deliberately:
+    * `strict = true` (the default) first runs a cheap aggregate over
+    * the distinct observed domains and throws if any is unlisted, so a
+    * typo'd weight key fails loudly instead of silently shrinking the
+    * mix. Pass `strict = false` to skip that pre-pass when unlisted
+    * domains are intended (e.g. a weights map that names an explicit
+    * subcorpus).
     *
     * Scale shape: one shuffle keyed by the domain for the per-domain
     * rank, plus a broadcast join against the ≤|domains|-row quota
@@ -54,8 +62,19 @@ object Mixture {
     * guarantees for the prefilter unless a per-domain count check
     * backs it up. */
   def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
-                    weights: Map[String, Double], total: Long): DataFrame = {
+                    weights: Map[String, Double], total: Long,
+                    strict: Boolean = true): DataFrame = {
     val spark = df.sparkSession
+    if (strict) {
+      // distinct-domain agg (tiny result: ≤|domains| rows after a
+      // partial-aggregated shuffle), collected only to name offenders
+      val unlisted = df.select(col(domainCol).cast("string"))
+        .distinct().collect().map(_.getString(0))
+        .filter(d => d != null && !weights.contains(d))
+      require(unlisted.isEmpty,
+        s"mixtureSample: domains in data but not in weights " +
+          s"(pass strict=false to drop them): ${unlisted.sorted.mkString(", ")}")
+    }
     val quotas = apportion(weights, total).toSeq.sortBy(_._1)
     val qdf = spark.createDataFrame(quotas).toDF(domainCol, "_quota")
     val w = org.apache.spark.sql.expressions.Window
@@ -80,10 +99,14 @@ object Mixture {
   def quantileKeep(df: DataFrame, domainCol: String, scoreCol: String,
                    q: Double): DataFrame = {
     require(q >= 0 && q <= 1, "quantileKeep: q must be in [0,1]")
+    // backtick-quote the score references: the SQL interpolation AND
+    // col() (which parses dots as struct access) both break on names
+    // with spaces/dots unless quoted
+    val sq = "`" + scoreCol.replace("`", "``") + "`"
     val thr = df.groupBy(col(domainCol))
-      .agg(expr(s"percentile($scoreCol, $q)").as("_thr"))
+      .agg(expr(s"percentile($sq, $q)").as("_thr"))
     df.join(broadcast(thr), Seq(domainCol))
-      .filter(col(scoreCol) >= col("_thr"))
+      .filter(col(sq) >= col("_thr"))
       .drop("_thr")
   }
 }

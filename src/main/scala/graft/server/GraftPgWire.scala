@@ -86,6 +86,15 @@ object GraftPgWire {
     new Handle(server)
   }
 
+  /** Aggregate COPY FROM STDIN upload cap in bytes (default 256 MiB);
+    * override with `-Dgraft.pgwire.copyMaxBytes=N`. The driver buffers
+    * the upload to parse it into ONE atomic tx, so the cap bounds that
+    * buffer per statement rather than letting a single client's \copy
+    * exhaust the shared server heap. */
+  private[graft] def copyMaxBytes: Long =
+    sys.props.get("graft.pgwire.copyMaxBytes").map(_.toLong)
+      .getOrElse(256L * 1024 * 1024)
+
   // ---- connection lifecycle ------------------------------------------
 
   private val SslRequestCode = 80877103
@@ -614,6 +623,13 @@ object GraftPgWire {
     val buf = new java.io.ByteArrayOutputStream()
     var done = false
     var fail: Option[String] = None
+    // Aggregate upload cap: one runaway \copy must fail ITS OWN
+    // statement, not exhaust the server heap and take down every
+    // connection (ByteArrayOutputStream also hard-fails past ~2 GB).
+    // Past the cap the loop stops buffering and drains to CopyDone so
+    // the ErrorResponse lands on a protocol-synced stream.
+    val maxBytes = copyMaxBytes
+    var received = 0L
     while (!done) {
       val tpe = in.read()
       if (tpe < 0) throw new EOFException("client closed during COPY")
@@ -622,7 +638,14 @@ object GraftPgWire {
       val body = new Array[Byte](len - 4)
       in.readFully(body)
       tpe.toChar match {
-        case 'd' => buf.write(body) // CopyData — frames may split rows
+        case 'd' => // CopyData — frames may split rows
+          received += body.length
+          if (received > maxBytes) {
+            if (fail.isEmpty) fail = Some(
+              s"COPY data exceeds $maxBytes bytes " +
+                "(graft.pgwire.copyMaxBytes); upload rejected")
+            buf.reset() // free what was buffered; keep draining frames
+          } else buf.write(body)
         case 'c' => done = true // CopyDone
         case 'f' => fail = Some(cString(body)); done = true // CopyFail
         case 'H' | 'S' => // Flush/Sync mid-copy: pg ignores these

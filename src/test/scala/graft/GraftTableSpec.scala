@@ -420,6 +420,40 @@ class GraftTableSpec extends AnyFunSuite {
     assert(visibleAt(Long.MaxValue) == Map(1L -> 20.0, 2L -> 40.0))
   }
 
+  test("readAll: concurrent compaction past the snapshot bound is detected") {
+    import graft.bitemporal.{TxLog, TxOps}
+    val dir = java.nio.file.Files.createTempDirectory("graft_race").toString
+    val log = new TxLog(dir)
+    def putBal(id: Long, bal: Double, at: String): Long =
+      log.append(TxOps.put(Seq((id, bal)).toDF("id", "bal"), $"id",
+        lit("2020-01-01").cast("timestamp"), None, Seq("bal" -> $"bal")),
+        ts(at))
+    val t0 = putBal(1L, 10.0, "2024-01-01 00:00:00")
+    putBal(1L, 20.0, "2024-01-02 00:00:00")
+    putBal(2L, 30.0, "2024-01-03 00:00:00")
+    // a racing maintainer compacts the base PAST a snapshot another
+    // reader recorded — the base now bakes in txs the snapshot must
+    // exclude, and simply subtracting the tail can't undo a fold
+    val bw = log.compactIncremental(spark, Seq("bal"), -1L)
+    assert(bw == t0 + 2)
+    def stateAt(upTo: Long): Map[Long, Double] =
+      graft.bitemporal.Bitemporal.currentState(
+          log.readAll(spark, Seq("bal"), lastCompacted = -1L, upToTx = upTo))
+        .select(col("_id").cast("long"), col("bal"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // while the log prefix survives, the snapshot refolds from it
+    assert(stateAt(t0) == Map(1L -> 10.0))
+    assert(stateAt(t0 + 1) == Map(1L -> 20.0))
+    // ...and a bound at/above the watermark serves from the base as usual
+    assert(stateAt(bw) == Map(1L -> 20.0, 2L -> 30.0))
+    // after truncation the snapshot is unrecoverable: loud error, not
+    // silent double-counting
+    log.truncate(bw)
+    val e = intercept[IllegalArgumentException] { stateAt(t0) }
+    assert(e.getMessage.contains("unrecoverable"), e.getMessage)
+    assert(stateAt(Long.MaxValue) == Map(1L -> 20.0, 2L -> 30.0))
+  }
+
   test("appendBulk: N-way parallel tx write, same semantics as append") {
     import graft.bitemporal.{Bitemporal, TxLog, TxOps}
     val dir = java.nio.file.Files.createTempDirectory("graft_bulk").toString

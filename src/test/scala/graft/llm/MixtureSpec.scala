@@ -53,17 +53,28 @@ class MixtureSpec extends AnyFunSuite {
   test("mixtureSample: domain smaller than quota yields its whole population") {
     // tiny has 5 members; weight demands 20 of 40 from it
     val out = Mixture.mixtureSample(pop, "id", "dom",
-      Map("big" -> 0.5, "tiny" -> 0.5), 40L)
+      Map("big" -> 0.5, "tiny" -> 0.5), 40L, strict = false)
     val counts = out.groupBy("dom").count().as[(String, Long)]
       .collect().toMap
     assert(counts == Map("big" -> 20L, "tiny" -> 5L), counts)
-    // 'mid' is absent from the weight map → dropped entirely
+    // 'mid' is absent from the weight map → dropped (strict=false)
     assert(!counts.contains("mid"))
+  }
+
+  test("mixtureSample strict: unlisted observed domain fails loudly") {
+    // 'mid' and 'tiny' exist in the data but not the weight map — the
+    // default must name them instead of silently shrinking the mix
+    val e = intercept[IllegalArgumentException] {
+      Mixture.mixtureSample(pop, "id", "dom", Map("big" -> 1.0), 10L)
+    }
+    assert(e.getMessage.contains("mid") && e.getMessage.contains("tiny"),
+      e.getMessage)
+    assert(e.getMessage.contains("strict=false"), e.getMessage)
   }
 
   test("mixtureSample plan: quota side broadcasts, no cartesian") {
     val p = Mixture.mixtureSample(pop, "id", "dom",
-        Map("big" -> 1.0), 5L)
+        Map("big" -> 1.0), 5L, strict = false)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), p)
@@ -80,6 +91,14 @@ class MixtureSpec extends AnyFunSuite {
     val kept = Mixture.quantileKeep(df, "dom", "score", 0.5)
       .select("id").as[Long].collect().toSet
     assert(kept == Set(3L, 4L, 5L, 7L, 8L), kept)
+  }
+
+  test("quantileKeep: score column names needing backticks work") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0))
+      .toDF("dom", "id", "my score.v2")
+    val kept = Mixture.quantileKeep(df, "dom", "my score.v2", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), kept)
   }
 
   test("quantileKeep: interpolated threshold excludes the lower neighbor") {

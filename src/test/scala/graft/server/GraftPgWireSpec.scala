@@ -595,6 +595,24 @@ class GraftPgWireSpec extends AnyFunSuite {
       val expT = c.query("COPY pgfresh TO STDOUT")
       assert(expT.exists(_.tpe == 'H') && expT.count(_.tpe == 'd') == 1)
 
+      // aggregate upload cap: a COPY past graft.pgwire.copyMaxBytes is
+      // rejected with an ErrorResponse (frames drained, nothing
+      // written, connection stays protocol-synced and usable)
+      System.setProperty("graft.pgwire.copyMaxBytes", "64")
+      try {
+        val g9 = c.copyStart("COPY pgcopy (_id, bal, note) FROM STDIN")
+        assert(g9.tpe == 'G')
+        (0 until 10).foreach(i =>
+          c.copyData(s"${100 + i}\t1.0\t0123456789abcdef\n".getBytes(UTF_8)))
+        val capMsgs = c.copyDone()
+        val capErr = Wire.errFields(capMsgs.find(_.tpe == 'E').get.body)
+        assert(capErr('M').contains("copyMaxBytes"), capErr)
+        val none = c.query(
+          "SELECT count(*) AS n FROM pgcopy WHERE _id >= 100")
+        assert(Wire.dataRow(none.find(_.tpe == 'D').get.body) ==
+          Seq(Some("0")))
+      } finally System.clearProperty("graft.pgwire.copyMaxBytes")
+
       c.terminate()
     } finally {
       handle.stop()
