@@ -22,7 +22,10 @@ import graft.bitemporal.{Bitemporal, BitemporalDml, BitemporalSql, TxLog, TxOps}
   */
 final class GraftTable(spark: SparkSession, dir: String,
                        payloadCols: Seq[String],
-                       autoCompactEvery: Int = 0) {
+                       autoCompactEvery: Int = 0,
+                       clusterBy: Seq[String] = Nil) {
+  require(clusterBy.forall(c => payloadCols.contains(c) || c == "_id"),
+    s"clusterBy columns $clusterBy must be payload columns (or _id)")
   private val log = new TxLog(dir)
   // recover the compaction watermark persisted with the base: a fresh
   // instance serves untouched ids from the base instead of re-folding
@@ -113,9 +116,13 @@ final class GraftTable(spark: SparkSession, dir: String,
       groupCol, sumCols, validAt, nBuckets, minCols, maxCols)
 
   /** Fold the log into the partitioned rectangle base — incrementally
-    * when one exists (cost ∝ tail ids, not total history). */
+    * when one exists (cost ∝ tail ids, not total history). The base
+    * layout clusters by `clusterBy` when set (e.g. the fk column of a
+    * [[joinMatview]] fact table, so dim-touched refreshes prune fact
+    * files by footer stats instead of scanning the base). */
   def compact(): Unit = {
-    lastCompacted = log.compactIncremental(spark, payloadCols, lastCompacted)
+    lastCompacted = log.compactIncremental(spark, payloadCols, lastCompacted,
+      clusterBy)
   }
 
   /** Log retention: compact, then DELETE the tx files the base now

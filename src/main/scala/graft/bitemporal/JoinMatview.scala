@@ -24,11 +24,13 @@ import org.apache.spark.sql.functions._
   *
   * Cost model (the honest 100 TB statement):
   *   - fact-side refresh work ∝ tail ops + fact rows referencing
-  *     touched dim ids. The latter is a pushed `fk IN (touched dims)`
-  *     semi-join over the fact relation — sargable when the fact base
-  *     is fk-clustered (Z-order or sort by fk at compaction), a full
-  *     fact scan when not; either way never a full recompute of the
-  *     view, and dim churn is typically tiny;
+  *     touched dim ids. The latter ships as a LITERAL `fk IN (touched
+  *     dims)` predicate when the touched set is ≤
+  *     [[JoinMatview.MaxInlineDimIds]] (pushed to the fact base's
+  *     parquet scan — FILE-level pruning when the base is fk-clustered
+  *     via `GraftTable(clusterBy = Seq(fk))` / `TxLog.compact*`'s
+  *     `clusterBy`), degrading to a semi-join for huge dim churn;
+  *     either way never a full recompute of the view;
   *   - dim-side work ∝ one dim relation scan (dims are the small side
   *     by construction — AQE broadcasts them into the join);
   *   - state writes ∝ touched groups (hash-bucketed, only affected
@@ -197,13 +199,28 @@ final class JoinMatview private[graft] (
       .unionByName(project(oldTouched(dimLog, dimCols, tb, wB),
         "_dim_id", dimKeep))
 
-    // affected fact rows: own id touched, or fk references a touched dim
+    // affected fact rows: own id touched, or fk references a touched dim.
+    // The dim-touched predicate ships as a LITERAL In when the touched
+    // dim set is small (the overwhelmingly common case — dim churn per
+    // refresh interval): a literal In pushes down to the fact base's
+    // parquet scan, so an fk-clustered base (TxLog/GraftTable clusterBy)
+    // prunes fact files by footer stats instead of scanning the table —
+    // a semi-join, by contrast, never reaches the scan. Past the inline
+    // cap it degrades to the semi-join (correct either way).
+    val tbIds: Option[Seq[Long]] = {
+      val probe = tb.limit(JoinMatview.MaxInlineDimIds + 1)
+        .collect().map(_.getLong(0)).toSeq
+      if (probe.size <= JoinMatview.MaxInlineDimIds) Some(probe) else None
+    }
+    def dimTouched(df: DataFrame): DataFrame = tbIds match {
+      case Some(Seq()) => df.filter(lit(false))
+      case Some(ids) => df.filter(col(fkCol).cast("long").isin(ids: _*))
+      case None => semiOn(df, col(fkCol).cast("long"), tb)
+    }
     val affNew = semiOn(vaNew, col("_fact_id"), ta)
-      .unionByName(semiOn(antiOn(vaNew, col("_fact_id"), ta),
-        col(fkCol).cast("long"), tb))
+      .unionByName(dimTouched(antiOn(vaNew, col("_fact_id"), ta)))
     val affOld = vaOldT // own id touched: every old version is affected
-      .unionByName(semiOn(antiOn(vaNew, col("_fact_id"), ta),
-        col(fkCol).cast("long"), tb))
+      .unionByName(dimTouched(antiOn(vaNew, col("_fact_id"), ta)))
 
     val newC = joinAgg(affNew, vbNew)
     val oldC = joinAgg(affOld, vbOld)
@@ -255,4 +272,12 @@ final class JoinMatview private[graft] (
   /** The maintained view: (group, n, sum_*) — read-only, no recompute. */
   def read(): DataFrame =
     MvState.readState(spark, stateRoot, dataDir).drop("_bucket")
+}
+
+object JoinMatview {
+  /** Touched-dim sets up to this size inline as a literal In predicate
+    * (pushes to the fact scan → file pruning on an fk-clustered base);
+    * larger sets fall back to the semi-join. ~10k longs is metadata-
+    * sized on the driver, same class as the affected-bucket collect. */
+  private[bitemporal] val MaxInlineDimIds = 10000
 }

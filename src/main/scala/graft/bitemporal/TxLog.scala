@@ -205,7 +205,8 @@ final class TxLog(val dir: String) {
   /** Fold the full log into the base rectangle table, partitioned by
     * system-from date for partition-pruned time travel. Returns the last
     * folded tx id (readers union base + `read(spark, lastTx)` tail). */
-  def compact(spark: SparkSession, payloadCols: Seq[String]): Long = {
+  def compact(spark: SparkSession, payloadCols: Seq[String],
+              clusterBy: Seq[String] = Nil): Long = {
     // One directory listing: the returned id is the max tx id of the
     // files actually folded. A second listing (or size-1 with id gaps)
     // could report a tx as compacted that the fold never saw — readAll
@@ -218,7 +219,8 @@ final class TxLog(val dir: String) {
     val log = spark.read.option("mergeSchema", "true")
       .parquet(files.map(_.toString): _*)
     writeBase(Bitemporal.fold(log, payloadCols)
-      .withColumn("_sys_date", to_date(col("_system_from"))), baseDir)
+      .withColumn("_sys_date", to_date(col("_system_from"))), baseDir,
+      clusterBy)
     setBaseWatermark(last)
     last
   }
@@ -230,22 +232,45 @@ final class TxLog(val dir: String) {
     * Spark-native stand-in for the reference's id-keyed temporal index
     * (SURVEY.md §1.4): no scan of the visible partitions, just footer
     * checks. Sorting also makes the files splittable-friendly (sorted
-    * row groups ⇒ tight stats per group, not just per file). */
-  private def writeBase(rects: DataFrame, target: Path): Unit =
+    * row groups ⇒ tight stats per group, not just per file).
+    *
+    * `clusterBy` overrides the secondary layout dimension for tables
+    * whose hot predicate is a PAYLOAD column — the join-matview case: a
+    * dim-touched refresh filters facts by `fk IN (touched)`, a full
+    * fact scan unless files carry tight fk stats. One column gives a
+    * linear `( _sys_date, c, _id )` sort (fk prunes hard, id stats
+    * loosen to fk-run granularity — the bloom filter still backs point
+    * reads); two+ give a z-order layout inside each `_sys_date`
+    * partition, pruning on EVERY clustered dimension (include `_id` in
+    * the list to keep id pruning too). */
+  private def writeBase(rects: DataFrame, target: Path,
+                        clusterBy: Seq[String] = Nil): Unit = {
     // implicit range shuffle: AQE right-sizes the partition count to
     // its advisory target, so a small base compacts into FEW files (no
     // 32-tiny-file writes per compact) while a 100 TB base still splits
     // into many id-disjoint ~64 MB files. Tests that need a multi-file
     // base shrink spark.sql.adaptive.advisoryPartitionSizeInBytes.
-    rects.repartitionByRange(col("_sys_date"), col("_id"))
-      .sortWithinPartitions("_sys_date", "_id")
-      .write.mode("overwrite").partitionBy("_sys_date")
+    val clustered = clusterBy match {
+      case Nil =>
+        rects.repartitionByRange(col("_sys_date"), col("_id"))
+          .sortWithinPartitions("_sys_date", "_id")
+      case Seq(c) =>
+        rects.repartitionByRange(col("_sys_date"), col(c), col("_id"))
+          .sortWithinPartitions("_sys_date", c, "_id")
+      case cs =>
+        graft.operators.ZOrder.withZ(rects, cs)
+          .repartitionByRange(col("_sys_date"), col("_z"))
+          .sortWithinPartitions("_sys_date", "_z")
+          .drop("_z")
+    }
+    clustered.write.mode("overwrite").partitionBy("_sys_date")
       // belt over the min/max braces: clustering gives tight per-group
       // id ranges, but a sparse id space leaves gaps INSIDE a range that
       // stats can't see; the bloom rejects those too (core2.bloom kept
       // one per chunk for the same reason)
       .option("parquet.bloom.filter.enabled#_id", "true")
       .parquet(target.toString)
+  }
 
   /** Current rectangles WITHOUT requiring a fresh compaction: ids
     * untouched since `lastCompacted` are served straight from the base
@@ -351,7 +376,8 @@ final class TxLog(val dir: String) {
     * back to a full [[compact]] when there is no base yet. Returns the
     * new compaction watermark (max folded tx id). */
   def compactIncremental(spark: SparkSession, payloadCols: Seq[String],
-                         lastCompacted: Long): Long = {
+                         lastCompacted: Long,
+                         clusterBy: Seq[String] = Nil): Long = {
     val files = txFiles()
     if (files.isEmpty) {
       // legal only for a truncated log whose base already holds
@@ -363,7 +389,7 @@ final class TxLog(val dir: String) {
     val ids = files.map(txIdOf)
     val last = ids.max
     if (lastCompacted < 0 || !Files.exists(baseDir))
-      return compact(spark, payloadCols)
+      return compact(spark, payloadCols, clusterBy)
     if (last <= lastCompacted) return lastCompacted
     val tail = read(spark, afterTx = lastCompacted)
     val touched = tail.select(col("_id").cast("long").as("_id")).distinct()
@@ -384,7 +410,7 @@ final class TxLog(val dir: String) {
       .join(touched, Seq("_id"), "left_anti")
     val tmp = Paths.get(dir, "base_tmp")
     TxLog.deleteRecursively(tmp.toFile)
-    writeBase(untouchedInAffected.unionByName(refolded), tmp)
+    writeBase(untouchedInAffected.unionByName(refolded), tmp, clusterBy)
     affected.foreach { d =>
       val name = s"_sys_date=$d"
       val dst = baseDir.resolve(name)

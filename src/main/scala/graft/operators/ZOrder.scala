@@ -43,23 +43,30 @@ object ZOrder {
     }
   }
 
-  /** Cluster `df` into `nFiles` z-ordered range partitions on `cols`
-    * (each written file then covers a tile of the value space). The
-    * result is ready to `.write.parquet(...)`: same rows, same schema,
-    * z-curve order. */
-  def cluster(df: DataFrame, cols: Seq[String], nFiles: Int,
-              bits: Int = 12): DataFrame = {
+  /** `df` + a `_z` column holding the bit-interleaved z-value of `cols`
+    * (bounds joined in and dropped) — for callers that need to compose
+    * the z-key with their own partitioning (e.g. a storage layout that
+    * must also range-partition on a date column). */
+  def withZ(df: DataFrame, cols: Seq[String], bits: Int = 12): DataFrame = {
     require(cols.size >= 2, "z-order needs at least two dimensions")
     require(cols.size * bits <= 62, s"${cols.size} dims x $bits bits overflow")
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"_zmn_$c"),
       max(col(c)).cast("double").as(s"_zmx_$c")))
     val bounds = df.agg(aggs.head, aggs.tail: _*)
-    val helper = Seq("_z") ++ cols.flatMap(c => Seq(s"_zmn_$c", s"_zmx_$c"))
     df.crossJoin(broadcast(bounds))
       .withColumn("_z", zExpr(cols, bits))
+      .drop(cols.flatMap(c => Seq(s"_zmn_$c", s"_zmx_$c")): _*)
+  }
+
+  /** Cluster `df` into `nFiles` z-ordered range partitions on `cols`
+    * (each written file then covers a tile of the value space). The
+    * result is ready to `.write.parquet(...)`: same rows, same schema,
+    * z-curve order. */
+  def cluster(df: DataFrame, cols: Seq[String], nFiles: Int,
+              bits: Int = 12): DataFrame =
+    withZ(df, cols, bits)
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
-      .drop(helper: _*)
-  }
+      .drop("_z")
 }

@@ -237,6 +237,98 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  scaleTest("fk-clustered join matview: dim-touched refresh tracks " +
+      "referencing facts, not base size") {
+    // the 100 TB claim under test: after a dim-only touch, refresh work
+    // is ∝ facts REFERENCING the touched dim (constant here by
+    // construction: fk 5 always has exactly 2000 facts) — not the fact
+    // base, which grows 10x. The fk-clustered base + literal In push
+    // make the fact read prune by footer stats; prove it two ways:
+    // admitted-row footers (deterministic) and wall clock (generous).
+    import graft.bitemporal.ChunkMetadata
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val validAt = ts("2030-01-01 00:00:00")
+    def build(n: Long): (GraftTable, GraftTable,
+        graft.bitemporal.JoinMatview, String) = {
+      val fdir = java.nio.file.Files
+        .createTempDirectory(s"graft_sjmv_f$n").toString
+      val ddir = java.nio.file.Files
+        .createTempDirectory(s"graft_sjmv_d$n").toString
+      val fact = new GraftTable(spark, fdir, Seq("cust", "amt", "pad"),
+        clusterBy = Seq("cust"))
+      val dim = new GraftTable(spark, ddir, Seq("region"))
+      dim.put((1L to 110L).toDF("id"), $"id",
+        lit("2000-01-01").cast("timestamp"), None,
+        Seq("region" -> concat(lit("r"), ($"id" % 10).cast("string"))),
+        ts("2020-01-01 00:00:01"))
+      val facts = spark.range(n).select(
+        ($"id" + 1000).as("fid"),
+        when($"id" < 2000, 5L).otherwise(($"id" % 99) + 6).as("c"),
+        lit("1.00").cast("decimal(12,2)").as("m"),
+        rpad(lit("x"), 100, "x").as("p"))
+      fact.put(facts, $"fid", lit("2000-01-01").cast("timestamp"), None,
+        Seq("cust" -> $"c", "amt" -> $"m", "pad" -> $"p"),
+        ts("2020-01-01 00:00:02"))
+      val keys = Seq("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+      val old = keys.map(k => k -> spark.conf.getOption(k))
+      keys.foreach(spark.conf.set(_, (1024 * 1024).toString))
+      // shrink parquet row groups too: at test scale a default 128MB
+      // group swallows the whole base, hiding the footer granularity
+      // that exists naturally at 100 TB
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val oldBlock = Option(hconf.get("parquet.block.size"))
+      hconf.set("parquet.block.size", (256 * 1024).toString)
+      try fact.compact()
+      finally {
+        old.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+        oldBlock match {
+          case Some(v) => hconf.set("parquet.block.size", v)
+          case None => hconf.unset("parquet.block.size")
+        }
+      }
+      val mv = fact.joinMatview("sc", dim, "cust", "region",
+        Seq("amt"), validAt, nBuckets = 8)
+      mv.refresh()
+      (fact, dim, mv, fdir)
+    }
+    def admittedRows(fdir: String): Long =
+      ChunkMetadata.forPaths(spark, Seq(s"$fdir/base"))
+        .filter(col("column") === "cust" &&
+          col("min").cast("long") <= 5 && col("max").cast("long") >= 5)
+        .agg(coalesce(sum(col("rows")), lit(0L))).head.getLong(0)
+    def touchRefresh(dim: GraftTable, mv: graft.bitemporal.JoinMatview,
+                     tick: Int): Double = {
+      dim.put(Seq(5L).toDF("id"), $"id",
+        lit("2000-01-01").cast("timestamp"), None,
+        Seq("region" -> lit(s"moved$tick")), ts(f"2020-01-02 00:00:$tick%02d"))
+      timed(mv.refresh())._2
+    }
+
+    val small = 100000L
+    val big = 1000000L
+    val (_, dimS, mvS, fdirS) = build(small)
+    val (_, dimB, mvB, fdirB) = build(big)
+    touchRefresh(dimS, mvS, 1) // warm-up untimed
+    val tS = touchRefresh(dimS, mvS, 2)
+    val tB = touchRefresh(dimB, mvB, 3)
+    val (aS, aB) = (admittedRows(fdirS), admittedRows(fdirB))
+    info(f"refresh after dim touch: n=$small $tS%.1fs, n=$big $tB%.1fs " +
+      f"(ratio ${tB / tS}%.1fx); admitted rows $aS vs $aB of $small/$big")
+    // footers: the admitted slice stays ~file-sized as the base grows
+    // 10x (file size is pinned by the advisory target, so the fk-tile
+    // around cust=5 holds a bounded row count at any n)
+    assert(aB <= math.max(aS * 4, 60000L),
+      s"admitted rows grew with base size: $aS -> $aB")
+    assert(aB <= big / 5, s"no pruning: $aB of $big rows admitted")
+    // wall clock: 10x base must NOT cost 10x refresh
+    assert(tB <= tS * 3 + 10,
+      f"dim-touched refresh scaled with base size: $tS%.1fs -> $tB%.1fs")
+  }
+
   scaleTest("fixpoint sustains 120 iterations with flat driver memory") {
     // a pure 120-diameter chain: every iteration derives exactly one new
     // row, the worst case for plan growth / checkpoint churn

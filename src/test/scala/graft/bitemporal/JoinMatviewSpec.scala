@@ -235,6 +235,88 @@ class JoinMatviewSpec extends AnyFunSuite {
     assert(mv.read().collect().isEmpty)
   }
 
+  test("fk-clustered fact base: dim-touched refresh pushes a literal In " +
+      "that prunes fact files") {
+    val fdir = java.nio.file.Files.createTempDirectory("graft_jmv_fc").toString
+    val ddir = java.nio.file.Files.createTempDirectory("graft_jmv_fcd").toString
+    // the fact table clusters its base by the fk column — the turnkey
+    // form of the mitigation JoinMatview's cost model documents
+    val fact = new GraftTable(spark, fdir, Seq("cust", "amt"),
+      clusterBy = Seq("cust"))
+    val dim = new GraftTable(spark, ddir, Seq("region"))
+    putDims(dim, (1L to 16L).map(i => (i, s"r${i % 4}")))
+    putFacts(fact, (1L to 4096L).map(i => (1000 + i, (i % 16) + 1, "1.00")))
+    // shrink the write targets so the base splits into several files
+    // (parallelismFirst coalesces down to minPartitionSize, so that is
+    // the one that must shrink — same as GraftTableSpec's pruning test)
+    val keys = Seq("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val old = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "4096"))
+    try fact.compact()
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+
+    // footer proof (ZOrderSpec pattern): base files carry TIGHT fk
+    // stats — most files' [min,max] exclude any single fk value
+    val baseFiles = ChunkMetadata.forPaths(spark, Seq(s"$fdir/base"))
+      .filter(col("column") === "cust")
+      .groupBy(col("file"))
+      .agg(min(col("min").cast("long")).as("mn"),
+        max(col("max").cast("long")).as("mx"))
+    val total = baseFiles.count().toDouble
+    assert(total >= 4, s"need a multi-file base to prove pruning, got $total")
+    val admit = baseFiles.filter(col("mn") <= 5 && col("mx") >= 5)
+      .count().toDouble
+    assert(admit / total <= 0.5,
+      s"fk-clustered base must prune: $admit of $total files admit cust=5")
+
+    val mv = fact.joinMatview("fc", dim, "cust", "region",
+      Seq("amt"), validAt, nBuckets = 4)
+    mv.refresh()
+    assertParity(mv, fact, dim)
+
+    // dim-ONLY group move; capture the plans the refresh executes and
+    // assert the fact side is filtered by a PUSHED literal In(cust),
+    // which the parquet reader turns into footer-stat skipping over the
+    // clustered files — not a semi-join that scans every fact file
+    val plans = new scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString: Unit }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    putDims(dim, Seq((5L, "moved")))
+    spark.listenerManager.register(listener)
+    // a 1-element In may fold to EqualTo; both are pushed predicates
+    def factScans() = plans.synchronized {
+      plans.filter(p => p.contains(s"$fdir/base") &&
+        (p.contains("In(cust") || p.contains("EqualTo(cust")))
+    }
+    val metaLen = "spark.sql.maxMetadataStringLength"
+    val prevLen = spark.conf.get(metaLen)
+    try {
+      spark.conf.set(metaLen, "16384") // default 100 truncates PushedFilters
+      mv.refresh()
+      // listener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (factScans().isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set(metaLen, prevLen)
+    }
+    assertParity(mv, fact, dim)
+    assert(factScans().nonEmpty,
+      "no refresh plan pushed In/EqualTo(cust, ...) into the fact base scan")
+  }
+
   test("restart recovers watermarks; truncation switches to exact rebuild") {
     val (fact, dim, _) = fresh()
     putDims(dim, Seq((1L, "east"), (2L, "west")))
