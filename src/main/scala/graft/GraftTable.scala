@@ -97,11 +97,13 @@ final class GraftTable(spark: SparkSession, dir: String,
   def joinMatview(name: String, dim: GraftTable, fkCol: String,
                   groupCol: String, sumCols: Seq[String],
                   validAt: Timestamp,
-                  nBuckets: Int = 64): graft.bitemporal.JoinMatview =
+                  nBuckets: Int = 64,
+                  minCols: Seq[String] = Nil,
+                  maxCols: Seq[String] = Nil): graft.bitemporal.JoinMatview =
     new graft.bitemporal.JoinMatview(spark, log, payloadCols,
       dim.log, dim.payloadColumns,
       java.nio.file.Paths.get(dir, "join_matview", name),
-      fkCol, groupCol, sumCols, validAt, nBuckets)
+      fkCol, groupCol, sumCols, validAt, nBuckets, minCols, maxCols)
 
   /** An incrementally-maintained COUNT/SUM view over this table at a
     * fixed valid-time basis (system = latest) — see

@@ -39,10 +39,15 @@ import org.apache.spark.sql.functions._
   *   - the only data-dependent collect is the affected bucket ids
   *     (≤ nBuckets longs).
   *
-  * MIN/MAX are not offered on join views (not self-maintainable under
-  * either table's deletes; the single-table [[Matview]] documents the
-  * group re-read fallback — the same approach would work here but the
-  * re-read crosses the join, so it is left out rather than hidden).
+  * MIN/MAX (over FACT measure columns) follow [[Matview]]'s documented
+  * fallback, with the join twist: extremes are not self-maintainable
+  * under either table's deletes/updates OR a dim group-move (the old
+  * group may lose its extreme with zero fact ops), so each refresh
+  * recomputes extremes for the TOUCHED GROUPS ONLY by re-deriving
+  * their member facts ACROSS THE JOIN at the basis — fact ⋈ dim
+  * semi-joined to the touched group keys, group predicate applied on
+  * whichever side carries the group column. A COUNT/SUM-only view
+  * never pays that joined re-read — refresh stays ∝ the tails.
   * Exact-typed sum columns (integral/DECIMAL) give bit parity with a
   * from-scratch recompute, as with [[Matview]].
   *
@@ -55,10 +60,13 @@ final class JoinMatview private[graft] (
     factLog: TxLog, factCols: Seq[String],
     dimLog: TxLog, dimCols: Seq[String],
     stateRoot: Path, fkCol: String, groupCol: String, sumCols: Seq[String],
-    validAt: Timestamp, nBuckets: Int) {
+    validAt: Timestamp, nBuckets: Int,
+    minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil) {
   require(factCols.contains(fkCol), s"fk column $fkCol must be a fact payload column")
   require(sumCols.forall(factCols.contains),
     s"sum columns $sumCols must be fact payload columns $factCols")
+  require((minCols ++ maxCols).forall(factCols.contains),
+    s"min/max columns ${minCols ++ maxCols} must be fact payload columns $factCols")
   require(factCols.contains(groupCol) || dimCols.contains(groupCol),
     s"group column $groupCol must be a payload column of either table")
   require((factCols.toSet & dimCols.toSet).isEmpty,
@@ -86,6 +94,13 @@ final class JoinMatview private[graft] (
   }
 
   private def sumAlias(c: String) = s"sum_$c"
+  private def minAlias(c: String) = s"min_$c"
+  private def maxAlias(c: String) = s"max_$c"
+  private def mmAliases: Seq[String] =
+    minCols.map(minAlias) ++ maxCols.map(maxAlias)
+  private def mmAggs =
+    minCols.map(c => min(col(c)).as(minAlias(c))) ++
+      maxCols.map(c => max(col(c)).as(maxAlias(c)))
 
   private def bucketCol =
     pmod(xxhash64(coalesce(col(groupCol).cast("string"),
@@ -117,22 +132,28 @@ final class JoinMatview private[graft] (
       lit(validAt), lit(sysProbe))
 
   private def factKeep: Seq[String] =
-    (Seq(fkCol) ++ sumCols ++ (if (factCols.contains(groupCol)) Seq(groupCol) else Nil)).distinct
+    (Seq(fkCol) ++ sumCols ++ minCols ++ maxCols ++
+      (if (factCols.contains(groupCol)) Seq(groupCol) else Nil)).distinct
   private def dimKeep: Seq[String] =
     if (dimCols.contains(groupCol)) Seq(groupCol) else Nil
 
-  /** fact ⋈ dim on fk = dim id, then the per-group COUNT/SUM. */
-  private def joinAgg(fact: DataFrame, dim: DataFrame): DataFrame =
+  /** fact ⋈ dim on fk = dim id, then the per-group COUNT/SUM —
+    * `withMm` adds MIN/MAX aggregates, valid only over a COMPLETE
+    * member relation (full build, touched-group re-read), never over a
+    * delta: extremes don't subtract. */
+  private def joinAgg(fact: DataFrame, dim: DataFrame,
+                      withMm: Boolean = false): DataFrame =
     fact.join(dim, col(fkCol).cast("long") === col("_dim_id"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
-        sumCols.map(c => sum(col(c)).as(sumAlias(c))): _*)
+        sumCols.map(c => sum(col(c)).as(sumAlias(c))) ++
+          (if (withMm) mmAggs else Nil): _*)
 
   /** Exact full recompute → state (first build, or after truncation of
     * either log). Same temp-write + swap as [[Matview]]. */
   private def rebuild(lastA: Long, lastB: Long): (Long, Long) = {
     val agg = joinAgg(project(visibleFact(lastA), "_fact_id", factKeep),
-        project(visibleDim(lastB), "_dim_id", dimKeep))
+        project(visibleDim(lastB), "_dim_id", dimKeep), withMm = true)
       .withColumn("_bucket", bucketCol)
     val tmp = stateRoot.resolve("state_rebuild_tmp")
     TxLog.deleteRecursively(tmp.toFile)
@@ -251,19 +272,55 @@ final class JoinMatview private[graft] (
     val state = MvState.readState(spark, stateRoot, dataDir)
       .filter(col("_bucket").isin(affected: _*))
     val s = state.as("s"); val d = delta.as("d")
-    val merged = s.join(d, col(s"s.$groupCol") <=> col(s"d.$groupCol"),
+    val countSum = s.join(d, col(s"s.$groupCol") <=> col(s"d.$groupCol"),
         "full_outer")
       .select(
         coalesce(col(s"s.$groupCol"), col(s"d.$groupCol")).as(groupCol) +:
           (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
             .as("n") +:
-          sumCols.map { c =>
+          (sumCols.map { c =>
             val a = sumAlias(c)
             (coalesce(col(s"s.$a"), lit(0)) + coalesce(col(s"d.$a"), lit(0)))
               .cast(sumT(a)).as(a)
-          } :+
+          } ++
+            // state's min/max ride along for groups in an affected
+            // bucket that this refresh does NOT touch (null for brand
+            // new groups — every new group is touched, so the re-read
+            // below always overwrites it)
+            mmAliases.map(a => col(s"s.$a").as(a))) :+
           coalesce(col("s._bucket"), col("d._bucket")).as("_bucket"): _*)
       .filter(col("n") > 0) // group left the join entirely
+    // MIN/MAX fallback, crossed over the join (the classic IVM
+    // restriction plus the group-move case: a dim relocation can strip
+    // the OLD group's extreme with zero fact ops): the TOUCHED GROUPS —
+    // and only those — re-derive their member facts by re-joining at
+    // the basis and recompute extremes from scratch. COUNT/SUM-only
+    // views skip all of this, keeping refresh ∝ the tails.
+    val merged =
+      if (mmAliases.isEmpty) countSum
+      else {
+        val touchedGroups = delta.select(col(groupCol)).distinct()
+        val full = vaNew.join(vbNew,
+          col(fkCol).cast("long") === col("_dim_id"))
+        val mm = full.as("f").join(touchedGroups.as("tg"),
+            col(s"f.$groupCol") <=> col(s"tg.$groupCol"), "left_semi")
+          .groupBy(col(groupCol))
+          .agg(mmAggs.head, mmAggs.tail: _*)
+          .select(col(groupCol) +: lit(true).as("_mm") +:
+            mmAliases.map(a => col(a).as(s"_r_$a")): _*)
+        val mrg = countSum.as("m").join(mm.as("r"),
+          col(s"m.$groupCol") <=> col(s"r.$groupCol"), "left")
+        mrg.select(
+          col(s"m.$groupCol").as(groupCol) +: col("m.n").as("n") +:
+            (sumCols.map(c => col(s"m.${sumAlias(c)}").as(sumAlias(c))) ++
+              // the _mm flag (not coalesce) decides: a touched group
+              // whose recomputed extreme is legitimately NULL (all
+              // values null) must not fall back to the stale state
+              mmAliases.map(a =>
+                when(col("_mm") === true, col(s"_r_$a"))
+                  .otherwise(col(s"m.$a")).as(a))) :+
+            col("m._bucket").as("_bucket"): _*)
+      }
     MvState.swapBuckets(stateRoot, dataDir, merged, affected)
     setWatermarks(lastA, lastB)
     (lastA, lastB)

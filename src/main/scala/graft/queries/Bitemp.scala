@@ -180,6 +180,55 @@ object Bitemp {
         .orderBy("region")
     }),
 
+    // JOIN matview with MIN/MAX (r8): same orders ⋈ customers shape as
+    // q155 but the view also maintains extremes of the fact measure.
+    // The second refresh's fact deletes strip group maxima AND the dim
+    // group-move strips the old group's extreme with zero fact ops —
+    // both exercise the touched-group re-read ACROSS the join
+    "q156_join_matview_minmax" -> ((s, dir) => {
+      import s.implicits._
+      val base = new java.io.File(dir).getName
+      val ftmp = s"target/jmvmm_f_$base"; val dtmp = s"target/jmvmm_d_$base"
+      TxLog.deleteRecursively(new java.io.File(ftmp))
+      TxLog.deleteRecursively(new java.io.File(dtmp))
+      val fact = new GraftTable(s, ftmp, Seq("cust", "amt"))
+      val dim = new GraftTable(s, dtmp, Seq("region"))
+      def ts(x: String) = java.sql.Timestamp.valueOf(x)
+      val cust = T(s, dir, "customer").select($"c_custkey".as("id"),
+        $"c_nationkey".cast("string").as("rg"))
+      val ord = T(s, dir, "orders").select($"o_orderkey".as("id"),
+        $"o_custkey".cast("long").as("ck"),
+        $"o_totalprice".cast("decimal(14,2)").as("m"))
+      val mv = fact.joinMatview("mm_region", dim, "cust", "region",
+        Seq("amt"), ts("2030-01-01 00:00:00"), nBuckets = 16,
+        minCols = Seq("amt"), maxCols = Seq("amt"))
+      dim.put(cust, $"id", lit("2000-01-01").cast("timestamp"), None,
+        Seq("region" -> $"rg"), ts("2020-01-01 00:00:00"))
+      fact.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+        Seq("cust" -> $"ck", "amt" -> $"m"), ts("2020-01-01 00:00:01"))
+      mv.refresh()
+      // fact tail: +50 on every 20th order, delete every 31st (striking
+      // group extremes); dim tail: every 10th customer relocates
+      fact.put(ord.filter($"id" % 20 === 0)
+          .withColumn("m2", ($"m" + 50).cast("decimal(14,2)")),
+        $"id", lit("2000-06-01").cast("timestamp"), None,
+        Seq("cust" -> $"ck", "amt" -> $"m2"), ts("2020-01-02 00:00:00"))
+      fact.delete(ord.filter($"id" % 31 === 0), $"id",
+        lit("2000-01-01").cast("timestamp"), None,
+        Seq("cust" -> lit(null).cast("long"),
+          "amt" -> lit(null).cast("decimal(14,2)")),
+        ts("2020-01-02 00:00:01"))
+      dim.put(cust.filter($"id" % 10 === 0).withColumn("rg2", lit("99")),
+        $"id", lit("2000-01-01").cast("timestamp"), None,
+        Seq("region" -> $"rg2"), ts("2020-01-02 00:00:02"))
+      mv.refresh()
+      mv.read()
+        .select($"region", $"n", $"sum_amt".cast("double").as("sum_amt"),
+          $"min_amt".cast("double").as("min_amt"),
+          $"max_amt".cast("double").as("max_amt"))
+        .orderBy("region")
+    }),
+
     // valid-time temporal join (SQL:2011 shape): order "activity"
     // intervals [orderdate, +60d) joined with lineitem shipping
     // intervals [shipdate, receiptdate) on the order key — overlap
@@ -649,6 +698,24 @@ object Bitemp {
              FROM orders WHERE o_orderkey % 31 <> 0)
       SELECT region, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(amt) AS DOUBLE) AS sum_amt
+      FROM oe JOIN cd ON oe.ck = cd.k
+      GROUP BY region ORDER BY region""",
+
+    // from-scratch recompute of the join min/max view's final state
+    "q156_join_matview_minmax" -> """
+      WITH cd AS (SELECT c_custkey AS k,
+                    CASE WHEN c_custkey % 10 = 0 THEN '99'
+                         ELSE CAST(c_nationkey AS VARCHAR) END AS region
+                  FROM customer),
+      oe AS (SELECT o_custkey AS ck,
+                    CASE WHEN o_orderkey % 20 = 0
+                         THEN CAST(o_totalprice AS DECIMAL(14,2)) + 50
+                         ELSE CAST(o_totalprice AS DECIMAL(14,2)) END AS amt
+             FROM orders WHERE o_orderkey % 31 <> 0)
+      SELECT region, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(amt) AS DOUBLE) AS sum_amt,
+             CAST(min(amt) AS DOUBLE) AS min_amt,
+             CAST(max(amt) AS DOUBLE) AS max_amt
       FROM oe JOIN cd ON oe.ck = cd.k
       GROUP BY region ORDER BY region""",
 

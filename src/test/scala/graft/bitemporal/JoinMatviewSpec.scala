@@ -235,6 +235,103 @@ class JoinMatviewSpec extends AnyFunSuite {
     assert(mv.read().collect().isEmpty)
   }
 
+  /** Ground truth including extremes. */
+  private def recomputeMM(fact: GraftTable, dim: GraftTable)
+      : Map[String, (Long, java.math.BigDecimal, java.math.BigDecimal,
+        java.math.BigDecimal)] = {
+    val vf = Bitemporal.asOf(fact.rectangles(), lit(validAt), lit(sysProbe))
+      .select($"cust", $"amt")
+    val vd = Bitemporal.asOf(dim.rectangles(), lit(validAt), lit(sysProbe))
+      .select($"_id".cast("long").as("_did"), $"region")
+    vf.join(vd, $"cust".cast("long") === $"_did")
+      .groupBy($"region").agg(count(lit(1)).as("n"), sum($"amt").as("s"),
+        min($"amt").as("mn"), max($"amt").as("mx"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2), r.getDecimal(3), r.getDecimal(4)))
+      .toMap
+  }
+
+  private def assertParityMM(mv: JoinMatview, fact: GraftTable,
+                             dim: GraftTable): Unit = {
+    val want = recomputeMM(fact, dim)
+    val got = mv.read().collect()
+      .map(r => r.getString(r.fieldIndex("region")) ->
+        (r.getLong(r.fieldIndex("n")),
+          r.getDecimal(r.fieldIndex("sum_amt")),
+          r.getDecimal(r.fieldIndex("min_amt")),
+          r.getDecimal(r.fieldIndex("max_amt"))))
+      .toMap
+    assert(got.keySet == want.keySet, s"groups: $got vs $want")
+    want.foreach { case (g, (n, s, mn, mx)) =>
+      val (gn, gs, gmn, gmx) = got(g)
+      assert(gn == n, s"group $g count: $gn != $n")
+      assert(gs.compareTo(s) == 0, s"group $g sum: $gs != $s")
+      assert(gmn.compareTo(mn) == 0, s"group $g min: $gmn != $mn")
+      assert(gmx.compareTo(mx) == 0, s"group $g max: $gmx != $mx")
+    }
+  }
+
+  test("join view MIN/MAX: touched-group re-read across the join stays " +
+      "exact through extreme-removal on either side") {
+    val (fact, dim, _) = fresh()
+    val mv = fact.joinMatview("mm", dim, "cust", "region",
+      Seq("amt"), validAt, nBuckets = 8,
+      minCols = Seq("amt"), maxCols = Seq("amt"))
+
+    putDims(dim, Seq((1L, "east"), (2L, "east"), (3L, "west")))
+    putFacts(fact, Seq((10L, 1L, "10.00"), (11L, 1L, "99.00"),
+      (12L, 2L, "5.50"), (13L, 3L, "7.25"), (14L, 3L, "70.00")))
+    mv.refresh()
+    assertParityMM(mv, fact, dim)
+
+    // FACT side strips extremes: delete east's max (11), update west's
+    // min upward (13) — neither is derivable from stored state
+    fact.delete(Seq(11L).toDF("id"), $"id",
+      lit("2000-01-01").cast("timestamp"), None,
+      Seq("cust" -> lit(null).cast("long"),
+        "amt" -> lit(null).cast("decimal(12,2)")), sys())
+    putFacts(fact, Seq((13L, 3L, "80.00")))
+    mv.refresh()
+    assertParityMM(mv, fact, dim)
+
+    // DIM side strips an extreme with ZERO fact ops: dim 2 (holder of
+    // east's current max 5.50 after the delete... make it the max
+    // first) — put a big fact on dim 2, refresh, then MOVE dim 2 west:
+    // east loses its max purely through the dim log
+    putFacts(fact, Seq((15L, 2L, "500.00")))
+    mv.refresh()
+    assertParityMM(mv, fact, dim)
+    putDims(dim, Seq((2L, "west")))
+    mv.refresh()
+    assertParityMM(mv, fact, dim)
+
+    // dim delete: east's remaining facts (dim 1) keep extremes exact
+    dim.delete(Seq(2L).toDF("id"), $"id",
+      lit("2000-01-01").cast("timestamp"), None,
+      Seq("region" -> lit(null).cast("string")), sys())
+    mv.refresh()
+    assertParityMM(mv, fact, dim)
+
+    // both tails at once: new dim + facts + an erase of a current max
+    putDims(dim, Seq((4L, "north"), (2L, "east")))
+    putFacts(fact, Seq((16L, 4L, "3.00"), (17L, 4L, "4.00")))
+    fact.erase(Seq(14L).toDF("id"), $"id",
+      Seq("cust" -> lit(null).cast("long"),
+        "amt" -> lit(null).cast("decimal(12,2)")), sys())
+    mv.refresh()
+    assertParityMM(mv, fact, dim)
+
+    // restart + truncation: rebuild path carries the extremes too
+    fact.compact(); fact.vacuumLog()
+    putFacts(fact, Seq((18L, 1L, "0.50")))
+    val mv2 = fact.joinMatview("mm", dim, "cust", "region",
+      Seq("amt"), validAt, nBuckets = 8,
+      minCols = Seq("amt"), maxCols = Seq("amt"))
+    mv2.refresh()
+    assertParityMM(mv2, fact, dim)
+  }
+
   test("fk-clustered fact base: dim-touched refresh pushes a literal In " +
       "that prunes fact files") {
     val fdir = java.nio.file.Files.createTempDirectory("graft_jmv_fc").toString
