@@ -200,8 +200,23 @@ object RA {
     * frontier feeds the next step; `localCheckpoint` truncates lineage so
     * plans don't grow exponentially across iterations (each iteration is
     * a distributed union+distinct — no driver-side data). */
+  /** Iterations folded into ONE checkpoint+count job ("blocked
+    * semi-naive"): `unroll` > 1 chains that many step expansions lazily
+    * and materializes the block's novel union once, cutting driver
+    * round-trips per convergence ∝ depth/K at the price of (a) running
+    * up to K−1 cheap empty-frontier steps past the fixed point and (b)
+    * a deeper per-job plan. 0 = read `graft.fixpoint.unroll` from the
+    * session conf (default 1) — the bench harness A/Bs it via
+    * SPARK_GRAFT_CONF. */
+  private def unrollOf(spark: org.apache.spark.sql.SparkSession,
+                       explicit: Int): Int =
+    if (explicit > 0) explicit
+    else spark.conf.getOption("graft.fixpoint.unroll")
+      .map(_.toInt).filter(_ > 0).getOrElse(1)
+
   def fixpoint(base: DataFrame, step: DataFrame => DataFrame,
-               maxIter: Int = 100, compactEvery: Int = 8): DataFrame = {
+               maxIter: Int = 100, compactEvery: Int = 8,
+               unroll: Int = 0): DataFrame = {
     // Re-alias every column (fresh expression IDs): when `step` derives
     // its result from the same DataFrame as `base` (e.g. joining the edge
     // relation each iteration), union/except children would share
@@ -219,35 +234,77 @@ object RA {
     val oldConf = spark.conf.get(confKey, "true")
     spark.conf.set(confKey, "false")
     try {
+      val K = unrollOf(spark, unroll)
       var acc = base.distinct().localCheckpoint()
       var frontier = acc
       var i = 0
+      var sinceCompact = 0
       var done = false
       while (!done && i < maxIter) {
         // distinct() BEFORE except is deliberate, not redundant: EXCEPT
         // dedups only AFTER its anti join, while closure steps re-derive
         // the same fact many times — pre-dedup shrinks the anti-join
         // probe side by the re-derivation factor.
-        // checkpoint + convergence probe in ONE job: the count that
-        // materializes the local checkpoint is returned instead of
-        // discarded (see RddBridge.localCheckpointWithCount) — the
-        // eager-checkpoint + isEmpty pair was two scheduler round-trips
-        // per iteration, pure overhead on deep recursions (q90 ~26 iters).
-        val (next, n) = org.apache.spark.sql.graftbridge.RddBridge
-          .localCheckpointWithCount(fresh(step(frontier).distinct()).except(acc))
-        if (n == 0L) done = true
-        else {
-          // acc accumulates as a union of CHECKPOINTED deltas and is
-          // itself re-checkpointed only every few iterations: per-round
-          // re-materialization of the whole accumulator would be
-          // quadratic I/O over iterations, while never compacting grows
-          // the union plan (and per-iteration analysis cost) without
-          // bound — compacting every `compactEvery` rounds bounds both.
-          acc = acc.union(fresh(next))
-          if (i % compactEvery == compactEvery - 1) acc = acc.localCheckpoint()
-          frontier = next
+        // Lazily unroll up to K semi-naive iterations (each novel delta
+        // excepted against the lazily-growing accumulator, exactly the
+        // K=1 algebra), then checkpoint + convergence-probe the block's
+        // novel union in ONE job (RddBridge.localCheckpointWithCount —
+        // the count that materializes the checkpoint is returned
+        // instead of discarded; the eager-checkpoint + isEmpty pair was
+        // two scheduler round-trips per iteration).
+        if (K == 1) {
+          val (next, n) = org.apache.spark.sql.graftbridge.RddBridge
+            .localCheckpointWithCount(fresh(step(frontier).distinct()).except(acc))
+          if (n == 0L) done = true
+          else {
+            // acc accumulates as a union of CHECKPOINTED deltas and is
+            // itself re-checkpointed only every few iterations: per-round
+            // re-materialization of the whole accumulator would be
+            // quadratic I/O over iterations, while never compacting grows
+            // the union plan (and per-iteration analysis cost) without
+            // bound — compacting every `compactEvery` rounds bounds both.
+            acc = acc.union(fresh(next))
+            sinceCompact += 1
+            if (sinceCompact >= compactEvery) {
+              acc = acc.localCheckpoint(); sinceCompact = 0
+            }
+            frontier = next
+          }
+          i += 1
+        } else {
+          // blocked: chain the sub-iterations lazily, tag each novel
+          // delta with its sub-iteration index, checkpoint + per-tag
+          // count the union in ONE job. The next frontier is the LAST
+          // sub-iteration's slice only — earlier slices were already
+          // expanded inside the block, so re-stepping them would break
+          // semi-naive's no-re-derivation property.
+          var front = frontier
+          var accL = acc
+          var tagged: Option[DataFrame] = None
+          var k = 0
+          while (k < K && i + k < maxIter) {
+            val novel = fresh(step(front).distinct()).except(accL)
+            accL = accL.union(fresh(novel))
+            front = novel
+            val t = novel.select(lit(k).as("_tag") +:
+              novel.columns.map(col): _*)
+            tagged = Some(tagged.fold(t)(b => b.unionAll(t)))
+            k += 1
+          }
+          val (cp, counts) = org.apache.spark.sql.graftbridge.RddBridge
+            .localCheckpointWithTagCounts(tagged.get)
+          if (counts.values.sum == 0L) done = true
+          else {
+            acc = acc.union(fresh(cp.drop("_tag")))
+            sinceCompact += k
+            if (sinceCompact >= compactEvery) {
+              acc = acc.localCheckpoint(); sinceCompact = 0
+            }
+            if (counts.getOrElse(k - 1, 0L) == 0L) done = true // last slice empty: converged
+            else frontier = fresh(cp.where(col("_tag") === (k - 1)).drop("_tag"))
+          }
+          i += k
         }
-        i += 1
       }
       // A silently truncated closure is indistinguishable from a converged
       // one — fail loudly instead (WITH RECURSIVE would keep iterating).
@@ -275,7 +332,8 @@ object RA {
     * driver-side data beyond the per-relation emptiness probe. */
   def fixpointN(bases: Seq[Option[DataFrame]],
                 step: (Seq[Option[DataFrame]], Seq[Option[DataFrame]]) => Seq[Option[DataFrame]],
-                maxIter: Int = 100, compactEvery: Int = 8): Seq[Option[DataFrame]] = {
+                maxIter: Int = 100, compactEvery: Int = 8,
+                unroll: Int = 0): Seq[Option[DataFrame]] = {
     require(bases.exists(_.nonEmpty),
       "fixpointN: at least one relation needs base facts")
     def fresh(df: DataFrame): DataFrame =
@@ -287,74 +345,156 @@ object RA {
     val oldConf = spark.conf.get(confKey, "true")
     spark.conf.set(confKey, "false")
     try {
+      val K = unrollOf(spark, unroll)
       var accs = bases.map(_.map(_.distinct().localCheckpoint()))
       var deltas = accs
       var i = 0
+      var sinceCompact = 0
       var done = false
-      while (!done && i < maxIter) {
-        val derived = step(accs, deltas)
+      // pre-distinct is deliberate (see [[fixpoint]]): dedup before
+      // the EXCEPT anti join, not only after it.
+      def novelsOf(curAccs: Seq[Option[DataFrame]],
+                   curDeltas: Seq[Option[DataFrame]]): Seq[Option[DataFrame]] = {
+        val derived = step(curAccs, curDeltas)
         require(derived.length == accs.length, "fixpointN: step arity mismatch")
-        // pre-distinct is deliberate (see [[fixpoint]]): dedup before
-        // the EXCEPT anti join, not only after it. The per-relation
-        // novel-delta plans stay LAZY and are fused into one tagged
-        // union, so checkpoint + convergence probe for the WHOLE vector
-        // is ONE Spark job per iteration — not r sequential scheduler
-        // round-trips (recursion depth × r jobs is exactly what makes
-        // deep mutual recursion latency-bound). Spark's DAG scheduler
-        // runs the independent per-relation stages of that single job
-        // concurrently. Driver-THREAD concurrency (futures per relation)
-        // was tried and measured no faster locally while adding
-        // planning-lock contention; fusing is deterministic — the job
-        // count per iteration drops from r to 1 (asserted in RASpec).
-        val novels: Seq[Option[DataFrame]] = accs.zip(derived).map {
+        curAccs.zip(derived).map {
           case (accOpt, dOpt) =>
             dOpt.map { d =>
               accOpt.fold(fresh(d.distinct()))(acc =>
                 fresh(d.distinct()).except(acc))
             }
         }
-        val live = novels.zipWithIndex.collect { case (Some(n), idx) => (n, idx) }
-        val next: Seq[Option[DataFrame]] =
-          if (live.isEmpty) Seq.fill(novels.size)(None)
-          else if (live.size == 1) {
-            // single live relation: nothing to fuse
-            val (n, idx) = live.head
-            val (cp, cnt) = org.apache.spark.sql.graftbridge.RddBridge
-              .localCheckpointWithCount(n)
-            novels.indices.map(j => if (j == idx && cnt > 0L) Some(cp) else None)
-          } else {
-            // (_tag, _s0 … _s{r-1}): each branch packs its own columns
-            // into its struct slot and nulls the others, so heterogeneous
-            // schemas union by position.
-            val schemas = live.map { case (n, idx) => idx -> n.schema }.toMap
-            val fusedPlan = live.map { case (n, idx) =>
-              n.select(lit(idx).as("_tag") +: live.map { case (_, j) =>
-                if (j == idx) struct(n.columns.map(col): _*).as(s"_s$j")
+      }
+      def mergeAccs(cur: Seq[Option[DataFrame]], add: Seq[Option[DataFrame]],
+                    k: Int): Seq[Option[DataFrame]] = {
+        sinceCompact += k
+        val compactNow = sinceCompact >= compactEvery
+        if (compactNow) sinceCompact = 0
+        cur.zip(add).map {
+          case (accOpt, Some(n)) =>
+            val u = accOpt.fold(n)(a => a.union(fresh(n)))
+            Some(if (compactNow) u.localCheckpoint() else u)
+          case (accOpt, None) => accOpt
+        }
+      }
+      while (!done && i < maxIter) {
+        if (K == 1) {
+          // The per-relation novel-delta plans stay LAZY and are fused
+          // into one tagged union, so checkpoint + convergence probe for
+          // the WHOLE vector is ONE Spark job per iteration — not r
+          // sequential scheduler round-trips (recursion depth × r jobs
+          // is exactly what makes deep mutual recursion latency-bound).
+          // Spark's DAG scheduler runs the independent per-relation
+          // stages of that single job concurrently. Driver-THREAD
+          // concurrency (futures per relation) was tried and measured no
+          // faster locally while adding planning-lock contention; fusing
+          // is deterministic — the job count per iteration drops from r
+          // to 1 (asserted in RASpec).
+          val novels = novelsOf(accs, deltas)
+          val live = novels.zipWithIndex.collect { case (Some(n), idx) => (n, idx) }
+          val next: Seq[Option[DataFrame]] =
+            if (live.isEmpty) Seq.fill(novels.size)(None)
+            else if (live.size == 1) {
+              // single live relation: nothing to fuse
+              val (n, idx) = live.head
+              val (cp, cnt) = org.apache.spark.sql.graftbridge.RddBridge
+                .localCheckpointWithCount(n)
+              novels.indices.map(j => if (j == idx && cnt > 0L) Some(cp) else None)
+            } else {
+              // (_tag, _s0 … _s{r-1}): each branch packs its own columns
+              // into its struct slot and nulls the others, so heterogeneous
+              // schemas union by position.
+              val schemas = live.map { case (n, idx) => idx -> n.schema }.toMap
+              val fusedPlan = live.map { case (n, idx) =>
+                n.select(lit(idx).as("_tag") +: live.map { case (_, j) =>
+                  if (j == idx) struct(n.columns.map(col): _*).as(s"_s$j")
+                  else lit(null).cast(schemas(j)).as(s"_s$j")
+                }: _*)
+              }.reduce(_.unionAll(_))
+              val (cp, counts) = org.apache.spark.sql.graftbridge.RddBridge
+                .localCheckpointWithTagCounts(fusedPlan)
+              novels.indices.map { j =>
+                if (counts.getOrElse(j, 0L) == 0L) None
+                else Some(cp.where(col("_tag") === j).select(
+                  schemas(j).fieldNames.toSeq.map(f =>
+                    col(s"_s$j").getField(f).as(f)): _*))
+              }
+            }
+          if (next.forall(_.isEmpty)) done = true
+          else {
+            // union of checkpointed deltas with periodic compaction, as
+            // in [[fixpoint]] — amortized-linear I/O, bounded plan size
+            accs = mergeAccs(accs, next, 1)
+            deltas = next
+          }
+          i += 1
+        } else {
+          // Blocked semi-naive (see [[fixpoint]]): chain K sub-
+          // iterations lazily, tag each (sub-iteration, relation) novel
+          // with the composite tag k·R + idx, checkpoint + per-tag count
+          // the whole block in ONE job. The next deltas are the LAST
+          // sub-iteration's slices only — earlier slices were already
+          // expanded inside the block.
+          val R = accs.size
+          var curAccs = accs
+          var curDeltas = deltas
+          // blockNovels(k)(idx)
+          val blockNovels = scala.collection.mutable.ArrayBuffer
+            .empty[Seq[Option[DataFrame]]]
+          var k = 0
+          while (k < K && i + k < maxIter) {
+            val novels = novelsOf(curAccs, curDeltas)
+            curAccs = curAccs.zip(novels).map {
+              case (accOpt, Some(n)) => Some(accOpt.fold(n)(a => a.union(fresh(n))))
+              case (accOpt, None) => accOpt
+            }
+            curDeltas = novels
+            blockNovels += novels
+            k += 1
+          }
+          val live: Seq[(DataFrame, Int)] = blockNovels.zipWithIndex.flatMap {
+            case (novels, kk) => novels.zipWithIndex.collect {
+              case (Some(n), idx) => (n, kk * R + idx)
+            }
+          }.toSeq
+          if (live.isEmpty) done = true
+          else {
+            val liveIdx = live.map(_._2 % R).distinct.sorted
+            val schemas: Map[Int, org.apache.spark.sql.types.StructType] =
+              live.map { case (n, t) => (t % R) -> n.schema }.toMap
+            val fusedPlan = live.map { case (n, t) =>
+              n.select(lit(t).as("_tag") +: liveIdx.map { j =>
+                if (j == t % R) struct(n.columns.map(col): _*).as(s"_s$j")
                 else lit(null).cast(schemas(j)).as(s"_s$j")
               }: _*)
             }.reduce(_.unionAll(_))
             val (cp, counts) = org.apache.spark.sql.graftbridge.RddBridge
               .localCheckpointWithTagCounts(fusedPlan)
-            novels.indices.map { j =>
-              if (counts.getOrElse(j, 0L) == 0L) None
-              else Some(cp.where(col("_tag") === j).select(
-                schemas(j).fieldNames.toSeq.map(f =>
-                  col(s"_s$j").getField(f).as(f)): _*))
+            if (counts.values.sum == 0L) done = true
+            else {
+              def slice(j: Int, pred: Column): DataFrame =
+                cp.where(pred).select(
+                  schemas(j).fieldNames.toSeq.map(f =>
+                    col(s"_s$j").getField(f).as(f)): _*)
+              // all of a relation's block novelty joins its accumulator
+              val blockNew: Seq[Option[DataFrame]] = (0 until R).map { j =>
+                val total = (0 until k).map(kk =>
+                  counts.getOrElse(kk * R + j, 0L)).sum
+                if (total == 0L || !liveIdx.contains(j)) None
+                else Some(slice(j, col("_tag") % R === j))
+              }
+              accs = mergeAccs(accs, blockNew, k)
+              // only the final sub-iteration's slices are unexpanded
+              val lastSlices: Seq[Option[DataFrame]] = (0 until R).map { j =>
+                if (counts.getOrElse((k - 1) * R + j, 0L) == 0L) None
+                else Some(slice(j, col("_tag") === (k - 1) * R + j))
+              }
+              if (lastSlices.forall(_.isEmpty)) done = true // converged mid-block
+              else deltas = lastSlices
             }
           }
-        if (next.forall(_.isEmpty)) done = true
-        else {
-          // union of checkpointed deltas with periodic compaction, as
-          // in [[fixpoint]] — amortized-linear I/O, bounded plan size
-          accs = accs.zip(next).map {
-            case (accOpt, Some(n)) =>
-              val u = accOpt.fold(n)(a => a.union(fresh(n)))
-              Some(if (i % compactEvery == compactEvery - 1) u.localCheckpoint() else u)
-            case (accOpt, None) => accOpt
-          }
-          deltas = next
+          i += k
         }
-        i += 1
       }
       if (!done)
         throw new IllegalStateException(
