@@ -347,15 +347,23 @@ object Bitemporal {
     * more reducers). Pick it near the TYPICAL interval length; a
     * handful of replicas per row keeps the join linear where the naive
     * plan is quadratic. Empty intervals (from >= to) are dropped, as
-    * the half-open semantics dictate. */
-  def intervalJoin(a: DataFrame, b: DataFrame, binSeconds: Long,
+    * the half-open semantics dictate.
+    *
+    * `binSeconds = 0` (the default) AUTO-PICKS the width from a
+    * one-pass [[autoBinSeconds]] sketch of both sides' interval
+    * lengths — at 100× data a hand-picked constant silently rots
+    * (too small → the long tail explodes replication; too big → hot
+    * periods collapse into few dense bins), while the distribution
+    * tracks the data. */
+  def intervalJoin(a: DataFrame, b: DataFrame, binSeconds: Long = 0L,
                    suffix: String = "_r"): DataFrame = {
     val tcols = Seq("_valid_from", "_valid_to")
     require(tcols.forall(a.columns.contains) &&
       tcols.forall(b.columns.contains),
       s"intervalJoin: both sides need $tcols")
-    require(binSeconds > 0, "intervalJoin: binSeconds must be positive")
-    val bw = binSeconds * 1000000L // micros per bin
+    require(binSeconds >= 0, "intervalJoin: binSeconds must be positive (0 = auto)")
+    val bs = if (binSeconds > 0) binSeconds else autoBinSeconds(a, b)
+    val bw = bs * 1000000L // micros per bin
     def bins(df: DataFrame) = df
       .filter(col("_valid_from") < col("_valid_to"))
       .withColumn("_bin", explode(sequence(
@@ -384,6 +392,31 @@ object Bitemporal {
       .withColumn("_valid_to",
         least(col("_valid_to"), col("_valid_to" + suffix)))
       .drop("_bin", "_valid_from" + suffix, "_valid_to" + suffix)
+  }
+
+  /** Auto bin width for [[intervalJoin]]: one distributed aggregation
+    * pass over BOTH sides' interval lengths (seconds). The width is the
+    * approximate p50 ("near the typical length" — a typical row then
+    * spans 1–2 bins) floored by mean/64, which caps TOTAL replication:
+    * Σ(lenᵢ/bin) ≤ 64·n whenever bin ≥ mean/64, so the shuffle volume
+    * stays ∝ the input even when the length distribution mixes
+    * mostly-seconds rows with multi-year outliers (a p50-only width
+    * would explode each outlier into len/p50 — potentially millions —
+    * of replica rows, invisible to any mid quantile). Cost: one
+    * aggregation job column-pruned to the two timestamps. */
+  def autoBinSeconds(a: DataFrame, b: DataFrame): Long = {
+    def lens(df: DataFrame) = df
+      .filter(col("_valid_from") < col("_valid_to"))
+      .select(((unix_micros(col("_valid_to").cast("timestamp")) -
+        unix_micros(col("_valid_from").cast("timestamp"))) / 1000000L)
+        .cast("long").as("_len"))
+    val r = lens(a).unionByName(lens(b))
+      .agg(percentile_approx(col("_len"), lit(0.5), lit(5000)).as("p50"),
+        avg(col("_len")).as("mean"))
+      .head
+    if (r.isNullAt(0)) 86400L // both sides empty: any width works
+    else math.max(1L,
+      math.max(r.getLong(0), (r.getDouble(1) / 64.0).toLong))
   }
 
   /** System-time DIFF between two bases — the audit question "what did

@@ -518,8 +518,10 @@ object Bitemp {
     // KEYLESS interval overlap join (no equality key at all — the shape
     // Spark would otherwise plan as a cartesian product): high-value
     // order validity windows × heavy-lineitem ship windows, matched on
-    // time overlap alone via 30-day binning; each pair emitted once
-    // (first-shared-bin rule), output interval = intersection
+    // time overlap alone via binning; each pair emitted once
+    // (first-shared-bin rule), output interval = intersection. The bin
+    // width is AUTO-derived (r8: p50 of the 14/30-day length mix with
+    // a mean/64 replication floor — lands near the old hand-picked 30d)
     "q144_interval_join" -> ((s, dir) => {
       import s.implicits._
       val a = T(s, dir, "orders").filter($"o_totalprice" > 495000)
@@ -530,7 +532,7 @@ object Bitemp {
         .select($"l_orderkey", $"l_linenumber",
           $"l_shipdate".cast("timestamp").as("_valid_from"),
           expr("l_shipdate + INTERVAL 14 DAY").cast("timestamp").as("_valid_to"))
-      Bitemporal.intervalJoin(a, b, binSeconds = 30L * 86400)
+      Bitemporal.intervalJoin(a, b)
         .select($"o_orderkey", $"l_orderkey", $"l_linenumber",
           $"_valid_from".cast("string").as("vf"),
           $"_valid_to".cast("string").as("vt"))

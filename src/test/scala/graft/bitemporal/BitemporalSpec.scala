@@ -472,6 +472,67 @@ class BitemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalJoin auto bin width: parity at 3 length distributions, " +
+      "tail replication capped") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val rnd = new scala.util.Random(23)
+    def naive(aRows: Seq[(Long, java.sql.Timestamp, java.sql.Timestamp)],
+              bRows: Seq[(Long, java.sql.Timestamp, java.sql.Timestamp)]) =
+      (for {
+        (ai, af, at) <- aRows if af.before(at)
+        (bi, bf, bt) <- bRows if bf.before(bt)
+        if af.before(bt) && bf.before(at)
+      } yield (ai, bi)).toSet
+    def check(label: String,
+              aRows: Seq[(Long, java.sql.Timestamp, java.sql.Timestamp)],
+              bRows: Seq[(Long, java.sql.Timestamp, java.sql.Timestamp)]): Unit = {
+      val a = aRows.toDF("aid", "_valid_from", "_valid_to")
+      val b = bRows.toDF("bid", "_valid_from", "_valid_to")
+      val got = Bitemporal.intervalJoin(a, b) // binSeconds omitted: auto
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.distinct.length, s"$label: duplicate pairs")
+      assert(got.toSet == naive(aRows, bRows), s"$label: pair set differs")
+    }
+    // 1. uniform-ish: lengths cluster around one scale
+    check("uniform",
+      (0 until 80).map { i =>
+        val f = rnd.nextInt(10000); (i.toLong, ts(f), ts(f + 50 + rnd.nextInt(100))) },
+      (0 until 90).map { i =>
+        val f = rnd.nextInt(10000); (i.toLong, ts(f), ts(f + 50 + rnd.nextInt(100))) })
+    // 2. heavy-tailed mixture: mostly seconds, a few huge spans — the
+    // case where bin = p50 alone would explode the tail's replication;
+    // the p95/64 floor must keep it bounded
+    val mixA = (0 until 100).map { i =>
+      val f = rnd.nextInt(100000)
+      val len = if (i % 25 == 0) 500000 + rnd.nextInt(100000) else 1 + rnd.nextInt(5)
+      (i.toLong, ts(f), ts(f + len))
+    }
+    val mixB = (0 until 100).map { i =>
+      val f = rnd.nextInt(100000)
+      (i.toLong, ts(f), ts(f + 1 + rnd.nextInt(10)))
+    }
+    check("heavy-tail", mixA, mixB)
+    val autoMix = Bitemporal.autoBinSeconds(
+      mixA.toDF("aid", "_valid_from", "_valid_to"),
+      mixB.toDF("bid", "_valid_from", "_valid_to"))
+    // p50 is a few seconds but the tail spans ~500k: the mean/64 floor
+    // must bound TOTAL replication at ~65x the row count (a p50-only
+    // width would emit ~200k replicas per tail row)
+    val lens = (mixA ++ mixB).map { case (_, f, t) =>
+      (t.getTime - f.getTime) / 1000L }.filter(_ > 0)
+    val totalReplicas = lens.map(_ / autoMix + 1).sum
+    assert(totalReplicas <= 66L * lens.size,
+      s"auto width $autoMix: $totalReplicas replicas for ${lens.size} rows")
+    // 3. constant lengths incl. empties (must drop, not bin)
+    check("constant",
+      (0 until 60).map { i =>
+        val f = rnd.nextInt(5000)
+        (i.toLong, ts(f), ts(f + (if (i % 10 == 0) 0 else 30))) },
+      (0 until 60).map { i =>
+        val f = rnd.nextInt(5000); (i.toLong, ts(f), ts(f + 30)) })
+  }
+
   test("timelineSweep grouped: per-key window, no offset pass") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
