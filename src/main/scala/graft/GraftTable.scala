@@ -408,6 +408,19 @@ final class GraftTable(spark: SparkSession, dir: String,
     schemaOf(log.readBase(spark)) ++ schemaOf(log.read(spark))
   }
 
+  /** The Spark types [[copyFrom]] will cast each COPY column to —
+    * exposed so the pgwire binary-COPY decoder reads wire fields under
+    * the same type resolution the text path applies at cast time. */
+  def copyColumnTypes(cols: Seq[String]): Seq[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+    val known = knownLogTypes()
+    cols.map {
+      case "_id" => known.getOrElse("_id", LongType)
+      case "_valid_from" | "_valid_to" => TimestampType
+      case other => known.getOrElse(other, StringType)
+    }
+  }
+
   /** Bulk TEXT ingest — the landing for pgwire `COPY ... FROM STDIN`
     * (and any row-oriented text feed): rows of cells (null = SQL NULL)
     * under an explicit column list become ONE atomic put transaction

@@ -37,9 +37,11 @@ import graft.bitemporal.SqlText
   *     statement-by-statement and are NOT atomic — the append-only log
   *     has no rollback, so partial application is possible there and
   *     documented.
-  *   - Text parameter and result format only (format code 0) — the
-  *     protocol's baseline every client supports; binary is rejected
-  *     with a clear error.
+  *   - Text parameter and RESULT format only (format code 0) — the
+  *     protocol's baseline every client supports; binary result rows
+  *     are rejected with a clear error. COPY serves BOTH formats:
+  *     text and PGCOPY binary ([[PgBinary]]), negotiated per the
+  *     statement's `BINARY` / `(FORMAT binary)` clause.
   *   - Auth is trust-mode (AuthenticationOk to any startup); binding
   *     beyond 127.0.0.1 is a deployment decision, as with
   *     [[GraftHttpApi]].
@@ -495,59 +497,119 @@ object GraftPgWire {
     }
   }
 
-  // ---- COPY FROM STDIN (text format) ---------------------------------
+  // ---- COPY FROM STDIN / TO STDOUT (text + binary formats) -----------
+
+  // optional trailing format clause: `BINARY` (pre-9.0 spelling) or
+  // `[WITH] (FORMAT text|binary)` — both are what real clients emit
+  private val fmtSuffix =
+    "(?:\\s+(?:WITH\\s+)?(?:\\(\\s*FORMAT\\s+(\\w+)\\s*\\)|(BINARY)))?"
 
   private val copyRe = java.util.regex.Pattern.compile(
-    "^\\s*COPY\\s+(\\w+)\\s*(?:\\(([^)]*)\\))?\\s+FROM\\s+STDIN\\s*;?\\s*$",
+    "^\\s*COPY\\s+(\\w+)\\s*(?:\\(([^)]*)\\))?\\s+FROM\\s+STDIN" +
+      fmtSuffix + "\\s*;?\\s*$",
     java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
 
   private val copyOutRe = java.util.regex.Pattern.compile(
-    "^\\s*COPY\\s+(?:(\\w+)|\\((.+)\\))\\s+TO\\s+STDOUT\\s*;?\\s*$",
+    "^\\s*COPY\\s+(?:(\\w+)|\\((.+)\\))\\s+TO\\s+STDOUT" +
+      fmtSuffix + "\\s*;?\\s*$",
     java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
 
+  /** The format clause → binary? Throws on formats we don't serve. */
+  private def isBinary(fmtWord: String, bareBinary: String): Boolean =
+    if (bareBinary != null) true
+    else if (fmtWord == null) false
+    else fmtWord.toLowerCase match {
+      case "text" => false
+      case "binary" => true
+      case other => throw new IllegalArgumentException(
+        s"unsupported COPY format '$other'; use text or binary")
+    }
+
   private def runCopy(spark: SparkSession, in: DataInputStream,
-                      out: DataOutputStream, stmt: String): Unit =
-    if (copyRe.matcher(stmt).matches()) runCopyIn(spark, in, out, stmt)
-    else if (copyOutRe.matcher(stmt).matches()) runCopyOut(spark, out, stmt)
+                      out: DataOutputStream, stmt: String): Unit = {
+    val mi = copyRe.matcher(stmt)
+    val mo = copyOutRe.matcher(stmt)
+    if (mi.matches()) runCopyIn(spark, in, out, stmt,
+      binary = isBinary(mi.group(3), mi.group(4)))
+    else if (mo.matches()) runCopyOut(spark, out, stmt,
+      binary = isBinary(mo.group(3), mo.group(4)))
     else throw new IllegalArgumentException(
       "unsupported COPY form; use COPY <table> [(col, ...)] FROM STDIN " +
         "or COPY <table | (query)> TO STDOUT")
+  }
 
-  /** `COPY <table | (query)> TO STDOUT` — the export half `psql \\copy
-    * ... to <file>` speaks: CopyOutResponse, one CopyData frame per row
-    * in COPY text format (same escaping [[parseCopyText]] accepts, so a
-    * COPY TO feeds a COPY FROM byte-for-byte), CopyDone + `COPY n`.
-    * The table form reads the registered graft table's current state
-    * through the session parser (same resolution as any SELECT); rows
-    * render executor-side and stream partition-at-a-time. */
+  /** `COPY <table | (query)> TO STDOUT [BINARY]` — the export half
+    * `psql \\copy ... to <file>` speaks: CopyOutResponse, CopyData
+    * frames (one per row) in COPY text format — same escaping
+    * [[parseCopyText]] accepts, so a COPY TO feeds a COPY FROM
+    * byte-for-byte — or PGCOPY binary format (header frame, one tuple
+    * frame per row, trailer), CopyDone + `COPY n`. The table form reads
+    * the registered graft table's current state through the session
+    * parser (same resolution as any SELECT); text rows render
+    * executor-side and stream partition-at-a-time; binary tuples encode
+    * from native row values per [[PgBinary]]. */
   private def runCopyOut(spark: SparkSession, out: DataOutputStream,
-                         stmt: String): Unit = {
+                         stmt: String, binary: Boolean): Unit = {
     val m = copyOutRe.matcher(stmt)
     require(m.matches(), "copy-out form")
     val query = Option(m.group(2)).getOrElse(s"SELECT * FROM ${m.group(1)}")
     val df = spark.sql(query)
     val width = df.schema.length
-    send(out, 'H', b => { // CopyOutResponse: text, per-column text
-      b.writeByte(0)
+    send(out, 'H', b => { // CopyOutResponse + per-column formats
+      b.writeByte(if (binary) 1 else 0)
       b.writeShort(width)
-      (0 until width).foreach(_ => b.writeShort(0))
+      (0 until width).foreach(_ => b.writeShort(if (binary) 1 else 0))
     })
-    val it = textProjection(df).toLocalIterator()
     var n = 0L
-    while (it.hasNext) {
-      val row = it.next()
-      val sb = new java.lang.StringBuilder()
-      var i = 0
-      while (i < width) {
-        if (i > 0) sb.append('\t')
-        if (row.isNullAt(i)) sb.append("\\N")
-        else sb.append(copyEscape(row.getString(i)))
-        i += 1
+    if (binary) {
+      // complex columns export as their json text (PG's json binary
+      // send format IS the text); scalars encode natively
+      val proj = df.select(df.schema.fields.map(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType =>
+          to_json(col(s"`${f.name}`")).as(f.name)
+        case _ => col(s"`${f.name}`")
+      }).toIndexedSeq: _*)
+      val types = proj.schema.fields.map(_.dataType)
+      out.writeByte('d')
+      out.writeInt(4 + PgBinary.Header.length)
+      out.write(PgBinary.Header)
+      val it = proj.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val tuple = new ByteArrayOutputStream()
+        val t = new DataOutputStream(tuple)
+        t.writeShort(width)
+        var i = 0
+        while (i < width) {
+          if (row.isNullAt(i)) t.writeInt(-1)
+          else {
+            val enc = PgBinary.encodeValue(types(i), row.get(i))
+            t.writeInt(enc.length); t.write(enc)
+          }
+          i += 1
+        }
+        val bytes = tuple.toByteArray
+        out.writeByte('d'); out.writeInt(4 + bytes.length); out.write(bytes)
+        n += 1
       }
-      sb.append('\n')
-      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      out.writeByte('d'); out.writeInt(4 + bytes.length); out.write(bytes)
-      n += 1
+      out.writeByte('d'); out.writeInt(4 + 2); out.writeShort(-1) // trailer
+    } else {
+      val it = textProjection(df).toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i < width) {
+          if (i > 0) sb.append('\t')
+          if (row.isNullAt(i)) sb.append("\\N")
+          else sb.append(copyEscape(row.getString(i)))
+          i += 1
+        }
+        sb.append('\n')
+        val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeByte('d'); out.writeInt(4 + bytes.length); out.write(bytes)
+        n += 1
+      }
     }
     send(out, 'c', _ => ()) // CopyDone
     send(out, 'C', b => writeCString(b, s"COPY $n"))
@@ -579,17 +641,20 @@ object GraftPgWire {
     }
   }
 
-  /** `COPY <table> [(cols)] FROM STDIN` — the Postgres bulk-load flow
-    * stock `psql \copy` speaks: CopyInResponse, stream of CopyData
-    * frames in COPY text format (tab-separated, `\N` = NULL, backslash
-    * escapes, optional `\.` terminator line), CopyDone → ONE atomic
+  /** `COPY <table> [(cols)] FROM STDIN [BINARY]` — the Postgres
+    * bulk-load flow stock `psql \copy` (text) and ETL tools negotiating
+    * binary speak: CopyInResponse, stream of CopyData frames in COPY
+    * text format (tab-separated, `\N` = NULL, backslash escapes,
+    * optional `\.` terminator line) or PGCOPY binary format (signature
+    * header, length-prefixed tuples, -1 trailer), CopyDone → ONE atomic
     * graft transaction through [[graft.GraftTable.copyFrom]]'s parallel
-    * bulk append (same no-overlap validation as SQL INSERT). CopyFail
-    * aborts with the client's message; nothing is written. Binary
-    * format and COPY TO are not offered (text is what `\copy` sends by
-    * default, and reads already stream through every query path). */
+    * bulk append (same no-overlap validation as SQL INSERT). Binary
+    * fields decode under the same type resolution the text path casts
+    * with ([[graft.GraftTable.copyColumnTypes]]). CopyFail aborts with
+    * the client's message; nothing is written. */
   private def runCopyIn(spark: SparkSession, in: DataInputStream,
-                        out: DataOutputStream, stmt: String): Unit = {
+                        out: DataOutputStream, stmt: String,
+                        binary: Boolean): Unit = {
     val m = copyRe.matcher(stmt)
     if (!m.matches())
       throw new IllegalArgumentException(
@@ -614,10 +679,10 @@ object GraftPgWire {
         s"unknown COPY columns: ${badCols.mkString(", ")}")
     if (!cols.contains("_id"))
       throw new IllegalArgumentException("COPY column list must contain _id")
-    send(out, 'G', b => { // CopyInResponse: text format, per-column text
-      b.writeByte(0)
+    send(out, 'G', b => { // CopyInResponse + per-column formats
+      b.writeByte(if (binary) 1 else 0)
       b.writeShort(cols.size)
-      cols.foreach(_ => b.writeShort(0))
+      cols.foreach(_ => b.writeShort(if (binary) 1 else 0))
     })
     out.flush()
     val buf = new java.io.ByteArrayOutputStream()
@@ -657,8 +722,11 @@ object GraftPgWire {
       case Some(msg) =>
         sendError(out, "57014", s"COPY from stdin failed: $msg")
       case None =>
-        val rows = parseCopyText(
-          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+        val rows =
+          if (binary) PgBinary.parseCopyBinary(buf.toByteArray,
+            table.copyColumnTypes(cols))
+          else parseCopyText(
+            new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
         val n = rows.length
         table.copyFrom(cols, rows,
           new java.sql.Timestamp(System.currentTimeMillis()))
@@ -888,5 +956,200 @@ object GraftPgWire {
       case i => i
     }
     new String(body, 0, end, UTF_8)
+  }
+}
+
+/** PGCOPY binary format codec (the `COPY ... BINARY` wire payload):
+  * 11-byte signature + flags + header-extension, then length-prefixed
+  * tuples (int16 field count; per field int32 byte length, -1 = NULL),
+  * closed by an int16 -1 trailer. Field encodings are the types' Postgres
+  * `send`/`recv` representations in network byte order — int2/4/8,
+  * float4/8, bool, text/bytea raw, date as days since 2000-01-01,
+  * timestamp as micros since 2000-01-01, numeric as base-10000 digit
+  * groups. Decoding resolves each field under the TABLE's Spark type
+  * (the same resolution the text path casts with) and renders the cell
+  * to the canonical string [[graft.GraftTable.copyFrom]] ingests, so
+  * both formats land on identical rows. */
+private[graft] object PgBinary {
+  import java.nio.ByteBuffer
+  import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+
+  /** "PGCOPY\n\377\r\n\0" + int32 flags 0 + int32 extension length 0. */
+  val Header: Array[Byte] =
+    "PGCOPY\n".getBytes("ISO-8859-1") ++
+      Array(0xFF.toByte, '\r'.toByte, '\n'.toByte, 0.toByte) ++
+      Array.fill[Byte](8)(0)
+
+  private val Signature = Header.take(11)
+  private val PgEpochMicros = 946684800000000L // 2000-01-01T00:00:00Z
+  private val PgEpochDays = 10957L // 2000-01-01 in unix epoch days
+
+  private def be(n: Int)(fill: ByteBuffer => Unit): Array[Byte] = {
+    val b = ByteBuffer.allocate(n); fill(b); b.array()
+  }
+
+  /** Native row value → Postgres binary `send` bytes for its type. */
+  def encodeValue(dt: DataType, v: Any): Array[Byte] = dt match {
+    case BooleanType => Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0)
+    case ByteType => be(2)(_.putShort(v.asInstanceOf[Byte].toShort))
+    case ShortType => be(2)(_.putShort(v.asInstanceOf[Short]))
+    case IntegerType => be(4)(_.putInt(v.asInstanceOf[Int]))
+    case LongType => be(8)(_.putLong(v.asInstanceOf[Long]))
+    case FloatType => be(4)(_.putFloat(v.asInstanceOf[Float]))
+    case DoubleType => be(8)(_.putDouble(v.asInstanceOf[Double]))
+    case StringType => v.toString.getBytes(UTF_8)
+    case BinaryType => v.asInstanceOf[Array[Byte]]
+    case _: DecimalType => encodeNumeric(v match {
+      case d: java.math.BigDecimal => d
+      case d: BigDecimal => d.bigDecimal
+    })
+    case DateType =>
+      val days = v match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay
+        case d: LocalDate => d.toEpochDay
+      }
+      be(4)(_.putInt((days - PgEpochDays).toInt))
+    case TimestampType =>
+      val ts = v.asInstanceOf[java.sql.Timestamp]
+      // getTime already includes whole milliseconds of the nanos field;
+      // add only the sub-millisecond micros
+      val micros = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+      be(8)(_.putLong(micros - PgEpochMicros))
+    case TimestampNTZType =>
+      val ldt = v.asInstanceOf[LocalDateTime]
+      val micros = ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L
+      be(8)(_.putLong(micros - PgEpochMicros))
+    case other => throw new IllegalArgumentException(
+      s"COPY BINARY cannot encode type $other")
+  }
+
+  /** Binary field bytes → the canonical text cell for the target Spark
+    * type (what the text COPY path would deliver to `copyFrom`). */
+  def decodeValue(dt: DataType, b: Array[Byte]): String = {
+    def intByWidth: Long = b.length match {
+      case 2 => ByteBuffer.wrap(b).getShort.toLong
+      case 4 => ByteBuffer.wrap(b).getInt.toLong
+      case 8 => ByteBuffer.wrap(b).getLong
+      case n => throw new IllegalArgumentException(
+        s"COPY BINARY: $n-byte integer field")
+    }
+    def microsToNtz(micros: Long): LocalDateTime =
+      LocalDateTime.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000L).toInt, ZoneOffset.UTC)
+    dt match {
+      case StringType => new String(b, UTF_8)
+      case ByteType | ShortType | IntegerType | LongType => intByWidth.toString
+      case FloatType | DoubleType => b.length match {
+        case 4 => ByteBuffer.wrap(b).getFloat.toString
+        case 8 => ByteBuffer.wrap(b).getDouble.toString
+        case n => throw new IllegalArgumentException(
+          s"COPY BINARY: $n-byte float field")
+      }
+      case BooleanType =>
+        if (b.length != 1) throw new IllegalArgumentException(
+          s"COPY BINARY: ${b.length}-byte bool field")
+        else if (b(0) != 0) "true" else "false"
+      case _: DecimalType => decodeNumeric(b).toPlainString
+      case DateType =>
+        LocalDate.ofEpochDay(ByteBuffer.wrap(b).getInt.toLong + PgEpochDays)
+          .toString
+      case TimestampType | TimestampNTZType =>
+        val micros = ByteBuffer.wrap(b).getLong + PgEpochMicros
+        val ldt = microsToNtz(micros)
+        f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
+          f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d" +
+          f".${ldt.getNano / 1000}%06d"
+      case other => throw new IllegalArgumentException(
+        s"COPY BINARY cannot decode into column type $other " +
+          "(bytea/json columns: use text format)")
+    }
+  }
+
+  /** Postgres `numeric` send format: ndigits, weight, sign, dscale
+    * (int16 each), then ndigits base-10000 digit groups. */
+  def encodeNumeric(bd: java.math.BigDecimal): Array[Byte] = {
+    val neg = bd.signum() < 0
+    val dscale = math.max(0, bd.scale())
+    val plain = bd.abs().toPlainString
+    val dot = plain.indexOf('.')
+    val intPart0 = if (dot < 0) plain else plain.substring(0, dot)
+    val fracPart0 = if (dot < 0) "" else plain.substring(dot + 1)
+    val intPad = "0" * ((4 - intPart0.length % 4) % 4) + intPart0
+    val fracPad = fracPart0 + "0" * ((4 - fracPart0.length % 4) % 4)
+    var digits = (intPad.grouped(4) ++ fracPad.grouped(4))
+      .map(_.toInt).toVector
+    var weight = intPad.length / 4 - 1
+    while (digits.nonEmpty && digits.head == 0) {
+      digits = digits.tail; weight -= 1
+    }
+    while (digits.nonEmpty && digits.last == 0) digits = digits.init
+    if (digits.isEmpty) weight = 0
+    val out = ByteBuffer.allocate(8 + 2 * digits.length)
+    out.putShort(digits.length.toShort)
+    out.putShort(weight.toShort)
+    out.putShort(if (neg) 0x4000.toShort else 0.toShort)
+    out.putShort(dscale.toShort)
+    digits.foreach(d => out.putShort(d.toShort))
+    out.array()
+  }
+
+  def decodeNumeric(b: Array[Byte]): java.math.BigDecimal = {
+    val buf = ByteBuffer.wrap(b)
+    val n = buf.getShort.toInt
+    val weight = buf.getShort.toInt
+    val sign = buf.getShort & 0xFFFF
+    val dscale = buf.getShort.toInt
+    require(sign == 0 || sign == 0x4000,
+      s"COPY BINARY: unsupported numeric sign 0x${sign.toHexString}")
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      acc = acc.add(java.math.BigDecimal.valueOf(buf.getShort.toLong)
+        .scaleByPowerOfTen(4 * (weight - i)))
+      i += 1
+    }
+    val scaled =
+      try acc.setScale(dscale)
+      catch { case _: ArithmeticException => acc }
+    if (sign == 0x4000) scaled.negate() else scaled
+  }
+
+  /** Whole COPY BINARY payload → rows of canonical text cells. */
+  def parseCopyBinary(bytes: Array[Byte],
+                      types: Seq[DataType]): Seq[Seq[String]] = {
+    require(bytes.length >= Header.length &&
+      bytes.take(11).sameElements(Signature),
+      "COPY BINARY: missing PGCOPY signature")
+    val buf = ByteBuffer.wrap(bytes)
+    buf.position(11)
+    val flags = buf.getInt
+    require((flags & 0xFFFF0000) == 0,
+      f"COPY BINARY: unsupported header flags 0x$flags%08x (OIDs?)")
+    val extLen = buf.getInt
+    buf.position(buf.position() + extLen)
+    val rows = Seq.newBuilder[Seq[String]]
+    var done = false
+    while (!done) {
+      require(buf.remaining() >= 2, "COPY BINARY: truncated (no trailer)")
+      val nf = buf.getShort.toInt
+      if (nf == -1) done = true
+      else {
+        require(nf == types.length,
+          s"COPY BINARY: tuple with $nf fields, expected ${types.length}")
+        rows += types.map { dt =>
+          val len = buf.getInt
+          if (len == -1) null
+          else {
+            require(len >= 0 && len <= buf.remaining(),
+              s"COPY BINARY: bad field length $len")
+            val fb = new Array[Byte](len)
+            buf.get(fb)
+            decodeValue(dt, fb)
+          }
+        }
+      }
+    }
+    rows.result()
   }
 }

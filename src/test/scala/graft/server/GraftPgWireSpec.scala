@@ -624,6 +624,129 @@ class GraftPgWireSpec extends AnyFunSuite {
     }
   }
 
+  test("pgwire COPY BINARY: typed load, nulls, export, re-import parity") {
+    import org.apache.spark.sql.types._
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-pgwire-binary-copy-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val dir = java.nio.file.Files.createTempDirectory("graft_pgbin").toString
+    GraftServer.register("pgbin",
+      new graft.GraftTable(spark, dir, Seq("bal", "d", "note")))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_pgbin2").toString
+    GraftServer.register("pgbin2",
+      new graft.GraftTable(spark, dir2, Seq("bal", "d", "note")))
+    val handle = GraftPgWire.start(spark, port = 0)
+    try {
+      val c = new PgClient(handle.port)
+      assert(c.sslProbe() == 'N')
+      c.startup("user" -> "tester")
+      // pin the payload types both tables decode binary fields under
+      Seq("pgbin", "pgbin2").foreach(t => c.query(
+        s"INSERT INTO $t (_id, bal, d, note) " +
+          "VALUES (1, 1.5D, CAST(9.75 AS DECIMAL(12,2)), 'seed')"))
+
+      def tuple(fields: Seq[Option[Array[Byte]]]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val d = new DataOutputStream(bos)
+        d.writeShort(fields.size)
+        fields.foreach {
+          case None => d.writeInt(-1)
+          case Some(b) => d.writeInt(b.length); d.write(b)
+        }
+        bos.toByteArray
+      }
+      def enc(dt: DataType, v: Any) = Some(PgBinary.encodeValue(dt, v))
+
+      // binary load: two rows, one with a NULL decimal; frames split
+      // MID-TUPLE (the parser must treat frames as a byte stream)
+      val g = c.copyStart("COPY pgbin (_id, bal, d, note) FROM STDIN BINARY")
+      assert(g.tpe == 'G', s"expected CopyInResponse, got ${g.tpe}")
+      val gin = new DataInputStream(new java.io.ByteArrayInputStream(g.body))
+      assert(gin.readByte() == 1, "overall format must be binary")
+      assert(gin.readShort() == 4)
+      assert((0 until 4).forall(_ => gin.readShort() == 1),
+        "per-column formats must be binary")
+      val payload = PgBinary.Header ++
+        tuple(Seq(enc(LongType, 2L), enc(DoubleType, 200.5),
+          enc(DecimalType(12, 2), new java.math.BigDecimal("12.34")),
+          enc(StringType, "hello"))) ++
+        tuple(Seq(enc(LongType, 3L), enc(DoubleType, -0.25), None,
+          enc(StringType, "wörld\t\\x"))) ++
+        tuple(Seq(enc(LongType, 4L), None,
+          enc(DecimalType(12, 2), new java.math.BigDecimal("-99999999.99")),
+          enc(StringType, ""))) ++
+        Array[Byte](-1, -1) // trailer int16 -1
+      val (h1, h2) = payload.splitAt(payload.length / 2 + 3)
+      c.copyData(h1); c.copyData(h2)
+      val doneMsgs = c.copyDone()
+      val tag = Wire.cstr(new DataInputStream(new java.io.ByteArrayInputStream(
+        doneMsgs.find(_.tpe == 'C').get.body)))
+      assert(tag == "COPY 3", tag)
+
+      val sel = c.query(
+        "SELECT _id, bal, d, note FROM pgbin WHERE _id >= 2 ORDER BY _id")
+      val rows = sel.filter(_.tpe == 'D').map(m => Wire.dataRow(m.body))
+      assert(rows == Seq(
+        Seq(Some("2"), Some("200.5"), Some("12.34"), Some("hello")),
+        Seq(Some("3"), Some("-0.25"), None, Some("wörld\t\\x")),
+        Seq(Some("4"), None, Some("-99999999.99"), Some(""))), rows)
+
+      // binary export: header/trailer framing + parseable payload
+      val exp = c.query("COPY (SELECT _id, bal, d, note FROM pgbin " +
+        "WHERE _id >= 2 ORDER BY _id) TO STDOUT (FORMAT binary)")
+      val h = exp.find(_.tpe == 'H').get
+      val hin = new DataInputStream(new java.io.ByteArrayInputStream(h.body))
+      assert(hin.readByte() == 1 && hin.readShort() == 4)
+      val exported = exp.filter(_.tpe == 'd').map(_.body)
+        .foldLeft(Array.empty[Byte])(_ ++ _)
+      assert(exported.take(11).sameElements(PgBinary.Header.take(11)))
+      val parsed = PgBinary.parseCopyBinary(exported,
+        Seq(LongType, DoubleType, DecimalType(12, 2), StringType))
+      assert(parsed == Seq(
+        Seq("2", "200.5", "12.34", "hello"),
+        Seq("3", "-0.25", null, "wörld\t\\x"),
+        Seq("4", null, "-99999999.99", "")), parsed)
+
+      // byte-exact round trip: the exported payload re-imports into a
+      // second table and lands on identical rows
+      val g2 = c.copyStart(
+        "COPY pgbin2 (_id, bal, d, note) FROM STDIN WITH (FORMAT binary)")
+      assert(g2.tpe == 'G')
+      c.copyData(exported)
+      val done2 = c.copyDone()
+      assert(Wire.cstr(new DataInputStream(new java.io.ByteArrayInputStream(
+        done2.find(_.tpe == 'C').get.body))) == "COPY 3")
+      val sel2 = c.query(
+        "SELECT _id, bal, d, note FROM pgbin2 WHERE _id >= 2 ORDER BY _id")
+      assert(sel2.filter(_.tpe == 'D').map(m => Wire.dataRow(m.body)) == rows)
+
+      // unsupported format word → clear error, connection stays usable
+      val bad = c.copyStart("COPY pgbin (_id) FROM STDIN WITH (FORMAT csv)")
+      assert(bad.tpe == 'E')
+      assert(Wire.errFields(bad.body)('M').contains("csv"))
+      c.drainUntilReady()
+      assert(c.query("SELECT 1 AS x").exists(_.tpe == 'D'))
+
+      c.terminate()
+    } finally {
+      handle.stop()
+      GraftServer.unregister("pgbin")
+      GraftServer.unregister("pgbin2")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
   test("COPY text round-trip property: escape → parse = identity") {
     // adversarial cells: every escape-relevant char, the \N lookalike,
     // multi-byte text — encode rows the way COPY TO does and assert
@@ -638,6 +761,56 @@ class GraftPgWireSpec extends AnyFunSuite {
       val encoded = cells.map(GraftPgWire.copyEscape).mkString("\t") + "\n"
       assert(GraftPgWire.parseCopyText(encoded) == Seq(cells),
         s"seed $i: $cells")
+    }
+  }
+
+  test("PgBinary numeric codec: encode → decode = identity (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      unscaled <- Gen.choose(-1000000000000000L, 1000000000000000L)
+      scale <- Gen.choose(-4, 9)
+    } yield java.math.BigDecimal.valueOf(unscaled, scale)
+    (0 until 500).foreach { i =>
+      val bd = gen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val back = PgBinary.decodeNumeric(PgBinary.encodeNumeric(bd))
+      assert(back.compareTo(bd) == 0, s"seed $i: $bd -> $back")
+      // a non-negative scale survives exactly (dscale carries it)
+      if (bd.scale >= 0)
+        assert(back.toPlainString == bd.toPlainString, s"seed $i")
+    }
+    // edge cases the generator may miss
+    Seq("0", "0.0000", "-0.5", "10000", "9999.9999", "0.00009999",
+      "-123456789.00001", "1E+8").foreach { s =>
+      val bd = new java.math.BigDecimal(s)
+      assert(PgBinary.decodeNumeric(PgBinary.encodeNumeric(bd))
+        .compareTo(bd) == 0, s)
+    }
+  }
+
+  test("PgBinary value codec: every served type round-trips to its " +
+      "canonical text cell") {
+    import org.apache.spark.sql.types._
+    def rt(dt: DataType, v: Any): String =
+      PgBinary.decodeValue(dt, PgBinary.encodeValue(dt, v))
+    assert(rt(LongType, 123456789012L) == "123456789012")
+    assert(rt(IntegerType, -42) == "-42")
+    assert(rt(ShortType, 7.toShort) == "7")
+    assert(rt(DoubleType, 200.5) == "200.5")
+    assert(rt(FloatType, 1.25f) == "1.25")
+    assert(rt(BooleanType, true) == "true" && rt(BooleanType, false) == "false")
+    assert(rt(StringType, "wörld\t\\x") == "wörld\t\\x")
+    assert(rt(DateType, java.sql.Date.valueOf("1997-06-15")) == "1997-06-15")
+    assert(rt(TimestampType,
+      java.sql.Timestamp.valueOf("2020-01-02 03:04:05.123456")) ==
+      "2020-01-02 03:04:05.123456")
+    assert(rt(TimestampType,
+      java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5")) ==
+      "1969-12-31 23:59:59.500000") // pre-epoch floor division
+    assert(rt(DecimalType(12, 2),
+      new java.math.BigDecimal("-99.05")) == "-99.05")
+    intercept[IllegalArgumentException] {
+      PgBinary.decodeValue(BinaryType, Array[Byte](1))
     }
   }
 
