@@ -33,6 +33,109 @@ class MixtureSpec extends AnyFunSuite {
     assert(q == Map("a" -> 10L, "b" -> 0L), q)
   }
 
+  /** Independent exact-arithmetic Hamilton reference: BigInt floors and
+    * remainders (no floating point anywhere), same documented tie rule
+    * (largest remainder, ties by domain name ascending). */
+  private def refApportion(weights: Map[String, Long], total: Long): Map[String, Long] = {
+    val wsum = BigInt(weights.values.sum)
+    val exact = weights.map { case (d, w) => d -> BigInt(total) * w }
+    val base = exact.map { case (d, e) => d -> e / wsum }
+    val rem = exact.map { case (d, e) => d -> e % wsum }
+    val left = (BigInt(total) - base.values.sum).toInt
+    val bumped = weights.keys.toSeq.sortBy(d => (-rem(d), d))
+      .take(left).toSet
+    base.map { case (d, b) => d -> (b.toLong + (if (bumped(d)) 1L else 0L)) }
+  }
+
+  test("apportion property: invariants on arbitrary positive weights (500)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(n, Gen.choose(0.0001, 1000.0))
+      total <- Gen.choose(0L, 1000000L)
+    } yield (ws.zipWithIndex.map { case (w, i) => s"d$i" -> w }.toMap, total)
+    (0 until 500).foreach { i =>
+      val (weights, total) = gen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val q = Mixture.apportion(weights, total)
+      assert(q.keySet == weights.keySet, s"seed $i")
+      assert(q.values.sum == total, s"seed $i: ${q.values.sum} != $total")
+      assert(q.values.forall(_ >= 0), s"seed $i")
+      // quota rule within double tolerance: |alloc - exact share| < 1+eps
+      val wsum = weights.values.sum
+      weights.foreach { case (d, w) =>
+        val share = total * w / wsum
+        assert(math.abs(q(d) - share) < 1.0 + 1e-6,
+          s"seed $i: $d alloc ${q(d)} vs share $share")
+      }
+      // determinism
+      assert(Mixture.apportion(weights, total) == q, s"seed $i")
+    }
+  }
+
+  test("apportion property: exact match vs BigInt reference on integer " +
+      "weights (500, remainder-ties excluded then covered by hand)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(1, 10)
+      ws <- Gen.listOfN(n, Gen.choose(0L, 9999L))
+      total <- Gen.choose(0L, 999999L)
+    } yield (ws.zipWithIndex.map { case (w, i) => s"d$i" -> w }.toMap, total)
+    var compared = 0
+    (0 until 500).foreach { i =>
+      val (iw, total) = gen.pureApply(Gen.Parameters.default, Seed(1000L + i))
+      val weights = if (iw.values.sum == 0) iw + ("d0" -> 1L) else iw
+      val wsum = BigInt(weights.values.sum)
+      val rems = weights.map { case (d, w) => d -> (BigInt(total) * w % wsum) }
+      // exact remainder ties at DIFFERENT magnitudes can order by double
+      // rounding noise rather than by name — those cases are excluded
+      // here (double vs exact arithmetic genuinely diverges on the tie
+      // order) and pinned by the dyadic handcrafted cases below, where
+      // the doubles tie exactly too
+      val hasTie = rems.values.toSeq.distinct.size != rems.size
+      if (!hasTie) {
+        compared += 1
+        val got = Mixture.apportion(
+          weights.map { case (d, w) => d -> w.toDouble }, total)
+        assert(got == refApportion(weights, total),
+          s"seed $i: weights=$weights total=$total")
+      }
+      // zero-weight domains never receive a unit (exact remainder 0)
+      weights.filter(_._2 == 0L).keys.foreach { d =>
+        val got = Mixture.apportion(
+          weights.map { case (dd, w) => dd -> w.toDouble }, total)
+        assert(got(d) == 0L, s"seed $i: zero-weight $d got ${got(d)}")
+      }
+    }
+    assert(compared >= 400, s"tie filter discarded too many cases: $compared")
+
+    // remainder ties where the DOUBLES tie exactly too (dyadic
+    // fractions): the name rule must decide, at every boundary position
+    assert(Mixture.apportion(
+      Map("b" -> 1.0, "a" -> 1.0, "d" -> 1.0, "c" -> 1.0), 6L) ==
+      Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
+    assert(Mixture.apportion(Map("x" -> 1.0, "y" -> 3.0), 2L) ==
+      Map("x" -> 1L, "y" -> 1L)) // remainders .5/.5 → x by name
+    assert(refApportion(Map("x" -> 1L, "y" -> 3L), 2L) ==
+      Map("x" -> 1L, "y" -> 1L))
+  }
+
+  test("apportion: the Alabama paradox is Hamilton's, reproduced exactly") {
+    // the classic: populations (6, 6, 2). At 10 seats c holds 2; at 11
+    // seats the large remainders flip to a and b and c LOSES a seat —
+    // largest-remainder genuinely violates house monotonicity, and the
+    // implementation must reproduce the method faithfully rather than
+    // smooth it over
+    val w = Map("a" -> 6.0, "b" -> 6.0, "c" -> 2.0)
+    assert(Mixture.apportion(w, 10L) == Map("a" -> 4L, "b" -> 4L, "c" -> 2L))
+    assert(Mixture.apportion(w, 11L) == Map("a" -> 5L, "b" -> 5L, "c" -> 1L))
+    assert(refApportion(Map("a" -> 6L, "b" -> 6L, "c" -> 2L), 10L) ==
+      Map("a" -> 4L, "b" -> 4L, "c" -> 2L))
+    assert(refApportion(Map("a" -> 6L, "b" -> 6L, "c" -> 2L), 11L) ==
+      Map("a" -> 5L, "b" -> 5L, "c" -> 1L))
+  }
+
   private val pop = (1L to 60L)
     .map(i => (i, if (i <= 40) "big" else if (i <= 55) "mid" else "tiny"))
     .toDF("id", "dom")
