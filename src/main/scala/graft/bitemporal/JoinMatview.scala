@@ -228,13 +228,15 @@ final class JoinMatview private[graft] (
     // prunes fact files by footer stats instead of scanning the table —
     // a semi-join, by contrast, never reaches the scan. Past the inline
     // cap it degrades to the semi-join (correct either way).
-    val tbIds: Option[Seq[Long]] = {
-      val probe = tb.limit(JoinMatview.MaxInlineDimIds + 1)
-        .collect().map(_.getLong(0)).toSeq
-      if (probe.size <= JoinMatview.MaxInlineDimIds) Some(probe) else None
-    }
+    val tbIds: Option[Seq[Long]] =
+      if (lastB <= wB) Some(Nil) // no dim tail: skip the probe job
+      else {
+        val probe = tb.limit(JoinMatview.MaxInlineDimIds + 1)
+          .collect().map(_.getLong(0)).toSeq
+        if (probe.size <= JoinMatview.MaxInlineDimIds) Some(probe) else None
+      }
     def dimTouched(df: DataFrame): DataFrame = tbIds match {
-      case Some(Seq()) => df.filter(lit(false))
+      case Some(Seq()) => df.limit(0)
       case Some(ids) => df.filter(col(fkCol).cast("long").isin(ids: _*))
       case None => semiOn(df, col(fkCol).cast("long"), tb)
     }

@@ -37,11 +37,13 @@ import graft.bitemporal.SqlText
   *     statement-by-statement and are NOT atomic — the append-only log
   *     has no rollback, so partial application is possible there and
   *     documented.
-  *   - Text parameter and RESULT format only (format code 0) — the
-  *     protocol's baseline every client supports; binary result rows
-  *     are rejected with a clear error. COPY serves BOTH formats:
-  *     text and PGCOPY binary ([[PgBinary]]), negotiated per the
-  *     statement's `BINARY` / `(FORMAT binary)` clause.
+  *   - Parameters arrive in TEXT format only (binary params are
+  *     rejected with a clear error); RESULT rows honor Bind's
+  *     per-column format codes — text (the baseline, rendered
+  *     executor-side) or binary ([[PgBinary]] type encodings, the
+  *     pgjdbc binaryTransfer flow). COPY serves both formats too,
+  *     negotiated per the statement's `BINARY` / `(FORMAT binary)`
+  *     clause.
   *   - Auth is trust-mode (AuthenticationOk to any startup); binding
   *     beyond 127.0.0.1 is a deployment decision, as with
   *     [[GraftHttpApi]].
@@ -166,12 +168,21 @@ object GraftPgWire {
   /** A bound portal: params already spliced; `rows` holds the live
     * result iterator across Execute calls once the portal starts
     * (the fetchSize flow: Execute(maxRows) → PortalSuspended →
-    * Execute resumes HERE, never re-running the query). */
-  private final class Portal(val sql: String) {
+    * Execute resumes HERE, never re-running the query).
+    * `resFormats` are Bind's result-format codes (empty = all text,
+    * one = all columns, else per column); `types` holds the projected
+    * column types when any column streams binary. */
+  private final class Portal(val sql: String,
+                             val resFormats: Seq[Short] = Nil) {
     var rows: java.util.Iterator[org.apache.spark.sql.Row] = _
     var width: Int = 0
     var served: Long = 0L
+    var types: Array[DataType] = _
   }
+
+  /** Result format of column `i` under Bind's code list semantics. */
+  private def fmtAt(fmts: Seq[Short], i: Int): Short =
+    if (fmts.isEmpty) 0 else if (fmts.size == 1) fmts.head else fmts(i)
 
   /** Per-connection extended-protocol state: prepared statements (name
     * → SQL with $n placeholders) and portals. */
@@ -274,12 +285,14 @@ object GraftPgWire {
         Some(new String(b, UTF_8))
       }
     }
-    // result format codes — text required
+    // result format codes: 0 text / 1 binary, per Bind's semantics
+    // (none = all text, one = all columns, else per column)
     val nRes = in.readShort()
     val res = (0 until nRes.toInt).map(_ => in.readShort())
-    require(res.forall(_ == 0),
-      "binary result format not supported — request text results")
-    st.portals(portal) = new Portal(substituteParams(sql, params))
+    require(res.forall(f => f == 0 || f == 1),
+      s"unknown result format code ${res.find(f => f != 0 && f != 1).get} — " +
+        "0 (text) and 1 (binary) are supported")
+    st.portals(portal) = new Portal(substituteParams(sql, params), res)
     send(out, '2', _ => ()) // BindComplete
   }
 
@@ -326,11 +339,17 @@ object GraftPgWire {
     val in = new DataInputStream(new ByteArrayInputStream(body))
     val kind = in.read().toChar
     val name = readCString(in)
+    // a portal's RowDescription reports the formats Bind chose; a
+    // statement's reports text (formats are not known until Bind)
+    var resFormats: Seq[Short] = Nil
     val sql = kind match {
       case 'S' => st.statements.getOrElse(name,
         throw new IllegalArgumentException(s"unknown prepared statement '$name'"))
-      case 'P' => st.portals.getOrElse(name,
-        throw new IllegalArgumentException(s"unknown portal '$name'")).sql
+      case 'P' =>
+        val p = st.portals.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown portal '$name'"))
+        resFormats = p.resFormats
+        p.sql
       case other =>
         throw new IllegalArgumentException(s"bad describe kind '$other'")
     }
@@ -366,12 +385,12 @@ object GraftPgWire {
         b.writeShort(1)
         writeCString(b, "tx_id")
         b.writeInt(0); b.writeShort(0); b.writeInt(20)
-        b.writeShort(8); b.writeInt(-1); b.writeShort(0)
+        b.writeShort(8); b.writeInt(-1); b.writeShort(fmtAt(resFormats, 0))
       })
     } else if (isAnalyzableQuery(sql)) {
       val schema = spark.sql(analyzable).schema // analysis only — no job
       if (schema.isEmpty) send(out, 'n', _ => ()) // NoData
-      else sendRowDescription(out, schema)
+      else sendRowDescription(out, schema, resFormats)
     } else {
       // DDL / SET / unknown commands execute EAGERLY inside spark.sql —
       // describing one must not run it; the shape is unknown until
@@ -421,11 +440,31 @@ object GraftPgWire {
         return
       }
       p.width = df.schema.length
-      p.rows = textProjection(df).toLocalIterator()
+      require(p.resFormats.size <= 1 || p.resFormats.size == p.width,
+        s"Bind carried ${p.resFormats.size} result formats for ${p.width} columns")
+      if (p.resFormats.forall(_ == 0))
+        p.rows = textProjection(df).toLocalIterator()
+      else {
+        // mixed projection: text columns render executor-side as before;
+        // binary columns keep native values (complex → json text, whose
+        // PG binary send format IS the text)
+        val proj = df.select(df.schema.fields.zipWithIndex.map {
+          case (f, i) =>
+            val c = col(s"`${f.name}`")
+            if (fmtAt(p.resFormats, i) == 0) pgText(c, f.dataType).as(f.name)
+            else f.dataType match {
+              case _: ArrayType | _: MapType | _: StructType =>
+                to_json(c).as(f.name)
+              case _ => c
+            }
+        }.toIndexedSeq: _*)
+        p.types = proj.schema.fields.map(_.dataType)
+        p.rows = proj.toLocalIterator()
+      }
     }
     var n = 0L
     while (p.rows.hasNext && (maxRows <= 0 || n < maxRows)) {
-      sendDataRow(out, p.rows.next(), p.width)
+      sendDataRow(out, p.rows.next(), p.width, p.resFormats, p.types)
       n += 1
       p.served += 1
     }
@@ -832,10 +871,11 @@ object GraftPgWire {
     case _ => (25, -1) // text
   }
 
-  private def sendRowDescription(out: DataOutputStream, schema: StructType): Unit =
+  private def sendRowDescription(out: DataOutputStream, schema: StructType,
+                                 resFormats: Seq[Short] = Nil): Unit =
     send(out, 'T', b => {
       b.writeShort(schema.length)
-      schema.fields.foreach { f =>
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
         val (oid, typlen) = pgType(f.dataType)
         writeCString(b, f.name)
         b.writeInt(0) // table oid — not a catalog table
@@ -843,7 +883,7 @@ object GraftPgWire {
         b.writeInt(oid)
         b.writeShort(typlen)
         b.writeInt(-1) // typmod
-        b.writeShort(0) // format: text
+        b.writeShort(fmtAt(resFormats, i)) // format: Bind's choice (0 text)
       }
     })
 
@@ -867,15 +907,23 @@ object GraftPgWire {
     df.select(cols.toIndexedSeq: _*)
   }
 
+  /** One DataRow. With `types` set (extended protocol, some column
+    * bound binary), format-1 columns encode via [[PgBinary]]; format-0
+    * columns were already text-projected and send their UTF-8 bytes. */
   private def sendDataRow(out: DataOutputStream,
-                          row: org.apache.spark.sql.Row, width: Int): Unit =
+                          row: org.apache.spark.sql.Row, width: Int,
+                          fmts: Seq[Short] = Nil,
+                          types: Array[DataType] = null): Unit =
     send(out, 'D', b => {
       b.writeShort(width)
       var i = 0
       while (i < width) {
         if (row.isNullAt(i)) b.writeInt(-1)
         else {
-          val bytes = row.getString(i).getBytes(UTF_8)
+          val bytes =
+            if (types != null && fmtAt(fmts, i) == 1)
+              PgBinary.encodeValue(types(i), row.get(i))
+            else row.getString(i).getBytes(UTF_8)
           b.writeInt(bytes.length)
           b.write(bytes)
         }

@@ -75,7 +75,8 @@ class GraftPgWireSpec extends AnyFunSuite {
       msg('P', b.toByteArray)
     }
     def bindMsg(portal: String, stmt: String,
-                params: Seq[Option[String]]): Unit = {
+                params: Seq[Option[String]],
+                resFormats: Seq[Short] = Nil): Unit = {
       val b = new java.io.ByteArrayOutputStream()
       val d = new DataOutputStream(b)
       d.write(cstr(portal)); d.write(cstr(stmt))
@@ -86,7 +87,8 @@ class GraftPgWireSpec extends AnyFunSuite {
         case Some(v) =>
           val vb = v.getBytes(UTF_8); d.writeInt(vb.length); d.write(vb)
       }
-      d.writeShort(0) // result formats: default text
+      d.writeShort(resFormats.size) // result formats (empty = all text)
+      resFormats.foreach(d.writeShort(_))
       msg('B', b.toByteArray)
     }
     def describeMsg(kind: Char, name: String): Unit = {
@@ -189,6 +191,28 @@ class GraftPgWireSpec extends AnyFunSuite {
           val b = new Array[Byte](len); in.readFully(b)
           Some(new String(b, UTF_8))
         }
+      }
+    }
+
+    /** Parse a DataRow body → RAW column bytes (None = NULL). */
+    def dataRowRaw(body: Array[Byte]): Seq[Option[Array[Byte]]] = {
+      val in = new DataInputStream(new java.io.ByteArrayInputStream(body))
+      val n = in.readShort()
+      (0 until n.toInt).map { _ =>
+        val len = in.readInt()
+        if (len == -1) None
+        else { val b = new Array[Byte](len); in.readFully(b); Some(b) }
+      }
+    }
+
+    /** Parse a RowDescription body → per-field format codes. */
+    def rowDescFormats(body: Array[Byte]): Seq[Short] = {
+      val in = new DataInputStream(new java.io.ByteArrayInputStream(body))
+      val n = in.readShort()
+      (0 until n.toInt).map { _ =>
+        cstr(in); in.readInt(); in.readShort(); in.readInt()
+        in.readShort(); in.readInt()
+        in.readShort()
       }
     }
 
@@ -618,6 +642,71 @@ class GraftPgWireSpec extends AnyFunSuite {
       handle.stop()
       GraftServer.unregister("pgcopy")
       GraftServer.unregister("pgfresh")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  test("extended protocol: binary result format honors Bind's codes") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-pgwire-binres-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val handle = GraftPgWire.start(spark, port = 0)
+    try {
+      val c = new PgClient(handle.port)
+      assert(c.sslProbe() == 'N')
+      c.startup("user" -> "tester")
+      val sql = "SELECT CAST(5 AS BIGINT) AS a, CAST(2.5 AS DOUBLE) AS b, " +
+        "'héllo' AS c, CAST(NULL AS DOUBLE) AS d, " +
+        "CAST(12.34 AS DECIMAL(10,2)) AS e"
+
+      // all-binary (one format code covers every column)
+      c.parseMsg("s1", sql)
+      c.bindMsg("p1", "s1", Nil, resFormats = Seq(1))
+      c.describeMsg('P', "p1")
+      c.executeMsg("p1", 0)
+      val m1 = c.sync()
+      assert(Wire.rowDescFormats(m1.find(_.tpe == 'T').get.body) ==
+        Seq[Short](1, 1, 1, 1, 1))
+      val r1 = Wire.dataRowRaw(m1.find(_.tpe == 'D').get.body)
+      assert(java.nio.ByteBuffer.wrap(r1(0).get).getLong == 5L)
+      assert(java.nio.ByteBuffer.wrap(r1(1).get).getDouble == 2.5)
+      assert(new String(r1(2).get, UTF_8) == "héllo")
+      assert(r1(3).isEmpty)
+      assert(PgBinary.decodeNumeric(r1(4).get).toPlainString == "12.34")
+
+      // mixed per-column formats: text columns render as before
+      c.parseMsg("s2", sql)
+      c.bindMsg("p2", "s2", Nil, resFormats = Seq[Short](0, 1, 0, 1, 0))
+      c.describeMsg('P', "p2")
+      c.executeMsg("p2", 0)
+      val m2 = c.sync()
+      assert(Wire.rowDescFormats(m2.find(_.tpe == 'T').get.body) ==
+        Seq[Short](0, 1, 0, 1, 0))
+      val r2 = Wire.dataRowRaw(m2.find(_.tpe == 'D').get.body)
+      assert(new String(r2(0).get, UTF_8) == "5")
+      assert(java.nio.ByteBuffer.wrap(r2(1).get).getDouble == 2.5)
+      assert(new String(r2(4).get, UTF_8) == "12.34")
+
+      // unknown format code → error at Bind, session recovers
+      c.parseMsg("s3", sql)
+      c.bindMsg("p3", "s3", Nil, resFormats = Seq[Short](3))
+      val m3 = c.sync()
+      assert(m3.exists(_.tpe == 'E'), m3.map(_.tpe))
+      assert(c.query("SELECT 1 AS x").exists(_.tpe == 'D'))
+      c.terminate()
+    } finally {
+      handle.stop()
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
