@@ -267,13 +267,25 @@ final class JoinMatview private[graft] (
               .cast(sumT(a)).as(a)
           }: _*)
       .withColumn("_bucket", bucketCol)
+    // the delta feeds the affected-bucket collect, the state merge AND
+    // (for min/max views) the touched-group set — checkpoint it once
+    // (rows ∝ touched groups) so the Δ(A⋈B) pipeline upstream runs one
+    // time, not once per consumer
+    if (JoinMatview.capturePlans) JoinMatview.capturedPlans.synchronized {
+      JoinMatview.capturedPlans +=
+        delta.queryExecution.executedPlan.toString: Unit
+    }
+    val (deltaCp, deltaRows) = org.apache.spark.sql.graftbridge.RddBridge
+      .localCheckpointWithCount(delta)
     val affected: Seq[Long] =
-      delta.select(col("_bucket")).distinct().collect().map(_.getLong(0)).toSeq
+      if (deltaRows == 0L) Nil
+      else deltaCp.select(col("_bucket")).distinct()
+        .collect().map(_.getLong(0)).toSeq
     if (affected.isEmpty) { setWatermarks(lastA, lastB); return (lastA, lastB) }
 
     val state = MvState.readState(spark, stateRoot, dataDir)
       .filter(col("_bucket").isin(affected: _*))
-    val s = state.as("s"); val d = delta.as("d")
+    val s = state.as("s"); val d = deltaCp.as("d")
     val countSum = s.join(d, col(s"s.$groupCol") <=> col(s"d.$groupCol"),
         "full_outer")
       .select(
@@ -301,7 +313,7 @@ final class JoinMatview private[graft] (
     val merged =
       if (mmAliases.isEmpty) countSum
       else {
-        val touchedGroups = delta.select(col(groupCol)).distinct()
+        val touchedGroups = deltaCp.select(col(groupCol)).distinct()
         val full = vaNew.join(vbNew,
           col(fkCol).cast("long") === col("_dim_id"))
         val mm = full.as("f").join(touchedGroups.as("tg"),
@@ -339,4 +351,11 @@ object JoinMatview {
     * larger sets fall back to the semi-join. ~10k longs is metadata-
     * sized on the driver, same class as the affected-bucket collect. */
   private[bitemporal] val MaxInlineDimIds = 10000
+
+  /** Test hook: the delta executes as a bare RDD checkpoint job (no
+    * QueryExecutionListener event), so the pruning spec captures its
+    * physical plan here instead. Off (zero cost) outside tests. */
+  @volatile private[bitemporal] var capturePlans = false
+  private[bitemporal] val capturedPlans =
+    scala.collection.mutable.Buffer.empty[String]
 }

@@ -220,15 +220,23 @@ final class Matview private[graft] (
               .cast(sumT(a)).as(a)
           }: _*)
       .withColumn("_bucket", bucketCol)
+    // the delta feeds BOTH the affected-bucket collect and the state
+    // merge below — checkpoint it once (rows ∝ touched groups, tiny)
+    // so the whole upstream refold+aggregate pipeline runs one time,
+    // not once per consumer
+    val (deltaCp, deltaRows) = org.apache.spark.sql.graftbridge.RddBridge
+      .localCheckpointWithCount(delta)
     // ≤ nBuckets longs — the only data-dependent collect in a refresh
     val affected: Seq[Long] =
-      delta.select(col("_bucket")).distinct().collect().map(_.getLong(0)).toSeq
+      if (deltaRows == 0L) Nil
+      else deltaCp.select(col("_bucket")).distinct()
+        .collect().map(_.getLong(0)).toSeq
     if (affected.isEmpty) { setWatermark(last); return last }
 
     val state = MvState.readState(spark, stateRoot, dataDir)
       .filter(col("_bucket").isin(affected: _*))
     val s = state.as("s")
-    val d = delta.as("d")
+    val d = deltaCp.as("d")
     val mkey = col(s"s.$groupCol") <=> col(s"d.$groupCol")
     val countSum = s.join(d, mkey, "full_outer")
       .select(
@@ -255,7 +263,7 @@ final class Matview private[graft] (
     val merged =
       if (mmAliases.isEmpty) countSum
       else {
-        val touchedGroups = delta.select(col(groupCol)).distinct()
+        val touchedGroups = deltaCp.select(col(groupCol)).distinct()
         val visible = Bitemporal.asOf(
           log.readAllAuto(spark, payloadCols, upToTx = last),
           lit(validAt), lit(sysProbe))

@@ -375,43 +375,32 @@ class JoinMatviewSpec extends AnyFunSuite {
     mv.refresh()
     assertParity(mv, fact, dim)
 
-    // dim-ONLY group move; capture the plans the refresh executes and
+    // dim-ONLY group move; capture the refresh's delta plan (the
+    // checkpoint runs as a bare RDD job, invisible to listeners — the
+    // JoinMatview test hook snapshots the executed plan instead) and
     // assert the fact side is filtered by a PUSHED literal In(cust),
     // which the parquet reader turns into footer-stat skipping over the
     // clustered files — not a semi-join that scans every fact file
-    val plans = new scala.collection.mutable.ArrayBuffer[String]()
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit =
-        plans.synchronized { plans += qe.executedPlan.toString: Unit }
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = ()
-    }
     putDims(dim, Seq((5L, "moved")))
-    spark.listenerManager.register(listener)
-    // a 1-element In may fold to EqualTo; both are pushed predicates
-    def factScans() = plans.synchronized {
-      plans.filter(p => p.contains(s"$fdir/base") &&
-        (p.contains("In(cust") || p.contains("EqualTo(cust")))
-    }
     val metaLen = "spark.sql.maxMetadataStringLength"
     val prevLen = spark.conf.get(metaLen)
+    JoinMatview.capturedPlans.synchronized(JoinMatview.capturedPlans.clear())
+    JoinMatview.capturePlans = true
     try {
       spark.conf.set(metaLen, "16384") // default 100 truncates PushedFilters
       mv.refresh()
-      // listener delivery is async — poll briefly
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (factScans().isEmpty && System.nanoTime() < deadline)
-        Thread.sleep(100)
     } finally {
-      spark.listenerManager.unregister(listener)
+      JoinMatview.capturePlans = false
       spark.conf.set(metaLen, prevLen)
     }
     assertParity(mv, fact, dim)
-    assert(factScans().nonEmpty,
-      "no refresh plan pushed In/EqualTo(cust, ...) into the fact base scan")
+    // a 1-element In may fold to EqualTo; both are pushed predicates
+    val factScans = JoinMatview.capturedPlans.synchronized {
+      JoinMatview.capturedPlans.filter(p => p.contains(s"$fdir/base") &&
+        (p.contains("In(cust") || p.contains("EqualTo(cust")))
+    }
+    assert(factScans.nonEmpty,
+      "no refresh delta plan pushed In/EqualTo(cust, ...) into the fact base scan")
   }
 
   test("restart recovers watermarks; truncation switches to exact rebuild") {
