@@ -394,10 +394,15 @@ final class TxLog(val dir: String) {
     val tail = read(spark, afterTx = lastCompacted)
     val touched = tail.select(col("_id").cast("long").as("_id")).distinct()
     val base = readBase(spark)
-    val refolded =
-      refoldTouched(spark, payloadCols, touched, tail,
-          base.drop("_sys_date"))
-        .withColumn("_sys_date", to_date(col("_system_from")))
+    // checkpoint the refold once (rows ∝ touched ids' rectangles —
+    // tail-sized): it feeds BOTH the affected-partition collect and the
+    // base write below, and re-deriving it would run the fold-from-
+    // state pipeline twice per compaction
+    val (refolded, _) = org.apache.spark.sql.graftbridge.RddBridge
+      .localCheckpointWithCount(
+        refoldTouched(spark, payloadCols, touched, tail,
+            base.drop("_sys_date"))
+          .withColumn("_sys_date", to_date(col("_system_from"))))
     // the affected partition set is small by construction (the touched
     // ids' history dates) — one driver-side collect of distinct dates
     val affected: Seq[java.sql.Date] =
