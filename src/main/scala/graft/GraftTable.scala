@@ -408,16 +408,23 @@ final class GraftTable(spark: SparkSession, dir: String,
     schemaOf(log.readBase(spark)) ++ schemaOf(log.read(spark))
   }
 
-  /** The Spark types [[copyFrom]] will cast each COPY column to —
-    * exposed so the pgwire binary-COPY decoder reads wire fields under
-    * the same type resolution the text path applies at cast time. */
-  def copyColumnTypes(cols: Seq[String]): Seq[org.apache.spark.sql.types.DataType] = {
+  /** The Spark type [[copyFrom]] will cast each COPY column to, plus
+    * whether that type is KNOWN (reserved-column rule or a type the log
+    * has seen) or the never-seen-payload `StringType` default — exposed
+    * so the pgwire binary-COPY decoder reads wire fields under the same
+    * type resolution the text path applies at cast time, and can
+    * REFUSE binary ingest into untyped columns (decoding, say, a float8
+    * field as UTF-8 would silently pin mojibake as the column's
+    * values). */
+  def copyColumnTypes(cols: Seq[String])
+      : Seq[(org.apache.spark.sql.types.DataType, Boolean)] = {
     import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
     val known = knownLogTypes()
     cols.map {
-      case "_id" => known.getOrElse("_id", LongType)
-      case "_valid_from" | "_valid_to" => TimestampType
-      case other => known.getOrElse(other, StringType)
+      case "_id" => (known.getOrElse("_id", LongType), true)
+      case "_valid_from" | "_valid_to" => (TimestampType, true)
+      case other =>
+        known.get(other).map(t => (t, true)).getOrElse((StringType, false))
     }
   }
 
@@ -442,7 +449,7 @@ final class GraftTable(spark: SparkSession, dir: String,
     * executor-side and go through [[put]]/[[TxLog.appendBulk]]. */
   def copyFrom(cols: Seq[String], rows: Seq[Seq[String]],
                systemTime: Timestamp, partitions: Int = 0): Long = {
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val bad = cols.filterNot(c =>
       c == "_id" || c == "_valid_from" || c == "_valid_to" ||
         payloadCols.contains(c))
@@ -461,13 +468,11 @@ final class GraftTable(spark: SparkSession, dir: String,
     rows.foreach(r => jrows.add(org.apache.spark.sql.Row.fromSeq(r)))
     val stringDf = spark.createDataFrame(jrows,
       StructType(cols.map(StructField(_, StringType))))
-    val typed = stringDf.select(cols.map { c =>
-      val t = c match {
-        case "_id" => known.getOrElse(c, LongType)
-        case "_valid_from" | "_valid_to" => TimestampType
-        case other => known.getOrElse(other, StringType)
-      }
-      col(c).cast(t).as(c)
+    // one resolution rule shared with the binary-COPY decoder — the
+    // decoder's contract is decode-type == cast-type, so the match
+    // lives in copyColumnTypes, not inline here
+    val typed = stringDf.select(cols.zip(copyColumnTypes(cols)).map {
+      case (c, (t, _)) => col(c).cast(t).as(c)
     }: _*)
     val vf = if (cols.contains("_valid_from")) col("_valid_from")
              else lit(systemTime)

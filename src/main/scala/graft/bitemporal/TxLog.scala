@@ -258,10 +258,31 @@ final class TxLog(val dir: String) {
         rects.repartitionByRange(col("_sys_date"), col(c), col("_id"))
           .sortWithinPartitions("_sys_date", c, "_id")
       case cs =>
-        graft.operators.ZOrder.withZ(rects, cs)
-          .repartitionByRange(col("_sys_date"), col("_z"))
-          .sortWithinPartitions("_sys_date", "_z")
-          .drop("_z")
+        // the z-key quantizes each dimension via a cast-to-double
+        // min/max normalize — meaningless for strings (every cast is
+        // null, the quantizer degenerates to one constant and the range
+        // partitioner collapses to a single writer task). Non-numeric
+        // dimension sets fall back to lexicographic multi-column range
+        // clustering: first-column pruning stays tight, later columns
+        // prune within correlated prefixes.
+        val zOrderable = cs.forall(c =>
+          rects.schema.fields.find(_.name == c).map(_.dataType).exists {
+            case _: org.apache.spark.sql.types.NumericType => true
+            case org.apache.spark.sql.types.DateType => true
+            case org.apache.spark.sql.types.TimestampType => true
+            case org.apache.spark.sql.types.TimestampNTZType => true
+            case org.apache.spark.sql.types.BooleanType => true
+            case _ => false
+          })
+        if (zOrderable)
+          graft.operators.ZOrder.withZ(rects, cs)
+            .repartitionByRange(col("_sys_date"), col("_z"))
+            .sortWithinPartitions("_sys_date", "_z")
+            .drop("_z")
+        else
+          rects.repartitionByRange(
+              (col("_sys_date") +: cs.map(col)) :+ col("_id"): _*)
+            .sortWithinPartitions("_sys_date", cs :+ "_id": _*)
     }
     clustered.write.mode("overwrite").partitionBy("_sys_date")
       // belt over the min/max braces: clustering gives tight per-group

@@ -212,7 +212,11 @@ object RA {
                        explicit: Int): Int =
     if (explicit > 0) explicit
     else spark.conf.getOption("graft.fixpoint.unroll")
-      .map(_.toInt).filter(_ > 0).getOrElse(1)
+      .map(s => try s.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.fixpoint.unroll must be a positive int, got '$s'")
+      })
+      .filter(_ > 0).getOrElse(1)
 
   def fixpoint(base: DataFrame, step: DataFrame => DataFrame,
                maxIter: Int = 100, compactEvery: Int = 8,

@@ -96,8 +96,12 @@ object GraftPgWire {
     * buffer per statement rather than letting a single client's \copy
     * exhaust the shared server heap. */
   private[graft] def copyMaxBytes: Long =
-    sys.props.get("graft.pgwire.copyMaxBytes").map(_.toLong)
-      .getOrElse(256L * 1024 * 1024)
+    sys.props.get("graft.pgwire.copyMaxBytes").map(s =>
+      try s.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.pgwire.copyMaxBytes must be a byte count, got '$s'")
+      }).getOrElse(256L * 1024 * 1024)
 
   // ---- connection lifecycle ------------------------------------------
 
@@ -180,9 +184,17 @@ object GraftPgWire {
     var types: Array[DataType] = _
   }
 
-  /** Result format of column `i` under Bind's code list semantics. */
+  /** Result format of column `i` under Bind's code list semantics.
+    * A per-column list shorter than the row errors with the Postgres
+    * wording instead of an opaque IndexOutOfBounds (the count can only
+    * be checked against the real width once the statement's shape is
+    * known — here, at Describe/Execute time). */
   private def fmtAt(fmts: Seq[Short], i: Int): Short =
-    if (fmts.isEmpty) 0 else if (fmts.size == 1) fmts.head else fmts(i)
+    if (fmts.isEmpty) 0
+    else if (fmts.size == 1) fmts.head
+    else if (i < fmts.size) fmts(i)
+    else throw new IllegalArgumentException(
+      s"bind message has ${fmts.size} result formats but query has more columns")
 
   /** Per-connection extended-protocol state: prepared statements (name
     * → SQL with $n placeholders) and portals. */
@@ -434,6 +446,14 @@ object GraftPgWire {
     val p = st.portals.getOrElse(name,
       throw new IllegalArgumentException(s"unknown portal '$name'"))
     if (p.rows == null) { // first Execute: run the query once
+      // graft DML is DURABLE the moment spark.sql runs it — a bad
+      // result-format count must fail BEFORE that point, not answer an
+      // error for a statement that actually committed (DML's described
+      // width is always 1: the tx_id relation)
+      if (isDml(p.sql))
+        require(p.resFormats.size <= 1,
+          s"bind message has ${p.resFormats.size} result formats " +
+            "but query has 1 column")
       val df = spark.sql(p.sql)
       if (df.schema.isEmpty) {
         send(out, 'C', b => writeCString(b, commandTag(p.sql, 0L)))
@@ -441,7 +461,8 @@ object GraftPgWire {
       }
       p.width = df.schema.length
       require(p.resFormats.size <= 1 || p.resFormats.size == p.width,
-        s"Bind carried ${p.resFormats.size} result formats for ${p.width} columns")
+        s"bind message has ${p.resFormats.size} result formats " +
+          s"but query has ${p.width} columns")
       if (p.resFormats.forall(_ == 0))
         p.rows = textProjection(df).toLocalIterator()
       else {
@@ -762,9 +783,24 @@ object GraftPgWire {
         sendError(out, "57014", s"COPY from stdin failed: $msg")
       case None =>
         val rows =
-          if (binary) PgBinary.parseCopyBinary(buf.toByteArray,
-            table.copyColumnTypes(cols))
-          else parseCopyText(
+          if (binary) {
+            val resolved = table.copyColumnTypes(cols)
+            // binary fields MUST decode under a known type: an untyped
+            // (never-seen) column would decode, say, a float8 field as
+            // raw UTF-8 and silently pin mojibake as the column's
+            // values — refuse loudly instead (text format, or a typed
+            // seed write, establishes the type first)
+            val untyped = cols.zip(resolved).collect {
+              case (c, (_, false)) => c
+            }
+            if (untyped.nonEmpty) throw new IllegalArgumentException(
+              "COPY BINARY needs a known type for every column; the log " +
+                s"has none for: ${untyped.mkString(", ")} (use text " +
+                "format, or establish types with a first typed write)")
+            PgBinary.parseCopyBinary(buf.toByteArray, resolved.map(_._1),
+              java.time.ZoneId.of(
+                spark.conf.get("spark.sql.session.timeZone")))
+          } else parseCopyText(
             new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
         val n = rows.length
         table.copyFrom(cols, rows,
@@ -1058,10 +1094,14 @@ private[graft] object PgBinary {
       }
       be(4)(_.putInt((days - PgEpochDays).toInt))
     case TimestampType =>
-      val ts = v.asInstanceOf[java.sql.Timestamp]
-      // getTime already includes whole milliseconds of the nanos field;
-      // add only the sub-millisecond micros
-      val micros = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+      val micros = v match {
+        case ts: java.sql.Timestamp =>
+          // getTime already includes whole milliseconds of the nanos
+          // field; add only the sub-millisecond micros
+          ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+        case i: java.time.Instant => // spark.sql.datetime.java8API mode
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+      }
       be(8)(_.putLong(micros - PgEpochMicros))
     case TimestampNTZType =>
       val ldt = v.asInstanceOf[LocalDateTime]
@@ -1073,8 +1113,14 @@ private[graft] object PgBinary {
   }
 
   /** Binary field bytes → the canonical text cell for the target Spark
-    * type (what the text COPY path would deliver to `copyFrom`). */
-  def decodeValue(dt: DataType, b: Array[Byte]): String = {
+    * type (what the text COPY path would deliver to `copyFrom`).
+    * `zone` is the SESSION time zone: a timestamptz field carries
+    * absolute micros, but `copyFrom` casts the rendered text in the
+    * session zone — rendering the wall clock in that same zone is what
+    * makes the round trip exact for sessions not pinned to UTC (NTZ
+    * fields are zone-free wall clocks and always render as such). */
+  def decodeValue(dt: DataType, b: Array[Byte],
+                  zone: java.time.ZoneId = ZoneOffset.UTC): String = {
     def intByWidth: Long = b.length match {
       case 2 => ByteBuffer.wrap(b).getShort.toLong
       case 4 => ByteBuffer.wrap(b).getInt.toLong
@@ -1082,9 +1128,15 @@ private[graft] object PgBinary {
       case n => throw new IllegalArgumentException(
         s"COPY BINARY: $n-byte integer field")
     }
-    def microsToNtz(micros: Long): LocalDateTime =
-      LocalDateTime.ofEpochSecond(Math.floorDiv(micros, 1000000L),
-        (Math.floorMod(micros, 1000000L) * 1000L).toInt, ZoneOffset.UTC)
+    def microsToLdt(micros: Long, z: java.time.ZoneId): LocalDateTime =
+      java.time.Instant
+        .ofEpochSecond(Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L)
+        .atZone(z).toLocalDateTime
+    def render(ldt: LocalDateTime): String =
+      f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
+        f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d" +
+        f".${ldt.getNano / 1000}%06d"
     dt match {
       case StringType => new String(b, UTF_8)
       case ByteType | ShortType | IntegerType | LongType => intByWidth.toString
@@ -1102,12 +1154,11 @@ private[graft] object PgBinary {
       case DateType =>
         LocalDate.ofEpochDay(ByteBuffer.wrap(b).getInt.toLong + PgEpochDays)
           .toString
-      case TimestampType | TimestampNTZType =>
-        val micros = ByteBuffer.wrap(b).getLong + PgEpochMicros
-        val ldt = microsToNtz(micros)
-        f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
-          f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d" +
-          f".${ldt.getNano / 1000}%06d"
+      case TimestampType => // absolute micros → session-zone wall clock
+        render(microsToLdt(ByteBuffer.wrap(b).getLong + PgEpochMicros, zone))
+      case TimestampNTZType => // wall-clock micros, zone-free
+        render(microsToLdt(ByteBuffer.wrap(b).getLong + PgEpochMicros,
+          ZoneOffset.UTC))
       case other => throw new IllegalArgumentException(
         s"COPY BINARY cannot decode into column type $other " +
           "(bytea/json columns: use text format)")
@@ -1164,8 +1215,9 @@ private[graft] object PgBinary {
   }
 
   /** Whole COPY BINARY payload → rows of canonical text cells. */
-  def parseCopyBinary(bytes: Array[Byte],
-                      types: Seq[DataType]): Seq[Seq[String]] = {
+  def parseCopyBinary(bytes: Array[Byte], types: Seq[DataType],
+                      zone: java.time.ZoneId = ZoneOffset.UTC)
+      : Seq[Seq[String]] = {
     require(bytes.length >= Header.length &&
       bytes.take(11).sameElements(Signature),
       "COPY BINARY: missing PGCOPY signature")
@@ -1193,7 +1245,7 @@ private[graft] object PgBinary {
               s"COPY BINARY: bad field length $len")
             val fb = new Array[Byte](len)
             buf.get(fb)
-            decodeValue(dt, fb)
+            decodeValue(dt, fb, zone)
           }
         }
       }

@@ -175,6 +175,48 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.entity(1L, validTime = Some(ts("2019-01-01 00:00:00"))).isEmpty)
   }
 
+  test("clusterBy on STRING dimensions falls back to lexicographic " +
+      "clustering instead of a degenerate z-order") {
+    // the z-key quantizes via cast-to-double — null for every string,
+    // which would collapse the range partitioner into ONE writer task;
+    // the fallback must still split the base into several files with
+    // tight first-column stats
+    val dir = java.nio.file.Files.createTempDirectory("graft_strclus").toString
+    val t = new GraftTable(spark, dir, Seq("region", "status", "v"),
+      clusterBy = Seq("region", "status"))
+    val rows = spark.range(4000).select($"id",
+      concat(lit("r"), ($"id" % 16).cast("string")).as("rg"),
+      concat(lit("s"), ($"id" % 4).cast("string")).as("st"),
+      ($"id" * 1.0).as("v"))
+    t.put(rows, $"id", lit("2020-01-01").cast("timestamp"), None,
+      Seq("region" -> $"rg", "status" -> $"st", "v" -> $"v"),
+      ts("2024-01-01 00:00:00"))
+    val keys = Seq("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val old = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "4096"))
+    try t.compact()
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    val files = graft.bitemporal.ChunkMetadata
+      .forPaths(spark, Seq(s"$dir/base"))
+      .filter(col("column") === "region")
+      .groupBy(col("file"))
+      .agg(min(col("min")).as("mn"), max(col("max")).as("mx"))
+      .collect()
+    assert(files.length >= 4,
+      s"string clusterBy degenerated to ${files.length} file(s)")
+    // most files' [min,max] exclude a given region value
+    val admit = files.count(r =>
+      r.getString(1) <= "r5" && r.getString(2) >= "r5").toDouble
+    assert(admit / files.length <= 0.5,
+      s"$admit of ${files.length} files admit region=r5")
+    // content parity survives the layout
+    assert(t.current().count() == 4000)
+  }
+
   test("entity point read prunes to the id's file via min/max clustering") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     val t = new GraftTable(spark, dir, Seq("price"))

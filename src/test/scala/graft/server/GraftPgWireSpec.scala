@@ -704,6 +704,17 @@ class GraftPgWireSpec extends AnyFunSuite {
       val m3 = c.sync()
       assert(m3.exists(_.tpe == 'E'), m3.map(_.tpe))
       assert(c.query("SELECT 1 AS x").exists(_.tpe == 'D'))
+
+      // per-column format count that doesn't match the width → the
+      // Postgres wording, not an IndexOutOfBounds, and session recovers
+      c.parseMsg("s4", sql)
+      c.bindMsg("p4", "s4", Nil, resFormats = Seq[Short](0, 1))
+      c.describeMsg('P', "p4")
+      c.executeMsg("p4", 0)
+      val m4 = c.sync()
+      val e4 = Wire.errFields(m4.find(_.tpe == 'E').get.body)
+      assert(e4('M').contains("result formats"), e4)
+      assert(c.query("SELECT 1 AS x").exists(_.tpe == 'D'))
       c.terminate()
     } finally {
       handle.stop()
@@ -825,6 +836,34 @@ class GraftPgWireSpec extends AnyFunSuite {
       c.drainUntilReady()
       assert(c.query("SELECT 1 AS x").exists(_.tpe == 'D'))
 
+      // a FRESH table has no type for its payload columns: binary COPY
+      // must refuse loudly (decoding a float8 field as UTF-8 would pin
+      // mojibake as the column's values) instead of replying COPY n
+      val fdir = java.nio.file.Files.createTempDirectory("graft_pgbf").toString
+      GraftServer.register("pgbfresh",
+        new graft.GraftTable(spark, fdir, Seq("bal")))
+      try {
+        val gf = c.copyStart("COPY pgbfresh (_id, bal) FROM STDIN BINARY")
+        assert(gf.tpe == 'G') // validation needs the buffered upload's cols
+        c.copyData(PgBinary.Header ++
+          tuple(Seq(enc(LongType, 1L), enc(DoubleType, 1.5))) ++
+          Array[Byte](-1, -1))
+        val fmsgs = c.copyDone()
+        assert(fmsgs.exists(_.tpe == 'E'),
+          fmsgs.map(m => s"${m.tpe}:${new String(m.body.take(120), UTF_8)}"))
+        val ferr = Wire.errFields(fmsgs.find(_.tpe == 'E').get.body)
+        assert(ferr('M').contains("bal") &&
+          ferr('M').toLowerCase.contains("type"), ferr)
+        // the rejected upload wrote NOTHING: a text COPY then lands as
+        // the table's only row (and proves the connection recovered)
+        val gt = c.copyStart("COPY pgbfresh (_id, bal) FROM STDIN")
+        assert(gt.tpe == 'G')
+        c.copyData("7\t1.5\n".getBytes(UTF_8))
+        c.copyDone()
+        val chk = c.query("SELECT count(*) AS n FROM pgbfresh")
+        assert(Wire.dataRow(chk.find(_.tpe == 'D').get.body) == Seq(Some("1")))
+      } finally GraftServer.unregister("pgbfresh")
+
       c.terminate()
     } finally {
       handle.stop()
@@ -875,6 +914,29 @@ class GraftPgWireSpec extends AnyFunSuite {
       assert(PgBinary.decodeNumeric(PgBinary.encodeNumeric(bd))
         .compareTo(bd) == 0, s)
     }
+  }
+
+  test("PgBinary timestamptz: absolute micros render in the SESSION " +
+      "zone, so a non-UTC session round-trips instants exactly") {
+    import org.apache.spark.sql.types._
+    // 2020-06-01T12:00:00Z == 08:00 in New York (EDT): the decoded text
+    // must be the NY wall clock, because copyFrom will cast it back in
+    // the session zone — UTC rendering would shift the instant by 4h
+    val instant = java.time.Instant.parse("2020-06-01T12:00:00.250Z")
+    val enc = PgBinary.encodeValue(TimestampType,
+      java.sql.Timestamp.from(instant))
+    val ny = java.time.ZoneId.of("America/New_York")
+    assert(PgBinary.decodeValue(TimestampType, enc, ny) ==
+      "2020-06-01 08:00:00.250000")
+    assert(PgBinary.decodeValue(TimestampType, enc) ==
+      "2020-06-01 12:00:00.250000") // UTC default unchanged
+    // Instant values (spark.sql.datetime.java8API mode) encode too
+    assert(PgBinary.encodeValue(TimestampType, instant).toSeq == enc.toSeq)
+    // NTZ stays a zone-free wall clock whatever the session zone
+    val ntz = PgBinary.encodeValue(TimestampNTZType,
+      java.time.LocalDateTime.parse("2020-06-01T12:00:00.250"))
+    assert(PgBinary.decodeValue(TimestampNTZType, ntz, ny) ==
+      "2020-06-01 12:00:00.250000")
   }
 
   test("PgBinary value codec: every served type round-trips to its " +
