@@ -739,6 +739,18 @@ object GraftPgWire {
         s"unknown COPY columns: ${badCols.mkString(", ")}")
     if (!cols.contains("_id"))
       throw new IllegalArgumentException("COPY column list must contain _id")
+    // binary fields MUST decode under a known type: an untyped
+    // (never-seen) column would decode, say, a float8 field as raw
+    // UTF-8 and silently pin mojibake as the column's values — refuse
+    // BEFORE CopyInResponse, like the bad-column check above
+    val colTypes = if (binary) table.copyColumnTypes(cols) else Nil
+    if (binary) {
+      val untyped = cols.zip(colTypes).collect { case (c, (_, false)) => c }
+      if (untyped.nonEmpty) throw new IllegalArgumentException(
+        "COPY BINARY needs a known type for every column; the log " +
+          s"has none for: ${untyped.mkString(", ")} (use text " +
+          "format, or establish types with a first typed write)")
+    }
     send(out, 'G', b => { // CopyInResponse + per-column formats
       b.writeByte(if (binary) 1 else 0)
       b.writeShort(cols.size)
@@ -783,24 +795,11 @@ object GraftPgWire {
         sendError(out, "57014", s"COPY from stdin failed: $msg")
       case None =>
         val rows =
-          if (binary) {
-            val resolved = table.copyColumnTypes(cols)
-            // binary fields MUST decode under a known type: an untyped
-            // (never-seen) column would decode, say, a float8 field as
-            // raw UTF-8 and silently pin mojibake as the column's
-            // values — refuse loudly instead (text format, or a typed
-            // seed write, establishes the type first)
-            val untyped = cols.zip(resolved).collect {
-              case (c, (_, false)) => c
-            }
-            if (untyped.nonEmpty) throw new IllegalArgumentException(
-              "COPY BINARY needs a known type for every column; the log " +
-                s"has none for: ${untyped.mkString(", ")} (use text " +
-                "format, or establish types with a first typed write)")
-            PgBinary.parseCopyBinary(buf.toByteArray, resolved.map(_._1),
+          if (binary)
+            PgBinary.parseCopyBinary(buf.toByteArray, colTypes.map(_._1),
               java.time.ZoneId.of(
                 spark.conf.get("spark.sql.session.timeZone")))
-          } else parseCopyText(
+          else parseCopyText(
             new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
         val n = rows.length
         table.copyFrom(cols, rows,

@@ -843,17 +843,14 @@ class GraftPgWireSpec extends AnyFunSuite {
       GraftServer.register("pgbfresh",
         new graft.GraftTable(spark, fdir, Seq("bal")))
       try {
+        // the refusal lands BEFORE CopyInResponse — no doomed upload
+        // gets streamed or buffered
         val gf = c.copyStart("COPY pgbfresh (_id, bal) FROM STDIN BINARY")
-        assert(gf.tpe == 'G') // validation needs the buffered upload's cols
-        c.copyData(PgBinary.Header ++
-          tuple(Seq(enc(LongType, 1L), enc(DoubleType, 1.5))) ++
-          Array[Byte](-1, -1))
-        val fmsgs = c.copyDone()
-        assert(fmsgs.exists(_.tpe == 'E'),
-          fmsgs.map(m => s"${m.tpe}:${new String(m.body.take(120), UTF_8)}"))
-        val ferr = Wire.errFields(fmsgs.find(_.tpe == 'E').get.body)
+        assert(gf.tpe == 'E', s"expected pre-G error, got ${gf.tpe}")
+        val ferr = Wire.errFields(gf.body)
         assert(ferr('M').contains("bal") &&
           ferr('M').toLowerCase.contains("type"), ferr)
+        c.drainUntilReady()
         // the rejected upload wrote NOTHING: a text COPY then lands as
         // the table's only row (and proves the connection recovered)
         val gt = c.copyStart("COPY pgbfresh (_id, bal) FROM STDIN")
