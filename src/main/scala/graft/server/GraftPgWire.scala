@@ -41,9 +41,9 @@ import graft.bitemporal.SqlText
   *     rejected with a clear error); RESULT rows honor Bind's
   *     per-column format codes — text (the baseline, rendered
   *     executor-side) or binary ([[PgBinary]] type encodings, the
-  *     pgjdbc binaryTransfer flow). COPY serves both formats too,
-  *     negotiated per the statement's `BINARY` / `(FORMAT binary)`
-  *     clause.
+  *     pgjdbc binaryTransfer flow). COPY serves text, CSV (incl.
+  *     HEADER) and PGCOPY binary, negotiated per the statement's
+  *     `BINARY` / `(FORMAT text|csv|binary[, HEADER])` clause.
   *   - Auth is trust-mode (AuthenticationOk to any startup); binding
   *     beyond 127.0.0.1 is a deployment decision, as with
   *     [[GraftHttpApi]].
@@ -560,9 +560,10 @@ object GraftPgWire {
   // ---- COPY FROM STDIN / TO STDOUT (text + binary formats) -----------
 
   // optional trailing format clause: `BINARY` (pre-9.0 spelling) or
-  // `[WITH] (FORMAT text|binary)` — both are what real clients emit
+  // `[WITH] (FORMAT text|csv|binary[, HEADER])` — what real clients emit
   private val fmtSuffix =
-    "(?:\\s+(?:WITH\\s+)?(?:\\(\\s*FORMAT\\s+(\\w+)\\s*\\)|(BINARY)))?"
+    "(?:\\s+(?:WITH\\s+)?(?:\\(\\s*FORMAT\\s+(\\w+)\\s*" +
+      "(?:,\\s*(HEADER)(?:\\s+(?:TRUE|ON))?\\s*)?\\)|(BINARY)))?"
 
   private val copyRe = java.util.regex.Pattern.compile(
     "^\\s*COPY\\s+(\\w+)\\s*(?:\\(([^)]*)\\))?\\s+FROM\\s+STDIN" +
@@ -574,15 +575,30 @@ object GraftPgWire {
       fmtSuffix + "\\s*;?\\s*$",
     java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
 
-  /** The format clause → binary? Throws on formats we don't serve. */
-  private def isBinary(fmtWord: String, bareBinary: String): Boolean =
-    if (bareBinary != null) true
-    else if (fmtWord == null) false
-    else fmtWord.toLowerCase match {
-      case "text" => false
-      case "binary" => true
-      case other => throw new IllegalArgumentException(
-        s"unsupported COPY format '$other'; use text or binary")
+  private sealed trait CopyFmt
+  private case object FmtText extends CopyFmt
+  private case object FmtBinary extends CopyFmt
+  private final case class FmtCsv(header: Boolean) extends CopyFmt
+
+  /** The format clause → served format. Throws on formats we don't
+    * serve and on HEADER outside csv (PG's own restriction). */
+  private def copyFmt(word: String, header: String,
+                      bareBinary: String): CopyFmt =
+    if (bareBinary != null) FmtBinary
+    else {
+      val fmt =
+        if (word == null) FmtText
+        else word.toLowerCase match {
+          case "text" => FmtText
+          case "binary" => FmtBinary
+          case "csv" => FmtCsv(header != null)
+          case other => throw new IllegalArgumentException(
+            s"unsupported COPY format '$other'; use text, csv or binary")
+        }
+      if (header != null && !fmt.isInstanceOf[FmtCsv])
+        throw new IllegalArgumentException(
+          "COPY HEADER is available only in CSV format")
+      fmt
     }
 
   private def runCopy(spark: SparkSession, in: DataInputStream,
@@ -590,9 +606,9 @@ object GraftPgWire {
     val mi = copyRe.matcher(stmt)
     val mo = copyOutRe.matcher(stmt)
     if (mi.matches()) runCopyIn(spark, in, out, stmt,
-      binary = isBinary(mi.group(3), mi.group(4)))
+      copyFmt(mi.group(3), mi.group(4), mi.group(5)))
     else if (mo.matches()) runCopyOut(spark, out, stmt,
-      binary = isBinary(mo.group(3), mo.group(4)))
+      copyFmt(mo.group(3), mo.group(4), mo.group(5)))
     else throw new IllegalArgumentException(
       "unsupported COPY form; use COPY <table> [(col, ...)] FROM STDIN " +
         "or COPY <table | (query)> TO STDOUT")
@@ -609,7 +625,8 @@ object GraftPgWire {
     * executor-side and stream partition-at-a-time; binary tuples encode
     * from native row values per [[PgBinary]]. */
   private def runCopyOut(spark: SparkSession, out: DataOutputStream,
-                         stmt: String, binary: Boolean): Unit = {
+                         stmt: String, fmt: CopyFmt): Unit = {
+    val binary = fmt == FmtBinary
     val m = copyOutRe.matcher(stmt)
     require(m.matches(), "copy-out form")
     val query = Option(m.group(2)).getOrElse(s"SELECT * FROM ${m.group(1)}")
@@ -620,6 +637,9 @@ object GraftPgWire {
       b.writeShort(width)
       (0 until width).foreach(_ => b.writeShort(if (binary) 1 else 0))
     })
+    def frame(bytes: Array[Byte]): Unit = {
+      out.writeByte('d'); out.writeInt(4 + bytes.length); out.write(bytes)
+    }
     var n = 0L
     if (binary) {
       // complex columns export as their json text (PG's json binary
@@ -654,25 +674,82 @@ object GraftPgWire {
       }
       out.writeByte('d'); out.writeInt(4 + 2); out.writeShort(-1) // trailer
     } else {
+      val csv = fmt match { case FmtCsv(_) => true; case _ => false }
+      fmt match {
+        case FmtCsv(true) => // HEADER: column names first, csv-escaped
+          frame((df.schema.fieldNames.map(csvEscape).mkString(",") + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case _ => ()
+      }
       val it = textProjection(df).toLocalIterator()
       while (it.hasNext) {
         val row = it.next()
         val sb = new java.lang.StringBuilder()
         var i = 0
         while (i < width) {
-          if (i > 0) sb.append('\t')
-          if (row.isNullAt(i)) sb.append("\\N")
-          else sb.append(copyEscape(row.getString(i)))
+          if (i > 0) sb.append(if (csv) ',' else '\t')
+          if (row.isNullAt(i)) sb.append(if (csv) "" else "\\N")
+          else sb.append(
+            if (csv) csvEscape(row.getString(i))
+            else copyEscape(row.getString(i)))
           i += 1
         }
         sb.append('\n')
-        val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        out.writeByte('d'); out.writeInt(4 + bytes.length); out.write(bytes)
+        frame(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         n += 1
       }
     }
     send(out, 'c', _ => ()) // CopyDone
     send(out, 'C', b => writeCString(b, s"COPY $n"))
+  }
+
+  /** CSV escaping: NULL renders as an UNQUOTED empty cell (the writer
+    * passes null handling before calling this); a non-null value quotes
+    * when it contains the delimiter, the quote, a newline, or IS the
+    * empty string (distinguishing it from NULL), doubling any quotes. */
+  private[graft] def csvEscape(s: String): String =
+    if (s.isEmpty || s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  /** COPY CSV parser: comma cells, `"`-quoting with doubled-quote
+    * escapes, quoted cells may span newlines; an UNQUOTED empty cell is
+    * NULL, a quoted empty cell is the empty string; rows end at
+    * `\n`/`\r\n` outside quotes (final-newline artifact dropped). */
+  private[graft] def parseCopyCsv(text: String): Seq[Seq[String]] = {
+    val rows = Seq.newBuilder[Seq[String]]
+    var row = Seq.newBuilder[String]
+    var cell = new java.lang.StringBuilder
+    var wasQuoted = false
+    var inQ = false
+    var any = false // any char seen on the current row (incl. delims)
+    def endCell(): Unit = {
+      row += (if (!wasQuoted && cell.length == 0) null else cell.toString)
+      cell = new java.lang.StringBuilder; wasQuoted = false
+    }
+    def endRow(): Unit = { endCell(); rows += row.result(); row = Seq.newBuilder; any = false }
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      val c = text.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < len && text.charAt(i + 1) == '"') { cell.append('"'); i += 1 }
+          else inQ = false
+        } else cell.append(c)
+      } else c match {
+        case '"' => inQ = true; wasQuoted = true; any = true
+        case ',' => endCell(); any = true
+        case '\n' => endRow()
+        case '\r' =>
+          if (i + 1 < len && text.charAt(i + 1) == '\n') i += 1
+          endRow()
+        case other => cell.append(other); any = true
+      }
+      i += 1
+    }
+    if (any || cell.length > 0 || wasQuoted) endRow() // no trailing newline
+    rows.result()
   }
 
   /** COPY text escaping — the inverse of [[parseCopyText]]'s unescape. */
@@ -714,7 +791,8 @@ object GraftPgWire {
     * the client's message; nothing is written. */
   private def runCopyIn(spark: SparkSession, in: DataInputStream,
                         out: DataOutputStream, stmt: String,
-                        binary: Boolean): Unit = {
+                        fmt: CopyFmt): Unit = {
+    val binary = fmt == FmtBinary
     val m = copyRe.matcher(stmt)
     if (!m.matches())
       throw new IllegalArgumentException(
@@ -794,13 +872,18 @@ object GraftPgWire {
       case Some(msg) =>
         sendError(out, "57014", s"COPY from stdin failed: $msg")
       case None =>
-        val rows =
-          if (binary)
+        val rows = fmt match {
+          case FmtBinary =>
             PgBinary.parseCopyBinary(buf.toByteArray, colTypes.map(_._1),
               java.time.ZoneId.of(
                 spark.conf.get("spark.sql.session.timeZone")))
-          else parseCopyText(
+          case FmtCsv(header) =>
+            val all = parseCopyCsv(new String(buf.toByteArray,
+              java.nio.charset.StandardCharsets.UTF_8))
+            if (header) all.drop(1) else all
+          case FmtText => parseCopyText(
             new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+        }
         val n = rows.length
         table.copyFrom(cols, rows,
           new java.sql.Timestamp(System.currentTimeMillis()))

@@ -830,11 +830,47 @@ class GraftPgWireSpec extends AnyFunSuite {
       assert(sel2.filter(_.tpe == 'D').map(m => Wire.dataRow(m.body)) == rows)
 
       // unsupported format word → clear error, connection stays usable
-      val bad = c.copyStart("COPY pgbin (_id) FROM STDIN WITH (FORMAT csv)")
+      val bad = c.copyStart("COPY pgbin (_id) FROM STDIN WITH (FORMAT avro)")
       assert(bad.tpe == 'E')
-      assert(Wire.errFields(bad.body)('M').contains("csv"))
+      assert(Wire.errFields(bad.body)('M').contains("avro"))
       c.drainUntilReady()
       assert(c.query("SELECT 1 AS x").exists(_.tpe == 'D'))
+
+      // CSV both directions with HEADER: \copy csv's spreadsheet flow.
+      // Load two rows (one NULL bal, one quoted cell with comma+quote+
+      // newline), then export with header and assert the exact bytes
+      val gc = c.copyStart(
+        "COPY pgbin (_id, bal, note) FROM STDIN WITH (FORMAT csv, HEADER)")
+      assert(gc.tpe == 'G')
+      val gcin = new DataInputStream(new java.io.ByteArrayInputStream(gc.body))
+      assert(gcin.readByte() == 0, "csv negotiates as a text-format mode")
+      c.copyData(("_id,bal,note\n" +
+        "20,7.5,\"a,b\"\"c\nd\"\n" +
+        "21,,\"\"\n").getBytes(UTF_8))
+      val cmsgs = c.copyDone()
+      assert(Wire.cstr(new DataInputStream(new java.io.ByteArrayInputStream(
+        cmsgs.find(_.tpe == 'C').get.body))) == "COPY 2")
+      val csel = c.query(
+        "SELECT _id, bal, note FROM pgbin WHERE _id IN (20, 21) ORDER BY _id")
+      assert(csel.filter(_.tpe == 'D').map(m => Wire.dataRow(m.body)) == Seq(
+        Seq(Some("20"), Some("7.5"), Some("a,b\"c\nd")),
+        Seq(Some("21"), None, Some(""))), "csv load")
+      val cexp = c.query("COPY (SELECT _id, bal, note FROM pgbin " +
+        "WHERE _id IN (20, 21) ORDER BY _id) TO STDOUT (FORMAT csv, HEADER)")
+      val ctext = cexp.filter(_.tpe == 'd')
+        .map(m => new String(m.body, UTF_8)).mkString
+      assert(ctext == "_id,bal,note\n" +
+        "20,7.5,\"a,b\"\"c\nd\"\n" +
+        "21,,\"\"\n", ctext)
+      // and the exported csv parses back to the same cells
+      assert(GraftPgWire.parseCopyCsv(ctext).drop(1) == Seq(
+        Seq("20", "7.5", "a,b\"c\nd"),
+        Seq("21", null, "")))
+      // HEADER outside csv is PG's own restriction
+      val gh = c.copyStart("COPY pgbin (_id) FROM STDIN (FORMAT text, HEADER)")
+      assert(gh.tpe == 'E')
+      assert(Wire.errFields(gh.body)('M').contains("CSV"))
+      c.drainUntilReady()
 
       // a FRESH table has no type for its payload columns: binary COPY
       // must refuse loudly (decoding a float8 field as UTF-8 would pin
@@ -959,6 +995,35 @@ class GraftPgWireSpec extends AnyFunSuite {
       new java.math.BigDecimal("-99.05")) == "-99.05")
     intercept[IllegalArgumentException] {
       PgBinary.decodeValue(BinaryType, Array[Byte](1))
+    }
+  }
+
+  test("parseCopyCsv: quoting, embedded newlines, NULL vs empty, crlf") {
+    assert(GraftPgWire.parseCopyCsv("a,b,c\n1,\"x,y\",\"q\"\"z\"\n") == Seq(
+      Seq("a", "b", "c"), Seq("1", "x,y", "q\"z")))
+    // unquoted empty = NULL; quoted empty = empty string
+    assert(GraftPgWire.parseCopyCsv("1,,\"\"\n") == Seq(Seq("1", null, "")))
+    // quoted cells span newlines; crlf row ends; missing final newline
+    assert(GraftPgWire.parseCopyCsv("\"a\nb\",2\r\n3,4") == Seq(
+      Seq("a\nb", "2"), Seq("3", "4")))
+    assert(GraftPgWire.parseCopyCsv("").isEmpty)
+    // a lone quoted empty cell is one row with one empty string
+    assert(GraftPgWire.parseCopyCsv("\"\"\n") == Seq(Seq("")))
+  }
+
+  test("CSV round-trip property: escape → parse = identity") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(3, Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        'a', 'ü', '"', ',', '\n', '\r', ' ', '\\', 'N')).map(_.mkString)))
+    (0 until 500).foreach { i =>
+      val cells = gen.pureApply(Gen.Parameters.default, Seed(7000L + i))
+      val encoded = cells.map(GraftPgWire.csvEscape).mkString(",") + "\n"
+      // empty cells encode as "" (quoted) so they parse back as EMPTY
+      // STRING, never NULL — identity holds for every non-null cell
+      assert(GraftPgWire.parseCopyCsv(encoded) == Seq(cells),
+        s"seed $i: $cells -> $encoded")
     }
   }
 
