@@ -66,14 +66,22 @@ object Mixture {
                     strict: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     if (strict) {
-      // distinct-domain agg (tiny result: ≤|domains| rows after a
-      // partial-aggregated shuffle), collected only to name offenders
-      val unlisted = df.select(col(domainCol).cast("string"))
-        .distinct().collect().map(_.getString(0))
-        .filter(d => d != null && !weights.contains(d))
+      // filter-to-offenders EXECUTOR-side, then cap the collect: the
+      // happy path still collects 0 rows, but a misconfigured domain
+      // column (the exact mistake strict mode exists to catch) can be
+      // arbitrarily high-cardinality — an unbounded distinct-collect
+      // would OOM the driver before the require ever fired
+      val listed = weights.keySet
+      val unlisted = df.select(col(domainCol).cast("string").as("_d"))
+        .filter(col("_d").isNotNull && !col("_d").isin(listed.toSeq: _*))
+        .distinct().limit(21).collect().map(_.getString(0))
+      val shown =
+        if (unlisted.length > 20)
+          unlisted.sorted.take(20).mkString(", ") + ", … (truncated)"
+        else unlisted.sorted.mkString(", ")
       require(unlisted.isEmpty,
         s"mixtureSample: domains in data but not in weights " +
-          s"(pass strict=false to drop them): ${unlisted.sorted.mkString(", ")}")
+          s"(pass strict=false to drop them): $shown")
     }
     val quotas = apportion(weights, total).toSeq.sortBy(_._1)
     val qdf = spark.createDataFrame(quotas).toDF(domainCol, "_quota")

@@ -21,9 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Bit-interleaved z-value of `cols`, each min/max-normalized to
-    * `bits` bits using the ALREADY-JOINED `_zmn_<c>`/`_zmx_<c>` bounds
-    * columns. k·bits must fit a long. */
+  /** A monotonic NUMERIC view of column `c` for quantization. Plain
+    * `cast("double")` covers numerics/booleans/timestamptz, but Spark
+    * 4 rejects DATE and TIMESTAMP_NTZ → DOUBLE outright (they'd make
+    * every z-ordered write throw at analysis); map those through their
+    * epoch integer first. NTZ goes via the session-zone instant —
+    * exact under the default UTC session and, in a DST-shifted
+    * session, at worst duplicates ranks inside the overlap hour, which
+    * only loosens file stats (z-order is a layout, never a result). */
+  private def zNumeric(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema.fields.find(_.name == c).map(_.dataType) match {
+      case Some(DateType) => unix_date(col(c)).cast("double")
+      case Some(TimestampNTZType) =>
+        unix_micros(col(c).cast(TimestampType)).cast("double")
+      case _ => col(c).cast("double")
+    }
+  }
+
+  /** Bit-interleaved z-value over the pre-normalized `_zv_<c>` value
+    * columns, each min/max-normalized to `bits` bits using the
+    * ALREADY-JOINED `_zmn_<c>`/`_zmx_<c>` bounds columns. k·bits must
+    * fit a long. */
   private def zExpr(cols: Seq[String], bits: Int): Column = {
     val k = cols.size
     val maxQ = (1L << bits) - 1
@@ -31,9 +50,10 @@ object ZOrder {
       val mn = col(s"_zmn_$c")
       val mx = col(s"_zmx_$c")
       val span = mx - mn
-      val q = when(span <= 0.0 || col(c).isNull, lit(0L))
+      val v = col(s"_zv_$c")
+      val q = when(span <= 0.0 || v.isNull, lit(0L))
         .otherwise(least(lit(maxQ),
-          floor((col(c).cast("double") - mn) / span * maxQ).cast("long")))
+          floor((v - mn) / span * maxQ).cast("long")))
       q
     }
     (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
@@ -50,13 +70,16 @@ object ZOrder {
   def withZ(df: DataFrame, cols: Seq[String], bits: Int = 12): DataFrame = {
     require(cols.size >= 2, "z-order needs at least two dimensions")
     require(cols.size * bits <= 62, s"${cols.size} dims x $bits bits overflow")
+    val valued = cols.foldLeft(df)((d, c) =>
+      d.withColumn(s"_zv_$c", zNumeric(df, c)))
     val aggs = cols.flatMap(c => Seq(
-      min(col(c)).cast("double").as(s"_zmn_$c"),
-      max(col(c)).cast("double").as(s"_zmx_$c")))
-    val bounds = df.agg(aggs.head, aggs.tail: _*)
-    df.crossJoin(broadcast(bounds))
+      min(col(s"_zv_$c")).as(s"_zmn_$c"),
+      max(col(s"_zv_$c")).as(s"_zmx_$c")))
+    val bounds = valued.agg(aggs.head, aggs.tail: _*)
+    valued.crossJoin(broadcast(bounds))
       .withColumn("_z", zExpr(cols, bits))
-      .drop(cols.flatMap(c => Seq(s"_zmn_$c", s"_zmx_$c")): _*)
+      .drop(cols.flatMap(c =>
+        Seq(s"_zv_$c", s"_zmn_$c", s"_zmx_$c")): _*)
   }
 
   /** Cluster `df` into `nFiles` z-ordered range partitions on `cols`

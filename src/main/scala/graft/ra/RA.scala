@@ -212,11 +212,17 @@ object RA {
                        explicit: Int): Int =
     if (explicit > 0) explicit
     else spark.conf.getOption("graft.fixpoint.unroll")
-      .map(s => try s.toInt catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
+      .map { s =>
+        val n = try s.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.fixpoint.unroll must be a positive int, got '$s'")
+        }
+        // fail as loudly as the parse error: silently coercing
+        // unroll=-4 to the default would mask an operator typo
+        if (n <= 0) throw new IllegalArgumentException(
           s"graft.fixpoint.unroll must be a positive int, got '$s'")
-      })
-      .filter(_ > 0).getOrElse(1)
+        n
+      }.getOrElse(1)
 
   def fixpoint(base: DataFrame, step: DataFrame => DataFrame,
                maxIter: Int = 100, compactEvery: Int = 8,

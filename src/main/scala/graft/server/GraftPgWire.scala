@@ -1234,11 +1234,17 @@ private[graft] object PgBinary {
         else if (b(0) != 0) "true" else "false"
       case _: DecimalType => decodeNumeric(b).toPlainString
       case DateType =>
+        if (b.length != 4) throw new IllegalArgumentException(
+          s"COPY BINARY: ${b.length}-byte date field")
         LocalDate.ofEpochDay(ByteBuffer.wrap(b).getInt.toLong + PgEpochDays)
           .toString
       case TimestampType => // absolute micros → session-zone wall clock
+        if (b.length != 8) throw new IllegalArgumentException(
+          s"COPY BINARY: ${b.length}-byte timestamp field")
         render(microsToLdt(ByteBuffer.wrap(b).getLong + PgEpochMicros, zone))
       case TimestampNTZType => // wall-clock micros, zone-free
+        if (b.length != 8) throw new IllegalArgumentException(
+          s"COPY BINARY: ${b.length}-byte timestamp field")
         render(microsToLdt(ByteBuffer.wrap(b).getLong + PgEpochMicros,
           ZoneOffset.UTC))
       case other => throw new IllegalArgumentException(

@@ -175,6 +175,23 @@ class MixtureSpec extends AnyFunSuite {
     assert(e.getMessage.contains("strict=false"), e.getMessage)
   }
 
+  test("mixtureSample strict: high-cardinality offender list is bounded") {
+    // a misconfigured domain column (e.g. the id column passed by
+    // mistake) has ~one domain per row; the pre-pass must filter to
+    // offenders executor-side and cap the collect instead of pulling
+    // every distinct value to the driver
+    import spark.implicits._
+    val wide = spark.range(500)
+      .select($"id", concat(lit("d"), $"id").as("dom"))
+    val e = intercept[IllegalArgumentException] {
+      Mixture.mixtureSample(wide.toDF(), "id", "dom", Map("d0" -> 1.0), 10L)
+    }
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+    // at most 20 offenders named (plus the truncation marker)
+    assert(e.getMessage.split(", ").count(_.startsWith("d")) <= 21,
+      e.getMessage)
+  }
+
   test("mixtureSample plan: quota side broadcasts, no cartesian") {
     val p = Mixture.mixtureSample(pop, "id", "dom",
         Map("big" -> 1.0), 5L, strict = false)

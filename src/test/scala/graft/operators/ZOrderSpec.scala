@@ -56,6 +56,31 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zy <= 0.4, s"z-order y pruning too weak: $zy")
   }
 
+  test("date and timestamp_ntz dimensions z-order without AnalysisException") {
+    // Spark 4 rejects DATE/TIMESTAMP_NTZ → DOUBLE casts, so the
+    // quantizer must route them through their epoch integers — before
+    // the fix, ANY clusterBy containing a date column made every
+    // compact() throw instead of laying out files
+    val df = spark.range(512).select(
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+        ($"id" % 64).cast("int")).as("d"),
+      to_timestamp_ntz(
+        concat(lit("2021-01-01 00:"),
+          lpad(($"id" % 60).cast("string"), 2, "0"), lit(":00"))).as("tn"),
+      $"id".as("v"))
+    val out = ZOrder.cluster(df, Seq("d", "tn"), nFiles = 4)
+    assert(out.count() == 512)
+    assert(out.columns.toSeq == Seq("d", "tn", "v"))
+    // pruning materializes: a written file set carries tight date stats
+    val dir = java.nio.file.Files.createTempDirectory("zdate").toString
+    out.write.mode("overwrite").parquet(dir)
+    val meta = ChunkMetadata.forPaths(spark, Seq(dir))
+      .filter(col("column") === "d")
+      .groupBy(col("file"))
+      .agg(min(col("min")).as("mn"), max(col("max")).as("mx"))
+    assert(meta.count() >= 2, "expected multiple files with date stats")
+  }
+
   test("skewed + null values stay exact and clamp into range") {
     val df = Seq[(java.lang.Long, java.lang.Long)](
       (1L, 5L), (2L, null), (1000000L, 5L), (null, 7L), (3L, 9L))

@@ -285,6 +285,21 @@ class RASpec extends AnyFunSuite {
     assert(revive(3) == revive(1))
   }
 
+  test("graft.fixpoint.unroll rejects non-positive values as loudly as " +
+      "non-numeric ones") {
+    val edges = Seq((1, 2)).toDF("src", "dst")
+    def run(): Unit = RA.fixpoint(edges, prev =>
+      prev.as("p").join(edges.as("e"), col("p.dst") === col("e.src"))
+        .select(col("p.src").as("src"), col("e.dst").as("dst"))).count()
+    Seq("-4", "0", "nope").foreach { v =>
+      spark.conf.set("graft.fixpoint.unroll", v)
+      try {
+        val e = intercept[IllegalArgumentException](run())
+        assert(e.getMessage.contains("positive int"), s"$v: ${e.getMessage}")
+      } finally spark.conf.unset("graft.fixpoint.unroll")
+    }
+  }
+
   test(":fixpointN fused probe survives a relation going quiet then reviving") {
     // a feeds b only below 3; b keeps counting to 5 alone; a must stay
     // converged (None deltas) while b continues — exercises live-subset

@@ -996,6 +996,16 @@ class GraftPgWireSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       PgBinary.decodeValue(BinaryType, Array[Byte](1))
     }
+    // malformed field lengths fail as COPY errors, not buffer
+    // underflows or silent prefix decodes
+    Seq[(DataType, Int)](DateType -> 8, DateType -> 2,
+      TimestampType -> 4, TimestampType -> 12,
+      TimestampNTZType -> 4).foreach { case (dt, n) =>
+      val e = intercept[IllegalArgumentException] {
+        PgBinary.decodeValue(dt, Array.fill[Byte](n)(1))
+      }
+      assert(e.getMessage.contains("COPY BINARY"), s"$dt/$n: ${e.getMessage}")
+    }
   }
 
   test("parseCopyCsv: quoting, embedded newlines, NULL vs empty, crlf") {
