@@ -265,8 +265,10 @@ final class TxLog(val dir: String) {
         // dimension sets fall back to lexicographic multi-column range
         // clustering: first-column pruning stays tight, later columns
         // prune within correlated prefixes.
+        val resolver = rects.sparkSession.sessionState.analyzer.resolver
         val zOrderable = cs.forall(c =>
-          rects.schema.fields.find(_.name == c).map(_.dataType).exists {
+          rects.schema.fields.find(f => resolver(f.name, c))
+            .map(_.dataType).exists {
             case _: org.apache.spark.sql.types.NumericType => true
             case org.apache.spark.sql.types.DateType => true
             case org.apache.spark.sql.types.TimestampType => true

@@ -31,7 +31,11 @@ object ZOrder {
     * only loosens file stats (z-order is a layout, never a result). */
   private def zNumeric(df: DataFrame, c: String): Column = {
     import org.apache.spark.sql.types._
-    df.schema.fields.find(_.name == c).map(_.dataType) match {
+    // match the session's resolution semantics (case-insensitive by
+    // default) — a 'SHIP_DATE' spelling for a DATE column must still
+    // take the DateType branch, or the double cast below throws.
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    df.schema.fields.find(f => resolver(f.name, c)).map(_.dataType) match {
       case Some(DateType) => unix_date(col(c)).cast("double")
       case Some(TimestampNTZType) =>
         unix_micros(col(c).cast(TimestampType)).cast("double")

@@ -211,6 +211,11 @@ object RA {
   private def unrollOf(spark: org.apache.spark.sql.SparkSession,
                        explicit: Int): Int =
     if (explicit > 0) explicit
+    // 0 is the documented read-from-conf sentinel; a NEGATIVE explicit
+    // argument is the same typo class the conf path rejects — fail it
+    // just as loudly instead of silently falling through to the conf.
+    else if (explicit < 0) throw new IllegalArgumentException(
+      s"fixpoint unroll must be positive (or 0 = read from conf), got $explicit")
     else spark.conf.getOption("graft.fixpoint.unroll")
       .map { s =>
         val n = try s.toInt catch {

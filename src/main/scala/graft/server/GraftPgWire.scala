@@ -1244,7 +1244,7 @@ private[graft] object PgBinary {
         render(microsToLdt(ByteBuffer.wrap(b).getLong + PgEpochMicros, zone))
       case TimestampNTZType => // wall-clock micros, zone-free
         if (b.length != 8) throw new IllegalArgumentException(
-          s"COPY BINARY: ${b.length}-byte timestamp field")
+          s"COPY BINARY: ${b.length}-byte timestamp_ntz field")
         render(microsToLdt(ByteBuffer.wrap(b).getLong + PgEpochMicros,
           ZoneOffset.UTC))
       case other => throw new IllegalArgumentException(
@@ -1282,8 +1282,13 @@ private[graft] object PgBinary {
   }
 
   def decodeNumeric(b: Array[Byte]): java.math.BigDecimal = {
+    if (b.length < 8) throw new IllegalArgumentException(
+      s"COPY BINARY: ${b.length}-byte numeric field (8-byte header required)")
     val buf = ByteBuffer.wrap(b)
     val n = buf.getShort.toInt
+    if (n < 0 || b.length < 8 + 2 * n) throw new IllegalArgumentException(
+      s"COPY BINARY: numeric field declares $n digit groups but carries " +
+        s"${b.length - 8} bytes")
     val weight = buf.getShort.toInt
     val sign = buf.getShort & 0xFFFF
     val dscale = buf.getShort.toInt

@@ -81,6 +81,19 @@ class ZOrderSpec extends AnyFunSuite {
     assert(meta.count() >= 2, "expected multiple files with date stats")
   }
 
+  test("dimension names resolve case-insensitively like the session does") {
+    // Spark resolves 'SHIP_DATE' to a column named 'ship_date' under
+    // the default caseSensitive=false; the quantizer's type lookup must
+    // use the same resolver, or the DATE column misses its epoch-int
+    // branch and the double cast throws in Spark 4
+    val df = spark.range(64).select(
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+        ($"id" % 16).cast("int")).as("ship_date"),
+      ($"id" % 8).as("qty"))
+    val out = ZOrder.cluster(df, Seq("SHIP_DATE", "QTY"), nFiles = 2)
+    assert(out.count() == 64)
+  }
+
   test("skewed + null values stay exact and clamp into range") {
     val df = Seq[(java.lang.Long, java.lang.Long)](
       (1L, 5L), (2L, null), (1000000L, 5L), (null, 7L), (3L, 9L))

@@ -298,6 +298,13 @@ class RASpec extends AnyFunSuite {
         assert(e.getMessage.contains("positive int"), s"$v: ${e.getMessage}")
       } finally spark.conf.unset("graft.fixpoint.unroll")
     }
+    // the EXPLICIT argument path rejects negatives too (0 stays the
+    // documented read-from-conf sentinel)
+    val e = intercept[IllegalArgumentException](RA.fixpoint(edges, prev =>
+      prev.as("p").join(edges.as("e"), col("p.dst") === col("e.src"))
+        .select(col("p.src").as("src"), col("e.dst").as("dst")),
+      unroll = -4).count())
+    assert(e.getMessage.contains("positive"), e.getMessage)
   }
 
   test(":fixpointN fused probe survives a relation going quiet then reviving") {

@@ -949,6 +949,28 @@ class GraftPgWireSpec extends AnyFunSuite {
     }
   }
 
+  test("PgBinary numeric codec: truncated fields fail as COPY errors, " +
+      "not raw buffer underflows") {
+    // header shorter than the 4 int16s
+    val short = intercept[IllegalArgumentException](
+      PgBinary.decodeNumeric(Array[Byte](0, 2, 0, 0)))
+    assert(short.getMessage.contains("COPY BINARY"))
+    // header declares 3 digit groups but carries only 1
+    val full = PgBinary.encodeNumeric(new java.math.BigDecimal("123456789"))
+    val lying = full.take(10)
+    val trunc = intercept[IllegalArgumentException](
+      PgBinary.decodeNumeric(lying))
+    assert(trunc.getMessage.contains("COPY BINARY"), trunc.getMessage)
+    assert(trunc.getMessage.contains("digit groups"), trunc.getMessage)
+  }
+
+  test("PgBinary timestamp_ntz length error names the ntz wire type") {
+    import org.apache.spark.sql.types._
+    val e = intercept[IllegalArgumentException](
+      PgBinary.decodeValue(TimestampNTZType, Array[Byte](1, 2, 3)))
+    assert(e.getMessage.contains("timestamp_ntz"), e.getMessage)
+  }
+
   test("PgBinary timestamptz: absolute micros render in the SESSION " +
       "zone, so a non-UTC session round-trips instants exactly") {
     import org.apache.spark.sql.types._
