@@ -395,6 +395,9 @@ final class GraftTable(spark: SparkSession, dir: String,
   /** The payload column names this table was opened with. */
   def payloadColumns: Seq[String] = payloadCols
 
+  /** The table's storage root (log + base + view state live under it). */
+  def tableDir: String = dir
+
   /** Column → type map the log already knows (base ∪ tail schemas —
     * the log may be truncated by [[vacuumLog]], in which case the base
     * remembers the types the departed tx files established). The

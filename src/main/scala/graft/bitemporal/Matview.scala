@@ -337,6 +337,13 @@ private[bitemporal] object MvState {
   def readState(spark: SparkSession, stateRoot: Path,
                 dataDir: Path): DataFrame = {
     val sf = stateRoot.resolve("_schema")
+    // no sidecar AND no data: never refreshed against a non-empty log —
+    // the state's schema is genuinely unknowable (payload types come
+    // from data). Fail with the story, not PATH_NOT_FOUND.
+    if (!Files.exists(sf) && !Files.exists(dataDir))
+      throw new IllegalStateException(
+        s"materialized view at $stateRoot has no state: it has never been " +
+          "refreshed against a non-empty table (write data, then REFRESH)")
     if (Files.exists(sf))
       spark.read.schema(org.apache.spark.sql.types.DataType
           .fromJson(new String(Files.readAllBytes(sf), UTF_8))

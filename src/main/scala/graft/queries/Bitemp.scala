@@ -134,6 +134,46 @@ object Bitemp {
         .orderBy("grp")
     }),
 
+    // matview DDL as SQL text (r10): the q138 flow driven entirely by
+    // statements a wire client would send — CREATE populates, the
+    // update+delete txs fold on the textual REFRESH, the final SELECT
+    // resolves the view name against its current state. Text must not
+    // change any value, so the oracle replays q138's arithmetic.
+    "q160_sql_matview_ddl" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvddl_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      graft.server.GraftMatviews.reset()
+      val t = new GraftTable(s, tmp, Seq("grp", "bal"))
+      graft.server.GraftServer.register("mvddl_accts", t)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val cust = T(s, dir, "customer").select($"c_custkey".as("id"),
+          $"c_nationkey".cast("string").as("g"),
+          $"c_acctbal".cast("decimal(12,2)").as("m"))
+        t.put(cust, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "bal" -> $"m"), ts("2020-01-01 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvddl_by_nation WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+            "SELECT grp, COUNT(*) AS n, SUM(bal) AS sum_bal " +
+            "FROM mvddl_accts GROUP BY grp")
+        t.put(cust.filter($"id" % 10 === 0)
+            .withColumn("m2", ($"m" + 100).cast("decimal(12,2)")),
+          $"id", lit("2000-06-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "bal" -> $"m2"), ts("2020-01-02 00:00:00"))
+        t.delete(cust.filter($"id" % 13 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> lit(null).cast("string"),
+            "bal" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-03 00:00:00"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvddl_by_nation")
+        graft.server.GraftSql.sql(s,
+          "SELECT grp, n, CAST(sum_bal AS DOUBLE) AS sum_bal " +
+            "FROM mvddl_by_nation ORDER BY grp")
+      } finally graft.server.GraftServer.unregister("mvddl_accts")
+    }),
+
     // JOIN matview (r7): orders ⋈ customers grouped by the CUSTOMER's
     // region — maintained incrementally from BOTH logs' tails by the
     // Δ(A⋈B) rules. The second refresh folds a fact tail (price bump +
@@ -662,6 +702,18 @@ object Bitemp {
     // from-scratch recompute of the maintained view: every 13th account
     // deleted, every remaining 10th account +100, grouped by nation
     "q138_matview" -> """
+      WITH c AS (SELECT c_custkey AS k, CAST(c_nationkey AS VARCHAR) AS grp,
+                        CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+                 FROM customer),
+      eff AS (SELECT grp,
+                     CASE WHEN k % 10 = 0 THEN bal + 100 ELSE bal END AS bal
+              FROM c WHERE k % 13 <> 0)
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(bal) AS DOUBLE) AS sum_bal
+      FROM eff GROUP BY grp ORDER BY grp""",
+
+    // the DDL-text route must reproduce q138's state exactly
+    "q160_sql_matview_ddl" -> """
       WITH c AS (SELECT c_custkey AS k, CAST(c_nationkey AS VARCHAR) AS grp,
                         CAST(c_acctbal AS DECIMAL(12,2)) AS bal
                  FROM customer),

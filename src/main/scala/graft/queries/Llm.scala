@@ -862,6 +862,53 @@ object Llm {
       TextStats.cdcChunks(T(s, dir, "documents"), "doc_id", "text",
           n = 3, divisor = 16)
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ——— the SQL-TEXT front door (r10): the same operators reached as
+    // statements a wire client would send — graft_*(…) table-valued
+    // procedures substituted pre-parse (server.GraftProcedures), then
+    // planned by Catalyst exactly like the DataFrame twins. Each entry
+    // goes THROUGH the text path end-to-end and shares its twin's
+    // oracle, so the driver proves text == API == DuckDB.
+
+    // q41's MinHash+LSH pipeline as one composable SQL call
+    "q157_sql_minhash" -> ((s, dir) => {
+      T(s, dir, "documents").createOrReplaceTempView("documents_q157")
+      graft.server.GraftSql.sql(s, """
+        SELECT id_a, id_b,
+               floor(jaccard * 1000000 + 0.5) / 1000000 AS jaccard
+        FROM graft_minhash_candidates('documents_q157', 'doc_id', 'text',
+                                      k => 16, bands => 8,
+                                      min_jaccard => 0.5)
+        ORDER BY id_a, id_b""")
+    }),
+
+    // q44's brute-force cosine top-10 as SQL text; selection happens on
+    // the RAW cosine inside the procedure (deterministic id tie-break),
+    // display rounding applied by the outer statement
+    "q158_sql_ann_topk" -> ((s, dir) => {
+      embD(s, dir).createOrReplaceTempView("embeddings_q158")
+      graft.server.GraftSql.sql(s, """
+        SELECT vec_id, floor(cos * 10000 + 0.5) / 10000 AS cos
+        FROM graft_ann_topk('embeddings_q158', 'vec_id', 'v', 0, 10)
+        ORDER BY cos DESC, vec_id""")
+    }),
+
+    // q152's exact-count mixture as SQL text — the domain derivation
+    // rides along as an inline-subquery table argument
+    "q159_sql_mixture" -> ((s, dir) => {
+      T(s, dir, "documents").createOrReplaceTempView("documents_q159")
+      graft.server.GraftSql.sql(s, """
+        SELECT bucket, doc_id
+        FROM graft_mixture_sample(
+          '(SELECT doc_id,
+                   CASE WHEN n_chars < 250 THEN ''short''
+                        WHEN n_chars < 400 THEN ''mid''
+                        ELSE ''long'' END AS bucket
+            FROM documents_q159)',
+          'doc_id', 'bucket',
+          map('short', 0.5, 'mid', 0.3125, 'long', 0.1875), 97)
+        ORDER BY bucket, doc_id""")
     })
   )
 
@@ -2235,6 +2282,50 @@ object Llm {
              CAST(e - s + 3 AS BIGINT) AS n_tokens,
              md5(array_to_string(toks[s:e+2], ' ')) AS chunk_fp
       FROM ch JOIN w ON w.doc_id = ch.doc_id
-      ORDER BY ch.doc_id, chunk_idx"""
+      ORDER BY ch.doc_id, chunk_idx""",
+
+    // the SQL-text twins replay their operators' oracles: the statement
+    // route must not change ANY value, so q157/q159 reuse q41/q152
+    // verbatim; q158 replays the raw-cosine top-10 selection (id
+    // tie-break) before display rounding, matching the procedure
+    "q157_sql_minhash" -> s"""
+      WITH $shCte, $baseCte, $minhashCtes, $verifyTail""",
+
+    "q158_sql_ann_topk" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      c AS (SELECT vec_id,
+              list_dot_product(v, qv) /
+                (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+                AS rc
+            FROM e, q),
+      top AS (SELECT vec_id, rc FROM c ORDER BY rc DESC, vec_id LIMIT 10)
+      SELECT vec_id, floor(rc*10000 + 0.5)/10000 AS cos FROM top
+      ORDER BY cos DESC, vec_id""",
+
+    "q159_sql_mixture" -> """
+      WITH dom AS (SELECT doc_id,
+                     CASE WHEN n_chars < 250 THEN 'short'
+                          WHEN n_chars < 400 THEN 'mid'
+                          ELSE 'long' END AS bucket
+                   FROM documents),
+      wt(bucket, w) AS (VALUES ('short', 0.5), ('mid', 0.3125),
+                               ('long', 0.1875)),
+      ws AS (SELECT sum(w) AS s FROM wt),
+      ex AS (SELECT bucket, 97 * w / s AS ex FROM wt, ws),
+      fl AS (SELECT bucket, floor(ex) AS b, ex - floor(ex) AS rem FROM ex),
+      rk AS (SELECT bucket, b,
+               row_number() OVER (ORDER BY rem DESC, bucket) AS r FROM fl),
+      lf AS (SELECT 97 - sum(b) AS l FROM fl),
+      quota AS (SELECT bucket,
+                  b + CASE WHEN r <= l THEN 1 ELSE 0 END AS quota
+                FROM rk, lf),
+      ranked AS (SELECT doc_id, bucket,
+                   row_number() OVER (PARTITION BY bucket
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS prk
+                 FROM dom)
+      SELECT bucket, doc_id
+      FROM ranked JOIN quota USING (bucket)
+      WHERE prk <= quota ORDER BY bucket, doc_id"""
   )
 }

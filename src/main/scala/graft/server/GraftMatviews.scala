@@ -1,0 +1,270 @@
+package graft.server
+
+import java.sql.Timestamp
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.bitemporal.{BitemporalDml, SqlText}
+
+/** Materialized-view DDL for the SQL front doors — the reference's 2.x
+  * line grew exactly this surface; here it routes onto the
+  * incrementally-maintained views ([[graft.bitemporal.Matview]] /
+  * [[graft.bitemporal.JoinMatview]]), so a wire client creates,
+  * refreshes and queries IVM state with plain SQL text:
+  *
+  * {{{
+  *   CREATE MATERIALIZED VIEW by_nation
+  *     WITH (valid_at = '2030-01-01 00:00:00', buckets = 16) AS
+  *     SELECT grp, COUNT(*) AS n, SUM(bal) AS total FROM accts GROUP BY grp;
+  *   REFRESH MATERIALIZED VIEW by_nation;
+  *   SELECT * FROM by_nation ORDER BY grp;
+  *   DROP MATERIALIZED VIEW by_nation;
+  * }}}
+  *
+  * The accepted SELECT shape is exactly what the engine can maintain
+  * incrementally — COUNT(*) / SUM / MIN / MAX per ONE group column over
+  * a graft-registered table, optionally joined to a second registered
+  * table on `fk = dim._id` (the Δ(A⋈B) join-view rules). Anything else
+  * is rejected with a message saying so: a matview the engine could not
+  * refresh incrementally would silently be a snapshot, which is the one
+  * thing a user must not discover in production.
+  *
+  * CREATE populates the view (Postgres semantics — `WITH NO DATA` is
+  * deliberately unsupported since first refresh == first build here);
+  * each DDL returns a one-row relation like the DML front door's tx_id.
+  * Queries see the view by name: [[refreshReferenced]] (wired into the
+  * parser) re-registers a temp view over the CURRENT state before each
+  * referencing statement parses, so `SELECT … FROM mv` always serves
+  * the state as of its last REFRESH — never a stale file listing.
+  */
+object GraftMatviews {
+
+  private final case class Handle(
+      name: String,
+      // canonical state column -> user alias, in declared order
+      serveCols: Seq[(String, String)],
+      read: () => DataFrame,
+      refresh: () => (Long, Option[Long]),
+      stateDir: java.nio.file.Path)
+
+  private val views = TrieMap.empty[String, Handle]
+
+  private[graft] def registeredViews: Set[String] = views.keySet.toSet
+
+  /** For tests/tools: forget every registered view (state untouched). */
+  def reset(): Unit = views.clear()
+
+  private val ddlHead = java.util.regex.Pattern.compile(
+    "^\\s*(CREATE|REFRESH|DROP)\\s+MATERIALIZED\\s+VIEW\\b",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  private val createRe =
+    ("(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_]\\w*)\\s*" +
+      "(?:WITH\\s*\\(([^)]*)\\)\\s*)?AS\\s+(SELECT\\b[\\s\\S]*?)\\s*;?\\s*$").r
+  private val refreshRe =
+    "(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_]\\w*)\\s*;?\\s*$".r
+  private val dropRe =
+    "(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_]\\w*)\\s*;?\\s*$".r
+
+  private val selectRe =
+    ("(?is)^SELECT\\s+([\\s\\S]*?)\\s+FROM\\s+([A-Za-z_]\\w*)\\s*" +
+      "(?:JOIN\\s+([A-Za-z_]\\w*)\\s+ON\\s+([\\s\\S]*?)\\s+)?" +
+      "GROUP\\s+BY\\s+([A-Za-z_](?:\\w|\\.)*)\\s*$").r
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  private def unqualify(c: String): String = {
+    val t = c.trim
+    val dot = t.lastIndexOf('.')
+    if (dot >= 0) t.substring(dot + 1) else t
+  }
+
+  /** Does `sql` head with matview DDL (no comment stripping — pass a
+    * pre-stripped head)? */
+  private[server] def isDdl(sqlHead: String): Boolean =
+    ddlHead.matcher(sqlHead).find()
+
+  /** Is `sql` one of the three matview DDL statements? If so execute it
+    * eagerly (like DML/DDL everywhere in the front door) and return its
+    * one-row result relation. */
+  def routeDdl(spark: SparkSession, sql: String): Option[DataFrame] = {
+    val stripped = SqlText.stripLeadingComments(sql)
+    if (!ddlHead.matcher(stripped).find()) return None
+    import spark.implicits._
+    Some(stripped match {
+      case createRe(name, opts, select) =>
+        create(spark, name, Option(opts).getOrElse(""), select)
+      case refreshRe(name) =>
+        val h = views.getOrElse(key(name), fail(s"unknown materialized view: $name"))
+        val (a, b) = h.refresh()
+        Seq((h.name, a, b.map(long2Long).orNull))
+          .toDF("view", "fact_tx", "dim_tx")
+      case dropRe(name) =>
+        val h = views.remove(key(name))
+          .getOrElse(fail(s"unknown materialized view: $name"))
+        spark.catalog.dropTempView(h.name)
+        graft.bitemporal.TxLog.deleteRecursively(h.stateDir.toFile)
+        Seq((h.name, true)).toDF("view", "dropped")
+      case _ => fail(
+        "malformed materialized-view DDL; accepted forms:\n" +
+          "  CREATE MATERIALIZED VIEW v [WITH (valid_at = 'ts', buckets = n)]" +
+          " AS SELECT g, COUNT(*) [AS a], SUM(c) [AS a], MIN(c), MAX(c)" +
+          " FROM fact [JOIN dim ON fk = dim._id] GROUP BY g\n" +
+          "  REFRESH MATERIALIZED VIEW v\n  DROP MATERIALIZED VIEW v")
+    })
+  }
+
+  private def key(name: String): String = name.toLowerCase
+
+  private def graftTable(name: String): graft.GraftTable =
+    GraftServer.registered.collectFirst {
+      case (n, t) if n.equalsIgnoreCase(name) => t
+    }.getOrElse(fail(s"materialized views maintain over graft-registered " +
+      s"tables only; '$name' is not registered"))
+
+  private def create(spark: SparkSession, name: String, opts: String,
+                     select: String): DataFrame = {
+    if (views.contains(key(name)))
+      fail(s"materialized view $name already exists (DROP it first)")
+
+    // WITH options: valid_at = 'yyyy-mm-dd hh:mm:ss' (basis; default
+    // now — "the currently-valid rows"), buckets = n (state bucketing)
+    val optMap = BitemporalDml.splitTopLevel(opts).map(_.trim)
+      .filter(_.nonEmpty).map { kv =>
+        val eq = kv.indexOf('=')
+        if (eq < 0) fail(s"WITH option '$kv' is not key = value")
+        val k = kv.substring(0, eq).trim.toLowerCase
+        val v = kv.substring(eq + 1).trim
+          .stripPrefix("TIMESTAMP").stripPrefix("timestamp").trim
+        k -> v.stripPrefix("'").stripSuffix("'")
+      }.toMap
+    optMap.keys.find(k => k != "valid_at" && k != "buckets")
+      .foreach(k => fail(s"unknown WITH option '$k' (valid_at, buckets)"))
+    val validAt = optMap.get("valid_at")
+      .map(v => try Timestamp.valueOf(v) catch { case _: IllegalArgumentException =>
+        fail(s"valid_at must be 'yyyy-mm-dd hh:mm:ss[.ffff]', got '$v'") })
+      .getOrElse(new Timestamp(System.currentTimeMillis()))
+    val buckets = optMap.get("buckets").map(_.toInt)
+
+    val (list, factName, dimName, onExpr, groupBy) = select.trim match {
+      case selectRe(l, f, d, on, g) => (l, f, Option(d), Option(on), g)
+      case _ => fail("materialized-view SELECT must be: SELECT <g>, " +
+        "COUNT(*)/SUM/MIN/MAX(col) [AS alias], … FROM <table> " +
+        "[JOIN <dim> ON <fk> = <dim>._id] GROUP BY <g> — subqueries, " +
+        "WHERE, HAVING and expression aggregates are not incrementally " +
+        "maintainable here and are rejected rather than snapshotted")
+    }
+    val group = unqualify(groupBy)
+
+    val aggRe = "(?is)^(COUNT|SUM|MIN|MAX)\\s*\\(\\s*([*]|[A-Za-z_](?:\\w|\\.)*)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
+    val identRe = "(?is)^([A-Za-z_](?:\\w|\\.)*)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
+
+    var groupAlias = group
+    val sums = Seq.newBuilder[String]
+    val mins = Seq.newBuilder[String]
+    val maxs = Seq.newBuilder[String]
+    // canonical -> alias, in SELECT order (group handled separately)
+    val serve = Seq.newBuilder[(String, String)]
+    BitemporalDml.splitTopLevel(list).map(_.trim).filter(_.nonEmpty)
+      .foreach {
+        case aggRe(fn0, arg0, alias) =>
+          val fn = fn0.toUpperCase
+          val arg = unqualify(arg0)
+          (fn, arg) match {
+            case ("COUNT", "*") =>
+              serve += ("n" -> Option(alias).getOrElse("n"))
+            case ("COUNT", _) => fail(
+              s"COUNT($arg0): only COUNT(*) is maintainable (COUNT(col) " +
+                "needs null tracking per column — not implemented)")
+            case ("SUM", c) =>
+              sums += c; serve += (s"sum_$c" -> Option(alias).getOrElse(s"sum_$c"))
+            case ("MIN", c) =>
+              mins += c; serve += (s"min_$c" -> Option(alias).getOrElse(s"min_$c"))
+            case ("MAX", c) =>
+              maxs += c; serve += (s"max_$c" -> Option(alias).getOrElse(s"max_$c"))
+            case _ => fail(s"unsupported aggregate $fn0($arg0)")
+          }
+        case identRe(g, alias) if unqualify(g) == group =>
+          groupAlias = Option(alias).getOrElse(group)
+        case other => fail(s"select item '$other' is neither the GROUP BY " +
+          s"column ($group) nor COUNT(*)/SUM/MIN/MAX(col)")
+      }
+
+    val fact = graftTable(factName)
+    val serveAll = ("__group__" -> groupAlias) +: serve.result()
+    val handle = dimName match {
+      case None =>
+        val mv = fact.matview(name, group, sums.result(), validAt,
+          buckets.getOrElse(32), mins.result(), maxs.result())
+        Handle(name, serveAll, () => mv.read(),
+          () => (mv.refresh(), None), matviewDir(factName, "matview", name))
+      case Some(dn) =>
+        val dim = graftTable(dn)
+        val on = onExpr.getOrElse(fail("JOIN requires ON fk = dim._id"))
+        val sides = on.split("=").map(_.trim)
+        if (sides.length != 2) fail(s"ON clause must be fk = ${dn}._id, got '$on'")
+        val dimIdSide = sides.indexWhere(s =>
+          unqualify(s).equalsIgnoreCase("_id") &&
+            (!s.contains(".") || s.toLowerCase.startsWith(dn.toLowerCase + ".")))
+        if (dimIdSide < 0)
+          fail(s"ON clause must equate a fact column with ${dn}._id, got '$on'")
+        val fk = unqualify(sides(1 - dimIdSide))
+        val mv = fact.joinMatview(name, dim, fk, group, sums.result(),
+          validAt, buckets.getOrElse(64), mins.result(), maxs.result())
+        Handle(name, serveAll, () => mv.read(),
+          () => { val (a, b) = mv.refresh(); (a, Some(b)) },
+          matviewDir(factName, "join_matview", name))
+    }
+
+    val (a, b) = handle.refresh() // CREATE populates (Postgres default)
+    views.put(key(name), handle)
+    try registerView(handle)
+    catch { case e: Throwable =>
+      // e.g. an empty source table: state schema is unknowable until
+      // data lands — don't leave a half-registered view behind
+      views.remove(key(name)); throw e
+    }
+    import spark.implicits._
+    Seq((name, a, b.map(long2Long).orNull)).toDF("view", "fact_tx", "dim_tx")
+  }
+
+  private def matviewDir(tableName: String, kind: String, name: String)
+      : java.nio.file.Path = {
+    // mirror GraftTable's placement: <table dir>/<kind>/<name>
+    val dir = GraftServer.registered.collectFirst {
+      case (n, t) if n.equalsIgnoreCase(tableName) => t
+    }.map(_.tableDir).getOrElse(fail(s"table $tableName vanished"))
+    java.nio.file.Paths.get(dir, kind, name)
+  }
+
+  /** (Re-)register `name` as a temp view over the CURRENT state with
+    * the user's aliases, group column first. */
+  private def registerView(h: Handle): Unit = {
+    val df0 = h.read()
+    val groupCol = df0.columns.headOption.getOrElse("group")
+    val cols =
+      h.serveCols.map {
+        case ("__group__", alias) => col(groupCol).as(alias)
+        case (canon, alias) => col(canon).as(alias)
+      }
+    df0.select(cols: _*).createOrReplaceTempView(h.name)
+  }
+
+  /** Parser hook: if `sql` references any registered matview by name
+    * (outside literals/comments), refresh its temp-view registration so
+    * the statement reads current state. */
+  def refreshReferenced(spark: SparkSession, sql: String): Unit = {
+    if (views.isEmpty) return
+    val spans = SqlText.maskedSpans(sql)
+    views.values.foreach { h =>
+      val m = java.util.regex.Pattern
+        .compile(s"(?i)\\b${java.util.regex.Pattern.quote(h.name)}\\b")
+        .matcher(sql)
+      if (m.find() && !SqlText.masked(spans, m.start())) registerView(h)
+    }
+  }
+}

@@ -44,9 +44,12 @@ import graft.bitemporal.SqlText
   *     pgjdbc binaryTransfer flow). COPY serves text, CSV (incl.
   *     HEADER) and PGCOPY binary, negotiated per the statement's
   *     `BINARY` / `(FORMAT text|csv|binary[, HEADER])` clause.
-  *   - Auth is trust-mode (AuthenticationOk to any startup); binding
-  *     beyond 127.0.0.1 is a deployment decision, as with
-  *     [[GraftHttpApi]].
+  *   - Auth: trust by default (loopback dev); SCRAM-SHA-256 when a
+  *     password file is configured (`start(auth = …)` or
+  *     `-Dgraft.pgwire.passwordFile`) — the full RFC 7677 SASL
+  *     exchange with mutual proof, no other mechanism accepted
+  *     ([[PgScram]]). Binding beyond 127.0.0.1 is a deployment
+  *     decision, as with [[GraftHttpApi]].
   *
   * Scale posture: rows stream — the per-column PG text rendering runs
   * executor-side (codegen'd Column expressions, no driver-side row
@@ -64,9 +67,13 @@ object GraftPgWire {
     def stop(): Unit = try server.close() catch { case _: Throwable => }
   }
 
-  /** Start the listener; `port` 0 picks an ephemeral port. */
+  /** Start the listener; `port` 0 picks an ephemeral port. `auth`
+    * defaults to trust unless `-Dgraft.pgwire.passwordFile=<path>`
+    * names a `user:secret` file — then every connection authenticates
+    * with SCRAM-SHA-256 ([[PgScram]]). */
   def start(spark: SparkSession, port: Int,
-            bindHost: String = "127.0.0.1", poolSize: Int = 8): Handle = {
+            bindHost: String = "127.0.0.1", poolSize: Int = 8,
+            auth: PgAuth = defaultAuth()): Handle = {
     val server = new ServerSocket(
       port, 50, java.net.InetAddress.getByName(bindHost))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -78,7 +85,7 @@ object GraftPgWire {
       try {
         while (!server.isClosed) {
           val sock = server.accept()
-          pool.execute(() => serve(spark, sock))
+          pool.execute(() => serve(spark, sock, auth))
         }
       } catch {
         case _: SocketException => // closed — normal shutdown
@@ -110,14 +117,19 @@ object GraftPgWire {
   private val CancelRequestCode = 80877102
   private val ProtocolV3 = 196608
 
-  private def serve(spark: SparkSession, sock: Socket): Unit = {
+  private def defaultAuth(): PgAuth =
+    sys.props.get("graft.pgwire.passwordFile")
+      .map(PgAuth.fromPasswordFile).getOrElse(PgAuth.Trust)
+
+  private def serve(spark: SparkSession, sock: Socket,
+                    auth: PgAuth = PgAuth.Trust): Unit = {
     try {
       sock.setTcpNoDelay(true)
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
       val out = new DataOutputStream(
         new BufferedOutputStream(sock.getOutputStream))
       SparkSession.setActiveSession(spark)
-      if (!handshake(in, out)) return
+      if (!handshake(in, out, auth)) return
       queryLoop(spark, in, out)
     } catch {
       case _: EOFException => // client went away — normal
@@ -131,7 +143,8 @@ object GraftPgWire {
   /** Consume SSL/GSSENC probes (decline with 'N'), then the startup
     * message. Returns false when the connection should close without a
     * session (cancel requests, unsupported protocol). */
-  private def handshake(in: DataInputStream, out: DataOutputStream): Boolean = {
+  private def handshake(in: DataInputStream, out: DataOutputStream,
+                        auth: PgAuth = PgAuth.Trust): Boolean = {
     var code = 0
     var body: Array[Byte] = null
     var done = false
@@ -151,7 +164,28 @@ object GraftPgWire {
       out.flush()
       return false
     }
-    // startup params (user/database/...) — accepted, not enforced
+    // startup params: cstring key/value pairs, empty-key terminated
+    val startupParams: Map[String, String] = {
+      val m = Map.newBuilder[String, String]
+      var i = 0
+      def cstr(): String = {
+        val s = i
+        while (i < body.length && body(i) != 0) i += 1
+        val r = new String(body, s, i - s, UTF_8); i += 1; r
+      }
+      var going = true
+      while (going && i < body.length) {
+        val k = cstr()
+        if (k.isEmpty) going = false else m += (k -> cstr())
+      }
+      m.result()
+    }
+    auth match {
+      case PgAuth.Trust => // accepted, not enforced
+      case PgAuth.Scram(users) =>
+        if (!scramExchange(in, out,
+            startupParams.getOrElse("user", ""), users.get)) return false
+    }
     send(out, 'R', b => b.writeInt(0)) // AuthenticationOk
     Seq(
       "server_version" -> "14.0 (graft)",
@@ -167,6 +201,65 @@ object GraftPgWire {
     send(out, 'K', b => { b.writeInt(0); b.writeInt(0) }) // BackendKeyData
     readyForQuery(out)
     true
+  }
+
+  /** Drive the SCRAM-SHA-256 SASL exchange (RFC 7677 over the PG
+    * AuthenticationSASL/-Continue/-Final frames). Returns true on
+    * success; on any failure sends 28P01 and returns false. The only
+    * mechanism advertised/accepted is SCRAM-SHA-256 — a client
+    * selecting anything else is refused (no downgrade). */
+  private def scramExchange(in: DataInputStream, out: DataOutputStream,
+                            user: String,
+                            verifierOf: String => Option[PgScram.Verifier])
+      : Boolean = {
+    def fail(msg: String): Boolean = {
+      sendError(out, "28P01", msg); out.flush(); false
+    }
+    def readP(): Option[Array[Byte]] = {
+      val tpe = in.readByte().toChar
+      val len = in.readInt()
+      require(len >= 4 && len < (1 << 20), s"pgwire: bad SASL length $len")
+      val b = new Array[Byte](len - 4)
+      in.readFully(b)
+      if (tpe == 'p') Some(b) else None
+    }
+    // AuthenticationSASL: the mechanism list (one entry, terminated)
+    send(out, 'R', b => {
+      b.writeInt(10)
+      writeCString(b, PgScram.Mechanism)
+      b.writeByte(0)
+    })
+    out.flush()
+    val init = readP().getOrElse(
+      return fail("expected SASLInitialResponse"))
+    // SASLInitialResponse: cstring mechanism, int32 len, client-first
+    var i = 0
+    while (i < init.length && init(i) != 0) i += 1
+    val mech = new String(init, 0, i, UTF_8)
+    if (mech != PgScram.Mechanism)
+      return fail(s"authentication mechanism $mech not supported " +
+        s"(server requires ${PgScram.Mechanism}; downgrade refused)")
+    val respLen = java.nio.ByteBuffer.wrap(init, i + 1, 4).getInt
+    val clientFirst =
+      if (respLen < 0) "" else new String(init, i + 5, respLen, UTF_8)
+    val ex = new PgScram.Exchange(user, verifierOf, PgScram.newNonce())
+    val serverFirst =
+      try ex.serverFirst(clientFirst)
+      catch { case e: IllegalArgumentException => return fail(e.getMessage) }
+    send(out, 'R', b => {
+      b.writeInt(11); b.write(serverFirst.getBytes(UTF_8))
+    })
+    out.flush()
+    val fin = readP().getOrElse(return fail("expected SASLResponse"))
+    ex.verifyClientFinal(new String(fin, UTF_8)) match {
+      case Some(serverFinal) =>
+        send(out, 'R', b => {
+          b.writeInt(12); b.write(serverFinal.getBytes(UTF_8))
+        })
+        true
+      case None =>
+        fail(s"""password authentication failed for user "$user"""")
+    }
   }
 
   /** A bound portal: params already spliced; `rows` holds the live

@@ -50,9 +50,59 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       "^\\s*(?:INSERT\\s+INTO|UPDATE|DELETE\\s+FROM|ERASE\\s+FROM)\\s+([A-Za-z_][A-Za-z0-9_]*)",
       java.util.regex.Pattern.CASE_INSENSITIVE)
 
-  override def parsePlan(sqlText: String): LogicalPlan = {
+  override def parsePlan(sqlText0: String): LogicalPlan = {
     val tables = GraftServer.registered
-    if (GraftSqlParser.inRewrite.get()) return delegate.parsePlan(sqlText)
+    if (GraftSqlParser.inRewrite.get()) return delegate.parsePlan(sqlText0)
+
+    // materialized-view DDL executes eagerly (like graft DML below) and
+    // returns its one-row result relation
+    GraftMatviews.routeDdl(session, sqlText0) match {
+      case Some(df) => return PlanBridge.logicalPlan(df)
+      case None =>
+    }
+    // EXPLAIN <stmt>: plan the inner statement through THIS parser (so
+    // temporal splices, procedures and recursion all show their real
+    // physical shape — e.g. the pushed rectangle-time filters of an AS
+    // OF query) and return the rendering as a one-row relation. Plans
+    // only — never executes; graft DML/DDL execute at parse by design,
+    // so explaining them is refused rather than run.
+    val explainM = GraftSqlParser.explainHead.matcher(
+      graft.bitemporal.SqlText.stripLeadingComments(sqlText0))
+    if (explainM.find()) {
+      val mode = Option(explainM.group(1)).map(_.trim.toLowerCase)
+        .filter(_.nonEmpty).getOrElse("formatted")
+      if (mode == "analyze")
+        throw new IllegalArgumentException(
+          "EXPLAIN ANALYZE is not supported (it would execute the query); " +
+            "use EXPLAIN [FORMATTED|EXTENDED|COST|CODEGEN|SIMPLE]")
+      val rest = graft.bitemporal.SqlText
+        .stripLeadingComments(sqlText0).substring(explainM.end())
+      val restHead = graft.bitemporal.SqlText.stripLeadingComments(rest)
+      if (dmlHead.matcher(restHead).find() ||
+          GraftMatviews.isDdl(restHead))
+        throw new IllegalArgumentException(
+          "cannot EXPLAIN graft DML or materialized-view DDL: these " +
+            "execute at submit time (their effect is a transaction, not " +
+            "a readable plan)")
+      val inner = PlanBridge.ofRows(session, parsePlan(rest))
+      import session.implicits._
+      return PlanBridge.logicalPlan(
+        Seq(PlanBridge.explainString(inner, mode)).toDF("plan"))
+    }
+
+    // re-bind any referenced matview names to their CURRENT state, then
+    // substitute graft_*(…) table-valued procedure calls with temp
+    // views of their results; the guard keeps the procedures' own
+    // spark.sql/expr parses (and the inline-subquery table args) from
+    // re-entering this rewrite
+    GraftMatviews.refreshReferenced(session, sqlText0)
+    val sqlText =
+      if (GraftProcedures.procedures.keys.exists(n =>
+          sqlText0.toLowerCase.contains(n))) {
+        GraftSqlParser.inRewrite.set(true)
+        try GraftProcedures.rewrite(session, sqlText0)
+        finally GraftSqlParser.inRewrite.set(false)
+      } else sqlText0
 
     // WITH RECURSIVE … UNION (distinct) — the recursion spelling
     // Spark's analyzer rejects — compiles onto the fixpoint bridge, so
@@ -148,4 +198,7 @@ object GraftSqlParser {
   private val inRewrite = new ThreadLocal[Boolean] {
     override def initialValue(): Boolean = false
   }
+  private val explainHead = java.util.regex.Pattern.compile(
+    "^\\s*EXPLAIN\\b(\\s+(?:FORMATTED|EXTENDED|COST|CODEGEN|SIMPLE|ANALYZE)\\b)?",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
 }

@@ -27,6 +27,14 @@ object PlanBridge {
     df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.logical
 
+  /** The full explain rendering of a DataFrame's query execution in the
+    * given mode ("simple" | "extended" | "formatted" | "cost" |
+    * "codegen") — plans only, never executes. */
+  def explainString(df: DataFrame, mode: String): String =
+    df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
   /** Wrap a (possibly unresolved) Catalyst expression as a Column —
     * used to carry a parsed time-travel timestamp expression into a
     * DataFrame filter, where analysis resolves it in context. */

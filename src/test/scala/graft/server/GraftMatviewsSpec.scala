@@ -1,0 +1,169 @@
+package graft.server
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Materialized-view DDL as SQL text: create (populates), refresh
+  * (incremental), query by name (current state), aliases, the join
+  * form, drop, and the rejection of non-maintainable shapes. */
+class GraftMatviewsSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def freshTable(payload: Seq[String]): graft.GraftTable = {
+    val dir = java.nio.file.Files.createTempDirectory("mv_ddl").toString
+    new graft.GraftTable(spark, dir, payload)
+  }
+
+  test("CREATE/REFRESH/SELECT/DROP round trip with aliases") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "bal"))
+    GraftServer.register("mvaccts", t)
+    try {
+      t.put(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+          .toDF("id", "g", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "bal" -> $"m"), ts("2024-01-01 00:00:00"))
+
+      val created = GraftSql.sql(spark,
+        "CREATE MATERIALIZED VIEW mv_bal WITH (valid_at = '2030-01-01 " +
+          "00:00:00', buckets = 4) AS SELECT grp, COUNT(*) AS n, " +
+          "SUM(bal) AS total FROM mvaccts GROUP BY grp").collect()
+      assert(created.length == 1 && created(0).getString(0) == "mv_bal")
+
+      // CREATE populates: queryable immediately, aliases served
+      val r1 = GraftSql.sql(spark,
+        "SELECT grp, n, total FROM mv_bal ORDER BY grp").collect()
+      assert(r1.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq(("a", 2L, 30L), ("b", 1L, 5L)))
+
+      // new tx folded by REFRESH only
+      t.put(Seq((4L, "b", 7L)).toDF("id", "g", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "bal" -> $"m"), ts("2024-01-02 00:00:00"))
+      val stale = GraftSql.sql(spark,
+        "SELECT n FROM mv_bal WHERE grp = 'b'").collect()
+      assert(stale(0).getLong(0) == 1L, "unrefreshed view serves old state")
+      val ref = GraftSql.sql(spark,
+        "REFRESH MATERIALIZED VIEW mv_bal").collect()
+      assert(ref(0).getString(0) == "mv_bal" && ref(0).getLong(1) >= 1L)
+      val r2 = GraftSql.sql(spark,
+        "SELECT n, total FROM mv_bal WHERE grp = 'b'").collect()
+      assert(r2(0).getLong(0) == 2L && r2(0).getLong(1) == 12L)
+
+      // composes with ordinary SQL around the name
+      val top = GraftSql.sql(spark,
+        "SELECT grp FROM mv_bal ORDER BY total DESC LIMIT 1").collect()
+      assert(top(0).getString(0) == "a")
+
+      val dropped = GraftSql.sql(spark,
+        "DROP MATERIALIZED VIEW mv_bal").collect()
+      assert(dropped(0).getBoolean(1))
+      assert(intercept[Exception](GraftSql.sql(spark,
+        "REFRESH MATERIALIZED VIEW mv_bal"))
+        .getMessage.contains("unknown materialized view"))
+    } finally {
+      GraftServer.unregister("mvaccts")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("JOIN matview: fact JOIN dim ON fk = dim._id, min/max columns") {
+    val s = spark
+    import s.implicits._
+    val fact = freshTable(Seq("cust", "amt"))
+    val dim = freshTable(Seq("region"))
+    GraftServer.register("mvorders", fact)
+    GraftServer.register("mvcust", dim)
+    try {
+      dim.put(Seq((1L, "EU"), (2L, "US")).toDF("id", "r"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r"), ts("2024-01-01 00:00:00"))
+      fact.put(Seq((10L, 1L, 100L), (11L, 1L, 50L), (12L, 2L, 70L))
+          .toDF("id", "c", "a"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> $"c", "amt" -> $"a"), ts("2024-01-01 00:00:00"))
+
+      GraftSql.sql(spark,
+        "CREATE MATERIALIZED VIEW mv_reg WITH (valid_at = '2030-01-01 " +
+          "00:00:00') AS SELECT region, COUNT(*) AS n, SUM(amt) AS total, " +
+          "MIN(amt) AS lo, MAX(amt) AS hi " +
+          "FROM mvorders JOIN mvcust ON cust = mvcust._id GROUP BY region")
+      val r1 = GraftSql.sql(spark,
+        "SELECT region, n, total, lo, hi FROM mv_reg ORDER BY region")
+        .collect()
+      assert(r1.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq ==
+        Seq(("EU", 2L, 150L, 50L, 100L), ("US", 1L, 70L, 70L, 70L)))
+
+      // a dim-side move refolds through the Δ rules on REFRESH
+      dim.put(Seq((2L, "EU")).toDF("id", "r"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r"), ts("2024-01-02 00:00:00"))
+      val ref = GraftSql.sql(spark,
+        "REFRESH MATERIALIZED VIEW mv_reg").collect()
+      assert(!ref(0).isNullAt(2), "join refresh reports the dim watermark")
+      val r2 = GraftSql.sql(spark,
+        "SELECT region, n, total FROM mv_reg ORDER BY region").collect()
+      assert(r2.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq(("EU", 3L, 220L)))
+
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_reg")
+    } finally {
+      GraftServer.unregister("mvorders")
+      GraftServer.unregister("mvcust")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("non-maintainable shapes are rejected, not snapshotted") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "bal"))
+    GraftServer.register("mvrej", t)
+    try {
+      t.put(Seq((1L, "a", 1L)).toDF("id", "g", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "bal" -> $"m"), ts("2024-01-01 00:00:00"))
+      def bad(sql: String, needle: String): Unit = {
+        val e = intercept[IllegalArgumentException](GraftSql.sql(spark, sql))
+        assert(e.getMessage.toLowerCase.contains(needle.toLowerCase),
+          s"$sql -> ${e.getMessage}")
+      }
+      bad("CREATE MATERIALIZED VIEW v1 AS SELECT grp, COUNT(bal) " +
+        "FROM mvrej GROUP BY grp", "COUNT(*)")
+      bad("CREATE MATERIALIZED VIEW v2 AS SELECT grp, AVG(bal) " +
+        "FROM mvrej GROUP BY grp", "neither the GROUP BY")
+      bad("CREATE MATERIALIZED VIEW v3 AS SELECT grp, COUNT(*) " +
+        "FROM mvrej WHERE bal > 0 GROUP BY grp", "SELECT")
+      bad("CREATE MATERIALIZED VIEW v4 AS SELECT grp, COUNT(*) " +
+        "FROM unregistered GROUP BY grp", "not registered")
+      bad("CREATE MATERIALIZED VIEW v5 WITH (nope = 1) AS SELECT grp, " +
+        "COUNT(*) FROM mvrej GROUP BY grp", "unknown WITH option")
+      // duplicate name
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW v6 WITH (valid_at = " +
+        "'2030-01-01 00:00:00') AS SELECT grp, COUNT(*) AS n FROM mvrej " +
+        "GROUP BY grp")
+      bad("CREATE MATERIALIZED VIEW v6 AS SELECT grp, COUNT(*) FROM mvrej " +
+        "GROUP BY grp", "already exists")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW v6")
+      // empty source table: loud story, no half-registered view
+      val empty = freshTable(Seq("grp"))
+      GraftServer.register("mvempty", empty)
+      try {
+        val e = intercept[IllegalStateException](GraftSql.sql(spark,
+          "CREATE MATERIALIZED VIEW v7 AS SELECT grp, COUNT(*) " +
+            "FROM mvempty GROUP BY grp"))
+        assert(e.getMessage.contains("never been refreshed"))
+        assert(!GraftMatviews.registeredViews.contains("v7"))
+      } finally GraftServer.unregister("mvempty")
+    } finally {
+      GraftServer.unregister("mvrej")
+      GraftMatviews.reset()
+    }
+  }
+}

@@ -116,6 +116,35 @@ class GraftPgWireSpec extends AnyFunSuite {
       sock.close()
     }
 
+    // ---- SASL (SCRAM) client ----
+
+    /** Send startup and read ONE message (the auth request). */
+    def startupOnly(params: (String, String)*): Msg = {
+      val payload = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(payload)
+      d.writeInt(196608)
+      params.foreach { case (k, v) =>
+        d.write(k.getBytes(UTF_8)); d.writeByte(0)
+        d.write(v.getBytes(UTF_8)); d.writeByte(0)
+      }
+      d.writeByte(0)
+      out.writeInt(4 + payload.size())
+      payload.writeTo(out)
+      out.flush()
+      readMsg()
+    }
+    def saslInitial(mech: String, resp: Array[Byte]): Msg = {
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(b)
+      d.write(cstr(mech)); d.writeInt(resp.length); d.write(resp)
+      msg('p', b.toByteArray); out.flush(); readMsg()
+    }
+    def saslResponse(resp: Array[Byte]): Msg = {
+      msg('p', resp); out.flush(); readMsg()
+    }
+    def readOne(): Msg = readMsg()
+    def readReady(): Seq[Msg] = readUntilReady()
+
     // ---- COPY sub-protocol client ----
 
     /** Send the COPY query; return the FIRST response message —
@@ -718,6 +747,292 @@ class GraftPgWireSpec extends AnyFunSuite {
       c.terminate()
     } finally {
       handle.stop()
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  test("pgwire SCRAM-SHA-256: full exchange, wrong password, downgrade refusal") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-pgwire-scram-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // password file: one cleartext entry, one pre-derived PG verifier
+    val salt = Array.tabulate[Byte](16)(_.toByte)
+    val ver = PgScram.verifier("s3cret2", salt, 4096)
+    val b64 = java.util.Base64.getEncoder
+    val pwFile = java.nio.file.Files.createTempFile("graft_pw", ".conf")
+    java.nio.file.Files.writeString(pwFile,
+      "# users\nalice:hunter2\n" +
+        s"bob:SCRAM-SHA-256$$4096:${b64.encodeToString(salt)}$$" +
+        s"${b64.encodeToString(ver.storedKey)}:" +
+        s"${b64.encodeToString(ver.serverKey)}\n")
+    val auth = PgAuth.fromPasswordFile(pwFile.toString)
+    val handle = GraftPgWire.start(spark, port = 0, auth = auth)
+
+    import javax.crypto.Mac
+    import javax.crypto.spec.SecretKeySpec
+    def hmac(k: Array[Byte], m: String): Array[Byte] = {
+      val mac = Mac.getInstance("HmacSHA256")
+      mac.init(new SecretKeySpec(k, "HmacSHA256")); mac.doFinal(m.getBytes(UTF_8))
+    }
+    def sha(b: Array[Byte]) =
+      java.security.MessageDigest.getInstance("SHA-256").digest(b)
+
+    /** RFC 5802 client; returns (messages seen, server v= verified?). */
+    def login(user: String, password: String): (Seq[Char], Boolean) = {
+      val c = new PgClient(handle.port)
+      try {
+        val authReq = c.startupOnly("user" -> user, "database" -> "graft")
+        assert(authReq.tpe == 'R')
+        val code = new DataInputStream(
+          new java.io.ByteArrayInputStream(authReq.body)).readInt()
+        assert(code == 10, s"expected AuthenticationSASL, got $code")
+        assert(new String(authReq.body.drop(4), UTF_8).startsWith("SCRAM-SHA-256"))
+        val cnonce = "clientnonce" + user.hashCode.abs
+        val bare = s"n=,r=$cnonce"
+        val cont = c.saslInitial("SCRAM-SHA-256", s"n,,$bare".getBytes(UTF_8))
+        if (cont.tpe == 'E') return (Seq('E'), false)
+        val sf = new String(cont.body.drop(4), UTF_8)
+        val attrs = sf.split(",").map(kv => kv.substring(0, 1) -> kv.substring(2)).toMap
+        val nonce = attrs("r"); val it = attrs("i").toInt
+        assert(nonce.startsWith(cnonce) && nonce.length > cnonce.length,
+          "server must extend the client nonce")
+        val sp = PgScram.saltedPassword(password,
+          java.util.Base64.getDecoder.decode(attrs("s")), it)
+        val ck = hmac(sp, "Client Key")
+        val sk = sha(ck)
+        val woProof = s"c=biws,r=$nonce"
+        val authMsg = s"$bare,$sf,$woProof"
+        val sig = hmac(sk, authMsg)
+        val proof = ck.zip(sig).map { case (a, x) => (a ^ x).toByte }
+        val fin = c.saslResponse(
+          (woProof + ",p=" + b64.encodeToString(proof)).getBytes(UTF_8))
+        if (fin.tpe == 'E') return (Seq('E'), false)
+        // AuthenticationSASLFinal carries v=<b64 HMAC(ServerKey, authMsg)>
+        assert(new DataInputStream(new java.io.ByteArrayInputStream(
+          fin.body)).readInt() == 12)
+        val v = new String(fin.body.drop(4), UTF_8).stripPrefix("v=")
+        val serverOk = java.util.Arrays.equals(
+          java.util.Base64.getDecoder.decode(v),
+          hmac(hmac(sp, "Server Key"), authMsg))
+        val ok = c.readOne() // AuthenticationOk
+        assert(ok.tpe == 'R')
+        c.readReady() // params + RFQ
+        // the authenticated session actually serves queries
+        val q = c.query("SELECT 21 * 2 AS x")
+        assert(Wire.dataRow(q.find(_.tpe == 'D').get.body) == Seq(Some("42")))
+        c.terminate()
+        (Seq('R'), serverOk)
+      } finally try c.terminate() catch { case _: Throwable => }
+    }
+
+    try {
+      // happy paths: cleartext-derived and verifier-form entries
+      assert(login("alice", "hunter2") == (Seq('R'), true))
+      assert(login("bob", "s3cret2") == (Seq('R'), true))
+      // wrong password / unknown user → 28P01 after the full exchange
+      assert(login("alice", "wrong")._1 == Seq('E'))
+      assert(login("mallory", "hunter2")._1 == Seq('E'))
+
+      // downgrade refusal: PLAIN mechanism is rejected outright
+      val c1 = new PgClient(handle.port)
+      c1.startupOnly("user" -> "alice")
+      val plain = c1.saslInitial("PLAIN", " alice hunter2".getBytes(UTF_8))
+      assert(plain.tpe == 'E')
+      assert(Wire.errFields(plain.body)('M').contains("downgrade refused"))
+      c1.terminate()
+
+      // channel-binding downgrade: p=… gs2 header refused (no -PLUS)
+      val c2 = new PgClient(handle.port)
+      c2.startupOnly("user" -> "alice")
+      val cb = c2.saslInitial("SCRAM-SHA-256",
+        "p=tls-server-end-point,,n=,r=abc".getBytes(UTF_8))
+      assert(cb.tpe == 'E')
+      assert(Wire.errFields(cb.body)('M').contains("channel binding"))
+      c2.terminate()
+    } finally {
+      handle.stop()
+      java.nio.file.Files.deleteIfExists(pwFile)
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  test("pgwire EXPLAIN: temporal pushdown inspectable over the wire") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-pgwire-explain-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.maxMetadataStringLength", "16384")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pgexp").toString
+    val table = new graft.GraftTable(spark, dir, Seq("bal"))
+    GraftServer.register("pgexp", table)
+    val handle = GraftPgWire.start(spark, port = 0)
+    try {
+      val c = new PgClient(handle.port)
+      c.startup("user" -> "tester", "database" -> "graft")
+      c.query("INSERT INTO pgexp (_id, bal) VALUES (1, 10.0D), (2, 20.0D)")
+      table.compact() // parquet base → footer-stat pushdown is visible
+
+      val ex = c.query("EXPLAIN SELECT _id, bal FROM pgexp " +
+        "FOR SYSTEM_TIME AS OF TIMESTAMP '2030-01-01 00:00:00'")
+      assert(Wire.rowDesc(ex.find(_.tpe == 'T').get.body).map(_._1) ==
+        Seq("plan"))
+      val plan = Wire.dataRow(ex.find(_.tpe == 'D').get.body).head.get
+      assert(plan.contains("PushedFilters"), plan)
+      assert(plan.contains("_system_from") || plan.contains("_system_to"),
+        plan.take(2000))
+      // the formatted physical rendering, not a logical echo
+      assert(plan.contains("(1) Scan") || plan.contains("Physical Plan"), plan.take(500))
+
+      // plain Spark statements explain too, and modes are honored
+      val simple = c.query("EXPLAIN SIMPLE SELECT 1 AS one")
+      val sPlan = Wire.dataRow(simple.find(_.tpe == 'D').get.body).head.get
+      assert(sPlan.contains("Physical Plan"), sPlan)
+
+      // refusals: ANALYZE (would execute), DML (executes at submit)
+      val an = c.query("EXPLAIN ANALYZE SELECT 1")
+      assert(Wire.errFields(an.find(_.tpe == 'E').get.body)('M')
+        .contains("EXPLAIN ANALYZE"))
+      val dml = c.query("EXPLAIN INSERT INTO pgexp (_id, bal) VALUES (3, 1.0D)")
+      assert(Wire.errFields(dml.find(_.tpe == 'E').get.body)('M')
+        .contains("cannot EXPLAIN"))
+      // and the refused DML did NOT run
+      val n = c.query("SELECT count(*) AS n FROM pgexp")
+      assert(Wire.dataRow(n.find(_.tpe == 'D').get.body) == Seq(Some("2")))
+      c.terminate()
+    } finally {
+      handle.stop()
+      GraftServer.unregister("pgexp")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  test("PgScram verifier: derive == parse(render) round trip") {
+    val salt = Array.tabulate[Byte](16)(i => (i * 7).toByte)
+    val v = PgScram.verifier("pw", salt, 4096)
+    val b64 = java.util.Base64.getEncoder
+    val rendered = s"SCRAM-SHA-256$$4096:${b64.encodeToString(salt)}$$" +
+      s"${b64.encodeToString(v.storedKey)}:${b64.encodeToString(v.serverKey)}"
+    val parsed = PgScram.parseVerifier(rendered)
+    assert(parsed.iterations == 4096)
+    assert(java.util.Arrays.equals(parsed.salt, salt))
+    assert(java.util.Arrays.equals(parsed.storedKey, v.storedKey))
+    assert(java.util.Arrays.equals(parsed.serverKey, v.serverKey))
+    assert(intercept[IllegalArgumentException](
+      PgScram.parseVerifier("md5abc")).getMessage.contains("not a"))
+  }
+
+  test("pgwire: LLM procedures + matview DDL are plain SQL text") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-pgwire-proc-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    // corpus with exact dup + near-dup pairs, plus a vector table
+    val texts = (0 until 20).map(i =>
+      (i.toLong, (0 until 10).map(j => s"t${(i * 37 + j * 11) % 211}").mkString(" ")))
+    val dups = Seq((100L, texts(0)._2), (101L, texts(1)._2 + " tX"))
+    (texts ++ dups).toDF("doc_id", "text").createOrReplaceTempView("wdocs")
+    (0 until 16).map(i => (i.toLong,
+        (0 until 6).map(j => math.cos(i * 1.1 + j)).toArray))
+      .toDF("vec_id", "v").createOrReplaceTempView("wembs")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pgmv").toString
+    val table = new graft.GraftTable(spark, dir, Seq("grp", "bal"))
+    GraftServer.register("wireaccts", table)
+    val handle = GraftPgWire.start(spark, port = 0)
+    try {
+      val c = new PgClient(handle.port)
+      assert(c.sslProbe() == 'N')
+      c.startup("user" -> "tester", "database" -> "graft")
+
+      // dedup candidates as composable SQL text over the wire
+      val dd = c.query(
+        "SELECT id_a, id_b FROM graft_minhash_candidates(" +
+          "'wdocs', 'doc_id', 'text', k => 16, bands => 8, " +
+          "min_jaccard => 0.9) ORDER BY id_a, id_b")
+      val ddRows = dd.filter(_.tpe == 'D').map(m => Wire.dataRow(m.body))
+      assert(ddRows.contains(Seq(Some("0"), Some("100"))),
+        s"exact dup pair must surface: $ddRows errs=" +
+          dd.filter(_.tpe == 'E').map(m => Wire.errFields(m.body)))
+
+      // ANN top-k: the query vector's own id ranks first
+      val ann = c.query(
+        "SELECT vec_id FROM graft_ann_topk('wembs','vec_id','v', 7, 3)")
+      val annIds = ann.filter(_.tpe == 'D')
+        .map(m => Wire.dataRow(m.body).head.get)
+      assert(annIds.length == 3 && annIds.head == "7", annIds)
+
+      // mixture sample: exact count through the text path
+      val mix = c.query(
+        "SELECT count(*) AS n FROM graft_mixture_sample(" +
+          "'(SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN ''e'' ELSE ''o'' " +
+          "END AS dom FROM wdocs)', 'doc_id', 'dom', " +
+          "map('e', 0.5, 'o', 0.5), 8)")
+      assert(Wire.dataRow(mix.find(_.tpe == 'D').get.body) == Seq(Some("8")))
+
+      // a strict-mode violation surfaces as a wire ERROR, not a hang
+      val bad = c.query(
+        "SELECT * FROM graft_mixture_sample('wdocs', 'doc_id', 'text', " +
+          "map('nope', 1.0), 5)")
+      assert(bad.exists(_.tpe == 'E'), bad.map(_.tpe))
+
+      // matview DDL lifecycle over the wire
+      c.query("INSERT INTO wireaccts (_id, grp, bal) VALUES " +
+        "(1, 'a', 10), (2, 'a', 20), (3, 'b', 5)")
+      val created = c.query(
+        "CREATE MATERIALIZED VIEW wire_mv WITH (valid_at = " +
+          "'2030-01-01 00:00:00', buckets = 4) AS SELECT grp, " +
+          "COUNT(*) AS n, SUM(bal) AS total FROM wireaccts GROUP BY grp")
+      assert(Wire.rowDesc(created.find(_.tpe == 'T').get.body).map(_._1) ==
+        Seq("view", "fact_tx", "dim_tx"))
+      val r1 = c.query("SELECT grp, n, total FROM wire_mv ORDER BY grp")
+        .filter(_.tpe == 'D').map(m => Wire.dataRow(m.body))
+      assert(r1 == Seq(Seq(Some("a"), Some("2"), Some("30")),
+        Seq(Some("b"), Some("1"), Some("5"))))
+      c.query("INSERT INTO wireaccts (_id, grp, bal) VALUES (4, 'b', 7)")
+      c.query("REFRESH MATERIALIZED VIEW wire_mv")
+      val r2 = c.query("SELECT n, total FROM wire_mv WHERE grp = 'b'")
+        .filter(_.tpe == 'D').map(m => Wire.dataRow(m.body))
+      assert(r2 == Seq(Seq(Some("2"), Some("12"))))
+      val dropped = c.query("DROP MATERIALIZED VIEW wire_mv")
+      assert(Wire.dataRow(dropped.find(_.tpe == 'D').get.body) ==
+        Seq(Some("wire_mv"), Some("t")))
+
+      c.terminate()
+    } finally {
+      handle.stop()
+      GraftServer.unregister("wireaccts")
+      GraftMatviews.reset()
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

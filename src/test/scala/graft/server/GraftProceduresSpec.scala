@@ -1,0 +1,207 @@
+package graft.server
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.llm.{Dedup, Mixture, Similarity}
+import graft.server.GraftProcedures._
+
+/** The SQL-text surface for the LLM-pipeline operators: argument
+  * grammar, the literal-aware rewrite, table resolution, and result
+  * parity of every procedure against its Scala-API twin. */
+class GraftProceduresSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  import org.apache.spark.sql.{DataFrame, Row}
+
+  // a small corpus with real near-dups (same generator family the
+  // DedupSpec properties use: base sentences + light mutations)
+  private lazy val docs: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val base = (0 until 30).map(i =>
+      (i.toLong, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 40}").mkString(" ")))
+    val dups = (0 until 10).map(i =>
+      (100L + i, base(i)._2.replace("w0", "wX")))
+    val df = (base ++ dups).toDF("doc_id", "text")
+    df.createOrReplaceTempView("pdocs")
+    df
+  }
+
+  private lazy val embs: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(j =>
+        math.sin(i * 0.7 + j * 1.3)).toArray)
+    }.toDF("vec_id", "v")
+    df.createOrReplaceTempView("pembs")
+    df
+  }
+
+  test("parseArg: every literal form") {
+    assert(parseArg("'abc'") == PStr("abc"))
+    assert(parseArg("'it''s'") == PStr("it's"))
+    assert(parseArg("42") == PNum(42, true))
+    assert(parseArg("-0.5") == PNum(-0.5, false))
+    assert(parseArg("1e3") == PNum(1000.0, false))
+    assert(parseArg("true") == PBool(true))
+    assert(parseArg("FALSE") == PBool(false))
+    assert(parseArg("array(1, 2.5, -3)") == PArr(Seq(1.0, 2.5, -3.0)))
+    assert(parseArg("map('a', 0.5, 'b', 0.5)") ==
+      PMapArg(Map("a" -> 0.5, "b" -> 0.5)))
+    val e = intercept[IllegalArgumentException](parseArg("ident"))
+    assert(e.getMessage.contains("literals only"))
+    assert(intercept[IllegalArgumentException](parseArg("map('a')"))
+      .getMessage.contains("alternating"))
+  }
+
+  test("bind: positional, named, defaults, errors") {
+    val params = Seq("a" -> None, "b" -> Some[PArg](PNum(7, true)),
+      "c" -> Some[PArg](PBool(false)))
+    assert(bind("p", "'x'", params) ==
+      Map("a" -> PStr("x"), "b" -> PNum(7, true), "c" -> PBool(false)))
+    assert(bind("p", "'x', 9, c => true", params)("c") == PBool(true))
+    assert(bind("p", "'x', c => true, b => 1", params)("b") == PNum(1, true))
+    assert(intercept[IllegalArgumentException](bind("p", "", params))
+      .getMessage.contains("missing required"))
+    assert(intercept[IllegalArgumentException](
+      bind("p", "'x', c => true, 9", params))
+      .getMessage.contains("positional argument after named"))
+    assert(intercept[IllegalArgumentException](
+      bind("p", "'x', b => 1, b => 2", params))
+      .getMessage.contains("duplicate"))
+    assert(intercept[IllegalArgumentException](
+      bind("p", "'x', 1, true, 9", params))
+      .getMessage.contains("too many"))
+  }
+
+  test("rewrite: substitutes outside literals only, leaves unknown names") {
+    docs
+    // a string literal mentioning a procedure name must NOT rewrite
+    val sql = "SELECT 'graft_exact_dedup(fake)' AS s, n_copies " +
+      "FROM graft_exact_dedup('pdocs', 'doc_id', 'text') WHERE keep_id = 0"
+    val out = GraftProcedures.rewrite(spark, sql)
+    assert(out.contains("'graft_exact_dedup(fake)'"), out)
+    assert(out.contains("FROM _graft_p_"), out)
+    // unknown graft_ names pass through for Spark to reject
+    assert(GraftProcedures.rewrite(spark, "SELECT graft_nope(1)") ==
+      "SELECT graft_nope(1)")
+    // runs end-to-end and composes with WHERE
+    val rows = spark.sql(out).collect()
+    assert(rows.length == 1 && rows(0).getLong(1) == 1L)
+  }
+
+  test("graft_minhash_candidates == the q41 Scala pipeline") {
+    docs
+    val viaSql = GraftSql.sql(spark,
+      "SELECT id_a, id_b, jaccard FROM graft_minhash_candidates(" +
+        "'pdocs', 'doc_id', 'text', k => 16, bands => 8, " +
+        "min_jaccard => 0.5) ORDER BY id_a, id_b").collect().toSeq
+    val sh = Dedup.shingles(docs, "doc_id", "text", 2)
+    val base = Dedup.hashedShingles(sh, "doc_id").localCheckpoint()
+    val rare = Dedup.rareShingles(base, "doc_id", 0.25)
+    val sig = Dedup.minhashSignature(rare, "doc_id", 16).localCheckpoint()
+    val cand = Dedup.minhashCandidates(sig, "doc_id", 16, 8)
+    val viaApi = Dedup.jaccardOnCandidates(base, "doc_id", cand)
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(viaSql == viaApi)
+    assert(viaSql.nonEmpty, "fixture must actually produce near-dups")
+    // k not a multiple of bands fails loudly at parse time
+    val e = intercept[Exception](GraftSql.sql(spark,
+      "SELECT * FROM graft_minhash_candidates('pdocs','doc_id','text', 15, 4)"))
+    assert(e.getMessage.contains("multiple of bands"))
+  }
+
+  test("graft_ann_topk: by-id query, array query, tie-broken, exact") {
+    embs
+    val viaSql = GraftSql.sql(spark,
+      "SELECT vec_id, cos FROM graft_ann_topk('pembs','vec_id','v', 0, 5)")
+      .collect().toSeq
+    val e = embs.withColumn("v", transform(col("v"), x => x.cast("double")))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("_qv"))
+    val viaApi = e.crossJoin(broadcast(q))
+      .withColumn("cos", Similarity.cosine(col("v"), col("_qv")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .select(col("vec_id"), col("cos")).limit(5).collect().toSeq
+    assert(viaSql == viaApi)
+    assert(viaSql.head.getLong(0) == 0L) // self-match first
+    // explicit array query: top-1 is the equal vector
+    val lits = (0 until 8).map(j => math.sin(3 * 0.7 + j * 1.3))
+    val arr = GraftSql.sql(spark,
+      s"SELECT vec_id FROM graft_ann_topk('pembs','vec_id','v', " +
+        s"array(${lits.mkString(", ")}), 1)").collect()
+    assert(arr.map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("graft_ann_topk_ivf: probes cells, recalls the true neighbor") {
+    embs
+    val ivf = GraftSql.sql(spark,
+      "SELECT vec_id, cos FROM graft_ann_topk_ivf('pembs','vec_id','v', " +
+        "0, 5, n_centroids => 8, n_probe => 8)").collect().toSeq
+    // probing ALL cells == brute force
+    val bf = GraftSql.sql(spark,
+      "SELECT vec_id, cos FROM graft_ann_topk('pembs','vec_id','v', 0, 5)")
+      .collect().toSeq
+    assert(ivf == bf)
+  }
+
+  test("graft_mixture_sample + graft_quantile_keep == Mixture twins") {
+    docs
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW pdom AS " +
+      "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END " +
+      "AS dom, length(text) AS score FROM pdocs")
+    val viaSql = GraftSql.sql(spark,
+      "SELECT dom, doc_id FROM graft_mixture_sample('pdom','doc_id','dom'," +
+        " map('even', 0.5, 'odd', 0.5), 10) ORDER BY dom, doc_id")
+      .collect().toSeq
+    val viaApi = Mixture.mixtureSample(spark.table("pdom"), "doc_id", "dom",
+        Map("even" -> 0.5, "odd" -> 0.5), 10)
+      .select(col("dom"), col("doc_id"))
+      .orderBy("dom", "doc_id").collect().toSeq
+    assert(viaSql == viaApi && viaSql.size == 10)
+    // strict mode rejects unlisted domains THROUGH the text path
+    val e = intercept[Exception](GraftSql.sql(spark,
+      "SELECT * FROM graft_mixture_sample('pdom','doc_id','dom'," +
+        " map('even', 1.0), 5)"))
+    assert(e.getMessage.contains("not in weights"))
+    // non-strict drops them
+    assert(GraftSql.sql(spark,
+      "SELECT * FROM graft_mixture_sample('pdom','doc_id','dom'," +
+        " map('even', 1.0), 5, strict => false)").collect().length == 5)
+
+    val qk = GraftSql.sql(spark,
+      "SELECT doc_id FROM graft_quantile_keep('pdom','dom','score', 0.5) " +
+        "ORDER BY doc_id").collect().toSeq
+    val qkApi = Mixture.quantileKeep(spark.table("pdom"), "dom", "score", 0.5)
+      .select(col("doc_id")).orderBy("doc_id").collect().toSeq
+    assert(qk == qkApi && qk.nonEmpty)
+  }
+
+  test("inline subquery table arg: '( SELECT … )' resolves") {
+    docs
+    val n = GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM graft_exact_dedup(" +
+        "'(SELECT doc_id, text FROM pdocs WHERE doc_id < 5)', " +
+        "'doc_id', 'text')").collect()(0).getLong(0)
+    assert(n == 5L)
+  }
+
+  test("resolveTable: graft-registered tables serve their CURRENT basis") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("proc_tbl").toString
+    val t = new graft.GraftTable(s, dir, Seq("txt"))
+    GraftServer.register("proctbl", t)
+    try {
+      t.put(Seq((1L, "a a"), (2L, "a a")).toDF("id", "x"), $"id",
+        lit("2020-01-01").cast("timestamp"), None, Seq("txt" -> $"x"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      val out = GraftSql.sql(spark,
+        "SELECT keep_id, n_copies FROM graft_exact_dedup(" +
+          "'proctbl', '_id', 'txt')").collect()
+      assert(out.length == 1 && out(0).getLong(1) == 2L)
+    } finally GraftServer.unregister("proctbl")
+  }
+}
