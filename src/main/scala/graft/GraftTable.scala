@@ -122,10 +122,12 @@ final class GraftTable(spark: SparkSession, dir: String,
     * layout clusters by `clusterBy` when set (e.g. the fk column of a
     * [[joinMatview]] fact table, so dim-touched refreshes prune fact
     * files by footer stats instead of scanning the base). */
-  def compact(): Unit = {
-    lastCompacted = log.compactIncremental(spark, payloadCols, lastCompacted,
-      clusterBy)
-  }
+  def compact(): Unit =
+    graft.bitemporal.MaintainerLease.withLease(
+        java.nio.file.Paths.get(dir), "compact") {
+      lastCompacted = log.compactIncremental(spark, payloadCols, lastCompacted,
+        clusterBy)
+    }
 
   /** Log retention: compact, then DELETE the tx files the base now
     * fully represents — the reference's log/object-store split made
@@ -136,10 +138,12 @@ final class GraftTable(spark: SparkSession, dir: String,
     * the log directory so fresh instances recover it. Time travel is
     * unaffected — the base keeps the full rectangle history (erase
     * excepted, as always). */
-  def vacuumLog(): Unit = {
-    compact()
-    log.truncate(lastCompacted)
-  }
+  def vacuumLog(): Unit =
+    graft.bitemporal.MaintainerLease.withLease(
+        java.nio.file.Paths.get(dir), "vacuum") {
+      compact() // re-entrant on the same lease
+      log.truncate(lastCompacted)
+    }
 
   /** All rectangles: compacted base + re-fold of ids touched since. */
   def rectangles(): DataFrame =
@@ -475,6 +479,20 @@ final class GraftTable(spark: SparkSession, dir: String,
     // decoder's contract is decode-type == cast-type, so the match
     // lives in copyColumnTypes, not inline here
     val typed = stringDf.select(cols.zip(copyColumnTypes(cols)).map {
+      // array columns ingest JSON array text (the binary decoder's
+      // canonical cell); the PG literal spelling ({1,2.5}) is also
+      // accepted for plain numeric/bool elements, where the brace
+      // translation cannot mangle element content. FAILFAST keeps the
+      // text-path contract: malformed cells fail the COPY, never null.
+      case (c, (t: org.apache.spark.sql.types.ArrayType, _)) =>
+        val src = t.elementType match {
+          case _: org.apache.spark.sql.types.NumericType |
+               org.apache.spark.sql.types.BooleanType =>
+            when(ltrim(col(c)).startsWith("{"),
+              translate(col(c), "{}", "[]")).otherwise(col(c))
+          case _ => col(c)
+        }
+        from_json(src, t, Map("mode" -> "FAILFAST")).as(c)
       case (c, (t, _)) => col(c).cast(t).as(c)
     }: _*)
     val vf = if (cols.contains("_valid_from")) col("_valid_from")

@@ -567,6 +567,7 @@ object GraftPgWire {
             val c = col(s"`${f.name}`")
             if (fmtAt(p.resFormats, i) == 0) pgText(c, f.dataType).as(f.name)
             else f.dataType match {
+              case ArrayType(e, _) if PgBinary.plainArrayElem(e) => c
               case _: ArrayType | _: MapType | _: StructType =>
                 to_json(c).as(f.name)
               case _ => c
@@ -735,9 +736,12 @@ object GraftPgWire {
     }
     var n = 0L
     if (binary) {
-      // complex columns export as their json text (PG's json binary
-      // send format IS the text); scalars encode natively
+      // plain arrays use the PG array send format; other complex
+      // columns export as their json text (PG's json binary send
+      // format IS the text); scalars encode natively
       val proj = df.select(df.schema.fields.map(f => f.dataType match {
+        case ArrayType(e, _) if PgBinary.plainArrayElem(e) =>
+          col(s"`${f.name}`")
         case _: ArrayType | _: MapType | _: StructType =>
           to_json(col(s"`${f.name}`")).as(f.name)
         case _ => col(s"`${f.name}`")
@@ -1078,6 +1082,11 @@ object GraftPgWire {
     case TimestampNTZType => (1114, 8)
     case TimestampType => (1184, 8)
     case BinaryType => (17, -1)
+    // plain numeric/bool arrays are REAL pg arrays (text `{…}` literal,
+    // binary array send format) — the embeddings-ETL types; arrays of
+    // anything richer, maps and structs stay json text
+    case ArrayType(e, _) if PgBinary.plainArrayElem(e) =>
+      (PgBinary.arrayOid(e), -1)
     case _: ArrayType | _: MapType | _: StructType => (114, -1) // json
     case _ => (25, -1) // text
   }
@@ -1107,6 +1116,10 @@ object GraftPgWire {
     case TimestampType | TimestampNTZType =>
       date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
     case BinaryType => concat(lit("\\x"), lower(hex(c)))
+    // numeric/bool arrays render as the PG array literal ({1,2.5}) —
+    // safe because plain elements contain no brackets to mangle
+    case ArrayType(e, _) if PgBinary.plainArrayElem(e) =>
+      translate(to_json(c), "[]", "{}")
     case _: ArrayType | _: MapType | _: StructType => to_json(c)
     case _ => c.cast("string")
   }
@@ -1248,7 +1261,68 @@ private[graft] object PgBinary {
   }
 
   /** Native row value → Postgres binary `send` bytes for its type. */
+  /** Element types served through the REAL pg array formats (text
+    * `{…}` literal + array binary send format): numerics and bool.
+    * Richer elements (strings needing pg quoting rules, temporals)
+    * stay on the json-text path — importable, exported as json. */
+  def plainArrayElem(dt: DataType): Boolean = dt match {
+    case _: NumericType | BooleanType => true
+    case _ => false
+  }
+
+  /** pg catalog oid of the ELEMENT type as sent inside an array. */
+  def arrayElemOid(dt: DataType): Option[Int] = dt match {
+    case BooleanType => Some(16)
+    case ByteType | ShortType => Some(21)
+    case IntegerType => Some(23)
+    case LongType => Some(20)
+    case FloatType => Some(700)
+    case DoubleType => Some(701)
+    case _: DecimalType => Some(1700)
+    case StringType => Some(25)
+    case _ => None
+  }
+
+  /** pg catalog oid of the 1-D ARRAY type over `dt`. */
+  def arrayOid(dt: DataType): Int = dt match {
+    case BooleanType => 1000
+    case ByteType | ShortType => 1005
+    case IntegerType => 1007
+    case LongType => 1016
+    case FloatType => 1021
+    case DoubleType => 1022
+    case _: DecimalType => 1231
+    case StringType => 1009
+    case _ => 114
+  }
+
   def encodeValue(dt: DataType, v: Any): Array[Byte] = dt match {
+    // pg array send format: ndim, hasnull, elem oid, then per dim
+    // (count, lower bound), then per element (int32 len | -1, bytes)
+    case ArrayType(elem, _) if arrayElemOid(elem).isDefined =>
+      val seq: Seq[Any] = v match {
+        case s: scala.collection.Seq[_] => s.toSeq
+        case a: Array[_] => a.toSeq
+        case other => throw new IllegalArgumentException(
+          s"COPY BINARY: array value of class ${other.getClass.getName}")
+      }
+      val out = new ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(out)
+      if (seq.isEmpty) { // pg encodes the empty array as zero-dim
+        d.writeInt(0); d.writeInt(0); d.writeInt(arrayElemOid(elem).get)
+      } else {
+        d.writeInt(1)
+        d.writeInt(if (seq.contains(null)) 1 else 0)
+        d.writeInt(arrayElemOid(elem).get)
+        d.writeInt(seq.length); d.writeInt(1) // count, lower bound
+        seq.foreach {
+          case null => d.writeInt(-1)
+          case e =>
+            val eb = encodeValue(elem, e)
+            d.writeInt(eb.length); d.write(eb)
+        }
+      }
+      out.toByteArray
     case BooleanType => Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0)
     case ByteType => be(2)(_.putShort(v.asInstanceOf[Byte].toShort))
     case ShortType => be(2)(_.putShort(v.asInstanceOf[Short]))
@@ -1340,10 +1414,69 @@ private[graft] object PgBinary {
           s"COPY BINARY: ${b.length}-byte timestamp_ntz field")
         render(microsToLdt(ByteBuffer.wrap(b).getLong + PgEpochMicros,
           ZoneOffset.UTC))
+      case ArrayType(elem, _) if arrayElemOid(elem).isDefined =>
+        // canonical text cell for an array is a JSON array — exactly
+        // what copyFrom's typed cast (from_json) ingests
+        if (b.length < 12) throw new IllegalArgumentException(
+          s"COPY BINARY: ${b.length}-byte array field (12-byte header required)")
+        val buf = ByteBuffer.wrap(b)
+        val ndim = buf.getInt
+        buf.getInt // hasnull — recomputed below, trust the data not the flag
+        val oid = buf.getInt
+        val want = arrayElemOid(elem).get
+        if (oid != want) throw new IllegalArgumentException(
+          s"COPY BINARY: array field carries element oid $oid but the " +
+            s"target column needs $want — refusing the reinterpretation")
+        if (ndim == 0) "[]"
+        else if (ndim != 1) throw new IllegalArgumentException(
+          s"COPY BINARY: $ndim-dimension array (only 1-D supported)")
+        else {
+          if (buf.remaining() < 8) throw new IllegalArgumentException(
+            "COPY BINARY: truncated array dimension header")
+          val n = buf.getInt
+          buf.getInt // lower bound — irrelevant to a 0-based engine
+          if (n < 0) throw new IllegalArgumentException(
+            s"COPY BINARY: negative array length $n")
+          val sb = new StringBuilder("[")
+          var i = 0
+          while (i < n) {
+            if (buf.remaining() < 4) throw new IllegalArgumentException(
+              s"COPY BINARY: array declares $n elements but ends at $i")
+            val len = buf.getInt
+            if (i > 0) sb.append(',')
+            if (len == -1) sb.append("null")
+            else {
+              if (len < 0 || len > buf.remaining())
+                throw new IllegalArgumentException(
+                  s"COPY BINARY: bad array element length $len")
+              val eb = new Array[Byte](len)
+              buf.get(eb)
+              val cell = decodeValue(elem, eb, zone)
+              elem match {
+                case StringType => sb.append(jsonQuote(cell))
+                case _ => sb.append(cell)
+              }
+            }
+            i += 1
+          }
+          sb.append(']').toString
+        }
       case other => throw new IllegalArgumentException(
         s"COPY BINARY cannot decode into column type $other " +
           "(bytea/json columns: use text format)")
     }
+  }
+
+  /** JSON string-literal quoting for array element cells. */
+  private def jsonQuote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
   }
 
   /** Postgres `numeric` send format: ndigits, weight, sign, dscale

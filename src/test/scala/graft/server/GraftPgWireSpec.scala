@@ -310,10 +310,10 @@ class GraftPgWireSpec extends AnyFunSuite {
           "CAST(NULL AS INT) AS e, ARRAY(1, 2) AS f")
       val desc = Wire.rowDesc(r1.find(_.tpe == 'T').get.body)
       assert(desc.map(_._1) == Seq("a", "b", "c", "d", "e", "f"))
-      assert(desc.map(_._2) == Seq(23, 701, 25, 16, 23, 114))
+      assert(desc.map(_._2) == Seq(23, 701, 25, 16, 23, 1007)) // _int4
       val row = Wire.dataRow(r1.find(_.tpe == 'D').get.body)
       assert(row == Seq(Some("1"), Some("2.5"), Some("x"), Some("t"),
-        None, Some("[1,2]")))
+        None, Some("{1,2}")))
       val tag = r1.find(_.tpe == 'C').get
       assert(Wire.cstr(new DataInputStream(
         new java.io.ByteArrayInputStream(tag.body))) == "SELECT 1")
@@ -1037,6 +1037,170 @@ class GraftPgWireSpec extends AnyFunSuite {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
     }
+  }
+
+  test("pgwire COPY BINARY arrays: float4[] embeddings round-trip byte-exact") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.lit
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-pgwire-array-copy-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def mkTable(n: String): graft.GraftTable = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_$n").toString
+      val t = new graft.GraftTable(spark, d, Seq("emb"))
+      // pin the payload type the COPY decoder casts under
+      t.put(Seq((0L, Seq(0.5f, -1.25f))).toDF("id", "e"), $"id",
+        lit("2020-01-01").cast("timestamp"), None, Seq("emb" -> $"e"), ts0)
+      GraftServer.register(n, t)
+      t
+    }
+    mkTable("pgarr"); mkTable("pgarr2")
+    val handle = GraftPgWire.start(spark, port = 0)
+    try {
+      val c = new PgClient(handle.port)
+      c.startup("user" -> "tester")
+      val at = ArrayType(FloatType)
+      def tuple(fields: Seq[Option[Array[Byte]]]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val d = new DataOutputStream(bos)
+        d.writeShort(fields.size)
+        fields.foreach {
+          case None => d.writeInt(-1)
+          case Some(b) => d.writeInt(b.length); d.write(b)
+        }
+        bos.toByteArray
+      }
+      def enc(dt: DataType, v: Any) = Some(PgBinary.encodeValue(dt, v))
+
+      // binary load: plain vector, null element, empty array, NULL array
+      val g = c.copyStart("COPY pgarr (_id, emb) FROM STDIN BINARY")
+      assert(g.tpe == 'G', s"${g.tpe}")
+      val payload = PgBinary.Header ++
+        tuple(Seq(enc(LongType, 1L), enc(at, Seq(1.0f, 2.5f)))) ++
+        tuple(Seq(enc(LongType, 2L), enc(at, Seq[Any](null, 3.5f)))) ++
+        tuple(Seq(enc(LongType, 3L), enc(at, Seq.empty[Float]))) ++
+        tuple(Seq(enc(LongType, 4L), None)) ++
+        Array[Byte](-1, -1)
+      c.copyData(payload)
+      val done = c.copyDone()
+      assert(Wire.cstr(new DataInputStream(new java.io.ByteArrayInputStream(
+        done.find(_.tpe == 'C').get.body))) == "COPY 4")
+
+      // text rendering is now the PG array literal, oid the pg array oid
+      val sel = c.query("SELECT _id, emb FROM pgarr WHERE _id >= 1 ORDER BY _id")
+      assert(Wire.rowDesc(sel.find(_.tpe == 'T').get.body).map(_._2) ==
+        Seq(20, 1021)) // int8, _float4
+      val rows = sel.filter(_.tpe == 'D').map(m => Wire.dataRow(m.body))
+      assert(rows == Seq(
+        Seq(Some("1"), Some("{1.0,2.5}")),
+        Seq(Some("2"), Some("{null,3.5}")),
+        Seq(Some("3"), Some("{}")),
+        Seq(Some("4"), None)), rows)
+
+      // binary export parses, re-imports, and re-exports byte-exact
+      val exp = c.query("COPY (SELECT _id, emb FROM pgarr WHERE _id >= 1 " +
+        "ORDER BY _id) TO STDOUT (FORMAT binary)")
+      val exported = exp.filter(_.tpe == 'd').map(_.body)
+        .foldLeft(Array.empty[Byte])(_ ++ _)
+      val parsed = PgBinary.parseCopyBinary(exported, Seq(LongType, at))
+      assert(parsed == Seq(
+        Seq("1", "[1.0,2.5]"),
+        Seq("2", "[null,3.5]"),
+        Seq("3", "[]"),
+        Seq("4", null)), parsed)
+      val g2 = c.copyStart(
+        "COPY pgarr2 (_id, emb) FROM STDIN WITH (FORMAT binary)")
+      assert(g2.tpe == 'G')
+      c.copyData(exported)
+      c.copyDone()
+      val exp2 = c.query("COPY (SELECT _id, emb FROM pgarr2 WHERE _id >= 1 " +
+        "ORDER BY _id) TO STDOUT (FORMAT binary)")
+      val exported2 = exp2.filter(_.tpe == 'd').map(_.body)
+        .foldLeft(Array.empty[Byte])(_ ++ _)
+      assert(java.util.Arrays.equals(exported, exported2),
+        "export → import → export must be byte-exact")
+
+      // text COPY accepts both the PG literal and JSON spellings
+      val gt = c.copyStart("COPY pgarr (_id, emb) FROM STDIN")
+      assert(gt.tpe == 'G')
+      c.copyData("10\t{4.5,5.5}\n11\t[6.5]\n".getBytes(UTF_8))
+      c.copyDone()
+      val tsel = c.query("SELECT emb FROM pgarr WHERE _id IN (10, 11) " +
+        "ORDER BY _id")
+      assert(tsel.filter(_.tpe == 'D').map(m => Wire.dataRow(m.body)) ==
+        Seq(Seq(Some("{4.5,5.5}")), Seq(Some("{6.5}"))))
+
+      // malformed array text fails the COPY loudly (FAILFAST, not null)
+      val gb = c.copyStart("COPY pgarr (_id, emb) FROM STDIN")
+      assert(gb.tpe == 'G')
+      c.copyData("12\t{not,a,number}\n".getBytes(UTF_8))
+      val bad = c.copyDone()
+      assert(bad.exists(_.tpe == 'E'), bad.map(_.tpe))
+      c.terminate()
+    } finally {
+      handle.stop()
+      GraftServer.unregister("pgarr")
+      GraftServer.unregister("pgarr2")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  test("PgBinary array codec: encode → decode = canonical json (property)") {
+    import org.apache.spark.sql.types._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(0, 12)
+      xs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.const(null),
+        Gen.choose(-1e6, 1e6).map(d => java.lang.Double.valueOf(d))))
+    } yield xs
+    (0 until 300).foreach { i =>
+      val xs = gen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val enc = PgBinary.encodeValue(ArrayType(DoubleType), xs)
+      val dec = PgBinary.decodeValue(ArrayType(DoubleType), enc)
+      val want =
+        if (xs.isEmpty) "[]"
+        else xs.map(x => if (x == null) "null" else x.toString)
+          .mkString("[", ",", "]")
+      assert(dec == want, s"seed $i: $dec != $want")
+    }
+    // long and decimal element types too
+    assert(PgBinary.decodeValue(ArrayType(LongType),
+      PgBinary.encodeValue(ArrayType(LongType), Seq(1L, -7L))) == "[1,-7]")
+    assert(PgBinary.decodeValue(ArrayType(DecimalType(10, 2)),
+      PgBinary.encodeValue(ArrayType(DecimalType(10, 2)),
+        Seq(new java.math.BigDecimal("12.34")))) == "[12.34]")
+    // string elements json-quote on decode (import-only path)
+    assert(PgBinary.decodeValue(ArrayType(StringType),
+      PgBinary.encodeValue(ArrayType(StringType), Seq("a\"b", "c"))) ==
+      """["a\"b","c"]""")
+    // refusals: element-oid reinterpretation, >1-D, truncation
+    val f4 = PgBinary.encodeValue(ArrayType(FloatType), Seq(1.0f))
+    val om = intercept[IllegalArgumentException](
+      PgBinary.decodeValue(ArrayType(DoubleType), f4))
+    assert(om.getMessage.contains("element oid"), om.getMessage)
+    val twoD = java.nio.ByteBuffer.allocate(12).putInt(2).putInt(0)
+      .putInt(700).array()
+    assert(intercept[IllegalArgumentException](
+      PgBinary.decodeValue(ArrayType(FloatType), twoD))
+      .getMessage.contains("1-D"))
+    assert(intercept[IllegalArgumentException](
+      PgBinary.decodeValue(ArrayType(FloatType), f4.take(14)))
+      .getMessage.contains("COPY BINARY"))
   }
 
   test("pgwire COPY BINARY: typed load, nulls, export, re-import parity") {
