@@ -172,7 +172,9 @@ final class JoinMatview private[graft] (
   }
 
   /** Fold both logs' tails into the state; returns the new watermarks. */
-  def refresh(): (Long, Long) = {
+  def refresh(): (Long, Long) = MaintainerLease.withLease(
+      Seq(java.nio.file.Paths.get(factLog.dir),
+        java.nio.file.Paths.get(dimLog.dir)), "join-matview-refresh") {
     val (wA, wB) = watermarks
     val (lastA, lastB) = (lastOf(factLog), lastOf(dimLog))
     if (lastA <= wA && lastB <= wB) return (wA, wB)

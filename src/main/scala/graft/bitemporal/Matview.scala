@@ -157,7 +157,8 @@ final class Matview private[graft] (
     * cost. The standard tension between retention and incremental view
     * maintenance: vacuum less often than you refresh, or accept the
     * recompute. */
-  def refresh(): Long = {
+  def refresh(): Long = MaintainerLease.withLease(
+      java.nio.file.Paths.get(log.dir), "matview-refresh") {
     val w = watermark
     val truncated = log.truncatedUpTo()
     val files = log.txFiles()

@@ -1,0 +1,154 @@
+package graft.bitemporal
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The single-maintainer lease: atomic claim, reentrancy, TTL-based
+  * stale takeover, foreign-holder refusal — and the hook points
+  * (compact/vacuum/refresh) acquiring it on real tables. */
+class MaintainerLeaseSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def tempRoot() = Files.createTempDirectory("lease")
+
+  test("claim + release, reentrancy, sorted multi-root") {
+    val r = tempRoot()
+    val lf = r.resolve("_maintainer_lease")
+    MaintainerLease.withLease(r, "op1") {
+      assert(Files.exists(lf))
+      val st = MaintainerLease.read(r).get
+      assert(st.holder == MaintainerLease.holderId && st.op == "op1")
+      // re-entrant: nested acquisition on the same root — the OUTER op
+      // owns the lease file; the inner ride-along doesn't rewrite it
+      MaintainerLease.withLease(r, "op2") {
+        assert(MaintainerLease.read(r).get.op == "op1")
+      }
+      // inner release must NOT drop the outer lease
+      assert(Files.exists(lf), "inner release dropped the outer lease")
+    }
+    assert(!Files.exists(lf), "outer release must delete the lease")
+    // multi-root: both held inside, both released after
+    val r2 = tempRoot()
+    MaintainerLease.withLease(Seq(r, r2), "multi") {
+      assert(Files.exists(lf) && Files.exists(r2.resolve("_maintainer_lease")))
+    }
+    assert(!Files.exists(lf) && !Files.exists(r2.resolve("_maintainer_lease")))
+  }
+
+  test("foreign live lease refuses; expired lease is taken over") {
+    val r = tempRoot()
+    val lf = r.resolve("_maintainer_lease")
+    // a live lease from another maintainer (other holder id, future
+    // expiry) — acquisition must fail loudly
+    Files.write(lf, s"other-pid@other-host\n${System.currentTimeMillis() + 60000}\ncompact"
+      .getBytes(UTF_8))
+    val e = intercept[IllegalStateException](
+      MaintainerLease.withLease(r, "compact") { fail("must not run") })
+    assert(e.getMessage.contains("held by other-pid@other-host"), e.getMessage)
+    assert(Files.exists(lf), "refusal must not disturb the holder's lease")
+
+    // the same holder crashed (expired lease): next maintainer takes over
+    Files.write(lf, s"other-pid@other-host\n${System.currentTimeMillis() - 1}\ncompact"
+      .getBytes(UTF_8))
+    var ran = false
+    MaintainerLease.withLease(r, "compact") {
+      ran = true
+      assert(MaintainerLease.read(r).get.holder == MaintainerLease.holderId)
+    }
+    assert(ran && !Files.exists(lf))
+
+    // a torn lease file (crash between create and write) expires via
+    // mtime + TTL: young = treated as held, old = taken over
+    Files.write(lf, Array.emptyByteArray)
+    assert(intercept[IllegalStateException](
+      MaintainerLease.withLease(r, "op") { () })
+      .getMessage.contains("held by"))
+    Files.setLastModifiedTime(lf, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - MaintainerLease.ttlMs - 1000))
+    MaintainerLease.withLease(r, "op") { ran = true }
+  }
+
+  test("two GraftTable instances on one dir: maintenance serializes " +
+      "through the lease; single-process behavior unchanged") {
+    val s = spark
+    import s.implicits._
+    val dir = tempRoot().toString
+    val a = new graft.GraftTable(s, dir, Seq("v"))
+    val b = new graft.GraftTable(s, dir, Seq("v"))
+    a.put(Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), $"id",
+      lit("2020-01-01").cast("timestamp"), None, Seq("v" -> $"x"),
+      ts("2024-01-01 00:00:00"))
+    // both instances maintain sequentially — one JVM is ONE maintainer,
+    // so no contention and no behavior change
+    a.compact()
+    b.put(Seq((3L, 30L)).toDF("id", "x"), $"id",
+      lit("2020-01-01").cast("timestamp"), None, Seq("v" -> $"x"),
+      ts("2024-01-02 00:00:00"))
+    b.compact()
+    a.vacuumLog()
+    assert(a.current().count() == 3 && b.current().count() == 3)
+    assert(!Files.exists(Paths.get(dir, "_maintainer_lease")),
+      "lease must not outlive maintenance")
+
+    // a SECOND maintainer process (simulated by a foreign live lease
+    // file) blocks BOTH instances' maintenance until it expires
+    Files.write(Paths.get(dir, "_maintainer_lease"),
+      s"o@h\n${System.currentTimeMillis() + 60000}\nvacuum".getBytes(UTF_8))
+    a.put(Seq((4L, 40L)).toDF("id", "x"), $"id",
+      lit("2020-01-01").cast("timestamp"), None, Seq("v" -> $"x"),
+      ts("2024-01-03 00:00:00"))
+    assert(intercept[IllegalStateException](a.compact())
+      .getMessage.contains("held by"))
+    assert(intercept[IllegalStateException](b.vacuumLog())
+      .getMessage.contains("held by"))
+    // reads stay lease-free — only maintenance is fenced
+    assert(a.current().count() == 4)
+    // crash recovery: the foreign lease expires, maintenance proceeds
+    Files.write(Paths.get(dir, "_maintainer_lease"),
+      s"o@h\n${System.currentTimeMillis() - 1}\nvacuum".getBytes(UTF_8))
+    a.compact()
+    assert(a.current().count() == 4)
+  }
+
+  test("matview + join-matview refresh acquire the table lease(s)") {
+    val s = spark
+    import s.implicits._
+    val dir = tempRoot().toString
+    val t = new graft.GraftTable(s, dir, Seq("g", "v"))
+    t.put(Seq((1L, "a", 5L)).toDF("id", "g0", "x"), $"id",
+      lit("2020-01-01").cast("timestamp"), None,
+      Seq("g" -> $"g0", "v" -> $"x"), ts("2024-01-01 00:00:00"))
+    val mv = t.matview("lease_mv", "g", Seq("v"),
+      ts("2030-01-01 00:00:00"), nBuckets = 2)
+    Files.write(Paths.get(dir, "_maintainer_lease"),
+      s"o@h\n${System.currentTimeMillis() + 60000}\ncompact".getBytes(UTF_8))
+    assert(intercept[IllegalStateException](mv.refresh())
+      .getMessage.contains("held by"))
+    Files.deleteIfExists(Paths.get(dir, "_maintainer_lease"))
+    assert(mv.refresh() >= 0)
+
+    // join view: a foreign lease on EITHER log fences the refresh
+    val dimDir = tempRoot().toString
+    val dim = new graft.GraftTable(s, dimDir, Seq("r"))
+    dim.put(Seq((1L, "EU")).toDF("id", "r0"), $"id",
+      lit("2020-01-01").cast("timestamp"), None, Seq("r" -> $"r0"),
+      ts("2024-01-01 00:00:00"))
+    val jmv = t.joinMatview("lease_jmv", dim, "v", "r", Nil,
+      ts("2030-01-01 00:00:00"), nBuckets = 2)
+    Files.write(Paths.get(dimDir, "_maintainer_lease"),
+      s"o@h\n${System.currentTimeMillis() + 60000}\ncompact".getBytes(UTF_8))
+    assert(intercept[IllegalStateException](jmv.refresh())
+      .getMessage.contains("held by"))
+    // …and must have released the FACT lease it acquired first
+    assert(!Files.exists(Paths.get(dir, "_maintainer_lease")),
+      "failed multi-root acquire must release already-held roots")
+    Files.deleteIfExists(Paths.get(dimDir, "_maintainer_lease"))
+    jmv.refresh()
+  }
+}
