@@ -25,7 +25,7 @@ object Dedup {
     * shorter (shifted) side with nulls, the null-component grams are
     * dropped after explode — matching SQL generate_series semantics. */
   def shingles(df0: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
-    val df = graft.util.Par.spread(df0)
+    val df = graft.util.Par.spread(df0, force = true)
     val w = split(col(textCol), " ")
     val grams = (1 until n).foldLeft(w) { (acc, j) =>
       zip_with(acc, slice(w, lit(j + 1), greatest(size(w) - j, lit(0))),
@@ -261,7 +261,7 @@ object Dedup {
     * ORDER matters (unlike the distinct-set shingles above). */
   def positionalShingles(df0: DataFrame, idCol: String, textCol: String,
                          n: Int = 2): DataFrame = {
-    val df = graft.util.Par.spread(df0)
+    val df = graft.util.Par.spread(df0, force = true)
     val w = split(col(textCol), " ")
     val grams = (1 until n).foldLeft(w) { (acc, j) =>
       zip_with(acc, slice(w, lit(j + 1), greatest(size(w) - j, lit(0))),
@@ -379,7 +379,7 @@ object Dedup {
     * the token stream, no re-tokenization join. */
   def scrubDuplicateSpans(df0: DataFrame, idCol: String, textCol: String,
                           k: Int): DataFrame = {
-    val df = graft.util.Par.spread(df0)
+    val df = graft.util.Par.spread(df0, force = true)
     val spans = duplicateSpans(df, idCol, textCol, k)
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_len")))

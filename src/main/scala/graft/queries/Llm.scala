@@ -364,7 +364,7 @@ object Llm {
       // calls then no-op (input already at target parallelism) and the
       // single exchange is reused across every subtree of the final
       // plan, instead of each stage paying its own repartition
-      val docs = graft.util.Par.spread(T(s, dir, "documents"))
+      val docs = graft.util.Par.spread(T(s, dir, "documents"), force = true)
       val rep = TextStats.repetition(docs, "doc_id", "text")
       val gated = docs.join(
         rep.filter($"n_words".between(5, 1000) &&
@@ -922,7 +922,7 @@ object Llm {
   private def mediaFixture(s: SparkSession, dir: String):
       Dataset[Multimodal.MediaFile] = {
     import s.implicits._
-    graft.util.Par.spread(T(s, dir, "documents").select($"doc_id", $"source"))
+    graft.util.Par.spread(T(s, dir, "documents").select($"doc_id", $"source"), force = true)
       .as[(Long, String)]
       .map { case (id, src) =>
         val w = (16 + id % 64).toInt
@@ -943,7 +943,7 @@ object Llm {
   private def wavFixture(s: SparkSession, dir: String):
       Dataset[Multimodal.MediaFile] = {
     import s.implicits._
-    graft.util.Par.spread(T(s, dir, "documents").select($"doc_id", $"source"))
+    graft.util.Par.spread(T(s, dir, "documents").select($"doc_id", $"source"), force = true)
       .as[(Long, String)]
       .map { case (id, src) =>
         val sr = (8000 + (id % 4) * 4000).toInt
@@ -958,7 +958,7 @@ object Llm {
   private def mp4Fixture(s: SparkSession, dir: String):
       Dataset[Multimodal.MediaFile] = {
     import s.implicits._
-    graft.util.Par.spread(T(s, dir, "documents").select($"doc_id", $"source"))
+    graft.util.Par.spread(T(s, dir, "documents").select($"doc_id", $"source"), force = true)
       .as[(Long, String)]
       .map { case (id, src) =>
         val dur = 3000L + (id * 17) % 6000

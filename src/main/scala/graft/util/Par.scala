@@ -29,7 +29,7 @@ object Par {
   private val MinBytesDefault = 4L * 1024 * 1024
 
   /** Round-robin repartition `df` to the session's default parallelism
-    * iff its current plan has less than half that many partitions AND
+    * iff its current plan has fewer partitions than that AND
     * the optimizer's size estimate says each EXISTING partition carries
     * enough serial work to be worth an exchange. Gating on bytes PER
     * PARTITION (not total bytes) keeps small chained pipelines exchange-
@@ -41,8 +41,18 @@ object Par {
     * spread ONCE at the top and pass the result through: downstream
     * spread calls then see `current == target` and no-op, and Spark's
     * exchange reuse dedupes the single repartition across the subtrees
-    * of the final plan. */
-  def spread(df: DataFrame): DataFrame = {
+    * of the final plan.
+    *
+    * `force = true` skips the SIZE gate (never the shuffle-plan
+    * short-circuit or the at-target no-op): for per-row-EXPENSIVE map
+    * stages — media synthesis/decode, per-token hashing — the
+    * optimizer's byte estimate measures the input, not the work
+    * (strings estimate at defaultSize; a generator's output is
+    * invisible), so the caller's knowledge that each row is costly is
+    * the only honest gate. The worst case is a few-ms exchange of a
+    * tiny input; the win is that fixture FILE LAYOUT can never decide
+    * the stage's parallelism — identical plans across sessions. */
+  def spread(df: DataFrame, force: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     if (spark.conf.getOption("spark.graft.spread.enabled").contains("false"))
       return df
@@ -62,7 +72,16 @@ object Par {
     }.isDefined
     if (alreadyWide) return df
     val current = df.rdd.getNumPartitions
-    if (current * 2 > target) return df
+    // Deterministic floor: ANY under-parallel layout normalizes to
+    // exactly `target` partitions. The previous half-target gate let
+    // the REGENERATED fixture's file layout decide (a corpus scanning
+    // 17-way skipped the exchange that the same corpus at 15-way got),
+    // which moved the text/dedup family 1.5–2× between sessions on
+    // identical code. With the floor, every sub-target layout plans the
+    // SAME downstream parallelism — layout noise collapses; at real
+    // scale (current ≥ target) still a no-op.
+    if (current >= target) return df
+    if (force) return df.repartition(target)
     val minBytes =
       spark.conf.getOption(MinBytesKey).map(_.toLong).getOrElse(MinBytesDefault)
     val bytes = plan.stats.sizeInBytes
