@@ -488,8 +488,12 @@ final class GraftTable(spark: SparkSession, dir: String,
         val src = t.elementType match {
           case _: org.apache.spark.sql.types.NumericType |
                org.apache.spark.sql.types.BooleanType =>
+            // pg renders array NULL elements in UPPERCASE — lowercase
+            // them into valid JSON along with the brace translation
+            // (safe: plain elements are digits/true/false only)
             when(ltrim(col(c)).startsWith("{"),
-              translate(col(c), "{}", "[]")).otherwise(col(c))
+              regexp_replace(translate(col(c), "{}", "[]"),
+                "(?i)\\bNULL\\b", "null")).otherwise(col(c))
           case _ => col(c)
         }
         from_json(src, t, Map("mode" -> "FAILFAST")).as(c)

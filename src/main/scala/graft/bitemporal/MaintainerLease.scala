@@ -74,13 +74,38 @@ object MaintainerLease {
     }
   }
 
-  // per-root in-process re-entrancy depth (the JVM is one maintainer)
-  private val depths = new java.util.concurrent.ConcurrentHashMap[Path, Integer]
+  // Per-root in-process lock: ONE JVM is one maintainer only if its own
+  // threads serialize too (the SQL front doors run REFRESH on
+  // concurrent handler threads — without this, two threads would both
+  // see the file held "by us" and run the same delta twice). Reentrant
+  // so vacuum → compact nests; blocking so concurrent same-JVM
+  // maintenance queues instead of erroring.
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[
+      Path, java.util.concurrent.locks.ReentrantLock]
+  private def lockFor(root: Path) =
+    locks.computeIfAbsent(root,
+      _ => new java.util.concurrent.locks.ReentrantLock)
 
   private def writeContent(f: Path, op: String): Unit =
     Files.write(f,
       s"$holderId\n${System.currentTimeMillis() + ttlMs}\n$op".getBytes(UTF_8),
-      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+      StandardOpenOption.WRITE, StandardOpenOption.CREATE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+
+  /** Atomically retire a stale lease file: MOVE it to a unique
+    * tombstone (rename of one source succeeds for exactly one racer —
+    * unlike delete-then-create, a slow racer can never delete the
+    * WINNER'S fresh lease), then delete the tombstone. True iff we won
+    * the retirement. */
+  private def retireStale(f: Path): Boolean =
+    try {
+      val tomb = f.resolveSibling(
+        s"_maintainer_lease.stale.${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.move(f, tomb)
+      Files.deleteIfExists(tomb)
+      true
+    } catch { case _: java.io.IOException => false }
 
   private def acquire(root: Path, op: String): Unit = {
     val f = leaseFile(root)
@@ -97,16 +122,15 @@ object MaintainerLease {
           read(root) match {
             case None => // vanished between create-fail and read — retry
             case Some(st) if st.holder == holderId =>
-              // our own live lease (e.g. a previous run of this JVM
-              // between ops) — refresh and proceed
+              // our own live file (an earlier run of this JVM crashed
+              // between ops, or TTL survived a restart) — refresh
               writeContent(f, op)
               return
             case Some(st) if st.expiresAt < System.currentTimeMillis() =>
-              // stale: the holder crashed or lost its TTL — remove and
-              // re-claim through the atomic create (losing the ensuing
-              // race just means someone else maintains; we retry/fail
-              // against THEIR live lease)
-              Files.deleteIfExists(f): Unit
+              // stale: retire by atomic rename, then re-claim through
+              // createFile; losing either race just means another
+              // maintainer claimed — loop and contend with THEIR lease
+              retireStale(f): Unit
             case Some(st) =>
               throw new IllegalStateException(
                 s"maintenance lease on $root held by ${st.holder} " +
@@ -125,30 +149,44 @@ object MaintainerLease {
 
   private def release(root: Path): Unit = {
     val f = leaseFile(root)
-    // only delete OUR lease — an expired-then-taken-over slot belongs
-    // to the new holder now
-    if (read(root).exists(_.holder == holderId)) Files.deleteIfExists(f): Unit
+    // Delete only OUR lease. Rename-first makes the check-and-delete
+    // atomic: if our TTL lapsed mid-op and a successor took the slot,
+    // the tombstone holds THEIR lease — restore it instead of deleting.
+    try {
+      val tomb = f.resolveSibling(
+        s"_maintainer_lease.rel.${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.move(f, tomb)
+      val lines = new String(Files.readAllBytes(tomb), UTF_8).split("\n", -1)
+      if (lines.headOption.contains(holderId)) Files.deleteIfExists(tomb): Unit
+      else Files.move(tomb, f): Unit
+    } catch { case _: java.io.IOException => } // already gone — fine
   }
 
   /** Run `f` holding the maintenance lease on every root (sorted order;
-    * re-entrant per root within this JVM). */
+    * re-entrant per root within this JVM — nested entry refreshes the
+    * expiry so a long vacuum's inner phases keep the TTL alive; same-JVM
+    * concurrent maintainers BLOCK on the in-process lock rather than
+    * racing the file). */
   def withLease[A](roots: Seq[Path], op: String)(f: => A): A = {
     val sorted = roots.map(_.toAbsolutePath.normalize()).distinct.sorted
-    val entered = scala.collection.mutable.Buffer.empty[Path]
+    val entered = scala.collection.mutable.Buffer
+      .empty[(Path, java.util.concurrent.locks.ReentrantLock)]
+    val acquired = scala.collection.mutable.Set.empty[Path]
     try {
       sorted.foreach { r =>
-        val d = depths.merge(r, 1, (a, b) => a + b)
-        entered += r
-        if (d == 1) acquire(r, op)
+        val l = lockFor(r)
+        l.lock()
+        entered += ((r, l))
+        if (l.getHoldCount == 1) { acquire(r, op); acquired += r }
+        else writeContent(leaseFile(r), op) // nested: refresh expiry
       }
       f
     } finally {
-      entered.reverse.foreach { r =>
-        val d = depths.merge(r, -1, (a, b) => a + b)
-        if (d <= 0) {
-          depths.remove(r)
-          release(r)
-        }
+      // release files for roots whose outermost hold ends here, then
+      // unlock in reverse order
+      entered.reverseIterator.foreach { case (r, l) =>
+        if (l.getHoldCount == 1 && acquired.contains(r)) release(r)
+        l.unlock()
       }
     }
   }

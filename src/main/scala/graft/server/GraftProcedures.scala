@@ -1,7 +1,5 @@
 package graft.server
 
-import java.util.concurrent.atomic.AtomicLong
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -50,7 +48,15 @@ object GraftProcedures {
   final case class Proc(params: Seq[(String, Option[PArg])],
                         fn: (SparkSession, Map[String, PArg]) => DataFrame)
 
-  private val viewCounter = new AtomicLong(0)
+  // Substitution views are NAMED BY CONTENT (md5 of procedure + args):
+  // a repeated statement — dashboards, client retries — re-binds ONE
+  // view instead of minting a new catalog entry per execution, and the
+  // replaced DataFrame's checkpoint blocks become unreferenced (the
+  // ContextCleaner unpins them). Distinct statements are additionally
+  // LRU-capped so a long-lived server's catalog stays bounded.
+  private val MaxTrackedViews = 128
+  private val viewLru = new java.util.LinkedHashMap[String, String](
+    64, 0.75f, true)
 
   // ---------------------------------------------------------------- args
 
@@ -326,8 +332,20 @@ object GraftProcedures {
           val argText = text.substring(open + 1, i)
           val proc = procedures(name)
           val df = proc.fn(spark, bind(name, argText, proc.params))
-          val view = s"_graft_p_${viewCounter.incrementAndGet()}"
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$name($argText)".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val view = "_graft_p_" +
+            digest.take(8).map(b => f"$b%02x").mkString
           df.createOrReplaceTempView(view)
+          viewLru.synchronized {
+            viewLru.put(view, name)
+            while (viewLru.size > MaxTrackedViews) {
+              val oldest = viewLru.keySet.iterator.next()
+              viewLru.remove(oldest)
+              try spark.catalog.dropTempView(oldest)
+              catch { case _: Exception => }
+            }
+          }
           text = text.substring(0, m.start()) + view + text.substring(i + 1)
           found = true
           changed = true

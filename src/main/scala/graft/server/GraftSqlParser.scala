@@ -84,6 +84,16 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           "cannot EXPLAIN graft DML or materialized-view DDL: these " +
             "execute at submit time (their effect is a transaction, not " +
             "a readable plan)")
+      // procedure substitution materializes intermediate stages
+      // (checkpoints) — running those jobs under EXPLAIN would violate
+      // the plans-only contract just like ANALYZE, so refuse
+      if (GraftProcedures.procedures.keys.exists(n =>
+          restHead.toLowerCase.contains(n)))
+        throw new IllegalArgumentException(
+          "cannot EXPLAIN a statement containing graft_* procedures: " +
+            "their substitution materializes intermediate results " +
+            "(EXPLAIN is plans-only); run the statement, or EXPLAIN the " +
+            "equivalent DataFrame pipeline")
       val inner = PlanBridge.ofRows(session, parsePlan(rest))
       import session.implicits._
       return PlanBridge.logicalPlan(

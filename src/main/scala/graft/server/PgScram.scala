@@ -80,11 +80,15 @@ object PgScram {
 
     // An unknown user runs the SAME exchange against a deterministic
     // decoy verifier (salt = H(user) — stable across attempts, so the
-    // failure is indistinguishable from a wrong password and the
-    // protocol leaks no user-existence signal), then always fails.
+    // failure is indistinguishable from a wrong password), then always
+    // fails. The decoy KDF runs UNCONDITIONALLY — if only unknown users
+    // paid the 4096-iteration PBKDF2, its several-ms cost would be a
+    // timing oracle leaking exactly the existence signal the decoy
+    // exists to hide.
     private val known = verifierOf(user)
-    private val ver = known.getOrElse(
-      verifier("", h(("graft-decoy:" + user).getBytes(UTF_8)).take(16)))
+    private val decoy =
+      verifier("", h(("graft-decoy:" + user).getBytes(UTF_8)).take(16))
+    private val ver = known.getOrElse(decoy)
 
     private var clientFirstBare: String = _
     private var serverFirstMsg: String = _
@@ -165,7 +169,9 @@ object PgAuth {
     * call). */
   def fromPasswordFile(path: String): Scram = {
     val rng = new java.security.SecureRandom()
-    val users = scala.io.Source.fromFile(path, "UTF-8").getLines()
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    val lines = try src.getLines().toVector finally src.close()
+    val users = lines.iterator
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
         val i = line.indexOf(':')

@@ -24,10 +24,14 @@ class MaintainerLeaseSpec extends AnyFunSuite {
       assert(Files.exists(lf))
       val st = MaintainerLease.read(r).get
       assert(st.holder == MaintainerLease.holderId && st.op == "op1")
-      // re-entrant: nested acquisition on the same root — the OUTER op
-      // owns the lease file; the inner ride-along doesn't rewrite it
+      // re-entrant: nested acquisition refreshes the lease (expiry
+      // extended, op updated) so long nested phases keep the TTL alive
+      val expiryBefore = MaintainerLease.read(r).get.expiresAt
+      Thread.sleep(5)
       MaintainerLease.withLease(r, "op2") {
-        assert(MaintainerLease.read(r).get.op == "op1")
+        val st2 = MaintainerLease.read(r).get
+        assert(st2.op == "op2" && st2.holder == MaintainerLease.holderId)
+        assert(st2.expiresAt >= expiryBefore, "nested entry must refresh TTL")
       }
       // inner release must NOT drop the outer lease
       assert(Files.exists(lf), "inner release dropped the outer lease")
@@ -72,6 +76,29 @@ class MaintainerLeaseSpec extends AnyFunSuite {
     Files.setLastModifiedTime(lf, java.nio.file.attribute.FileTime
       .fromMillis(System.currentTimeMillis() - MaintainerLease.ttlMs - 1000))
     MaintainerLease.withLease(r, "op") { ran = true }
+  }
+
+  test("same-JVM concurrent maintainers BLOCK on the in-process lock " +
+      "(never run interleaved)") {
+    val r = tempRoot()
+    val running = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val tasks = (0 until 8).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = MaintainerLease.withLease(r, "maint") {
+            if (running.incrementAndGet() > 1) overlapped.set(true)
+            Thread.sleep(20)
+            running.decrementAndGet(): Unit
+          }
+        })
+      }
+      tasks.foreach(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+      assert(!overlapped.get(),
+        "two same-JVM maintainers ran inside the lease simultaneously")
+      assert(!Files.exists(r.resolve("_maintainer_lease")))
+    } finally pool.shutdownNow()
   }
 
   test("two GraftTable instances on one dir: maintenance serializes " +

@@ -916,6 +916,12 @@ class GraftPgWireSpec extends AnyFunSuite {
       val dml = c.query("EXPLAIN INSERT INTO pgexp (_id, bal) VALUES (3, 1.0D)")
       assert(Wire.errFields(dml.find(_.tpe == 'E').get.body)('M')
         .contains("cannot EXPLAIN"))
+      // procedure substitution materializes checkpoints — plans-only
+      // means refusal, not silent job execution
+      val proc = c.query("EXPLAIN SELECT * FROM " +
+        "graft_exact_dedup('pgexp', '_id', 'bal')")
+      assert(Wire.errFields(proc.find(_.tpe == 'E').get.body)('M')
+        .contains("graft_* procedures"))
       // and the refused DML did NOT run
       val n = c.query("SELECT count(*) AS n FROM pgexp")
       assert(Wire.dataRow(n.find(_.tpe == 'D').get.body) == Seq(Some("2")))
@@ -1131,15 +1137,17 @@ class GraftPgWireSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(exported, exported2),
         "export → import → export must be byte-exact")
 
-      // text COPY accepts both the PG literal and JSON spellings
+      // text COPY accepts the PG literal (incl. pg's UPPERCASE NULL
+      // elements) and JSON spellings
       val gt = c.copyStart("COPY pgarr (_id, emb) FROM STDIN")
       assert(gt.tpe == 'G')
-      c.copyData("10\t{4.5,5.5}\n11\t[6.5]\n".getBytes(UTF_8))
+      c.copyData("10\t{4.5,5.5}\n11\t[6.5]\n12\t{7.5,NULL}\n".getBytes(UTF_8))
       c.copyDone()
-      val tsel = c.query("SELECT emb FROM pgarr WHERE _id IN (10, 11) " +
+      val tsel = c.query("SELECT emb FROM pgarr WHERE _id IN (10, 11, 12) " +
         "ORDER BY _id")
       assert(tsel.filter(_.tpe == 'D').map(m => Wire.dataRow(m.body)) ==
-        Seq(Seq(Some("{4.5,5.5}")), Seq(Some("{6.5}"))))
+        Seq(Seq(Some("{4.5,5.5}")), Seq(Some("{6.5}")),
+          Seq(Some("{7.5,null}"))))
 
       // malformed array text fails the COPY loudly (FAILFAST, not null)
       val gb = c.copyStart("COPY pgarr (_id, emb) FROM STDIN")

@@ -92,6 +92,18 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getLong(1) == 1L)
   }
 
+  test("repeated statements re-bind ONE content-named view (no catalog growth)") {
+    docs
+    def viewCount() = spark.catalog.listTables()
+      .filter(col("name").startsWith("_graft_p_")).count()
+    val sql = "SELECT count(*) AS n FROM graft_exact_dedup('pdocs','doc_id','text')"
+    GraftSql.sql(spark, sql).collect()
+    val after1 = viewCount()
+    (0 until 5).foreach(_ => GraftSql.sql(spark, sql).collect())
+    assert(viewCount() == after1,
+      "re-running the same statement must not mint new temp views")
+  }
+
   test("graft_minhash_candidates == the q41 Scala pipeline") {
     docs
     val viaSql = GraftSql.sql(spark,
