@@ -25,7 +25,7 @@ object Dedup {
     * shorter (shifted) side with nulls, the null-component grams are
     * dropped after explode — matching SQL generate_series semantics. */
   def shingles(df0: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
-    val df = graft.util.Par.spread(df0, force = true)
+    val df = graft.util.Par.spread(df0)
     val w = split(col(textCol), " ")
     val grams = (1 until n).foldLeft(w) { (acc, j) =>
       zip_with(acc, slice(w, lit(j + 1), greatest(size(w) - j, lit(0))),

@@ -18,7 +18,7 @@ object TextStats {
 
   /** (id, word) rows. */
   def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    graft.util.Par.spread(df, force = true)
+    graft.util.Par.spread(df)
       .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
 
   /** Stopword-vote language ID per id; ties resolve en > es > de. */

@@ -958,7 +958,7 @@ object Llm {
   private def mp4Fixture(s: SparkSession, dir: String):
       Dataset[Multimodal.MediaFile] = {
     import s.implicits._
-    graft.util.Par.spread(T(s, dir, "documents").select($"doc_id", $"source"), force = true)
+    graft.util.Par.spread(T(s, dir, "documents").select($"doc_id", $"source"))
       .as[(Long, String)]
       .map { case (id, src) =>
         val dur = 3000L + (id * 17) % 6000
