@@ -909,6 +909,39 @@ object Llm {
           'doc_id', 'bucket',
           map('short', 0.5, 'mid', 0.3125, 'long', 0.1875), 97)
         ORDER BY bucket, doc_id""")
+    }),
+
+    // q43's simhash as SQL text (unigram shingles, 16 bits)
+    "q161_sql_simhash" -> ((s, dir) => {
+      T(s, dir, "documents").createOrReplaceTempView("documents_q161")
+      graft.server.GraftSql.sql(s, """
+        SELECT doc_id, simhash
+        FROM graft_simhash('documents_q161', 'doc_id', 'text',
+                           n_bits => 16, shingle_n => 1)
+        ORDER BY doc_id""")
+    }),
+
+    // q84's duplicate clustering as SQL text — the per-cluster summary
+    // composes as plain SQL OVER the table-valued procedure
+    "q162_sql_dup_clusters" -> ((s, dir) => {
+      T(s, dir, "documents").createOrReplaceTempView("documents_q162")
+      graft.server.GraftSql.sql(s, """
+        SELECT comp, count(*) AS cluster_size,
+               min(id) AS keep_id, max(id) AS max_id
+        FROM graft_dup_clusters('documents_q162', 'doc_id', 'text',
+                                k => 16, bands => 8, min_jaccard => 0.5)
+        GROUP BY comp ORDER BY comp""")
+    }),
+
+    // q47's language ID as SQL text
+    "q163_sql_langid" -> ((s, dir) => {
+      T(s, dir, "documents").createOrReplaceTempView("documents_q163")
+      graft.server.GraftSql.sql(s, """
+        SELECT doc_id, CAST(s_en AS BIGINT) AS s_en,
+               CAST(s_es AS BIGINT) AS s_es, CAST(s_de AS BIGINT) AS s_de,
+               pred_lang
+        FROM graft_lang_id('documents_q163', 'doc_id', 'text')
+        ORDER BY doc_id""")
     })
   )
 
@@ -1256,6 +1289,18 @@ object Llm {
     SELECT vec_id, floor(adist*1000000 + 0.5)/1000000 AS adist FROM top"""
   }
 
+  private val langidOracle = """
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      a AS (SELECT doc_id,
+              CAST(sum(CASE WHEN word IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+              CAST(sum(CASE WHEN word IN ('el','la','de','y','que') THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+              CAST(sum(CASE WHEN word IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS BIGINT) AS s_de
+            FROM t GROUP BY doc_id)
+      SELECT doc_id, s_en, s_es, s_de,
+             CASE WHEN s_en >= greatest(s_es, s_de) THEN 'en'
+                  WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang
+      FROM a ORDER BY doc_id"""
+
   val oracle: Map[String, String] = Map(
     "q114_ivf_trained" -> ivfTrainedOracle,
     "q115_pq_trained" -> pqTrainedOracle,
@@ -1450,17 +1495,7 @@ object Llm {
       WHERE u < CASE pred_lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25 ELSE 1.0 END
       ORDER BY doc_id""",
 
-    "q47_langid" -> """
-      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-      a AS (SELECT doc_id,
-              CAST(sum(CASE WHEN word IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
-              CAST(sum(CASE WHEN word IN ('el','la','de','y','que') THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
-              CAST(sum(CASE WHEN word IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS BIGINT) AS s_de
-            FROM t GROUP BY doc_id)
-      SELECT doc_id, s_en, s_es, s_de,
-             CASE WHEN s_en >= greatest(s_es, s_de) THEN 'en'
-                  WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang
-      FROM a ORDER BY doc_id""",
+    "q47_langid" -> langidOracle,
 
     "q48_quality" -> """
       SELECT doc_id, n_chars,
@@ -2326,6 +2361,11 @@ object Llm {
                  FROM dom)
       SELECT bucket, doc_id
       FROM ranked JOIN quota USING (bucket)
-      WHERE prk <= quota ORDER BY bucket, doc_id"""
+      WHERE prk <= quota ORDER BY bucket, doc_id""",
+
+    // the procedure route replays the API twins' oracles exactly
+    "q161_sql_simhash" -> simhashOracle,
+    "q162_sql_dup_clusters" -> dupClustersOracle,
+    "q163_sql_langid" -> langidOracle
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.bitemporal.{BitemporalDml, SqlText}
-import graft.llm.{Dedup, Mixture, Similarity}
+import graft.llm.{Dedup, Mixture, Similarity, TextStats}
 
 /** Table-valued SQL surface for the LLM-pipeline operators — the text
   * front door the reference's SQL-first clients expect (its 2.x line
@@ -290,7 +290,109 @@ object GraftProcedures {
         "q" -> None),
       (spark, a) =>
         Mixture.quantileKeep(resolveTable(spark, str(a, "table")),
-          str(a, "domain_col"), str(a, "score_col"), dbl(a, "q"))))
+          str(a, "domain_col"), str(a, "score_col"), dbl(a, "q"))),
+
+    // SimHash fingerprint per doc — one aggregation shuffle, no pairs.
+    "graft_simhash" -> Proc(
+      Seq("table" -> None, "id_col" -> None, "text_col" -> None,
+        "n_bits" -> Some(PNum(16, true)), "shingle_n" -> Some(PNum(2, true))),
+      (spark, a) => {
+        val (id, nBits) = (str(a, "id_col"), int(a, "n_bits"))
+        if (nBits < 1 || nBits > 63)
+          fail(s"graft_simhash: n_bits must be in [1, 63], got $nBits")
+        Dedup.simhash(Dedup.shingles(resolveTable(spark, str(a, "table")),
+          id, str(a, "text_col"), int(a, "shingle_n")), id, nBits)
+      }),
+
+    // Banded Hamming-distance pairs over SimHash fingerprints —
+    // equi-join blocking, never all-pairs.
+    "graft_simhash_pairs" -> Proc(
+      Seq("table" -> None, "id_col" -> None, "text_col" -> None,
+        "n_bits" -> Some(PNum(48, true)), "max_dist" -> Some(PNum(3, true)),
+        "shingle_n" -> Some(PNum(2, true))),
+      (spark, a) => {
+        val (id, nBits, maxDist) =
+          (str(a, "id_col"), int(a, "n_bits"), int(a, "max_dist"))
+        if (nBits < 1 || nBits > 63)
+          fail(s"graft_simhash_pairs: n_bits must be in [1, 63], got $nBits")
+        if (maxDist < 0 || nBits % (maxDist + 1) != 0)
+          fail(s"graft_simhash_pairs: n_bits ($nBits) must divide into " +
+            s"max_dist + 1 (${maxDist + 1}) bands")
+        val fp = Dedup.simhash(
+          Dedup.shingles(resolveTable(spark, str(a, "table")), id,
+            str(a, "text_col"), int(a, "shingle_n")), id, nBits)
+        Dedup.simhashPairs(fp, id, nBits, maxDist)
+      }),
+
+    // Near-dup CLUSTERS: the q84 pipeline — minhash candidates →
+    // exact-Jaccard verify → min-label connected components. Output
+    // (id, comp): every doc with its duplicate-cluster label.
+    "graft_dup_clusters" -> Proc(
+      Seq("table" -> None, "id_col" -> None, "text_col" -> None,
+        "k" -> Some(PNum(16, true)), "bands" -> Some(PNum(8, true)),
+        "min_jaccard" -> Some(PNum(0.5, false)),
+        "shingle_n" -> Some(PNum(2, true)),
+        "max_df" -> Some(PNum(0.25, false))),
+      (spark, a) => {
+        val (id, k, bands) = (str(a, "id_col"), int(a, "k"), int(a, "bands"))
+        if (k <= 0 || bands <= 0 || k % bands != 0)
+          fail(s"graft_dup_clusters: k ($k) must be a positive multiple " +
+            s"of bands ($bands)")
+        val df = resolveTable(spark, str(a, "table"))
+        val sh = Dedup.shingles(df, id, str(a, "text_col"), int(a, "shingle_n"))
+        val base = Dedup.hashedShingles(sh, id).localCheckpoint()
+        val rare = Dedup.rareShingles(base, id, dbl(a, "max_df"))
+        val sig = Dedup.minhashSignature(rare, id, k).localCheckpoint()
+        val cand = Dedup.minhashCandidates(sig, id, k, bands)
+        val pairs = Dedup.jaccardOnCandidates(base, id, cand)
+          .filter(col("jaccard") >= dbl(a, "min_jaccard"))
+          .select("id_a", "id_b").localCheckpoint()
+        Dedup.connectedComponents(pairs)
+      }),
+
+    // Stopword-profile language ID per doc — keyed agg, broadcast lists.
+    "graft_lang_id" -> Proc(
+      Seq("table" -> None, "id_col" -> None, "text_col" -> None),
+      (spark, a) => {
+        val id = str(a, "id_col")
+        TextStats.languageId(TextStats.tokens(
+          resolveTable(spark, str(a, "table")), id, str(a, "text_col")), id)
+      }),
+
+    // Whitespace + BPE-ish regex token counts — map-only.
+    "graft_token_stats" -> Proc(
+      Seq("table" -> None, "id_col" -> None, "text_col" -> None),
+      (spark, a) => TextStats.tokenCounts(
+        resolveTable(spark, str(a, "table")), str(a, "id_col"),
+        str(a, "text_col"))),
+
+    // Gopher-style repetition metrics per doc.
+    "graft_repetition" -> Proc(
+      Seq("table" -> None, "id_col" -> None, "text_col" -> None),
+      (spark, a) => TextStats.repetition(
+        resolveTable(spark, str(a, "table")), str(a, "id_col"),
+        str(a, "text_col"))),
+
+    // Exact substring dedup, rewrite form: duplicated k-token spans
+    // scrubbed from every doc (suffix-array family, distributed).
+    "graft_scrub_duplicate_spans" -> Proc(
+      Seq("table" -> None, "id_col" -> None, "text_col" -> None,
+        "k" -> Some(PNum(16, true))),
+      (spark, a) => {
+        val k = int(a, "k")
+        if (k < 2) fail(s"graft_scrub_duplicate_spans: k must be >= 2, got $k")
+        Dedup.scrubDuplicateSpans(resolveTable(spark, str(a, "table")),
+          str(a, "id_col"), str(a, "text_col"), k)
+      }),
+
+    // Content-defined chunking: rolling-hash boundaries that RESYNC
+    // across edits, with md5 chunk fingerprints.
+    "graft_cdc_chunks" -> Proc(
+      Seq("table" -> None, "id_col" -> None, "text_col" -> None,
+        "n" -> Some(PNum(3, true)), "divisor" -> Some(PNum(16, true))),
+      (spark, a) => TextStats.cdcChunks(
+        resolveTable(spark, str(a, "table")), str(a, "id_col"),
+        str(a, "text_col"), int(a, "n"), int(a, "divisor"))))
 
   // ------------------------------------------------------------- rewrite
 

@@ -21,8 +21,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSql {
   def sql(spark: SparkSession, text: String): DataFrame =
-    GraftMatviews.routeDdl(spark, text).getOrElse {
-      GraftMatviews.refreshReferenced(spark, text)
-      spark.sql(GraftProcedures.rewrite(spark, text))
-    }
+    GraftMatviews.routeDdl(spark, text)
+      .orElse(GraftMaintenance.route(spark, text))
+      .getOrElse {
+        GraftMatviews.refreshReferenced(spark, text)
+        spark.sql(GraftProcedures.rewrite(spark, text))
+      }
 }

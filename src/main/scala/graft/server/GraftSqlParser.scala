@@ -54,9 +54,11 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     val tables = GraftServer.registered
     if (GraftSqlParser.inRewrite.get()) return delegate.parsePlan(sqlText0)
 
-    // materialized-view DDL executes eagerly (like graft DML below) and
-    // returns its one-row result relation
-    GraftMatviews.routeDdl(session, sqlText0) match {
+    // materialized-view DDL and maintenance statements (VACUUM/
+    // OPTIMIZE/COMPACT on registered tables) execute eagerly (like
+    // graft DML below) and return their one-row result relation
+    GraftMatviews.routeDdl(session, sqlText0)
+      .orElse(GraftMaintenance.route(session, sqlText0)) match {
       case Some(df) => return PlanBridge.logicalPlan(df)
       case None =>
     }

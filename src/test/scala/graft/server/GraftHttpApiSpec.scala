@@ -124,6 +124,28 @@ class GraftHttpApiSpec extends AnyFunSuite {
           SELECT node FROM reach ORDER BY node""")._2).map(_("node")) ==
         Seq("0", "5", "10"))
 
+      // the r10 SQL-text surface rides the same endpoint: a table-valued
+      // procedure, matview DDL, and a maintenance statement — all plain
+      // POST /query text through the session parser
+      assert(post("/query", "CREATE OR REPLACE TEMPORARY VIEW http_docs AS " +
+        "SELECT * FROM VALUES (1, 'a b c'), (2, 'a b c'), (3, 'x y z') " +
+        "AS t(doc_id, text)")._1 == 200)
+      val dd = rows(post("/query",
+        "SELECT keep_id, n_copies FROM graft_exact_dedup('http_docs', " +
+          "'doc_id', 'text') ORDER BY keep_id")._2)
+      assert(dd.map(m => (m("keep_id"), m("n_copies"))) ==
+        Seq(("1", "2"), ("3", "1")))
+      val (mc, mb) = post("/query",
+        "CREATE MATERIALIZED VIEW http_bal WITH (valid_at = '2030-01-01 " +
+          "00:00:00') AS SELECT bal, COUNT(*) AS n FROM accts GROUP BY bal")
+      assert(mc == 200, mb)
+      assert(rows(post("/query",
+        "SELECT count(*) AS c FROM http_bal")._2).head("c").toLong >= 1)
+      assert(post("/query", "DROP MATERIALIZED VIEW http_bal")._1 == 200)
+      val (vc, vb) = post("/query", "COMPACT accts")
+      assert(vc == 200, vb)
+      assert(rows(vb).head("action") == "COMPACT")
+
       // Arrow-native answer: the Accept header switches the body to
       // Arrow IPC stream format, decoded here with the arrow-java reader
       val areq = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/query"))

@@ -1034,6 +1034,21 @@ class GraftPgWireSpec extends AnyFunSuite {
       assert(Wire.dataRow(dropped.find(_.tpe == 'D').get.body) ==
         Seq(Some("wire_mv"), Some("t")))
 
+      // text-analysis procedure family over the wire
+      val li = c.query("SELECT count(*) AS n FROM graft_lang_id(" +
+        "'wdocs', 'doc_id', 'text')")
+      assert(Wire.dataRow(li.find(_.tpe == 'D').get.body) == Seq(Some("22")))
+      // maintenance statements: compact + vacuum the registered table
+      val comp = c.query("OPTIMIZE wireaccts")
+      assert(Wire.dataRow(comp.find(_.tpe == 'D').get.body) ==
+        Seq(Some("wireaccts"), Some("COMPACT"), Some("t")))
+      val vac = c.query("VACUUM wireaccts")
+      assert(Wire.dataRow(vac.find(_.tpe == 'D').get.body) ==
+        Seq(Some("wireaccts"), Some("VACUUM"), Some("t")))
+      val after = c.query("SELECT count(*) AS n FROM wireaccts")
+      assert(Wire.dataRow(after.find(_.tpe == 'D').get.body) ==
+        Seq(Some("4")), "data survives the wire-driven lifecycle")
+
       c.terminate()
     } finally {
       handle.stop()

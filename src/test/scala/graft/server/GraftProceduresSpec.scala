@@ -191,6 +191,81 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(qk == qkApi && qk.nonEmpty)
   }
 
+  test("text-analysis + fingerprint procedures == their API twins") {
+    docs
+    import graft.llm.{Dedup => D, TextStats => TS}
+    def sqlRows(q: String) = GraftSql.sql(spark, q).collect().toSeq
+
+    // simhash + banded Hamming pairs
+    val fpApi = D.simhash(D.shingles(docs, "doc_id", "text", 2), "doc_id", 48)
+    assert(sqlRows("SELECT * FROM graft_simhash('pdocs','doc_id','text', " +
+      "n_bits => 48) ORDER BY doc_id") ==
+      fpApi.orderBy("doc_id").collect().toSeq)
+    assert(sqlRows("SELECT id_a, id_b, dist FROM graft_simhash_pairs(" +
+      "'pdocs','doc_id','text', 48, 3) ORDER BY id_a, id_b") ==
+      D.simhashPairs(fpApi, "doc_id", 48, 3)
+        .orderBy("id_a", "id_b").collect().toSeq)
+    assert(intercept[Exception](sqlRows(
+      "SELECT * FROM graft_simhash_pairs('pdocs','doc_id','text', 48, 4)"))
+      .getMessage.contains("bands"))
+
+    // dup clusters: near-dup pairs land in one component (max_df => 1.0
+    // keeps this fixture's arithmetically-shared bigrams in signatures)
+    val clusters = sqlRows("SELECT id, comp FROM graft_dup_clusters(" +
+      "'pdocs','doc_id','text', max_df => 1.0) ORDER BY id")
+    assert(clusters.nonEmpty)
+    val byId = clusters.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(0L) == byId(100L), "near-dup pair must share a component")
+
+    // lang id / token stats / repetition / cdc chunks — row parity
+    assert(sqlRows("SELECT doc_id, pred_lang FROM graft_lang_id(" +
+      "'pdocs','doc_id','text') ORDER BY doc_id") ==
+      TS.languageId(TS.tokens(docs, "doc_id", "text"), "doc_id")
+        .select(col("doc_id"), col("pred_lang")).orderBy("doc_id")
+        .collect().toSeq)
+    assert(sqlRows("SELECT * FROM graft_token_stats('pdocs','doc_id','text')" +
+      " ORDER BY doc_id") ==
+      TS.tokenCounts(docs, "doc_id", "text").orderBy("doc_id").collect().toSeq)
+    assert(sqlRows("SELECT * FROM graft_repetition('pdocs','doc_id','text')" +
+      " ORDER BY doc_id") ==
+      TS.repetition(docs, "doc_id", "text").orderBy("doc_id").collect().toSeq)
+    assert(sqlRows("SELECT * FROM graft_cdc_chunks('pdocs','doc_id','text')" +
+      " ORDER BY doc_id, chunk_idx") ==
+      TS.cdcChunks(docs, "doc_id", "text", 3, 16)
+        .orderBy("doc_id", "chunk_idx").collect().toSeq)
+    assert(sqlRows("SELECT * FROM graft_scrub_duplicate_spans(" +
+      "'pdocs','doc_id','text', 4) ORDER BY doc_id") ==
+      D.scrubDuplicateSpans(docs, "doc_id", "text", 4)
+        .orderBy("doc_id").collect().toSeq)
+  }
+
+  test("VACUUM/OPTIMIZE/COMPACT statements maintain registered tables") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("maint_tbl").toString
+    val t = new graft.GraftTable(s, dir, Seq("v"))
+    GraftServer.register("mainttbl", t)
+    try {
+      t.put(Seq((1L, 5L), (2L, 6L)).toDF("id", "x"), $"id",
+        lit("2020-01-01").cast("timestamp"), None, Seq("v" -> $"x"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      val c = GraftSql.sql(spark, "COMPACT mainttbl").collect()
+      assert(c(0).getString(0) == "mainttbl" && c(0).getString(1) == "COMPACT")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "base")), "compact must build the base")
+      val v = GraftSql.sql(spark, "VACUUM mainttbl").collect()
+      assert(v(0).getString(1) == "VACUUM")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "log", "_truncated")),
+        "vacuum must truncate the represented log prefix")
+      assert(t.current().count() == 2, "data survives the lifecycle")
+      // unregistered targets fall through to Spark's own parser
+      assert(intercept[Exception](
+        GraftSql.sql(spark, "VACUUM not_a_graft_table").collect())
+        .getMessage.nonEmpty)
+    } finally GraftServer.unregister("mainttbl")
+  }
+
   test("inline subquery table arg: '( SELECT … )' resolves") {
     docs
     val n = GraftSql.sql(spark,
