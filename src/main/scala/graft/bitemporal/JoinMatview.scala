@@ -343,8 +343,11 @@ final class JoinMatview private[graft] (
   }
 
   /** The maintained view: (group, n, sum_*) — read-only, no recompute. */
-  def read(): DataFrame =
-    MvState.readState(spark, stateRoot, dataDir).drop("_bucket")
+  def read(): DataFrame = read(spark)
+
+  /** [[read]] bound to an EXPLICIT session (see [[Matview.read]]). */
+  def read(session: SparkSession): DataFrame =
+    MvState.readState(session, stateRoot, dataDir).drop("_bucket")
 }
 
 object JoinMatview {

@@ -291,8 +291,15 @@ final class Matview private[graft] (
   }
 
   /** The maintained view: (group, n, sum_*) — read-only, no recompute. */
-  def read(): DataFrame =
-    MvState.readState(spark, stateRoot, dataDir).drop("_bucket")
+  def read(): DataFrame = read(spark)
+
+  /** [[read]] bound to an EXPLICIT session — the SQL front doors serve
+    * isolated per-client sessions (Spark Connect clones session state),
+    * and a DataFrame is session-bound, so serving a view inside a
+    * client's session needs the read built THERE. State files are
+    * shared; only the plan binding differs. */
+  def read(session: SparkSession): DataFrame =
+    MvState.readState(session, stateRoot, dataDir).drop("_bucket")
 }
 
 /** State-store helpers shared by [[Matview]] and [[JoinMatview]]. */

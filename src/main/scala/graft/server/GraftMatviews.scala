@@ -46,7 +46,10 @@ object GraftMatviews {
       name: String,
       // canonical state column -> user alias, in declared order
       serveCols: Seq[(String, String)],
-      read: () => DataFrame,
+      // session-parameterized: the front doors serve ISOLATED sessions
+      // (Connect clones session state), and a temp view must bind to
+      // the session that will resolve it
+      read: SparkSession => DataFrame,
       refresh: () => (Long, Option[Long]),
       stateDir: java.nio.file.Path)
 
@@ -200,7 +203,7 @@ object GraftMatviews {
       case None =>
         val mv = fact.matview(name, group, sums.result(), validAt,
           buckets.getOrElse(32), mins.result(), maxs.result())
-        Handle(name, serveAll, () => mv.read(),
+        Handle(name, serveAll, sess => mv.read(sess),
           () => (mv.refresh(), None), matviewDir(factName, "matview", name))
       case Some(dn) =>
         val dim = graftTable(dn)
@@ -215,14 +218,14 @@ object GraftMatviews {
         val fk = unqualify(sides(1 - dimIdSide))
         val mv = fact.joinMatview(name, dim, fk, group, sums.result(),
           validAt, buckets.getOrElse(64), mins.result(), maxs.result())
-        Handle(name, serveAll, () => mv.read(),
+        Handle(name, serveAll, sess => mv.read(sess),
           () => { val (a, b) = mv.refresh(); (a, Some(b)) },
           matviewDir(factName, "join_matview", name))
     }
 
     val (a, b) = handle.refresh() // CREATE populates (Postgres default)
     views.put(key(name), handle)
-    try registerView(handle)
+    try registerView(spark, handle)
     catch { case e: Throwable =>
       // e.g. an empty source table: state schema is unknowable until
       // data lands — don't leave a half-registered view behind
@@ -241,10 +244,10 @@ object GraftMatviews {
     java.nio.file.Paths.get(dir, kind, name)
   }
 
-  /** (Re-)register `name` as a temp view over the CURRENT state with
-    * the user's aliases, group column first. */
-  private def registerView(h: Handle): Unit = {
-    val df0 = h.read()
+  /** (Re-)register `name` IN `session` as a temp view over the CURRENT
+    * state with the user's aliases, group column first. */
+  private def registerView(session: SparkSession, h: Handle): Unit = {
+    val df0 = h.read(session)
     val groupCol = df0.columns.headOption.getOrElse("group")
     val cols =
       h.serveCols.map {
@@ -264,7 +267,8 @@ object GraftMatviews {
       val m = java.util.regex.Pattern
         .compile(s"(?i)\\b${java.util.regex.Pattern.quote(h.name)}\\b")
         .matcher(sql)
-      if (m.find() && !SqlText.masked(spans, m.start())) registerView(h)
+      if (m.find() && !SqlText.masked(spans, m.start()))
+        registerView(spark, h)
     }
   }
 }

@@ -140,6 +140,24 @@ class GraftConnectServerSpec extends AnyFunSuite {
         SELECT node FROM reach ORDER BY node""")
         == Seq(Seq(0), Seq(5), Seq(10)))
 
+      // 6c. the r10 SQL-text surface over Connect: a table-valued
+      // procedure, matview DDL lifecycle, and a maintenance statement —
+      // the whole engine is reachable as SQL text on this front door too
+      run("CREATE OR REPLACE TEMPORARY VIEW wire_docs AS " +
+        "SELECT * FROM VALUES (1, 'p q r'), (2, 'p q r'), (3, 's t u') " +
+        "AS t(doc_id, text)")
+      assert(run("SELECT keep_id, n_copies FROM graft_exact_dedup(" +
+        "'wire_docs', 'doc_id', 'text') ORDER BY keep_id")
+        == Seq(Seq[Any](1L, 2L), Seq[Any](3L, 1L)))
+      assert(run("CREATE MATERIALIZED VIEW wire_price_mv WITH (valid_at = " +
+        "'2030-01-01 00:00:00') AS SELECT price, COUNT(*) AS n " +
+        "FROM prices GROUP BY price").head.head == "wire_price_mv")
+      assert(run("SELECT count(*) FROM wire_price_mv").head.head == 3L)
+      assert(run("DROP MATERIALIZED VIEW wire_price_mv")
+        .head == Seq("wire_price_mv", true))
+      assert(run("COMPACT prices").head == Seq("prices", "COMPACT", true))
+      assert(run("SELECT count(*) FROM prices").head.head == 3L)
+
       // 7. a batch that targets the registered table but contains an
       // invalid statement surfaces the GRAFT parse error (statement
       // index + cause), not Spark's misleading TABLE_OR_VIEW_NOT_FOUND
