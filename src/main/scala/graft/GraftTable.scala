@@ -146,16 +146,28 @@ final class GraftTable(spark: SparkSession, dir: String,
     }
 
   /** All rectangles: compacted base + re-fold of ids touched since. */
-  def rectangles(): DataFrame =
-    if (lastCompacted < 0) Bitemporal.fold(log.read(spark), payloadCols)
-    else log.readAll(spark, payloadCols, lastCompacted)
+  def rectangles(): DataFrame = rectangles(spark)
+
+  /** [[rectangles]] bound to an EXPLICIT session — the SQL front doors
+    * serve isolated per-client sessions (Spark Connect clones session
+    * state), and anything they register as a temp view must be built in
+    * the session that will resolve it (same contract as
+    * [[graft.bitemporal.Matview.read(session*]]). Storage is shared;
+    * only the plan binding differs. */
+  def rectangles(session: SparkSession): DataFrame =
+    if (lastCompacted < 0) Bitemporal.fold(log.read(session), payloadCols)
+    else log.readAll(session, payloadCols, lastCompacted)
 
   /** Snapshot at a bitemporal basis. */
   def asOf(validTime: Timestamp, systemTime: Timestamp): DataFrame =
     Bitemporal.asOf(rectangles(), lit(validTime), lit(systemTime))
 
   /** The latest known state (system = valid = now). */
-  def current(): DataFrame = Bitemporal.currentState(rectangles())
+  def current(): DataFrame = current(spark)
+
+  /** [[current]] bound to an explicit (e.g. Connect client) session. */
+  def current(session: SparkSession): DataFrame =
+    Bitemporal.currentState(rectangles(session))
 
   /** The reference's `entity` lookup: one id's document at a basis
     * (defaults to now/now), None when not visible. Reads ONLY the files

@@ -149,16 +149,35 @@ object MaintainerLease {
 
   private def release(root: Path): Unit = {
     val f = leaseFile(root)
-    // Delete only OUR lease. Rename-first makes the check-and-delete
-    // atomic: if our TTL lapsed mid-op and a successor took the slot,
-    // the tombstone holds THEIR lease — restore it instead of deleting.
+    // Delete only OUR lease — and READ BEFORE RENAMING: moving first
+    // would take a successor's LIVE lease off the slot for the whole
+    // check-and-restore window, during which a third maintainer's
+    // createFile wins an empty slot and the restore silently fails —
+    // two live maintainers. Reading first means a lease that is
+    // already someone else's is never touched at all; the residual
+    // read→move race (our TTL lapses and a successor claims between
+    // the two calls) is re-checked after the move and restored, and a
+    // FAILED restore is logged loudly rather than swallowed so the
+    // dual-maintainer window is visible, never silent.
     try {
+      val lines =
+        try new String(Files.readAllBytes(f), UTF_8).split("\n", -1)
+        catch { case _: java.io.IOException => return } // already gone
+      if (!lines.headOption.contains(holderId)) return // successor's — leave it
       val tomb = f.resolveSibling(
         s"_maintainer_lease.rel.${java.util.UUID.randomUUID().toString.take(8)}")
       Files.move(f, tomb)
-      val lines = new String(Files.readAllBytes(tomb), UTF_8).split("\n", -1)
-      if (lines.headOption.contains(holderId)) Files.deleteIfExists(tomb): Unit
-      else Files.move(tomb, f): Unit
+      val moved = new String(Files.readAllBytes(tomb), UTF_8).split("\n", -1)
+      if (moved.headOption.contains(holderId)) Files.deleteIfExists(tomb): Unit
+      else
+        try { Files.move(tomb, f): Unit }
+        catch { case e: java.io.IOException =>
+          System.err.println(
+            s"[graft] WARNING: lease release on $root displaced a successor's " +
+              s"live lease (holder ${moved.headOption.getOrElse("?")}) and could " +
+              s"not restore it (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+              "two maintainers may be active until the next expiry check")
+        }
     } catch { case _: java.io.IOException => } // already gone — fine
   }
 

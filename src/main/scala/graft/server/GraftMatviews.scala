@@ -55,10 +55,23 @@ object GraftMatviews {
 
   private val views = TrieMap.empty[String, Handle]
 
+  // DROP bookkeeping for isolated sessions: a Connect client's session
+  // CLONES temp-view state, so the view registered by refreshReferenced
+  // survives a DROP in every OTHER live session and would silently
+  // serve the dropped view's last state. Each drop bumps the name's
+  // generation; the parser hook drops the stale temp view in whichever
+  // session next references the name, once per generation (so a user's
+  // own later temp view of the same name isn't re-dropped). Sessions
+  // are weakly keyed — a closed session's bookkeeping vanishes with it.
+  private val droppedGen = TrieMap.empty[String, (String, Long)]
+  private val dropSeen =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, Long]]
+
   private[graft] def registeredViews: Set[String] = views.keySet.toSet
 
   /** For tests/tools: forget every registered view (state untouched). */
-  def reset(): Unit = views.clear()
+  def reset(): Unit = { views.clear(); droppedGen.clear() }
 
   private val ddlHead = java.util.regex.Pattern.compile(
     "^\\s*(CREATE|REFRESH|DROP)\\s+MATERIALIZED\\s+VIEW\\b",
@@ -110,6 +123,15 @@ object GraftMatviews {
         val h = views.remove(key(name))
           .getOrElse(fail(s"unknown materialized view: $name"))
         spark.catalog.dropTempView(h.name)
+        val gen = droppedGen.updateWith(key(name)) {
+          case Some((_, g)) => Some((h.name, g + 1))
+          case None => Some((h.name, 1L))
+        }.get._2
+        // the dropping session is already clean — mark its generation
+        dropSeen.synchronized {
+          dropSeen.computeIfAbsent(spark,
+            _ => scala.collection.mutable.Map.empty)(key(name)) = gen
+        }
         graft.bitemporal.TxLog.deleteRecursively(h.stateDir.toFile)
         Seq((h.name, true)).toDF("view", "dropped")
       case _ => fail(
@@ -261,14 +283,33 @@ object GraftMatviews {
     * (outside literals/comments), refresh its temp-view registration so
     * the statement reads current state. */
   def refreshReferenced(spark: SparkSession, sql: String): Unit = {
-    if (views.isEmpty) return
+    if (views.isEmpty && droppedGen.isEmpty) return
     val spans = SqlText.maskedSpans(sql)
-    views.values.foreach { h =>
+    def referenced(name: String): Boolean = {
       val m = java.util.regex.Pattern
-        .compile(s"(?i)\\b${java.util.regex.Pattern.quote(h.name)}\\b")
+        .compile(s"(?i)\\b${java.util.regex.Pattern.quote(name)}\\b")
         .matcher(sql)
-      if (m.find() && !SqlText.masked(spans, m.start()))
-        registerView(spark, h)
+      m.find() && !SqlText.masked(spans, m.start())
+    }
+    views.values.foreach { h =>
+      if (referenced(h.name)) registerView(spark, h)
+    }
+    // a DROPPED view's name may survive as an inherited temp view in
+    // THIS session (cloned state): drop it the first time the session
+    // references the name after the drop — once per drop generation,
+    // so a same-named temp view the user creates later is left alone
+    droppedGen.foreach { case (k, (origName, gen)) =>
+      if (!views.contains(k)) {
+        val seen = dropSeen.synchronized {
+          dropSeen.computeIfAbsent(spark,
+            _ => scala.collection.mutable.Map.empty)
+        }
+        if (seen.getOrElse(k, 0L) < gen && referenced(origName)) {
+          try spark.catalog.dropTempView(origName)
+          catch { case _: Exception => }
+          seen(k) = gen
+        }
+      }
     }
   }
 }

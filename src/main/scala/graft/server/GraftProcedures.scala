@@ -161,7 +161,12 @@ object GraftProcedures {
     val trimmed = name.trim
     if (trimmed.startsWith("(")) spark.sql(trimmed)
     else GraftServer.registered.collectFirst {
-      case (n, t) if n.equalsIgnoreCase(trimmed) => t.current()
+      // current(spark), NOT current(): the caller is the PARSING session
+      // (a Connect client gets an isolated clone), and the substitution
+      // temp view registers in the session that owns the DataFrame — a
+      // root-session DataFrame would put the _graft_p_* view where the
+      // client's parse can never resolve it
+      case (n, t) if n.equalsIgnoreCase(trimmed) => t.current(spark)
     }.getOrElse {
       try spark.table(trimmed)
       catch { case e: org.apache.spark.sql.AnalysisException =>

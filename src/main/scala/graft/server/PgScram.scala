@@ -93,6 +93,7 @@ object PgScram {
     private var clientFirstBare: String = _
     private var serverFirstMsg: String = _
     private var fullNonce: String = _
+    private var gs2Header: String = _
 
     /** Consume client-first-message, produce server-first-message. */
     def serverFirst(clientFirst: String): String = {
@@ -110,8 +111,14 @@ object PgScram {
               "advertised); refusing the binding downgrade")
         else throw new IllegalArgumentException(
           "malformed SCRAM gs2 header")
+      gs2Header = clientFirst.substring(0, gs2End)
       clientFirstBare = clientFirst.substring(gs2End)
       val attrs = attrMap(clientFirstBare)
+      // RFC 5802 §5.1: m= announces a mandatory extension; a server
+      // that doesn't support it MUST fail the exchange (we support none)
+      if (attrs.contains("m"))
+        throw new IllegalArgumentException(
+          "SCRAM mandatory extension (m=) is not supported")
       val clientNonce = attrs.getOrElse("r",
         throw new IllegalArgumentException("SCRAM client-first lacks r="))
       fullNonce = clientNonce + serverNonce
@@ -128,6 +135,13 @@ object PgScram {
       if (proofIdx < 0 || clientFirstBare == null) return None
       val withoutProof = clientFinal.substring(0, proofIdx)
       if (!attrs.get("r").contains(fullNonce)) return None
+      // RFC 5802 §5.1: c= MUST be the base64 of the gs2 header the
+      // client sent in client-first (channel-binding replay guard; the
+      // signature covers c=, but the server-side equality check is
+      // still required — Postgres enforces it too)
+      if (!attrs.get("c").contains(
+          Base64.getEncoder.encodeToString(gs2Header.getBytes(UTF_8))))
+        return None
       val authMessage =
         s"$clientFirstBare,$serverFirstMsg,$withoutProof".getBytes(UTF_8)
       val proof = try Base64.getDecoder.decode(attrs.getOrElse("p", ""))

@@ -28,6 +28,17 @@ object Par {
   private val MinBytesKey = "spark.graft.spread.minBytes"
   private val MinBytesDefault = 4L * 1024 * 1024
 
+  /** `force = true` floor: below this TOTAL estimated input size even a
+    * per-row-expensive stage's serial work is bounded by a handful of
+    * rows, and the exchange's fixed cost (~0.2–0.4 s of task launch +
+    * shuffle IO) exceeds what it parallelizes. Measured on the r10
+    * image/wav family (sub-MB (doc_id, source) projections): the forced
+    * exchange DOUBLED the queries. At real scale any corpus projection
+    * clears a megabyte instantly, so the floor never degrades a 100 TB
+    * plan. Tunable via `spark.graft.spread.forceMinBytes`. */
+  private val ForceMinBytesKey = "spark.graft.spread.forceMinBytes"
+  private val ForceMinBytesDefault = 1L * 1024 * 1024
+
   /** Round-robin repartition `df` to the session's default parallelism
     * iff its current plan has fewer partitions than that AND
     * the optimizer's size estimate says each EXISTING partition carries
@@ -81,10 +92,18 @@ object Par {
     // SAME downstream parallelism — layout noise collapses; at real
     // scale (current ≥ target) still a no-op.
     if (current >= target) return df
-    if (force) return df.repartition(target)
+    val bytes = plan.stats.sizeInBytes
+    if (force) {
+      // force overrides the PER-PARTITION work heuristic (the caller
+      // knows each row is expensive), but not the trivially-small
+      // floor: a sub-MB input's whole serial cost is less than the
+      // exchange's fixed cost, so layout determinism buys nothing there
+      val forceMin = spark.conf.getOption(ForceMinBytesKey).map(_.toLong)
+        .getOrElse(ForceMinBytesDefault)
+      return if (bytes >= forceMin) df.repartition(target) else df
+    }
     val minBytes =
       spark.conf.getOption(MinBytesKey).map(_.toLong).getOrElse(MinBytesDefault)
-    val bytes = plan.stats.sizeInBytes
     if (bytes / BigInt(math.max(current, 1)) >= minBytes)
       df.repartition(target)
     else df

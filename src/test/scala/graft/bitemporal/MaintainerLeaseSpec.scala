@@ -78,6 +78,25 @@ class MaintainerLeaseSpec extends AnyFunSuite {
     MaintainerLease.withLease(r, "op") { ran = true }
   }
 
+  test("release never touches a successor's live lease (read-before-move)") {
+    val r = tempRoot()
+    val lf = r.resolve("_maintainer_lease")
+    // our op outlives the TTL and a successor claims the slot mid-op —
+    // simulate by overwriting the lease with the successor's while the
+    // body runs. Release must see a foreign holder and leave the file
+    // alone: the old move-first release took the successor's LIVE lease
+    // off the slot for the whole check window (a third maintainer's
+    // createFile could win it and the restore's failure was swallowed).
+    val successor = s"successor-pid@host\n${System.currentTimeMillis() + 600000}\nrefresh"
+    MaintainerLease.withLease(r, "slow-op") {
+      Files.write(lf, successor.getBytes(UTF_8)): Unit
+    }
+    assert(Files.exists(lf), "release displaced the successor's live lease")
+    assert(MaintainerLease.read(r).get.holder == "successor-pid@host",
+      "release must leave a foreign lease byte-for-byte alone")
+    Files.delete(lf)
+  }
+
   test("same-JVM concurrent maintainers BLOCK on the in-process lock " +
       "(never run interleaved)") {
     val r = tempRoot()

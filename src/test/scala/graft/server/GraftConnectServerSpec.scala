@@ -158,6 +158,15 @@ class GraftConnectServerSpec extends AnyFunSuite {
       assert(run("COMPACT prices").head == Seq("prices", "COMPACT", true))
       assert(run("SELECT count(*) FROM prices").head.head == 3L)
 
+      // 6d. a procedure whose table ARG is the GRAFT-REGISTERED table:
+      // the substitution DataFrame must be built in the CLIENT's
+      // isolated session (Connect clones session state) — a DataFrame
+      // bound to the root session would register the _graft_p_* temp
+      // view where this session's parse can never resolve it
+      assert(run("SELECT keep_id, n_copies FROM graft_exact_dedup(" +
+        "'prices', '_id', 'price') ORDER BY keep_id")
+        == Seq(Seq[Any](1L, 1L), Seq[Any](2L, 1L), Seq[Any](3L, 1L)))
+
       // 7. a batch that targets the registered table but contains an
       // invalid statement surfaces the GRAFT parse error (statement
       // index + cause), not Spark's misleading TABLE_OR_VIEW_NOT_FOUND

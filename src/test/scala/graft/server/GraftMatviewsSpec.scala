@@ -72,6 +72,47 @@ class GraftMatviewsSpec extends AnyFunSuite {
     }
   }
 
+  test("DROP invalidates the view in OTHER sessions too (no stale serve)") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "bal"))
+    GraftServer.register("mvdropx", t)
+    try {
+      t.put(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "g", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "bal" -> $"m"), ts("2024-01-01 00:00:00"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_dropx WITH " +
+        "(valid_at = '2030-01-01 00:00:00') AS SELECT grp, COUNT(*) AS n " +
+        "FROM mvdropx GROUP BY grp").collect()
+
+      // a SECOND isolated session references the view — the parser hook
+      // registers a temp view THERE (the Connect per-client situation)
+      val other = spark.newSession()
+      assert(GraftSql.sql(other,
+        "SELECT count(*) FROM mv_dropx").collect()(0).getLong(0) == 2L)
+      assert(other.catalog.tableExists("mv_dropx"))
+
+      // DROP in the first session must not leave the other session
+      // silently serving the dropped view's last state: the next
+      // statement referencing the name THERE drops the stale temp view
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_dropx").collect()
+      assert(intercept[Exception](GraftSql.sql(other,
+        "SELECT count(*) FROM mv_dropx").collect())
+        .getMessage.toLowerCase.contains("mv_dropx"))
+      assert(!other.catalog.tableExists("mv_dropx"))
+
+      // …but a SAME-NAMED temp view the user creates afterwards is the
+      // user's own — later references must leave it alone (the drop
+      // fires once per drop generation)
+      other.sql("CREATE OR REPLACE TEMPORARY VIEW mv_dropx AS SELECT 7 AS x")
+      assert(GraftSql.sql(other,
+        "SELECT x FROM mv_dropx").collect()(0).getInt(0) == 7)
+    } finally {
+      GraftServer.unregister("mvdropx")
+      GraftMatviews.reset()
+    }
+  }
+
   test("JOIN matview: fact JOIN dim ON fk = dim._id, min/max columns") {
     val s = spark
     import s.implicits._

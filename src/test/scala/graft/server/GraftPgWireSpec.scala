@@ -950,6 +950,43 @@ class GraftPgWireSpec extends AnyFunSuite {
       PgScram.parseVerifier("md5abc")).getMessage.contains("not a"))
   }
 
+  test("PgScram exchange: m= mandatory extension and wrong c= are refused") {
+    val salt = Array.tabulate[Byte](16)(i => (i * 3).toByte)
+    val ver = PgScram.verifier("pw", salt, 4096)
+    val b64 = java.util.Base64.getEncoder
+    def hmac(k: Array[Byte], m: String): Array[Byte] = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(k, "HmacSHA256"))
+      mac.doFinal(m.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    def sha(b: Array[Byte]) =
+      java.security.MessageDigest.getInstance("SHA-256").digest(b)
+    // RFC 5802 §5.1: m= in client-first announces a mandatory extension
+    // the server doesn't know — the exchange MUST fail, before any
+    // secret-derived byte is produced
+    val exM = new PgScram.Exchange("u", _ => Some(ver), "SNONCE")
+    assert(intercept[IllegalArgumentException](
+      exM.serverFirst("n,,m=ext,n=,r=cn")).getMessage
+      .contains("mandatory extension"))
+    // c= in client-final MUST equal base64(gs2 header from client-first):
+    // run one valid-proof exchange per c= candidate and flip only c=
+    def attempt(cAttr: String): Option[String] = {
+      val ex = new PgScram.Exchange("u", _ => Some(ver), "SNONCE")
+      val bare = "n=,r=cn"
+      val sf = ex.serverFirst(s"n,,$bare")
+      val nonce = sf.split(",").find(_.startsWith("r=")).get.substring(2)
+      val sp = PgScram.saltedPassword("pw", salt, 4096)
+      val ck = hmac(sp, "Client Key")
+      val woProof = s"c=$cAttr,r=$nonce"
+      val sig = hmac(sha(ck), s"$bare,$sf,$woProof")
+      val proof = ck.zip(sig).map { case (a, x) => (a ^ x).toByte }
+      ex.verifyClientFinal(woProof + ",p=" + b64.encodeToString(proof))
+    }
+    assert(attempt("biws").isDefined) // biws = b64("n,,") — the real header
+    assert(attempt("eSws").isEmpty) // eSws = b64("y,,") — header mismatch
+    assert(attempt("cD10bHMtdW5pcXVlLCws").isEmpty) // fabricated p=… header
+  }
+
   test("pgwire: LLM procedures + matview DDL are plain SQL text") {
     SparkSession.getActiveSession.foreach(_.stop())
     SparkSession.getDefaultSession.foreach(_.stop())

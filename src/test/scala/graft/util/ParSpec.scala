@@ -57,6 +57,25 @@ class ParSpec extends AnyFunSuite {
     assert(Par.spread(tiny) eq tiny)
   }
 
+  test("force: floors at ~1 MB — big inputs exchange, trivial ones don't") {
+    val s = spark
+    import s.implicits._
+    val target = spark.sparkContext.defaultParallelism
+    // per-row-expensive stage over a REAL corpus: force overrides the
+    // per-partition work gate and exchanges to target
+    val big = bigNarrow(1)
+    assert(Par.spread(big, force = true).rdd.getNumPartitions == target)
+    // …but a trivially small input (sub-MB estimate) keeps its layout:
+    // the serial work it would parallelize is less than the exchange's
+    // fixed cost (the r10 q68/q69 2× regression)
+    val tiny = s.range(0, 500, 1, 1).select($"id", ($"id" * 2).as("v"))
+    assert(Par.spread(tiny, force = true) eq tiny)
+    // the floor is tunable — drop it and the same tiny input exchanges
+    spark.conf.set("spark.graft.spread.forceMinBytes", "1")
+    try assert(Par.spread(tiny, force = true).rdd.getNumPartitions == target)
+    finally spark.conf.unset("spark.graft.spread.forceMinBytes")
+  }
+
   test("spread.enabled=false is a global off switch") {
     spark.conf.set("spark.graft.spread.enabled", "false")
     try {
