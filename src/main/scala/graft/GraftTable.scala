@@ -112,10 +112,12 @@ final class GraftTable(spark: SparkSession, dir: String,
   def matview(name: String, groupCol: String, sumCols: Seq[String],
               validAt: Timestamp, nBuckets: Int = 32,
               minCols: Seq[String] = Nil,
-              maxCols: Seq[String] = Nil): graft.bitemporal.Matview =
+              maxCols: Seq[String] = Nil,
+              cntCols: Seq[String] = Nil,
+              where: Option[String] = None): graft.bitemporal.Matview =
     new graft.bitemporal.Matview(spark, log,
       java.nio.file.Paths.get(dir, "matview", name), payloadCols,
-      groupCol, sumCols, validAt, nBuckets, minCols, maxCols)
+      groupCol, sumCols, validAt, nBuckets, minCols, maxCols, cntCols, where)
 
   /** Fold the log into the partitioned rectangle base — incrementally
     * when one exists (cost ∝ tail ids, not total history). The base

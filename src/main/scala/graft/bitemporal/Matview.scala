@@ -44,11 +44,14 @@ final class Matview private[graft] (
     spark: SparkSession, log: TxLog, stateRoot: Path,
     payloadCols: Seq[String], groupCol: String, sumCols: Seq[String],
     validAt: Timestamp, nBuckets: Int,
-    minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil) {
+    minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+    cntCols: Seq[String] = Nil, whereSql: Option[String] = None) {
   require(sumCols.forall(payloadCols.contains),
     s"sum columns $sumCols must be payload columns $payloadCols")
   require((minCols ++ maxCols).forall(payloadCols.contains),
     s"min/max columns ${minCols ++ maxCols} must be payload columns $payloadCols")
+  require(cntCols.forall(payloadCols.contains),
+    s"count columns $cntCols must be payload columns $payloadCols")
   require(nBuckets > 0, "nBuckets must be positive")
 
   private val dataDir = stateRoot.resolve("state")
@@ -74,11 +77,25 @@ final class Matview private[graft] (
   private def sumAlias(c: String) = s"sum_$c"
   private def minAlias(c: String) = s"min_$c"
   private def maxAlias(c: String) = s"max_$c"
+  private def cntAlias(c: String) = s"cnt_$c"
   private def mmAliases: Seq[String] =
     minCols.map(minAlias) ++ maxCols.map(maxAlias)
   private def mmAggs =
     minCols.map(c => min(col(c)).as(minAlias(c))) ++
       maxCols.map(c => max(col(c)).as(maxAlias(c)))
+  // COUNT(col) = per-column NON-NULL counter — self-maintainable the
+  // same way n is (a delta subtracts like a count does; null cells
+  // simply never contribute)
+  private def cntAggs =
+    cntCols.map(c => count(col(c)).as(cntAlias(c)))
+
+  /** The maintained relation is the FILTERED visible relation when the
+    * view declares a WHERE: a row-local deterministic predicate
+    * commutes with the Δ-rules (old and new contributions both apply
+    * it), so incrementality is untouched — a tail row that leaves or
+    * enters the predicate behaves exactly like a delete or insert. */
+  private def sieve(visible: DataFrame): DataFrame =
+    whereSql.map(w => visible.filter(expr(w))).getOrElse(visible)
 
   /** Hash bucket of the group key (null-safe: null groups get a real
     * bucket, not a hive default partition). */
@@ -92,19 +109,19 @@ final class Matview private[graft] (
   /** Per-group COUNT/SUM contribution of `ops` at the view's basis —
     * the self-maintainable part, used on both sides of the delta. */
   private def contrib(ops: DataFrame): DataFrame =
-    Bitemporal.asOf(Bitemporal.fold(ops, payloadCols),
-        lit(validAt), lit(sysProbe))
+    sieve(Bitemporal.asOf(Bitemporal.fold(ops, payloadCols),
+        lit(validAt), lit(sysProbe)))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
-        sumCols.map(c => sum(col(c)).as(sumAlias(c))): _*)
+        sumCols.map(c => sum(col(c)).as(sumAlias(c))) ++ cntAggs: _*)
 
   /** Full per-group aggregate INCLUDING min/max — only valid over a
     * COMPLETE visible relation (first build, truncation rebuild), never
     * over a delta: min/max don't subtract. */
   private def fullAgg(visible: DataFrame): DataFrame =
-    visible.groupBy(col(groupCol))
+    sieve(visible).groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
-        sumCols.map(c => sum(col(c)).as(sumAlias(c))) ++ mmAggs: _*)
+        sumCols.map(c => sum(col(c)).as(sumAlias(c))) ++ cntAggs ++ mmAggs: _*)
 
   /** Rebuild the whole state from the RECTANGLE relation (base +
     * tail via the persisted base watermark) — the path that stays
@@ -215,11 +232,14 @@ final class Matview private[graft] (
       .select(
         coalesce(col(s"n.$groupCol"), col(s"o.$groupCol")).as(groupCol) +:
           (coalesce(col("n.n"), lit(0L)) - coalesce(col("o.n"), lit(0L))).as("n") +:
-          sumCols.map { c =>
+          (sumCols.map { c =>
             val a = sumAlias(c)
             (coalesce(col(s"n.$a"), lit(0)) - coalesce(col(s"o.$a"), lit(0)))
               .cast(sumT(a)).as(a)
-          }: _*)
+          } ++ cntCols.map { c =>
+            val a = cntAlias(c)
+            (coalesce(col(s"n.$a"), lit(0L)) - coalesce(col(s"o.$a"), lit(0L))).as(a)
+          }): _*)
       .withColumn("_bucket", bucketCol)
     // the delta feeds BOTH the affected-bucket collect and the state
     // merge below — checkpoint it once (rows ∝ touched groups, tiny)
@@ -247,6 +267,9 @@ final class Matview private[graft] (
             val a = sumAlias(c)
             (coalesce(col(s"s.$a"), lit(0)) + coalesce(col(s"d.$a"), lit(0)))
               .cast(sumT(a)).as(a)
+          } ++ cntCols.map { c =>
+            val a = cntAlias(c)
+            (coalesce(col(s"s.$a"), lit(0L)) + coalesce(col(s"d.$a"), lit(0L))).as(a)
           } ++
             // state's min/max ride along for groups in an affected
             // bucket that this refresh does NOT touch (null for brand
@@ -277,6 +300,7 @@ final class Matview private[graft] (
         mrg.select(
           col(s"m.$groupCol").as(groupCol) +: col("m.n").as("n") +:
             (sumCols.map(c => col(s"m.${sumAlias(c)}").as(sumAlias(c))) ++
+              cntCols.map(c => col(s"m.${cntAlias(c)}").as(cntAlias(c))) ++
               // the _mm flag (not coalesce) decides: a touched group
               // whose recomputed extreme is legitimately NULL (all
               // values null) must not fall back to the stale state

@@ -174,6 +174,53 @@ object Bitemp {
       } finally graft.server.GraftServer.unregister("mvddl_accts")
     }),
 
+    // r11 matview DDL growth: COUNT(col) (per-column non-null counter),
+    // AVG (served as SUM/COUNT at read), and a WHERE predicate that
+    // commutes with the Δ-rules — driven as pure SQL text. The bal
+    // bump crosses the WHERE boundary for some accounts (negative
+    // balances entering bal > 0), the delete removes rows, and score's
+    // NULL pattern exercises the null tracking COUNT(col) needs.
+    "q164_sql_matview_avg" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvavg_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      graft.server.GraftMatviews.reset()
+      val t = new GraftTable(s, tmp, Seq("grp", "bal", "score"))
+      graft.server.GraftServer.register("mvavg_accts", t)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val cust = T(s, dir, "customer").select($"c_custkey".as("id"),
+          $"c_nationkey".cast("string").as("g"),
+          $"c_acctbal".cast("decimal(12,2)").as("m"),
+          when($"c_custkey" % 3 === 0, lit(null))
+            .otherwise($"c_acctbal").cast("decimal(12,2)").as("sc"))
+        t.put(cust, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "bal" -> $"m", "score" -> $"sc"),
+          ts("2020-01-01 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvavg_by_nation WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+            "SELECT grp, COUNT(*) AS n, COUNT(score) AS n_score, " +
+            "SUM(bal) AS sum_bal, AVG(bal) AS avg_bal " +
+            "FROM mvavg_accts WHERE bal > 0 GROUP BY grp")
+        t.put(cust.filter($"id" % 10 === 0)
+            .withColumn("m2", ($"m" + 100).cast("decimal(12,2)")),
+          $"id", lit("2000-06-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "bal" -> $"m2", "score" -> $"sc"),
+          ts("2020-01-02 00:00:00"))
+        t.delete(cust.filter($"id" % 13 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> lit(null).cast("string"),
+            "bal" -> lit(null).cast("decimal(12,2)"),
+            "score" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-03 00:00:00"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvavg_by_nation")
+        graft.server.GraftSql.sql(s,
+          "SELECT grp, n, n_score, CAST(sum_bal AS DOUBLE) AS sum_bal, " +
+            "avg_bal FROM mvavg_by_nation ORDER BY grp")
+      } finally graft.server.GraftServer.unregister("mvavg_accts")
+    }),
+
     // JOIN matview (r7): orders ⋈ customers grouped by the CUSTOMER's
     // region — maintained incrementally from BOTH logs' tails by the
     // Δ(A⋈B) rules. The second refresh folds a fact tail (price bump +
@@ -723,6 +770,28 @@ object Bitemp {
       SELECT grp, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(bal) AS DOUBLE) AS sum_bal
       FROM eff GROUP BY grp ORDER BY grp""",
+
+    // from-scratch recompute of the COUNT(col)/AVG/WHERE view: bump
+    // every 10th (+100 crosses the bal > 0 boundary for negative
+    // balances), drop every 13th, filter, then count/sum/avg — avg is
+    // served as double(exact decimal sum) / non-null count, the same
+    // IEEE division both engines perform
+    "q164_sql_matview_avg" -> """
+      WITH c AS (SELECT c_custkey AS k, CAST(c_nationkey AS VARCHAR) AS grp,
+                        CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+                        CASE WHEN c_custkey % 3 = 0 THEN NULL
+                             ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS score
+                 FROM customer),
+      eff AS (SELECT grp,
+                     CASE WHEN k % 10 = 0 THEN bal + 100 ELSE bal END AS bal,
+                     score
+              FROM c WHERE k % 13 <> 0),
+      vis AS (SELECT * FROM eff WHERE bal > 0)
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(score) AS BIGINT) AS n_score,
+             CAST(sum(bal) AS DOUBLE) AS sum_bal,
+             CAST(sum(bal) AS DOUBLE) / count(bal) AS avg_bal
+      FROM vis GROUP BY grp ORDER BY grp""",
 
     // from-scratch recompute of the min/max view's final state
     "q149_matview_minmax" -> """

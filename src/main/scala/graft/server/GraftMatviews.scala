@@ -25,12 +25,15 @@ import graft.bitemporal.{BitemporalDml, SqlText}
   * }}}
   *
   * The accepted SELECT shape is exactly what the engine can maintain
-  * incrementally — COUNT(*) / SUM / MIN / MAX per ONE group column over
-  * a graft-registered table, optionally joined to a second registered
-  * table on `fk = dim._id` (the Δ(A⋈B) join-view rules). Anything else
-  * is rejected with a message saying so: a matview the engine could not
-  * refresh incrementally would silently be a snapshot, which is the one
-  * thing a user must not discover in production.
+  * incrementally — COUNT(*) / COUNT(col) / SUM / AVG / MIN / MAX per
+  * ONE group column over a graft-registered table, with an optional
+  * row-local deterministic WHERE (the predicate commutes with the
+  * Δ-rules), or — without COUNT(col)/AVG/WHERE — joined to a second
+  * registered table on `fk = dim._id` (the Δ(A⋈B) join-view rules).
+  * Anything else is rejected with a message saying so: a matview the
+  * engine could not refresh incrementally would silently be a
+  * snapshot, which is the one thing a user must not discover in
+  * production.
   *
   * CREATE populates the view (Postgres semantics — `WITH NO DATA` is
   * deliberately unsupported since first refresh == first build here);
@@ -88,7 +91,17 @@ object GraftMatviews {
   private val selectRe =
     ("(?is)^SELECT\\s+([\\s\\S]*?)\\s+FROM\\s+([A-Za-z_]\\w*)\\s*" +
       "(?:JOIN\\s+([A-Za-z_]\\w*)\\s+ON\\s+([\\s\\S]*?)\\s+)?" +
+      "(?:WHERE\\s+([\\s\\S]*?)\\s+)?" +
       "GROUP\\s+BY\\s+([A-Za-z_](?:\\w|\\.)*)\\s*$").r
+
+  // WHERE must be a row-local DETERMINISTIC predicate for the Δ-rules
+  // to commute with it: subqueries see other rows, and random/clock
+  // functions would make the state's old contribution unreproducible.
+  // Blocklist checked OUTSIDE string literals; unknown columns etc.
+  // surface loudly from the first (populating) refresh's analysis.
+  private val whereBlocked = java.util.regex.Pattern.compile(
+    "(?i)\\b(select|rand|randn|random|uuid|shuffle|current_timestamp|" +
+      "current_date|current_time|now|localtimestamp|unix_timestamp)\\b")
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(msg)
@@ -137,8 +150,9 @@ object GraftMatviews {
       case _ => fail(
         "malformed materialized-view DDL; accepted forms:\n" +
           "  CREATE MATERIALIZED VIEW v [WITH (valid_at = 'ts', buckets = n)]" +
-          " AS SELECT g, COUNT(*) [AS a], SUM(c) [AS a], MIN(c), MAX(c)" +
-          " FROM fact [JOIN dim ON fk = dim._id] GROUP BY g\n" +
+          " AS SELECT g, COUNT(*) [AS a], COUNT(c), SUM(c), AVG(c)," +
+          " MIN(c), MAX(c) FROM fact [JOIN dim ON fk = dim._id]" +
+          " [WHERE pred] GROUP BY g\n" +
           "  REFRESH MATERIALIZED VIEW v\n  DROP MATERIALIZED VIEW v")
     })
   }
@@ -175,23 +189,39 @@ object GraftMatviews {
       .getOrElse(new Timestamp(System.currentTimeMillis()))
     val buckets = optMap.get("buckets").map(_.toInt)
 
-    val (list, factName, dimName, onExpr, groupBy) = select.trim match {
-      case selectRe(l, f, d, on, g) => (l, f, Option(d), Option(on), g)
-      case _ => fail("materialized-view SELECT must be: SELECT <g>, " +
-        "COUNT(*)/SUM/MIN/MAX(col) [AS alias], … FROM <table> " +
-        "[JOIN <dim> ON <fk> = <dim>._id] GROUP BY <g> — subqueries, " +
-        "WHERE, HAVING and expression aggregates are not incrementally " +
-        "maintainable here and are rejected rather than snapshotted")
-    }
+    val (list, factName, dimName, onExpr, whereOpt, groupBy) =
+      select.trim match {
+        case selectRe(l, f, d, on, w, g) =>
+          (l, f, Option(d), Option(on), Option(w), g)
+        case _ => fail("materialized-view SELECT must be: SELECT <g>, " +
+          "COUNT(*)/COUNT(col)/SUM/AVG/MIN/MAX(col) [AS alias], … FROM " +
+          "<table> [JOIN <dim> ON <fk> = <dim>._id] [WHERE <predicate>] " +
+          "GROUP BY <g> — subqueries, HAVING and expression aggregates " +
+          "are not incrementally maintainable here and are rejected " +
+          "rather than snapshotted")
+      }
     val group = unqualify(groupBy)
 
-    val aggRe = "(?is)^(COUNT|SUM|MIN|MAX)\\s*\\(\\s*([*]|[A-Za-z_](?:\\w|\\.)*)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
+    whereOpt.foreach { w =>
+      val spans = SqlText.maskedSpans(w)
+      val m = whereBlocked.matcher(w)
+      while (m.find()) {
+        if (!SqlText.masked(spans, m.start()))
+          fail(s"WHERE contains '${m.group(1)}': the predicate must be a " +
+            "deterministic row-local expression over the table's columns " +
+            "(no subqueries, no random/clock functions) — anything else " +
+            "cannot be re-derived by the incremental Δ-rules")
+      }
+    }
+
+    val aggRe = "(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*([*]|[A-Za-z_](?:\\w|\\.)*)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
     val identRe = "(?is)^([A-Za-z_](?:\\w|\\.)*)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
 
     var groupAlias = group
     val sums = Seq.newBuilder[String]
     val mins = Seq.newBuilder[String]
     val maxs = Seq.newBuilder[String]
+    val cnts = Seq.newBuilder[String]
     // canonical -> alias, in SELECT order (group handled separately)
     val serve = Seq.newBuilder[(String, String)]
     BitemporalDml.splitTopLevel(list).map(_.trim).filter(_.nonEmpty)
@@ -202,11 +232,18 @@ object GraftMatviews {
           (fn, arg) match {
             case ("COUNT", "*") =>
               serve += ("n" -> Option(alias).getOrElse("n"))
-            case ("COUNT", _) => fail(
-              s"COUNT($arg0): only COUNT(*) is maintainable (COUNT(col) " +
-                "needs null tracking per column — not implemented)")
+            case ("COUNT", c) =>
+              // per-column NON-NULL counter: self-maintainable exactly
+              // like n (a null cell never contributes to the delta)
+              cnts += c
+              serve += (s"cnt_$c" -> Option(alias).getOrElse(s"cnt_$c"))
             case ("SUM", c) =>
               sums += c; serve += (s"sum_$c" -> Option(alias).getOrElse(s"sum_$c"))
+            case ("AVG", c) =>
+              // AVG = SUM / COUNT(col) at READ time — zero new state
+              // mechanics, both constituents are already maintainable
+              sums += c; cnts += c
+              serve += (s"avg_$c" -> Option(alias).getOrElse(s"avg_$c"))
             case ("MIN", c) =>
               mins += c; serve += (s"min_$c" -> Option(alias).getOrElse(s"min_$c"))
             case ("MAX", c) =>
@@ -216,18 +253,23 @@ object GraftMatviews {
         case identRe(g, alias) if unqualify(g) == group =>
           groupAlias = Option(alias).getOrElse(group)
         case other => fail(s"select item '$other' is neither the GROUP BY " +
-          s"column ($group) nor COUNT(*)/SUM/MIN/MAX(col)")
+          s"column ($group) nor COUNT(*)/COUNT(col)/SUM/AVG/MIN/MAX(col)")
       }
 
     val fact = graftTable(factName)
     val serveAll = ("__group__" -> groupAlias) +: serve.result()
     val handle = dimName match {
       case None =>
-        val mv = fact.matview(name, group, sums.result(), validAt,
-          buckets.getOrElse(32), mins.result(), maxs.result())
+        val mv = fact.matview(name, group, sums.result().distinct, validAt,
+          buckets.getOrElse(32), mins.result(), maxs.result(),
+          cnts.result().distinct, whereOpt)
         Handle(name, serveAll, sess => mv.read(sess),
           () => (mv.refresh(), None), matviewDir(factName, "matview", name))
       case Some(dn) =>
+        if (cnts.result().nonEmpty || whereOpt.isDefined)
+          fail("COUNT(col)/AVG/WHERE on the JOIN matview form is not " +
+            "implemented (the Δ(A⋈B) rules here maintain COUNT(*)/SUM/" +
+            "MIN/MAX only) — rejected rather than snapshotted")
         val dim = graftTable(dn)
         val on = onExpr.getOrElse(fail("JOIN requires ON fk = dim._id"))
         val sides = on.split("=").map(_.trim)
@@ -274,6 +316,13 @@ object GraftMatviews {
     val cols =
       h.serveCols.map {
         case ("__group__", alias) => col(groupCol).as(alias)
+        case (canon, alias) if canon.startsWith("avg_") =>
+          // AVG serves as SUM/COUNT(col) in DOUBLE (the portable SQL
+          // answer); the when-guard keeps an all-null group at NULL
+          // instead of an ANSI division-by-zero
+          val c = canon.stripPrefix("avg_")
+          when(col(s"cnt_$c") > 0,
+            col(s"sum_$c").cast("double") / col(s"cnt_$c")).as(alias)
         case (canon, alias) => col(canon).as(alias)
       }
     df0.select(cols: _*).createOrReplaceTempView(h.name)

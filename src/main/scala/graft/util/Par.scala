@@ -28,16 +28,23 @@ object Par {
   private val MinBytesKey = "spark.graft.spread.minBytes"
   private val MinBytesDefault = 4L * 1024 * 1024
 
-  /** `force = true` floor: below this TOTAL estimated input size even a
-    * per-row-expensive stage's serial work is bounded by a handful of
-    * rows, and the exchange's fixed cost (~0.2–0.4 s of task launch +
-    * shuffle IO) exceeds what it parallelizes. Measured on the r10
-    * image/wav family (sub-MB (doc_id, source) projections): the forced
-    * exchange DOUBLED the queries. At real scale any corpus projection
-    * clears a megabyte instantly, so the floor never degrades a 100 TB
-    * plan. Tunable via `spark.graft.spread.forceMinBytes`. */
-  private val ForceMinBytesKey = "spark.graft.spread.forceMinBytes"
-  private val ForceMinBytesDefault = 1L * 1024 * 1024
+  /** `force = true` partition sizing: the exchange always happens (the
+    * point of force is that fixture FILE LAYOUT can never decide a
+    * per-row-expensive stage's parallelism), but its WIDTH follows the
+    * estimated input — one output partition per this many input bytes,
+    * floored at 8 and capped at the session default. Measured (r11,
+    * sf0.1 media family): a 32-wide exchange of a sub-MB projection
+    * pays ~0.2–0.3 s of task-launch fixed cost; the same exchange at 8
+    * costs ≈ nothing while still parallelizing a 2 s serial synthesis
+    * 8×. Bytes-derived width is layout-invariant — both a single-file
+    * and a 16-part copy of the same corpus compute the same k — which
+    * a `current partitions`-based rule is not. At real scale the
+    * estimate clears `target × forcePartBytes` instantly and the
+    * exchange is full-width (or, with enough native splits, skipped by
+    * the `current >= target` no-op above). Tunable via
+    * `spark.graft.spread.forcePartBytes`. */
+  private val ForcePartBytesKey = "spark.graft.spread.forcePartBytes"
+  private val ForcePartBytesDefault = 32L * 1024
 
   /** Round-robin repartition `df` to the session's default parallelism
     * iff its current plan has fewer partitions than that AND
@@ -94,13 +101,15 @@ object Par {
     if (current >= target) return df
     val bytes = plan.stats.sizeInBytes
     if (force) {
-      // force overrides the PER-PARTITION work heuristic (the caller
-      // knows each row is expensive), but not the trivially-small
-      // floor: a sub-MB input's whole serial cost is less than the
-      // exchange's fixed cost, so layout determinism buys nothing there
-      val forceMin = spark.conf.getOption(ForceMinBytesKey).map(_.toLong)
-        .getOrElse(ForceMinBytesDefault)
-      return if (bytes >= forceMin) df.repartition(target) else df
+      // force overrides the work heuristic (the caller knows each row
+      // is expensive) — but the exchange is sized to the input, not the
+      // session: small inputs don't pay 32 tasks' launch cost for 5k
+      // rows, and the width is a pure function of the byte estimate so
+      // every layout of the same corpus plans the same shape
+      val per = spark.conf.getOption(ForcePartBytesKey).map(_.toLong)
+        .getOrElse(ForcePartBytesDefault)
+      val wanted = ((bytes + per - 1) / per).min(BigInt(target)).toInt
+      return df.repartition(math.max(wanted, math.min(8, target)))
     }
     val minBytes =
       spark.conf.getOption(MinBytesKey).map(_.toLong).getOrElse(MinBytesDefault)

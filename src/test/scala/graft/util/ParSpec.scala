@@ -57,23 +57,30 @@ class ParSpec extends AnyFunSuite {
     assert(Par.spread(tiny) eq tiny)
   }
 
-  test("force: floors at ~1 MB — big inputs exchange, trivial ones don't") {
+  test("force: exchange width follows the byte estimate, never the layout") {
     val s = spark
     import s.implicits._
     val target = spark.sparkContext.defaultParallelism
-    // per-row-expensive stage over a REAL corpus: force overrides the
-    // per-partition work gate and exchanges to target
+    // a real corpus estimate (≫ target × 32 KB) exchanges full-width
     val big = bigNarrow(1)
     assert(Par.spread(big, force = true).rdd.getNumPartitions == target)
-    // …but a trivially small input (sub-MB estimate) keeps its layout:
-    // the serial work it would parallelize is less than the exchange's
-    // fixed cost (the r10 q68/q69 2× regression)
+    // a small input still exchanges (layout determinism is the point —
+    // the r10 A/B showed a single-file layout running a 2 s synthesis
+    // SERIALLY when the exchange was skipped) but only 8-wide: ~zero
+    // fixed cost instead of 32 task launches (the r10 q68/q69 2×)
+    val floor = math.min(8, target)
     val tiny = s.range(0, 500, 1, 1).select($"id", ($"id" * 2).as("v"))
-    assert(Par.spread(tiny, force = true) eq tiny)
-    // the floor is tunable — drop it and the same tiny input exchanges
-    spark.conf.set("spark.graft.spread.forceMinBytes", "1")
-    try assert(Par.spread(tiny, force = true).rdd.getNumPartitions == target)
-    finally spark.conf.unset("spark.graft.spread.forceMinBytes")
+    assert(Par.spread(tiny, force = true).rdd.getNumPartitions == floor)
+    // …and the width is a pure function of BYTES: the same tiny input
+    // pre-split 3 ways plans the identical exchange — file layout can
+    // never move a forced stage's parallelism between sessions
+    val tiny3 = s.range(0, 500, 1, 3).select($"id", ($"id" * 2).as("v"))
+    assert(Par.spread(tiny3, force = true).rdd.getNumPartitions == floor)
+    // the per-partition byte knob scales the width
+    spark.conf.set("spark.graft.spread.forcePartBytes", (1024L * 1024 * 1024).toString)
+    try assert(Par.spread(bigNarrow(1), force = true)
+      .rdd.getNumPartitions == floor)
+    finally spark.conf.unset("spark.graft.spread.forcePartBytes")
   }
 
   test("spread.enabled=false is a global off switch") {
