@@ -73,8 +73,15 @@ object GraftMatviews {
 
   private[graft] def registeredViews: Set[String] = views.keySet.toSet
 
-  /** For tests/tools: forget every registered view (state untouched). */
-  def reset(): Unit = { views.clear(); droppedGen.clear() }
+  /** For tests/tools: forget every registered view (state untouched).
+    * dropSeen is cleared WITH the generations: generations restart at 1
+    * after a reset, and a surviving session holding a higher seen
+    * marker would otherwise suppress the stale-temp-view cleanup for
+    * same-named views dropped after the reset. */
+  def reset(): Unit = {
+    views.clear(); droppedGen.clear()
+    dropSeen.synchronized { dropSeen.clear() }
+  }
 
   private val ddlHead = java.util.regex.Pattern.compile(
     "^\\s*(CREATE|REFRESH|DROP)\\s+MATERIALIZED\\s+VIEW\\b",
@@ -97,11 +104,51 @@ object GraftMatviews {
   // WHERE must be a row-local DETERMINISTIC predicate for the Δ-rules
   // to commute with it: subqueries see other rows, and random/clock
   // functions would make the state's old contribution unreproducible.
-  // Blocklist checked OUTSIDE string literals; unknown columns etc.
-  // surface loudly from the first (populating) refresh's analysis.
-  private val whereBlocked = java.util.regex.Pattern.compile(
-    "(?i)\\b(select|rand|randn|random|uuid|shuffle|current_timestamp|" +
-      "current_date|current_time|now|localtimestamp|unix_timestamp)\\b")
+  // Validated SEMANTICALLY (not by name regex): the predicate is
+  // analyzed against the maintained relation's schema and the resolved
+  // Catalyst tree is walked — any non-deterministic expression, any
+  // subquery (PlanExpression), and the clock family (which Catalyst
+  // flags deterministic because it is constant WITHIN one query — the
+  // exact property a view maintained ACROSS queries cannot rely on)
+  // are rejected by what they ARE, so aliases (curdate, now, reflect)
+  // and future builtins can't slip past a name list.
+  private val clockClasses = Set(
+    "CurrentDate", "CurrentTimestamp", "Now", "LocalTimestamp",
+    "CurrentTime", "CurrentTimeZone", "CurrentBatchTimestamp",
+    // arbitrary JVM calls (java_method/reflect): deterministic-flagged
+    // but can read anything, including the clock
+    "CallMethodViaReflection")
+
+  private def validateWhere(base: DataFrame, w: String): Unit = {
+    val analyzed =
+      try base.filter(expr(w)).queryExecution.analyzed
+      catch { case e: Exception =>
+        fail(s"WHERE does not analyze against the maintained relation " +
+          s"(the predicate must be a deterministic row-local expression " +
+          s"over the table's columns): ${e.getMessage}")
+      }
+    analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }.foreach { cond =>
+      cond.foreach { e =>
+        if (e.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
+          fail("WHERE contains a subquery: the predicate must be a " +
+            "deterministic row-local expression — a subquery sees other " +
+            "rows, which the incremental Δ-rules cannot re-derive")
+        if (!e.deterministic)
+          fail(s"WHERE contains the non-deterministic expression " +
+            s"'${e.prettyName}': the state's old contribution could not " +
+            "be reproduced by the incremental Δ-rules")
+        if (clockClasses.contains(e.getClass.getSimpleName))
+          fail(s"WHERE reads the clock ('${e.prettyName}'): the predicate " +
+            "must be a deterministic row-local expression — a maintained " +
+            "relation that drifts with wall time cannot be refreshed " +
+            "from Δs")
+      }
+    }
+  }
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(msg)
@@ -202,18 +249,6 @@ object GraftMatviews {
       }
     val group = unqualify(groupBy)
 
-    whereOpt.foreach { w =>
-      val spans = SqlText.maskedSpans(w)
-      val m = whereBlocked.matcher(w)
-      while (m.find()) {
-        if (!SqlText.masked(spans, m.start()))
-          fail(s"WHERE contains '${m.group(1)}': the predicate must be a " +
-            "deterministic row-local expression over the table's columns " +
-            "(no subqueries, no random/clock functions) — anything else " +
-            "cannot be re-derived by the incremental Δ-rules")
-      }
-    }
-
     val aggRe = "(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*([*]|[A-Za-z_](?:\\w|\\.)*)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
     val identRe = "(?is)^([A-Za-z_](?:\\w|\\.)*)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
 
@@ -257,6 +292,14 @@ object GraftMatviews {
       }
 
     val fact = graftTable(factName)
+    // semantic WHERE validation, against the maintained relation's own
+    // schema (the single-table sieve sees the payload AND the temporal
+    // columns — `_valid_from < '2030-01-01'` is a legitimate row-local
+    // predicate); the join form validates against the joined payload
+    // schema below
+    if (dimName.isEmpty) whereOpt.foreach { w =>
+      validateWhere(fact.current(spark), w)
+    }
     val serveAll = ("__group__" -> groupAlias) +: serve.result()
     val handle = dimName match {
       case None =>
@@ -308,14 +351,23 @@ object GraftMatviews {
     java.nio.file.Paths.get(dir, kind, name)
   }
 
+  /** Column-metadata marker stamped on every matview temp-view
+    * registration: the stale-registration cleanup after a DROP may only
+    * delete a temp view it can PROVE this module registered — a user's
+    * own same-named view (created through any non-graft path) carries
+    * no marker and is left alone. */
+  private[server] val MvTagKey = "graft.matview"
+
   /** (Re-)register `name` IN `session` as a temp view over the CURRENT
     * state with the user's aliases, group column first. */
   private def registerView(session: SparkSession, h: Handle): Unit = {
     val df0 = h.read(session)
     val groupCol = df0.columns.headOption.getOrElse("group")
+    val tag = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(MvTagKey, h.name).build()
     val cols =
       h.serveCols.map {
-        case ("__group__", alias) => col(groupCol).as(alias)
+        case ("__group__", alias) => col(groupCol).as(alias, tag)
         case (canon, alias) if canon.startsWith("avg_") =>
           // AVG serves as SUM/COUNT(col) in DOUBLE (the portable SQL
           // answer); the when-guard keeps an all-null group at NULL
@@ -346,16 +398,28 @@ object GraftMatviews {
     // a DROPPED view's name may survive as an inherited temp view in
     // THIS session (cloned state): drop it the first time the session
     // references the name after the drop — once per drop generation,
-    // so a same-named temp view the user creates later is left alone
+    // and ONLY when the existing temp view provably IS the stale
+    // matview registration (the MvTagKey column marker): a same-named
+    // view the user creates through any non-graft path between the
+    // DROP and this statement carries no marker and is left alone.
+    // The whole check-inspect-drop-mark runs under the dropSeen lock —
+    // the per-session inner map is a plain HashMap, and two concurrent
+    // statements on one session must not interleave its read/update.
     droppedGen.foreach { case (k, (origName, gen)) =>
-      if (!views.contains(k)) {
-        val seen = dropSeen.synchronized {
-          dropSeen.computeIfAbsent(spark,
-            _ => scala.collection.mutable.Map.empty)
-        }
+      if (!views.contains(k)) dropSeen.synchronized {
+        val seen = dropSeen.computeIfAbsent(spark,
+          _ => scala.collection.mutable.Map.empty)
         if (seen.getOrElse(k, 0L) < gen && referenced(origName)) {
-          try spark.catalog.dropTempView(origName)
-          catch { case _: Exception => }
+          val isStaleReg =
+            try spark.table(origName).schema.headOption
+              .exists(_.metadata.contains(MvTagKey))
+            catch { case _: Exception => false } // gone already / not a view
+          if (isStaleReg) {
+            try spark.catalog.dropTempView(origName)
+            catch { case _: Exception => }
+          }
+          // either dropped, or provably not ours: this generation is
+          // handled for this session — don't re-inspect every statement
           seen(k) = gen
         }
       }

@@ -69,8 +69,17 @@ object Par {
     * invisible), so the caller's knowledge that each row is costly is
     * the only honest gate. The worst case is a few-ms exchange of a
     * tiny input; the win is that fixture FILE LAYOUT can never decide
-    * the stage's parallelism — identical plans across sessions. */
-  def spread(df: DataFrame, force: Boolean = false): DataFrame = {
+    * the stage's parallelism — identical plans across sessions.
+    *
+    * `minWidth` is the per-call escape hatch for force callers whose
+    * per-ROW cost, not byte volume, dominates (a seconds-per-row decode
+    * over a KB-sized id projection): the byte-derived width is floored
+    * at `min(minWidth, target)` so a small-byte estimate can never cap
+    * the stage below what the caller knows it needs. Still a pure
+    * function of (bytes, minWidth, target) — layout-invariant. 0 (the
+    * default) keeps the plain bytes-derived sizing. */
+  def spread(df: DataFrame, force: Boolean = false,
+             minWidth: Int = 0): DataFrame = {
     val spark = df.sparkSession
     if (spark.conf.getOption("spark.graft.spread.enabled").contains("false"))
       return df
@@ -109,7 +118,8 @@ object Par {
       val per = spark.conf.getOption(ForcePartBytesKey).map(_.toLong)
         .getOrElse(ForcePartBytesDefault)
       val wanted = ((bytes + per - 1) / per).min(BigInt(target)).toInt
-      return df.repartition(math.max(wanted, math.min(8, target)))
+      val floor = math.max(math.min(8, target), math.min(minWidth, target))
+      return df.repartition(math.max(wanted, floor))
     }
     val minBytes =
       spark.conf.getOption(MinBytesKey).map(_.toLong).getOrElse(MinBytesDefault)

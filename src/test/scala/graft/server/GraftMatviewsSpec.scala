@@ -113,6 +113,43 @@ class GraftMatviewsSpec extends AnyFunSuite {
     }
   }
 
+  test("a user's own temp view created right after DROP survives the " +
+      "FIRST graft reference (stale cleanup drops only tagged views)") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "bal"))
+    GraftServer.register("mvdropy", t)
+    try {
+      t.put(Seq((1L, "a", 10L)).toDF("id", "g", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "bal" -> $"m"), ts("2024-01-01 00:00:00"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_dropy WITH " +
+        "(valid_at = '2030-01-01 00:00:00') AS SELECT grp, COUNT(*) AS n " +
+        "FROM mvdropy GROUP BY grp").collect()
+      val other = spark.newSession()
+      assert(GraftSql.sql(other,
+        "SELECT n FROM mv_dropy").collect()(0).getLong(0) == 1L)
+
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_dropy").collect()
+      // BEFORE any graft-routed statement references the name in the
+      // other session, the user replaces it through a NON-graft path
+      // (DataFrame API — no SQL parse, no parser hook): the stale
+      // cloned registration is gone, the name is now the user's
+      other.range(1).selectExpr("7 AS x").createOrReplaceTempView("mv_dropy")
+      // the FIRST graft reference after the drop must inspect, see no
+      // matview tag, and leave the user's view alone — the pre-r12 code
+      // dropped it here because the generation was still unseen
+      assert(GraftSql.sql(other,
+        "SELECT x FROM mv_dropy").collect()(0).getInt(0) == 7)
+      // …and keeps leaving it alone on later statements
+      assert(GraftSql.sql(other,
+        "SELECT x FROM mv_dropy").collect()(0).getInt(0) == 7)
+    } finally {
+      GraftServer.unregister("mvdropy")
+      GraftMatviews.reset()
+    }
+  }
+
   test("JOIN matview: fact JOIN dim ON fk = dim._id, min/max columns") {
     val s = spark
     import s.implicits._
@@ -264,6 +301,29 @@ class GraftMatviewsSpec extends AnyFunSuite {
       bad("CREATE MATERIALIZED VIEW v2b AS SELECT grp, COUNT(*) " +
         "FROM mvrej WHERE _valid_from < current_timestamp GROUP BY grp",
         "deterministic")
+      // the validation is SEMANTIC (resolved Catalyst tree), so name
+      // aliases and functions no blocklist ever listed are caught by
+      // what they are: clock builders, Nondeterministic expressions,
+      // arbitrary JVM reflection
+      bad("CREATE MATERIALIZED VIEW v2c AS SELECT grp, COUNT(*) " +
+        "FROM mvrej WHERE curdate() > DATE'2020-01-01' GROUP BY grp",
+        "deterministic")
+      bad("CREATE MATERIALIZED VIEW v2d AS SELECT grp, COUNT(*) " +
+        "FROM mvrej WHERE monotonically_increasing_id() > 0 GROUP BY grp",
+        "deterministic")
+      bad("CREATE MATERIALIZED VIEW v2e AS SELECT grp, COUNT(*) " +
+        "FROM mvrej WHERE bal > unix_timestamp() GROUP BY grp",
+        "deterministic")
+      bad("CREATE MATERIALIZED VIEW v2f AS SELECT grp, COUNT(*) " +
+        "FROM mvrej WHERE spark_partition_id() = 0 GROUP BY grp",
+        "deterministic")
+      bad("CREATE MATERIALIZED VIEW v2g AS SELECT grp, COUNT(*) " +
+        "FROM mvrej WHERE java_method('java.lang.System', " +
+        "'currentTimeMillis') > '0' GROUP BY grp", "deterministic")
+      // an unresolvable column fails at CREATE with the analysis story,
+      // not at the first refresh
+      bad("CREATE MATERIALIZED VIEW v2h AS SELECT grp, COUNT(*) " +
+        "FROM mvrej WHERE no_such_col > 0 GROUP BY grp", "analyze")
       // HAVING / expression aggregates still don't parse as a
       // maintainable shape
       bad("CREATE MATERIALIZED VIEW v3 AS SELECT grp, SUM(bal + 1) " +

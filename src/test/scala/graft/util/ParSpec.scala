@@ -83,6 +83,25 @@ class ParSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.spread.forcePartBytes")
   }
 
+  test("force: minWidth lifts the floor for per-row-expensive callers") {
+    val s = spark
+    import s.implicits._
+    val target = spark.sparkContext.defaultParallelism
+    // a KB-sized projection whose every ROW costs seconds (decode
+    // fixtures):
+    // the caller's minWidth overrides the byte-derived cap…
+    val tiny = s.range(0, 500, 1, 1).select($"id", ($"id" * 2).as("v"))
+    assert(Par.spread(tiny, force = true, minWidth = target)
+      .rdd.getNumPartitions == target)
+    // …capped at the session target (never over-partitions)…
+    assert(Par.spread(tiny, force = true, minWidth = target * 4)
+      .rdd.getNumPartitions == target)
+    // …and stays layout-invariant: the pre-split copy plans the same
+    val tiny3 = s.range(0, 500, 1, 3).select($"id", ($"id" * 2).as("v"))
+    assert(Par.spread(tiny3, force = true, minWidth = target)
+      .rdd.getNumPartitions == target)
+  }
+
   test("spread.enabled=false is a global off switch") {
     spark.conf.set("spark.graft.spread.enabled", "false")
     try {
