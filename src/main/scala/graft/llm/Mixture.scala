@@ -65,7 +65,10 @@ object Mixture {
                     weights: Map[String, Double], total: Long,
                     strict: Boolean = true): DataFrame = {
     val spark = df.sparkSession
-    if (strict) {
+    // the strict probe is an EXECUTION-time guard (it runs a bounded
+    // job); under plans-only mode (EXPLAIN substitution) nothing may
+    // execute — the check re-runs when the statement actually runs
+    if (strict && !graft.util.PlansOnly.active) {
       // filter-to-offenders EXECUTOR-side, then cap the collect: the
       // happy path still collects 0 rows, but a misconfigured domain
       // column (the exact mistake strict mode exists to catch) can be

@@ -46,7 +46,11 @@ object GraftProcedures {
   final case class PMapArg(m: Map[String, Double]) extends PArg
 
   final case class Proc(params: Seq[(String, Option[PArg])],
-                        fn: (SparkSession, Map[String, PArg]) => DataFrame)
+                        fn: (SparkSession, Map[String, PArg]) => DataFrame,
+                        // false only where building the PLAN inherently
+                        // executes (a data-dependent fixpoint): EXPLAIN
+                        // refuses those by name instead of running jobs
+                        explainable: Boolean = true)
 
   // Substitution views are NAMED BY CONTENT (md5 of procedure + args):
   // a repeated statement — dashboards, client retries — re-binds ONE
@@ -211,9 +215,10 @@ object GraftProcedures {
             s"multiple of bands ($bands)")
         val df = resolveTable(spark, str(a, "table"))
         val sh = Dedup.shingles(df, id, str(a, "text_col"), int(a, "shingle_n"))
-        val base = Dedup.hashedShingles(sh, id).localCheckpoint()
+        val base = graft.util.PlansOnly.cp(Dedup.hashedShingles(sh, id))
         val rare = Dedup.rareShingles(base, id, dbl(a, "max_df"))
-        val sig = Dedup.minhashSignature(rare, id, k).localCheckpoint()
+        val sig =
+          graft.util.PlansOnly.cp(Dedup.minhashSignature(rare, id, k))
         val cand = Dedup.minhashCandidates(sig, id, k, bands)
         Dedup.jaccardOnCandidates(base, id, cand)
           .filter(col("jaccard") >= dbl(a, "min_jaccard"))
@@ -345,15 +350,21 @@ object GraftProcedures {
             s"of bands ($bands)")
         val df = resolveTable(spark, str(a, "table"))
         val sh = Dedup.shingles(df, id, str(a, "text_col"), int(a, "shingle_n"))
-        val base = Dedup.hashedShingles(sh, id).localCheckpoint()
+        val base = graft.util.PlansOnly.cp(Dedup.hashedShingles(sh, id))
         val rare = Dedup.rareShingles(base, id, dbl(a, "max_df"))
-        val sig = Dedup.minhashSignature(rare, id, k).localCheckpoint()
+        val sig =
+          graft.util.PlansOnly.cp(Dedup.minhashSignature(rare, id, k))
         val cand = Dedup.minhashCandidates(sig, id, k, bands)
         val pairs = Dedup.jaccardOnCandidates(base, id, cand)
           .filter(col("jaccard") >= dbl(a, "min_jaccard"))
           .select("id_a", "id_b").localCheckpoint()
         Dedup.connectedComponents(pairs)
-      }),
+      },
+      // the components fixpoint ITERATES until labels stop moving: the
+      // plan's shape is a function of the data (rounds = graph
+      // diameter), unknowable without executing — EXPLAIN refuses this
+      // one procedure rather than silently running its jobs
+      explainable = false),
 
     // Stopword-profile language ID per doc — keyed agg, broadcast lists.
     "graft_lang_id" -> Proc(
@@ -403,6 +414,38 @@ object GraftProcedures {
 
   private val callRe =
     java.util.regex.Pattern.compile("(?i)\\b(graft_[a-z0-9_]+)\\s*\\(")
+
+  /** The procedure names `sql` actually CALLS: word-boundary name
+    * followed by `(`, outside string literals/comments, and known to
+    * [[procedures]]. An identifier merely CONTAINING a procedure name
+    * (`my_graft_simhash_results`) never matches — `_` is a word
+    * character, so there is no boundary inside it. This is the same
+    * detection [[rewrite]] substitutes on, so "would EXPLAIN
+    * substitute?" and "does rewrite substitute?" can never disagree. */
+  def calledProcedures(sql: String): Set[String] = {
+    val spans = SqlText.maskedSpans(sql)
+    val m = callRe.matcher(sql)
+    val found = Set.newBuilder[String]
+    while (m.find()) {
+      val n = m.group(1).toLowerCase
+      if (!SqlText.masked(spans, m.start()) && procedures.contains(n))
+        found += n
+    }
+    found.result()
+  }
+
+  /** EXPLAIN-path guard shared by every front door: refuse the
+    * procedures whose PLAN cannot be built without executing (the
+    * data-dependent fixpoint) — everything else substitutes in
+    * plans-only mode under EXPLAIN. */
+  def refuseUnexplainable(sql: String): Unit =
+    calledProcedures(sql).find(n => !procedures(n).explainable).foreach { n =>
+      throw new IllegalArgumentException(
+        s"cannot EXPLAIN $n: its connected-components fixpoint runs a " +
+          "data-dependent number of rounds (the plan's shape is only " +
+          "knowable by executing); EXPLAIN the candidate-pair stage " +
+          "(graft_minhash_candidates) instead, or run the statement")
+    }
 
   /** Substitute every `graft_*( … )` call outside literals/comments
     * with a temp view holding its result; returns the rewritten text

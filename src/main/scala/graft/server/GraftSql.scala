@@ -25,6 +25,16 @@ object GraftSql {
       .orElse(GraftMaintenance.route(spark, text))
       .getOrElse {
         GraftMatviews.refreshReferenced(spark, text)
-        spark.sql(GraftProcedures.rewrite(spark, text))
+        if (GraftSqlParser.isExplain(text)) {
+          // EXPLAIN pre-substitutes in PLANS-ONLY mode: stage pins
+          // (localCheckpoint jobs) flip to identity so the full lazy
+          // pipeline lands in the temp view and zero jobs launch —
+          // whether or not the session's parser then re-handles the
+          // EXPLAIN (extensions installed) or Spark renders it natively
+          GraftProcedures.refuseUnexplainable(text)
+          spark.sql(graft.util.PlansOnly {
+            GraftProcedures.rewrite(spark, text)
+          })
+        } else spark.sql(GraftProcedures.rewrite(spark, text))
       }
 }

@@ -86,17 +86,17 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           "cannot EXPLAIN graft DML or materialized-view DDL: these " +
             "execute at submit time (their effect is a transaction, not " +
             "a readable plan)")
-      // procedure substitution materializes intermediate stages
-      // (checkpoints) — running those jobs under EXPLAIN would violate
-      // the plans-only contract just like ANALYZE, so refuse
-      if (GraftProcedures.procedures.keys.exists(n =>
-          restHead.toLowerCase.contains(n)))
-        throw new IllegalArgumentException(
-          "cannot EXPLAIN a statement containing graft_* procedures: " +
-            "their substitution materializes intermediate results " +
-            "(EXPLAIN is plans-only); run the statement, or EXPLAIN the " +
-            "equivalent DataFrame pipeline")
-      val inner = PlanBridge.ofRows(session, parsePlan(rest))
+      // procedure substitution under EXPLAIN runs in PLANS-ONLY mode:
+      // the stage pins (localCheckpoint jobs) flip to identity, so the
+      // full substituted pipeline renders as one lazy plan and ZERO
+      // jobs launch. Detection is the rewrite's own word-boundary call
+      // match (outside literals/comments) — an identifier that merely
+      // CONTAINS a procedure name never refuses or substitutes. The one
+      // procedure whose plan is a data-dependent fixpoint still refuses
+      // by name: its shape is unknowable without executing.
+      GraftProcedures.refuseUnexplainable(restHead)
+      val inner = PlanBridge.ofRows(session,
+        graft.util.PlansOnly { parsePlan(rest) })
       import session.implicits._
       return PlanBridge.logicalPlan(
         Seq(PlanBridge.explainString(inner, mode)).toDF("plan"))
@@ -213,4 +213,12 @@ object GraftSqlParser {
   private val explainHead = java.util.regex.Pattern.compile(
     "^\\s*EXPLAIN\\b(\\s+(?:FORMATTED|EXTENDED|COST|CODEGEN|SIMPLE|ANALYZE)\\b)?",
     java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  /** Does the (comment-stripped) statement head with EXPLAIN? Shared
+    * with [[GraftSql]], which pre-substitutes procedures before the
+    * session parser can see the text and must flip to plans-only mode
+    * for an EXPLAIN the same way the parser's own branch does. */
+  private[server] def isExplain(text: String): Boolean =
+    explainHead.matcher(
+      graft.bitemporal.SqlText.stripLeadingComments(text)).find()
 }

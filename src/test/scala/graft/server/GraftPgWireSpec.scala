@@ -916,12 +916,16 @@ class GraftPgWireSpec extends AnyFunSuite {
       val dml = c.query("EXPLAIN INSERT INTO pgexp (_id, bal) VALUES (3, 1.0D)")
       assert(Wire.errFields(dml.find(_.tpe == 'E').get.body)('M')
         .contains("cannot EXPLAIN"))
-      // procedure substitution materializes checkpoints — plans-only
-      // means refusal, not silent job execution
+      // procedure statements EXPLAIN too (r12): substitution runs in
+      // plans-only mode — the physical plan of the substituted pipeline
+      // comes back over the wire, no jobs
       val proc = c.query("EXPLAIN SELECT * FROM " +
         "graft_exact_dedup('pgexp', '_id', 'bal')")
-      assert(Wire.errFields(proc.find(_.tpe == 'E').get.body)('M')
-        .contains("graft_* procedures"))
+      val pPlan = Wire.dataRow(proc.find(_.tpe == 'D').get.body).head.get
+      assert(pPlan.contains("Physical Plan") || pPlan.contains("(1) "),
+        pPlan.take(300))
+      assert(pPlan.toLowerCase.contains("hashaggregate") ||
+        pPlan.toLowerCase.contains("exchange"), pPlan.take(2000))
       // and the refused DML did NOT run
       val n = c.query("SELECT count(*) AS n FROM pgexp")
       assert(Wire.dataRow(n.find(_.tpe == 'D').get.body) == Seq(Some("2")))

@@ -275,6 +275,66 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(n == 5L)
   }
 
+  test("EXPLAIN over procedure statements: full substituted plan, " +
+      "ZERO jobs (plans-only substitution)") {
+    docs
+    // warm the name: temp view already registered, schema known — the
+    // explain below has no reason to touch data at all
+    val before = org.apache.spark.scheduler.JobCountProbe
+      .totalJobsSubmitted(spark.sparkContext)
+    val plan = GraftSql.sql(spark,
+      "EXPLAIN SELECT * FROM graft_minhash_candidates(" +
+        "'pdocs', 'doc_id', 'text') WHERE jaccard >= 0.8")
+      .collect()(0).getString(0)
+    val after = org.apache.spark.scheduler.JobCountProbe
+      .totalJobsSubmitted(spark.sparkContext)
+    assert(after == before,
+      s"EXPLAIN launched ${after - before} job(s) — plans-only violated")
+    // the rendering is the PHYSICAL substituted pipeline: the banded
+    // self-join and the signature aggregation are visible, not a
+    // one-line view reference
+    assert(plan.contains("Physical Plan") || plan.contains("(1) "),
+      plan.take(300))
+    val low = plan.toLowerCase
+    assert(low.contains("exchange") || low.contains("hashaggregate"),
+      plan.take(2000))
+    // …and the same statement still RUNS after being explained (the
+    // run substitutes afresh, with its stage pins back on)
+    val n = GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM graft_minhash_candidates(" +
+        "'pdocs', 'doc_id', 'text') WHERE jaccard >= 0.8")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+  }
+
+  test("EXPLAIN: identifiers merely containing a procedure name no " +
+      "longer refuse; the data-dependent fixpoint still does") {
+    val s = spark
+    import s.implicits._
+    // a user view whose NAME contains graft_simhash — the old substring
+    // detection spuriously refused to explain this
+    Seq((1L, 2L)).toDF("a", "b")
+      .createOrReplaceTempView("my_graft_simhash_results")
+    val plan = GraftSql.sql(spark,
+      "EXPLAIN SELECT a FROM my_graft_simhash_results")
+      .collect()(0).getString(0)
+    assert(plan.contains("Physical Plan") || plan.contains("(1) "),
+      plan.take(300))
+    // a procedure name inside a STRING literal is not a call either
+    val lit = GraftSql.sql(spark,
+      "EXPLAIN SELECT 'graft_dup_clusters(' AS s")
+      .collect()(0).getString(0)
+    assert(lit.contains("Physical Plan") || lit.contains("(1) "),
+      lit.take(300))
+    // the components fixpoint iterates data-dependently: refused by
+    // name, with the story
+    docs
+    val e = intercept[Exception](GraftSql.sql(spark,
+      "EXPLAIN SELECT * FROM graft_dup_clusters('pdocs', 'doc_id', 'text')"))
+    assert(e.getMessage.contains("graft_dup_clusters") &&
+      e.getMessage.toLowerCase.contains("fixpoint"), e.getMessage)
+  }
+
   test("resolveTable: graft-registered tables serve their CURRENT basis") {
     val s = spark
     import s.implicits._
