@@ -163,7 +163,18 @@ object GraftProcedures {
   private[server] def resolveTable(spark: SparkSession, name: String)
       : DataFrame = {
     val trimmed = name.trim
-    if (trimmed.startsWith("(")) spark.sql(trimmed)
+    if (trimmed.startsWith("(")) {
+      // an inline subquery is its OWN statement text: graft_* calls
+      // inside it were masked (string literal) during the outer
+      // statement's rewrite, so substitute them here — one SQL text can
+      // chain procedures (a quantile gate OVER repetition metrics)
+      // without materializing an intermediate view by hand. Under
+      // EXPLAIN the nested substitution inherits plans-only mode, so
+      // the unexplainable fixpoint must refuse here too — not silently
+      // run its jobs from inside a nested argument.
+      if (graft.util.PlansOnly.active) refuseUnexplainable(trimmed)
+      spark.sql(rewrite(spark, trimmed))
+    }
     else GraftServer.registered.collectFirst {
       // current(spark), NOT current(): the caller is the PARSING session
       // (a Connect client gets an isolated clone), and the substitution

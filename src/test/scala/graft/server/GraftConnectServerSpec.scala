@@ -158,6 +158,15 @@ class GraftConnectServerSpec extends AnyFunSuite {
       assert(run("COMPACT prices").head == Seq("prices", "COMPACT", true))
       assert(run("SELECT count(*) FROM prices").head.head == 3L)
 
+      // 6c2. procedures CHAIN in one statement over the wire (r12): a
+      // graft_* call inside another procedure's inline-subquery table
+      // arg substitutes recursively — parity with the two-statement
+      // form a client had to send before
+      assert(run("SELECT count(*) FROM graft_quantile_keep(" +
+        "'( SELECT ''all'' AS dom, doc_id, top2_frac FROM " +
+        "graft_repetition(''wire_docs'', ''doc_id'', ''text'') )', " +
+        "'dom', 'top2_frac', 0.0)").head.head == 3L)
+
       // 6d. a procedure whose table ARG is the GRAFT-REGISTERED table:
       // the substitution DataFrame must be built in the CLIENT's
       // isolated session (Connect clones session state) — a DataFrame

@@ -1039,6 +1039,19 @@ class GraftPgWireSpec extends AnyFunSuite {
         .map(m => Wire.dataRow(m.body).head.get)
       assert(annIds.length == 3 && annIds.head == "7", annIds)
 
+      // procedures CHAIN in one statement (r12): an inner graft_* call
+      // inside the outer call's inline-subquery table arg substitutes
+      // recursively — the quantile gate OVER repetition metrics needs
+      // one round trip, not an intermediate view
+      val chain = c.query(
+        "SELECT count(*) AS n FROM graft_quantile_keep(" +
+          "'( SELECT ''all'' AS dom, doc_id, top2_frac FROM " +
+          "graft_repetition(''wdocs'', ''doc_id'', ''text'') )', " +
+          "'dom', 'top2_frac', 0.0)")
+      assert(Wire.dataRow(chain.find(_.tpe == 'D').get.body)
+        == Seq(Some("22")),
+        chain.filter(_.tpe == 'E').map(m => Wire.errFields(m.body)))
+
       // mixture sample: exact count through the text path
       val mix = c.query(
         "SELECT count(*) AS n FROM graft_mixture_sample(" +

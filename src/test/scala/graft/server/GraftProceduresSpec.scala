@@ -275,6 +275,56 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(n == 5L)
   }
 
+  test("procedure composability: graft_* calls chain through an " +
+      "inline-subquery table arg (one SQL text)") {
+    docs
+    // a per-domain quantile gate OVER repetition metrics, as ONE
+    // statement: the inner call sits inside the outer call's quoted
+    // table arg (masked during the outer rewrite) and substitutes when
+    // the subquery text is resolved
+    val chained = GraftSql.sql(spark,
+      "SELECT doc_id FROM graft_quantile_keep(" +
+        "'( SELECT ''all'' AS dom, doc_id, top2_frac FROM " +
+        "graft_repetition(''pdocs'', ''doc_id'', ''text'') )', " +
+        "'dom', 'top2_frac', 0.5) ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    // the two-statement form it replaces
+    GraftSql.sql(spark,
+      "SELECT 'all' AS dom, doc_id, top2_frac FROM " +
+        "graft_repetition('pdocs', 'doc_id', 'text')")
+      .createOrReplaceTempView("rep_step")
+    val twoStep = GraftSql.sql(spark,
+      "SELECT doc_id FROM graft_quantile_keep(" +
+        "'rep_step', 'dom', 'top2_frac', 0.5) ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(chained.nonEmpty && chained == twoStep,
+      s"chained=$chained twoStep=$twoStep")
+
+    // chained statements EXPLAIN too — the nested substitution
+    // inherits plans-only mode (zero jobs), and an UNexplainable
+    // procedure nested in an argument refuses instead of silently
+    // running its fixpoint
+    val before = org.apache.spark.scheduler.JobCountProbe
+      .totalJobsSubmitted(spark.sparkContext)
+    val plan = GraftSql.sql(spark,
+      "EXPLAIN SELECT * FROM graft_quantile_keep(" +
+        "'( SELECT ''all'' AS dom, doc_id, top2_frac FROM " +
+        "graft_repetition(''pdocs'', ''doc_id'', ''text'') )', " +
+        "'dom', 'top2_frac', 0.5)").collect()(0).getString(0)
+    val after = org.apache.spark.scheduler.JobCountProbe
+      .totalJobsSubmitted(spark.sparkContext)
+    assert(after == before,
+      s"nested EXPLAIN launched ${after - before} job(s)")
+    assert(plan.contains("Physical Plan") || plan.contains("(1) "),
+      plan.take(300))
+    val e = intercept[Exception](GraftSql.sql(spark,
+      "EXPLAIN SELECT * FROM graft_quantile_keep(" +
+        "'( SELECT ''all'' AS dom, id AS doc_id, comp AS top2_frac FROM " +
+        "graft_dup_clusters(''pdocs'', ''doc_id'', ''text'') )', " +
+        "'dom', 'top2_frac', 0.5)"))
+    assert(e.getMessage.contains("graft_dup_clusters"), e.getMessage)
+  }
+
   test("EXPLAIN over procedure statements: full substituted plan, " +
       "ZERO jobs (plans-only substitution)") {
     docs
