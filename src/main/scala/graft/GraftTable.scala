@@ -99,11 +99,14 @@ final class GraftTable(spark: SparkSession, dir: String,
                   validAt: Timestamp,
                   nBuckets: Int = 64,
                   minCols: Seq[String] = Nil,
-                  maxCols: Seq[String] = Nil): graft.bitemporal.JoinMatview =
+                  maxCols: Seq[String] = Nil,
+                  cntCols: Seq[String] = Nil,
+                  where: Option[String] = None): graft.bitemporal.JoinMatview =
     new graft.bitemporal.JoinMatview(spark, log, payloadCols,
       dim.log, dim.payloadColumns,
       java.nio.file.Paths.get(dir, "join_matview", name),
-      fkCol, groupCol, sumCols, validAt, nBuckets, minCols, maxCols)
+      fkCol, groupCol, sumCols, validAt, nBuckets, minCols, maxCols,
+      cntCols, where)
 
   /** An incrementally-maintained COUNT/SUM view over this table at a
     * fixed valid-time basis (system = latest) — see

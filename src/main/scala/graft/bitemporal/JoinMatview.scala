@@ -8,8 +8,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained JOIN aggregate view over TWO bitemporal tx
-  * logs — COUNT/SUM per group of `fact ⋈ dim ON fact.fk = dim._id` at a
-  * fixed bitemporal basis, kept current from the two logs' TAILS by the
+  * logs — COUNT(*)/COUNT(col)/SUM (and read-derived AVG) per group of
+  * `fact ⋈ dim ON fact.fk = dim._id` at a fixed bitemporal basis,
+  * optionally filtered by a row-local deterministic WHERE over either
+  * side's columns, kept current from the two logs' TAILS by the
   * classic join-IVM delta rules:
   *
   *   Δ(A ⋈ B) = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
@@ -61,12 +63,17 @@ final class JoinMatview private[graft] (
     dimLog: TxLog, dimCols: Seq[String],
     stateRoot: Path, fkCol: String, groupCol: String, sumCols: Seq[String],
     validAt: Timestamp, nBuckets: Int,
-    minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil) {
+    minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+    cntCols: Seq[String] = Nil, whereSql: Option[String] = None) {
   require(factCols.contains(fkCol), s"fk column $fkCol must be a fact payload column")
   require(sumCols.forall(factCols.contains),
     s"sum columns $sumCols must be fact payload columns $factCols")
   require((minCols ++ maxCols).forall(factCols.contains),
     s"min/max columns ${minCols ++ maxCols} must be fact payload columns $factCols")
+  // COUNT(col) counts the JOINED relation's non-null cells, so the
+  // column may live on either side (payload names are disjoint)
+  require(cntCols.forall(c => factCols.contains(c) || dimCols.contains(c)),
+    s"count columns $cntCols must be payload columns of either table")
   require(factCols.contains(groupCol) || dimCols.contains(groupCol),
     s"group column $groupCol must be a payload column of either table")
   require((factCols.toSet & dimCols.toSet).isEmpty,
@@ -96,11 +103,40 @@ final class JoinMatview private[graft] (
   private def sumAlias(c: String) = s"sum_$c"
   private def minAlias(c: String) = s"min_$c"
   private def maxAlias(c: String) = s"max_$c"
+  private def cntAlias(c: String) = s"cnt_$c"
   private def mmAliases: Seq[String] =
     minCols.map(minAlias) ++ maxCols.map(maxAlias)
   private def mmAggs =
     minCols.map(c => min(col(c)).as(minAlias(c))) ++
       maxCols.map(c => max(col(c)).as(maxAlias(c)))
+  // per-column NON-NULL counters over the JOINED relation — they delta
+  // exactly like n does (a null cell never contributes), so they ride
+  // the same self-maintainable path; AVG = sum/cnt at read time
+  private def cntAggs =
+    cntCols.map(c => count(col(c)).as(cntAlias(c)))
+
+  /** Columns the WHERE references (unresolved parse — resolution and
+    * the deterministic/row-local checks happen at DDL validation): they
+    * must survive the side projections so the post-join sieve sees
+    * them. */
+  private val whereRefs: Set[String] = whereSql.map { w =>
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(w).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last.toLowerCase
+      }.toSet
+  }.getOrElse(Set.empty)
+
+  /** The maintained relation is the FILTERED join when the view
+    * declares a WHERE. A row-local deterministic predicate commutes
+    * with the Δ(A⋈B) rules because "touched" already propagates across
+    * the join edge: a fact row whose predicate INPUT can have changed
+    * is either own-id-touched (fact columns) or references a touched
+    * dim (dim columns) — both re-derive old and new contributions with
+    * the predicate applied, and an untouched row's predicate value is
+    * identical on both sides of the delta. */
+  private def sieve(joined: DataFrame): DataFrame =
+    whereSql.map(w => joined.filter(expr(w))).getOrElse(joined)
 
   private def bucketCol =
     pmod(xxhash64(coalesce(col(groupCol).cast("string"),
@@ -133,20 +169,25 @@ final class JoinMatview private[graft] (
 
   private def factKeep: Seq[String] =
     (Seq(fkCol) ++ sumCols ++ minCols ++ maxCols ++
+      cntCols.filter(factCols.contains) ++
+      factCols.filter(c => whereRefs.contains(c.toLowerCase)) ++
       (if (factCols.contains(groupCol)) Seq(groupCol) else Nil)).distinct
   private def dimKeep: Seq[String] =
-    if (dimCols.contains(groupCol)) Seq(groupCol) else Nil
+    (cntCols.filter(dimCols.contains) ++
+      dimCols.filter(c => whereRefs.contains(c.toLowerCase)) ++
+      (if (dimCols.contains(groupCol)) Seq(groupCol) else Nil)).distinct
 
-  /** fact ⋈ dim on fk = dim id, then the per-group COUNT/SUM —
-    * `withMm` adds MIN/MAX aggregates, valid only over a COMPLETE
-    * member relation (full build, touched-group re-read), never over a
-    * delta: extremes don't subtract. */
+  /** fact ⋈ dim on fk = dim id, sieved by the declared WHERE, then the
+    * per-group COUNT/SUM/COUNT(col) — `withMm` adds MIN/MAX aggregates,
+    * valid only over a COMPLETE member relation (full build,
+    * touched-group re-read), never over a delta: extremes don't
+    * subtract. */
   private def joinAgg(fact: DataFrame, dim: DataFrame,
                       withMm: Boolean = false): DataFrame =
-    fact.join(dim, col(fkCol).cast("long") === col("_dim_id"))
+    sieve(fact.join(dim, col(fkCol).cast("long") === col("_dim_id")))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
-        sumCols.map(c => sum(col(c)).as(sumAlias(c))) ++
+        sumCols.map(c => sum(col(c)).as(sumAlias(c))) ++ cntAggs ++
           (if (withMm) mmAggs else Nil): _*)
 
   /** Exact full recompute → state (first build, or after truncation of
@@ -263,11 +304,15 @@ final class JoinMatview private[graft] (
         coalesce(col(s"n.$groupCol"), col(s"o.$groupCol")).as(groupCol) +:
           (coalesce(col("n.n"), lit(0L)) - coalesce(col("o.n"), lit(0L)))
             .as("n") +:
-          sumCols.map { c =>
+          (sumCols.map { c =>
             val a = sumAlias(c)
             (coalesce(col(s"n.$a"), lit(0)) - coalesce(col(s"o.$a"), lit(0)))
               .cast(sumT(a)).as(a)
-          }: _*)
+          } ++ cntCols.map { c =>
+            val a = cntAlias(c)
+            (coalesce(col(s"n.$a"), lit(0L)) - coalesce(col(s"o.$a"), lit(0L)))
+              .as(a)
+          }): _*)
       .withColumn("_bucket", bucketCol)
     // the delta feeds the affected-bucket collect, the state merge AND
     // (for min/max views) the touched-group set — checkpoint it once
@@ -298,6 +343,10 @@ final class JoinMatview private[graft] (
             val a = sumAlias(c)
             (coalesce(col(s"s.$a"), lit(0)) + coalesce(col(s"d.$a"), lit(0)))
               .cast(sumT(a)).as(a)
+          } ++ cntCols.map { c =>
+            val a = cntAlias(c)
+            (coalesce(col(s"s.$a"), lit(0L)) + coalesce(col(s"d.$a"), lit(0L)))
+              .as(a)
           } ++
             // state's min/max ride along for groups in an affected
             // bucket that this refresh does NOT touch (null for brand
@@ -316,8 +365,11 @@ final class JoinMatview private[graft] (
       if (mmAliases.isEmpty) countSum
       else {
         val touchedGroups = deltaCp.select(col(groupCol)).distinct()
-        val full = vaNew.join(vbNew,
-          col(fkCol).cast("long") === col("_dim_id"))
+        // the member relation for extremes is the SIEVED join — a row
+        // outside the WHERE is not a member and must not donate a
+        // min/max
+        val full = sieve(vaNew.join(vbNew,
+          col(fkCol).cast("long") === col("_dim_id")))
         val mm = full.as("f").join(touchedGroups.as("tg"),
             col(s"f.$groupCol") <=> col(s"tg.$groupCol"), "left_semi")
           .groupBy(col(groupCol))
@@ -329,6 +381,7 @@ final class JoinMatview private[graft] (
         mrg.select(
           col(s"m.$groupCol").as(groupCol) +: col("m.n").as("n") +:
             (sumCols.map(c => col(s"m.${sumAlias(c)}").as(sumAlias(c))) ++
+              cntCols.map(c => col(s"m.${cntAlias(c)}").as(cntAlias(c))) ++
               // the _mm flag (not coalesce) decides: a touched group
               // whose recomputed extreme is legitimately NULL (all
               // values null) must not fall back to the stale state

@@ -221,6 +221,71 @@ object Bitemp {
       } finally graft.server.GraftServer.unregister("mvavg_accts")
     }),
 
+    // r12 join-matview DDL growth: COUNT(col)/AVG/WHERE on the Δ(A⋈B)
+    // form — orders ⋈ customers with a fact-column predicate, a
+    // nullable score for the non-null counter, AVG served as
+    // SUM/COUNT at read. The +100000 bump crosses the amt > 50000
+    // boundary both ways, the dim tail relocates every 10th customer
+    // (re-grouping its orders with zero fact ops), deletes shrink
+    // groups — all folded by ONE incremental refresh, driven as pure
+    // SQL text.
+    "q165_sql_join_matview_avg" -> ((s, dir) => {
+      import s.implicits._
+      val base = new java.io.File(dir).getName
+      val ftmp = s"target/jmvavg_f_$base"; val dtmp = s"target/jmvavg_d_$base"
+      TxLog.deleteRecursively(new java.io.File(ftmp))
+      TxLog.deleteRecursively(new java.io.File(dtmp))
+      graft.server.GraftMatviews.reset()
+      val fact = new GraftTable(s, ftmp, Seq("cust", "amt", "score"))
+      val dim = new GraftTable(s, dtmp, Seq("region"))
+      graft.server.GraftServer.register("mvjavg_orders", fact)
+      graft.server.GraftServer.register("mvjavg_cust", dim)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val cust = T(s, dir, "customer").select($"c_custkey".as("id"),
+          $"c_nationkey".cast("string").as("rg"))
+        val ord = T(s, dir, "orders").select($"o_orderkey".as("id"),
+          $"o_custkey".cast("long").as("ck"),
+          $"o_totalprice".cast("decimal(14,2)").as("m"),
+          when($"o_orderkey" % 3 === 0, lit(null))
+            .otherwise($"o_totalprice").cast("decimal(14,2)").as("sc"))
+        dim.put(cust, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("region" -> $"rg"), ts("2020-01-01 00:00:00"))
+        fact.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("cust" -> $"ck", "amt" -> $"m", "score" -> $"sc"),
+          ts("2020-01-01 00:00:01"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvjavg_by_region WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+            "SELECT region, COUNT(*) AS n, COUNT(score) AS n_score, " +
+            "SUM(amt) AS sum_amt, AVG(amt) AS avg_amt " +
+            "FROM mvjavg_orders JOIN mvjavg_cust ON cust = mvjavg_cust._id " +
+            "WHERE amt > 50000 GROUP BY region")
+        fact.put(ord.filter($"id" % 20 === 0)
+            .withColumn("m2", ($"m" + 100000).cast("decimal(14,2)")),
+          $"id", lit("2000-06-01").cast("timestamp"), None,
+          Seq("cust" -> $"ck", "amt" -> $"m2", "score" -> $"sc"),
+          ts("2020-01-02 00:00:00"))
+        fact.delete(ord.filter($"id" % 31 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("cust" -> lit(null).cast("long"),
+            "amt" -> lit(null).cast("decimal(14,2)"),
+            "score" -> lit(null).cast("decimal(14,2)")),
+          ts("2020-01-02 00:00:01"))
+        dim.put(cust.filter($"id" % 10 === 0).withColumn("rg2", lit("99")),
+          $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("region" -> $"rg2"), ts("2020-01-02 00:00:02"))
+        graft.server.GraftSql.sql(s,
+          "REFRESH MATERIALIZED VIEW mvjavg_by_region")
+        graft.server.GraftSql.sql(s,
+          "SELECT region, n, n_score, CAST(sum_amt AS DOUBLE) AS sum_amt, " +
+            "avg_amt FROM mvjavg_by_region ORDER BY region")
+      } finally {
+        graft.server.GraftServer.unregister("mvjavg_orders")
+        graft.server.GraftServer.unregister("mvjavg_cust")
+      }
+    }),
+
     // JOIN matview (r7): orders ⋈ customers grouped by the CUSTOMER's
     // region — maintained incrementally from BOTH logs' tails by the
     // Δ(A⋈B) rules. The second refresh folds a fact tail (price bump +
@@ -792,6 +857,31 @@ object Bitemp {
              CAST(sum(bal) AS DOUBLE) AS sum_bal,
              CAST(sum(bal) AS DOUBLE) / count(bal) AS avg_bal
       FROM vis GROUP BY grp ORDER BY grp""",
+
+    // from-scratch recompute of the r12 join COUNT(col)/AVG/WHERE
+    // view: effective orders (bump applied, deletes removed) filtered
+    // by the predicate, joined to effective regions (group move
+    // applied) — avg replayed as double(exact decimal sum) / non-null
+    // count, the same IEEE division the served view performs
+    "q165_sql_join_matview_avg" -> """
+      WITH cd AS (SELECT c_custkey AS k,
+                    CASE WHEN c_custkey % 10 = 0 THEN '99'
+                         ELSE CAST(c_nationkey AS VARCHAR) END AS region
+                  FROM customer),
+      oe AS (SELECT o_custkey AS ck,
+                    CASE WHEN o_orderkey % 20 = 0
+                         THEN CAST(o_totalprice AS DECIMAL(14,2)) + 100000
+                         ELSE CAST(o_totalprice AS DECIMAL(14,2)) END AS amt,
+                    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                         ELSE CAST(o_totalprice AS DECIMAL(14,2)) END AS score
+             FROM orders WHERE o_orderkey % 31 <> 0),
+      vis AS (SELECT * FROM oe WHERE amt > 50000)
+      SELECT region, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(score) AS BIGINT) AS n_score,
+             CAST(sum(amt) AS DOUBLE) AS sum_amt,
+             CAST(sum(amt) AS DOUBLE) / count(amt) AS avg_amt
+      FROM vis JOIN cd ON vis.ck = cd.k
+      GROUP BY region ORDER BY region""",
 
     // from-scratch recompute of the min/max view's final state
     "q149_matview_minmax" -> """

@@ -26,10 +26,12 @@ import graft.bitemporal.{BitemporalDml, SqlText}
   *
   * The accepted SELECT shape is exactly what the engine can maintain
   * incrementally — COUNT(*) / COUNT(col) / SUM / AVG / MIN / MAX per
-  * ONE group column over a graft-registered table, with an optional
-  * row-local deterministic WHERE (the predicate commutes with the
-  * Δ-rules), or — without COUNT(col)/AVG/WHERE — joined to a second
-  * registered table on `fk = dim._id` (the Δ(A⋈B) join-view rules).
+  * ONE group column over a graft-registered table, optionally joined
+  * to a second registered table on `fk = dim._id` (the Δ(A⋈B)
+  * join-view rules), with an optional row-local deterministic WHERE
+  * over either side's columns (the predicate commutes with the
+  * Δ-rules; on the join form because "touched" already propagates
+  * across the join edge).
   * Anything else is rejected with a message saying so: a matview the
   * engine could not refresh incrementally would silently be a
   * snapshot, which is the one thing a user must not discover in
@@ -309,10 +311,6 @@ object GraftMatviews {
         Handle(name, serveAll, sess => mv.read(sess),
           () => (mv.refresh(), None), matviewDir(factName, "matview", name))
       case Some(dn) =>
-        if (cnts.result().nonEmpty || whereOpt.isDefined)
-          fail("COUNT(col)/AVG/WHERE on the JOIN matview form is not " +
-            "implemented (the Δ(A⋈B) rules here maintain COUNT(*)/SUM/" +
-            "MIN/MAX only) — rejected rather than snapshotted")
         val dim = graftTable(dn)
         val on = onExpr.getOrElse(fail("JOIN requires ON fk = dim._id"))
         val sides = on.split("=").map(_.trim)
@@ -323,8 +321,20 @@ object GraftMatviews {
         if (dimIdSide < 0)
           fail(s"ON clause must equate a fact column with ${dn}._id, got '$on'")
         val fk = unqualify(sides(1 - dimIdSide))
-        val mv = fact.joinMatview(name, dim, fk, group, sums.result(),
-          validAt, buckets.getOrElse(64), mins.result(), maxs.result())
+        // the join sieve sees the two sides' PAYLOAD columns (names are
+        // disjoint by construction; temporal/_id columns would be
+        // ambiguous across the join and are not served to it) — the
+        // semantic validation runs over exactly that schema
+        whereOpt.foreach { w =>
+          validateWhere(
+            fact.current(spark).select(fact.payloadColumns.map(col): _*)
+              .crossJoin(
+                dim.current(spark).select(dim.payloadColumns.map(col): _*)),
+            w)
+        }
+        val mv = fact.joinMatview(name, dim, fk, group, sums.result().distinct,
+          validAt, buckets.getOrElse(64), mins.result(), maxs.result(),
+          cnts.result().distinct, whereOpt)
         Handle(name, serveAll, sess => mv.read(sess),
           () => { val (a, b) = mv.refresh(); (a, Some(b)) },
           matviewDir(factName, "join_matview", name))

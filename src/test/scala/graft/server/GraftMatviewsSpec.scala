@@ -278,6 +278,124 @@ class GraftMatviewsSpec extends AnyFunSuite {
     }
   }
 
+  test("JOIN form COUNT(col)/AVG/WHERE: maintained through fact " +
+      "enter/leave/delete/erase and dim group-move/predicate-crossing") {
+    val s = spark
+    import s.implicits._
+    val fact = freshTable(Seq("cust", "amt", "score"))
+    val dim = freshTable(Seq("region", "tier"))
+    GraftServer.register("jfact", fact)
+    GraftServer.register("jdim", dim)
+    try {
+      def putFacts(xs: Seq[(Long, Long, Long, Option[Long])], at: String) =
+        fact.put(xs.toDF("id", "c", "a", "sc"), $"id",
+          lit("2020-01-01").cast("timestamp"), None,
+          Seq("cust" -> $"c", "amt" -> $"a", "score" -> $"sc"), ts(at))
+      def putDims(xs: Seq[(Long, String, Option[String])], at: String) =
+        dim.put(xs.toDF("id", "r", "t"), $"id",
+          lit("2020-01-01").cast("timestamp"), None,
+          Seq("region" -> $"r", "tier" -> $"t"), ts(at))
+
+      // dim 2 is tier 'X' (predicate-excluded), dim 3 has a NULL tier
+      // (kept by the predicate, invisible to COUNT(tier))
+      putDims(Seq(
+        (1L, "EU", Some("g")), (2L, "EU", Some("X")),
+        (3L, "US", None), (4L, "US", Some("g"))),
+        "2024-01-01 00:00:00")
+      putFacts(Seq(
+        (10L, 1L, 100L, Some(10L)), (11L, 1L, 5L, Some(20L)),
+        (12L, 2L, 70L, None), (13L, 3L, 40L, None),
+        (14L, 4L, 50L, Some(5L)), (15L, 4L, 90L, Some(1L))),
+        "2024-01-01 00:00:01")
+
+      // WHERE mixes a FACT column (amt) and a DIM column (tier, with a
+      // 3VL guard so NULL tiers stay members); COUNT(col) counts one
+      // column per side; AVG rides SUM/COUNT; MIN/MAX exercise the
+      // sieved touched-group re-read across the join
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_jacc WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT region, COUNT(*) AS n, COUNT(score) AS n_score, " +
+        "COUNT(tier) AS n_tier, SUM(amt) AS total, AVG(amt) AS avg_amt, " +
+        "MIN(amt) AS lo, MAX(amt) AS hi " +
+        "FROM jfact JOIN jdim ON cust = jdim._id " +
+        "WHERE amt > 10 AND (tier IS NULL OR tier <> 'X') " +
+        "GROUP BY region")
+
+      def read() = GraftSql.sql(spark,
+        "SELECT region, n, n_score, n_tier, total, avg_amt, lo, hi " +
+          "FROM mv_jacc ORDER BY region")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6),
+          r.getLong(7))).toSeq
+
+      // members: EU = {10}; 11 fails amt > 10, 12's dim is tier X;
+      // US = {13 (null score/tier), 14, 15}
+      assert(read() == Seq(
+        ("EU", 1L, 1L, 1L, 100L, 100.0, 100L, 100L),
+        ("US", 3L, 2L, 2L, 180L, 60.0, 40L, 90L)))
+
+      // the matrix, then ONE incremental refresh:
+      //   fact 11 ENTERS the predicate (amt 5→60)
+      //   fact 10 LEAVES it (amt 100→8)
+      //   fact 13 score NULL→7, amt 40→50 (COUNT(col) notices)
+      //   dim 2 tier X→g: fact 12 enters with ZERO fact ops
+      //   dim 3 region US→EU: fact 13 group-moves with ZERO fact ops
+      //   fact 14 deleted, fact 15 erased → US empties entirely
+      putFacts(Seq(
+        (11L, 1L, 60L, Some(20L)), (10L, 1L, 8L, Some(10L)),
+        (13L, 3L, 50L, Some(7L))),
+        "2024-01-02 00:00:00")
+      putDims(Seq((2L, "EU", Some("g")), (3L, "EU", None)),
+        "2024-01-02 00:00:01")
+      fact.delete(Seq((14L, 4L)).toDF("id", "c"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> lit(null).cast("long"),
+          "amt" -> lit(null).cast("long"),
+          "score" -> lit(null).cast("long")),
+        ts("2024-01-03 00:00:00"))
+      fact.erase(Seq((15L, 4L)).toDF("id", "c"), $"id",
+        Seq("cust" -> lit(null).cast("long"),
+          "amt" -> lit(null).cast("long"),
+          "score" -> lit(null).cast("long")),
+        ts("2024-01-04 00:00:00"))
+
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_jacc").collect()
+      // survivors, all EU: 11 (60, sc 20, tier g), 12 (70, NULL, g),
+      // 13 (50, sc 7, NULL tier); US vanished (delete + erase)
+      assert(read() == Seq(
+        ("EU", 3L, 2L, 2L, 180L, 60.0, 50L, 70L)))
+
+      // idempotence: refresh with nothing new
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_jacc").collect()
+      assert(read() == Seq(
+        ("EU", 3L, 2L, 2L, 180L, 60.0, 50L, 70L)))
+
+      // …and the whole state matches a from-scratch recompute
+      val scratch = fact.current()
+        .select(col("cust"), col("amt"), col("score"))
+        .join(dim.current().select(col("_id").as("did"),
+          col("region"), col("tier")), col("cust") === col("did"))
+        .filter(col("amt") > 10 &&
+          (col("tier").isNull || col("tier") =!= "X"))
+        .groupBy(col("region"))
+        .agg(count(lit(1)).as("n"), count(col("score")).as("n_score"),
+          count(col("tier")).as("n_tier"), sum(col("amt")).as("total"),
+          avg(col("amt")).as("avg_amt"), min(col("amt")).as("lo"),
+          max(col("amt")).as("hi"))
+        .orderBy(col("region"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6),
+          r.getLong(7))).toSeq
+      assert(read() == scratch)
+
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_jacc")
+    } finally {
+      GraftServer.unregister("jfact")
+      GraftServer.unregister("jdim")
+      GraftMatviews.reset()
+    }
+  }
+
   test("non-maintainable shapes are rejected, not snapshotted") {
     val s = spark
     import s.implicits._
@@ -332,14 +450,14 @@ class GraftMatviewsSpec extends AnyFunSuite {
         "FROM unregistered GROUP BY grp", "not registered")
       bad("CREATE MATERIALIZED VIEW v5 WITH (nope = 1) AS SELECT grp, " +
         "COUNT(*) FROM mvrej GROUP BY grp", "unknown WITH option")
-      // the JOIN form maintains COUNT(*)/SUM/MIN/MAX only (for now):
-      // COUNT(col)/AVG/WHERE there refuse loudly, before any dim lookup
+      // the JOIN form accepts COUNT(col)/AVG/WHERE since r12 — an
+      // unregistered dim is now the first refusal these shapes hit
       bad("CREATE MATERIALIZED VIEW v8 AS SELECT grp, COUNT(bal) " +
         "FROM mvrej JOIN nodim ON fk = nodim._id GROUP BY grp",
-        "not implemented")
+        "not registered")
       bad("CREATE MATERIALIZED VIEW v9 AS SELECT grp, COUNT(*) " +
         "FROM mvrej JOIN nodim ON fk = nodim._id WHERE bal > 0 GROUP BY grp",
-        "not implemented")
+        "not registered")
       // duplicate name
       GraftSql.sql(spark, "CREATE MATERIALIZED VIEW v6 WITH (valid_at = " +
         "'2030-01-01 00:00:00') AS SELECT grp, COUNT(*) AS n FROM mvrej " +
