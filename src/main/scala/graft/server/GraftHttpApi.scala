@@ -24,7 +24,21 @@ import org.apache.spark.sql.functions.{col, struct, to_json}
   *     streaming) for Arrow-native clients.
   *   - `POST /tx`     body = DML text (`;`-batch = one atomic tx) →
   *     `{"txId":n}`. Rejects non-DML loudly rather than returning rows.
-  *   - `GET  /status` → engine + registered tables.
+  *   - `GET  /status` → engine + registered tables (table names are
+  *     withheld from unauthenticated callers when auth is on — /status
+  *     stays a health check, not an inventory leak).
+  *
+  * Authentication: the same password file pgwire's SCRAM uses
+  * (`user:secret` lines, secrets stored as SCRAM-SHA-256 verifiers —
+  * [[PgAuth.fromPasswordFile]]), enforced as HTTP Basic on POST
+  * /query and /tx: the presented password re-derives the stored key
+  * (RFC 5802 §3) and a wrong or missing credential gets 401 +
+  * `WWW-Authenticate` BEFORE the body reaches the SQL layer. Enabled
+  * via the `auth` parameter or `-Dgraft.http.passwordFile=<path>`;
+  * default stays trust-on-loopback (see the bind note below). Basic
+  * sends the password per request — front with TLS termination when
+  * the port leaves the host, exactly like the Postgres `password` vs
+  * `scram` tradeoff this door's wire sibling avoids natively.
   *
   * Scale posture: results STREAM — rows are encoded by Spark's
   * `to_json` (codegen'd, executor-side) and written chunked via
@@ -39,10 +53,15 @@ import org.apache.spark.sql.functions.{col, struct, to_json}
   * default. */
 object GraftHttpApi {
 
+  private def defaultAuth(): PgAuth =
+    sys.props.get("graft.http.passwordFile")
+      .map(PgAuth.fromPasswordFile).getOrElse(PgAuth.Trust)
+
   /** Start the endpoint; `port` 0 picks an ephemeral port (read it off
     * the returned server's address). Stop with `server.stop(0)`. */
   def start(spark: SparkSession, port: Int,
-            bindHost: String = "127.0.0.1", poolSize: Int = 8): HttpServer = {
+            bindHost: String = "127.0.0.1", poolSize: Int = 8,
+            auth: PgAuth = defaultAuth()): HttpServer = {
     val server = HttpServer.create(
       new java.net.InetSocketAddress(bindHost, port), 0)
     // bounded pool: each in-flight request holds one thread while its
@@ -53,20 +72,66 @@ object GraftHttpApi {
         val t = new Thread(r, "graft-http"); t.setDaemon(true); t
       })
     server.setExecutor(pool)
-    server.createContext("/status", handler(spark, statusHandler))
-    server.createContext("/query", handler(spark, queryHandler))
-    server.createContext("/tx", handler(spark, txHandler))
+    server.createContext("/status", handler(spark, statusHandler(auth)))
+    server.createContext("/query", handler(spark, guarded(auth, queryHandler)))
+    server.createContext("/tx", handler(spark, guarded(auth, txHandler)))
     server.createContext("/", handler(spark, (ex, _) =>
       respond(ex, 404, s"""{"error":${jstr("not found: " + ex.getRequestURI.getPath)}}""")))
     server.start()
     server
   }
 
+  // ---- auth ----------------------------------------------------------
+
+  /** `Authorization: Basic …` against the SCRAM verifier map; Some
+    * (user) on success. Never logs or stores the cleartext. */
+  private def basicUser(ex: HttpExchange,
+                        users: Map[String, PgScram.Verifier]): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Basic "))
+      .flatMap { h =>
+        try {
+          val dec = new String(java.util.Base64.getDecoder
+            .decode(h.stripPrefix("Basic ").trim), UTF_8)
+          val i = dec.indexOf(':')
+          if (i < 0) None
+          else {
+            val (user, pass) = (dec.substring(0, i), dec.substring(i + 1))
+            users.get(user)
+              .filter(PgScram.verifyPassword(pass, _)).map(_ => user)
+          }
+        } catch { case _: IllegalArgumentException => None } // bad base64
+      }
+
+  /** Enforce auth BEFORE the wrapped handler touches the body or the
+    * SQL layer: a wrong password costs one PBKDF2 derivation and a 401,
+    * never a parse. */
+  private def guarded(auth: PgAuth,
+                      f: (HttpExchange, SparkSession) => Unit)
+      : (HttpExchange, SparkSession) => Unit = auth match {
+    case PgAuth.Trust => f
+    case PgAuth.Scram(users) => (ex, spark) =>
+      if (basicUser(ex, users).isDefined) f(ex, spark)
+      else {
+        ex.getResponseHeaders.set("WWW-Authenticate",
+          "Basic realm=\"graft\", charset=\"UTF-8\"")
+        respond(ex, 401, s"""{"error":"authentication required"}""")
+      }
+  }
+
   // ---- handlers ------------------------------------------------------
 
-  private def statusHandler(ex: HttpExchange, spark: SparkSession): Unit = {
+  private def statusHandler(auth: PgAuth)(
+      ex: HttpExchange, spark: SparkSession): Unit = {
     if (ex.getRequestMethod != "GET") return respond(ex, 405, methodErr(ex))
-    val tables = GraftServer.registered.keys.toSeq.sorted
+    // the health probe stays open; the table INVENTORY is for
+    // authenticated callers only once auth is on
+    val showTables = auth match {
+      case PgAuth.Trust => true
+      case PgAuth.Scram(users) => basicUser(ex, users).isDefined
+    }
+    val tables =
+      if (showTables) GraftServer.registered.keys.toSeq.sorted else Nil
     respond(ex, 200,
       s"""{"ok":true,"engine":"graft","sparkVersion":${jstr(spark.version)},""" +
         s""""tables":[${tables.map(jstr).mkString(",")}]}""")

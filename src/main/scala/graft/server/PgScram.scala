@@ -59,6 +59,17 @@ object PgScram {
     Verifier(iterations, salt, h(clientKey), serverKey)
   }
 
+  /** Verify a CLEARTEXT password against a stored verifier — the HTTP
+    * Basic path, sharing pgwire's password file and derived keys: RFC
+    * 5802 §3, StoredKey = H(HMAC(SaltedPassword, "Client Key")), so a
+    * presented password proves itself by re-deriving the stored key.
+    * Constant-time compare; the cleartext never persists. */
+  def verifyPassword(password: String, v: Verifier): Boolean = {
+    val sp = saltedPassword(password, v.salt, v.iterations)
+    val clientKey = hmac(sp, "Client Key".getBytes(UTF_8))
+    MessageDigest.isEqual(h(clientKey), v.storedKey)
+  }
+
   /** Parse Postgres's verifier text form:
     * `SCRAM-SHA-256$<iter>:<b64 salt>$<b64 StoredKey>:<b64 ServerKey>`. */
   def parseVerifier(s: String): Verifier = {

@@ -194,4 +194,96 @@ class GraftHttpApiSpec extends AnyFunSuite {
       GraftServer.unregister("accts")
     }
   }
+
+  test("HTTP Basic auth against the SCRAM verifier file: 401 before " +
+      "the SQL layer, shared password file with pgwire") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-http-auth-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val dir = java.nio.file.Files.createTempDirectory("graft_httpa").toString
+    val table = new graft.GraftTable(spark, dir, Seq("bal"))
+    GraftServer.register("authaccts", table)
+    // the SAME file format pgwire's SCRAM loads: cleartext converts to
+    // a verifier at load, a pre-derived Postgres verifier stores as-is
+    val salt = Array.tabulate[Byte](16)(i => (i * 13).toByte)
+    val bobVer = {
+      val v = graft.server.PgScram.verifier("hunter2", salt)
+      val b64 = java.util.Base64.getEncoder
+      s"SCRAM-SHA-256$$${v.iterations}:${b64.encodeToString(v.salt)}" +
+        s"$$${b64.encodeToString(v.storedKey)}:${b64.encodeToString(v.serverKey)}"
+    }
+    val pwFile = java.nio.file.Files.createTempFile("graft_http_pw", ".conf")
+    java.nio.file.Files.write(pwFile,
+      s"# graft http users\nalice:wonderland\nbob:$bobVer\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val server = GraftHttpApi.start(spark, port = 0,
+      auth = PgAuth.fromPasswordFile(pwFile.toString))
+    val port = server.getAddress.getPort
+    val client = HttpClient.newHttpClient()
+
+    def send(method: String, path: String, body: String,
+             basic: Option[String]): (Int, String, java.net.http.HttpHeaders) = {
+      var b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      basic.foreach(cred => b = b.header("Authorization",
+        "Basic " + java.util.Base64.getEncoder
+          .encodeToString(cred.getBytes("UTF-8"))))
+      val req = (if (method == "GET") b.GET()
+                 else b.POST(HttpRequest.BodyPublishers.ofString(body))).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body(), resp.headers())
+    }
+
+    try {
+      // no credential → 401 with the challenge header
+      val (c1, b1, h1) = send("POST", "/query", "SELECT 1 AS x", None)
+      assert(c1 == 401, s"$c1 $b1")
+      assert(h1.firstValue("WWW-Authenticate").orElse("").contains("Basic"))
+      // wrong password → 401; MALFORMED SQL + wrong password is still
+      // 401, never 400 — the guard runs before anything is parsed
+      assert(send("POST", "/query", "SELECT 1", Some("alice:nope"))._1 == 401)
+      assert(send("POST", "/query", "SELEC nope FROM nowhere",
+        Some("alice:nope"))._1 == 401)
+      // unknown user / garbage header → 401
+      assert(send("POST", "/query", "SELECT 1", Some("mallory:x"))._1 == 401)
+      assert(send("POST", "/tx", "INSERT INTO authaccts (_id, bal) " +
+        "VALUES (9, 1.0D)", None)._1 == 401)
+
+      // correct credentials work on both endpoints — cleartext-loaded
+      // alice AND verifier-loaded bob (same derived keys as pgwire) —
+      // and the 401'd insert of _id 9 above never reached the SQL
+      // layer: the authorized read sees ONLY the authorized row
+      assert(om.readTree(send("POST", "/tx",
+        "INSERT INTO authaccts (_id, bal) VALUES (1, 10.0D)",
+        Some("alice:wonderland"))._2).get("txId").asLong == 0L)
+      val ids = om.readTree(send("POST", "/query",
+        "SELECT _id FROM authaccts ORDER BY _id",
+        Some("bob:hunter2"))._2).get("rows")
+      assert(ids.size == 1 && ids.get(0).get("_id").asLong == 1L, ids)
+
+      // /status stays a health probe but withholds the inventory from
+      // unauthenticated callers
+      val (sc, sb, _) = send("GET", "/status", "", None)
+      assert(sc == 200 && om.readTree(sb).get("ok").asBoolean)
+      assert(om.readTree(sb).get("tables").size == 0, sb)
+      val (sc2, sb2, _) = send("GET", "/status", "", Some("bob:hunter2"))
+      assert(sc2 == 200 && (0 until om.readTree(sb2).get("tables").size)
+        .map(om.readTree(sb2).get("tables").get(_).asText)
+        .contains("authaccts"))
+    } finally {
+      server.stop(0)
+      GraftServer.unregister("authaccts")
+      java.nio.file.Files.deleteIfExists(pwFile)
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
 }
