@@ -27,12 +27,14 @@ import java.nio.file.{Files, Path, StandardOpenOption}
   * refresh spans fact + dim) acquire in sorted-path order, which makes
   * deadlock impossible.
   *
-  * Long maintenance: [[withLease]] refreshes the expiry when re-entered,
-  * but a single op outliving the TTL can lose the lease mid-flight —
-  * size the TTL to the op (the knob exists for exactly this); the
-  * snapshot guard remains the backstop behind the lease, so even a
-  * TTL misconfiguration degrades to refold-or-loud-error, never to
-  * silent corruption.
+  * Long maintenance: while the OUTERMOST [[withLease]] holds a root, a
+  * daemon heartbeat renews the expiry every TTL/3, so a single op may
+  * run arbitrarily longer than the TTL — the TTL bounds crash
+  * DETECTION latency, not op length. A renewal re-checks the holder
+  * before writing (it never resurrects a lease a successor claimed),
+  * and the one residual — the heartbeat thread itself stalled past the
+  * TTL, e.g. a long GC pause — degrades to the r8 snapshot guard's
+  * refold-or-loud-error, never to silent corruption.
   */
 object MaintainerLease {
 
@@ -106,6 +108,45 @@ object MaintainerLease {
       Files.deleteIfExists(tomb)
       true
     } catch { case _: java.io.IOException => false }
+
+  // ---- heartbeat -----------------------------------------------------
+  // One daemon renews every held root's expiry at TTL/3 (the r11
+  // documented weak: an op outliving the TTL lost the lease
+  // mid-flight). The renewal runs OFF the owner's thread — the owner
+  // holds the in-process lock for the whole op, so the beat must not
+  // take it — and re-checks the on-disk holder first: a successor who
+  // claimed through a genuinely lapsed lease is never clobbered. The
+  // beat-vs-release race (a beat reads our live file just as release
+  // deletes it, then re-creates it) leaves at worst an orphaned lease
+  // that the next acquirer retires after one TTL — visible, bounded,
+  // and only reachable if a beat interleaves the final microseconds of
+  // release.
+  private lazy val heartbeatExec =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-lease-heartbeat")
+        t.setDaemon(true); t
+      })
+  private val heartbeats =
+    new java.util.concurrent.ConcurrentHashMap[
+      Path, java.util.concurrent.ScheduledFuture[_]]
+
+  private def renew(root: Path, op: String): Unit =
+    try {
+      if (heartbeats.containsKey(root) &&
+          read(root).exists(_.holder == holderId))
+        writeContent(leaseFile(root), op)
+    } catch { case _: Exception => } // skipped beat; the next one retries
+
+  private def startHeartbeat(root: Path, op: String): Unit = {
+    val period = math.max(ttlMs / 3, 25L)
+    heartbeats.put(root, heartbeatExec.scheduleWithFixedDelay(
+      () => renew(root, op), period, period,
+      java.util.concurrent.TimeUnit.MILLISECONDS)): Unit
+  }
+
+  private def stopHeartbeat(root: Path): Unit =
+    Option(heartbeats.remove(root)).foreach(_.cancel(true))
 
   private def acquire(root: Path, op: String): Unit = {
     val f = leaseFile(root)
@@ -196,15 +237,21 @@ object MaintainerLease {
         val l = lockFor(r)
         l.lock()
         entered += ((r, l))
-        if (l.getHoldCount == 1) { acquire(r, op); acquired += r }
+        if (l.getHoldCount == 1) {
+          acquire(r, op); acquired += r
+          startHeartbeat(r, op)
+        }
         else writeContent(leaseFile(r), op) // nested: refresh expiry
       }
       f
     } finally {
-      // release files for roots whose outermost hold ends here, then
-      // unlock in reverse order
+      // stop the heartbeat and release files for roots whose outermost
+      // hold ends here, then unlock in reverse order
       entered.reverseIterator.foreach { case (r, l) =>
-        if (l.getHoldCount == 1 && acquired.contains(r)) release(r)
+        if (l.getHoldCount == 1 && acquired.contains(r)) {
+          stopHeartbeat(r)
+          release(r)
+        }
         l.unlock()
       }
     }

@@ -97,6 +97,52 @@ class MaintainerLeaseSpec extends AnyFunSuite {
     Files.delete(lf)
   }
 
+  test("heartbeat: an op outliving the TTL keeps the lease; a dead " +
+      "holder's lease is still taken over") {
+    val prev = sys.props.get("graft.maintainer.leaseTtlMs")
+    sys.props("graft.maintainer.leaseTtlMs") = "300"
+    try {
+      val r = tempRoot()
+      val lf = r.resolve("_maintainer_lease")
+      val slack = scala.collection.mutable.Buffer.empty[Long]
+      MaintainerLease.withLease(r, "slow-op") {
+        // run 5× the TTL, sampling the on-disk expiry as it goes: the
+        // TTL/3 heartbeat must keep it in the future the whole time
+        // (pre-r12, the lease looked expired from t = 300 ms on and
+        // any other maintainer could retire it mid-op)
+        (0 until 10).foreach { _ =>
+          Thread.sleep(150)
+          MaintainerLease.read(r).foreach(st =>
+            slack += st.expiresAt - System.currentTimeMillis())
+        }
+        assert(slack.size >= 8, s"lease file unreadable mid-op: $slack")
+        assert(slack.forall(_ > 0),
+          s"lease looked expired mid-op (ms to expiry per sample): $slack")
+      }
+      assert(!Files.exists(lf), "released")
+      // the beat-vs-release residual: no beat may resurrect the file
+      Thread.sleep(400)
+      assert(!Files.exists(lf), "a stray heartbeat re-created the lease")
+
+      // a DEAD holder has no heartbeat — its expired lease is retired
+      // through the same takeover path as ever
+      Files.write(lf,
+        s"dead-pid@host\n${System.currentTimeMillis() - 1}\ncompact"
+          .getBytes(UTF_8))
+      var ran = false
+      MaintainerLease.withLease(r, "takeover") {
+        ran = true
+        assert(MaintainerLease.read(r).get.holder == MaintainerLease.holderId)
+      }
+      assert(ran && !Files.exists(lf))
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.maintainer.leaseTtlMs") = v
+        case None => sys.props -= "graft.maintainer.leaseTtlMs"
+      }
+    }
+  }
+
   test("same-JVM concurrent maintainers BLOCK on the in-process lock " +
       "(never run interleaved)") {
     val r = tempRoot()
