@@ -135,7 +135,17 @@ object MaintainerLease {
     try {
       if (heartbeats.containsKey(root) &&
           read(root).exists(_.holder == holderId))
-        writeContent(leaseFile(root), op)
+        // WRITE without CREATE: a beat that interleaves the final
+        // microseconds of release must fail on the vanished file
+        // (skipped beat), never re-create an orphaned lease. The
+        // remaining residual — this thread stalls past the TTL between
+        // the read above and this write while a successor claims — is
+        // the already-documented stalled-heartbeat case (snapshot
+        // guard backstops it).
+        Files.write(leaseFile(root),
+          s"$holderId\n${System.currentTimeMillis() + ttlMs}\n$op"
+            .getBytes(UTF_8),
+          StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
     } catch { case _: Exception => } // skipped beat; the next one retries
 
   private def startHeartbeat(root: Path, op: String): Unit = {

@@ -83,22 +83,35 @@ object GraftHttpApi {
 
   // ---- auth ----------------------------------------------------------
 
-  /** `Authorization: Basic …` against the SCRAM verifier map; Some
-    * (user) on success. Never logs or stores the cleartext. */
+  // decoy verifier for unknown usernames: the 401 must cost the same
+  // PBKDF2 derivation either way, or response latency becomes a
+  // username oracle over pgwire's shared credential file
+  private lazy val decoyVerifier =
+    PgScram.verifier(java.util.UUID.randomUUID().toString,
+      Array.tabulate[Byte](16)(_.toByte))
+
+  /** `Authorization: Basic …` (scheme case-insensitive per RFC 7235
+    * §2.1) against the SCRAM verifier map; Some(user) on success.
+    * Never logs or stores the cleartext. */
   private def basicUser(ex: HttpExchange,
                         users: Map[String, PgScram.Verifier]): Option[String] =
     Option(ex.getRequestHeaders.getFirst("Authorization"))
-      .filter(_.startsWith("Basic "))
+      .filter(_.toLowerCase.startsWith("basic "))
       .flatMap { h =>
         try {
           val dec = new String(java.util.Base64.getDecoder
-            .decode(h.stripPrefix("Basic ").trim), UTF_8)
+            .decode(h.substring("basic ".length).trim), UTF_8)
           val i = dec.indexOf(':')
           if (i < 0) None
           else {
             val (user, pass) = (dec.substring(0, i), dec.substring(i + 1))
-            users.get(user)
-              .filter(PgScram.verifyPassword(pass, _)).map(_ => user)
+            users.get(user) match {
+              case Some(v) =>
+                if (PgScram.verifyPassword(pass, v)) Some(user) else None
+              case None => // unknown user: same derivation cost, then no
+                PgScram.verifyPassword(pass, decoyVerifier)
+                None
+            }
           }
         } catch { case _: IllegalArgumentException => None } // bad base64
       }

@@ -121,7 +121,36 @@ object GraftMatviews {
     // but can read anything, including the clock
     "CallMethodViaReflection")
 
+  // Session-ENVIRONMENT expressions (current_user/current_database/
+  // version, …) are invisible to the post-analysis walk — the analyzer
+  // constant-folds them (ReplaceCurrentLike) into per-session literals
+  // before `analyzed` exists, which is precisely the drift: each
+  // refreshing session would sieve with ITS OWN constant. Caught on the
+  // UNRESOLVED parse instead, by node class and by function name.
+  private val envClasses = Set(
+    "CurrentUser", "CurrentDatabase", "CurrentCatalog", "SparkVersion")
+  private val envFuncs = Set(
+    "current_user", "session_user", "user", "current_database",
+    "current_schema", "current_catalog", "version")
+
   private def validateWhere(base: DataFrame, w: String): Unit = {
+    val parsed =
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(w)
+      catch { case _: Exception => null } // analysis below reports it
+    if (parsed != null) parsed.foreach { e =>
+      val fname = e match {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+          f.nameParts.last.toLowerCase
+        case _ => ""
+      }
+      if (envClasses.contains(e.getClass.getSimpleName) ||
+          envFuncs.contains(fname))
+        fail(s"WHERE reads the session environment ('${e.prettyName}'): " +
+          "the predicate must be a deterministic row-local expression — " +
+          "it would fold to a different constant in each refreshing " +
+          "session, which the incremental Δ-rules cannot track")
+    }
     val analyzed =
       try base.filter(expr(w)).queryExecution.analyzed
       catch { case e: Exception =>
@@ -416,13 +445,24 @@ object GraftMatviews {
     // the per-session inner map is a plain HashMap, and two concurrent
     // statements on one session must not interleave its read/update.
     droppedGen.foreach { case (k, (origName, gen)) =>
-      if (!views.contains(k)) dropSeen.synchronized {
-        val seen = dropSeen.computeIfAbsent(spark,
-          _ => scala.collection.mutable.Map.empty)
-        if (seen.getOrElse(k, 0L) < gen && referenced(origName)) {
+      if (!views.contains(k)) {
+        val pending = dropSeen.synchronized {
+          dropSeen.computeIfAbsent(spark,
+            _ => scala.collection.mutable.Map.empty).getOrElse(k, 0L) < gen
+        }
+        if (pending && referenced(origName)) {
+          // inspect OUTSIDE the lock — the catalog lookup analyzes the
+          // view, and holding the global monitor through an analysis
+          // would serialize every front-door statement behind it. Two
+          // racing threads of one session at worst both inspect and
+          // both issue the (idempotent) drop. The tag VALUE must name
+          // THIS view: a user view derived from some OTHER live
+          // matview inherits that view's tag through projection and
+          // must not be mistaken for the dropped one's registration.
           val isStaleReg =
             try spark.table(origName).schema.headOption
-              .exists(_.metadata.contains(MvTagKey))
+              .exists(f => f.metadata.contains(MvTagKey) &&
+                f.metadata.getString(MvTagKey).equalsIgnoreCase(origName))
             catch { case _: Exception => false } // gone already / not a view
           if (isStaleReg) {
             try spark.catalog.dropTempView(origName)
@@ -430,7 +470,10 @@ object GraftMatviews {
           }
           // either dropped, or provably not ours: this generation is
           // handled for this session — don't re-inspect every statement
-          seen(k) = gen
+          dropSeen.synchronized {
+            dropSeen.computeIfAbsent(spark,
+              _ => scala.collection.mutable.Map.empty)(k) = gen
+          }
         }
       }
     }

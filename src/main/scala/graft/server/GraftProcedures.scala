@@ -164,15 +164,20 @@ object GraftProcedures {
       : DataFrame = {
     val trimmed = name.trim
     if (trimmed.startsWith("(")) {
-      // an inline subquery is its OWN statement text: graft_* calls
-      // inside it were masked (string literal) during the outer
-      // statement's rewrite, so substitute them here — one SQL text can
-      // chain procedures (a quantile gate OVER repetition metrics)
-      // without materializing an intermediate view by hand. Under
-      // EXPLAIN the nested substitution inherits plans-only mode, so
-      // the unexplainable fixpoint must refuse here too — not silently
-      // run its jobs from inside a nested argument.
+      // an inline subquery is its OWN statement text: graft_* calls —
+      // and MATVIEW NAMES — inside it were masked (string literal)
+      // during the outer statement's processing, so give the subquery
+      // the same front-door treatment here: re-bind referenced matviews
+      // to their CURRENT state (a stale or dropped registration must
+      // not serve from inside an argument), then substitute nested
+      // procedure calls — one SQL text chains procedures (a quantile
+      // gate OVER repetition metrics) without materializing an
+      // intermediate view by hand. Under EXPLAIN the nested
+      // substitution inherits plans-only mode, so the unexplainable
+      // fixpoint must refuse here too — not silently run its jobs from
+      // inside a nested argument.
       if (graft.util.PlansOnly.active) refuseUnexplainable(trimmed)
+      GraftMatviews.refreshReferenced(spark, trimmed)
       spark.sql(rewrite(spark, trimmed))
     }
     else GraftServer.registered.collectFirst {
@@ -495,8 +500,14 @@ object GraftProcedures {
           val df = proc.fn(spark, bind(name, argText, proc.params))
           val digest = java.security.MessageDigest.getInstance("MD5")
             .digest(s"$name($argText)".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val view = "_graft_p_" +
-            digest.take(8).map(b => f"$b%02x").mkString
+          // plans-only (EXPLAIN) substitutions get their OWN namespace:
+          // re-binding the shared content-named view to an unpinned,
+          // probe-skipped plan would hand that plan to a concurrent
+          // EXECUTION of the same statement on the same session (the
+          // HTTP front door shares one session across handler threads)
+          val view =
+            (if (graft.util.PlansOnly.active) "_graft_px_"
+             else "_graft_p_") + digest.take(8).map(b => f"$b%02x").mkString
           df.createOrReplaceTempView(view)
           viewLru.synchronized {
             viewLru.put(view, name)

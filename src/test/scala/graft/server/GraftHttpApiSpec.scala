@@ -268,6 +268,16 @@ class GraftHttpApiSpec extends AnyFunSuite {
         Some("bob:hunter2"))._2).get("rows")
       assert(ids.size == 1 && ids.get(0).get("_id").asLong == 1L, ids)
 
+      // RFC 7235 §2.1: the auth-scheme token is case-insensitive — a
+      // client normalizing to lowercase must still authenticate
+      val lcReq = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/query"))
+        .header("Authorization", "basic " + java.util.Base64.getEncoder
+          .encodeToString("alice:wonderland".getBytes("UTF-8")))
+        .POST(HttpRequest.BodyPublishers.ofString("SELECT 1 AS x")).build()
+      assert(client.send(lcReq,
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+
       // /status stays a health probe but withholds the inventory from
       // unauthenticated callers
       val (sc, sb, _) = send("GET", "/status", "", None)

@@ -278,6 +278,78 @@ class GraftMatviewsSpec extends AnyFunSuite {
     }
   }
 
+  test("a dropped name reused for a view DERIVED from another live " +
+      "matview survives (the tag VALUE must name the dropped view)") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "bal"))
+    GraftServer.register("mvdropz", t)
+    try {
+      t.put(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "g", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "bal" -> $"m"), ts("2024-01-01 00:00:00"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_keepz WITH " +
+        "(valid_at = '2030-01-01 00:00:00') AS SELECT grp, COUNT(*) AS n " +
+        "FROM mvdropz GROUP BY grp").collect()
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_gonez WITH " +
+        "(valid_at = '2030-01-01 00:00:00') AS SELECT grp, SUM(bal) AS t " +
+        "FROM mvdropz GROUP BY grp").collect()
+      val other = spark.newSession()
+      assert(GraftSql.sql(other,
+        "SELECT count(*) FROM mv_keepz").collect()(0).getLong(0) == 2L)
+      assert(GraftSql.sql(other,
+        "SELECT count(*) FROM mv_gonez").collect()(0).getLong(0) == 2L)
+
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_gonez").collect()
+      // the user snapshots the LIVE view under the dropped name via a
+      // non-graft path — the projection INHERITS mv_keepz's tag, but
+      // the tag names mv_keepz, not mv_gonez: a contains-key check
+      // would destroy this view; the value check must not
+      other.table("mv_keepz").limit(1).createOrReplaceTempView("mv_gonez")
+      assert(GraftSql.sql(other,
+        "SELECT count(*) FROM mv_gonez").collect()(0).getLong(0) == 1L)
+    } finally {
+      GraftServer.unregister("mvdropz")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("matview names inside a procedure's inline-subquery table arg " +
+      "re-bind to CURRENT state") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "bal"))
+    GraftServer.register("mvsub", t)
+    try {
+      t.put(Seq((1L, "a", 10L)).toDF("id", "g", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "bal" -> $"m"), ts("2024-01-01 00:00:00"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_subq WITH " +
+        "(valid_at = '2030-01-01 00:00:00') AS SELECT grp, COUNT(*) AS n " +
+        "FROM mvsub GROUP BY grp").collect()
+      def throughArg(): Long = GraftSql.sql(spark,
+        "SELECT count(*) AS c FROM graft_token_stats(" +
+          "'( SELECT grp AS doc_id, CAST(n AS STRING) AS text " +
+          "FROM mv_subq )', 'doc_id', 'text')").collect()(0).getLong(0)
+      assert(throughArg() == 1L)
+
+      // new group lands, REFRESH folds it — and the ONLY reference to
+      // the view is from inside the quoted subquery arg (masked in the
+      // outer statement): the nested resolution must re-bind, not
+      // serve the pre-refresh registration
+      t.put(Seq((2L, "b", 20L)).toDF("id", "g", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "bal" -> $"m"), ts("2024-01-02 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_subq").collect()
+      assert(throughArg() == 2L)
+
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_subq")
+    } finally {
+      GraftServer.unregister("mvsub")
+      GraftMatviews.reset()
+    }
+  }
+
   test("JOIN form COUNT(col)/AVG/WHERE: maintained through fact " +
       "enter/leave/delete/erase and dim group-move/predicate-crossing") {
     val s = spark
@@ -442,6 +514,19 @@ class GraftMatviewsSpec extends AnyFunSuite {
       // not at the first refresh
       bad("CREATE MATERIALIZED VIEW v2h AS SELECT grp, COUNT(*) " +
         "FROM mvrej WHERE no_such_col > 0 GROUP BY grp", "analyze")
+      // session-ENVIRONMENT expressions fold to per-session literals
+      // during analysis (invisible to the post-analysis walk) — caught
+      // on the unresolved parse: each refreshing session would sieve
+      // with its own constant
+      bad("CREATE MATERIALIZED VIEW v2i AS SELECT grp, COUNT(*) " +
+        "FROM mvrej WHERE grp = current_user() GROUP BY grp",
+        "session environment")
+      bad("CREATE MATERIALIZED VIEW v2j AS SELECT grp, COUNT(*) " +
+        "FROM mvrej WHERE grp < version() GROUP BY grp",
+        "session environment")
+      bad("CREATE MATERIALIZED VIEW v2k AS SELECT grp, COUNT(*) " +
+        "FROM mvrej WHERE grp = current_database() GROUP BY grp",
+        "session environment")
       // HAVING / expression aggregates still don't parse as a
       // maintainable shape
       bad("CREATE MATERIALIZED VIEW v3 AS SELECT grp, SUM(bal + 1) " +
