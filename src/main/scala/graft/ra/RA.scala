@@ -229,6 +229,17 @@ object RA {
         n
       }.getOrElse(1)
 
+  /** Cluster-latency simulator for the blocked-unroll A/B
+    * (`graft.fixpoint.simulatedLaunchLatencyMs`, default 0 = no-op):
+    * sleeps before each convergence-probe job, standing in for the
+    * 10–100 ms of scheduler/RPC latency a REAL cluster pays per job
+    * launch. Local-mode round-trips are sub-ms, so the r8 local A/B
+    * could not resolve what the unroll knob actually targets — this
+    * conf lets the bench measure the crossover it exists for. */
+  private def simulatedLaunch(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.getOption("graft.fixpoint.simulatedLaunchLatencyMs")
+      .map(_.toLong).filter(_ > 0).foreach(Thread.sleep)
+
   def fixpoint(base: DataFrame, step: DataFrame => DataFrame,
                maxIter: Int = 100, compactEvery: Int = 8,
                unroll: Int = 0): DataFrame = {
@@ -268,6 +279,7 @@ object RA {
         // instead of discarded; the eager-checkpoint + isEmpty pair was
         // two scheduler round-trips per iteration).
         if (K == 1) {
+          simulatedLaunch(spark)
           val (next, n) = org.apache.spark.sql.graftbridge.RddBridge
             .localCheckpointWithCount(fresh(step(frontier).distinct()).except(acc))
           if (n == 0L) done = true
@@ -306,6 +318,7 @@ object RA {
             tagged = Some(tagged.fold(t)(b => b.unionAll(t)))
             k += 1
           }
+          simulatedLaunch(spark)
           val (cp, counts) = org.apache.spark.sql.graftbridge.RddBridge
             .localCheckpointWithTagCounts(tagged.get)
           if (counts.values.sum == 0L) done = true
@@ -412,6 +425,7 @@ object RA {
             else if (live.size == 1) {
               // single live relation: nothing to fuse
               val (n, idx) = live.head
+              simulatedLaunch(spark)
               val (cp, cnt) = org.apache.spark.sql.graftbridge.RddBridge
                 .localCheckpointWithCount(n)
               novels.indices.map(j => if (j == idx && cnt > 0L) Some(cp) else None)
@@ -426,6 +440,7 @@ object RA {
                   else lit(null).cast(schemas(j)).as(s"_s$j")
                 }: _*)
               }.reduce(_.unionAll(_))
+              simulatedLaunch(spark)
               val (cp, counts) = org.apache.spark.sql.graftbridge.RddBridge
                 .localCheckpointWithTagCounts(fusedPlan)
               novels.indices.map { j =>
@@ -483,6 +498,7 @@ object RA {
                 else lit(null).cast(schemas(j)).as(s"_s$j")
               }: _*)
             }.reduce(_.unionAll(_))
+            simulatedLaunch(spark)
             val (cp, counts) = org.apache.spark.sql.graftbridge.RddBridge
               .localCheckpointWithTagCounts(fusedPlan)
             if (counts.values.sum == 0L) done = true
