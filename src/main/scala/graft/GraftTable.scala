@@ -102,11 +102,25 @@ final class GraftTable(spark: SparkSession, dir: String,
                   maxCols: Seq[String] = Nil,
                   cntCols: Seq[String] = Nil,
                   where: Option[String] = None): graft.bitemporal.JoinMatview =
+    joinMatviewN(name, dim, fkCol, Seq(groupCol), sumCols, validAt,
+      nBuckets, minCols, maxCols, cntCols, where)
+
+  /** [[joinMatview]] with a MULTI-column group key (either side may
+    * contribute group columns). */
+  def joinMatviewN(name: String, dim: GraftTable, fkCol: String,
+                   groupCols: Seq[String], sumCols: Seq[String],
+                   validAt: Timestamp,
+                   nBuckets: Int = 64,
+                   minCols: Seq[String] = Nil,
+                   maxCols: Seq[String] = Nil,
+                   cntCols: Seq[String] = Nil,
+                   where: Option[String] = None,
+                   derived: Seq[(String, String)] = Nil): graft.bitemporal.JoinMatview =
     new graft.bitemporal.JoinMatview(spark, log, payloadCols,
       dim.log, dim.payloadColumns,
       java.nio.file.Paths.get(dir, "join_matview", name),
-      fkCol, groupCol, sumCols, validAt, nBuckets, minCols, maxCols,
-      cntCols, where)
+      fkCol, groupCols, sumCols, validAt, nBuckets, minCols, maxCols,
+      cntCols, where, derived)
 
   /** An incrementally-maintained COUNT/SUM view over this table at a
     * fixed valid-time basis (system = latest) — see
@@ -118,9 +132,21 @@ final class GraftTable(spark: SparkSession, dir: String,
               maxCols: Seq[String] = Nil,
               cntCols: Seq[String] = Nil,
               where: Option[String] = None): graft.bitemporal.Matview =
+    matviewN(name, Seq(groupCol), sumCols, validAt, nBuckets, minCols,
+      maxCols, cntCols, where)
+
+  /** [[matview]] with a MULTI-column group key. */
+  def matviewN(name: String, groupCols: Seq[String], sumCols: Seq[String],
+               validAt: Timestamp, nBuckets: Int = 32,
+               minCols: Seq[String] = Nil,
+               maxCols: Seq[String] = Nil,
+               cntCols: Seq[String] = Nil,
+               where: Option[String] = None,
+               derived: Seq[(String, String)] = Nil): graft.bitemporal.Matview =
     new graft.bitemporal.Matview(spark, log,
       java.nio.file.Paths.get(dir, "matview", name), payloadCols,
-      groupCol, sumCols, validAt, nBuckets, minCols, maxCols, cntCols, where)
+      groupCols, sumCols, validAt, nBuckets, minCols, maxCols, cntCols,
+      where, derived)
 
   /** Fold the log into the partitioned rectangle base — incrementally
     * when one exists (cost ∝ tail ids, not total history). The base

@@ -61,21 +61,32 @@ final class JoinMatview private[graft] (
     spark: SparkSession,
     factLog: TxLog, factCols: Seq[String],
     dimLog: TxLog, dimCols: Seq[String],
-    stateRoot: Path, fkCol: String, groupCol: String, sumCols: Seq[String],
+    stateRoot: Path, fkCol: String, groupCols: Seq[String], sumCols: Seq[String],
     validAt: Timestamp, nBuckets: Int,
     minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
-    cntCols: Seq[String] = Nil, whereSql: Option[String] = None) {
+    cntCols: Seq[String] = Nil, whereSql: Option[String] = None,
+    derived: Seq[(String, String)] = Nil) {
   require(factCols.contains(fkCol), s"fk column $fkCol must be a fact payload column")
-  require(sumCols.forall(factCols.contains),
-    s"sum columns $sumCols must be fact payload columns $factCols")
-  require((minCols ++ maxCols).forall(factCols.contains),
-    s"min/max columns ${minCols ++ maxCols} must be fact payload columns $factCols")
+  // DERIVED columns (name -> row-local deterministic SQL expression,
+  // referencing EITHER side) are computed on the joined relation right
+  // after the sieve — they commute with the Δ(A⋈B) rules for the same
+  // reason the WHERE does: "touched" already propagates across the
+  // join edge, and an untouched row's derived value is identical on
+  // both sides of the delta
+  private val derivedNames = derived.map(_._1)
+  private val aggable = factCols ++ dimCols ++ derivedNames
+  require(sumCols.forall(c => factCols.contains(c) || derivedNames.contains(c)),
+    s"sum columns $sumCols must be fact payload or derived columns")
+  require((minCols ++ maxCols).forall(c =>
+      factCols.contains(c) || derivedNames.contains(c)),
+    s"min/max columns ${minCols ++ maxCols} must be fact payload or derived columns")
   // COUNT(col) counts the JOINED relation's non-null cells, so the
   // column may live on either side (payload names are disjoint)
-  require(cntCols.forall(c => factCols.contains(c) || dimCols.contains(c)),
-    s"count columns $cntCols must be payload columns of either table")
-  require(factCols.contains(groupCol) || dimCols.contains(groupCol),
-    s"group column $groupCol must be a payload column of either table")
+  require(cntCols.forall(aggable.contains),
+    s"count columns $cntCols must be payload or derived columns")
+  require(groupCols.nonEmpty, "at least one group column")
+  groupCols.foreach(g => require(factCols.contains(g) || dimCols.contains(g),
+    s"group column $g must be a payload column of either table"))
   require((factCols.toSet & dimCols.toSet).isEmpty,
     s"fact/dim payload names must be disjoint: ${factCols.toSet & dimCols.toSet}")
   require(nBuckets > 0, "nBuckets must be positive")
@@ -115,17 +126,19 @@ final class JoinMatview private[graft] (
   private def cntAggs =
     cntCols.map(c => count(col(c)).as(cntAlias(c)))
 
-  /** Columns the WHERE references (unresolved parse — resolution and
-    * the deterministic/row-local checks happen at DDL validation): they
-    * must survive the side projections so the post-join sieve sees
-    * them. */
-  private val whereRefs: Set[String] = whereSql.map { w =>
+  /** Columns the WHERE and the derived expressions reference
+    * (unresolved parse — resolution and the deterministic/row-local
+    * checks happen at DDL validation): they must survive the side
+    * projections so the post-join sieve/derivation sees them. */
+  private def refsOf(sql: String): Set[String] =
     org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-      .parseExpression(w).collect {
+      .parseExpression(sql).collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           a.nameParts.last.toLowerCase
       }.toSet
-  }.getOrElse(Set.empty)
+  private val rowLocalRefs: Set[String] =
+    whereSql.map(refsOf).getOrElse(Set.empty) ++
+      derived.flatMap(d => refsOf(d._2))
 
   /** The maintained relation is the FILTERED join when the view
     * declares a WHERE. A row-local deterministic predicate commutes
@@ -138,9 +151,22 @@ final class JoinMatview private[graft] (
   private def sieve(joined: DataFrame): DataFrame =
     whereSql.map(w => joined.filter(expr(w))).getOrElse(joined)
 
+  /** Sieve, then attach the derived expression columns — the full
+    * row-local preparation every aggregation path shares. */
+  private def prep(joined: DataFrame): DataFrame =
+    derived.foldLeft(sieve(joined)) { case (d, (n, e)) =>
+      d.withColumn(n, expr(e))
+    }
+
+  // single-column formula bit-identical to pre-r12 (existing state
+  // dirs keep their bucket assignment); multi-column keys concat
+  private def groupKeyStr = {
+    val parts = groupCols.map(c =>
+      coalesce(col(c).cast("string"), lit("\\u0000:null-group")))
+    if (parts.size == 1) parts.head else concat_ws("\u0001", parts: _*)
+  }
   private def bucketCol =
-    pmod(xxhash64(coalesce(col(groupCol).cast("string"),
-      lit("\\u0000:null-group"))), lit(nBuckets.toLong))
+    pmod(xxhash64(groupKeyStr), lit(nBuckets.toLong))
 
   private def readTx(files: Seq[Path]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(files.map(_.toString): _*)
@@ -168,14 +194,15 @@ final class JoinMatview private[graft] (
       lit(validAt), lit(sysProbe))
 
   private def factKeep: Seq[String] =
-    (Seq(fkCol) ++ sumCols ++ minCols ++ maxCols ++
+    (Seq(fkCol) ++ (sumCols ++ minCols ++ maxCols)
+        .filter(factCols.contains) ++
       cntCols.filter(factCols.contains) ++
-      factCols.filter(c => whereRefs.contains(c.toLowerCase)) ++
-      (if (factCols.contains(groupCol)) Seq(groupCol) else Nil)).distinct
+      factCols.filter(c => rowLocalRefs.contains(c.toLowerCase)) ++
+      groupCols.filter(factCols.contains)).distinct
   private def dimKeep: Seq[String] =
     (cntCols.filter(dimCols.contains) ++
-      dimCols.filter(c => whereRefs.contains(c.toLowerCase)) ++
-      (if (dimCols.contains(groupCol)) Seq(groupCol) else Nil)).distinct
+      dimCols.filter(c => rowLocalRefs.contains(c.toLowerCase)) ++
+      groupCols.filter(dimCols.contains)).distinct
 
   /** fact ⋈ dim on fk = dim id, sieved by the declared WHERE, then the
     * per-group COUNT/SUM/COUNT(col) — `withMm` adds MIN/MAX aggregates,
@@ -184,8 +211,8 @@ final class JoinMatview private[graft] (
     * subtract. */
   private def joinAgg(fact: DataFrame, dim: DataFrame,
                       withMm: Boolean = false): DataFrame =
-    sieve(fact.join(dim, col(fkCol).cast("long") === col("_dim_id")))
-      .groupBy(col(groupCol))
+    prep(fact.join(dim, col(fkCol).cast("long") === col("_dim_id")))
+      .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sumCols.map(c => sum(col(c)).as(sumAlias(c))) ++ cntAggs ++
           (if (withMm) mmAggs else Nil): _*)
@@ -298,13 +325,15 @@ final class JoinMatview private[graft] (
       sumCols.map(c => sumAlias(c) ->
         newC.schema(sumAlias(c)).dataType).toMap
     val o = oldC.as("o"); val nw = newC.as("n")
-    val delta = nw.join(o, col(s"n.$groupCol") <=> col(s"o.$groupCol"),
-        "full_outer")
+    val dKey = groupCols.map(g =>
+      col(s"n.$g") <=> col(s"o.$g")).reduce(_ && _)
+    val delta = nw.join(o, dKey, "full_outer")
       .select(
-        coalesce(col(s"n.$groupCol"), col(s"o.$groupCol")).as(groupCol) +:
+        (groupCols.map(g =>
+          coalesce(col(s"n.$g"), col(s"o.$g")).as(g)) :+
           (coalesce(col("n.n"), lit(0L)) - coalesce(col("o.n"), lit(0L)))
-            .as("n") +:
-          (sumCols.map { c =>
+            .as("n")) ++
+          sumCols.map { c =>
             val a = sumAlias(c)
             (coalesce(col(s"n.$a"), lit(0)) - coalesce(col(s"o.$a"), lit(0)))
               .cast(sumT(a)).as(a)
@@ -312,7 +341,7 @@ final class JoinMatview private[graft] (
             val a = cntAlias(c)
             (coalesce(col(s"n.$a"), lit(0L)) - coalesce(col(s"o.$a"), lit(0L)))
               .as(a)
-          }): _*)
+          }: _*)
       .withColumn("_bucket", bucketCol)
     // the delta feeds the affected-bucket collect, the state merge AND
     // (for min/max views) the touched-group set — checkpoint it once
@@ -333,11 +362,13 @@ final class JoinMatview private[graft] (
     val state = MvState.readState(spark, stateRoot, dataDir)
       .filter(col("_bucket").isin(affected: _*))
     val s = state.as("s"); val d = deltaCp.as("d")
-    val countSum = s.join(d, col(s"s.$groupCol") <=> col(s"d.$groupCol"),
-        "full_outer")
+    val mKey = groupCols.map(g =>
+      col(s"s.$g") <=> col(s"d.$g")).reduce(_ && _)
+    val countSum = s.join(d, mKey, "full_outer")
       .select(
-        coalesce(col(s"s.$groupCol"), col(s"d.$groupCol")).as(groupCol) +:
-          (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+        groupCols.map(g =>
+          coalesce(col(s"s.$g"), col(s"d.$g")).as(g)) ++
+          ((coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
             .as("n") +:
           (sumCols.map { c =>
             val a = sumAlias(c)
@@ -352,8 +383,8 @@ final class JoinMatview private[graft] (
             // bucket that this refresh does NOT touch (null for brand
             // new groups — every new group is touched, so the re-read
             // below always overwrites it)
-            mmAliases.map(a => col(s"s.$a").as(a))) :+
-          coalesce(col("s._bucket"), col("d._bucket")).as("_bucket"): _*)
+            mmAliases.map(a => col(s"s.$a").as(a)) :+
+          coalesce(col("s._bucket"), col("d._bucket")).as("_bucket"))): _*)
       .filter(col("n") > 0) // group left the join entirely
     // MIN/MAX fallback, crossed over the join (the classic IVM
     // restriction plus the group-move case: a dim relocation can strip
@@ -364,22 +395,27 @@ final class JoinMatview private[graft] (
     val merged =
       if (mmAliases.isEmpty) countSum
       else {
-        val touchedGroups = deltaCp.select(col(groupCol)).distinct()
-        // the member relation for extremes is the SIEVED join — a row
+        val touchedGroups = deltaCp
+          .select(groupCols.map(col): _*).distinct()
+        // the member relation for extremes is the SIEVED join (a row
         // outside the WHERE is not a member and must not donate a
-        // min/max
-        val full = sieve(vaNew.join(vbNew,
+        // min/max), with derived columns attached — extremes may be
+        // over an expression
+        val full = prep(vaNew.join(vbNew,
           col(fkCol).cast("long") === col("_dim_id")))
+        val semiKey = groupCols.map(g =>
+          col(s"f.$g") <=> col(s"tg.$g")).reduce(_ && _)
         val mm = full.as("f").join(touchedGroups.as("tg"),
-            col(s"f.$groupCol") <=> col(s"tg.$groupCol"), "left_semi")
-          .groupBy(col(groupCol))
+            semiKey, "left_semi")
+          .groupBy(groupCols.map(col): _*)
           .agg(mmAggs.head, mmAggs.tail: _*)
-          .select(col(groupCol) +: lit(true).as("_mm") +:
-            mmAliases.map(a => col(a).as(s"_r_$a")): _*)
-        val mrg = countSum.as("m").join(mm.as("r"),
-          col(s"m.$groupCol") <=> col(s"r.$groupCol"), "left")
+          .select(groupCols.map(col) ++ (lit(true).as("_mm") +:
+            mmAliases.map(a => col(a).as(s"_r_$a"))): _*)
+        val rKey = groupCols.map(g =>
+          col(s"m.$g") <=> col(s"r.$g")).reduce(_ && _)
+        val mrg = countSum.as("m").join(mm.as("r"), rKey, "left")
         mrg.select(
-          col(s"m.$groupCol").as(groupCol) +: col("m.n").as("n") +:
+          (groupCols.map(g => col(s"m.$g").as(g)) :+ col("m.n").as("n")) ++
             (sumCols.map(c => col(s"m.${sumAlias(c)}").as(sumAlias(c))) ++
               cntCols.map(c => col(s"m.${cntAlias(c)}").as(cntAlias(c))) ++
               // the _mm flag (not coalesce) decides: a touched group
@@ -387,8 +423,8 @@ final class JoinMatview private[graft] (
               // values null) must not fall back to the stale state
               mmAliases.map(a =>
                 when(col("_mm") === true, col(s"_r_$a"))
-                  .otherwise(col(s"m.$a")).as(a))) :+
-            col("m._bucket").as("_bucket"): _*)
+                  .otherwise(col(s"m.$a")).as(a)) :+
+            col("m._bucket").as("_bucket")): _*)
       }
     MvState.swapBuckets(stateRoot, dataDir, merged, affected)
     setWatermarks(lastA, lastB)

@@ -42,16 +42,25 @@ import org.apache.spark.sql.functions._
   */
 final class Matview private[graft] (
     spark: SparkSession, log: TxLog, stateRoot: Path,
-    payloadCols: Seq[String], groupCol: String, sumCols: Seq[String],
+    payloadCols: Seq[String], groupCols: Seq[String], sumCols: Seq[String],
     validAt: Timestamp, nBuckets: Int,
     minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
-    cntCols: Seq[String] = Nil, whereSql: Option[String] = None) {
-  require(sumCols.forall(payloadCols.contains),
-    s"sum columns $sumCols must be payload columns $payloadCols")
-  require((minCols ++ maxCols).forall(payloadCols.contains),
-    s"min/max columns ${minCols ++ maxCols} must be payload columns $payloadCols")
-  require(cntCols.forall(payloadCols.contains),
-    s"count columns $cntCols must be payload columns $payloadCols")
+    cntCols: Seq[String] = Nil, whereSql: Option[String] = None,
+    derived: Seq[(String, String)] = Nil) {
+  require(groupCols.nonEmpty, "at least one group column")
+  // DERIVED columns (name -> row-local deterministic SQL expression
+  // over the payload) extend the aggregable surface to expression
+  // aggregates — SUM(a*b) maintains exactly like SUM(c) because the
+  // expression commutes with the Δ-rules for the same reason the WHERE
+  // sieve does: an untouched row's derived value is identical on both
+  // sides of the delta
+  private val aggable = payloadCols ++ derived.map(_._1)
+  require(sumCols.forall(aggable.contains),
+    s"sum columns $sumCols must be payload or derived columns $aggable")
+  require((minCols ++ maxCols).forall(aggable.contains),
+    s"min/max columns ${minCols ++ maxCols} must be payload or derived columns $aggable")
+  require(cntCols.forall(aggable.contains),
+    s"count columns $cntCols must be payload or derived columns $aggable")
   require(nBuckets > 0, "nBuckets must be positive")
 
   private val dataDir = stateRoot.resolve("state")
@@ -97,11 +106,25 @@ final class Matview private[graft] (
   private def sieve(visible: DataFrame): DataFrame =
     whereSql.map(w => visible.filter(expr(w))).getOrElse(visible)
 
+  /** Sieve, then attach the derived expression columns — the full
+    * row-local preparation every aggregation path shares. */
+  private def prep(visible: DataFrame): DataFrame =
+    derived.foldLeft(sieve(visible)) { case (d, (n, e)) =>
+      d.withColumn(n, expr(e))
+    }
+
   /** Hash bucket of the group key (null-safe: null groups get a real
-    * bucket, not a hive default partition). */
+    * bucket, not a hive default partition). The single-column formula
+    * is kept BIT-IDENTICAL to the pre-r12 one so existing state dirs
+    * keep their bucket assignment; multi-column keys concat with a
+    * separator. */
+  private def groupKeyStr = {
+    val parts = groupCols.map(c =>
+      coalesce(col(c).cast("string"), lit("\\u0000:null-group")))
+    if (parts.size == 1) parts.head else concat_ws("\u0001", parts: _*)
+  }
   private def bucketCol =
-    pmod(xxhash64(coalesce(col(groupCol).cast("string"), lit("\\u0000:null-group"))),
-      lit(nBuckets.toLong))
+    pmod(xxhash64(groupKeyStr), lit(nBuckets.toLong))
 
   private def readTx(files: Seq[Path]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(files.map(_.toString): _*)
@@ -109,9 +132,9 @@ final class Matview private[graft] (
   /** Per-group COUNT/SUM contribution of `ops` at the view's basis —
     * the self-maintainable part, used on both sides of the delta. */
   private def contrib(ops: DataFrame): DataFrame =
-    sieve(Bitemporal.asOf(Bitemporal.fold(ops, payloadCols),
+    prep(Bitemporal.asOf(Bitemporal.fold(ops, payloadCols),
         lit(validAt), lit(sysProbe)))
-      .groupBy(col(groupCol))
+      .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sumCols.map(c => sum(col(c)).as(sumAlias(c))) ++ cntAggs: _*)
 
@@ -119,7 +142,7 @@ final class Matview private[graft] (
     * COMPLETE visible relation (first build, truncation rebuild), never
     * over a delta: min/max don't subtract. */
   private def fullAgg(visible: DataFrame): DataFrame =
-    sieve(visible).groupBy(col(groupCol))
+    prep(visible).groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sumCols.map(c => sum(col(c)).as(sumAlias(c))) ++ cntAggs ++ mmAggs: _*)
 
@@ -227,19 +250,21 @@ final class Matview private[graft] (
     // delta per group: new minus old, null-safe on the group key
     val o = oldC.as("o")
     val nw = newC.as("n")
-    val key = col(s"n.$groupCol") <=> col(s"o.$groupCol")
+    val key = groupCols.map(g =>
+      col(s"n.$g") <=> col(s"o.$g")).reduce(_ && _)
     val delta = nw.join(o, key, "full_outer")
       .select(
-        coalesce(col(s"n.$groupCol"), col(s"o.$groupCol")).as(groupCol) +:
-          (coalesce(col("n.n"), lit(0L)) - coalesce(col("o.n"), lit(0L))).as("n") +:
-          (sumCols.map { c =>
-            val a = sumAlias(c)
-            (coalesce(col(s"n.$a"), lit(0)) - coalesce(col(s"o.$a"), lit(0)))
-              .cast(sumT(a)).as(a)
-          } ++ cntCols.map { c =>
-            val a = cntAlias(c)
-            (coalesce(col(s"n.$a"), lit(0L)) - coalesce(col(s"o.$a"), lit(0L))).as(a)
-          }): _*)
+        groupCols.map(g =>
+          coalesce(col(s"n.$g"), col(s"o.$g")).as(g)) ++
+          ((coalesce(col("n.n"), lit(0L)) - coalesce(col("o.n"), lit(0L))).as("n") +:
+            (sumCols.map { c =>
+              val a = sumAlias(c)
+              (coalesce(col(s"n.$a"), lit(0)) - coalesce(col(s"o.$a"), lit(0)))
+                .cast(sumT(a)).as(a)
+            } ++ cntCols.map { c =>
+              val a = cntAlias(c)
+              (coalesce(col(s"n.$a"), lit(0L)) - coalesce(col(s"o.$a"), lit(0L))).as(a)
+            })): _*)
       .withColumn("_bucket", bucketCol)
     // the delta feeds BOTH the affected-bucket collect and the state
     // merge below — checkpoint it once (rows ∝ touched groups, tiny)
@@ -258,11 +283,13 @@ final class Matview private[graft] (
       .filter(col("_bucket").isin(affected: _*))
     val s = state.as("s")
     val d = deltaCp.as("d")
-    val mkey = col(s"s.$groupCol") <=> col(s"d.$groupCol")
+    val mkey = groupCols.map(g =>
+      col(s"s.$g") <=> col(s"d.$g")).reduce(_ && _)
     val countSum = s.join(d, mkey, "full_outer")
       .select(
-        coalesce(col(s"s.$groupCol"), col(s"d.$groupCol")).as(groupCol) +:
-          (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n") +:
+        (groupCols.map(g =>
+          coalesce(col(s"s.$g"), col(s"d.$g")).as(g)) :+
+          (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n")) ++
           (sumCols.map { c =>
             val a = sumAlias(c)
             (coalesce(col(s"s.$a"), lit(0)) + coalesce(col(s"d.$a"), lit(0)))
@@ -275,8 +302,8 @@ final class Matview private[graft] (
             // bucket that this refresh does NOT touch (null for brand
             // new groups — every new group is touched, so the re-read
             // below always overwrites it)
-            mmAliases.map(a => col(s"s.$a").as(a))) :+
-          coalesce(col("s._bucket"), col("d._bucket")).as("_bucket"): _*)
+            mmAliases.map(a => col(s"s.$a").as(a)) :+
+          coalesce(col("s._bucket"), col("d._bucket")).as("_bucket")): _*)
       .filter(col("n") > 0) // a group whose last row left the view goes away
     // MIN/MAX fallback (the classic IVM restriction: extremes are not
     // self-maintainable under deletes/updates): the TOUCHED GROUPS —
@@ -287,18 +314,21 @@ final class Matview private[graft] (
     val merged =
       if (mmAliases.isEmpty) countSum
       else {
-        val touchedGroups = deltaCp.select(col(groupCol)).distinct()
+        val touchedGroups = deltaCp
+          .select(groupCols.map(col): _*).distinct().as("tg")
         val visible = Bitemporal.asOf(
           log.readAllAuto(spark, payloadCols, upToTx = last),
-          lit(validAt), lit(sysProbe))
-        val mm = fullAgg(visible.join(touchedGroups,
-            visible(groupCol) <=> touchedGroups(groupCol), "left_semi"))
-          .select(col(groupCol) +: lit(true).as("_mm") +:
-            mmAliases.map(a => col(a).as(s"_r_$a")): _*)
-        val mrg = countSum.as("m").join(mm.as("r"),
-          col(s"m.$groupCol") <=> col(s"r.$groupCol"), "left")
+          lit(validAt), lit(sysProbe)).as("v")
+        val semiKey = groupCols.map(g =>
+          col(s"v.$g") <=> col(s"tg.$g")).reduce(_ && _)
+        val mm = fullAgg(visible.join(touchedGroups, semiKey, "left_semi"))
+          .select(groupCols.map(col) ++ (lit(true).as("_mm") +:
+            mmAliases.map(a => col(a).as(s"_r_$a"))): _*)
+        val mmKey = groupCols.map(g =>
+          col(s"m.$g") <=> col(s"r.$g")).reduce(_ && _)
+        val mrg = countSum.as("m").join(mm.as("r"), mmKey, "left")
         mrg.select(
-          col(s"m.$groupCol").as(groupCol) +: col("m.n").as("n") +:
+          (groupCols.map(g => col(s"m.$g").as(g)) :+ col("m.n").as("n")) ++
             (sumCols.map(c => col(s"m.${sumAlias(c)}").as(sumAlias(c))) ++
               cntCols.map(c => col(s"m.${cntAlias(c)}").as(cntAlias(c))) ++
               // the _mm flag (not coalesce) decides: a touched group
@@ -306,8 +336,8 @@ final class Matview private[graft] (
               // values null) must not fall back to the stale state
               mmAliases.map(a =>
                 when(col("_mm") === true, col(s"_r_$a"))
-                  .otherwise(col(s"m.$a")).as(a))) :+
-            col("m._bucket").as("_bucket"): _*)
+                  .otherwise(col(s"m.$a")).as(a)) :+
+            col("m._bucket").as("_bucket")): _*)
       }
     MvState.swapBuckets(stateRoot, dataDir, merged, affected)
     setWatermark(last)

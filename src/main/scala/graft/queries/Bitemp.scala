@@ -286,6 +286,66 @@ object Bitemp {
       }
     }),
 
+    // r12 matview DDL growth, part 2: MULTI-column GROUP BY spanning
+    // the join (dim region + fact priority) and HAVING over the output
+    // columns (served as a read-time filter — state keeps every
+    // group). Same mutation flow as q165; the HAVING threshold splits
+    // the group set nontrivially.
+    "q166_sql_matview_multi" -> ((s, dir) => {
+      import s.implicits._
+      val base = new java.io.File(dir).getName
+      val ftmp = s"target/jmvmg_f_$base"; val dtmp = s"target/jmvmg_d_$base"
+      TxLog.deleteRecursively(new java.io.File(ftmp))
+      TxLog.deleteRecursively(new java.io.File(dtmp))
+      graft.server.GraftMatviews.reset()
+      val fact = new GraftTable(s, ftmp, Seq("cust", "prio", "amt"))
+      val dim = new GraftTable(s, dtmp, Seq("region"))
+      graft.server.GraftServer.register("mvmg_orders", fact)
+      graft.server.GraftServer.register("mvmg_cust", dim)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val cust = T(s, dir, "customer").select($"c_custkey".as("id"),
+          $"c_nationkey".cast("string").as("rg"))
+        val ord = T(s, dir, "orders").select($"o_orderkey".as("id"),
+          $"o_custkey".cast("long").as("ck"),
+          $"o_orderpriority".as("pr"),
+          $"o_totalprice".cast("decimal(14,2)").as("m"))
+        dim.put(cust, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("region" -> $"rg"), ts("2020-01-01 00:00:00"))
+        fact.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("cust" -> $"ck", "prio" -> $"pr", "amt" -> $"m"),
+          ts("2020-01-01 00:00:01"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvmg_by_rp WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+            "SELECT region, prio, COUNT(*) AS n, SUM(amt) AS sum_amt " +
+            "FROM mvmg_orders JOIN mvmg_cust ON cust = mvmg_cust._id " +
+            "WHERE amt > 50000 GROUP BY region, prio HAVING n > 50")
+        fact.put(ord.filter($"id" % 20 === 0)
+            .withColumn("m2", ($"m" + 100000).cast("decimal(14,2)")),
+          $"id", lit("2000-06-01").cast("timestamp"), None,
+          Seq("cust" -> $"ck", "prio" -> $"pr", "amt" -> $"m2"),
+          ts("2020-01-02 00:00:00"))
+        fact.delete(ord.filter($"id" % 31 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("cust" -> lit(null).cast("long"),
+            "prio" -> lit(null).cast("string"),
+            "amt" -> lit(null).cast("decimal(14,2)")),
+          ts("2020-01-02 00:00:01"))
+        dim.put(cust.filter($"id" % 10 === 0).withColumn("rg2", lit("99")),
+          $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("region" -> $"rg2"), ts("2020-01-02 00:00:02"))
+        graft.server.GraftSql.sql(s,
+          "REFRESH MATERIALIZED VIEW mvmg_by_rp")
+        graft.server.GraftSql.sql(s,
+          "SELECT region, prio, n, CAST(sum_amt AS DOUBLE) AS sum_amt " +
+            "FROM mvmg_by_rp ORDER BY region, prio")
+      } finally {
+        graft.server.GraftServer.unregister("mvmg_orders")
+        graft.server.GraftServer.unregister("mvmg_cust")
+      }
+    }),
+
     // JOIN matview (r7): orders ⋈ customers grouped by the CUSTOMER's
     // region — maintained incrementally from BOTH logs' tails by the
     // Δ(A⋈B) rules. The second refresh folds a fact tail (price bump +
@@ -882,6 +942,26 @@ object Bitemp {
              CAST(sum(amt) AS DOUBLE) / count(amt) AS avg_amt
       FROM vis JOIN cd ON vis.ck = cd.k
       GROUP BY region ORDER BY region""",
+
+    // from-scratch recompute of the multi-column-group + HAVING view:
+    // the HAVING replays as a WHERE over the grouped subquery — the
+    // same observable relation the read-time filter serves
+    "q166_sql_matview_multi" -> """
+      WITH cd AS (SELECT c_custkey AS k,
+                    CASE WHEN c_custkey % 10 = 0 THEN '99'
+                         ELSE CAST(c_nationkey AS VARCHAR) END AS region
+                  FROM customer),
+      oe AS (SELECT o_custkey AS ck, o_orderpriority AS prio,
+                    CASE WHEN o_orderkey % 20 = 0
+                         THEN CAST(o_totalprice AS DECIMAL(14,2)) + 100000
+                         ELSE CAST(o_totalprice AS DECIMAL(14,2)) END AS amt
+             FROM orders WHERE o_orderkey % 31 <> 0),
+      vis AS (SELECT * FROM oe WHERE amt > 50000),
+      g AS (SELECT region, prio, count(*) AS n, sum(amt) AS s
+            FROM vis JOIN cd ON vis.ck = cd.k GROUP BY region, prio)
+      SELECT region, prio, CAST(n AS BIGINT) AS n,
+             CAST(s AS DOUBLE) AS sum_amt
+      FROM g WHERE n > 50 ORDER BY region, prio""",
 
     // from-scratch recompute of the min/max view's final state
     "q149_matview_minmax" -> """

@@ -26,12 +26,15 @@ import graft.bitemporal.{BitemporalDml, SqlText}
   *
   * The accepted SELECT shape is exactly what the engine can maintain
   * incrementally — COUNT(*) / COUNT(col) / SUM / AVG / MIN / MAX per
-  * ONE group column over a graft-registered table, optionally joined
-  * to a second registered table on `fk = dim._id` (the Δ(A⋈B)
-  * join-view rules), with an optional row-local deterministic WHERE
-  * over either side's columns (the predicate commutes with the
-  * Δ-rules; on the join form because "touched" already propagates
-  * across the join edge).
+  * one-or-more group columns over a graft-registered table, optionally
+  * joined to a second registered table on `fk = dim._id` (the Δ(A⋈B)
+  * join-view rules; group columns may come from either side), with an
+  * optional row-local deterministic WHERE over either side's columns
+  * (the predicate commutes with the Δ-rules; on the join form because
+  * "touched" already propagates across the join edge), and an optional
+  * HAVING over the view's OUTPUT columns (served as a read-time filter
+  * — the state keeps every group, so it is maintained by
+  * construction).
   * Anything else is rejected with a message saying so: a matview the
   * engine could not refresh incrementally would silently be a
   * snapshot, which is the one thing a user must not discover in
@@ -51,6 +54,10 @@ object GraftMatviews {
       name: String,
       // canonical state column -> user alias, in declared order
       serveCols: Seq[(String, String)],
+      // HAVING over the SERVED columns, applied at read: state keeps
+      // every group, so the filter is trivially maintained — Postgres-
+      // observable semantics for SELECT * FROM v, zero new Δ mechanics
+      having: Option[String],
       // session-parameterized: the front doors serve ISOLATED sessions
       // (Connect clones session state), and a temp view must bind to
       // the session that will resolve it
@@ -101,7 +108,9 @@ object GraftMatviews {
     ("(?is)^SELECT\\s+([\\s\\S]*?)\\s+FROM\\s+([A-Za-z_]\\w*)\\s*" +
       "(?:JOIN\\s+([A-Za-z_]\\w*)\\s+ON\\s+([\\s\\S]*?)\\s+)?" +
       "(?:WHERE\\s+([\\s\\S]*?)\\s+)?" +
-      "GROUP\\s+BY\\s+([A-Za-z_](?:\\w|\\.)*)\\s*$").r
+      "GROUP\\s+BY\\s+([A-Za-z_](?:\\w|\\.)*" +
+      "(?:\\s*,\\s*[A-Za-z_](?:\\w|\\.)*)*)\\s*" +
+      "(?:HAVING\\s+([\\s\\S]*?))?\\s*$").r
 
   // WHERE must be a row-local DETERMINISTIC predicate for the Δ-rules
   // to commute with it: subqueries see other rows, and random/clock
@@ -133,7 +142,8 @@ object GraftMatviews {
     "current_user", "session_user", "user", "current_database",
     "current_schema", "current_catalog", "version")
 
-  private def validateWhere(base: DataFrame, w: String): Unit = {
+  private def validateWhere(base: DataFrame, w: String,
+                            label: String = "WHERE"): Unit = {
     val parsed =
       try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseExpression(w)
@@ -146,7 +156,7 @@ object GraftMatviews {
       }
       if (envClasses.contains(e.getClass.getSimpleName) ||
           envFuncs.contains(fname))
-        fail(s"WHERE reads the session environment ('${e.prettyName}'): " +
+        fail(s"$label reads the session environment ('${e.prettyName}'): " +
           "the predicate must be a deterministic row-local expression — " +
           "it would fold to a different constant in each refreshing " +
           "session, which the incremental Δ-rules cannot track")
@@ -154,7 +164,7 @@ object GraftMatviews {
     val analyzed =
       try base.filter(expr(w)).queryExecution.analyzed
       catch { case e: Exception =>
-        fail(s"WHERE does not analyze against the maintained relation " +
+        fail(s"$label does not analyze against the maintained relation " +
           s"(the predicate must be a deterministic row-local expression " +
           s"over the table's columns): ${e.getMessage}")
       }
@@ -165,15 +175,15 @@ object GraftMatviews {
       cond.foreach { e =>
         if (e.isInstanceOf[
             org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
-          fail("WHERE contains a subquery: the predicate must be a " +
+          fail(s"$label contains a subquery: the predicate must be a " +
             "deterministic row-local expression — a subquery sees other " +
             "rows, which the incremental Δ-rules cannot re-derive")
         if (!e.deterministic)
-          fail(s"WHERE contains the non-deterministic expression " +
+          fail(s"$label contains the non-deterministic expression " +
             s"'${e.prettyName}': the state's old contribution could not " +
             "be reproduced by the incremental Δ-rules")
         if (clockClasses.contains(e.getClass.getSimpleName))
-          fail(s"WHERE reads the clock ('${e.prettyName}'): the predicate " +
+          fail(s"$label reads the clock ('${e.prettyName}'): the predicate " +
             "must be a deterministic row-local expression — a maintained " +
             "relation that drifts with wall time cannot be refreshed " +
             "from Δs")
@@ -267,23 +277,29 @@ object GraftMatviews {
       .getOrElse(new Timestamp(System.currentTimeMillis()))
     val buckets = optMap.get("buckets").map(_.toInt)
 
-    val (list, factName, dimName, onExpr, whereOpt, groupBy) =
+    val (list, factName, dimName, onExpr, whereOpt, groupBy, havingOpt) =
       select.trim match {
-        case selectRe(l, f, d, on, w, g) =>
-          (l, f, Option(d), Option(on), Option(w), g)
-        case _ => fail("materialized-view SELECT must be: SELECT <g>, " +
+        case selectRe(l, f, d, on, w, g, hv) =>
+          (l, f, Option(d), Option(on), Option(w), g,
+            Option(hv).map(_.trim).filter(_.nonEmpty))
+        case _ => fail("materialized-view SELECT must be: SELECT <g…>, " +
           "COUNT(*)/COUNT(col)/SUM/AVG/MIN/MAX(col) [AS alias], … FROM " +
           "<table> [JOIN <dim> ON <fk> = <dim>._id] [WHERE <predicate>] " +
-          "GROUP BY <g> — subqueries, HAVING and expression aggregates " +
-          "are not incrementally maintainable here and are rejected " +
-          "rather than snapshotted")
+          "GROUP BY <g>[, <g2> …] [HAVING <predicate over the output " +
+          "columns>] — subqueries and expression aggregates are not " +
+          "incrementally maintainable here and are rejected rather " +
+          "than snapshotted")
       }
-    val group = unqualify(groupBy)
+    val groups = BitemporalDml.splitTopLevel(groupBy)
+      .map(g => unqualify(g.trim)).filter(_.nonEmpty)
+    if (groups.distinct.size != groups.size)
+      fail(s"duplicate GROUP BY column in ${groups.mkString(", ")}")
 
     val aggRe = "(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*([*]|[A-Za-z_](?:\\w|\\.)*)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
     val identRe = "(?is)^([A-Za-z_](?:\\w|\\.)*)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
 
-    var groupAlias = group
+    val groupAliases = scala.collection.mutable.LinkedHashMap(
+      groups.map(g => g -> g): _*)
     val sums = Seq.newBuilder[String]
     val mins = Seq.newBuilder[String]
     val maxs = Seq.newBuilder[String]
@@ -316,10 +332,12 @@ object GraftMatviews {
               maxs += c; serve += (s"max_$c" -> Option(alias).getOrElse(s"max_$c"))
             case _ => fail(s"unsupported aggregate $fn0($arg0)")
           }
-        case identRe(g, alias) if unqualify(g) == group =>
-          groupAlias = Option(alias).getOrElse(group)
-        case other => fail(s"select item '$other' is neither the GROUP BY " +
-          s"column ($group) nor COUNT(*)/COUNT(col)/SUM/AVG/MIN/MAX(col)")
+        case identRe(g, alias) if groups.contains(unqualify(g)) =>
+          val gc = unqualify(g)
+          groupAliases(gc) = Option(alias).getOrElse(gc)
+        case other => fail(s"select item '$other' is neither a GROUP BY " +
+          s"column (${groups.mkString(", ")}) nor " +
+          "COUNT(*)/COUNT(col)/SUM/AVG/MIN/MAX(col)")
       }
 
     val fact = graftTable(factName)
@@ -331,13 +349,14 @@ object GraftMatviews {
     if (dimName.isEmpty) whereOpt.foreach { w =>
       validateWhere(fact.current(spark), w)
     }
-    val serveAll = ("__group__" -> groupAlias) +: serve.result()
+    val serveAll =
+      groups.map(g => s"__group__:$g" -> groupAliases(g)) ++ serve.result()
     val handle = dimName match {
       case None =>
-        val mv = fact.matview(name, group, sums.result().distinct, validAt,
+        val mv = fact.matviewN(name, groups, sums.result().distinct, validAt,
           buckets.getOrElse(32), mins.result(), maxs.result(),
           cnts.result().distinct, whereOpt)
-        Handle(name, serveAll, sess => mv.read(sess),
+        Handle(name, serveAll, havingOpt, sess => mv.read(sess),
           () => (mv.refresh(), None), matviewDir(factName, "matview", name))
       case Some(dn) =>
         val dim = graftTable(dn)
@@ -361,15 +380,21 @@ object GraftMatviews {
                 dim.current(spark).select(dim.payloadColumns.map(col): _*)),
             w)
         }
-        val mv = fact.joinMatview(name, dim, fk, group, sums.result().distinct,
-          validAt, buckets.getOrElse(64), mins.result(), maxs.result(),
-          cnts.result().distinct, whereOpt)
-        Handle(name, serveAll, sess => mv.read(sess),
+        val mv = fact.joinMatviewN(name, dim, fk, groups,
+          sums.result().distinct, validAt, buckets.getOrElse(64),
+          mins.result(), maxs.result(), cnts.result().distinct, whereOpt)
+        Handle(name, serveAll, havingOpt, sess => mv.read(sess),
           () => { val (a, b) = mv.refresh(); (a, Some(b)) },
           matviewDir(factName, "join_matview", name))
     }
 
     val (a, b) = handle.refresh() // CREATE populates (Postgres default)
+    // HAVING references the view's OUTPUT columns (aliases) — its
+    // semantic validation needs the served projection's schema, which
+    // exists only after the populating refresh; same deterministic/
+    // row-local rules as WHERE, same loud CREATE-time failure
+    havingOpt.foreach(hv =>
+      validateWhere(servedProjection(spark, handle), hv, "HAVING"))
     views.put(key(name), handle)
     try registerView(spark, handle)
     catch { case e: Throwable =>
@@ -397,16 +422,21 @@ object GraftMatviews {
     * no marker and is left alone. */
   private[server] val MvTagKey = "graft.matview"
 
-  /** (Re-)register `name` IN `session` as a temp view over the CURRENT
-    * state with the user's aliases, group column first. */
-  private def registerView(session: SparkSession, h: Handle): Unit = {
+  /** The view's OUTPUT relation in `session`: current state projected
+    * to the user's aliases, group columns first, the MvTagKey marker on
+    * the first column. HAVING is NOT applied here — validation needs
+    * the unfiltered projection. */
+  private def servedProjection(session: SparkSession, h: Handle): DataFrame = {
     val df0 = h.read(session)
-    val groupCol = df0.columns.headOption.getOrElse("group")
     val tag = new org.apache.spark.sql.types.MetadataBuilder()
       .putString(MvTagKey, h.name).build()
+    var tagged = false
     val cols =
       h.serveCols.map {
-        case ("__group__", alias) => col(groupCol).as(alias, tag)
+        case (canon, alias) if canon.startsWith("__group__:") =>
+          val g = canon.stripPrefix("__group__:")
+          if (!tagged) { tagged = true; col(g).as(alias, tag) }
+          else col(g).as(alias)
         case (canon, alias) if canon.startsWith("avg_") =>
           // AVG serves as SUM/COUNT(col) in DOUBLE (the portable SQL
           // answer); the when-guard keeps an all-null group at NULL
@@ -416,7 +446,17 @@ object GraftMatviews {
             col(s"sum_$c").cast("double") / col(s"cnt_$c")).as(alias)
         case (canon, alias) => col(canon).as(alias)
       }
-    df0.select(cols: _*).createOrReplaceTempView(h.name)
+    df0.select(cols: _*)
+  }
+
+  /** (Re-)register `name` IN `session` as a temp view over the CURRENT
+    * state with the user's aliases, group columns first, HAVING applied
+    * over the served columns (state keeps every group — the filter is
+    * maintained by construction). */
+  private def registerView(session: SparkSession, h: Handle): Unit = {
+    val served = servedProjection(session, h)
+    h.having.fold(served)(hv => served.filter(expr(hv)))
+      .createOrReplaceTempView(h.name)
   }
 
   /** Parser hook: if `sql` references any registered matview by name

@@ -468,6 +468,115 @@ class GraftMatviewsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-column GROUP BY + HAVING: single-table and join forms, " +
+      "maintained through the mutation flow") {
+    val s = spark
+    import s.implicits._
+    val fact = freshTable(Seq("cust", "kind", "amt"))
+    val dim = freshTable(Seq("region"))
+    GraftServer.register("mgfact", fact)
+    GraftServer.register("mgdim", dim)
+    try {
+      dim.put(Seq((1L, "EU"), (2L, "US")).toDF("id", "r"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r"), ts("2024-01-01 00:00:00"))
+      fact.put(Seq(
+          (10L, 1L, "a", 100L), (11L, 1L, "a", 40L), (12L, 1L, "b", 70L),
+          (13L, 2L, "a", 50L), (14L, 2L, "b", 90L), (15L, 2L, "b", 10L))
+          .toDF("id", "c", "k", "a"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> $"c", "kind" -> $"k", "amt" -> $"a"),
+        ts("2024-01-01 00:00:01"))
+
+      // single-table: TWO fact group columns + HAVING over an alias
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_mg1 WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT cust, kind, COUNT(*) AS n, SUM(amt) AS total " +
+        "FROM mgfact GROUP BY cust, kind HAVING total > 60")
+      def read1() = GraftSql.sql(spark,
+        "SELECT cust, kind, n, total FROM mv_mg1 ORDER BY cust, kind")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      // (1,a)=140, (1,b)=70, (2,a)=50 OUT, (2,b)=100 over two rows
+      assert(read1() == Seq((1L, "a", 2L, 140L), (1L, "b", 1L, 70L),
+        (2L, "b", 2L, 100L)))
+
+      // mutations: (2,a) ENTERS the HAVING gate (+20), (1,b) LEAVES it
+      // (70→40), a brand-new (3,c) group appears
+      fact.put(Seq((16L, 2L, "a", 20L), (12L, 1L, "b", 40L),
+          (17L, 3L, "c", 999L)).toDF("id", "c", "k", "a"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> $"c", "kind" -> $"k", "amt" -> $"a"),
+        ts("2024-01-02 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_mg1").collect()
+      assert(read1() == Seq((1L, "a", 2L, 140L), (2L, "a", 2L, 70L),
+        (2L, "b", 2L, 100L), (3L, "c", 1L, 999L)))
+
+      // join form: group columns SPAN the sides (dim region, fact kind)
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_mg2 WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT region, kind, COUNT(*) AS n, SUM(amt) AS total, " +
+        "AVG(amt) AS avg_amt FROM mgfact JOIN mgdim ON cust = mgdim._id " +
+        "WHERE amt > 15 GROUP BY region, kind")
+      def read2() = GraftSql.sql(spark,
+        "SELECT region, kind, n, total, avg_amt FROM mv_mg2 " +
+          "ORDER BY region, kind")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+      // visible facts (amt > 15; cust 3 has no dim row):
+      // EU/a: 10 (100), 11 (40), 16? cust2→US. EU: 12 (40, kind b)
+      // US/a: 13 (50), 16 (20); US/b: 14 (90); 15 (10) fails WHERE
+      assert(read2() == Seq(
+        ("EU", "a", 2L, 140L, 70.0), ("EU", "b", 1L, 40L, 40.0),
+        ("US", "a", 2L, 70L, 35.0), ("US", "b", 1L, 90L, 90.0)))
+
+      // a dim group-move re-groups BOTH (region, kind) cells of cust 1
+      // with zero fact ops
+      dim.put(Seq((1L, "US")).toDF("id", "r"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r"), ts("2024-01-03 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_mg2").collect()
+      assert(read2() == Seq(
+        ("US", "a", 4L, 210L, 52.5), ("US", "b", 2L, 130L, 65.0)))
+
+      // from-scratch parity for the join view's final state
+      val scratch = fact.current().select(col("cust"), col("kind"), col("amt"))
+        .join(dim.current().select(col("_id").as("did"), col("region")),
+          col("cust") === col("did"))
+        .filter(col("amt") > 15)
+        .groupBy(col("region"), col("kind"))
+        .agg(count(lit(1)).as("n"), sum(col("amt")).as("total"),
+          avg(col("amt")).as("avg_amt"))
+        .orderBy(col("region"), col("kind"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+      assert(read2() == scratch)
+
+      // HAVING is validated like WHERE: nondeterministic/clock refuse
+      val e = intercept[IllegalArgumentException](GraftSql.sql(spark,
+        "CREATE MATERIALIZED VIEW mv_mg3 AS SELECT cust, COUNT(*) AS n " +
+          "FROM mgfact GROUP BY cust HAVING n > rand()"))
+      assert(e.getMessage.contains("HAVING") &&
+        e.getMessage.toLowerCase.contains("deterministic"), e.getMessage)
+      // …and a HAVING over a column the view does not serve fails at
+      // CREATE with the analysis story, leaving no half-registered view
+      val e2 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+        "CREATE MATERIALIZED VIEW mv_mg4 AS SELECT cust, COUNT(*) AS n " +
+          "FROM mgfact GROUP BY cust HAVING no_such > 1"))
+      assert(e2.getMessage.contains("HAVING"), e2.getMessage)
+      assert(intercept[Exception](GraftSql.sql(spark,
+        "REFRESH MATERIALIZED VIEW mv_mg4")).getMessage
+        .contains("unknown materialized view"))
+
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_mg1")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_mg2")
+    } finally {
+      GraftServer.unregister("mgfact")
+      GraftServer.unregister("mgdim")
+      GraftMatviews.reset()
+    }
+  }
+
   test("non-maintainable shapes are rejected, not snapshotted") {
     val s = spark
     import s.implicits._
@@ -530,11 +639,14 @@ class GraftMatviewsSpec extends AnyFunSuite {
       // HAVING / expression aggregates still don't parse as a
       // maintainable shape
       bad("CREATE MATERIALIZED VIEW v3 AS SELECT grp, SUM(bal + 1) " +
-        "FROM mvrej GROUP BY grp", "neither the GROUP BY")
+        "FROM mvrej GROUP BY grp", "neither a GROUP BY")
       bad("CREATE MATERIALIZED VIEW v4 AS SELECT grp, COUNT(*) " +
         "FROM unregistered GROUP BY grp", "not registered")
       bad("CREATE MATERIALIZED VIEW v5 WITH (nope = 1) AS SELECT grp, " +
         "COUNT(*) FROM mvrej GROUP BY grp", "unknown WITH option")
+      // a repeated GROUP BY column would double-count in the Δ key
+      bad("CREATE MATERIALIZED VIEW v5b AS SELECT grp, COUNT(*) " +
+        "FROM mvrej GROUP BY grp, grp", "duplicate GROUP BY")
       // the JOIN form accepts COUNT(col)/AVG/WHERE since r12 — an
       // unregistered dim is now the first refusal these shapes hit
       bad("CREATE MATERIALIZED VIEW v8 AS SELECT grp, COUNT(bal) " +
