@@ -85,8 +85,8 @@ final class JoinMatview private[graft] (
   require(cntCols.forall(aggable.contains),
     s"count columns $cntCols must be payload or derived columns")
   require(groupCols.nonEmpty, "at least one group column")
-  groupCols.foreach(g => require(factCols.contains(g) || dimCols.contains(g),
-    s"group column $g must be a payload column of either table"))
+  groupCols.foreach(g => require(aggable.contains(g),
+    s"group column $g must be a payload or derived column of either table"))
   require((factCols.toSet & dimCols.toSet).isEmpty,
     s"fact/dim payload names must be disjoint: ${factCols.toSet & dimCols.toSet}")
   require(nBuckets > 0, "nBuckets must be positive")

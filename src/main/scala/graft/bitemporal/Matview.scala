@@ -140,9 +140,11 @@ final class Matview private[graft] (
 
   /** Full per-group aggregate INCLUDING min/max — only valid over a
     * COMPLETE visible relation (first build, truncation rebuild), never
-    * over a delta: min/max don't subtract. */
-  private def fullAgg(visible: DataFrame): DataFrame =
-    prep(visible).groupBy(groupCols.map(col): _*)
+    * over a delta: min/max don't subtract. Takes a PREPPED relation
+    * (sieve + derived already applied) so the mm touched-group path can
+    * semi-join on derived group keys before aggregating. */
+  private def fullAgg(prepped: DataFrame): DataFrame =
+    prepped.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sumCols.map(c => sum(col(c)).as(sumAlias(c))) ++ cntAggs ++ mmAggs: _*)
 
@@ -161,7 +163,7 @@ final class Matview private[graft] (
     val visible = Bitemporal.asOf(
       log.readAllAuto(spark, payloadCols, upToTx = last),
       lit(validAt), lit(sysProbe))
-    val agg = fullAgg(visible).withColumn("_bucket", bucketCol)
+    val agg = fullAgg(prep(visible)).withColumn("_bucket", bucketCol)
     // temp-write + directory swap (same pattern as the incremental
     // path): a concurrent read() sees either the complete old state or
     // the complete new one — never a partial overwrite-in-place — with
@@ -212,9 +214,9 @@ final class Matview private[graft] (
 
     if (w < 0 || !Files.exists(dataDir)) {
       // first build: one full fold, all buckets written once
-      val firstAgg = fullAgg(Bitemporal.asOf(
+      val firstAgg = fullAgg(prep(Bitemporal.asOf(
           Bitemporal.fold(readTx(files), payloadCols),
-          lit(validAt), lit(sysProbe)))
+          lit(validAt), lit(sysProbe))))
         .withColumn("_bucket", bucketCol)
       MvState.writeSchema(stateRoot, firstAgg)
       firstAgg
@@ -316,9 +318,11 @@ final class Matview private[graft] (
       else {
         val touchedGroups = deltaCp
           .select(groupCols.map(col): _*).distinct().as("tg")
-        val visible = Bitemporal.asOf(
+        // prep BEFORE the semi-join: a derived group key must exist on
+        // the member relation for the touched-group equality
+        val visible = prep(Bitemporal.asOf(
           log.readAllAuto(spark, payloadCols, upToTx = last),
-          lit(validAt), lit(sysProbe)).as("v")
+          lit(validAt), lit(sysProbe))).as("v")
         val semiKey = groupCols.map(g =>
           col(s"v.$g") <=> col(s"tg.$g")).reduce(_ && _)
         val mm = fullAgg(visible.join(touchedGroups, semiKey, "left_semi"))

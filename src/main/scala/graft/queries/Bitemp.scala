@@ -346,6 +346,113 @@ object Bitemp {
       }
     }),
 
+    // r12 matview DDL growth, part 3: EXPRESSION aggregates — the
+    // TPC-H revenue expression SUM(price * (1 - disc)) as a derived
+    // column maintained by the same Δ-rules as a stored column, AVG
+    // over the same expression sharing that state, MAX over it riding
+    // the touched-group fallback, all under a WHERE and a multi-column
+    // group. Mutations bump prices (touching the extreme) and delete.
+    "q167_sql_matview_expr" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvexpr_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      graft.server.GraftMatviews.reset()
+      val t = new GraftTable(s, tmp,
+        Seq("status", "prio", "price", "disc"))
+      graft.server.GraftServer.register("mvex_ord", t)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        // orders keyed by the UNIQUE o_orderkey (lineitem's synthetic
+        // (orderkey, linenumber) pairs collide in this testdata);
+        // disc synthesized as an exact two-decimal value both engines
+        // replay bit-identically
+        val ord = T(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("id"),
+          $"o_orderstatus".as("st"), $"o_orderpriority".as("pr"),
+          $"o_totalprice".cast("decimal(12,2)").as("p"),
+          (($"o_orderkey" % 10).cast("double") / 100.0)
+            .cast("decimal(12,2)").as("d"))
+        t.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("status" -> $"st", "prio" -> $"pr", "price" -> $"p",
+            "disc" -> $"d"),
+          ts("2020-01-01 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvex_rev WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+            "SELECT status, prio, COUNT(*) AS n, " +
+            "SUM(price * (1 - disc)) AS rev, " +
+            "AVG(price * (1 - disc)) AS avg_rev, " +
+            "MAX(price * (1 - disc)) AS max_rev " +
+            "FROM mvex_ord WHERE price > 1000 GROUP BY status, prio")
+        t.put(ord.filter($"id" % 7 === 0)
+            .withColumn("p2", ($"p" + 1000).cast("decimal(12,2)")),
+          $"id", lit("2000-06-01").cast("timestamp"), None,
+          Seq("status" -> $"st", "prio" -> $"pr", "price" -> $"p2",
+            "disc" -> $"d"),
+          ts("2020-01-02 00:00:00"))
+        t.delete(ord.filter($"id" % 11 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("status" -> lit(null).cast("string"),
+            "prio" -> lit(null).cast("string"),
+            "price" -> lit(null).cast("decimal(12,2)"),
+            "disc" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:01"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvex_rev")
+        graft.server.GraftSql.sql(s,
+          "SELECT status, prio, n, CAST(rev AS DOUBLE) AS rev, " +
+            "avg_rev, CAST(max_rev AS DOUBLE) AS max_rev " +
+            "FROM mvex_rev ORDER BY status, prio")
+      } finally graft.server.GraftServer.unregister("mvex_ord")
+    }),
+
+    // r12 matview DDL growth, part 4: EXPRESSION group keys — the
+    // time-bucketed rollup GROUP BY date_trunc('month', od), the
+    // single most common production matview shape. The bucket is a
+    // derived column riding the same Δ machinery as a stored key; MAX
+    // exercises the touched-group fallback semi-joining on the derived
+    // key. Price bumps cross the WHERE boundary and the delete shrinks
+    // buckets.
+    "q168_sql_matview_bucket" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvgb_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      graft.server.GraftMatviews.reset()
+      val t = new GraftTable(s, tmp, Seq("od", "price"))
+      graft.server.GraftServer.register("mvgb_ord", t)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val ord = T(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("id"),
+          $"o_orderdate".cast("timestamp").as("odv"),
+          $"o_totalprice".cast("decimal(12,2)").as("p"))
+        t.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("od" -> $"odv", "price" -> $"p"),
+          ts("2020-01-01 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvgb_by_month WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+            "SELECT date_trunc('month', od) AS m, COUNT(*) AS n, " +
+            "SUM(price) AS total, MAX(price) AS mx " +
+            "FROM mvgb_ord WHERE price > 5000 " +
+            "GROUP BY date_trunc('month', od)")
+        t.put(ord.filter($"id" % 7 === 0)
+            .withColumn("p2", ($"p" + 1000).cast("decimal(12,2)")),
+          $"id", lit("2000-06-01").cast("timestamp"), None,
+          Seq("od" -> $"odv", "price" -> $"p2"),
+          ts("2020-01-02 00:00:00"))
+        t.delete(ord.filter($"id" % 11 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("od" -> lit(null).cast("timestamp"),
+            "price" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:01"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvgb_by_month")
+        graft.server.GraftSql.sql(s,
+          "SELECT CAST(CAST(m AS DATE) AS STRING) AS m, n, " +
+            "CAST(total AS DOUBLE) AS total, " +
+            "CAST(mx AS DOUBLE) AS mx FROM mvgb_by_month ORDER BY m")
+      } finally graft.server.GraftServer.unregister("mvgb_ord")
+    }),
+
     // JOIN matview (r7): orders ⋈ customers grouped by the CUSTOMER's
     // region — maintained incrementally from BOTH logs' tails by the
     // Δ(A⋈B) rules. The second refresh folds a fact tail (price bump +
@@ -962,6 +1069,44 @@ object Bitemp {
       SELECT region, prio, CAST(n AS BIGINT) AS n,
              CAST(s AS DOUBLE) AS sum_amt
       FROM g WHERE n > 50 ORDER BY region, prio""",
+
+    // from-scratch recompute of the expression-aggregate view: the
+    // derived column replays as a projected expression, avg as
+    // double(exact decimal sum) / non-null count — the same IEEE
+    // division the served view performs
+    "q167_sql_matview_expr" -> """
+      WITH ord AS (SELECT o_orderkey AS id,
+                          o_orderstatus AS status, o_orderpriority AS prio,
+                          CAST(o_totalprice AS DECIMAL(12,2)) AS p,
+                          CAST(CAST(o_orderkey % 10 AS DOUBLE) / 100.0
+                               AS DECIMAL(12,2)) AS d
+                   FROM orders),
+      eff AS (SELECT status, prio,
+                     CASE WHEN id % 7 = 0 THEN CAST(p + 1000 AS DECIMAL(12,2))
+                          ELSE p END AS p, d
+              FROM ord WHERE id % 11 <> 0),
+      vis AS (SELECT status, prio, p * (1 - d) AS e FROM eff WHERE p > 1000)
+      SELECT status, prio, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(e) AS DOUBLE) AS rev,
+             CAST(sum(e) AS DOUBLE) / count(e) AS avg_rev,
+             CAST(max(e) AS DOUBLE) AS max_rev
+      FROM vis GROUP BY status, prio ORDER BY status, prio""",
+
+    // from-scratch recompute of the month-bucketed rollup
+    "q168_sql_matview_bucket" -> """
+      WITH ord AS (SELECT o_orderkey AS id, o_orderdate AS od,
+                          CAST(o_totalprice AS DECIMAL(12,2)) AS p
+                   FROM orders),
+      eff AS (SELECT od,
+                     CASE WHEN id % 7 = 0 THEN CAST(p + 1000 AS DECIMAL(12,2))
+                          ELSE p END AS p
+              FROM ord WHERE id % 11 <> 0),
+      vis AS (SELECT * FROM eff WHERE p > 5000)
+      SELECT CAST(CAST(date_trunc('month', od) AS DATE) AS VARCHAR) AS m,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p) AS DOUBLE) AS total,
+             CAST(max(p) AS DOUBLE) AS mx
+      FROM vis GROUP BY 1 ORDER BY 1""",
 
     // from-scratch recompute of the min/max view's final state
     "q149_matview_minmax" -> """

@@ -25,7 +25,10 @@ import graft.bitemporal.{BitemporalDml, SqlText}
   * }}}
   *
   * The accepted SELECT shape is exactly what the engine can maintain
-  * incrementally — COUNT(*) / COUNT(col) / SUM / AVG / MIN / MAX per
+  * incrementally — COUNT(*) / COUNT(col) / SUM / AVG / MIN / MAX of a
+  * stored column OR of a row-local deterministic expression (which
+  * becomes a content-addressed derived column on the maintained
+  * relation — same Δ mechanics as a stored column) per
   * one-or-more group columns over a graft-registered table, optionally
   * joined to a second registered table on `fk = dim._id` (the Δ(A⋈B)
   * join-view rules; group columns may come from either side), with an
@@ -108,8 +111,7 @@ object GraftMatviews {
     ("(?is)^SELECT\\s+([\\s\\S]*?)\\s+FROM\\s+([A-Za-z_]\\w*)\\s*" +
       "(?:JOIN\\s+([A-Za-z_]\\w*)\\s+ON\\s+([\\s\\S]*?)\\s+)?" +
       "(?:WHERE\\s+([\\s\\S]*?)\\s+)?" +
-      "GROUP\\s+BY\\s+([A-Za-z_](?:\\w|\\.)*" +
-      "(?:\\s*,\\s*[A-Za-z_](?:\\w|\\.)*)*)\\s*" +
+      "GROUP\\s+BY\\s+([\\s\\S]+?)\\s*" +
       "(?:HAVING\\s+([\\s\\S]*?))?\\s*$").r
 
   // WHERE must be a row-local DETERMINISTIC predicate for the Δ-rules
@@ -142,11 +144,14 @@ object GraftMatviews {
     "current_user", "session_user", "user", "current_database",
     "current_schema", "current_catalog", "version")
 
-  private def validateWhere(base: DataFrame, w: String,
-                            label: String = "WHERE"): Unit = {
+  /** Scan the UNRESOLVED parse of `text` for session-environment reads
+    * — shared by WHERE/HAVING predicates and expression-aggregate
+    * arguments (see the envClasses note for why this runs pre-analysis). */
+  private def checkUnresolvedEnv(text: String, label: String,
+                                 noun: String): Unit = {
     val parsed =
       try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-        .parseExpression(w)
+        .parseExpression(text)
       catch { case _: Exception => null } // analysis below reports it
     if (parsed != null) parsed.foreach { e =>
       val fname = e match {
@@ -157,10 +162,37 @@ object GraftMatviews {
       if (envClasses.contains(e.getClass.getSimpleName) ||
           envFuncs.contains(fname))
         fail(s"$label reads the session environment ('${e.prettyName}'): " +
-          "the predicate must be a deterministic row-local expression — " +
+          s"the $noun must be a deterministic row-local expression — " +
           "it would fold to a different constant in each refreshing " +
           "session, which the incremental Δ-rules cannot track")
     }
+  }
+
+  /** The resolved-tree half of the row-local rules: no subqueries, no
+    * non-determinism, no clock reads. */
+  private def checkResolvedTree(
+      root: org.apache.spark.sql.catalyst.expressions.Expression,
+      label: String, noun: String): Unit =
+    root.foreach { e =>
+      if (e.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
+        fail(s"$label contains a subquery: the $noun must be a " +
+          "deterministic row-local expression — a subquery sees other " +
+          "rows, which the incremental Δ-rules cannot re-derive")
+      if (!e.deterministic)
+        fail(s"$label contains the non-deterministic expression " +
+          s"'${e.prettyName}': the state's old contribution could not " +
+          "be reproduced by the incremental Δ-rules")
+      if (clockClasses.contains(e.getClass.getSimpleName))
+        fail(s"$label reads the clock ('${e.prettyName}'): the $noun " +
+          "must be a deterministic row-local expression — a maintained " +
+          "relation that drifts with wall time cannot be refreshed " +
+          "from Δs")
+    }
+
+  private def validateWhere(base: DataFrame, w: String,
+                            label: String = "WHERE"): Unit = {
+    checkUnresolvedEnv(w, label, "predicate")
     val analyzed =
       try base.filter(expr(w)).queryExecution.analyzed
       catch { case e: Exception =>
@@ -171,23 +203,38 @@ object GraftMatviews {
     analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition
-    }.foreach { cond =>
-      cond.foreach { e =>
-        if (e.isInstanceOf[
-            org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
-          fail(s"$label contains a subquery: the predicate must be a " +
-            "deterministic row-local expression — a subquery sees other " +
-            "rows, which the incremental Δ-rules cannot re-derive")
-        if (!e.deterministic)
-          fail(s"$label contains the non-deterministic expression " +
-            s"'${e.prettyName}': the state's old contribution could not " +
-            "be reproduced by the incremental Δ-rules")
-        if (clockClasses.contains(e.getClass.getSimpleName))
-          fail(s"$label reads the clock ('${e.prettyName}'): the predicate " +
-            "must be a deterministic row-local expression — a maintained " +
-            "relation that drifts with wall time cannot be refreshed " +
-            "from Δs")
+    }.foreach(checkResolvedTree(_, label, "predicate"))
+  }
+
+  /** Validate an expression-aggregate ARGUMENT. SUM/AVG/MIN/MAX/COUNT
+    * over a row-local deterministic expression maintains exactly like
+    * the same aggregate over a stored column — the expression commutes
+    * with the Δ-rules for the same reason the WHERE sieve does — so
+    * the argument obeys the same rules, plus: no nested aggregate and
+    * no window function, which see OTHER rows. */
+  private def validateExpr(base: DataFrame, text: String,
+                           label: String): Unit = {
+    checkUnresolvedEnv(text, label, "aggregate argument")
+    val analyzed =
+      try base.select(expr(text)).queryExecution.analyzed
+      catch { case e: Exception =>
+        fail(s"$label does not analyze against the maintained relation " +
+          s"(the aggregate argument must be a deterministic row-local " +
+          s"expression over the table's columns): ${e.getMessage}")
       }
+    analyzed.foreach {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        fail(s"$label nests an aggregate function: the argument of an " +
+          "incrementally-maintained aggregate must be a row-local " +
+          "expression — a nested aggregate sees other rows")
+      case _: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        fail(s"$label contains a window function: the aggregate " +
+          "argument must be a row-local expression — a window sees " +
+          "other rows")
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.foreach(
+          checkResolvedTree(_, label, "aggregate argument"))
+      case _ => ()
     }
   }
 
@@ -283,20 +330,57 @@ object GraftMatviews {
           (l, f, Option(d), Option(on), Option(w), g,
             Option(hv).map(_.trim).filter(_.nonEmpty))
         case _ => fail("materialized-view SELECT must be: SELECT <g…>, " +
-          "COUNT(*)/COUNT(col)/SUM/AVG/MIN/MAX(col) [AS alias], … FROM " +
+          "COUNT(*)/COUNT(col)/SUM/AVG/MIN/MAX(col or row-local " +
+          "expression AS alias), … FROM " +
           "<table> [JOIN <dim> ON <fk> = <dim>._id] [WHERE <predicate>] " +
           "GROUP BY <g>[, <g2> …] [HAVING <predicate over the output " +
-          "columns>] — subqueries and expression aggregates are not " +
+          "columns>] — subqueries and distinct aggregates are not " +
           "incrementally maintainable here and are rejected rather " +
           "than snapshotted")
       }
-    val groups = BitemporalDml.splitTopLevel(groupBy)
-      .map(g => unqualify(g.trim)).filter(_.nonEmpty)
-    if (groups.distinct.size != groups.size)
-      fail(s"duplicate GROUP BY column in ${groups.mkString(", ")}")
-
     val aggRe = "(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*([*]|[A-Za-z_](?:\\w|\\.)*)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
+    // EXPRESSION aggregate — any argument that isn't a bare column ref
+    // (tried after aggRe). The argument becomes a DERIVED column on the
+    // maintained relation, computed row-locally after the sieve, so the
+    // aggregate maintains exactly like one over a stored column; the
+    // derived name is content-addressed from the normalized text so
+    // SUM(x*y) and AVG(x * y) share one derived (and state) column.
+    val aggExprRe = "(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*([\\s\\S]+?)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
     val identRe = "(?is)^([A-Za-z_](?:\\w|\\.)*)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
+    val plainIdentRe = "(?s)^[A-Za-z_](?:\\w|\\.)*$".r
+    // a select item that repeats a GROUP BY expression, with its
+    // MANDATORY alias (greedy: the LAST top-level AS wins, so
+    // `cast(x AS int) AS m` aliases to m)
+    val exprAliasRe = "(?is)^([\\s\\S]+)\\s+AS\\s+([A-Za-z_]\\w*)$".r
+
+    // derived name -> normalized expression text, insertion-ordered
+    val derivedExprs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def normText(text: String): String = text.trim.replaceAll("\\s+", " ")
+    def derivedName(text: String): String = {
+      // whitespace-only normalization: case matters inside string
+      // literals, so lowercasing would conflate distinct expressions
+      val norm = normText(text)
+      val nm = "_e" + java.security.MessageDigest.getInstance("MD5")
+        .digest(norm.getBytes("UTF-8")).take(8)
+        .map(b => f"$b%02x").mkString
+      derivedExprs.getOrElseUpdate(nm, norm)
+      nm
+    }
+
+    // GROUP BY items: plain columns, or row-local deterministic
+    // EXPRESSIONS (`GROUP BY date_trunc('month', ts)` — the
+    // time-bucketed rollup) which become derived columns exactly like
+    // expression-aggregate arguments and ride the same Δ machinery as
+    // a stored group key. A derived key's SELECT item must repeat the
+    // expression (whitespace-insensitively) with an AS alias.
+    val groupExprNames = scala.collection.mutable.LinkedHashSet.empty[String]
+    val groups = BitemporalDml.splitTopLevel(groupBy)
+      .map(_.trim).filter(_.nonEmpty).map { g =>
+        if (plainIdentRe.matches(g)) unqualify(g)
+        else { val dn = derivedName(g); groupExprNames += dn; dn }
+      }
+    if (groups.distinct.size != groups.size)
+      fail(s"duplicate GROUP BY column in $groupBy")
 
     val groupAliases = scala.collection.mutable.LinkedHashMap(
       groups.map(g => g -> g): _*)
@@ -335,9 +419,40 @@ object GraftMatviews {
         case identRe(g, alias) if groups.contains(unqualify(g)) =>
           val gc = unqualify(g)
           groupAliases(gc) = Option(alias).getOrElse(gc)
+        case aggExprRe(fn0, arg0, alias0) =>
+          val fn = fn0.toUpperCase
+          if (arg0.matches("(?is)^DISTINCT\\b[\\s\\S]*"))
+            fail(s"$fn(DISTINCT …) is not incrementally maintainable " +
+              "here: a distinct aggregate needs per-value state the " +
+              "Δ-rules do not carry — it is rejected rather than " +
+              "snapshotted")
+          val alias = Option(alias0).getOrElse(fail(
+            s"expression aggregate $fn($arg0) needs an explicit " +
+              "AS alias to serve as a column name"))
+          val dn = derivedName(arg0)
+          fn match {
+            case "COUNT" => cnts += dn; serve += (s"cnt_$dn" -> alias)
+            case "SUM" => sums += dn; serve += (s"sum_$dn" -> alias)
+            case "AVG" => sums += dn; cnts += dn
+              serve += (s"avg_$dn" -> alias)
+            case "MIN" => mins += dn; serve += (s"min_$dn" -> alias)
+            case "MAX" => maxs += dn; serve += (s"max_$dn" -> alias)
+          }
+        // a GROUP BY expression repeated in the SELECT list: matched by
+        // normalized text, alias mandatory (the expression is no name)
+        case exprAliasRe(body, alias) if groupExprNames.exists(dn =>
+            derivedExprs(dn) == normText(body)) =>
+          val nb = normText(body)
+          groupAliases(groupExprNames.find(dn =>
+            derivedExprs(dn) == nb).get) = alias
+        case item if groupExprNames.exists(dn =>
+            derivedExprs(dn) == normText(item)) =>
+          fail(s"GROUP BY expression select item '$item' needs an " +
+            "explicit AS alias to serve as a column name")
         case other => fail(s"select item '$other' is neither a GROUP BY " +
           s"column (${groups.mkString(", ")}) nor " +
-          "COUNT(*)/COUNT(col)/SUM/AVG/MIN/MAX(col)")
+          "COUNT(*)/COUNT(col)/SUM/AVG/MIN/MAX(col | row-local " +
+          "expression AS alias)")
       }
 
     val fact = graftTable(factName)
@@ -346,8 +461,14 @@ object GraftMatviews {
     // columns — `_valid_from < '2030-01-01'` is a legitimate row-local
     // predicate); the join form validates against the joined payload
     // schema below
-    if (dimName.isEmpty) whereOpt.foreach { w =>
-      validateWhere(fact.current(spark), w)
+    def derivedLabel(dn: String, e: String): String =
+      if (groupExprNames.contains(dn)) s"GROUP BY expression '$e'"
+      else s"aggregate argument '$e'"
+    if (dimName.isEmpty) {
+      whereOpt.foreach(w => validateWhere(fact.current(spark), w))
+      derivedExprs.foreach { case (dn, e) =>
+        validateExpr(fact.current(spark), e, derivedLabel(dn, e))
+      }
     }
     val serveAll =
       groups.map(g => s"__group__:$g" -> groupAliases(g)) ++ serve.result()
@@ -355,7 +476,7 @@ object GraftMatviews {
       case None =>
         val mv = fact.matviewN(name, groups, sums.result().distinct, validAt,
           buckets.getOrElse(32), mins.result(), maxs.result(),
-          cnts.result().distinct, whereOpt)
+          cnts.result().distinct, whereOpt, derivedExprs.toSeq)
         Handle(name, serveAll, havingOpt, sess => mv.read(sess),
           () => (mv.refresh(), None), matviewDir(factName, "matview", name))
       case Some(dn) =>
@@ -373,16 +494,18 @@ object GraftMatviews {
         // disjoint by construction; temporal/_id columns would be
         // ambiguous across the join and are not served to it) — the
         // semantic validation runs over exactly that schema
-        whereOpt.foreach { w =>
-          validateWhere(
-            fact.current(spark).select(fact.payloadColumns.map(col): _*)
-              .crossJoin(
-                dim.current(spark).select(dim.payloadColumns.map(col): _*)),
-            w)
+        lazy val joinedBase =
+          fact.current(spark).select(fact.payloadColumns.map(col): _*)
+            .crossJoin(
+              dim.current(spark).select(dim.payloadColumns.map(col): _*))
+        whereOpt.foreach(w => validateWhere(joinedBase, w))
+        derivedExprs.foreach { case (dn, e) =>
+          validateExpr(joinedBase, e, derivedLabel(dn, e))
         }
         val mv = fact.joinMatviewN(name, dim, fk, groups,
           sums.result().distinct, validAt, buckets.getOrElse(64),
-          mins.result(), maxs.result(), cnts.result().distinct, whereOpt)
+          mins.result(), maxs.result(), cnts.result().distinct, whereOpt,
+          derivedExprs.toSeq)
         Handle(name, serveAll, havingOpt, sess => mv.read(sess),
           () => { val (a, b) = mv.refresh(); (a, Some(b)) },
           matviewDir(factName, "join_matview", name))

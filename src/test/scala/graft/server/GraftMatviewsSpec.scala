@@ -577,6 +577,211 @@ class GraftMatviewsSpec extends AnyFunSuite {
     }
   }
 
+  test("expression aggregates: derived columns through the mutation " +
+      "flow, both forms, dim-side expression inputs") {
+    val s = spark
+    import s.implicits._
+    val fact = freshTable(Seq("cust", "qty", "price"))
+    val dim = freshTable(Seq("region", "rate"))
+    GraftServer.register("exfact", fact)
+    GraftServer.register("exdim", dim)
+    try {
+      dim.put(Seq((1L, "EU", 2L), (2L, "US", 3L)).toDF("id", "r", "x"),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r", "rate" -> $"x"), ts("2024-01-01 00:00:00"))
+      fact.put(Seq(
+          (10L, 1L, 2L, 10L), (11L, 1L, 3L, 20L),
+          (12L, 2L, 1L, 5L), (13L, 2L, 4L, 8L))
+          .toDF("id", "c", "q", "p"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> $"c", "qty" -> $"q", "price" -> $"p"),
+        ts("2024-01-01 00:00:01"))
+
+      // single-table: SUM/AVG share one derived column; MAX exercises
+      // the min/max fallback over a derived column
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_ex1 WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT cust, COUNT(*) AS n, SUM(qty * price) AS rev, " +
+        "AVG(qty * price) AS avg_rev, MAX(qty * price) AS max_rev " +
+        "FROM exfact GROUP BY cust")
+      def read1() = GraftSql.sql(spark,
+        "SELECT cust, n, rev, avg_rev, max_rev FROM mv_ex1 ORDER BY cust")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).toSeq
+      // cust1: 2*10 + 3*20 = 80; cust2: 1*5 + 4*8 = 37
+      assert(read1() == Seq((1L, 2L, 80L, 40.0, 60L),
+        (2L, 2L, 37L, 18.5, 32L)))
+
+      // update drops cust1's max contributor (3*20 -> 3*2), delete
+      // removes cust2's max row: both extremes must re-derive
+      fact.put(Seq((11L, 1L, 3L, 2L)).toDF("id", "c", "q", "p"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> $"c", "qty" -> $"q", "price" -> $"p"),
+        ts("2024-01-02 00:00:00"))
+      fact.delete(Seq(Tuple1(13L)).toDF("id"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> lit(null).cast("long"),
+          "qty" -> lit(null).cast("long"),
+          "price" -> lit(null).cast("long")),
+        ts("2024-01-02 00:00:01"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_ex1").collect()
+      assert(read1() == Seq((1L, 2L, 26L, 13.0, 20L),
+        (2L, 1L, 5L, 5.0, 5L)))
+
+      // join form: the expression reads BOTH sides (price * dim rate) —
+      // a dim-side rate change must rescale every referencing fact's
+      // contribution with zero fact ops
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_ex2 WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT region, SUM(price * rate) AS wrev, COUNT(*) AS n " +
+        "FROM exfact JOIN exdim ON cust = exdim._id GROUP BY region")
+      def read2() = GraftSql.sql(spark,
+        "SELECT region, wrev, n FROM mv_ex2 ORDER BY region")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      // EU: (10 + 2) * 2 = 24; US: 5 * 3 = 15
+      assert(read2() == Seq(("EU", 24L, 2L), ("US", 15L, 1L)))
+      dim.put(Seq((1L, "EU", 5L)).toDF("id", "r", "x"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r", "rate" -> $"x"), ts("2024-01-03 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_ex2").collect()
+      assert(read2() == Seq(("EU", 60L, 2L), ("US", 15L, 1L)))
+
+      // from-scratch parity for both final states
+      val s1 = fact.current().groupBy(col("cust"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty") * col("price")).as("rev"),
+          avg(col("qty") * col("price")).as("avg_rev"),
+          max(col("qty") * col("price")).as("max_rev"))
+        .orderBy(col("cust")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).toSeq
+      assert(read1() == s1)
+
+      // rejection matrix: the argument obeys the WHERE rules, plus no
+      // nesting, no DISTINCT, and an alias is mandatory
+      def bad(sql: String, needle: String): Unit = {
+        val e = intercept[IllegalArgumentException](GraftSql.sql(spark, sql))
+        assert(e.getMessage.contains(needle),
+          s"'${e.getMessage}' should contain '$needle'")
+      }
+      bad("CREATE MATERIALIZED VIEW mv_exr1 AS SELECT cust, " +
+        "SUM(qty * rand()) AS x FROM exfact GROUP BY cust",
+        "non-deterministic")
+      bad("CREATE MATERIALIZED VIEW mv_exr2 AS SELECT cust, " +
+        "SUM(SUM(qty)) AS x FROM exfact GROUP BY cust",
+        "nests an aggregate")
+      bad("CREATE MATERIALIZED VIEW mv_exr3 AS SELECT cust, " +
+        "SUM(qty * 2) FROM exfact GROUP BY cust", "AS alias")
+      bad("CREATE MATERIALIZED VIEW mv_exr4 AS SELECT cust, " +
+        "COUNT(DISTINCT price) AS x FROM exfact GROUP BY cust",
+        "DISTINCT")
+      bad("CREATE MATERIALIZED VIEW mv_exr5 AS SELECT cust, " +
+        "SUM(no_such + 1) AS x FROM exfact GROUP BY cust", "analyze")
+
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_ex1")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_ex2")
+    } finally {
+      GraftServer.unregister("exfact")
+      GraftServer.unregister("exdim")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("expression GROUP BY: time-bucketed rollup and a dim-side " +
+      "bucket expression, maintained through mutations") {
+    val s = spark
+    import s.implicits._
+    val fact = freshTable(Seq("cust", "ts", "amt"))
+    val dim = freshTable(Seq("region"))
+    GraftServer.register("gxfact", fact)
+    GraftServer.register("gxdim", dim)
+    try {
+      dim.put(Seq((1L, "eu-west"), (2L, "us-east")).toDF("id", "r"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r"), ts("2024-01-01 00:00:00"))
+      fact.put(Seq(
+          (10L, 1L, "2024-01-05 10:00:00", 100L),
+          (11L, 1L, "2024-01-20 10:00:00", 40L),
+          (12L, 2L, "2024-02-02 10:00:00", 70L),
+          (13L, 2L, "2024-02-27 10:00:00", 50L))
+          .toDF("id", "c", "t", "a")
+          .withColumn("t", $"t".cast("timestamp")), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> $"c", "ts" -> $"t", "amt" -> $"a"),
+        ts("2024-03-01 00:00:00"))
+
+      // single-table: month bucket + MAX exercising the mm fallback's
+      // semi-join on a DERIVED group key
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_gx1 WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT date_trunc('month', ts) AS m, COUNT(*) AS n, " +
+        "SUM(amt) AS total, MAX(amt) AS mx " +
+        "FROM gxfact GROUP BY date_trunc('month', ts)")
+      def read1() = GraftSql.sql(spark,
+        "SELECT CAST(m AS DATE) AS m, n, total, mx FROM mv_gx1 ORDER BY m")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSeq
+      assert(read1() == Seq(("2024-01-01", 2L, 140L, 100L),
+        ("2024-02-01", 2L, 120L, 70L)))
+
+      // a row MOVES between buckets (ts update) — the old month loses
+      // its max — and a delete empties nothing but shrinks February
+      fact.put(Seq((10L, 1L, "2024-02-10 09:00:00", 100L))
+          .toDF("id", "c", "t", "a")
+          .withColumn("t", $"t".cast("timestamp")), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> $"c", "ts" -> $"t", "amt" -> $"a"),
+        ts("2024-03-02 00:00:00"))
+      fact.delete(Seq(Tuple1(13L)).toDF("id"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> lit(null).cast("long"),
+          "ts" -> lit(null).cast("timestamp"),
+          "amt" -> lit(null).cast("long")),
+        ts("2024-03-02 00:00:01"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_gx1").collect()
+      assert(read1() == Seq(("2024-01-01", 1L, 40L, 40L),
+        ("2024-02-01", 2L, 170L, 100L)))
+
+      // join form: bucket expression over the DIM side — a dim value
+      // change re-buckets its facts with zero fact ops
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_gx2 WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT substring(region, 1, 2) AS zone, COUNT(*) AS n, " +
+        "SUM(amt) AS total FROM gxfact JOIN gxdim ON cust = gxdim._id " +
+        "GROUP BY substring(region, 1, 2)")
+      def read2() = GraftSql.sql(spark,
+        "SELECT zone, n, total FROM mv_gx2 ORDER BY zone")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(read2() == Seq(("eu", 2L, 140L), ("us", 1L, 70L)))
+      dim.put(Seq((1L, "ap-south")).toDF("id", "r"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r"), ts("2024-03-03 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_gx2").collect()
+      assert(read2() == Seq(("ap", 2L, 140L), ("us", 1L, 70L)))
+
+      // rejections: non-deterministic bucket, alias-less repetition
+      def bad(sql: String, needle: String): Unit = {
+        val e = intercept[IllegalArgumentException](GraftSql.sql(spark, sql))
+        assert(e.getMessage.contains(needle),
+          s"'${e.getMessage}' should contain '$needle'")
+      }
+      bad("CREATE MATERIALIZED VIEW mv_gxr1 AS SELECT COUNT(*) AS n " +
+        "FROM gxfact GROUP BY rand()", "non-deterministic")
+      bad("CREATE MATERIALIZED VIEW mv_gxr2 AS SELECT " +
+        "date_trunc('month', ts), COUNT(*) AS n FROM gxfact " +
+        "GROUP BY date_trunc('month', ts)", "AS alias")
+
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_gx1")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_gx2")
+    } finally {
+      GraftServer.unregister("gxfact")
+      GraftServer.unregister("gxdim")
+      GraftMatviews.reset()
+    }
+  }
+
   test("non-maintainable shapes are rejected, not snapshotted") {
     val s = spark
     import s.implicits._
@@ -636,10 +841,10 @@ class GraftMatviewsSpec extends AnyFunSuite {
       bad("CREATE MATERIALIZED VIEW v2k AS SELECT grp, COUNT(*) " +
         "FROM mvrej WHERE grp = current_database() GROUP BY grp",
         "session environment")
-      // HAVING / expression aggregates still don't parse as a
-      // maintainable shape
+      // expression aggregates are maintainable since r12 — but only
+      // with an explicit alias (the expression is no column name)
       bad("CREATE MATERIALIZED VIEW v3 AS SELECT grp, SUM(bal + 1) " +
-        "FROM mvrej GROUP BY grp", "neither a GROUP BY")
+        "FROM mvrej GROUP BY grp", "AS alias")
       bad("CREATE MATERIALIZED VIEW v4 AS SELECT grp, COUNT(*) " +
         "FROM unregistered GROUP BY grp", "not registered")
       bad("CREATE MATERIALIZED VIEW v5 WITH (nope = 1) AS SELECT grp, " +
