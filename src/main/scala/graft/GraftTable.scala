@@ -116,11 +116,32 @@ final class GraftTable(spark: SparkSession, dir: String,
                    cntCols: Seq[String] = Nil,
                    where: Option[String] = None,
                    derived: Seq[(String, String)] = Nil): graft.bitemporal.JoinMatview =
+    starMatview(name, Seq(dim -> fkCol), groupCols, sumCols, validAt,
+      nBuckets, minCols, maxCols, cntCols, where, derived)
+
+  /** [[joinMatviewN]] over ONE OR MORE dimension tables — the
+    * star-schema rollup `fact ⋈ dim1 ON fk1 = dim1._id ⋈ dim2 …`,
+    * maintained incrementally from every log's tail by the same
+    * Δ(A⋈B) rules (each dim is a spoke; "touched" propagates across
+    * every join edge). `dims` pairs each dimension table with the fact
+    * column holding its foreign key. */
+  def starMatview(name: String, dims: Seq[(GraftTable, String)],
+                  groupCols: Seq[String], sumCols: Seq[String],
+                  validAt: Timestamp,
+                  nBuckets: Int = 64,
+                  minCols: Seq[String] = Nil,
+                  maxCols: Seq[String] = Nil,
+                  cntCols: Seq[String] = Nil,
+                  where: Option[String] = None,
+                  derived: Seq[(String, String)] = Nil): graft.bitemporal.JoinMatview = {
+    require(dims.nonEmpty, "at least one dimension table")
     new graft.bitemporal.JoinMatview(spark, log, payloadCols,
-      dim.log, dim.payloadColumns,
+      dims.head._1.log, dims.head._1.payloadColumns,
       java.nio.file.Paths.get(dir, "join_matview", name),
-      fkCol, groupCols, sumCols, validAt, nBuckets, minCols, maxCols,
-      cntCols, where, derived)
+      dims.head._2, groupCols, sumCols, validAt, nBuckets, minCols, maxCols,
+      cntCols, where, derived,
+      dims.tail.map(d => (d._1.log, d._1.payloadColumns, d._2)))
+  }
 
   /** An incrementally-maintained COUNT/SUM view over this table at a
     * fixed valid-time basis (system = latest) — see

@@ -7,53 +7,59 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Incrementally-maintained JOIN aggregate view over TWO bitemporal tx
-  * logs — COUNT(*)/COUNT(col)/SUM (and read-derived AVG) per group of
-  * `fact ⋈ dim ON fact.fk = dim._id` at a fixed bitemporal basis,
-  * optionally filtered by a row-local deterministic WHERE over either
-  * side's columns, kept current from the two logs' TAILS by the
-  * classic join-IVM delta rules:
+/** Incrementally-maintained JOIN aggregate view over a FACT tx log and
+  * one or more DIMENSION tx logs — COUNT(*)/COUNT(col)/SUM (and
+  * read-derived AVG) per group of
+  * `fact ⋈ dim1 ON fk1 = dim1._id [⋈ dim2 ON fk2 = dim2._id …]`
+  * (the star-schema rollup) at a fixed bitemporal basis, optionally
+  * filtered by a row-local deterministic WHERE over any side's columns,
+  * kept current from the logs' TAILS by the classic join-IVM delta
+  * rules:
   *
   *   Δ(A ⋈ B) = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
   *
-  * expressed here with the bitemporal twist that "Δ per table" is
-  * (visible contribution after) − (visible contribution before) for
-  * the rows the tail touches — and for a join, "touched" propagates
-  * across the join edge: a fact row is affected when ITS OWN id has
-  * tail ops OR its fk references a dim id with tail ops (the dim-side
+  * (applied hub-and-spoke: the fact is the hub, so for every dim the
+  * "other side" is the fact extended by the remaining dims), expressed
+  * here with the bitemporal twist that "Δ per table" is (visible
+  * contribution after) − (visible contribution before) for the rows
+  * the tail touches — and for a join, "touched" propagates across the
+  * join edges: a fact row is affected when ITS OWN id has tail ops OR
+  * any of its fks references a dim id with tail ops (the dim-side
   * group-move case: updating one dim row re-groups every fact that
   * points at it, with no fact op at all).
   *
   * Cost model (the honest 100 TB statement):
   *   - fact-side refresh work ∝ tail ops + fact rows referencing
   *     touched dim ids. The latter ships as a LITERAL `fk IN (touched
-  *     dims)` predicate when the touched set is ≤
-  *     [[JoinMatview.MaxInlineDimIds]] (pushed to the fact base's
-  *     parquet scan — FILE-level pruning when the base is fk-clustered
-  *     via `GraftTable(clusterBy = Seq(fk))` / `TxLog.compact*`'s
-  *     `clusterBy`), degrading to a semi-join for huge dim churn;
-  *     either way never a full recompute of the view;
-  *   - dim-side work ∝ one dim relation scan (dims are the small side
-  *     by construction — AQE broadcasts them into the join);
+  *     dims)` predicate per dim when each touched set is ≤
+  *     [[JoinMatview.MaxInlineDimIds]] — the disjunction across dims
+  *     is ONE filter pass over the fact relation (pushed to the fact
+  *     base's parquet scan; FILE-level pruning when the base is
+  *     fk-clustered via `GraftTable(clusterBy = Seq(fk))` /
+  *     `TxLog.compact*`'s `clusterBy`), degrading to per-dim
+  *     semi-joins + an id-dedup for huge dim churn; either way never
+  *     a full recompute of the view;
+  *   - dim-side work ∝ one scan per dim relation (dims are the small
+  *     side by construction — AQE broadcasts them into the join);
   *   - state writes ∝ touched groups (hash-bucketed, only affected
   *     buckets rewritten — temp-write + per-bucket directory swap,
   *     same as [[Matview]]);
   *   - the only data-dependent collect is the affected bucket ids
   *     (≤ nBuckets longs).
   *
-  * MIN/MAX (over FACT measure columns) follow [[Matview]]'s documented
-  * fallback, with the join twist: extremes are not self-maintainable
-  * under either table's deletes/updates OR a dim group-move (the old
-  * group may lose its extreme with zero fact ops), so each refresh
-  * recomputes extremes for the TOUCHED GROUPS ONLY by re-deriving
-  * their member facts ACROSS THE JOIN at the basis — fact ⋈ dim
-  * semi-joined to the touched group keys, group predicate applied on
-  * whichever side carries the group column. A COUNT/SUM-only view
-  * never pays that joined re-read — refresh stays ∝ the tails.
+  * MIN/MAX (over FACT measure or derived columns) follow [[Matview]]'s
+  * documented fallback, with the join twist: extremes are not
+  * self-maintainable under any table's deletes/updates OR a dim
+  * group-move (the old group may lose its extreme with zero fact ops),
+  * so each refresh recomputes extremes for the TOUCHED GROUPS ONLY by
+  * re-deriving their member facts ACROSS THE JOIN at the basis —
+  * fact ⋈ dims semi-joined to the touched group keys, group predicate
+  * applied on whichever side carries the group column. A COUNT/SUM-only
+  * view never pays that joined re-read — refresh stays ∝ the tails.
   * Exact-typed sum columns (integral/DECIMAL) give bit parity with a
   * from-scratch recompute, as with [[Matview]].
   *
-  * Truncation of EITHER log permanently switches refresh to the exact
+  * Truncation of ANY log permanently switches refresh to the exact
   * rebuild-from-state path (incremental deltas need full op history
   * for touched ids), mirroring [[Matview]]'s retention tradeoff.
   */
@@ -65,48 +71,83 @@ final class JoinMatview private[graft] (
     validAt: Timestamp, nBuckets: Int,
     minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
     cntCols: Seq[String] = Nil, whereSql: Option[String] = None,
-    derived: Seq[(String, String)] = Nil) {
-  require(factCols.contains(fkCol), s"fk column $fkCol must be a fact payload column")
+    derived: Seq[(String, String)] = Nil,
+    moreDims: Seq[(TxLog, Seq[String], String)] = Nil) {
+  /** (log, payload columns, fact fk column) per dimension — the first
+    * is the constructor's primary dim, the rest are the star's extra
+    * spokes. */
+  private val dims: Seq[(TxLog, Seq[String], String)] =
+    (dimLog, dimCols, fkCol) +: moreDims
+  private def dimLogOf(i: Int) = dims(i)._1
+  private def dimColsOf(i: Int) = dims(i)._2
+  private def fkOf(i: Int) = dims(i)._3
+  private def dimId(i: Int) = s"_dim_id_$i"
+  private val nDims = dims.size
+  private val allDimCols = dims.flatMap(_._2)
+
+  dims.foreach { case (_, _, fk) =>
+    require(factCols.contains(fk),
+      s"fk column $fk must be a fact payload column")
+  }
   // DERIVED columns (name -> row-local deterministic SQL expression,
-  // referencing EITHER side) are computed on the joined relation right
+  // referencing ANY side) are computed on the joined relation right
   // after the sieve — they commute with the Δ(A⋈B) rules for the same
   // reason the WHERE does: "touched" already propagates across the
-  // join edge, and an untouched row's derived value is identical on
+  // join edges, and an untouched row's derived value is identical on
   // both sides of the delta
   private val derivedNames = derived.map(_._1)
-  private val aggable = factCols ++ dimCols ++ derivedNames
+  private val aggable = factCols ++ allDimCols ++ derivedNames
   require(sumCols.forall(c => factCols.contains(c) || derivedNames.contains(c)),
     s"sum columns $sumCols must be fact payload or derived columns")
   require((minCols ++ maxCols).forall(c =>
       factCols.contains(c) || derivedNames.contains(c)),
     s"min/max columns ${minCols ++ maxCols} must be fact payload or derived columns")
   // COUNT(col) counts the JOINED relation's non-null cells, so the
-  // column may live on either side (payload names are disjoint)
+  // column may live on any side (payload names are disjoint)
   require(cntCols.forall(aggable.contains),
     s"count columns $cntCols must be payload or derived columns")
   require(groupCols.nonEmpty, "at least one group column")
   groupCols.foreach(g => require(aggable.contains(g),
-    s"group column $g must be a payload or derived column of either table"))
-  require((factCols.toSet & dimCols.toSet).isEmpty,
-    s"fact/dim payload names must be disjoint: ${factCols.toSet & dimCols.toSet}")
+    s"group column $g must be a payload or derived column of some table"))
+  locally {
+    val sides = factCols +: dims.map(_._2)
+    sides.indices.foreach { i =>
+      sides.indices.drop(i + 1).foreach { j =>
+        val clash = sides(i).toSet & sides(j).toSet
+        require(clash.isEmpty,
+          s"payload names must be disjoint across the joined tables: $clash")
+      }
+    }
+  }
   require(nBuckets > 0, "nBuckets must be positive")
 
   private val dataDir = stateRoot.resolve("state")
   private val wmFile = stateRoot.resolve("_watermark")
   private val sysProbe = Timestamp.valueOf("9998-01-01 00:00:00")
 
-  /** (fact, dim) tx watermarks folded into the state; (-1, -1) fresh. */
-  def watermarks: (Long, Long) =
-    if (Files.exists(wmFile)) {
-      val parts = new String(Files.readAllBytes(wmFile), UTF_8).trim
-        .split(" ")
-      (parts(0).toLong, parts(1).toLong)
-    } else (-1L, -1L)
+  /** Tx watermarks folded into the state, fact first then one per dim;
+    * all -1 fresh. Short files (state written by an older build, or a
+    * view regrown with more dims) pad with -1 — the affected dims then
+    * rebuild their contribution on the next refresh. */
+  def watermarksAll: Seq[Long] = {
+    val stored =
+      if (Files.exists(wmFile))
+        new String(Files.readAllBytes(wmFile), UTF_8).trim
+          .split(" ").toSeq.filter(_.nonEmpty).map(_.toLong)
+      else Nil
+    stored.padTo(1 + nDims, -1L).take(1 + nDims)
+  }
 
-  private def setWatermarks(a: Long, b: Long): Unit = {
+  /** (fact, first dim) watermarks — the 2-ary view's historical API. */
+  def watermarks: (Long, Long) = {
+    val all = watermarksAll
+    (all.head, all(1))
+  }
+
+  private def setWatermarks(ws: Seq[Long]): Unit = {
     Files.createDirectories(stateRoot)
     val tmp = stateRoot.resolve("_watermark.tmp")
-    Files.write(tmp, s"$a $b".getBytes(UTF_8))
+    Files.write(tmp, ws.mkString(" ").getBytes(UTF_8))
     Files.move(tmp, wmFile,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
@@ -143,30 +184,19 @@ final class JoinMatview private[graft] (
   /** The maintained relation is the FILTERED join when the view
     * declares a WHERE. A row-local deterministic predicate commutes
     * with the Δ(A⋈B) rules because "touched" already propagates across
-    * the join edge: a fact row whose predicate INPUT can have changed
+    * the join edges: a fact row whose predicate INPUT can have changed
     * is either own-id-touched (fact columns) or references a touched
     * dim (dim columns) — both re-derive old and new contributions with
     * the predicate applied, and an untouched row's predicate value is
     * identical on both sides of the delta. */
-  private def sieve(joined: DataFrame): DataFrame =
-    whereSql.map(w => joined.filter(expr(w))).getOrElse(joined)
-
-  /** Sieve, then attach the derived expression columns — the full
-    * row-local preparation every aggregation path shares. */
   private def prep(joined: DataFrame): DataFrame =
-    derived.foldLeft(sieve(joined)) { case (d, (n, e)) =>
-      d.withColumn(n, expr(e))
-    }
+    MvState.prep(joined, whereSql, derived)
 
-  // single-column formula bit-identical to pre-r12 (existing state
-  // dirs keep their bucket assignment); multi-column keys concat
-  private def groupKeyStr = {
-    val parts = groupCols.map(c =>
-      coalesce(col(c).cast("string"), lit("\\u0000:null-group")))
-    if (parts.size == 1) parts.head else concat_ws("\u0001", parts: _*)
-  }
-  private def bucketCol =
-    pmod(xxhash64(groupKeyStr), lit(nBuckets.toLong))
+  // timezone-aware WHERE/derived expressions make incremental refresh
+  // session-timezone-sensitive — see MvState.pinTimeZone
+  private def tzSensitive = whereSql.nonEmpty || derived.nonEmpty
+
+  private def bucketCol = MvState.bucketCol(groupCols, nBuckets)
 
   private def readTx(files: Seq[Path]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(files.map(_.toString): _*)
@@ -189,39 +219,48 @@ final class JoinMatview private[graft] (
   private def visibleFact(upToTx: Long): DataFrame =
     Bitemporal.asOf(factLog.readAllAuto(spark, factCols, upToTx),
       lit(validAt), lit(sysProbe))
-  private def visibleDim(upToTx: Long): DataFrame =
-    Bitemporal.asOf(dimLog.readAllAuto(spark, dimCols, upToTx),
+  private def visibleDim(i: Int, upToTx: Long): DataFrame =
+    Bitemporal.asOf(dimLogOf(i).readAllAuto(spark, dimColsOf(i), upToTx),
       lit(validAt), lit(sysProbe))
 
   private def factKeep: Seq[String] =
-    (Seq(fkCol) ++ (sumCols ++ minCols ++ maxCols)
+    (dims.map(_._3) ++ (sumCols ++ minCols ++ maxCols)
         .filter(factCols.contains) ++
       cntCols.filter(factCols.contains) ++
       factCols.filter(c => rowLocalRefs.contains(c.toLowerCase)) ++
       groupCols.filter(factCols.contains)).distinct
-  private def dimKeep: Seq[String] =
-    (cntCols.filter(dimCols.contains) ++
-      dimCols.filter(c => rowLocalRefs.contains(c.toLowerCase)) ++
-      groupCols.filter(dimCols.contains)).distinct
+  private def dimKeep(i: Int): Seq[String] = {
+    val cols = dimColsOf(i)
+    (cntCols.filter(cols.contains) ++
+      cols.filter(c => rowLocalRefs.contains(c.toLowerCase)) ++
+      groupCols.filter(cols.contains)).distinct
+  }
 
-  /** fact ⋈ dim on fk = dim id, sieved by the declared WHERE, then the
-    * per-group COUNT/SUM/COUNT(col) — `withMm` adds MIN/MAX aggregates,
-    * valid only over a COMPLETE member relation (full build,
-    * touched-group re-read), never over a delta: extremes don't
-    * subtract. */
-  private def joinAgg(fact: DataFrame, dim: DataFrame,
+  /** fact ⋈ every dim on its fk = dim id. */
+  private def joinAll(fact: DataFrame, dimDfs: Seq[DataFrame]): DataFrame =
+    dimDfs.zipWithIndex.foldLeft(fact) { case (acc, (d, i)) =>
+      acc.join(d, col(fkOf(i)).cast("long") === col(dimId(i)))
+    }
+
+  /** The star join sieved by the declared WHERE, then the per-group
+    * COUNT/SUM/COUNT(col) — `withMm` adds MIN/MAX aggregates, valid
+    * only over a COMPLETE member relation (full build, touched-group
+    * re-read), never over a delta: extremes don't subtract. */
+  private def joinAgg(fact: DataFrame, dimDfs: Seq[DataFrame],
                       withMm: Boolean = false): DataFrame =
-    prep(fact.join(dim, col(fkCol).cast("long") === col("_dim_id")))
+    prep(joinAll(fact, dimDfs))
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sumCols.map(c => sum(col(c)).as(sumAlias(c))) ++ cntAggs ++
           (if (withMm) mmAggs else Nil): _*)
 
   /** Exact full recompute → state (first build, or after truncation of
-    * either log). Same temp-write + swap as [[Matview]]. */
-  private def rebuild(lastA: Long, lastB: Long): (Long, Long) = {
-    val agg = joinAgg(project(visibleFact(lastA), "_fact_id", factKeep),
-        project(visibleDim(lastB), "_dim_id", dimKeep), withMm = true)
+    * any log). Same temp-write + swap as [[Matview]]. */
+  private def rebuild(lasts: Seq[Long]): (Long, Long) = {
+    val agg = joinAgg(project(visibleFact(lasts.head), "_fact_id", factKeep),
+        dims.indices.map(i =>
+          project(visibleDim(i, lasts(i + 1)), dimId(i), dimKeep(i))),
+        withMm = true)
       .withColumn("_bucket", bucketCol)
     val tmp = stateRoot.resolve("state_rebuild_tmp")
     TxLog.deleteRecursively(tmp.toFile)
@@ -235,36 +274,44 @@ final class JoinMatview private[graft] (
     if (Files.exists(dataDir)) { Files.move(dataDir, old): Unit }
     Files.move(tmp, dataDir): Unit
     TxLog.deleteRecursively(old.toFile)
-    setWatermarks(lastA, lastB)
-    (lastA, lastB)
+    if (tzSensitive) MvState.pinTimeZone(spark, stateRoot)
+    setWatermarks(lasts)
+    (lasts.head, lasts.tail.max)
   }
 
-  /** Fold both logs' tails into the state; returns the new watermarks. */
+  /** Fold every log's tail into the state; returns (fact watermark,
+    * max dim watermark). */
   def refresh(): (Long, Long) = MaintainerLease.withLease(
-      Seq(java.nio.file.Paths.get(factLog.dir),
-        java.nio.file.Paths.get(dimLog.dir)), "join-matview-refresh") {
-    val (wA, wB) = watermarks
-    val (lastA, lastB) = (lastOf(factLog), lastOf(dimLog))
-    if (lastA <= wA && lastB <= wB) return (wA, wB)
-    // the view first builds once BOTH logs hold data (an inner join
+      java.nio.file.Paths.get(factLog.dir) +:
+        dims.map(d => java.nio.file.Paths.get(d._1.dir)),
+      "join-matview-refresh") {
+    val ws = watermarksAll
+    val lasts = lastOf(factLog) +: dims.map(d => lastOf(d._1))
+    def ret(v: Seq[Long]) = (v.head, v.tail.max)
+    if (lasts.zip(ws).forall { case (l, w) => l <= w }) return ret(ws)
+    // the view first builds once EVERY log holds data (an inner join
     // with an empty side is empty — nothing to materialize yet)
-    if (lastA < 0 || lastB < 0) return (wA, wB)
-    if (factLog.truncatedUpTo().isDefined || dimLog.truncatedUpTo().isDefined ||
-      wA < 0 || !Files.exists(dataDir))
-      return rebuild(lastA, lastB)
+    if (lasts.exists(_ < 0)) return ret(ws)
+    // ws.exists(_ < 0) also covers a state REGROWN with more dims (its
+    // padded -1 watermark has no incremental history to fold from)
+    if (factLog.truncatedUpTo().isDefined ||
+      dims.exists(_._1.truncatedUpTo().isDefined) ||
+      ws.exists(_ < 0) || !Files.exists(dataDir))
+      return rebuild(lasts)
 
+    if (tzSensitive) MvState.checkTimeZone(spark, stateRoot)
     // touched ids per side (tail-sized), bounded to the recorded
     // watermarks — same snapshot discipline as the visibles
     def idOf(p: java.nio.file.Path): Long = p.getFileName.toString
       .stripPrefix("tx_").stripSuffix(".parquet").toLong
-    val ta = if (lastA > wA)
-      readTx(factLog.txFilesAfter(wA).filter(idOf(_) <= lastA))
-        .select(col("_id").cast("long").as("_t_id")).distinct()
-    else spark.range(0).select(col("id").as("_t_id"))
-    val tb = if (lastB > wB)
-      readTx(dimLog.txFilesAfter(wB).filter(idOf(_) <= lastB))
-        .select(col("_id").cast("long").as("_t_id")).distinct()
-    else spark.range(0).select(col("id").as("_t_id"))
+    def touchedOf(log: TxLog, w: Long, last: Long): DataFrame =
+      if (last > w)
+        readTx(log.txFilesAfter(w).filter(idOf(_) <= last))
+          .select(col("_id").cast("long").as("_t_id")).distinct()
+      else spark.range(0).select(col("id").as("_t_id"))
+    val ta = touchedOf(factLog, ws.head, lasts.head)
+    val tbs = dims.indices.map(i =>
+      touchedOf(dimLogOf(i), ws(i + 1), lasts(i + 1)))
 
     // OLD visible rows of the touched ids: re-fold their own op history
     // up to the watermark (the same point-read shape Matview uses)
@@ -281,42 +328,64 @@ final class JoinMatview private[graft] (
     def antiOn(df: DataFrame, key: Column, ids: DataFrame): DataFrame =
       df.join(ids, key === ids("_t_id"), "left_anti")
 
-    val vaNew = project(visibleFact(lastA), "_fact_id", factKeep)
-    val vbNew = project(visibleDim(lastB), "_dim_id", dimKeep)
-    val vaOldT = project(oldTouched(factLog, factCols, ta, wA),
+    val vaNew = project(visibleFact(lasts.head), "_fact_id", factKeep)
+    val vbNews = dims.indices.map(i =>
+      project(visibleDim(i, lasts(i + 1)), dimId(i), dimKeep(i)))
+    val vaOldT = project(oldTouched(factLog, factCols, ta, ws.head),
       "_fact_id", factKeep)
-    // dim OLD relation: untouched dims unchanged; touched dims re-folded
-    val vbOld = antiOn(vbNew, col("_dim_id"), tb)
-      .unionByName(project(oldTouched(dimLog, dimCols, tb, wB),
-        "_dim_id", dimKeep))
+    // dim OLD relations: untouched dims unchanged; touched re-folded
+    val vbOlds = dims.indices.map { i =>
+      antiOn(vbNews(i), col(dimId(i)), tbs(i))
+        .unionByName(project(
+          oldTouched(dimLogOf(i), dimColsOf(i), tbs(i), ws(i + 1)),
+          dimId(i), dimKeep(i)))
+    }
 
-    // affected fact rows: own id touched, or fk references a touched dim.
-    // The dim-touched predicate ships as a LITERAL In when the touched
-    // dim set is small (the overwhelmingly common case — dim churn per
-    // refresh interval): a literal In pushes down to the fact base's
-    // parquet scan, so an fk-clustered base (TxLog/GraftTable clusterBy)
-    // prunes fact files by footer stats instead of scanning the table —
-    // a semi-join, by contrast, never reaches the scan. Past the inline
-    // cap it degrades to the semi-join (correct either way).
-    val tbIds: Option[Seq[Long]] =
-      if (lastB <= wB) Some(Nil) // no dim tail: skip the probe job
+    // affected fact rows: own id touched, or ANY fk references a
+    // touched dim. Each dim's touched predicate ships as a LITERAL In
+    // when its touched set is small (the overwhelmingly common case —
+    // dim churn per refresh interval): the per-dim Ins OR together
+    // into ONE filter pass over the fact relation, pushed to the fact
+    // base's parquet scan (FILE pruning on an fk-clustered base — a
+    // semi-join never reaches the scan). Past the inline cap the big
+    // dims degrade to semi-joins, deduped by fact id (a visible
+    // relation has exactly one row per id, so dropDuplicates is exact).
+    val tbIdss: Seq[Option[Seq[Long]]] = dims.indices.map { i =>
+      if (lasts(i + 1) <= ws(i + 1)) Some(Nil) // no tail: skip the probe
       else {
-        val probe = tb.limit(JoinMatview.MaxInlineDimIds + 1)
+        val probe = tbs(i).limit(JoinMatview.MaxInlineDimIds + 1)
           .collect().map(_.getLong(0)).toSeq
         if (probe.size <= JoinMatview.MaxInlineDimIds) Some(probe) else None
       }
-    def dimTouched(df: DataFrame): DataFrame = tbIds match {
-      case Some(Seq()) => df.limit(0)
-      case Some(ids) => df.filter(col(fkCol).cast("long").isin(ids: _*))
-      case None => semiOn(df, col(fkCol).cast("long"), tb)
     }
-    val affNew = semiOn(vaNew, col("_fact_id"), ta)
-      .unionByName(dimTouched(antiOn(vaNew, col("_fact_id"), ta)))
+    def dimTouchedAny(df: DataFrame): DataFrame = {
+      val inlineConds = dims.indices.flatMap { i =>
+        tbIdss(i) match {
+          case Some(Seq()) => None
+          case Some(ids) =>
+            Some(col(fkOf(i)).cast("long").isin(ids: _*))
+          case None => None
+        }
+      }
+      val bigDims = dims.indices.filter(i => tbIdss(i).isEmpty)
+      val inlinePart =
+        if (inlineConds.isEmpty) None
+        else Some(df.filter(inlineConds.reduce(_ || _)))
+      val semiParts = bigDims.map(i =>
+        semiOn(df, col(fkOf(i)).cast("long"), tbs(i)))
+      val parts = inlinePart.toSeq ++ semiParts
+      if (parts.isEmpty) df.limit(0)
+      else if (parts.size == 1) parts.head
+      else parts.reduce(_ unionByName _).dropDuplicates("_fact_id")
+    }
+    val antiOwn = antiOn(vaNew, col("_fact_id"), ta)
+    val dimAff = dimTouchedAny(antiOwn)
+    val affNew = semiOn(vaNew, col("_fact_id"), ta).unionByName(dimAff)
     val affOld = vaOldT // own id touched: every old version is affected
-      .unionByName(dimTouched(antiOn(vaNew, col("_fact_id"), ta)))
+      .unionByName(dimAff)
 
-    val newC = joinAgg(affNew, vbNew)
-    val oldC = joinAgg(affOld, vbOld)
+    val newC = joinAgg(affNew, vbNews)
+    val oldC = joinAgg(affOld, vbOlds)
     // the state's sum types are pinned to the plain aggregate's types:
     // uncapped, each merge's +/- widens decimal precision by one until
     // the parquet byte width no longer matches older bucket files
@@ -357,7 +426,7 @@ final class JoinMatview private[graft] (
       if (deltaRows == 0L) Nil
       else deltaCp.select(col("_bucket")).distinct()
         .collect().map(_.getLong(0)).toSeq
-    if (affected.isEmpty) { setWatermarks(lastA, lastB); return (lastA, lastB) }
+    if (affected.isEmpty) { setWatermarks(lasts); return ret(lasts) }
 
     val state = MvState.readState(spark, stateRoot, dataDir)
       .filter(col("_bucket").isin(affected: _*))
@@ -401,8 +470,7 @@ final class JoinMatview private[graft] (
         // outside the WHERE is not a member and must not donate a
         // min/max), with derived columns attached — extremes may be
         // over an expression
-        val full = prep(vaNew.join(vbNew,
-          col(fkCol).cast("long") === col("_dim_id")))
+        val full = prep(joinAll(vaNew, vbNews))
         val semiKey = groupCols.map(g =>
           col(s"f.$g") <=> col(s"tg.$g")).reduce(_ && _)
         val mm = full.as("f").join(touchedGroups.as("tg"),
@@ -427,8 +495,8 @@ final class JoinMatview private[graft] (
             col("m._bucket").as("_bucket")): _*)
       }
     MvState.swapBuckets(stateRoot, dataDir, merged, affected)
-    setWatermarks(lastA, lastB)
-    (lastA, lastB)
+    setWatermarks(lasts)
+    ret(lasts)
   }
 
   /** The maintained view: (group, n, sum_*) — read-only, no recompute. */

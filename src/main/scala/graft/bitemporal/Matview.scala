@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path}
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained aggregate view over a bitemporal tx log —
@@ -99,32 +99,19 @@ final class Matview private[graft] (
     cntCols.map(c => count(col(c)).as(cntAlias(c)))
 
   /** The maintained relation is the FILTERED visible relation when the
-    * view declares a WHERE: a row-local deterministic predicate
-    * commutes with the Δ-rules (old and new contributions both apply
-    * it), so incrementality is untouched — a tail row that leaves or
-    * enters the predicate behaves exactly like a delete or insert. */
-  private def sieve(visible: DataFrame): DataFrame =
-    whereSql.map(w => visible.filter(expr(w))).getOrElse(visible)
-
-  /** Sieve, then attach the derived expression columns — the full
-    * row-local preparation every aggregation path shares. */
+    * view declares a WHERE (a row-local deterministic predicate
+    * commutes with the Δ-rules — a tail row that leaves or enters the
+    * predicate behaves exactly like a delete or insert), with the
+    * derived expression columns attached — [[MvState.prep]], shared
+    * with [[JoinMatview]]. */
   private def prep(visible: DataFrame): DataFrame =
-    derived.foldLeft(sieve(visible)) { case (d, (n, e)) =>
-      d.withColumn(n, expr(e))
-    }
+    MvState.prep(visible, whereSql, derived)
 
-  /** Hash bucket of the group key (null-safe: null groups get a real
-    * bucket, not a hive default partition). The single-column formula
-    * is kept BIT-IDENTICAL to the pre-r12 one so existing state dirs
-    * keep their bucket assignment; multi-column keys concat with a
-    * separator. */
-  private def groupKeyStr = {
-    val parts = groupCols.map(c =>
-      coalesce(col(c).cast("string"), lit("\\u0000:null-group")))
-    if (parts.size == 1) parts.head else concat_ws("\u0001", parts: _*)
-  }
-  private def bucketCol =
-    pmod(xxhash64(groupKeyStr), lit(nBuckets.toLong))
+  // timezone-aware WHERE/derived expressions make incremental refresh
+  // session-timezone-sensitive — see MvState.pinTimeZone
+  private def tzSensitive = whereSql.nonEmpty || derived.nonEmpty
+
+  private def bucketCol = MvState.bucketCol(groupCols, nBuckets)
 
   private def readTx(files: Seq[Path]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(files.map(_.toString): _*)
@@ -184,6 +171,7 @@ final class Matview private[graft] (
     if (Files.exists(dataDir)) { Files.move(dataDir, old): Unit }
     Files.move(tmp, dataDir): Unit
     TxLog.deleteRecursively(old.toFile)
+    if (tzSensitive) MvState.pinTimeZone(spark, stateRoot)
     setWatermark(last)
     last
   }
@@ -223,10 +211,12 @@ final class Matview private[graft] (
         .repartition(col("_bucket"))
         .write.mode("overwrite").partitionBy("_bucket")
         .parquet(dataDir.toString)
+      if (tzSensitive) MvState.pinTimeZone(spark, stateRoot)
       setWatermark(last)
       return last
     }
 
+    if (tzSensitive) MvState.checkTimeZone(spark, stateRoot)
     // the tail re-lists the directory — bound it to the `last` this
     // refresh will record, so a concurrently landing tx stays wholly
     // in the NEXT refresh (its id would otherwise join `touched` while
@@ -362,6 +352,66 @@ final class Matview private[graft] (
 
 /** State-store helpers shared by [[Matview]] and [[JoinMatview]]. */
 private[bitemporal] object MvState {
+  /** Sieve (the view's WHERE) then attach the derived expression
+    * columns — the row-local preparation every aggregation path of
+    * both view kinds shares. One definition, because it feeds the
+    * group-key/bucket formula below: the two must never drift apart
+    * between the view kinds. */
+  def prep(df: DataFrame, whereSql: Option[String],
+           derived: Seq[(String, String)]): DataFrame =
+    derived.foldLeft(whereSql.map(w => df.filter(expr(w))).getOrElse(df)) {
+      case (d, (n, e)) => d.withColumn(n, expr(e))
+    }
+
+  /** Hash bucket of the group key (null-safe: null groups get a real
+    * bucket, not a hive default partition). The single-column formula
+    * is kept BIT-IDENTICAL to the pre-r12 one so existing state dirs
+    * keep their bucket assignment; multi-column keys concat with a
+    * \u0001 separator. */
+  def bucketCol(groupCols: Seq[String], nBuckets: Int): Column = {
+    val parts = groupCols.map(c =>
+      coalesce(col(c).cast("string"), lit("\\u0000:null-group")))
+    val key = if (parts.size == 1) parts.head
+      else concat_ws("\u0001", parts: _*)
+    pmod(xxhash64(key), lit(nBuckets.toLong))
+  }
+
+  /** Pin the session timezone the state was (re)built under. Catalyst
+    * marks timezone-aware expressions (date_trunc over timestamps,
+    * hour(), string↔timestamp casts) DETERMINISTIC, but their value
+    * reads spark.sql.session.timeZone — so an incremental refresh in a
+    * session with a DIFFERENT zone would subtract old contributions
+    * that no longer match the stored group keys and silently corrupt
+    * the view. Full (re)builds overwrite the pin (the whole state is
+    * recomputed under one zone, which is consistent); incremental
+    * paths verify it via [[checkTimeZone]]. */
+  def pinTimeZone(spark: SparkSession, stateRoot: Path): Unit = {
+    Files.createDirectories(stateRoot)
+    val tmp = stateRoot.resolve("_tz.tmp")
+    Files.write(tmp,
+      spark.conf.get("spark.sql.session.timeZone").getBytes(UTF_8))
+    Files.move(tmp, stateRoot.resolve("_tz"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Loud-refusal half of [[pinTimeZone]], called before incremental
+    * work on a view whose WHERE/derived expressions could be
+    * timezone-aware. A missing pin (state from before this guard)
+    * adopts the current zone. */
+  def checkTimeZone(spark: SparkSession, stateRoot: Path): Unit = {
+    val f = stateRoot.resolve("_tz")
+    if (!Files.exists(f)) { pinTimeZone(spark, stateRoot); return }
+    val pinned = new String(Files.readAllBytes(f), UTF_8).trim
+    val cur = spark.conf.get("spark.sql.session.timeZone")
+    if (pinned != cur)
+      throw new IllegalStateException(
+        s"materialized-view state at $stateRoot was built under session " +
+          s"timezone '$pinned' but this session uses '$cur': the view " +
+          "declares row-local expressions (WHERE / derived columns) " +
+          "that may be timezone-aware, and an incremental refresh would " +
+          "mix group keys across zones. Restore the timezone, or DROP " +
+          "and re-CREATE the view to rebuild under the new one.")
+  }
   /** Persist the state relation's schema beside it. A refresh that
     * empties every bucket (all rows deleted), or a join view whose
     * first build matches nothing, writes a parquet directory with NO

@@ -453,6 +453,81 @@ object Bitemp {
       } finally graft.server.GraftServer.unregister("mvgb_ord")
     }),
 
+    // r12 matview DDL growth, part 5: the STAR form — orders joined to
+    // TWO dims (customer region, a promo-class dim keyed by
+    // o_orderkey % 10) with an expression aggregate reading the SECOND
+    // dim. Mutations hit every edge: fact bump+delete, a promo-factor
+    // change with zero fact ops (second-spoke dim-touched), and a
+    // customer region move.
+    "q169_sql_star_matview" -> ((s, dir) => {
+      import s.implicits._
+      val base = new java.io.File(dir).getName
+      val ftmp = s"target/mvst_f_$base"; val ctmp = s"target/mvst_c_$base"
+      val ptmp = s"target/mvst_p_$base"
+      Seq(ftmp, ctmp, ptmp).foreach(p =>
+        TxLog.deleteRecursively(new java.io.File(p)))
+      graft.server.GraftMatviews.reset()
+      val fact = new GraftTable(s, ftmp, Seq("cust", "promo", "price"))
+      val dcust = new GraftTable(s, ctmp, Seq("region"))
+      val dpromo = new GraftTable(s, ptmp, Seq("grp", "factor"))
+      graft.server.GraftServer.register("mvst_ord", fact)
+      graft.server.GraftServer.register("mvst_cust", dcust)
+      graft.server.GraftServer.register("mvst_promo", dpromo)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val cust = T(s, dir, "customer").select($"c_custkey".as("id"),
+          $"c_nationkey".cast("string").as("rg"))
+        val promo = s.range(0, 10).select($"id",
+          when($"id" < 5, lit("low")).otherwise(lit("high")).as("g"),
+          ($"id" + 1).as("f"))
+        val ord = T(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("id"),
+          $"o_custkey".cast("long").as("ck"),
+          ($"o_orderkey" % 10).cast("long").as("pk"),
+          $"o_totalprice".cast("decimal(12,2)").as("p"))
+        dcust.put(cust, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("region" -> $"rg"), ts("2020-01-01 00:00:00"))
+        dpromo.put(promo, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "factor" -> $"f"), ts("2020-01-01 00:00:01"))
+        fact.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("cust" -> $"ck", "promo" -> $"pk", "price" -> $"p"),
+          ts("2020-01-01 00:00:02"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvst_rev WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+            "SELECT region, grp, COUNT(*) AS n, " +
+            "SUM(price * factor) AS rev " +
+            "FROM mvst_ord JOIN mvst_cust ON cust = mvst_cust._id " +
+            "JOIN mvst_promo ON promo = mvst_promo._id " +
+            "WHERE price > 1000 GROUP BY region, grp")
+        fact.put(ord.filter($"id" % 7 === 0)
+            .withColumn("p2", ($"p" + 1000).cast("decimal(12,2)")),
+          $"id", lit("2000-06-01").cast("timestamp"), None,
+          Seq("cust" -> $"ck", "promo" -> $"pk", "price" -> $"p2"),
+          ts("2020-01-02 00:00:00"))
+        fact.delete(ord.filter($"id" % 11 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("cust" -> lit(null).cast("long"),
+            "promo" -> lit(null).cast("long"),
+            "price" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:01"))
+        dpromo.put(Seq((3L, "low", 40L)).toDF("id", "g", "f"), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "factor" -> $"f"), ts("2020-01-02 00:00:02"))
+        dcust.put(cust.filter($"id" % 10 === 0).withColumn("rg2", lit("99")),
+          $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("region" -> $"rg2"), ts("2020-01-02 00:00:03"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvst_rev")
+        graft.server.GraftSql.sql(s,
+          "SELECT region, grp, n, CAST(rev AS DOUBLE) AS rev " +
+            "FROM mvst_rev ORDER BY region, grp")
+      } finally {
+        graft.server.GraftServer.unregister("mvst_ord")
+        graft.server.GraftServer.unregister("mvst_cust")
+        graft.server.GraftServer.unregister("mvst_promo")
+      }
+    }),
+
     // JOIN matview (r7): orders ⋈ customers grouped by the CUSTOMER's
     // region — maintained incrementally from BOTH logs' tails by the
     // Δ(A⋈B) rules. The second refresh folds a fact tail (price bump +
@@ -1091,6 +1166,29 @@ object Bitemp {
              CAST(sum(e) AS DOUBLE) / count(e) AS avg_rev,
              CAST(max(e) AS DOUBLE) AS max_rev
       FROM vis GROUP BY status, prio ORDER BY status, prio""",
+
+    // from-scratch recompute of the star view: both dims replayed at
+    // their final state (promo 3's factor bumped, moved customers
+    // re-regioned), the expression aggregate as a projected product
+    "q169_sql_star_matview" -> """
+      WITH cd AS (SELECT c_custkey AS k,
+                    CASE WHEN c_custkey % 10 = 0 THEN '99'
+                         ELSE CAST(c_nationkey AS VARCHAR) END AS region
+                  FROM customer),
+      pd AS (SELECT i AS pk,
+                    CASE WHEN i < 5 THEN 'low' ELSE 'high' END AS grp,
+                    CASE WHEN i = 3 THEN 40 ELSE i + 1 END AS factor
+             FROM (SELECT UNNEST(range(0, 10)) AS i)),
+      oe AS (SELECT o_custkey AS ck, o_orderkey % 10 AS pk,
+                    CASE WHEN o_orderkey % 7 = 0
+                         THEN CAST(o_totalprice AS DECIMAL(12,2)) + 1000
+                         ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS p
+             FROM orders WHERE o_orderkey % 11 <> 0),
+      vis AS (SELECT * FROM oe WHERE p > 1000)
+      SELECT region, grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p * factor) AS DOUBLE) AS rev
+      FROM vis JOIN cd ON vis.ck = cd.k JOIN pd ON vis.pk = pd.pk
+      GROUP BY region, grp ORDER BY region, grp""",
 
     // from-scratch recompute of the month-bucketed rollup
     "q168_sql_matview_bucket" -> """

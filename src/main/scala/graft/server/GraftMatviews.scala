@@ -108,11 +108,15 @@ object GraftMatviews {
     "(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_]\\w*)\\s*;?\\s*$".r
 
   private val selectRe =
-    ("(?is)^SELECT\\s+([\\s\\S]*?)\\s+FROM\\s+([A-Za-z_]\\w*)\\s*" +
-      "(?:JOIN\\s+([A-Za-z_]\\w*)\\s+ON\\s+([\\s\\S]*?)\\s+)?" +
-      "(?:WHERE\\s+([\\s\\S]*?)\\s+)?" +
-      "GROUP\\s+BY\\s+([\\s\\S]+?)\\s*" +
+    ("(?is)^SELECT\\s+([\\s\\S]*?)\\s+FROM\\s+([A-Za-z_]\\w*)" +
+      "((?:\\s+JOIN\\s+[\\s\\S]*?)?)" +
+      "(?:\\s+WHERE\\s+([\\s\\S]*?))?" +
+      "\\s+GROUP\\s+BY\\s+([\\s\\S]+?)\\s*" +
       "(?:HAVING\\s+([\\s\\S]*?))?\\s*$").r
+  // the captured join section splits into (dim table, ON text) pairs —
+  // one per spoke of the star
+  private val joinClauseRe =
+    "(?is)\\bJOIN\\s+([A-Za-z_]\\w*)\\s+ON\\s+([\\s\\S]+?)(?=\\s+JOIN\\s|$)".r
 
   // WHERE must be a row-local DETERMINISTIC predicate for the Δ-rules
   // to commute with it: subqueries see other rows, and random/clock
@@ -324,20 +328,24 @@ object GraftMatviews {
       .getOrElse(new Timestamp(System.currentTimeMillis()))
     val buckets = optMap.get("buckets").map(_.toInt)
 
-    val (list, factName, dimName, onExpr, whereOpt, groupBy, havingOpt) =
+    val (list, factName, joinSection, whereOpt, groupBy, havingOpt) =
       select.trim match {
-        case selectRe(l, f, d, on, w, g, hv) =>
-          (l, f, Option(d), Option(on), Option(w), g,
+        case selectRe(l, f, js, w, g, hv) =>
+          (l, f, Option(js).map(_.trim).getOrElse(""), Option(w), g,
             Option(hv).map(_.trim).filter(_.nonEmpty))
         case _ => fail("materialized-view SELECT must be: SELECT <g…>, " +
           "COUNT(*)/COUNT(col)/SUM/AVG/MIN/MAX(col or row-local " +
           "expression AS alias), … FROM " +
-          "<table> [JOIN <dim> ON <fk> = <dim>._id] [WHERE <predicate>] " +
+          "<table> [JOIN <dim> ON <fk> = <dim>._id …] [WHERE <predicate>] " +
           "GROUP BY <g>[, <g2> …] [HAVING <predicate over the output " +
           "columns>] — subqueries and distinct aggregates are not " +
           "incrementally maintainable here and are rejected rather " +
           "than snapshotted")
       }
+    // (dim name, ON text) per JOIN clause, in declared order
+    val joinSpecs: Seq[(String, String)] =
+      joinClauseRe.findAllMatchIn(joinSection)
+        .map(m => (m.group(1), m.group(2).trim)).toSeq
     val aggRe = "(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*([*]|[A-Za-z_](?:\\w|\\.)*)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
     // EXPRESSION aggregate — any argument that isn't a bare column ref
     // (tried after aggRe). The argument becomes a DERIVED column on the
@@ -353,17 +361,34 @@ object GraftMatviews {
     // `cast(x AS int) AS m` aliases to m)
     val exprAliasRe = "(?is)^([\\s\\S]+)\\s+AS\\s+([A-Za-z_]\\w*)$".r
 
-    // derived name -> normalized expression text, insertion-ordered
+    // derived name -> ORIGINAL trimmed expression text (what executes —
+    // normalization is for NAMING/matching only, so whitespace inside
+    // string literals is never rewritten), insertion-ordered
     val derivedExprs = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def normText(text: String): String = text.trim.replaceAll("\\s+", " ")
+    // collapse whitespace OUTSIDE literal/comment spans only: 'x  y'
+    // must stay two-spaced (it is data), while SUM(x*y) and SUM(x * y)
+    // must normalize equal. Case is kept everywhere for the same
+    // literal-safety reason.
+    def normText(text: String): String = {
+      val t = text.trim
+      val spans = SqlText.maskedSpans(t)
+      val sb = new StringBuilder
+      var i = 0; var inWs = false
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (!SqlText.masked(spans, i) && c.isWhitespace) {
+          if (!inWs) sb.append(' ')
+          inWs = true
+        } else { sb.append(c); inWs = false }
+        i += 1
+      }
+      sb.toString
+    }
     def derivedName(text: String): String = {
-      // whitespace-only normalization: case matters inside string
-      // literals, so lowercasing would conflate distinct expressions
-      val norm = normText(text)
       val nm = "_e" + java.security.MessageDigest.getInstance("MD5")
-        .digest(norm.getBytes("UTF-8")).take(8)
+        .digest(normText(text).getBytes("UTF-8")).take(8)
         .map(b => f"$b%02x").mkString
-      derivedExprs.getOrElseUpdate(nm, norm)
+      derivedExprs.getOrElseUpdate(nm, text.trim)
       nm
     }
 
@@ -376,6 +401,11 @@ object GraftMatviews {
     val groupExprNames = scala.collection.mutable.LinkedHashSet.empty[String]
     val groups = BitemporalDml.splitTopLevel(groupBy)
       .map(_.trim).filter(_.nonEmpty).map { g =>
+        if (g.matches("\\d+"))
+          // a bare number would silently become a constant group key,
+          // not the Postgres/Spark ordinal the user meant
+          fail(s"GROUP BY ordinal '$g' is not supported here — name " +
+            "the column or repeat the expression")
         if (plainIdentRe.matches(g)) unqualify(g)
         else { val dn = derivedName(g); groupExprNames += dn; dn }
       }
@@ -441,12 +471,12 @@ object GraftMatviews {
         // a GROUP BY expression repeated in the SELECT list: matched by
         // normalized text, alias mandatory (the expression is no name)
         case exprAliasRe(body, alias) if groupExprNames.exists(dn =>
-            derivedExprs(dn) == normText(body)) =>
+            normText(derivedExprs(dn)) == normText(body)) =>
           val nb = normText(body)
           groupAliases(groupExprNames.find(dn =>
-            derivedExprs(dn) == nb).get) = alias
+            normText(derivedExprs(dn)) == nb).get) = alias
         case item if groupExprNames.exists(dn =>
-            derivedExprs(dn) == normText(item)) =>
+            normText(derivedExprs(dn)) == normText(item)) =>
           fail(s"GROUP BY expression select item '$item' needs an " +
             "explicit AS alias to serve as a column name")
         case other => fail(s"select item '$other' is neither a GROUP BY " +
@@ -464,66 +494,90 @@ object GraftMatviews {
     def derivedLabel(dn: String, e: String): String =
       if (groupExprNames.contains(dn)) s"GROUP BY expression '$e'"
       else s"aggregate argument '$e'"
-    if (dimName.isEmpty) {
-      whereOpt.foreach(w => validateWhere(fact.current(spark), w))
+    if (joinSpecs.isEmpty) {
+      // lazy: only forced when something validates against it — an
+      // empty log (no txs yet) must still allow a plain CREATE
+      lazy val base = fact.current(spark)
+      whereOpt.foreach(w => validateWhere(base, w))
       derivedExprs.foreach { case (dn, e) =>
-        validateExpr(fact.current(spark), e, derivedLabel(dn, e))
+        validateExpr(base, e, derivedLabel(dn, e))
       }
     }
     val serveAll =
       groups.map(g => s"__group__:$g" -> groupAliases(g)) ++ serve.result()
-    val handle = dimName match {
-      case None =>
+    val handle =
+      if (joinSpecs.isEmpty) {
         val mv = fact.matviewN(name, groups, sums.result().distinct, validAt,
           buckets.getOrElse(32), mins.result(), maxs.result(),
           cnts.result().distinct, whereOpt, derivedExprs.toSeq)
         Handle(name, serveAll, havingOpt, sess => mv.read(sess),
           () => (mv.refresh(), None), matviewDir(factName, "matview", name))
-      case Some(dn) =>
-        val dim = graftTable(dn)
-        val on = onExpr.getOrElse(fail("JOIN requires ON fk = dim._id"))
-        val sides = on.split("=").map(_.trim)
-        if (sides.length != 2) fail(s"ON clause must be fk = ${dn}._id, got '$on'")
-        val dimIdSide = sides.indexWhere(s =>
-          unqualify(s).equalsIgnoreCase("_id") &&
-            (!s.contains(".") || s.toLowerCase.startsWith(dn.toLowerCase + ".")))
-        if (dimIdSide < 0)
-          fail(s"ON clause must equate a fact column with ${dn}._id, got '$on'")
-        val fk = unqualify(sides(1 - dimIdSide))
-        // the join sieve sees the two sides' PAYLOAD columns (names are
+      } else {
+        // each JOIN clause is one spoke of the star: resolve the dim
+        // table and read the fact fk off its ON clause
+        val dims: Seq[(graft.GraftTable, String)] = joinSpecs.map {
+          case (dn, on) =>
+            val dim = graftTable(dn)
+            val sides = on.split("=").map(_.trim)
+            if (sides.length != 2)
+              fail(s"ON clause must be fk = ${dn}._id, got '$on'")
+            val dimIdSide = sides.indexWhere(s =>
+              unqualify(s).equalsIgnoreCase("_id") &&
+                (!s.contains(".") ||
+                  s.toLowerCase.startsWith(dn.toLowerCase + ".")))
+            if (dimIdSide < 0)
+              fail(s"ON clause must equate a fact column with ${dn}._id, " +
+                s"got '$on'")
+            dim -> unqualify(sides(1 - dimIdSide))
+        }
+        // the join sieve sees every side's PAYLOAD columns (names are
         // disjoint by construction; temporal/_id columns would be
         // ambiguous across the join and are not served to it) — the
         // semantic validation runs over exactly that schema
-        lazy val joinedBase =
-          fact.current(spark).select(fact.payloadColumns.map(col): _*)
-            .crossJoin(
-              dim.current(spark).select(dim.payloadColumns.map(col): _*))
+        lazy val joinedBase = dims.foldLeft(
+            fact.current(spark).select(fact.payloadColumns.map(col): _*)) {
+          case (acc, (dim, _)) => acc.crossJoin(
+            dim.current(spark).select(dim.payloadColumns.map(col): _*))
+        }
         whereOpt.foreach(w => validateWhere(joinedBase, w))
         derivedExprs.foreach { case (dn, e) =>
           validateExpr(joinedBase, e, derivedLabel(dn, e))
         }
-        val mv = fact.joinMatviewN(name, dim, fk, groups,
+        val mv = fact.starMatview(name, dims, groups,
           sums.result().distinct, validAt, buckets.getOrElse(64),
           mins.result(), maxs.result(), cnts.result().distinct, whereOpt,
           derivedExprs.toSeq)
         Handle(name, serveAll, havingOpt, sess => mv.read(sess),
           () => { val (a, b) = mv.refresh(); (a, Some(b)) },
           matviewDir(factName, "join_matview", name))
-    }
+      }
 
-    val (a, b) = handle.refresh() // CREATE populates (Postgres default)
-    // HAVING references the view's OUTPUT columns (aliases) — its
-    // semantic validation needs the served projection's schema, which
-    // exists only after the populating refresh; same deterministic/
-    // row-local rules as WHERE, same loud CREATE-time failure
-    havingOpt.foreach(hv =>
-      validateWhere(servedProjection(spark, handle), hv, "HAVING"))
+    // any failure past this point (bad HAVING, empty-table schema,
+    // registration) must also remove the state the populating refresh
+    // just wrote: an orphaned state dir would make the NEXT CREATE of
+    // this name fold incrementally against a state whose columns don't
+    // match. View state is always derivable from the logs, so deleting
+    // it is safe by construction.
+    def dropState(): Unit =
+      graft.bitemporal.TxLog.deleteRecursively(handle.stateDir.toFile)
+    val (a, b) =
+      try {
+        val r = handle.refresh() // CREATE populates (Postgres default)
+        // HAVING references the view's OUTPUT columns (aliases) — its
+        // semantic validation needs the served projection's schema,
+        // which exists only after the populating refresh; same
+        // deterministic/row-local rules as WHERE, same loud
+        // CREATE-time failure
+        havingOpt.foreach(hv =>
+          validateWhere(servedProjection(spark, handle), hv, "HAVING"))
+        r
+      } catch { case e: Throwable => dropState(); throw e }
     views.put(key(name), handle)
     try registerView(spark, handle)
     catch { case e: Throwable =>
       // e.g. an empty source table: state schema is unknowable until
       // data lands — don't leave a half-registered view behind
-      views.remove(key(name)); throw e
+      views.remove(key(name)); dropState(); throw e
     }
     import spark.implicits._
     Seq((name, a, b.map(long2Long).orNull)).toDF("view", "fact_tx", "dim_tx")

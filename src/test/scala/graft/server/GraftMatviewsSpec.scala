@@ -782,6 +782,177 @@ class GraftMatviewsSpec extends AnyFunSuite {
     }
   }
 
+  test("derived-expression hardening: literal whitespace survives, " +
+      "failed CREATE leaves no state, timezone pin, ordinals refused") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("tag", "amt", "at"))
+    GraftServer.register("hdfact", t)
+    try {
+      t.put(Seq((1L, "x  y", 10L, "2024-01-05 10:00:00"),
+          (2L, "x y", 20L, "2024-02-05 10:00:00"),
+          (3L, "z", 40L, "2024-02-06 10:00:00"))
+          .toDF("id", "g", "a", "ts")
+          .withColumn("ts", $"ts".cast("timestamp")), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("tag" -> $"g", "amt" -> $"a", "at" -> $"ts"),
+        ts("2024-03-01 00:00:00"))
+
+      // whitespace inside a string LITERAL is data: the two-space
+      // 'x  y' must keep matching after the naming normalization
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_hd1 WITH " +
+        "(valid_at = '2030-01-01 00:00:00') AS SELECT tag, " +
+        "SUM(CASE WHEN tag = 'x  y' THEN amt ELSE 0 END) AS two_sp " +
+        "FROM hdfact GROUP BY tag")
+      val r = GraftSql.sql(spark,
+        "SELECT tag, two_sp FROM mv_hd1 ORDER BY tag").collect()
+        .map(x => (x.getString(0), x.getLong(1))).toSeq
+      assert(r == Seq(("x  y", 10L), ("x y", 0L), ("z", 0L)))
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_hd1")
+
+      // a CREATE that fails AFTER populating (bad HAVING) must delete
+      // its state: the retry with a different aggregate list would
+      // otherwise fold incrementally against mismatched state columns
+      intercept[IllegalArgumentException](GraftSql.sql(spark,
+        "CREATE MATERIALIZED VIEW mv_hd2 AS SELECT tag, COUNT(*) AS n " +
+          "FROM hdfact GROUP BY tag HAVING no_such > 1"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_hd2 AS " +
+        "SELECT tag, SUM(amt) AS total FROM hdfact GROUP BY tag")
+      assert(GraftSql.sql(spark,
+        "SELECT sum(total) AS t FROM mv_hd2").collect()(0).getLong(0) == 70L)
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_hd2")
+
+      // timezone-aware derived group key: an incremental refresh under
+      // a DIFFERENT session timezone is refused loudly (the state's
+      // month buckets were computed under the pinned zone)
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_hd3 WITH " +
+        "(valid_at = '2030-01-01 00:00:00') AS " +
+        "SELECT date_trunc('month', at) AS m, COUNT(*) AS n " +
+        "FROM hdfact GROUP BY date_trunc('month', at)")
+      val tz0 = spark.conf.get("spark.sql.session.timeZone")
+      t.put(Seq((4L, "w", 5L, "2024-02-07 10:00:00"))
+          .toDF("id", "g", "a", "ts")
+          .withColumn("ts", $"ts".cast("timestamp")), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("tag" -> $"g", "amt" -> $"a", "at" -> $"ts"),
+        ts("2024-03-02 00:00:00"))
+      try {
+        spark.conf.set("spark.sql.session.timeZone",
+          if (tz0 == "America/New_York") "UTC" else "America/New_York")
+        val e = intercept[IllegalStateException](GraftSql.sql(spark,
+          "REFRESH MATERIALIZED VIEW mv_hd3"))
+        assert(e.getMessage.contains("timezone"), e.getMessage)
+      } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+      // back under the pinned zone the refresh folds normally
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_hd3").collect()
+      assert(GraftSql.sql(spark,
+        "SELECT sum(n) AS n FROM mv_hd3").collect()(0).getLong(0) == 4L)
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_hd3")
+
+      // GROUP BY ordinals: refused with the story, never a constant key
+      val e2 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+        "CREATE MATERIALIZED VIEW mv_hd4 AS SELECT COUNT(*) AS n " +
+          "FROM hdfact GROUP BY 1"))
+      assert(e2.getMessage.contains("ordinal"), e2.getMessage)
+    } finally {
+      GraftServer.unregister("hdfact")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("star matview: fact joined to TWO dims, maintained through " +
+      "fact mutations and either dim's group-move/value-change") {
+    val s = spark
+    import s.implicits._
+    val fact = freshTable(Seq("cust", "prod", "amt"))
+    val dcust = freshTable(Seq("region"))
+    val dprod = freshTable(Seq("cat", "rate"))
+    GraftServer.register("stfact", fact)
+    GraftServer.register("stcust", dcust)
+    GraftServer.register("stprod", dprod)
+    try {
+      dcust.put(Seq((1L, "EU"), (2L, "US")).toDF("id", "r"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r"), ts("2024-01-01 00:00:00"))
+      dprod.put(Seq((10L, "hw", 2L), (11L, "sw", 3L)).toDF("id", "c", "x"),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("cat" -> $"c", "rate" -> $"x"), ts("2024-01-01 00:00:01"))
+      fact.put(Seq(
+          (100L, 1L, 10L, 10L), (101L, 1L, 11L, 20L),
+          (102L, 2L, 10L, 30L), (103L, 2L, 11L, 4L))
+          .toDF("id", "c", "p", "a"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> $"c", "prod" -> $"p", "amt" -> $"a"),
+        ts("2024-01-01 00:00:02"))
+
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_star WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT region, cat, COUNT(*) AS n, SUM(amt * rate) AS wamt, " +
+        "MAX(amt) AS mx FROM stfact " +
+        "JOIN stcust ON cust = stcust._id " +
+        "JOIN stprod ON prod = stprod._id " +
+        "WHERE amt > 5 GROUP BY region, cat")
+      def read() = GraftSql.sql(spark,
+        "SELECT region, cat, n, wamt, mx FROM mv_star ORDER BY region, cat")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      def scratch() = fact.current()
+        .join(dcust.current().select(col("_id").as("cid"), col("region")),
+          col("cust") === col("cid"))
+        .join(dprod.current().select(col("_id").as("pid"), col("cat"),
+          col("rate")), col("prod") === col("pid"))
+        .filter(col("amt") > 5)
+        .groupBy(col("region"), col("cat"))
+        .agg(count(lit(1)).as("n"), sum(col("amt") * col("rate")).as("wamt"),
+          max(col("amt")).as("mx"))
+        .orderBy(col("region"), col("cat"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      // 103 (amt 4) fails the WHERE; EU/hw: 10*2, EU/sw: 20*3, US/hw: 30*2
+      assert(read() == Seq(("EU", "hw", 1L, 20L, 10L),
+        ("EU", "sw", 1L, 60L, 20L), ("US", "hw", 1L, 60L, 30L)))
+      assert(read() == scratch())
+
+      // SECOND dim value change, zero fact ops: sw rate 3 -> 5 must
+      // re-scale every sw fact's derived contribution
+      dprod.put(Seq((11L, "sw", 5L)).toDF("id", "c", "x"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cat" -> $"c", "rate" -> $"x"), ts("2024-01-02 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_star").collect()
+      assert(read() == Seq(("EU", "hw", 1L, 20L, 10L),
+        ("EU", "sw", 1L, 100L, 20L), ("US", "hw", 1L, 60L, 30L)))
+      assert(read() == scratch())
+
+      // FIRST dim group move + fact mutations in one refresh: cust 1
+      // relocates to US, fact 103 enters the WHERE (amt 4 -> 50),
+      // fact 102 is deleted (US/hw loses its max)
+      dcust.put(Seq((1L, "US")).toDF("id", "r"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r"), ts("2024-01-03 00:00:00"))
+      fact.put(Seq((103L, 2L, 11L, 50L)).toDF("id", "c", "p", "a"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> $"c", "prod" -> $"p", "amt" -> $"a"),
+        ts("2024-01-03 00:00:01"))
+      fact.delete(Seq(Tuple1(102L)).toDF("id"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> lit(null).cast("long"),
+          "prod" -> lit(null).cast("long"),
+          "amt" -> lit(null).cast("long")),
+        ts("2024-01-03 00:00:02"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_star").collect()
+      assert(read() == scratch())
+      assert(read() == Seq(("US", "hw", 1L, 20L, 10L),
+        ("US", "sw", 2L, 350L, 50L)))
+
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_star")
+    } finally {
+      GraftServer.unregister("stfact")
+      GraftServer.unregister("stcust")
+      GraftServer.unregister("stprod")
+      GraftMatviews.reset()
+    }
+  }
+
   test("non-maintainable shapes are rejected, not snapshotted") {
     val s = spark
     import s.implicits._
