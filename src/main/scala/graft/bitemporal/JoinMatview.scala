@@ -192,9 +192,28 @@ final class JoinMatview private[graft] (
   private def prep(joined: DataFrame): DataFrame =
     MvState.prep(joined, whereSql, derived)
 
-  // timezone-aware WHERE/derived expressions make incremental refresh
-  // session-timezone-sensitive — see MvState.pinTimeZone
-  private def tzSensitive = whereSql.nonEmpty || derived.nonEmpty
+  // timezone-aware expressions make incremental refresh
+  // session-timezone-sensitive — see MvState.pinTimeZone. A
+  // TIMESTAMP-typed group column is sensitive through the bucket hash
+  // itself (the key casts to string under the session zone).
+  private def tzSensitive(schema: org.apache.spark.sql.types.StructType)
+      : Boolean =
+    whereSql.nonEmpty || derived.nonEmpty ||
+      groupCols.exists(g => schema.find(_.name == g).exists(
+        _.dataType.typeName.startsWith("timestamp")))
+
+  /** Stable fingerprint of the view DEFINITION, dims included — see
+    * MvState.pinDef (covers dim-arity changes over the same state). */
+  private val defFp: String = {
+    val parts = Seq(factCols, groupCols, sumCols, minCols, maxCols,
+      cntCols, Seq(whereSql.getOrElse("")),
+      derived.map(d => d._1 + "=" + d._2),
+      dims.map(d => d._3 + ":" + d._2.mkString(",")),
+      Seq(validAt.toString, nBuckets.toString))
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.map(_.mkString("\u0001")).mkString("\u0002")
+        .getBytes(UTF_8)).map(b => f"$b%02x").mkString
+  }
 
   private def bucketCol = MvState.bucketCol(groupCols, nBuckets)
 
@@ -274,7 +293,8 @@ final class JoinMatview private[graft] (
     if (Files.exists(dataDir)) { Files.move(dataDir, old): Unit }
     Files.move(tmp, dataDir): Unit
     TxLog.deleteRecursively(old.toFile)
-    if (tzSensitive) MvState.pinTimeZone(spark, stateRoot)
+    if (tzSensitive(agg.schema)) MvState.pinTimeZone(spark, stateRoot)
+    MvState.pinDef(stateRoot, defFp)
     setWatermarks(lasts)
     (lasts.head, lasts.tail.max)
   }
@@ -285,6 +305,14 @@ final class JoinMatview private[graft] (
       java.nio.file.Paths.get(factLog.dir) +:
         dims.map(d => java.nio.file.Paths.get(d._1.dir)),
       "join-matview-refresh") {
+    // a DEFINITION change over the same state dir (JVM restart +
+    // re-CREATE, a Scala-API re-instantiation, or a different dim
+    // arity) invalidates the state: discard it and fall through to the
+    // rebuild/first-build path
+    if (!MvState.defMatches(stateRoot, defFp)) {
+      TxLog.deleteRecursively(dataDir.toFile)
+      Files.deleteIfExists(wmFile): Unit
+    }
     val ws = watermarksAll
     val lasts = lastOf(factLog) +: dims.map(d => lastOf(d._1))
     def ret(v: Seq[Long]) = (v.head, v.tail.max)
@@ -299,7 +327,8 @@ final class JoinMatview private[graft] (
       ws.exists(_ < 0) || !Files.exists(dataDir))
       return rebuild(lasts)
 
-    if (tzSensitive) MvState.checkTimeZone(spark, stateRoot)
+    if (MvState.storedSchema(stateRoot).exists(tzSensitive))
+      MvState.checkTimeZone(spark, stateRoot)
     // touched ids per side (tail-sized), bounded to the recorded
     // watermarks — same snapshot discipline as the visibles
     def idOf(p: java.nio.file.Path): Long = p.getFileName.toString
@@ -426,7 +455,10 @@ final class JoinMatview private[graft] (
       if (deltaRows == 0L) Nil
       else deltaCp.select(col("_bucket")).distinct()
         .collect().map(_.getLong(0)).toSeq
-    if (affected.isEmpty) { setWatermarks(lasts); return ret(lasts) }
+    if (affected.isEmpty) {
+      MvState.pinDef(stateRoot, defFp)
+      setWatermarks(lasts); return ret(lasts)
+    }
 
     val state = MvState.readState(spark, stateRoot, dataDir)
       .filter(col("_bucket").isin(affected: _*))
@@ -495,6 +527,7 @@ final class JoinMatview private[graft] (
             col("m._bucket").as("_bucket")): _*)
       }
     MvState.swapBuckets(stateRoot, dataDir, merged, affected)
+    MvState.pinDef(stateRoot, defFp)
     setWatermarks(lasts)
     ret(lasts)
   }

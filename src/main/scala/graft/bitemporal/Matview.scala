@@ -107,9 +107,28 @@ final class Matview private[graft] (
   private def prep(visible: DataFrame): DataFrame =
     MvState.prep(visible, whereSql, derived)
 
-  // timezone-aware WHERE/derived expressions make incremental refresh
-  // session-timezone-sensitive — see MvState.pinTimeZone
-  private def tzSensitive = whereSql.nonEmpty || derived.nonEmpty
+  // timezone-aware expressions make incremental refresh
+  // session-timezone-sensitive — see MvState.pinTimeZone. Beyond
+  // WHERE/derived expressions, a TIMESTAMP-typed group column is
+  // sensitive through the bucket hash itself (the key casts to string,
+  // and timestamp rendering reads the session zone) — its type is read
+  // from the given schema (state sidecar, or the aggregate's own).
+  private def tzSensitive(schema: org.apache.spark.sql.types.StructType)
+      : Boolean =
+    whereSql.nonEmpty || derived.nonEmpty ||
+      groupCols.exists(g => schema.find(_.name == g).exists(
+        _.dataType.typeName.startsWith("timestamp")))
+
+  /** Stable fingerprint of the view DEFINITION — see MvState.pinDef. */
+  private val defFp: String = {
+    val parts = Seq(payloadCols, groupCols, sumCols, minCols, maxCols,
+      cntCols, Seq(whereSql.getOrElse("")),
+      derived.map(d => d._1 + "=" + d._2),
+      Seq(validAt.toString, nBuckets.toString))
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.map(_.mkString("\u0001")).mkString("\u0002")
+        .getBytes(UTF_8)).map(b => f"$b%02x").mkString
+  }
 
   private def bucketCol = MvState.bucketCol(groupCols, nBuckets)
 
@@ -171,7 +190,8 @@ final class Matview private[graft] (
     if (Files.exists(dataDir)) { Files.move(dataDir, old): Unit }
     Files.move(tmp, dataDir): Unit
     TxLog.deleteRecursively(old.toFile)
-    if (tzSensitive) MvState.pinTimeZone(spark, stateRoot)
+    if (tzSensitive(agg.schema)) MvState.pinTimeZone(spark, stateRoot)
+    MvState.pinDef(stateRoot, defFp)
     setWatermark(last)
     last
   }
@@ -189,6 +209,15 @@ final class Matview private[graft] (
     * recompute. */
   def refresh(): Long = MaintainerLease.withLease(
       java.nio.file.Paths.get(log.dir), "matview-refresh") {
+    // a DEFINITION change over the same state dir (JVM restart +
+    // re-CREATE, or a Scala-API re-instantiation with different
+    // aggregates/WHERE/groups) invalidates the state: discard it and
+    // fall through to the first-build path — folding new-definition
+    // deltas into old-definition state would be silently wrong
+    if (!MvState.defMatches(stateRoot, defFp)) {
+      TxLog.deleteRecursively(dataDir.toFile)
+      Files.deleteIfExists(wmFile): Unit
+    }
     val w = watermark
     val truncated = log.truncatedUpTo()
     val files = log.txFiles()
@@ -211,12 +240,14 @@ final class Matview private[graft] (
         .repartition(col("_bucket"))
         .write.mode("overwrite").partitionBy("_bucket")
         .parquet(dataDir.toString)
-      if (tzSensitive) MvState.pinTimeZone(spark, stateRoot)
+      if (tzSensitive(firstAgg.schema)) MvState.pinTimeZone(spark, stateRoot)
+      MvState.pinDef(stateRoot, defFp)
       setWatermark(last)
       return last
     }
 
-    if (tzSensitive) MvState.checkTimeZone(spark, stateRoot)
+    if (MvState.storedSchema(stateRoot).exists(tzSensitive))
+      MvState.checkTimeZone(spark, stateRoot)
     // the tail re-lists the directory — bound it to the `last` this
     // refresh will record, so a concurrently landing tx stays wholly
     // in the NEXT refresh (its id would otherwise join `touched` while
@@ -269,7 +300,9 @@ final class Matview private[graft] (
       if (deltaRows == 0L) Nil
       else deltaCp.select(col("_bucket")).distinct()
         .collect().map(_.getLong(0)).toSeq
-    if (affected.isEmpty) { setWatermark(last); return last }
+    if (affected.isEmpty) {
+      MvState.pinDef(stateRoot, defFp); setWatermark(last); return last
+    }
 
     val state = MvState.readState(spark, stateRoot, dataDir)
       .filter(col("_bucket").isin(affected: _*))
@@ -334,6 +367,7 @@ final class Matview private[graft] (
             col("m._bucket").as("_bucket")): _*)
       }
     MvState.swapBuckets(stateRoot, dataDir, merged, affected)
+    MvState.pinDef(stateRoot, defFp)
     setWatermark(last)
     last
   }
@@ -392,6 +426,43 @@ private[bitemporal] object MvState {
       spark.conf.get("spark.sql.session.timeZone").getBytes(UTF_8))
     Files.move(tmp, stateRoot.resolve("_tz"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Persist a fingerprint of the view DEFINITION beside the state.
+    * The views registry is in-memory: after a JVM restart a CREATE (or
+    * a Scala-API re-instantiation) over the same state dir with a
+    * CHANGED definition — different WHERE, aggregate list, group
+    * columns, dim arity — would otherwise adopt the old definition's
+    * state and fold new-definition deltas into it, silently wrong
+    * forever. On mismatch the refresh discards the state and rebuilds
+    * from the logs (state is always derivable). A missing fingerprint
+    * (state from before this guard) adopts and pins. */
+  def pinDef(stateRoot: Path, fp: String): Unit = {
+    Files.createDirectories(stateRoot)
+    val tmp = stateRoot.resolve("_def.tmp")
+    Files.write(tmp, fp.getBytes(UTF_8))
+    Files.move(tmp, stateRoot.resolve("_def"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** True when the stored fingerprint matches (or none exists — legacy
+    * state adopts and is pinned by the caller's next full write). */
+  def defMatches(stateRoot: Path, fp: String): Boolean = {
+    val f = stateRoot.resolve("_def")
+    !Files.exists(f) ||
+      new String(Files.readAllBytes(f), UTF_8).trim == fp
+  }
+
+  /** The persisted state schema, when the sidecar exists — lets a
+    * refresh learn group-key TYPES (e.g. timestamp, which makes the
+    * bucket hash timezone-sensitive) without reading data. */
+  def storedSchema(stateRoot: Path)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val sf = stateRoot.resolve("_schema")
+    if (!Files.exists(sf)) None
+    else Some(org.apache.spark.sql.types.DataType
+      .fromJson(new String(Files.readAllBytes(sf), UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   /** Loud-refusal half of [[pinTimeZone]], called before incremental

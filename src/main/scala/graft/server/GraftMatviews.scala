@@ -342,10 +342,22 @@ object GraftMatviews {
           "incrementally maintainable here and are rejected rather " +
           "than snapshotted")
       }
-    // (dim name, ON text) per JOIN clause, in declared order
+    // (dim name, ON text) per JOIN clause, in declared order. The
+    // matches must consume the WHOLE captured section: a clause the
+    // pattern cannot parse (missing ON, USING form, LEFT JOIN) must
+    // refuse loudly, never silently drop a spoke — a view missing a
+    // declared join would serve wrong aggregates.
     val joinSpecs: Seq[(String, String)] =
       joinClauseRe.findAllMatchIn(joinSection)
         .map(m => (m.group(1), m.group(2).trim)).toSeq
+    locally {
+      val leftover = joinClauseRe.replaceAllIn(joinSection, "").trim
+      if (leftover.nonEmpty)
+        fail(s"unsupported JOIN syntax near '$leftover': each join " +
+          "must be an INNER `JOIN <dim> ON <fk> = <dim>._id` — other " +
+          "join forms are not incrementally maintainable here and are " +
+          "rejected rather than snapshotted")
+    }
     val aggRe = "(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*([*]|[A-Za-z_](?:\\w|\\.)*)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
     // EXPRESSION aggregate — any argument that isn't a bare column ref
     // (tried after aggRe). The argument becomes a DERIVED column on the

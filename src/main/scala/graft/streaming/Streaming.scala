@@ -245,11 +245,24 @@ object Streaming {
                           dimDir: String, dimSchema: StructType,
                           view: graft.bitemporal.JoinMatview,
                           checkpoint: Option[String] = None,
+                          availableNow: Boolean = false): StreamingQuery =
+    maintainStarMatview(spark,
+      Seq(factDir -> factSchema, dimDir -> dimSchema), view,
+      checkpoint, availableNow)
+
+  /** [[maintainJoinMatview]] for a STAR view: new tx files in ANY of
+    * the listed logs (fact + every dim spoke) trigger the refresh —
+    * a star view maintained through the 2-log variant would sleep
+    * through third-dim-only churn until the next fact/first-dim tx. */
+  def maintainStarMatview(spark: SparkSession,
+                          logs: Seq[(String, StructType)],
+                          view: graft.bitemporal.JoinMatview,
+                          checkpoint: Option[String] = None,
                           availableNow: Boolean = false): StreamingQuery = {
-    val ticks = txLogStream(spark, factDir, factSchema)
-      .select(lit(1).as("_tick"))
-      .unionByName(txLogStream(spark, dimDir, dimSchema)
-        .select(lit(1).as("_tick")))
+    require(logs.nonEmpty, "at least one log to watch")
+    val ticks = logs.map { case (dir, sch) =>
+      txLogStream(spark, dir, sch).select(lit(1).as("_tick"))
+    }.reduce(_ unionByName _)
     val w = ticks.writeStream.foreachBatch { (_: DataFrame, _: Long) =>
       view.refresh(); ()
     }

@@ -953,6 +953,88 @@ class GraftMatviewsSpec extends AnyFunSuite {
     }
   }
 
+  test("star-review hardening: malformed JOINs refuse, definition " +
+      "changes over the same state rebuild, timestamp group keys pin " +
+      "the timezone") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "amt", "at"))
+    val d = freshTable(Seq("region"))
+    GraftServer.register("srfact", t)
+    GraftServer.register("srdim", d)
+    try {
+      t.put(Seq((1L, 1L, 5L, "2024-01-05 10:00:00"),
+          (2L, 1L, 30L, "2024-02-05 10:00:00"),
+          (3L, 2L, 40L, "2024-02-06 10:00:00"))
+          .toDF("id", "g", "a", "ts")
+          .withColumn("ts", $"ts".cast("timestamp")), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "amt" -> $"a", "at" -> $"ts"),
+        ts("2024-03-01 00:00:00"))
+      d.put(Seq((1L, "EU"), (2L, "US")).toDF("id", "r"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r"), ts("2024-03-01 00:00:01"))
+
+      def bad(sql: String, needle: String): Unit = {
+        val e = intercept[IllegalArgumentException](GraftSql.sql(spark, sql))
+        assert(e.getMessage.contains(needle),
+          s"'${e.getMessage}' should contain '$needle'")
+      }
+      // a JOIN clause the parser cannot read must refuse, never
+      // silently drop the spoke
+      bad("CREATE MATERIALIZED VIEW mv_sr1 AS SELECT grp, COUNT(*) AS n " +
+        "FROM srfact JOIN srdim GROUP BY grp", "unsupported JOIN syntax")
+      bad("CREATE MATERIALIZED VIEW mv_sr1 AS SELECT region, COUNT(*) AS n " +
+        "FROM srfact JOIN srdim ON grp = srdim._id JOIN nodim " +
+        "GROUP BY region", "unsupported JOIN syntax")
+
+      // DEFINITION change over the same state dir (simulated JVM
+      // restart: registry wiped, state files remain): the re-CREATE's
+      // populating refresh must discard and rebuild, not adopt
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_sr2 WITH " +
+        "(valid_at = '2030-01-01 00:00:00') AS SELECT grp, " +
+        "SUM(amt) AS total FROM srfact WHERE amt > 10 GROUP BY grp")
+      assert(GraftSql.sql(spark,
+        "SELECT sum(total) AS t FROM mv_sr2").collect()(0).getLong(0) == 70L)
+      GraftMatviews.reset() // registry gone, state dir survives
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_sr2 WITH " +
+        "(valid_at = '2030-01-01 00:00:00') AS SELECT grp, " +
+        "SUM(amt) AS total FROM srfact WHERE amt > 35 GROUP BY grp")
+      assert(GraftSql.sql(spark,
+        "SELECT sum(total) AS t FROM mv_sr2").collect()(0).getLong(0) == 40L,
+        "re-CREATE with a changed WHERE must rebuild, not adopt old state")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_sr2")
+
+      // a PLAIN timestamp group column (no WHERE, no derived) is
+      // timezone-sensitive through the bucket hash: pinned + refused
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_sr3 WITH " +
+        "(valid_at = '2030-01-01 00:00:00') AS SELECT at, COUNT(*) AS n " +
+        "FROM srfact GROUP BY at")
+      t.put(Seq((4L, 2L, 7L, "2024-02-07 10:00:00"))
+          .toDF("id", "g", "a", "ts")
+          .withColumn("ts", $"ts".cast("timestamp")), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "amt" -> $"a", "at" -> $"ts"),
+        ts("2024-03-02 00:00:00"))
+      val tz0 = spark.conf.get("spark.sql.session.timeZone")
+      try {
+        spark.conf.set("spark.sql.session.timeZone",
+          if (tz0 == "America/New_York") "UTC" else "America/New_York")
+        val e = intercept[IllegalStateException](GraftSql.sql(spark,
+          "REFRESH MATERIALIZED VIEW mv_sr3"))
+        assert(e.getMessage.contains("timezone"), e.getMessage)
+      } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_sr3").collect()
+      assert(GraftSql.sql(spark,
+        "SELECT sum(n) AS n FROM mv_sr3").collect()(0).getLong(0) == 4L)
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_sr3")
+    } finally {
+      GraftServer.unregister("srfact")
+      GraftServer.unregister("srdim")
+      GraftMatviews.reset()
+    }
+  }
+
   test("non-maintainable shapes are rejected, not snapshotted") {
     val s = spark
     import s.implicits._
