@@ -528,6 +528,50 @@ object Bitemp {
       }
     }),
 
+    // r12 matview DDL growth, part 6: RESTART RECOVERY — the registry
+    // is in-memory, the definition sidecar is not. The flow creates a
+    // view, lands an unrefreshed tail, wipes the registry (simulated
+    // JVM restart), then RESTORE re-registers from the `_ddl` sidecar:
+    // the matching fingerprint adopts the surviving state and the
+    // populating refresh folds exactly the tail that accumulated
+    // while down.
+    "q170_sql_matview_restore" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvrst_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      graft.server.GraftMatviews.reset()
+      val t = new GraftTable(s, tmp, Seq("grp", "bal"))
+      graft.server.GraftServer.register("mvrst_accts", t)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val cust = T(s, dir, "customer").select($"c_custkey".as("id"),
+          $"c_nationkey".cast("string").as("g"),
+          $"c_acctbal".cast("decimal(12,2)").as("m"))
+        t.put(cust, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "bal" -> $"m"), ts("2020-01-01 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvrst_by_nation WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+            "SELECT grp, COUNT(*) AS n, SUM(bal) AS total " +
+            "FROM mvrst_accts WHERE bal > 0 GROUP BY grp")
+        // tail lands while "down": bump + delete, never refreshed here
+        t.put(cust.filter($"id" % 10 === 0)
+            .withColumn("m2", ($"m" + 100).cast("decimal(12,2)")),
+          $"id", lit("2000-06-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "bal" -> $"m2"), ts("2020-01-02 00:00:00"))
+        t.delete(cust.filter($"id" % 13 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> lit(null).cast("string"),
+            "bal" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:01"))
+        graft.server.GraftMatviews.reset() // simulated restart
+        graft.server.GraftSql.sql(s, "RESTORE MATERIALIZED VIEWS")
+        graft.server.GraftSql.sql(s,
+          "SELECT grp, n, CAST(total AS DOUBLE) AS total " +
+            "FROM mvrst_by_nation ORDER BY grp")
+      } finally graft.server.GraftServer.unregister("mvrst_accts")
+    }),
+
     // JOIN matview (r7): orders ⋈ customers grouped by the CUSTOMER's
     // region — maintained incrementally from BOTH logs' tails by the
     // Δ(A⋈B) rules. The second refresh folds a fact tail (price bump +
@@ -1189,6 +1233,21 @@ object Bitemp {
              CAST(sum(p * factor) AS DOUBLE) AS rev
       FROM vis JOIN cd ON vis.ck = cd.k JOIN pd ON vis.pk = pd.pk
       GROUP BY region, grp ORDER BY region, grp""",
+
+    // from-scratch recompute of the restored view's served state (bump
+    // applied, deletes removed, WHERE sieved) — the restore must land
+    // on exactly this relation
+    "q170_sql_matview_restore" -> """
+      WITH c AS (SELECT c_custkey AS k, CAST(c_nationkey AS VARCHAR) AS grp,
+                        CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+                 FROM customer),
+      eff AS (SELECT grp,
+                     CASE WHEN k % 10 = 0 THEN bal + 100 ELSE bal END AS bal
+              FROM c WHERE k % 13 <> 0),
+      vis AS (SELECT * FROM eff WHERE bal > 0)
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(bal) AS DOUBLE) AS total
+      FROM vis GROUP BY grp ORDER BY grp""",
 
     // from-scratch recompute of the month-bucketed rollup
     "q168_sql_matview_bucket" -> """

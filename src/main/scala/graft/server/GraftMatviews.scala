@@ -66,7 +66,10 @@ object GraftMatviews {
       // the session that will resolve it
       read: SparkSession => DataFrame,
       refresh: () => (Long, Option[Long]),
-      stateDir: java.nio.file.Path)
+      stateDir: java.nio.file.Path,
+      // the CANONICAL statement (valid_at/buckets resolved): persisted
+      // beside the state so RESTORE can re-register after a restart
+      ddl: String = "")
 
   private val views = TrieMap.empty[String, Handle]
 
@@ -96,7 +99,8 @@ object GraftMatviews {
   }
 
   private val ddlHead = java.util.regex.Pattern.compile(
-    "^\\s*(CREATE|REFRESH|DROP)\\s+MATERIALIZED\\s+VIEW\\b",
+    "^\\s*(?:(?:CREATE|REFRESH|DROP)\\s+MATERIALIZED\\s+VIEW|" +
+      "(?:SHOW|RESTORE)\\s+MATERIALIZED\\s+VIEWS)\\b",
     java.util.regex.Pattern.CASE_INSENSITIVE)
 
   private val createRe =
@@ -106,6 +110,10 @@ object GraftMatviews {
     "(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_]\\w*)\\s*;?\\s*$".r
   private val dropRe =
     "(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_]\\w*)\\s*;?\\s*$".r
+  private val showRe =
+    "(?is)^\\s*SHOW\\s+MATERIALIZED\\s+VIEWS\\s*;?\\s*$".r
+  private val restoreRe =
+    "(?is)^\\s*RESTORE\\s+MATERIALIZED\\s+VIEWS\\s*;?\\s*$".r
 
   private val selectRe =
     ("(?is)^SELECT\\s+([\\s\\S]*?)\\s+FROM\\s+([A-Za-z_]\\w*)" +
@@ -286,6 +294,11 @@ object GraftMatviews {
         }
         graft.bitemporal.TxLog.deleteRecursively(h.stateDir.toFile)
         Seq((h.name, true)).toDF("view", "dropped")
+      case showRe() =>
+        views.values.toSeq.sortBy(_.name).map(h => (h.name, h.ddl))
+          .toDF("view", "definition")
+      case restoreRe() =>
+        restore(spark)
       case _ => fail(
         "malformed materialized-view DDL; accepted forms:\n" +
           "  CREATE MATERIALIZED VIEW v [WITH (valid_at = 'ts', buckets = n)]" +
@@ -297,6 +310,47 @@ object GraftMatviews {
   }
 
   private def key(name: String): String = name.toLowerCase
+
+  /** RESTORE MATERIALIZED VIEWS: the registry is in-memory, so a JVM
+    * restart forgets every view while its state and `_ddl` definition
+    * sidecar survive on disk. This re-runs each persisted canonical
+    * CREATE found under the registered tables' matview roots; the
+    * matching definition fingerprint makes the populating refresh ADOPT
+    * the surviving state and fold only the tx tail that accumulated
+    * while down — restart recovery without a recompute. Views whose
+    * names are already registered are skipped; a definition that no
+    * longer validates reports its failure instead of aborting the rest. */
+  private def restore(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val ddls: Seq[String] = GraftServer.registered.toSeq.sortBy(_._1)
+      .flatMap { case (_, t) =>
+        Seq("matview", "join_matview").flatMap { kind =>
+          val root = java.nio.file.Paths.get(t.tableDir, kind)
+          if (!java.nio.file.Files.isDirectory(root)) Nil
+          else {
+            val listing = java.nio.file.Files.list(root)
+            try listing.iterator().asScala.toList
+              .filter(p => java.nio.file.Files.exists(p.resolve("_ddl")))
+              .map(p => new String(
+                java.nio.file.Files.readAllBytes(p.resolve("_ddl")),
+                java.nio.charset.StandardCharsets.UTF_8))
+            finally listing.close()
+          }
+        }
+      }
+    val results = ddls.map { ddl =>
+      val nm = ddl match {
+        case createRe(n, _, _) => n
+        case _ => "?"
+      }
+      if (views.contains(key(nm))) (nm, "already registered")
+      else
+        try { routeDdl(spark, ddl); (nm, "restored") }
+        catch { case e: Exception => (nm, s"failed: ${e.getMessage}") }
+    }
+    results.toDF("view", "status")
+  }
 
   private def graftTable(name: String): graft.GraftTable =
     GraftServer.registered.collectFirst {
@@ -327,6 +381,12 @@ object GraftMatviews {
         fail(s"valid_at must be 'yyyy-mm-dd hh:mm:ss[.ffff]', got '$v'") })
       .getOrElse(new Timestamp(System.currentTimeMillis()))
     val buckets = optMap.get("buckets").map(_.toInt)
+    // the CANONICAL statement pins the RESOLVED basis and bucketing:
+    // a restore must rebind the exact same view, not re-default
+    // valid_at to its own "now" (silent basis drift)
+    def canonicalDdl(bucketsResolved: Int): String =
+      s"CREATE MATERIALIZED VIEW $name WITH (valid_at = '$validAt', " +
+        s"buckets = $bucketsResolved) AS ${select.trim}"
 
     val (list, factName, joinSection, whereOpt, groupBy, havingOpt) =
       select.trim match {
@@ -519,11 +579,13 @@ object GraftMatviews {
       groups.map(g => s"__group__:$g" -> groupAliases(g)) ++ serve.result()
     val handle =
       if (joinSpecs.isEmpty) {
+        val nb = buckets.getOrElse(32)
         val mv = fact.matviewN(name, groups, sums.result().distinct, validAt,
-          buckets.getOrElse(32), mins.result(), maxs.result(),
+          nb, mins.result(), maxs.result(),
           cnts.result().distinct, whereOpt, derivedExprs.toSeq)
         Handle(name, serveAll, havingOpt, sess => mv.read(sess),
-          () => (mv.refresh(), None), matviewDir(factName, "matview", name))
+          () => (mv.refresh(), None), matviewDir(factName, "matview", name),
+          canonicalDdl(nb))
       } else {
         // each JOIN clause is one spoke of the star: resolve the dim
         // table and read the fact fk off its ON clause
@@ -555,13 +617,14 @@ object GraftMatviews {
         derivedExprs.foreach { case (dn, e) =>
           validateExpr(joinedBase, e, derivedLabel(dn, e))
         }
+        val nb = buckets.getOrElse(64)
         val mv = fact.starMatview(name, dims, groups,
-          sums.result().distinct, validAt, buckets.getOrElse(64),
+          sums.result().distinct, validAt, nb,
           mins.result(), maxs.result(), cnts.result().distinct, whereOpt,
           derivedExprs.toSeq)
         Handle(name, serveAll, havingOpt, sess => mv.read(sess),
           () => { val (a, b) = mv.refresh(); (a, Some(b)) },
-          matviewDir(factName, "join_matview", name))
+          matviewDir(factName, "join_matview", name), canonicalDdl(nb))
       }
 
     // any failure past this point (bad HAVING, empty-table schema,
@@ -590,6 +653,17 @@ object GraftMatviews {
       // e.g. an empty source table: state schema is unknowable until
       // data lands — don't leave a half-registered view behind
       views.remove(key(name)); dropState(); throw e
+    }
+    // persist the canonical definition beside the state: the registry
+    // is in-memory, and RESTORE MATERIALIZED VIEWS re-registers every
+    // surviving definition after a restart (the matching fingerprint
+    // makes its populating refresh adopt the state — zero recompute)
+    locally {
+      val tmp = handle.stateDir.resolve("_ddl.tmp")
+      java.nio.file.Files.write(tmp,
+        handle.ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, handle.stateDir.resolve("_ddl"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     }
     import spark.implicits._
     Seq((name, a, b.map(long2Long).orNull)).toDF("view", "fact_tx", "dim_tx")

@@ -1035,6 +1035,84 @@ class GraftMatviewsSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW / RESTORE MATERIALIZED VIEWS: definitions survive a " +
+      "restart on disk and re-register by adopting the state") {
+    val s = spark
+    import s.implicits._
+    val fact = freshTable(Seq("cust", "amt"))
+    val dim = freshTable(Seq("region"))
+    GraftServer.register("rsfact", fact)
+    GraftServer.register("rsdim", dim)
+    try {
+      dim.put(Seq((1L, "EU"), (2L, "US")).toDF("id", "r"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r"), ts("2024-01-01 00:00:00"))
+      fact.put(Seq((10L, 1L, 10L), (11L, 2L, 20L), (12L, 1L, 30L))
+          .toDF("id", "c", "a"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> $"c", "amt" -> $"a"), ts("2024-01-01 00:00:01"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_rs1 WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT cust, COUNT(*) AS n, SUM(amt) AS total " +
+        "FROM rsfact GROUP BY cust")
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_rs2 WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT region, SUM(amt) AS total FROM rsfact " +
+        "JOIN rsdim ON cust = rsdim._id GROUP BY region")
+
+      val show = GraftSql.sql(spark, "SHOW MATERIALIZED VIEWS").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(show.keySet == Set("mv_rs1", "mv_rs2"))
+      assert(show("mv_rs1").contains("valid_at = '2030-01-01") &&
+        show("mv_rs1").contains("SUM(amt) AS total"),
+        "SHOW serves the canonical pinned definition")
+
+      // state file snapshot: a restore with no new txs must ADOPT the
+      // state byte-for-byte (matching fingerprint -> no-op refresh),
+      // never rebuild it
+      val stateDir = new java.io.File(fact.tableDir, "matview/mv_rs1/state")
+      def snap() = stateDir.listFiles().flatMap(d =>
+        Option(d.listFiles()).getOrElse(Array.empty).map(f =>
+          (f.getPath, f.length, f.lastModified))).toSet
+      val before = snap()
+
+      GraftMatviews.reset() // simulated JVM restart: registry gone
+      assert(GraftSql.sql(spark, "SHOW MATERIALIZED VIEWS").collect().isEmpty)
+      val restored = GraftSql.sql(spark, "RESTORE MATERIALIZED VIEWS")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(restored == Map("mv_rs1" -> "restored", "mv_rs2" -> "restored"),
+        restored.toString)
+      assert(snap() == before, "no-tail restore adopts state untouched")
+
+      // both views serve, and a post-restart tail folds incrementally
+      assert(GraftSql.sql(spark,
+        "SELECT total FROM mv_rs1 WHERE cust = 1").collect()(0).getLong(0) == 40L)
+      fact.put(Seq((13L, 2L, 5L)).toDF("id", "c", "a"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> $"c", "amt" -> $"a"), ts("2024-01-02 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_rs2").collect()
+      assert(GraftSql.sql(spark,
+        "SELECT total FROM mv_rs2 WHERE region = 'US'")
+        .collect()(0).getLong(0) == 25L)
+
+      // idempotent: a second RESTORE reports, not re-creates
+      val again = GraftSql.sql(spark, "RESTORE MATERIALIZED VIEWS")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(again == Map("mv_rs1" -> "already registered",
+        "mv_rs2" -> "already registered"), again.toString)
+
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_rs1")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_rs2")
+      // DROP removes the definition too: nothing comes back
+      assert(GraftSql.sql(spark, "RESTORE MATERIALIZED VIEWS")
+        .collect().isEmpty)
+    } finally {
+      GraftServer.unregister("rsfact")
+      GraftServer.unregister("rsdim")
+      GraftMatviews.reset()
+    }
+  }
+
   test("non-maintainable shapes are rejected, not snapshotted") {
     val s = spark
     import s.implicits._
