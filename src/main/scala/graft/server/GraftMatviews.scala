@@ -69,7 +69,7 @@ object GraftMatviews {
       stateDir: java.nio.file.Path,
       // the CANONICAL statement (valid_at/buckets resolved): persisted
       // beside the state so RESTORE can re-register after a restart
-      ddl: String = "")
+      ddl: String)
 
   private val views = TrieMap.empty[String, Handle]
 
@@ -99,8 +99,7 @@ object GraftMatviews {
   }
 
   private val ddlHead = java.util.regex.Pattern.compile(
-    "^\\s*(?:(?:CREATE|REFRESH|DROP)\\s+MATERIALIZED\\s+VIEW|" +
-      "(?:SHOW|RESTORE)\\s+MATERIALIZED\\s+VIEWS)\\b",
+    "^\\s*(?:CREATE|REFRESH|DROP|SHOW|RESTORE)\\s+MATERIALIZED\\s+VIEWS?\\b",
     java.util.regex.Pattern.CASE_INSENSITIVE)
 
   private val createRe =
@@ -111,9 +110,9 @@ object GraftMatviews {
   private val dropRe =
     "(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_]\\w*)\\s*;?\\s*$".r
   private val showRe =
-    "(?is)^\\s*SHOW\\s+MATERIALIZED\\s+VIEWS\\s*;?\\s*$".r
+    "(?is)^\\s*SHOW\\s+MATERIALIZED\\s+VIEWS?\\s*;?\\s*$".r
   private val restoreRe =
-    "(?is)^\\s*RESTORE\\s+MATERIALIZED\\s+VIEWS\\s*;?\\s*$".r
+    "(?is)^\\s*RESTORE\\s+MATERIALIZED\\s+VIEWS?\\s*;?\\s*$".r
 
   private val selectRe =
     ("(?is)^SELECT\\s+([\\s\\S]*?)\\s+FROM\\s+([A-Za-z_]\\w*)" +
@@ -292,6 +291,10 @@ object GraftMatviews {
           dropSeen.computeIfAbsent(spark,
             _ => scala.collection.mutable.Map.empty)(key(name)) = gen
         }
+        // the definition sidecar goes FIRST: deleteRecursively walks in
+        // unspecified order, and a crash that left _ddl but not the
+        // state would let RESTORE silently resurrect the dropped view
+        java.nio.file.Files.deleteIfExists(h.stateDir.resolve("_ddl")): Unit
         graft.bitemporal.TxLog.deleteRecursively(h.stateDir.toFile)
         Seq((h.name, true)).toDF("view", "dropped")
       case showRe() =>
@@ -305,7 +308,8 @@ object GraftMatviews {
           " AS SELECT g, COUNT(*) [AS a], COUNT(c), SUM(c), AVG(c)," +
           " MIN(c), MAX(c) FROM fact [JOIN dim ON fk = dim._id]" +
           " [WHERE pred] GROUP BY g\n" +
-          "  REFRESH MATERIALIZED VIEW v\n  DROP MATERIALIZED VIEW v")
+          "  REFRESH MATERIALIZED VIEW v\n  DROP MATERIALIZED VIEW v\n" +
+          "  SHOW MATERIALIZED VIEWS\n  RESTORE MATERIALIZED VIEWS")
     })
   }
 
@@ -323,31 +327,47 @@ object GraftMatviews {
   private def restore(spark: SparkSession): DataFrame = {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
-    val ddls: Seq[String] = GraftServer.registered.toSeq.sortBy(_._1)
-      .flatMap { case (_, t) =>
-        Seq("matview", "join_matview").flatMap { kind =>
-          val root = java.nio.file.Paths.get(t.tableDir, kind)
-          if (!java.nio.file.Files.isDirectory(root)) Nil
-          else {
-            val listing = java.nio.file.Files.list(root)
-            try listing.iterator().asScala.toList
-              .filter(p => java.nio.file.Files.exists(p.resolve("_ddl")))
-              .map(p => new String(
-                java.nio.file.Files.readAllBytes(p.resolve("_ddl")),
-                java.nio.charset.StandardCharsets.UTF_8))
-            finally listing.close()
+    val ddls: Seq[(java.nio.file.Path, String)] =
+      GraftServer.registered.toSeq.sortBy(_._1)
+        .flatMap { case (_, t) =>
+          Seq("matview", "join_matview").flatMap { kind =>
+            val root = java.nio.file.Paths.get(t.tableDir, kind)
+            if (!java.nio.file.Files.isDirectory(root)) Nil
+            else {
+              val listing = java.nio.file.Files.list(root)
+              try listing.iterator().asScala.toList
+                .filter(p => java.nio.file.Files.exists(p.resolve("_ddl")))
+                .map(p => p -> new String(
+                  java.nio.file.Files.readAllBytes(p.resolve("_ddl")),
+                  java.nio.charset.StandardCharsets.UTF_8))
+              finally listing.close()
+            }
           }
         }
+    val results = ddls.map { case (dir, ddl) =>
+      ddl match {
+        case createRe(nm, _, _) =>
+          if (views.contains(key(nm))) (nm, "already registered")
+          else
+            try { routeDdl(spark, ddl): Unit; (nm, "restored") }
+            catch { case e: Exception =>
+              // create()'s failure cleanup deletes the whole state dir,
+              // INCLUDING the definition this restore read — re-persist
+              // it so a TRANSIENT failure (wrong session timezone, a
+              // lease still held) stays retryable: the next RESTORE
+              // rebuilds from the logs
+              try {
+                java.nio.file.Files.createDirectories(dir)
+                java.nio.file.Files.write(dir.resolve("_ddl"),
+                  ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              } catch { case _: Exception => () }
+              (nm, s"failed: ${e.getMessage}")
+            }
+        case _ =>
+          // corrupted/foreign sidecar: routeDdl would return None (no
+          // view registered) — never report that as restored
+          (dir.getFileName.toString, "failed: unparsable _ddl sidecar")
       }
-    val results = ddls.map { ddl =>
-      val nm = ddl match {
-        case createRe(n, _, _) => n
-        case _ => "?"
-      }
-      if (views.contains(key(nm))) (nm, "already registered")
-      else
-        try { routeDdl(spark, ddl); (nm, "restored") }
-        catch { case e: Exception => (nm, s"failed: ${e.getMessage}") }
     }
     results.toDF("view", "status")
   }
@@ -648,22 +668,23 @@ object GraftMatviews {
         r
       } catch { case e: Throwable => dropState(); throw e }
     views.put(key(name), handle)
-    try registerView(spark, handle)
-    catch { case e: Throwable =>
-      // e.g. an empty source table: state schema is unknowable until
-      // data lands — don't leave a half-registered view behind
-      views.remove(key(name)); dropState(); throw e
-    }
-    // persist the canonical definition beside the state: the registry
-    // is in-memory, and RESTORE MATERIALIZED VIEWS re-registers every
-    // surviving definition after a restart (the matching fingerprint
-    // makes its populating refresh adopt the state — zero recompute)
-    locally {
+    try {
+      registerView(spark, handle)
+      // persist the canonical definition beside the state: the registry
+      // is in-memory, and RESTORE MATERIALIZED VIEWS re-registers every
+      // surviving definition after a restart (the matching fingerprint
+      // makes its populating refresh adopt the state — zero recompute).
+      // Inside the SAME cleanup discipline: a failed sidecar write must
+      // not leave a registered view whose CREATE reported failure.
       val tmp = handle.stateDir.resolve("_ddl.tmp")
       java.nio.file.Files.write(tmp,
         handle.ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       java.nio.file.Files.move(tmp, handle.stateDir.resolve("_ddl"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    } catch { case e: Throwable =>
+      // e.g. an empty source table: state schema is unknowable until
+      // data lands — don't leave a half-registered view behind
+      views.remove(key(name)); dropState(); throw e
     }
     import spark.implicits._
     Seq((name, a, b.map(long2Long).orNull)).toDF("view", "fact_tx", "dim_tx")

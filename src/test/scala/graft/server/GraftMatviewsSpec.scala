@@ -1106,6 +1106,42 @@ class GraftMatviewsSpec extends AnyFunSuite {
       // DROP removes the definition too: nothing comes back
       assert(GraftSql.sql(spark, "RESTORE MATERIALIZED VIEWS")
         .collect().isEmpty)
+
+      // a TRANSIENT restore failure must stay RETRYABLE: a TZ-pinned
+      // view with a pending tail refuses under a flipped session zone,
+      // but the definition sidecar survives for the next attempt
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_rs3 WITH " +
+        "(valid_at = '2030-01-01 00:00:00') AS SELECT cust, " +
+        "COUNT(*) AS n FROM rsfact WHERE amt > 1 GROUP BY cust")
+      fact.put(Seq((14L, 1L, 7L)).toDF("id", "c", "a"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> $"c", "amt" -> $"a"), ts("2024-01-03 00:00:00"))
+      GraftMatviews.reset()
+      val tz0 = spark.conf.get("spark.sql.session.timeZone")
+      try {
+        spark.conf.set("spark.sql.session.timeZone",
+          if (tz0 == "America/New_York") "UTC" else "America/New_York")
+        val r = GraftSql.sql(spark, "RESTORE MATERIALIZED VIEWS")
+          .collect().map(x => (x.getString(0), x.getString(1))).toMap
+        assert(r("mv_rs3").startsWith("failed:") &&
+          r("mv_rs3").contains("timezone"), r.toString)
+      } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+      val retry = GraftSql.sql(spark, "RESTORE MATERIALIZED VIEWS")
+        .collect().map(x => (x.getString(0), x.getString(1))).toMap
+      assert(retry("mv_rs3") == "restored", retry.toString)
+      // cust 1 rows with amt > 1: ids 10 (amt 10), 12 (30), 14 (7)
+      assert(GraftSql.sql(spark,
+        "SELECT n FROM mv_rs3 WHERE cust = 1").collect()(0).getLong(0) == 3L)
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_rs3")
+
+      // a corrupted/foreign sidecar reports failed — never 'restored'
+      val junkDir = new java.io.File(fact.tableDir, "matview/junkview")
+      junkDir.mkdirs()
+      java.nio.file.Files.write(
+        junkDir.toPath.resolve("_ddl"), "not a create".getBytes("UTF-8"))
+      val junk = GraftSql.sql(spark, "RESTORE MATERIALIZED VIEWS")
+        .collect().map(x => (x.getString(0), x.getString(1))).toMap
+      assert(junk("junkview").startsWith("failed: unparsable"), junk.toString)
     } finally {
       GraftServer.unregister("rsfact")
       GraftServer.unregister("rsdim")
