@@ -403,6 +403,85 @@ class JoinMatviewSpec extends AnyFunSuite {
       "no refresh delta plan pushed In/EqualTo(cust, ...) into the fact base scan")
   }
 
+  test("star refresh ORs both dims' touched-id predicates into ONE " +
+      "pushed fact filter") {
+    val s = spark
+    import s.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("graft_star_f").toString
+    val d1 = new GraftTable(spark,
+      java.nio.file.Files.createTempDirectory("graft_star_d1").toString,
+      Seq("region"))
+    val d2 = new GraftTable(spark,
+      java.nio.file.Files.createTempDirectory("graft_star_d2").toString,
+      Seq("cat"))
+    val fact = new GraftTable(spark, fdir, Seq("cust", "prod", "amt"))
+    putDims(d1, Seq((1L, "east"), (2L, "west"), (3L, "north")))
+    d2.put(Seq((10L, "hw"), (11L, "sw")).toDF("id", "c"), $"id",
+      lit("2000-01-01").cast("timestamp"), None,
+      Seq("cat" -> $"c"), sys()): Unit
+    fact.put((1L to 40L).map(i => (i, i % 3 + 1, 10L + i % 2, i))
+        .toDF("id", "c", "p", "m"), $"id",
+      lit("2000-01-01").cast("timestamp"), None,
+      Seq("cust" -> $"c", "prod" -> $"p",
+        "amt" -> $"m".cast("decimal(12,2)")), sys()): Unit
+    val mv = fact.starMatview("star_pred", Seq(d1 -> "cust", d2 -> "prod"),
+      Seq("region", "cat"), Seq("amt"), validAt, nBuckets = 4)
+    mv.refresh()
+
+    // one refresh with BOTH dims touched (zero fact ops): the affected
+    // facts must come from a SINGLE disjunction filter over the fact
+    // relation — In(cust,...) OR In(prod,...) in one plan — not two
+    // passes unioned
+    putDims(d1, Seq((2L, "moved")))
+    d2.put(Seq((11L, "svc")).toDF("id", "c"), $"id",
+      lit("2000-01-01").cast("timestamp"), None,
+      Seq("cat" -> $"c"), sys()): Unit
+    val metaLen = "spark.sql.maxMetadataStringLength"
+    val prevLen = spark.conf.get(metaLen)
+    JoinMatview.capturedPlans.synchronized(JoinMatview.capturedPlans.clear())
+    JoinMatview.capturePlans = true
+    try {
+      spark.conf.set(metaLen, "16384")
+      mv.refresh()
+    } finally {
+      JoinMatview.capturePlans = false
+      spark.conf.set(metaLen, prevLen)
+    }
+    def hasPred(p: String, c: String) =
+      p.contains(s"In($c") || p.contains(s"EqualTo($c") ||
+        p.contains(s"$c#") && p.contains(" OR ")
+    val both = JoinMatview.capturedPlans.synchronized {
+      JoinMatview.capturedPlans.filter(p =>
+        hasPred(p, "cust") && hasPred(p, "prod"))
+    }
+    assert(both.nonEmpty,
+      "no delta plan carries BOTH dims' touched predicates in one pass: " +
+        JoinMatview.capturedPlans.synchronized(
+          JoinMatview.capturedPlans.mkString("\n---\n")).take(2000))
+
+    // and the result is exactly the from-scratch star
+    val got = mv.read().collect()
+      .map(r => ((r.getString(r.fieldIndex("region")),
+        r.getString(r.fieldIndex("cat"))),
+        (r.getLong(r.fieldIndex("n")),
+          r.getDecimal(r.fieldIndex("sum_amt"))))).toMap
+    val vf = Bitemporal.asOf(fact.rectangles(), lit(validAt), lit(sysProbe))
+    val v1 = Bitemporal.asOf(d1.rectangles(), lit(validAt), lit(sysProbe))
+      .select($"_id".cast("long").as("k1"), $"region")
+    val v2 = Bitemporal.asOf(d2.rectangles(), lit(validAt), lit(sysProbe))
+      .select($"_id".cast("long").as("k2"), $"cat")
+    val want = vf.join(v1, $"cust".cast("long") === $"k1")
+      .join(v2, $"prod".cast("long") === $"k2")
+      .groupBy($"region", $"cat")
+      .agg(count(lit(1)).as("n"), sum($"amt").as("s"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDecimal(3)))).toMap
+    assert(got.keySet == want.keySet, s"$got vs $want")
+    want.foreach { case (k, (n, sm)) =>
+      assert(got(k)._1 == n && got(k)._2.compareTo(sm) == 0, s"group $k")
+    }
+  }
+
   test("restart recovers watermarks; truncation switches to exact rebuild") {
     val (fact, dim, _) = fresh()
     putDims(dim, Seq((1L, "east"), (2L, "west")))
