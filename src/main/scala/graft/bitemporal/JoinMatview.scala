@@ -312,6 +312,11 @@ final class JoinMatview private[graft] (
     if (!MvState.defMatches(stateRoot, defFp)) {
       TxLog.deleteRecursively(dataDir.toFile)
       Files.deleteIfExists(wmFile): Unit
+      // sidecars go WITH the data (see Matview.refresh): a surviving
+      // '_schema' would serve the OLD definition's columns until the
+      // rebuild lands — or forever, if it fails or a log is empty
+      Files.deleteIfExists(stateRoot.resolve("_schema")): Unit
+      Files.deleteIfExists(stateRoot.resolve("_tz")): Unit
     }
     val ws = watermarksAll
     val lasts = lastOf(factLog) +: dims.map(d => lastOf(d._1))

@@ -89,11 +89,39 @@ object MaintainerLease {
     locks.computeIfAbsent(root,
       _ => new java.util.concurrent.locks.ReentrantLock)
 
+  private def content(op: String): Array[Byte] =
+    s"$holderId\n${System.currentTimeMillis() + ttlMs}\n$op".getBytes(UTF_8)
+
   private def writeContent(f: Path, op: String): Unit =
-    Files.write(f,
-      s"$holderId\n${System.currentTimeMillis() + ttlMs}\n$op".getBytes(UTF_8),
+    Files.write(f, content(op),
       StandardOpenOption.WRITE, StandardOpenOption.CREATE,
       StandardOpenOption.TRUNCATE_EXISTING)
+
+  /** Re-write a HELD lease's content atomically (temp + same-dir
+    * rename): a concurrent read() in another process never observes a
+    * torn/empty file on a heartbeat or nested refresh — an in-place
+    * TRUNCATE+WRITE left a recurring every-TTL/3 window where a reader
+    * saw holder "?" for one TTL. POSIX rename has no O_EXCL analogue
+    * (it would CREATE a vanished target), so the no-CREATE property the
+    * heartbeat needs is preserved by an existence re-check immediately
+    * before the move; the residual check→move microsecond race is the
+    * already-documented stalled-writer case the snapshot guard
+    * backstops — strictly narrower than the whole-write window it
+    * replaces. */
+  private def renewContent(root: Path, op: String): Unit = {
+    val f = leaseFile(root)
+    val tmp = f.resolveSibling(
+      s"_maintainer_lease.new.${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, content(op))
+    try {
+      if (!Files.exists(f)) { Files.deleteIfExists(tmp): Unit; return }
+      Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    } catch {
+      case _: java.io.IOException => Files.deleteIfExists(tmp): Unit
+    }
+  }
 
   /** Atomically retire a stale lease file: MOVE it to a unique
     * tombstone (rename of one source succeeds for exactly one racer —
@@ -135,17 +163,14 @@ object MaintainerLease {
     try {
       if (heartbeats.containsKey(root) &&
           read(root).exists(_.holder == holderId))
-        // WRITE without CREATE: a beat that interleaves the final
-        // microseconds of release must fail on the vanished file
-        // (skipped beat), never re-create an orphaned lease. The
-        // remaining residual — this thread stalls past the TTL between
-        // the read above and this write while a successor claims — is
-        // the already-documented stalled-heartbeat case (snapshot
+        // REPLACE without CREATE (renewContent's existence re-check): a
+        // beat that interleaves the final microseconds of release must
+        // skip on the vanished file, never re-create an orphaned lease.
+        // The remaining residual — this thread stalls past the TTL
+        // between the read above and the move while a successor claims
+        // — is the already-documented stalled-heartbeat case (snapshot
         // guard backstops it).
-        Files.write(leaseFile(root),
-          s"$holderId\n${System.currentTimeMillis() + ttlMs}\n$op"
-            .getBytes(UTF_8),
-          StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+        renewContent(root, op)
     } catch { case _: Exception => } // skipped beat; the next one retries
 
   private def startHeartbeat(root: Path, op: String): Unit = {
@@ -251,7 +276,7 @@ object MaintainerLease {
           acquire(r, op); acquired += r
           startHeartbeat(r, op)
         }
-        else writeContent(leaseFile(r), op) // nested: refresh expiry
+        else renewContent(r, op) // nested: refresh expiry (atomic replace)
       }
       f
     } finally {

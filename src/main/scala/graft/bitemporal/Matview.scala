@@ -217,6 +217,14 @@ final class Matview private[graft] (
     if (!MvState.defMatches(stateRoot, defFp)) {
       TxLog.deleteRecursively(dataDir.toFile)
       Files.deleteIfExists(wmFile): Unit
+      // the sidecars go WITH the data: a surviving '_schema' would let
+      // read() serve the OLD definition's column set (empty relation /
+      // phantom schema) until the rebuild completes — and if the
+      // rebuild fails or the log is empty, forever. Without them,
+      // read() fails with the honest "has no state" story;
+      // writeSchema/pinTimeZone re-create both on the rebuild.
+      Files.deleteIfExists(stateRoot.resolve("_schema")): Unit
+      Files.deleteIfExists(stateRoot.resolve("_tz")): Unit
     }
     val w = watermark
     val truncated = log.truncatedUpTo()

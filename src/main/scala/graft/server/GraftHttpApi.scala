@@ -39,6 +39,13 @@ import org.apache.spark.sql.functions.{col, struct, to_json}
   * sends the password per request — front with TLS termination when
   * the port leaves the host, exactly like the Postgres `password` vs
   * `scram` tradeoff this door's wire sibling avoids natively.
+  * Verification verdicts are cached for a short TTL
+  * (`-Dgraft.http.authCacheTtlMs`, default 60 s; 0 disables) keyed by
+  * a process-salted digest of (verifier, password), so repeating one
+  * credential costs one PBKDF2 derivation per TTL instead of one per
+  * request; a flood that VARIES passwords still pays a full derivation
+  * per distinct guess — when the port leaves the host, put a rate
+  * limiter in front alongside the TLS terminator.
   *
   * Scale posture: results STREAM — rows are encoded by Spark's
   * `to_json` (codegen'd, executor-side) and written chunked via
@@ -90,6 +97,76 @@ object GraftHttpApi {
     PgScram.verifier(java.util.UUID.randomUUID().toString,
       Array.tabulate[Byte](16)(_.toByte))
 
+  // ---- verification cache --------------------------------------------
+  // Basic sends the password per request, and re-deriving the full
+  // PBKDF2 (verifier iteration count, typically 4096) per request made
+  // an unauthenticated flood a cheap CPU amplifier on the bounded
+  // handler pool. Cache the VERDICT for a short TTL, keyed by a salted
+  // SHA-256 of (verifier, password) — never the cleartext, and the
+  // per-process random salt makes the stored digests useless offline.
+  // verifyPassword is a pure function of exactly that pair, so the
+  // cache is sound memoization: rotating the password file swaps the
+  // verifier (fresh PBKDF2 salt) and misses the cache — no stale
+  // accept/deny window, including across server instances with
+  // different password files. Failures are cached too: replaying one
+  // wrong credential costs one derivation per TTL, not one per request
+  // (an attacker VARYING passwords still pays full price per distinct
+  // guess — that part is inherent to password auth; front with TLS + a
+  // rate limiter when the port leaves the host, per the class doc).
+  private def authCacheTtlMs: Long =
+    sys.props.get("graft.http.authCacheTtlMs").map(_.toLong).getOrElse(60000L)
+  private val authCacheMax = 4096
+  private val authCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Long)]
+  private val authSalt = {
+    val b = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(b)
+    b
+  }
+
+  private def credKey(v: PgScram.Verifier, pass: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(authSalt)
+    md.update(java.nio.ByteBuffer.allocate(4).putInt(v.iterations).array())
+    md.update(v.salt)
+    md.update(v.storedKey)
+    md.update(0.toByte)
+    md.update(pass.getBytes(UTF_8))
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
+
+  /** Derivation-or-cache: one PBKDF2 per distinct credential per TTL.
+    * The map is bounded — on overflow, expired entries are purged and,
+    * if a flood of distinct creds keeps it over the cap, the cache is
+    * dropped wholesale (correctness never depends on it). */
+  private def verifyCached(pass: String, v: PgScram.Verifier): Boolean = {
+    val ttl = authCacheTtlMs
+    if (ttl <= 0) {
+      derivationCount.incrementAndGet(): Unit
+      return PgScram.verifyPassword(pass, v)
+    }
+    val k = credKey(v, pass)
+    val now = System.currentTimeMillis()
+    val cached = authCache.get(k)
+    if (cached != null && cached._2 > now) return cached._1
+    derivationCount.incrementAndGet(): Unit
+    val ok = PgScram.verifyPassword(pass, v)
+    if (authCache.size >= authCacheMax) {
+      authCache.entrySet.removeIf(e => e.getValue._2 <= now)
+      if (authCache.size >= authCacheMax) authCache.clear()
+    }
+    authCache.put(k, (ok, now + ttl))
+    ok
+  }
+
+  /** Tests only: drop every cached verdict (e.g. after rewriting the
+    * password file). */
+  private[server] def clearAuthCache(): Unit = authCache.clear()
+
+  /** Tests only: PBKDF2 derivations actually performed (cache misses). */
+  private[server] val derivationCount =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** `Authorization: Basic …` (scheme case-insensitive per RFC 7235
     * §2.1) against the SCRAM verifier map; Some(user) on success.
     * Never logs or stores the cleartext. */
@@ -107,9 +184,9 @@ object GraftHttpApi {
             val (user, pass) = (dec.substring(0, i), dec.substring(i + 1))
             users.get(user) match {
               case Some(v) =>
-                if (PgScram.verifyPassword(pass, v)) Some(user) else None
+                if (verifyCached(pass, v)) Some(user) else None
               case None => // unknown user: same derivation cost, then no
-                PgScram.verifyPassword(pass, decoyVerifier)
+                verifyCached(pass, decoyVerifier): Unit
                 None
             }
           }

@@ -114,16 +114,99 @@ object GraftMatviews {
   private val restoreRe =
     "(?is)^\\s*RESTORE\\s+MATERIALIZED\\s+VIEWS?\\s*;?\\s*$".r
 
-  private val selectRe =
-    ("(?is)^SELECT\\s+([\\s\\S]*?)\\s+FROM\\s+([A-Za-z_]\\w*)" +
-      "((?:\\s+JOIN\\s+[\\s\\S]*?)?)" +
-      "(?:\\s+WHERE\\s+([\\s\\S]*?))?" +
-      "\\s+GROUP\\s+BY\\s+([\\s\\S]+?)\\s*" +
-      "(?:HAVING\\s+([\\s\\S]*?))?\\s*$").r
-  // the captured join section splits into (dim table, ON text) pairs —
-  // one per spoke of the star
-  private val joinClauseRe =
-    "(?is)\\bJOIN\\s+([A-Za-z_]\\w*)\\s+ON\\s+([\\s\\S]+?)(?=\\s+JOIN\\s|$)".r
+  private def failShape(): Nothing =
+    fail("materialized-view SELECT must be: SELECT <g…>, " +
+      "COUNT(*)/COUNT(col)/SUM/AVG/MIN/MAX(col or row-local " +
+      "expression AS alias), … FROM " +
+      "<table> [JOIN <dim> ON <fk> = <dim>._id …] [WHERE <predicate>] " +
+      "GROUP BY <g>[, <g2> …] [HAVING <predicate over the output " +
+      "columns>] — subqueries and distinct aggregates are not " +
+      "incrementally maintainable here and are rejected rather " +
+      "than snapshotted")
+
+  private val plainTableRe = "(?s)^[A-Za-z_]\\w*$".r
+
+  /** Split the matview SELECT body on TOP-LEVEL clause keywords only —
+    * outside string literals, quoted identifiers and comments
+    * ([[SqlText.maskedSpans]]) and outside parentheses — so a predicate
+    * or aggregate argument containing ' GROUP BY ' / ' JOIN ' /
+    * ' HAVING ' inside a literal, or `extract(DAY FROM ts)` inside
+    * parens, can never mis-split the statement (the previous regex
+    * split was literal-unaware). Returns (select list, fact table,
+    * (dim, ON text) per join spoke, WHERE?, GROUP BY, HAVING?). */
+  private def splitSelect(select: String)
+      : (String, String, Seq[(String, String)], Option[String], String,
+         Option[String]) = {
+    val t = select.trim
+    val spans = SqlText.maskedSpans(t)
+    // paren depth at each offset; masked chars never open/close
+    val depth = new Array[Int](math.max(t.length, 1))
+    locally {
+      var d = 0; var i = 0
+      while (i < t.length) {
+        depth(i) = d
+        if (!SqlText.masked(spans, i)) {
+          val c = t.charAt(i)
+          if (c == '(') d += 1 else if (c == ')') d = math.max(0, d - 1)
+        }
+        i += 1
+      }
+    }
+    val kwRe = ("(?i)\\b(SELECT|FROM|INNER\\s+JOIN|JOIN|ON|WHERE|" +
+      "GROUP\\s+BY|HAVING)\\b").r
+    case class Kw(word: String, start: Int, end: Int)
+    val kws = kwRe.findAllMatchIn(t)
+      .filter(m => !SqlText.masked(spans, m.start) && depth(m.start) == 0)
+      .map { m =>
+        val w = m.group(1).toUpperCase.split("\\s+").mkString(" ")
+        Kw(if (w == "INNER JOIN") "JOIN" else w, m.start, m.end)
+      }.toVector
+    if (kws.isEmpty || kws.head.word != "SELECT" || kws.head.start != 0)
+      failShape()
+    def segEnd(j: Int): Int = if (j + 1 < kws.length) kws(j + 1).start else t.length
+    def seg(j: Int): String = t.substring(kws(j).end, segEnd(j)).trim
+    if (kws.length < 2 || kws(1).word != "FROM") failShape()
+    val list = seg(0)
+    if (list.isEmpty) failShape()
+    val factName = seg(1)
+    if (!plainTableRe.matches(factName))
+      fail(s"unsupported JOIN syntax near '$factName': FROM must name a " +
+        "single fact table, star-joined only as INNER " +
+        "`JOIN <dim> ON <fk> = <dim>._id` — other join forms are not " +
+        "incrementally maintainable here and are rejected rather than " +
+        "snapshotted")
+    var j = 2
+    val joins = Seq.newBuilder[(String, String)]
+    while (j < kws.length && kws(j).word == "JOIN") {
+      val dim = seg(j)
+      if (j + 1 >= kws.length || kws(j + 1).word != "ON" ||
+          !plainTableRe.matches(dim))
+        fail(s"unsupported JOIN syntax near '$dim': each join " +
+          "must be an INNER `JOIN <dim> ON <fk> = <dim>._id` — other " +
+          "join forms are not incrementally maintainable here and are " +
+          "rejected rather than snapshotted")
+      joins += ((dim, seg(j + 1)))
+      j += 2
+    }
+    val whereOpt =
+      if (j < kws.length && kws(j).word == "WHERE") {
+        val w = seg(j); j += 1
+        if (w.isEmpty) failShape()
+        Some(w)
+      } else None
+    if (j >= kws.length || kws(j).word != "GROUP BY") failShape()
+    val groupBy = seg(j)
+    if (groupBy.isEmpty) failShape()
+    j += 1
+    val havingOpt =
+      if (j < kws.length && kws(j).word == "HAVING") {
+        val hv = seg(j); j += 1
+        if (hv.isEmpty) failShape()
+        Some(hv)
+      } else None
+    if (j != kws.length) failShape() // clause out of order (e.g. WHERE after GROUP BY)
+    (list, factName, joins.result(), whereOpt, groupBy, havingOpt)
+  }
 
   // WHERE must be a row-local DETERMINISTIC predicate for the Δ-rules
   // to commute with it: subqueries see other rows, and random/clock
@@ -408,36 +491,12 @@ object GraftMatviews {
       s"CREATE MATERIALIZED VIEW $name WITH (valid_at = '$validAt', " +
         s"buckets = $bucketsResolved) AS ${select.trim}"
 
-    val (list, factName, joinSection, whereOpt, groupBy, havingOpt) =
-      select.trim match {
-        case selectRe(l, f, js, w, g, hv) =>
-          (l, f, Option(js).map(_.trim).getOrElse(""), Option(w), g,
-            Option(hv).map(_.trim).filter(_.nonEmpty))
-        case _ => fail("materialized-view SELECT must be: SELECT <g…>, " +
-          "COUNT(*)/COUNT(col)/SUM/AVG/MIN/MAX(col or row-local " +
-          "expression AS alias), … FROM " +
-          "<table> [JOIN <dim> ON <fk> = <dim>._id …] [WHERE <predicate>] " +
-          "GROUP BY <g>[, <g2> …] [HAVING <predicate over the output " +
-          "columns>] — subqueries and distinct aggregates are not " +
-          "incrementally maintainable here and are rejected rather " +
-          "than snapshotted")
-      }
-    // (dim name, ON text) per JOIN clause, in declared order. The
-    // matches must consume the WHOLE captured section: a clause the
-    // pattern cannot parse (missing ON, USING form, LEFT JOIN) must
-    // refuse loudly, never silently drop a spoke — a view missing a
-    // declared join would serve wrong aggregates.
-    val joinSpecs: Seq[(String, String)] =
-      joinClauseRe.findAllMatchIn(joinSection)
-        .map(m => (m.group(1), m.group(2).trim)).toSeq
-    locally {
-      val leftover = joinClauseRe.replaceAllIn(joinSection, "").trim
-      if (leftover.nonEmpty)
-        fail(s"unsupported JOIN syntax near '$leftover': each join " +
-          "must be an INNER `JOIN <dim> ON <fk> = <dim>._id` — other " +
-          "join forms are not incrementally maintainable here and are " +
-          "rejected rather than snapshotted")
-    }
+    // clause split is masked-span + paren-depth aware (splitSelect): a
+    // clause the grammar cannot parse (missing ON, USING form, LEFT
+    // JOIN) refuses loudly, never silently drops a spoke — a view
+    // missing a declared join would serve wrong aggregates
+    val (list, factName, joinSpecs, whereOpt, groupBy, havingOpt) =
+      splitSelect(select)
     val aggRe = "(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*([*]|[A-Za-z_](?:\\w|\\.)*)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
     // EXPRESSION aggregate — any argument that isn't a bare column ref
     // (tried after aggRe). The argument becomes a DERIVED column on the
@@ -612,7 +671,9 @@ object GraftMatviews {
         val dims: Seq[(graft.GraftTable, String)] = joinSpecs.map {
           case (dn, on) =>
             val dim = graftTable(dn)
-            val sides = on.split("=").map(_.trim)
+            // top-level split only: an '=' inside a (hypothetical)
+            // literal or parens must not shear the clause
+            val sides = BitemporalDml.splitTopLevel(on, '=').map(_.trim)
             if (sides.length != 2)
               fail(s"ON clause must be fk = ${dn}._id, got '$on'")
             val dimIdSide = sides.indexWhere(s =>
@@ -652,9 +713,29 @@ object GraftMatviews {
     // just wrote: an orphaned state dir would make the NEXT CREATE of
     // this name fold incrementally against a state whose columns don't
     // match. View state is always derivable from the logs, so deleting
-    // it is safe by construction.
-    def dropState(): Unit =
+    // it is safe by construction — EXCEPT a pre-restart same-name
+    // view's '_ddl' definition sidecar, which is NOT derivable: a
+    // TRANSIENT failure here (lease held, timezone mismatch) must
+    // leave RESTORE able to rebuild that view from the logs, so the
+    // prior sidecar is captured now and re-persisted by the cleanup
+    // (the same re-persist restore()'s own failure path does).
+    val priorDdl: Option[Array[Byte]] = {
+      val f = handle.stateDir.resolve("_ddl")
+      try {
+        if (java.nio.file.Files.exists(f))
+          Some(java.nio.file.Files.readAllBytes(f))
+        else None
+      } catch { case _: java.io.IOException => None }
+    }
+    def dropState(): Unit = {
       graft.bitemporal.TxLog.deleteRecursively(handle.stateDir.toFile)
+      priorDdl.foreach { bytes =>
+        try {
+          java.nio.file.Files.createDirectories(handle.stateDir)
+          java.nio.file.Files.write(handle.stateDir.resolve("_ddl"), bytes)
+        } catch { case _: java.io.IOException => () } // best-effort, like restore()
+      }
+    }
     val (a, b) =
       try {
         val r = handle.refresh() // CREATE populates (Postgres default)

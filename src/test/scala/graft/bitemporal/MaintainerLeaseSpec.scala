@@ -78,6 +78,46 @@ class MaintainerLeaseSpec extends AnyFunSuite {
     MaintainerLease.withLease(r, "op") { ran = true }
   }
 
+  test("heartbeat renewals are atomic: a racing reader never observes " +
+      "a torn lease, and no renewal temp files linger") {
+    val prev = sys.props.get("graft.maintainer.leaseTtlMs")
+    sys.props("graft.maintainer.leaseTtlMs") = "90" // beat every 30 ms
+    try {
+      val r = tempRoot()
+      val bad = scala.collection.mutable.Buffer.empty[String]
+      var reads = 0
+      MaintainerLease.withLease(r, "atomic-op") {
+        // race the TTL/3 beats with a tight read loop: pre-r13 the beat
+        // was an in-place TRUNCATE+WRITE, so a read could land on an
+        // empty/partial file and see holder "?" (one TTL of phantom
+        // contention, every beat); the atomic temp+rename renewal means
+        // every read sees a COMPLETE lease owned by us
+        val deadline = System.currentTimeMillis() + 700
+        while (System.currentTimeMillis() < deadline) {
+          MaintainerLease.read(r) match {
+            case Some(st) if st.holder == MaintainerLease.holderId => ()
+            case other => bad += other.toString
+          }
+          reads += 1
+        }
+      }
+      assert(reads > 100, s"read loop too slow to race the beats: $reads")
+      assert(bad.isEmpty,
+        s"torn/foreign lease observed mid-hold (${bad.size} of $reads " +
+          s"reads): ${bad.take(3)}")
+      import scala.jdk.CollectionConverters._
+      val leftovers = Files.list(r).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("_maintainer_lease")).toList
+      assert(leftovers.isEmpty, s"lease files left after release: $leftovers")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.maintainer.leaseTtlMs") = v
+        case None => sys.props.remove("graft.maintainer.leaseTtlMs"): Unit
+      }
+    }
+  }
+
   test("release never touches a successor's live lease (read-before-move)") {
     val r = tempRoot()
     val lf = r.resolve("_maintainer_lease")

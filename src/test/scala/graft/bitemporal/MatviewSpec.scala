@@ -255,4 +255,34 @@ class MatviewSpec extends AnyFunSuite {
     val dt = mv.read().schema("sum_amt").dataType
     assert(dt == org.apache.spark.sql.types.DecimalType(22, 2), dt.toString)
   }
+
+  test("definition-mismatch discard removes the schema/tz sidecars: a " +
+      "failed rebuild reads as 'has no state', never the OLD columns") {
+    val (t, dir) = freshTable()
+    val mv = t.matview("by_grp_sc", "grp", Seq("amt"), validAt, nBuckets = 4)
+    t.put(Seq((1L, "a", "10.00"), (2L, "b", "20.00")).toDF("id", "g", "m"),
+      $"id", lit("2020-01-01").cast("timestamp"), None,
+      Seq("grp" -> $"g", "amt" -> $"m".cast("decimal(12,2)")),
+      ts("2024-01-01 00:00:00"))
+    mv.refresh()
+    val root = java.nio.file.Paths.get(dir, "matview", "by_grp_sc")
+    assert(java.nio.file.Files.exists(root.resolve("_schema")))
+
+    // same state dir, CHANGED definition whose rebuild cannot analyze:
+    // the discard must take the '_schema' (and '_tz') sidecars with the
+    // data — a survivor would let read() serve the OLD definition's
+    // column set while no state exists
+    val bad = t.matviewN("by_grp_sc", Seq("grp"), Seq("d1"), validAt, 4,
+      derived = Seq("d1" -> "no_such_col * 2"))
+    intercept[Exception](bad.refresh())
+    assert(!java.nio.file.Files.exists(root.resolve("_schema")),
+      "stale _schema must be discarded with the state")
+    assert(!java.nio.file.Files.exists(root.resolve("_tz")))
+    val e = intercept[IllegalStateException](bad.read().collect())
+    assert(e.getMessage.contains("has no state"), e.getMessage)
+
+    // the original definition still rebuilds cleanly from the logs
+    mv.refresh()
+    assertParity(mv, t)
+  }
 }

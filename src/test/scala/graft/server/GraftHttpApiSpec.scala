@@ -278,6 +278,25 @@ class GraftHttpApiSpec extends AnyFunSuite {
       assert(client.send(lcReq,
         HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
 
+      // verification cache: repeating ONE credential (right or wrong)
+      // costs one PBKDF2 derivation per TTL, not one per request — the
+      // unauthenticated-flood CPU amplifier on the bounded pool is
+      // capped at one derivation per DISTINCT credential
+      GraftHttpApi.clearAuthCache()
+      val d0 = GraftHttpApi.derivationCount.get()
+      (1 to 3).foreach(_ => assert(send("POST", "/query",
+        "SELECT 1 AS x", Some("alice:wonderland"))._1 == 200))
+      assert(GraftHttpApi.derivationCount.get() == d0 + 1,
+        "3 identical good credentials must derive once")
+      (1 to 3).foreach(_ => assert(send("POST", "/query",
+        "SELECT 1", Some("alice:stillwrong"))._1 == 401))
+      assert(GraftHttpApi.derivationCount.get() == d0 + 2,
+        "3 identical wrong credentials must derive once")
+      // a VARIED guess always pays the full derivation
+      assert(send("POST", "/query", "SELECT 1",
+        Some("alice:varied-guess"))._1 == 401)
+      assert(GraftHttpApi.derivationCount.get() == d0 + 3)
+
       // /status stays a health probe but withholds the inventory from
       // unauthenticated callers
       val (sc, sb, _) = send("GET", "/status", "", None)

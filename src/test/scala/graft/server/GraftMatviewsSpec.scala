@@ -1249,4 +1249,130 @@ class GraftMatviewsSpec extends AnyFunSuite {
       GraftMatviews.reset()
     }
   }
+
+  test("clause keywords inside string literals never mis-split the " +
+      "DDL; INNER JOIN is the same join; LEFT JOIN refuses") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "bal"))
+    val d = freshTable(Seq("region"))
+    GraftServer.register("mvlit", t)
+    GraftServer.register("mvlitd", d)
+    try {
+      t.put(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "x GROUP BY y", 99L))
+          .toDF("id", "g", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "bal" -> $"m"), ts("2024-01-01 00:00:00"))
+      d.put(Seq((10L, "EU")).toDF("id", "r"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r"), ts("2024-01-01 00:00:01"))
+
+      // the WHERE literal carries every clause keyword the splitter
+      // looks for — a literal-unaware split would shear the statement
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_lit WITH " +
+        "(valid_at = '2030-01-01 00:00:00') AS SELECT grp, COUNT(*) AS n, " +
+        "SUM(bal) AS total FROM mvlit " +
+        "WHERE grp <> 'x GROUP BY y' GROUP BY grp")
+      val r = GraftSql.sql(spark,
+        "SELECT grp, n, total FROM mv_lit ORDER BY grp").collect()
+      assert(r.map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq ==
+        Seq(("a", 2L, 30L)),
+        "the ' GROUP BY ' inside the literal is data, not a clause split")
+      // and the sieve keeps maintaining through it
+      t.put(Seq((4L, "a", 5L), (5L, "x GROUP BY y", 1L))
+          .toDF("id", "g", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "bal" -> $"m"), ts("2024-01-02 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_lit").collect()
+      val r2 = GraftSql.sql(spark,
+        "SELECT n, total FROM mv_lit WHERE grp = 'a'").collect()
+      assert(r2(0).getLong(0) == 3L && r2(0).getLong(1) == 35L)
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_lit")
+
+      // INNER JOIN spells the same (only) join the star form maintains
+      val f = freshTable(Seq("fk", "bal"))
+      GraftServer.register("mvlitf", f)
+      try {
+        f.put(Seq((1L, 10L, 7L), (2L, 10L, 3L)).toDF("id", "k", "m"), $"id",
+          lit("2020-01-01").cast("timestamp"), None,
+          Seq("fk" -> $"k", "bal" -> $"m"), ts("2024-01-01 00:00:02"))
+        GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_lit2 WITH " +
+          "(valid_at = '2030-01-01 00:00:00') AS SELECT region, " +
+          "SUM(bal) AS total FROM mvlitf INNER JOIN mvlitd " +
+          "ON fk = mvlitd._id GROUP BY region")
+        val rj = GraftSql.sql(spark,
+          "SELECT region, total FROM mv_lit2").collect()
+        assert(rj.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+          Seq(("EU", 10L)))
+        GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_lit2")
+
+        // outer joins are NOT incrementally maintainable here: loud no
+        val e = intercept[IllegalArgumentException](GraftSql.sql(spark,
+          "CREATE MATERIALIZED VIEW mv_lit3 AS SELECT region, " +
+            "SUM(bal) AS total FROM mvlitf LEFT JOIN mvlitd " +
+            "ON fk = mvlitd._id GROUP BY region"))
+        assert(e.getMessage.contains("unsupported JOIN syntax"), e.getMessage)
+      } finally GraftServer.unregister("mvlitf")
+    } finally {
+      GraftServer.unregister("mvlit")
+      GraftServer.unregister("mvlitd")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("a transiently failing re-CREATE over surviving state preserves " +
+      "the '_ddl' sidecar — RESTORE stays possible") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("at"))
+    GraftServer.register("pdfact", t)
+    try {
+      t.put(Seq((1L, "2024-02-05 10:00:00"), (2L, "2024-02-06 10:00:00"))
+          .toDF("id", "ts").withColumn("ts", $"ts".cast("timestamp")), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("at" -> $"ts"), ts("2024-03-01 00:00:00"))
+      // timestamp group key: state pins the session timezone
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_pd WITH " +
+        "(valid_at = '2030-01-01 00:00:00') AS SELECT at, COUNT(*) AS n " +
+        "FROM pdfact GROUP BY at")
+      val ddlFile = java.nio.file.Paths.get(
+        t.tableDir, "matview", "mv_pd", "_ddl")
+      assert(java.nio.file.Files.exists(ddlFile))
+      val ddlBytes = java.nio.file.Files.readAllBytes(ddlFile).toSeq
+
+      GraftMatviews.reset() // simulated restart: registry gone, disk stays
+      // new tx so the re-CREATE's populating refresh takes the
+      // incremental path (which checks the timezone pin)
+      t.put(Seq((3L, "2024-02-07 10:00:00"))
+          .toDF("id", "ts").withColumn("ts", $"ts".cast("timestamp")), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("at" -> $"ts"), ts("2024-03-02 00:00:00"))
+      val tz0 = spark.conf.get("spark.sql.session.timeZone")
+      try {
+        spark.conf.set("spark.sql.session.timeZone",
+          if (tz0 == "America/New_York") "UTC" else "America/New_York")
+        val e = intercept[IllegalStateException](GraftSql.sql(spark,
+          "CREATE MATERIALIZED VIEW mv_pd WITH " +
+            "(valid_at = '2030-01-01 00:00:00') AS SELECT at, COUNT(*) " +
+            "AS n FROM pdfact GROUP BY at"))
+        assert(e.getMessage.contains("timezone"), e.getMessage)
+      } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+      // the TRANSIENT failure's cleanup deleted the state — but not the
+      // recovery path: the prior definition sidecar must survive it
+      assert(java.nio.file.Files.exists(ddlFile),
+        "create()'s failure cleanup must re-persist the prior _ddl")
+      assert(java.nio.file.Files.readAllBytes(ddlFile).toSeq == ddlBytes)
+
+      // and RESTORE (timezone back) rebuilds the view from the logs
+      val restored = GraftSql.sql(spark, "RESTORE MATERIALIZED VIEWS")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(restored.get("mv_pd").contains("restored"), restored.toString)
+      assert(GraftSql.sql(spark,
+        "SELECT sum(n) AS n FROM mv_pd").collect()(0).getLong(0) == 3L)
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_pd")
+    } finally {
+      GraftServer.unregister("pdfact")
+      GraftMatviews.reset()
+    }
+  }
 }
