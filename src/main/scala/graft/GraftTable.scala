@@ -169,6 +169,32 @@ final class GraftTable(spark: SparkSession, dir: String,
       groupCols, sumCols, validAt, nBuckets, minCols, maxCols, cntCols,
       where, derived)
 
+  /** [[matviewN]] with an EXPLICIT state dir and COUNT(*)-only state —
+    * the DISTINCT-aggregate serve path nests its auxiliary pair-level
+    * views (group key = the view's groups plus the distinct argument)
+    * INSIDE the main view's state dir, so DROP / failure cleanup /
+    * RESTORE handle the whole tree as one. */
+  private[graft] def matviewAt(stateRoot: java.nio.file.Path,
+      groupCols: Seq[String], validAt: Timestamp, nBuckets: Int,
+      where: Option[String],
+      derived: Seq[(String, String)]): graft.bitemporal.Matview =
+    new graft.bitemporal.Matview(spark, log, stateRoot, payloadCols,
+      groupCols, Nil, validAt, nBuckets, Nil, Nil, Nil, where, derived)
+
+  /** [[starMatview]] with an EXPLICIT state dir and COUNT(*)-only
+    * state — see [[matviewAt]]. */
+  private[graft] def starMatviewAt(stateRoot: java.nio.file.Path,
+      dims: Seq[(GraftTable, String)], groupCols: Seq[String],
+      validAt: Timestamp, nBuckets: Int, where: Option[String],
+      derived: Seq[(String, String)]): graft.bitemporal.JoinMatview = {
+    require(dims.nonEmpty, "at least one dimension table")
+    new graft.bitemporal.JoinMatview(spark, log, payloadCols,
+      dims.head._1.log, dims.head._1.payloadColumns, stateRoot,
+      dims.head._2, groupCols, Nil, validAt, nBuckets, Nil, Nil, Nil,
+      where, derived,
+      dims.tail.map(d => (d._1.log, d._1.payloadColumns, d._2)))
+  }
+
   /** Fold the log into the partitioned rectangle base — incrementally
     * when one exists (cost ∝ tail ids, not total history). The base
     * layout clusters by `clusterBy` when set (e.g. the fk column of a

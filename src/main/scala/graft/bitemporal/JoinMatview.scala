@@ -301,7 +301,16 @@ final class JoinMatview private[graft] (
 
   /** Fold every log's tail into the state; returns (fact watermark,
     * max dim watermark). */
-  def refresh(): (Long, Long) = MaintainerLease.withLease(
+  def refresh(): (Long, Long) = refreshUpTo(None)
+
+  /** [[refresh]] bounded to fold NO tx past the per-log `pins` (fact
+    * first, then one per dim — [[watermarksAll]] order): the DISTINCT
+    * serve path refreshes its auxiliary pair-level view pinned to the
+    * main view's just-recorded watermarks, so both states always
+    * describe the same log prefixes. Pins at or below the current
+    * watermarks are a no-op. */
+  private[graft] def refreshUpTo(pins: Option[Seq[Long]]): (Long, Long) =
+    MaintainerLease.withLease(
       java.nio.file.Paths.get(factLog.dir) +:
         dims.map(d => java.nio.file.Paths.get(d._1.dir)),
       "join-matview-refresh") {
@@ -319,7 +328,13 @@ final class JoinMatview private[graft] (
       Files.deleteIfExists(stateRoot.resolve("_tz")): Unit
     }
     val ws = watermarksAll
-    val lasts = lastOf(factLog) +: dims.map(d => lastOf(d._1))
+    val lastsAll = lastOf(factLog) +: dims.map(d => lastOf(d._1))
+    // every relation below is already parameterized by `lasts` (the
+    // visibles' upToTx, the touched sets, the old-history filters and
+    // the rebuild) — pinning is just a cap on what this refresh records
+    val lasts = pins.fold(lastsAll)(p =>
+      lastsAll.zip(p.padTo(lastsAll.size, Long.MaxValue))
+        .map { case (l, pi) => math.min(l, pi) })
     def ret(v: Seq[Long]) = (v.head, v.tail.max)
     if (lasts.zip(ws).forall { case (l, w) => l <= w }) return ret(ws)
     // the view first builds once EVERY log holds data (an inner join

@@ -207,7 +207,16 @@ final class Matview private[graft] (
     * cost. The standard tension between retention and incremental view
     * maintenance: vacuum less often than you refresh, or accept the
     * recompute. */
-  def refresh(): Long = MaintainerLease.withLease(
+  def refresh(): Long = refreshUpTo(None)
+
+  /** [[refresh]] bounded to fold NO tx past `pin` — the DISTINCT serve
+    * path refreshes its auxiliary pair-level view pinned to the main
+    * view's just-recorded watermark, so both states always describe
+    * the same log prefix (a tx landing between the two refreshes stays
+    * wholly in the next one). A pin at or below the current watermark
+    * is a no-op. */
+  private[graft] def refreshUpTo(pin: Option[Long]): Long =
+    MaintainerLease.withLease(
       java.nio.file.Paths.get(log.dir), "matview-refresh") {
     // a DEFINITION change over the same state dir (JVM restart +
     // re-CREATE, or a Scala-API re-instantiation with different
@@ -228,12 +237,16 @@ final class Matview private[graft] (
     }
     val w = watermark
     val truncated = log.truncatedUpTo()
-    val files = log.txFiles()
-    val last = (files.map(_.getFileName.toString
-        .stripPrefix("tx_").stripSuffix(".parquet").toLong) ++ truncated)
-      .maxOption.getOrElse(-1L)
+    def fid(p: Path): Long = p.getFileName.toString
+      .stripPrefix("tx_").stripSuffix(".parquet").toLong
+    val files0 = log.txFiles()
+    val lastAll = (files0.map(fid) ++ truncated).maxOption.getOrElse(-1L)
+    // under a pin, every relation this refresh folds must stop at it —
+    // the file set, the tail, and the touched ids' history alike
+    val last = pin.fold(lastAll)(p => math.min(p, lastAll))
     if (truncated.isDefined)
       return if (last > w) rebuildFromState(last) else w
+    val files = files0.filter(fid(_) <= last)
     if (files.isEmpty) return w
     if (last <= w) return w
 

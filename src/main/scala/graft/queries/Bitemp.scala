@@ -572,6 +572,68 @@ object Bitemp {
       } finally graft.server.GraftServer.unregister("mvrst_accts")
     }),
 
+    // r13 matview DDL growth: DISTINCT aggregates —
+    // COUNT/SUM/AVG(DISTINCT code) maintained EXACTLY through an
+    // auxiliary pair-level view (group key = grp + code, nested under
+    // the main state, refreshed pinned to the main watermark) and
+    // served by a read-time rollup of the surviving pairs. The
+    // mutations drive every distinct-specific transition: a bump
+    // crossing the WHERE boundary (codes enter/leave a group's
+    // distinct set), a group MOVE relocating codes between groups, and
+    // deletes that strip duplicate holders before the last one.
+    "q171_sql_matview_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvdst_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      graft.server.GraftMatviews.reset()
+      val t = new GraftTable(s, tmp, Seq("grp", "code", "bal"))
+      graft.server.GraftServer.register("mvdst_accts", t)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val cust = T(s, dir, "customer").select($"c_custkey".as("id"),
+          $"c_nationkey".cast("string").as("g"),
+          when($"c_custkey" % 7 === 0, lit(null))
+            .otherwise($"c_custkey" % 50).cast("long").as("cd"),
+          $"c_acctbal".cast("decimal(12,2)").as("m"))
+        t.put(cust, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "code" -> $"cd", "bal" -> $"m"),
+          ts("2020-01-01 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvdst_by_nation WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+            "SELECT grp, COUNT(*) AS n, COUNT(DISTINCT code) AS nd, " +
+            "SUM(DISTINCT code) AS sd, AVG(DISTINCT code) AS ad " +
+            "FROM mvdst_accts WHERE bal > 0 GROUP BY grp")
+        // bump every 10th (+100 crosses bal > 0 for negatives); the
+        // composed payload keeps the %11 group move for overlap ids
+        t.put(cust.filter($"id" % 10 === 0)
+            .withColumn("g2",
+              when($"id" % 11 === 0, lit("99")).otherwise($"g"))
+            .withColumn("m2", ($"m" + 100).cast("decimal(12,2)")),
+          $"id", lit("2000-06-01").cast("timestamp"), None,
+          Seq("grp" -> $"g2", "code" -> $"cd", "bal" -> $"m2"),
+          ts("2020-01-02 00:00:00"))
+        // group move: every 11th relocates to '99' (bump preserved on
+        // the overlap so last-write-wins composes like the oracle)
+        t.put(cust.filter($"id" % 11 === 0)
+            .withColumn("m3", when($"id" % 10 === 0, $"m" + 100)
+              .otherwise($"m").cast("decimal(12,2)")),
+          $"id", lit("2000-06-01").cast("timestamp"), None,
+          Seq("grp" -> lit("99"), "code" -> $"cd", "bal" -> $"m3"),
+          ts("2020-01-02 00:00:01"))
+        t.delete(cust.filter($"id" % 13 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> lit(null).cast("string"),
+            "code" -> lit(null).cast("long"),
+            "bal" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:02"))
+        graft.server.GraftSql.sql(s,
+          "REFRESH MATERIALIZED VIEW mvdst_by_nation")
+        graft.server.GraftSql.sql(s,
+          "SELECT grp, n, nd, sd, ad FROM mvdst_by_nation ORDER BY grp")
+      } finally graft.server.GraftServer.unregister("mvdst_accts")
+    }),
+
     // JOIN matview (r7): orders ⋈ customers grouped by the CUSTOMER's
     // region — maintained incrementally from BOTH logs' tails by the
     // Δ(A⋈B) rules. The second refresh folds a fact tail (price bump +
@@ -1247,6 +1309,28 @@ object Bitemp {
       vis AS (SELECT * FROM eff WHERE bal > 0)
       SELECT grp, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(bal) AS DOUBLE) AS total
+      FROM vis GROUP BY grp ORDER BY grp""",
+
+    // from-scratch recompute of the DISTINCT-aggregate view: composed
+    // mutations (bump, group move, delete) then the sieve, then
+    // count/sum/avg over the DISTINCT codes per group — avg replayed
+    // as double(sum distinct) / count distinct, the same IEEE division
+    // the served view performs
+    "q171_sql_matview_distinct" -> """
+      WITH c AS (SELECT c_custkey AS k, CAST(c_nationkey AS VARCHAR) AS grp0,
+                        CASE WHEN c_custkey % 7 = 0 THEN NULL
+                             ELSE c_custkey % 50 END AS code,
+                        CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+                 FROM customer),
+      eff AS (SELECT CASE WHEN k % 11 = 0 THEN '99' ELSE grp0 END AS grp,
+                     code,
+                     CASE WHEN k % 10 = 0 THEN bal + 100 ELSE bal END AS bal
+              FROM c WHERE k % 13 <> 0),
+      vis AS (SELECT * FROM eff WHERE bal > 0)
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT code) AS BIGINT) AS nd,
+             CAST(sum(DISTINCT code) AS BIGINT) AS sd,
+             CAST(sum(DISTINCT code) AS DOUBLE) / count(DISTINCT code) AS ad
       FROM vis GROUP BY grp ORDER BY grp""",
 
     // from-scratch recompute of the month-bucketed rollup

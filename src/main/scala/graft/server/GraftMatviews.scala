@@ -28,7 +28,16 @@ import graft.bitemporal.{BitemporalDml, SqlText}
   * incrementally — COUNT(*) / COUNT(col) / SUM / AVG / MIN / MAX of a
   * stored column OR of a row-local deterministic expression (which
   * becomes a content-addressed derived column on the maintained
-  * relation — same Δ mechanics as a stored column) per
+  * relation — same Δ mechanics as a stored column), plus their
+  * DISTINCT forms: COUNT/SUM/AVG(DISTINCT col-or-expression) maintain
+  * EXACTLY through an auxiliary pair-level view (group key = the
+  * view's groups + the argument, nested under the view's state dir,
+  * refreshed PINNED to the main state's watermarks so the pair never
+  * serves mixed bases) and are served by a read-time rollup of the
+  * pairs that still exist — the auxiliary relation is the
+  * information-theoretic price of exact distinct maintenance under
+  * deletes, and refresh work stays ∝ the log tails; MIN/MAX(DISTINCT)
+  * are the same aggregates as their plain forms and route there — per
   * one-or-more group columns over a graft-registered table, optionally
   * joined to a second registered table on `fk = dim._id` (the Δ(A⋈B)
   * join-view rules; group columns may come from either side), with an
@@ -116,13 +125,12 @@ object GraftMatviews {
 
   private def failShape(): Nothing =
     fail("materialized-view SELECT must be: SELECT <g…>, " +
-      "COUNT(*)/COUNT(col)/SUM/AVG/MIN/MAX(col or row-local " +
+      "COUNT(*)/COUNT/SUM/AVG/MIN/MAX([DISTINCT] col or row-local " +
       "expression AS alias), … FROM " +
       "<table> [JOIN <dim> ON <fk> = <dim>._id …] [WHERE <predicate>] " +
       "GROUP BY <g>[, <g2> …] [HAVING <predicate over the output " +
-      "columns>] — subqueries and distinct aggregates are not " +
-      "incrementally maintainable here and are rejected rather " +
-      "than snapshotted")
+      "columns>] — subqueries are not incrementally maintainable " +
+      "here and are rejected rather than snapshotted")
 
   private val plainTableRe = "(?s)^[A-Za-z_]\\w*$".r
 
@@ -388,7 +396,8 @@ object GraftMatviews {
       case _ => fail(
         "malformed materialized-view DDL; accepted forms:\n" +
           "  CREATE MATERIALIZED VIEW v [WITH (valid_at = 'ts', buckets = n)]" +
-          " AS SELECT g, COUNT(*) [AS a], COUNT(c), SUM(c), AVG(c)," +
+          " AS SELECT g, COUNT(*) [AS a], COUNT([DISTINCT] c)," +
+          " SUM([DISTINCT] c), AVG([DISTINCT] c)," +
           " MIN(c), MAX(c) FROM fact [JOIN dim ON fk = dim._id]" +
           " [WHERE pred] GROUP BY g\n" +
           "  REFRESH MATERIALIZED VIEW v\n  DROP MATERIALIZED VIEW v\n" +
@@ -498,6 +507,12 @@ object GraftMatviews {
     val (list, factName, joinSpecs, whereOpt, groupBy, havingOpt) =
       splitSelect(select)
     val aggRe = "(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*([*]|[A-Za-z_](?:\\w|\\.)*)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
+    // DISTINCT aggregate — COUNT/SUM/AVG(DISTINCT col-or-expression)
+    // maintain EXACTLY through an auxiliary pair-level view (group key
+    // = the view's groups + the argument, nested under this view's
+    // state dir — see the Aux plumbing below); MIN/MAX(DISTINCT x) is
+    // the same aggregate as MIN/MAX(x) and routes there.
+    val aggDistRe = "(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*DISTINCT\\s+([\\s\\S]+?)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
     // EXPRESSION aggregate — any argument that isn't a bare column ref
     // (tried after aggRe). The argument becomes a DERIVED column on the
     // maintained relation, computed row-locally after the sieve, so the
@@ -516,6 +531,13 @@ object GraftMatviews {
     // normalization is for NAMING/matching only, so whitespace inside
     // string literals is never rewritten), insertion-ordered
     val derivedExprs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // DISTINCT aggregate arguments (payload column or derived name),
+    // insertion-ordered: one auxiliary pair-level view per entry serves
+    // every COUNT/SUM/AVG(DISTINCT …) over it
+    val distincts = scala.collection.mutable.LinkedHashSet.empty[String]
+    // the args whose rollup needs the SUM side (SUM/AVG(DISTINCT) is
+    // served) — COUNT-only args skip it so non-numeric arguments work
+    val distinctSums = scala.collection.mutable.Set.empty[String]
     // collapse whitespace OUTSIDE literal/comment spans only: 'x  y'
     // must stay two-spaced (it is data), while SUM(x*y) and SUM(x * y)
     // must normalize equal. Case is kept everywhere for the same
@@ -573,8 +595,38 @@ object GraftMatviews {
     val serve = Seq.newBuilder[(String, String)]
     BitemporalDml.splitTopLevel(list).map(_.trim).filter(_.nonEmpty)
       .foreach {
+        case aggDistRe(fn0, arg0, alias0) =>
+          val fn = fn0.toUpperCase
+          if (arg0.trim == "*")
+            fail(s"$fn(DISTINCT *) is malformed — name the column or " +
+              "expression whose distinct values the aggregate should see")
+          val isCol = plainIdentRe.matches(arg0.trim)
+          val d = if (isCol) unqualify(arg0) else derivedName(arg0)
+          def aliasOr(default: => String): String =
+            Option(alias0).getOrElse {
+              if (isCol) default
+              else fail(s"expression aggregate $fn(DISTINCT $arg0) needs " +
+                "an explicit AS alias to serve as a column name")
+            }
+          fn match {
+            // MIN/MAX over distinct values ≡ MIN/MAX over all values
+            case "MIN" => mins += d; serve += (s"min_$d" -> aliasOr(s"min_$d"))
+            case "MAX" => maxs += d; serve += (s"max_$d" -> aliasOr(s"max_$d"))
+            case "COUNT" =>
+              distincts += d
+              serve += (s"cntd_$d" -> aliasOr(s"cntd_$d"))
+            case "SUM" =>
+              distincts += d; distinctSums += d
+              serve += (s"sumd_$d" -> aliasOr(s"sumd_$d"))
+            case "AVG" =>
+              distincts += d; distinctSums += d
+              serve += (s"avgd_$d" -> aliasOr(s"avgd_$d"))
+          }
         case aggRe(fn0, arg0, alias) =>
           val fn = fn0.toUpperCase
+          if (arg0.trim.equalsIgnoreCase("distinct"))
+            fail(s"$fn(DISTINCT …) is malformed — the DISTINCT keyword " +
+              "needs an argument")
           val arg = unqualify(arg0)
           (fn, arg) match {
             case ("COUNT", "*") =>
@@ -602,11 +654,6 @@ object GraftMatviews {
           groupAliases(gc) = Option(alias).getOrElse(gc)
         case aggExprRe(fn0, arg0, alias0) =>
           val fn = fn0.toUpperCase
-          if (arg0.matches("(?is)^DISTINCT\\b[\\s\\S]*"))
-            fail(s"$fn(DISTINCT …) is not incrementally maintainable " +
-              "here: a distinct aggregate needs per-value state the " +
-              "Δ-rules do not carry — it is rejected rather than " +
-              "snapshotted")
           val alias = Option(alias0).getOrElse(fail(
             s"expression aggregate $fn($arg0) needs an explicit " +
               "AS alias to serve as a column name"))
@@ -632,7 +679,7 @@ object GraftMatviews {
             "explicit AS alias to serve as a column name")
         case other => fail(s"select item '$other' is neither a GROUP BY " +
           s"column (${groups.mkString(", ")}) nor " +
-          "COUNT(*)/COUNT(col)/SUM/AVG/MIN/MAX(col | row-local " +
+          "COUNT(*)/COUNT/SUM/AVG/MIN/MAX([DISTINCT] col | row-local " +
           "expression AS alias)")
       }
 
@@ -656,15 +703,42 @@ object GraftMatviews {
     }
     val serveAll =
       groups.map(g => s"__group__:$g" -> groupAliases(g)) ++ serve.result()
+    // an aux pair view needs exactly the derived definitions its own
+    // group key uses: the view's derived group keys plus (when the
+    // DISTINCT argument is an expression) the argument itself
+    def auxDerived(d: String): Seq[(String, String)] =
+      (groups :+ d).distinct.filter(derivedExprs.contains)
+        .map(n => n -> derivedExprs(n))
     val handle =
       if (joinSpecs.isEmpty) {
         val nb = buckets.getOrElse(32)
+        distincts.filterNot(d => fact.payloadColumns.contains(d) ||
+            derivedExprs.contains(d))
+          .foreach(d => fail(s"DISTINCT argument $d must be a payload " +
+            s"column of $factName (or a row-local expression)"))
+        val mvDir = matviewDir(factName, "matview", name)
         val mv = fact.matviewN(name, groups, sums.result().distinct, validAt,
           nb, mins.result(), maxs.result(),
           cnts.result().distinct, whereOpt, derivedExprs.toSeq)
-        Handle(name, serveAll, havingOpt, sess => mv.read(sess),
-          () => (mv.refresh(), None), matviewDir(factName, "matview", name),
-          canonicalDdl(nb))
+        val auxes: Seq[Aux] = distincts.toSeq.map { d =>
+          val a = fact.matviewAt(mvDir.resolve("_dist").resolve(d),
+            (groups :+ d).distinct, validAt, nb, whereOpt, auxDerived(d))
+          Aux(d, distinctSums.contains(d), sess => a.read(sess),
+            () => a.watermark.toString,
+            () => { a.refreshUpTo(Some(mv.watermark)): Unit })
+        }
+        val roots = Seq(java.nio.file.Paths.get(fact.tableDir))
+        Handle(name, serveAll, havingOpt,
+          sess => readWithDistinct(sess, roots, () => mv.watermark.toString,
+            s2 => mv.read(s2), groups, auxes),
+          () => graft.bitemporal.MaintainerLease
+            .withLease(roots, "matview-refresh") {
+              auxes.foreach(_.refreshPinned()) // heal prior crash skew
+              val w = mv.refresh()
+              auxes.foreach(_.refreshPinned())
+              (w, None)
+            },
+          mvDir, canonicalDdl(nb))
       } else {
         // each JOIN clause is one spoke of the star: resolve the dim
         // table and read the fact fk off its ON clause
@@ -699,13 +773,39 @@ object GraftMatviews {
           validateExpr(joinedBase, e, derivedLabel(dn, e))
         }
         val nb = buckets.getOrElse(64)
+        val allPayload =
+          fact.payloadColumns ++ dims.flatMap(_._1.payloadColumns)
+        distincts.filterNot(d => allPayload.contains(d) ||
+            derivedExprs.contains(d))
+          .foreach(d => fail(s"DISTINCT argument $d must be a payload " +
+            "column of a joined table (or a row-local expression)"))
+        val mvDir = matviewDir(factName, "join_matview", name)
         val mv = fact.starMatview(name, dims, groups,
           sums.result().distinct, validAt, nb,
           mins.result(), maxs.result(), cnts.result().distinct, whereOpt,
           derivedExprs.toSeq)
-        Handle(name, serveAll, havingOpt, sess => mv.read(sess),
-          () => { val (a, b) = mv.refresh(); (a, Some(b)) },
-          matviewDir(factName, "join_matview", name), canonicalDdl(nb))
+        val auxes: Seq[Aux] = distincts.toSeq.map { d =>
+          val a = fact.starMatviewAt(mvDir.resolve("_dist").resolve(d),
+            dims, (groups :+ d).distinct, validAt, nb, whereOpt,
+            auxDerived(d))
+          Aux(d, distinctSums.contains(d), sess => a.read(sess),
+            () => a.watermarksAll.mkString(" "),
+            () => { a.refreshUpTo(Some(mv.watermarksAll)): Unit })
+        }
+        val roots = java.nio.file.Paths.get(fact.tableDir) +:
+          dims.map(dd => java.nio.file.Paths.get(dd._1.tableDir))
+        Handle(name, serveAll, havingOpt,
+          sess => readWithDistinct(sess, roots,
+            () => mv.watermarksAll.mkString(" "), s2 => mv.read(s2),
+            groups, auxes),
+          () => graft.bitemporal.MaintainerLease
+            .withLease(roots, "matview-refresh") {
+              auxes.foreach(_.refreshPinned()) // heal prior crash skew
+              val (a, b) = mv.refresh()
+              auxes.foreach(_.refreshPinned())
+              (a, Some(b))
+            },
+          mvDir, canonicalDdl(nb))
       }
 
     // any failure past this point (bad HAVING, empty-table schema,
@@ -734,6 +834,19 @@ object GraftMatviews {
           java.nio.file.Files.createDirectories(handle.stateDir)
           java.nio.file.Files.write(handle.stateDir.resolve("_ddl"), bytes)
         } catch { case _: java.io.IOException => () } // best-effort, like restore()
+      }
+    }
+    // a re-CREATE over surviving state whose DISTINCT list shrank must
+    // not leave the dropped arguments' pair-level state orphaned (the
+    // main state legitimately adopts; the aux set is definition-scoped)
+    locally {
+      val dd = handle.stateDir.resolve("_dist")
+      if (java.nio.file.Files.isDirectory(dd)) {
+        val listing = java.nio.file.Files.list(dd)
+        try listing.forEach { p =>
+          if (!distincts.contains(p.getFileName.toString))
+            graft.bitemporal.TxLog.deleteRecursively(p.toFile)
+        } finally listing.close()
       }
     }
     val (a, b) =
@@ -780,6 +893,70 @@ object GraftMatviews {
     java.nio.file.Paths.get(dir, kind, name)
   }
 
+  /** One DISTINCT argument's auxiliary pair-level view, kind-erased
+    * over [[graft.bitemporal.Matview]]/[[graft.bitemporal.JoinMatview]]:
+    * a session-bound read of the (groups, arg, n) pair state, the aux's
+    * watermark rendering (crash-skew detection against the main
+    * view's), and a refresh PINNED to the main view's current
+    * watermark(s) so both states always describe the same log
+    * prefixes. */
+  private final case class Aux(arg: String,
+      // COUNT(DISTINCT) over a non-numeric argument is legitimate —
+      // the SUM side of the rollup is built only when SUM/AVG(DISTINCT)
+      // of this argument is actually served (sum over a string column
+      // would fail analysis and take the COUNT down with it)
+      needSum: Boolean,
+      read: SparkSession => DataFrame,
+      wmToken: () => String,
+      refreshPinned: () => Unit)
+
+  /** Serve the DISTINCT aggregates: left-join each aux's read-time
+    * rollup — the pairs that still exist (n > 0) with a non-null
+    * argument, counted/summed per group — onto `base`, null-safe on
+    * the group key. Read cost ∝ the aux pair state (the
+    * information-theoretic minimum any engine pays for EXACT distinct
+    * aggregates under deletes); the refresh side stays ∝ the tails. */
+  private def distinctServe(base: DataFrame, groups: Seq[String],
+      auxes: Seq[Aux], sess: SparkSession): DataFrame =
+    auxes.foldLeft(base) { case (acc0, aux) =>
+      val d = aux.arg
+      val keep = acc0.columns.toSeq
+      val acc = acc0.as("b")
+      val aggs = count(lit(1)).as(s"cntd_$d") +:
+        (if (aux.needSum) Seq(sum(col(d)).as(s"sumd_$d")) else Nil)
+      val roll = aux.read(sess)
+        .filter(col("n") > 0 && col(d).isNotNull)
+        .groupBy(groups.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .as("r")
+      val cond = groups.map(g => col(s"b.$g") <=> col(s"r.$g"))
+        .reduce(_ && _)
+      acc.join(roll, cond, "left").select(
+        keep.map(c => col(s"b.$c")) ++
+          (coalesce(col(s"r.cntd_$d"), lit(0L)).as(s"cntd_$d") +:
+            (if (aux.needSum) Seq(col(s"r.sumd_$d").as(s"sumd_$d"))
+             else Nil)): _*)
+    }
+
+  /** Crash-skew heal + composite read: if any aux's watermark token
+    * differs from the main's (a crash landed between the main and aux
+    * legs of a previous REFRESH), catch the aux up PINNED to the main
+    * state before serving — the pair never serves mixed bases. The
+    * token compare is two tiny file reads per registration; the lease
+    * is taken only on actual skew. */
+  private def readWithDistinct(sess: SparkSession,
+      roots: Seq[java.nio.file.Path], mainToken: () => String,
+      baseRead: SparkSession => DataFrame, groups: Seq[String],
+      auxes: Seq[Aux]): DataFrame = {
+    if (auxes.nonEmpty && {
+        val t = mainToken(); auxes.exists(_.wmToken() != t)
+      })
+      graft.bitemporal.MaintainerLease.withLease(roots, "matview-distinct-heal") {
+        auxes.foreach(_.refreshPinned())
+      }
+    distinctServe(baseRead(sess), groups, auxes, sess)
+  }
+
   /** Column-metadata marker stamped on every matview temp-view
     * registration: the stale-registration cleanup after a DROP may only
     * delete a temp view it can PROVE this module registered — a user's
@@ -809,6 +986,12 @@ object GraftMatviews {
           val c = canon.stripPrefix("avg_")
           when(col(s"cnt_$c") > 0,
             col(s"sum_$c").cast("double") / col(s"cnt_$c")).as(alias)
+        case (canon, alias) if canon.startsWith("avgd_") =>
+          // AVG(DISTINCT) = SUM/COUNT of the distinct values, same
+          // DOUBLE division and all-null guard as AVG
+          val c = canon.stripPrefix("avgd_")
+          when(col(s"cntd_$c") > 0,
+            col(s"sumd_$c").cast("double") / col(s"cntd_$c")).as(alias)
         case (canon, alias) => col(canon).as(alias)
       }
     df0.select(cols: _*)

@@ -659,7 +659,9 @@ class GraftMatviewsSpec extends AnyFunSuite {
       assert(read1() == s1)
 
       // rejection matrix: the argument obeys the WHERE rules, plus no
-      // nesting, no DISTINCT, and an alias is mandatory
+      // nesting, and an alias is mandatory (DISTINCT forms are
+      // accepted since r13 — their matrix lives in the dedicated
+      // DISTINCT tests)
       def bad(sql: String, needle: String): Unit = {
         val e = intercept[IllegalArgumentException](GraftSql.sql(spark, sql))
         assert(e.getMessage.contains(needle),
@@ -673,9 +675,6 @@ class GraftMatviewsSpec extends AnyFunSuite {
         "nests an aggregate")
       bad("CREATE MATERIALIZED VIEW mv_exr3 AS SELECT cust, " +
         "SUM(qty * 2) FROM exfact GROUP BY cust", "AS alias")
-      bad("CREATE MATERIALIZED VIEW mv_exr4 AS SELECT cust, " +
-        "COUNT(DISTINCT price) AS x FROM exfact GROUP BY cust",
-        "DISTINCT")
       bad("CREATE MATERIALIZED VIEW mv_exr5 AS SELECT cust, " +
         "SUM(no_such + 1) AS x FROM exfact GROUP BY cust", "analyze")
 
@@ -1316,6 +1315,210 @@ class GraftMatviewsSpec extends AnyFunSuite {
     } finally {
       GraftServer.unregister("mvlit")
       GraftServer.unregister("mvlitd")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("DISTINCT aggregates, single-table form: COUNT/SUM/AVG(DISTINCT)" +
+      " maintained exactly through the pair-level aux view — parity " +
+      "with a from-scratch recompute at every mutation") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "code", "amt"))
+    GraftServer.register("dfact", t)
+    try {
+      def put(rows: Seq[(Long, String, java.lang.Long, Long)], at: String): Unit =
+        t.put(rows.toDF("id", "g", "c", "m"), $"id",
+          lit("2020-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "code" -> $"c", "amt" -> $"m"), ts(at))
+      def del(ids: Seq[Long], at: String): Unit =
+        t.delete(ids.toDF("id"), $"id",
+          lit("2020-01-01").cast("timestamp"), None,
+          Seq("grp" -> lit(null).cast("string"),
+            "code" -> lit(null).cast("long"),
+            "amt" -> lit(null).cast("long")), ts(at))
+
+      // duplicate codes within a group, a NULL code, a row outside the
+      // WHERE — the distinct counters must see values, not rows
+      put(Seq((1L, "a", 10L, 5L), (2L, "a", 10L, 6L), (3L, "a", 20L, 7L),
+        (4L, "b", 10L, 8L), (5L, "b", null, 9L), (6L, "b", 30L, -1L)),
+        "2024-01-01 00:00:00")
+
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_dist WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT grp, COUNT(*) AS n, COUNT(DISTINCT code) AS nd, " +
+        "SUM(DISTINCT code) AS sd, AVG(DISTINCT code) AS ad, " +
+        "MIN(DISTINCT amt) AS mn " +
+        "FROM dfact WHERE amt > 0 GROUP BY grp")
+
+      def read(): Seq[(String, Long, Long, Any, Any, Long)] =
+        GraftSql.sql(spark,
+          "SELECT grp, n, nd, sd, ad, mn FROM mv_dist ORDER BY grp")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.get(3), r.get(4), r.getLong(5))).toSeq
+      def scratch(): Seq[(String, Long, Long, Any, Any, Long)] =
+        t.current().filter($"amt" > 0).groupBy($"grp")
+          .agg(count(lit(1)).as("n"),
+            count_distinct($"code").as("nd"),
+            sum_distinct($"code").as("sd"),
+            (sum_distinct($"code").cast("double") /
+              count_distinct($"code")).as("ad"),
+            min($"amt").as("mn"))
+          .orderBy($"grp").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.get(3), r.get(4), r.getLong(5))).toSeq
+
+      assert(read() == scratch())
+      assert(read() == Seq(("a", 3L, 2L, 30L, 15.0, 5L),
+        ("b", 2L, 1L, 10L, 10.0, 8L)),
+        "NULL code never counts; the WHERE row is invisible")
+
+      // 1. a row with an EXISTING code: n moves, nd/sd do not
+      put(Seq((7L, "a", 20L, 4L)), "2024-01-02 00:00:00")
+      // 2. delete ONE of two rows sharing code 10 in a: nd stays
+      del(Seq(1L), "2024-01-02 00:00:01")
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_dist").collect()
+      assert(read() == scratch())
+
+      // 3. delete the LAST row holding code 10 in a: the value leaves
+      del(Seq(2L), "2024-01-03 00:00:00")
+      // 4. group move: row 4 relocates b → a (code 10 re-enters a,
+      //    leaves b entirely)
+      put(Seq((4L, "a", 10L, 8L)), "2024-01-03 00:00:01")
+      // 5. WHERE crossing: row 6 becomes visible (new code 30 in b)
+      put(Seq((6L, "b", 30L, 2L)), "2024-01-03 00:00:02")
+      // 6. NULL → non-NULL code
+      put(Seq((5L, "b", 40L, 9L)), "2024-01-03 00:00:03")
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_dist").collect()
+      assert(read() == scratch())
+      // refresh idempotence
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_dist").collect()
+      assert(read() == scratch())
+
+      // COUNT(DISTINCT <string expression>): the rollup must not build
+      // a SUM over a non-numeric argument (needSum=false path)
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_dist2 WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT grp, COUNT(DISTINCT concat('c', code)) AS ndc " +
+        "FROM dfact WHERE amt > 0 GROUP BY grp")
+      val got2 = GraftSql.sql(spark,
+        "SELECT grp, ndc FROM mv_dist2 ORDER BY grp").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val want2 = t.current().filter($"amt" > 0).groupBy($"grp")
+        .agg(count_distinct(concat(lit("c"), $"code")).as("ndc"))
+        .orderBy($"grp").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got2 == want2)
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_dist2")
+
+      // crash-skew heal: wipe the aux watermark (simulates a crash
+      // between the main and aux refresh legs) — the next read detects
+      // the token mismatch and catches the aux up pinned to main
+      val auxRoot = java.nio.file.Paths.get(
+        t.tableDir, "matview", "mv_dist", "_dist", "code")
+      assert(java.nio.file.Files.exists(auxRoot.resolve("_watermark")))
+      java.nio.file.Files.delete(auxRoot.resolve("_watermark"))
+      assert(read() == scratch(), "read must heal the skewed aux")
+      assert(java.nio.file.Files.exists(auxRoot.resolve("_watermark")),
+        "heal re-established the aux watermark")
+
+      // a re-CREATE without the DISTINCT aggregates drops the orphaned
+      // pair state
+      GraftMatviews.reset() // simulated restart (state survives)
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_dist WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT grp, COUNT(*) AS n FROM dfact WHERE amt > 0 GROUP BY grp")
+      assert(!java.nio.file.Files.exists(auxRoot),
+        "orphaned _dist state must be cleaned by the re-CREATE")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_dist")
+    } finally {
+      GraftServer.unregister("dfact")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("DISTINCT aggregates, star form: the pair view rides the " +
+      "Δ(A⋈B) rules — dim group-moves relocate distinct sets with " +
+      "zero fact ops") {
+    val s = spark
+    import s.implicits._
+    val fact = freshTable(Seq("cust", "code", "amt"))
+    val dim = freshTable(Seq("region"))
+    GraftServer.register("djfact", fact)
+    GraftServer.register("djdim", dim)
+    try {
+      dim.put(Seq((1L, "EU"), (2L, "EU"), (3L, "US")).toDF("id", "r"),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r"), ts("2024-01-01 00:00:00"))
+      fact.put(Seq(
+          (10L, 1L, 100L, 5L), (11L, 1L, 100L, 6L), (12L, 2L, 200L, 7L),
+          (13L, 3L, 100L, 8L), (14L, 3L, 300L, -2L))
+          .toDF("id", "ck", "c", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> $"ck", "code" -> $"c", "amt" -> $"m"),
+        ts("2024-01-01 00:00:01"))
+
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_jdist WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT region, COUNT(*) AS n, COUNT(DISTINCT code) AS nd, " +
+        "SUM(DISTINCT code) AS sd " +
+        "FROM djfact JOIN djdim ON cust = djdim._id " +
+        "WHERE amt > 0 GROUP BY region")
+
+      def read(): Seq[(String, Long, Long, Long)] =
+        GraftSql.sql(spark,
+          "SELECT region, n, nd, sd FROM mv_jdist ORDER BY region")
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            r.getLong(2), r.getLong(3))).toSeq
+      def scratch(): Seq[(String, Long, Long, Long)] = {
+        val f = fact.current().filter($"amt" > 0)
+        val d = dim.current().select($"_id".cast("long").as("did"), $"region")
+        f.join(d, $"cust" === $"did")
+          .groupBy($"region")
+          .agg(count(lit(1)).as("n"), count_distinct($"code").as("nd"),
+            sum_distinct($"code").as("sd"))
+          .orderBy($"region").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSeq
+      }
+
+      assert(read() == scratch())
+      assert(read() == Seq(("EU", 3L, 2L, 300L), ("US", 1L, 1L, 100L)))
+
+      // dim group-move: customer 2 relocates EU → US with ZERO fact
+      // ops — code 200 leaves EU's distinct set and enters US's
+      dim.put(Seq((2L, "US")).toDF("id", "r"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r"), ts("2024-01-02 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_jdist").collect()
+      assert(read() == scratch())
+      assert(read() == Seq(("EU", 2L, 1L, 100L), ("US", 2L, 2L, 300L)))
+
+      // fact delete of ONE duplicate-code row (nd stays), then the
+      // last one (the value leaves); WHERE crossing brings a new code
+      fact.delete(Seq(10L).toDF("id"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> lit(null).cast("long"),
+          "code" -> lit(null).cast("long"),
+          "amt" -> lit(null).cast("long")), ts("2024-01-03 00:00:00"))
+      fact.put(Seq((14L, 3L, 300L, 9L)).toDF("id", "ck", "c", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> $"ck", "code" -> $"c", "amt" -> $"m"),
+        ts("2024-01-03 00:00:01"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_jdist").collect()
+      assert(read() == scratch())
+      fact.delete(Seq(11L).toDF("id"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> lit(null).cast("long"),
+          "code" -> lit(null).cast("long"),
+          "amt" -> lit(null).cast("long")), ts("2024-01-04 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_jdist").collect()
+      assert(read() == scratch())
+
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_jdist")
+    } finally {
+      GraftServer.unregister("djfact")
+      GraftServer.unregister("djdim")
       GraftMatviews.reset()
     }
   }
