@@ -186,6 +186,21 @@ object MaintainerLease {
   private def acquire(root: Path, op: String): Unit = {
     val f = leaseFile(root)
     Files.createDirectories(root)
+    // crash cleanup: a kill between a renewal/retire/release temp's
+    // write and its rename orphans a `_maintainer_lease.<kind>.<uuid>`
+    // file that nothing else manages — sweep them once they are a TTL
+    // old (a LIVE racer's temp is always younger than that)
+    try {
+      val cutoff = System.currentTimeMillis() - ttlMs
+      val listing = Files.list(root)
+      try listing.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("_maintainer_lease.") &&
+            (try Files.getLastModifiedTime(p).toMillis < cutoff
+             catch { case _: java.io.IOException => false }))
+          Files.deleteIfExists(p): Unit
+      } finally listing.close()
+    } catch { case _: java.io.IOException => }
     var attempts = 0
     while (true) {
       attempts += 1

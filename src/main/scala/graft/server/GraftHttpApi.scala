@@ -41,7 +41,7 @@ import org.apache.spark.sql.functions.{col, struct, to_json}
   * `scram` tradeoff this door's wire sibling avoids natively.
   * Verification verdicts are cached for a short TTL
   * (`-Dgraft.http.authCacheTtlMs`, default 60 s; 0 disables) keyed by
-  * a process-salted digest of (verifier, password), so repeating one
+  * a process-salted digest of (username, verifier, password), so repeating one
   * credential costs one PBKDF2 derivation per TTL instead of one per
   * request; a flood that VARIES passwords still pays a full derivation
   * per distinct guess — when the port leaves the host, put a rate
@@ -102,7 +102,7 @@ object GraftHttpApi {
   // PBKDF2 (verifier iteration count, typically 4096) per request made
   // an unauthenticated flood a cheap CPU amplifier on the bounded
   // handler pool. Cache the VERDICT for a short TTL, keyed by a salted
-  // SHA-256 of (verifier, password) — never the cleartext, and the
+  // SHA-256 of (username, verifier, password) — never the cleartext, and the
   // per-process random salt makes the stored digests useless offline.
   // verifyPassword is a pure function of exactly that pair, so the
   // cache is sound memoization: rotating the password file swaps the
@@ -113,8 +113,16 @@ object GraftHttpApi {
   // (an attacker VARYING passwords still pays full price per distinct
   // guess — that part is inherent to password auth; front with TLS + a
   // rate limiter when the port leaves the host, per the class doc).
+  // loud parse (IllegalStateException, NOT IllegalArgumentException):
+  // basicUser's bad-base64 catch swallows IAEs, and a malformed conf
+  // must surface as a named 500, never as a silent 401 lockout
   private def authCacheTtlMs: Long =
-    sys.props.get("graft.http.authCacheTtlMs").map(_.toLong).getOrElse(60000L)
+    sys.props.get("graft.http.authCacheTtlMs").map(s =>
+      try s.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"graft.http.authCacheTtlMs must be millis, got '$s'")
+      }).getOrElse(60000L)
   private val authCacheMax = 4096
   private val authCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Long)]
@@ -124,9 +132,19 @@ object GraftHttpApi {
     b
   }
 
-  private def credKey(v: PgScram.Verifier, pass: String): String = {
+  private def credKey(user: String, v: PgScram.Verifier,
+                      pass: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update(authSalt)
+    // the USERNAME is part of the key even though verifyPassword never
+    // reads it: all unknown users share ONE decoy verifier, and a
+    // shared cache entry would make a warmed decoy verdict answer in
+    // ~0ms while a real user's first probe pays the derivation —
+    // response latency would become the username oracle the decoy
+    // exists to close. Per-username keying keeps first-probe cost
+    // identical for existing and non-existing names.
+    md.update(user.getBytes(UTF_8))
+    md.update(0.toByte)
     md.update(java.nio.ByteBuffer.allocate(4).putInt(v.iterations).array())
     md.update(v.salt)
     md.update(v.storedKey)
@@ -139,13 +157,14 @@ object GraftHttpApi {
     * The map is bounded — on overflow, expired entries are purged and,
     * if a flood of distinct creds keeps it over the cap, the cache is
     * dropped wholesale (correctness never depends on it). */
-  private def verifyCached(pass: String, v: PgScram.Verifier): Boolean = {
+  private def verifyCached(user: String, pass: String,
+                           v: PgScram.Verifier): Boolean = {
     val ttl = authCacheTtlMs
     if (ttl <= 0) {
       derivationCount.incrementAndGet(): Unit
       return PgScram.verifyPassword(pass, v)
     }
-    val k = credKey(v, pass)
+    val k = credKey(user, v, pass)
     val now = System.currentTimeMillis()
     val cached = authCache.get(k)
     if (cached != null && cached._2 > now) return cached._1
@@ -184,9 +203,9 @@ object GraftHttpApi {
             val (user, pass) = (dec.substring(0, i), dec.substring(i + 1))
             users.get(user) match {
               case Some(v) =>
-                if (verifyCached(pass, v)) Some(user) else None
+                if (verifyCached(user, pass, v)) Some(user) else None
               case None => // unknown user: same derivation cost, then no
-                verifyCached(pass, decoyVerifier): Unit
+                verifyCached(user, pass, decoyVerifier): Unit
                 None
             }
           }

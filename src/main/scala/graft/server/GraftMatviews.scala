@@ -731,13 +731,8 @@ object GraftMatviews {
         Handle(name, serveAll, havingOpt,
           sess => readWithDistinct(sess, roots, () => mv.watermark.toString,
             s2 => mv.read(s2), groups, auxes),
-          () => graft.bitemporal.MaintainerLease
-            .withLease(roots, "matview-refresh") {
-              auxes.foreach(_.refreshPinned()) // heal prior crash skew
-              val w = mv.refresh()
-              auxes.foreach(_.refreshPinned())
-              (w, None)
-            },
+          () => refreshWithAuxes(roots, auxes,
+            () => (mv.refresh(), Option.empty[Long])),
           mvDir, canonicalDdl(nb))
       } else {
         // each JOIN clause is one spoke of the star: resolve the dim
@@ -798,13 +793,8 @@ object GraftMatviews {
           sess => readWithDistinct(sess, roots,
             () => mv.watermarksAll.mkString(" "), s2 => mv.read(s2),
             groups, auxes),
-          () => graft.bitemporal.MaintainerLease
-            .withLease(roots, "matview-refresh") {
-              auxes.foreach(_.refreshPinned()) // heal prior crash skew
-              val (a, b) = mv.refresh()
-              auxes.foreach(_.refreshPinned())
-              (a, Some(b))
-            },
+          () => refreshWithAuxes(roots, auxes,
+            () => { val (a, b) = mv.refresh(); (a, Some(b)) }),
           mvDir, canonicalDdl(nb))
       }
 
@@ -952,10 +942,41 @@ object GraftMatviews {
         val t = mainToken(); auxes.exists(_.wmToken() != t)
       })
       graft.bitemporal.MaintainerLease.withLease(roots, "matview-distinct-heal") {
-        auxes.foreach(_.refreshPinned())
+        try auxes.foreach(_.refreshPinned())
+        catch { case e: Exception =>
+          // the pinned snapshot can be unrecoverable when maintenance
+          // truncated the log past the main view's watermark AFTER a
+          // crash left the aux behind — only a REFRESH (which advances
+          // the main watermark past the truncation) can converge the
+          // pair again; serving mixed bases silently is never an option
+          throw new IllegalStateException(
+            "the view's DISTINCT auxiliary state is behind its main " +
+              "state and the pinned catch-up failed (log truncated past " +
+              "the main watermark?): run REFRESH MATERIALIZED VIEW to " +
+              s"re-converge — ${e.getMessage}", e)
+        }
       }
     distinctServe(baseRead(sess), groups, auxes, sess)
   }
+
+  /** The composite REFRESH for a view with DISTINCT aggregates: heal
+    * any prior crash skew, advance the main view, re-pin the auxes at
+    * its new watermarks. The heal leg TOLERATES an unrecoverable
+    * pinned snapshot (crash skew + a log truncation that advanced past
+    * the main watermark makes the old pin unreachable) — the main
+    * refresh right after advances the watermark past the truncation,
+    * and the second leg re-pins there through the rebuild path, so one
+    * REFRESH always re-converges the pair instead of wedging on the
+    * first leg forever. */
+  private def refreshWithAuxes[A](roots: Seq[java.nio.file.Path],
+      auxes: Seq[Aux], mainRefresh: () => A): A =
+    graft.bitemporal.MaintainerLease.withLease(roots, "matview-refresh") {
+      try auxes.foreach(_.refreshPinned())
+      catch { case _: Exception => } // superseded by the re-pin below
+      val r = mainRefresh()
+      auxes.foreach(_.refreshPinned())
+      r
+    }
 
   /** Column-metadata marker stamped on every matview temp-view
     * registration: the stale-registration cleanup after a DROP may only

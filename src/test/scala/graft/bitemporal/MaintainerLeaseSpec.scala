@@ -118,6 +118,21 @@ class MaintainerLeaseSpec extends AnyFunSuite {
     }
   }
 
+  test("acquire sweeps crash-orphaned lease temp files once they are a " +
+      "TTL old — a live racer's younger temp survives") {
+    val r = tempRoot()
+    val old = r.resolve("_maintainer_lease.new.deadbee1")
+    val young = r.resolve("_maintainer_lease.rel.cafebab2")
+    Files.write(old, "x".getBytes(UTF_8))
+    Files.setLastModifiedTime(old, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - MaintainerLease.ttlMs - 2000))
+    Files.write(young, "y".getBytes(UTF_8))
+    MaintainerLease.withLease(r, "op") { () }
+    assert(!Files.exists(old), "a TTL-old orphaned temp must be swept")
+    assert(Files.exists(young), "a young temp may be a live racer's — kept")
+    Files.delete(young)
+  }
+
   test("release never touches a successor's live lease (read-before-move)") {
     val r = tempRoot()
     val lf = r.resolve("_maintainer_lease")

@@ -297,6 +297,34 @@ class GraftHttpApiSpec extends AnyFunSuite {
         Some("alice:varied-guess"))._1 == 401)
       assert(GraftHttpApi.derivationCount.get() == d0 + 3)
 
+      // per-USERNAME decoy keying: warming the cache with one unknown
+      // user must not make a different unknown user's first probe
+      // free — shared decoy verdicts would turn response latency into
+      // the username oracle the decoy exists to close
+      GraftHttpApi.clearAuthCache()
+      val e1 = GraftHttpApi.derivationCount.get()
+      assert(send("POST", "/query", "SELECT 1", Some("ghost1:guess"))._1 == 401)
+      assert(send("POST", "/query", "SELECT 1", Some("ghost1:guess"))._1 == 401)
+      assert(GraftHttpApi.derivationCount.get() == e1 + 1,
+        "repeated unknown-user probe is cached")
+      assert(send("POST", "/query", "SELECT 1", Some("ghost2:guess"))._1 == 401)
+      assert(GraftHttpApi.derivationCount.get() == e1 + 2,
+        "a different unknown username must pay its own derivation")
+
+      // a malformed cache-TTL conf surfaces as a NAMED 500, never a
+      // silent 401 lockout (the parse must not be swallowed by the
+      // bad-base64 catch)
+      val prevTtl = sys.props.get("graft.http.authCacheTtlMs")
+      sys.props("graft.http.authCacheTtlMs") = "60s"
+      try {
+        val (mc, mb, _) = send("POST", "/query", "SELECT 1 AS x",
+          Some("alice:wonderland"))
+        assert(mc == 500 && mb.contains("authCacheTtlMs"), s"$mc $mb")
+      } finally prevTtl match {
+        case Some(v) => sys.props("graft.http.authCacheTtlMs") = v
+        case None => sys.props.remove("graft.http.authCacheTtlMs"): Unit
+      }
+
       // /status stays a health probe but withholds the inventory from
       // unauthenticated callers
       val (sc, sb, _) = send("GET", "/status", "", None)

@@ -1422,6 +1422,20 @@ class GraftMatviewsSpec extends AnyFunSuite {
       assert(java.nio.file.Files.exists(auxRoot.resolve("_watermark")),
         "heal re-established the aux watermark")
 
+      // crash skew + a log truncation past the main watermark: the old
+      // pin becomes unreachable — reads refuse loudly with the REFRESH
+      // hint, and ONE REFRESH re-converges the pair (the heal leg must
+      // tolerate the unrecoverable pin instead of wedging forever)
+      java.nio.file.Files.delete(auxRoot.resolve("_watermark"))
+      put(Seq((8L, "a", 50L, 3L)), "2024-01-05 00:00:00") // unrefreshed tail
+      t.vacuumLog() // truncates past main's watermark
+      val ew = intercept[IllegalStateException](read())
+      assert(ew.getMessage.contains("REFRESH MATERIALIZED VIEW"),
+        ew.getMessage)
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_dist").collect()
+      assert(read() == scratch(),
+        "one REFRESH must re-converge the pair after truncation skew")
+
       // a re-CREATE without the DISTINCT aggregates drops the orphaned
       // pair state
       GraftMatviews.reset() // simulated restart (state survives)
