@@ -270,6 +270,32 @@ object Streaming {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** Continuous maintenance of a DDL-REGISTERED view by NAME: new tx
+    * files in any watched log trigger `REFRESH MATERIALIZED VIEW name`
+    * through the SQL front door, so COMPOSITE serve paths — a DISTINCT
+    * view's pinned pair-level auxiliaries — refresh as one unit; a
+    * Scala-level [[graft.bitemporal.Matview]] handle cannot reach
+    * those. Same trigger-only semantics as [[maintainStarMatview]]:
+    * REFRESH is watermark-exact, so duplicate triggers, empty batches
+    * and restarts never double-count; an unknown or dropped view name
+    * fails the query loudly instead of spinning. */
+  def maintainNamedMatview(spark: SparkSession,
+                           logs: Seq[(String, StructType)],
+                           viewName: String,
+                           checkpoint: Option[String] = None,
+                           availableNow: Boolean = false): StreamingQuery = {
+    require(logs.nonEmpty, "at least one log to watch")
+    val ticks = logs.map { case (dir, sch) =>
+      txLogStream(spark, dir, sch).select(lit(1).as("_tick"))
+    }.reduce(_ unionByName _)
+    val w = ticks.writeStream.foreachBatch { (_: DataFrame, _: Long) =>
+      graft.server.GraftSql
+        .sql(spark, s"REFRESH MATERIALIZED VIEW $viewName").collect(); ()
+    }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** SQL confs for DURABLE keyed state: the RocksDB state store keeps
     * each operator's state off-heap and snapshots it to the query's
     * CHECKPOINT location, so a restarted query resumes with its

@@ -1537,6 +1537,59 @@ class GraftMatviewsSpec extends AnyFunSuite {
     }
   }
 
+  test("continuous maintenance BY NAME drives the DISTINCT composite: " +
+      "the pair view refreshes with the main through the stream trigger") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "code", "amt"))
+    GraftServer.register("nmfact", t)
+    try {
+      def put(rows: Seq[(Long, String, Long, Long)], at: String): Unit =
+        t.put(rows.toDF("id", "g", "c", "m"), $"id",
+          lit("2020-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "code" -> $"c", "amt" -> $"m"), ts(at))
+      put(Seq((1L, "a", 10L, 5L), (2L, "a", 20L, 6L), (3L, "b", 10L, 7L)),
+        "2024-01-01 00:00:00")
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_nm WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT grp, COUNT(*) AS n, COUNT(DISTINCT code) AS nd " +
+        "FROM nmfact WHERE amt > 0 GROUP BY grp")
+      val schema = spark.read.option("mergeSchema", "true")
+        .parquet(s"${t.tableDir}/log/tx_*").schema
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft_nm_ckpt").toString
+      def drain(): Unit = {
+        val q = graft.streaming.Streaming.maintainNamedMatview(spark,
+          Seq(t.tableDir -> schema), "mv_nm",
+          checkpoint = Some(ckpt), availableNow = true)
+        q.awaitTermination()
+      }
+      def read(): Seq[(String, Long, Long)] =
+        GraftSql.sql(spark, "SELECT grp, n, nd FROM mv_nm ORDER BY grp")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      def scratch(): Seq[(String, Long, Long)] =
+        t.current().filter($"amt" > 0).groupBy($"grp")
+          .agg(count(lit(1)).as("n"), count_distinct($"code").as("nd"))
+          .orderBy($"grp").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+      // tail lands while the maintainer is down; one drain catches the
+      // WHOLE composite up (main + pair aux through the DDL REFRESH)
+      put(Seq((4L, "a", 30L, 8L), (5L, "b", 10L, 9L)), "2024-01-02 00:00:00")
+      drain()
+      assert(read() == scratch())
+      assert(read() == Seq(("a", 3L, 3L), ("b", 2L, 1L)))
+      // idempotent re-drain
+      drain()
+      assert(read() == scratch())
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_nm")
+    } finally {
+      GraftServer.unregister("nmfact")
+      GraftMatviews.reset()
+    }
+  }
+
   test("a transiently failing re-CREATE over surviving state preserves " +
       "the '_ddl' sidecar — RESTORE stays possible") {
     val s = spark
