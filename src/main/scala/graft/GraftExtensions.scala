@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // tables resolve in plain spark.sql — locally and over Spark Connect
     ext.injectParser((session, delegate) =>
       new graft.server.GraftSqlParser(session, delegate))
+    // matview point reads: full-group-key equality → bucket-dir pruning
+    ext.injectOptimizerRule(_ => graft.plans.MvBucketPrune)
     ext.injectFunction((FunctionIdentifier("sorted_last_leq"),
       new ExpressionInfo(classOf[SortedLastLeq].getName, "sorted_last_leq"),
       (exprs: Seq[Expression]) => SortedLastLeq(exprs.head, exprs(1))))

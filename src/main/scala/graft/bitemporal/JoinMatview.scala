@@ -285,9 +285,8 @@ final class JoinMatview private[graft] (
     TxLog.deleteRecursively(tmp.toFile)
     // schema sidecar: a join that matches nothing writes a file-less
     // parquet dir — without the pinned schema every later read throws
-    MvState.writeSchema(stateRoot, agg)
-    agg.repartition(col("_bucket"))
-      .write.mode("overwrite").partitionBy("_bucket").parquet(tmp.toString)
+    MvState.writeSchema(stateRoot, agg, groupCols, nBuckets)
+    MvState.writeState(agg, groupCols, tmp, nBuckets)
     val old = stateRoot.resolve("state_rebuild_old")
     TxLog.deleteRecursively(old.toFile)
     if (Files.exists(dataDir)) { Files.move(dataDir, old): Unit }
@@ -546,7 +545,7 @@ final class JoinMatview private[graft] (
                   .otherwise(col(s"m.$a")).as(a)) :+
             col("m._bucket").as("_bucket")): _*)
       }
-    MvState.swapBuckets(stateRoot, dataDir, merged, affected)
+    MvState.swapBuckets(stateRoot, dataDir, merged, affected, groupCols)
     MvState.pinDef(stateRoot, defFp)
     setWatermarks(lasts)
     ret(lasts)

@@ -181,10 +181,8 @@ final class Matview private[graft] (
     // (watermark still behind) rebuilds from scratch.
     val tmp = stateRoot.resolve("state_rebuild_tmp")
     TxLog.deleteRecursively(tmp.toFile)
-    MvState.writeSchema(stateRoot, agg)
-    agg.repartition(col("_bucket"))
-      .write.mode("overwrite").partitionBy("_bucket")
-      .parquet(tmp.toString)
+    MvState.writeSchema(stateRoot, agg, groupCols, nBuckets)
+    MvState.writeState(agg, groupCols, tmp, nBuckets)
     val old = stateRoot.resolve("state_rebuild_old")
     TxLog.deleteRecursively(old.toFile)
     if (Files.exists(dataDir)) { Files.move(dataDir, old): Unit }
@@ -256,11 +254,8 @@ final class Matview private[graft] (
           Bitemporal.fold(readTx(files), payloadCols),
           lit(validAt), lit(sysProbe))))
         .withColumn("_bucket", bucketCol)
-      MvState.writeSchema(stateRoot, firstAgg)
-      firstAgg
-        .repartition(col("_bucket"))
-        .write.mode("overwrite").partitionBy("_bucket")
-        .parquet(dataDir.toString)
+      MvState.writeSchema(stateRoot, firstAgg, groupCols, nBuckets)
+      MvState.writeState(firstAgg, groupCols, dataDir, nBuckets)
       if (tzSensitive(firstAgg.schema)) MvState.pinTimeZone(spark, stateRoot)
       MvState.pinDef(stateRoot, defFp)
       setWatermark(last)
@@ -387,7 +382,7 @@ final class Matview private[graft] (
                   .otherwise(col(s"m.$a")).as(a)) :+
             col("m._bucket").as("_bucket")): _*)
       }
-    MvState.swapBuckets(stateRoot, dataDir, merged, affected)
+    MvState.swapBuckets(stateRoot, dataDir, merged, affected, groupCols)
     MvState.pinDef(stateRoot, defFp)
     setWatermark(last)
     last
@@ -406,7 +401,7 @@ final class Matview private[graft] (
 }
 
 /** State-store helpers shared by [[Matview]] and [[JoinMatview]]. */
-private[bitemporal] object MvState {
+private[graft] object MvState {
   /** Sieve (the view's WHERE) then attach the derived expression
     * columns — the row-local preparation every aggregation path of
     * both view kinds shares. One definition, because it feeds the
@@ -423,13 +418,39 @@ private[bitemporal] object MvState {
     * is kept BIT-IDENTICAL to the pre-r12 one so existing state dirs
     * keep their bucket assignment; multi-column keys concat with a
     * \u0001 separator. */
+  /** Formula constants shared with [[graft.plans.MvBucketPrune]], which
+    * rebuilds the same hash over PREDICATE LITERALS — the two sides
+    * must never drift or pruning would silently read the wrong bucket. */
+  val NullGroupMarker = "\\u0000:null-group"
+  val GroupKeySep = "\u0001"
+
   def bucketCol(groupCols: Seq[String], nBuckets: Int): Column = {
     val parts = groupCols.map(c =>
-      coalesce(col(c).cast("string"), lit("\\u0000:null-group")))
+      coalesce(col(c).cast("string"), lit(NullGroupMarker)))
     val key = if (parts.size == 1) parts.head
-      else concat_ws("\u0001", parts: _*)
+      else concat_ws(GroupKeySep, parts: _*)
     pmod(xxhash64(key), lit(nBuckets.toLong))
   }
+
+  /** Write a state relation to `dest` partitioned by `_bucket`, rows
+    * SORTED by the group key within each bucket's files: a bucket
+    * holds every group that hashes to it, so unsorted files have
+    * useless row-group min/max stats on the group columns — sorted, a
+    * point/range read of one group over a billion-group view decodes
+    * only the matching row groups (parquet footer pruning), not the
+    * whole state. The sort is per-bucket-local (no extra shuffle
+    * beyond the repartition every write already pays). */
+  /** `width` = the number of bucket dirs this write will produce
+    * (affected buckets on a swap, nBuckets on a full build): explicit
+    * so the write job launches tasks ∝ its actual work — a
+    * conf-derived width costs dozens of empty sort+write tasks per
+    * refresh on a small view, measured at +15% on the sf1 storage
+    * family. */
+  def writeState(df: DataFrame, groupCols: Seq[String],
+                 dest: Path, width: Int): Unit =
+    df.repartition(math.max(width, 1), col("_bucket"))
+      .sortWithinPartitions(("_bucket" +: groupCols).map(col): _*)
+      .write.mode("overwrite").partitionBy("_bucket").parquet(dest.toString)
 
   /** Pin the session timezone the state was (re)built under. Catalyst
     * marks timezone-aware expressions (date_trunc over timestamps,
@@ -511,10 +532,27 @@ private[bitemporal] object MvState {
     * UNABLE_TO_INFER_SCHEMA on every later refresh() and read(),
     * permanently (found by review). With the sidecar, empty state
     * reads as an empty relation and the view keeps working. */
-  def writeSchema(stateRoot: Path, df: DataFrame): Unit = {
+  /** Metadata keys stamped on the FIRST group column of the persisted
+    * state schema — [[graft.plans.MvBucketPrune]] reads them off the
+    * scan's attributes to translate a full-group-key equality predicate
+    * into `_bucket = <const>` partition pruning. */
+  val BucketsKey = "graft.mv.nbuckets"
+  val GroupsKey = "graft.mv.groups"
+
+  def writeSchema(stateRoot: Path, df: DataFrame,
+                  groupCols: Seq[String], nBuckets: Int): Unit = {
     Files.createDirectories(stateRoot)
+    val stamped = org.apache.spark.sql.types.StructType(df.schema.map { f =>
+      if (f.name == groupCols.head)
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong(BucketsKey, nBuckets.toLong)
+          .putString(GroupsKey, groupCols.mkString("\u0001"))
+          .build())
+      else f
+    })
     val tmp = stateRoot.resolve("_schema.tmp")
-    Files.write(tmp, df.schema.json.getBytes(UTF_8))
+    Files.write(tmp, stamped.json.getBytes(UTF_8))
     Files.move(tmp, stateRoot.resolve("_schema"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
@@ -524,11 +562,10 @@ private[bitemporal] object MvState {
     * untouched buckets keep their files byte for byte. A bucket whose
     * groups all vanished is deleted and not replaced. */
   def swapBuckets(stateRoot: Path, dataDir: Path, merged: DataFrame,
-                  affected: Seq[Long]): Unit = {
+                  affected: Seq[Long], groupCols: Seq[String]): Unit = {
     val tmp = stateRoot.resolve("state_tmp")
     TxLog.deleteRecursively(tmp.toFile)
-    merged.repartition(col("_bucket"))
-      .write.mode("overwrite").partitionBy("_bucket").parquet(tmp.toString)
+    writeState(merged, groupCols, tmp, affected.size)
     affected.foreach { b =>
       val name = s"_bucket=$b"
       val dst = dataDir.resolve(name)
@@ -542,8 +579,23 @@ private[bitemporal] object MvState {
   /** Read the state dir, schema-pinned when the sidecar exists (also
     * immune to mixed-footer inference order); plain inference for
     * state written before the sidecar existed. */
+  /** Make sure [[graft.plans.MvBucketPrune]] runs in `session`'s
+    * optimizer: the config path is `spark.sql.extensions =
+    * graft.GraftExtensions`, but sessions built without it (and
+    * Connect-cloned sessions) still serve matviews — hook the rule
+    * through the experimental-methods batch the first time this
+    * session reads state. Idempotent; the rule itself is a no-op on
+    * non-matview scans (schema-metadata gated). */
+  private def ensurePruneRule(session: SparkSession): Unit = {
+    val cur = session.experimental.extraOptimizations
+    if (!cur.contains(graft.plans.MvBucketPrune))
+      session.experimental.extraOptimizations =
+        cur :+ graft.plans.MvBucketPrune
+  }
+
   def readState(spark: SparkSession, stateRoot: Path,
                 dataDir: Path): DataFrame = {
+    ensurePruneRule(spark)
     val sf = stateRoot.resolve("_schema")
     // no sidecar AND no data: never refreshed against a non-empty log —
     // the state's schema is genuinely unknowable (payload types come

@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.StringType
+
+import graft.bitemporal.MvState
+
+/** Bucket-dir pruning for matview state scans — a custom optimizer rule
+  * (injected via [[graft.GraftExtensions]]) that closes the gap Catalyst
+  * cannot see: matview state is laid out as `_bucket=<hash(group key)>`
+  * partition dirs, so an equality predicate on the FULL group key
+  * determines the one partition holding the group — but only the
+  * engine knows the hash. Catalyst pushes `g = 'x'` to the parquet scan
+  * as a data filter (row-group stats prune WITHIN files, helped by the
+  * r13 within-bucket sort); this rule adds the conjunct
+  * `_bucket = pmod(xxhash64(key-from-literals), n)`, which
+  * FileSourceStrategy classifies as a PARTITION filter — a point read
+  * of one group over a billion-group view lists and opens ONE bucket
+  * dir out of `nBuckets`, not all of them.
+  *
+  * Soundness:
+  *   - the formula is rebuilt from the same constants the write side
+  *     uses ([[MvState.bucketCol]]'s marker/separator — shared vals, so
+  *     the two can never drift), over the predicate's foldable
+  *     literals; constant folding turns it into `_bucket = <long>`;
+  *   - fires only when EVERY group column (read from the
+  *     [[MvState.GroupsKey]] schema metadata the state sidecar carries)
+  *     has an equality-to-foldable conjunct — the hash covers the whole
+  *     key, partial keys cannot prune;
+  *   - TIMESTAMP-typed group keys are skipped: their hash goes through
+  *     a session-timezone-dependent string cast, and the reading
+  *     session's zone may differ from the writing one's (the `_tz` pin
+  *     guards refreshes, not reads);
+  *   - `g = lit` never matches a NULL group, and a non-null literal
+  *     never hashes to the null marker — the pruned bucket is exactly
+  *     the group's;
+  *   - state written before r13 carries no metadata — the rule no-ops
+  *     (back-compat by construction).
+  */
+object MvBucketPrune extends Rule[LogicalPlan] {
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, rel: LogicalRelation)
+        if rel.output.exists(_.metadata.contains(MvState.BucketsKey)) =>
+      prune(cond, rel)
+        .map(extra => Filter(And(cond, extra), rel))
+        .getOrElse(f)
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  private def prune(cond: Expression,
+                    rel: LogicalRelation): Option[Expression] = {
+    val tagged = rel.output.find(_.metadata.contains(MvState.BucketsKey)).get
+    val n = tagged.metadata.getLong(MvState.BucketsKey)
+    val groups =
+      tagged.metadata.getString(MvState.GroupsKey).split(MvState.GroupKeySep.charAt(0)).toSeq
+    val bucketAttr = rel.output.find(_.name == "_bucket")
+      .getOrElse(return None)
+    val conjuncts = splitAnd(cond)
+    // idempotence under the fixed-point optimizer batch: once any
+    // conjunct constrains _bucket, this scan is already pruned
+    if (conjuncts.exists(_.references.exists(_.name == "_bucket")))
+      return None
+    val groupAttrs = groups.map(g =>
+      rel.output.find(_.name == g).getOrElse(return None))
+    if (groupAttrs.exists(_.dataType.typeName.startsWith("timestamp")))
+      return None
+    val byName: Map[String, Expression] = conjuncts.flatMap {
+      case EqualTo(a: AttributeReference, v)
+          if v.foldable && groups.contains(a.name) => Some(a.name -> v)
+      case EqualTo(v, a: AttributeReference)
+          if v.foldable && groups.contains(a.name) => Some(a.name -> v)
+      case _ => None
+    }.toMap
+    if (!groups.forall(byName.contains)) return None
+    val tz = Some(SQLConf.get.sessionLocalTimeZone)
+    val parts = groups.map(g => Coalesce(Seq(
+      Cast(byName(g), StringType, tz), Literal(MvState.NullGroupMarker))))
+    val key =
+      if (parts.size == 1) parts.head
+      else ConcatWs(Literal(MvState.GroupKeySep) +: parts)
+    Some(EqualTo(bucketAttr, Pmod(new XxHash64(Seq(key), 42L), Literal(n))))
+  }
+}

@@ -256,6 +256,115 @@ class MatviewSpec extends AnyFunSuite {
     assert(dt == org.apache.spark.sql.types.DecimalType(22, 2), dt.toString)
   }
 
+  test("state files are SORTED by group within buckets: a point read " +
+      "decodes matching row groups, not the whole state") {
+    val (t, _) = freshTable()
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    // tiny row groups so footer min/max pruning is observable at test
+    // scale (production row groups are 128 MB — same mechanics)
+    hc.set("parquet.block.size", "65536")
+    try {
+      val mv = t.matview("sorted1", "grp", Seq("amt"), validAt, nBuckets = 1)
+      val rows = spark.range(120000).select($"id",
+        format_string("g%07d", $"id").as("g"),
+        ($"id" % 97).cast("decimal(12,2)").as("m"))
+      t.put(rows, $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "amt" -> $"m"), ts("2024-01-01 00:00:00"))
+      mv.refresh()
+      var records = 0L
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          synchronized { records += e.taskMetrics.inputMetrics.recordsRead }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val r = mv.read().filter($"grp" === "g0001234").collect()
+        assert(r.length == 1 && r(0).getAs[java.math.BigDecimal]("sum_amt")
+          .longValueExact() == 1234 % 97)
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        var last = -1L
+        while (System.nanoTime() < deadline && records != last) {
+          last = records; Thread.sleep(300)
+        }
+        assert(records > 0, "listener saw no input metrics")
+        assert(records <= 40000,
+          s"point read decoded $records of 120000 state rows — the " +
+            "within-bucket group sort (row-group min/max pruning) is lost")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally oldBlock match {
+      case Some(v) => hc.set("parquet.block.size", v)
+      case None => hc.unset("parquet.block.size")
+    }
+  }
+
+  test("MvBucketPrune: a full-group-key equality reads ONE bucket dir " +
+      "(partition pruning via the optimizer rule); partial keys and " +
+      "timestamp keys do not prune") {
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    def bucketPruned(df: org.apache.spark.sql.DataFrame): Boolean =
+      scanOf(df).partitionFilters
+        .exists(_.references.exists(_.name == "_bucket"))
+
+    val (t, _) = freshTable()
+    val mv = t.matview("pruned1", "grp", Seq("amt"), validAt, nBuckets = 16)
+    val rows = spark.range(800).select($"id",
+      format_string("g%04d", $"id" % 200).as("g"),
+      lit("2.00").cast("decimal(12,2)").as("m"))
+    t.put(rows, $"id", lit("2020-01-01").cast("timestamp"), None,
+      Seq("grp" -> $"g", "amt" -> $"m"), ts("2024-01-01 00:00:00"))
+    mv.refresh()
+
+    val probe = mv.read().filter($"grp" === "g0042")
+    assert(bucketPruned(probe),
+      "full-group-key equality must add a _bucket partition filter")
+    val res = probe.collect()
+    assert(res.length == 1 &&
+      res(0).getAs[Long]("n") == 4L, res.mkString(","))
+    val scan = scanOf(probe)
+    assert(res.nonEmpty) // action ran; metrics populated
+    assert(scan.metrics("numFiles").value == 1,
+      s"expected ONE bucket file, read ${scan.metrics("numFiles").value} " +
+        "(every one of the 16 buckets is non-empty at 200 groups)")
+
+    // range/partial predicates cannot prune (the hash covers the key)
+    assert(!bucketPruned(mv.read().filter($"grp" > "g0042")))
+
+    // multi-column key: both equalities prune, one does not
+    val mv2 = t.matviewN("pruned2", Seq("grp", "amt"), Nil, validAt, 8)
+    mv2.refresh()
+    // the literal must compare in the column's own type: a string-vs-
+    // decimal equality wraps the ATTRIBUTE in a cast and (correctly)
+    // defeats the extraction — same-type equality prunes
+    val amtLit = lit("2.00").cast("decimal(12,2)")
+    assert(bucketPruned(
+      mv2.read().filter($"grp" === "g0042" && $"amt" === amtLit)))
+    assert(!bucketPruned(mv2.read().filter($"grp" === "g0042")))
+    assert(mv2.read().filter($"grp" === "g0042" && $"amt" === amtLit)
+      .collect().length == 1)
+
+    // timestamp group keys hash through a session-timezone-dependent
+    // cast — the reading session may differ from the writing one: skip
+    val t3dir = java.nio.file.Files.createTempDirectory("graft_mv3").toString
+    val t3 = new GraftTable(spark, t3dir, Seq("at", "amt"))
+    t3.put(spark.range(10).select($"id",
+        lit("2024-02-05 10:00:00").cast("timestamp").as("ts"),
+        lit("1.00").cast("decimal(12,2)").as("m")),
+      $"id", lit("2020-01-01").cast("timestamp"), None,
+      Seq("at" -> $"ts", "amt" -> $"m"), ts("2024-03-01 00:00:00"))
+    val mv3 = t3.matview("pruned3", "at", Seq("amt"), validAt, 8)
+    mv3.refresh()
+    val p3 = mv3.read()
+      .filter($"at" === lit("2024-02-05 10:00:00").cast("timestamp"))
+    assert(!bucketPruned(p3),
+      "timestamp keys must not bucket-prune (timezone-dependent hash)")
+    assert(p3.collect().length == 1)
+  }
+
   test("definition-mismatch discard removes the schema/tz sidecars: a " +
       "failed rebuild reads as 'has no state', never the OLD columns") {
     val (t, dir) = freshTable()

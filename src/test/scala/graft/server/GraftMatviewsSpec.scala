@@ -1395,6 +1395,20 @@ class GraftMatviewsSpec extends AnyFunSuite {
       GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_dist").collect()
       assert(read() == scratch())
 
+      // HAVING over a DISTINCT output column: served as the usual
+      // read-time filter over the composite projection
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_dist_h WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT grp, COUNT(DISTINCT code) AS nd FROM dfact " +
+        "WHERE amt > 0 GROUP BY grp HAVING nd >= 2")
+      val hv = GraftSql.sql(spark,
+        "SELECT grp, nd FROM mv_dist_h ORDER BY grp").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val hvWant = scratch().collect { case (g, _, nd, _, _, _) if nd >= 2 =>
+        (g, nd) }
+      assert(hv == hvWant, s"$hv vs $hvWant")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_dist_h")
+
       // COUNT(DISTINCT <string expression>): the rollup must not build
       // a SUM over a non-numeric argument (needSum=false path)
       GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_dist2 WITH " +
@@ -1533,6 +1547,40 @@ class GraftMatviewsSpec extends AnyFunSuite {
     } finally {
       GraftServer.unregister("djfact")
       GraftServer.unregister("djdim")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("bucket pruning reaches the SQL-served view: WHERE g = 'x' " +
+      "lists one bucket dir out of nBuckets") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "bal"))
+    GraftServer.register("bpfact", t)
+    try {
+      t.put(spark.range(400).select($"id",
+          format_string("g%04d", $"id" % 100).as("g"),
+          ($"id" % 7).as("m")), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "bal" -> $"m"), ts("2024-01-01 00:00:00"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_bp WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+        "SELECT grp, COUNT(*) AS n, SUM(bal) AS total " +
+        "FROM bpfact GROUP BY grp")
+      val df = GraftSql.sql(spark,
+        "SELECT grp, n, total FROM mv_bp WHERE grp = 'g0042'")
+      val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.exists(_.partitionFilters
+          .exists(_.references.exists(_.name == "_bucket"))),
+        "the SQL-served temp view must bucket-prune through pushdown:\n" +
+          df.queryExecution.executedPlan.toString.take(1500))
+      val r = df.collect()
+      assert(r.length == 1 && r(0).getLong(1) == 4L, r.mkString(","))
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_bp")
+    } finally {
+      GraftServer.unregister("bpfact")
       GraftMatviews.reset()
     }
   }
