@@ -71,7 +71,14 @@ object MvBucketPrune extends Rule[LogicalPlan] {
       return None
     val groupAttrs = groups.map(g =>
       rel.output.find(_.name == g).getOrElse(return None))
-    if (groupAttrs.exists(_.dataType.typeName.startsWith("timestamp")))
+    // timestamp: the hash casts through the session timezone (the
+    // reading session may differ from the writing one). float/double:
+    // SQL equality says -0.0 = 0.0 (and grouping normalizes to 0.0),
+    // but their STRING forms differ — a `g = -0.0` literal would hash
+    // to the wrong bucket and silently drop the matching group.
+    if (groupAttrs.exists(a => a.dataType.typeName.startsWith("timestamp") ||
+        a.dataType == org.apache.spark.sql.types.FloatType ||
+        a.dataType == org.apache.spark.sql.types.DoubleType))
       return None
     val byName: Map[String, Expression] = conjuncts.flatMap {
       case EqualTo(a: AttributeReference, v)

@@ -223,14 +223,10 @@ object Streaming {
   def maintainMatview(spark: SparkSession, tableDir: String,
                       schema: StructType, view: graft.bitemporal.Matview,
                       checkpoint: Option[String] = None,
-                      availableNow: Boolean = false): StreamingQuery = {
-    val w = txLogStream(spark, tableDir, schema)
-      .writeStream.foreachBatch { (_: DataFrame, _: Long) =>
-        view.refresh(); ()
-      }
-    checkpoint.foreach(c => w.option("checkpointLocation", c))
-    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
-  }
+                      availableNow: Boolean = false): StreamingQuery =
+    maintainTicks(spark, Seq(tableDir -> schema), checkpoint, availableNow) {
+      () => view.refresh(); ()
+    }
 
   /** Continuous maintenance of a JOIN matview: new tx files in EITHER
     * log trigger a refresh. Only the arrival SIGNAL is consumed (each
@@ -258,13 +254,25 @@ object Streaming {
                           logs: Seq[(String, StructType)],
                           view: graft.bitemporal.JoinMatview,
                           checkpoint: Option[String] = None,
-                          availableNow: Boolean = false): StreamingQuery = {
+                          availableNow: Boolean = false): StreamingQuery =
+    maintainTicks(spark, logs, checkpoint, availableNow) {
+      () => view.refresh(); ()
+    }
+
+  /** Shared trigger plumbing for every continuous-maintenance flavor:
+    * one tick stream unioned over the watched logs, `action` per
+    * micro-batch. */
+  private def maintainTicks(spark: SparkSession,
+                            logs: Seq[(String, StructType)],
+                            checkpoint: Option[String],
+                            availableNow: Boolean)(
+                            action: () => Unit): StreamingQuery = {
     require(logs.nonEmpty, "at least one log to watch")
     val ticks = logs.map { case (dir, sch) =>
       txLogStream(spark, dir, sch).select(lit(1).as("_tick"))
     }.reduce(_ unionByName _)
     val w = ticks.writeStream.foreachBatch { (_: DataFrame, _: Long) =>
-      view.refresh(); ()
+      action()
     }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
@@ -283,18 +291,11 @@ object Streaming {
                            logs: Seq[(String, StructType)],
                            viewName: String,
                            checkpoint: Option[String] = None,
-                           availableNow: Boolean = false): StreamingQuery = {
-    require(logs.nonEmpty, "at least one log to watch")
-    val ticks = logs.map { case (dir, sch) =>
-      txLogStream(spark, dir, sch).select(lit(1).as("_tick"))
-    }.reduce(_ unionByName _)
-    val w = ticks.writeStream.foreachBatch { (_: DataFrame, _: Long) =>
+                           availableNow: Boolean = false): StreamingQuery =
+    maintainTicks(spark, logs, checkpoint, availableNow) { () =>
       graft.server.GraftSql
         .sql(spark, s"REFRESH MATERIALIZED VIEW $viewName").collect(); ()
     }
-    checkpoint.foreach(c => w.option("checkpointLocation", c))
-    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
-  }
 
   /** SQL confs for DURABLE keyed state: the RocksDB state store keeps
     * each operator's state off-heap and snapshots it to the query's
