@@ -1551,6 +1551,41 @@ class GraftMatviewsSpec extends AnyFunSuite {
     }
   }
 
+  test("RESTORE adopts a DISTINCT view's pair state and folds only the " +
+      "down-tail through the composite refresh") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "code"))
+    GraftServer.register("dvfact", t)
+    try {
+      def put(rows: Seq[(Long, String, Long)], at: String): Unit =
+        t.put(rows.toDF("id", "g", "c"), $"id",
+          lit("2020-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "code" -> $"c"), ts(at))
+      put(Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "b", 20L)),
+        "2024-01-01 00:00:00")
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_rd WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT grp, COUNT(*) AS n, COUNT(DISTINCT code) AS nd " +
+        "FROM dvfact GROUP BY grp")
+      GraftMatviews.reset() // restart: registry gone, state + _ddl stay
+      // down-tail: a NEW code in a, a duplicate of b's code
+      put(Seq((4L, "a", 30L), (5L, "b", 20L)), "2024-01-02 00:00:00")
+      val restored = GraftSql.sql(spark, "RESTORE MATERIALIZED VIEWS")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(restored.get("mv_rd").contains("restored"), restored.toString)
+      val r = GraftSql.sql(spark,
+        "SELECT grp, n, nd FROM mv_rd ORDER BY grp").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+      assert(r == Seq(("a", 3L, 2L), ("b", 2L, 1L)),
+        s"restore must fold the down-tail into BOTH states: $r")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_rd")
+    } finally {
+      GraftServer.unregister("dvfact")
+      GraftMatviews.reset()
+    }
+  }
+
   test("bucket pruning reaches the SQL-served view: WHERE g = 'x' " +
       "lists one bucket dir out of nBuckets") {
     val s = spark
