@@ -80,20 +80,45 @@ object MvBucketPrune extends Rule[LogicalPlan] {
         a.dataType == org.apache.spark.sql.types.FloatType ||
         a.dataType == org.apache.spark.sql.types.DoubleType))
       return None
-    val byName: Map[String, Expression] = conjuncts.flatMap {
+    // per group column: the CANDIDATE key values a matching row can
+    // hold — one for `g = lit`, a few for `g IN (lits)`. The hash
+    // covers the whole key, so the scan's possible buckets are the
+    // hashes of the cross product; bounded so a pathological IN-list
+    // never explodes the conjunct (past the cap the data filter alone
+    // is the plan, exactly as before the rule).
+    val byName: Map[String, Seq[Expression]] = conjuncts.flatMap {
       case EqualTo(a: AttributeReference, v)
-          if v.foldable && groups.contains(a.name) => Some(a.name -> v)
+          if v.foldable && groups.contains(a.name) => Some(a.name -> Seq(v))
       case EqualTo(v, a: AttributeReference)
-          if v.foldable && groups.contains(a.name) => Some(a.name -> v)
+          if v.foldable && groups.contains(a.name) => Some(a.name -> Seq(v))
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(_.foldable) &&
+            groups.contains(a.name) => Some(a.name -> vs)
       case _ => None
     }.toMap
     if (!groups.forall(byName.contains)) return None
+    val combos = byName.values.map(_.size.toLong).product
+    if (combos > MaxBucketCombos) return None
     val tz = Some(SQLConf.get.sessionLocalTimeZone)
-    val parts = groups.map(g => Coalesce(Seq(
-      Cast(byName(g), StringType, tz), Literal(MvState.NullGroupMarker))))
-    val key =
+    def keyOf(vals: Seq[Expression]): Expression = {
+      val parts = vals.map(v => Coalesce(Seq(
+        Cast(v, StringType, tz), Literal(MvState.NullGroupMarker))))
       if (parts.size == 1) parts.head
       else ConcatWs(Literal(MvState.GroupKeySep) +: parts)
-    Some(EqualTo(bucketAttr, Pmod(new XxHash64(Seq(key), 42L), Literal(n))))
+    }
+    val keyCombos = groups.foldLeft(Seq(Seq.empty[Expression])) {
+      (acc, g) => acc.flatMap(prefix => byName(g).map(prefix :+ _))
+    }
+    val buckets = keyCombos.map(vals =>
+      Pmod(new XxHash64(Seq(keyOf(vals)), 42L), Literal(n)): Expression)
+    Some(
+      if (buckets.size == 1) EqualTo(bucketAttr, buckets.head)
+      else In(bucketAttr, buckets))
   }
+
+  /** Cap on the IN-list cross product the rule will expand into bucket
+    * hashes — past it the plan keeps the plain data filter (correct,
+    * just unpruned) instead of growing an enormous partition
+    * predicate. */
+  private val MaxBucketCombos = 64L
 }

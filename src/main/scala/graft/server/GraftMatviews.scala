@@ -108,16 +108,19 @@ object GraftMatviews {
   }
 
   private val ddlHead = java.util.regex.Pattern.compile(
-    "^\\s*(?:CREATE|REFRESH|DROP|SHOW|RESTORE)\\s+MATERIALIZED\\s+VIEWS?\\b",
+    "^\\s*(?:CREATE(?:\\s+OR\\s+REPLACE)?|REFRESH|DROP|SHOW|RESTORE)" +
+      "\\s+MATERIALIZED\\s+VIEWS?\\b",
     java.util.regex.Pattern.CASE_INSENSITIVE)
 
   private val createRe =
-    ("(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_]\\w*)\\s*" +
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?MATERIALIZED\\s+VIEW\\s+" +
+      "([A-Za-z_]\\w*)\\s*" +
       "(?:WITH\\s*\\(([^)]*)\\)\\s*)?AS\\s+(SELECT\\b[\\s\\S]*?)\\s*;?\\s*$").r
   private val refreshRe =
     "(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_]\\w*)\\s*;?\\s*$".r
   private val dropRe =
-    "(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_]\\w*)\\s*;?\\s*$".r
+    ("(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?" +
+      "([A-Za-z_]\\w*)\\s*;?\\s*$").r
   private val showRe =
     "(?is)^\\s*SHOW\\s+MATERIALIZED\\s+VIEWS?\\s*;?\\s*$".r
   private val restoreRe =
@@ -362,32 +365,24 @@ object GraftMatviews {
     if (!ddlHead.matcher(stripped).find()) return None
     import spark.implicits._
     Some(stripped match {
-      case createRe(name, opts, select) =>
+      case createRe(orReplace, name, opts, select) =>
+        // OR REPLACE is DROP-then-CREATE: the state dir is keyed by the
+        // name, so the replacement cannot build aside. A replacement
+        // whose CREATE then fails leaves NEITHER view registered — loud
+        // (the CREATE error surfaces), and recoverable by re-running
+        // the statement: view state is always derivable from the logs.
+        if (orReplace != null && views.contains(key(name)))
+          dropView(spark, name): Unit
         create(spark, name, Option(opts).getOrElse(""), select)
       case refreshRe(name) =>
         val h = views.getOrElse(key(name), fail(s"unknown materialized view: $name"))
         val (a, b) = h.refresh()
         Seq((h.name, a, b.map(long2Long).orNull))
           .toDF("view", "fact_tx", "dim_tx")
-      case dropRe(name) =>
-        val h = views.remove(key(name))
-          .getOrElse(fail(s"unknown materialized view: $name"))
-        spark.catalog.dropTempView(h.name)
-        val gen = droppedGen.updateWith(key(name)) {
-          case Some((_, g)) => Some((h.name, g + 1))
-          case None => Some((h.name, 1L))
-        }.get._2
-        // the dropping session is already clean — mark its generation
-        dropSeen.synchronized {
-          dropSeen.computeIfAbsent(spark,
-            _ => scala.collection.mutable.Map.empty)(key(name)) = gen
-        }
-        // the definition sidecar goes FIRST: deleteRecursively walks in
-        // unspecified order, and a crash that left _ddl but not the
-        // state would let RESTORE silently resurrect the dropped view
-        java.nio.file.Files.deleteIfExists(h.stateDir.resolve("_ddl")): Unit
-        graft.bitemporal.TxLog.deleteRecursively(h.stateDir.toFile)
-        Seq((h.name, true)).toDF("view", "dropped")
+      case dropRe(ifExists, name) =>
+        if (ifExists != null && !views.contains(key(name)))
+          Seq((name, false)).toDF("view", "dropped")
+        else dropView(spark, name)
       case showRe() =>
         views.values.toSeq.sortBy(_.name).map(h => (h.name, h.ddl))
           .toDF("view", "definition")
@@ -395,17 +390,41 @@ object GraftMatviews {
         restore(spark)
       case _ => fail(
         "malformed materialized-view DDL; accepted forms:\n" +
-          "  CREATE MATERIALIZED VIEW v [WITH (valid_at = 'ts', buckets = n)]" +
+          "  CREATE [OR REPLACE] MATERIALIZED VIEW v" +
+          " [WITH (valid_at = 'ts', buckets = n)]" +
           " AS SELECT g, COUNT(*) [AS a], COUNT([DISTINCT] c)," +
           " SUM([DISTINCT] c), AVG([DISTINCT] c)," +
           " MIN(c), MAX(c) FROM fact [JOIN dim ON fk = dim._id]" +
           " [WHERE pred] GROUP BY g\n" +
-          "  REFRESH MATERIALIZED VIEW v\n  DROP MATERIALIZED VIEW v\n" +
+          "  REFRESH MATERIALIZED VIEW v\n" +
+          "  DROP MATERIALIZED VIEW [IF EXISTS] v\n" +
           "  SHOW MATERIALIZED VIEWS\n  RESTORE MATERIALIZED VIEWS")
     })
   }
 
   private def key(name: String): String = name.toLowerCase
+
+  /** Full DROP semantics: unregister, invalidate other sessions via the
+    * drop generation, delete `_ddl` FIRST (a crash mid-delete must not
+    * let RESTORE resurrect the dropped view), then the state tree. */
+  private def dropView(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val h = views.remove(key(name))
+      .getOrElse(fail(s"unknown materialized view: $name"))
+    spark.catalog.dropTempView(h.name)
+    val gen = droppedGen.updateWith(key(name)) {
+      case Some((_, g)) => Some((h.name, g + 1))
+      case None => Some((h.name, 1L))
+    }.get._2
+    // the dropping session is already clean — mark its generation
+    dropSeen.synchronized {
+      dropSeen.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Map.empty)(key(name)) = gen
+    }
+    java.nio.file.Files.deleteIfExists(h.stateDir.resolve("_ddl")): Unit
+    graft.bitemporal.TxLog.deleteRecursively(h.stateDir.toFile)
+    Seq((h.name, true)).toDF("view", "dropped")
+  }
 
   /** RESTORE MATERIALIZED VIEWS: the registry is in-memory, so a JVM
     * restart forgets every view while its state and `_ddl` definition
@@ -438,7 +457,7 @@ object GraftMatviews {
         }
     val results = ddls.map { case (dir, ddl) =>
       ddl match {
-        case createRe(nm, _, _) =>
+        case createRe(_, nm, _, _) =>
           if (views.contains(key(nm))) (nm, "already registered")
           else
             try { routeDdl(spark, ddl): Unit; (nm, "restored") }

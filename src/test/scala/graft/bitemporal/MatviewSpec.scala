@@ -331,6 +331,15 @@ class MatviewSpec extends AnyFunSuite {
       s"expected ONE bucket file, read ${scan.metrics("numFiles").value} " +
         "(every one of the 16 buckets is non-empty at 200 groups)")
 
+    // IN-lists prune to the candidate buckets (cross product, capped)
+    val inProbe = mv.read().filter($"grp".isin("g0042", "g0043", "g0044"))
+    assert(bucketPruned(inProbe), "IN-list must bucket-prune")
+    assert(inProbe.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("g0042", "g0043", "g0044"))
+    // past the combo cap the rule stands down (plain data filter)
+    assert(!bucketPruned(mv.read().filter(
+      $"grp".isin((0 until 70).map(i => f"g$i%04d"): _*))))
+
     // range/partial predicates cannot prune (the hash covers the key)
     assert(!bucketPruned(mv.read().filter($"grp" > "g0042")))
 

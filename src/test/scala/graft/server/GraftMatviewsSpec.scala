@@ -1551,6 +1551,55 @@ class GraftMatviewsSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE OR REPLACE swaps the definition (drop-then-create); " +
+      "DROP IF EXISTS never errors") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "bal"))
+    GraftServer.register("orfact", t)
+    try {
+      t.put(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+          .toDF("id", "g", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "bal" -> $"m"), ts("2024-01-01 00:00:00"))
+
+      // OR REPLACE with no existing view = plain CREATE
+      GraftSql.sql(spark, "CREATE OR REPLACE MATERIALIZED VIEW mv_or " +
+        "WITH (valid_at = '2030-01-01 00:00:00') AS " +
+        "SELECT grp, COUNT(*) AS n FROM orfact GROUP BY grp")
+      assert(GraftSql.sql(spark,
+        "SELECT n FROM mv_or WHERE grp = 'a'").collect()(0).getLong(0) == 2L)
+
+      // the replacement swaps to a DIFFERENT definition; the old
+      // name-state is dropped (plain CREATE of the same name refuses)
+      GraftSql.sql(spark, "CREATE OR REPLACE MATERIALIZED VIEW mv_or " +
+        "WITH (valid_at = '2030-01-01 00:00:00') AS " +
+        "SELECT grp, SUM(bal) AS total FROM orfact GROUP BY grp")
+      val r = GraftSql.sql(spark,
+        "SELECT grp, total FROM mv_or ORDER BY grp").collect()
+        .map(x => (x.getString(0), x.getLong(1))).toSeq
+      assert(r == Seq(("a", 30L), ("b", 5L)))
+      assert(intercept[IllegalArgumentException](GraftSql.sql(spark,
+        "CREATE MATERIALIZED VIEW mv_or AS SELECT grp, COUNT(*) AS n " +
+          "FROM orfact GROUP BY grp"))
+        .getMessage.contains("already exists"))
+
+      // DROP IF EXISTS: real drop reports true, unknown reports false
+      assert(GraftSql.sql(spark,
+        "DROP MATERIALIZED VIEW IF EXISTS mv_or").collect()(0).getBoolean(1))
+      val none = GraftSql.sql(spark,
+        "DROP MATERIALIZED VIEW IF EXISTS mv_or").collect()
+      assert(!none(0).getBoolean(1), "unknown name must report false")
+      // without IF EXISTS the unknown name still errors
+      assert(intercept[IllegalArgumentException](GraftSql.sql(spark,
+        "DROP MATERIALIZED VIEW mv_or"))
+        .getMessage.contains("unknown materialized view"))
+    } finally {
+      GraftServer.unregister("orfact")
+      GraftMatviews.reset()
+    }
+  }
+
   test("RESTORE adopts a DISTINCT view's pair state and folds only the " +
       "down-tail through the composite refresh") {
     val s = spark
