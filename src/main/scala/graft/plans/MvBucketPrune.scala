@@ -94,6 +94,16 @@ object MvBucketPrune extends Rule[LogicalPlan] {
       case In(a: AttributeReference, vs)
           if vs.nonEmpty && vs.forall(_.foldable) &&
             groups.contains(a.name) => Some(a.name -> vs)
+      // Catalyst's OptimizeIn rewrites IN-lists past
+      // spark.sql.optimizer.inSetConversionThreshold (default 10) to
+      // InSet BEFORE this rule runs — without this case, 11..64-value
+      // lists would silently never prune. The set holds INTERNAL
+      // values (UTF8String, Decimal, …), which Literal(v, dt) carries
+      // as-is; a null member adds the null-group bucket as a harmless
+      // extra candidate (superset pruning stays sound).
+      case InSet(a: AttributeReference, vs)
+          if vs.nonEmpty && groups.contains(a.name) =>
+        Some(a.name -> vs.toSeq.map(v => Literal(v, a.dataType): Expression))
       case _ => None
     }.toMap
     if (!groups.forall(byName.contains)) return None

@@ -366,23 +366,54 @@ object GraftMatviews {
     import spark.implicits._
     Some(stripped match {
       case createRe(orReplace, name, opts, select) =>
-        // OR REPLACE is DROP-then-CREATE: the state dir is keyed by the
-        // name, so the replacement cannot build aside. A replacement
-        // whose CREATE then fails leaves NEITHER view registered — loud
-        // (the CREATE error surfaces), and recoverable by re-running
-        // the statement: view state is always derivable from the logs.
-        if (orReplace != null && views.contains(key(name)))
-          dropView(spark, name): Unit
-        create(spark, name, Option(opts).getOrElse(""), select)
+        views.get(key(name)).filter(_ => orReplace != null) match {
+          case Some(oldH) =>
+            // OR REPLACE is a REGISTRY-only drop first: the state STAYS
+            // on disk, so the new CREATE's populating refresh ADOPTS it
+            // when the definition is unchanged (idempotent deploy
+            // scripts re-run for free via the _def fingerprint) and
+            // discards/rebuilds when it changed. A replacement whose
+            // CREATE fails re-registers the OLD definition (state is
+            // log-derivable even where the failed attempt's cleanup
+            // ran) — a typo never destroys a serving view.
+            dropRegistered(spark, name, deleteState = false): Unit
+            try {
+              val out = create(spark, name, Option(opts).getOrElse(""), select)
+              // a FORM change (single-table ↔ join) moves the state
+              // dir: the old dir's '_ddl' must not survive to make a
+              // later RESTORE race two definitions for one name
+              if (!views.get(key(name)).map(_.stateDir)
+                  .contains(oldH.stateDir)) {
+                java.nio.file.Files.deleteIfExists(
+                  oldH.stateDir.resolve("_ddl")): Unit
+                graft.bitemporal.TxLog.deleteRecursively(oldH.stateDir.toFile)
+              }
+              out
+            } catch { case e: Throwable =>
+              try { routeDdl(spark, oldH.ddl): Unit }
+              catch { case _: Exception => () } // recovery is best-effort
+              throw e
+            }
+          case None =>
+            create(spark, name, Option(opts).getOrElse(""), select)
+        }
       case refreshRe(name) =>
         val h = views.getOrElse(key(name), fail(s"unknown materialized view: $name"))
         val (a, b) = h.refresh()
         Seq((h.name, a, b.map(long2Long).orNull))
           .toDF("view", "fact_tx", "dim_tx")
       case dropRe(ifExists, name) =>
-        if (ifExists != null && !views.contains(key(name)))
-          Seq((name, false)).toDF("view", "dropped")
-        else dropView(spark, name)
+        // registered → full drop; otherwise a pre-restart ON-DISK
+        // definition (surviving state + '_ddl') still counts as
+        // existing and is deleted — a drop must never leave a view
+        // that RESTORE would silently resurrect. Both checks are
+        // act-then-test (no check-then-act registry race: a concurrent
+        // drop just makes this one report false under IF EXISTS).
+        val dropped = dropRegistered(spark, name, deleteState = true) ||
+          dropOnDisk(name)
+        if (!dropped && ifExists == null)
+          fail(s"unknown materialized view: $name")
+        Seq((name, dropped)).toDF("view", "dropped")
       case showRe() =>
         views.values.toSeq.sortBy(_.name).map(h => (h.name, h.ddl))
           .toDF("view", "definition")
@@ -404,26 +435,59 @@ object GraftMatviews {
 
   private def key(name: String): String = name.toLowerCase
 
-  /** Full DROP semantics: unregister, invalidate other sessions via the
-    * drop generation, delete `_ddl` FIRST (a crash mid-delete must not
-    * let RESTORE resurrect the dropped view), then the state tree. */
-  private def dropView(spark: SparkSession, name: String): DataFrame = {
-    import spark.implicits._
-    val h = views.remove(key(name))
-      .getOrElse(fail(s"unknown materialized view: $name"))
-    spark.catalog.dropTempView(h.name)
-    val gen = droppedGen.updateWith(key(name)) {
-      case Some((_, g)) => Some((h.name, g + 1))
-      case None => Some((h.name, 1L))
-    }.get._2
-    // the dropping session is already clean — mark its generation
-    dropSeen.synchronized {
-      dropSeen.computeIfAbsent(spark,
-        _ => scala.collection.mutable.Map.empty)(key(name)) = gen
+  /** DROP a REGISTERED view: unregister, invalidate other sessions via
+    * the drop generation, and (when `deleteState`) delete `_ddl` FIRST
+    * (a crash mid-delete must not let RESTORE resurrect the dropped
+    * view), then the state tree. `deleteState = false` is the OR
+    * REPLACE form: the state stays for the replacement's populating
+    * refresh to adopt or discard. False when the name was not
+    * registered — act-then-test, so concurrent drops never throw. */
+  private def dropRegistered(spark: SparkSession, name: String,
+                             deleteState: Boolean): Boolean =
+    views.remove(key(name)) match {
+      case None => false
+      case Some(h) =>
+        spark.catalog.dropTempView(h.name)
+        val gen = droppedGen.updateWith(key(name)) {
+          case Some((_, g)) => Some((h.name, g + 1))
+          case None => Some((h.name, 1L))
+        }.get._2
+        // the dropping session is already clean — mark its generation
+        dropSeen.synchronized {
+          dropSeen.computeIfAbsent(spark,
+            _ => scala.collection.mutable.Map.empty)(key(name)) = gen
+        }
+        if (deleteState) {
+          java.nio.file.Files.deleteIfExists(h.stateDir.resolve("_ddl")): Unit
+          graft.bitemporal.TxLog.deleteRecursively(h.stateDir.toFile)
+        }
+        true
     }
-    java.nio.file.Files.deleteIfExists(h.stateDir.resolve("_ddl")): Unit
-    graft.bitemporal.TxLog.deleteRecursively(h.stateDir.toFile)
-    Seq((h.name, true)).toDF("view", "dropped")
+
+  /** Delete a pre-restart ON-DISK definition (state dir + `_ddl`) for
+    * `name` under any registered table's matview roots — the form DROP
+    * reaches after a restart, when the registry has forgotten the view
+    * but RESTORE could still resurrect it. Case-insensitive like the
+    * registry. */
+  private def dropOnDisk(name: String): Boolean = {
+    var found = false
+    GraftServer.registered.foreach { case (_, t) =>
+      Seq("matview", "join_matview").foreach { kind =>
+        val root = java.nio.file.Paths.get(t.tableDir, kind)
+        if (java.nio.file.Files.isDirectory(root)) {
+          val listing = java.nio.file.Files.list(root)
+          try listing.forEach { p =>
+            if (p.getFileName.toString.equalsIgnoreCase(name) &&
+                java.nio.file.Files.exists(p.resolve("_ddl"))) {
+              java.nio.file.Files.deleteIfExists(p.resolve("_ddl")): Unit
+              graft.bitemporal.TxLog.deleteRecursively(p.toFile)
+              found = true
+            }
+          } finally listing.close()
+        }
+      }
+    }
+    found
   }
 
   /** RESTORE MATERIALIZED VIEWS: the registry is in-memory, so a JVM

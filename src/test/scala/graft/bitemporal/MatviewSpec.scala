@@ -336,6 +336,13 @@ class MatviewSpec extends AnyFunSuite {
     assert(bucketPruned(inProbe), "IN-list must bucket-prune")
     assert(inProbe.collect().map(_.getString(0)).sorted.toSeq ==
       Seq("g0042", "g0043", "g0044"))
+    // 11+ values: Catalyst's OptimizeIn converts to InSet before the
+    // rule runs — the InSet branch must prune them too
+    val bigIn = (0 until 20).map(i => f"g$i%04d")
+    val inSetProbe = mv.read().filter($"grp".isin(bigIn: _*))
+    assert(bucketPruned(inSetProbe),
+      "an InSet-converted IN-list (11..64 values) must bucket-prune")
+    assert(inSetProbe.collect().map(_.getString(0)).sorted.toSeq == bigIn)
     // past the combo cap the rule stands down (plain data filter)
     assert(!bucketPruned(mv.read().filter(
       $"grp".isin((0 until 70).map(i => f"g$i%04d"): _*))))

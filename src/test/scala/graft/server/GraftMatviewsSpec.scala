@@ -1570,8 +1570,42 @@ class GraftMatviewsSpec extends AnyFunSuite {
       assert(GraftSql.sql(spark,
         "SELECT n FROM mv_or WHERE grp = 'a'").collect()(0).getLong(0) == 2L)
 
+      // replace with the SAME definition: the state must be ADOPTED,
+      // not rebuilt (idempotent deploy scripts re-run for free) —
+      // asserted at the FILE level like the restore spec
+      def stateFiles(): Seq[(String, Long)] = {
+        val dir = java.nio.file.Paths.get(
+          t.tableDir, "matview", "mv_or", "state")
+        val listing = java.nio.file.Files.walk(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala.filter(p =>
+            p.getFileName.toString.endsWith(".parquet"))
+            .map(p => (p.toString,
+              java.nio.file.Files.getLastModifiedTime(p).toMillis))
+            .toList.sortBy(_._1)
+        } finally listing.close()
+      }
+      val before = stateFiles()
+      GraftSql.sql(spark, "CREATE OR REPLACE MATERIALIZED VIEW mv_or " +
+        "WITH (valid_at = '2030-01-01 00:00:00') AS " +
+        "SELECT grp, COUNT(*) AS n FROM orfact GROUP BY grp")
+      assert(stateFiles() == before,
+        "an unchanged replacement must ADOPT the state byte-for-byte")
+
+      // a FAILED replacement must not destroy the serving view: the
+      // old definition re-registers (typo-proof OR REPLACE)
+      val bad = intercept[IllegalArgumentException](GraftSql.sql(spark,
+        "CREATE OR REPLACE MATERIALIZED VIEW mv_or AS " +
+          "SELECT grp, MEDIAN(bal) AS m FROM orfact GROUP BY grp"))
+      assert(bad.getMessage.contains("MEDIAN") ||
+        bad.getMessage.contains("select item"), bad.getMessage)
+      assert(GraftSql.sql(spark,
+        "SELECT n FROM mv_or WHERE grp = 'a'").collect()(0).getLong(0) == 2L,
+        "the old view must keep serving after a rejected replacement")
+
       // the replacement swaps to a DIFFERENT definition; the old
-      // name-state is dropped (plain CREATE of the same name refuses)
+      // name-state is replaced (plain CREATE of the same name refuses)
       GraftSql.sql(spark, "CREATE OR REPLACE MATERIALIZED VIEW mv_or " +
         "WITH (valid_at = '2030-01-01 00:00:00') AS " +
         "SELECT grp, SUM(bal) AS total FROM orfact GROUP BY grp")
@@ -1594,6 +1628,19 @@ class GraftMatviewsSpec extends AnyFunSuite {
       assert(intercept[IllegalArgumentException](GraftSql.sql(spark,
         "DROP MATERIALIZED VIEW mv_or"))
         .getMessage.contains("unknown materialized view"))
+
+      // restart gap: DROP must reach a view the registry has FORGOTTEN
+      // but RESTORE could resurrect (surviving state + _ddl on disk)
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_or AS " +
+        "SELECT grp, COUNT(*) AS n FROM orfact GROUP BY grp")
+      GraftMatviews.reset() // simulated restart
+      assert(GraftSql.sql(spark,
+        "DROP MATERIALIZED VIEW IF EXISTS mv_or").collect()(0).getBoolean(1),
+        "an on-disk pre-restart definition counts as existing")
+      val restored = GraftSql.sql(spark, "RESTORE MATERIALIZED VIEWS")
+        .collect().map(_.getString(0)).toSeq
+      assert(!restored.contains("mv_or"),
+        "RESTORE must not resurrect the dropped view")
     } finally {
       GraftServer.unregister("orfact")
       GraftMatviews.reset()
