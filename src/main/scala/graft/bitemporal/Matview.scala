@@ -585,13 +585,20 @@ private[graft] object MvState {
     * Connect-cloned sessions) still serve matviews — hook the rule
     * through the experimental-methods batch the first time this
     * session reads state. Idempotent; the rule itself is a no-op on
-    * non-matview scans (schema-metadata gated). */
-  private def ensurePruneRule(session: SparkSession): Unit = {
-    val cur = session.experimental.extraOptimizations
-    if (!cur.contains(graft.plans.MvBucketPrune))
-      session.experimental.extraOptimizations =
-        cur :+ graft.plans.MvBucketPrune
-  }
+    * non-matview scans (schema-metadata gated). The read-modify-write
+    * on `extraOptimizations` is guarded by a process-wide lock: two
+    * threads doing a first readState on the same session must not
+    * lose each other's append (or clobber a third-party rule added
+    * concurrently). The lock is global rather than per-session —
+    * appends are rare (once per session) and never block reads. */
+  private val pruneRuleLock = new Object
+  private[graft] def ensurePruneRule(session: SparkSession): Unit =
+    pruneRuleLock.synchronized {
+      val cur = session.experimental.extraOptimizations
+      if (!cur.contains(graft.plans.MvBucketPrune))
+        session.experimental.extraOptimizations =
+          cur :+ graft.plans.MvBucketPrune
+    }
 
   def readState(spark: SparkSession, stateRoot: Path,
                 dataDir: Path): DataFrame = {

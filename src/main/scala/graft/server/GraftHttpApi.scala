@@ -123,9 +123,18 @@ object GraftHttpApi {
         case _: NumberFormatException => throw new IllegalStateException(
           s"graft.http.authCacheTtlMs must be millis, got '$s'")
       }).getOrElse(60000L)
-  private val authCacheMax = 4096
-  private val authCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Long)]
+  // cap override is tests-only (shrinks the flood needed to exercise
+  // overflow eviction); production default stays 4096
+  private def authCacheMax: Int =
+    sys.props.get("graft.http.authCacheMax").map(_.toInt).getOrElse(4096)
+  /** key → (verdict, verdict-expiry-ms, last-access seq). The expiry
+    * is pinned at INSERT (a revoked password re-derives once per TTL —
+    * hits must never extend it); the seq is a monotonic counter bumped
+    * on every hit, giving eviction a strict LRU order that same-ms
+    * floods can't blur. */
+  private val authCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Boolean, Long, Long)]
+  private val authAccessSeq = new java.util.concurrent.atomic.AtomicLong
   private val authSalt = {
     val b = new Array[Byte](16)
     new java.security.SecureRandom().nextBytes(b)
@@ -155,9 +164,19 @@ object GraftHttpApi {
 
   /** Derivation-or-cache: one PBKDF2 per distinct credential per TTL.
     * The map is bounded — on overflow, expired entries are purged and,
-    * if a flood of distinct creds keeps it over the cap, the cache is
-    * dropped wholesale (correctness never depends on it). */
-  private def verifyCached(user: String, pass: String,
+    * if a flood of distinct creds keeps it over the cap, only the
+    * LEAST-RECENTLY-USED quarter is evicted — never a wholesale
+    * clear(), which would let an attacker flooding >cap distinct
+    * credentials per TTL keep flushing legitimate users' warm verdicts
+    * and restore the per-request PBKDF2 amplification the cache exists
+    * to prevent. Recency is a monotonic access counter (bumped on
+    * every hit), so an in-use legit credential outranks one-shot flood
+    * entries regardless of insert order, and a same-millisecond flood
+    * can't blur the quartile cutoff into a full clear. The VERDICT
+    * expiry stays pinned at insert — hits never extend it, so a
+    * revoked password still re-derives once per TTL. Correctness never
+    * depends on the cache. */
+  private[server] def verifyCached(user: String, pass: String,
                            v: PgScram.Verifier): Boolean = {
     val ttl = authCacheTtlMs
     if (ttl <= 0) {
@@ -167,14 +186,30 @@ object GraftHttpApi {
     val k = credKey(user, v, pass)
     val now = System.currentTimeMillis()
     val cached = authCache.get(k)
-    if (cached != null && cached._2 > now) return cached._1
+    if (cached != null && cached._2 > now) {
+      // refresh LRU position; expiry untouched. Plain put: a racing
+      // refresh of the same key writes an equivalent tuple.
+      authCache.put(k, (cached._1, cached._2, authAccessSeq.incrementAndGet()))
+      return cached._1
+    }
     derivationCount.incrementAndGet(): Unit
     val ok = PgScram.verifyPassword(pass, v)
     if (authCache.size >= authCacheMax) {
       authCache.entrySet.removeIf(e => e.getValue._2 <= now)
-      if (authCache.size >= authCacheMax) authCache.clear()
+      if (authCache.size >= authCacheMax) {
+        // still over cap with nothing expired: evict the LRU quarter.
+        // The cutoff is computed from a snapshot; concurrent
+        // hits/inserts carry newer seqs and survive.
+        val seqs = new Array[Long](authCache.size)
+        var i = 0
+        val it = authCache.values.iterator()
+        while (it.hasNext && i < seqs.length) { seqs(i) = it.next()._3; i += 1 }
+        java.util.Arrays.sort(seqs, 0, i)
+        val cutoff = seqs(i / 4)
+        authCache.entrySet.removeIf(e => e.getValue._3 <= cutoff)
+      }
     }
-    authCache.put(k, (ok, now + ttl))
+    authCache.put(k, (ok, now + ttl, authAccessSeq.incrementAndGet()))
     ok
   }
 

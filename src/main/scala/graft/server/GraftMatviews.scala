@@ -403,16 +403,23 @@ object GraftMatviews {
         Seq((h.name, a, b.map(long2Long).orNull))
           .toDF("view", "fact_tx", "dim_tx")
       case dropRe(ifExists, name) =>
-        // registered → full drop; otherwise a pre-restart ON-DISK
-        // definition (surviving state + '_ddl') still counts as
-        // existing and is deleted — a drop must never leave a view
-        // that RESTORE would silently resurrect. Both checks are
-        // act-then-test (no check-then-act registry race: a concurrent
-        // drop just makes this one report false under IF EXISTS).
-        val dropped = dropRegistered(spark, name, deleteState = true) ||
-          dropOnDisk(name)
+        // registered → full drop; AND ALSO sweep pre-restart ON-DISK
+        // definitions (surviving state + '_ddl') — a drop must never
+        // leave a view that RESTORE would silently resurrect. Both
+        // sides run unconditionally: a registered view can coexist
+        // with a stale same-name '_ddl' under a DIFFERENT table root
+        // left by a pre-restart life, and `||` would skip the sweep.
+        // Both checks are act-then-test (no check-then-act registry
+        // race: a concurrent drop just makes this one report false
+        // under IF EXISTS).
+        val droppedReg = dropRegistered(spark, name, deleteState = true)
+        val droppedDisk = dropOnDisk(name)
+        val dropped = droppedReg || droppedDisk
         if (!dropped && ifExists == null)
-          fail(s"unknown materialized view: $name")
+          fail(s"unknown materialized view: $name" +
+            " (note: DROP only sweeps on-disk definitions under" +
+            " REGISTERED tables — after a restart, register the" +
+            " view's backing table before dropping it)")
         Seq((name, dropped)).toDF("view", "dropped")
       case showRe() =>
         views.values.toSeq.sortBy(_.name).map(h => (h.name, h.ddl))
@@ -468,7 +475,16 @@ object GraftMatviews {
     * `name` under any registered table's matview roots — the form DROP
     * reaches after a restart, when the registry has forgotten the view
     * but RESTORE could still resurrect it. Case-insensitive like the
-    * registry. */
+    * registry.
+    *
+    * Scope: only tables currently in `GraftServer.registered` are
+    * swept (the matview roots live under table dirs, and the registry
+    * is the only source of table dirs). ORDERING REQUIREMENT: after a
+    * restart, register the backing tables BEFORE issuing DROP — a DROP
+    * naming a view whose table is not yet re-registered reports
+    * "unknown materialized view" (with a hint, see the caller) while
+    * the on-disk `_ddl` survives, resurrectable by a later RESTORE
+    * once the table registers. */
   private def dropOnDisk(name: String): Boolean = {
     var found = false
     GraftServer.registered.foreach { case (_, t) =>

@@ -291,11 +291,20 @@ object Streaming {
                            logs: Seq[(String, StructType)],
                            viewName: String,
                            checkpoint: Option[String] = None,
-                           availableNow: Boolean = false): StreamingQuery =
+                           availableNow: Boolean = false): StreamingQuery = {
+    // the name is spliced into SQL text below — restrict it to plain
+    // identifiers BEFORE interpolating (every other text path in this
+    // engine is masked-span-disciplined; a caller-supplied name must
+    // not be the one raw splice). The registry check at trigger time
+    // still catches drops; this catches hostile/typo'd names at START.
+    require(viewName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"matview name must be a plain identifier ([A-Za-z_][A-Za-z0-9_]*)," +
+        s" got: '$viewName'")
     maintainTicks(spark, logs, checkpoint, availableNow) { () =>
       graft.server.GraftSql
         .sql(spark, s"REFRESH MATERIALIZED VIEW $viewName").collect(); ()
     }
+  }
 
   /** SQL confs for DURABLE keyed state: the RocksDB state store keeps
     * each operator's state off-heap and snapshots it to the query's

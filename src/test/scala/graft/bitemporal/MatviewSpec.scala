@@ -410,4 +410,37 @@ class MatviewSpec extends AnyFunSuite {
     mv.refresh()
     assertParity(mv, t)
   }
+
+  test("ensurePruneRule under concurrency: appends are never lost, " +
+      "third-party rules survive, the rule lands exactly once") {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    object ThirdParty
+        extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+      def apply(p: LogicalPlan): LogicalPlan = p
+    }
+    val before = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        Seq(ThirdParty) // fresh slate + a pre-existing third-party rule
+      val n = 16
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val done = new java.util.concurrent.CountDownLatch(n)
+      val failures = new java.util.concurrent.atomic.AtomicInteger
+      (1 to n).foreach { _ =>
+        new Thread(() => {
+          try { start.await(); MvState.ensurePruneRule(spark) }
+          catch { case _: Throwable => failures.incrementAndGet(): Unit }
+          finally done.countDown()
+        }).start()
+      }
+      start.countDown()
+      assert(done.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      assert(failures.get() == 0)
+      val after = spark.experimental.extraOptimizations
+      assert(after.contains(ThirdParty),
+        "a pre-existing third-party rule must survive concurrent hooks")
+      assert(after.count(_ == graft.plans.MvBucketPrune) == 1,
+        s"exactly one MvBucketPrune expected, got: $after")
+    } finally spark.experimental.extraOptimizations = before
+  }
 }

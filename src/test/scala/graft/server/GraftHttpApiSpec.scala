@@ -343,4 +343,68 @@ class GraftHttpApiSpec extends AnyFunSuite {
       SparkSession.clearDefaultSession()
     }
   }
+
+  test("auth-cache overflow evicts the LRU quarter, never wholesale: " +
+      "an in-use credential survives a distinct-credential flood") {
+    // unit-level (no HTTP server): verifyCached IS the cache
+    val salt = Array.tabulate(16)(_.toByte)
+    val v = PgScram.verifier("pw", salt, 64) // low iters: eviction test
+    val prevMax = sys.props.get("graft.http.authCacheMax")
+    sys.props("graft.http.authCacheMax") = "32"
+    GraftHttpApi.clearAuthCache()
+    try {
+      // fill to cap with one-shot flood creds, then warm the legit one
+      (1 to 32).foreach(i =>
+        GraftHttpApi.verifyCached(s"flood$i", "x", v): Unit)
+      assert(GraftHttpApi.verifyCached("alice", "pw", v))
+      val d0 = GraftHttpApi.derivationCount.get()
+      // sustained flood, 96 more distinct creds — many eviction rounds.
+      // alice is HIT between rounds (the legit-user pattern), so her
+      // LRU position keeps outranking the one-shot flood entries; the
+      // old clear()-on-overflow dropped her on the first round.
+      (1 to 12).foreach { round =>
+        (1 to 8).foreach(i =>
+          GraftHttpApi.verifyCached(s"flood_r${round}_$i", "x", v): Unit)
+        assert(GraftHttpApi.verifyCached("alice", "pw", v))
+      }
+      assert(GraftHttpApi.derivationCount.get() == d0 + 96,
+        "the flood derived once per distinct cred; alice stayed cached " +
+          "through every eviction round")
+    } finally {
+      prevMax match {
+        case Some(x) => sys.props("graft.http.authCacheMax") = x
+        case None => sys.props.remove("graft.http.authCacheMax"): Unit
+      }
+      GraftHttpApi.clearAuthCache()
+    }
+  }
+
+  test("auth-cache hits never extend the verdict expiry: a revoked " +
+      "password re-derives after the TTL even when used continuously") {
+    val salt = Array.tabulate(16)(_.toByte)
+    val v = PgScram.verifier("pw", salt, 64)
+    val prevTtl = sys.props.get("graft.http.authCacheTtlMs")
+    sys.props("graft.http.authCacheTtlMs") = "150"
+    GraftHttpApi.clearAuthCache()
+    try {
+      assert(GraftHttpApi.verifyCached("bob", "pw", v))
+      val d0 = GraftHttpApi.derivationCount.get()
+      // continuous use inside the TTL: all hits, zero derivations
+      (1 to 5).foreach { _ =>
+        assert(GraftHttpApi.verifyCached("bob", "pw", v))
+        Thread.sleep(10)
+      }
+      assert(GraftHttpApi.derivationCount.get() == d0)
+      Thread.sleep(200) // past the insert-pinned expiry
+      assert(GraftHttpApi.verifyCached("bob", "pw", v))
+      assert(GraftHttpApi.derivationCount.get() == d0 + 1,
+        "expiry is pinned at insert — LRU refreshes must not extend it")
+    } finally {
+      prevTtl match {
+        case Some(x) => sys.props("graft.http.authCacheTtlMs") = x
+        case None => sys.props.remove("graft.http.authCacheTtlMs"): Unit
+      }
+      GraftHttpApi.clearAuthCache()
+    }
+  }
 }

@@ -1824,4 +1824,49 @@ class GraftMatviewsSpec extends AnyFunSuite {
       GraftMatviews.reset()
     }
   }
+
+  test("DROP also sweeps a stale same-name on-disk definition under a " +
+      "DIFFERENT table root — RESTORE must not resurrect it") {
+    val s = spark
+    import s.implicits._
+    val t1 = freshTable(Seq("grp", "bal"))
+    val t2 = freshTable(Seq("grp", "bal"))
+    GraftServer.register("swtab1", t1)
+    GraftServer.register("swtab2", t2)
+    try {
+      Seq(t1, t2).foreach(t =>
+        t.put(Seq((1L, "a", 10L)).toDF("id", "g", "m"), $"id",
+          lit("2020-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "bal" -> $"m"), ts("2024-01-01 00:00:00")))
+      // OLD life: the view lived on swtab2
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_sw WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 2) AS " +
+        "SELECT grp, COUNT(*) AS n FROM swtab2 GROUP BY grp")
+      val staleDdl = java.nio.file.Paths.get(
+        t2.tableDir, "matview", "mv_sw", "_ddl")
+      assert(java.nio.file.Files.exists(staleDdl))
+      GraftMatviews.reset() // restart: registry forgets, disk survives
+
+      // NEW life: same name, different table root — now registered
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_sw WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 2) AS " +
+        "SELECT grp, SUM(bal) AS total FROM swtab1 GROUP BY grp")
+      assert(java.nio.file.Files.exists(staleDdl),
+        "precondition: the old life's _ddl is still on disk")
+
+      // DROP must take BOTH: the registered view AND the stale on-disk
+      // definition (a `||` between the two checks skipped the sweep)
+      val dropped = GraftSql.sql(spark,
+        "DROP MATERIALIZED VIEW mv_sw").collect()
+      assert(dropped(0).getBoolean(1))
+      assert(!java.nio.file.Files.exists(staleDdl),
+        "the stale _ddl under the other table root must be swept")
+      assert(GraftSql.sql(spark, "RESTORE MATERIALIZED VIEWS")
+        .collect().isEmpty, "nothing may resurrect a dropped name")
+    } finally {
+      GraftServer.unregister("swtab1")
+      GraftServer.unregister("swtab2")
+      GraftMatviews.reset()
+    }
+  }
 }

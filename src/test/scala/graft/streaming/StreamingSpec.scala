@@ -455,4 +455,17 @@ class StreamingSpec extends AnyFunSuite {
       server.close()
     }
   }
+
+  test("maintainNamedMatview rejects non-identifier view names BEFORE " +
+      "splicing them into SQL text") {
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("_id", "long").add("bal", "double")
+    Seq("v; DROP MATERIALIZED VIEW other", "v'--", "", "a b", "1v")
+      .foreach { hostile =>
+        val e = intercept[IllegalArgumentException](
+          Streaming.maintainNamedMatview(spark,
+            Seq(("/nonexistent" -> sch)), hostile))
+        assert(e.getMessage.contains("plain identifier"), e.getMessage)
+      }
+  }
 }
