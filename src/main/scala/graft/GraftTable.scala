@@ -133,14 +133,18 @@ final class GraftTable(spark: SparkSession, dir: String,
                   maxCols: Seq[String] = Nil,
                   cntCols: Seq[String] = Nil,
                   where: Option[String] = None,
-                  derived: Seq[(String, String)] = Nil): graft.bitemporal.JoinMatview = {
+                  derived: Seq[(String, String)] = Nil,
+                  distincts: Seq[graft.bitemporal.MvDistinct] = Nil,
+                  hllCols: Seq[String] = Nil)
+      : graft.bitemporal.JoinMatview = {
     require(dims.nonEmpty, "at least one dimension table")
     new graft.bitemporal.JoinMatview(spark, log, payloadCols,
       dims.head._1.log, dims.head._1.payloadColumns,
       java.nio.file.Paths.get(dir, "join_matview", name),
       dims.head._2, groupCols, sumCols, validAt, nBuckets, minCols, maxCols,
       cntCols, where, derived,
-      dims.tail.map(d => (d._1.log, d._1.payloadColumns, d._2)))
+      dims.tail.map(d => (d._1.log, d._1.payloadColumns, d._2)),
+      distincts, Nil, hllCols)
   }
 
   /** An incrementally-maintained COUNT/SUM view over this table at a
@@ -163,36 +167,45 @@ final class GraftTable(spark: SparkSession, dir: String,
                maxCols: Seq[String] = Nil,
                cntCols: Seq[String] = Nil,
                where: Option[String] = None,
-               derived: Seq[(String, String)] = Nil): graft.bitemporal.Matview =
+               derived: Seq[(String, String)] = Nil,
+               distincts: Seq[graft.bitemporal.MvDistinct] = Nil,
+               hllCols: Seq[String] = Nil)
+      : graft.bitemporal.Matview =
     new graft.bitemporal.Matview(spark, log,
       java.nio.file.Paths.get(dir, "matview", name), payloadCols,
       groupCols, sumCols, validAt, nBuckets, minCols, maxCols, cntCols,
-      where, derived)
+      where, derived, distincts, Nil, hllCols)
 
   /** [[matviewN]] with an EXPLICIT state dir and COUNT(*)-only state —
     * the DISTINCT-aggregate serve path nests its auxiliary pair-level
     * views (group key = the view's groups plus the distinct argument)
     * INSIDE the main view's state dir, so DROP / failure cleanup /
-    * RESTORE handle the whole tree as one. */
+    * RESTORE handle the whole tree as one. `bucketCols` buckets the
+    * pair state on the PARENT view's group prefix (same bucket count),
+    * so the parent's rollup scan partition-prunes — [[MvDistinct]]. */
   private[graft] def matviewAt(stateRoot: java.nio.file.Path,
       groupCols: Seq[String], validAt: Timestamp, nBuckets: Int,
       where: Option[String],
-      derived: Seq[(String, String)]): graft.bitemporal.Matview =
+      derived: Seq[(String, String)],
+      bucketCols: Seq[String]): graft.bitemporal.Matview =
     new graft.bitemporal.Matview(spark, log, stateRoot, payloadCols,
-      groupCols, Nil, validAt, nBuckets, Nil, Nil, Nil, where, derived)
+      groupCols, Nil, validAt, nBuckets, Nil, Nil, Nil, where, derived,
+      Nil, bucketCols)
 
   /** [[starMatview]] with an EXPLICIT state dir and COUNT(*)-only
     * state — see [[matviewAt]]. */
   private[graft] def starMatviewAt(stateRoot: java.nio.file.Path,
       dims: Seq[(GraftTable, String)], groupCols: Seq[String],
       validAt: Timestamp, nBuckets: Int, where: Option[String],
-      derived: Seq[(String, String)]): graft.bitemporal.JoinMatview = {
+      derived: Seq[(String, String)],
+      bucketCols: Seq[String]): graft.bitemporal.JoinMatview = {
     require(dims.nonEmpty, "at least one dimension table")
     new graft.bitemporal.JoinMatview(spark, log, payloadCols,
       dims.head._1.log, dims.head._1.payloadColumns, stateRoot,
       dims.head._2, groupCols, Nil, validAt, nBuckets, Nil, Nil, Nil,
       where, derived,
-      dims.tail.map(d => (d._1.log, d._1.payloadColumns, d._2)))
+      dims.tail.map(d => (d._1.log, d._1.payloadColumns, d._2)),
+      Nil, bucketCols)
   }
 
   /** Fold the log into the partitioned rectangle base — incrementally

@@ -72,7 +72,10 @@ final class JoinMatview private[graft] (
     minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
     cntCols: Seq[String] = Nil, whereSql: Option[String] = None,
     derived: Seq[(String, String)] = Nil,
-    moreDims: Seq[(TxLog, Seq[String], String)] = Nil) {
+    moreDims: Seq[(TxLog, Seq[String], String)] = Nil,
+    distincts: Seq[MvDistinct] = Nil,
+    bucketCols: Seq[String] = Nil,
+    hllCols: Seq[String] = Nil) {
   /** (log, payload columns, fact fk column) per dimension — the first
     * is the constructor's primary dim, the rest are the star's extra
     * spokes. */
@@ -106,9 +109,17 @@ final class JoinMatview private[graft] (
   // column may live on any side (payload names are disjoint)
   require(cntCols.forall(aggable.contains),
     s"count columns $cntCols must be payload or derived columns")
+  require(hllCols.forall(aggable.contains),
+    s"approx-distinct columns $hllCols must be payload or derived columns")
   require(groupCols.nonEmpty, "at least one group column")
   groupCols.foreach(g => require(aggable.contains(g),
     s"group column $g must be a payload or derived column of some table"))
+  // aux pair views bucket on the PARENT view's group prefix — see
+  // [[MvDistinct]]'s contract and [[Matview]]'s matching guard
+  private val bucketKeyCols =
+    if (bucketCols.isEmpty) groupCols else bucketCols
+  require(bucketKeyCols.forall(groupCols.contains),
+    s"bucket key $bucketKeyCols must be a subset of group columns $groupCols")
   locally {
     val sides = factCols +: dims.map(_._2)
     sides.indices.foreach { i =>
@@ -156,11 +167,17 @@ final class JoinMatview private[graft] (
   private def minAlias(c: String) = s"min_$c"
   private def maxAlias(c: String) = s"max_$c"
   private def cntAlias(c: String) = s"cnt_$c"
+  private def hllAlias(c: String) = s"hll_$c"
+  // APPROX_COUNT_DISTINCT sketches ride the MIN/MAX lifecycle —
+  // recomputed for touched groups across the join at every refresh,
+  // never merged incrementally — see [[Matview]]'s note: that makes
+  // deletes/updates and dim group-moves exact for the sketch.
   private def mmAliases: Seq[String] =
-    minCols.map(minAlias) ++ maxCols.map(maxAlias)
+    minCols.map(minAlias) ++ maxCols.map(maxAlias) ++ hllCols.map(hllAlias)
   private def mmAggs =
     minCols.map(c => min(col(c)).as(minAlias(c))) ++
-      maxCols.map(c => max(col(c)).as(maxAlias(c)))
+      maxCols.map(c => max(col(c)).as(maxAlias(c))) ++
+      hllCols.map(c => hll_sketch_agg(col(c)).as(hllAlias(c)))
   // per-column NON-NULL counters over the JOINED relation — they delta
   // exactly like n does (a null cell never contributes), so they ride
   // the same self-maintainable path; AVG = sum/cnt at read time
@@ -205,17 +222,35 @@ final class JoinMatview private[graft] (
   /** Stable fingerprint of the view DEFINITION, dims included — see
     * MvState.pinDef (covers dim-arity changes over the same state). */
   private val defFp: String = {
+    // distinct/bucket-key parts append only when non-default — see
+    // [[Matview]]'s fingerprint note (pre-existing plain views keep
+    // their state across the upgrade)
+    val extras =
+      (if (distincts.nonEmpty)
+        Seq("dist:" + distincts.map(d =>
+          d.arg + (if (d.needSum) "+s" else "")).mkString(","))
+      else Nil) ++
+      (if (bucketKeyCols != groupCols)
+        Seq("bkey:" + bucketKeyCols.mkString(",")) else Nil) ++
+      (if (hllCols.nonEmpty) Seq("hll:" + hllCols.mkString(",")) else Nil)
     val parts = Seq(factCols, groupCols, sumCols, minCols, maxCols,
       cntCols, Seq(whereSql.getOrElse("")),
       derived.map(d => d._1 + "=" + d._2),
       dims.map(d => d._3 + ":" + d._2.mkString(",")),
-      Seq(validAt.toString, nBuckets.toString))
+      Seq(validAt.toString, nBuckets.toString)) ++
+      (if (extras.nonEmpty) Seq(extras) else Nil)
     java.security.MessageDigest.getInstance("MD5")
       .digest(parts.map(_.mkString("\u0001")).mkString("\u0002")
         .getBytes(UTF_8)).map(b => f"$b%02x").mkString
   }
 
-  private def bucketCol = MvState.bucketCol(groupCols, nBuckets)
+  private def bucketCol = MvState.bucketCol(bucketKeyCols, nBuckets)
+  private def ddAliases: Seq[String] = MvState.distinctAliases(distincts)
+
+  /** Pin every DISTINCT aux to exactly the per-log watermarks this
+    * refresh will record — see [[Matview.syncAuxes]]. */
+  private def syncAuxes(lasts: Seq[Long]): Unit =
+    distincts.foreach(_.refreshAuxTo(lasts))
 
   private def readTx(files: Seq[Path]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(files.map(_.toString): _*)
@@ -243,14 +278,14 @@ final class JoinMatview private[graft] (
       lit(validAt), lit(sysProbe))
 
   private def factKeep: Seq[String] =
-    (dims.map(_._3) ++ (sumCols ++ minCols ++ maxCols)
+    (dims.map(_._3) ++ (sumCols ++ minCols ++ maxCols ++ hllCols)
         .filter(factCols.contains) ++
       cntCols.filter(factCols.contains) ++
       factCols.filter(c => rowLocalRefs.contains(c.toLowerCase)) ++
       groupCols.filter(factCols.contains)).distinct
   private def dimKeep(i: Int): Seq[String] = {
     val cols = dimColsOf(i)
-    (cntCols.filter(cols.contains) ++
+    ((cntCols ++ hllCols).filter(cols.contains) ++
       cols.filter(c => rowLocalRefs.contains(c.toLowerCase)) ++
       groupCols.filter(cols.contains)).distinct
   }
@@ -276,16 +311,19 @@ final class JoinMatview private[graft] (
   /** Exact full recompute → state (first build, or after truncation of
     * any log). Same temp-write + swap as [[Matview]]. */
   private def rebuild(lasts: Seq[Long]): (Long, Long) = {
-    val agg = joinAgg(project(visibleFact(lasts.head), "_fact_id", factKeep),
-        dims.indices.map(i =>
-          project(visibleDim(i, lasts(i + 1)), dimId(i), dimKeep(i))),
-        withMm = true)
-      .withColumn("_bucket", bucketCol)
+    syncAuxes(lasts)
+    val agg = MvState.attachDistinctFull(
+      joinAgg(project(visibleFact(lasts.head), "_fact_id", factKeep),
+          dims.indices.map(i =>
+            project(visibleDim(i, lasts(i + 1)), dimId(i), dimKeep(i))),
+          withMm = true)
+        .withColumn("_bucket", bucketCol),
+      groupCols, distincts, spark)
     val tmp = stateRoot.resolve("state_rebuild_tmp")
     TxLog.deleteRecursively(tmp.toFile)
     // schema sidecar: a join that matches nothing writes a file-less
     // parquet dir — without the pinned schema every later read throws
-    MvState.writeSchema(stateRoot, agg, groupCols, nBuckets)
+    MvState.writeSchema(stateRoot, agg, bucketKeyCols, nBuckets)
     MvState.writeState(agg, groupCols, tmp, nBuckets)
     val old = stateRoot.resolve("state_rebuild_old")
     TxLog.deleteRecursively(old.toFile)
@@ -499,11 +537,12 @@ final class JoinMatview private[graft] (
             (coalesce(col(s"s.$a"), lit(0L)) + coalesce(col(s"d.$a"), lit(0L)))
               .as(a)
           } ++
-            // state's min/max ride along for groups in an affected
-            // bucket that this refresh does NOT touch (null for brand
-            // new groups — every new group is touched, so the re-read
-            // below always overwrites it)
-            mmAliases.map(a => col(s"s.$a").as(a)) :+
+            // state's min/max — and the distinct rollup columns — ride
+            // along for groups in an affected bucket that this refresh
+            // does NOT touch (null for brand new groups — every new
+            // group is touched, so the overlay/re-read below always
+            // overwrites it)
+            (mmAliases ++ ddAliases).map(a => col(s"s.$a").as(a)) :+
           coalesce(col("s._bucket"), col("d._bucket")).as("_bucket"))): _*)
       .filter(col("n") > 0) // group left the join entirely
     // MIN/MAX fallback, crossed over the join (the classic IVM
@@ -542,10 +581,22 @@ final class JoinMatview private[graft] (
               // values null) must not fall back to the stale state
               mmAliases.map(a =>
                 when(col("_mm") === true, col(s"_r_$a"))
-                  .otherwise(col(s"m.$a")).as(a)) :+
+                  .otherwise(col(s"m.$a")).as(a)) ++
+              ddAliases.map(a => col(s"m.$a").as(a)) :+
             col("m._bucket").as("_bucket")): _*)
       }
-    MvState.swapBuckets(stateRoot, dataDir, merged, affected, groupCols)
+    // DISTINCT rollup overlay — see [[Matview]]: auxes pinned to this
+    // refresh's watermarks, touched groups recomputed from pair state
+    // partition-pruned to the affected buckets.
+    val finalMerged =
+      if (distincts.isEmpty) merged
+      else {
+        syncAuxes(lasts)
+        MvState.overlayDistinct(merged, groupCols,
+          deltaCp.select(groupCols.map(col): _*).distinct(),
+          affected, distincts, spark)
+      }
+    MvState.swapBuckets(stateRoot, dataDir, finalMerged, affected, groupCols)
     MvState.pinDef(stateRoot, defFp)
     setWatermarks(lasts)
     ret(lasts)
@@ -557,6 +608,11 @@ final class JoinMatview private[graft] (
   /** [[read]] bound to an EXPLICIT session (see [[Matview.read]]). */
   def read(session: SparkSession): DataFrame =
     MvState.readState(session, stateRoot, dataDir).drop("_bucket")
+
+  /** [[read]] WITH the `_bucket` partition column — the parent view's
+    * rollup scan prunes on it (aux pair views only). */
+  private[graft] def readRaw(session: SparkSession): DataFrame =
+    MvState.readState(session, stateRoot, dataDir)
 }
 
 object JoinMatview {

@@ -46,8 +46,19 @@ final class Matview private[graft] (
     validAt: Timestamp, nBuckets: Int,
     minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
     cntCols: Seq[String] = Nil, whereSql: Option[String] = None,
-    derived: Seq[(String, String)] = Nil) {
+    derived: Seq[(String, String)] = Nil,
+    distincts: Seq[MvDistinct] = Nil,
+    bucketCols: Seq[String] = Nil,
+    hllCols: Seq[String] = Nil) {
   require(groupCols.nonEmpty, "at least one group column")
+  // the state's bucket hash normally covers the whole group key; an aux
+  // pair view buckets on the PARENT view's group prefix instead (see
+  // MvDistinct's contract) — any non-default key must be a subset of
+  // the group columns (a bucket must be a function of the group key)
+  private val bucketKeyCols =
+    if (bucketCols.isEmpty) groupCols else bucketCols
+  require(bucketKeyCols.forall(groupCols.contains),
+    s"bucket key $bucketKeyCols must be a subset of group columns $groupCols")
   // DERIVED columns (name -> row-local deterministic SQL expression
   // over the payload) extend the aggregable surface to expression
   // aggregates — SUM(a*b) maintains exactly like SUM(c) because the
@@ -61,6 +72,8 @@ final class Matview private[graft] (
     s"min/max columns ${minCols ++ maxCols} must be payload or derived columns $aggable")
   require(cntCols.forall(aggable.contains),
     s"count columns $cntCols must be payload or derived columns $aggable")
+  require(hllCols.forall(aggable.contains),
+    s"approx-distinct columns $hllCols must be payload or derived columns $aggable")
   require(nBuckets > 0, "nBuckets must be positive")
 
   private val dataDir = stateRoot.resolve("state")
@@ -87,11 +100,21 @@ final class Matview private[graft] (
   private def minAlias(c: String) = s"min_$c"
   private def maxAlias(c: String) = s"max_$c"
   private def cntAlias(c: String) = s"cnt_$c"
+  private def hllAlias(c: String) = s"hll_$c"
+  // APPROX_COUNT_DISTINCT state: one mergeable DataSketches HLL sketch
+  // (binary) per group — state ∝ groups where the exact pair-level
+  // alternative is ∝ distinct (group, value) pairs. Sketches cannot
+  // subtract, so they ride the SAME lifecycle as MIN/MAX: recomputed
+  // for the TOUCHED GROUPS from their member rows at every refresh
+  // (never merged incrementally) — which makes deletes/updates EXACT
+  // for the sketch's own semantics: the stored sketch always describes
+  // exactly the current members, no lingering tombstoned values.
   private def mmAliases: Seq[String] =
-    minCols.map(minAlias) ++ maxCols.map(maxAlias)
+    minCols.map(minAlias) ++ maxCols.map(maxAlias) ++ hllCols.map(hllAlias)
   private def mmAggs =
     minCols.map(c => min(col(c)).as(minAlias(c))) ++
-      maxCols.map(c => max(col(c)).as(maxAlias(c)))
+      maxCols.map(c => max(col(c)).as(maxAlias(c))) ++
+      hllCols.map(c => hll_sketch_agg(col(c)).as(hllAlias(c)))
   // COUNT(col) = per-column NON-NULL counter — self-maintainable the
   // same way n is (a delta subtracts like a count does; null cells
   // simply never contribute)
@@ -119,18 +142,39 @@ final class Matview private[graft] (
       groupCols.exists(g => schema.find(_.name == g).exists(
         _.dataType.typeName.startsWith("timestamp")))
 
-  /** Stable fingerprint of the view DEFINITION — see MvState.pinDef. */
+  /** Stable fingerprint of the view DEFINITION — see MvState.pinDef.
+    * The distinct-rollup and bucket-key parts append ONLY when
+    * non-default, keeping every pre-existing plain view's fingerprint
+    * (and thus its state) intact across the upgrade; a view that GAINS
+    * rollup columns or changes its bucket key must rebuild (its state
+    * schema/layout changes). */
   private val defFp: String = {
+    val extras =
+      (if (distincts.nonEmpty)
+        Seq("dist:" + distincts.map(d =>
+          d.arg + (if (d.needSum) "+s" else "")).mkString(","))
+      else Nil) ++
+      (if (bucketKeyCols != groupCols)
+        Seq("bkey:" + bucketKeyCols.mkString(",")) else Nil) ++
+      (if (hllCols.nonEmpty) Seq("hll:" + hllCols.mkString(",")) else Nil)
     val parts = Seq(payloadCols, groupCols, sumCols, minCols, maxCols,
       cntCols, Seq(whereSql.getOrElse("")),
       derived.map(d => d._1 + "=" + d._2),
-      Seq(validAt.toString, nBuckets.toString))
+      Seq(validAt.toString, nBuckets.toString)) ++
+      (if (extras.nonEmpty) Seq(extras) else Nil)
     java.security.MessageDigest.getInstance("MD5")
       .digest(parts.map(_.mkString("\u0001")).mkString("\u0002")
         .getBytes(UTF_8)).map(b => f"$b%02x").mkString
   }
 
-  private def bucketCol = MvState.bucketCol(groupCols, nBuckets)
+  private def bucketCol = MvState.bucketCol(bucketKeyCols, nBuckets)
+  private def ddAliases: Seq[String] = MvState.distinctAliases(distincts)
+
+  /** Pin every DISTINCT aux to exactly the watermark this refresh will
+    * record, so the rollup below reads pair state at the same log
+    * prefix the main state describes. */
+  private def syncAuxes(last: Long): Unit =
+    distincts.foreach(_.refreshAuxTo(Seq(last)))
 
   private def readTx(files: Seq[Path]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(files.map(_.toString): _*)
@@ -169,7 +213,10 @@ final class Matview private[graft] (
     val visible = Bitemporal.asOf(
       log.readAllAuto(spark, payloadCols, upToTx = last),
       lit(validAt), lit(sysProbe))
-    val agg = fullAgg(prep(visible)).withColumn("_bucket", bucketCol)
+    syncAuxes(last)
+    val agg = MvState.attachDistinctFull(
+      fullAgg(prep(visible)).withColumn("_bucket", bucketCol),
+      groupCols, distincts, spark)
     // temp-write + directory swap (same pattern as the incremental
     // path): a concurrent read() sees either the complete old state or
     // the complete new one — never a partial overwrite-in-place — with
@@ -181,7 +228,7 @@ final class Matview private[graft] (
     // (watermark still behind) rebuilds from scratch.
     val tmp = stateRoot.resolve("state_rebuild_tmp")
     TxLog.deleteRecursively(tmp.toFile)
-    MvState.writeSchema(stateRoot, agg, groupCols, nBuckets)
+    MvState.writeSchema(stateRoot, agg, bucketKeyCols, nBuckets)
     MvState.writeState(agg, groupCols, tmp, nBuckets)
     val old = stateRoot.resolve("state_rebuild_old")
     TxLog.deleteRecursively(old.toFile)
@@ -250,11 +297,14 @@ final class Matview private[graft] (
 
     if (w < 0 || !Files.exists(dataDir)) {
       // first build: one full fold, all buckets written once
-      val firstAgg = fullAgg(prep(Bitemporal.asOf(
-          Bitemporal.fold(readTx(files), payloadCols),
-          lit(validAt), lit(sysProbe))))
-        .withColumn("_bucket", bucketCol)
-      MvState.writeSchema(stateRoot, firstAgg, groupCols, nBuckets)
+      syncAuxes(last)
+      val firstAgg = MvState.attachDistinctFull(
+        fullAgg(prep(Bitemporal.asOf(
+            Bitemporal.fold(readTx(files), payloadCols),
+            lit(validAt), lit(sysProbe))))
+          .withColumn("_bucket", bucketCol),
+        groupCols, distincts, spark)
+      MvState.writeSchema(stateRoot, firstAgg, bucketKeyCols, nBuckets)
       MvState.writeState(firstAgg, groupCols, dataDir, nBuckets)
       if (tzSensitive(firstAgg.schema)) MvState.pinTimeZone(spark, stateRoot)
       MvState.pinDef(stateRoot, defFp)
@@ -339,11 +389,12 @@ final class Matview private[graft] (
             val a = cntAlias(c)
             (coalesce(col(s"s.$a"), lit(0L)) + coalesce(col(s"d.$a"), lit(0L))).as(a)
           } ++
-            // state's min/max ride along for groups in an affected
-            // bucket that this refresh does NOT touch (null for brand
-            // new groups — every new group is touched, so the re-read
-            // below always overwrites it)
-            mmAliases.map(a => col(s"s.$a").as(a)) :+
+            // state's min/max — and the distinct rollup columns — ride
+            // along for groups in an affected bucket that this refresh
+            // does NOT touch (null for brand new groups — every new
+            // group is touched, so the overlay/re-read below always
+            // overwrites it)
+            (mmAliases ++ ddAliases).map(a => col(s"s.$a").as(a)) :+
           coalesce(col("s._bucket"), col("d._bucket")).as("_bucket")): _*)
       .filter(col("n") > 0) // a group whose last row left the view goes away
     // MIN/MAX fallback (the classic IVM restriction: extremes are not
@@ -379,10 +430,25 @@ final class Matview private[graft] (
               // values null) must not fall back to the stale state
               mmAliases.map(a =>
                 when(col("_mm") === true, col(s"_r_$a"))
-                  .otherwise(col(s"m.$a")).as(a)) :+
+                  .otherwise(col(s"m.$a")).as(a)) ++
+              ddAliases.map(a => col(s"m.$a").as(a)) :+
             col("m._bucket").as("_bucket")): _*)
       }
-    MvState.swapBuckets(stateRoot, dataDir, merged, affected, groupCols)
+    // DISTINCT rollup overlay: pin the auxes to this refresh's
+    // watermark, then recompute cntd/sumd for the TOUCHED groups from
+    // the pair state — partition-pruned to the affected buckets (the
+    // aux is bucketed on the parent group prefix with the same bucket
+    // count). Untouched groups in affected buckets keep the stored
+    // rollup they rode along with above.
+    val finalMerged =
+      if (distincts.isEmpty) merged
+      else {
+        syncAuxes(last)
+        MvState.overlayDistinct(merged, groupCols,
+          deltaCp.select(groupCols.map(col): _*).distinct(),
+          affected, distincts, spark)
+      }
+    MvState.swapBuckets(stateRoot, dataDir, finalMerged, affected, groupCols)
     MvState.pinDef(stateRoot, defFp)
     setWatermark(last)
     last
@@ -398,10 +464,125 @@ final class Matview private[graft] (
     * shared; only the plan binding differs. */
   def read(session: SparkSession): DataFrame =
     MvState.readState(session, stateRoot, dataDir).drop("_bucket")
+
+  /** [[read]] WITH the `_bucket` partition column — the parent view's
+    * rollup scan prunes on it (aux pair views only). */
+  private[graft] def readRaw(session: SparkSession): DataFrame =
+    MvState.readState(session, stateRoot, dataDir)
+}
+
+/** One DISTINCT aggregate argument's maintenance hooks, supplied by the
+  * composition layer (the DDL front door) that owns the auxiliary
+  * pair-level view. The MAIN view's refresh drives the aux: it pins the
+  * aux to the exact watermark(s) this refresh will record, then rolls
+  * the aux pair state up into materialized `cntd_<arg>` /
+  * `sumd_<arg>` columns of the MAIN state — so reads serve from the
+  * main state alone (∝ groups, bucket-prunable) and never touch the
+  * pair state. The aux stays the source of truth for EXACT distinct
+  * under deletes; the rollup columns are a derived cache maintained in
+  * the same bucket-scoped swap as every other state column.
+  *
+  * Contract: the aux MUST be bucketed on the main view's group columns
+  * (the parent-key prefix) with the SAME bucket count — that makes the
+  * aux's `_bucket` of a pair equal the main `_bucket` of its group, so
+  * the incremental rollup scan partition-prunes to exactly the
+  * refresh's affected buckets. [[graft.server.GraftMatviews]] creates
+  * every aux that way. */
+private[graft] final case class MvDistinct(
+    arg: String,
+    /** build the SUM side only when SUM/AVG(DISTINCT arg) is served —
+      * sum over a non-numeric argument would fail analysis. */
+    needSum: Boolean,
+    /** the aux pair state (groups…, arg, n, _bucket) — WITH _bucket. */
+    readAux: SparkSession => DataFrame,
+    /** refresh the aux pinned to exactly these watermarks
+      * ([[Matview]]: length 1; [[JoinMatview]]: fact +: dims). */
+    refreshAuxTo: Seq[Long] => Unit) {
+  def cntAlias: String = s"cntd_$arg"
+  def sumAlias: String = s"sumd_$arg"
+  def aliases: Seq[String] =
+    cntAlias +: (if (needSum) Seq(sumAlias) else Nil)
 }
 
 /** State-store helpers shared by [[Matview]] and [[JoinMatview]]. */
 private[graft] object MvState {
+
+  /** The materialized rollup column names `distincts` contribute to the
+    * main state, in stable order. */
+  def distinctAliases(distincts: Seq[MvDistinct]): Seq[String] =
+    distincts.flatMap(_.aliases)
+
+  /** Per-group rollup of one aux pair state: the pairs that still exist
+    * (`n > 0`) with a non-null argument, counted (and summed) per MAIN
+    * group. `buckets` partition-prunes the aux scan to the refresh's
+    * affected buckets — sound because the aux is bucketed on the
+    * parent-key prefix with the main view's bucket count (the
+    * [[MvDistinct]] contract). */
+  private def rollup(aux: DataFrame, groupCols: Seq[String],
+      d: MvDistinct, buckets: Option[Seq[Long]]): DataFrame = {
+    val scoped = buckets.fold(aux)(b =>
+      aux.filter(col("_bucket").isin(b: _*)))
+    val aggs = count(lit(1)).as(d.cntAlias) +:
+      (if (d.needSum) Seq(sum(col(d.arg)).as(d.sumAlias)) else Nil)
+    scoped.filter(col("n") > 0 && col(d.arg).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Attach rollup columns for ALL groups of `agg` — the full-build /
+    * rebuild paths, where every group is (re)computed anyway. COUNT of
+    * zero distinct values is 0, SUM is NULL (SQL semantics). */
+  def attachDistinctFull(agg: DataFrame, groupCols: Seq[String],
+      distincts: Seq[MvDistinct], spark: SparkSession): DataFrame =
+    distincts.foldLeft(agg) { (acc0, d) =>
+      val keep = acc0.columns.toSeq
+      val acc = acc0.as("b")
+      val roll = rollup(d.readAux(spark), groupCols, d, None).as("r")
+      val cond = groupCols.map(g =>
+        col(s"b.$g") <=> col(s"r.$g")).reduce(_ && _)
+      acc.join(roll, cond, "left").select(
+        keep.map(c => col(s"b.$c")) ++
+          (coalesce(col(s"r.${d.cntAlias}"), lit(0L)).as(d.cntAlias) +:
+            (if (d.needSum) Seq(col(s"r.${d.sumAlias}").as(d.sumAlias))
+             else Nil)): _*)
+    }
+
+  /** Overlay rollups for the TOUCHED groups onto the merged state slice
+    * (which must already carry the rollup columns, ridden along from
+    * stored state): touched groups take the freshly recomputed rollup —
+    * including 0/NULL when their last pair vanished — untouched groups
+    * in an affected bucket keep their stored values. The same
+    * flag-not-coalesce discipline as the MIN/MAX merge: a touched
+    * group's legitimate NULL must not fall back to stale state. */
+  def overlayDistinct(merged: DataFrame, groupCols: Seq[String],
+      touched: DataFrame, affected: Seq[Long],
+      distincts: Seq[MvDistinct], spark: SparkSession): DataFrame =
+    distincts.foldLeft(merged) { (acc0, d) =>
+      val keep = acc0.columns.toSeq
+      val acc = acc0.as("b")
+      val roll = rollup(d.readAux(spark), groupCols, d, Some(affected))
+      val rKey = groupCols.map(g =>
+        col(s"tg.$g") <=> col(s"rr.$g")).reduce(_ && _)
+      // every touched group gets a row, present in the rollup or not
+      val tr = touched.as("tg").join(roll.as("rr"), rKey, "left")
+        .select(groupCols.map(g => col(s"tg.$g").as(g)) ++
+          (lit(true).as("_dd") +:
+            coalesce(col(s"rr.${d.cntAlias}"), lit(0L)).as(d.cntAlias) +:
+            (if (d.needSum) Seq(col(s"rr.${d.sumAlias}").as(d.sumAlias))
+             else Nil)): _*)
+      val cond = groupCols.map(g =>
+        col(s"b.$g") <=> col(s"r.$g")).reduce(_ && _)
+      acc.join(tr.as("r"), cond, "left").select(
+        keep.map {
+          case c if c == d.cntAlias =>
+            when(col("_dd") === true, col(s"r.${d.cntAlias}"))
+              .otherwise(col(s"b.$c")).as(c)
+          case c if d.needSum && c == d.sumAlias =>
+            when(col("_dd") === true, col(s"r.${d.sumAlias}"))
+              .otherwise(col(s"b.$c")).as(c)
+          case c => col(s"b.$c")
+        }: _*)
+    }
   /** Sieve (the view's WHERE) then attach the derived expression
     * columns — the row-local preparation every aggregation path of
     * both view kinds shares. One definition, because it feeds the
@@ -532,22 +713,25 @@ private[graft] object MvState {
     * UNABLE_TO_INFER_SCHEMA on every later refresh() and read(),
     * permanently (found by review). With the sidecar, empty state
     * reads as an empty relation and the view keeps working. */
-  /** Metadata keys stamped on the FIRST group column of the persisted
-    * state schema — [[graft.plans.MvBucketPrune]] reads them off the
-    * scan's attributes to translate a full-group-key equality predicate
-    * into `_bucket = <const>` partition pruning. */
+  /** Metadata keys stamped on the first BUCKET-KEY column of the
+    * persisted state schema — [[graft.plans.MvBucketPrune]] reads them
+    * off the scan's attributes to translate a full-bucket-key equality
+    * predicate into `_bucket = <const>` partition pruning. GroupsKey
+    * records the HASH KEY (normally the full group key; the parent
+    * prefix for aux pair views) — what the rule must cover with
+    * equality conjuncts to prune soundly. */
   val BucketsKey = "graft.mv.nbuckets"
   val GroupsKey = "graft.mv.groups"
 
   def writeSchema(stateRoot: Path, df: DataFrame,
-                  groupCols: Seq[String], nBuckets: Int): Unit = {
+                  bucketKeyCols: Seq[String], nBuckets: Int): Unit = {
     Files.createDirectories(stateRoot)
     val stamped = org.apache.spark.sql.types.StructType(df.schema.map { f =>
-      if (f.name == groupCols.head)
+      if (f.name == bucketKeyCols.head)
         f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
           .putLong(BucketsKey, nBuckets.toLong)
-          .putString(GroupsKey, groupCols.mkString("\u0001"))
+          .putString(GroupsKey, bucketKeyCols.mkString("\u0001"))
           .build())
       else f
     })

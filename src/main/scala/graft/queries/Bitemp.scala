@@ -634,6 +634,95 @@ object Bitemp {
       } finally graft.server.GraftServer.unregister("mvdst_accts")
     }),
 
+    // The DISTINCT view's POINT-READ serve path (r14): the distinct
+    // rollup is MATERIALIZED into the main state at refresh, so a
+    // group-key read serves from the main state's pruned bucket dirs
+    // and never scans the auxiliary pair state (MatviewSpec and
+    // GraftMatviewsSpec lock the plan shape — one FileSourceScanExec,
+    // numFiles ∝ the IN-list; this entry locks the VALUES end-to-end
+    // through the SQL front door against the DuckDB oracle).
+    "q172_sql_matview_distinct_serve" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvdsv_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      graft.server.GraftMatviews.reset()
+      val t = new GraftTable(s, tmp, Seq("grp", "code", "bal"))
+      graft.server.GraftServer.register("mvdsv_accts", t)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val cust = T(s, dir, "customer").select($"c_custkey".as("id"),
+          $"c_nationkey".cast("string").as("g"),
+          when($"c_custkey" % 7 === 0, lit(null))
+            .otherwise($"c_custkey" % 50).cast("long").as("cd"),
+          $"c_acctbal".cast("decimal(12,2)").as("m"))
+        t.put(cust, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "code" -> $"cd", "bal" -> $"m"),
+          ts("2020-01-01 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvdsv_by_nation WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+            "SELECT grp, COUNT(*) AS n, COUNT(DISTINCT code) AS nd, " +
+            "SUM(DISTINCT code) AS sd FROM mvdsv_accts " +
+            "WHERE bal > 0 GROUP BY grp")
+        graft.server.GraftSql.sql(s,
+          "SELECT grp, n, nd, sd FROM mvdsv_by_nation " +
+            "WHERE grp IN ('3', '7', '14') ORDER BY grp")
+      } finally graft.server.GraftServer.unregister("mvdsv_accts")
+    }),
+
+    // APPROX_COUNT_DISTINCT in the matview DDL (r14): one mergeable
+    // HLL sketch per group — state ∝ groups where the exact pair-level
+    // machinery is ∝ distinct (group, value) pairs — maintained by
+    // touched-group recompute (the MIN/MAX lifecycle), so the DELETE
+    // below is absorbed exactly: no tombstoned value lingers in the
+    // sketch. Served as the estimate; checked q67-style (each engine
+    // compares ITS OWN approximation against the exact count within
+    // tolerance — estimates differ across implementations, the
+    // accuracy contract does not).
+    "q173_sql_matview_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvapd_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      graft.server.GraftMatviews.reset()
+      val t = new GraftTable(s, tmp, Seq("grp", "code", "bal"))
+      graft.server.GraftServer.register("mvapd_accts", t)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val cust = T(s, dir, "customer").select($"c_custkey".as("id"),
+          $"c_nationkey".cast("string").as("g"),
+          ($"c_custkey" % 1000).cast("long").as("cd"),
+          $"c_acctbal".cast("decimal(12,2)").as("m"))
+        t.put(cust, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "code" -> $"cd", "bal" -> $"m"),
+          ts("2020-01-01 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvapd_by_nation WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+            "SELECT grp, COUNT(*) AS n, APPROX_COUNT_DISTINCT(code) " +
+            "AS apd FROM mvapd_accts WHERE bal > 0 GROUP BY grp")
+        // deletes force the touched-group sketch recompute
+        t.delete(cust.filter($"id" % 13 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> lit(null).cast("string"),
+            "code" -> lit(null).cast("long"),
+            "bal" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "REFRESH MATERIALIZED VIEW mvapd_by_nation")
+        val exact = t.current().filter($"bal" > 0).groupBy($"grp")
+          .agg(count_distinct($"code").as("nd_exact"))
+        graft.server.GraftSql.sql(s,
+          "SELECT grp, n, apd FROM mvapd_by_nation").as("v")
+          .join(exact.as("e"), col("v.grp") === col("e.grp"))
+          .select(col("v.grp").as("grp"), col("v.n").as("n"),
+            col("e.nd_exact").as("nd_exact"),
+            (abs(col("v.apd") - col("e.nd_exact")) <=
+              greatest(lit(2L), (col("e.nd_exact") * 0.05).cast("long")))
+              .as("apd_ok"))
+          .orderBy("grp")
+      } finally graft.server.GraftServer.unregister("mvapd_accts")
+    }),
+
     // JOIN matview (r7): orders ⋈ customers grouped by the CUSTOMER's
     // region — maintained incrementally from BOTH logs' tails by the
     // Δ(A⋈B) rules. The second refresh folds a fact tail (price bump +
@@ -1331,6 +1420,39 @@ object Bitemp {
              CAST(count(DISTINCT code) AS BIGINT) AS nd,
              CAST(sum(DISTINCT code) AS BIGINT) AS sd,
              CAST(sum(DISTINCT code) AS DOUBLE) / count(DISTINCT code) AS ad
+      FROM vis GROUP BY grp ORDER BY grp""",
+
+    // the point-read slice of the distinct view (no mutations: the
+    // serve path itself is what this entry checks)
+    "q172_sql_matview_distinct_serve" -> """
+      WITH c AS (SELECT c_custkey AS k, CAST(c_nationkey AS VARCHAR) AS grp,
+                        CASE WHEN c_custkey % 7 = 0 THEN NULL
+                             ELSE c_custkey % 50 END AS code,
+                        CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+                 FROM customer),
+      vis AS (SELECT * FROM c WHERE bal > 0)
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT code) AS BIGINT) AS nd,
+             CAST(sum(DISTINCT code) AS BIGINT) AS sd
+      FROM vis WHERE grp IN ('3', '7', '14')
+      GROUP BY grp ORDER BY grp""",
+
+    // q67-style accuracy contract: the oracle compares DUCKDB's own
+    // approx_count_distinct against the exact count with the same
+    // tolerance — both engines' booleans come out true when their
+    // sketches meet the advertised error bound
+    "q173_sql_matview_approx_distinct" -> """
+      WITH c AS (SELECT c_custkey AS k, CAST(c_nationkey AS VARCHAR) AS grp,
+                        c_custkey % 1000 AS code,
+                        CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+                 FROM customer),
+      eff AS (SELECT * FROM c WHERE k % 13 <> 0),
+      vis AS (SELECT * FROM eff WHERE bal > 0)
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT code) AS BIGINT) AS nd_exact,
+             abs(approx_count_distinct(code) - count(DISTINCT code))
+               <= greatest(2, CAST(count(DISTINCT code) * 0.05 AS BIGINT))
+               AS apd_ok
       FROM vis GROUP BY grp ORDER BY grp""",
 
     // from-scratch recompute of the month-bucketed rollup

@@ -432,6 +432,7 @@ object GraftMatviews {
           " [WITH (valid_at = 'ts', buckets = n)]" +
           " AS SELECT g, COUNT(*) [AS a], COUNT([DISTINCT] c)," +
           " SUM([DISTINCT] c), AVG([DISTINCT] c)," +
+          " APPROX_COUNT_DISTINCT(c)," +
           " MIN(c), MAX(c) FROM fact [JOIN dim ON fk = dim._id]" +
           " [WHERE pred] GROUP BY g\n" +
           "  REFRESH MATERIALIZED VIEW v\n" +
@@ -612,6 +613,17 @@ object GraftMatviews {
     // state dir — see the Aux plumbing below); MIN/MAX(DISTINCT x) is
     // the same aggregate as MIN/MAX(x) and routes there.
     val aggDistRe = "(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*DISTINCT\\s+([\\s\\S]+?)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
+    // APPROX_COUNT_DISTINCT(col-or-expression) — the cheap option for
+    // HIGH-CARDINALITY arguments where the exact pair-level state
+    // (∝ distinct (group, value) pairs) outgrows its worth: state is
+    // ONE mergeable DataSketches HLL sketch per group (∝ groups), and
+    // the sketch rides the MIN/MAX maintenance lifecycle (touched-group
+    // recompute at refresh), so deletes/updates stay exact for the
+    // sketch — no lingering tombstoned values, no refuse path.
+    // Standard HLL error (~1.6% at the default lgK); exact in sparse
+    // mode (low per-group cardinality).
+    val apdRe = ("(?is)^APPROX_COUNT_DISTINCT\\s*\\(\\s*([\\s\\S]+?)" +
+      "\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$").r
     // EXPRESSION aggregate — any argument that isn't a bare column ref
     // (tried after aggRe). The argument becomes a DERIVED column on the
     // maintained relation, computed row-locally after the sieve, so the
@@ -690,10 +702,25 @@ object GraftMatviews {
     val mins = Seq.newBuilder[String]
     val maxs = Seq.newBuilder[String]
     val cnts = Seq.newBuilder[String]
+    val hlls = Seq.newBuilder[String]
     // canonical -> alias, in SELECT order (group handled separately)
     val serve = Seq.newBuilder[(String, String)]
     BitemporalDml.splitTopLevel(list).map(_.trim).filter(_.nonEmpty)
       .foreach {
+        case apdRe(arg0, alias0) =>
+          if (arg0.trim == "*" || arg0.trim.equalsIgnoreCase("distinct"))
+            fail("APPROX_COUNT_DISTINCT needs a column or row-local " +
+              "expression argument")
+          val isCol = plainIdentRe.matches(arg0.trim)
+          val c = if (isCol) unqualify(arg0) else derivedName(arg0)
+          val alias = Option(alias0).getOrElse {
+            if (isCol) s"apd_$c"
+            else fail(s"expression aggregate APPROX_COUNT_DISTINCT" +
+              s"($arg0) needs an explicit AS alias to serve as a " +
+              "column name")
+          }
+          hlls += c
+          serve += (s"apd_$c" -> alias)
         case aggDistRe(fn0, arg0, alias0) =>
           val fn = fn0.toUpperCase
           if (arg0.trim == "*")
@@ -779,7 +806,8 @@ object GraftMatviews {
         case other => fail(s"select item '$other' is neither a GROUP BY " +
           s"column (${groups.mkString(", ")}) nor " +
           "COUNT(*)/COUNT/SUM/AVG/MIN/MAX([DISTINCT] col | row-local " +
-          "expression AS alias)")
+          "expression AS alias) nor APPROX_COUNT_DISTINCT(col | expr " +
+          "AS alias)")
       }
 
     val fact = graftTable(factName)
@@ -811,27 +839,34 @@ object GraftMatviews {
     val handle =
       if (joinSpecs.isEmpty) {
         val nb = buckets.getOrElse(32)
-        distincts.filterNot(d => fact.payloadColumns.contains(d) ||
-            derivedExprs.contains(d))
+        (distincts ++ hlls.result()).filterNot(d =>
+            fact.payloadColumns.contains(d) || derivedExprs.contains(d))
           .foreach(d => fail(s"DISTINCT argument $d must be a payload " +
             s"column of $factName (or a row-local expression)"))
         val mvDir = matviewDir(factName, "matview", name)
+        // each DISTINCT argument's auxiliary pair-level view, nested
+        // inside the main state dir and BUCKETED ON THE PARENT GROUP
+        // PREFIX (same bucket count) so the main refresh's rollup scan
+        // partition-prunes to its affected buckets — [[MvDistinct]].
+        // The MAIN view drives the auxes from inside its own refresh
+        // (pin-to-recorded-watermark, then rollup into main state);
+        // reads serve from the main state alone.
+        val auxes: Seq[graft.bitemporal.MvDistinct] =
+          distincts.toSeq.map { d =>
+            val a = fact.matviewAt(mvDir.resolve("_dist").resolve(d),
+              (groups :+ d).distinct, validAt, nb, whereOpt,
+              auxDerived(d), bucketCols = groups)
+            graft.bitemporal.MvDistinct(d, distinctSums.contains(d),
+              sess => a.readRaw(sess),
+              ws => { a.refreshUpTo(Some(ws.head)): Unit })
+          }
         val mv = fact.matviewN(name, groups, sums.result().distinct, validAt,
           nb, mins.result(), maxs.result(),
-          cnts.result().distinct, whereOpt, derivedExprs.toSeq)
-        val auxes: Seq[Aux] = distincts.toSeq.map { d =>
-          val a = fact.matviewAt(mvDir.resolve("_dist").resolve(d),
-            (groups :+ d).distinct, validAt, nb, whereOpt, auxDerived(d))
-          Aux(d, distinctSums.contains(d), sess => a.read(sess),
-            () => a.watermark.toString,
-            () => { a.refreshUpTo(Some(mv.watermark)): Unit })
-        }
-        val roots = Seq(java.nio.file.Paths.get(fact.tableDir))
+          cnts.result().distinct, whereOpt, derivedExprs.toSeq, auxes,
+          hlls.result().distinct)
         Handle(name, serveAll, havingOpt,
-          sess => readWithDistinct(sess, roots, () => mv.watermark.toString,
-            s2 => mv.read(s2), groups, auxes),
-          () => refreshWithAuxes(roots, auxes,
-            () => (mv.refresh(), Option.empty[Long])),
+          sess => mv.read(sess),
+          () => (mv.refresh(), Option.empty[Long]),
           mvDir, canonicalDdl(nb))
       } else {
         // each JOIN clause is one spoke of the star: resolve the dim
@@ -869,31 +904,29 @@ object GraftMatviews {
         val nb = buckets.getOrElse(64)
         val allPayload =
           fact.payloadColumns ++ dims.flatMap(_._1.payloadColumns)
-        distincts.filterNot(d => allPayload.contains(d) ||
-            derivedExprs.contains(d))
+        (distincts ++ hlls.result()).filterNot(d =>
+            allPayload.contains(d) || derivedExprs.contains(d))
           .foreach(d => fail(s"DISTINCT argument $d must be a payload " +
             "column of a joined table (or a row-local expression)"))
         val mvDir = matviewDir(factName, "join_matview", name)
+        // star-form auxes: same parent-prefix bucketing and
+        // driven-by-the-main-refresh contract as the single-table form
+        val auxes: Seq[graft.bitemporal.MvDistinct] =
+          distincts.toSeq.map { d =>
+            val a = fact.starMatviewAt(mvDir.resolve("_dist").resolve(d),
+              dims, (groups :+ d).distinct, validAt, nb, whereOpt,
+              auxDerived(d), bucketCols = groups)
+            graft.bitemporal.MvDistinct(d, distinctSums.contains(d),
+              sess => a.readRaw(sess),
+              ws => { a.refreshUpTo(Some(ws)): Unit })
+          }
         val mv = fact.starMatview(name, dims, groups,
           sums.result().distinct, validAt, nb,
           mins.result(), maxs.result(), cnts.result().distinct, whereOpt,
-          derivedExprs.toSeq)
-        val auxes: Seq[Aux] = distincts.toSeq.map { d =>
-          val a = fact.starMatviewAt(mvDir.resolve("_dist").resolve(d),
-            dims, (groups :+ d).distinct, validAt, nb, whereOpt,
-            auxDerived(d))
-          Aux(d, distinctSums.contains(d), sess => a.read(sess),
-            () => a.watermarksAll.mkString(" "),
-            () => { a.refreshUpTo(Some(mv.watermarksAll)): Unit })
-        }
-        val roots = java.nio.file.Paths.get(fact.tableDir) +:
-          dims.map(dd => java.nio.file.Paths.get(dd._1.tableDir))
+          derivedExprs.toSeq, auxes, hlls.result().distinct)
         Handle(name, serveAll, havingOpt,
-          sess => readWithDistinct(sess, roots,
-            () => mv.watermarksAll.mkString(" "), s2 => mv.read(s2),
-            groups, auxes),
-          () => refreshWithAuxes(roots, auxes,
-            () => { val (a, b) = mv.refresh(); (a, Some(b)) }),
+          sess => mv.read(sess),
+          () => { val (a, b) = mv.refresh(); (a, Some(b)) },
           mvDir, canonicalDdl(nb))
       }
 
@@ -982,100 +1015,13 @@ object GraftMatviews {
     java.nio.file.Paths.get(dir, kind, name)
   }
 
-  /** One DISTINCT argument's auxiliary pair-level view, kind-erased
-    * over [[graft.bitemporal.Matview]]/[[graft.bitemporal.JoinMatview]]:
-    * a session-bound read of the (groups, arg, n) pair state, the aux's
-    * watermark rendering (crash-skew detection against the main
-    * view's), and a refresh PINNED to the main view's current
-    * watermark(s) so both states always describe the same log
-    * prefixes. */
-  private final case class Aux(arg: String,
-      // COUNT(DISTINCT) over a non-numeric argument is legitimate —
-      // the SUM side of the rollup is built only when SUM/AVG(DISTINCT)
-      // of this argument is actually served (sum over a string column
-      // would fail analysis and take the COUNT down with it)
-      needSum: Boolean,
-      read: SparkSession => DataFrame,
-      wmToken: () => String,
-      refreshPinned: () => Unit)
-
-  /** Serve the DISTINCT aggregates: left-join each aux's read-time
-    * rollup — the pairs that still exist (n > 0) with a non-null
-    * argument, counted/summed per group — onto `base`, null-safe on
-    * the group key. Read cost ∝ the aux pair state (the
-    * information-theoretic minimum any engine pays for EXACT distinct
-    * aggregates under deletes); the refresh side stays ∝ the tails. */
-  private def distinctServe(base: DataFrame, groups: Seq[String],
-      auxes: Seq[Aux], sess: SparkSession): DataFrame =
-    auxes.foldLeft(base) { case (acc0, aux) =>
-      val d = aux.arg
-      val keep = acc0.columns.toSeq
-      val acc = acc0.as("b")
-      val aggs = count(lit(1)).as(s"cntd_$d") +:
-        (if (aux.needSum) Seq(sum(col(d)).as(s"sumd_$d")) else Nil)
-      val roll = aux.read(sess)
-        .filter(col("n") > 0 && col(d).isNotNull)
-        .groupBy(groups.map(col): _*)
-        .agg(aggs.head, aggs.tail: _*)
-        .as("r")
-      val cond = groups.map(g => col(s"b.$g") <=> col(s"r.$g"))
-        .reduce(_ && _)
-      acc.join(roll, cond, "left").select(
-        keep.map(c => col(s"b.$c")) ++
-          (coalesce(col(s"r.cntd_$d"), lit(0L)).as(s"cntd_$d") +:
-            (if (aux.needSum) Seq(col(s"r.sumd_$d").as(s"sumd_$d"))
-             else Nil)): _*)
-    }
-
-  /** Crash-skew heal + composite read: if any aux's watermark token
-    * differs from the main's (a crash landed between the main and aux
-    * legs of a previous REFRESH), catch the aux up PINNED to the main
-    * state before serving — the pair never serves mixed bases. The
-    * token compare is two tiny file reads per registration; the lease
-    * is taken only on actual skew. */
-  private def readWithDistinct(sess: SparkSession,
-      roots: Seq[java.nio.file.Path], mainToken: () => String,
-      baseRead: SparkSession => DataFrame, groups: Seq[String],
-      auxes: Seq[Aux]): DataFrame = {
-    if (auxes.nonEmpty && {
-        val t = mainToken(); auxes.exists(_.wmToken() != t)
-      })
-      graft.bitemporal.MaintainerLease.withLease(roots, "matview-distinct-heal") {
-        try auxes.foreach(_.refreshPinned())
-        catch { case e: Exception =>
-          // the pinned snapshot can be unrecoverable when maintenance
-          // truncated the log past the main view's watermark AFTER a
-          // crash left the aux behind — only a REFRESH (which advances
-          // the main watermark past the truncation) can converge the
-          // pair again; serving mixed bases silently is never an option
-          throw new IllegalStateException(
-            "the view's DISTINCT auxiliary state is behind its main " +
-              "state and the pinned catch-up failed (log truncated past " +
-              "the main watermark?): run REFRESH MATERIALIZED VIEW to " +
-              s"re-converge — ${e.getMessage}", e)
-        }
-      }
-    distinctServe(baseRead(sess), groups, auxes, sess)
-  }
-
-  /** The composite REFRESH for a view with DISTINCT aggregates: heal
-    * any prior crash skew, advance the main view, re-pin the auxes at
-    * its new watermarks. The heal leg TOLERATES an unrecoverable
-    * pinned snapshot (crash skew + a log truncation that advanced past
-    * the main watermark makes the old pin unreachable) — the main
-    * refresh right after advances the watermark past the truncation,
-    * and the second leg re-pins there through the rebuild path, so one
-    * REFRESH always re-converges the pair instead of wedging on the
-    * first leg forever. */
-  private def refreshWithAuxes[A](roots: Seq[java.nio.file.Path],
-      auxes: Seq[Aux], mainRefresh: () => A): A =
-    graft.bitemporal.MaintainerLease.withLease(roots, "matview-refresh") {
-      try auxes.foreach(_.refreshPinned())
-      catch { case _: Exception => } // superseded by the re-pin below
-      val r = mainRefresh()
-      auxes.foreach(_.refreshPinned())
-      r
-    }
+  // The DISTINCT serve/refresh composition (the r13 Aux machinery:
+  // read-time rollup joins, crash-skew heal, the composite
+  // refresh-with-auxes lease) moved INTO Matview/JoinMatview as
+  // [[graft.bitemporal.MvDistinct]]: the main view's refresh now pins
+  // each aux to its recorded watermark and materializes the rollup
+  // into the MAIN state, so reads serve one bucket-prunable state tree
+  // and no skew can exist at serve time.
 
   /** Column-metadata marker stamped on every matview temp-view
     * registration: the stale-registration cleanup after a DROP may only
@@ -1112,6 +1058,11 @@ object GraftMatviews {
           val c = canon.stripPrefix("avgd_")
           when(col(s"cntd_$c") > 0,
             col(s"sumd_$c").cast("double") / col(s"cntd_$c")).as(alias)
+        case (canon, alias) if canon.startsWith("apd_") =>
+          // APPROX_COUNT_DISTINCT serves the stored sketch's estimate;
+          // an all-null group's sketch is empty/NULL → 0, SQL semantics
+          val c = canon.stripPrefix("apd_")
+          coalesce(hll_sketch_estimate(col(s"hll_$c")), lit(0L)).as(alias)
         case (canon, alias) => col(canon).as(alias)
       }
     df0.select(cols: _*)

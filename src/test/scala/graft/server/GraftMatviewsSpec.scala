@@ -1425,27 +1425,33 @@ class GraftMatviewsSpec extends AnyFunSuite {
       assert(got2 == want2)
       GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_dist2")
 
-      // crash-skew heal: wipe the aux watermark (simulates a crash
-      // between the main and aux refresh legs) — the next read detects
-      // the token mismatch and catches the aux up pinned to main
+      // crash skew: wipe the aux watermark (simulates a crash between
+      // the aux and main refresh legs). The rollup is MATERIALIZED in
+      // the main state, so reads never touch the aux — they keep
+      // serving the last refresh's consistent values — and the next
+      // REFRESH rebuilds the aux pinned to its recorded watermark.
       val auxRoot = java.nio.file.Paths.get(
         t.tableDir, "matview", "mv_dist", "_dist", "code")
       assert(java.nio.file.Files.exists(auxRoot.resolve("_watermark")))
       java.nio.file.Files.delete(auxRoot.resolve("_watermark"))
-      assert(read() == scratch(), "read must heal the skewed aux")
+      assert(read() == scratch(),
+        "reads serve the materialized rollup, aux skew is invisible")
+      put(Seq((9L, "a", 60L, 2L)), "2024-01-04 00:00:00")
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_dist").collect()
       assert(java.nio.file.Files.exists(auxRoot.resolve("_watermark")),
-        "heal re-established the aux watermark")
+        "REFRESH re-established the aux watermark")
+      assert(read() == scratch(), "refresh healed the skewed aux")
 
-      // crash skew + a log truncation past the main watermark: the old
-      // pin becomes unreachable — reads refuse loudly with the REFRESH
-      // hint, and ONE REFRESH re-converges the pair (the heal leg must
-      // tolerate the unrecoverable pin instead of wedging forever)
+      // crash skew + a log truncation past the main watermark: reads
+      // STILL serve the last refresh's state (the materialized rollup
+      // needs no aux at serve time), and ONE REFRESH — which takes the
+      // exact rebuild path past the truncation — re-converges the pair
       java.nio.file.Files.delete(auxRoot.resolve("_watermark"))
+      val preTail = read()
       put(Seq((8L, "a", 50L, 3L)), "2024-01-05 00:00:00") // unrefreshed tail
       t.vacuumLog() // truncates past main's watermark
-      val ew = intercept[IllegalStateException](read())
-      assert(ew.getMessage.contains("REFRESH MATERIALIZED VIEW"),
-        ew.getMessage)
+      assert(read() == preTail,
+        "a skewed aux must not affect serving the refreshed state")
       GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_dist").collect()
       assert(read() == scratch(),
         "one REFRESH must re-converge the pair after truncation skew")
@@ -1710,6 +1716,39 @@ class GraftMatviewsSpec extends AnyFunSuite {
       val r = df.collect()
       assert(r.length == 1 && r(0).getLong(1) == 4L, r.mkString(","))
       GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_bp")
+
+      // DISTINCT view point read: the rollup is MATERIALIZED in the
+      // main state, so the serving plan (a) bucket-prunes to ONE dir of
+      // 16 exactly like a plain view and (b) never scans the auxiliary
+      // pair state at all — the r13 design re-aggregated the full pair
+      // state per read and could not prune it (partial key there)
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_bpd WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+        "SELECT grp, COUNT(*) AS n, COUNT(DISTINCT bal) AS nd, " +
+        "SUM(DISTINCT bal) AS sd FROM bpfact GROUP BY grp")
+      val dfd = GraftSql.sql(spark,
+        "SELECT grp, n, nd, sd FROM mv_bpd WHERE grp = 'g0042'")
+      val scansD = dfd.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scansD.length == 1,
+        "one state scan, zero aux scans:\n" +
+          dfd.queryExecution.executedPlan.toString.take(1500))
+      assert(!scansD.head.relation.location.rootPaths
+          .exists(_.toString.contains("_dist")),
+        "the serving scan must read the MAIN state, not the pair aux")
+      assert(scansD.head.partitionFilters
+          .exists(_.references.exists(_.name == "_bucket")),
+        "the DISTINCT view's point read must bucket-prune")
+      val rd = dfd.collect()
+      // ids with id%100==42: 42,142,242,342 → bal = id%7 values
+      assert(rd.length == 1 && rd(0).getLong(1) == 4L, rd.mkString(","))
+      assert(scansD.head.metrics("numFiles").value == 1,
+        s"expected ONE bucket file, read " +
+          s"${scansD.head.metrics("numFiles").value} of 16")
+      assert(rd(0).getLong(2) ==
+        Seq(42L, 142L, 242L, 342L).map(_ % 7).distinct.size.toLong)
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_bpd")
     } finally {
       GraftServer.unregister("bpfact")
       GraftMatviews.reset()
@@ -1821,6 +1860,84 @@ class GraftMatviewsSpec extends AnyFunSuite {
       GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_pd")
     } finally {
       GraftServer.unregister("pdfact")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("APPROX_COUNT_DISTINCT matview: one HLL sketch per group, " +
+      "maintained through inserts/updates/deletes via touched-group " +
+      "recompute — no lingering tombstoned values") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "code", "amt"))
+    GraftServer.register("apdfact", t)
+    try {
+      def put(rows: Seq[(Long, String, java.lang.Long, Long)], at: String): Unit =
+        t.put(rows.toDF("id", "g", "c", "m"), $"id",
+          lit("2020-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "code" -> $"c", "amt" -> $"m"), ts(at))
+      def del(ids: Seq[Long], at: String): Unit =
+        t.delete(ids.toDF("id"), $"id",
+          lit("2020-01-01").cast("timestamp"), None,
+          Seq("grp" -> lit(null).cast("string"),
+            "code" -> lit(null).cast("long"),
+            "amt" -> lit(null).cast("long")), ts(at))
+      put(Seq((1L, "a", 10L, 5L), (2L, "a", 10L, 6L), (3L, "a", 20L, 7L),
+        (4L, "b", 10L, 8L), (5L, "b", null, 9L), (6L, "b", 30L, -1L)),
+        "2024-01-01 00:00:00")
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_apd WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT grp, COUNT(*) AS n, APPROX_COUNT_DISTINCT(code) AS apd " +
+        "FROM apdfact WHERE amt > 0 GROUP BY grp")
+
+      def read(): Map[String, (Long, Long)] = GraftSql.sql(spark,
+        "SELECT grp, n, apd FROM mv_apd ORDER BY grp").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      def exact(): Map[String, (Long, Long)] =
+        t.current().filter($"amt" > 0).groupBy($"grp")
+          .agg(count(lit(1)).as("n"), count_distinct($"code").as("nd"))
+          .collect().map(r =>
+            r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      def assertClose(): Unit = {
+        val (r, e) = (read(), exact())
+        assert(r.keySet == e.keySet, s"$r vs $e")
+        e.foreach { case (g, (n, nd)) =>
+          assert(r(g)._1 == n, s"n mismatch for $g: $r vs $e")
+          assert(math.abs(r(g)._2 - nd) <= math.max(1L, nd / 20),
+            s"apd out of tolerance for $g: $r vs $e")
+        }
+      }
+      assertClose()
+      // tiny cardinalities sit in the sketch's exact (sparse) regime
+      assert(read() == Map("a" -> (3L, 2L), "b" -> (2L, 1L)),
+        "NULL code never counts; the WHERE row is invisible; small " +
+          s"cardinalities are exact: ${read()}")
+
+      // the delete case the sketch CANNOT absorb incrementally: code 20
+      // leaves group a entirely — the touched-group recompute must
+      // rebuild a's sketch without the tombstoned value
+      del(Seq(3L), "2024-01-02 00:00:00")
+      // and an update changing a value: row 4's code 10 -> 40 in b
+      put(Seq((4L, "b", 40L, 8L)), "2024-01-02 00:00:01")
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_apd").collect()
+      assertClose()
+      assert(read() == Map("a" -> (2L, 1L), "b" -> (2L, 1L)),
+        s"deleted/updated values must leave the sketch: ${read()}")
+
+      // an all-null-codes group serves 0, not NULL
+      put(Seq((7L, "c", null, 3L)), "2024-01-03 00:00:00")
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_apd").collect()
+      assert(read()("c") == (1L, 0L), read().toString)
+
+      // restart adoption: the definition round-trips through its _ddl
+      GraftMatviews.reset()
+      val restored = GraftSql.sql(spark, "RESTORE MATERIALIZED VIEWS")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(restored.get("mv_apd").contains("restored"), restored.toString)
+      assertClose()
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_apd")
+    } finally {
+      GraftServer.unregister("apdfact")
       GraftMatviews.reset()
     }
   }
