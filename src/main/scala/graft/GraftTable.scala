@@ -135,7 +135,8 @@ final class GraftTable(spark: SparkSession, dir: String,
                   where: Option[String] = None,
                   derived: Seq[(String, String)] = Nil,
                   distincts: Seq[graft.bitemporal.MvDistinct] = Nil,
-                  hllCols: Seq[String] = Nil)
+                  hllCols: Seq[String] = Nil,
+                  rangeLayout: Boolean = false)
       : graft.bitemporal.JoinMatview = {
     require(dims.nonEmpty, "at least one dimension table")
     new graft.bitemporal.JoinMatview(spark, log, payloadCols,
@@ -144,7 +145,7 @@ final class GraftTable(spark: SparkSession, dir: String,
       dims.head._2, groupCols, sumCols, validAt, nBuckets, minCols, maxCols,
       cntCols, where, derived,
       dims.tail.map(d => (d._1.log, d._1.payloadColumns, d._2)),
-      distincts, Nil, hllCols)
+      distincts, Nil, hllCols, rangeLayout)
   }
 
   /** An incrementally-maintained COUNT/SUM view over this table at a
@@ -169,12 +170,13 @@ final class GraftTable(spark: SparkSession, dir: String,
                where: Option[String] = None,
                derived: Seq[(String, String)] = Nil,
                distincts: Seq[graft.bitemporal.MvDistinct] = Nil,
-               hllCols: Seq[String] = Nil)
+               hllCols: Seq[String] = Nil,
+               rangeLayout: Boolean = false)
       : graft.bitemporal.Matview =
     new graft.bitemporal.Matview(spark, log,
       java.nio.file.Paths.get(dir, "matview", name), payloadCols,
       groupCols, sumCols, validAt, nBuckets, minCols, maxCols, cntCols,
-      where, derived, distincts, Nil, hllCols)
+      where, derived, distincts, Nil, hllCols, rangeLayout)
 
   /** [[matviewN]] with an EXPLICIT state dir and COUNT(*)-only state —
     * the DISTINCT-aggregate serve path nests its auxiliary pair-level
@@ -187,10 +189,11 @@ final class GraftTable(spark: SparkSession, dir: String,
       groupCols: Seq[String], validAt: Timestamp, nBuckets: Int,
       where: Option[String],
       derived: Seq[(String, String)],
-      bucketCols: Seq[String]): graft.bitemporal.Matview =
+      bucketCols: Seq[String],
+      rangeLayout: Boolean = false): graft.bitemporal.Matview =
     new graft.bitemporal.Matview(spark, log, stateRoot, payloadCols,
       groupCols, Nil, validAt, nBuckets, Nil, Nil, Nil, where, derived,
-      Nil, bucketCols)
+      Nil, bucketCols, Nil, rangeLayout)
 
   /** [[starMatview]] with an EXPLICIT state dir and COUNT(*)-only
     * state — see [[matviewAt]]. */
@@ -198,14 +201,15 @@ final class GraftTable(spark: SparkSession, dir: String,
       dims: Seq[(GraftTable, String)], groupCols: Seq[String],
       validAt: Timestamp, nBuckets: Int, where: Option[String],
       derived: Seq[(String, String)],
-      bucketCols: Seq[String]): graft.bitemporal.JoinMatview = {
+      bucketCols: Seq[String],
+      rangeLayout: Boolean = false): graft.bitemporal.JoinMatview = {
     require(dims.nonEmpty, "at least one dimension table")
     new graft.bitemporal.JoinMatview(spark, log, payloadCols,
       dims.head._1.log, dims.head._1.payloadColumns, stateRoot,
       dims.head._2, groupCols, Nil, validAt, nBuckets, Nil, Nil, Nil,
       where, derived,
       dims.tail.map(d => (d._1.log, d._1.payloadColumns, d._2)),
-      Nil, bucketCols)
+      Nil, bucketCols, Nil, rangeLayout)
   }
 
   /** Fold the log into the partitioned rectangle base — incrementally

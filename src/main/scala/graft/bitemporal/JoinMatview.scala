@@ -75,7 +75,8 @@ final class JoinMatview private[graft] (
     moreDims: Seq[(TxLog, Seq[String], String)] = Nil,
     distincts: Seq[MvDistinct] = Nil,
     bucketCols: Seq[String] = Nil,
-    hllCols: Seq[String] = Nil) {
+    hllCols: Seq[String] = Nil,
+    rangeLayout: Boolean = false) {
   /** (log, payload columns, fact fk column) per dimension — the first
     * is the constructor's primary dim, the rest are the star's extra
     * spokes. */
@@ -232,7 +233,8 @@ final class JoinMatview private[graft] (
       else Nil) ++
       (if (bucketKeyCols != groupCols)
         Seq("bkey:" + bucketKeyCols.mkString(",")) else Nil) ++
-      (if (hllCols.nonEmpty) Seq("hll:" + hllCols.mkString(",")) else Nil)
+      (if (hllCols.nonEmpty) Seq("hll:" + hllCols.mkString(",")) else Nil) ++
+      (if (rangeLayout) Seq("layout:range") else Nil)
     val parts = Seq(factCols, groupCols, sumCols, minCols, maxCols,
       cntCols, Seq(whereSql.getOrElse("")),
       derived.map(d => d._1 + "=" + d._2),
@@ -244,8 +246,15 @@ final class JoinMatview private[graft] (
         .getBytes(UTF_8)).map(b => f"$b%02x").mkString
   }
 
-  private def bucketCol = MvState.bucketCol(bucketKeyCols, nBuckets)
+  private def bucketCol =
+    if (rangeLayout) MvState.rangeBucketCol(groupCols.head)
+    else MvState.bucketCol(bucketKeyCols, nBuckets)
   private def ddAliases: Seq[String] = MvState.distinctAliases(distincts)
+
+  /** `layout = range` guards — shared with [[Matview]] via MvState. */
+  private def checkRangeKey(schema: org.apache.spark.sql.types.StructType)
+      : Unit =
+    if (rangeLayout) MvState.checkRangeKey(schema, groupCols.head)
 
   /** Pin every DISTINCT aux to exactly the per-log watermarks this
     * refresh will record — see [[Matview.syncAuxes]]. */
@@ -319,11 +328,16 @@ final class JoinMatview private[graft] (
           withMm = true)
         .withColumn("_bucket", bucketCol),
       groupCols, distincts, spark)
+    checkRangeKey(agg.schema)
+    if (rangeLayout) MvState.checkRangeDirCount(
+      agg.select(col("_bucket")).distinct()
+        .limit(MvState.MaxRangeDirs + 1).count(), "build")
     val tmp = stateRoot.resolve("state_rebuild_tmp")
     TxLog.deleteRecursively(tmp.toFile)
     // schema sidecar: a join that matches nothing writes a file-less
     // parquet dir — without the pinned schema every later read throws
-    MvState.writeSchema(stateRoot, agg, bucketKeyCols, nBuckets)
+    MvState.writeSchema(stateRoot, agg, bucketKeyCols, nBuckets,
+      rangeLayout)
     MvState.writeState(agg, groupCols, tmp, nBuckets)
     val old = stateRoot.resolve("state_rebuild_old")
     TxLog.deleteRecursively(old.toFile)
@@ -508,14 +522,16 @@ final class JoinMatview private[graft] (
     }
     val (deltaCp, deltaRows) = org.apache.spark.sql.graftbridge.RddBridge
       .localCheckpointWithCount(delta)
-    val affected: Seq[Long] =
+    val affected: Seq[Any] =
       if (deltaRows == 0L) Nil
       else deltaCp.select(col("_bucket")).distinct()
-        .collect().map(_.getLong(0)).toSeq
+        .collect().map(_.get(0)).toSeq
     if (affected.isEmpty) {
       MvState.pinDef(stateRoot, defFp)
       setWatermarks(lasts); return ret(lasts)
     }
+    if (rangeLayout)
+      MvState.checkRangeDirCount(affected.size.toLong, "rewrite")
 
     val state = MvState.readState(spark, stateRoot, dataDir)
       .filter(col("_bucket").isin(affected: _*))

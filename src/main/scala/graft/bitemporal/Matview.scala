@@ -49,7 +49,8 @@ final class Matview private[graft] (
     derived: Seq[(String, String)] = Nil,
     distincts: Seq[MvDistinct] = Nil,
     bucketCols: Seq[String] = Nil,
-    hllCols: Seq[String] = Nil) {
+    hllCols: Seq[String] = Nil,
+    rangeLayout: Boolean = false) {
   require(groupCols.nonEmpty, "at least one group column")
   // the state's bucket hash normally covers the whole group key; an aux
   // pair view buckets on the PARENT view's group prefix instead (see
@@ -156,7 +157,8 @@ final class Matview private[graft] (
       else Nil) ++
       (if (bucketKeyCols != groupCols)
         Seq("bkey:" + bucketKeyCols.mkString(",")) else Nil) ++
-      (if (hllCols.nonEmpty) Seq("hll:" + hllCols.mkString(",")) else Nil)
+      (if (hllCols.nonEmpty) Seq("hll:" + hllCols.mkString(",")) else Nil) ++
+      (if (rangeLayout) Seq("layout:range") else Nil)
     val parts = Seq(payloadCols, groupCols, sumCols, minCols, maxCols,
       cntCols, Seq(whereSql.getOrElse("")),
       derived.map(d => d._1 + "=" + d._2),
@@ -167,8 +169,27 @@ final class Matview private[graft] (
         .getBytes(UTF_8)).map(b => f"$b%02x").mkString
   }
 
-  private def bucketCol = MvState.bucketCol(bucketKeyCols, nBuckets)
+  private def bucketCol =
+    if (rangeLayout) MvState.rangeBucketCol(groupCols.head)
+    else MvState.bucketCol(bucketKeyCols, nBuckets)
   private def ddAliases: Seq[String] = MvState.distinctAliases(distincts)
+
+  /** `layout = range` partitions state by the LEADING group column's
+    * VALUE — dir-level pruning for range predicates on time-keyed
+    * rollups. Only lexicographically-ordered keys are sound (dir names
+    * compare as strings), so any non-string leading key refuses. */
+  private def checkRangeKey(schema: org.apache.spark.sql.types.StructType)
+      : Unit =
+    if (rangeLayout) {
+      val dt = schema.find(_.name == groupCols.head).map(_.dataType)
+      if (!dt.contains(org.apache.spark.sql.types.StringType))
+        throw new IllegalStateException(
+          s"layout = 'range' requires a STRING-typed leading group " +
+            s"column (directory ranges compare lexicographically; " +
+            s"cast or format the key — e.g. a date_trunc bucket cast " +
+            s"to STRING); got ${groupCols.head}: " +
+            dt.map(_.simpleString).getOrElse("?"))
+    }
 
   /** Pin every DISTINCT aux to exactly the watermark this refresh will
     * record, so the rollup below reads pair state at the same log
@@ -217,6 +238,10 @@ final class Matview private[graft] (
     val agg = MvState.attachDistinctFull(
       fullAgg(prep(visible)).withColumn("_bucket", bucketCol),
       groupCols, distincts, spark)
+    checkRangeKey(agg.schema)
+    if (rangeLayout) MvState.checkRangeDirCount(
+      agg.select(col("_bucket")).distinct()
+        .limit(MvState.MaxRangeDirs + 1).count(), "rebuild into")
     // temp-write + directory swap (same pattern as the incremental
     // path): a concurrent read() sees either the complete old state or
     // the complete new one — never a partial overwrite-in-place — with
@@ -228,7 +253,7 @@ final class Matview private[graft] (
     // (watermark still behind) rebuilds from scratch.
     val tmp = stateRoot.resolve("state_rebuild_tmp")
     TxLog.deleteRecursively(tmp.toFile)
-    MvState.writeSchema(stateRoot, agg, bucketKeyCols, nBuckets)
+    MvState.writeSchema(stateRoot, agg, bucketKeyCols, nBuckets, rangeLayout)
     MvState.writeState(agg, groupCols, tmp, nBuckets)
     val old = stateRoot.resolve("state_rebuild_old")
     TxLog.deleteRecursively(old.toFile)
@@ -304,7 +329,12 @@ final class Matview private[graft] (
             lit(validAt), lit(sysProbe))))
           .withColumn("_bucket", bucketCol),
         groupCols, distincts, spark)
-      MvState.writeSchema(stateRoot, firstAgg, bucketKeyCols, nBuckets)
+      checkRangeKey(firstAgg.schema)
+      if (rangeLayout) MvState.checkRangeDirCount(
+        firstAgg.select(col("_bucket")).distinct()
+          .limit(MvState.MaxRangeDirs + 1).count(), "build")
+      MvState.writeSchema(stateRoot, firstAgg, bucketKeyCols, nBuckets,
+        rangeLayout)
       MvState.writeState(firstAgg, groupCols, dataDir, nBuckets)
       if (tzSensitive(firstAgg.schema)) MvState.pinTimeZone(spark, stateRoot)
       MvState.pinDef(stateRoot, defFp)
@@ -362,13 +392,15 @@ final class Matview private[graft] (
     val (deltaCp, deltaRows) = org.apache.spark.sql.graftbridge.RddBridge
       .localCheckpointWithCount(delta)
     // ≤ nBuckets longs — the only data-dependent collect in a refresh
-    val affected: Seq[Long] =
+    val affected: Seq[Any] =
       if (deltaRows == 0L) Nil
       else deltaCp.select(col("_bucket")).distinct()
-        .collect().map(_.getLong(0)).toSeq
+        .collect().map(_.get(0)).toSeq
     if (affected.isEmpty) {
       MvState.pinDef(stateRoot, defFp); setWatermark(last); return last
     }
+    if (rangeLayout)
+      MvState.checkRangeDirCount(affected.size.toLong, "rewrite")
 
     val state = MvState.readState(spark, stateRoot, dataDir)
       .filter(col("_bucket").isin(affected: _*))
@@ -519,7 +551,7 @@ private[graft] object MvState {
     * parent-key prefix with the main view's bucket count (the
     * [[MvDistinct]] contract). */
   private def rollup(aux: DataFrame, groupCols: Seq[String],
-      d: MvDistinct, buckets: Option[Seq[Long]]): DataFrame = {
+      d: MvDistinct, buckets: Option[Seq[Any]]): DataFrame = {
     val scoped = buckets.fold(aux)(b =>
       aux.filter(col("_bucket").isin(b: _*)))
     val aggs = count(lit(1)).as(d.cntAlias) +:
@@ -555,7 +587,7 @@ private[graft] object MvState {
     * flag-not-coalesce discipline as the MIN/MAX merge: a touched
     * group's legitimate NULL must not fall back to stale state. */
   def overlayDistinct(merged: DataFrame, groupCols: Seq[String],
-      touched: DataFrame, affected: Seq[Long],
+      touched: DataFrame, affected: Seq[Any],
       distincts: Seq[MvDistinct], spark: SparkSession): DataFrame =
     distincts.foldLeft(merged) { (acc0, d) =>
       val keep = acc0.columns.toSeq
@@ -612,6 +644,71 @@ private[graft] object MvState {
       else concat_ws(GroupKeySep, parts: _*)
     pmod(xxhash64(key), lit(nBuckets.toLong))
   }
+
+  /** `layout = range` partition column: the FIRST group column's VALUE
+    * prefixed with [[RangeValuePrefix]]; nulls get the shared marker.
+    * One dir per distinct leading-key value, so RANGE predicates on a
+    * lexicographically-ordered key (ISO dates/months, zero-padded
+    * codes) prune dirs natively — the layout for time-keyed rollups,
+    * refused for non-string keys (lexicographic ≠ numeric order).
+    *
+    * The prefix exists for two invariants: (a) an EMPTY-string key must
+    * not produce an empty partition value — Spark writes '' to the
+    * __HIVE_DEFAULT_PARTITION__ dir and reads it back as NULL, which
+    * would silently detach the group from its dir (found by review);
+    * (b) the null marker (which starts with a backslash, ABOVE digits
+    * in ASCII) must sort BELOW every real key so translated `>=`
+    * bounds exclude it and `<=` bounds include it as a harmless
+    * superset — the marker starts at \u0000 only the prefix guarantees
+    * every real dir value starts at 'k'. Ordering of real keys is
+    * preserved under the shared prefix. */
+  val RangeValuePrefix = "k"
+  def rangeBucketCol(leadGroupCol: String): Column =
+    coalesce(concat(lit(RangeValuePrefix), col(leadGroupCol)),
+      lit(NullGroupMarker))
+
+  /** `layout = range` soundness guard, shared by both view kinds (the
+    * r12 lesson: layout-critical checks live in ONE place or they
+    * drift): dir names compare lexicographically, so only STRING
+    * leading keys are accepted. */
+  def checkRangeKey(schema: org.apache.spark.sql.types.StructType,
+                    leadGroupCol: String): Unit = {
+    val dt = schema.find(_.name == leadGroupCol).map(_.dataType)
+    if (!dt.contains(org.apache.spark.sql.types.StringType))
+      throw new IllegalStateException(
+        s"layout = 'range' requires a STRING-typed leading group " +
+          s"column (range dir pruning compares lexicographically; " +
+          s"cast or format the key — e.g. a date_trunc bucket cast " +
+          s"to STRING); got $leadGroupCol: " +
+          dt.map(_.simpleString).getOrElse("?"))
+  }
+
+  /** Range layout trades the nBuckets bound for one dir per distinct
+    * leading-key value — right for time buckets (10^2..10^4 dirs over
+    * years), catastrophic for an id-like key (millions of dirs, and a
+    * driver collect ∝ touched values). Builds and refreshes refuse
+    * past this cap with the hash-layout pointer instead of melting the
+    * file system. Same driver-metadata size class as
+    * [[JoinMatview.MaxInlineDimIds]]. */
+  val MaxRangeDirs = 10000
+
+  def checkRangeDirCount(n: Long, what: String): Unit =
+    if (n > MaxRangeDirs)
+      throw new IllegalStateException(
+        s"layout = 'range' would $what $n leading-key dirs (cap " +
+          s"$MaxRangeDirs): a range layout is for LOW-cardinality " +
+          "ordered keys (time buckets); use the default hash layout " +
+          "for high-cardinality group keys")
+
+  /** `_bucket=<v>` directory name for a partition value — hash layouts
+    * carry longs (digits, never escaped); range layouts carry the key
+    * VALUE, escaped exactly the way Spark's partitioned write escapes
+    * it, so the swap moves the same dir the write produced. */
+  def bucketDirName(v: Any): String = "_bucket=" + (v match {
+    case s: String => org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(s)
+    case x => String.valueOf(x)
+  })
 
   /** Write a state relation to `dest` partitioned by `_bucket`, rows
     * SORTED by the group key within each bucket's files: a bucket
@@ -722,9 +819,15 @@ private[graft] object MvState {
     * equality conjuncts to prune soundly. */
   val BucketsKey = "graft.mv.nbuckets"
   val GroupsKey = "graft.mv.groups"
+  /** "range" when the state is value-partitioned on the leading group
+    * column ([[rangeBucketCol]]) — [[graft.plans.MvBucketPrune]] then
+    * maps range/equality predicates on that column straight onto
+    * `_bucket` instead of hashing. Absent = hash layout. */
+  val LayoutKey = "graft.mv.layout"
 
   def writeSchema(stateRoot: Path, df: DataFrame,
-                  bucketKeyCols: Seq[String], nBuckets: Int): Unit = {
+                  bucketKeyCols: Seq[String], nBuckets: Int,
+                  rangeLayout: Boolean = false): Unit = {
     Files.createDirectories(stateRoot)
     val stamped = org.apache.spark.sql.types.StructType(df.schema.map { f =>
       if (f.name == bucketKeyCols.head)
@@ -732,6 +835,7 @@ private[graft] object MvState {
           .withMetadata(f.metadata)
           .putLong(BucketsKey, nBuckets.toLong)
           .putString(GroupsKey, bucketKeyCols.mkString("\u0001"))
+          .putString(LayoutKey, if (rangeLayout) "range" else "hash")
           .build())
       else f
     })
@@ -746,12 +850,12 @@ private[graft] object MvState {
     * untouched buckets keep their files byte for byte. A bucket whose
     * groups all vanished is deleted and not replaced. */
   def swapBuckets(stateRoot: Path, dataDir: Path, merged: DataFrame,
-                  affected: Seq[Long], groupCols: Seq[String]): Unit = {
+                  affected: Seq[Any], groupCols: Seq[String]): Unit = {
     val tmp = stateRoot.resolve("state_tmp")
     TxLog.deleteRecursively(tmp.toFile)
     writeState(merged, groupCols, tmp, affected.size)
     affected.foreach { b =>
-      val name = s"_bucket=$b"
+      val name = bucketDirName(b)
       val dst = dataDir.resolve(name)
       TxLog.deleteRecursively(dst.toFile)
       val src = tmp.resolve(name)

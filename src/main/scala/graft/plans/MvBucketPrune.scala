@@ -69,6 +69,12 @@ object MvBucketPrune extends Rule[LogicalPlan] {
     // conjunct constrains _bucket, this scan is already pruned
     if (conjuncts.exists(_.references.exists(_.name == "_bucket")))
       return None
+    // layout = range: the partition value IS the leading group column's
+    // value (string), so predicates on it — equalities AND ranges —
+    // mirror straight onto `_bucket` with no hashing
+    if (tagged.metadata.contains(MvState.LayoutKey) &&
+        tagged.metadata.getString(MvState.LayoutKey) == "range")
+      return pruneRange(conjuncts, rel, groups.head, bucketAttr)
     val groupAttrs = groups.map(g =>
       rel.output.find(_.name == g).getOrElse(return None))
     // timestamp: the hash casts through the session timezone (the
@@ -131,4 +137,61 @@ object MvBucketPrune extends Rule[LogicalPlan] {
     * just unpruned) instead of growing an enormous partition
     * predicate. */
   private val MaxBucketCombos = 64L
+
+  /** `layout = range` translation: the state dir name is the LEADING
+    * group column's value under [[MvState.RangeValuePrefix]] (string —
+    * enforced at write; the prefix keeps an empty-string key out of
+    * Spark's __HIVE_DEFAULT_PARTITION__ null dir and pins the null
+    * marker BELOW every real key), so any foldable equality/IN/range
+    * conjunct on that column mirrors onto `_bucket` with the same
+    * prefix applied to the literal — lexicographic dir comparison
+    * equals the source comparison under a shared prefix. Soundness of
+    * the mirror is superset-style: a non-null `g` row lives in exactly
+    * the `_bucket = prefix+g` dir, so a dir filter derived from a `g`
+    * predicate can only drop dirs with no matching rows (the
+    * null-marker dir, below every prefixed key, is excluded by `>=`
+    * bounds and included by `<=` bounds — harmless either way, its
+    * rows never match the data filter). */
+  private def pruneRange(conjuncts: Seq[Expression], rel: LogicalRelation,
+                         leadGroup: String,
+                         bucketAttr: Attribute): Option[Expression] = {
+    def onLead(a: AttributeReference): Boolean =
+      a.name == leadGroup && a.dataType == StringType
+    def pfx(v: Expression): Expression =
+      Concat(Seq(Literal(MvState.RangeValuePrefix), v))
+    val translated: Seq[Expression] = conjuncts.flatMap {
+      case EqualTo(a: AttributeReference, v) if v.foldable && onLead(a) =>
+        Some(EqualTo(bucketAttr, pfx(v)))
+      case EqualTo(v, a: AttributeReference) if v.foldable && onLead(a) =>
+        Some(EqualTo(bucketAttr, pfx(v)))
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(_.foldable) && onLead(a) =>
+        Some(In(bucketAttr, vs.map(pfx)))
+      case InSet(a: AttributeReference, vs) if vs.nonEmpty && onLead(a) =>
+        Some(In(bucketAttr,
+          vs.toSeq.map(v => pfx(Literal(v, a.dataType)))))
+      case GreaterThan(a: AttributeReference, v) if v.foldable && onLead(a) =>
+        Some(GreaterThan(bucketAttr, pfx(v)))
+      case GreaterThan(v, a: AttributeReference) if v.foldable && onLead(a) =>
+        Some(LessThan(bucketAttr, pfx(v)))
+      case GreaterThanOrEqual(a: AttributeReference, v)
+          if v.foldable && onLead(a) =>
+        Some(GreaterThanOrEqual(bucketAttr, pfx(v)))
+      case GreaterThanOrEqual(v, a: AttributeReference)
+          if v.foldable && onLead(a) =>
+        Some(LessThanOrEqual(bucketAttr, pfx(v)))
+      case LessThan(a: AttributeReference, v) if v.foldable && onLead(a) =>
+        Some(LessThan(bucketAttr, pfx(v)))
+      case LessThan(v, a: AttributeReference) if v.foldable && onLead(a) =>
+        Some(GreaterThan(bucketAttr, pfx(v)))
+      case LessThanOrEqual(a: AttributeReference, v)
+          if v.foldable && onLead(a) =>
+        Some(LessThanOrEqual(bucketAttr, pfx(v)))
+      case LessThanOrEqual(v, a: AttributeReference)
+          if v.foldable && onLead(a) =>
+        Some(GreaterThanOrEqual(bucketAttr, pfx(v)))
+      case _ => None
+    }
+    translated.reduceOption(And)
+  }
 }

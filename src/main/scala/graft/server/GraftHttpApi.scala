@@ -65,12 +65,22 @@ object GraftHttpApi {
       .map(PgAuth.fromPasswordFile).getOrElse(PgAuth.Trust)
 
   /** Start the endpoint; `port` 0 picks an ephemeral port (read it off
-    * the returned server's address). Stop with `server.stop(0)`. */
+    * the returned server's address). Stop with `server.stop(0)`.
+    * When `-Dgraft.tls.keyStore` is configured ([[GraftTls]]) the
+    * endpoint serves HTTPS from that certificate — same JDK server, a
+    * `HttpsConfigurator` on top; unconfigured it stays plain HTTP. */
   def start(spark: SparkSession, port: Int,
             bindHost: String = "127.0.0.1", poolSize: Int = 8,
             auth: PgAuth = defaultAuth()): HttpServer = {
-    val server = HttpServer.create(
-      new java.net.InetSocketAddress(bindHost, port), 0)
+    val addr = new java.net.InetSocketAddress(bindHost, port)
+    val server = GraftTls.serverContext() match {
+      case Some(ctx) =>
+        val https = com.sun.net.httpserver.HttpsServer.create(addr, 0)
+        https.setHttpsConfigurator(
+          new com.sun.net.httpserver.HttpsConfigurator(ctx))
+        https
+      case None => HttpServer.create(addr, 0)
+    }
     // bounded pool: each in-flight request holds one thread while its
     // partitions stream; excess requests queue in the server backlog
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -124,9 +134,17 @@ object GraftHttpApi {
           s"graft.http.authCacheTtlMs must be millis, got '$s'")
       }).getOrElse(60000L)
   // cap override is tests-only (shrinks the flood needed to exercise
-  // overflow eviction); production default stays 4096
+  // overflow eviction); production default stays 4096. Loud parse like
+  // authCacheTtlMs: a bare toInt's NumberFormatException (an
+  // IllegalArgumentException) would be swallowed by basicUser's
+  // bad-base64 catch and turn a typo'd conf into silent 401s.
   private def authCacheMax: Int =
-    sys.props.get("graft.http.authCacheMax").map(_.toInt).getOrElse(4096)
+    sys.props.get("graft.http.authCacheMax").map(s =>
+      try s.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"graft.http.authCacheMax must be an integer, got '$s'")
+      }).getOrElse(4096)
   /** key → (verdict, verdict-expiry-ms, last-access seq). The expiry
     * is pinned at INSERT (a revoked password re-derives once per TTL —
     * hits must never extend it); the seq is a monotonic counter bumped

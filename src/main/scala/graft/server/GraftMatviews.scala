@@ -586,19 +586,34 @@ object GraftMatviews {
           .stripPrefix("TIMESTAMP").stripPrefix("timestamp").trim
         k -> v.stripPrefix("'").stripSuffix("'")
       }.toMap
-    optMap.keys.find(k => k != "valid_at" && k != "buckets")
-      .foreach(k => fail(s"unknown WITH option '$k' (valid_at, buckets)"))
+    optMap.keys.find(k => k != "valid_at" && k != "buckets" &&
+        k != "layout")
+      .foreach(k =>
+        fail(s"unknown WITH option '$k' (valid_at, buckets, layout)"))
     val validAt = optMap.get("valid_at")
       .map(v => try Timestamp.valueOf(v) catch { case _: IllegalArgumentException =>
         fail(s"valid_at must be 'yyyy-mm-dd hh:mm:ss[.ffff]', got '$v'") })
       .getOrElse(new Timestamp(System.currentTimeMillis()))
     val buckets = optMap.get("buckets").map(_.toInt)
+    // layout = 'range' value-partitions the state on the LEADING group
+    // column (string keys only — dir names compare lexicographically)
+    // so RANGE reads on time-keyed rollups prune dirs natively;
+    // default 'hash' is the point-read layout
+    val rangeLayout = optMap.get("layout").map(_.toLowerCase) match {
+      case None | Some("hash") => false
+      case Some("range") => true
+      case Some(x) => fail(s"layout must be 'hash' or 'range', got '$x'")
+    }
     // the CANONICAL statement pins the RESOLVED basis and bucketing:
     // a restore must rebind the exact same view, not re-default
-    // valid_at to its own "now" (silent basis drift)
+    // valid_at to its own "now" (silent basis drift). The layout rides
+    // along only when non-default, so pre-r14 sidecars stay bytewise
+    // identical.
     def canonicalDdl(bucketsResolved: Int): String =
       s"CREATE MATERIALIZED VIEW $name WITH (valid_at = '$validAt', " +
-        s"buckets = $bucketsResolved) AS ${select.trim}"
+        s"buckets = $bucketsResolved" +
+        (if (rangeLayout) ", layout = 'range'" else "") +
+        s") AS ${select.trim}"
 
     // clause split is masked-span + paren-depth aware (splitSelect): a
     // clause the grammar cannot parse (missing ON, USING form, LEFT
@@ -853,9 +868,12 @@ object GraftMatviews {
         // reads serve from the main state alone.
         val auxes: Seq[graft.bitemporal.MvDistinct] =
           distincts.toSeq.map { d =>
+            // a range-layout main view range-partitions the aux on the
+            // same leading key, so the rollup's affected-values filter
+            // prunes aux dirs exactly like the hash case prunes buckets
             val a = fact.matviewAt(mvDir.resolve("_dist").resolve(d),
               (groups :+ d).distinct, validAt, nb, whereOpt,
-              auxDerived(d), bucketCols = groups)
+              auxDerived(d), bucketCols = groups, rangeLayout)
             graft.bitemporal.MvDistinct(d, distinctSums.contains(d),
               sess => a.readRaw(sess),
               ws => { a.refreshUpTo(Some(ws.head)): Unit })
@@ -863,7 +881,7 @@ object GraftMatviews {
         val mv = fact.matviewN(name, groups, sums.result().distinct, validAt,
           nb, mins.result(), maxs.result(),
           cnts.result().distinct, whereOpt, derivedExprs.toSeq, auxes,
-          hlls.result().distinct)
+          hlls.result().distinct, rangeLayout)
         Handle(name, serveAll, havingOpt,
           sess => mv.read(sess),
           () => (mv.refresh(), Option.empty[Long]),
@@ -915,7 +933,7 @@ object GraftMatviews {
           distincts.toSeq.map { d =>
             val a = fact.starMatviewAt(mvDir.resolve("_dist").resolve(d),
               dims, (groups :+ d).distinct, validAt, nb, whereOpt,
-              auxDerived(d), bucketCols = groups)
+              auxDerived(d), bucketCols = groups, rangeLayout)
             graft.bitemporal.MvDistinct(d, distinctSums.contains(d),
               sess => a.readRaw(sess),
               ws => { a.refreshUpTo(Some(ws)): Unit })
@@ -923,7 +941,7 @@ object GraftMatviews {
         val mv = fact.starMatview(name, dims, groups,
           sums.result().distinct, validAt, nb,
           mins.result(), maxs.result(), cnts.result().distinct, whereOpt,
-          derivedExprs.toSeq, auxes, hlls.result().distinct)
+          derivedExprs.toSeq, auxes, hlls.result().distinct, rangeLayout)
         Handle(name, serveAll, havingOpt,
           sess => mv.read(sess),
           () => { val (a, b) = mv.refresh(); (a, Some(b)) },

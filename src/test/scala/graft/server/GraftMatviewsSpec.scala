@@ -1864,6 +1864,196 @@ class GraftMatviewsSpec extends AnyFunSuite {
     }
   }
 
+  test("layout = 'range': state value-partitioned on the leading group " +
+      "key — month-range reads list a strict dir subset, point reads " +
+      "stay exact, non-string keys refuse") {
+    val s = spark
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = freshTable(Seq("m", "code", "amt"))
+    GraftServer.register("rngfact", t)
+    try {
+      def month(i: Long) = f"2024-${i + 1}%02d-01"
+      // 360 rows over 12 months; gcd(12, 5) = 1 so every month sees
+      // all 5 code residues
+      t.put(spark.range(360).select($"id",
+          expr("printf('2024-%02d-01', id % 12 + 1)").as("mm"),
+          ($"id" % 5).as("c"), lit(1L).as("a")), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("m" -> $"mm", "code" -> $"c", "amt" -> $"a"),
+        ts("2024-01-01 00:00:00"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_rng WITH " +
+        "(valid_at = '2030-01-01 00:00:00', layout = 'range') AS " +
+        "SELECT m, COUNT(*) AS n, SUM(amt) AS total, " +
+        "COUNT(DISTINCT code) AS nd FROM rngfact GROUP BY m")
+
+      // the state is one dir per month VALUE, not hash buckets
+      val stateDir = java.nio.file.Paths.get(
+        t.tableDir, "matview", "mv_rng", "state")
+      def dirs(): Set[String] = {
+        val l = java.nio.file.Files.list(stateDir)
+        try l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_bucket=")).toSet
+        finally l.close()
+      }
+      // dir values carry the 'k' prefix: an empty-string key must not
+      // fall into Spark's null partition dir, and the null marker must
+      // sort below every real key
+      assert(dirs() == (0L until 12L).map(i => s"_bucket=k${month(i)}").toSet,
+        dirs().toString)
+
+      def scanOf(df: org.apache.spark.sql.DataFrame) = {
+        // the ORDER BY adds an exchange, so AQE wraps the plan — unwrap
+        val p = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => a.executedPlan
+          case x => x
+        }
+        p.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.getOrElse(fail("no FileSourceScanExec leaf; plan:\n" +
+          p.toString.take(2000)))
+      }
+      // RANGE read: three months of twelve → three dirs listed
+      val range = GraftSql.sql(spark, "SELECT m, n, total, nd FROM mv_rng " +
+        "WHERE m BETWEEN '2024-03-01' AND '2024-05-01' ORDER BY m")
+      val rScan = scanOf(range)
+      assert(rScan.partitionFilters
+          .exists(_.references.exists(_.name == "_bucket")),
+        "a range predicate on the leading key must become a partition " +
+          s"filter:\n${range.queryExecution.executedPlan.toString.take(1200)}")
+      val rRows = range.collect()
+      assert(rRows.map(_.getString(0)).toSeq ==
+        Seq("2024-03-01", "2024-04-01", "2024-05-01"))
+      assert(rRows.forall(r => r.getLong(1) == 30L && r.getLong(3) == 5L),
+        rRows.mkString(","))
+      assert(rScan.metrics("numFiles").value == 3,
+        s"3 month dirs of 12, read ${rScan.metrics("numFiles").value}")
+
+      // POINT read parity: one dir
+      val point = GraftSql.sql(spark,
+        "SELECT n, nd FROM mv_rng WHERE m = '2024-07-01'")
+      val pScan = scanOf(point)
+      val pRows = point.collect()
+      assert(pRows.length == 1 && pRows(0).getLong(0) == 30L &&
+        pRows(0).getLong(1) == 5L)
+      assert(pScan.metrics("numFiles").value == 1)
+
+      // incrementality: a refresh touching ONE month leaves the other
+      // dirs byte-identical and updates exactly that month (DISTINCT
+      // rollup included — the range-layout aux prunes by month value)
+      def snap(except: String): Set[(String, Long, Long)] = {
+        val l = java.nio.file.Files.walk(stateDir)
+        try l.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            !p.toString.contains(s"_bucket=$except"))
+          .map(p => (p.toString, java.nio.file.Files.size(p),
+            p.toFile.lastModified)).toSet
+        finally l.close()
+      }
+      val before = snap("k2024-07-01")
+      t.put(Seq((1000L, "2024-07-01", 9L, 5L)).toDF("id", "mm", "c", "a"),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("m" -> $"mm", "code" -> $"c", "amt" -> $"a"),
+        ts("2024-01-02 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_rng").collect()
+      assert(snap("k2024-07-01") == before,
+        "untouched month dirs must not be rewritten")
+      val after = GraftSql.sql(spark,
+        "SELECT n, total, nd FROM mv_rng WHERE m = '2024-07-01'").collect()
+      assert(after(0).getLong(0) == 31L && after(0).getLong(2) == 6L,
+        after.mkString(","))
+      // EMPTY-STRING and NULL keys are distinct groups, each with a
+      // real dir (the prefix keeps '' out of __HIVE_DEFAULT_PARTITION__,
+      // which Spark reads back as NULL — found by review); a point read
+      // of '' prunes to ITS dir and serves its row
+      t.put(Seq((2000L, "", 1L, 7L), (2001L, null: String, 2L, 8L))
+          .toDF("id", "mm", "c", "a"),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("m" -> $"mm", "code" -> $"c", "amt" -> $"a"),
+        ts("2024-01-03 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_rng").collect()
+      assert(dirs().contains("_bucket=k"), dirs().toString)
+      val empty = GraftSql.sql(spark,
+        "SELECT n, total, nd FROM mv_rng WHERE m = ''")
+      val eScan = scanOf(empty)
+      val eRows = empty.collect()
+      assert(eRows.length == 1 && eRows(0).getLong(0) == 1L &&
+        eRows(0).getLong(1) == 7L, eRows.mkString(","))
+      assert(eScan.metrics("numFiles").value == 1,
+        "the empty-string group prunes to its own dir")
+      assert(GraftSql.sql(spark,
+        "SELECT n FROM mv_rng WHERE m IS NULL").collect()(0).getLong(0) == 1L,
+        "the NULL group survives in the marker dir")
+
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_rng")
+
+      // a non-string leading key refuses loudly (lexicographic dir
+      // order would not match numeric order)
+      val e = intercept[Exception](GraftSql.sql(spark,
+        "CREATE MATERIALIZED VIEW mv_rng_bad WITH " +
+          "(valid_at = '2030-01-01 00:00:00', layout = 'range') AS " +
+          "SELECT code, COUNT(*) AS n FROM rngfact GROUP BY code"))
+      assert(e.getMessage.contains("STRING-typed"), e.getMessage)
+      // ... and the failed CREATE left nothing registered
+      assert(GraftSql.sql(spark, "SHOW MATERIALIZED VIEWS").collect().isEmpty)
+    } finally {
+      GraftServer.unregister("rngfact")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("range-layout cardinality cap: an id-like key refuses loudly " +
+      "instead of building one dir per value") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("k", "amt"))
+    GraftServer.register("capfact", t)
+    try {
+      t.put(spark.range(10200).select($"id",
+          format_string("u%06d", $"id").as("kk"), lit(1L).as("a")),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("k" -> $"kk", "amt" -> $"a"), ts("2024-01-01 00:00:00"))
+      val e = intercept[Exception](GraftSql.sql(spark,
+        "CREATE MATERIALIZED VIEW mv_cap WITH " +
+          "(valid_at = '2030-01-01 00:00:00', layout = 'range') AS " +
+          "SELECT k, COUNT(*) AS n FROM capfact GROUP BY k"))
+      assert(e.getMessage.contains("hash layout"), e.getMessage)
+      assert(GraftSql.sql(spark, "SHOW MATERIALIZED VIEWS").collect().isEmpty)
+    } finally {
+      GraftServer.unregister("capfact")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("a group column literally NAMED apd_/avgd_/cntd_-like is served " +
+      "as itself — canonical prefixes never hijack user columns " +
+      "(group canons carry the __group__ namespace)") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("apd_region", "code"))
+    GraftServer.register("pfxfact", t)
+    try {
+      t.put(Seq((1L, "eu", 10L), (2L, "eu", 20L), (3L, "us", 10L))
+          .toDF("id", "r", "c"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("apd_region" -> $"r", "code" -> $"c"),
+        ts("2024-01-01 00:00:00"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_pfx WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT apd_region, COUNT(*) AS n, " +
+        "APPROX_COUNT_DISTINCT(code) AS apd FROM pfxfact GROUP BY apd_region")
+      val r = GraftSql.sql(spark,
+        "SELECT apd_region, n, apd FROM mv_pfx ORDER BY apd_region")
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+      assert(r.toSeq == Seq(("eu", 2L, 2L), ("us", 1L, 1L)), r.mkString(","))
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_pfx")
+    } finally {
+      GraftServer.unregister("pfxfact")
+      GraftMatviews.reset()
+    }
+  }
+
   test("APPROX_COUNT_DISTINCT matview: one HLL sketch per group, " +
       "maintained through inserts/updates/deletes via touched-group " +
       "recompute — no lingering tombstoned values") {
