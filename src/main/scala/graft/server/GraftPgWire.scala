@@ -74,6 +74,10 @@ object GraftPgWire {
   def start(spark: SparkSession, port: Int,
             bindHost: String = "127.0.0.1", poolSize: Int = 8,
             auth: PgAuth = defaultAuth()): Handle = {
+    // a configured-but-unloadable keystore must refuse HERE, loudly —
+    // deferring to the per-connection probe would silently drop every
+    // client with nothing in any log (found by review)
+    GraftTls.serverContext(): Unit
     val server = new ServerSocket(
       port, 50, java.net.InetAddress.getByName(bindHost))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -121,43 +125,91 @@ object GraftPgWire {
     sys.props.get("graft.pgwire.passwordFile")
       .map(PgAuth.fromPasswordFile).getOrElse(PgAuth.Trust)
 
-  private def serve(spark: SparkSession, sock: Socket,
+  private def serve(spark: SparkSession, sock0: Socket,
                     auth: PgAuth = PgAuth.Trust): Unit = {
+    var sock = sock0
     try {
       sock.setTcpNoDelay(true)
-      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      SparkSession.setActiveSession(spark)
+      // probe phase lives HERE (not in handshake): an accepted
+      // SSLRequest replaces the SOCKET, not just the streams. It runs
+      // UNBUFFERED — a client may pipeline its TLS ClientHello right
+      // behind the 8-byte SSLRequest, and a buffered reader would
+      // strand those bytes outside the upgraded socket, hanging the
+      // handshake forever (found by review).
+      val probed = probePhase(sock)
+      sock = probed._1
+      val in = new DataInputStream(
+        new BufferedInputStream(sock.getInputStream))
       val out = new DataOutputStream(
         new BufferedOutputStream(sock.getOutputStream))
-      SparkSession.setActiveSession(spark)
-      if (!handshake(in, out, auth)) return
+      if (GraftTls.required &&
+          !sock.isInstanceOf[javax.net.ssl.SSLSocket]) {
+        sendError(out, "28000",
+          "server requires TLS (graft.tls.required): connect with " +
+            "sslmode=require")
+        out.flush(); return
+      }
+      if (!handshake(in, out, probed._2, probed._3, auth)) return
       queryLoop(spark, in, out)
     } catch {
       case _: EOFException => // client went away — normal
       case _: SocketException =>
+      case _: javax.net.ssl.SSLException => // bad handshake/close — theirs
       case _: Throwable =>
     } finally {
       try sock.close() catch { case _: Throwable => }
     }
   }
 
-  /** Consume SSL/GSSENC probes (decline with 'N'), then the startup
-    * message. Returns false when the connection should close without a
-    * session (cancel requests, unsupported protocol). */
-  private def handshake(in: DataInputStream, out: DataOutputStream,
-                        auth: PgAuth = PgAuth.Trust): Boolean = {
-    var code = 0
-    var body: Array[Byte] = null
-    var done = false
-    while (!done) {
+  /** Consume SSL/GSSENC probes before the startup message. An
+    * SSLRequest is ACCEPTED ('S' + JSSE upgrade of the socket, server
+    * mode) when [[GraftTls.serverContext]] is configured, declined with
+    * 'N' otherwise — the documented plaintext-after-probe behavior is
+    * unchanged when TLS is off. Returns the (possibly upgraded) socket
+    * + streams and the first REAL startup frame's code and body. */
+  private def probePhase(sock0: Socket): (Socket, Int, Array[Byte]) = {
+    var sock = sock0
+    // UNBUFFERED on purpose — see the serve() comment
+    var in = new DataInputStream(sock.getInputStream)
+    var out = new DataOutputStream(sock.getOutputStream)
+    var tlsActive = false
+    while (true) {
       val len = in.readInt()
       require(len >= 8 && len < (1 << 20), s"pgwire: bad startup length $len")
-      code = in.readInt()
-      body = new Array[Byte](len - 8)
+      val code = in.readInt()
+      val body = new Array[Byte](len - 8)
       in.readFully(body)
-      if (code == SslRequestCode || code == GssRequestCode) {
-        out.writeByte('N'); out.flush() // no TLS/GSS — proceed in clear
-      } else done = true
+      if (code == SslRequestCode && !tlsActive) {
+        GraftTls.serverContext() match {
+          case Some(ctx) =>
+            out.writeByte('S'); out.flush()
+            val ssl = ctx.getSocketFactory
+              .createSocket(sock, null, sock.getPort, true)
+              .asInstanceOf[javax.net.ssl.SSLSocket]
+            ssl.setUseClientMode(false)
+            ssl.startHandshake()
+            sock = ssl
+            in = new DataInputStream(ssl.getInputStream)
+            out = new DataOutputStream(ssl.getOutputStream)
+            tlsActive = true
+          case None =>
+            out.writeByte('N'); out.flush() // no TLS configured — clear
+        }
+      } else if (code == SslRequestCode || code == GssRequestCode) {
+        // GSS always declined; a SECOND SSLRequest inside TLS too
+        out.writeByte('N'); out.flush()
+      } else return (sock, code, body)
     }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The startup message proper (probes already consumed by
+    * [[probePhase]]). Returns false when the connection should close
+    * without a session (cancel requests, unsupported protocol). */
+  private def handshake(in: DataInputStream, out: DataOutputStream,
+                        code: Int, body: Array[Byte],
+                        auth: PgAuth): Boolean = {
     if (code == CancelRequestCode) return false
     if (code != ProtocolV3) {
       sendError(out, "08P01", s"unsupported protocol version $code")
