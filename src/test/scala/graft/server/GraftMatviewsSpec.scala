@@ -2132,6 +2132,105 @@ class GraftMatviewsSpec extends AnyFunSuite {
     }
   }
 
+  test("star form: APPROX_COUNT_DISTINCT and layout='range' exercise " +
+      "the JOIN view's sketch recompute and value-partitioned state " +
+      "through dim moves") {
+    val s = spark
+    import s.implicits._
+    val fact = freshTable(Seq("cust", "code", "amt"))
+    val dim = freshTable(Seq("mgrp"))
+    GraftServer.register("srfact", fact)
+    GraftServer.register("srdim", dim)
+    try {
+      // dim carries a STRING month-like group key (the range key)
+      dim.put(Seq((1L, "2024-01"), (2L, "2024-01"), (3L, "2024-02"))
+          .toDF("id", "g"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("mgrp" -> $"g"), ts("2024-01-01 00:00:00"))
+      fact.put(Seq(
+          (10L, 1L, 100L, 5L), (11L, 1L, 100L, 6L), (12L, 2L, 200L, 7L),
+          (13L, 3L, 100L, 8L), (14L, 3L, 300L, 2L))
+          .toDF("id", "ck", "c", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> $"ck", "code" -> $"c", "amt" -> $"m"),
+        ts("2024-01-01 00:00:01"))
+
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_sr WITH " +
+        "(valid_at = '2030-01-01 00:00:00', layout = 'range') AS " +
+        "SELECT mgrp, COUNT(*) AS n, APPROX_COUNT_DISTINCT(code) AS apd, " +
+        "COUNT(DISTINCT code) AS nd " +
+        "FROM srfact JOIN srdim ON cust = srdim._id GROUP BY mgrp")
+
+      def read(): Seq[(String, Long, Long, Long)] =
+        GraftSql.sql(spark,
+          "SELECT mgrp, n, apd, nd FROM mv_sr ORDER BY mgrp")
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            r.getLong(2), r.getLong(3))).toSeq
+      def scratch(): Seq[(String, Long, Long, Long)] = {
+        val f = fact.current()
+        val d = dim.current().select($"_id".cast("long").as("did"), $"mgrp")
+        f.join(d, $"cust" === $"did").groupBy($"mgrp")
+          .agg(count(lit(1)).as("n"), count_distinct($"code").as("nd"))
+          .orderBy($"mgrp").collect()
+          // small cardinalities sit in the sketch's exact regime, so
+          // apd == nd here — asserted deliberately
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(2))).toSeq
+      }
+      assert(read() == scratch())
+      assert(read() == Seq(("2024-01", 3L, 2L, 2L), ("2024-02", 2L, 2L, 2L)))
+
+      // the state is VALUE-partitioned on the dim-side group key
+      val stateDir = java.nio.file.Paths.get(
+        fact.tableDir, "join_matview", "mv_sr", "state")
+      val l = java.nio.file.Files.list(stateDir)
+      val dirs = try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_bucket=")).toSet
+      } finally l.close()
+      assert(dirs == Set("_bucket=k2024-01", "_bucket=k2024-02"), dirs)
+
+      // range read prunes to one month dir
+      val point = GraftSql.sql(spark,
+        "SELECT n, apd FROM mv_sr WHERE mgrp >= '2024-02'")
+      val scan = point.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      val pr = point.collect()
+      assert(pr.length == 1 && pr(0).getLong(0) == 2L)
+      assert(scan.metrics("numFiles").value == 1,
+        "the >= bound must prune to the one matching month dir")
+
+      // dim group-move: customer 2 relocates 2024-01 → 2024-02 with
+      // zero fact ops — the sketch RECOMPUTES for both touched months
+      // (code 200 leaves January's set entirely), the DISTINCT pair
+      // aux rides along, and only the touched VALUE dirs swap
+      dim.put(Seq((2L, "2024-02")).toDF("id", "g"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("mgrp" -> $"g"), ts("2024-01-02 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_sr").collect()
+      assert(read() == scratch())
+      assert(read() == Seq(("2024-01", 2L, 1L, 1L), ("2024-02", 3L, 3L, 3L)))
+
+      // delete the last holder of code 300: both sketch and pair state
+      // must drop the value
+      fact.delete(Seq(14L).toDF("id"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("cust" -> lit(null).cast("long"),
+          "code" -> lit(null).cast("long"),
+          "amt" -> lit(null).cast("long")), ts("2024-01-03 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_sr").collect()
+      assert(read() == scratch())
+      assert(read() == Seq(("2024-01", 2L, 1L, 1L), ("2024-02", 2L, 2L, 2L)))
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_sr")
+    } finally {
+      GraftServer.unregister("srfact")
+      GraftServer.unregister("srdim")
+      GraftMatviews.reset()
+    }
+  }
+
   test("DROP also sweeps a stale same-name on-disk definition under a " +
       "DIFFERENT table root — RESTORE must not resurrect it") {
     val s = spark

@@ -198,6 +198,115 @@ class GraftTlsSpec extends AnyFunSuite {
         } finally server.stop(0)
       }
 
+      // 3b. SCRAM over TLS — the production pairing: credentials only
+      //     ever cross the wire inside the JSSE session, and the full
+      //     RFC 5802 exchange + an authenticated query run over the
+      //     upgraded socket
+      withProps(Some(ks)) {
+        val salt = Array.tabulate[Byte](16)(_.toByte)
+        val ver = PgScram.verifier("hunter2", salt, 4096)
+        val b64 = java.util.Base64.getEncoder
+        val pwFile = java.nio.file.Files.createTempFile("graft_tlspw", ".conf")
+        java.nio.file.Files.writeString(pwFile,
+          s"alice:SCRAM-SHA-256$$4096:${b64.encodeToString(salt)}$$" +
+            s"${b64.encodeToString(ver.storedKey)}:" +
+            s"${b64.encodeToString(ver.serverKey)}\n")
+        val scramHandle = GraftPgWire.start(spark, port = 0,
+          auth = PgAuth.fromPasswordFile(pwFile.toString))
+        try {
+          val raw = new Socket("127.0.0.1", scramHandle.port)
+          val rout = new DataOutputStream(raw.getOutputStream)
+          val rin = new DataInputStream(raw.getInputStream)
+          rout.writeInt(8); rout.writeInt(80877103); rout.flush()
+          assert(rin.read().toChar == 'S')
+          val ssl = trustAll().getSocketFactory
+            .createSocket(raw, "127.0.0.1", scramHandle.port, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          ssl.startHandshake()
+          val in = new DataInputStream(
+            new BufferedInputStream(ssl.getInputStream))
+          val out = new DataOutputStream(
+            new BufferedOutputStream(ssl.getOutputStream))
+          def readMsg(): (Char, Array[Byte]) = {
+            val t = in.read().toChar; val len = in.readInt()
+            val b = new Array[Byte](len - 4); in.readFully(b); (t, b)
+          }
+          def sendP(payload: Array[Byte]): Unit = {
+            out.writeByte('p'); out.writeInt(4 + payload.length)
+            out.write(payload); out.flush()
+          }
+          // startup
+          val pay = new java.io.ByteArrayOutputStream()
+          val d = new DataOutputStream(pay)
+          d.writeInt(196608)
+          d.write("user".getBytes(UTF_8)); d.writeByte(0)
+          d.write("alice".getBytes(UTF_8)); d.writeByte(0); d.writeByte(0)
+          out.writeInt(4 + pay.size()); pay.writeTo(out); out.flush()
+          var m = readMsg()
+          assert(m._1 == 'R' && new DataInputStream(
+            new java.io.ByteArrayInputStream(m._2)).readInt() == 10,
+            "expected AuthenticationSASL over TLS")
+          // RFC 5802 client, inside the TLS session
+          import javax.crypto.Mac
+          import javax.crypto.spec.SecretKeySpec
+          def hmac(k: Array[Byte], msg: String): Array[Byte] = {
+            val mac = Mac.getInstance("HmacSHA256")
+            mac.init(new SecretKeySpec(k, "HmacSHA256"))
+            mac.doFinal(msg.getBytes(UTF_8))
+          }
+          def sha(b: Array[Byte]) = java.security.MessageDigest
+            .getInstance("SHA-256").digest(b)
+          val cnonce = "tlsnonce1"
+          val bare = s"n=,r=$cnonce"
+          val init = new java.io.ByteArrayOutputStream()
+          val di = new DataOutputStream(init)
+          di.write("SCRAM-SHA-256".getBytes(UTF_8)); di.writeByte(0)
+          val first = s"n,,$bare".getBytes(UTF_8)
+          di.writeInt(first.length); di.write(first)
+          sendP(init.toByteArray)
+          m = readMsg()
+          assert(m._1 == 'R', new String(m._2, UTF_8))
+          val sf = new String(m._2.drop(4), UTF_8)
+          val attrs = sf.split(",").map(kv =>
+            kv.substring(0, 1) -> kv.substring(2)).toMap
+          val sp = PgScram.saltedPassword("hunter2",
+            java.util.Base64.getDecoder.decode(attrs("s")),
+            attrs("i").toInt)
+          val ck = hmac(sp, "Client Key")
+          val woProof = s"c=biws,r=${attrs("r")}"
+          val authMsg = s"$bare,$sf,$woProof"
+          val sig = hmac(sha(ck), authMsg)
+          val proof = ck.zip(sig).map { case (a, x) => (a ^ x).toByte }
+          sendP((woProof + ",p=" +
+            b64.encodeToString(proof)).getBytes(UTF_8))
+          m = readMsg()
+          assert(m._1 == 'R', s"SASL final failed over TLS: " +
+            new String(m._2, UTF_8))
+          // drain to ReadyForQuery, then the authenticated query
+          while (m._1 != 'Z') m = readMsg()
+          val q = "SELECT 21 * 2 AS x".getBytes(UTF_8)
+          out.writeByte('Q'); out.writeInt(4 + q.length + 1)
+          out.write(q); out.writeByte(0); out.flush()
+          var got = ""
+          m = readMsg()
+          while (m._1 != 'Z') {
+            if (m._1 == 'D') {
+              val din = new DataInputStream(
+                new java.io.ByteArrayInputStream(m._2))
+              din.readShort(); val n = din.readInt()
+              val b = new Array[Byte](n); din.readFully(b)
+              got = new String(b, UTF_8)
+            }
+            m = readMsg()
+          }
+          assert(got == "42")
+          ssl.close()
+        } finally {
+          scramHandle.stop()
+          java.nio.file.Files.deleteIfExists(pwFile): Unit
+        }
+      }
+
       // 4. graft.tls.required: a startup that never probed is refused
       //    with the story instead of proceeding in clear
       withProps(Some(ks)) {
