@@ -1963,6 +1963,19 @@ class GraftMatviewsSpec extends AnyFunSuite {
         "SELECT n, total, nd FROM mv_rng WHERE m = '2024-07-01'").collect()
       assert(after(0).getLong(0) == 31L && after(0).getLong(2) == 6L,
         after.mkString(","))
+
+      // the canonical definition pins the layout: SHOW carries it and a
+      // restart RESTORE adopts the value-partitioned state unchanged
+      val shown = GraftSql.sql(spark, "SHOW MATERIALIZED VIEWS").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(shown("mv_rng").contains("layout = 'range'"), shown("mv_rng"))
+      GraftMatviews.reset() // simulated restart
+      val restored = GraftSql.sql(spark, "RESTORE MATERIALIZED VIEWS")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(restored.get("mv_rng").contains("restored"), restored.toString)
+      val after2 = GraftSql.sql(spark,
+        "SELECT n, nd FROM mv_rng WHERE m = '2024-07-01'").collect()
+      assert(after2(0).getLong(0) == 31L && after2(0).getLong(1) == 6L)
       // EMPTY-STRING and NULL keys are distinct groups, each with a
       // real dir (the prefix keeps '' out of __HIVE_DEFAULT_PARTITION__,
       // which Spark reads back as NULL — found by review); a point read
