@@ -575,12 +575,13 @@ final class JoinMatview private[graft] (
         // the member relation for extremes is the SIEVED join (a row
         // outside the WHERE is not a member and must not donate a
         // min/max), with derived columns attached — extremes may be
-        // over an expression
+        // over an expression. The touched-group restriction ships as
+        // LITERALS under the cap: Catalyst pushes each per-column
+        // predicate BELOW the join to whichever side carries the group
+        // column (the semi-join above the join never could), reaching
+        // the side's parquet scan.
         val full = prep(joinAll(vaNew, vbNews))
-        val semiKey = groupCols.map(g =>
-          col(s"f.$g") <=> col(s"tg.$g")).reduce(_ && _)
-        val mm = full.as("f").join(touchedGroups.as("tg"),
-            semiKey, "left_semi")
+        val mm = MvState.membersOfTouched(full, touchedGroups, groupCols)
           .groupBy(groupCols.map(col): _*)
           .agg(mmAggs.head, mmAggs.tail: _*)
           .select(groupCols.map(col) ++ (lit(true).as("_mm") +:

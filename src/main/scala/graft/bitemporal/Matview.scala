@@ -429,25 +429,28 @@ final class Matview private[graft] (
             (mmAliases ++ ddAliases).map(a => col(s"s.$a").as(a)) :+
           coalesce(col("s._bucket"), col("d._bucket")).as("_bucket")): _*)
       .filter(col("n") > 0) // a group whose last row left the view goes away
-    // MIN/MAX fallback (the classic IVM restriction: extremes are not
-    // self-maintainable under deletes/updates): the TOUCHED GROUPS —
-    // and only those — re-read their member rows at the basis and
-    // recompute extremes from scratch. The member read pushes the
-    // group predicate into the base scan (footer min/max pruning);
-    // COUNT/SUM-only views skip all of this, keeping refresh ∝ tail.
+    // MIN/MAX (and HLL-sketch) fallback (the classic IVM restriction:
+    // extremes are not self-maintainable under deletes/updates): the
+    // TOUCHED GROUPS — and only those — re-read their member rows at
+    // the basis and recompute from scratch. The restriction ships as a
+    // LITERAL group predicate when the touched set is small (the
+    // overwhelmingly common case) — plain group keys push to the base
+    // parquet scan (footer/file pruning on a group-clustered base),
+    // the join disappears either way; big sets fall back to the
+    // semi-join (MvState.membersOfTouched). COUNT/SUM-only views skip
+    // all of this, keeping refresh ∝ tail.
     val merged =
       if (mmAliases.isEmpty) countSum
       else {
         val touchedGroups = deltaCp
-          .select(groupCols.map(col): _*).distinct().as("tg")
-        // prep BEFORE the semi-join: a derived group key must exist on
-        // the member relation for the touched-group equality
+          .select(groupCols.map(col): _*).distinct()
+        // prep BEFORE the restriction: a derived group key must exist
+        // on the member relation for the touched-group predicate
         val visible = prep(Bitemporal.asOf(
           log.readAllAuto(spark, payloadCols, upToTx = last),
-          lit(validAt), lit(sysProbe))).as("v")
-        val semiKey = groupCols.map(g =>
-          col(s"v.$g") <=> col(s"tg.$g")).reduce(_ && _)
-        val mm = fullAgg(visible.join(touchedGroups, semiKey, "left_semi"))
+          lit(validAt), lit(sysProbe)))
+        val mm = fullAgg(
+          MvState.membersOfTouched(visible, touchedGroups, groupCols))
           .select(groupCols.map(col) ++ (lit(true).as("_mm") +:
             mmAliases.map(a => col(a).as(s"_r_$a"))): _*)
         val mmKey = groupCols.map(g =>
@@ -666,6 +669,73 @@ private[graft] object MvState {
   def rangeBucketCol(leadGroupCol: String): Column =
     coalesce(concat(lit(RangeValuePrefix), col(leadGroupCol)),
       lit(NullGroupMarker))
+
+  /** Touched-group sets up to this size ship as a LITERAL membership
+    * predicate on the member re-read (MIN/MAX/HLL recompute) instead
+    * of a semi-join: plain stored group keys then push to the base
+    * parquet scan (`PushedFilters` → footer/file pruning on a
+    * group-clustered base — the same treatment [[JoinMatview]]'s
+    * dim-touched fact restriction gets), and even derived keys skip
+    * the join. Multi-column keys expand to a per-tuple conjunction
+    * disjunction, capped lower (predicate-tree size). Past the cap the
+    * semi-join is the plan, exactly as before. */
+  val MaxInlineGroups = 1000
+  val MaxInlineGroupTuples = 100
+
+  /** Literal membership predicate for a small set of group-key tuples
+    * (rows in `groupCols` order). NULL group keys match via isNull —
+    * the null group is a real group. */
+  def groupKeyIn(groupCols: Seq[String],
+                 rows: Seq[org.apache.spark.sql.Row]): Column =
+    if (groupCols.size == 1) {
+      val vals = rows.map(_.get(0))
+      val nonNull = vals.filter(_ != null)
+      val base =
+        if (nonNull.isEmpty) lit(false)
+        else col(groupCols.head).isin(nonNull: _*)
+      if (vals.contains(null)) base || col(groupCols.head).isNull else base
+    } else
+      rows.map(r => groupCols.zipWithIndex.map { case (g, i) =>
+        val v = r.get(i)
+        if (v == null) col(g).isNull else col(g) === lit(v)
+      }.reduce(_ && _)).reduce(_ || _)
+
+  /** Restrict `members` to the touched groups: literal predicate under
+    * the cap (see [[MaxInlineGroups]]), semi-join past it. `touched`
+    * must be cheap to collect (it derives from the checkpointed delta —
+    * ≤ touched-group rows). */
+  def membersOfTouched(members: DataFrame, touched: DataFrame,
+                       groupCols: Seq[String]): DataFrame = {
+    val cap =
+      if (groupCols.size == 1) MaxInlineGroups else MaxInlineGroupTuples
+    val probe = touched.limit(cap + 1).collect()
+    val (branch, restricted) =
+      if (probe.length == 0) ("empty", members.limit(0))
+      else if (probe.length <= cap)
+        ("inline", members.filter(groupKeyIn(groupCols, probe.toSeq)))
+      else {
+        val v = members.as("v"); val tg = touched.as("tg")
+        val semiKey = groupCols.map(g =>
+          col(s"v.$g") <=> col(s"tg.$g")).reduce(_ && _)
+        ("semi", v.join(tg, semiKey, "left_semi"))
+      }
+    // test hook — the member re-read runs inside the merged write job
+    // (no QueryExecutionListener event), so the pushdown spec snapshots
+    // the restricted relation's plan AND the branch taken here (same
+    // pattern as JoinMatview.capturePlans). Off (zero cost) outside
+    // tests.
+    if (captureMemberPlans) capturedMemberPlans.synchronized {
+      capturedMemberPlans +=
+        ((branch, restricted.queryExecution.executedPlan.toString)): Unit
+    }
+    restricted
+  }
+
+  /** Test hooks for the member-re-read pushdown spec: (branch taken,
+    * physical plan) per restriction. */
+  @volatile private[graft] var captureMemberPlans = false
+  private[graft] val capturedMemberPlans =
+    scala.collection.mutable.Buffer.empty[(String, String)]
 
   /** `layout = range` soundness guard, shared by both view kinds (the
     * r12 lesson: layout-critical checks live in ONE place or they

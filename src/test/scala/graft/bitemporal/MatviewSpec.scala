@@ -411,6 +411,87 @@ class MatviewSpec extends AnyFunSuite {
     assertParity(mv, t)
   }
 
+  test("MIN/MAX member re-read ships the touched groups as a LITERAL " +
+      "predicate pushed to the base scan — the semi-join only appears " +
+      "past the inline cap") {
+    val metaLen = "spark.sql.maxMetadataStringLength"
+    val prevLen = spark.conf.get(metaLen)
+    spark.conf.set(metaLen, "4000")
+    MvState.capturedMemberPlans.synchronized(
+      MvState.capturedMemberPlans.clear())
+    MvState.captureMemberPlans = true
+    try {
+      val (t, _) = freshTable()
+      val mv = t.matview("mm_push", "grp", Nil, validAt, nBuckets = 4,
+        maxCols = Seq("amt"))
+      t.put(spark.range(200).select($"id",
+          format_string("g%03d", $"id" % 50).as("g"),
+          lit("1.00").cast("decimal(12,2)").as("m")),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "amt" -> $"m"), ts("2024-01-01 00:00:00"))
+      // the production steady state: a COMPACTED base — the untouched
+      // ids' member rows come from base parquet, which is where the
+      // literal predicate can actually push (the tail refold is a
+      // typed MapGroups boundary no filter can cross)
+      t.compact()
+      mv.refresh() // first build — no member re-read
+      // touch TWO groups
+      t.put(Seq((0L, "g000", "9.00"), (1L, "g001", "8.00"))
+          .toDF("id", "g", "m").select($"id", $"g",
+            $"m".cast("decimal(12,2)").as("m")),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "amt" -> $"m"), ts("2024-01-02 00:00:00"))
+      mv.refresh()
+      val plans = MvState.capturedMemberPlans.synchronized {
+        MvState.capturedMemberPlans.toList
+      }
+      assert(plans.nonEmpty, "the mm member re-read must capture a plan")
+      val (branch, p) = plans.last
+      assert(branch == "inline",
+        s"2 touched groups must inline, not '$branch'")
+      assert(p.contains("In(grp, [g000,g001]") ||
+          p.contains("In(grp, [g001,g000]"),
+        s"the literal group IN must reach the BASE scan's " +
+          s"PushedFilters:\n${p.take(2000)}")
+      // the recomputed extremes are exact
+      val got = mv.read().filter($"grp".isin("g000", "g001", "g002"))
+        .collect().map(r =>
+          r.getString(0) -> r.getAs[java.math.BigDecimal]("max_amt")).toMap
+      assert(got("g000").compareTo(new java.math.BigDecimal("9.00")) == 0 &&
+        got("g001").compareTo(new java.math.BigDecimal("8.00")) == 0 &&
+        got("g002").compareTo(new java.math.BigDecimal("1.00")) == 0, got)
+
+      // past the cap: the semi-join is the plan (correctness unchanged)
+      MvState.capturedMemberPlans.synchronized(
+        MvState.capturedMemberPlans.clear())
+      val (t2, _) = freshTable()
+      val mv2 = t2.matviewN("mm_push2", Seq("grp", "amt"), Nil, validAt, 4,
+        maxCols = Seq("amt"))
+      // multi-col key -> tuple cap (100); touch 150 distinct tuples
+      t2.put(spark.range(300).select($"id",
+          format_string("h%03d", $"id" % 150).as("g"),
+          ($"id" % 150).cast("decimal(12,2)").as("m")),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "amt" -> $"m"), ts("2024-01-01 00:00:00"))
+      mv2.refresh()
+      t2.put(spark.range(150).select($"id",
+          format_string("h%03d", $"id" % 150).as("g"),
+          (($"id" % 150) + 1).cast("decimal(12,2)").as("m")),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "amt" -> $"m"), ts("2024-01-02 00:00:00"))
+      mv2.refresh()
+      val plans2 = MvState.capturedMemberPlans.synchronized {
+        MvState.capturedMemberPlans.toList
+      }
+      assert(plans2.exists(_._1 == "semi"),
+        s"past the tuple cap the member restriction must semi-join, " +
+          s"got branches: ${plans2.map(_._1)}")
+    } finally {
+      MvState.captureMemberPlans = false
+      spark.conf.set(metaLen, prevLen)
+    }
+  }
+
   test("ensurePruneRule under concurrency: appends are never lost, " +
       "third-party rules survive, the rule lands exactly once") {
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
