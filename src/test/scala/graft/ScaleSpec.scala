@@ -237,6 +237,91 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  scaleTest("group-clustered MIN/MAX matview: the touched-group member " +
+      "re-read tracks MEMBER rows, not base size (literal pushdown)") {
+    // the 100 TB claim under test (r14, MvState.membersOfTouched):
+    // after a touch, the extremes/sketch recompute re-reads ONLY the
+    // touched groups' members — the literal In(grp, ...) reaches the
+    // group-clustered base's footers, so a 10x base admits the same
+    // group tile. Prove it two ways, like the fk-clustered twin:
+    // admitted-row footers (deterministic) and wall clock (generous).
+    import graft.bitemporal.ChunkMetadata
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val validAt = ts("2030-01-01 00:00:00")
+    def build(n: Long): (GraftTable, graft.bitemporal.Matview, String) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_smm$n").toString
+      val t = new GraftTable(spark, dir, Seq("grp", "amt", "pad"),
+        clusterBy = Seq("grp"))
+      // group "aaa05" has exactly 2000 members at ANY n; the rest
+      // spread over ~999 groups that grow with the base
+      val rows = spark.range(n).select(
+        ($"id" + 1000).as("fid"),
+        when($"id" < 2000, lit("aaa05"))
+          .otherwise(format_string("g%05d", $"id" % 999)).as("g"),
+        ($"id" % 97).cast("decimal(12,2)").as("m"),
+        rpad(lit("x"), 100, "x").as("p"))
+      t.put(rows, $"fid", lit("2000-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "amt" -> $"m", "pad" -> $"p"),
+        ts("2020-01-01 00:00:01"))
+      val keys = Seq("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+      val old = keys.map(k => k -> spark.conf.getOption(k))
+      keys.foreach(spark.conf.set(_, (1024 * 1024).toString))
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val oldBlock = Option(hconf.get("parquet.block.size"))
+      hconf.set("parquet.block.size", (256 * 1024).toString)
+      try t.compact()
+      finally {
+        old.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+        oldBlock match {
+          case Some(v) => hconf.set("parquet.block.size", v)
+          case None => hconf.unset("parquet.block.size")
+        }
+      }
+      val mv = t.matview("smm", "grp", Nil, validAt, nBuckets = 8,
+        maxCols = Seq("amt"))
+      mv.refresh()
+      (t, mv, dir)
+    }
+    def admittedRows(dir: String): Long =
+      ChunkMetadata.forPaths(spark, Seq(s"$dir/base"))
+        .filter(col("column") === "grp" &&
+          col("min") <= "aaa05" && col("max") >= "aaa05")
+        .agg(coalesce(sum(col("rows")), lit(0L))).head.getLong(0)
+    def touchRefresh(t: GraftTable, mv: graft.bitemporal.Matview,
+                     tick: Int): Double = {
+      // touch ONE member of the pinned group: the mm fallback must
+      // re-read exactly that group's members
+      t.put(Seq((1000L, "aaa05", s"9$tick.00")).toDF("fid", "g", "m")
+          .select($"fid", $"g", $"m".cast("decimal(12,2)").as("m")),
+        $"fid", lit("2000-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "amt" -> $"m",
+          "pad" -> lit("x").cast("string")),
+        ts(f"2020-01-02 00:00:$tick%02d"))
+      timed(mv.refresh())._2
+    }
+
+    val small = 100000L
+    val big = 1000000L
+    val (tS, mvS, dirS) = build(small)
+    val (tB, mvB, dirB) = build(big)
+    touchRefresh(tS, mvS, 1) // warm-up untimed
+    val wS = touchRefresh(tS, mvS, 2)
+    val wB = touchRefresh(tB, mvB, 3)
+    val (aS, aB) = (admittedRows(dirS), admittedRows(dirB))
+    info(f"mm re-read after touch: n=$small $wS%.1fs, n=$big $wB%.1fs " +
+      f"(ratio ${wB / wS}%.1fx); admitted rows $aS vs $aB of $small/$big")
+    assert(aB <= math.max(aS * 4, 60000L),
+      s"admitted rows grew with base size: $aS -> $aB")
+    assert(aB <= big / 5, s"no pruning: $aB of $big rows admitted")
+    assert(wB <= wS * 3 + 10,
+      f"touched-group re-read scaled with base size: $wS%.1fs -> $wB%.1fs")
+  }
+
   scaleTest("fk-clustered join matview: dim-touched refresh tracks " +
       "referencing facts, not base size") {
     // the 100 TB claim under test: after a dim-only touch, refresh work
