@@ -2001,6 +2001,26 @@ class GraftMatviewsSpec extends AnyFunSuite {
 
       GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_rng")
 
+      // a DERIVED (expression) leading key prunes too: the group col
+      // is the content-addressed derived name internally, the user
+      // filters the ALIAS — Catalyst pushes through the projection and
+      // MvBucketPrune fires on the derived attribute (q174's shape)
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_rng_e WITH " +
+        "(valid_at = '2030-01-01 00:00:00', layout = 'range') AS " +
+        "SELECT concat('m:', m) AS mk, COUNT(*) AS n FROM rngfact " +
+        "GROUP BY concat('m:', m)")
+      val ep = GraftSql.sql(spark,
+        "SELECT mk, n FROM mv_rng_e " +
+          "WHERE mk BETWEEN 'm:2024-03-01' AND 'm:2024-04-01' ORDER BY mk")
+      val eps = scanOf(ep)
+      val epr = ep.collect()
+      assert(epr.map(_.getString(0)).toSeq ==
+        Seq("m:2024-03-01", "m:2024-04-01"), epr.mkString(","))
+      assert(eps.metrics("numFiles").value == 2,
+        s"derived-key range read must prune: " +
+          s"${eps.metrics("numFiles").value} files")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_rng_e")
+
       // a non-string leading key refuses loudly (lexicographic dir
       // order would not match numeric order)
       val e = intercept[Exception](GraftSql.sql(spark,
