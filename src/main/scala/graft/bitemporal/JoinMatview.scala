@@ -567,11 +567,12 @@ final class JoinMatview private[graft] (
     // and only those — re-derive their member facts by re-joining at
     // the basis and recompute extremes from scratch. COUNT/SUM-only
     // views skip all of this, keeping refresh ∝ the tails.
+    // shared by the mm fallback AND the distinct-rollup overlay below
+    lazy val touchedGroups = deltaCp
+      .select(groupCols.map(col): _*).distinct()
     val merged =
       if (mmAliases.isEmpty) countSum
       else {
-        val touchedGroups = deltaCp
-          .select(groupCols.map(col): _*).distinct()
         // the member relation for extremes is the SIEVED join (a row
         // outside the WHERE is not a member and must not donate a
         // min/max), with derived columns attached — extremes may be
@@ -609,8 +610,7 @@ final class JoinMatview private[graft] (
       if (distincts.isEmpty) merged
       else {
         syncAuxes(lasts)
-        MvState.overlayDistinct(merged, groupCols,
-          deltaCp.select(groupCols.map(col): _*).distinct(),
+        MvState.overlayDistinct(merged, groupCols, touchedGroups,
           affected, distincts, spark)
       }
     MvState.swapBuckets(stateRoot, dataDir, finalMerged, affected, groupCols)

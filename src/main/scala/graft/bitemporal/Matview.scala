@@ -439,11 +439,14 @@ final class Matview private[graft] (
     // the join disappears either way; big sets fall back to the
     // semi-join (MvState.membersOfTouched). COUNT/SUM-only views skip
     // all of this, keeping refresh ∝ tail.
+    // shared by the mm fallback AND the distinct-rollup overlay below
+    // (one plan, built once — rows ∝ touched groups over the
+    // checkpointed delta)
+    lazy val touchedGroups = deltaCp
+      .select(groupCols.map(col): _*).distinct()
     val merged =
       if (mmAliases.isEmpty) countSum
       else {
-        val touchedGroups = deltaCp
-          .select(groupCols.map(col): _*).distinct()
         // prep BEFORE the restriction: a derived group key must exist
         // on the member relation for the touched-group predicate
         val visible = prep(Bitemporal.asOf(
@@ -479,8 +482,7 @@ final class Matview private[graft] (
       if (distincts.isEmpty) merged
       else {
         syncAuxes(last)
-        MvState.overlayDistinct(merged, groupCols,
-          deltaCp.select(groupCols.map(col): _*).distinct(),
+        MvState.overlayDistinct(merged, groupCols, touchedGroups,
           affected, distincts, spark)
       }
     MvState.swapBuckets(stateRoot, dataDir, finalMerged, affected, groupCols)
@@ -708,10 +710,29 @@ private[graft] object MvState {
                        groupCols: Seq[String]): DataFrame = {
     val cap =
       if (groupCols.size == 1) MaxInlineGroups else MaxInlineGroupTuples
-    val probe = touched.limit(cap + 1).collect()
+    // non-atomic key types (array/struct/map group columns) cannot be
+    // encoded as literals by lit()/isin() — they keep the semi-join
+    // (which the null-safe <=> handles for any orderable type), found
+    // by review before a small refresh of such a view could crash
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType, UserDefinedType}
+    def literalEncodable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: ArrayType | _: MapType | _: StructType |
+             _: UserDefinedType[_] => false
+        case _ => true
+      }
+    val atomicKeys = groupCols.forall(g =>
+      members.schema.find(_.name == g).exists(f =>
+        literalEncodable(f.dataType)))
+    // the probe is one tiny driver job per mm-path refresh — it reads
+    // only the checkpointed delta's partitions (rows ∝ touched groups),
+    // the same cost class as the affected-bucket collect
+    val probe =
+      if (atomicKeys) touched.limit(cap + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
     val (branch, restricted) =
-      if (probe.length == 0) ("empty", members.limit(0))
-      else if (probe.length <= cap)
+      if (atomicKeys && probe.length == 0) ("empty", members.limit(0))
+      else if (atomicKeys && probe.length <= cap)
         ("inline", members.filter(groupKeyIn(groupCols, probe.toSeq)))
       else {
         val v = members.as("v"); val tg = touched.as("tg")
@@ -721,9 +742,11 @@ private[graft] object MvState {
       }
     // test hook — the member re-read runs inside the merged write job
     // (no QueryExecutionListener event), so the pushdown spec snapshots
-    // the restricted relation's plan AND the branch taken here (same
-    // pattern as JoinMatview.capturePlans). Off (zero cost) outside
-    // tests.
+    // the restricted relation's STANDALONE plan and the branch taken
+    // (same pattern as JoinMatview.capturePlans). This locks the
+    // pushdown within the subtree; the EXECUTED-plan evidence is the
+    // ScaleSpec row that measures footer-admitted rows on a real
+    // refresh (identical at 10x base). Off (zero cost) outside tests.
     if (captureMemberPlans) capturedMemberPlans.synchronized {
       capturedMemberPlans +=
         ((branch, restricted.queryExecution.executedPlan.toString)): Unit
