@@ -121,6 +121,14 @@ final class JoinMatview private[graft] (
     if (bucketCols.isEmpty) groupCols else bucketCols
   require(bucketKeyCols.forall(groupCols.contains),
     s"bucket key $bucketKeyCols must be a subset of group columns $groupCols")
+  // range layout partitions by groupCols.head's VALUE while the _schema
+  // sidecar stamps GroupsKey from bucketKeyCols — they must agree or
+  // MvBucketPrune.pruneRange would translate predicates on the wrong
+  // column (see Matview's matching guard)
+  require(!rangeLayout || bucketKeyCols.head == groupCols.head,
+    s"layout = 'range' requires the bucket key to lead with the " +
+      s"leading group column (got ${bucketKeyCols.headOption} vs " +
+      s"${groupCols.head})")
   locally {
     val sides = factCols +: dims.map(_._2)
     sides.indices.foreach { i =>
@@ -531,7 +539,7 @@ final class JoinMatview private[graft] (
       setWatermarks(lasts); return ret(lasts)
     }
     if (rangeLayout)
-      MvState.checkRangeDirCount(affected.size.toLong, "rewrite")
+      MvState.checkRangeDirCountCumulative(dataDir, affected)
 
     val state = MvState.readState(spark, stateRoot, dataDir)
       .filter(col("_bucket").isin(affected: _*))

@@ -60,6 +60,15 @@ final class Matview private[graft] (
     if (bucketCols.isEmpty) groupCols else bucketCols
   require(bucketKeyCols.forall(groupCols.contains),
     s"bucket key $bucketKeyCols must be a subset of group columns $groupCols")
+  // a range layout partitions state by groupCols.head's VALUE, but the
+  // _schema sidecar stamps GroupsKey from bucketKeyCols — MvBucketPrune
+  // translates predicates on GroupsKey.head, so the two MUST agree or
+  // pruning would be unsound (the DDL always satisfies this; the guard
+  // closes the private-API hole)
+  require(!rangeLayout || bucketKeyCols.head == groupCols.head,
+    s"layout = 'range' requires the bucket key to lead with the " +
+      s"leading group column (got ${bucketKeyCols.headOption} vs " +
+      s"${groupCols.head})")
   // DERIVED columns (name -> row-local deterministic SQL expression
   // over the payload) extend the aggregable surface to expression
   // aggregates — SUM(a*b) maintains exactly like SUM(c) because the
@@ -400,7 +409,7 @@ final class Matview private[graft] (
       MvState.pinDef(stateRoot, defFp); setWatermark(last); return last
     }
     if (rangeLayout)
-      MvState.checkRangeDirCount(affected.size.toLong, "rewrite")
+      MvState.checkRangeDirCountCumulative(dataDir, affected)
 
     val state = MvState.readState(spark, stateRoot, dataDir)
       .filter(col("_bucket").isin(affected: _*))
@@ -783,7 +792,9 @@ private[graft] object MvState {
     * past this cap with the hash-layout pointer instead of melting the
     * file system. Same driver-metadata size class as
     * [[JoinMatview.MaxInlineDimIds]]. */
-  val MaxRangeDirs = 10000
+  // var is a TEST HOOK only (specs lower the cap instead of minting
+  // 10k real dirs); production never writes it
+  @volatile var MaxRangeDirs = 10000
 
   def checkRangeDirCount(n: Long, what: String): Unit =
     if (n > MaxRangeDirs)
@@ -792,6 +803,29 @@ private[graft] object MvState {
           s"$MaxRangeDirs): a range layout is for LOW-cardinality " +
           "ordered keys (time buckets); use the default hash layout " +
           "for high-cardinality group keys")
+
+  /** Incremental-refresh form of the cap: the per-refresh affected
+    * count alone lets CUMULATIVE dir growth sail past [[MaxRangeDirs]]
+    * (a key adding <10k new values per refresh never trips it), so a
+    * rewrite also bounds existing state dirs UNION this refresh's
+    * affected values — one cheap local directory listing, ≤ cap names
+    * when healthy. */
+  def checkRangeDirCountCumulative(dataDir: Path, affected: Seq[Any])
+      : Unit = {
+    checkRangeDirCount(affected.size.toLong, "rewrite")
+    val existing: Set[String] =
+      if (!Files.isDirectory(dataDir)) Set.empty
+      else {
+        val s = Files.list(dataDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("_bucket=")).toSet
+        } finally s.close()
+      }
+    val union = existing ++ affected.map(bucketDirName)
+    checkRangeDirCount(union.size.toLong, "grow state to")
+  }
 
   /** `_bucket=<v>` directory name for a partition value — hash layouts
     * carry longs (digits, never escaped); range layouts carry the key

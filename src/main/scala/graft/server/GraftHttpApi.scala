@@ -139,12 +139,22 @@ object GraftHttpApi {
   // IllegalArgumentException) would be swallowed by basicUser's
   // bad-base64 catch and turn a typo'd conf into silent 401s.
   private def authCacheMax: Int =
-    sys.props.get("graft.http.authCacheMax").map(s =>
-      try s.toInt
-      catch {
-        case _: NumberFormatException => throw new IllegalStateException(
-          s"graft.http.authCacheMax must be an integer, got '$s'")
-      }).getOrElse(4096)
+    sys.props.get("graft.http.authCacheMax").map { s =>
+      val n =
+        try s.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalStateException(
+            s"graft.http.authCacheMax must be an integer, got '$s'")
+        }
+      // a cap < 1 would enter the eviction branch with an EMPTY cache
+      // and index a zero-length seq array — auth would hard-fail on
+      // every request instead of just running uncached. Disable the
+      // cache via authCacheTtlMs <= 0 instead.
+      if (n < 1) throw new IllegalStateException(
+        s"graft.http.authCacheMax must be >= 1, got $n (to disable " +
+          "the cache set graft.http.authCacheTtlMs to 0)")
+      n
+    }.getOrElse(4096)
   /** key → (verdict, verdict-expiry-ms, last-access seq). The expiry
     * is pinned at INSERT (a revoked password re-derives once per TTL —
     * hits must never extend it); the seq is a monotonic counter bumped

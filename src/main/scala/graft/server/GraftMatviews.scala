@@ -62,10 +62,30 @@ import graft.bitemporal.{BitemporalDml, SqlText}
   */
 object GraftMatviews {
 
+  /** How a SELECT-list item serves from state — a TYPED tag, so routing
+    * never dispatches on name prefixes (a user column literally named
+    * `apd_x`/`avg_x` must not be misrouted into sketch-estimate or
+    * division serving; the pre-r15 canon-string prefix dispatch had
+    * that collision class). */
+  private[server] sealed trait ServeCol
+  private[server] object ServeCol {
+    /** group column, served verbatim */
+    final case class Group(g: String) extends ServeCol
+    /** read-time AVG = sum_/cnt_ division over `arg` */
+    final case class Avg(arg: String) extends ServeCol
+    /** read-time AVG(DISTINCT) = sumd_/cntd_ division over `arg` */
+    final case class AvgDistinct(arg: String) extends ServeCol
+    /** APPROX_COUNT_DISTINCT: estimate of the stored hll_ sketch */
+    final case class ApproxDistinct(arg: String) extends ServeCol
+    /** a stored state column served verbatim
+      * (n / cnt_ / sum_ / min_ / max_ / cntd_ / sumd_) */
+    final case class State(canon: String) extends ServeCol
+  }
+
   private final case class Handle(
       name: String,
-      // canonical state column -> user alias, in declared order
-      serveCols: Seq[(String, String)],
+      // typed serve entry -> user alias, in declared order
+      serveCols: Seq[(ServeCol, String)],
       // HAVING over the SERVED columns, applied at read: state keeps
       // every group, so the filter is trivially maintained — Postgres-
       // observable semantics for SELECT * FROM v, zero new Δ mechanics
@@ -719,7 +739,7 @@ object GraftMatviews {
     val cnts = Seq.newBuilder[String]
     val hlls = Seq.newBuilder[String]
     // canonical -> alias, in SELECT order (group handled separately)
-    val serve = Seq.newBuilder[(String, String)]
+    val serve = Seq.newBuilder[(ServeCol, String)]
     BitemporalDml.splitTopLevel(list).map(_.trim).filter(_.nonEmpty)
       .foreach {
         case apdRe(arg0, alias0) =>
@@ -735,7 +755,7 @@ object GraftMatviews {
               "column name")
           }
           hlls += c
-          serve += (s"apd_$c" -> alias)
+          serve += (ServeCol.ApproxDistinct(c) -> alias)
         case aggDistRe(fn0, arg0, alias0) =>
           val fn = fn0.toUpperCase
           if (arg0.trim == "*")
@@ -751,17 +771,19 @@ object GraftMatviews {
             }
           fn match {
             // MIN/MAX over distinct values ≡ MIN/MAX over all values
-            case "MIN" => mins += d; serve += (s"min_$d" -> aliasOr(s"min_$d"))
-            case "MAX" => maxs += d; serve += (s"max_$d" -> aliasOr(s"max_$d"))
+            case "MIN" => mins += d
+              serve += (ServeCol.State(s"min_$d") -> aliasOr(s"min_$d"))
+            case "MAX" => maxs += d
+              serve += (ServeCol.State(s"max_$d") -> aliasOr(s"max_$d"))
             case "COUNT" =>
               distincts += d
-              serve += (s"cntd_$d" -> aliasOr(s"cntd_$d"))
+              serve += (ServeCol.State(s"cntd_$d") -> aliasOr(s"cntd_$d"))
             case "SUM" =>
               distincts += d; distinctSums += d
-              serve += (s"sumd_$d" -> aliasOr(s"sumd_$d"))
+              serve += (ServeCol.State(s"sumd_$d") -> aliasOr(s"sumd_$d"))
             case "AVG" =>
               distincts += d; distinctSums += d
-              serve += (s"avgd_$d" -> aliasOr(s"avgd_$d"))
+              serve += (ServeCol.AvgDistinct(d) -> aliasOr(s"avgd_$d"))
           }
         case aggRe(fn0, arg0, alias) =>
           val fn = fn0.toUpperCase
@@ -771,23 +793,26 @@ object GraftMatviews {
           val arg = unqualify(arg0)
           (fn, arg) match {
             case ("COUNT", "*") =>
-              serve += ("n" -> Option(alias).getOrElse("n"))
+              serve += (ServeCol.State("n") -> Option(alias).getOrElse("n"))
             case ("COUNT", c) =>
               // per-column NON-NULL counter: self-maintainable exactly
               // like n (a null cell never contributes to the delta)
               cnts += c
-              serve += (s"cnt_$c" -> Option(alias).getOrElse(s"cnt_$c"))
+              serve += (ServeCol.State(s"cnt_$c") -> Option(alias).getOrElse(s"cnt_$c"))
             case ("SUM", c) =>
-              sums += c; serve += (s"sum_$c" -> Option(alias).getOrElse(s"sum_$c"))
+              sums += c
+              serve += (ServeCol.State(s"sum_$c") -> Option(alias).getOrElse(s"sum_$c"))
             case ("AVG", c) =>
               // AVG = SUM / COUNT(col) at READ time — zero new state
               // mechanics, both constituents are already maintainable
               sums += c; cnts += c
-              serve += (s"avg_$c" -> Option(alias).getOrElse(s"avg_$c"))
+              serve += (ServeCol.Avg(c) -> Option(alias).getOrElse(s"avg_$c"))
             case ("MIN", c) =>
-              mins += c; serve += (s"min_$c" -> Option(alias).getOrElse(s"min_$c"))
+              mins += c
+              serve += (ServeCol.State(s"min_$c") -> Option(alias).getOrElse(s"min_$c"))
             case ("MAX", c) =>
-              maxs += c; serve += (s"max_$c" -> Option(alias).getOrElse(s"max_$c"))
+              maxs += c
+              serve += (ServeCol.State(s"max_$c") -> Option(alias).getOrElse(s"max_$c"))
             case _ => fail(s"unsupported aggregate $fn0($arg0)")
           }
         case identRe(g, alias) if groups.contains(unqualify(g)) =>
@@ -800,12 +825,16 @@ object GraftMatviews {
               "AS alias to serve as a column name"))
           val dn = derivedName(arg0)
           fn match {
-            case "COUNT" => cnts += dn; serve += (s"cnt_$dn" -> alias)
-            case "SUM" => sums += dn; serve += (s"sum_$dn" -> alias)
+            case "COUNT" =>
+              cnts += dn; serve += (ServeCol.State(s"cnt_$dn") -> alias)
+            case "SUM" =>
+              sums += dn; serve += (ServeCol.State(s"sum_$dn") -> alias)
             case "AVG" => sums += dn; cnts += dn
-              serve += (s"avg_$dn" -> alias)
-            case "MIN" => mins += dn; serve += (s"min_$dn" -> alias)
-            case "MAX" => maxs += dn; serve += (s"max_$dn" -> alias)
+              serve += (ServeCol.Avg(dn) -> alias)
+            case "MIN" =>
+              mins += dn; serve += (ServeCol.State(s"min_$dn") -> alias)
+            case "MAX" =>
+              maxs += dn; serve += (ServeCol.State(s"max_$dn") -> alias)
           }
         // a GROUP BY expression repeated in the SELECT list: matched by
         // normalized text, alias mandatory (the expression is no name)
@@ -844,7 +873,8 @@ object GraftMatviews {
       }
     }
     val serveAll =
-      groups.map(g => s"__group__:$g" -> groupAliases(g)) ++ serve.result()
+      groups.map(g => (ServeCol.Group(g): ServeCol) -> groupAliases(g)) ++
+        serve.result()
     // an aux pair view needs exactly the derived definitions its own
     // group key uses: the view's derived group keys plus (when the
     // DISTINCT argument is an expression) the argument itself
@@ -1059,29 +1089,25 @@ object GraftMatviews {
     var tagged = false
     val cols =
       h.serveCols.map {
-        case (canon, alias) if canon.startsWith("__group__:") =>
-          val g = canon.stripPrefix("__group__:")
+        case (ServeCol.Group(g), alias) =>
           if (!tagged) { tagged = true; col(g).as(alias, tag) }
           else col(g).as(alias)
-        case (canon, alias) if canon.startsWith("avg_") =>
+        case (ServeCol.Avg(c), alias) =>
           // AVG serves as SUM/COUNT(col) in DOUBLE (the portable SQL
           // answer); the when-guard keeps an all-null group at NULL
           // instead of an ANSI division-by-zero
-          val c = canon.stripPrefix("avg_")
           when(col(s"cnt_$c") > 0,
             col(s"sum_$c").cast("double") / col(s"cnt_$c")).as(alias)
-        case (canon, alias) if canon.startsWith("avgd_") =>
+        case (ServeCol.AvgDistinct(c), alias) =>
           // AVG(DISTINCT) = SUM/COUNT of the distinct values, same
           // DOUBLE division and all-null guard as AVG
-          val c = canon.stripPrefix("avgd_")
           when(col(s"cntd_$c") > 0,
             col(s"sumd_$c").cast("double") / col(s"cntd_$c")).as(alias)
-        case (canon, alias) if canon.startsWith("apd_") =>
+        case (ServeCol.ApproxDistinct(c), alias) =>
           // APPROX_COUNT_DISTINCT serves the stored sketch's estimate;
           // an all-null group's sketch is empty/NULL → 0, SQL semantics
-          val c = canon.stripPrefix("apd_")
           coalesce(hll_sketch_estimate(col(s"hll_$c")), lit(0L)).as(alias)
-        case (canon, alias) => col(canon).as(alias)
+        case (ServeCol.State(canon), alias) => col(canon).as(alias)
       }
     df0.select(cols: _*)
   }

@@ -524,4 +524,30 @@ class MatviewSpec extends AnyFunSuite {
         s"exactly one MvBucketPrune expected, got: $after")
     } finally spark.experimental.extraOptimizations = before
   }
+
+  test("range layout refuses a bucket key that does not lead with the " +
+      "leading group column — the partition value and the _schema " +
+      "GroupsKey stamp must name the SAME column or pruning is unsound") {
+    // the DDL path always satisfies this (aux bucketCols are a group
+    // prefix); the guard closes the private-API hole where
+    // MvBucketPrune.pruneRange would translate predicates on the wrong
+    // column
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_rng").toString
+    val t = new GraftTable(spark, dir, Seq("a", "b"))
+    val e = intercept[IllegalArgumentException] {
+      t.matviewAt(java.nio.file.Paths.get(dir, "matview", "bad"),
+        Seq("a", "b"), validAt, 8, None, Nil,
+        bucketCols = Seq("b"), rangeLayout = true)
+    }
+    assert(e.getMessage.contains("leading group column"), e.getMessage)
+    // star/join form shares the guard
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_mv_dim")
+    val dim = new GraftTable(spark, dimDir.toString, Seq("d"))
+    val e2 = intercept[IllegalArgumentException] {
+      t.starMatviewAt(java.nio.file.Paths.get(dir, "matview", "bad2"),
+        Seq((dim, "b")), Seq("a", "d"), validAt, 8, None, Nil,
+        bucketCols = Seq("d"), rangeLayout = true)
+    }
+    assert(e2.getMessage.contains("leading group column"), e2.getMessage)
+  }
 }

@@ -379,6 +379,32 @@ class GraftHttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("authCacheMax < 1 refuses loudly instead of hard-failing every " +
+      "authenticated request from inside the eviction branch") {
+    // pre-guard, a zero cap entered eviction with an EMPTY cache and
+    // indexed a zero-length seq array — ArrayIndexOutOfBoundsException
+    // on every auth attempt (a conf typo becoming a total lockout)
+    val salt = Array.tabulate(16)(_.toByte)
+    val v = PgScram.verifier("pw", salt, 64)
+    val prevMax = sys.props.get("graft.http.authCacheMax")
+    GraftHttpApi.clearAuthCache()
+    try {
+      Seq("0", "-5").foreach { bad =>
+        sys.props("graft.http.authCacheMax") = bad
+        val e = intercept[IllegalStateException] {
+          GraftHttpApi.verifyCached("alice", "pw", v)
+        }
+        assert(e.getMessage.contains("authCacheMax"), e.getMessage)
+      }
+    } finally {
+      prevMax match {
+        case Some(x) => sys.props("graft.http.authCacheMax") = x
+        case None => sys.props.remove("graft.http.authCacheMax"): Unit
+      }
+      GraftHttpApi.clearAuthCache()
+    }
+  }
+
   test("auth-cache hits never extend the verdict expiry: a revoked " +
       "password re-derives after the TTL even when used continuously") {
     val salt = Array.tabulate(16)(_.toByte)

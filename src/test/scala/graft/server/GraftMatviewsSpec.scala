@@ -2059,6 +2059,48 @@ class GraftMatviewsSpec extends AnyFunSuite {
     }
   }
 
+  test("range-layout CUMULATIVE dir cap: refreshes each adding a few " +
+      "new key values refuse once total state dirs would cross the " +
+      "cap — the per-refresh affected count alone never trips it") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("k", "amt"))
+    GraftServer.register("cumfact", t)
+    val prevCap = graft.bitemporal.MvState.MaxRangeDirs
+    graft.bitemporal.MvState.MaxRangeDirs = 5
+    def putKeys(lo: Long, hi: Long, at: String): Unit =
+      t.put(spark.range(lo, hi).select($"id",
+          format_string("v%02d", $"id").as("kk"), lit(1L).as("a")),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("k" -> $"kk", "amt" -> $"a"), ts(at))
+    try {
+      putKeys(0, 3, "2024-01-01 00:00:00")
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_cum WITH " +
+        "(valid_at = '2030-01-01 00:00:00', layout = 'range') AS " +
+        "SELECT k, COUNT(*) AS n FROM cumfact GROUP BY k")
+      // +2 new values → union 5 == cap: allowed
+      putKeys(3, 5, "2024-01-02 00:00:00")
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_cum").collect()
+      // +2 more → per-refresh affected is only 2 (the pre-r15 check
+      // passed here forever), but existing 5 dirs ∪ 2 new = 7 > 5
+      putKeys(5, 7, "2024-01-03 00:00:00")
+      val e = intercept[Exception](GraftSql.sql(spark,
+        "REFRESH MATERIALIZED VIEW mv_cum").collect())
+      assert(e.getMessage.contains("grow state to 7") &&
+        e.getMessage.contains("hash layout"), e.getMessage)
+      // the refusal is pre-swap: the view still serves the last
+      // successful refresh's state
+      val rows = GraftSql.sql(spark,
+        "SELECT k, n FROM mv_cum ORDER BY k").collect()
+      assert(rows.length == 5 && rows.forall(_.getLong(1) == 1L),
+        rows.mkString(","))
+    } finally {
+      graft.bitemporal.MvState.MaxRangeDirs = prevCap
+      GraftServer.unregister("cumfact")
+      GraftMatviews.reset()
+    }
+  }
+
   test("a group column literally NAMED apd_/avgd_/cntd_-like is served " +
       "as itself — canonical prefixes never hijack user columns " +
       "(group canons carry the __group__ namespace)") {
