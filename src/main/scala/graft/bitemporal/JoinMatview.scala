@@ -337,9 +337,8 @@ final class JoinMatview private[graft] (
         .withColumn("_bucket", bucketCol),
       groupCols, distincts, spark)
     checkRangeKey(agg.schema)
-    if (rangeLayout) MvState.checkRangeDirCount(
-      agg.select(col("_bucket")).distinct()
-        .limit(MvState.MaxRangeDirs + 1).count(), "build")
+    if (rangeLayout) MvState.checkRangeBuild(agg,
+      MvState.isDateLead(agg.schema, groupCols.head), "build")
     val tmp = stateRoot.resolve("state_rebuild_tmp")
     TxLog.deleteRecursively(tmp.toFile)
     // schema sidecar: a join that matches nothing writes a file-less
@@ -539,7 +538,8 @@ final class JoinMatview private[graft] (
       setWatermarks(lasts); return ret(lasts)
     }
     if (rangeLayout)
-      MvState.checkRangeDirCountCumulative(dataDir, affected)
+      MvState.checkRangeDirCountCumulative(dataDir, affected,
+        MvState.isDateLead(deltaCp.schema, groupCols.head))
 
     val state = MvState.readState(spark, stateRoot, dataDir)
       .filter(col("_bucket").isin(affected: _*))

@@ -189,16 +189,7 @@ final class Matview private[graft] (
     * compare as strings), so any non-string leading key refuses. */
   private def checkRangeKey(schema: org.apache.spark.sql.types.StructType)
       : Unit =
-    if (rangeLayout) {
-      val dt = schema.find(_.name == groupCols.head).map(_.dataType)
-      if (!dt.contains(org.apache.spark.sql.types.StringType))
-        throw new IllegalStateException(
-          s"layout = 'range' requires a STRING-typed leading group " +
-            s"column (directory ranges compare lexicographically; " +
-            s"cast or format the key — e.g. a date_trunc bucket cast " +
-            s"to STRING); got ${groupCols.head}: " +
-            dt.map(_.simpleString).getOrElse("?"))
-    }
+    if (rangeLayout) MvState.checkRangeKey(schema, groupCols.head)
 
   /** Pin every DISTINCT aux to exactly the watermark this refresh will
     * record, so the rollup below reads pair state at the same log
@@ -248,9 +239,8 @@ final class Matview private[graft] (
       fullAgg(prep(visible)).withColumn("_bucket", bucketCol),
       groupCols, distincts, spark)
     checkRangeKey(agg.schema)
-    if (rangeLayout) MvState.checkRangeDirCount(
-      agg.select(col("_bucket")).distinct()
-        .limit(MvState.MaxRangeDirs + 1).count(), "rebuild into")
+    if (rangeLayout) MvState.checkRangeBuild(agg,
+      MvState.isDateLead(agg.schema, groupCols.head), "rebuild into")
     // temp-write + directory swap (same pattern as the incremental
     // path): a concurrent read() sees either the complete old state or
     // the complete new one — never a partial overwrite-in-place — with
@@ -339,9 +329,8 @@ final class Matview private[graft] (
           .withColumn("_bucket", bucketCol),
         groupCols, distincts, spark)
       checkRangeKey(firstAgg.schema)
-      if (rangeLayout) MvState.checkRangeDirCount(
-        firstAgg.select(col("_bucket")).distinct()
-          .limit(MvState.MaxRangeDirs + 1).count(), "build")
+      if (rangeLayout) MvState.checkRangeBuild(firstAgg,
+        MvState.isDateLead(firstAgg.schema, groupCols.head), "build")
       MvState.writeSchema(stateRoot, firstAgg, bucketKeyCols, nBuckets,
         rangeLayout)
       MvState.writeState(firstAgg, groupCols, dataDir, nBuckets)
@@ -409,7 +398,8 @@ final class Matview private[graft] (
       MvState.pinDef(stateRoot, defFp); setWatermark(last); return last
     }
     if (rangeLayout)
-      MvState.checkRangeDirCountCumulative(dataDir, affected)
+      MvState.checkRangeDirCountCumulative(dataDir, affected,
+        MvState.isDateLead(deltaCp.schema, groupCols.head))
 
     val state = MvState.readState(spark, stateRoot, dataDir)
       .filter(col("_bucket").isin(affected: _*))
@@ -678,7 +668,14 @@ private[graft] object MvState {
     * preserved under the shared prefix. */
   val RangeValuePrefix = "k"
   def rangeBucketCol(leadGroupCol: String): Column =
-    coalesce(concat(lit(RangeValuePrefix), col(leadGroupCol)),
+    // the explicit string cast is the write-side format contract: for
+    // STRING keys it is the identity; for DATE keys it is the ISO
+    // `yyyy-MM-dd` form (timezone-free, zero-padded — lexicographic
+    // order equals date order for 4-digit years, which
+    // checkRangeDirValues enforces), and MvBucketPrune.pruneRange
+    // rebuilds the SAME cast over predicate literals
+    coalesce(concat(lit(RangeValuePrefix),
+        col(leadGroupCol).cast("string")),
       lit(NullGroupMarker))
 
   /** Touched-group sets up to this size ship as a LITERAL membership
@@ -775,14 +772,31 @@ private[graft] object MvState {
     * leading keys are accepted. */
   def checkRangeKey(schema: org.apache.spark.sql.types.StructType,
                     leadGroupCol: String): Unit = {
+    import org.apache.spark.sql.types.{DateType, StringType}
     val dt = schema.find(_.name == leadGroupCol).map(_.dataType)
-    if (!dt.contains(org.apache.spark.sql.types.StringType))
-      throw new IllegalStateException(
-        s"layout = 'range' requires a STRING-typed leading group " +
-          s"column (range dir pruning compares lexicographically; " +
-          s"cast or format the key — e.g. a date_trunc bucket cast " +
-          s"to STRING); got $leadGroupCol: " +
-          dt.map(_.simpleString).getOrElse("?"))
+    if (dt.contains(StringType) || dt.contains(DateType)) return
+    // rejection matrix: dir names compare lexicographically, so the
+    // key's canonical string form must order like the key itself.
+    //   STRING — accepted (the user owns the format contract);
+    //   DATE   — accepted (ISO yyyy-MM-dd, timezone-free; 4-digit-year
+    //            range enforced at write by checkRangeDirValues);
+    //   TIMESTAMP — refused: its string form goes through the SESSION
+    //            timezone, and a read's zone may differ from the
+    //            write's (the _tz pin guards refreshes, not reads);
+    //   numerics — refused: lexicographic ≠ numeric order (2 > 10).
+    val hint = dt match {
+      case Some(t) if t.typeName.startsWith("timestamp") =>
+        "cast the bucket to DATE for day-or-coarser buckets (e.g. " +
+          "CAST(date_trunc('month', ts) AS DATE)) — a TIMESTAMP key's " +
+          "string form depends on the session timezone"
+      case _ =>
+        "lexicographic dir order must equal key order — cast or " +
+          "zero-pad-format the key, or use the default hash layout"
+    }
+    throw new IllegalStateException(
+      s"layout = 'range' requires a STRING- or DATE-typed leading " +
+        s"group column; got $leadGroupCol: " +
+        dt.map(_.simpleString).getOrElse("?") + s" ($hint)")
   }
 
   /** Range layout trades the nBuckets bound for one dir per distinct
@@ -804,15 +818,55 @@ private[graft] object MvState {
           "ordered keys (time buckets); use the default hash layout " +
           "for high-cardinality group keys")
 
+  /** Is the range layout's leading key DATE-typed (ISO-formatted dir
+    * values with a 4-digit-year contract)? */
+  def isDateLead(schema: org.apache.spark.sql.types.StructType,
+                 leadGroupCol: String): Boolean =
+    schema.find(_.name == leadGroupCol)
+      .exists(_.dataType == org.apache.spark.sql.types.DateType)
+
+  private val IsoDayDirRe =
+    (RangeValuePrefix + "\\d{4}-\\d{2}-\\d{2}").r
+
+  /** DATE-key format contract on collected dir values (≤ cap + 1
+    * strings, driver-metadata sized): lexicographic dir order equals
+    * date order ONLY for 4-digit years — year 10000 formats to five
+    * digits and sorts below "2", silently detaching range pruning from
+    * the data. Out-of-range dates refuse at write, so the prune side
+    * may assume every existing dir obeys the contract. */
+  def checkRangeDirValues(values: Seq[Any], dateKey: Boolean,
+                          what: String): Unit = {
+    checkRangeDirCount(values.size.toLong, what)
+    if (dateKey) values.foreach { v =>
+      val s = String.valueOf(v)
+      if (s != NullGroupMarker && !IsoDayDirRe.matches(s))
+        throw new IllegalStateException(
+          s"layout = 'range' DATE key produced dir value '$s': only " +
+            "years 0001-9999 order lexicographically in ISO form — " +
+            "keep the key inside that range or use the hash layout")
+    }
+  }
+
+  /** Build-path guard: the distinct dir values, collected (same
+    * driver-metadata size class as the refresh path's affected-bucket
+    * collect), bounded by [[MaxRangeDirs]] and format-checked for DATE
+    * keys. */
+  def checkRangeBuild(agg: DataFrame, dateKey: Boolean,
+                      what: String): Unit =
+    checkRangeDirValues(
+      agg.select(col("_bucket")).distinct().limit(MaxRangeDirs + 1)
+        .collect().map(_.get(0)).toSeq,
+      dateKey, what)
+
   /** Incremental-refresh form of the cap: the per-refresh affected
     * count alone lets CUMULATIVE dir growth sail past [[MaxRangeDirs]]
     * (a key adding <10k new values per refresh never trips it), so a
     * rewrite also bounds existing state dirs UNION this refresh's
     * affected values — one cheap local directory listing, ≤ cap names
     * when healthy. */
-  def checkRangeDirCountCumulative(dataDir: Path, affected: Seq[Any])
-      : Unit = {
-    checkRangeDirCount(affected.size.toLong, "rewrite")
+  def checkRangeDirCountCumulative(dataDir: Path, affected: Seq[Any],
+                                   dateKey: Boolean): Unit = {
+    checkRangeDirValues(affected, dateKey, "rewrite")
     val existing: Set[String] =
       if (!Files.isDirectory(dataDir)) Set.empty
       else {

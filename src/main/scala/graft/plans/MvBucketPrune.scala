@@ -155,10 +155,33 @@ object MvBucketPrune extends Rule[LogicalPlan] {
   private def pruneRange(conjuncts: Seq[Expression], rel: LogicalRelation,
                          leadGroup: String,
                          bucketAttr: Attribute): Option[Expression] = {
+    import org.apache.spark.sql.types.DateType
     def onLead(a: AttributeReference): Boolean =
-      a.name == leadGroup && a.dataType == StringType
-    def pfx(v: Expression): Expression =
-      Concat(Seq(Literal(MvState.RangeValuePrefix), v))
+      a.name == leadGroup &&
+        (a.dataType == StringType || a.dataType == DateType)
+    // DATE leading keys: the write side stores Cast(date, string) — the
+    // timezone-free ISO `yyyy-MM-dd` form — so the mirror rebuilds the
+    // same cast over the predicate literal. ISO order equals date order
+    // only for 4-digit years; the write side REFUSES out-of-range
+    // dates, so every existing dir obeys the contract, but a predicate
+    // LITERAL outside [0001-01-01, 9999-12-31] would still translate to
+    // a misordered bound (`m <= date'10000-01-01'` must not drop the
+    // 2024 dirs) — such literals simply skip translation (unpruned is
+    // always sound).
+    val minDay = java.time.LocalDate.of(1, 1, 1).toEpochDay
+    val maxDay = java.time.LocalDate.of(9999, 12, 31).toEpochDay
+    def safeLit(a: AttributeReference, v: Expression): Boolean =
+      a.dataType != DateType || {
+        v.eval() match {
+          case d: Int => d >= minDay && d <= maxDay
+          case _ => false // null or unexpected internal type
+        }
+      }
+    def pfx(v: Expression): Expression = {
+      val s = if (v.dataType == StringType) v
+        else Cast(v, StringType, Some(SQLConf.get.sessionLocalTimeZone))
+      Concat(Seq(Literal(MvState.RangeValuePrefix), s))
+    }
     val translated: Seq[Expression] = conjuncts.flatMap {
       case EqualTo(a: AttributeReference, v) if v.foldable && onLead(a) =>
         Some(EqualTo(bucketAttr, pfx(v)))
@@ -170,25 +193,29 @@ object MvBucketPrune extends Rule[LogicalPlan] {
       case InSet(a: AttributeReference, vs) if vs.nonEmpty && onLead(a) =>
         Some(In(bucketAttr,
           vs.toSeq.map(v => pfx(Literal(v, a.dataType)))))
-      case GreaterThan(a: AttributeReference, v) if v.foldable && onLead(a) =>
+      case GreaterThan(a: AttributeReference, v)
+          if v.foldable && onLead(a) && safeLit(a, v) =>
         Some(GreaterThan(bucketAttr, pfx(v)))
-      case GreaterThan(v, a: AttributeReference) if v.foldable && onLead(a) =>
+      case GreaterThan(v, a: AttributeReference)
+          if v.foldable && onLead(a) && safeLit(a, v) =>
         Some(LessThan(bucketAttr, pfx(v)))
       case GreaterThanOrEqual(a: AttributeReference, v)
-          if v.foldable && onLead(a) =>
+          if v.foldable && onLead(a) && safeLit(a, v) =>
         Some(GreaterThanOrEqual(bucketAttr, pfx(v)))
       case GreaterThanOrEqual(v, a: AttributeReference)
-          if v.foldable && onLead(a) =>
+          if v.foldable && onLead(a) && safeLit(a, v) =>
         Some(LessThanOrEqual(bucketAttr, pfx(v)))
-      case LessThan(a: AttributeReference, v) if v.foldable && onLead(a) =>
+      case LessThan(a: AttributeReference, v)
+          if v.foldable && onLead(a) && safeLit(a, v) =>
         Some(LessThan(bucketAttr, pfx(v)))
-      case LessThan(v, a: AttributeReference) if v.foldable && onLead(a) =>
+      case LessThan(v, a: AttributeReference)
+          if v.foldable && onLead(a) && safeLit(a, v) =>
         Some(GreaterThan(bucketAttr, pfx(v)))
       case LessThanOrEqual(a: AttributeReference, v)
-          if v.foldable && onLead(a) =>
+          if v.foldable && onLead(a) && safeLit(a, v) =>
         Some(LessThanOrEqual(bucketAttr, pfx(v)))
       case LessThanOrEqual(v, a: AttributeReference)
-          if v.foldable && onLead(a) =>
+          if v.foldable && onLead(a) && safeLit(a, v) =>
         Some(GreaterThanOrEqual(bucketAttr, pfx(v)))
       case _ => None
     }

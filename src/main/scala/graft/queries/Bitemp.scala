@@ -500,6 +500,53 @@ object Bitemp {
       } finally graft.server.GraftServer.unregister("mvrl_ord")
     }),
 
+    // q174's range layout with the NATIVE key type it was built for:
+    // the month bucket stays DATE — no manual string cast — and the
+    // serving read ranges over DATE literals (the write side formats
+    // dirs as timezone-free ISO days, the prune rule mirrors date
+    // literals through the same cast). Same mutation story as q174.
+    "q175_sql_matview_range_date" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvrd_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      graft.server.GraftMatviews.reset()
+      val t = new GraftTable(s, tmp, Seq("od", "price"))
+      graft.server.GraftServer.register("mvrd_ord", t)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val ord = T(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("id"),
+          $"o_orderdate".cast("timestamp").as("odv"),
+          $"o_totalprice".cast("decimal(12,2)").as("p"))
+        t.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("od" -> $"odv", "price" -> $"p"),
+          ts("2020-01-01 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvrd_by_month WITH " +
+            "(valid_at = '2030-01-01 00:00:00', layout = 'range') AS " +
+            "SELECT CAST(date_trunc('month', od) AS DATE) AS m, " +
+            "COUNT(*) AS n, SUM(price) AS total, MAX(price) AS mx " +
+            "FROM mvrd_ord WHERE price > 5000 " +
+            "GROUP BY CAST(date_trunc('month', od) AS DATE)")
+        t.put(ord.filter($"id" % 7 === 0)
+            .withColumn("p2", ($"p" + 1000).cast("decimal(12,2)")),
+          $"id", lit("2000-06-01").cast("timestamp"), None,
+          Seq("od" -> $"odv", "price" -> $"p2"),
+          ts("2020-01-02 00:00:00"))
+        t.delete(ord.filter($"id" % 11 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("od" -> lit(null).cast("timestamp"),
+            "price" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:01"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvrd_by_month")
+        graft.server.GraftSql.sql(s,
+          "SELECT CAST(m AS STRING) AS m, n, " +
+            "CAST(total AS DOUBLE) AS total, CAST(mx AS DOUBLE) AS mx " +
+            "FROM mvrd_by_month WHERE m BETWEEN DATE'1993-01-01' AND " +
+            "DATE'1996-12-01' ORDER BY m")
+      } finally graft.server.GraftServer.unregister("mvrd_ord")
+    }),
+
     // r12 matview DDL growth, part 5: the STAR form — orders joined to
     // TWO dims (customer region, a promo-class dim keyed by
     // o_orderkey % 10) with an expression aggregate reading the SECOND
@@ -1520,6 +1567,24 @@ object Bitemp {
 
     // q168's recompute trimmed to the range read's month window
     "q174_sql_matview_range_layout" -> """
+      WITH ord AS (SELECT o_orderkey AS id, o_orderdate AS od,
+                          CAST(o_totalprice AS DECIMAL(12,2)) AS p
+                   FROM orders),
+      eff AS (SELECT od,
+                     CASE WHEN id % 7 = 0 THEN CAST(p + 1000 AS DECIMAL(12,2))
+                          ELSE p END AS p
+              FROM ord WHERE id % 11 <> 0),
+      vis AS (SELECT * FROM eff WHERE p > 5000)
+      SELECT CAST(CAST(date_trunc('month', od) AS DATE) AS VARCHAR) AS m,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p) AS DOUBLE) AS total,
+             CAST(max(p) AS DOUBLE) AS mx
+      FROM vis
+      GROUP BY 1 HAVING CAST(CAST(date_trunc('month', od) AS DATE) AS VARCHAR)
+        BETWEEN '1993-01-01' AND '1996-12-01'
+      ORDER BY 1""",
+
+    "q175_sql_matview_range_date" -> """
       WITH ord AS (SELECT o_orderkey AS id, o_orderdate AS od,
                           CAST(o_totalprice AS DECIMAL(12,2)) AS p
                    FROM orders),

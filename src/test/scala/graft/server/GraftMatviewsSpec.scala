@@ -2027,7 +2027,7 @@ class GraftMatviewsSpec extends AnyFunSuite {
         "CREATE MATERIALIZED VIEW mv_rng_bad WITH " +
           "(valid_at = '2030-01-01 00:00:00', layout = 'range') AS " +
           "SELECT code, COUNT(*) AS n FROM rngfact GROUP BY code"))
-      assert(e.getMessage.contains("STRING-typed"), e.getMessage)
+      assert(e.getMessage.contains("STRING- or DATE-typed"), e.getMessage)
       // ... and the failed CREATE left nothing registered
       assert(GraftSql.sql(spark, "SHOW MATERIALIZED VIEWS").collect().isEmpty)
     } finally {
@@ -2055,6 +2055,118 @@ class GraftMatviewsSpec extends AnyFunSuite {
       assert(GraftSql.sql(spark, "SHOW MATERIALIZED VIEWS").collect().isEmpty)
     } finally {
       GraftServer.unregister("capfact")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("layout = 'range' with a DATE leading key: a date_trunc month " +
+      "bucket kept as DATE — no manual string cast — range-prunes " +
+      "dirs; timestamp keys refuse with the AS DATE hint; " +
+      "out-of-range dates refuse at build and refresh") {
+    val s = spark
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+        case x => x
+      }
+      p.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec leaf; plan:\n" +
+        p.toString.take(2000)))
+    }
+    val t = freshTable(Seq("od", "code", "amt"))
+    GraftServer.register("rngdfact", t)
+    try {
+      // 360 rows over the 12 months of 2024, od a TIMESTAMP
+      t.put(spark.range(360).select($"id",
+          expr("make_timestamp(2024, CAST(id % 12 + 1 AS INT), 15, " +
+            "12, 0, 0)").as("tod"),
+          ($"id" % 5).as("c"), lit(1L).as("a")), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("od" -> $"tod", "code" -> $"c", "amt" -> $"a"),
+        ts("2024-01-01 00:00:00"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_rngd WITH " +
+        "(valid_at = '2030-01-01 00:00:00', layout = 'range') AS " +
+        "SELECT CAST(date_trunc('month', od) AS DATE) AS m, " +
+        "COUNT(*) AS n, SUM(amt) AS total FROM rngdfact " +
+        "GROUP BY CAST(date_trunc('month', od) AS DATE)")
+
+      // dirs carry the prefixed ISO day form of the DATE value
+      val stateDir = java.nio.file.Paths.get(
+        t.tableDir, "matview", "mv_rngd", "state")
+      val l = java.nio.file.Files.list(stateDir)
+      val dirs =
+        try l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_bucket=")).toSet
+        finally l.close()
+      assert(dirs == (1 to 12).map(i =>
+        f"_bucket=k2024-$i%02d-01").toSet, dirs.toString)
+
+      // DATE-range read: three months of twelve → three dirs listed
+      val range = GraftSql.sql(spark, "SELECT CAST(m AS STRING) AS ms, " +
+        "n, total FROM mv_rngd WHERE m BETWEEN DATE'2024-03-01' AND " +
+        "DATE'2024-05-01' ORDER BY m")
+      val rScan = scanOf(range)
+      assert(rScan.partitionFilters
+          .exists(_.references.exists(_.name == "_bucket")),
+        "a DATE range predicate must become a partition filter:\n" +
+          range.queryExecution.executedPlan.toString.take(1200))
+      val rRows = range.collect()
+      assert(rRows.map(_.getString(0)).toSeq ==
+        Seq("2024-03-01", "2024-04-01", "2024-05-01"), rRows.mkString(","))
+      assert(rRows.forall(_.getLong(1) == 30L), rRows.mkString(","))
+      assert(rScan.metrics("numFiles").value == 3,
+        s"3 month dirs of 12, read ${rScan.metrics("numFiles").value}")
+
+      // point read on a DATE literal: one dir
+      val point = GraftSql.sql(spark,
+        "SELECT n FROM mv_rngd WHERE m = DATE'2024-07-01'")
+      val pScan = scanOf(point)
+      assert(point.collect().map(_.getLong(0)).toSeq == Seq(30L))
+      assert(pScan.metrics("numFiles").value == 1)
+
+      // incremental refresh parity on a DATE-keyed view
+      t.put(Seq((1000L, "2024-07-20 08:00:00", 9L, 5L))
+          .toDF("id", "tt", "c", "a")
+          .select($"id", $"tt".cast("timestamp").as("tod"), $"c", $"a"),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("od" -> $"tod", "code" -> $"c", "amt" -> $"a"),
+        ts("2024-01-02 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_rngd").collect()
+      val after = GraftSql.sql(spark,
+        "SELECT n, total FROM mv_rngd WHERE m = DATE'2024-07-01'")
+        .collect()
+      assert(after(0).getLong(0) == 31L && after(0).getLong(1) == 35L,
+        after.mkString(","))
+
+      // a TIMESTAMP leading key refuses, pointing at the DATE cast
+      val e = intercept[Exception](GraftSql.sql(spark,
+        "CREATE MATERIALIZED VIEW mv_rngd_bad WITH " +
+          "(valid_at = '2030-01-01 00:00:00', layout = 'range') AS " +
+          "SELECT date_trunc('month', od) AS m, COUNT(*) AS n " +
+          "FROM rngdfact GROUP BY date_trunc('month', od)"))
+      assert(e.getMessage.contains("AS DATE"), e.getMessage)
+
+      // dates outside 0001-9999 refuse at REFRESH (ISO order breaks
+      // past 4-digit years) — the pre-insert state is still served
+      t.put(Seq((2000L, 3L, 7L)).toDF("id", "c", "a")
+          .select($"id",
+            expr("make_timestamp(10000, 1, 1, 0, 0, 0)").as("tod"),
+            $"c", $"a"),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("od" -> $"tod", "code" -> $"c", "amt" -> $"a"),
+        ts("2024-01-03 00:00:00"))
+      val e2 = intercept[Exception](GraftSql.sql(spark,
+        "REFRESH MATERIALIZED VIEW mv_rngd").collect())
+      assert(e2.getMessage.contains("0001-9999"), e2.getMessage)
+      assert(GraftSql.sql(spark,
+          "SELECT n FROM mv_rngd WHERE m = DATE'2024-07-01'")
+        .collect()(0).getLong(0) == 31L)
+    } finally {
+      GraftServer.unregister("rngdfact")
       GraftMatviews.reset()
     }
   }
