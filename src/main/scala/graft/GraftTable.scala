@@ -136,7 +136,8 @@ final class GraftTable(spark: SparkSession, dir: String,
                   derived: Seq[(String, String)] = Nil,
                   distincts: Seq[graft.bitemporal.MvDistinct] = Nil,
                   hllCols: Seq[String] = Nil,
-                  rangeLayout: Boolean = false)
+                  rangeLayout: Boolean = false,
+                  leftJoins: Seq[Boolean] = Nil)
       : graft.bitemporal.JoinMatview = {
     require(dims.nonEmpty, "at least one dimension table")
     new graft.bitemporal.JoinMatview(spark, log, payloadCols,
@@ -145,7 +146,7 @@ final class GraftTable(spark: SparkSession, dir: String,
       dims.head._2, groupCols, sumCols, validAt, nBuckets, minCols, maxCols,
       cntCols, where, derived,
       dims.tail.map(d => (d._1.log, d._1.payloadColumns, d._2)),
-      distincts, Nil, hllCols, rangeLayout)
+      distincts, Nil, hllCols, rangeLayout, leftJoins)
   }
 
   /** An incrementally-maintained COUNT/SUM view over this table at a
@@ -202,14 +203,15 @@ final class GraftTable(spark: SparkSession, dir: String,
       validAt: Timestamp, nBuckets: Int, where: Option[String],
       derived: Seq[(String, String)],
       bucketCols: Seq[String],
-      rangeLayout: Boolean = false): graft.bitemporal.JoinMatview = {
+      rangeLayout: Boolean = false,
+      leftJoins: Seq[Boolean] = Nil): graft.bitemporal.JoinMatview = {
     require(dims.nonEmpty, "at least one dimension table")
     new graft.bitemporal.JoinMatview(spark, log, payloadCols,
       dims.head._1.log, dims.head._1.payloadColumns, stateRoot,
       dims.head._2, groupCols, Nil, validAt, nBuckets, Nil, Nil, Nil,
       where, derived,
       dims.tail.map(d => (d._1.log, d._1.payloadColumns, d._2)),
-      Nil, bucketCols, Nil, rangeLayout)
+      Nil, bucketCols, Nil, rangeLayout, leftJoins)
   }
 
   /** Fold the log into the partitioned rectangle base — incrementally

@@ -76,12 +76,27 @@ final class JoinMatview private[graft] (
     distincts: Seq[MvDistinct] = Nil,
     bucketCols: Seq[String] = Nil,
     hllCols: Seq[String] = Nil,
-    rangeLayout: Boolean = false) {
+    rangeLayout: Boolean = false,
+    leftJoins: Seq[Boolean] = Nil) {
   /** (log, payload columns, fact fk column) per dimension — the first
     * is the constructor's primary dim, the rest are the star's extra
     * spokes. */
   private val dims: Seq[(TxLog, Seq[String], String)] =
     (dimLog, dimCols, fkCol) +: moreDims
+  /** Per-spoke join type, aligned with [[dims]] (padded INNER): a LEFT
+    * spoke keeps facts with a NULL or dangling fk as NULL-extended
+    * rows. The Δ(A⋈B) rules carry over UNCHANGED because affectedness
+    * already propagates across the join edge: a fact whose match
+    * appears or disappears is exactly a fact whose fk references a
+    * touched dim id (dim put/delete moves it between the matched and
+    * null-extended groups with zero fact ops), and a NULL fk is never
+    * dim-affected — its contribution never changes from dim ops. Both
+    * delta legs (new/old contributions) compute over the SAME left
+    * join, so null-extended rows subtract exactly like matched ones. */
+  private val leftOf: Seq[Boolean] =
+    leftJoins.padTo(1 + moreDims.size, false)
+  require(leftJoins.size <= 1 + moreDims.size,
+    s"leftJoins has ${leftJoins.size} entries for ${1 + moreDims.size} dims")
   private def dimLogOf(i: Int) = dims(i)._1
   private def dimColsOf(i: Int) = dims(i)._2
   private def fkOf(i: Int) = dims(i)._3
@@ -242,7 +257,10 @@ final class JoinMatview private[graft] (
       (if (bucketKeyCols != groupCols)
         Seq("bkey:" + bucketKeyCols.mkString(",")) else Nil) ++
       (if (hllCols.nonEmpty) Seq("hll:" + hllCols.mkString(",")) else Nil) ++
-      (if (rangeLayout) Seq("layout:range") else Nil)
+      (if (rangeLayout) Seq("layout:range") else Nil) ++
+      (if (leftOf.exists(identity))
+        Seq("left:" + leftOf.map(b => if (b) "1" else "0").mkString)
+      else Nil)
     val parts = Seq(factCols, groupCols, sumCols, minCols, maxCols,
       cntCols, Seq(whereSql.getOrElse("")),
       derived.map(d => d._1 + "=" + d._2),
@@ -307,10 +325,12 @@ final class JoinMatview private[graft] (
       groupCols.filter(cols.contains)).distinct
   }
 
-  /** fact ⋈ every dim on its fk = dim id. */
+  /** fact ⋈ every dim on its fk = dim id — LEFT for left spokes (NULL
+    * and dangling fks keep the fact row, dim columns NULL). */
   private def joinAll(fact: DataFrame, dimDfs: Seq[DataFrame]): DataFrame =
     dimDfs.zipWithIndex.foldLeft(fact) { case (acc, (d, i)) =>
-      acc.join(d, col(fkOf(i)).cast("long") === col(dimId(i)))
+      acc.join(d, col(fkOf(i)).cast("long") === col(dimId(i)),
+        if (leftOf(i)) "left" else "inner")
     }
 
   /** The star join sieved by the declared WHERE, then the per-group
@@ -395,8 +415,12 @@ final class JoinMatview private[graft] (
         .map { case (l, pi) => math.min(l, pi) })
     def ret(v: Seq[Long]) = (v.head, v.tail.max)
     if (lasts.zip(ws).forall { case (l, w) => l <= w }) return ret(ws)
-    // the view first builds once EVERY log holds data (an inner join
-    // with an empty side is empty — nothing to materialize yet)
+    // the view first builds once EVERY log holds data. For inner
+    // spokes the view is empty until then anyway; for LEFT spokes the
+    // constraint is mechanical — an empty log has no parquet files, so
+    // the dim's column TYPES are unknowable and the null-extended
+    // relation cannot be constructed (the DDL's empty-table check
+    // surfaces this loudly at CREATE).
     if (lasts.exists(_ < 0)) return ret(ws)
     // ws.exists(_ < 0) also covers a state REGROWN with more dims (its
     // padded -1 watermark has no incremental history to fold from)

@@ -547,6 +547,72 @@ object Bitemp {
       } finally graft.server.GraftServer.unregister("mvrd_ord")
     }),
 
+    // LEFT-join matview (r15): orders LEFT JOIN customer where some fks
+    // DANGLE (no such customer) or are NULL — those facts serve as a
+    // null-extended group instead of vanishing. The mutation story
+    // walks the left-join-specific edges: a fact bump + delete wave,
+    // then a customer DELETE wave that moves every referencing order
+    // into the null-extended group with zero fact ops.
+    "q176_sql_matview_left_join" -> ((s, dir) => {
+      import s.implicits._
+      val base = new java.io.File(dir).getName
+      val ftmp = s"target/mvlj_f_$base"; val ctmp = s"target/mvlj_c_$base"
+      Seq(ftmp, ctmp).foreach(p =>
+        TxLog.deleteRecursively(new java.io.File(p)))
+      graft.server.GraftMatviews.reset()
+      val fact = new GraftTable(s, ftmp, Seq("ck", "price"))
+      val dcust = new GraftTable(s, ctmp, Seq("region"))
+      graft.server.GraftServer.register("mvlj_ord", fact)
+      graft.server.GraftServer.register("mvlj_cust", dcust)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val cust = T(s, dir, "customer").select($"c_custkey".as("id"),
+          $"c_nationkey".cast("string").as("rg"))
+        // %13 fks dangle (shifted past every real custkey), %17 are NULL
+        val ord = T(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("id"),
+          when($"o_orderkey" % 17 === 0, lit(null).cast("long"))
+            .when($"o_orderkey" % 13 === 0, $"o_custkey" + 10000000L)
+            .otherwise($"o_custkey").cast("long").as("k"),
+          $"o_totalprice".cast("decimal(12,2)").as("p"))
+        dcust.put(cust, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("region" -> $"rg"), ts("2020-01-01 00:00:00"))
+        fact.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("ck" -> $"k", "price" -> $"p"), ts("2020-01-01 00:00:01"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvlj_rev WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+            "SELECT region, COUNT(*) AS n, SUM(price) AS total, " +
+            "MAX(price) AS mx FROM mvlj_ord " +
+            "LEFT JOIN mvlj_cust ON ck = mvlj_cust._id " +
+            "WHERE price > 1000 GROUP BY region")
+        fact.put(ord.filter($"id" % 7 === 0)
+            .withColumn("p2", ($"p" + 1000).cast("decimal(12,2)")),
+          $"id", lit("2000-06-01").cast("timestamp"), None,
+          Seq("ck" -> $"k", "price" -> $"p2"),
+          ts("2020-01-02 00:00:00"))
+        fact.delete(ord.filter($"id" % 11 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("ck" -> lit(null).cast("long"),
+            "price" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:01"))
+        // customer delete wave: their orders re-group to NULL region
+        dcust.delete(cust.filter($"id" % 10 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("region" -> lit(null).cast("string")),
+          ts("2020-01-02 00:00:02"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvlj_rev")
+        // COALESCE sidesteps Spark-vs-DuckDB NULL ordering divergence
+        graft.server.GraftSql.sql(s,
+          "SELECT COALESCE(region, '(none)') AS region, n, " +
+            "CAST(total AS DOUBLE) AS total, CAST(mx AS DOUBLE) AS mx " +
+            "FROM mvlj_rev ORDER BY 1")
+      } finally {
+        graft.server.GraftServer.unregister("mvlj_ord")
+        graft.server.GraftServer.unregister("mvlj_cust")
+      }
+    }),
+
     // r12 matview DDL growth, part 5: the STAR form — orders joined to
     // TWO dims (customer region, a promo-class dim keyed by
     // o_orderkey % 10) with an expression aggregate reading the SECOND
@@ -1583,6 +1649,28 @@ object Bitemp {
       GROUP BY 1 HAVING CAST(CAST(date_trunc('month', od) AS DATE) AS VARCHAR)
         BETWEEN '1993-01-01' AND '1996-12-01'
       ORDER BY 1""",
+
+    "q176_sql_matview_left_join" -> """
+      WITH ord AS (SELECT o_orderkey AS id,
+                          CASE WHEN o_orderkey % 17 = 0 THEN NULL
+                               WHEN o_orderkey % 13 = 0
+                                 THEN o_custkey + 10000000
+                               ELSE o_custkey END AS ck,
+                          CAST(o_totalprice AS DECIMAL(12,2)) AS p
+                   FROM orders),
+      eff AS (SELECT ck,
+                     CASE WHEN id % 7 = 0 THEN CAST(p + 1000 AS DECIMAL(12,2))
+                          ELSE p END AS p
+              FROM ord WHERE id % 11 <> 0),
+      cust AS (SELECT c_custkey AS cid, CAST(c_nationkey AS VARCHAR) AS region
+               FROM customer WHERE c_custkey % 10 <> 0),
+      j AS (SELECT region, p FROM eff LEFT JOIN cust ON eff.ck = cust.cid
+            WHERE p > 1000)
+      SELECT COALESCE(region, '(none)') AS region,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p) AS DOUBLE) AS total,
+             CAST(max(p) AS DOUBLE) AS mx
+      FROM j GROUP BY 1 ORDER BY 1""",
 
     "q175_sql_matview_range_date" -> """
       WITH ord AS (SELECT o_orderkey AS id, o_orderdate AS od,

@@ -164,10 +164,11 @@ object GraftMatviews {
     * ' HAVING ' inside a literal, or `extract(DAY FROM ts)` inside
     * parens, can never mis-split the statement (the previous regex
     * split was literal-unaware). Returns (select list, fact table,
-    * (dim, ON text) per join spoke, WHERE?, GROUP BY, HAVING?). */
+    * (dim, ON text, is-LEFT) per join spoke, WHERE?, GROUP BY,
+    * HAVING?). */
   private def splitSelect(select: String)
-      : (String, String, Seq[(String, String)], Option[String], String,
-         Option[String]) = {
+      : (String, String, Seq[(String, String, Boolean)], Option[String],
+         String, Option[String]) = {
     val t = select.trim
     val spans = SqlText.maskedSpans(t)
     // paren depth at each offset; masked chars never open/close
@@ -183,14 +184,16 @@ object GraftMatviews {
         i += 1
       }
     }
-    val kwRe = ("(?i)\\b(SELECT|FROM|INNER\\s+JOIN|JOIN|ON|WHERE|" +
-      "GROUP\\s+BY|HAVING)\\b").r
+    val kwRe = ("(?i)\\b(SELECT|FROM|LEFT\\s+(?:OUTER\\s+)?JOIN|" +
+      "INNER\\s+JOIN|JOIN|ON|WHERE|GROUP\\s+BY|HAVING)\\b").r
     case class Kw(word: String, start: Int, end: Int)
     val kws = kwRe.findAllMatchIn(t)
       .filter(m => !SqlText.masked(spans, m.start) && depth(m.start) == 0)
       .map { m =>
         val w = m.group(1).toUpperCase.split("\\s+").mkString(" ")
-        Kw(if (w == "INNER JOIN") "JOIN" else w, m.start, m.end)
+        Kw(if (w == "INNER JOIN") "JOIN"
+           else if (w.startsWith("LEFT")) "LEFT JOIN" else w,
+          m.start, m.end)
       }.toVector
     if (kws.isEmpty || kws.head.word != "SELECT" || kws.head.start != 0)
       failShape()
@@ -202,21 +205,22 @@ object GraftMatviews {
     val factName = seg(1)
     if (!plainTableRe.matches(factName))
       fail(s"unsupported JOIN syntax near '$factName': FROM must name a " +
-        "single fact table, star-joined only as INNER " +
+        "single fact table, star-joined only as INNER or LEFT " +
         "`JOIN <dim> ON <fk> = <dim>._id` — other join forms are not " +
         "incrementally maintainable here and are rejected rather than " +
         "snapshotted")
     var j = 2
-    val joins = Seq.newBuilder[(String, String)]
-    while (j < kws.length && kws(j).word == "JOIN") {
+    val joins = Seq.newBuilder[(String, String, Boolean)]
+    while (j < kws.length &&
+        (kws(j).word == "JOIN" || kws(j).word == "LEFT JOIN")) {
       val dim = seg(j)
       if (j + 1 >= kws.length || kws(j + 1).word != "ON" ||
           !plainTableRe.matches(dim))
         fail(s"unsupported JOIN syntax near '$dim': each join " +
-          "must be an INNER `JOIN <dim> ON <fk> = <dim>._id` — other " +
-          "join forms are not incrementally maintainable here and are " +
-          "rejected rather than snapshotted")
-      joins += ((dim, seg(j + 1)))
+          "must be an INNER or LEFT `JOIN <dim> ON <fk> = <dim>._id` — " +
+          "other join forms are not incrementally maintainable here " +
+          "and are rejected rather than snapshotted")
+      joins += ((dim, seg(j + 1), kws(j).word == "LEFT JOIN"))
       j += 2
     }
     val whereOpt =
@@ -918,9 +922,10 @@ object GraftMatviews {
           mvDir, canonicalDdl(nb))
       } else {
         // each JOIN clause is one spoke of the star: resolve the dim
-        // table and read the fact fk off its ON clause
+        // table and read the fact fk off its ON clause; LEFT spokes
+        // keep facts with NULL/dangling fks as NULL-extended rows
         val dims: Seq[(graft.GraftTable, String)] = joinSpecs.map {
-          case (dn, on) =>
+          case (dn, on, _) =>
             val dim = graftTable(dn)
             // top-level split only: an '=' inside a (hypothetical)
             // literal or parens must not shear the clause
@@ -936,6 +941,7 @@ object GraftMatviews {
                 s"got '$on'")
             dim -> unqualify(sides(1 - dimIdSide))
         }
+        val leftJoins: Seq[Boolean] = joinSpecs.map(_._3)
         // the join sieve sees every side's PAYLOAD columns (names are
         // disjoint by construction; temporal/_id columns would be
         // ambiguous across the join and are not served to it) — the
@@ -963,7 +969,7 @@ object GraftMatviews {
           distincts.toSeq.map { d =>
             val a = fact.starMatviewAt(mvDir.resolve("_dist").resolve(d),
               dims, (groups :+ d).distinct, validAt, nb, whereOpt,
-              auxDerived(d), bucketCols = groups, rangeLayout)
+              auxDerived(d), bucketCols = groups, rangeLayout, leftJoins)
             graft.bitemporal.MvDistinct(d, distinctSums.contains(d),
               sess => a.readRaw(sess),
               ws => { a.refreshUpTo(Some(ws)): Unit })
@@ -971,7 +977,8 @@ object GraftMatviews {
         val mv = fact.starMatview(name, dims, groups,
           sums.result().distinct, validAt, nb,
           mins.result(), maxs.result(), cnts.result().distinct, whereOpt,
-          derivedExprs.toSeq, auxes, hlls.result().distinct, rangeLayout)
+          derivedExprs.toSeq, auxes, hlls.result().distinct, rangeLayout,
+          leftJoins)
         Handle(name, serveAll, havingOpt,
           sess => mv.read(sess),
           () => { val (a, b) = mv.refresh(); (a, Some(b)) },

@@ -128,6 +128,96 @@ class JoinMatviewSpec extends AnyFunSuite {
     assert(mv.refresh() == w)
   }
 
+  test("LEFT-join view parity: NULL and dangling fks ride as " +
+      "null-extended rows; a dim put/delete moves facts between the " +
+      "matched and null-extended groups with zero fact ops") {
+    val (fact, dim, _) = fresh()
+    val mv = fact.starMatview("left_by_region", Seq(dim -> "cust"),
+      Seq("region"), Seq("amt"), validAt, nBuckets = 8,
+      leftJoins = Seq(true))
+    def recomputeLeft(): Map[String, (Long, java.math.BigDecimal)] = {
+      val vf = Bitemporal.asOf(fact.rectangles(), lit(validAt), lit(sysProbe))
+        .select($"cust", $"amt")
+      val vd = Bitemporal.asOf(dim.rectangles(), lit(validAt), lit(sysProbe))
+        .select($"_id".cast("long").as("_did"), $"region")
+      vf.join(vd, $"cust".cast("long") === $"_did", "left")
+        .groupBy($"region").agg(count(lit(1)).as("n"), sum($"amt").as("s"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2)))
+        .toMap
+    }
+    def assertLeftParity(): Unit = {
+      val want = recomputeLeft()
+      val got = viewState(mv)
+      assert(got.keySet == want.keySet, s"groups: $got vs $want")
+      want.foreach { case (g, (n, s)) =>
+        val (gn, gs) = got(g)
+        assert(gn == n, s"group $g count: $gn != $n")
+        assert(gs.compareTo(s) == 0, s"group $g sum: $gs != $s")
+      }
+    }
+    def putFactsN(rows: Seq[(Long, Option[Long], String)]): Unit =
+      fact.put(rows.map(r => (r._1, r._2.map(Long.box).orNull, r._3))
+          .toDF("id", "c", "m"), $"id",
+        lit("2000-01-01").cast("timestamp"), None,
+        Seq("cust" -> $"c", "amt" -> $"m".cast("decimal(12,2)")),
+        sys()): Unit
+
+    putDims(dim, Seq((10L, "EU"), (20L, "US")))
+    // fact 3 has a NULL fk, fact 4 a DANGLING one (no dim 99 yet)
+    putFactsN(Seq((1L, Some(10L), "5.00"), (2L, Some(20L), "7.00"),
+      (3L, None, "1.00"), (4L, Some(99L), "2.00")))
+    mv.refresh()
+    assertLeftParity()
+    assert(viewState(mv)(null) == ((2L, new java.math.BigDecimal("3.00"))),
+      viewState(mv).toString)
+
+    // the dangling dim APPEARS: fact 4 moves NULL-group → AP with zero
+    // fact ops (the left-join twist on the dim-touched case)
+    putDims(dim, Seq((99L, "AP")))
+    mv.refresh()
+    assertLeftParity()
+    assert(viewState(mv)("AP") == ((1L, new java.math.BigDecimal("2.00"))))
+    assert(viewState(mv)(null)._1 == 1L)
+
+    // dim group-move still re-groups matched facts
+    putDims(dim, Seq((20L, "EU")))
+    mv.refresh()
+    assertLeftParity()
+
+    // dim DELETE: fact 1 falls back to the null-extended group instead
+    // of leaving the view (the inner-join behavior)
+    dim.delete(Seq(10L).toDF("id"), $"id",
+      lit("2000-01-01").cast("timestamp"), None,
+      Seq("region" -> lit(null).cast("string")), sys())
+    mv.refresh()
+    assertLeftParity()
+    assert(viewState(mv)(null) == ((2L, new java.math.BigDecimal("6.00"))),
+      viewState(mv).toString)
+
+    // fact ops inside the null-extended group: value update + delete
+    putFactsN(Seq((3L, None, "1.50")))
+    fact.delete(Seq(4L).toDF("id"), $"id",
+      lit("2000-01-01").cast("timestamp"), None,
+      Seq("cust" -> lit(null).cast("long"),
+        "amt" -> lit(null).cast("decimal(12,2)")), sys())
+    mv.refresh()
+    assertLeftParity()
+
+    // both tails at once: dim 10 resurrects while a new dangling fact
+    // arrives
+    putDims(dim, Seq((10L, "EU")))
+    putFactsN(Seq((5L, Some(77L), "9.00")))
+    mv.refresh()
+    assertLeftParity()
+    assert(viewState(mv)(null) == ((2L, new java.math.BigDecimal("10.50"))),
+      viewState(mv).toString)
+
+    // no-op refresh
+    val w = mv.watermarks
+    assert(mv.refresh() == w)
+  }
+
   test("incrementality: a refresh touching one group rewrites only its bucket") {
     val (fact, dim, fdir) = fresh()
     // many groups so they land in distinct buckets

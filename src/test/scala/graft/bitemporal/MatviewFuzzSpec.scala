@@ -170,4 +170,161 @@ class MatviewFuzzSpec extends AnyFunSuite {
     // in the EXACT compare; a sketch regression shows as a diff
     (1 to 20).foreach(runScenario)
   }
+
+  /** JOIN-form scenario: a fact⋈dim view (INNER or LEFT — the axis the
+    * Δ(A⋈B) rules branch on), grouped by the DIM-side column so every
+    * dim mutation is a group move, driven by BOTH tables' mutation
+    * streams with dangling and NULL fks in play. Parity at every cut
+    * against a from-scratch recompute of the same join. */
+  private def runJoinScenario(seed: Int): Unit = {
+    val rnd = new scala.util.Random(7000 + seed)
+    val left = rnd.nextBoolean()
+    val hasSum = rnd.nextBoolean(); val hasMin = rnd.nextBoolean()
+    val hasMax = rnd.nextBoolean(); val hasCnt = rnd.nextBoolean()
+    val hasNd = rnd.nextBoolean(); val hasApd = rnd.nextBoolean()
+    val hasWhere = rnd.nextBoolean()
+    val cols = Seq("dgrp", "n") ++
+      (if (hasSum) Seq("s") else Nil) ++ (if (hasMin) Seq("mn") else Nil) ++
+      (if (hasMax) Seq("mx") else Nil) ++ (if (hasCnt) Seq("c") else Nil) ++
+      (if (hasNd) Seq("nd") else Nil) ++ (if (hasApd) Seq("apd") else Nil)
+    val selectList = (Seq("dgrp", "COUNT(*) AS n") ++
+      (if (hasSum) Seq("SUM(amt) AS s") else Nil) ++
+      (if (hasMin) Seq("MIN(amt) AS mn") else Nil) ++
+      (if (hasMax) Seq("MAX(amt) AS mx") else Nil) ++
+      (if (hasCnt) Seq("COUNT(code) AS c") else Nil) ++
+      (if (hasNd) Seq("COUNT(DISTINCT code) AS nd") else Nil) ++
+      (if (hasApd) Seq("APPROX_COUNT_DISTINCT(code) AS apd") else Nil))
+      .mkString(", ")
+    val fdir = java.nio.file.Files
+      .createTempDirectory(s"graft_mvfzj_f$seed").toString
+    val ddir = java.nio.file.Files
+      .createTempDirectory(s"graft_mvfzj_d$seed").toString
+    val f = new graft.GraftTable(spark, fdir, Seq("fk", "code", "amt"))
+    val d = new graft.GraftTable(spark, ddir, Seq("dgrp"))
+    val ftbl = s"fzjf$seed"; val dtbl = s"fzjd$seed"
+    GraftServer.register(ftbl, f); GraftServer.register(dtbl, d)
+    val groups = Seq("ga", "gb", "gc")
+    val codes = Seq[java.lang.Long](10L, 20L, 30L, null)
+    var tick = 0
+    def sysTs(): java.sql.Timestamp = {
+      tick += 1; ts(f"2024-01-01 00:${tick / 60}%02d:${tick % 60}%02d")
+    }
+    def putF(rows: Seq[(Long, java.lang.Long, java.lang.Long, String)])
+        : Unit =
+      f.put(rows.toDF("id", "k", "c", "m")
+          .select($"id", $"k", $"c", $"m".cast("decimal(12,2)").as("m")),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("fk" -> $"k", "code" -> $"c", "amt" -> $"m"), sysTs())
+    def putD(rows: Seq[(Long, String)]): Unit =
+      d.put(rows.toDF("id", "g"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("dgrp" -> $"g"), sysTs())
+    def delF(ids: Seq[Long]): Unit =
+      f.delete(ids.toDF("id"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("fk" -> lit(null).cast("long"),
+          "code" -> lit(null).cast("long"),
+          "amt" -> lit(null).cast("decimal(12,2)")), sysTs())
+    def delD(ids: Seq[Long]): Unit =
+      d.delete(ids.toDF("id"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("dgrp" -> lit(null).cast("string")), sysTs())
+    def randomAmt(): String = {
+      val cents = rnd.nextInt(4000) - 1000
+      f"${cents / 100}%d.${math.abs(cents % 100)}%02d"
+    }
+    val liveF = scala.collection.mutable.Set.empty[Long]
+    val liveD = scala.collection.mutable.Set.empty[Long]
+    // fk pool: live dims, a DANGLING id (never inserted) and NULL —
+    // on a LEFT spoke the latter two ride as null-extended rows; on an
+    // INNER spoke they vanish from the view (both must stay correct)
+    def randomFk(): java.lang.Long = rnd.nextInt(5) match {
+      case 0 => 999L // dangling
+      case 1 => null
+      case _ if liveD.nonEmpty =>
+        Long.box(rnd.shuffle(liveD.toSeq).head)
+      case _ => 999L
+    }
+    def randomFRow(id: Long) = (id, randomFk(),
+      codes(rnd.nextInt(codes.size)), randomAmt())
+    def mutate(): Unit = rnd.nextInt(6) match {
+      case 0 => // fact inserts
+        val fresh = (1 to 1 + rnd.nextInt(3)).map(_ => rnd.nextLong(1000))
+        putF(fresh.map(randomFRow)); liveF ++= fresh
+      case 1 if liveF.nonEmpty => // fact updates (fk moves included)
+        val ids = rnd.shuffle(liveF.toSeq).take(1 + rnd.nextInt(3))
+        putF(ids.map(randomFRow))
+      case 2 if liveF.nonEmpty => // fact deletes
+        val ids = rnd.shuffle(liveF.toSeq).take(1 + rnd.nextInt(2))
+        delF(ids); liveF --= ids
+      case 3 => // dim insert (a dangling fk may become matched)
+        val id = if (rnd.nextInt(3) == 0) 999L else rnd.nextLong(50)
+        putD(Seq(id -> groups(rnd.nextInt(groups.size)))); liveD += id: Unit
+      case 4 if liveD.nonEmpty => // dim group move, zero fact ops
+        val id = rnd.shuffle(liveD.toSeq).head
+        putD(Seq(id -> groups(rnd.nextInt(groups.size))))
+      case _ if liveD.nonEmpty => // dim delete: matched facts fall out
+        val id = rnd.shuffle(liveD.toSeq).head // (or to the null group)
+        delD(Seq(id)); liveD -= id: Unit
+      case _ => ()
+    }
+    def scratch(): Seq[Seq[String]] = {
+      val vf0 = f.current().select($"fk", $"code", $"amt")
+      val vd = d.current().select($"_id".cast("long").as("_did"), $"dgrp")
+      val j0 = vf0.join(vd, $"fk".cast("long") === $"_did",
+        if (left) "left" else "inner")
+      val j = if (hasWhere) j0.filter($"amt" > 0) else j0
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        (if (hasSum) Seq(sum($"amt").as("s")) else Nil) ++
+        (if (hasMin) Seq(min($"amt").as("mn")) else Nil) ++
+        (if (hasMax) Seq(max($"amt").as("mx")) else Nil) ++
+        (if (hasCnt) Seq(count($"code").as("c")) else Nil) ++
+        (if (hasNd) Seq(count_distinct($"code").as("nd")) else Nil) ++
+        (if (hasApd) Seq(count_distinct($"code").as("apd")) else Nil)
+      j.groupBy($"dgrp").agg(aggs.head, aggs.tail: _*)
+        .select(cols.map(col): _*).collect()
+        .map(r => cols.indices.map(i => String.valueOf(r.get(i))).toSeq)
+        .toSeq.sortBy(_.mkString(""))
+    }
+    def served(): Seq[Seq[String]] =
+      GraftSql.sql(spark, s"SELECT ${cols.mkString(", ")} FROM mv_fzj$seed")
+        .collect()
+        .map(r => cols.indices.map(i => String.valueOf(r.get(i))).toSeq)
+        .toSeq.sortBy(_.mkString(""))
+    val ddl = s"CREATE MATERIALIZED VIEW mv_fzj$seed WITH " +
+      "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+      s"SELECT $selectList FROM $ftbl " +
+      (if (left) "LEFT JOIN" else "JOIN") + s" $dtbl ON fk = $dtbl._id" +
+      (if (hasWhere) " WHERE amt > 0" else "") + " GROUP BY dgrp"
+    try {
+      val initD = (1 to 2 + rnd.nextInt(3)).map(_ => rnd.nextLong(50))
+      putD(initD.map(i => i -> groups(rnd.nextInt(groups.size))))
+      liveD ++= initD
+      val initF = (1 to 4 + rnd.nextInt(5)).map(_ => rnd.nextLong(1000))
+      putF(initF.map(randomFRow)); liveF ++= initF
+      GraftSql.sql(spark, ddl).collect()
+      assert(served() == scratch(),
+        s"join seed $seed POPULATE parity failed\n$ddl")
+      (1 to 3 + rnd.nextInt(3)).foreach { wave =>
+        (1 to 1 + rnd.nextInt(4)).foreach(_ => mutate())
+        GraftSql.sql(spark, s"REFRESH MATERIALIZED VIEW mv_fzj$seed")
+          .collect()
+        val (got, want) = (served(), scratch())
+        assert(got == want,
+          s"join seed $seed wave $wave parity failed:\n got $got\n" +
+            s"want $want\ndef: $ddl\nliveF: $liveF liveD: $liveD")
+      }
+      GraftSql.sql(spark, s"DROP MATERIALIZED VIEW mv_fzj$seed").collect()
+    } finally {
+      GraftServer.unregister(ftbl); GraftServer.unregister(dtbl)
+      GraftMatviews.reset()
+    }
+  }
+
+  test("join-form IVM parity fuzz: 12 seeded random INNER/LEFT fact⋈dim " +
+      "scenarios — dim group-moves, dangling and NULL fks, dual " +
+      "mutation streams — match from-scratch recomputes at every " +
+      "refresh") {
+    (1 to 12).foreach(runJoinScenario)
+  }
 }

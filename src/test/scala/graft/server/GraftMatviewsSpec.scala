@@ -1250,7 +1250,7 @@ class GraftMatviewsSpec extends AnyFunSuite {
   }
 
   test("clause keywords inside string literals never mis-split the " +
-      "DDL; INNER JOIN is the same join; LEFT JOIN refuses") {
+      "DDL; INNER JOIN is the same join; RIGHT/FULL JOIN refuse") {
     val s = spark
     import s.implicits._
     val t = freshTable(Seq("grp", "bal"))
@@ -1305,12 +1305,18 @@ class GraftMatviewsSpec extends AnyFunSuite {
           Seq(("EU", 10L)))
         GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_lit2")
 
-        // outer joins are NOT incrementally maintainable here: loud no
+        // LEFT JOIN is maintainable (r15) — RIGHT/FULL still refuse
         val e = intercept[IllegalArgumentException](GraftSql.sql(spark,
           "CREATE MATERIALIZED VIEW mv_lit3 AS SELECT region, " +
-            "SUM(bal) AS total FROM mvlitf LEFT JOIN mvlitd " +
+            "SUM(bal) AS total FROM mvlitf RIGHT JOIN mvlitd " +
             "ON fk = mvlitd._id GROUP BY region"))
         assert(e.getMessage.contains("unsupported JOIN syntax"), e.getMessage)
+        val e2 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+          "CREATE MATERIALIZED VIEW mv_lit4 AS SELECT region, " +
+            "SUM(bal) AS total FROM mvlitf FULL OUTER JOIN mvlitd " +
+            "ON fk = mvlitd._id GROUP BY region"))
+        assert(e2.getMessage.contains("unsupported JOIN syntax"),
+          e2.getMessage)
       } finally GraftServer.unregister("mvlitf")
     } finally {
       GraftServer.unregister("mvlit")
@@ -2055,6 +2061,92 @@ class GraftMatviewsSpec extends AnyFunSuite {
       assert(GraftSql.sql(spark, "SHOW MATERIALIZED VIEWS").collect().isEmpty)
     } finally {
       GraftServer.unregister("capfact")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("LEFT JOIN matview DDL: NULL/dangling fks serve as a " +
+      "null-extended group; a dim appearing or deleted re-groups facts " +
+      "with zero fact ops; MIN/MAX and COUNT(DISTINCT) ride; " +
+      "SHOW/RESTORE round-trips the LEFT spelling") {
+    val s = spark
+    import s.implicits._
+    val f = freshTable(Seq("fk", "amt", "code"))
+    val d = freshTable(Seq("region"))
+    GraftServer.register("ljf", f)
+    GraftServer.register("ljd", d)
+    def served(): Map[String, (Long, Long, Long, Long)] =
+      GraftSql.sql(spark,
+        "SELECT region, n, total, mx, nd FROM mv_lj").collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    try {
+      d.put(Seq((1L, "EU")).toDF("id", "rg"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"rg"), ts("2024-01-01 00:00:00"))
+      f.put(Seq((1L, Long.box(1L), 10L, "a"), (2L, Long.box(2L), 20L, "b"),
+          (3L, null.asInstanceOf[java.lang.Long], 30L, "a"),
+          (4L, Long.box(1L), 40L, "b"))
+          .toDF("id", "k", "m", "c"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("fk" -> $"k", "amt" -> $"m", "code" -> $"c"),
+        ts("2024-01-01 00:00:01"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_lj WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 8) AS " +
+        "SELECT region, COUNT(*) AS n, SUM(amt) AS total, " +
+        "MAX(amt) AS mx, COUNT(DISTINCT code) AS nd " +
+        "FROM ljf LEFT JOIN ljd ON fk = ljd._id GROUP BY region")
+      // fact 2's fk dangles (no dim 2), fact 3's fk is NULL: both land
+      // in the null-extended group
+      assert(served() == Map("EU" -> ((2L, 50L, 40L, 2L)),
+        (null: String) -> ((2L, 50L, 30L, 2L))), served().toString)
+
+      // the dangling dim APPEARS: fact 2 moves NULL → US, no fact ops
+      d.put(Seq((2L, "US")).toDF("id", "rg"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"rg"), ts("2024-01-02 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_lj").collect()
+      assert(served() == Map("EU" -> ((2L, 50L, 40L, 2L)),
+        "US" -> ((1L, 20L, 20L, 1L)),
+        (null: String) -> ((1L, 30L, 30L, 1L))), served().toString)
+
+      // dim DELETE: facts 1/4 fall back to the null-extended group
+      // (inner-join views would drop them) — MAX and the DISTINCT
+      // rollup recompute for both touched groups
+      d.delete(Seq(1L).toDF("id"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> lit(null).cast("string")),
+        ts("2024-01-03 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_lj").collect()
+      assert(served() == Map("US" -> ((1L, 20L, 20L, 1L)),
+        (null: String) -> ((3L, 80L, 40L, 2L))), served().toString)
+
+      // LEFT OUTER JOIN spelling parses to the same spoke
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_lj2 WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 8) AS " +
+        "SELECT region, COUNT(*) AS n FROM ljf " +
+        "LEFT OUTER JOIN ljd ON fk = ljd._id GROUP BY region")
+      val lj2 = GraftSql.sql(spark,
+        "SELECT region, n FROM mv_lj2").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(lj2 == Map("US" -> 1L, (null: String) -> 3L), lj2.toString)
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_lj2")
+
+      // SHOW carries the LEFT spelling; a restart RESTORE re-parses it
+      // and adopts the state
+      val shown = GraftSql.sql(spark, "SHOW MATERIALIZED VIEWS").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(shown("mv_lj").toUpperCase.contains("LEFT JOIN"),
+        shown("mv_lj"))
+      GraftMatviews.reset() // simulated restart
+      val restored = GraftSql.sql(spark, "RESTORE MATERIALIZED VIEWS")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(restored.get("mv_lj").contains("restored"), restored.toString)
+      assert(served() == Map("US" -> ((1L, 20L, 20L, 1L)),
+        (null: String) -> ((3L, 80L, 40L, 2L))), served().toString)
+    } finally {
+      GraftServer.unregister("ljf")
+      GraftServer.unregister("ljd")
       GraftMatviews.reset()
     }
   }
