@@ -24,8 +24,9 @@ import graft.bitemporal.SqlText
   * Scope (documented, not hidden):
   *   - Simple query protocol AND the extended protocol's standard flow
   *     (Parse/Bind/Describe/Execute/Close/Sync/Flush — what stock JDBC
-  *     sends). Parameters arrive in text format and are spliced as
-  *     escaped SQL literals at Bind ($n outside masked spans); graft
+  *     sends). Parameters splice as escaped SQL literals at Bind ($n
+  *     outside masked spans) — text format directly, binary format
+  *     decoded first through [[PgBinary]] by the declared oid; graft
   *     DML is described as its tx_id relation WITHOUT planning (DML
   *     executes at parse time by design) and runs once, at Execute;
   *     Execute(maxRows) suspends the portal ('s') over a LIVE iterator
@@ -37,8 +38,9 @@ import graft.bitemporal.SqlText
   *     statement-by-statement and are NOT atomic — the append-only log
   *     has no rollback, so partial application is possible there and
   *     documented.
-  *   - Parameters arrive in TEXT format only (binary params are
-  *     rejected with a clear error); RESULT rows honor Bind's
+  *   - Parameters arrive in TEXT or BINARY format (binary decodes via
+  *     the oid Parse declared — pgjdbc's binaryTransfer both ways);
+  *     RESULT rows honor Bind's
   *     per-column format codes — text (the baseline, rendered
   *     executor-side) or binary ([[PgBinary]] type encodings, the
   *     pgjdbc binaryTransfer flow). COPY serves text, CSV (incl.
@@ -344,7 +346,10 @@ object GraftPgWire {
   /** Per-connection extended-protocol state: prepared statements (name
     * → SQL with $n placeholders) and portals. */
   private final class ConnState {
-    val statements = scala.collection.mutable.Map.empty[String, String]
+    // statement name -> (sql, declared parameter type oids from Parse —
+    // needed to DECODE binary-format Bind parameters; 0 = undeclared)
+    val statements =
+      scala.collection.mutable.Map.empty[String, (String, Seq[Int])]
     val portals = scala.collection.mutable.Map.empty[String, Portal]
     var errored = false // inside an extended batch after an error: skip
                         // everything except Sync, per protocol
@@ -374,7 +379,7 @@ object GraftPgWire {
           st.errored = false
           readyForQuery(out)
         case 'P' => extended(st, out) { parse(st, out, body) }
-        case 'B' => extended(st, out) { bind(st, out, body) }
+        case 'B' => extended(st, out) { bind(spark, st, out, body) }
         case 'D' => extended(st, out) { describe(spark, st, out, body) }
         case 'E' => extended(st, out) { execute(spark, st, out, body) }
         case 'C' => extended(st, out) { closeMsg(st, out, body) }
@@ -403,9 +408,10 @@ object GraftPgWire {
 
   // ---- extended protocol ---------------------------------------------
 
-  /** Parse: store the statement text; parameter type oids are accepted
-    * and ignored (parameters arrive in text format and are spliced as
-    * SQL literals at Bind). The SQL itself is NOT planned here —
+  /** Parse: store the statement text and declared parameter type oids
+    * (text parameters splice as SQL literals at Bind; binary ones
+    * decode through the declared oid first). The SQL is NOT planned
+    * here —
     * planning at Parse would EXECUTE graft DML (which runs at parse
     * time by design), and Describe/Execute handle both cases lazily. */
   private def parse(st: ConnState, out: DataOutputStream,
@@ -414,32 +420,48 @@ object GraftPgWire {
     val name = readCString(in)
     val sql = readCString(in)
     val nTypes = in.readShort()
-    (0 until nTypes.toInt).foreach(_ => in.readInt()) // declared oids
-    st.statements(name) = sql
+    // declared oids: the one piece of Parse a binary-format Bind needs
+    // (binary bytes are uninterpretable without the type)
+    val oids = (0 until nTypes.toInt).map(_ => in.readInt())
+    st.statements(name) = (sql, oids)
     send(out, '1', _ => ()) // ParseComplete
   }
 
-  /** Bind: substitute text-format parameter values for $1..$n (outside
-    * masked spans) and store the portal. Binary parameter format is
-    * rejected loudly — text covers every JDBC/psql default. */
-  private def bind(st: ConnState, out: DataOutputStream,
-                   body: Array[Byte]): Unit = {
+  /** Bind: substitute parameter values for $1..$n (outside masked
+    * spans) and store the portal. Text parameters splice as escaped
+    * SQL literals; BINARY parameters (format code 1 — pgjdbc's
+    * binaryTransfer flow) decode through [[PgBinary]] using the type
+    * oid Parse declared, then splice exactly like their text twins
+    * (the decoded form IS the canonical text cell). */
+  private def bind(spark: SparkSession, st: ConnState,
+                   out: DataOutputStream, body: Array[Byte]): Unit = {
     val in = new DataInputStream(new ByteArrayInputStream(body))
     val portal = readCString(in)
     val stmt = readCString(in)
-    val sql = st.statements.getOrElse(stmt,
+    val (sql, paramOids) = st.statements.getOrElse(stmt,
       throw new IllegalArgumentException(s"unknown prepared statement '$stmt'"))
     val nFmt = in.readShort()
     val fmts = (0 until nFmt.toInt).map(_ => in.readShort())
-    require(fmts.forall(_ == 0),
-      "binary parameter format not supported — send parameters in text format")
+    require(fmts.forall(f => f == 0 || f == 1),
+      s"unknown parameter format code ${fmts.find(f => f != 0 && f != 1).get}" +
+        " — 0 (text) and 1 (binary) are supported")
     val nParams = in.readShort()
-    val params: Seq[Option[String]] = (0 until nParams.toInt).map { _ =>
+    // per Bind's semantics: no codes = all text, one code = all
+    // parameters, else one per parameter
+    def fmtOf(i: Int): Short =
+      if (fmts.isEmpty) 0
+      else if (fmts.size == 1) fmts.head
+      else if (i < fmts.size) fmts(i)
+      else throw new IllegalArgumentException(
+        s"bind message has ${fmts.size} parameter format codes for " +
+          s"$nParams parameters")
+    val params: Seq[Option[String]] = (0 until nParams.toInt).map { i =>
       val plen = in.readInt()
       if (plen == -1) None
       else {
         val b = new Array[Byte](plen); in.readFully(b)
-        Some(new String(b, UTF_8))
+        if (fmtOf(i) == 0) Some(new String(b, UTF_8))
+        else Some(decodeBinaryParam(spark, paramOids, i, b))
       }
     }
     // result format codes: 0 text / 1 binary, per Bind's semantics
@@ -451,6 +473,39 @@ object GraftPgWire {
         "0 (text) and 1 (binary) are supported")
     st.portals(portal) = new Portal(substituteParams(sql, params), res)
     send(out, '2', _ => ()) // BindComplete
+  }
+
+  /** Binary Bind parameter → the canonical text cell the text path
+    * would have received, decoded by the type oid Parse declared
+    * ([[PgBinary.decodeValue]] — the exact inverse of the binary
+    * RESULT path, so every exportable type round-trips). Unknown or
+    * undeclared oids refuse loudly: binary bytes are uninterpretable
+    * without the type, and guessing would corrupt silently. */
+  private def decodeBinaryParam(spark: SparkSession, oids: Seq[Int],
+                                i: Int, b: Array[Byte]): String = {
+    import org.apache.spark.sql.types._
+    val oid = if (i < oids.size) oids(i) else 0
+    if (oid == 0) throw new IllegalArgumentException(
+      s"binary parameter $$${i + 1} has no declared type oid — declare " +
+        "parameter types at Parse or send it in text format")
+    val dt: DataType = oid match {
+      case 16 => BooleanType
+      case 21 => ShortType
+      case 23 => IntegerType
+      case 20 => LongType
+      case 700 => FloatType
+      case 701 => DoubleType
+      case 1700 => DecimalType.SYSTEM_DEFAULT // decode ignores precision
+      case 25 | 1043 | 1042 | 19 | 705 => StringType // utf8 passthrough
+      case 1082 => DateType
+      case 1114 => TimestampNTZType // wall-clock micros, zone-free
+      case 1184 => TimestampType // absolute micros -> session wall clock
+      case other => throw new IllegalArgumentException(
+        s"binary parameter $$${i + 1}: type oid $other has no binary " +
+          "decode here — send it in text format")
+    }
+    PgBinary.decodeValue(dt, b, java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone")))
   }
 
   /** Splice text parameters as SQL literals: `$n` outside masked spans
@@ -501,7 +556,8 @@ object GraftPgWire {
     var resFormats: Seq[Short] = Nil
     val sql = kind match {
       case 'S' => st.statements.getOrElse(name,
-        throw new IllegalArgumentException(s"unknown prepared statement '$name'"))
+        throw new IllegalArgumentException(
+          s"unknown prepared statement '$name'"))._1
       case 'P' =>
         val p = st.portals.getOrElse(name,
           throw new IllegalArgumentException(s"unknown portal '$name'"))
@@ -526,10 +582,13 @@ object GraftPgWire {
       m
     }
     if (kind == 'S') {
-      // ParameterDescription — all text (they are spliced as literals)
+      // ParameterDescription — echo the oids Parse declared (clients
+      // base their binary-send decisions on them); text for the rest
+      val declared = st.statements.get(name).map(_._2).getOrElse(Nil)
       send(out, 't', b => {
         b.writeShort(maxP)
-        (0 until maxP).foreach(_ => b.writeInt(25)) // text
+        (0 until maxP).foreach(i => b.writeInt(
+          if (i < declared.size && declared(i) != 0) declared(i) else 25))
       })
     }
     // a parameterized statement analyzes with NULL placeholders — the

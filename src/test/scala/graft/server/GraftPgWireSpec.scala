@@ -91,6 +91,31 @@ class GraftPgWireSpec extends AnyFunSuite {
       resFormats.foreach(d.writeShort(_))
       msg('B', b.toByteArray)
     }
+    def parseMsgTyped(name: String, sql: String, oids: Seq[Int]): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(b)
+      d.write(cstr(name)); d.write(cstr(sql))
+      d.writeShort(oids.size); oids.foreach(d.writeInt(_))
+      msg('P', b.toByteArray)
+    }
+    /** Bind with explicit per-parameter format codes and raw bytes —
+      * the binaryTransfer shape pgjdbc emits. */
+    def bindMsgRaw(portal: String, stmt: String, paramFormats: Seq[Short],
+                   params: Seq[Option[Array[Byte]]],
+                   resFormats: Seq[Short] = Nil): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(b)
+      d.write(cstr(portal)); d.write(cstr(stmt))
+      d.writeShort(paramFormats.size); paramFormats.foreach(d.writeShort(_))
+      d.writeShort(params.size)
+      params.foreach {
+        case None => d.writeInt(-1)
+        case Some(vb) => d.writeInt(vb.length); d.write(vb)
+      }
+      d.writeShort(resFormats.size)
+      resFormats.foreach(d.writeShort(_))
+      msg('B', b.toByteArray)
+    }
     def describeMsg(kind: Char, name: String): Unit = {
       val b = new java.io.ByteArrayOutputStream()
       b.write(kind); b.write(cstr(name), 0, name.getBytes(UTF_8).length + 1)
@@ -743,6 +768,125 @@ class GraftPgWireSpec extends AnyFunSuite {
       val m4 = c.sync()
       val e4 = Wire.errFields(m4.find(_.tpe == 'E').get.body)
       assert(e4('M').contains("result formats"), e4)
+      assert(c.query("SELECT 1 AS x").exists(_.tpe == 'D'))
+      c.terminate()
+    } finally {
+      handle.stop()
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  test("extended protocol: BINARY parameter format decodes through the " +
+      "declared oids — result identical to the text twin; mixed-format " +
+      "Bind; undeclared/unknown oids refuse with the story") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-pgwire-binparam-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val handle = GraftPgWire.start(spark, port = 0)
+    try {
+      import org.apache.spark.sql.types._
+      val c = new PgClient(handle.port)
+      assert(c.sslProbe() == 'N')
+      c.startup("user" -> "tester")
+      // every binary-decodable family: int8/int4/int2, float8/float4,
+      // bool, text, numeric, date, timestamptz, plus a NULL
+      val sql = "SELECT $1 AS a, $2 AS b, $3 AS c, $4 AS d, $5 AS e, " +
+        "$6 AS f, $7 AS g, $8 AS h, $9 AS i, $10 AS t, $11 AS z"
+      val oids = Seq(20, 23, 21, 701, 700, 16, 25, 1700, 1082, 1184, 701)
+      val tsVal = java.sql.Timestamp.valueOf("2024-03-05 06:07:08.123456")
+      val binParams: Seq[Option[Array[Byte]]] = Seq(
+        Some(PgBinary.encodeValue(LongType, 41L)),
+        Some(PgBinary.encodeValue(IntegerType, 7)),
+        Some(PgBinary.encodeValue(ShortType, 3.toShort)),
+        Some(PgBinary.encodeValue(DoubleType, 2.25)),
+        Some(PgBinary.encodeValue(FloatType, 1.5f)),
+        Some(PgBinary.encodeValue(BooleanType, true)),
+        Some(PgBinary.encodeValue(StringType, "héllo")),
+        Some(PgBinary.encodeValue(DecimalType(10, 2),
+          new java.math.BigDecimal("12.34"))),
+        Some(PgBinary.encodeValue(DateType,
+          java.sql.Date.valueOf("2024-03-05"))),
+        Some(PgBinary.encodeValue(TimestampType, tsVal)),
+        None)
+      val txtParams: Seq[Option[String]] = Seq(
+        Some("41"), Some("7"), Some("3"), Some("2.25"), Some("1.5"),
+        Some("true"), Some("héllo"), Some("12.34"), Some("2024-03-05"),
+        Some("2024-03-05 06:07:08.123456"), None)
+
+      c.parseMsg("st", sql)
+      c.bindMsg("pt", "st", txtParams)
+      c.executeMsg("pt", 0)
+      val mt = c.sync()
+      val textRow = Wire.dataRow(mt.find(_.tpe == 'D').get.body)
+
+      c.parseMsgTyped("sb", sql, oids)
+      c.bindMsgRaw("pb", "sb", Seq.fill[Short](11)(1), binParams)
+      c.executeMsg("pb", 0)
+      val mb = c.sync()
+      val binRow = Wire.dataRow(mb.find(_.tpe == 'D').get.body)
+      assert(binRow == textRow, s"binary $binRow vs text $textRow")
+
+      // the single-format-code-covers-all spelling
+      c.bindMsgRaw("pb1", "sb", Seq[Short](1), binParams)
+      c.executeMsg("pb1", 0)
+      assert(Wire.dataRow(c.sync().find(_.tpe == 'D').get.body) == textRow)
+
+      // MIXED formats in one Bind: odd params text, even binary
+      val mixedFmts = (0 until 11).map(i => (i % 2).toShort)
+      val mixed = (0 until 11).map(i =>
+        if (i % 2 == 0) txtParams(i).map(_.getBytes(UTF_8))
+        else binParams(i))
+      c.bindMsgRaw("pm", "sb", mixedFmts, mixed)
+      c.executeMsg("pm", 0)
+      val mm = c.sync()
+      assert(Wire.dataRow(mm.find(_.tpe == 'D').get.body) == textRow)
+
+      // Describe echoes the DECLARED oids back (clients key their
+      // binary-send decision off ParameterDescription)
+      c.describeMsg('S', "sb")
+      val md = c.sync()
+      val pd = md.find(_.tpe == 't').get.body
+      val pdIn = new DataInputStream(new java.io.ByteArrayInputStream(pd))
+      assert(pdIn.readShort() == 11)
+      assert((0 until 11).map(_ => pdIn.readInt()) == oids)
+
+      // a binary param with NO declared oid refuses with the story
+      c.parseMsg("su", sql) // zero declared oids
+      c.bindMsgRaw("pu", "su", Seq[Short](1),
+        Seq(Some(PgBinary.encodeValue(LongType, 1L))) ++
+          txtParams.drop(1).map(_.map(_.getBytes(UTF_8))))
+      val mu = c.sync()
+      val eu = Wire.errFields(mu.find(_.tpe == 'E').get.body)
+      assert(eu('M').contains("declared type oid"), eu)
+      assert(c.query("SELECT 1 AS x").exists(_.tpe == 'D'))
+
+      // an oid with no binary decode refuses with the story
+      c.parseMsgTyped("sj", "SELECT $1 AS j", Seq(114)) // json
+      c.bindMsgRaw("pj", "sj", Seq[Short](1),
+        Seq(Some("{}".getBytes(UTF_8))))
+      val mj = c.sync()
+      val ej = Wire.errFields(mj.find(_.tpe == 'E').get.body)
+      assert(ej('M').contains("no binary decode"), ej)
+      assert(c.query("SELECT 1 AS x").exists(_.tpe == 'D'))
+
+      // an unknown parameter format code refuses, session recovers
+      c.parseMsgTyped("sf", "SELECT $1 AS k", Seq(20))
+      c.bindMsgRaw("pf", "sf", Seq[Short](3),
+        Seq(Some(PgBinary.encodeValue(LongType, 1L))))
+      val mf = c.sync()
+      val ef = Wire.errFields(mf.find(_.tpe == 'E').get.body)
+      assert(ef('M').contains("parameter format code"), ef)
       assert(c.query("SELECT 1 AS x").exists(_.tpe == 'D'))
       c.terminate()
     } finally {
