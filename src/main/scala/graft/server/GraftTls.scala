@@ -21,14 +21,17 @@ import javax.net.ssl.{KeyManagerFactory, SSLContext}
   * (wrong password, bad path): silently serving plaintext when the
   * operator asked for TLS is the one wrong default.
   *
-  * The context is built once per JVM and shared — the keystore is a
-  * process-level identity, not a per-connection concern. Client-side
-  * trust (CA bundles, pinning) stays the client's business, exactly as
-  * with Postgres' own sslmode handling. */
+  * The context is built once and shared; the keystore file's
+  * mtime+size are watched (one stat per connection), so ROTATING the
+  * certificate behind the unchanged path takes effect on the next
+  * connection — no JVM restart. Client-side trust (CA bundles,
+  * pinning) stays the client's business, exactly as with Postgres'
+  * own sslmode handling. */
 object GraftTls {
 
   @volatile private var cached
-      : Option[((String, String, String), SSLContext)] = None
+      : Option[((String, String, String,
+          java.nio.file.attribute.FileTime, Long), SSLContext)] = None
 
   /** `-Dgraft.tls.required=true` refuses PLAINTEXT sessions on doors
     * that support an in-band upgrade (pgwire's SSLRequest): with just
@@ -42,29 +45,40 @@ object GraftTls {
   /** The server SSLContext, when `-Dgraft.tls.keyStore` is set; None
     * otherwise. Throws (IllegalStateException with the story) when the
     * configured keystore cannot be loaded. Cached per (path, password,
-    * type) triple — a changed prop rebuilds; rotating the FILE behind
-    * an unchanged path needs a JVM restart (or the test-only reset),
-    * the standard JSSE posture. */
+    * type, file mtime, file size) — a changed prop OR a ROTATED
+    * keystore file behind the unchanged path rebuilds on the next
+    * connection (the stat is one syscall per accept; certificate
+    * rotation needs no JVM restart). Each prop is read ONCE and the
+    * captured values feed `load` — a prop flipped mid-call can never
+    * cache a context under a mismatched key. */
   def serverContext(): Option[SSLContext] =
     sys.props.get("graft.tls.keyStore").map { path =>
-      val key = (path,
-        sys.props.getOrElse("graft.tls.keyStorePassword", ""),
-        sys.props.getOrElse("graft.tls.keyStoreType", "PKCS12"))
+      val pw = sys.props.getOrElse("graft.tls.keyStorePassword", "")
+      val typ = sys.props.getOrElse("graft.tls.keyStoreType", "PKCS12")
+      val (mtime, size) =
+        try {
+          val p = Paths.get(path)
+          (Files.getLastModifiedTime(p), Files.size(p))
+        } catch {
+          case e: Exception => throw new IllegalStateException(
+            s"graft.tls.keyStore is set to '$path' but the keystore " +
+              "could not be read — refusing to serve plaintext when " +
+              s"TLS was asked for: ${e.getMessage}", e)
+        }
+      val key = (path, pw, typ, mtime, size)
       cached match {
         case Some((k, ctx)) if k == key => ctx
         case _ =>
-          val ctx = load(path)
+          val ctx = load(path, pw, typ)
           cached = Some((key, ctx))
           ctx
       }
     }
 
-  private def load(path: String): SSLContext =
+  private def load(path: String, pwStr: String, typ: String): SSLContext =
     try {
-      val pw = sys.props.getOrElse("graft.tls.keyStorePassword", "")
-        .toCharArray
-      val ks = KeyStore.getInstance(
-        sys.props.getOrElse("graft.tls.keyStoreType", "PKCS12"))
+      val pw = pwStr.toCharArray
+      val ks = KeyStore.getInstance(typ)
       val in = Files.newInputStream(Paths.get(path))
       try ks.load(in, pw) finally in.close()
       val kmf = KeyManagerFactory.getInstance(

@@ -356,4 +356,64 @@ class GraftTlsSpec extends AnyFunSuite {
       SparkSession.clearDefaultSession()
     }
   }
+
+  test("certificate ROTATION behind an unchanged keystore path takes " +
+      "effect on the next connection — no JVM restart, no reset") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-tls-rotate-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val ksA = genKeystore()
+    val ksB = genKeystore()
+    val handle = GraftPgWire.start(spark, port = 0)
+    def serverCertSerial(port: Int): java.math.BigInteger = {
+      val raw = new Socket("127.0.0.1", port)
+      raw.setTcpNoDelay(true)
+      val rout = new DataOutputStream(raw.getOutputStream)
+      val rin = new DataInputStream(raw.getInputStream)
+      rout.writeInt(8); rout.writeInt(80877103); rout.flush()
+      assert(rin.read().toChar == 'S')
+      val ssl = trustAll().getSocketFactory
+        .createSocket(raw, "127.0.0.1", port, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      ssl.startHandshake()
+      val serial = ssl.getSession.getPeerCertificates.head
+        .asInstanceOf[java.security.cert.X509Certificate].getSerialNumber
+      ssl.close()
+      serial
+    }
+    try {
+      withProps(Some(ksA)) {
+        val before = serverCertSerial(handle.port)
+        // rotate: keystore B's bytes land behind keystore A's PATH.
+        // The mtime is bumped explicitly — coarse-granularity file
+        // systems could otherwise stamp both writes in the same tick
+        // (size alone already differs in practice, but the test must
+        // not depend on that)
+        java.nio.file.Files.copy(ksB, ksA,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(ksA,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + 5000))
+        val after = serverCertSerial(handle.port)
+        assert(after != before,
+          "the rotated certificate must serve on the next connection")
+        // stability: a third connection reuses the rebuilt context
+        assert(serverCertSerial(handle.port) == after)
+      }
+    } finally {
+      handle.stop()
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
 }
