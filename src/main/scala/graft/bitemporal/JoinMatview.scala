@@ -562,7 +562,7 @@ final class JoinMatview private[graft] (
       setWatermarks(lasts); return ret(lasts)
     }
     if (rangeLayout)
-      MvState.checkRangeDirCountCumulative(dataDir, affected,
+      MvState.checkRangeRefresh(affected,
         MvState.isDateLead(deltaCp.schema, groupCols.head))
 
     val state = MvState.readState(spark, stateRoot, dataDir)
@@ -645,7 +645,8 @@ final class JoinMatview private[graft] (
         MvState.overlayDistinct(merged, groupCols, touchedGroups,
           affected, distincts, spark)
       }
-    MvState.swapBuckets(stateRoot, dataDir, finalMerged, affected, groupCols)
+    MvState.swapBuckets(stateRoot, dataDir, finalMerged, affected, groupCols,
+      rangeCap = rangeLayout)
     MvState.pinDef(stateRoot, defFp)
     setWatermarks(lasts)
     ret(lasts)

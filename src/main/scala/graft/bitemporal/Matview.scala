@@ -398,7 +398,7 @@ final class Matview private[graft] (
       MvState.pinDef(stateRoot, defFp); setWatermark(last); return last
     }
     if (rangeLayout)
-      MvState.checkRangeDirCountCumulative(dataDir, affected,
+      MvState.checkRangeRefresh(affected,
         MvState.isDateLead(deltaCp.schema, groupCols.head))
 
     val state = MvState.readState(spark, stateRoot, dataDir)
@@ -484,7 +484,8 @@ final class Matview private[graft] (
         MvState.overlayDistinct(merged, groupCols, touchedGroups,
           affected, distincts, spark)
       }
-    MvState.swapBuckets(stateRoot, dataDir, finalMerged, affected, groupCols)
+    MvState.swapBuckets(stateRoot, dataDir, finalMerged, affected, groupCols,
+      rangeCap = rangeLayout)
     MvState.pinDef(stateRoot, defFp)
     setWatermark(last)
     last
@@ -858,28 +859,28 @@ private[graft] object MvState {
         .collect().map(_.get(0)).toSeq,
       dateKey, what)
 
-  /** Incremental-refresh form of the cap: the per-refresh affected
-    * count alone lets CUMULATIVE dir growth sail past [[MaxRangeDirs]]
-    * (a key adding <10k new values per refresh never trips it), so a
-    * rewrite also bounds existing state dirs UNION this refresh's
-    * affected values — one cheap local directory listing, ≤ cap names
-    * when healthy. */
-  def checkRangeDirCountCumulative(dataDir: Path, affected: Seq[Any],
-                                   dateKey: Boolean): Unit = {
+  /** Incremental-refresh guards, pre-merge: the DATE-key format
+    * contract plus the per-refresh affected bound (which also bounds
+    * the driver-side affected collect). The CUMULATIVE growth cap is
+    * enforced precisely in [[swapBuckets]] — pre-destruction, on the
+    * exact post-swap dir count — because a pre-merge existing∪affected
+    * union over-refuses a rotation (it counts dirs this refresh
+    * EMPTIES, so a near-cap view retiring old keys while new ones
+    * arrive would wedge permanently even though the post-swap count
+    * stays under the cap). */
+  def checkRangeRefresh(affected: Seq[Any], dateKey: Boolean): Unit =
     checkRangeDirValues(affected, dateKey, "rewrite")
-    val existing: Set[String] =
-      if (!Files.isDirectory(dataDir)) Set.empty
-      else {
-        val s = Files.list(dataDir)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.map(_.getFileName.toString)
-            .filter(_.startsWith("_bucket=")).toSet
-        } finally s.close()
-      }
-    val union = existing ++ affected.map(bucketDirName)
-    checkRangeDirCount(union.size.toLong, "grow state to")
-  }
+
+  private def listBucketDirs(dir: Path): Set[String] =
+    if (!Files.isDirectory(dir)) Set.empty
+    else {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_bucket=")).toSet
+      } finally s.close()
+    }
 
   /** `_bucket=<v>` directory name for a partition value — hash layouts
     * carry longs (digits, never escaped); range layouts carry the key
@@ -1031,10 +1032,29 @@ private[graft] object MvState {
     * untouched buckets keep their files byte for byte. A bucket whose
     * groups all vanished is deleted and not replaced. */
   def swapBuckets(stateRoot: Path, dataDir: Path, merged: DataFrame,
-                  affected: Seq[Any], groupCols: Seq[String]): Unit = {
+                  affected: Seq[Any], groupCols: Seq[String],
+                  rangeCap: Boolean = false): Unit = {
     val tmp = stateRoot.resolve("state_tmp")
     TxLog.deleteRecursively(tmp.toFile)
     writeState(merged, groupCols, tmp, affected.size)
+    if (rangeCap) {
+      // the CUMULATIVE dir cap, enforced on the EXACT post-swap count
+      // (surviving untouched dirs + dirs this refresh writes — the tmp
+      // listing knows which affected dirs actually have rows, so a
+      // rotation that empties as many old keys as it adds new ones
+      // passes), checked BEFORE the destructive loop so a refusal
+      // leaves the state byte-identical and the watermark unadvanced
+      val affectedNames = affected.map(bucketDirName).toSet
+      val written = listBucketDirs(tmp)
+      val surviving =
+        listBucketDirs(dataDir).count(n => !affectedNames.contains(n))
+      try checkRangeDirCount((surviving + written.size).toLong,
+        "grow state to")
+      catch {
+        case e: IllegalStateException =>
+          TxLog.deleteRecursively(tmp.toFile); throw e
+      }
+    }
     affected.foreach { b =>
       val name = bucketDirName(b)
       val dst = dataDir.resolve(name)

@@ -640,9 +640,9 @@ object GraftMatviews {
         s") AS ${select.trim}"
 
     // clause split is masked-span + paren-depth aware (splitSelect): a
-    // clause the grammar cannot parse (missing ON, USING form, LEFT
-    // JOIN) refuses loudly, never silently drops a spoke — a view
-    // missing a declared join would serve wrong aggregates
+    // clause the grammar cannot parse (missing ON, USING form,
+    // RIGHT/FULL JOIN) refuses loudly, never silently drops a spoke —
+    // a view missing a declared join would serve wrong aggregates
     val (list, factName, joinSpecs, whereOpt, groupBy, havingOpt) =
       splitSelect(select)
     val aggRe = "(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*([*]|[A-Za-z_](?:\\w|\\.)*)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r

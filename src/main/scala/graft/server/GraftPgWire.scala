@@ -447,21 +447,29 @@ object GraftPgWire {
         " — 0 (text) and 1 (binary) are supported")
     val nParams = in.readShort()
     // per Bind's semantics: no codes = all text, one code = all
-    // parameters, else one per parameter
+    // parameters, else EXACTLY one per parameter — validated up front
+    // (the protocol wording), so a malformed count fails atomically
+    // before any parameter bytes are interpreted
+    if (fmts.size > 1 && fmts.size != nParams.toInt)
+      throw new IllegalArgumentException(
+        s"bind message has ${fmts.size} parameter format codes for " +
+          s"$nParams parameters — the count must be 0, 1, or one per " +
+          "parameter")
     def fmtOf(i: Int): Short =
       if (fmts.isEmpty) 0
       else if (fmts.size == 1) fmts.head
-      else if (i < fmts.size) fmts(i)
-      else throw new IllegalArgumentException(
-        s"bind message has ${fmts.size} parameter format codes for " +
-          s"$nParams parameters")
+      else fmts(i)
+    // one zone lookup per Bind, not per parameter (shared by every
+    // binary timestamptz decode in this message)
+    lazy val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
     val params: Seq[Option[String]] = (0 until nParams.toInt).map { i =>
       val plen = in.readInt()
       if (plen == -1) None
       else {
         val b = new Array[Byte](plen); in.readFully(b)
         if (fmtOf(i) == 0) Some(new String(b, UTF_8))
-        else Some(decodeBinaryParam(spark, paramOids, i, b))
+        else Some(decodeBinaryParam(paramOids, i, b, zone))
       }
     }
     // result format codes: 0 text / 1 binary, per Bind's semantics
@@ -481,8 +489,8 @@ object GraftPgWire {
     * RESULT path, so every exportable type round-trips). Unknown or
     * undeclared oids refuse loudly: binary bytes are uninterpretable
     * without the type, and guessing would corrupt silently. */
-  private def decodeBinaryParam(spark: SparkSession, oids: Seq[Int],
-                                i: Int, b: Array[Byte]): String = {
+  private def decodeBinaryParam(oids: Seq[Int], i: Int, b: Array[Byte],
+                                zone: java.time.ZoneId): String = {
     import org.apache.spark.sql.types._
     val oid = if (i < oids.size) oids(i) else 0
     if (oid == 0) throw new IllegalArgumentException(
@@ -504,8 +512,7 @@ object GraftPgWire {
         s"binary parameter $$${i + 1}: type oid $other has no binary " +
           "decode here — send it in text format")
     }
-    PgBinary.decodeValue(dt, b, java.time.ZoneId.of(
-      spark.conf.get("spark.sql.session.timeZone")))
+    PgBinary.decodeValue(dt, b, zone)
   }
 
   /** Splice text parameters as SQL literals: `$n` outside masked spans

@@ -31,7 +31,7 @@ object GraftTls {
 
   @volatile private var cached
       : Option[((String, String, String,
-          java.nio.file.attribute.FileTime, Long), SSLContext)] = None
+          java.nio.file.attribute.FileTime, Long, Any), SSLContext)] = None
 
   /** `-Dgraft.tls.required=true` refuses PLAINTEXT sessions on doors
     * that support an in-band upgrade (pgwire's SSLRequest): with just
@@ -55,17 +55,26 @@ object GraftTls {
     sys.props.get("graft.tls.keyStore").map { path =>
       val pw = sys.props.getOrElse("graft.tls.keyStorePassword", "")
       val typ = sys.props.getOrElse("graft.tls.keyStoreType", "PKCS12")
-      val (mtime, size) =
+      // mtime + size + fileKey (inode): mtime granularity can be
+      // coarse and a renewed keystore of the same key size often has
+      // the same byte length, but an atomic-rename rotation always
+      // changes the inode — the triple together makes a missed
+      // rotation require deliberate in-place overwrite with preserved
+      // mtime (fileKey may be null on exotic file systems; it then
+      // simply drops out of the comparison)
+      val (mtime, size, fkey) =
         try {
           val p = Paths.get(path)
-          (Files.getLastModifiedTime(p), Files.size(p))
+          val attrs = Files.readAttributes(p,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          (attrs.lastModifiedTime(), attrs.size(), attrs.fileKey(): Any)
         } catch {
           case e: Exception => throw new IllegalStateException(
             s"graft.tls.keyStore is set to '$path' but the keystore " +
               "could not be read — refusing to serve plaintext when " +
               s"TLS was asked for: ${e.getMessage}", e)
         }
-      val key = (path, pw, typ, mtime, size)
+      val key = (path, pw, typ, mtime, size, fkey)
       cached match {
         case Some((k, ctx)) if k == key => ctx
         case _ =>

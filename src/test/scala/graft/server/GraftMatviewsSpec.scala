@@ -2298,6 +2298,19 @@ class GraftMatviewsSpec extends AnyFunSuite {
         "SELECT k, n FROM mv_cum ORDER BY k").collect()
       assert(rows.length == 5 && rows.forall(_.getLong(1) == 1L),
         rows.mkString(","))
+      // ROTATION at the cap: retiring as many old keys as the pending
+      // tail adds keeps the post-swap count at the cap — the check
+      // counts what the swap actually leaves, so this passes where a
+      // pre-merge existing∪affected union would wedge the view forever
+      t.delete(spark.range(0, 2).toDF("id"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("k" -> lit(null).cast("string"),
+          "amt" -> lit(null).cast("long")), ts("2024-01-04 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_cum").collect()
+      val rot = GraftSql.sql(spark,
+        "SELECT k FROM mv_cum ORDER BY k").collect().map(_.getString(0))
+      assert(rot.toSeq == Seq("v02", "v03", "v04", "v05", "v06"),
+        rot.mkString(","))
     } finally {
       graft.bitemporal.MvState.MaxRangeDirs = prevCap
       GraftServer.unregister("cumfact")
