@@ -358,7 +358,7 @@ final class JoinMatview private[graft] (
       groupCols, distincts, spark)
     checkRangeKey(agg.schema)
     if (rangeLayout) MvState.checkRangeBuild(agg,
-      MvState.isDateLead(agg.schema, groupCols.head), "build")
+      MvState.rangeLeadKind(agg.schema, groupCols.head), "build")
     val tmp = stateRoot.resolve("state_rebuild_tmp")
     TxLog.deleteRecursively(tmp.toFile)
     // schema sidecar: a join that matches nothing writes a file-less
@@ -563,7 +563,7 @@ final class JoinMatview private[graft] (
     }
     if (rangeLayout)
       MvState.checkRangeRefresh(affected,
-        MvState.isDateLead(deltaCp.schema, groupCols.head))
+        MvState.rangeLeadKind(deltaCp.schema, groupCols.head))
 
     val state = MvState.readState(spark, stateRoot, dataDir)
       .filter(col("_bucket").isin(affected: _*))

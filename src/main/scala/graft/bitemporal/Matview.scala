@@ -240,7 +240,7 @@ final class Matview private[graft] (
       groupCols, distincts, spark)
     checkRangeKey(agg.schema)
     if (rangeLayout) MvState.checkRangeBuild(agg,
-      MvState.isDateLead(agg.schema, groupCols.head), "rebuild into")
+      MvState.rangeLeadKind(agg.schema, groupCols.head), "rebuild into")
     // temp-write + directory swap (same pattern as the incremental
     // path): a concurrent read() sees either the complete old state or
     // the complete new one — never a partial overwrite-in-place — with
@@ -330,7 +330,7 @@ final class Matview private[graft] (
         groupCols, distincts, spark)
       checkRangeKey(firstAgg.schema)
       if (rangeLayout) MvState.checkRangeBuild(firstAgg,
-        MvState.isDateLead(firstAgg.schema, groupCols.head), "build")
+        MvState.rangeLeadKind(firstAgg.schema, groupCols.head), "build")
       MvState.writeSchema(stateRoot, firstAgg, bucketKeyCols, nBuckets,
         rangeLayout)
       MvState.writeState(firstAgg, groupCols, dataDir, nBuckets)
@@ -399,7 +399,7 @@ final class Matview private[graft] (
     }
     if (rangeLayout)
       MvState.checkRangeRefresh(affected,
-        MvState.isDateLead(deltaCp.schema, groupCols.head))
+        MvState.rangeLeadKind(deltaCp.schema, groupCols.head))
 
     val state = MvState.readState(spark, stateRoot, dataDir)
       .filter(col("_bucket").isin(affected: _*))
@@ -773,14 +773,19 @@ private[graft] object MvState {
     * leading keys are accepted. */
   def checkRangeKey(schema: org.apache.spark.sql.types.StructType,
                     leadGroupCol: String): Unit = {
-    import org.apache.spark.sql.types.{DateType, StringType}
+    import org.apache.spark.sql.types.{DateType, StringType,
+      TimestampNTZType}
     val dt = schema.find(_.name == leadGroupCol).map(_.dataType)
-    if (dt.contains(StringType) || dt.contains(DateType)) return
+    if (dt.contains(StringType) || dt.contains(DateType) ||
+      dt.contains(TimestampNTZType)) return
     // rejection matrix: dir names compare lexicographically, so the
     // key's canonical string form must order like the key itself.
     //   STRING — accepted (the user owns the format contract);
     //   DATE   — accepted (ISO yyyy-MM-dd, timezone-free; 4-digit-year
     //            range enforced at write by checkRangeDirValues);
+    //   TIMESTAMP_NTZ — accepted (zone-free ISO wall clock, same
+    //            4-digit-year contract; fixed-width integer part keeps
+    //            trimmed fractions lexicographic);
     //   TIMESTAMP — refused: its string form goes through the SESSION
     //            timezone, and a read's zone may differ from the
     //            write's (the _tz pin guards refreshes, not reads);
@@ -795,8 +800,8 @@ private[graft] object MvState {
           "zero-pad-format the key, or use the default hash layout"
     }
     throw new IllegalStateException(
-      s"layout = 'range' requires a STRING- or DATE-typed leading " +
-        s"group column; got $leadGroupCol: " +
+      s"layout = 'range' requires a STRING-, DATE- or TIMESTAMP_NTZ-" +
+        s"typed leading group column; got $leadGroupCol: " +
         dt.map(_.simpleString).getOrElse("?") + s" ($hint)")
   }
 
@@ -819,45 +824,60 @@ private[graft] object MvState {
           "ordered keys (time buckets); use the default hash layout " +
           "for high-cardinality group keys")
 
-  /** Is the range layout's leading key DATE-typed (ISO-formatted dir
-    * values with a 4-digit-year contract)? */
-  def isDateLead(schema: org.apache.spark.sql.types.StructType,
-                 leadGroupCol: String): Boolean =
-    schema.find(_.name == leadGroupCol)
-      .exists(_.dataType == org.apache.spark.sql.types.DateType)
+  /** The range layout's leading-key FORMAT class: 's' = STRING (the
+    * user owns the format contract), 'd' = DATE (ISO day), 'n' =
+    * TIMESTAMP_NTZ (zone-free ISO wall clock — trailing-zero-trimmed
+    * fractions still order lexicographically because the integer part
+    * is fixed-width). */
+  def rangeLeadKind(schema: org.apache.spark.sql.types.StructType,
+                    leadGroupCol: String): Char =
+    schema.find(_.name == leadGroupCol).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.DateType) => 'd'
+      case Some(org.apache.spark.sql.types.TimestampNTZType) => 'n'
+      case _ => 's'
+    }
 
   private val IsoDayDirRe =
     (RangeValuePrefix + "\\d{4}-\\d{2}-\\d{2}").r
+  private val IsoNtzDirRe =
+    (RangeValuePrefix +
+      "\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}(\\.\\d{1,6})?").r
 
-  /** DATE-key format contract on collected dir values (≤ cap + 1
+  /** DATE/NTZ-key format contract on collected dir values (≤ cap + 1
     * strings, driver-metadata sized): lexicographic dir order equals
-    * date order ONLY for 4-digit years — year 10000 formats to five
-    * digits and sorts below "2", silently detaching range pruning from
-    * the data. Out-of-range dates refuse at write, so the prune side
-    * may assume every existing dir obeys the contract. */
-  def checkRangeDirValues(values: Seq[Any], dateKey: Boolean,
+    * temporal order ONLY for 4-digit years — year 10000 formats to
+    * five digits and sorts below "2", silently detaching range pruning
+    * from the data. Out-of-range values refuse at write, so the prune
+    * side may assume every existing dir obeys the contract. */
+  def checkRangeDirValues(values: Seq[Any], kind: Char,
                           what: String): Unit = {
     checkRangeDirCount(values.size.toLong, what)
-    if (dateKey) values.foreach { v =>
-      val s = String.valueOf(v)
-      if (s != NullGroupMarker && !IsoDayDirRe.matches(s))
-        throw new IllegalStateException(
-          s"layout = 'range' DATE key produced dir value '$s': only " +
-            "years 0001-9999 order lexicographically in ISO form — " +
-            "keep the key inside that range or use the hash layout")
+    val re = kind match {
+      case 'd' => Some(IsoDayDirRe)
+      case 'n' => Some(IsoNtzDirRe)
+      case _ => None
     }
+    re.foreach(r => values.foreach { v =>
+      val s = String.valueOf(v)
+      if (s != NullGroupMarker && !r.matches(s))
+        throw new IllegalStateException(
+          s"layout = 'range' temporal key produced dir value '$s': " +
+            "only years 0001-9999 order lexicographically in ISO " +
+            "form — keep the key inside that range or use the hash " +
+            "layout")
+    })
   }
 
   /** Build-path guard: the distinct dir values, collected (same
     * driver-metadata size class as the refresh path's affected-bucket
-    * collect), bounded by [[MaxRangeDirs]] and format-checked for DATE
-    * keys. */
-  def checkRangeBuild(agg: DataFrame, dateKey: Boolean,
+    * collect), bounded by [[MaxRangeDirs]] and format-checked for
+    * DATE/NTZ keys. */
+  def checkRangeBuild(agg: DataFrame, kind: Char,
                       what: String): Unit =
     checkRangeDirValues(
       agg.select(col("_bucket")).distinct().limit(MaxRangeDirs + 1)
         .collect().map(_.get(0)).toSeq,
-      dateKey, what)
+      kind, what)
 
   /** Incremental-refresh guards, pre-merge: the DATE-key format
     * contract plus the per-refresh affected bound (which also bounds
@@ -868,8 +888,8 @@ private[graft] object MvState {
     * EMPTIES, so a near-cap view retiring old keys while new ones
     * arrive would wedge permanently even though the post-swap count
     * stays under the cap). */
-  def checkRangeRefresh(affected: Seq[Any], dateKey: Boolean): Unit =
-    checkRangeDirValues(affected, dateKey, "rewrite")
+  def checkRangeRefresh(affected: Seq[Any], kind: Char): Unit =
+    checkRangeDirValues(affected, kind, "rewrite")
 
   private def listBucketDirs(dir: Path): Set[String] =
     if (!Files.isDirectory(dir)) Set.empty

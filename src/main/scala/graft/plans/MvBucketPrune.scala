@@ -77,12 +77,16 @@ object MvBucketPrune extends Rule[LogicalPlan] {
       return pruneRange(conjuncts, rel, groups.head, bucketAttr)
     val groupAttrs = groups.map(g =>
       rel.output.find(_.name == g).getOrElse(return None))
-    // timestamp: the hash casts through the session timezone (the
-    // reading session may differ from the writing one). float/double:
-    // SQL equality says -0.0 = 0.0 (and grouping normalizes to 0.0),
-    // but their STRING forms differ — a `g = -0.0` literal would hash
-    // to the wrong bucket and silently drop the matching group.
-    if (groupAttrs.exists(a => a.dataType.typeName.startsWith("timestamp") ||
+    // TIMESTAMP (zone-carrying): the hash casts through the session
+    // timezone, and the reading session may differ from the writing
+    // one — never prunable. TIMESTAMP_NTZ is a zone-FREE wall clock
+    // whose string cast is session-independent, so it prunes like any
+    // other key. float/double: SQL equality says -0.0 = 0.0 (and
+    // grouping normalizes to 0.0), but their STRING forms differ — a
+    // `g = -0.0` literal would hash to the wrong bucket and silently
+    // drop the matching group.
+    if (groupAttrs.exists(a =>
+        a.dataType == org.apache.spark.sql.types.TimestampType ||
         a.dataType == org.apache.spark.sql.types.FloatType ||
         a.dataType == org.apache.spark.sql.types.DoubleType))
       return None
@@ -155,27 +159,39 @@ object MvBucketPrune extends Rule[LogicalPlan] {
   private def pruneRange(conjuncts: Seq[Expression], rel: LogicalRelation,
                          leadGroup: String,
                          bucketAttr: Attribute): Option[Expression] = {
-    import org.apache.spark.sql.types.DateType
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType}
     def onLead(a: AttributeReference): Boolean =
       a.name == leadGroup &&
-        (a.dataType == StringType || a.dataType == DateType)
-    // DATE leading keys: the write side stores Cast(date, string) — the
-    // timezone-free ISO `yyyy-MM-dd` form — so the mirror rebuilds the
-    // same cast over the predicate literal. ISO order equals date order
-    // only for 4-digit years; the write side REFUSES out-of-range
-    // dates, so every existing dir obeys the contract, but a predicate
-    // LITERAL outside [0001-01-01, 9999-12-31] would still translate to
-    // a misordered bound (`m <= date'10000-01-01'` must not drop the
+        (a.dataType == StringType || a.dataType == DateType ||
+          a.dataType == TimestampNTZType)
+    // DATE / TIMESTAMP_NTZ leading keys: the write side stores
+    // Cast(key, string) — the timezone-free ISO form — so the mirror
+    // rebuilds the same cast over the predicate literal (NTZ is a
+    // zone-free wall clock; zone-carrying TIMESTAMP never reaches here,
+    // checkRangeKey refuses it at write). ISO order equals temporal
+    // order only for 4-digit years; the write side REFUSES out-of-range
+    // values, so every existing dir obeys the contract, but a predicate
+    // LITERAL outside years 0001-9999 would still translate to a
+    // misordered bound (`m <= date'10000-01-01'` must not drop the
     // 2024 dirs) — such literals simply skip translation (unpruned is
     // always sound).
     val minDay = java.time.LocalDate.of(1, 1, 1).toEpochDay
     val maxDay = java.time.LocalDate.of(9999, 12, 31).toEpochDay
+    val minMicros = java.time.LocalDateTime.of(1, 1, 1, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val maxMicros = java.time.LocalDateTime.of(9999, 12, 31, 23, 59, 59)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + 999999L
     def safeLit(a: AttributeReference, v: Expression): Boolean =
-      a.dataType != DateType || {
-        v.eval() match {
+      a.dataType match {
+        case DateType => v.eval() match {
           case d: Int => d >= minDay && d <= maxDay
           case _ => false // null or unexpected internal type
         }
+        case TimestampNTZType => v.eval() match {
+          case m: Long => m >= minMicros && m <= maxMicros
+          case _ => false
+        }
+        case _ => true
       }
     def pfx(v: Expression): Expression = {
       val s = if (v.dataType == StringType) v

@@ -2033,7 +2033,7 @@ class GraftMatviewsSpec extends AnyFunSuite {
         "CREATE MATERIALIZED VIEW mv_rng_bad WITH " +
           "(valid_at = '2030-01-01 00:00:00', layout = 'range') AS " +
           "SELECT code, COUNT(*) AS n FROM rngfact GROUP BY code"))
-      assert(e.getMessage.contains("STRING- or DATE-typed"), e.getMessage)
+      assert(e.getMessage.contains("STRING-, DATE- or TIMESTAMP_NTZ-typed"), e.getMessage)
       // ... and the failed CREATE left nothing registered
       assert(GraftSql.sql(spark, "SHOW MATERIALIZED VIEWS").collect().isEmpty)
     } finally {
@@ -2259,6 +2259,95 @@ class GraftMatviewsSpec extends AnyFunSuite {
         .collect()(0).getLong(0) == 31L)
     } finally {
       GraftServer.unregister("rngdfact")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("TIMESTAMP_NTZ keys: zone-free wall clocks range-partition AND " +
+      "hash-prune (the timezone exclusion is for zone-carrying " +
+      "TIMESTAMP only)") {
+    val s = spark
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+        case x => x
+      }
+      p.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec leaf; plan:\n" +
+        p.toString.take(2000)))
+    }
+    val t = freshTable(Seq("od", "amt"))
+    GraftServer.register("ntzfact", t)
+    try {
+      // od is TIMESTAMP_NTZ: 240 rows over 12 months
+      t.put(spark.range(240).select($"id",
+          expr("CAST(make_timestamp(2024, CAST(id % 12 + 1 AS INT), " +
+            "10, 6, 30, 0) AS TIMESTAMP_NTZ)").as("tod"),
+          lit(1L).as("a")), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("od" -> $"tod", "amt" -> $"a"), ts("2024-01-01 00:00:00"))
+
+      // RANGE layout on the NTZ key directly — no cast needed at all.
+      // (date_trunc('month', ntz) returns zone-carrying TIMESTAMP in
+      // Spark — its NTZ→TS conversion reads the session zone — and is
+      // therefore REFUSED, which the tail of this test asserts.)
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_ntz WITH " +
+        "(valid_at = '2030-01-01 00:00:00', layout = 'range') AS " +
+        "SELECT od AS m, COUNT(*) AS n FROM ntzfact GROUP BY od")
+      val stateDir = java.nio.file.Paths.get(
+        t.tableDir, "matview", "mv_ntz", "state")
+      val l = java.nio.file.Files.list(stateDir)
+      val dirs =
+        try l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_bucket=")).toSet
+        finally l.close()
+      assert(dirs.size == 12 &&
+        dirs.forall(_.matches("_bucket=k2024-\\d{2}-10 06%3A30%3A00")),
+        dirs.toString)
+      val range = GraftSql.sql(spark, "SELECT CAST(m AS STRING) AS ms, " +
+        "n FROM mv_ntz WHERE m BETWEEN " +
+        "TIMESTAMP_NTZ'2024-03-01 00:00:00' AND " +
+        "TIMESTAMP_NTZ'2024-05-31 00:00:00' ORDER BY m")
+      val rScan = scanOf(range)
+      val rRows = range.collect()
+      assert(rRows.length == 3 && rRows.forall(_.getLong(1) == 20L),
+        rRows.mkString(","))
+      assert(rScan.metrics("numFiles").value == 3,
+        s"3 month dirs of 12, read ${rScan.metrics("numFiles").value}")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_ntz")
+
+      // HASH layout with a plain NTZ group key: a point read prunes to
+      // one bucket dir (TimestampType would be skipped — session-zone
+      // string cast; NTZ's cast is zone-free, so the hash mirror is
+      // sound)
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_ntzh WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+        "SELECT od, COUNT(*) AS n FROM ntzfact GROUP BY od")
+      val point = GraftSql.sql(spark,
+        "SELECT n FROM mv_ntzh WHERE od = " +
+          "TIMESTAMP_NTZ'2024-03-10 06:30:00'")
+      val pScan = scanOf(point)
+      assert(point.collect().map(_.getLong(0)).toSeq == Seq(20L))
+      assert(pScan.metrics("numFiles").value == 1,
+        s"1 bucket of 16, read ${pScan.metrics("numFiles").value}")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_ntzh")
+
+      // date_trunc over NTZ yields zone-carrying TIMESTAMP (the NTZ→TS
+      // conversion reads the session zone) — the range layout refuses
+      // it with the DATE-cast hint rather than partitioning on a
+      // zone-dependent string
+      val e = intercept[Exception](GraftSql.sql(spark,
+        "CREATE MATERIALIZED VIEW mv_ntzbad WITH " +
+          "(valid_at = '2030-01-01 00:00:00', layout = 'range') AS " +
+          "SELECT date_trunc('month', od) AS m, COUNT(*) AS n " +
+          "FROM ntzfact GROUP BY date_trunc('month', od)"))
+      assert(e.getMessage.contains("AS DATE"), e.getMessage)
+    } finally {
+      GraftServer.unregister("ntzfact")
       GraftMatviews.reset()
     }
   }
