@@ -613,6 +613,188 @@ object Bitemp {
       }
     }),
 
+    // q175's range layout with a TIMESTAMP_NTZ key — the third accepted
+    // leading type. date_trunc returns a zone-carrying TIMESTAMP in
+    // Spark (refused for range dirs), so the production spelling is
+    // CAST(date_trunc(...) AS TIMESTAMP_NTZ): a zone-free wall-clock
+    // month that formats as a lexicographic-safe ISO dir and range-
+    // prunes through NTZ literals in the serving read. Same mutation
+    // story as q174/q175.
+    "q177_sql_matview_range_ntz" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvrn_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      graft.server.GraftMatviews.reset()
+      val t = new GraftTable(s, tmp, Seq("od", "price"))
+      graft.server.GraftServer.register("mvrn_ord", t)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val ord = T(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("id"),
+          $"o_orderdate".cast("timestamp_ntz").as("odv"),
+          $"o_totalprice".cast("decimal(12,2)").as("p"))
+        t.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("od" -> $"odv", "price" -> $"p"),
+          ts("2020-01-01 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvrn_by_month WITH " +
+            "(valid_at = '2030-01-01 00:00:00', layout = 'range') AS " +
+            "SELECT CAST(date_trunc('month', od) AS TIMESTAMP_NTZ) AS m, " +
+            "COUNT(*) AS n, SUM(price) AS total, MAX(price) AS mx " +
+            "FROM mvrn_ord WHERE price > 5000 " +
+            "GROUP BY CAST(date_trunc('month', od) AS TIMESTAMP_NTZ)")
+        t.put(ord.filter($"id" % 7 === 0)
+            .withColumn("p2", ($"p" + 1000).cast("decimal(12,2)")),
+          $"id", lit("2000-06-01").cast("timestamp"), None,
+          Seq("od" -> $"odv", "price" -> $"p2"),
+          ts("2020-01-02 00:00:00"))
+        t.delete(ord.filter($"id" % 11 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("od" -> lit(null).cast("timestamp_ntz"),
+            "price" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:01"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvrn_by_month")
+        graft.server.GraftSql.sql(s,
+          "SELECT CAST(m AS STRING) AS m, n, " +
+            "CAST(total AS DOUBLE) AS total, CAST(mx AS DOUBLE) AS mx " +
+            "FROM mvrn_by_month WHERE m BETWEEN " +
+            "TIMESTAMP_NTZ'1993-01-01 00:00:00' AND " +
+            "TIMESTAMP_NTZ'1996-12-01 00:00:00' ORDER BY m")
+      } finally graft.server.GraftServer.unregister("mvrn_ord")
+    }),
+
+    // Mixed-spoke STAR (r15): customer is a LEFT spoke (NULL and
+    // dangling fks keep their facts as null-extended rows), promo is
+    // an INNER spoke, and the expression aggregate reads the INNER
+    // dim's factor — so a null-extended fact still multiplies through.
+    // Mutations: fact bump+delete, a promo factor change with zero
+    // fact ops, and a customer DELETE wave that re-groups every
+    // referencing order into the NULL region with zero fact ops.
+    "q178_sql_matview_left_star" -> ((s, dir) => {
+      import s.implicits._
+      val base = new java.io.File(dir).getName
+      val ftmp = s"target/mvls_f_$base"; val ctmp = s"target/mvls_c_$base"
+      val ptmp = s"target/mvls_p_$base"
+      Seq(ftmp, ctmp, ptmp).foreach(p =>
+        TxLog.deleteRecursively(new java.io.File(p)))
+      graft.server.GraftMatviews.reset()
+      val fact = new GraftTable(s, ftmp, Seq("cust", "promo", "price"))
+      val dcust = new GraftTable(s, ctmp, Seq("region"))
+      val dpromo = new GraftTable(s, ptmp, Seq("grp", "factor"))
+      graft.server.GraftServer.register("mvls_ord", fact)
+      graft.server.GraftServer.register("mvls_cust", dcust)
+      graft.server.GraftServer.register("mvls_promo", dpromo)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val cust = T(s, dir, "customer").select($"c_custkey".as("id"),
+          $"c_nationkey".cast("string").as("rg"))
+        val promo = s.range(0, 10).select($"id",
+          when($"id" < 5, lit("low")).otherwise(lit("high")).as("g"),
+          ($"id" + 1).as("f"))
+        // %13 fks dangle (shifted past every real custkey), %17 NULL
+        val ord = T(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("id"),
+          when($"o_orderkey" % 17 === 0, lit(null).cast("long"))
+            .when($"o_orderkey" % 13 === 0, $"o_custkey" + 10000000L)
+            .otherwise($"o_custkey").cast("long").as("ck"),
+          ($"o_orderkey" % 10).cast("long").as("pk"),
+          $"o_totalprice".cast("decimal(12,2)").as("p"))
+        dcust.put(cust, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("region" -> $"rg"), ts("2020-01-01 00:00:00"))
+        dpromo.put(promo, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "factor" -> $"f"), ts("2020-01-01 00:00:01"))
+        fact.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("cust" -> $"ck", "promo" -> $"pk", "price" -> $"p"),
+          ts("2020-01-01 00:00:02"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvls_rev WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+            "SELECT region, grp, COUNT(*) AS n, " +
+            "SUM(price * factor) AS rev " +
+            "FROM mvls_ord LEFT JOIN mvls_cust ON cust = mvls_cust._id " +
+            "JOIN mvls_promo ON promo = mvls_promo._id " +
+            "WHERE price > 1000 GROUP BY region, grp")
+        fact.put(ord.filter($"id" % 7 === 0)
+            .withColumn("p2", ($"p" + 1000).cast("decimal(12,2)")),
+          $"id", lit("2000-06-01").cast("timestamp"), None,
+          Seq("cust" -> $"ck", "promo" -> $"pk", "price" -> $"p2"),
+          ts("2020-01-02 00:00:00"))
+        fact.delete(ord.filter($"id" % 11 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("cust" -> lit(null).cast("long"),
+            "promo" -> lit(null).cast("long"),
+            "price" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:01"))
+        dpromo.put(Seq((3L, "low", 40L)).toDF("id", "g", "f"), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "factor" -> $"f"), ts("2020-01-02 00:00:02"))
+        // customer delete wave: their orders re-group to NULL region
+        dcust.delete(cust.filter($"id" % 10 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("region" -> lit(null).cast("string")),
+          ts("2020-01-02 00:00:03"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvls_rev")
+        graft.server.GraftSql.sql(s,
+          "SELECT COALESCE(region, '(none)') AS region, grp, n, " +
+            "CAST(rev AS DOUBLE) AS rev FROM mvls_rev ORDER BY 1, 2")
+      } finally {
+        graft.server.GraftServer.unregister("mvls_ord")
+        graft.server.GraftServer.unregister("mvls_cust")
+        graft.server.GraftServer.unregister("mvls_promo")
+      }
+    }),
+
+    // ANSI NULL arithmetic through the maintained state (r15): one
+    // whole group's prices are NULL, so its SUM/AVG must serve NULL —
+    // the state stores the additive identity 0 there and only the
+    // ride-along non-null count can tell them apart (the star-fuzz-
+    // found serve bug, pinned through the driver oracle). A NULL-update
+    // wave then drains another group's non-null values entirely,
+    // walking the cancellation edge: its stored sum really IS 0.
+    "q179_sql_matview_sum_null" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvsn_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      graft.server.GraftMatviews.reset()
+      val t = new GraftTable(s, tmp, Seq("grp", "price"))
+      graft.server.GraftServer.register("mvsn_ord", t)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        // '1-URGENT' orders carry NULL price from the start
+        val ord = T(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("id"),
+          $"o_orderpriority".as("g"),
+          when($"o_orderpriority".startsWith("1"),
+              lit(null).cast("decimal(12,2)"))
+            .otherwise($"o_totalprice".cast("decimal(12,2)")).as("p"))
+        t.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "price" -> $"p"), ts("2020-01-01 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvsn_by_prio WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+            "SELECT grp, COUNT(*) AS n, COUNT(price) AS np, " +
+            "SUM(price) AS total, AVG(price) AS av " +
+            "FROM mvsn_ord GROUP BY grp")
+        // '2-HIGH' loses every non-null price (NULL update) — the
+        // stored sum cancels to 0, the serve must come back as NULL
+        t.put(ord.filter($"g".startsWith("2")),
+          $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g",
+            "price" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:00"))
+        // and an ordinary bump elsewhere keeps the mixed groups honest
+        t.put(ord.filter($"id" % 7 === 0 && !$"g".startsWith("2")),
+          $"id", lit("2000-06-01").cast("timestamp"), None,
+          Seq("grp" -> $"g",
+            "price" -> when($"p".isNotNull, $"p" + 1000).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:01"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvsn_by_prio")
+        graft.server.GraftSql.sql(s,
+          "SELECT grp, n, np, CAST(total AS DOUBLE) AS total, av " +
+            "FROM mvsn_by_prio ORDER BY grp")
+      } finally graft.server.GraftServer.unregister("mvsn_ord")
+    }),
+
     // r12 matview DDL growth, part 5: the STAR form — orders joined to
     // TWO dims (customer region, a promo-class dim keyed by
     // o_orderkey % 10) with an expression aggregate reading the SECOND
@@ -1689,6 +1871,73 @@ object Bitemp {
       GROUP BY 1 HAVING CAST(CAST(date_trunc('month', od) AS DATE) AS VARCHAR)
         BETWEEN '1993-01-01' AND '1996-12-01'
       ORDER BY 1""",
+
+    // q175's recompute with the month kept as a wall-clock timestamp
+    // (DuckDB's TIMESTAMP is zone-free, matching Spark's NTZ exactly)
+    "q177_sql_matview_range_ntz" -> """
+      WITH ord AS (SELECT o_orderkey AS id,
+                          CAST(o_orderdate AS TIMESTAMP) AS od,
+                          CAST(o_totalprice AS DECIMAL(12,2)) AS p
+                   FROM orders),
+      eff AS (SELECT od,
+                     CASE WHEN id % 7 = 0 THEN CAST(p + 1000 AS DECIMAL(12,2))
+                          ELSE p END AS p
+              FROM ord WHERE id % 11 <> 0),
+      vis AS (SELECT * FROM eff WHERE p > 5000)
+      SELECT strftime(date_trunc('month', od), '%Y-%m-%d %H:%M:%S') AS m,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p) AS DOUBLE) AS total,
+             CAST(max(p) AS DOUBLE) AS mx
+      FROM vis
+      GROUP BY 1 HAVING strftime(date_trunc('month', od),
+          '%Y-%m-%d %H:%M:%S')
+        BETWEEN '1993-01-01 00:00:00' AND '1996-12-01 00:00:00'
+      ORDER BY 1""",
+
+    // q169's recompute with the customer spoke LEFT: dangling/NULL fks
+    // keep their orders under the '(none)' region, the %10 customer
+    // delete wave moves its orders there too
+    "q178_sql_matview_left_star" -> """
+      WITH cd AS (SELECT c_custkey AS k, CAST(c_nationkey AS VARCHAR) AS region
+                  FROM customer WHERE c_custkey % 10 <> 0),
+      pd AS (SELECT i AS pk,
+                    CASE WHEN i < 5 THEN 'low' ELSE 'high' END AS grp,
+                    CASE WHEN i = 3 THEN 40 ELSE i + 1 END AS factor
+             FROM (SELECT UNNEST(range(0, 10)) AS i)),
+      oe AS (SELECT CASE WHEN o_orderkey % 17 = 0 THEN NULL
+                         WHEN o_orderkey % 13 = 0 THEN o_custkey + 10000000
+                         ELSE o_custkey END AS ck,
+                    o_orderkey % 10 AS pk,
+                    CASE WHEN o_orderkey % 7 = 0
+                         THEN CAST(o_totalprice AS DECIMAL(12,2)) + 1000
+                         ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS p
+             FROM orders WHERE o_orderkey % 11 <> 0),
+      vis AS (SELECT * FROM oe WHERE p > 1000)
+      SELECT COALESCE(region, '(none)') AS region, grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p * factor) AS DOUBLE) AS rev
+      FROM vis LEFT JOIN cd ON vis.ck = cd.k JOIN pd ON vis.pk = pd.pk
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // all-NULL SUM/AVG groups recomputed from scratch: '1-URGENT' is
+    // NULL from birth, '2-HIGH' drains to all-NULL via the update wave
+    "q179_sql_matview_sum_null" -> """
+      WITH ord AS (SELECT o_orderkey AS id, o_orderpriority AS g,
+                          CASE WHEN o_orderpriority LIKE '1%' THEN NULL
+                               ELSE CAST(o_totalprice AS DECIMAL(12,2))
+                          END AS p
+                   FROM orders),
+      eff AS (SELECT g,
+                     CASE WHEN g LIKE '2%' THEN NULL
+                          WHEN id % 7 = 0 AND p IS NOT NULL
+                            THEN CAST(p + 1000 AS DECIMAL(12,2))
+                          ELSE p END AS p
+              FROM ord)
+      SELECT g AS grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(p) AS BIGINT) AS np,
+             CAST(sum(p) AS DOUBLE) AS total,
+             CAST(sum(p) AS DOUBLE) / count(p) AS av
+      FROM eff GROUP BY g ORDER BY g""",
 
     // from-scratch recompute of the min/max view's final state
     "q149_matview_minmax" -> """

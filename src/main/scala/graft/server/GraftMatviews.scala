@@ -73,6 +73,11 @@ object GraftMatviews {
     final case class Group(g: String) extends ServeCol
     /** read-time AVG = sum_/cnt_ division over `arg` */
     final case class Avg(arg: String) extends ServeCol
+    /** SUM masked by its non-null count: a group whose every input is
+      * NULL serves ANSI NULL, not the state's additive-identity 0 (the
+      * incremental merge coalesces sums to 0, so the stored value
+      * can't distinguish all-NULL from genuine zero — cnt_ can) */
+    final case class Sum(arg: String) extends ServeCol
     /** read-time AVG(DISTINCT) = sumd_/cntd_ division over `arg` */
     final case class AvgDistinct(arg: String) extends ServeCol
     /** APPROX_COUNT_DISTINCT: estimate of the stored hll_ sketch */
@@ -804,8 +809,10 @@ object GraftMatviews {
               cnts += c
               serve += (ServeCol.State(s"cnt_$c") -> Option(alias).getOrElse(s"cnt_$c"))
             case ("SUM", c) =>
-              sums += c
-              serve += (ServeCol.State(s"sum_$c") -> Option(alias).getOrElse(s"sum_$c"))
+              // the non-null counter rides along so the serve can mask
+              // an all-NULL group's 0 back to ANSI NULL
+              sums += c; cnts += c
+              serve += (ServeCol.Sum(c) -> Option(alias).getOrElse(s"sum_$c"))
             case ("AVG", c) =>
               // AVG = SUM / COUNT(col) at READ time — zero new state
               // mechanics, both constituents are already maintainable
@@ -832,7 +839,8 @@ object GraftMatviews {
             case "COUNT" =>
               cnts += dn; serve += (ServeCol.State(s"cnt_$dn") -> alias)
             case "SUM" =>
-              sums += dn; serve += (ServeCol.State(s"sum_$dn") -> alias)
+              sums += dn; cnts += dn
+              serve += (ServeCol.Sum(dn) -> alias)
             case "AVG" => sums += dn; cnts += dn
               serve += (ServeCol.Avg(dn) -> alias)
             case "MIN" =>
@@ -1105,6 +1113,11 @@ object GraftMatviews {
           // instead of an ANSI division-by-zero
           when(col(s"cnt_$c") > 0,
             col(s"sum_$c").cast("double") / col(s"cnt_$c")).as(alias)
+        case (ServeCol.Sum(c), alias) =>
+          // SUM over zero non-null inputs is NULL in SQL; the stored
+          // sum is the additive identity 0 there (delta merges coalesce
+          // through 0), so mask on the ride-along non-null count
+          when(col(s"cnt_$c") > 0, col(s"sum_$c")).as(alias)
         case (ServeCol.AvgDistinct(c), alias) =>
           // AVG(DISTINCT) = SUM/COUNT of the distinct values, same
           // DOUBLE division and all-null guard as AVG

@@ -87,7 +87,9 @@ class MatviewFuzzSpec extends AnyFunSuite {
           "code" -> lit(null).cast("long"),
           "amt" -> lit(null).cast("decimal(12,2)")), sysTs())
     def randomAmt(): String = {
-      // mixed-sign so the WHERE sieve has rows to admit AND reject
+      // mixed-sign so the WHERE sieve has rows to admit AND reject;
+      // 1-in-6 NULL so all-NULL groups exercise SUM/AVG's NULL serving
+      if (rnd.nextInt(6) == 0) return null
       val cents = rnd.nextInt(4000) - 1000
       f"${cents / 100}%d.${math.abs(cents % 100)}%02d"
     }
@@ -230,6 +232,7 @@ class MatviewFuzzSpec extends AnyFunSuite {
         lit("2020-01-01").cast("timestamp"), None,
         Seq("dgrp" -> lit(null).cast("string")), sysTs())
     def randomAmt(): String = {
+      if (rnd.nextInt(6) == 0) return null
       val cents = rnd.nextInt(4000) - 1000
       f"${cents / 100}%d.${math.abs(cents % 100)}%02d"
     }
@@ -326,5 +329,197 @@ class MatviewFuzzSpec extends AnyFunSuite {
       "mutation streams — match from-scratch recomputes at every " +
       "refresh") {
     (1 to 12).foreach(runJoinScenario)
+  }
+
+  /** STAR-form scenario: fact ⋈ TWO dims, each spoke independently
+    * INNER or LEFT, grouped by BOTH dims' columns, with an optional
+    * expression aggregate reading the second dim's numeric payload —
+    * the shape where a spoke's null-extension, the other spoke's
+    * dim-touched recompute, and the derived column's NULL arithmetic
+    * all interact. Three mutation streams; parity at every cut. */
+  private def runStarScenario(seed: Int): Unit = {
+    val rnd = new scala.util.Random(9000 + seed)
+    val left1 = rnd.nextBoolean(); val left2 = rnd.nextBoolean()
+    val hasSum = rnd.nextBoolean(); val hasMin = rnd.nextBoolean()
+    val hasMax = rnd.nextBoolean(); val hasCnt = rnd.nextBoolean()
+    val hasRev = rnd.nextBoolean() // SUM(amt * dval): reads dim 2
+    val hasWhere = rnd.nextBoolean()
+    val cols = Seq("dgrp", "egrp", "n") ++
+      (if (hasSum) Seq("s") else Nil) ++ (if (hasMin) Seq("mn") else Nil) ++
+      (if (hasMax) Seq("mx") else Nil) ++ (if (hasCnt) Seq("c") else Nil) ++
+      (if (hasRev) Seq("rev") else Nil)
+    val selectList = (Seq("dgrp", "egrp", "COUNT(*) AS n") ++
+      (if (hasSum) Seq("SUM(amt) AS s") else Nil) ++
+      (if (hasMin) Seq("MIN(amt) AS mn") else Nil) ++
+      (if (hasMax) Seq("MAX(amt) AS mx") else Nil) ++
+      (if (hasCnt) Seq("COUNT(code) AS c") else Nil) ++
+      (if (hasRev) Seq("SUM(amt * dval) AS rev") else Nil))
+      .mkString(", ")
+    val fdir = java.nio.file.Files
+      .createTempDirectory(s"graft_mvfzs_f$seed").toString
+    val d1dir = java.nio.file.Files
+      .createTempDirectory(s"graft_mvfzs_d$seed").toString
+    val d2dir = java.nio.file.Files
+      .createTempDirectory(s"graft_mvfzs_e$seed").toString
+    val f = new graft.GraftTable(spark, fdir, Seq("fk", "ek", "code", "amt"))
+    val d1 = new graft.GraftTable(spark, d1dir, Seq("dgrp"))
+    val d2 = new graft.GraftTable(spark, d2dir, Seq("egrp", "dval"))
+    val ftbl = s"fzsf$seed"; val d1tbl = s"fzsd$seed"; val d2tbl = s"fzse$seed"
+    GraftServer.register(ftbl, f)
+    GraftServer.register(d1tbl, d1); GraftServer.register(d2tbl, d2)
+    val groups = Seq("ga", "gb", "gc")
+    val codes = Seq[java.lang.Long](10L, 20L, 30L, null)
+    var tick = 0
+    def sysTs(): java.sql.Timestamp = {
+      tick += 1; ts(f"2024-01-01 00:${tick / 60}%02d:${tick % 60}%02d")
+    }
+    def putF(rows: Seq[(Long, java.lang.Long, java.lang.Long,
+        java.lang.Long, String)]): Unit =
+      f.put(rows.toDF("id", "k", "e", "c", "m")
+          .select($"id", $"k", $"e", $"c",
+            $"m".cast("decimal(12,2)").as("m")),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("fk" -> $"k", "ek" -> $"e", "code" -> $"c", "amt" -> $"m"),
+        sysTs())
+    def putD1(rows: Seq[(Long, String)]): Unit =
+      d1.put(rows.toDF("id", "g"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("dgrp" -> $"g"), sysTs())
+    def putD2(rows: Seq[(Long, String, java.lang.Long)]): Unit =
+      d2.put(rows.toDF("id", "g", "v"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("egrp" -> $"g", "dval" -> $"v"), sysTs())
+    def delF(ids: Seq[Long]): Unit =
+      f.delete(ids.toDF("id"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("fk" -> lit(null).cast("long"), "ek" -> lit(null).cast("long"),
+          "code" -> lit(null).cast("long"),
+          "amt" -> lit(null).cast("decimal(12,2)")), sysTs())
+    def delD1(ids: Seq[Long]): Unit =
+      d1.delete(ids.toDF("id"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("dgrp" -> lit(null).cast("string")), sysTs())
+    def delD2(ids: Seq[Long]): Unit =
+      d2.delete(ids.toDF("id"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("egrp" -> lit(null).cast("string"),
+          "dval" -> lit(null).cast("long")), sysTs())
+    def randomAmt(): String = {
+      if (rnd.nextInt(6) == 0) return null
+      val cents = rnd.nextInt(4000) - 1000
+      f"${cents / 100}%d.${math.abs(cents % 100)}%02d"
+    }
+    val liveF = scala.collection.mutable.Set.empty[Long]
+    val liveD1 = scala.collection.mutable.Set.empty[Long]
+    val liveD2 = scala.collection.mutable.Set.empty[Long]
+    def randomFk(live: scala.collection.mutable.Set[Long])
+        : java.lang.Long = rnd.nextInt(5) match {
+      case 0 => 999L // dangling
+      case 1 => null
+      case _ if live.nonEmpty => Long.box(rnd.shuffle(live.toSeq).head)
+      case _ => 999L
+    }
+    def randomFRow(id: Long) = (id, randomFk(liveD1), randomFk(liveD2),
+      codes(rnd.nextInt(codes.size)), randomAmt())
+    def mutate(): Unit = rnd.nextInt(9) match {
+      case 0 => // fact inserts
+        val fresh = (1 to 1 + rnd.nextInt(3)).map(_ => rnd.nextLong(1000))
+        putF(fresh.map(randomFRow)); liveF ++= fresh
+      case 1 if liveF.nonEmpty => // fact updates (both fks may move)
+        val ids = rnd.shuffle(liveF.toSeq).take(1 + rnd.nextInt(3))
+        putF(ids.map(randomFRow))
+      case 2 if liveF.nonEmpty => // fact deletes
+        val ids = rnd.shuffle(liveF.toSeq).take(1 + rnd.nextInt(2))
+        delF(ids); liveF --= ids
+      case 3 => // dim-1 insert (a dangling fk may become matched)
+        val id = if (rnd.nextInt(3) == 0) 999L else rnd.nextLong(50)
+        putD1(Seq(id -> groups(rnd.nextInt(groups.size)))); liveD1 += id: Unit
+      case 4 if liveD1.nonEmpty => // dim-1 group move, zero fact ops
+        val id = rnd.shuffle(liveD1.toSeq).head
+        putD1(Seq(id -> groups(rnd.nextInt(groups.size))))
+      case 5 if liveD1.nonEmpty => // dim-1 delete
+        val id = rnd.shuffle(liveD1.toSeq).head
+        delD1(Seq(id)); liveD1 -= id: Unit
+      case 6 => // dim-2 insert
+        val id = if (rnd.nextInt(3) == 0) 999L else rnd.nextLong(50)
+        putD2(Seq((id, groups(rnd.nextInt(groups.size)),
+          Long.box(rnd.nextInt(5).toLong)))); liveD2 += id: Unit
+      case 7 if liveD2.nonEmpty => // dim-2 value/group change, no fact ops
+        val id = rnd.shuffle(liveD2.toSeq).head
+        putD2(Seq((id, groups(rnd.nextInt(groups.size)),
+          Long.box(rnd.nextInt(5).toLong))))
+      case _ if liveD2.nonEmpty => // dim-2 delete
+        val id = rnd.shuffle(liveD2.toSeq).head
+        delD2(Seq(id)); liveD2 -= id: Unit
+      case _ => ()
+    }
+    def scratch(): Seq[Seq[String]] = {
+      val vf = f.current().select($"fk", $"ek", $"code", $"amt")
+      val v1 = d1.current().select($"_id".cast("long").as("_d1"), $"dgrp")
+      val v2 = d2.current().select($"_id".cast("long").as("_d2"),
+        $"egrp", $"dval")
+      val j0 = vf.join(v1, $"fk".cast("long") === $"_d1",
+          if (left1) "left" else "inner")
+        .join(v2, $"ek".cast("long") === $"_d2",
+          if (left2) "left" else "inner")
+      val j = if (hasWhere) j0.filter($"amt" > 0) else j0
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        (if (hasSum) Seq(sum($"amt").as("s")) else Nil) ++
+        (if (hasMin) Seq(min($"amt").as("mn")) else Nil) ++
+        (if (hasMax) Seq(max($"amt").as("mx")) else Nil) ++
+        (if (hasCnt) Seq(count($"code").as("c")) else Nil) ++
+        (if (hasRev) Seq(sum($"amt" * $"dval").as("rev")) else Nil)
+      j.groupBy($"dgrp", $"egrp").agg(aggs.head, aggs.tail: _*)
+        .select(cols.map(col): _*).collect()
+        .map(r => cols.indices.map(i => String.valueOf(r.get(i))).toSeq)
+        .toSeq.sortBy(_.mkString(""))
+    }
+    def served(): Seq[Seq[String]] =
+      GraftSql.sql(spark, s"SELECT ${cols.mkString(", ")} FROM mv_fzs$seed")
+        .collect()
+        .map(r => cols.indices.map(i => String.valueOf(r.get(i))).toSeq)
+        .toSeq.sortBy(_.mkString(""))
+    val ddl = s"CREATE MATERIALIZED VIEW mv_fzs$seed WITH " +
+      "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+      s"SELECT $selectList FROM $ftbl " +
+      (if (left1) "LEFT JOIN" else "JOIN") + s" $d1tbl ON fk = $d1tbl._id " +
+      (if (left2) "LEFT JOIN" else "JOIN") + s" $d2tbl ON ek = $d2tbl._id" +
+      (if (hasWhere) " WHERE amt > 0" else "") + " GROUP BY dgrp, egrp"
+    try {
+      val initD1 = (1 to 2 + rnd.nextInt(3)).map(_ => rnd.nextLong(50))
+      putD1(initD1.map(i => i -> groups(rnd.nextInt(groups.size))))
+      liveD1 ++= initD1
+      val initD2 = (1 to 2 + rnd.nextInt(3)).map(_ => rnd.nextLong(50))
+      putD2(initD2.map(i => (i, groups(rnd.nextInt(groups.size)),
+        Long.box(rnd.nextInt(5).toLong))))
+      liveD2 ++= initD2
+      val initF = (1 to 4 + rnd.nextInt(5)).map(_ => rnd.nextLong(1000))
+      putF(initF.map(randomFRow)); liveF ++= initF
+      GraftSql.sql(spark, ddl).collect()
+      assert(served() == scratch(),
+        s"star seed $seed POPULATE parity failed\n$ddl")
+      (1 to 3 + rnd.nextInt(3)).foreach { wave =>
+        (1 to 1 + rnd.nextInt(4)).foreach(_ => mutate())
+        GraftSql.sql(spark, s"REFRESH MATERIALIZED VIEW mv_fzs$seed")
+          .collect()
+        val (got, want) = (served(), scratch())
+        assert(got == want,
+          s"star seed $seed wave $wave parity failed:\n got $got\n" +
+            s"want $want\ndef: $ddl\nliveF: $liveF " +
+            s"liveD1: $liveD1 liveD2: $liveD2")
+      }
+      GraftSql.sql(spark, s"DROP MATERIALIZED VIEW mv_fzs$seed").collect()
+    } finally {
+      GraftServer.unregister(ftbl)
+      GraftServer.unregister(d1tbl); GraftServer.unregister(d2tbl)
+      GraftMatviews.reset()
+    }
+  }
+
+  test("star-form IVM parity fuzz: 8 seeded random two-dim scenarios — " +
+      "independent INNER/LEFT per spoke, an expression aggregate " +
+      "reading the second dim, three mutation streams — match " +
+      "from-scratch recomputes at every refresh") {
+    (1 to 8).foreach(runStarScenario)
   }
 }

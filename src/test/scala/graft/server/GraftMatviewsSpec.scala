@@ -2656,4 +2656,69 @@ class GraftMatviewsSpec extends AnyFunSuite {
       GraftMatviews.reset()
     }
   }
+
+  test("SUM over an all-NULL group serves ANSI NULL, not the state's " +
+      "additive-identity 0 — including after a cancellation round-trip " +
+      "where the stored sum genuinely IS 0") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "amt"))
+    GraftServer.register("sn_tab", t)
+    def put(rows: Seq[(Long, String, java.lang.Long)], at: String): Unit =
+      t.put(rows.toDF("id", "g", "m")
+          .select($"id", $"g", $"m".cast("decimal(12,2)").as("m")),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "amt" -> $"m"), ts(at))
+    try {
+      // group a: every amt NULL; group b: mixed
+      put(Seq((1L, "a", null), (2L, "a", null),
+        (3L, "b", Long.box(7L)), (4L, "b", null)), "2024-01-01 00:00:00")
+      GraftSql.sql(spark,
+        "CREATE MATERIALIZED VIEW mv_sn WITH (valid_at = '2030-01-01 " +
+          "00:00:00', buckets = 4) AS SELECT grp, COUNT(*) AS n, " +
+          "SUM(amt) AS s, AVG(amt) AS av FROM sn_tab GROUP BY grp")
+      def row(g: String): org.apache.spark.sql.Row =
+        GraftSql.sql(spark,
+          s"SELECT n, s, av FROM mv_sn WHERE grp = '$g'").collect()(0)
+      val a0 = row("a")
+      assert(a0.getLong(0) == 2L && a0.isNullAt(1) && a0.isNullAt(2),
+        s"all-NULL group must serve SUM/AVG NULL, got $a0")
+      val b0 = row("b")
+      assert(b0.getLong(0) == 2L &&
+        b0.getDecimal(1).compareTo(new java.math.BigDecimal("7")) == 0,
+        s"mixed group keeps its real sum, got $b0")
+
+      // a non-null value lands → SUM materializes...
+      put(Seq((5L, "a", Long.box(11L))), "2024-01-02 00:00:00")
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_sn")
+      val a1 = row("a")
+      assert(a1.getLong(0) == 3L &&
+        a1.getDecimal(1).compareTo(new java.math.BigDecimal("11")) == 0,
+        s"got $a1")
+
+      // ...and retracts: the stored sum is now literally 0 — only the
+      // ride-along non-null count can tell this apart from SUM(0)
+      t.delete(Seq(5L).toDF("id"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> lit(null).cast("string"),
+          "amt" -> lit(null).cast("decimal(12,2)")),
+        ts("2024-01-03 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_sn")
+      val a2 = row("a")
+      assert(a2.getLong(0) == 2L && a2.isNullAt(1) && a2.isNullAt(2),
+        s"post-retraction all-NULL group must return to NULL, got $a2")
+
+      // a genuine zero stays 0, never masked to NULL
+      put(Seq((6L, "a", Long.box(0L))), "2024-01-04 00:00:00")
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_sn")
+      val a3 = row("a")
+      assert(!a3.isNullAt(1) &&
+        a3.getDecimal(1).compareTo(java.math.BigDecimal.ZERO) == 0,
+        s"SUM of a real 0 serves 0, got $a3")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_sn")
+    } finally {
+      GraftServer.unregister("sn_tab")
+      GraftMatviews.reset()
+    }
+  }
 }
