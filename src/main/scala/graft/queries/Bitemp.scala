@@ -744,6 +744,72 @@ object Bitemp {
       }
     }),
 
+    // DISTINCT aggregate over a LEFT spoke (r15): the exact pair aux
+    // inherits the join type, so the null-extended group keeps its own
+    // distinct set — dangling/NULL-fk orders contribute their codes to
+    // the NULL region, and the customer delete wave MOVES whole
+    // distinct sets between groups with zero fact ops.
+    "q180_sql_matview_left_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val base = new java.io.File(dir).getName
+      val ftmp = s"target/mvld_f_$base"; val ctmp = s"target/mvld_c_$base"
+      Seq(ftmp, ctmp).foreach(p =>
+        TxLog.deleteRecursively(new java.io.File(p)))
+      graft.server.GraftMatviews.reset()
+      val fact = new GraftTable(s, ftmp, Seq("ck", "code", "price"))
+      val dcust = new GraftTable(s, ctmp, Seq("region"))
+      graft.server.GraftServer.register("mvld_ord", fact)
+      graft.server.GraftServer.register("mvld_cust", dcust)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val cust = T(s, dir, "customer").select($"c_custkey".as("id"),
+          $"c_nationkey".cast("string").as("rg"))
+        val ord = T(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("id"),
+          when($"o_orderkey" % 17 === 0, lit(null).cast("long"))
+            .when($"o_orderkey" % 13 === 0, $"o_custkey" + 10000000L)
+            .otherwise($"o_custkey").cast("long").as("k"),
+          ($"o_orderkey" % 5).cast("long").as("cd"),
+          $"o_totalprice".cast("decimal(12,2)").as("p"))
+        dcust.put(cust, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("region" -> $"rg"), ts("2020-01-01 00:00:00"))
+        fact.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("ck" -> $"k", "code" -> $"cd", "price" -> $"p"),
+          ts("2020-01-01 00:00:01"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvld_codes WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+            "SELECT region, COUNT(*) AS n, " +
+            "COUNT(DISTINCT code) AS ndc, SUM(DISTINCT code) AS sdc, " +
+            "SUM(price) AS total FROM mvld_ord " +
+            "LEFT JOIN mvld_cust ON ck = mvld_cust._id " +
+            "WHERE price > 1000 GROUP BY region")
+        fact.put(ord.filter($"id" % 7 === 0)
+            .withColumn("p2", ($"p" + 1000).cast("decimal(12,2)")),
+          $"id", lit("2000-06-01").cast("timestamp"), None,
+          Seq("ck" -> $"k", "code" -> $"cd", "price" -> $"p2"),
+          ts("2020-01-02 00:00:00"))
+        fact.delete(ord.filter($"id" % 11 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("ck" -> lit(null).cast("long"),
+            "code" -> lit(null).cast("long"),
+            "price" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:01"))
+        dcust.delete(cust.filter($"id" % 10 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("region" -> lit(null).cast("string")),
+          ts("2020-01-02 00:00:02"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvld_codes")
+        graft.server.GraftSql.sql(s,
+          "SELECT COALESCE(region, '(none)') AS region, n, ndc, sdc, " +
+            "CAST(total AS DOUBLE) AS total " +
+            "FROM mvld_codes ORDER BY 1")
+      } finally {
+        graft.server.GraftServer.unregister("mvld_ord")
+        graft.server.GraftServer.unregister("mvld_cust")
+      }
+    }),
+
     // ANSI NULL arithmetic through the maintained state (r15): one
     // whole group's prices are NULL, so its SUM/AVG must serve NULL —
     // the state stores the additive identity 0 there and only the
@@ -1918,6 +1984,32 @@ object Bitemp {
              CAST(sum(p * factor) AS DOUBLE) AS rev
       FROM vis LEFT JOIN cd ON vis.ck = cd.k JOIN pd ON vis.pk = pd.pk
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q176's left join with the distinct family recomputed from scratch
+    "q180_sql_matview_left_distinct" -> """
+      WITH ord AS (SELECT o_orderkey AS id,
+                          CASE WHEN o_orderkey % 17 = 0 THEN NULL
+                               WHEN o_orderkey % 13 = 0
+                                 THEN o_custkey + 10000000
+                               ELSE o_custkey END AS ck,
+                          o_orderkey % 5 AS code,
+                          CAST(o_totalprice AS DECIMAL(12,2)) AS p
+                   FROM orders),
+      eff AS (SELECT ck, code,
+                     CASE WHEN id % 7 = 0 THEN CAST(p + 1000 AS DECIMAL(12,2))
+                          ELSE p END AS p
+              FROM ord WHERE id % 11 <> 0),
+      cust AS (SELECT c_custkey AS cid, CAST(c_nationkey AS VARCHAR) AS region
+               FROM customer WHERE c_custkey % 10 <> 0),
+      j AS (SELECT region, code, p
+            FROM eff LEFT JOIN cust ON eff.ck = cust.cid
+            WHERE p > 1000)
+      SELECT COALESCE(region, '(none)') AS region,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT code) AS BIGINT) AS ndc,
+             CAST(sum(DISTINCT code) AS BIGINT) AS sdc,
+             CAST(sum(p) AS DOUBLE) AS total
+      FROM j GROUP BY 1 ORDER BY 1""",
 
     // all-NULL SUM/AVG groups recomputed from scratch: '1-URGENT' is
     // NULL from birth, '2-HIGH' drains to all-NULL via the update wave
