@@ -652,7 +652,10 @@ final class JoinMatview private[graft] (
     ret(lasts)
   }
 
-  /** The maintained view: (group, n, sum_*) — read-only, no recompute. */
+  /** The maintained view: (group, n, sum_*) — read-only, no recompute.
+    * RAW-STATE semantics for `sum_*` as in [[Matview.read]]: 0 for an
+    * all-NULL group; maintain `cntCols` and mask for ANSI SUM (the DDL
+    * layer does). */
   def read(): DataFrame = read(spark)
 
   /** [[read]] bound to an EXPLICIT session (see [[Matview.read]]). */

@@ -491,7 +491,12 @@ final class Matview private[graft] (
     last
   }
 
-  /** The maintained view: (group, n, sum_*) — read-only, no recompute. */
+  /** The maintained view: (group, n, sum_*) — read-only, no recompute.
+    * RAW-STATE semantics: a `sum_c` column stores the additive identity
+    * 0 for a group whose every input is NULL (delta merges coalesce
+    * through 0). Callers that need ANSI SUM (NULL for all-NULL groups)
+    * must also maintain `cnt_c` via `cntCols` and mask on it — the SQL
+    * DDL layer (GraftMatviews ServeCol.Sum) does exactly that. */
   def read(): DataFrame = read(spark)
 
   /** [[read]] bound to an EXPLICIT session — the SQL front doors serve
