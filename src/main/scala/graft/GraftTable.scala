@@ -137,7 +137,8 @@ final class GraftTable(spark: SparkSession, dir: String,
                   distincts: Seq[graft.bitemporal.MvDistinct] = Nil,
                   hllCols: Seq[String] = Nil,
                   rangeLayout: Boolean = false,
-                  leftJoins: Seq[Boolean] = Nil)
+                  leftJoins: Seq[Boolean] = Nil,
+                  pcts: Seq[graft.bitemporal.MvPct] = Nil)
       : graft.bitemporal.JoinMatview = {
     require(dims.nonEmpty, "at least one dimension table")
     new graft.bitemporal.JoinMatview(spark, log, payloadCols,
@@ -146,7 +147,7 @@ final class GraftTable(spark: SparkSession, dir: String,
       dims.head._2, groupCols, sumCols, validAt, nBuckets, minCols, maxCols,
       cntCols, where, derived,
       dims.tail.map(d => (d._1.log, d._1.payloadColumns, d._2)),
-      distincts, Nil, hllCols, rangeLayout, leftJoins)
+      distincts, Nil, hllCols, rangeLayout, leftJoins, pcts)
   }
 
   /** An incrementally-maintained COUNT/SUM view over this table at a
@@ -172,12 +173,13 @@ final class GraftTable(spark: SparkSession, dir: String,
                derived: Seq[(String, String)] = Nil,
                distincts: Seq[graft.bitemporal.MvDistinct] = Nil,
                hllCols: Seq[String] = Nil,
-               rangeLayout: Boolean = false)
+               rangeLayout: Boolean = false,
+               pcts: Seq[graft.bitemporal.MvPct] = Nil)
       : graft.bitemporal.Matview =
     new graft.bitemporal.Matview(spark, log,
       java.nio.file.Paths.get(dir, "matview", name), payloadCols,
       groupCols, sumCols, validAt, nBuckets, minCols, maxCols, cntCols,
-      where, derived, distincts, Nil, hllCols, rangeLayout)
+      where, derived, distincts, Nil, hllCols, rangeLayout, pcts)
 
   /** [[matviewN]] with an EXPLICIT state dir and COUNT(*)-only state —
     * the DISTINCT-aggregate serve path nests its auxiliary pair-level

@@ -77,7 +77,8 @@ final class JoinMatview private[graft] (
     bucketCols: Seq[String] = Nil,
     hllCols: Seq[String] = Nil,
     rangeLayout: Boolean = false,
-    leftJoins: Seq[Boolean] = Nil) {
+    leftJoins: Seq[Boolean] = Nil,
+    pcts: Seq[MvPct] = Nil) {
   /** (log, payload columns, fact fk column) per dimension — the first
     * is the constructor's primary dim, the rest are the star's extra
     * spokes. */
@@ -127,6 +128,10 @@ final class JoinMatview private[graft] (
     s"count columns $cntCols must be payload or derived columns")
   require(hllCols.forall(aggable.contains),
     s"approx-distinct columns $hllCols must be payload or derived columns")
+  require(pcts.forall(p => aggable.contains(p.arg)),
+    s"percentile columns ${pcts.map(_.arg)} must be payload or derived columns")
+  pcts.foreach(p => require(p.p >= 0.0 && p.p <= 1.0,
+    s"percentile fraction ${p.p} must be in [0, 1]"))
   require(groupCols.nonEmpty, "at least one group column")
   groupCols.foreach(g => require(aggable.contains(g),
     s"group column $g must be a payload or derived column of some table"))
@@ -196,12 +201,18 @@ final class JoinMatview private[graft] (
   // recomputed for touched groups across the join at every refresh,
   // never merged incrementally — see [[Matview]]'s note: that makes
   // deletes/updates and dim group-moves exact for the sketch.
+  // MEDIAN/PERCENTILE/APPROX_PERCENTILE ride the same touched-group
+  // recompute as the sketches — percentiles cannot subtract, and a dim
+  // group-move re-groups members with zero fact ops, so the crossed
+  // re-read is the only exact option (see [[MvPct]]).
   private def mmAliases: Seq[String] =
-    minCols.map(minAlias) ++ maxCols.map(maxAlias) ++ hllCols.map(hllAlias)
+    minCols.map(minAlias) ++ maxCols.map(maxAlias) ++ hllCols.map(hllAlias) ++
+      pcts.map(_.alias)
   private def mmAggs =
     minCols.map(c => min(col(c)).as(minAlias(c))) ++
       maxCols.map(c => max(col(c)).as(maxAlias(c))) ++
-      hllCols.map(c => hll_sketch_agg(col(c)).as(hllAlias(c)))
+      hllCols.map(c => hll_sketch_agg(col(c)).as(hllAlias(c))) ++
+      pcts.map(p => p.agg.as(p.alias))
   // per-column NON-NULL counters over the JOINED relation — they delta
   // exactly like n does (a null cell never contributes), so they ride
   // the same self-maintainable path; AVG = sum/cnt at read time
@@ -260,7 +271,9 @@ final class JoinMatview private[graft] (
       (if (rangeLayout) Seq("layout:range") else Nil) ++
       (if (leftOf.exists(identity))
         Seq("left:" + leftOf.map(b => if (b) "1" else "0").mkString)
-      else Nil)
+      else Nil) ++
+      (if (pcts.nonEmpty) Seq("pct:" + pcts.map(_.fpPart).mkString(","))
+       else Nil)
     val parts = Seq(factCols, groupCols, sumCols, minCols, maxCols,
       cntCols, Seq(whereSql.getOrElse("")),
       derived.map(d => d._1 + "=" + d._2),
@@ -313,14 +326,15 @@ final class JoinMatview private[graft] (
       lit(validAt), lit(sysProbe))
 
   private def factKeep: Seq[String] =
-    (dims.map(_._3) ++ (sumCols ++ minCols ++ maxCols ++ hllCols)
+    (dims.map(_._3) ++
+      (sumCols ++ minCols ++ maxCols ++ hllCols ++ pcts.map(_.arg))
         .filter(factCols.contains) ++
       cntCols.filter(factCols.contains) ++
       factCols.filter(c => rowLocalRefs.contains(c.toLowerCase)) ++
       groupCols.filter(factCols.contains)).distinct
   private def dimKeep(i: Int): Seq[String] = {
     val cols = dimColsOf(i)
-    ((cntCols ++ hllCols).filter(cols.contains) ++
+    ((cntCols ++ hllCols ++ pcts.map(_.arg)).filter(cols.contains) ++
       cols.filter(c => rowLocalRefs.contains(c.toLowerCase)) ++
       groupCols.filter(cols.contains)).distinct
   }

@@ -50,7 +50,8 @@ final class Matview private[graft] (
     distincts: Seq[MvDistinct] = Nil,
     bucketCols: Seq[String] = Nil,
     hllCols: Seq[String] = Nil,
-    rangeLayout: Boolean = false) {
+    rangeLayout: Boolean = false,
+    pcts: Seq[MvPct] = Nil) {
   require(groupCols.nonEmpty, "at least one group column")
   // the state's bucket hash normally covers the whole group key; an aux
   // pair view buckets on the PARENT view's group prefix instead (see
@@ -84,6 +85,10 @@ final class Matview private[graft] (
     s"count columns $cntCols must be payload or derived columns $aggable")
   require(hllCols.forall(aggable.contains),
     s"approx-distinct columns $hllCols must be payload or derived columns $aggable")
+  require(pcts.forall(p => aggable.contains(p.arg)),
+    s"percentile columns ${pcts.map(_.arg)} must be payload or derived columns $aggable")
+  pcts.foreach(p => require(p.p >= 0.0 && p.p <= 1.0,
+    s"percentile fraction ${p.p} must be in [0, 1]"))
   require(nBuckets > 0, "nBuckets must be positive")
 
   private val dataDir = stateRoot.resolve("state")
@@ -119,12 +124,22 @@ final class Matview private[graft] (
   // (never merged incrementally) — which makes deletes/updates EXACT
   // for the sketch's own semantics: the stored sketch always describes
   // exactly the current members, no lingering tombstoned values.
+  // MEDIAN/PERCENTILE_CONT (exact) and APPROX_PERCENTILE state: the
+  // per-group percentile VALUE (double), recomputed for the TOUCHED
+  // GROUPS from their member rows at every refresh — percentiles, like
+  // extremes, are not self-maintainable under deletes/updates, so they
+  // ride the same lifecycle as MIN/MAX. Exact percentile buffers one
+  // touched group's values per task (fine for the recompute's member
+  // slice; a group with billions of members should use the approx
+  // form, whose t-digest memory is bounded by its accuracy knob).
   private def mmAliases: Seq[String] =
-    minCols.map(minAlias) ++ maxCols.map(maxAlias) ++ hllCols.map(hllAlias)
+    minCols.map(minAlias) ++ maxCols.map(maxAlias) ++ hllCols.map(hllAlias) ++
+      pcts.map(_.alias)
   private def mmAggs =
     minCols.map(c => min(col(c)).as(minAlias(c))) ++
       maxCols.map(c => max(col(c)).as(maxAlias(c))) ++
-      hllCols.map(c => hll_sketch_agg(col(c)).as(hllAlias(c)))
+      hllCols.map(c => hll_sketch_agg(col(c)).as(hllAlias(c))) ++
+      pcts.map(p => p.agg.as(p.alias))
   // COUNT(col) = per-column NON-NULL counter — self-maintainable the
   // same way n is (a delta subtracts like a count does; null cells
   // simply never contribute)
@@ -167,7 +182,9 @@ final class Matview private[graft] (
       (if (bucketKeyCols != groupCols)
         Seq("bkey:" + bucketKeyCols.mkString(",")) else Nil) ++
       (if (hllCols.nonEmpty) Seq("hll:" + hllCols.mkString(",")) else Nil) ++
-      (if (rangeLayout) Seq("layout:range") else Nil)
+      (if (rangeLayout) Seq("layout:range") else Nil) ++
+      (if (pcts.nonEmpty) Seq("pct:" + pcts.map(_.fpPart).mkString(","))
+       else Nil)
     val parts = Seq(payloadCols, groupCols, sumCols, minCols, maxCols,
       cntCols, Seq(whereSql.getOrElse("")),
       derived.map(d => d._1 + "=" + d._2),
@@ -544,6 +561,29 @@ private[graft] final case class MvDistinct(
   def sumAlias: String = s"sumd_$arg"
   def aliases: Seq[String] =
     cntAlias +: (if (needSum) Seq(sumAlias) else Nil)
+}
+
+/** One percentile aggregate: MEDIAN / PERCENTILE_CONT (`approx =
+  * false`, exact — Spark's `percentile`, the standard continuous
+  * interpolation) or APPROX_PERCENTILE (`approx = true`, Spark's
+  * `percentile_approx` — bounded memory for huge groups, the scale
+  * path). The state stores the per-group percentile VALUE (double),
+  * recomputed for touched groups on the MIN/MAX lifecycle: percentiles
+  * cannot subtract, so incremental merging is structurally impossible —
+  * the touched-group recompute keeps deletes/updates EXACT for the
+  * aggregate's own semantics. The argument casts to double up front
+  * (both engines' percentile families are double-valued). */
+private[graft] final case class MvPct(
+    arg: String, p: Double, approx: Boolean) {
+  /** basis points — a collision-free integer encoding of p for state
+    * column names (0.5 -> 5000) */
+  def bp: Int = math.round(p * 10000).toInt
+  def alias: String = (if (approx) "apct_" else "pct_") + bp + "_" + arg
+  def fpPart: String = s"$arg@$bp" + (if (approx) "~" else "")
+  def agg: Column =
+    if (approx)
+      expr(s"percentile_approx(cast(`$arg` as double), $p, 10000)")
+    else expr(s"percentile(cast(`$arg` as double), $p)")
 }
 
 /** State-store helpers shared by [[Matview]] and [[JoinMatview]]. */

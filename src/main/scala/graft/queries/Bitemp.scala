@@ -810,6 +810,132 @@ object Bitemp {
       }
     }),
 
+    // Statistics tier (r15): VARIANCE/STDDEV maintain EXACTLY through
+    // sum + sum-of-squares (a derived column) + non-null count — zero
+    // new state mechanics, served by formula; MEDIAN/PERCENTILE_CONT
+    // (exact) and APPROX_PERCENTILE ride the MIN/MAX touched-group
+    // recompute (percentiles cannot subtract). The oracle mirrors the
+    // serve formula's exact double arithmetic over DuckDB's exact
+    // decimal sums and checks the approx median against the exact one
+    // at the advertised tolerance (the q173 pattern).
+    "q181_sql_matview_stats" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvvs_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      graft.server.GraftMatviews.reset()
+      val t = new GraftTable(s, tmp, Seq("grp", "bal"))
+      graft.server.GraftServer.register("mvvs_cust", t)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val c = T(s, dir, "customer").select(
+          $"c_custkey".cast("long").as("id"),
+          $"c_nationkey".cast("string").as("g"),
+          when($"c_custkey" % 13 === 0, lit(null).cast("decimal(12,2)"))
+            .otherwise($"c_acctbal".cast("decimal(12,2)")).as("b"))
+        t.put(c, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "bal" -> $"b"), ts("2020-01-01 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvvs_stats WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+            "SELECT grp, COUNT(*) AS n, " +
+            "VARIANCE(bal) AS vs, VAR_POP(bal) AS vp, " +
+            "STDDEV(bal) AS sd, STDDEV_POP(bal) AS sp, " +
+            "MEDIAN(bal) AS med, PERCENTILE_CONT(bal, 0.1) AS p10, " +
+            "PERCENTILE_CONT(bal, 0.9) AS p90, " +
+            "APPROX_PERCENTILE(bal, 0.5) AS amed " +
+            "FROM mvvs_cust GROUP BY grp")
+        // bump wave then delete wave — the touched groups' percentiles
+        // recompute, the sums delta
+        t.put(c.filter($"id" % 11 === 0)
+            .withColumn("b2", ($"b" + 250).cast("decimal(12,2)")),
+          $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "bal" -> $"b2"), ts("2020-01-02 00:00:00"))
+        t.delete(c.filter($"id" % 7 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> lit(null).cast("string"),
+            "bal" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:01"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvvs_stats")
+        // the approx-median check is RANK-windowed (percentile sketches
+        // advertise rank error, not value error — and both engines'
+        // sketches return a member value, not an interpolation): the
+        // estimate must land between the exact p10 and p90, a ≥20-rank
+        // margin on these ~50-row-per-nation groups
+        graft.server.GraftSql.sql(s,
+          "SELECT grp, n, vs, vp, sd, sp, med, p10, p90, " +
+            "(amed IS NULL AND med IS NULL) OR " +
+            "(amed >= p10 AND amed <= p90) AS amed_ok " +
+            "FROM mvvs_stats ORDER BY grp")
+      } finally graft.server.GraftServer.unregister("mvvs_cust")
+    }),
+
+    // Statistics over a LEFT join (r15): STDDEV and exact percentiles
+    // recompute ACROSS the join for groups a dim wave moves — including
+    // the null-extended group fed by NULL/dangling fks.
+    "q182_sql_matview_join_stats" -> ((s, dir) => {
+      import s.implicits._
+      val base = new java.io.File(dir).getName
+      val ftmp = s"target/mvjs_f_$base"; val ctmp = s"target/mvjs_c_$base"
+      Seq(ftmp, ctmp).foreach(p =>
+        TxLog.deleteRecursively(new java.io.File(p)))
+      graft.server.GraftMatviews.reset()
+      val fact = new GraftTable(s, ftmp, Seq("ck", "price"))
+      val dcust = new GraftTable(s, ctmp, Seq("region"))
+      graft.server.GraftServer.register("mvjs_ord", fact)
+      graft.server.GraftServer.register("mvjs_cust", dcust)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val cust = T(s, dir, "customer").select($"c_custkey".as("id"),
+          $"c_nationkey".cast("string").as("rg"))
+        val ord = T(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("id"),
+          when($"o_orderkey" % 17 === 0, lit(null).cast("long"))
+            .when($"o_orderkey" % 13 === 0, $"o_custkey" + 10000000L)
+            .otherwise($"o_custkey").cast("long").as("k"),
+          $"o_totalprice".cast("decimal(12,2)").as("p"))
+        dcust.put(cust, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("region" -> $"rg"), ts("2020-01-01 00:00:00"))
+        fact.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("ck" -> $"k", "price" -> $"p"), ts("2020-01-01 00:00:01"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvjs_stats WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+            "SELECT region, COUNT(*) AS n, SUM(price) AS total, " +
+            "STDDEV(price) AS sd, MEDIAN(price) AS med, " +
+            "PERCENTILE_CONT(price, 0.9) AS p90 " +
+            "FROM mvjs_ord LEFT JOIN mvjs_cust ON ck = mvjs_cust._id " +
+            "GROUP BY region")
+        // fact bump + delete, then the dim group-move wave (zero fact
+        // ops): every moved region's stats recompute across the join
+        fact.put(ord.filter($"id" % 7 === 0)
+            .withColumn("p2", ($"p" + 1000).cast("decimal(12,2)")),
+          $"id", lit("2000-06-01").cast("timestamp"), None,
+          Seq("ck" -> $"k", "price" -> $"p2"), ts("2020-01-02 00:00:00"))
+        fact.delete(ord.filter($"id" % 11 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("ck" -> lit(null).cast("long"),
+            "price" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:01"))
+        dcust.put(cust.filter($"id" % 10 === 0)
+            .withColumn("rg2", lit("99")),
+          $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("region" -> $"rg2"), ts("2020-01-02 00:00:02"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvjs_stats")
+        // sd rounds to 3 decimals on both sides: the sum of squares
+        // here exceeds 2^53, and the oracle engine's decimal→double
+        // cast double-rounds (int128 then scale division) where Spark's
+        // is correctly rounded — a deterministic 1-ulp divergence the
+        // rounding absorbs
+        graft.server.GraftSql.sql(s,
+          "SELECT COALESCE(region, '(none)') AS region, n, " +
+            "CAST(total AS DOUBLE) AS total, ROUND(sd, 3) AS sd, " +
+            "med, p90 FROM mvjs_stats ORDER BY 1")
+      } finally {
+        graft.server.GraftServer.unregister("mvjs_ord")
+        graft.server.GraftServer.unregister("mvjs_cust")
+      }
+    }),
+
     // ANSI NULL arithmetic through the maintained state (r15): one
     // whole group's prices are NULL, so its SUM/AVG must serve NULL —
     // the state stores the additive identity 0 there and only the
@@ -2010,6 +2136,80 @@ object Bitemp {
              CAST(sum(DISTINCT code) AS BIGINT) AS sdc,
              CAST(sum(p) AS DOUBLE) AS total
       FROM j GROUP BY 1 ORDER BY 1""",
+
+    // the statistics tier recomputed from scratch: the VARIANCE/STDDEV
+    // columns mirror the serve formula's exact arithmetic — exact
+    // decimal sums cast to double, then (Σx² − (Σx)²/n)/(n or n−1),
+    // clamped at 0 — so both engines run the same IEEE operations on
+    // the same exact inputs; exact percentiles use the standard
+    // continuous interpolation both engines implement; the approx
+    // median is checked against the exact one at a shared tolerance
+    // (each engine uses its own sketch — the q173 pattern)
+    "q181_sql_matview_stats" -> """
+      WITH c AS (SELECT c_custkey AS k, CAST(c_nationkey AS VARCHAR) AS grp,
+                        CASE WHEN c_custkey % 13 = 0 THEN NULL
+                             ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS bal
+                 FROM customer),
+      eff AS (SELECT grp,
+                     CASE WHEN k % 11 = 0
+                          THEN CAST(bal + 250 AS DECIMAL(12,2))
+                          ELSE bal END AS bal
+              FROM c WHERE k % 7 <> 0),
+      a AS (SELECT grp, count(*) AS n_all, count(bal) AS nn,
+                   CAST(sum(bal) AS DOUBLE) AS s,
+                   CAST(sum(bal * bal) AS DOUBLE) AS q,
+                   quantile_cont(CAST(bal AS DOUBLE), 0.5) AS med,
+                   quantile_cont(CAST(bal AS DOUBLE), 0.1) AS p10,
+                   quantile_cont(CAST(bal AS DOUBLE), 0.9) AS p90,
+                   approx_quantile(CAST(bal AS DOUBLE), 0.5) AS amed
+            FROM eff GROUP BY grp)
+      SELECT grp, CAST(n_all AS BIGINT) AS n,
+             CASE WHEN nn > 1
+                  THEN greatest(q - s*s/nn, 0) / (nn - 1) END AS vs,
+             CASE WHEN nn > 0
+                  THEN greatest(q - s*s/nn, 0) / nn END AS vp,
+             CASE WHEN nn > 1
+                  THEN sqrt(greatest(q - s*s/nn, 0) / (nn - 1)) END AS sd,
+             CASE WHEN nn > 0
+                  THEN sqrt(greatest(q - s*s/nn, 0) / nn) END AS sp,
+             med, p10, p90,
+             (amed IS NULL AND med IS NULL) OR
+               (amed >= p10 AND amed <= p90) AS amed_ok
+      FROM a ORDER BY grp""",
+
+    // q182's LEFT-join statistics recomputed from scratch, same
+    // formula-mirroring discipline; the '(none)' group collects the
+    // NULL/dangling fks
+    "q182_sql_matview_join_stats" -> """
+      WITH cd AS (SELECT c_custkey AS k,
+                    CASE WHEN c_custkey % 10 = 0 THEN '99'
+                         ELSE CAST(c_nationkey AS VARCHAR) END AS region
+                  FROM customer),
+      ord AS (SELECT o_orderkey AS id,
+                     CASE WHEN o_orderkey % 17 = 0 THEN NULL
+                          WHEN o_orderkey % 13 = 0
+                            THEN o_custkey + 10000000
+                          ELSE o_custkey END AS ck,
+                     CAST(o_totalprice AS DECIMAL(12,2)) AS p
+              FROM orders),
+      eff AS (SELECT ck,
+                     CASE WHEN id % 7 = 0 THEN CAST(p + 1000 AS DECIMAL(12,2))
+                          ELSE p END AS p
+              FROM ord WHERE id % 11 <> 0),
+      j AS (SELECT region, p FROM eff LEFT JOIN cd ON eff.ck = cd.k),
+      a AS (SELECT region, count(*) AS n_all, count(p) AS nn,
+                   CAST(sum(p) AS DOUBLE) AS s,
+                   CAST(sum(p * p) AS DOUBLE) AS q,
+                   quantile_cont(CAST(p AS DOUBLE), 0.5) AS med,
+                   quantile_cont(CAST(p AS DOUBLE), 0.9) AS p90
+            FROM j GROUP BY region)
+      SELECT COALESCE(region, '(none)') AS region,
+             CAST(n_all AS BIGINT) AS n, s AS total,
+             CASE WHEN nn > 1
+                  THEN round(sqrt(greatest(q - s*s/nn, 0) / (nn - 1)), 3)
+             END AS sd,
+             med, p90
+      FROM a ORDER BY region""",
 
     // all-NULL SUM/AVG groups recomputed from scratch: '1-URGENT' is
     // NULL from birth, '2-HIGH' drains to all-NULL via the update wave

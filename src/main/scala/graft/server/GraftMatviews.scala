@@ -82,6 +82,15 @@ object GraftMatviews {
     final case class AvgDistinct(arg: String) extends ServeCol
     /** APPROX_COUNT_DISTINCT: estimate of the stored hll_ sketch */
     final case class ApproxDistinct(arg: String) extends ServeCol
+    /** VARIANCE/STDDEV family: served by formula from three exactly
+      * self-maintainable constituents — sum (`sum_arg`), sum of squares
+      * (`sum_sq` over the squared derived column) and non-null count
+      * (`cnt_arg`): var = (Σx² − (Σx)²/n) / (n or n−1). The division
+      * runs in double at read; with exact-typed (integral/DECIMAL)
+      * inputs the sums are exact, so the served value is the
+      * deterministic IEEE image of the true variance. */
+    final case class VarStd(arg: String, sq: String, pop: Boolean,
+                            isStd: Boolean) extends ServeCol
     /** a stored state column served verbatim
       * (n / cnt_ / sum_ / min_ / max_ / cntd_ / sumd_) */
     final case class State(canon: String) extends ServeCol
@@ -462,7 +471,9 @@ object GraftMatviews {
           " AS SELECT g, COUNT(*) [AS a], COUNT([DISTINCT] c)," +
           " SUM([DISTINCT] c), AVG([DISTINCT] c)," +
           " APPROX_COUNT_DISTINCT(c)," +
-          " MIN(c), MAX(c) FROM fact [JOIN dim ON fk = dim._id]" +
+          " MIN(c), MAX(c), VARIANCE(c), STDDEV(c), MEDIAN(c)," +
+          " PERCENTILE_CONT(c, p), APPROX_PERCENTILE(c, p)" +
+          " FROM fact [JOIN dim ON fk = dim._id]" +
           " [WHERE pred] GROUP BY g\n" +
           "  REFRESH MATERIALIZED VIEW v\n" +
           "  DROP MATERIALIZED VIEW [IF EXISTS] v\n" +
@@ -668,6 +679,21 @@ object GraftMatviews {
     // mode (low per-group cardinality).
     val apdRe = ("(?is)^APPROX_COUNT_DISTINCT\\s*\\(\\s*([\\s\\S]+?)" +
       "\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$").r
+    // MEDIAN(x) / PERCENTILE_CONT(x, p) / PERCENTILE(x, p) — EXACT
+    // continuous percentiles — and APPROX_PERCENTILE(x, p) (bounded
+    // memory for huge groups). Neither subtracts, so the state stores
+    // the per-group VALUE recomputed for touched groups on the MIN/MAX
+    // lifecycle ([[graft.bitemporal.MvPct]]) — deletes/updates exact.
+    val pctRe = ("(?is)^(MEDIAN|PERCENTILE_CONT|PERCENTILE|" +
+      "APPROX_PERCENTILE)\\s*\\(\\s*([\\s\\S]+?)" +
+      "(?:\\s*,\\s*([0-9]*\\.?[0-9]+)\\s*)?\\)" +
+      "(?:\\s+AS\\s+([A-Za-z_]\\w*))?$").r
+    // VARIANCE/STDDEV family: exactly self-maintainable through sum +
+    // sum-of-squares (a derived column) + non-null count — zero new
+    // state mechanics, served by formula (ServeCol.VarStd)
+    val vsRe = ("(?is)^(STDDEV_SAMP|STDDEV_POP|STDDEV|VAR_SAMP|" +
+      "VAR_POP|VARIANCE)\\s*\\(\\s*([\\s\\S]+?)\\s*\\)" +
+      "(?:\\s+AS\\s+([A-Za-z_]\\w*))?$").r
     // EXPRESSION aggregate — any argument that isn't a bare column ref
     // (tried after aggRe). The argument becomes a DERIVED column on the
     // maintained relation, computed row-locally after the sieve, so the
@@ -747,6 +773,10 @@ object GraftMatviews {
     val maxs = Seq.newBuilder[String]
     val cnts = Seq.newBuilder[String]
     val hlls = Seq.newBuilder[String]
+    // percentile aggregates, deduped structurally: MEDIAN(x) and
+    // PERCENTILE_CONT(x, 0.5) share one state column
+    val pcts = scala.collection.mutable.LinkedHashSet
+      .empty[graft.bitemporal.MvPct]
     // canonical -> alias, in SELECT order (group handled separately)
     val serve = Seq.newBuilder[(ServeCol, String)]
     BitemporalDml.splitTopLevel(list).map(_.trim).filter(_.nonEmpty)
@@ -765,6 +795,62 @@ object GraftMatviews {
           }
           hlls += c
           serve += (ServeCol.ApproxDistinct(c) -> alias)
+        case pctRe(fn0, arg0, frac0, alias0) =>
+          val fn = fn0.toUpperCase
+          val argT = arg0.trim
+          if (argT == "*" || argT.toUpperCase.startsWith("DISTINCT"))
+            fail(s"$fn needs a column or row-local expression argument " +
+              "(DISTINCT makes no difference to a percentile and is " +
+              "not accepted)")
+          val p: Double = (fn, Option(frac0)) match {
+            case ("MEDIAN", None) => 0.5
+            case ("MEDIAN", Some(_)) =>
+              fail("MEDIAN takes a single argument — use " +
+                "PERCENTILE_CONT(col, p) for other fractions")
+            case (_, None) =>
+              fail(s"$fn needs a fraction: $fn(col, p) with p in [0, 1]")
+            case (_, Some(f)) =>
+              val d = f.toDouble
+              if (d < 0.0 || d > 1.0)
+                fail(s"$fn fraction must be in [0, 1], got $f")
+              d
+          }
+          val isCol = plainIdentRe.matches(argT)
+          val c = if (isCol) unqualify(argT) else derivedName(argT)
+          val mp = graft.bitemporal.MvPct(c, p,
+            approx = fn == "APPROX_PERCENTILE")
+          val alias = Option(alias0).getOrElse {
+            if (!isCol)
+              fail(s"expression aggregate $fn($argT) needs an explicit " +
+                "AS alias to serve as a column name")
+            else if (fn == "MEDIAN") s"median_$c"
+            else mp.alias
+          }
+          pcts += mp
+          serve += (ServeCol.State(mp.alias) -> alias)
+        case vsRe(fn0, arg0, alias0) =>
+          val fn = fn0.toUpperCase
+          val argT = arg0.trim
+          if (argT == "*" || argT.toUpperCase.startsWith("DISTINCT"))
+            fail(s"$fn(DISTINCT …) is not incrementally maintainable " +
+              "here — the distinct multiset of values cannot be " +
+              "re-derived from sums; use the plain form")
+          val isCol = plainIdentRe.matches(argT)
+          val c = if (isCol) unqualify(argT) else derivedName(argT)
+          val alias = Option(alias0).getOrElse {
+            if (isCol) s"${fn.toLowerCase}_$c"
+            else fail(s"expression aggregate $fn($argT) needs an " +
+              "explicit AS alias to serve as a column name")
+          }
+          // the squared argument re-expands the ORIGINAL text so it
+          // validates as a row-local expression on its own; squaring
+          // the RAW value (no double cast) keeps DECIMAL inputs exact
+          // end to end — the only double arithmetic is the read-time
+          // formula
+          val sq = derivedName(s"($argT) * ($argT)")
+          sums += c; cnts += c; sums += sq
+          serve += (ServeCol.VarStd(c, sq, pop = fn.endsWith("_POP"),
+            isStd = fn.startsWith("STDDEV")) -> alias)
         case aggDistRe(fn0, arg0, alias0) =>
           val fn = fn0.toUpperCase
           if (arg0.trim == "*")
@@ -863,7 +949,9 @@ object GraftMatviews {
           s"column (${groups.mkString(", ")}) nor " +
           "COUNT(*)/COUNT/SUM/AVG/MIN/MAX([DISTINCT] col | row-local " +
           "expression AS alias) nor APPROX_COUNT_DISTINCT(col | expr " +
-          "AS alias)")
+          "AS alias) nor VARIANCE/VAR_SAMP/VAR_POP/STDDEV/STDDEV_SAMP/" +
+          "STDDEV_POP(col | expr AS alias) nor MEDIAN(col)/" +
+          "PERCENTILE_CONT(col, p)/APPROX_PERCENTILE(col, p)")
       }
 
     val fact = graftTable(factName)
@@ -896,9 +984,9 @@ object GraftMatviews {
     val handle =
       if (joinSpecs.isEmpty) {
         val nb = buckets.getOrElse(32)
-        (distincts ++ hlls.result()).filterNot(d =>
+        (distincts ++ hlls.result() ++ pcts.map(_.arg)).filterNot(d =>
             fact.payloadColumns.contains(d) || derivedExprs.contains(d))
-          .foreach(d => fail(s"DISTINCT argument $d must be a payload " +
+          .foreach(d => fail(s"aggregate argument $d must be a payload " +
             s"column of $factName (or a row-local expression)"))
         val mvDir = matviewDir(factName, "matview", name)
         // each DISTINCT argument's auxiliary pair-level view, nested
@@ -923,7 +1011,7 @@ object GraftMatviews {
         val mv = fact.matviewN(name, groups, sums.result().distinct, validAt,
           nb, mins.result(), maxs.result(),
           cnts.result().distinct, whereOpt, derivedExprs.toSeq, auxes,
-          hlls.result().distinct, rangeLayout)
+          hlls.result().distinct, rangeLayout, pcts.toSeq)
         Handle(name, serveAll, havingOpt,
           sess => mv.read(sess),
           () => (mv.refresh(), Option.empty[Long]),
@@ -966,9 +1054,9 @@ object GraftMatviews {
         val nb = buckets.getOrElse(64)
         val allPayload =
           fact.payloadColumns ++ dims.flatMap(_._1.payloadColumns)
-        (distincts ++ hlls.result()).filterNot(d =>
+        (distincts ++ hlls.result() ++ pcts.map(_.arg)).filterNot(d =>
             allPayload.contains(d) || derivedExprs.contains(d))
-          .foreach(d => fail(s"DISTINCT argument $d must be a payload " +
+          .foreach(d => fail(s"aggregate argument $d must be a payload " +
             "column of a joined table (or a row-local expression)"))
         val mvDir = matviewDir(factName, "join_matview", name)
         // star-form auxes: same parent-prefix bucketing and
@@ -986,7 +1074,7 @@ object GraftMatviews {
           sums.result().distinct, validAt, nb,
           mins.result(), maxs.result(), cnts.result().distinct, whereOpt,
           derivedExprs.toSeq, auxes, hlls.result().distinct, rangeLayout,
-          leftJoins)
+          leftJoins, pcts.toSeq)
         Handle(name, serveAll, havingOpt,
           sess => mv.read(sess),
           () => { val (a, b) = mv.refresh(); (a, Some(b)) },
@@ -1127,6 +1215,20 @@ object GraftMatviews {
           // APPROX_COUNT_DISTINCT serves the stored sketch's estimate;
           // an all-null group's sketch is empty/NULL → 0, SQL semantics
           coalesce(hll_sketch_estimate(col(s"hll_$c")), lit(0L)).as(alias)
+        case (ServeCol.VarStd(c, sq, pop, isStd), alias) =>
+          // variance from the maintained sums: (Σx² − (Σx)²/n)/(n or
+          // n−1), clamped at 0 (floating-point cancellation must not
+          // produce a negative variance / NaN stddev). ANSI nulls:
+          // var_pop needs ≥1 non-null input, var_samp ≥2.
+          val nn = col(s"cnt_$c").cast("double")
+          val sm = col(s"sum_$c").cast("double")
+          val qq = col(s"sum_$sq").cast("double")
+          val num = greatest(qq - sm * sm / nn, lit(0.0))
+          val v =
+            if (pop) when(col(s"cnt_$c") > 0, num / nn)
+            else when(col(s"cnt_$c") > 1, num / (nn - lit(1.0)))
+          (if (isStd) org.apache.spark.sql.functions.sqrt(v) else v)
+            .as(alias)
         case (ServeCol.State(canon), alias) => col(canon).as(alias)
       }
     df0.select(cols: _*)

@@ -28,7 +28,9 @@ class MatviewFuzzSpec extends AnyFunSuite {
   private final case class ViewDef(
       hasSum: Boolean, hasAvg: Boolean, hasMin: Boolean, hasMax: Boolean,
       hasCnt: Boolean, hasNd: Boolean, hasSd: Boolean, hasApd: Boolean,
-      hasWhere: Boolean, range: Boolean) {
+      hasWhere: Boolean, range: Boolean,
+      hasVar: Boolean = false, hasStd: Boolean = false,
+      hasMed: Boolean = false, hasApm: Boolean = false) {
     def selectList: String = {
       val items = Seq("grp", "COUNT(*) AS n") ++
         (if (hasSum) Seq("SUM(amt) AS s") else Nil) ++
@@ -38,14 +40,20 @@ class MatviewFuzzSpec extends AnyFunSuite {
         (if (hasCnt) Seq("COUNT(code) AS c") else Nil) ++
         (if (hasNd) Seq("COUNT(DISTINCT code) AS nd") else Nil) ++
         (if (hasSd) Seq("SUM(DISTINCT code) AS sd") else Nil) ++
-        (if (hasApd) Seq("APPROX_COUNT_DISTINCT(code) AS apd") else Nil)
+        (if (hasApd) Seq("APPROX_COUNT_DISTINCT(code) AS apd") else Nil) ++
+        (if (hasVar) Seq("VARIANCE(amt) AS vr") else Nil) ++
+        (if (hasStd) Seq("STDDEV_POP(amt) AS sp") else Nil) ++
+        (if (hasMed) Seq("MEDIAN(amt) AS md") else Nil) ++
+        (if (hasApm) Seq("APPROX_PERCENTILE(amt, 0.25) AS ap") else Nil)
       items.mkString(", ")
     }
     def cols: Seq[String] = Seq("grp", "n") ++
       (if (hasSum) Seq("s") else Nil) ++ (if (hasAvg) Seq("av") else Nil) ++
       (if (hasMin) Seq("mn") else Nil) ++ (if (hasMax) Seq("mx") else Nil) ++
       (if (hasCnt) Seq("c") else Nil) ++ (if (hasNd) Seq("nd") else Nil) ++
-      (if (hasSd) Seq("sd") else Nil) ++ (if (hasApd) Seq("apd") else Nil)
+      (if (hasSd) Seq("sd") else Nil) ++ (if (hasApd) Seq("apd") else Nil) ++
+      (if (hasVar) Seq("vr") else Nil) ++ (if (hasStd) Seq("sp") else Nil) ++
+      (if (hasMed) Seq("md") else Nil) ++ (if (hasApm) Seq("ap") else Nil)
     def ddl(name: String, table: String): String =
       s"CREATE MATERIALIZED VIEW $name WITH " +
         s"(valid_at = '2030-01-01 00:00:00', buckets = 4" +
@@ -63,7 +71,9 @@ class MatviewFuzzSpec extends AnyFunSuite {
       hasMin = rnd.nextBoolean(), hasMax = rnd.nextBoolean(),
       hasCnt = rnd.nextBoolean(), hasNd = rnd.nextBoolean(),
       hasSd = rnd.nextBoolean(), hasApd = rnd.nextBoolean(),
-      hasWhere = rnd.nextBoolean(), range = rnd.nextBoolean())
+      hasWhere = rnd.nextBoolean(), range = rnd.nextBoolean(),
+      hasVar = rnd.nextBoolean(), hasStd = rnd.nextBoolean(),
+      hasMed = rnd.nextBoolean(), hasApm = rnd.nextBoolean())
     val dir = java.nio.file.Files
       .createTempDirectory(s"graft_mvfz$seed").toString
     val t = new graft.GraftTable(spark, dir, Seq("grp", "code", "amt"))
@@ -126,7 +136,29 @@ class MatviewFuzzSpec extends AnyFunSuite {
         (if (vd.hasCnt) Seq(count($"code").as("c")) else Nil) ++
         (if (vd.hasNd) Seq(count_distinct($"code").as("nd")) else Nil) ++
         (if (vd.hasSd) Seq(sum_distinct($"code").as("sd")) else Nil) ++
-        (if (vd.hasApd) Seq(count_distinct($"code").as("apd")) else Nil)
+        (if (vd.hasApd) Seq(count_distinct($"code").as("apd")) else Nil) ++ {
+          // variance/stddev mirror the SERVE formula bit for bit (exact
+          // decimal sums → the same IEEE double ops), not Spark's
+          // Welford aggregate, which differs in the last ulps
+          lazy val nnD = count($"amt").cast("double")
+          lazy val sD = sum($"amt").cast("double")
+          lazy val qD = sum($"amt" * $"amt").cast("double")
+          lazy val num = greatest(qD - sD * sD / nnD, lit(0.0))
+          (if (vd.hasVar)
+            Seq(when(count($"amt") > 1, num / (nnD - lit(1.0))).as("vr"))
+          else Nil) ++
+          (if (vd.hasStd)
+            Seq(org.apache.spark.sql.functions
+              .sqrt(when(count($"amt") > 0, num / nnD)).as("sp"))
+          else Nil)
+        } ++
+        (if (vd.hasMed)
+          Seq(expr("percentile(cast(amt as double), 0.5)").as("md"))
+        else Nil) ++
+        (if (vd.hasApm)
+          Seq(expr("percentile_approx(cast(amt as double), 0.25, 10000)")
+            .as("ap"))
+        else Nil)
       base.groupBy($"grp").agg(aggs.head, aggs.tail: _*)
         .select(vd.cols.map(col): _*).collect()
         .map(r => vd.cols.indices.map(i => String.valueOf(r.get(i))).toSeq)
@@ -185,17 +217,21 @@ class MatviewFuzzSpec extends AnyFunSuite {
     val hasMax = rnd.nextBoolean(); val hasCnt = rnd.nextBoolean()
     val hasNd = rnd.nextBoolean(); val hasApd = rnd.nextBoolean()
     val hasWhere = rnd.nextBoolean()
+    val hasMed = rnd.nextBoolean(); val hasStd = rnd.nextBoolean()
     val cols = Seq("dgrp", "n") ++
       (if (hasSum) Seq("s") else Nil) ++ (if (hasMin) Seq("mn") else Nil) ++
       (if (hasMax) Seq("mx") else Nil) ++ (if (hasCnt) Seq("c") else Nil) ++
-      (if (hasNd) Seq("nd") else Nil) ++ (if (hasApd) Seq("apd") else Nil)
+      (if (hasNd) Seq("nd") else Nil) ++ (if (hasApd) Seq("apd") else Nil) ++
+      (if (hasMed) Seq("md") else Nil) ++ (if (hasStd) Seq("sp") else Nil)
     val selectList = (Seq("dgrp", "COUNT(*) AS n") ++
       (if (hasSum) Seq("SUM(amt) AS s") else Nil) ++
       (if (hasMin) Seq("MIN(amt) AS mn") else Nil) ++
       (if (hasMax) Seq("MAX(amt) AS mx") else Nil) ++
       (if (hasCnt) Seq("COUNT(code) AS c") else Nil) ++
       (if (hasNd) Seq("COUNT(DISTINCT code) AS nd") else Nil) ++
-      (if (hasApd) Seq("APPROX_COUNT_DISTINCT(code) AS apd") else Nil))
+      (if (hasApd) Seq("APPROX_COUNT_DISTINCT(code) AS apd") else Nil) ++
+      (if (hasMed) Seq("MEDIAN(amt) AS md") else Nil) ++
+      (if (hasStd) Seq("STDDEV_POP(amt) AS sp") else Nil))
       .mkString(", ")
     val fdir = java.nio.file.Files
       .createTempDirectory(s"graft_mvfzj_f$seed").toString
@@ -283,7 +319,19 @@ class MatviewFuzzSpec extends AnyFunSuite {
         (if (hasMax) Seq(max($"amt").as("mx")) else Nil) ++
         (if (hasCnt) Seq(count($"code").as("c")) else Nil) ++
         (if (hasNd) Seq(count_distinct($"code").as("nd")) else Nil) ++
-        (if (hasApd) Seq(count_distinct($"code").as("apd")) else Nil)
+        (if (hasApd) Seq(count_distinct($"code").as("apd")) else Nil) ++
+        (if (hasMed)
+          Seq(expr("percentile(cast(amt as double), 0.5)").as("md"))
+        else Nil) ++
+        // stddev mirrors the serve formula (see the single-table fuzz)
+        (if (hasStd) {
+          val nnD = count($"amt").cast("double")
+          val sD = sum($"amt").cast("double")
+          val qD = sum($"amt" * $"amt").cast("double")
+          Seq(org.apache.spark.sql.functions.sqrt(
+            when(count($"amt") > 0,
+              greatest(qD - sD * sD / nnD, lit(0.0)) / nnD)).as("sp"))
+        } else Nil)
       j.groupBy($"dgrp").agg(aggs.head, aggs.tail: _*)
         .select(cols.map(col): _*).collect()
         .map(r => cols.indices.map(i => String.valueOf(r.get(i))).toSeq)

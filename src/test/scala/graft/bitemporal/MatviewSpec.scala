@@ -492,6 +492,53 @@ class MatviewSpec extends AnyFunSuite {
     }
   }
 
+  test("a percentile-ONLY view rides the same member-re-read lifecycle " +
+      "as MIN/MAX: touched groups inline as a literal predicate on the " +
+      "base scan, untouched groups keep their stored value") {
+    MvState.capturedMemberPlans.synchronized(
+      MvState.capturedMemberPlans.clear())
+    MvState.captureMemberPlans = true
+    try {
+      val (t, _) = freshTable()
+      val mv = t.matviewN("pct_push", Seq("grp"), Nil, validAt, 4,
+        pcts = Seq(MvPct("amt", 0.5, approx = false)))
+      t.put(spark.range(200).select($"id",
+          format_string("g%03d", $"id" % 50).as("g"),
+          ($"id" % 7).cast("decimal(12,2)").as("m")),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "amt" -> $"m"), ts("2024-01-01 00:00:00"))
+      t.compact()
+      mv.refresh() // first build — no member re-read
+      assert(MvState.capturedMemberPlans.synchronized {
+        MvState.capturedMemberPlans.isEmpty
+      }, "the first build must not pay the member re-read")
+      t.put(Seq((0L, "g000", "99.00")).toDF("id", "g", "m")
+          .select($"id", $"g", $"m".cast("decimal(12,2)").as("m")),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "amt" -> $"m"), ts("2024-01-02 00:00:00"))
+      mv.refresh()
+      val plans = MvState.capturedMemberPlans.synchronized {
+        MvState.capturedMemberPlans.toList
+      }
+      assert(plans.nonEmpty && plans.last._1 == "inline",
+        s"a pct-only refresh must take the inline member path, got " +
+          s"${plans.map(_._1)}")
+      // exactness: the touched group's median recomputed from members,
+      // an untouched group still serving its stored value
+      val truth = t.current()
+        .filter($"grp".isin("g000", "g001"))
+        .groupBy($"grp")
+        .agg(expr("percentile(cast(amt as double), 0.5)").as("p"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val got = mv.read().filter($"grp".isin("g000", "g001"))
+        .collect().map(r =>
+          r.getString(0) -> r.getAs[Double]("pct_5000_amt")).toMap
+      assert(got == truth, s"$got vs $truth")
+    } finally {
+      MvState.captureMemberPlans = false
+    }
+  }
+
   test("ensurePruneRule under concurrency: appends are never lost, " +
       "third-party rules survive, the rule lands exactly once") {
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan

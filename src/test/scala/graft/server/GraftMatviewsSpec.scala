@@ -1609,8 +1609,8 @@ class GraftMatviewsSpec extends AnyFunSuite {
       // old definition re-registers (typo-proof OR REPLACE)
       val bad = intercept[IllegalArgumentException](GraftSql.sql(spark,
         "CREATE OR REPLACE MATERIALIZED VIEW mv_or AS " +
-          "SELECT grp, MEDIAN(bal) AS m FROM orfact GROUP BY grp"))
-      assert(bad.getMessage.contains("MEDIAN") ||
+          "SELECT grp, MODE(bal) AS m FROM orfact GROUP BY grp"))
+      assert(bad.getMessage.contains("MODE") ||
         bad.getMessage.contains("select item"), bad.getMessage)
       assert(GraftSql.sql(spark,
         "SELECT n FROM mv_or WHERE grp = 'a'").collect()(0).getLong(0) == 2L,
@@ -2718,6 +2718,212 @@ class GraftMatviewsSpec extends AnyFunSuite {
       GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_sn")
     } finally {
       GraftServer.unregister("sn_tab")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("statistics tier, single-table: VARIANCE/STDDEV family " +
+      "(exactly incremental via sum + sum-of-squares + count) and " +
+      "MEDIAN/PERCENTILE_CONT/APPROX_PERCENTILE (touched-group " +
+      "recompute) through inserts, updates and deletes") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "amt"))
+    GraftServer.register("st_tab", t)
+    def put(rows: Seq[(Long, String, java.lang.Long)], at: String): Unit =
+      t.put(rows.toDF("id", "g", "m")
+          .select($"id", $"g", $"m".cast("decimal(12,2)").as("m")),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "amt" -> $"m"), ts(at))
+    def del(ids: Seq[Long], at: String): Unit =
+      t.delete(ids.toDF("id"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> lit(null).cast("string"),
+          "amt" -> lit(null).cast("decimal(12,2)")), ts(at))
+    try {
+      put(Seq((1L, "a", Long.box(10L)), (2L, "a", Long.box(20L)),
+        (3L, "a", Long.box(40L)), (4L, "b", Long.box(7L)),
+        (5L, "b", null), (6L, "c", null)), "2024-01-01 00:00:00")
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_stats WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT grp, COUNT(*) AS n, " +
+        "VARIANCE(amt) AS vs, VAR_POP(amt) AS vp, " +
+        "STDDEV(amt) AS sd, STDDEV_POP(amt) AS sp, " +
+        "MEDIAN(amt) AS med, PERCENTILE_CONT(amt, 0.9) AS p90, " +
+        "APPROX_PERCENTILE(amt, 0.5) AS amed " +
+        "FROM st_tab GROUP BY grp")
+
+      // from-scratch truth over the CURRENT visible rows — variance via
+      // Spark's own aggregates (different algorithm: tolerance), exact
+      // percentiles via the same `percentile` the state recompute uses
+      // (bit parity expected)
+      def truth(): Map[String, org.apache.spark.sql.Row] =
+        t.current().groupBy($"grp").agg(
+          count(lit(1)).as("n"),
+          var_samp($"amt".cast("double")).as("vs"),
+          var_pop($"amt".cast("double")).as("vp"),
+          stddev($"amt".cast("double")).as("sd"),
+          stddev_pop($"amt".cast("double")).as("sp"),
+          expr("percentile(cast(amt as double), 0.5)").as("med"),
+          expr("percentile(cast(amt as double), 0.9)").as("p90"),
+          expr("percentile_approx(cast(amt as double), 0.5, 10000)")
+            .as("amed"))
+          .collect().map(r => r.getString(0) -> r).toMap
+      def served(): Map[String, org.apache.spark.sql.Row] =
+        GraftSql.sql(spark,
+          "SELECT grp, n, vs, vp, sd, sp, med, p90, amed FROM mv_stats")
+          .collect().map(r => r.getString(0) -> r).toMap
+      def close(a: Double, b: Double): Boolean =
+        math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(a.abs, b.abs))
+      def check(): Unit = {
+        val (sv, tr) = (served(), truth())
+        assert(sv.keySet == tr.keySet, s"$sv vs $tr")
+        tr.foreach { case (g, e) =>
+          val r = sv(g)
+          assert(r.getLong(1) == e.getLong(1), s"n for $g: $r vs $e")
+          // vs/vp/sd/sp at tolerance (formula vs Welford)
+          Seq(2 -> 2, 3 -> 3, 4 -> 4, 5 -> 5).foreach { case (i, j) =>
+            assert(r.isNullAt(i) == e.isNullAt(j) &&
+              (r.isNullAt(i) || close(r.getDouble(i), e.getDouble(j))),
+              s"stat col $i for $g: $r vs $e")
+          }
+          // exact percentiles: same function, same members → equal
+          Seq(6 -> 6, 7 -> 7).foreach { case (i, j) =>
+            assert(r.isNullAt(i) == e.isNullAt(j) &&
+              (r.isNullAt(i) || r.getDouble(i) == e.getDouble(j)),
+              s"percentile col $i for $g: $r vs $e")
+          }
+          // approx median: the state must equal the from-scratch
+          // percentile_approx of the same members — same engine, same
+          // function, deterministic (the sketch picks a member value,
+          // so a value-tolerance against the INTERPOLATED median would
+          // be the wrong property)
+          assert(r.isNullAt(8) == e.isNullAt(8) &&
+            (r.isNullAt(8) || r.getDouble(8) == e.getDouble(8)),
+            s"approx median for $g: $r vs $e")
+        }
+      }
+      check()
+      // ANSI semantics at the edges: single-value group b → var_samp
+      // NULL, var_pop 0; all-NULL group c → everything NULL
+      locally {
+        val sv = served()
+        assert(sv("b").isNullAt(2) && sv("b").getDouble(3) == 0.0, sv("b").toString)
+        assert((2 to 8).forall(sv("c").isNullAt), sv("c").toString)
+      }
+
+      // update moves a value (40 → 100), delete removes one, an insert
+      // gives the all-NULL group real values — every lifecycle edge
+      put(Seq((3L, "a", Long.box(100L))), "2024-01-02 00:00:00")
+      del(Seq(2L), "2024-01-02 00:00:01")
+      put(Seq((7L, "c", Long.box(5L)), (8L, "c", Long.box(9L))),
+        "2024-01-02 00:00:02")
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_stats").collect()
+      check()
+
+      // retraction back to all-NULL: group c loses its values again —
+      // the percentile overlay must serve NULL, not stale state
+      del(Seq(7L, 8L), "2024-01-03 00:00:00")
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_stats").collect()
+      check()
+      assert((2 to 8).forall(served()("c").isNullAt))
+
+      // restart adoption round-trips the statistics definition
+      GraftMatviews.reset()
+      val restored = GraftSql.sql(spark, "RESTORE MATERIALIZED VIEWS")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(restored.get("mv_stats").contains("restored"), restored.toString)
+      check()
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_stats")
+
+      // rejections: DISTINCT variance, median with a fraction,
+      // out-of-range percentile fraction
+      Seq(
+        "SELECT grp, STDDEV(DISTINCT amt) AS x FROM st_tab GROUP BY grp",
+        "SELECT grp, MEDIAN(amt, 0.3) AS x FROM st_tab GROUP BY grp",
+        "SELECT grp, PERCENTILE_CONT(amt, 1.5) AS x FROM st_tab GROUP BY grp")
+        .foreach { sel =>
+          val e = intercept[IllegalArgumentException] {
+            GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_bad AS " + sel)
+          }
+          assert(e.getMessage != null, sel)
+        }
+    } finally {
+      GraftServer.unregister("st_tab")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("statistics tier, join form: STDDEV over an expression and " +
+      "MEDIAN over a fact measure survive a dim group-move (crossed " +
+      "touched-group recompute, zero fact ops)") {
+    val s = spark
+    import s.implicits._
+    val fact = freshTable(Seq("fk", "qty"))
+    val dim = freshTable(Seq("region"))
+    GraftServer.register("stj_fact", fact)
+    GraftServer.register("stj_dim", dim)
+    try {
+      dim.put(Seq((10L, "east"), (20L, "west")).toDF("id", "r"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r"), ts("2024-01-01 00:00:00"))
+      fact.put(Seq((1L, 10L, 2L), (2L, 10L, 4L), (3L, 10L, 9L),
+          (4L, 20L, 5L), (5L, 20L, 7L)).toDF("id", "k", "q")
+          .select($"id", $"k", $"q".cast("decimal(10,2)").as("q")),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("fk" -> $"k", "qty" -> $"q"), ts("2024-01-01 00:00:01"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_stj WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT region, COUNT(*) AS n, " +
+        "STDDEV(qty * 2) AS sdq2, MEDIAN(qty) AS med " +
+        "FROM stj_fact JOIN stj_dim ON fk = stj_dim._id GROUP BY region")
+
+      def truth(): Map[String, (Long, Option[Double], Option[Double])] = {
+        val j = fact.current().join(dim.current()
+            .select(col("_id").as("did"), col("region")),
+          col("fk") === col("did"))
+        j.groupBy(col("region")).agg(
+          count(lit(1)).as("n"),
+          stddev((col("qty") * 2).cast("double")).as("sd"),
+          expr("percentile(cast(qty as double), 0.5)").as("med"))
+          .collect().map(r => r.getString(0) -> ((r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      }
+      def served(): Map[String, (Long, Option[Double], Option[Double])] =
+        GraftSql.sql(spark,
+          "SELECT region, n, sdq2, med FROM mv_stj").collect()
+          .map(r => r.getString(0) -> ((r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      def check(): Unit = {
+        val (sv, tr) = (served(), truth())
+        assert(sv.keySet == tr.keySet, s"$sv vs $tr")
+        tr.foreach { case (g, (n, sd, med)) =>
+          val (rn, rsd, rmed) = sv(g)
+          assert(rn == n, s"$g: $sv vs $tr")
+          assert(sd.isDefined == rsd.isDefined &&
+            sd.zip(rsd).forall { case (a, b) =>
+              math.abs(a - b) <= 1e-9 * math.max(1.0, a.abs) },
+            s"$g stddev: $sv vs $tr")
+          assert(med == rmed, s"$g median: $sv vs $tr")
+        }
+      }
+      check()
+
+      // the group-move: dim 10 relocates east → west with ZERO fact
+      // ops; both groups' medians and stddevs must recompute
+      dim.put(Seq((10L, "west")).toDF("id", "r"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r"), ts("2024-01-02 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_stj").collect()
+      check()
+      assert(served().keySet == Set("west"), served().toString)
+
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_stj")
+    } finally {
+      GraftServer.unregister("stj_fact")
+      GraftServer.unregister("stj_dim")
       GraftMatviews.reset()
     }
   }
