@@ -184,6 +184,17 @@ final class JoinMatview private[graft] (
     (all.head, all(1))
   }
 
+  /** Is the state CURRENT across EVERY log — would a refresh be a
+    * no-op? True when no tx (or truncation point) exists past the
+    * recorded watermark on the fact log or any dim log. One directory
+    * listing per log, no data read — the aggregate-navigation
+    * freshness gate ([[graft.server.GraftMvNav]]). */
+  def isFresh: Boolean = {
+    val ws = watermarksAll
+    lastOf(factLog) <= ws.head &&
+      dims.zip(ws.tail).forall { case ((log, _, _), w) => lastOf(log) <= w }
+  }
+
   private def setWatermarks(ws: Seq[Long]): Unit = {
     Files.createDirectories(stateRoot)
     val tmp = stateRoot.resolve("_watermark.tmp")

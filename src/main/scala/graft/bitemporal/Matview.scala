@@ -111,6 +111,19 @@ final class Matview private[graft] (
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
+  /** Is the state CURRENT — would a refresh be a no-op? True when
+    * neither a tx file nor a truncation point exists past the recorded
+    * watermark, i.e. the served state equals what a refresh right now
+    * would serve. One log directory listing, no data read — the
+    * aggregate-navigation freshness gate ([[graft.server.GraftMvNav]]),
+    * checked per candidate query. */
+  def isFresh: Boolean = {
+    def fid(p: Path): Long = p.getFileName.toString
+      .stripPrefix("tx_").stripSuffix(".parquet").toLong
+    (log.txFiles().map(fid) ++ log.truncatedUpTo())
+      .maxOption.getOrElse(-1L) <= watermark
+  }
+
   private def sumAlias(c: String) = s"sum_$c"
   private def minAlias(c: String) = s"min_$c"
   private def maxAlias(c: String) = s"max_$c"

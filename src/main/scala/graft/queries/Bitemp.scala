@@ -1679,6 +1679,153 @@ object Bitemp {
           $"_valid_from".cast("string").as("vf"),
           $"_valid_to".cast("string").as("vt"))
         .orderBy($"_id", $"flag", $"vf")
+    }),
+
+    // ANSI FILTER clause on matview aggregates (r15): each filtered
+    // aggregate desugars onto the expression-aggregate machinery
+    // (CASE-wrapped argument — every accepted aggregate ignores NULL
+    // inputs, the exact rule FILTER is defined against), so the whole
+    // family rides the unchanged Δ-rules: the filtered SUM gets the
+    // ride-along non-null counter (ANSI NULL for a group with no
+    // matching rows), the filtered COUNT(DISTINCT) gets its pair-level
+    // aux over the conditional value. The oracle recomputes from
+    // scratch with DuckDB's NATIVE FILTER clause — the desugar must be
+    // observationally identical to the ANSI semantics, not merely
+    // self-consistent. Mutations cross the filtered-set boundary in
+    // both directions (a tag flip moves rows in, deletes drain rows
+    // out).
+    "q183_sql_matview_filter" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvfl_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      graft.server.GraftMatviews.reset()
+      val t = new GraftTable(s, tmp, Seq("grp", "tag", "price"))
+      graft.server.GraftServer.register("mvfl_ord", t)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val ord = T(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("id"),
+          $"o_orderpriority".as("g"),
+          concat(lit("t"), ($"o_orderkey" % 3).cast("string")).as("tg"),
+          when($"o_orderkey" % 13 === 0, lit(null).cast("decimal(12,2)"))
+            .otherwise($"o_totalprice".cast("decimal(12,2)")).as("p"))
+        t.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "tag" -> $"tg", "price" -> $"p"),
+          ts("2020-01-01 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvfl_stats WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16) AS " +
+            "SELECT grp, COUNT(*) AS n, " +
+            "COUNT(*) FILTER (WHERE tag = 't0') AS n0, " +
+            "SUM(price) FILTER (WHERE tag = 't0') AS s0, " +
+            "AVG(price) FILTER (WHERE tag <> 't1') AS a01, " +
+            "MIN(price) FILTER (WHERE tag = 't1') AS mn1, " +
+            "MAX(price) FILTER (WHERE tag = 't2') AS mx2, " +
+            "COUNT(DISTINCT tag) FILTER (WHERE price > 100000) AS dt " +
+            "FROM mvfl_ord GROUP BY grp")
+        // bump wave: every 7th order re-prices AND flips into the t0
+        // filtered set; delete wave drains every 11th
+        t.put(ord.filter($"id" % 7 === 0)
+            .withColumn("p2", ($"p" + 1000).cast("decimal(12,2)"))
+            .withColumn("tg2", lit("t0")),
+          $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "tag" -> $"tg2", "price" -> $"p2"),
+          ts("2020-01-02 00:00:00"))
+        t.delete(ord.filter($"id" % 11 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> lit(null).cast("string"),
+            "tag" -> lit(null).cast("string"),
+            "price" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:01"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvfl_stats")
+        graft.server.GraftSql.sql(s,
+          "SELECT grp, n, n0, CAST(s0 AS DOUBLE) AS s0, a01, " +
+            "CAST(mn1 AS DOUBLE) AS mn1, CAST(mx2 AS DOUBLE) AS mx2, dt " +
+            "FROM mvfl_stats ORDER BY grp")
+      } finally graft.server.GraftServer.unregister("mvfl_ord")
+    }),
+
+    // Transparent aggregate navigation (r15): a PLAIN GROUP BY over
+    // the BASE table — the query never names the view — served from a
+    // fresh `rewrite = 'trusted'` matview's state (GraftMvNav: same
+    // definition, watermark-fresh, exact-typed sums, schema-identical;
+    // an unrefreshed view falls back to the base plan). The entry
+    // ASSERTS the rewrite mechanically (the executed plan must scan
+    // matview state, not the tx log) so a silently-degraded navigator
+    // fails loudly instead of passing through the base path; the
+    // DuckDB oracle recomputes the answer from the raw fixture — the
+    // rewrite must be observationally invisible. The second query
+    // rolls a (priority × month) view up to priority alone: SUM(n),
+    // typed SUM of sums, MIN/MAX of extremes re-aggregated from
+    // ∝-groups state.
+    "q184_sql_matview_navigate" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvnv_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      graft.server.GraftMatviews.reset()
+      val t = new GraftTable(s, tmp, Seq("grp", "od", "price"))
+      graft.server.GraftServer.register("mvnv_ord", t)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val ord = T(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("id"),
+          $"o_orderpriority".as("g"),
+          $"o_orderdate".cast("timestamp").as("odv"),
+          $"o_totalprice".cast("decimal(12,2)").as("p"))
+        t.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "od" -> $"odv", "price" -> $"p"),
+          ts("2020-01-01 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvnv_agg WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16, " +
+            "rewrite = 'trusted') AS " +
+            "SELECT grp, date_trunc('month', od) AS m, COUNT(*) AS n, " +
+            "SUM(price) AS s, COUNT(price) AS c, MIN(price) AS mn, " +
+            "MAX(price) AS mx FROM mvnv_ord GROUP BY grp, " +
+            "date_trunc('month', od)")
+        // mutation waves, then REFRESH — navigation only serves fresh
+        t.put(ord.filter($"id" % 7 === 0)
+            .withColumn("p2", ($"p" + 1000).cast("decimal(12,2)")),
+          $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "od" -> $"odv", "price" -> $"p2"),
+          ts("2020-01-02 00:00:00"))
+        t.delete(ord.filter($"id" % 11 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> lit(null).cast("string"),
+            "od" -> lit(null).cast("timestamp"),
+            "price" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:01"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvnv_agg")
+        // the check reads the OPTIMIZED LOGICAL plan (stable under AQE
+        // — the physical tree hides scans inside AdaptiveSparkPlan
+        // until execution)
+        def assertNav(df: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
+          val hit = df.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources
+                .LogicalRelation => r.relation
+          }.exists {
+            case h: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains("matview"))
+            case _ => false
+          }
+          require(hit, "aggregate navigation did not fire — the plan " +
+            "reads the base log:\n" +
+            df.queryExecution.optimizedPlan.toString.take(1500))
+          df
+        }
+        // the ROLLUP shape: group subset (priority alone) re-aggregated
+        // from the (priority × month) state
+        val roll = assertNav(graft.server.GraftSql.sql(s,
+          "SELECT grp, COUNT(*) AS n, SUM(price) AS total, " +
+            "MIN(price) AS lo, MAX(price) AS hi " +
+            "FROM mvnv_ord GROUP BY grp"))
+        roll.select($"grp", $"n",
+          $"total".cast("double").as("total"),
+          $"lo".cast("double").as("lo"),
+          $"hi".cast("double").as("hi")).orderBy($"grp")
+      } finally graft.server.GraftServer.unregister("mvnv_ord")
     })
   )
 
@@ -2400,6 +2547,55 @@ object Bitemp {
       SELECT _id, flag, CAST(min(vf) AS VARCHAR) AS vf,
              CAST(max(vt) AS VARCHAR) AS vt
       FROM i GROUP BY _id, flag, island
-      ORDER BY _id, flag, vf"""
+      ORDER BY _id, flag, vf""",
+
+    // q183's FILTER aggregates recomputed from scratch with DuckDB's
+    // NATIVE FILTER clause over the effective rows (bump wave applied,
+    // deletes removed) — the engine's CASE-desugar must land on the
+    // same values the ANSI clause defines. AVG mirrors the serve's
+    // exact arithmetic (exact decimal sum cast to double, divided by
+    // the filtered non-null count), guarded like the serve for a group
+    // with no matching rows.
+    "q183_sql_matview_filter" -> """
+      WITH ord AS (SELECT o_orderkey AS id, o_orderpriority AS g,
+                          't' || CAST(o_orderkey % 3 AS VARCHAR) AS tag,
+                          CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                               ELSE CAST(o_totalprice AS DECIMAL(12,2))
+                          END AS p
+                   FROM orders),
+      eff AS (SELECT g,
+                     CASE WHEN id % 7 = 0 THEN 't0' ELSE tag END AS tag,
+                     CASE WHEN id % 7 = 0 THEN CAST(p + 1000 AS DECIMAL(12,2))
+                          ELSE p END AS p
+              FROM ord WHERE id % 11 <> 0)
+      SELECT g AS grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE tag = 't0') AS BIGINT) AS n0,
+             CAST(sum(p) FILTER (WHERE tag = 't0') AS DOUBLE) AS s0,
+             CASE WHEN count(p) FILTER (WHERE tag <> 't1') > 0
+                  THEN CAST(sum(p) FILTER (WHERE tag <> 't1') AS DOUBLE)
+                       / count(p) FILTER (WHERE tag <> 't1') END AS a01,
+             CAST(min(p) FILTER (WHERE tag = 't1') AS DOUBLE) AS mn1,
+             CAST(max(p) FILTER (WHERE tag = 't2') AS DOUBLE) AS mx2,
+             CAST(count(DISTINCT tag) FILTER (WHERE p > 100000)
+                  AS BIGINT) AS dt
+      FROM eff GROUP BY g ORDER BY g""",
+
+    // q184's navigated rollup recomputed from scratch: effective rows
+    // (bump applied, deletes removed) aggregated by priority alone —
+    // DuckDB neither knows nor cares that the engine answered from
+    // (priority × month) matview state; the rewrite must be invisible
+    "q184_sql_matview_navigate" -> """
+      WITH ord AS (SELECT o_orderkey AS id, o_orderpriority AS g,
+                          CAST(o_totalprice AS DECIMAL(12,2)) AS p
+                   FROM orders),
+      eff AS (SELECT g,
+                     CASE WHEN id % 7 = 0 THEN CAST(p + 1000 AS DECIMAL(12,2))
+                          ELSE p END AS p
+              FROM ord WHERE id % 11 <> 0)
+      SELECT g AS grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p) AS DOUBLE) AS total,
+             CAST(min(p) AS DOUBLE) AS lo,
+             CAST(max(p) AS DOUBLE) AS hi
+      FROM eff GROUP BY g ORDER BY g"""
   )
 }

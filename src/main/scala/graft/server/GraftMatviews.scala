@@ -96,7 +96,39 @@ object GraftMatviews {
     final case class State(canon: String) extends ServeCol
   }
 
-  private final case class Handle(
+  /** Aggregate-navigation keys: what an output column IS, keyed by the
+    * NORMALIZED SOURCE TEXT of its argument — built at CREATE from the
+    * parse itself (never re-derived from the DDL text later, so the
+    * dispatch and the navigation matcher cannot drift), consumed by
+    * [[GraftMvNav]] to match a user's plain aggregate query over the
+    * BASE table onto this view. */
+  private[server] sealed trait NavKey
+  private[server] object NavKey {
+    /** kind ∈ n, cnt, sum, avg, min, max, cntd, sumd, avgd, apd, var,
+      * varp, std, stdp; arg = normalized argument source text
+      * (lowercased bare column, or [[normText]] of an expression; ""
+      * for COUNT(*)). */
+    final case class Agg(kind: String, arg: String) extends NavKey
+    final case class Pct(arg: String, p: Double, approx: Boolean)
+        extends NavKey
+  }
+
+  /** What [[GraftMvNav]] needs to match and rewrite a query onto the
+    * view. `sumState` maps a served alias to its backing sum_ state
+    * column (the float-exactness guard reads its type off the raw
+    * state schema). */
+  private[server] final case class NavInfo(
+      fact: String,                          // lowercased fact table
+      joins: Seq[(String, String, Boolean)], // (dim, fk) lowercase, isLeft
+      whereNorm: Option[String],
+      groupOut: Seq[(String, String)],       // normalized src -> alias
+      aggOut: Seq[(NavKey, String)],         // key -> served alias
+      sumState: Map[String, String],         // alias -> sum_ state column
+      validAt: Timestamp,
+      trusted: Boolean,                      // WITH (rewrite = 'trusted')
+      fresh: () => Boolean)
+
+  private[server] final case class Handle(
       name: String,
       // typed serve entry -> user alias, in declared order
       serveCols: Seq[(ServeCol, String)],
@@ -112,7 +144,9 @@ object GraftMatviews {
       stateDir: java.nio.file.Path,
       // the CANONICAL statement (valid_at/buckets resolved): persisted
       // beside the state so RESTORE can re-register after a restart
-      ddl: String)
+      ddl: String,
+      // aggregate-navigation metadata ([[GraftMvNav]])
+      nav: NavInfo)
 
   private val views = TrieMap.empty[String, Handle]
 
@@ -130,6 +164,15 @@ object GraftMatviews {
       scala.collection.mutable.Map[String, Long]]
 
   private[graft] def registeredViews: Set[String] = views.keySet.toSet
+
+  /** Live handles for the aggregate navigator ([[GraftMvNav]]). */
+  private[server] def navHandles: Seq[Handle] = views.values.toSeq
+
+  /** Bind `h`'s temp view in `session` — the navigator's rewritten text
+    * references the view by name, which must resolve in the session
+    * that will analyze it. */
+  private[server] def bindForNav(session: SparkSession, h: Handle): Unit =
+    registerView(session, h)
 
   /** For tests/tools: forget every registered view (state untouched).
     * dropSeen is cleared WITH the generations: generations restart at 1
@@ -180,24 +223,12 @@ object GraftMatviews {
     * split was literal-unaware). Returns (select list, fact table,
     * (dim, ON text, is-LEFT) per join spoke, WHERE?, GROUP BY,
     * HAVING?). */
-  private def splitSelect(select: String)
+  private[server] def splitSelect(select: String)
       : (String, String, Seq[(String, String, Boolean)], Option[String],
          String, Option[String]) = {
     val t = select.trim
     val spans = SqlText.maskedSpans(t)
-    // paren depth at each offset; masked chars never open/close
-    val depth = new Array[Int](math.max(t.length, 1))
-    locally {
-      var d = 0; var i = 0
-      while (i < t.length) {
-        depth(i) = d
-        if (!SqlText.masked(spans, i)) {
-          val c = t.charAt(i)
-          if (c == '(') d += 1 else if (c == ')') d = math.max(0, d - 1)
-        }
-        i += 1
-      }
-    }
+    val depth = parenDepth(t, spans)
     val kwRe = ("(?i)\\b(SELECT|FROM|LEFT\\s+(?:OUTER\\s+)?JOIN|" +
       "INNER\\s+JOIN|JOIN|ON|WHERE|GROUP\\s+BY|HAVING)\\b").r
     case class Kw(word: String, start: Int, end: Int)
@@ -384,7 +415,195 @@ object GraftMatviews {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(msg)
 
-  private def unqualify(c: String): String = {
+  // ===== the SELECT-item grammar, shared by the DDL dispatch and the
+  // ===== aggregate-navigation matcher (GraftMvNav) — ONE set of
+  // ===== patterns, so a query item and a view item can never classify
+  // ===== differently
+  private[server] val aggRe = "(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*([*]|[A-Za-z_](?:\\w|\\.)*)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
+  // DISTINCT aggregate — COUNT/SUM/AVG(DISTINCT col-or-expression)
+  // maintain EXACTLY through an auxiliary pair-level view (group key
+  // = the view's groups + the argument, nested under this view's
+  // state dir — see the Aux plumbing in create()); MIN/MAX(DISTINCT x)
+  // is the same aggregate as MIN/MAX(x) and routes there.
+  private[server] val aggDistRe = "(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*DISTINCT\\s+([\\s\\S]+?)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
+  // APPROX_COUNT_DISTINCT(col-or-expression) — the cheap option for
+  // HIGH-CARDINALITY arguments where the exact pair-level state
+  // (∝ distinct (group, value) pairs) outgrows its worth: state is
+  // ONE mergeable DataSketches HLL sketch per group (∝ groups), and
+  // the sketch rides the MIN/MAX maintenance lifecycle (touched-group
+  // recompute at refresh), so deletes/updates stay exact for the
+  // sketch — no lingering tombstoned values, no refuse path.
+  // Standard HLL error (~1.6% at the default lgK); exact in sparse
+  // mode (low per-group cardinality).
+  private[server] val apdRe = ("(?is)^APPROX_COUNT_DISTINCT\\s*\\(\\s*([\\s\\S]+?)" +
+    "\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$").r
+  // MEDIAN(x) / PERCENTILE_CONT(x, p) / PERCENTILE(x, p) — EXACT
+  // continuous percentiles — and APPROX_PERCENTILE(x, p) (bounded
+  // memory for huge groups). Neither subtracts, so the state stores
+  // the per-group VALUE recomputed for touched groups on the MIN/MAX
+  // lifecycle ([[graft.bitemporal.MvPct]]) — deletes/updates exact.
+  private[server] val pctRe = ("(?is)^(MEDIAN|PERCENTILE_CONT|PERCENTILE|" +
+    "APPROX_PERCENTILE)\\s*\\(\\s*([\\s\\S]+?)" +
+    "(?:\\s*,\\s*([0-9]*\\.?[0-9]+)\\s*)?\\)" +
+    "(?:\\s+AS\\s+([A-Za-z_]\\w*))?$").r
+  // VARIANCE/STDDEV family: exactly self-maintainable through sum +
+  // sum-of-squares (a derived column) + non-null count — zero new
+  // state mechanics, served by formula (ServeCol.VarStd)
+  private[server] val vsRe = ("(?is)^(STDDEV_SAMP|STDDEV_POP|STDDEV|VAR_SAMP|" +
+    "VAR_POP|VARIANCE)\\s*\\(\\s*([\\s\\S]+?)\\s*\\)" +
+    "(?:\\s+AS\\s+([A-Za-z_]\\w*))?$").r
+  // EXPRESSION aggregate — any argument that isn't a bare column ref
+  // (tried after aggRe). The argument becomes a DERIVED column on the
+  // maintained relation, computed row-locally after the sieve, so the
+  // aggregate maintains exactly like one over a stored column; the
+  // derived name is content-addressed from the normalized text so
+  // SUM(x*y) and AVG(x * y) share one derived (and state) column.
+  private[server] val aggExprRe = "(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*([\\s\\S]+?)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
+  private[server] val identRe = "(?is)^([A-Za-z_](?:\\w|\\.)*)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
+  private[server] val plainIdentRe = "(?s)^[A-Za-z_](?:\\w|\\.)*$".r
+  // a select item that repeats a GROUP BY expression, with its
+  // MANDATORY alias (greedy: the LAST top-level AS wins, so
+  // `cast(x AS int) AS m` aliases to m)
+  private[server] val exprAliasRe = "(?is)^([\\s\\S]+)\\s+AS\\s+([A-Za-z_]\\w*)$".r
+
+  /** Collapse whitespace OUTSIDE literal/comment spans only: 'x  y'
+    * must stay two-spaced (it is data), while SUM(x*y) and SUM(x * y)
+    * must normalize equal. Case is kept everywhere for the same
+    * literal-safety reason. Used for derived-column content addressing
+    * and for the aggregate-navigation text matching. */
+  private[server] def normText(text: String): String = {
+    val t = text.trim
+    val spans = SqlText.maskedSpans(t)
+    val sb = new StringBuilder
+    var i = 0; var inWs = false
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (!SqlText.masked(spans, i) && c.isWhitespace) {
+        if (!inWs) sb.append(' ')
+        inWs = true
+      } else { sb.append(c); inWs = false }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** A select/group item's NORMALIZED SOURCE for navigation matching:
+    * bare column references lowercase + unqualify (identifiers are
+    * case-insensitive), expressions keep [[normText]] (literals are
+    * case-sensitive data). */
+  private[server] def navSrc(a: String): String = {
+    val t = a.trim
+    if (plainIdentRe.matches(t)) unqualify(t).toLowerCase else normText(t)
+  }
+
+  /** Paren depth at each offset of `t`; masked chars never open/close. */
+  private def parenDepth(t: String, spans: Seq[(Int, Int)]): Array[Int] = {
+    val depth = new Array[Int](math.max(t.length, 1))
+    var d = 0; var i = 0
+    while (i < t.length) {
+      depth(i) = d
+      if (!SqlText.masked(spans, i)) {
+        val c = t.charAt(i)
+        if (c == '(') d += 1 else if (c == ')') d = math.max(0, d - 1)
+      }
+      i += 1
+    }
+    depth
+  }
+
+  /** ANSI `agg(…) FILTER (WHERE pred)` desugars onto the expression-
+    * aggregate machinery BEFORE dispatch: every aggregate this DDL
+    * accepts ignores NULL inputs (the ANSI rule FILTER is defined
+    * against), so wrapping the aggregated argument in
+    * `CASE WHEN (pred) THEN arg END` IS the filtered aggregate — rows
+    * failing (or NULL under) the predicate contribute NULL, which the
+    * aggregate drops. COUNT(*) counts matching rows through
+    * `CASE WHEN (pred) THEN 1 END`; DISTINCT keeps its keyword and
+    * wraps the value (COUNT(DISTINCT x) over the conditional sees
+    * exactly the filtered rows' distinct values); two-argument
+    * percentile forms wrap the VALUE argument only (the fraction is a
+    * literal). The predicate inherits the WHERE sieve's row-local
+    * deterministic rules for free: the rewritten argument validates as
+    * an expression-aggregate argument (validateExpr), so a clock read,
+    * subquery or env read in the FILTER refuses with the same message.
+    * An alias is mandatory — the rewritten item is an expression
+    * aggregate, and two SUM(x)s differing only in FILTER must not
+    * collide on a default serve name. Items without a top-level FILTER
+    * keyword pass through verbatim. */
+  private[server] def desugarFilter(item: String): String = {
+    val spans = SqlText.maskedSpans(item)
+    val depth = parenDepth(item, spans)
+    val fkw = "(?i)\\bFILTER\\b".r.findAllMatchIn(item)
+      .find(m => !SqlText.masked(spans, m.start) && depth(m.start) == 0 &&
+        m.start > 0)
+    fkw match {
+      case None => item
+      case Some(m) =>
+        def bad(why: String): Nothing =
+          fail(s"malformed FILTER clause in select item '$item': $why — " +
+            "the accepted form is AGG(arg) FILTER (WHERE predicate) " +
+            "AS alias")
+        val head = item.substring(0, m.start).trim
+        val headRe = "(?is)^([A-Za-z_]\\w*)\\s*\\(([\\s\\S]*)\\)$".r
+        val (fn, inner) = head match {
+          case headRe(f, in) => (f.toUpperCase, in.trim)
+          case _ => bad("FILTER must directly follow an aggregate call")
+        }
+        // the parenthesized (WHERE …) group: matching close paren by
+        // the same depth scan (masked chars never open/close)
+        var i = m.end
+        while (i < item.length && item.charAt(i).isWhitespace) i += 1
+        if (i >= item.length || item.charAt(i) != '(')
+          bad("FILTER needs a parenthesized (WHERE predicate)")
+        val open = i
+        var close = -1
+        locally {
+          var d = 0; var j = open
+          while (j < item.length && close < 0) {
+            if (!SqlText.masked(spans, j)) {
+              val c = item.charAt(j)
+              if (c == '(') d += 1
+              else if (c == ')') { d -= 1; if (d == 0) close = j }
+            }
+            j += 1
+          }
+        }
+        if (close < 0) bad("unbalanced parentheses after FILTER")
+        val body = item.substring(open + 1, close).trim
+        val whereRe = "(?is)^WHERE\\b([\\s\\S]+)$".r
+        val pred = body match {
+          case whereRe(p) if p.trim.nonEmpty => p.trim
+          case _ => bad("the clause must read FILTER (WHERE predicate)")
+        }
+        val tail = item.substring(close + 1)
+        val alias = "(?is)^\\s+AS\\s+([A-Za-z_]\\w*)\\s*$".r
+          .findFirstMatchIn(tail).map(_.group(1)).getOrElse {
+            if (tail.trim.isEmpty)
+              fail(s"FILTER aggregate '$item' needs an explicit AS " +
+                "alias to serve as a column name")
+            else bad(s"unexpected trailing text '${tail.trim}'")
+          }
+        val distRe = "(?is)^DISTINCT\\s+([\\s\\S]+)$".r
+        val newInner = inner match {
+          case "*" =>
+            if (fn != "COUNT")
+              bad(s"$fn(*) is not an aggregate this view can maintain")
+            s"CASE WHEN ($pred) THEN 1 END"
+          case distRe(v) =>
+            s"DISTINCT CASE WHEN ($pred) THEN ($v) END"
+          case _ =>
+            // wrap the VALUE argument only: a trailing literal
+            // fraction (percentile forms) rides along unwrapped
+            val parts = BitemporalDml.splitTopLevel(inner)
+            if (parts.isEmpty) bad("empty aggregate argument")
+            (s"CASE WHEN ($pred) THEN (${parts.head}) END" +:
+              parts.tail).mkString(", ")
+        }
+        s"$fn($newInner) AS $alias"
+    }
+  }
+
+  private[server] def unqualify(c: String): String = {
     val t = c.trim
     val dot = t.lastIndexOf('.')
     if (dot >= 0) t.substring(dot + 1) else t
@@ -473,6 +692,7 @@ object GraftMatviews {
           " APPROX_COUNT_DISTINCT(c)," +
           " MIN(c), MAX(c), VARIANCE(c), STDDEV(c), MEDIAN(c)," +
           " PERCENTILE_CONT(c, p), APPROX_PERCENTILE(c, p)" +
+          " [FILTER (WHERE pred) AS alias]" +
           " FROM fact [JOIN dim ON fk = dim._id]" +
           " [WHERE pred] GROUP BY g\n" +
           "  REFRESH MATERIALIZED VIEW v\n" +
@@ -627,9 +847,10 @@ object GraftMatviews {
         k -> v.stripPrefix("'").stripSuffix("'")
       }.toMap
     optMap.keys.find(k => k != "valid_at" && k != "buckets" &&
-        k != "layout")
+        k != "layout" && k != "rewrite")
       .foreach(k =>
-        fail(s"unknown WITH option '$k' (valid_at, buckets, layout)"))
+        fail(s"unknown WITH option '$k' (valid_at, buckets, layout, " +
+          "rewrite)"))
     val validAt = optMap.get("valid_at")
       .map(v => try Timestamp.valueOf(v) catch { case _: IllegalArgumentException =>
         fail(s"valid_at must be 'yyyy-mm-dd hh:mm:ss[.ffff]', got '$v'") })
@@ -644,6 +865,17 @@ object GraftMatviews {
       case Some("range") => true
       case Some(x) => fail(s"layout must be 'hash' or 'range', got '$x'")
     }
+    // rewrite = 'trusted' opts this view into BARE-FROM aggregate
+    // navigation ([[GraftMvNav]]): the user asserts the view's fixed
+    // valid_at basis serves their current-basis queries (the same
+    // assertion they make when querying the view by name) — Oracle's
+    // QUERY REWRITE trust model. FOR VALID_TIME AS OF queries matching
+    // the basis exactly rewrite without it (provably identical).
+    val trusted = optMap.get("rewrite").map(_.toLowerCase) match {
+      case None | Some("off") => false
+      case Some("trusted") => true
+      case Some(x) => fail(s"rewrite must be 'trusted' or 'off', got '$x'")
+    }
     // the CANONICAL statement pins the RESOLVED basis and bucketing:
     // a restore must rebind the exact same view, not re-default
     // valid_at to its own "now" (silent basis drift). The layout rides
@@ -653,6 +885,7 @@ object GraftMatviews {
       s"CREATE MATERIALIZED VIEW $name WITH (valid_at = '$validAt', " +
         s"buckets = $bucketsResolved" +
         (if (rangeLayout) ", layout = 'range'" else "") +
+        (if (trusted) ", rewrite = 'trusted'" else "") +
         s") AS ${select.trim}"
 
     // clause split is masked-span + paren-depth aware (splitSelect): a
@@ -661,52 +894,6 @@ object GraftMatviews {
     // a view missing a declared join would serve wrong aggregates
     val (list, factName, joinSpecs, whereOpt, groupBy, havingOpt) =
       splitSelect(select)
-    val aggRe = "(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*([*]|[A-Za-z_](?:\\w|\\.)*)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
-    // DISTINCT aggregate — COUNT/SUM/AVG(DISTINCT col-or-expression)
-    // maintain EXACTLY through an auxiliary pair-level view (group key
-    // = the view's groups + the argument, nested under this view's
-    // state dir — see the Aux plumbing below); MIN/MAX(DISTINCT x) is
-    // the same aggregate as MIN/MAX(x) and routes there.
-    val aggDistRe = "(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*DISTINCT\\s+([\\s\\S]+?)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
-    // APPROX_COUNT_DISTINCT(col-or-expression) — the cheap option for
-    // HIGH-CARDINALITY arguments where the exact pair-level state
-    // (∝ distinct (group, value) pairs) outgrows its worth: state is
-    // ONE mergeable DataSketches HLL sketch per group (∝ groups), and
-    // the sketch rides the MIN/MAX maintenance lifecycle (touched-group
-    // recompute at refresh), so deletes/updates stay exact for the
-    // sketch — no lingering tombstoned values, no refuse path.
-    // Standard HLL error (~1.6% at the default lgK); exact in sparse
-    // mode (low per-group cardinality).
-    val apdRe = ("(?is)^APPROX_COUNT_DISTINCT\\s*\\(\\s*([\\s\\S]+?)" +
-      "\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$").r
-    // MEDIAN(x) / PERCENTILE_CONT(x, p) / PERCENTILE(x, p) — EXACT
-    // continuous percentiles — and APPROX_PERCENTILE(x, p) (bounded
-    // memory for huge groups). Neither subtracts, so the state stores
-    // the per-group VALUE recomputed for touched groups on the MIN/MAX
-    // lifecycle ([[graft.bitemporal.MvPct]]) — deletes/updates exact.
-    val pctRe = ("(?is)^(MEDIAN|PERCENTILE_CONT|PERCENTILE|" +
-      "APPROX_PERCENTILE)\\s*\\(\\s*([\\s\\S]+?)" +
-      "(?:\\s*,\\s*([0-9]*\\.?[0-9]+)\\s*)?\\)" +
-      "(?:\\s+AS\\s+([A-Za-z_]\\w*))?$").r
-    // VARIANCE/STDDEV family: exactly self-maintainable through sum +
-    // sum-of-squares (a derived column) + non-null count — zero new
-    // state mechanics, served by formula (ServeCol.VarStd)
-    val vsRe = ("(?is)^(STDDEV_SAMP|STDDEV_POP|STDDEV|VAR_SAMP|" +
-      "VAR_POP|VARIANCE)\\s*\\(\\s*([\\s\\S]+?)\\s*\\)" +
-      "(?:\\s+AS\\s+([A-Za-z_]\\w*))?$").r
-    // EXPRESSION aggregate — any argument that isn't a bare column ref
-    // (tried after aggRe). The argument becomes a DERIVED column on the
-    // maintained relation, computed row-locally after the sieve, so the
-    // aggregate maintains exactly like one over a stored column; the
-    // derived name is content-addressed from the normalized text so
-    // SUM(x*y) and AVG(x * y) share one derived (and state) column.
-    val aggExprRe = "(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*([\\s\\S]+?)\\s*\\)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
-    val identRe = "(?is)^([A-Za-z_](?:\\w|\\.)*)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$".r
-    val plainIdentRe = "(?s)^[A-Za-z_](?:\\w|\\.)*$".r
-    // a select item that repeats a GROUP BY expression, with its
-    // MANDATORY alias (greedy: the LAST top-level AS wins, so
-    // `cast(x AS int) AS m` aliases to m)
-    val exprAliasRe = "(?is)^([\\s\\S]+)\\s+AS\\s+([A-Za-z_]\\w*)$".r
 
     // derived name -> ORIGINAL trimmed expression text (what executes —
     // normalization is for NAMING/matching only, so whitespace inside
@@ -719,25 +906,6 @@ object GraftMatviews {
     // the args whose rollup needs the SUM side (SUM/AVG(DISTINCT) is
     // served) — COUNT-only args skip it so non-numeric arguments work
     val distinctSums = scala.collection.mutable.Set.empty[String]
-    // collapse whitespace OUTSIDE literal/comment spans only: 'x  y'
-    // must stay two-spaced (it is data), while SUM(x*y) and SUM(x * y)
-    // must normalize equal. Case is kept everywhere for the same
-    // literal-safety reason.
-    def normText(text: String): String = {
-      val t = text.trim
-      val spans = SqlText.maskedSpans(t)
-      val sb = new StringBuilder
-      var i = 0; var inWs = false
-      while (i < t.length) {
-        val c = t.charAt(i)
-        if (!SqlText.masked(spans, i) && c.isWhitespace) {
-          if (!inWs) sb.append(' ')
-          inWs = true
-        } else { sb.append(c); inWs = false }
-        i += 1
-      }
-      sb.toString
-    }
     def derivedName(text: String): String = {
       val nm = "_e" + java.security.MessageDigest.getInstance("MD5")
         .digest(normText(text).getBytes("UTF-8")).take(8)
@@ -779,7 +947,12 @@ object GraftMatviews {
       .empty[graft.bitemporal.MvPct]
     // canonical -> alias, in SELECT order (group handled separately)
     val serve = Seq.newBuilder[(ServeCol, String)]
+    // aggregate-navigation records, built IN the dispatch so the match
+    // keys come from the same parse that chose the semantics
+    val navAgg = Seq.newBuilder[(NavKey, String)]
+    val navSum = Map.newBuilder[String, String]
     BitemporalDml.splitTopLevel(list).map(_.trim).filter(_.nonEmpty)
+      .map(desugarFilter)
       .foreach {
         case apdRe(arg0, alias0) =>
           if (arg0.trim == "*" || arg0.trim.equalsIgnoreCase("distinct"))
@@ -795,6 +968,7 @@ object GraftMatviews {
           }
           hlls += c
           serve += (ServeCol.ApproxDistinct(c) -> alias)
+          navAgg += (NavKey.Agg("apd", navSrc(arg0)) -> alias)
         case pctRe(fn0, arg0, frac0, alias0) =>
           val fn = fn0.toUpperCase
           val argT = arg0.trim
@@ -828,6 +1002,8 @@ object GraftMatviews {
           }
           pcts += mp
           serve += (ServeCol.State(mp.alias) -> alias)
+          navAgg += (NavKey.Pct(navSrc(argT), p,
+            approx = fn == "APPROX_PERCENTILE") -> alias)
         case vsRe(fn0, arg0, alias0) =>
           val fn = fn0.toUpperCase
           val argT = arg0.trim
@@ -851,6 +1027,10 @@ object GraftMatviews {
           sums += c; cnts += c; sums += sq
           serve += (ServeCol.VarStd(c, sq, pop = fn.endsWith("_POP"),
             isStd = fn.startsWith("STDDEV")) -> alias)
+          navAgg += (NavKey.Agg(
+            (if (fn.startsWith("STDDEV")) "std" else "var") +
+              (if (fn.endsWith("_POP")) "p" else ""),
+            navSrc(argT)) -> alias)
         case aggDistRe(fn0, arg0, alias0) =>
           val fn = fn0.toUpperCase
           if (arg0.trim == "*")
@@ -867,18 +1047,30 @@ object GraftMatviews {
           fn match {
             // MIN/MAX over distinct values ≡ MIN/MAX over all values
             case "MIN" => mins += d
-              serve += (ServeCol.State(s"min_$d") -> aliasOr(s"min_$d"))
+              val a = aliasOr(s"min_$d")
+              serve += (ServeCol.State(s"min_$d") -> a)
+              navAgg += (NavKey.Agg("min", navSrc(arg0)) -> a)
             case "MAX" => maxs += d
-              serve += (ServeCol.State(s"max_$d") -> aliasOr(s"max_$d"))
+              val a = aliasOr(s"max_$d")
+              serve += (ServeCol.State(s"max_$d") -> a)
+              navAgg += (NavKey.Agg("max", navSrc(arg0)) -> a)
             case "COUNT" =>
               distincts += d
-              serve += (ServeCol.State(s"cntd_$d") -> aliasOr(s"cntd_$d"))
+              val a = aliasOr(s"cntd_$d")
+              serve += (ServeCol.State(s"cntd_$d") -> a)
+              navAgg += (NavKey.Agg("cntd", navSrc(arg0)) -> a)
             case "SUM" =>
               distincts += d; distinctSums += d
-              serve += (ServeCol.State(s"sumd_$d") -> aliasOr(s"sumd_$d"))
+              val a = aliasOr(s"sumd_$d")
+              serve += (ServeCol.State(s"sumd_$d") -> a)
+              navAgg += (NavKey.Agg("sumd", navSrc(arg0)) -> a)
+              navSum += (a -> s"sumd_$d")
             case "AVG" =>
               distincts += d; distinctSums += d
-              serve += (ServeCol.AvgDistinct(d) -> aliasOr(s"avgd_$d"))
+              val a = aliasOr(s"avgd_$d")
+              serve += (ServeCol.AvgDistinct(d) -> a)
+              navAgg += (NavKey.Agg("avgd", navSrc(arg0)) -> a)
+              navSum += (a -> s"sumd_$d")
           }
         case aggRe(fn0, arg0, alias) =>
           val fn = fn0.toUpperCase
@@ -888,28 +1080,42 @@ object GraftMatviews {
           val arg = unqualify(arg0)
           (fn, arg) match {
             case ("COUNT", "*") =>
-              serve += (ServeCol.State("n") -> Option(alias).getOrElse("n"))
+              val a = Option(alias).getOrElse("n")
+              serve += (ServeCol.State("n") -> a)
+              navAgg += (NavKey.Agg("n", "") -> a)
             case ("COUNT", c) =>
               // per-column NON-NULL counter: self-maintainable exactly
               // like n (a null cell never contributes to the delta)
               cnts += c
-              serve += (ServeCol.State(s"cnt_$c") -> Option(alias).getOrElse(s"cnt_$c"))
+              val a = Option(alias).getOrElse(s"cnt_$c")
+              serve += (ServeCol.State(s"cnt_$c") -> a)
+              navAgg += (NavKey.Agg("cnt", c.toLowerCase) -> a)
             case ("SUM", c) =>
               // the non-null counter rides along so the serve can mask
               // an all-NULL group's 0 back to ANSI NULL
               sums += c; cnts += c
-              serve += (ServeCol.Sum(c) -> Option(alias).getOrElse(s"sum_$c"))
+              val a = Option(alias).getOrElse(s"sum_$c")
+              serve += (ServeCol.Sum(c) -> a)
+              navAgg += (NavKey.Agg("sum", c.toLowerCase) -> a)
+              navSum += (a -> s"sum_$c")
             case ("AVG", c) =>
               // AVG = SUM / COUNT(col) at READ time — zero new state
               // mechanics, both constituents are already maintainable
               sums += c; cnts += c
-              serve += (ServeCol.Avg(c) -> Option(alias).getOrElse(s"avg_$c"))
+              val a = Option(alias).getOrElse(s"avg_$c")
+              serve += (ServeCol.Avg(c) -> a)
+              navAgg += (NavKey.Agg("avg", c.toLowerCase) -> a)
+              navSum += (a -> s"sum_$c")
             case ("MIN", c) =>
               mins += c
-              serve += (ServeCol.State(s"min_$c") -> Option(alias).getOrElse(s"min_$c"))
+              val a = Option(alias).getOrElse(s"min_$c")
+              serve += (ServeCol.State(s"min_$c") -> a)
+              navAgg += (NavKey.Agg("min", c.toLowerCase) -> a)
             case ("MAX", c) =>
               maxs += c
-              serve += (ServeCol.State(s"max_$c") -> Option(alias).getOrElse(s"max_$c"))
+              val a = Option(alias).getOrElse(s"max_$c")
+              serve += (ServeCol.State(s"max_$c") -> a)
+              navAgg += (NavKey.Agg("max", c.toLowerCase) -> a)
             case _ => fail(s"unsupported aggregate $fn0($arg0)")
           }
         case identRe(g, alias) if groups.contains(unqualify(g)) =>
@@ -924,15 +1130,22 @@ object GraftMatviews {
           fn match {
             case "COUNT" =>
               cnts += dn; serve += (ServeCol.State(s"cnt_$dn") -> alias)
+              navAgg += (NavKey.Agg("cnt", navSrc(arg0)) -> alias)
             case "SUM" =>
               sums += dn; cnts += dn
               serve += (ServeCol.Sum(dn) -> alias)
+              navAgg += (NavKey.Agg("sum", navSrc(arg0)) -> alias)
+              navSum += (alias -> s"sum_$dn")
             case "AVG" => sums += dn; cnts += dn
               serve += (ServeCol.Avg(dn) -> alias)
+              navAgg += (NavKey.Agg("avg", navSrc(arg0)) -> alias)
+              navSum += (alias -> s"sum_$dn")
             case "MIN" =>
               mins += dn; serve += (ServeCol.State(s"min_$dn") -> alias)
+              navAgg += (NavKey.Agg("min", navSrc(arg0)) -> alias)
             case "MAX" =>
               maxs += dn; serve += (ServeCol.State(s"max_$dn") -> alias)
+              navAgg += (NavKey.Agg("max", navSrc(arg0)) -> alias)
           }
         // a GROUP BY expression repeated in the SELECT list: matched by
         // normalized text, alias mandatory (the expression is no name)
@@ -975,6 +1188,18 @@ object GraftMatviews {
     val serveAll =
       groups.map(g => (ServeCol.Group(g): ServeCol) -> groupAliases(g)) ++
         serve.result()
+    // navigation metadata, shared shape across both view forms
+    val navGroupOut: Seq[(String, String)] = groups.map { g =>
+      val src =
+        if (derivedExprs.contains(g)) normText(derivedExprs(g))
+        else g.toLowerCase
+      src -> groupAliases(g)
+    }
+    def navInfo(joinsNav: Seq[(String, String, Boolean)],
+                freshFn: () => Boolean): NavInfo =
+      NavInfo(factName.toLowerCase, joinsNav, whereOpt.map(normText),
+        navGroupOut, navAgg.result(), navSum.result(), validAt, trusted,
+        freshFn)
     // an aux pair view needs exactly the derived definitions its own
     // group key uses: the view's derived group keys plus (when the
     // DISTINCT argument is an expression) the argument itself
@@ -1015,7 +1240,7 @@ object GraftMatviews {
         Handle(name, serveAll, havingOpt,
           sess => mv.read(sess),
           () => (mv.refresh(), Option.empty[Long]),
-          mvDir, canonicalDdl(nb))
+          mvDir, canonicalDdl(nb), navInfo(Nil, () => mv.isFresh))
       } else {
         // each JOIN clause is one spoke of the star: resolve the dim
         // table and read the fact fk off its ON clause; LEFT spokes
@@ -1075,10 +1300,14 @@ object GraftMatviews {
           mins.result(), maxs.result(), cnts.result().distinct, whereOpt,
           derivedExprs.toSeq, auxes, hlls.result().distinct, rangeLayout,
           leftJoins, pcts.toSeq)
+        val joinsNav = joinSpecs.zip(dims).map {
+          case ((dn, _, left), (_, fk)) =>
+            (dn.toLowerCase, fk.toLowerCase, left)
+        }
         Handle(name, serveAll, havingOpt,
           sess => mv.read(sess),
           () => { val (a, b) = mv.refresh(); (a, Some(b)) },
-          mvDir, canonicalDdl(nb))
+          mvDir, canonicalDdl(nb), navInfo(joinsNav, () => mv.isFresh))
       }
 
     // any failure past this point (bad HAVING, empty-table schema,

@@ -25,6 +25,13 @@ object GraftSql {
       .orElse(GraftMaintenance.route(spark, text))
       .getOrElse {
         GraftMatviews.refreshReferenced(spark, text)
+        // transparent aggregate navigation: a plain GROUP BY over a
+        // registered table answered from a FRESH matview's state when
+        // provably identical (GraftMvNav's gates) — None = base path
+        GraftMvNav.rewrite(spark, text) match {
+          case Some(rw) => return spark.sql(rw)
+          case None =>
+        }
         if (GraftSqlParser.isExplain(text)) {
           // EXPLAIN pre-substitutes in PLANS-ONLY mode: stage pins
           // (localCheckpoint jobs) flip to identity so the full lazy

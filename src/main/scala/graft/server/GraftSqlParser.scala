@@ -108,6 +108,16 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     // spark.sql/expr parses (and the inline-subquery table args) from
     // re-entering this rewrite
     GraftMatviews.refreshReferenced(session, sqlText0)
+    // transparent aggregate navigation: a plain GROUP BY over a
+    // registered table is answered from a FRESH matview's state when
+    // provably observationally identical ([[GraftMvNav]]'s definition /
+    // freshness / basis / exactness / schema gates) — the rewritten
+    // text references only the view's temp registration, so the
+    // delegate parses it directly; None = base path, never an error
+    GraftMvNav.rewrite(session, sqlText0) match {
+      case Some(rw) => return delegate.parsePlan(rw)
+      case None =>
+    }
     val sqlText =
       if (GraftProcedures.procedures.keys.exists(n =>
           sqlText0.toLowerCase.contains(n))) {

@@ -10,7 +10,8 @@ import graft.server.{GraftMatviews, GraftServer, GraftSql}
   * through the SQL front door: SEEDED random view definitions (an
   * aggregate mix drawn from the full accepted surface — COUNT(*),
   * SUM/AVG/MIN/MAX, COUNT(col), the exact DISTINCT family, the APPROX
-  * sketch, an optional WHERE sieve, hash or range layout) crossed with
+  * sketch, FILTER (WHERE …) forms, an optional WHERE sieve, hash or
+  * range layout) crossed with
   * random mutation sequences (insert / value update / group move /
   * NULL flip / delete), refreshed at random cut points — and at every
   * refresh the served state must equal a from-scratch recompute over
@@ -30,7 +31,8 @@ class MatviewFuzzSpec extends AnyFunSuite {
       hasCnt: Boolean, hasNd: Boolean, hasSd: Boolean, hasApd: Boolean,
       hasWhere: Boolean, range: Boolean,
       hasVar: Boolean = false, hasStd: Boolean = false,
-      hasMed: Boolean = false, hasApm: Boolean = false) {
+      hasMed: Boolean = false, hasApm: Boolean = false,
+      hasFlt: Boolean = false) {
     def selectList: String = {
       val items = Seq("grp", "COUNT(*) AS n") ++
         (if (hasSum) Seq("SUM(amt) AS s") else Nil) ++
@@ -44,7 +46,9 @@ class MatviewFuzzSpec extends AnyFunSuite {
         (if (hasVar) Seq("VARIANCE(amt) AS vr") else Nil) ++
         (if (hasStd) Seq("STDDEV_POP(amt) AS sp") else Nil) ++
         (if (hasMed) Seq("MEDIAN(amt) AS md") else Nil) ++
-        (if (hasApm) Seq("APPROX_PERCENTILE(amt, 0.25) AS ap") else Nil)
+        (if (hasApm) Seq("APPROX_PERCENTILE(amt, 0.25) AS ap") else Nil) ++
+        (if (hasFlt) Seq("SUM(amt) FILTER (WHERE code = 10) AS fs",
+          "COUNT(*) FILTER (WHERE amt < 0) AS fn") else Nil)
       items.mkString(", ")
     }
     def cols: Seq[String] = Seq("grp", "n") ++
@@ -53,7 +57,8 @@ class MatviewFuzzSpec extends AnyFunSuite {
       (if (hasCnt) Seq("c") else Nil) ++ (if (hasNd) Seq("nd") else Nil) ++
       (if (hasSd) Seq("sd") else Nil) ++ (if (hasApd) Seq("apd") else Nil) ++
       (if (hasVar) Seq("vr") else Nil) ++ (if (hasStd) Seq("sp") else Nil) ++
-      (if (hasMed) Seq("md") else Nil) ++ (if (hasApm) Seq("ap") else Nil)
+      (if (hasMed) Seq("md") else Nil) ++ (if (hasApm) Seq("ap") else Nil) ++
+      (if (hasFlt) Seq("fs", "fn") else Nil)
     def ddl(name: String, table: String): String =
       s"CREATE MATERIALIZED VIEW $name WITH " +
         s"(valid_at = '2030-01-01 00:00:00', buckets = 4" +
@@ -73,7 +78,8 @@ class MatviewFuzzSpec extends AnyFunSuite {
       hasSd = rnd.nextBoolean(), hasApd = rnd.nextBoolean(),
       hasWhere = rnd.nextBoolean(), range = rnd.nextBoolean(),
       hasVar = rnd.nextBoolean(), hasStd = rnd.nextBoolean(),
-      hasMed = rnd.nextBoolean(), hasApm = rnd.nextBoolean())
+      hasMed = rnd.nextBoolean(), hasApm = rnd.nextBoolean(),
+      hasFlt = rnd.nextBoolean())
     val dir = java.nio.file.Files
       .createTempDirectory(s"graft_mvfz$seed").toString
     val t = new graft.GraftTable(spark, dir, Seq("grp", "code", "amt"))
@@ -158,6 +164,12 @@ class MatviewFuzzSpec extends AnyFunSuite {
         (if (vd.hasApm)
           Seq(expr("percentile_approx(cast(amt as double), 0.25, 10000)")
             .as("ap"))
+        else Nil) ++
+        // filtered aggregates: the CASE image of the ANSI clause (the
+        // desugar under test), computed from scratch
+        (if (vd.hasFlt)
+          Seq(sum(when($"code" === 10, $"amt")).as("fs"),
+            count(when($"amt" < 0, lit(1))).as("fn"))
         else Nil)
       base.groupBy($"grp").agg(aggs.head, aggs.tail: _*)
         .select(vd.cols.map(col): _*).collect()

@@ -2927,4 +2927,207 @@ class GraftMatviewsSpec extends AnyFunSuite {
       GraftMatviews.reset()
     }
   }
+
+  test("FILTER (WHERE …) aggregates: the ANSI clause desugars onto " +
+      "expression aggregates (CASE-wrapped argument) and maintains " +
+      "every aggregate family through the mutation lifecycle") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "tag", "amt"))
+    GraftServer.register("flt_tab", t)
+    def put(rows: Seq[(Long, String, String, java.lang.Long)],
+            at: String): Unit =
+      t.put(rows.toDF("id", "g", "tg", "m")
+          .select($"id", $"g", $"tg",
+            $"m".cast("decimal(12,2)").as("m")),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "tag" -> $"tg", "amt" -> $"m"), ts(at))
+    def del(ids: Seq[Long], at: String): Unit =
+      t.delete(ids.toDF("id"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> lit(null).cast("string"),
+          "tag" -> lit(null).cast("string"),
+          "amt" -> lit(null).cast("decimal(12,2)")), ts(at))
+    try {
+      put(Seq((1L, "a", "x", Long.box(10L)), (2L, "a", "x", Long.box(20L)),
+        (3L, "a", "y", Long.box(40L)), (4L, "b", "y", Long.box(7L)),
+        (5L, "b", "x", null), (6L, "c", "y", Long.box(3L))),
+        "2024-01-01 00:00:00")
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_flt WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT grp, COUNT(*) AS n, " +
+        "COUNT(*) FILTER (WHERE tag = 'x') AS nx, " +
+        "SUM(amt) FILTER (WHERE tag = 'x') AS sx, " +
+        "AVG(amt) FILTER (WHERE amt > 8) AS abig, " +
+        "MIN(amt) FILTER (WHERE tag = 'y') AS mny, " +
+        "COUNT(DISTINCT amt) FILTER (WHERE tag = 'x') AS dx, " +
+        "STDDEV(amt) FILTER (WHERE tag = 'x') AS sdx, " +
+        "MEDIAN(amt) FILTER (WHERE tag = 'x') AS medx, " +
+        "PERCENTILE_CONT(amt, 0.9) FILTER (WHERE tag = 'x') AS p90x, " +
+        "SUM(amt) AS s_all " +
+        "FROM flt_tab GROUP BY grp")
+
+      // from-scratch truth through Spark's OWN FILTER clause — the
+      // desugar must be observationally identical to the native ANSI
+      // semantics, not merely self-consistent
+      def truth(): Map[String, org.apache.spark.sql.Row] = {
+        t.current().createOrReplaceTempView("flt_truth")
+        spark.sql(
+          """SELECT grp, count(*) AS n,
+             count(*) FILTER (WHERE tag = 'x') AS nx,
+             CAST(sum(amt) FILTER (WHERE tag = 'x') AS DOUBLE) AS sx,
+             avg(CAST(amt AS DOUBLE)) FILTER (WHERE amt > 8) AS abig,
+             CAST(min(amt) FILTER (WHERE tag = 'y') AS DOUBLE) AS mny,
+             count(DISTINCT amt) FILTER (WHERE tag = 'x') AS dx,
+             stddev(CAST(amt AS DOUBLE)) FILTER (WHERE tag = 'x') AS sdx,
+             percentile(CAST(amt AS DOUBLE), 0.5)
+               FILTER (WHERE tag = 'x') AS medx,
+             percentile(CAST(amt AS DOUBLE), 0.9)
+               FILTER (WHERE tag = 'x') AS p90x,
+             CAST(sum(amt) AS DOUBLE) AS s_all
+             FROM flt_truth GROUP BY grp""")
+          .collect().map(r => r.getString(0) -> r).toMap
+      }
+      def served(): Map[String, org.apache.spark.sql.Row] =
+        GraftSql.sql(spark,
+          "SELECT grp, n, nx, CAST(sx AS DOUBLE) AS sx, abig, " +
+            "CAST(mny AS DOUBLE) AS mny, dx, sdx, medx, p90x, " +
+            "CAST(s_all AS DOUBLE) AS s_all FROM mv_flt")
+          .collect().map(r => r.getString(0) -> r).toMap
+      def close(a: Double, b: Double): Boolean =
+        math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(a.abs, b.abs))
+      def check(): Unit = {
+        val (sv, tr) = (served(), truth())
+        assert(sv.keySet == tr.keySet, s"$sv vs $tr")
+        tr.foreach { case (g, e) =>
+          val r = sv(g)
+          (1 to 10).foreach { i =>
+            assert(r.isNullAt(i) == e.isNullAt(i),
+              s"null mismatch col $i for $g: $r vs $e")
+            if (!r.isNullAt(i)) (r.get(i), e.get(i)) match {
+              case (a: Long, b: Long) => assert(a == b, s"col $i $g: $r vs $e")
+              case (a: Double, b: Double) =>
+                assert(close(a, b), s"col $i $g: $r vs $e")
+              case (a, b) => assert(a == b, s"col $i $g: $r vs $e")
+            }
+          }
+        }
+      }
+      check()
+      // ANSI edges on the initial state: group c has no 'x' rows at all
+      // → every filtered aggregate NULL (and the filtered COUNTs 0)
+      locally {
+        val c = served()("c")
+        assert(c.getLong(2) == 0L && c.getLong(6) == 0L, c.toString)
+        assert(Seq(3, 4, 7, 8, 9).forall(c.isNullAt), c.toString)
+      }
+
+      // lifecycle: tag flip moves row 3 into the filtered set, a bump
+      // re-prices row 1, a delete drains row 2, and group c gains
+      // then loses its first 'x' row (filtered-set birth + death)
+      put(Seq((3L, "a", "x", Long.box(40L)),
+        (1L, "a", "x", Long.box(15L)),
+        (7L, "c", "x", Long.box(9L))), "2024-01-02 00:00:00")
+      del(Seq(2L), "2024-01-02 00:00:01")
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_flt").collect()
+      check()
+      del(Seq(7L), "2024-01-03 00:00:00")
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_flt").collect()
+      check()
+      assert(Seq(3, 4, 7, 8, 9).forall(served()("c").isNullAt))
+
+      // restart adoption round-trips the desugared definition
+      GraftMatviews.reset()
+      val restored = GraftSql.sql(spark, "RESTORE MATERIALIZED VIEWS")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(restored.get("mv_flt").contains("restored"), restored.toString)
+      check()
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_flt")
+
+      // rejections: alias mandatory, predicate row-local rules apply
+      // (the WHERE sieve's messages), malformed clause forms
+      Seq(
+        "SELECT grp, SUM(amt) FILTER (WHERE tag = 'x') FROM flt_tab " +
+          "GROUP BY grp" -> "alias",
+        "SELECT grp, SUM(amt) FILTER (WHERE rand() > 0.5) AS x " +
+          "FROM flt_tab GROUP BY grp" -> "non-deterministic",
+        "SELECT grp, SUM(amt) FILTER (WHERE amt > (SELECT 1)) AS x " +
+          "FROM flt_tab GROUP BY grp" -> "",
+        "SELECT grp, SUM(amt) FILTER (tag = 'x') AS x FROM flt_tab " +
+          "GROUP BY grp" -> "FILTER (WHERE",
+        "SELECT grp, grp FILTER (WHERE tag = 'x') AS x FROM flt_tab " +
+          "GROUP BY grp" -> "aggregate call")
+        .foreach { case (sel, needle) =>
+          val e = intercept[IllegalArgumentException] {
+            GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_badf AS " + sel)
+          }
+          assert(needle.isEmpty || e.getMessage.contains(needle),
+            s"$sel => ${e.getMessage}")
+        }
+    } finally {
+      GraftServer.unregister("flt_tab")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("FILTER on the join form: the predicate may cross the join edge " +
+      "(fact measure filtered by a dim attribute) and survives a dim " +
+      "group-move") {
+    val s = spark
+    import s.implicits._
+    val fact = freshTable(Seq("fk", "qty"))
+    val dim = freshTable(Seq("region", "tier"))
+    GraftServer.register("fj_fact", fact)
+    GraftServer.register("fj_dim", dim)
+    try {
+      dim.put(Seq((10L, "east", "gold"), (20L, "west", "std"),
+          (30L, "east", "std")).toDF("id", "r", "t"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r", "tier" -> $"t"), ts("2024-01-01 00:00:00"))
+      fact.put(Seq((1L, 10L, 2L), (2L, 10L, 4L), (3L, 20L, 9L),
+          (4L, 30L, 5L), (5L, 20L, 7L)).toDF("id", "k", "q"),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("fk" -> $"k", "qty" -> $"q"), ts("2024-01-01 00:00:01"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_fj WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT region, COUNT(*) AS n, " +
+        "SUM(qty) FILTER (WHERE tier = 'gold') AS sgold, " +
+        "COUNT(*) FILTER (WHERE qty > 4) AS nbig " +
+        "FROM fj_fact JOIN fj_dim ON fk = fj_dim._id GROUP BY region")
+
+      def truth(): Map[String, (Long, Option[Long], Long)] = {
+        val j = fact.current().join(dim.current()
+            .select(col("_id").as("did"), col("region"), col("tier")),
+          col("fk") === col("did"))
+        j.groupBy(col("region")).agg(
+          count(lit(1)).as("n"),
+          sum(when(col("tier") === "gold", col("qty"))).as("sg"),
+          count(when(col("qty") > 4, lit(1))).as("nb"))
+          .collect().map(r => r.getString(0) -> ((r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            r.getLong(3)))).toMap
+      }
+      def served(): Map[String, (Long, Option[Long], Long)] =
+        GraftSql.sql(spark,
+          "SELECT region, n, sgold, nbig FROM mv_fj").collect()
+          .map(r => r.getString(0) -> ((r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            r.getLong(3)))).toMap
+      assert(served() == truth(), s"${served()} vs ${truth()}")
+
+      // tier flip (dim 20 → gold) moves rows INTO the filtered set
+      // with zero fact ops; dim 10 also changes region (group move)
+      dim.put(Seq((20L, "west", "gold"), (10L, "west", "gold"))
+          .toDF("id", "r", "t"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r", "tier" -> $"t"), ts("2024-01-02 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_fj").collect()
+      assert(served() == truth(), s"${served()} vs ${truth()}")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_fj")
+    } finally {
+      GraftServer.unregister("fj_fact")
+      GraftServer.unregister("fj_dim")
+      GraftMatviews.reset()
+    }
+  }
 }

@@ -1,0 +1,329 @@
+package graft.server
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.bitemporal.BitemporalSql
+
+/** Transparent aggregate navigation ([[GraftMvNav]]): plain GROUP BY
+  * queries over REGISTERED base tables answered from a fresh matview's
+  * state — the rewrite must be mechanically provable (the plan scans
+  * the view state) AND observationally invisible (results identical to
+  * the base plan; staleness, basis, exactness and schema gates all
+  * fall back to base). Base truth is computed through
+  * [[BitemporalSql]] — the same relation the parser's base path
+  * serves. */
+class GraftMvNavSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def freshTable(payload: Seq[String]): graft.GraftTable = {
+    val dir = java.nio.file.Files.createTempDirectory("mv_nav").toString
+    new graft.GraftTable(spark, dir, payload)
+  }
+
+  /** Does the plan read matview state (vs the base tx log)? Checked on
+    * the OPTIMIZED LOGICAL plan — stable under AQE, where the physical
+    * tree hides scans inside AdaptiveSparkPlan until execution. */
+  private def scansMatview(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => r.relation
+    }.exists {
+      case h: org.apache.spark.sql.execution.datasources
+          .HadoopFsRelation =>
+        h.location.rootPaths.exists(_.toString.contains("matview"))
+      case _ => false
+    }
+
+  /** The base-path answer: the query over the live rectangles, exactly
+    * what the SQL front door's non-rewritten branch serves. */
+  private def baseTruth(q: String, tabs: (String, graft.GraftTable)*)
+      : DataFrame =
+    BitemporalSql.sql(spark, q,
+      tabs.map { case (n, t) => n -> t.rectangles() }.toMap)
+
+  private def rows(df: DataFrame): Seq[Seq[String]] =
+    df.collect().map(r =>
+      (0 until r.length).map(i => String.valueOf(r.get(i))).toSeq)
+      .toSeq.sortBy(_.mkString(" "))
+
+  test("trusted view answers a matching GROUP BY over the BASE table: " +
+      "plan provably scans view state, results equal the base plan, " +
+      "staleness falls back to base until REFRESH, kill switch works") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "tag", "amt"))
+    GraftServer.register("nav_t", t)
+    def put(rws: Seq[(Long, String, String, Long)], at: String): Unit =
+      t.put(rws.toDF("id", "g", "tg", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "tag" -> $"tg", "amt" -> $"m"), ts(at))
+    try {
+      put(Seq((1L, "a", "x", 10L), (2L, "a", "y", 20L), (3L, "b", "x", 5L),
+        (4L, "b", "x", 7L), (5L, "c", "z", 40L)), "2024-01-01 00:00:00")
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW nav_v WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4, " +
+        "rewrite = 'trusted') AS " +
+        "SELECT grp, COUNT(*) AS n, SUM(amt) AS s, MIN(amt) AS mn, " +
+        "AVG(amt) AS av, COUNT(DISTINCT tag) AS dt " +
+        "FROM nav_t GROUP BY grp")
+
+      val q = "SELECT grp, COUNT(*) AS n, SUM(amt) AS s, " +
+        "AVG(amt) AS av, COUNT(DISTINCT tag) AS dt " +
+        "FROM nav_t GROUP BY grp ORDER BY grp"
+      val base = baseTruth(q, "nav_t" -> t)
+
+      // the end-to-end path: GraftSql serves the rewritten plan
+      val nav = GraftSql.sql(spark, q)
+      assert(scansMatview(nav),
+        "the rewritten plan must scan the view state:\n" +
+          nav.queryExecution.optimizedPlan.toString.take(1200))
+      assert(rows(nav) == rows(base), s"${rows(nav)} vs ${rows(base)}")
+      assert(nav.schema.map(f => (f.name, f.dataType)) ==
+        base.schema.map(f => (f.name, f.dataType)))
+
+      // kill switch: the navigator must decline outright
+      spark.conf.set("spark.graft.matview.rewrite", "false")
+      assert(GraftMvNav.rewrite(spark, q).isEmpty, "kill switch")
+      spark.conf.set("spark.graft.matview.rewrite", "true")
+      assert(GraftMvNav.rewrite(spark, q).isDefined)
+
+      // STALENESS: a new tx without REFRESH must decline — the base
+      // plan (with the un-folded row visible) is the only honest answer
+      put(Seq((6L, "c", "w", 2L)), "2024-01-02 00:00:00")
+      assert(GraftMvNav.rewrite(spark, q).isEmpty,
+        "an unrefreshed view must never serve a base-table query")
+      assert(baseTruth(q, "nav_t" -> t).filter($"grp" === "c")
+        .collect()(0).getLong(1) == 2L)
+      // REFRESH restores navigation, now with the new row folded
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW nav_v").collect()
+      val again = GraftSql.sql(spark, q)
+      assert(scansMatview(again))
+      assert(rows(again) == rows(baseTruth(q, "nav_t" -> t)))
+
+      // FILTER aggregates ride the same match (desugar on both sides)
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW nav_v")
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW nav_vf WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4, " +
+        "rewrite = 'trusted') AS " +
+        "SELECT grp, COUNT(*) AS n, " +
+        "SUM(amt) FILTER (WHERE tag = 'x') AS sx FROM nav_t GROUP BY grp")
+      val qf = "SELECT grp, SUM(amt) FILTER (WHERE tag = 'x') AS sx " +
+        "FROM nav_t GROUP BY grp"
+      val navF = GraftSql.sql(spark, qf)
+      assert(scansMatview(navF), "filtered aggregates must navigate")
+      assert(rows(navF) == rows(baseTruth(qf, "nav_t" -> t)))
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW nav_vf")
+    } finally {
+      spark.conf.set("spark.graft.matview.rewrite", "true")
+      GraftServer.unregister("nav_t")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("GROUP-BY-subset rollup: re-aggregates ∝-groups state (SUM(n), " +
+      "typed SUM of sums, MIN of mins, AVG = Σsum/Σcnt) — AVG skips " +
+      "when the view lacks its COUNT constituent, DISTINCT never " +
+      "rolls up") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "sub", "amt"))
+    GraftServer.register("ru_t", t)
+    try {
+      t.put(Seq((1L, "a", "p", 10L), (2L, "a", "q", 20L),
+          (3L, "b", "p", 5L), (4L, "b", "q", 7L), (5L, "b", "q", 9L))
+          .toDF("id", "g", "u", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "sub" -> $"u", "amt" -> $"m"),
+        ts("2024-01-01 00:00:00"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW ru_v WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4, " +
+        "rewrite = 'trusted') AS " +
+        "SELECT grp, sub, COUNT(*) AS n, SUM(amt) AS s, " +
+        "COUNT(amt) AS c, MIN(amt) AS mn, MAX(amt) AS mx, " +
+        "AVG(amt) AS av FROM ru_t GROUP BY grp, sub")
+
+      val q = "SELECT grp, COUNT(*) AS n, SUM(amt) AS s, MIN(amt) AS mn, " +
+        "MAX(amt) AS mx, AVG(amt) AS av FROM ru_t GROUP BY grp " +
+        "ORDER BY grp LIMIT 10"
+      val nav = GraftSql.sql(spark, q)
+      assert(scansMatview(nav),
+        "the subset GROUP BY must roll up from state:\n" +
+          nav.queryExecution.optimizedPlan.toString.take(1200))
+      val base = baseTruth(q, "ru_t" -> t)
+      assert(rows(nav) == rows(base), s"${rows(nav)} vs ${rows(base)}")
+      assert(nav.schema.map(f => (f.name, f.dataType)) ==
+        base.schema.map(f => (f.name, f.dataType)))
+
+      // DISTINCT counts are NOT additive across merged groups: the
+      // rollup must refuse them; the EQUAL-groups form serves directly
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW ru_v")
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW ru_vd WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4, " +
+        "rewrite = 'trusted') AS " +
+        "SELECT grp, sub, COUNT(*) AS n, COUNT(DISTINCT amt) AS d, " +
+        "SUM(amt) AS s FROM ru_t GROUP BY grp, sub")
+      assert(GraftMvNav.rewrite(spark,
+        "SELECT grp, COUNT(DISTINCT amt) AS d FROM ru_t GROUP BY grp")
+        .isEmpty, "COUNT(DISTINCT) must not roll up across merged groups")
+      val qeq = "SELECT grp, sub, COUNT(DISTINCT amt) AS d FROM ru_t " +
+        "GROUP BY grp, sub"
+      val eqDf = GraftSql.sql(spark, qeq)
+      assert(scansMatview(eqDf))
+      assert(rows(eqDf) == rows(baseTruth(qeq, "ru_t" -> t)))
+      // AVG rollup without COUNT(amt) in the view: no constituent
+      assert(GraftMvNav.rewrite(spark,
+        "SELECT grp, AVG(amt) AS av FROM ru_t GROUP BY grp").isEmpty,
+        "AVG rollup needs the view to serve SUM and COUNT of the arg")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW ru_vd")
+    } finally {
+      GraftServer.unregister("ru_t")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("gates: bare FROM needs rewrite='trusted'; FOR APPLICATION_TIME AS OF " +
+      "matching the basis rewrites without it; mismatched basis, " +
+      "different WHERE, HAVING, unaliased aggregates and double sums " +
+      "all fall back to base") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "amt"))
+    val td = freshTable(Seq("grp", "damt"))
+    GraftServer.register("gt_t", t)
+    GraftServer.register("gt_d", td)
+    try {
+      t.put(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+          .toDF("id", "g", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "amt" -> $"m"), ts("2024-01-01 00:00:00"))
+      td.put(Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "g", "m"),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "damt" -> $"m"), ts("2024-01-01 00:00:00"))
+
+      // NOT trusted: bare FROM never rewrites; the basis-matching
+      // FOR APPLICATION_TIME query does (provably identical)
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW gt_v WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT grp, COUNT(*) AS n, SUM(amt) AS s FROM gt_t GROUP BY grp")
+      val bare = "SELECT grp, COUNT(*) AS n, SUM(amt) AS s FROM gt_t " +
+        "GROUP BY grp"
+      assert(GraftMvNav.rewrite(spark, bare).isEmpty,
+        "bare FROM over an untrusted view must not rewrite")
+      val pinned = "SELECT grp, COUNT(*) AS n, SUM(amt) AS s FROM gt_t " +
+        "FOR APPLICATION_TIME AS OF TIMESTAMP '2030-01-01 00:00:00' GROUP BY grp"
+      val pdf = GraftSql.sql(spark, pinned)
+      assert(scansMatview(pdf),
+        "a basis-matching FOR APPLICATION_TIME query rewrites without trust:\n" +
+          pdf.queryExecution.optimizedPlan.toString.take(1200))
+      assert(rows(pdf) == rows(baseTruth(pinned, "gt_t" -> t)))
+      assert(GraftMvNav.rewrite(spark,
+        "SELECT grp, COUNT(*) AS n, SUM(amt) AS s FROM gt_t " +
+          "FOR APPLICATION_TIME AS OF TIMESTAMP '2029-01-01 00:00:00' " +
+          "GROUP BY grp").isEmpty,
+        "a mismatched basis must not rewrite")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW gt_v")
+
+      // trusted view: WHERE drift / HAVING / unaliased aggregates skip
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW gt_vw WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4, " +
+        "rewrite = 'trusted') AS SELECT grp, COUNT(*) AS n, " +
+        "SUM(amt) AS s FROM gt_t WHERE amt > 0 GROUP BY grp")
+      val matched = "SELECT grp, SUM(amt) AS s FROM gt_t WHERE amt > 0 " +
+        "GROUP BY grp"
+      val mdf = GraftSql.sql(spark, matched)
+      assert(scansMatview(mdf))
+      assert(rows(mdf) == rows(baseTruth(matched, "gt_t" -> t)))
+      assert(GraftMvNav.rewrite(spark,
+        "SELECT grp, SUM(amt) AS s FROM gt_t WHERE amt > 1 GROUP BY grp")
+        .isEmpty, "a different WHERE must not rewrite")
+      assert(GraftMvNav.rewrite(spark,
+        "SELECT grp, SUM(amt) AS s FROM gt_t WHERE amt > 0 GROUP BY grp " +
+          "HAVING s > 10").isEmpty, "HAVING runs on the base path")
+      assert(GraftMvNav.rewrite(spark,
+        "SELECT grp, SUM(amt) FROM gt_t WHERE amt > 0 GROUP BY grp")
+        .isEmpty, "an unaliased aggregate must not rewrite")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW gt_vw")
+
+      // DOUBLE-typed sums are order-sensitive: exactness gate refuses;
+      // MIN over doubles is exact and still rewrites
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW gt_vd WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4, " +
+        "rewrite = 'trusted') AS SELECT grp, COUNT(*) AS n, " +
+        "SUM(damt) AS s, MIN(damt) AS mn FROM gt_d GROUP BY grp")
+      assert(GraftMvNav.rewrite(spark,
+        "SELECT grp, SUM(damt) AS s FROM gt_d GROUP BY grp").isEmpty,
+        "a double-typed SUM must not rewrite (ulp drift)")
+      val qmin = "SELECT grp, COUNT(*) AS n, MIN(damt) AS mn FROM gt_d " +
+        "GROUP BY grp"
+      val mindf = GraftSql.sql(spark, qmin)
+      assert(scansMatview(mindf))
+      assert(rows(mindf) == rows(baseTruth(qmin, "gt_d" -> td)))
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW gt_vd")
+    } finally {
+      GraftServer.unregister("gt_t"); GraftServer.unregister("gt_d")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("join form: the same star shape rewrites; a DIM-side tx makes " +
+      "the view stale (dual-log freshness) until REFRESH; join-type " +
+      "mismatch never matches") {
+    val s = spark
+    import s.implicits._
+    val fact = freshTable(Seq("fk", "qty"))
+    val dim = freshTable(Seq("region"))
+    GraftServer.register("nj_f", fact)
+    GraftServer.register("nj_d", dim)
+    try {
+      dim.put(Seq((10L, "east"), (20L, "west")).toDF("id", "r"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r"), ts("2024-01-01 00:00:00"))
+      fact.put(Seq((1L, 10L, 2L), (2L, 10L, 4L), (3L, 20L, 9L))
+          .toDF("id", "k", "q"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("fk" -> $"k", "qty" -> $"q"), ts("2024-01-01 00:00:01"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW nj_v WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4, " +
+        "rewrite = 'trusted') AS " +
+        "SELECT region, COUNT(*) AS n, SUM(qty) AS s " +
+        "FROM nj_f JOIN nj_d ON fk = nj_d._id GROUP BY region")
+
+      val q = "SELECT region, COUNT(*) AS n, SUM(qty) AS s " +
+        "FROM nj_f JOIN nj_d ON fk = nj_d._id GROUP BY region"
+      val nav = GraftSql.sql(spark, q)
+      assert(scansMatview(nav),
+        nav.queryExecution.optimizedPlan.toString.take(1200))
+      assert(rows(nav) == rows(baseTruth(q, "nj_f" -> fact, "nj_d" -> dim)))
+
+      // a LEFT query over an INNER view must not match
+      assert(GraftMvNav.rewrite(spark,
+        "SELECT region, COUNT(*) AS n, SUM(qty) AS s " +
+          "FROM nj_f LEFT JOIN nj_d ON fk = nj_d._id GROUP BY region")
+        .isEmpty, "join-type mismatch must not rewrite")
+
+      // DIM-side staleness: a dim group-move without refresh → decline
+      dim.put(Seq((10L, "west")).toDF("id", "r"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r"), ts("2024-01-02 00:00:00"))
+      assert(GraftMvNav.rewrite(spark, q).isEmpty,
+        "a dim tx past the watermark must fall back to base")
+      assert(rows(baseTruth(q, "nj_f" -> fact, "nj_d" -> dim))
+        .map(_.head) == Seq("west"),
+        "the base plan must see the group move immediately")
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW nj_v").collect()
+      val after = GraftSql.sql(spark, q)
+      assert(scansMatview(after))
+      assert(rows(after) ==
+        rows(baseTruth(q, "nj_f" -> fact, "nj_d" -> dim)))
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW nj_v")
+    } finally {
+      GraftServer.unregister("nj_f"); GraftServer.unregister("nj_d")
+      GraftMatviews.reset()
+    }
+  }
+}
