@@ -75,6 +75,14 @@ object GraftMvNav {
         .equalsIgnoreCase("false")) return None
     val text = SqlText.stripLeadingComments(sql).trim
     if (!text.take(6).equalsIgnoreCase("SELECT")) return None
+    // cheap pre-gate for the hot wire path: a statement that does not
+    // even CONTAIN a candidate fact table's name can never match —
+    // skip all parsing (the substring test over-admits, the full
+    // matcher below decides)
+    locally {
+      val lower = text.toLowerCase
+      if (!handles.exists(h => lower.contains(h.nav.fact))) return None
+    }
     if (BitemporalDml.splitTopLevel(text, ';').size != 1) return None
     inNav.set(true)
     try attempt(session, sql, text.stripSuffix(";").trim, handles)

@@ -62,8 +62,30 @@ class MatviewFuzzSpec extends AnyFunSuite {
     def ddl(name: String, table: String): String =
       s"CREATE MATERIALIZED VIEW $name WITH " +
         s"(valid_at = '2030-01-01 00:00:00', buckets = 4" +
-        (if (range) ", layout = 'range'" else "") + ") AS " +
+        (if (range) ", layout = 'range'" else "") +
+        ", rewrite = 'trusted') AS " +
         s"SELECT $selectList FROM $table" +
+        (if (hasWhere) " WHERE amt > 0" else "") + " GROUP BY grp"
+
+    /** The NAVIGABLE subset of this definition (GraftMvNav's exactness
+      * matrix: exact-typed COUNT/SUM/MIN/MAX and the exact DISTINCT
+      * family; AVG excluded here because decimal AVG serves double and
+      * the schema gate correctly refuses, variance/percentiles/sketch
+      * excluded by design). Empty additions still leave COUNT(*). */
+    def navItems: Seq[(String, String)] = // (select item, out col)
+      Seq("COUNT(*) AS n" -> "n") ++
+        (if (hasSum) Seq("SUM(amt) AS s" -> "s") else Nil) ++
+        (if (hasMin) Seq("MIN(amt) AS mn" -> "mn") else Nil) ++
+        (if (hasMax) Seq("MAX(amt) AS mx" -> "mx") else Nil) ++
+        (if (hasCnt) Seq("COUNT(code) AS c" -> "c") else Nil) ++
+        (if (hasNd) Seq("COUNT(DISTINCT code) AS nd" -> "nd") else Nil) ++
+        (if (hasSd) Seq("SUM(DISTINCT code) AS sd" -> "sd") else Nil) ++
+        (if (hasFlt)
+          Seq("SUM(amt) FILTER (WHERE code = 10) AS fs" -> "fs",
+            "COUNT(*) FILTER (WHERE amt < 0) AS fn" -> "fn")
+        else Nil)
+    def navQuery(table: String): String =
+      s"SELECT grp, ${navItems.map(_._1).mkString(", ")} FROM $table" +
         (if (hasWhere) " WHERE amt > 0" else "") + " GROUP BY grp"
   }
 
@@ -183,6 +205,26 @@ class MatviewFuzzSpec extends AnyFunSuite {
         .map(r => vd.cols.indices.map(i => String.valueOf(r.get(i))).toSeq)
         .toSeq.sortBy(_.mkString(""))
 
+    // aggregate-navigation parity: a PLAIN query over the base table
+    // (the navigable subset of this view's aggregates) must fire the
+    // rewrite — fresh + trusted + exact-typed, so a decline is a bug —
+    // and the navigated rows must equal the from-scratch recompute
+    def navParity(label: String): Unit = {
+      val q = vd.navQuery(tbl)
+      val rw = graft.server.GraftMvNav.rewrite(spark, q)
+      assert(rw.isDefined, s"seed $seed $label: navigation must fire " +
+        s"for a fresh trusted view\n$q")
+      val outs = "grp" +: vd.navItems.map(_._2)
+      val idx = outs.map(vd.cols.indexOf)
+      val want = scratch().map(r => idx.map(r))
+        .sortBy(_.mkString(" "))
+      val got = spark.sql(rw.get).collect()
+        .map(r => outs.indices.map(i => String.valueOf(r.get(i))).toSeq)
+        .toSeq.sortBy(_.mkString(" "))
+      assert(got == want,
+        s"seed $seed $label nav parity failed:\n got $got\nwant $want\n" +
+          s"query: $q\nrewritten: ${rw.get}")
+    }
     try {
       // seed data, then CREATE (populates)
       val init = (1 to 4 + rnd.nextInt(5)).map(_ => rnd.nextLong(1000))
@@ -191,15 +233,20 @@ class MatviewFuzzSpec extends AnyFunSuite {
       val story = new StringBuilder(vd.ddl(s"mv_fz$seed", tbl))
       assert(served() == scratch(),
         s"seed $seed POPULATE parity failed\n$story")
+      navParity("POPULATE")
       // random mutation waves with refresh cuts
       (1 to 3 + rnd.nextInt(3)).foreach { wave =>
         (1 to 1 + rnd.nextInt(4)).foreach(_ => mutate())
+        // pre-refresh: the view is now STALE — navigation must decline
+        assert(graft.server.GraftMvNav.rewrite(spark, vd.navQuery(tbl))
+          .isEmpty, s"seed $seed wave $wave: a stale view must decline")
         GraftSql.sql(spark, s"REFRESH MATERIALIZED VIEW mv_fz$seed")
           .collect()
         val (got, want) = (served(), scratch())
         assert(got == want,
           s"seed $seed wave $wave parity failed:\n got $got\nwant $want\n" +
             s"def: $story\nlive: $live")
+        navParity(s"wave $wave")
       }
       GraftSql.sql(spark, s"DROP MATERIALIZED VIEW mv_fz$seed").collect()
     } finally {
@@ -355,10 +402,37 @@ class MatviewFuzzSpec extends AnyFunSuite {
         .map(r => cols.indices.map(i => String.valueOf(r.get(i))).toSeq)
         .toSeq.sortBy(_.mkString(""))
     val ddl = s"CREATE MATERIALIZED VIEW mv_fzj$seed WITH " +
-      "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+      "(valid_at = '2030-01-01 00:00:00', buckets = 4, " +
+      "rewrite = 'trusted') AS " +
       s"SELECT $selectList FROM $ftbl " +
       (if (left) "LEFT JOIN" else "JOIN") + s" $dtbl ON fk = $dtbl._id" +
       (if (hasWhere) " WHERE amt > 0" else "") + " GROUP BY dgrp"
+    // the navigable subset (GraftMvNav exactness matrix — see the
+    // single-table generator) over the SAME join shape
+    val navItems: Seq[(String, String)] = Seq("COUNT(*) AS n" -> "n") ++
+      (if (hasSum) Seq("SUM(amt) AS s" -> "s") else Nil) ++
+      (if (hasMin) Seq("MIN(amt) AS mn" -> "mn") else Nil) ++
+      (if (hasMax) Seq("MAX(amt) AS mx" -> "mx") else Nil) ++
+      (if (hasCnt) Seq("COUNT(code) AS c" -> "c") else Nil) ++
+      (if (hasNd) Seq("COUNT(DISTINCT code) AS nd" -> "nd") else Nil)
+    val navQ = s"SELECT dgrp, ${navItems.map(_._1).mkString(", ")} " +
+      s"FROM $ftbl " + (if (left) "LEFT JOIN" else "JOIN") +
+      s" $dtbl ON fk = $dtbl._id" +
+      (if (hasWhere) " WHERE amt > 0" else "") + " GROUP BY dgrp"
+    def navParity(label: String): Unit = {
+      val rw = graft.server.GraftMvNav.rewrite(spark, navQ)
+      assert(rw.isDefined, s"join seed $seed $label: navigation must " +
+        s"fire for a fresh trusted view\n$navQ")
+      val outs = "dgrp" +: navItems.map(_._2)
+      val idx = outs.map(cols.indexOf)
+      val want = scratch().map(r => idx.map(r)).sortBy(_.mkString(" "))
+      val got = spark.sql(rw.get).collect()
+        .map(r => outs.indices.map(i => String.valueOf(r.get(i))).toSeq)
+        .toSeq.sortBy(_.mkString(" "))
+      assert(got == want,
+        s"join seed $seed $label nav parity failed:\n got $got\n" +
+          s"want $want\nquery: $navQ\nrewritten: ${rw.get}")
+    }
     try {
       val initD = (1 to 2 + rnd.nextInt(3)).map(_ => rnd.nextLong(50))
       putD(initD.map(i => i -> groups(rnd.nextInt(groups.size))))
@@ -368,6 +442,7 @@ class MatviewFuzzSpec extends AnyFunSuite {
       GraftSql.sql(spark, ddl).collect()
       assert(served() == scratch(),
         s"join seed $seed POPULATE parity failed\n$ddl")
+      navParity("POPULATE")
       (1 to 3 + rnd.nextInt(3)).foreach { wave =>
         (1 to 1 + rnd.nextInt(4)).foreach(_ => mutate())
         GraftSql.sql(spark, s"REFRESH MATERIALIZED VIEW mv_fzj$seed")
@@ -376,6 +451,7 @@ class MatviewFuzzSpec extends AnyFunSuite {
         assert(got == want,
           s"join seed $seed wave $wave parity failed:\n got $got\n" +
             s"want $want\ndef: $ddl\nliveF: $liveF liveD: $liveD")
+        navParity(s"wave $wave")
       }
       GraftSql.sql(spark, s"DROP MATERIALIZED VIEW mv_fzj$seed").collect()
     } finally {
