@@ -47,6 +47,23 @@ final class GraftTable(spark: SparkSession, dir: String,
       log.txFilesAfter(lastCompacted).size >= autoCompactEvery) compact()
 
   private def appended[A](txId: A): A = { maybeAutoCompact(); txId }
+
+  /** Cheap generation key for this table: the max tx id visible in ONE
+    * log directory listing (plus the truncation point), no data read.
+    * Two reads at the same generation see the same rectangle relation —
+    * schema included — so [[graft.server.GraftMvNav]]'s memoized
+    * schema backstop keys on (statement, name, location, generation). */
+  private[graft] def logGeneration: Long = {
+    def fid(p: java.nio.file.Path): Long = p.getFileName.toString
+      .stripPrefix("tx_").stripSuffix(".parquet").toLong
+    (log.txFiles().map(fid) ++ log.truncatedUpTo())
+      .maxOption.getOrElse(-1L)
+  }
+
+  /** The table's storage root — a stable identity for memo keys (two
+    * same-named registrations of different tables must never share a
+    * memoized schema). */
+  private[graft] def location: String = dir
   private val txFns =
     scala.collection.mutable.Map.empty[String, (GraftTable, Seq[Any]) => DataFrame]
 

@@ -1826,6 +1826,147 @@ object Bitemp {
           $"lo".cast("double").as("lo"),
           $"hi".cast("double").as("hi")).orderBy($"grp")
       } finally graft.server.GraftServer.unregister("mvnv_ord")
+    }),
+
+    // Navigation predicate SUBSUMPTION (r16): the actual dashboard
+    // workload — the query's WHERE is the view's WHERE plus extra
+    // top-level AND conjuncts referencing only the view's GROUP BY
+    // columns. The residual applies over the served state (group
+    // columns serve verbatim, so filtering served groups IS filtering
+    // base rows — the predicate commutes with GROUP BY exactly) and
+    // COMPOSES with the range/bucket prune rule: the entry asserts the
+    // navigated plan (a) scans matview state and (b) reads ONE leading-
+    // key dir of five (numFiles == 1) — a group-pinned dashboard query
+    // over a 100 TB fact becomes a one-directory state read. The
+    // pinned value ('1-URGENT') never appears in the view DDL.
+    "q185_sql_matview_subsume" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvps_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      graft.server.GraftMatviews.reset()
+      val t = new GraftTable(s, tmp, Seq("grp", "od", "price"))
+      graft.server.GraftServer.register("mvps_ord", t)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val ord = T(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("id"),
+          $"o_orderpriority".as("g"),
+          $"o_orderdate".cast("timestamp").as("odv"),
+          $"o_totalprice".cast("decimal(12,2)").as("p"))
+        t.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "od" -> $"odv", "price" -> $"p"),
+          ts("2020-01-01 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvps_agg WITH " +
+            "(valid_at = '2030-01-01 00:00:00', layout = 'range', " +
+            "rewrite = 'trusted') AS " +
+            "SELECT grp, date_trunc('month', od) AS m, COUNT(*) AS n, " +
+            "SUM(price) AS s, MIN(price) AS mn " +
+            "FROM mvps_ord GROUP BY grp, date_trunc('month', od)")
+        // one mutation wave so the serve is post-maintenance state
+        t.delete(ord.filter($"id" % 13 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> lit(null).cast("string"),
+            "od" -> lit(null).cast("timestamp"),
+            "price" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:00"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvps_agg")
+        val q = "SELECT date_trunc('month', od) AS m, COUNT(*) AS n, " +
+          "SUM(price) AS total, MIN(price) AS lo FROM mvps_ord " +
+          "WHERE grp = '1-URGENT' GROUP BY date_trunc('month', od)"
+        // the prune probe runs AQE-off (the rollup shuffles, and
+        // AdaptiveSparkPlanExec hides scan leaves until execution) and
+        // materializes once so numFiles is the real read
+        val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        val df =
+          try {
+            val d = graft.server.GraftSql.sql(s, q)
+            val hit = d.queryExecution.optimizedPlan.collect {
+              case r: org.apache.spark.sql.execution.datasources
+                  .LogicalRelation => r.relation
+            }.exists {
+              case h: org.apache.spark.sql.execution.datasources
+                  .HadoopFsRelation =>
+                h.location.rootPaths.exists(_.toString.contains("matview"))
+              case _ => false
+            }
+            require(hit,
+              "predicate-subsumption navigation did not fire:\n" +
+                d.queryExecution.optimizedPlan.toString.take(1500))
+            d.collect(): Unit // materialize scan metrics
+            val scans = d.queryExecution.executedPlan.collectLeaves()
+              .collect {
+                case f: org.apache.spark.sql.execution
+                    .FileSourceScanExec => f
+              }
+            require(scans.nonEmpty &&
+              scans.head.metrics("numFiles").value == 1,
+              "the residual group pin must prune to ONE leading-key " +
+                "dir, read " +
+                s"${scans.headOption.map(_.metrics("numFiles").value)}")
+            d
+          } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        df.select(date_format($"m", "yyyy-MM").as("m"), $"n",
+          $"total".cast("double").as("total"),
+          $"lo".cast("double").as("lo")).orderBy($"m")
+      } finally graft.server.GraftServer.unregister("mvps_ord")
+    }),
+
+    // HAVING navigation (r16): a GROUP-BY-subset query WITH a HAVING
+    // over aggregates — including one the select list does not project
+    // (COUNT(*)) — navigates: the rollup re-aggregates ∝-groups state
+    // and the HAVING applies over the re-aggregation, exactly the
+    // base plan's post-filter. The oracle recomputes from scratch with
+    // DuckDB's own HAVING.
+    "q186_sql_matview_having" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvhv_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      graft.server.GraftMatviews.reset()
+      val t = new GraftTable(s, tmp, Seq("grp", "od", "price"))
+      graft.server.GraftServer.register("mvhv_ord", t)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val ord = T(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("id"),
+          $"o_orderpriority".as("g"),
+          $"o_orderdate".cast("timestamp").as("odv"),
+          $"o_totalprice".cast("decimal(12,2)").as("p"))
+        t.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "od" -> $"odv", "price" -> $"p"),
+          ts("2020-01-01 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvhv_agg WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16, " +
+            "rewrite = 'trusted') AS " +
+            "SELECT grp, date_trunc('month', od) AS m, COUNT(*) AS n, " +
+            "SUM(price) AS s, MIN(price) AS mn " +
+            "FROM mvhv_ord GROUP BY grp, date_trunc('month', od)")
+        t.put(ord.filter($"id" % 9 === 0)
+            .withColumn("p2", ($"p" + 500).cast("decimal(12,2)")),
+          $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "od" -> $"odv", "price" -> $"p2"),
+          ts("2020-01-02 00:00:00"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvhv_agg")
+        val q = "SELECT grp, SUM(price) AS total, MIN(price) AS lo " +
+          "FROM mvhv_ord GROUP BY grp " +
+          "HAVING COUNT(*) > 100 AND grp <> '3-MEDIUM'"
+        val df = graft.server.GraftSql.sql(s, q)
+        val hit = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => r.relation
+        }.exists {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation =>
+            h.location.rootPaths.exists(_.toString.contains("matview"))
+          case _ => false
+        }
+        require(hit, "HAVING navigation did not fire:\n" +
+          df.queryExecution.optimizedPlan.toString.take(1500))
+        df.select($"grp", $"total".cast("double").as("total"),
+          $"lo".cast("double").as("lo")).orderBy($"grp")
+      } finally graft.server.GraftServer.unregister("mvhv_ord")
     })
   )
 
@@ -2596,6 +2737,40 @@ object Bitemp {
              CAST(sum(p) AS DOUBLE) AS total,
              CAST(min(p) AS DOUBLE) AS lo,
              CAST(max(p) AS DOUBLE) AS hi
-      FROM eff GROUP BY g ORDER BY g"""
+      FROM eff GROUP BY g ORDER BY g""",
+
+    // q185's group-pinned dashboard query recomputed from scratch:
+    // effective rows (deletes removed), pinned to one priority,
+    // aggregated by month — DuckDB neither knows nor cares that the
+    // engine served it from ONE range dir of the (priority × month)
+    // matview state
+    "q185_sql_matview_subsume" -> """
+      WITH ord AS (SELECT o_orderkey AS id, o_orderpriority AS g,
+                          CAST(o_orderdate AS TIMESTAMP) AS od,
+                          CAST(o_totalprice AS DECIMAL(12,2)) AS p
+                   FROM orders),
+      eff AS (SELECT g, od, p FROM ord WHERE id % 13 <> 0)
+      SELECT strftime(date_trunc('month', od), '%Y-%m') AS m,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p) AS DOUBLE) AS total,
+             CAST(min(p) AS DOUBLE) AS lo
+      FROM eff WHERE g = '1-URGENT'
+      GROUP BY 1 ORDER BY m""",
+
+    // q186's rolled-up HAVING recomputed from scratch (bump wave
+    // applied) with DuckDB's native HAVING
+    "q186_sql_matview_having" -> """
+      WITH ord AS (SELECT o_orderkey AS id, o_orderpriority AS g,
+                          CAST(o_totalprice AS DECIMAL(12,2)) AS p
+                   FROM orders),
+      eff AS (SELECT g,
+                     CASE WHEN id % 9 = 0 THEN CAST(p + 500 AS DECIMAL(12,2))
+                          ELSE p END AS p
+              FROM ord)
+      SELECT g AS grp, CAST(sum(p) AS DOUBLE) AS total,
+             CAST(min(p) AS DOUBLE) AS lo
+      FROM eff GROUP BY g
+      HAVING count(*) > 100 AND g <> '3-MEDIUM'
+      ORDER BY grp"""
   )
 }

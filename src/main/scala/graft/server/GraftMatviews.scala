@@ -951,6 +951,14 @@ object GraftMatviews {
     // keys come from the same parse that chose the semantics
     val navAgg = Seq.newBuilder[(NavKey, String)]
     val navSum = Map.newBuilder[String, String]
+    // VARIANCE/STDDEV arguments, type-gated against the validation
+    // relation below: the serve formula (Σx² − (Σx)²/n)/n is exact for
+    // integral/DECIMAL inputs (the sums are exact, the one double
+    // rounding is the read-time formula) but catastrophically
+    // cancelling for FLOAT/DOUBLE inputs — where the double SUM state
+    // is additionally order-dependent across refreshes. Refused at
+    // CREATE with a cast hint (mirrors the navigation exactness gate).
+    val varStdArgs = Seq.newBuilder[(String, String)]
     BitemporalDml.splitTopLevel(list).map(_.trim).filter(_.nonEmpty)
       .map(desugarFilter)
       .foreach {
@@ -1024,6 +1032,7 @@ object GraftMatviews {
           // end to end — the only double arithmetic is the read-time
           // formula
           val sq = derivedName(s"($argT) * ($argT)")
+          varStdArgs += (fn -> argT)
           sums += c; cnts += c; sums += sq
           serve += (ServeCol.VarStd(c, sq, pop = fn.endsWith("_POP"),
             isStd = fn.startsWith("STDDEV")) -> alias)
@@ -1176,11 +1185,34 @@ object GraftMatviews {
     def derivedLabel(dn: String, e: String): String =
       if (groupExprNames.contains(dn)) s"GROUP BY expression '$e'"
       else s"aggregate argument '$e'"
+    // the VarStd numeric contract (see varStdArgs above), enforced
+    // against the same relation the WHERE/expression validation sees;
+    // an argument that does not resolve at all fails downstream with
+    // its own (better) message
+    def checkVarStdNumeric(rel: => DataFrame): Unit =
+      varStdArgs.result().foreach { case (fn, argT) =>
+        val dt =
+          try Some(rel.selectExpr(argT).schema.head.dataType)
+          catch { case _: Exception => None }
+        dt.foreach {
+          case org.apache.spark.sql.types.DoubleType |
+              org.apache.spark.sql.types.FloatType =>
+            fail(s"$fn($argT): FLOAT/DOUBLE arguments are not " +
+              "incrementally maintainable here — the sum-of-squares " +
+              "serve formula catastrophically cancels on floating-point " +
+              "input (where Spark's own aggregate uses Welford's " +
+              "update), and the floating SUM state would drift with " +
+              "refresh order. Cast the argument to an exact type, e.g. " +
+              s"$fn(CAST($argT AS DECIMAL(38,6))) AS alias")
+          case _ =>
+        }
+      }
     if (joinSpecs.isEmpty) {
       // lazy: only forced when something validates against it — an
       // empty log (no txs yet) must still allow a plain CREATE
       lazy val base = fact.current(spark)
       whereOpt.foreach(w => validateWhere(base, w))
+      checkVarStdNumeric(base)
       derivedExprs.foreach { case (dn, e) =>
         validateExpr(base, e, derivedLabel(dn, e))
       }
@@ -1273,6 +1305,7 @@ object GraftMatviews {
             dim.current(spark).select(dim.payloadColumns.map(col): _*))
         }
         whereOpt.foreach(w => validateWhere(joinedBase, w))
+        checkVarStdNumeric(joinedBase)
         derivedExprs.foreach { case (dn, e) =>
           validateExpr(joinedBase, e, derivedLabel(dn, e))
         }

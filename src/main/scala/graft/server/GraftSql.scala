@@ -25,6 +25,13 @@ object GraftSql {
       .orElse(GraftMaintenance.route(spark, text))
       .getOrElse {
         GraftMatviews.refreshReferenced(spark, text)
+        // EXPLAIN REWRITE <stmt>: the aggregate-navigation decision as
+        // a one-row relation (did it navigate, onto which view, or the
+        // first gate that refused, per candidate)
+        GraftSqlParser.explainRewriteInner(text) match {
+          case Some(inner) => return GraftMvNav.explainReport(spark, inner)
+          case None =>
+        }
         // transparent aggregate navigation: a plain GROUP BY over a
         // registered table answered from a FRESH matview's state when
         // provably identical (GraftMvNav's gates) — None = base path
@@ -37,10 +44,13 @@ object GraftSql {
           // (localCheckpoint jobs) flip to identity so the full lazy
           // pipeline lands in the temp view and zero jobs launch —
           // whether or not the session's parser then re-handles the
-          // EXPLAIN (extensions installed) or Spark renders it natively
+          // EXPLAIN (extensions installed) or Spark renders it natively.
+          // EXPLAIN/execution parity: the inner statement nav-rewrites
+          // first, so the rendered plan IS the plan execution serves.
           GraftProcedures.refuseUnexplainable(text)
           spark.sql(graft.util.PlansOnly {
-            GraftProcedures.rewrite(spark, text)
+            GraftProcedures.rewrite(spark,
+              GraftSqlParser.rewriteExplainInner(spark, text))
           })
         } else spark.sql(GraftProcedures.rewrite(spark, text))
       }

@@ -62,6 +62,20 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case Some(df) => return PlanBridge.logicalPlan(df)
       case None =>
     }
+    // EXPLAIN REWRITE <select>: the aggregate-navigation decision as a
+    // one-row relation — whether the statement navigates, onto which
+    // view, the rewritten text, and on a miss the first refusing gate
+    // per candidate (the difference between "transparent" and
+    // "unobservable" for a rewrite this subtle). Checked BEFORE the
+    // general EXPLAIN branch, which would read REWRITE as the inner
+    // statement's head.
+    GraftSqlParser.explainRewriteInner(sqlText0) match {
+      case Some(inner) =>
+        GraftMatviews.refreshReferenced(session, inner)
+        return PlanBridge.logicalPlan(
+          GraftMvNav.explainReport(session, inner))
+      case None =>
+    }
     // EXPLAIN <stmt>: plan the inner statement through THIS parser (so
     // temporal splices, procedures and recursion all show their real
     // physical shape — e.g. the pushed rectangle-time filters of an AS
@@ -223,6 +237,35 @@ object GraftSqlParser {
   private val explainHead = java.util.regex.Pattern.compile(
     "^\\s*EXPLAIN\\b(\\s+(?:FORMATTED|EXTENDED|COST|CODEGEN|SIMPLE|ANALYZE)\\b)?",
     java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  private val explainRewriteHead = java.util.regex.Pattern.compile(
+    "^\\s*EXPLAIN\\s+REWRITE\\b",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  /** `EXPLAIN REWRITE <stmt>` → the inner statement. Shared with
+    * [[GraftSql]]. */
+  private[server] def explainRewriteInner(text: String): Option[String] = {
+    val stripped = graft.bitemporal.SqlText.stripLeadingComments(text)
+    val m = explainRewriteHead.matcher(stripped)
+    if (m.find()) Some(stripped.substring(m.end()).trim) else None
+  }
+
+  /** EXPLAIN/execution parity for the TEXT front door ([[GraftSql]]):
+    * `EXPLAIN <select>` must describe the NAVIGATED plan exactly when
+    * executing `<select>` would serve it, so the inner statement is
+    * nav-rewritten before the explain renders. (The session-parser
+    * path gets this for free — its EXPLAIN branch re-enters parsePlan
+    * on the inner statement, which applies the same rewrite.) */
+  private[server] def rewriteExplainInner(session: SparkSession,
+                                          text: String): String = {
+    val stripped = graft.bitemporal.SqlText.stripLeadingComments(text)
+    val m = explainHead.matcher(stripped)
+    if (!m.find()) return text
+    GraftMvNav.rewrite(session, stripped.substring(m.end())) match {
+      case Some(rw) => stripped.substring(0, m.end()) + " " + rw
+      case None => text
+    }
+  }
 
   /** Does the (comment-stripped) statement head with EXPLAIN? Shared
     * with [[GraftSql]], which pre-substitutes procedures before the

@@ -225,6 +225,45 @@ class MatviewFuzzSpec extends AnyFunSuite {
         s"seed $seed $label nav parity failed:\n got $got\nwant $want\n" +
           s"query: $q\nrewritten: ${rw.get}")
     }
+    // adversarial probes at the matcher's blind spots: the navigator's
+    // failure mode is a WRONG rewrite, so each variant asserts BOTH the
+    // routing decision (navigate vs base) and — when it navigates —
+    // parity against the base plan computed through BitemporalSql
+    def navAdversarial(label: String): Unit = {
+      import graft.server.GraftMvNav
+      val items = vd.navItems.map(_._1).mkString(", ")
+      val outs = "grp" +: vd.navItems.map(_._2)
+      def run(q: String, expectNav: Boolean, why: String): Unit = {
+        val rw = GraftMvNav.rewrite(spark, q)
+        assert(rw.isDefined == expectNav,
+          s"seed $seed $label $why:\n$q\n→ $rw")
+        rw.foreach { r =>
+          def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+            .map(x => outs.indices.map(i => String.valueOf(x.get(i))).toSeq)
+            .toSeq.sortBy(_.mkString(" "))
+          val got = rows(spark.sql(r))
+          val want = rows(BitemporalSql.sql(spark, q,
+            Map(tbl -> t.rectangles())))
+          assert(got == want, s"seed $seed $label $why parity:\n" +
+            s" got $got\nwant $want\nquery: $q\nrewritten: $r")
+        }
+      }
+      val w0 = if (vd.hasWhere) " WHERE amt > 0 AND" else " WHERE"
+      run(s"SELECT grp, $items FROM $tbl$w0 grp = 'ga' GROUP BY grp",
+        expectNav = true,
+        "a residual conjunct on the GROUP column must navigate")
+      run(s"SELECT grp, $items FROM $tbl$w0 code = 10 GROUP BY grp",
+        expectNav = false,
+        "a residual conjunct on a NON-group column must fall back")
+      run(vd.navQuery(tbl) + " HAVING COUNT(*) > 1",
+        expectNav = true, "HAVING on a served aggregate must navigate")
+      run(vd.navQuery(tbl) + " HAVING MAX(code) > 0",
+        expectNav = false,
+        "HAVING on an aggregate the view does not serve must fall back")
+      assert(GraftMvNav.rewrite(spark,
+        vd.navQuery(tbl).replace(s"FROM $tbl", s"FROM $tbl fz_alias"))
+        .isEmpty, s"seed $seed $label: an aliased fact must fall back")
+    }
     try {
       // seed data, then CREATE (populates)
       val init = (1 to 4 + rnd.nextInt(5)).map(_ => rnd.nextLong(1000))
@@ -248,6 +287,7 @@ class MatviewFuzzSpec extends AnyFunSuite {
             s"def: $story\nlive: $live")
         navParity(s"wave $wave")
       }
+      navAdversarial("FINAL")
       GraftSql.sql(spark, s"DROP MATERIALIZED VIEW mv_fz$seed").collect()
     } finally {
       GraftServer.unregister(tbl)

@@ -2854,6 +2854,59 @@ class GraftMatviewsSpec extends AnyFunSuite {
     }
   }
 
+  test("statistics tier numeric contract: VARIANCE/STDDEV over a " +
+      "FLOAT/DOUBLE argument refuses at CREATE with a cast hint (the " +
+      "sum-of-squares serve formula catastrophically cancels on " +
+      "floating input); the DECIMAL cast of the same column is " +
+      "accepted") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "dval"))
+    GraftServer.register("vg_tab", t)
+    try {
+      t.put(Seq((1L, "a", 1.5), (2L, "a", 2.5), (3L, "b", 4.0))
+          .toDF("id", "g", "d"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "dval" -> $"d"), ts("2024-01-01 00:00:00"))
+      // a raw double column, and a double-typed expression, both refuse
+      Seq("STDDEV(dval) AS x", "VARIANCE(dval * 2) AS x")
+        .foreach { item =>
+          val e = intercept[IllegalArgumentException] {
+            GraftSql.sql(spark, "CREATE MATERIALIZED VIEW vg_bad WITH " +
+              "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+              s"SELECT grp, $item FROM vg_tab GROUP BY grp")
+          }
+          assert(e.getMessage.contains("FLOAT/DOUBLE") &&
+            e.getMessage.contains("DECIMAL"), s"$item → ${e.getMessage}")
+        }
+      // the hinted cast is accepted and maintains through a mutation
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW vg_ok WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT grp, STDDEV(CAST(dval AS DECIMAL(20,4))) AS sd " +
+        "FROM vg_tab GROUP BY grp")
+      t.put(Seq((4L, "b", 6.0)).toDF("id", "g", "d"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "dval" -> $"d"), ts("2024-01-02 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW vg_ok").collect()
+      val got = GraftSql.sql(spark,
+        "SELECT grp, sd FROM vg_ok ORDER BY grp").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val want = t.current()
+        .groupBy(col("grp"))
+        .agg(stddev(col("dval").cast("decimal(20,4)")).as("sd"))
+        .orderBy(col("grp")).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got.map(_._1) == want.map(_._1))
+      got.zip(want).foreach { case ((_, g), (_, w)) =>
+        assert(math.abs(g - w) < 1e-9, s"$g vs $w")
+      }
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW vg_ok")
+    } finally {
+      GraftServer.unregister("vg_tab")
+      GraftMatviews.reset()
+    }
+  }
+
   test("statistics tier, join form: STDDEV over an expression and " +
       "MEDIAN over a fact measure survive a dim group-move (crossed " +
       "touched-group recompute, zero fact ops)") {

@@ -270,6 +270,258 @@ class GraftMvNavSpec extends AnyFunSuite {
     }
   }
 
+  test("WHERE predicate subsumption: residual conjuncts on GROUP BY " +
+      "columns navigate (applied over served state) and COMPOSE with " +
+      "bucket pruning to a one-file read; non-group residuals, a view " +
+      "WHERE the query lacks, backticks and function calls fall back") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "sub", "amt"))
+    GraftServer.register("ps_t", t)
+    try {
+      t.put((1 to 64).map(i =>
+          (i.toLong, s"g${i % 8}", s"s${i % 3}", (i * 10).toLong))
+          .toDF("id", "g", "u", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "sub" -> $"u", "amt" -> $"m"),
+        ts("2024-01-01 00:00:00"))
+
+      // (a) equal-group residual over a hash-bucketed view: the
+      // residual's full-key equality must reach the state scan as a
+      // _bucket partition filter — ONE file of 16
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW ps_v WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 16, " +
+        "rewrite = 'trusted') AS SELECT grp, COUNT(*) AS n, " +
+        "SUM(amt) AS s FROM ps_t GROUP BY grp")
+      val qa = "SELECT grp, COUNT(*) AS n, SUM(amt) AS s FROM ps_t " +
+        "WHERE grp = 'g3' GROUP BY grp"
+      val da = GraftSql.sql(spark, qa)
+      assert(scansMatview(da), "residual WHERE must still navigate:\n" +
+        da.queryExecution.optimizedPlan.toString.take(1200))
+      assert(rows(da) == rows(baseTruth(qa, "ps_t" -> t)))
+      val scans = da.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.exists(_.partitionFilters
+          .exists(_.references.exists(_.name == "_bucket"))),
+        "the residual must compose with MvBucketPrune:\n" +
+          da.queryExecution.executedPlan.toString.take(1500))
+      assert(scans.head.metrics("numFiles").value == 1,
+        s"expected ONE bucket file of 16, read " +
+          s"${scans.head.metrics("numFiles").value}")
+
+      // conjunct ORDER must not matter, and multiset matching holds
+      val qa2 = "SELECT grp, COUNT(*) AS n, SUM(amt) AS s FROM ps_t " +
+        "WHERE amt > 100 AND grp = 'g3' GROUP BY grp"
+      assert(GraftMvNav.rewrite(spark, qa2).isEmpty,
+        "a non-group residual conjunct (amt) must fall back to base")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW ps_v")
+
+      // (b) the flagship dashboard shape: view grouped by (grp, sub)
+      // WITH its own WHERE; the query pins grp (a view group col the
+      // query does NOT group by) on top of the view's conjunct and
+      // groups by sub alone — residual + rollup together
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW ps_v2 WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 8, " +
+        "rewrite = 'trusted') AS SELECT grp, sub, COUNT(*) AS n, " +
+        "SUM(amt) AS s, MIN(amt) AS mn FROM ps_t WHERE amt > 0 " +
+        "GROUP BY grp, sub")
+      val qb = "SELECT sub, COUNT(*) AS n, SUM(amt) AS s, " +
+        "MIN(amt) AS mn FROM ps_t WHERE amt > 0 AND grp = 'g5' " +
+        "GROUP BY sub ORDER BY sub"
+      val db = GraftSql.sql(spark, qb)
+      assert(scansMatview(db), "residual + rollup must navigate:\n" +
+        db.queryExecution.optimizedPlan.toString.take(1200))
+      assert(rows(db) == rows(baseTruth(qb, "ps_t" -> t)))
+      assert(db.schema.map(f => (f.name, f.dataType)) ==
+        baseTruth(qb, "ps_t" -> t).schema.map(f => (f.name, f.dataType)))
+      // IN-lists and IS NULL on group columns ride the same grammar
+      val qb2 = "SELECT sub, COUNT(*) AS n FROM ps_t WHERE amt > 0 " +
+        "AND grp IN ('g1', 'g2') GROUP BY sub"
+      val db2 = GraftSql.sql(spark, qb2)
+      assert(scansMatview(db2))
+      assert(rows(db2) == rows(baseTruth(qb2, "ps_t" -> t)))
+
+      // the view's OWN WHERE must be contained in the query's — a
+      // query missing it sees rows the state never folded
+      assert(GraftMvNav.rewrite(spark,
+        "SELECT sub, COUNT(*) AS n FROM ps_t WHERE grp = 'g5' " +
+          "GROUP BY sub").isEmpty,
+        "a query lacking the view's WHERE conjunct must not rewrite")
+      // conservative residual grammar: backticks (could collide with a
+      // served aggregate alias) and function calls fall back
+      assert(GraftMvNav.rewrite(spark,
+        "SELECT sub, COUNT(*) AS n FROM ps_t WHERE amt > 0 AND " +
+          "`grp` = 'g5' GROUP BY sub").isEmpty,
+        "backticked residual identifiers must fall back")
+      assert(GraftMvNav.rewrite(spark,
+        "SELECT sub, COUNT(*) AS n FROM ps_t WHERE amt > 0 AND " +
+          "upper(grp) = 'G5' GROUP BY sub").isEmpty,
+        "function calls in the residual must fall back")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW ps_v2")
+    } finally {
+      GraftServer.unregister("ps_t")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("HAVING navigation: equal-groups HAVING becomes a state filter, " +
+      "rollup HAVING applies over the re-aggregation (aggregates not " +
+      "in the select list included); unserved aggregates and alias " +
+      "references fall back") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "sub", "amt"))
+    GraftServer.register("hv_t", t)
+    try {
+      t.put((1 to 40).map(i =>
+          (i.toLong, s"g${i % 4}", s"s${i % 3}", (i % 7).toLong))
+          .toDF("id", "g", "u", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "sub" -> $"u", "amt" -> $"m"),
+        ts("2024-01-01 00:00:00"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW hv_v WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4, " +
+        "rewrite = 'trusted') AS SELECT grp, sub, COUNT(*) AS n, " +
+        "SUM(amt) AS s, MIN(amt) AS mn FROM hv_t GROUP BY grp, sub")
+
+      // equal groups: the HAVING call matches a served aggregate and
+      // becomes a WHERE over state rows (state rows ARE the groups)
+      val q1 = "SELECT grp, sub, COUNT(*) AS n FROM hv_t " +
+        "GROUP BY grp, sub HAVING SUM(amt) > 10"
+      val d1 = GraftSql.sql(spark, q1)
+      assert(scansMatview(d1), "equal-group HAVING must navigate:\n" +
+        d1.queryExecution.optimizedPlan.toString.take(1200))
+      assert(rows(d1) == rows(baseTruth(q1, "hv_t" -> t)))
+
+      // rollup: HAVING over re-aggregated state, with a group-column
+      // reference and an aggregate the select list does not project
+      val q2 = "SELECT grp, SUM(amt) AS s FROM hv_t GROUP BY grp " +
+        "HAVING COUNT(*) > 5 AND grp <> 'g0' ORDER BY grp"
+      val d2 = GraftSql.sql(spark, q2)
+      assert(scansMatview(d2), "rollup HAVING must navigate:\n" +
+        d2.queryExecution.optimizedPlan.toString.take(1200))
+      assert(rows(d2) == rows(baseTruth(q2, "hv_t" -> t)))
+
+      // refusals: an aggregate the view does not serve; an output-alias
+      // reference (not provably a group column)
+      assert(GraftMvNav.rewrite(spark,
+        "SELECT grp, sub, COUNT(*) AS n FROM hv_t GROUP BY grp, sub " +
+          "HAVING MAX(amt) > 3").isEmpty,
+        "a HAVING aggregate the view does not serve must fall back")
+      assert(GraftMvNav.rewrite(spark,
+        "SELECT grp, sub, SUM(amt) AS s FROM hv_t GROUP BY grp, sub " +
+          "HAVING s > 10").isEmpty,
+        "an output-alias reference in HAVING must fall back")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW hv_v")
+    } finally {
+      GraftServer.unregister("hv_t")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("SQL:2011 pins are per-table: FOR APPLICATION_TIME over a JOIN " +
+      "view matches the basis but still needs rewrite='trusted' (the " +
+      "query's un-claused dims serve AS OF now; the view pins them at " +
+      "valid_at)") {
+    val s = spark
+    import s.implicits._
+    val fact = freshTable(Seq("fk", "qty"))
+    val dim = freshTable(Seq("region"))
+    GraftServer.register("tp_f", fact)
+    GraftServer.register("tp_d", dim)
+    try {
+      dim.put(Seq((10L, "east"), (20L, "west")).toDF("id", "r"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("region" -> $"r"), ts("2024-01-01 00:00:00"))
+      fact.put(Seq((1L, 10L, 2L), (2L, 20L, 9L)).toDF("id", "k", "q"),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("fk" -> $"k", "qty" -> $"q"), ts("2024-01-01 00:00:01"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW tp_v WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4) AS " +
+        "SELECT region, COUNT(*) AS n, SUM(qty) AS s " +
+        "FROM tp_f JOIN tp_d ON fk = tp_d._id GROUP BY region")
+      val pinned = "SELECT region, COUNT(*) AS n, SUM(qty) AS s " +
+        "FROM tp_f FOR APPLICATION_TIME AS OF TIMESTAMP " +
+        "'2030-01-01 00:00:00' JOIN tp_d ON fk = tp_d._id " +
+        "GROUP BY region"
+      assert(GraftMvNav.rewrite(spark, pinned).isEmpty,
+        "a fact-only pin over an untrusted JOIN view must not rewrite " +
+          "(dim rows valid-dated past now would silently diverge)")
+      // the same pin over a TRUSTED join view rewrites (the user's
+      // standing basis assertion covers the dims)
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW tp_v")
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW tp_vt WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4, " +
+        "rewrite = 'trusted') AS " +
+        "SELECT region, COUNT(*) AS n, SUM(qty) AS s " +
+        "FROM tp_f JOIN tp_d ON fk = tp_d._id GROUP BY region")
+      val dfT = GraftSql.sql(spark, pinned)
+      assert(scansMatview(dfT))
+      assert(rows(dfT) ==
+        rows(baseTruth(pinned, "tp_f" -> fact, "tp_d" -> dim)))
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW tp_vt")
+    } finally {
+      GraftServer.unregister("tp_f"); GraftServer.unregister("tp_d")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("observability: EXPLAIN REWRITE names a hit, a freshness miss " +
+      "and an exactness refusal; EXPLAIN SELECT describes the " +
+      "NAVIGATED plan (explain/execution parity)") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "amt", "damt"))
+    GraftServer.register("ob_t", t)
+    try {
+      t.put(Seq((1L, "a", 10L, 1.5), (2L, "b", 20L, 2.5))
+          .toDF("id", "g", "m", "d"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "amt" -> $"m", "damt" -> $"d"),
+        ts("2024-01-01 00:00:00"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW ob_v WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4, " +
+        "rewrite = 'trusted') AS SELECT grp, COUNT(*) AS n, " +
+        "SUM(amt) AS s, SUM(damt) AS sd FROM ob_t GROUP BY grp")
+      val q = "SELECT grp, COUNT(*) AS n, SUM(amt) AS s FROM ob_t " +
+        "GROUP BY grp"
+
+      // a HIT names the view and shows the rewritten text
+      val hit = GraftSql.sql(spark, s"EXPLAIN REWRITE $q").collect()(0)
+      assert(hit.getBoolean(0), hit.toString)
+      assert(hit.getString(1).contains("FROM ob_v"), hit.getString(1))
+      assert(hit.getString(2).contains("navigated onto ob_v"),
+        hit.getString(2))
+
+      // EXPLAIN/execution parity: the rendered plan reads view state
+      val plan = GraftSql.sql(spark, s"EXPLAIN FORMATTED $q")
+        .collect()(0).getString(0)
+      assert(plan.contains("matview"),
+        s"EXPLAIN must describe the navigated plan:\n${plan.take(800)}")
+
+      // an EXACTNESS refusal is named (double SUM state)
+      val ex = GraftSql.sql(spark, "EXPLAIN REWRITE SELECT grp, " +
+        "SUM(damt) AS sd FROM ob_t GROUP BY grp").collect()(0)
+      assert(!ex.getBoolean(0))
+      assert(ex.getString(2).contains("float/double SUM state"),
+        ex.getString(2))
+
+      // a FRESHNESS miss is named
+      t.put(Seq((3L, "c", 5L, 0.5)).toDF("id", "g", "m", "d"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "amt" -> $"m", "damt" -> $"d"),
+        ts("2024-01-02 00:00:00"))
+      val st = GraftSql.sql(spark, s"EXPLAIN REWRITE $q").collect()(0)
+      assert(!st.getBoolean(0))
+      assert(st.getString(2).contains("stale"), st.getString(2))
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW ob_v")
+    } finally {
+      GraftServer.unregister("ob_t")
+      GraftMatviews.reset()
+    }
+  }
+
   test("join form: the same star shape rewrites; a DIM-side tx makes " +
       "the view stale (dual-log freshness) until REFRESH; join-type " +
       "mismatch never matches") {

@@ -1073,6 +1073,37 @@ class GraftPgWireSpec extends AnyFunSuite {
       // and the refused DML did NOT run
       val n = c.query("SELECT count(*) AS n FROM pgexp")
       assert(Wire.dataRow(n.find(_.tpe == 'D').get.body) == Seq(Some("2")))
+
+      // EXPLAIN REWRITE (r16): the aggregate-navigation decision over
+      // the wire — a HIT names the view and carries the rewritten
+      // text; plain EXPLAIN renders the NAVIGATED plan (explain/
+      // execution parity); a tx past the watermark flips the decision
+      // and the trace names the freshness gate
+      c.query("CREATE MATERIALIZED VIEW pgexp_mv WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4, " +
+        "rewrite = 'trusted') AS SELECT bal, COUNT(*) AS n " +
+        "FROM pgexp GROUP BY bal")
+      val navQ = "SELECT bal, COUNT(*) AS n FROM pgexp GROUP BY bal"
+      val er = c.query(s"EXPLAIN REWRITE $navQ")
+      assert(Wire.rowDesc(er.find(_.tpe == 'T').get.body).map(_._1) ==
+        Seq("navigated", "rewritten", "trace"))
+      val erRow = Wire.dataRow(er.find(_.tpe == 'D').get.body)
+      assert(Seq("t", "true").contains(erRow.head.get.toLowerCase),
+        erRow.toString)
+      assert(erRow(1).get.contains("FROM pgexp_mv"), erRow(1).get)
+      assert(erRow(2).get.contains("navigated onto pgexp_mv"),
+        erRow(2).get)
+      val exn = c.query(s"EXPLAIN $navQ")
+      val nPlan = Wire.dataRow(exn.find(_.tpe == 'D').get.body).head.get
+      assert(nPlan.contains("matview"),
+        s"EXPLAIN must render the navigated plan:\n${nPlan.take(1500)}")
+      c.query("INSERT INTO pgexp (_id, bal) VALUES (3, 10.0D)")
+      val er2 = c.query(s"EXPLAIN REWRITE $navQ")
+      val er2Row = Wire.dataRow(er2.find(_.tpe == 'D').get.body)
+      assert(Seq("f", "false").contains(er2Row.head.get.toLowerCase),
+        er2Row.toString)
+      assert(er2Row(2).get.contains("stale"), er2Row(2).get)
+      c.query("DROP MATERIALIZED VIEW pgexp_mv")
       c.terminate()
     } finally {
       handle.stop()
