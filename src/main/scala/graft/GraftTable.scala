@@ -155,7 +155,8 @@ final class GraftTable(spark: SparkSession, dir: String,
                   hllCols: Seq[String] = Nil,
                   rangeLayout: Boolean = false,
                   leftJoins: Seq[Boolean] = Nil,
-                  pcts: Seq[graft.bitemporal.MvPct] = Nil)
+                  pcts: Seq[graft.bitemporal.MvPct] = Nil,
+                  bucketCols: Seq[String] = Nil)
       : graft.bitemporal.JoinMatview = {
     require(dims.nonEmpty, "at least one dimension table")
     new graft.bitemporal.JoinMatview(spark, log, payloadCols,
@@ -164,7 +165,7 @@ final class GraftTable(spark: SparkSession, dir: String,
       dims.head._2, groupCols, sumCols, validAt, nBuckets, minCols, maxCols,
       cntCols, where, derived,
       dims.tail.map(d => (d._1.log, d._1.payloadColumns, d._2)),
-      distincts, Nil, hllCols, rangeLayout, leftJoins, pcts)
+      distincts, bucketCols, hllCols, rangeLayout, leftJoins, pcts)
   }
 
   /** An incrementally-maintained COUNT/SUM view over this table at a
@@ -191,12 +192,13 @@ final class GraftTable(spark: SparkSession, dir: String,
                distincts: Seq[graft.bitemporal.MvDistinct] = Nil,
                hllCols: Seq[String] = Nil,
                rangeLayout: Boolean = false,
-               pcts: Seq[graft.bitemporal.MvPct] = Nil)
+               pcts: Seq[graft.bitemporal.MvPct] = Nil,
+               bucketCols: Seq[String] = Nil)
       : graft.bitemporal.Matview =
     new graft.bitemporal.Matview(spark, log,
       java.nio.file.Paths.get(dir, "matview", name), payloadCols,
       groupCols, sumCols, validAt, nBuckets, minCols, maxCols, cntCols,
-      where, derived, distincts, Nil, hllCols, rangeLayout, pcts)
+      where, derived, distincts, bucketCols, hllCols, rangeLayout, pcts)
 
   /** [[matviewN]] with an EXPLICIT state dir and COUNT(*)-only state —
     * the DISTINCT-aggregate serve path nests its auxiliary pair-level

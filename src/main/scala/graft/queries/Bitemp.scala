@@ -1967,6 +1967,72 @@ object Bitemp {
         df.select($"grp", $"total".cast("double").as("total"),
           $"lo".cast("double").as("lo")).orderBy($"grp")
       } finally graft.server.GraftServer.unregister("mvhv_ord")
+    }),
+
+    // bucket_key (r16): hash-layout state bucketed on a group-key
+    // SUBSET — the (priority × month) view bucketed on priority alone
+    // serves the group-pinned month rollup (navigated from the BASE
+    // table via residual subsumption) from ONE dir of 16 at any key
+    // type/cardinality, the hash complement of q185's range layout.
+    // Asserted mechanically: navigation fired AND numFiles == 1.
+    "q187_sql_matview_bucket_key" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvbk_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      graft.server.GraftMatviews.reset()
+      val t = new GraftTable(s, tmp, Seq("grp", "od", "price"))
+      graft.server.GraftServer.register("mvbk_ord", t)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val ord = T(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("id"),
+          $"o_orderpriority".as("g"),
+          $"o_orderdate".cast("timestamp").as("odv"),
+          $"o_totalprice".cast("decimal(12,2)").as("p"))
+        t.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "od" -> $"odv", "price" -> $"p"),
+          ts("2020-01-01 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvbk_agg WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16, " +
+            "bucket_key = 'grp', rewrite = 'trusted') AS " +
+            "SELECT grp, date_trunc('month', od) AS m, COUNT(*) AS n, " +
+            "SUM(price) AS s, MAX(price) AS mx " +
+            "FROM mvbk_ord GROUP BY grp, date_trunc('month', od)")
+        t.delete(ord.filter($"id" % 17 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> lit(null).cast("string"),
+            "od" -> lit(null).cast("timestamp"),
+            "price" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:00"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvbk_agg")
+        val q = "SELECT date_trunc('month', od) AS m, COUNT(*) AS n, " +
+          "SUM(price) AS total, MAX(price) AS hi FROM mvbk_ord " +
+          "WHERE grp = '2-HIGH' GROUP BY date_trunc('month', od)"
+        val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        val df =
+          try {
+            val d = graft.server.GraftSql.sql(s, q)
+            d.collect(): Unit // ONE action, then read scan metrics
+            val scans = d.queryExecution.executedPlan.collectLeaves()
+              .collect {
+                case f: org.apache.spark.sql.execution
+                    .FileSourceScanExec => f
+              }
+            require(scans.nonEmpty && scans.head.relation.location
+                .rootPaths.exists(_.toString.contains("matview")),
+              "bucket_key navigation did not fire:\n" +
+                d.queryExecution.executedPlan.toString.take(1500))
+            require(scans.head.metrics("numFiles").value == 1,
+              "the subset-key pin must prune to ONE dir of 16, read " +
+                s"${scans.headOption.map(_.metrics("numFiles").value)}")
+            d
+          } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        df.select(date_format($"m", "yyyy-MM").as("m"), $"n",
+          $"total".cast("double").as("total"),
+          $"hi".cast("double").as("hi")).orderBy($"m")
+      } finally graft.server.GraftServer.unregister("mvbk_ord")
     })
   )
 
@@ -2771,6 +2837,22 @@ object Bitemp {
              CAST(min(p) AS DOUBLE) AS lo
       FROM eff GROUP BY g
       HAVING count(*) > 100 AND g <> '3-MEDIUM'
-      ORDER BY grp"""
+      ORDER BY grp""",
+
+    // q187's subset-bucketed pinned rollup recomputed from scratch
+    // (delete wave removed) — DuckDB neither knows nor cares that the
+    // engine read one `_bucket` dir of 16
+    "q187_sql_matview_bucket_key" -> """
+      WITH ord AS (SELECT o_orderkey AS id, o_orderpriority AS g,
+                          CAST(o_orderdate AS TIMESTAMP) AS od,
+                          CAST(o_totalprice AS DECIMAL(12,2)) AS p
+                   FROM orders),
+      eff AS (SELECT g, od, p FROM ord WHERE id % 17 <> 0)
+      SELECT strftime(date_trunc('month', od), '%Y-%m') AS m,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p) AS DOUBLE) AS total,
+             CAST(max(p) AS DOUBLE) AS hi
+      FROM eff WHERE g = '2-HIGH'
+      GROUP BY 1 ORDER BY m"""
   )
 }

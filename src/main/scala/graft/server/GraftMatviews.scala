@@ -847,10 +847,10 @@ object GraftMatviews {
         k -> v.stripPrefix("'").stripSuffix("'")
       }.toMap
     optMap.keys.find(k => k != "valid_at" && k != "buckets" &&
-        k != "layout" && k != "rewrite")
+        k != "layout" && k != "rewrite" && k != "bucket_key")
       .foreach(k =>
         fail(s"unknown WITH option '$k' (valid_at, buckets, layout, " +
-          "rewrite)"))
+          "rewrite, bucket_key)"))
     val validAt = optMap.get("valid_at")
       .map(v => try Timestamp.valueOf(v) catch { case _: IllegalArgumentException =>
         fail(s"valid_at must be 'yyyy-mm-dd hh:mm:ss[.ffff]', got '$v'") })
@@ -876,6 +876,26 @@ object GraftMatviews {
       case Some("trusted") => true
       case Some(x) => fail(s"rewrite must be 'trusted' or 'off', got '$x'")
     }
+    // bucket_key = 'col[, col2 …]': hash the state's _bucket dirs on a
+    // SUBSET of the group columns instead of the whole key. The point:
+    // a view GROUP BY (grp, sub) bucketed on grp alone gives the
+    // group-pinned rollup dashboard (`WHERE grp = 'x' GROUP BY sub` —
+    // directly or via aggregate navigation's residual) a ONE-dir read
+    // at ANY key type/cardinality, where layout='range' needs a
+    // lexicographic leading key under the dir cap. The prune rule
+    // already requires equality on exactly the bucket-key columns
+    // (GroupsKey metadata), and refresh affectedness hashes the same
+    // subset — the aux-view machinery has used both since r13. The
+    // trade is explicit: point reads pinning the FULL key no longer
+    // isolate one group per dir (a dir holds every `sub` of one `grp`),
+    // so the default remains whole-key bucketing.
+    val bucketKeyOpt: Seq[String] = optMap.get("bucket_key")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    if (optMap.contains("bucket_key") && bucketKeyOpt.isEmpty)
+      fail("bucket_key must name at least one GROUP BY column")
+    if (bucketKeyOpt.map(_.toLowerCase).distinct.size != bucketKeyOpt.size)
+      fail(s"duplicate column in bucket_key '${bucketKeyOpt.mkString(",")}'")
     // the CANONICAL statement pins the RESOLVED basis and bucketing:
     // a restore must rebind the exact same view, not re-default
     // valid_at to its own "now" (silent basis drift). The layout rides
@@ -885,6 +905,8 @@ object GraftMatviews {
       s"CREATE MATERIALIZED VIEW $name WITH (valid_at = '$validAt', " +
         s"buckets = $bucketsResolved" +
         (if (rangeLayout) ", layout = 'range'" else "") +
+        (if (bucketKeyOpt.nonEmpty)
+          s", bucket_key = '${bucketKeyOpt.mkString(", ")}'" else "") +
         (if (trusted) ", rewrite = 'trusted'" else "") +
         s") AS ${select.trim}"
 
@@ -933,6 +955,31 @@ object GraftMatviews {
       }
     if (groups.distinct.size != groups.size)
       fail(s"duplicate GROUP BY column in $groupBy")
+
+    // bucket_key names resolve against the PLAIN group columns (a
+    // derived GROUP BY expression has no user-writable name) —
+    // case-insensitively, to the canonical spelling the state uses
+    val bucketKeyCols: Seq[String] = bucketKeyOpt.map { bk =>
+      groups.find(g => !groupExprNames.contains(g) &&
+          g.equalsIgnoreCase(bk))
+        .getOrElse(fail(s"bucket_key column '$bk' is not a plain " +
+          s"GROUP BY column of this view (GROUP BY columns: " +
+          s"${groups.filterNot(groupExprNames.contains).mkString(", ")})"))
+    }
+    if (rangeLayout && bucketKeyCols.nonEmpty &&
+        bucketKeyCols.head != groups.head)
+      fail("layout = 'range' partitions on the LEADING group column, " +
+        s"so bucket_key must lead with '${groups.head}' (got " +
+        s"'${bucketKeyCols.head}')")
+    // the key the state's _bucket ACTUALLY hashes. DISTINCT auxes MUST
+    // bucket on exactly this (MvDistinct's contract: a pair's aux
+    // _bucket equals the main _bucket of its group, so the refresh's
+    // rollup scan prunes the aux by the parent's affected bucket ids) —
+    // bucketing the aux on the FULL group set under a subset-keyed
+    // parent would prune in a different hash domain and silently drop
+    // pairs from the rollup.
+    val effBucketKey: Seq[String] =
+      if (bucketKeyCols.nonEmpty) bucketKeyCols else groups
 
     val groupAliases = scala.collection.mutable.LinkedHashMap(
       groups.map(g => g -> g): _*)
@@ -1260,7 +1307,7 @@ object GraftMatviews {
             // prunes aux dirs exactly like the hash case prunes buckets
             val a = fact.matviewAt(mvDir.resolve("_dist").resolve(d),
               (groups :+ d).distinct, validAt, nb, whereOpt,
-              auxDerived(d), bucketCols = groups, rangeLayout)
+              auxDerived(d), bucketCols = effBucketKey, rangeLayout)
             graft.bitemporal.MvDistinct(d, distinctSums.contains(d),
               sess => a.readRaw(sess),
               ws => { a.refreshUpTo(Some(ws.head)): Unit })
@@ -1268,7 +1315,8 @@ object GraftMatviews {
         val mv = fact.matviewN(name, groups, sums.result().distinct, validAt,
           nb, mins.result(), maxs.result(),
           cnts.result().distinct, whereOpt, derivedExprs.toSeq, auxes,
-          hlls.result().distinct, rangeLayout, pcts.toSeq)
+          hlls.result().distinct, rangeLayout, pcts.toSeq,
+          bucketCols = bucketKeyCols)
         Handle(name, serveAll, havingOpt,
           sess => mv.read(sess),
           () => (mv.refresh(), Option.empty[Long]),
@@ -1323,7 +1371,7 @@ object GraftMatviews {
           distincts.toSeq.map { d =>
             val a = fact.starMatviewAt(mvDir.resolve("_dist").resolve(d),
               dims, (groups :+ d).distinct, validAt, nb, whereOpt,
-              auxDerived(d), bucketCols = groups, rangeLayout, leftJoins)
+              auxDerived(d), bucketCols = effBucketKey, rangeLayout, leftJoins)
             graft.bitemporal.MvDistinct(d, distinctSums.contains(d),
               sess => a.readRaw(sess),
               ws => { a.refreshUpTo(Some(ws)): Unit })
@@ -1332,7 +1380,7 @@ object GraftMatviews {
           sums.result().distinct, validAt, nb,
           mins.result(), maxs.result(), cnts.result().distinct, whereOpt,
           derivedExprs.toSeq, auxes, hlls.result().distinct, rangeLayout,
-          leftJoins, pcts.toSeq)
+          leftJoins, pcts.toSeq, bucketCols = bucketKeyCols)
         val joinsNav = joinSpecs.zip(dims).map {
           case ((dn, _, left), (_, fk)) =>
             (dn.toLowerCase, fk.toLowerCase, left)

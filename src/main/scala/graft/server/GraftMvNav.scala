@@ -220,10 +220,17 @@ object GraftMvNav {
   /** Split on TOP-LEVEL `AND` keywords — outside literals/comments,
     * outside parens, and NOT the `AND` that closes a top-level
     * `BETWEEN lo AND hi` (each unconsumed BETWEEN absorbs the next
-    * top-level AND). */
+    * top-level AND). A predicate with a TOP-LEVEL `OR` is returned
+    * WHOLE: `A AND B OR C` parses as `(A AND B) OR C`, so its pieces
+    * are NOT conjuncts — re-joining them with AND would change the
+    * precedence (both sides of the subsumption match split with this
+    * same rule, so whole-text matching still works piecewise-equal). */
   private[server] def splitAnd(t: String): Seq[String] = {
     val spans = SqlText.maskedSpans(t)
     val depth = depthOf(t, spans)
+    if ("(?i)\\bOR\\b".r.findAllMatchIn(t).exists(m =>
+        !SqlText.masked(spans, m.start) && depth(m.start) == 0))
+      return Seq(t.trim).filter(_.nonEmpty)
     var pendingBetween = 0
     val cuts = Seq.newBuilder[(Int, Int)]
     "(?i)\\b(BETWEEN|AND)\\b".r.findAllMatchIn(t).foreach { m =>
@@ -547,20 +554,37 @@ object GraftMvNav {
     "exists", "case", "when", "then", "else", "end", "distinct")
 
   /** Rewrite a predicate fragment so every (unmasked) column reference
-    * becomes the view's served alias for that GROUP BY column. None =
-    * the fragment references something not provably a verbatim-served
-    * group column — backticked identifiers (could collide with an
-    * aggregate's served alias), function calls, typed literals aside
-    * (`DATE '…'` keeps), unknown columns — and the statement falls back
-    * to the base path. */
+    * becomes the view's served alias for that GROUP BY column — and
+    * every balanced CALL expression whose normalized text IS a view
+    * GROUP BY expression becomes that expression's alias (the
+    * time-bucketed dashboard's `date_trunc('month', ts) >= X`, which
+    * then composes with range-dir pruning). None = the fragment
+    * references something not provably a verbatim-served group value —
+    * backticked identifiers (could collide with an aggregate's served
+    * alias), calls that are NOT a group expression, typed literals
+    * aside (`DATE '…'` keeps), unknown columns — and the statement
+    * falls back to the base path. */
   private def substGroupRefs(frag: String, allowed: Map[String, String])
       : Option[String] = {
     if (frag.indexOf('`') >= 0) return None
     val spans = SqlText.maskedSpans(frag)
+    def balancedClose(open: Int): Option[Int] = {
+      var d = 0; var i = open
+      while (i < frag.length) {
+        if (!SqlText.masked(spans, i)) {
+          val c = frag.charAt(i)
+          if (c == '(') d += 1
+          else if (c == ')') { d -= 1; if (d == 0) return Some(i) }
+        }
+        i += 1
+      }
+      None
+    }
     val sb = new StringBuilder
     var last = 0
     for (m <- identTokRe.findAllMatchIn(frag)) {
-      if (!SqlText.masked(spans, m.start)) {
+      // skip matches inside an already-consumed call span
+      if (m.start >= last && !SqlText.masked(spans, m.start)) {
         val tok = m.matched
         val low = tok.toLowerCase
         var j = m.end
@@ -570,7 +594,24 @@ object GraftMvNav {
           low == "interval") && nextCh == '\''
         if (typedLit || (bareKeywords(low) && !tok.contains("."))) {
           // keyword / typed-literal head: keep verbatim
-        } else if (nextCh == '(') return None // function call
+        } else if (nextCh == '(') {
+          // a call: servable only when the WHOLE balanced expression
+          // is (the normalized text of) a view GROUP BY expression —
+          // which serves verbatim, so any predicate over it commutes
+          // with GROUP BY exactly like a plain group column
+          balancedClose(j) match {
+            case Some(e) =>
+              val span = frag.substring(m.start, e + 1)
+              allowed.get(normText(span)) match {
+                case Some(alias) =>
+                  sb.append(frag.substring(last, m.start))
+                    .append('`').append(alias).append('`')
+                  last = e + 1
+                case None => return None
+              }
+            case None => return None
+          }
+        }
         else allowed.get(navSrc(tok)) match {
           case Some(alias) =>
             sb.append(frag.substring(last, m.start))

@@ -3183,4 +3183,138 @@ class GraftMatviewsSpec extends AnyFunSuite {
       GraftMatviews.reset()
     }
   }
+
+  test("bucket_key: state bucketed on a group-key SUBSET — the " +
+      "group-pinned read and the NAVIGATED rollup both read ONE dir of " +
+      "16 at any key cardinality; maintenance and RESTORE keep the " +
+      "layout; misuse refuses with the reason") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "sub", "amt"))
+    GraftServer.register("bk_t", t)
+    def expected(g: String): Seq[(String, Long, Long, Long)] =
+      t.current().filter(col("grp") === g).groupBy(col("sub"))
+        .agg(count(lit(1)).as("n"), sum(col("amt")).as("s"),
+          countDistinct(col("amt")).as("d"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .toSeq.sortBy(_._1)
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    try {
+      t.put((1 to 96).map(i =>
+          (i.toLong, s"g${i % 8}", s"s${i % 3}", (i * 2).toLong))
+          .toDF("id", "g", "u", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "sub" -> $"u", "amt" -> $"m"),
+        ts("2024-01-01 00:00:00"))
+      // COUNT(DISTINCT …) rides along: its auxiliary pair view must
+      // bucket on the parent's EFFECTIVE bucket key (grp alone), or the
+      // refresh's rollup prune would hash a different domain and
+      // silently drop pairs
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_bk WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 16, " +
+        "bucket_key = 'grp', rewrite = 'trusted') AS " +
+        "SELECT grp, sub, COUNT(*) AS n, SUM(amt) AS s, " +
+        "COUNT(DISTINCT amt) AS d FROM bk_t GROUP BY grp, sub")
+
+      // DIRECT pinned read: equality on the bucket key alone prunes —
+      // whole-key bucketing could not (sub is unpinned). ONE action
+      // before reading metrics (actions reset them).
+      val direct = GraftSql.sql(spark,
+        "SELECT sub, n, s, d FROM mv_bk WHERE grp = 'g3'")
+      val dRows = direct.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .toSeq.sortBy(_._1)
+      val dScan = scanOf(direct)
+      assert(dScan.nonEmpty && dScan.head.partitionFilters
+          .exists(_.references.exists(_.name == "_bucket")),
+        "the subset-key equality must become a partition filter:\n" +
+          direct.queryExecution.executedPlan.toString.take(1200))
+      assert(dScan.head.metrics("numFiles").value == 1,
+        s"ONE dir of 16, read ${dScan.head.metrics("numFiles").value}")
+      assert(dRows == expected("g3"), s"$dRows vs ${expected("g3")}")
+
+      // NAVIGATED rollup over the BASE table: residual pin + GROUP BY
+      // subset → the same one-dir read (AQE off: the rollup shuffles,
+      // and AdaptiveSparkPlanExec hides scan leaves)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val nav = GraftSql.sql(spark, "SELECT sub, COUNT(*) AS n, " +
+          "SUM(amt) AS s FROM bk_t WHERE grp = 'g3' GROUP BY sub")
+        val nRows = nav.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toSeq.sortBy(_._1)
+        val nScan = scanOf(nav)
+        assert(nScan.nonEmpty && nScan.head.relation.location.rootPaths
+            .exists(_.toString.contains("matview")),
+          "the rollup must navigate onto view state:\n" +
+            nav.queryExecution.executedPlan.toString.take(1200))
+        assert(nScan.head.metrics("numFiles").value == 1,
+          s"navigated one-dir read, got " +
+            s"${nScan.head.metrics("numFiles").value}")
+        // (COUNT(DISTINCT) rightly never rolls up — the navigated
+        // query asks only for n and s)
+        assert(nRows == expected("g3").map(r => (r._1, r._2, r._3)))
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+      // maintenance: a mutation wave refreshes correctly under the
+      // subset layout (affected buckets hash the same subset)
+      t.put(Seq((3L, "g3", "s0", 999L), (99L, "g3", "s2", 7L))
+          .toDF("id", "g", "u", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "sub" -> $"u", "amt" -> $"m"),
+        ts("2024-01-02 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW mv_bk").collect()
+      val after = GraftSql.sql(spark,
+        "SELECT sub, n, s, d FROM mv_bk WHERE grp = 'g3'").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .toSeq.sortBy(_._1)
+      assert(after == expected("g3"), s"$after vs ${expected("g3")}")
+
+      // RESTORE round-trips the layout: the canonical DDL carries
+      // bucket_key, the fingerprint adopts the on-disk state, and the
+      // pinned read still prunes to one dir
+      GraftMatviews.reset()
+      GraftSql.sql(spark, "RESTORE MATERIALIZED VIEWS").collect()
+      val shown = GraftSql.sql(spark, "SHOW MATERIALIZED VIEWS")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(shown.contains("mv_bk") &&
+        shown("mv_bk").contains("bucket_key = 'grp'"), shown.toString)
+      val restored = GraftSql.sql(spark,
+        "SELECT sub, n, s, d FROM mv_bk WHERE grp = 'g3'")
+      val rRows = restored.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .toSeq.sortBy(_._1)
+      val rScan = scanOf(restored)
+      assert(rScan.head.metrics("numFiles").value == 1)
+      assert(rRows == expected("g3"))
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mv_bk")
+
+      // refusals: unknown column; derived-expression groups have no
+      // user-writable name; range layout must keep the leading key
+      val e1 = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_bad WITH " +
+          "(bucket_key = 'nope') AS SELECT grp, COUNT(*) AS n " +
+          "FROM bk_t GROUP BY grp")
+      }
+      assert(e1.getMessage.contains("bucket_key column 'nope'"),
+        e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mv_bad WITH " +
+          "(layout = 'range', bucket_key = 'sub') AS " +
+          "SELECT grp, sub, COUNT(*) AS n FROM bk_t GROUP BY grp, sub")
+      }
+      assert(e2.getMessage.contains("LEADING group column"),
+        e2.getMessage)
+    } finally {
+      GraftServer.unregister("bk_t")
+      GraftMatviews.reset()
+    }
+  }
 }

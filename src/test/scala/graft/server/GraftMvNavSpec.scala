@@ -348,6 +348,20 @@ class GraftMvNavSpec extends AnyFunSuite {
         "SELECT sub, COUNT(*) AS n FROM ps_t WHERE grp = 'g5' " +
           "GROUP BY sub").isEmpty,
         "a query lacking the view's WHERE conjunct must not rewrite")
+      // top-level OR means the pieces are NOT conjuncts: `A AND B OR C`
+      // is `(A AND B) OR C`, so subsumption must NOT split it (a split
+      // residual would silently change precedence) — falls back whole
+      assert(GraftMvNav.rewrite(spark,
+        "SELECT sub, COUNT(*) AS n FROM ps_t WHERE amt > 0 AND " +
+          "grp = 'g1' OR grp = 'g2' GROUP BY sub").isEmpty,
+        "a top-level OR must not be sheared into conjuncts")
+      // …while the PARENTHESIZED disjunction is one honest conjunct
+      // over group columns and navigates with the right semantics
+      val qOr = "SELECT sub, COUNT(*) AS n FROM ps_t WHERE amt > 0 " +
+        "AND (grp = 'g1' OR grp = 'g2') GROUP BY sub"
+      val dOr = GraftSql.sql(spark, qOr)
+      assert(scansMatview(dOr))
+      assert(rows(dOr) == rows(baseTruth(qOr, "ps_t" -> t)))
       // conservative residual grammar: backticks (could collide with a
       // served aggregate alias) and function calls fall back
       assert(GraftMvNav.rewrite(spark,
@@ -361,6 +375,63 @@ class GraftMvNavSpec extends AnyFunSuite {
       GraftSql.sql(spark, "DROP MATERIALIZED VIEW ps_v2")
     } finally {
       GraftServer.unregister("ps_t")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("expression residuals: a conjunct over a view GROUP BY " +
+      "EXPRESSION (the time-window dashboard shape) navigates and " +
+      "composes with range-dir pruning; a call that is NOT a group " +
+      "expression falls back") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("ts", "amt"))
+    GraftServer.register("xr_t", t)
+    try {
+      t.put((1 to 60).map(i =>
+          (i.toLong, "2024-%02d-11 00:00:00".format((i % 6) + 1),
+            (i * 3).toLong))
+          .toDF("id", "tv", "m")
+          .select($"id", $"tv".cast("timestamp").as("tv"), $"m"),
+        $"id", lit("2020-01-01").cast("timestamp"), None,
+        Seq("ts" -> $"tv", "amt" -> $"m"), ts("2024-07-01 00:00:00"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW xr_v WITH " +
+        "(valid_at = '2030-01-01 00:00:00', layout = 'range', " +
+        "rewrite = 'trusted') AS " +
+        "SELECT CAST(date_trunc('month', ts) AS DATE) AS m, " +
+        "COUNT(*) AS n, SUM(amt) AS sm FROM xr_t " +
+        "GROUP BY CAST(date_trunc('month', ts) AS DATE)")
+      val q = "SELECT CAST(date_trunc('month', ts) AS DATE) AS m, " +
+        "COUNT(*) AS n, SUM(amt) AS sm FROM xr_t " +
+        "WHERE CAST(date_trunc('month', ts) AS DATE) >= " +
+        "DATE '2024-03-01' GROUP BY CAST(date_trunc('month', ts) " +
+        "AS DATE)"
+      val df = GraftSql.sql(spark, q)
+      assert(scansMatview(df), "the expression residual must navigate:\n" +
+        df.queryExecution.optimizedPlan.toString.take(1200))
+      // ONE action only before reading scan metrics: each Dataset
+      // action RESETS plan metrics, so a second collect would zero the
+      // driver-side numFiles (selectedPartitions is lazy and not
+      // re-listed)
+      val navRows = rows(df)
+      val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty && scans.head.metrics("numFiles").value == 4,
+        "the month-window residual must range-prune to 4 dirs of 6, " +
+          s"metrics ${scans.map(f => f.metrics.view.mapValues(_.value)
+            .toMap)}")
+      assert(navRows == rows(baseTruth(q, "xr_t" -> t)))
+      // a call that is NOT a view group expression must fall back
+      assert(GraftMvNav.rewrite(spark,
+        "SELECT CAST(date_trunc('month', ts) AS DATE) AS m, " +
+          "COUNT(*) AS n FROM xr_t " +
+          "WHERE date_trunc('year', ts) >= TIMESTAMP '2024-01-01' " +
+          "GROUP BY CAST(date_trunc('month', ts) AS DATE)").isEmpty,
+        "a non-group call expression in the residual must fall back")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW xr_v")
+    } finally {
+      GraftServer.unregister("xr_t")
       GraftMatviews.reset()
     }
   }
