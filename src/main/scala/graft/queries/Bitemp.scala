@@ -2033,6 +2033,84 @@ object Bitemp {
           $"total".cast("double").as("total"),
           $"hi".cast("double").as("hi")).orderBy($"m")
       } finally graft.server.GraftServer.unregister("mvbk_ord")
+    }),
+
+    // DISTINCT rollup navigation (r16): COUNT(DISTINCT cust) across
+    // merged groups is NOT additive, so the navigator re-aggregates the
+    // view's auxiliary PAIR state (the exact distinct (group, value)
+    // pairs every DISTINCT aggregate maintains) and LEFT JOINs it onto
+    // the main-state rollup. The residual `grp = '1-URGENT'` applies to
+    // BOTH subqueries, so MvBucketPrune reads ONE subset-keyed dir of
+    // 16 on the main scan AND one on the aux scan — asserted
+    // mechanically (two one-file scans, one under `_dist`).
+    "q188_sql_matview_distinct_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvdr_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      graft.server.GraftMatviews.reset()
+      val t = new GraftTable(s, tmp, Seq("grp", "od", "cust", "price"))
+      graft.server.GraftServer.register("mvdr_ord", t)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val ord = T(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("id"),
+          $"o_orderpriority".as("g"),
+          $"o_orderdate".cast("timestamp").as("odv"),
+          $"o_custkey".cast("long").as("ck"),
+          $"o_totalprice".cast("decimal(12,2)").as("p"))
+        t.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "od" -> $"odv", "cust" -> $"ck",
+            "price" -> $"p"),
+          ts("2020-01-01 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvdr_agg WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 16, " +
+            "bucket_key = 'grp', rewrite = 'trusted') AS " +
+            "SELECT grp, date_trunc('month', od) AS m, COUNT(*) AS n, " +
+            "SUM(price) AS s, COUNT(DISTINCT cust) AS dc " +
+            "FROM mvdr_ord GROUP BY grp, date_trunc('month', od)")
+        // a delete wave so the aux rollup must ignore dead pairs
+        t.delete(ord.filter($"id" % 13 === 0), $"id",
+          lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> lit(null).cast("string"),
+            "od" -> lit(null).cast("timestamp"),
+            "cust" -> lit(null).cast("long"),
+            "price" -> lit(null).cast("decimal(12,2)")),
+          ts("2020-01-02 00:00:00"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvdr_agg")
+        val q = "SELECT date_trunc('month', od) AS m, COUNT(*) AS n, " +
+          "SUM(price) AS total, COUNT(DISTINCT cust) AS ncust " +
+          "FROM mvdr_ord WHERE grp = '1-URGENT' " +
+          "GROUP BY date_trunc('month', od)"
+        val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        val df =
+          try {
+            val d = graft.server.GraftSql.sql(s, q)
+            d.collect(): Unit // ONE action, then read scan metrics
+            val scans = d.queryExecution.executedPlan.collectLeaves()
+              .collect {
+                case f: org.apache.spark.sql.execution
+                    .FileSourceScanExec => f
+              }
+            val mvScans = scans.filter(_.relation.location.rootPaths
+              .exists(_.toString.contains("matview")))
+            require(mvScans.size == 2 &&
+                mvScans.exists(_.relation.location.rootPaths
+                  .exists(_.toString.contains("_dist"))),
+              "DISTINCT-rollup navigation must read main AND aux pair " +
+                "state:\n" + d.queryExecution.executedPlan.toString
+                  .take(1500))
+            mvScans.foreach(f => require(
+              f.metrics("numFiles").value == 1,
+              "the subset-key pin must prune EACH state scan to one " +
+                s"dir of 16, read ${f.metrics("numFiles").value}"))
+            d
+          } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        df.select(date_format($"m", "yyyy-MM").as("m"), $"n",
+          $"total".cast("double").as("total"), $"ncust")
+          .orderBy($"m")
+      } finally graft.server.GraftServer.unregister("mvdr_ord")
     })
   )
 
@@ -2853,6 +2931,23 @@ object Bitemp {
              CAST(sum(p) AS DOUBLE) AS total,
              CAST(max(p) AS DOUBLE) AS hi
       FROM eff WHERE g = '2-HIGH'
+      GROUP BY 1 ORDER BY m""",
+
+    // q188's DISTINCT rollup recomputed from scratch (delete wave
+    // removed) — DuckDB's COUNT(DISTINCT) over the surviving rows IS
+    // the definition the aux-pair re-aggregation must match
+    "q188_sql_matview_distinct_rollup" -> """
+      WITH ord AS (SELECT o_orderkey AS id, o_orderpriority AS g,
+                          CAST(o_orderdate AS TIMESTAMP) AS od,
+                          o_custkey AS ck,
+                          CAST(o_totalprice AS DECIMAL(12,2)) AS p
+                   FROM orders),
+      eff AS (SELECT g, od, ck, p FROM ord WHERE id % 13 <> 0)
+      SELECT strftime(date_trunc('month', od), '%Y-%m') AS m,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p) AS DOUBLE) AS total,
+             CAST(count(DISTINCT ck) AS BIGINT) AS ncust
+      FROM eff WHERE g = '1-URGENT'
       GROUP BY 1 ORDER BY m"""
   )
 }

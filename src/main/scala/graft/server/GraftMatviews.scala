@@ -113,10 +113,24 @@ object GraftMatviews {
         extends NavKey
   }
 
+  /** One DISTINCT aggregate argument's auxiliary pair-level state,
+    * exposed to the navigator: `valueCol` is the argument's physical
+    * column in the aux state (payload column or derived `_e…` name),
+    * `read` the pair state WITH `_bucket` (so [[graft.plans
+    * .MvBucketPrune]] applies to a residual-filtered aux scan exactly
+    * like to the main state). The aux refreshes INSIDE the parent's
+    * refresh to the parent's recorded watermark, so the parent's
+    * freshness gate covers it. */
+  private[server] final case class DistinctAuxNav(
+      valueCol: String, read: SparkSession => DataFrame)
+
   /** What [[GraftMvNav]] needs to match and rewrite a query onto the
     * view. `sumState` maps a served alias to its backing sum_ state
     * column (the float-exactness guard reads its type off the raw
-    * state schema). */
+    * state schema). `groupPhys` maps each normalized GROUP BY source to
+    * its PHYSICAL state column name (= the aux pair views' group
+    * columns); `distinctAux` keys each DISTINCT argument's aux by the
+    * same normalized source text its NavKey carries. */
   private[server] final case class NavInfo(
       fact: String,                          // lowercased fact table
       joins: Seq[(String, String, Boolean)], // (dim, fk) lowercase, isLeft
@@ -126,7 +140,9 @@ object GraftMatviews {
       sumState: Map[String, String],         // alias -> sum_ state column
       validAt: Timestamp,
       trusted: Boolean,                      // WITH (rewrite = 'trusted')
-      fresh: () => Boolean)
+      fresh: () => Boolean,
+      groupPhys: Seq[(String, String)] = Nil, // normalized src -> state col
+      distinctAux: Map[String, DistinctAuxNav] = Map.empty)
 
   private[server] final case class Handle(
       name: String,
@@ -173,6 +189,21 @@ object GraftMatviews {
     * that will analyze it. */
   private[server] def bindForNav(session: SparkSession, h: Handle): Unit =
     registerView(session, h)
+
+  /** Bind the aux pair view for DISTINCT argument `navArg` (normalized
+    * source text) as a temp view in `session`, returning its name —
+    * the navigator's DISTINCT-rollup rewrite aggregates the still-live
+    * pairs (`n > 0`) at the query's granularity. The `_bucket` column
+    * rides along so [[graft.plans.MvBucketPrune]] prunes a
+    * residual-pinned aux scan exactly like the main state's. */
+  private[server] def bindAuxForNav(session: SparkSession, h: Handle,
+      navArg: String): Option[String] =
+    h.nav.distinctAux.get(navArg).map { ax =>
+      val tv = h.name + "__dist__" + ax.valueCol
+      ax.read(session).filter(org.apache.spark.sql.functions.col("n") > 0)
+        .createOrReplaceTempView(tv)
+      tv
+    }
 
   /** For tests/tools: forget every registered view (state untouched).
     * dropSeen is cleared WITH the generations: generations restart at 1
@@ -222,8 +253,12 @@ object GraftMatviews {
     * parens, can never mis-split the statement (the previous regex
     * split was literal-unaware). Returns (select list, fact table,
     * (dim, ON text, is-LEFT) per join spoke, WHERE?, GROUP BY,
-    * HAVING?). */
-  private[server] def splitSelect(select: String)
+    * HAVING?). The DDL requires a GROUP BY; the navigator passes
+    * `requireGroupBy = false` so a GLOBAL aggregate query (`SELECT
+    * COUNT(*) … FROM fact`, no GROUP BY) parses with an empty group
+    * clause. */
+  private[server] def splitSelect(select: String,
+      requireGroupBy: Boolean = true)
       : (String, String, Seq[(String, String, Boolean)], Option[String],
          String, Option[String]) = {
     val t = select.trim
@@ -274,10 +309,13 @@ object GraftMatviews {
         if (w.isEmpty) failShape()
         Some(w)
       } else None
-    if (j >= kws.length || kws(j).word != "GROUP BY") failShape()
-    val groupBy = seg(j)
-    if (groupBy.isEmpty) failShape()
-    j += 1
+    val groupBy =
+      if (j < kws.length && kws(j).word == "GROUP BY") {
+        val g = seg(j); j += 1
+        if (g.isEmpty) failShape()
+        g
+      } else if (requireGroupBy) failShape()
+      else ""
     val havingOpt =
       if (j < kws.length && kws(j).word == "HAVING") {
         val hv = seg(j); j += 1
@@ -928,6 +966,9 @@ object GraftMatviews {
     // the args whose rollup needs the SUM side (SUM/AVG(DISTINCT) is
     // served) — COUNT-only args skip it so non-numeric arguments work
     val distinctSums = scala.collection.mutable.Set.empty[String]
+    // physical DISTINCT column -> the normalized source text its
+    // NavKeys carry, so the navigator can key each aux pair view
+    val distinctNavSrc = scala.collection.mutable.Map.empty[String, String]
     def derivedName(text: String): String = {
       val nm = "_e" + java.security.MessageDigest.getInstance("MD5")
         .digest(normText(text).getBytes("UTF-8")).take(8)
@@ -1111,18 +1152,20 @@ object GraftMatviews {
               serve += (ServeCol.State(s"max_$d") -> a)
               navAgg += (NavKey.Agg("max", navSrc(arg0)) -> a)
             case "COUNT" =>
-              distincts += d
+              distincts += d; distinctNavSrc(d) = navSrc(arg0)
               val a = aliasOr(s"cntd_$d")
               serve += (ServeCol.State(s"cntd_$d") -> a)
               navAgg += (NavKey.Agg("cntd", navSrc(arg0)) -> a)
             case "SUM" =>
               distincts += d; distinctSums += d
+              distinctNavSrc(d) = navSrc(arg0)
               val a = aliasOr(s"sumd_$d")
               serve += (ServeCol.State(s"sumd_$d") -> a)
               navAgg += (NavKey.Agg("sumd", navSrc(arg0)) -> a)
               navSum += (a -> s"sumd_$d")
             case "AVG" =>
               distincts += d; distinctSums += d
+              distinctNavSrc(d) = navSrc(arg0)
               val a = aliasOr(s"avgd_$d")
               serve += (ServeCol.AvgDistinct(d) -> a)
               navAgg += (NavKey.Agg("avgd", navSrc(arg0)) -> a)
@@ -1274,11 +1317,20 @@ object GraftMatviews {
         else g.toLowerCase
       src -> groupAliases(g)
     }
+    // normalized src -> PHYSICAL state column (the aux pair views'
+    // group columns — residual substitution on an aux scan needs them)
+    val navGroupPhys: Seq[(String, String)] = groups.map { g =>
+      val src =
+        if (derivedExprs.contains(g)) normText(derivedExprs(g))
+        else g.toLowerCase
+      src -> g
+    }
     def navInfo(joinsNav: Seq[(String, String, Boolean)],
-                freshFn: () => Boolean): NavInfo =
+                freshFn: () => Boolean,
+                auxNav: Map[String, DistinctAuxNav]): NavInfo =
       NavInfo(factName.toLowerCase, joinsNav, whereOpt.map(normText),
         navGroupOut, navAgg.result(), navSum.result(), validAt, trusted,
-        freshFn)
+        freshFn, navGroupPhys, auxNav)
     // an aux pair view needs exactly the derived definitions its own
     // group key uses: the view's derived group keys plus (when the
     // DISTINCT argument is an expression) the argument itself
@@ -1317,10 +1369,12 @@ object GraftMatviews {
           cnts.result().distinct, whereOpt, derivedExprs.toSeq, auxes,
           hlls.result().distinct, rangeLayout, pcts.toSeq,
           bucketCols = bucketKeyCols)
+        val auxNav = auxes.flatMap(a => distinctNavSrc.get(a.arg).map(
+          src => src -> DistinctAuxNav(a.arg, a.readAux))).toMap
         Handle(name, serveAll, havingOpt,
           sess => mv.read(sess),
           () => (mv.refresh(), Option.empty[Long]),
-          mvDir, canonicalDdl(nb), navInfo(Nil, () => mv.isFresh))
+          mvDir, canonicalDdl(nb), navInfo(Nil, () => mv.isFresh, auxNav))
       } else {
         // each JOIN clause is one spoke of the star: resolve the dim
         // table and read the fact fk off its ON clause; LEFT spokes
@@ -1385,10 +1439,13 @@ object GraftMatviews {
           case ((dn, _, left), (_, fk)) =>
             (dn.toLowerCase, fk.toLowerCase, left)
         }
+        val auxNav = auxes.flatMap(a => distinctNavSrc.get(a.arg).map(
+          src => src -> DistinctAuxNav(a.arg, a.readAux))).toMap
         Handle(name, serveAll, havingOpt,
           sess => mv.read(sess),
           () => { val (a, b) = mv.refresh(); (a, Some(b)) },
-          mvDir, canonicalDdl(nb), navInfo(joinsNav, () => mv.isFresh))
+          mvDir, canonicalDdl(nb),
+          navInfo(joinsNav, () => mv.isFresh, auxNav))
       }
 
     // any failure past this point (bad HAVING, empty-table schema,

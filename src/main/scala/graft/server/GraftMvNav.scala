@@ -70,16 +70,28 @@ import graft.bitemporal.{BitemporalDml, BitemporalSql, SqlText}
   *     runs real Spark jobs over the tx tail) exactly once per
   *     table-generation, not per query.
   *
-  * GROUP-BY-subset queries re-aggregate the state (`SUM(n)`,
+  * GROUP-BY-subset queries — including the GLOBAL aggregate (`SELECT
+  * COUNT(*) … FROM fact`, no GROUP BY: every view group merges into
+  * the one output row, with COUNT coalesced to ANSI 0 over an empty
+  * state) — re-aggregate the state (`SUM(n)`,
   * `SUM(sum_x)` cast back to the state's type, `MIN(min_x)`,
   * AVG = Σsum/Σcnt — needs the view to also serve SUM and COUNT of the
-  * argument); DISTINCT aggregates never roll up (distinct counts are
-  * not additive across merged groups). The payoff at scale is the
+  * argument). DISTINCT aggregates are NOT additive across merged
+  * groups, so their rollup re-aggregates the view's auxiliary PAIR
+  * state instead (the exact distinct (group, value) pairs every
+  * DISTINCT aggregate already maintains): the rewrite LEFT JOINs the
+  * main-state rollup (which anchors every group) with a
+  * `COUNT/SUM/AVG(DISTINCT value)` over the still-live pairs at the
+  * query's granularity — a from-scratch DISTINCT over the same value
+  * sets, so exactness is inherited, with `COALESCE(…, 0)` restoring
+  * ANSI `COUNT(DISTINCT) = 0` / `SUM(DISTINCT) = NULL` for groups
+  * whose last non-null pair vanished. The payoff at scale is the
   * whole point of matviews made transparent: a dashboard aggregate
-  * over a 100 TB fact table becomes a scan of ∝-groups state with
+  * over a 100 TB fact table becomes a scan of ∝-groups state (pair
+  * state for DISTINCT: ∝ distinct pairs) with
   * [[graft.plans.MvBucketPrune]] still applying underneath — and a
   * residual `WHERE grp = 'x'` composes with the prune rule into a
-  * one-directory read.
+  * one-directory read on the main AND aux scans alike.
   *
   * Observability: `EXPLAIN REWRITE <select>` ([[explainRewrite]],
   * wired in [[GraftSql]] and the session parser) reports whether the
@@ -281,7 +293,7 @@ object GraftMvNav {
     }
 
     val (list, factName, joinSpecs, whereOpt, groupBy, havingOpt) =
-      try GraftMatviews.splitSelect(core)
+      try GraftMatviews.splitSelect(core, requireGroupBy = false)
       catch { case _: IllegalArgumentException =>
         note("not a plain aggregate SELECT (FROM/JOIN/GROUP BY shape)")
         return None }
@@ -301,10 +313,13 @@ object GraftMvNav {
         (dim.toLowerCase, unqualify(sides(1 - dimIdSide)).toLowerCase, left)
     }
 
+    // an EMPTY group list is the GLOBAL aggregate (`SELECT COUNT(*) …
+    // FROM fact`, no GROUP BY) — the degenerate rollup: every view
+    // group merges into the one output row
     val qGroupSrcs = BitemporalDml.splitTopLevel(groupBy).map(_.trim)
       .filter(_.nonEmpty).map(navSrc)
-    if (qGroupSrcs.isEmpty || qGroupSrcs.distinct.size != qGroupSrcs.size) {
-      note("no (or duplicated) GROUP BY columns"); return None
+    if (qGroupSrcs.distinct.size != qGroupSrcs.size) {
+      note("duplicated GROUP BY columns"); return None
     }
     val qGroupSet = qGroupSrcs.toSet
 
@@ -630,6 +645,10 @@ object GraftMvNav {
   private val directKinds =
     Set("n", "cnt", "sum", "avg", "min", "max", "cntd", "sumd", "avgd")
   private val rollupKinds = Set("n", "cnt", "sum", "avg", "min", "max")
+  // roll up from the aux PAIR state, not the main state (a distinct
+  // count is not additive across merged groups — but the pairs are
+  // the exact distinct value sets, so re-aggregating THEM is)
+  private val distinctKinds = Set("cntd", "sumd", "avgd")
 
   // ---- memoized schema backstop ---------------------------------------
 
@@ -703,8 +722,14 @@ object GraftMvNav {
       hvSegs.collect { case Right(key) => key }).distinct
     val aggAliases = allKeys.map { key =>
       val kindOk = key match {
-        case NavKey.Agg(k, _) =>
-          if (equal) directKinds.contains(k) else rollupKinds.contains(k)
+        case NavKey.Agg(k, a) =>
+          if (equal) directKinds.contains(k)
+          // DISTINCT aggregates roll up EXACTLY from the aux pair
+          // state (the distinct (group, value) pairs that still
+          // exist): re-aggregating them at the query's granularity is
+          // a from-scratch DISTINCT over the same value sets
+          else rollupKinds.contains(k) ||
+            (distinctKinds.contains(k) && h.nav.distinctAux.contains(a))
         case _: NavKey.Pct => false // double-cast members: ulp drift
       }
       if (!kindOk)
@@ -761,7 +786,13 @@ object GraftMvNav {
       val a = aggAliases(key)
       if (equal) Some(bt(a))
       else key match {
-        case NavKey.Agg("n" | "cnt", _) => Some(s"SUM(${bt(a)})")
+        case NavKey.Agg("n" | "cnt", _) =>
+          // the GLOBAL rollup of an EMPTY state must serve 0 (ANSI
+          // COUNT over no rows), not SUM's NULL; grouped rollups never
+          // see the NULL (every output group has ≥1 state row)
+          if (qGroupSrcs.isEmpty)
+            Some(s"COALESCE(SUM(${bt(a)}), CAST(0 AS BIGINT))")
+          else Some(s"SUM(${bt(a)})")
         case NavKey.Agg("min", _) => Some(s"MIN(${bt(a)})")
         case NavKey.Agg("max", _) => Some(s"MAX(${bt(a)})")
         case NavKey.Agg("sum", _) =>
@@ -778,16 +809,6 @@ object GraftMvNav {
       }
     }
 
-    val sel = items.map {
-      case Left(QGroup(src, out)) =>
-        s"${bt(vGroup(src))} AS ${bt(out)}"
-      case Right(QAgg(key, out)) =>
-        servedExpr(key) match {
-          case Some(e) => s"$e AS ${bt(out)}"
-          case None => return miss(s"no served expression for $key")
-        }
-    }
-
     // residual WHERE conjuncts reference only the VIEW's group columns
     // (they serve verbatim — filtering served groups IS filtering base
     // rows); substitution to served aliases, conservative grammar
@@ -799,39 +820,6 @@ object GraftMvNav {
       }
     }
 
-    // the HAVING, substituted: group refs via the view's aliases,
-    // aggregate calls via their served expressions
-    val hvText: Option[String] =
-      if (hvSegs.isEmpty) None
-      else {
-        val parts = hvSegs.map {
-          case Left(txt) => substGroupRefs(txt, vGroup) match {
-            case Some(s) => s
-            case None => return miss(s"HAVING fragment '$txt' does not " +
-              "reference only GROUP BY columns")
-          }
-          case Right(key) => servedExpr(key) match {
-            case Some(e) => e
-            case None => return miss(s"no served expression for $key " +
-              "in HAVING")
-          }
-        }
-        Some(parts.mkString)
-      }
-
-    // equal groups: state rows ARE the output groups, so the HAVING is
-    // one more WHERE conjunct; a rollup keeps it as a real HAVING over
-    // the re-aggregation
-    val whereParts = residualSql ++ (if (equal) hvText.toSeq else Nil)
-    val whereTail =
-      if (whereParts.isEmpty) ""
-      else " WHERE " + whereParts.map(c => s"($c)").mkString(" AND ")
-    val groupTail =
-      if (equal) ""
-      else " GROUP BY " + qGroupSrcs.map(s => bt(vGroup(s))).mkString(", ")
-    val havingTail =
-      if (equal) "" else hvText.map(t => s" HAVING $t").getOrElse("")
-
     // trailing ORDER BY / LIMIT ride along only when they provably
     // reference the query's own output columns
     val outNames = items.map {
@@ -842,9 +830,189 @@ object GraftMvNav {
       return miss(s"ORDER BY/LIMIT tail '$tail' references more than " +
         "the query's own output columns")
 
-    val rewritten = s"SELECT ${sel.mkString(", ")} FROM ${h.name}" +
-      whereTail + groupTail + havingTail +
-      (if (tail.isEmpty) "" else " " + tail)
+    // DISTINCT aggregates in a ROLLUP re-aggregate the aux PAIR state,
+    // not the main state — those take the join-of-subqueries form
+    val distinctArgs: Seq[String] =
+      if (equal) Nil
+      else allKeys.collect {
+        case NavKey.Agg(k, a) if distinctKinds.contains(k) => a
+      }.distinct
+
+    val rewritten: String = if (distinctArgs.isEmpty) {
+      val sel = items.map {
+        case Left(QGroup(src, out)) =>
+          s"${bt(vGroup(src))} AS ${bt(out)}"
+        case Right(QAgg(key, out)) =>
+          servedExpr(key) match {
+            case Some(e) => s"$e AS ${bt(out)}"
+            case None => return miss(s"no served expression for $key")
+          }
+      }
+
+      // the HAVING, substituted: group refs via the view's aliases,
+      // aggregate calls via their served expressions
+      val hvText: Option[String] =
+        if (hvSegs.isEmpty) None
+        else {
+          val parts = hvSegs.map {
+            case Left(txt) => substGroupRefs(txt, vGroup) match {
+              case Some(s) => s
+              case None => return miss(s"HAVING fragment '$txt' does " +
+                "not reference only GROUP BY columns")
+            }
+            case Right(key) => servedExpr(key) match {
+              case Some(e) => e
+              case None => return miss(s"no served expression for $key " +
+                "in HAVING")
+            }
+          }
+          Some(parts.mkString)
+        }
+
+      // equal groups: state rows ARE the output groups, so the HAVING
+      // is one more WHERE conjunct; a rollup keeps it as a real HAVING
+      // over the re-aggregation
+      val whereParts = residualSql ++ (if (equal) hvText.toSeq else Nil)
+      val whereTail =
+        if (whereParts.isEmpty) ""
+        else " WHERE " + whereParts.map(c => s"($c)").mkString(" AND ")
+      val groupTail =
+        if (equal || qGroupSrcs.isEmpty) "" // global: one output row
+        else " GROUP BY " + qGroupSrcs.map(s => bt(vGroup(s))).mkString(", ")
+      val havingTail =
+        if (equal) "" else hvText.map(t => s" HAVING $t").getOrElse("")
+
+      s"SELECT ${sel.mkString(", ")} FROM ${h.name}" +
+        whereTail + groupTail + havingTail +
+        (if (tail.isEmpty) "" else " " + tail)
+    } else {
+      // ---- DISTINCT rollup: LEFT JOIN of grouped subqueries ---------
+      // The main state rolls up the additive aggregates at the query's
+      // granularity (and anchors EVERY group — any group with a live
+      // base row has a state row); each DISTINCT argument's aux pair
+      // view re-aggregates its still-live pairs (n > 0) at the same
+      // granularity — a from-scratch DISTINCT over the exact value
+      // sets, so the rewrite stays observationally identical. A group
+      // with no surviving non-null pair is absent from the aux side:
+      // the LEFT JOIN serves COUNT(DISTINCT) = 0 via COALESCE and
+      // SUM/AVG(DISTINCT) = NULL — ANSI semantics. Residual conjuncts
+      // apply to BOTH sides (they reference group columns, present in
+      // main and aux state alike), so MvBucketPrune prunes both scans.
+      val physMap = h.nav.groupPhys.toMap
+      if (physMap.isEmpty)
+        return miss("view predates DISTINCT-rollup navigation metadata")
+      val argIdx: Map[String, Int] = distinctArgs.zipWithIndex.toMap
+      val gIdx: Map[String, Int] = qGroupSrcs.zipWithIndex.toMap
+      def gName(i: Int) = s"_g$i"
+      def hName(j: Int, i: Int) = s"_h${j}_$i"
+
+      val mKeys = allKeys.filter {
+        case NavKey.Agg(k, _) => !distinctKinds.contains(k)
+        case _ => true
+      }
+      val mName: Map[NavKey, String] =
+        mKeys.zipWithIndex.map { case (k, i) => k -> s"_m$i" }.toMap
+      val mAggSel = mKeys.map { k =>
+        servedExpr(k) match {
+          case Some(e) => s"$e AS ${bt(mName(k))}"
+          case None => return miss(s"no served expression for $k")
+        }
+      }
+      // a GLOBAL distinct query with no other aggregates still needs a
+      // one-row anchor on the main side (every global aggregate
+      // subquery returns exactly one row)
+      val mSel0 = qGroupSrcs.zipWithIndex.map { case (s, i) =>
+        s"${bt(vGroup(s))} AS ${bt(gName(i))}"
+      } ++ mAggSel
+      val mSel =
+        if (mSel0.nonEmpty) mSel0 else Seq("COUNT(1) AS `_anchor`")
+      val mWhere =
+        if (residualSql.isEmpty) ""
+        else " WHERE " + residualSql.map(c => s"($c)").mkString(" AND ")
+      val mGroupBy =
+        if (qGroupSrcs.isEmpty) "" // global: one row per subquery
+        else " GROUP BY " +
+          qGroupSrcs.map(s => bt(vGroup(s))).mkString(", ")
+      val mSub = s"(SELECT ${mSel.mkString(", ")} FROM ${h.name}" +
+        s"$mWhere$mGroupBy) m"
+
+      val auxSubs = distinctArgs.zipWithIndex.map { case (a, j) =>
+        val tv = GraftMatviews.bindAuxForNav(session, h, a).getOrElse(
+          return miss(s"no aux pair state for DISTINCT argument '$a'"))
+        val valueCol = h.nav.distinctAux(a).valueCol
+        val kinds = allKeys.collect {
+          case NavKey.Agg(k, `a`) if distinctKinds.contains(k) => k
+        }
+        val physGroups = qGroupSrcs.map(s => physMap.getOrElse(s,
+          return miss("view predates DISTINCT-rollup navigation " +
+            "metadata")))
+        val aggSel = kinds.map {
+          case "cntd" =>
+            s"COUNT(DISTINCT ${bt(valueCol)}) AS ${bt(s"_dc_$j")}"
+          case "sumd" =>
+            s"SUM(DISTINCT ${bt(valueCol)}) AS ${bt(s"_ds_$j")}"
+          case "avgd" =>
+            s"AVG(DISTINCT ${bt(valueCol)}) AS ${bt(s"_da_$j")}"
+        }
+        val resPhys = residual.map { c =>
+          substGroupRefs(c, physMap) match {
+            case Some(s2) => s2
+            case None => return miss(s"residual WHERE conjunct '$c' " +
+              "is not substitutable onto the aux pair state")
+          }
+        }
+        val w =
+          if (resPhys.isEmpty) ""
+          else " WHERE " + resPhys.map(c => s"($c)").mkString(" AND ")
+        val sel2 = qGroupSrcs.zipWithIndex.map { case (s, i) =>
+          s"${bt(physGroups(i))} AS ${bt(hName(j, i))}"
+        } ++ aggSel
+        val gby =
+          if (physGroups.isEmpty) ""
+          else " GROUP BY " + physGroups.map(bt).mkString(", ")
+        s"(SELECT ${sel2.mkString(", ")} FROM $tv$w$gby) d$j"
+      }
+      val joinTails = distinctArgs.indices.map { j =>
+        val on =
+          if (qGroupSrcs.isEmpty) "true" // two one-row relations
+          else qGroupSrcs.indices.map(i =>
+            s"m.${bt(gName(i))} <=> d$j.${bt(hName(j, i))}")
+            .mkString(" AND ")
+        s" LEFT JOIN ${auxSubs(j)} ON $on"
+      }.mkString
+
+      def topExpr(key: NavKey): String = key match {
+        case NavKey.Agg("cntd", a) =>
+          s"COALESCE(${bt(s"_dc_${argIdx(a)}")}, CAST(0 AS BIGINT))"
+        case NavKey.Agg("sumd", a) => bt(s"_ds_${argIdx(a)}")
+        case NavKey.Agg("avgd", a) => bt(s"_da_${argIdx(a)}")
+        case k => bt(mName(k))
+      }
+      val topSel = items.map {
+        case Left(QGroup(src, out)) =>
+          s"${bt(gName(gIdx(src)))} AS ${bt(out)}"
+        case Right(QAgg(key, out)) => s"${topExpr(key)} AS ${bt(out)}"
+      }
+      // the rollup HAVING becomes a top-level WHERE over the joined,
+      // already-aggregated relation — every group survives into it
+      val hvTop: Option[String] =
+        if (hvSegs.isEmpty) None
+        else {
+          val gMap = qGroupSrcs.zipWithIndex
+            .map { case (s, i) => s -> gName(i) }.toMap
+          Some(hvSegs.map {
+            case Left(txt) => substGroupRefs(txt, gMap) match {
+              case Some(s) => s
+              case None => return miss(s"HAVING fragment '$txt' does " +
+                "not reference only GROUP BY columns")
+            }
+            case Right(key) => topExpr(key)
+          }.mkString)
+        }
+      val wTop = hvTop.map(t => s" WHERE ($t)").getOrElse("")
+      s"SELECT ${topSel.mkString(", ")} FROM $mSub$joinTails$wTop" +
+        (if (tail.isEmpty) "" else " " + tail)
+    }
 
     // the schema backstop: both texts must analyze to identical column
     // names AND types, or the base plan stands (memoized per statement

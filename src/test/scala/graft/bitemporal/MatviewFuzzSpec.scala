@@ -263,6 +263,25 @@ class MatviewFuzzSpec extends AnyFunSuite {
       assert(GraftMvNav.rewrite(spark,
         vd.navQuery(tbl).replace(s"FROM $tbl", s"FROM $tbl fz_alias"))
         .isEmpty, s"seed $seed $label: an aliased fact must fall back")
+      // GLOBAL aggregate (r16): no GROUP BY — the degenerate rollup;
+      // DISTINCT aggregates re-aggregate the aux PAIR state, so the
+      // random dead pairs / NULL codes this scenario accumulates
+      // exercise the join-form rewrite
+      locally {
+        val gq = s"SELECT ${vd.navItems.map(_._1).mkString(", ")} " +
+          s"FROM $tbl" + (if (vd.hasWhere) " WHERE amt > 0" else "")
+        val rw = GraftMvNav.rewrite(spark, gq)
+        assert(rw.isDefined,
+          s"seed $seed $label: the GLOBAL aggregate must navigate\n$gq")
+        def rws(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(x => (0 until x.length)
+            .map(i => String.valueOf(x.get(i))).toSeq).toSeq
+        val got = rws(spark.sql(rw.get))
+        val want = rws(BitemporalSql.sql(spark, gq,
+          Map(tbl -> t.rectangles())))
+        assert(got == want, s"seed $seed $label GLOBAL nav parity:\n" +
+          s" got $got\nwant $want\nrewritten: ${rw.get}")
+      }
     }
     try {
       // seed data, then CREATE (populates)
@@ -472,6 +491,23 @@ class MatviewFuzzSpec extends AnyFunSuite {
       assert(got == want,
         s"join seed $seed $label nav parity failed:\n got $got\n" +
           s"want $want\nquery: $navQ\nrewritten: ${rw.get}")
+      // GLOBAL aggregate over the SAME join shape (r16): the
+      // degenerate rollup, DISTINCT via the star-form aux pair state
+      val gq = s"SELECT ${navItems.map(_._1).mkString(", ")} " +
+        s"FROM $ftbl " + (if (left) "LEFT JOIN" else "JOIN") +
+        s" $dtbl ON fk = $dtbl._id" +
+        (if (hasWhere) " WHERE amt > 0" else "")
+      val rwG = graft.server.GraftMvNav.rewrite(spark, gq)
+      assert(rwG.isDefined, s"join seed $seed $label: the GLOBAL " +
+        s"aggregate must navigate\n$gq")
+      def rws(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(x => (0 until x.length)
+          .map(i => String.valueOf(x.get(i))).toSeq).toSeq
+      val gotG = rws(spark.sql(rwG.get))
+      val wantG = rws(BitemporalSql.sql(spark, gq,
+        Map(ftbl -> f.rectangles(), dtbl -> d.rectangles())))
+      assert(gotG == wantG, s"join seed $seed $label GLOBAL nav " +
+        s"parity:\n got $gotG\nwant $wantG\nrewritten: ${rwG.get}")
     }
     try {
       val initD = (1 to 2 + rnd.nextInt(3)).map(_ => rnd.nextLong(50))

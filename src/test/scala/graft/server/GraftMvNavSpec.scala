@@ -159,17 +159,21 @@ class GraftMvNavSpec extends AnyFunSuite {
       assert(nav.schema.map(f => (f.name, f.dataType)) ==
         base.schema.map(f => (f.name, f.dataType)))
 
-      // DISTINCT counts are NOT additive across merged groups: the
-      // rollup must refuse them; the EQUAL-groups form serves directly
+      // DISTINCT counts are NOT additive across merged groups: their
+      // rollup re-aggregates the aux PAIR state (join-form rewrite,
+      // covered in depth by its own test below); the EQUAL-groups form
+      // serves directly from the materialized rollup columns
       GraftSql.sql(spark, "DROP MATERIALIZED VIEW ru_v")
       GraftSql.sql(spark, "CREATE MATERIALIZED VIEW ru_vd WITH " +
         "(valid_at = '2030-01-01 00:00:00', buckets = 4, " +
         "rewrite = 'trusted') AS " +
         "SELECT grp, sub, COUNT(*) AS n, COUNT(DISTINCT amt) AS d, " +
         "SUM(amt) AS s FROM ru_t GROUP BY grp, sub")
-      assert(GraftMvNav.rewrite(spark,
-        "SELECT grp, COUNT(DISTINCT amt) AS d FROM ru_t GROUP BY grp")
-        .isEmpty, "COUNT(DISTINCT) must not roll up across merged groups")
+      val qdr = "SELECT grp, COUNT(DISTINCT amt) AS d FROM ru_t GROUP BY grp"
+      val drDf = GraftSql.sql(spark, qdr)
+      assert(scansMatview(drDf),
+        "COUNT(DISTINCT) rollup must navigate via the aux pair state")
+      assert(rows(drDf) == rows(baseTruth(qdr, "ru_t" -> t)))
       val qeq = "SELECT grp, sub, COUNT(DISTINCT amt) AS d FROM ru_t " +
         "GROUP BY grp, sub"
       val eqDf = GraftSql.sql(spark, qeq)
@@ -646,6 +650,173 @@ class GraftMvNavSpec extends AnyFunSuite {
       GraftSql.sql(spark, "DROP MATERIALIZED VIEW nj_v")
     } finally {
       GraftServer.unregister("nj_f"); GraftServer.unregister("nj_d")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("DISTINCT rollup: COUNT/SUM/AVG(DISTINCT) across merged groups " +
+      "re-aggregate the aux pair state — parity incl. all-NULL groups " +
+      "(COALESCE 0 / ANSI NULL), residual + HAVING compose, the " +
+      "float-SUM gate still refuses, a missing aux still declines") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "sub", "tag", "amt", "price"))
+    GraftServer.register("dr_t", t)
+    def put(rws: Seq[(Long, String, String, String,
+        java.lang.Long, java.lang.Double)], at: String): Unit =
+      t.put(rws.toDF("id", "g", "u", "tg", "m", "p"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "sub" -> $"u", "tag" -> $"tg",
+          "amt" -> $"m", "price" -> $"p"), ts(at))
+    def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    def D(x: Double): java.lang.Double = java.lang.Double.valueOf(x)
+    try {
+      put(Seq(
+        (1L, "a", "p", "x", L(10), D(1.5)), (2L, "a", "p", "y", L(20), D(2.5)),
+        (3L, "a", "q", "x", L(30), D(3.5)), (4L, "b", "p", "z", L(5), D(4.5)),
+        (5L, "b", "q", null, L(7), D(5.5)),
+        // grp c: every tag NULL -> COUNT(DISTINCT tag) = 0 after rollup
+        (6L, "c", "p", null, L(40), D(6.5)), (7L, "c", "q", null, L(50), D(7.5)),
+        // grp d: every amt NULL -> SUM/AVG(DISTINCT amt) = NULL
+        (8L, "d", "p", "w", null, D(8.5))), "2024-01-01 00:00:00")
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW dr_v WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4, " +
+        "rewrite = 'trusted') AS " +
+        "SELECT grp, sub, COUNT(*) AS n, SUM(amt) AS sm, " +
+        "COUNT(amt) AS cm, COUNT(DISTINCT tag) AS dt, " +
+        "SUM(DISTINCT amt) AS sd, AVG(DISTINCT amt) AS ad " +
+        "FROM dr_t GROUP BY grp, sub")
+      // a mutation wave so the aux pair state has dead pairs (n = 0)
+      // that the rollup must ignore: id 2 removes tag 'y' from (a,p)
+      t.delete(Seq(2L).toDF("id"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> lit(null).cast("string"),
+          "sub" -> lit(null).cast("string"),
+          "tag" -> lit(null).cast("string"),
+          "amt" -> lit(null).cast("long"),
+          "price" -> lit(null).cast("double")), ts("2024-01-02 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW dr_v").collect()
+
+      val q = "SELECT grp, COUNT(*) AS n, SUM(amt) AS s, " +
+        "COUNT(DISTINCT tag) AS dt, SUM(DISTINCT amt) AS sd, " +
+        "AVG(DISTINCT amt) AS ad FROM dr_t GROUP BY grp ORDER BY grp"
+      val nav = GraftSql.sql(spark, q)
+      assert(scansMatview(nav),
+        "the DISTINCT rollup must navigate onto aux pair state:\n" +
+          nav.queryExecution.optimizedPlan.toString.take(1500))
+      val base = baseTruth(q, "dr_t" -> t)
+      assert(rows(nav) == rows(base), s"${rows(nav)} vs ${rows(base)}")
+      assert(nav.schema.map(f => (f.name, f.dataType)) ==
+        base.schema.map(f => (f.name, f.dataType)))
+      // the all-NULL groups serve ANSI shapes through the LEFT JOIN:
+      // c has zero distinct tags, d has NULL distinct-sum/avg
+      val byGrp = nav.collect().map(r => r.getString(0) -> r).toMap
+      assert(byGrp("c").getLong(3) == 0L, "COUNT(DISTINCT all-NULL) = 0")
+      assert(byGrp("d").isNullAt(4) && byGrp("d").isNullAt(5),
+        "SUM/AVG(DISTINCT) over all-NULL must serve NULL")
+
+      // residual conjunct + HAVING over a DISTINCT aggregate compose
+      // (residual applies to BOTH the main and the aux subquery)
+      val qrh = "SELECT grp, COUNT(DISTINCT tag) AS dt FROM dr_t " +
+        "WHERE sub = 'p' GROUP BY grp HAVING COUNT(DISTINCT tag) >= 1"
+      val navRh = GraftSql.sql(spark, qrh)
+      assert(scansMatview(navRh))
+      assert(rows(navRh) == rows(baseTruth(qrh, "dr_t" -> t)))
+
+      // an arg the view serves no DISTINCT aggregate for must decline
+      assert(GraftMvNav.rewrite(spark,
+        "SELECT grp, COUNT(DISTINCT price) AS dp FROM dr_t GROUP BY grp")
+        .isEmpty, "no aux for the argument: base path")
+
+      // the float/double SUM exactness gate applies to the rollup too:
+      // the recomputed SUM(DISTINCT double) is order-sensitive exactly
+      // like the stored one
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW dr_v")
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW dr_vd WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4, " +
+        "rewrite = 'trusted') AS " +
+        "SELECT grp, sub, COUNT(*) AS n, SUM(DISTINCT price) AS sp " +
+        "FROM dr_t GROUP BY grp, sub")
+      assert(GraftMvNav.rewrite(spark,
+        "SELECT grp, SUM(DISTINCT price) AS sp FROM dr_t GROUP BY grp")
+        .isEmpty, "double SUM(DISTINCT) rollup must refuse (ulp drift)")
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW dr_vd")
+    } finally {
+      GraftServer.unregister("dr_t")
+      GraftMatviews.reset()
+    }
+  }
+
+  test("GLOBAL aggregates (no GROUP BY): the KPI query navigates as " +
+      "the degenerate rollup — COUNT coalesces to ANSI 0 over an " +
+      "empty state, DISTINCT serves via the aux, HAVING applies, a " +
+      "non-aggregate SELECT never matches") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "tag", "amt"))
+    GraftServer.register("gb_t", t)
+    def put(rws: Seq[(Long, String, String, Long)], at: String): Unit =
+      t.put(rws.toDF("id", "g", "tg", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "tag" -> $"tg", "amt" -> $"m"), ts(at))
+    try {
+      put(Seq((1L, "a", "x", 10L), (2L, "a", "y", 20L),
+        (3L, "b", "x", 5L), (4L, "b", "z", 7L)), "2024-01-01 00:00:00")
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW gb_v WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4, " +
+        "rewrite = 'trusted') AS " +
+        "SELECT grp, COUNT(*) AS n, SUM(amt) AS s, COUNT(amt) AS c, " +
+        "MIN(amt) AS mn, AVG(amt) AS av, COUNT(DISTINCT tag) AS dt, " +
+        "SUM(DISTINCT amt) AS sd FROM gb_t GROUP BY grp")
+
+      val q = "SELECT COUNT(*) AS n, SUM(amt) AS s, AVG(amt) AS av, " +
+        "MIN(amt) AS mn, COUNT(DISTINCT tag) AS dt, " +
+        "SUM(DISTINCT amt) AS sd FROM gb_t"
+      val nav = GraftSql.sql(spark, q)
+      assert(scansMatview(nav),
+        "the global KPI query must navigate:\n" +
+          nav.queryExecution.optimizedPlan.toString.take(1500))
+      val base = baseTruth(q, "gb_t" -> t)
+      assert(rows(nav) == rows(base), s"${rows(nav)} vs ${rows(base)}")
+      assert(nav.schema.map(f => (f.name, f.dataType)) ==
+        base.schema.map(f => (f.name, f.dataType)))
+      // tag x appears in TWO groups — the global distinct must not
+      // double-count it (3 distinct tags, not 4 group-local ones)
+      assert(nav.collect()(0).getLong(4) == 3L)
+
+      // a global HAVING (no GROUP BY) treats the input as one group
+      val qh = "SELECT SUM(amt) AS s FROM gb_t HAVING COUNT(*) > 0"
+      val navH = GraftSql.sql(spark, qh)
+      assert(scansMatview(navH))
+      assert(rows(navH) == rows(baseTruth(qh, "gb_t" -> t)))
+
+      // a plain SELECT without aggregates must never match
+      assert(GraftMvNav.rewrite(spark, "SELECT grp FROM gb_t").isEmpty,
+        "no aggregates: base path")
+      assert(GraftMvNav.rewrite(spark,
+        "SELECT tag, amt FROM gb_t WHERE grp = 'a'").isEmpty,
+        "projection query: base path")
+
+      // EMPTY state: delete every row — COUNT serves ANSI 0 (not
+      // SUM-over-nothing NULL), SUM/MIN/AVG/SUM(DISTINCT) serve NULL,
+      // COUNT(DISTINCT) serves 0
+      t.delete(Seq(1L, 2L, 3L, 4L).toDF("id"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> lit(null).cast("string"),
+          "tag" -> lit(null).cast("string"),
+          "amt" -> lit(null).cast("long")), ts("2024-01-02 00:00:00"))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gb_v").collect()
+      val navE = GraftSql.sql(spark, q)
+      assert(scansMatview(navE))
+      val baseE = baseTruth(q, "gb_t" -> t)
+      assert(rows(navE) == rows(baseE),
+        s"${rows(navE)} vs ${rows(baseE)}")
+      val r0 = navE.collect()(0)
+      assert(r0.getLong(0) == 0L && r0.isNullAt(1) && r0.isNullAt(2) &&
+        r0.isNullAt(3) && r0.getLong(4) == 0L && r0.isNullAt(5))
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW gb_v")
+    } finally {
+      GraftServer.unregister("gb_t")
       GraftMatviews.reset()
     }
   }
