@@ -2111,6 +2111,65 @@ object Bitemp {
           $"total".cast("double").as("total"), $"ncust")
           .orderBy($"m")
       } finally graft.server.GraftServer.unregister("mvdr_ord")
+    }),
+
+    // GLOBAL-aggregate navigation (r16): the dashboard KPI query —
+    // `SELECT COUNT(*), SUM(price), COUNT(DISTINCT cust) FROM orders`,
+    // no GROUP BY at all — navigates as the degenerate rollup: every
+    // view group merges into ONE output row (COUNT coalesced so an
+    // empty state would serve ANSI 0), and the DISTINCT constituent
+    // re-aggregates the aux pair state. Asserted mechanically: the
+    // plan reads matview state (main AND `_dist` aux), never the base
+    // tx log.
+    "q189_sql_matview_global_kpi" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"target/mvgk_${new java.io.File(dir).getName}"
+      TxLog.deleteRecursively(new java.io.File(tmp))
+      graft.server.GraftMatviews.reset()
+      val t = new GraftTable(s, tmp, Seq("grp", "cust", "price"))
+      graft.server.GraftServer.register("mvgk_ord", t)
+      try {
+        def ts(x: String) = java.sql.Timestamp.valueOf(x)
+        val ord = T(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("id"),
+          $"o_orderpriority".as("g"),
+          $"o_custkey".cast("long").as("ck"),
+          $"o_totalprice".cast("decimal(12,2)").as("p"))
+        t.put(ord, $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "cust" -> $"ck", "price" -> $"p"),
+          ts("2020-01-01 00:00:00"))
+        graft.server.GraftSql.sql(s,
+          "CREATE MATERIALIZED VIEW mvgk_agg WITH " +
+            "(valid_at = '2030-01-01 00:00:00', buckets = 8, " +
+            "rewrite = 'trusted') AS " +
+            "SELECT grp, COUNT(*) AS n, SUM(price) AS s, " +
+            "COUNT(DISTINCT cust) AS dc FROM mvgk_ord GROUP BY grp")
+        // an update wave (price bumps move sums; repeat customers keep
+        // the distinct pairs honest) so the serve is maintained state
+        t.put(ord.filter($"id" % 7 === 0)
+            .withColumn("p", ($"p" + lit(100)).cast("decimal(12,2)")),
+          $"id", lit("2000-01-01").cast("timestamp"), None,
+          Seq("grp" -> $"g", "cust" -> $"ck", "price" -> $"p"),
+          ts("2020-01-02 00:00:00"))
+        graft.server.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW mvgk_agg")
+        val q = "SELECT COUNT(*) AS n, SUM(price) AS total, " +
+          "COUNT(DISTINCT cust) AS ncust FROM mvgk_ord"
+        val d = graft.server.GraftSql.sql(s, q)
+        val rels = d.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => r.relation
+        }.collect {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        }.flatten
+        require(rels.exists(_.contains("matview")) &&
+            rels.exists(_.contains("_dist")) &&
+            !rels.exists(p => p.contains("/log/") || p.endsWith("/log")),
+          "the global KPI must navigate onto main + aux state, never " +
+            "the base tx log:\n" +
+            d.queryExecution.optimizedPlan.toString.take(1500))
+        d.select($"n", $"total".cast("double").as("total"), $"ncust")
+      } finally graft.server.GraftServer.unregister("mvgk_ord")
     })
   )
 
@@ -2948,6 +3007,21 @@ object Bitemp {
              CAST(sum(p) AS DOUBLE) AS total,
              CAST(count(DISTINCT ck) AS BIGINT) AS ncust
       FROM eff WHERE g = '1-URGENT'
-      GROUP BY 1 ORDER BY m"""
+      GROUP BY 1 ORDER BY m""",
+
+    // q189's global KPI recomputed from scratch (price-bump wave
+    // applied): one row, no GROUP BY — DuckDB's own global aggregate
+    "q189_sql_matview_global_kpi" -> """
+      WITH ord AS (SELECT o_orderkey AS id, o_custkey AS ck,
+                          CAST(o_totalprice AS DECIMAL(12,2)) AS p
+                   FROM orders),
+      eff AS (SELECT ck,
+                     CASE WHEN id % 7 = 0 THEN CAST(p + 100 AS DECIMAL(12,2))
+                          ELSE p END AS p
+              FROM ord)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p) AS DOUBLE) AS total,
+             CAST(count(DISTINCT ck) AS BIGINT) AS ncust
+      FROM eff"""
   )
 }
