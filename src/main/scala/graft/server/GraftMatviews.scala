@@ -190,16 +190,27 @@ object GraftMatviews {
   private[server] def bindForNav(session: SparkSession, h: Handle): Unit =
     registerView(session, h)
 
+  /** The internal temp-view name an aux pair state binds under (kept
+    * in one place so DROP can clean up exactly what bindAuxForNav
+    * registered). */
+  private def auxTvName(viewName: String, valueCol: String): String =
+    viewName + "__dist__" + valueCol
+
   /** Bind the aux pair view for DISTINCT argument `navArg` (normalized
     * source text) as a temp view in `session`, returning its name —
     * the navigator's DISTINCT-rollup rewrite aggregates the still-live
     * pairs (`n > 0`) at the query's granularity. The `_bucket` column
     * rides along so [[graft.plans.MvBucketPrune]] prunes a
-    * residual-pinned aux scan exactly like the main state's. */
+    * residual-pinned aux scan exactly like the main state's.
+    * Lifecycle: DROP unbinds these in the dropping session; a clone
+    * session that inherited one keeps an inert registration until the
+    * name is rebound (the names are internal — no user statement
+    * references them, so the cross-session stale-name sweep that
+    * guards the VIEW name has nothing to trigger on). */
   private[server] def bindAuxForNav(session: SparkSession, h: Handle,
       navArg: String): Option[String] =
     h.nav.distinctAux.get(navArg).map { ax =>
-      val tv = h.name + "__dist__" + ax.valueCol
+      val tv = auxTvName(h.name, ax.valueCol)
       ax.read(session).filter(org.apache.spark.sql.functions.col("n") > 0)
         .createOrReplaceTempView(tv)
       tv
@@ -754,6 +765,13 @@ object GraftMatviews {
       case None => false
       case Some(h) =>
         spark.catalog.dropTempView(h.name)
+        // the navigator's aux pair bindings must not outlive the view:
+        // a stale one would point at the deleted state dir (and shadow
+        // a later user view of that internal name)
+        h.nav.distinctAux.values.foreach { ax =>
+          try spark.catalog.dropTempView(auxTvName(h.name, ax.valueCol))
+          catch { case _: Exception => } // never bound in this session
+        }
         val gen = droppedGen.updateWith(key(name)) {
           case Some((_, g)) => Some((h.name, g + 1))
           case None => Some((h.name, 1L))

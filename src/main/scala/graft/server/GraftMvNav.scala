@@ -893,14 +893,26 @@ object GraftMvNav {
       // view re-aggregates its still-live pairs (n > 0) at the same
       // granularity — a from-scratch DISTINCT over the exact value
       // sets, so the rewrite stays observationally identical. A group
-      // with no surviving non-null pair is absent from the aux side:
-      // the LEFT JOIN serves COUNT(DISTINCT) = 0 via COALESCE and
-      // SUM/AVG(DISTINCT) = NULL — ANSI semantics. Residual conjuncts
-      // apply to BOTH sides (they reference group columns, present in
-      // main and aux state alike), so MvBucketPrune prunes both scans.
+      // whose every surviving pair carries a NULL value aggregates to
+      // COUNT(DISTINCT) = 0 / SUM(DISTINCT) = NULL on the aux side
+      // (NULL pairs ARE kept in pair state); a group with NO surviving
+      // pair at all is absent there — the LEFT JOIN + COALESCE serve
+      // the same ANSI shapes either way. Residual conjuncts apply to
+      // BOTH sides (they reference group columns, present in main and
+      // aux state alike), so MvBucketPrune prunes both scans.
       val physMap = h.nav.groupPhys.toMap
       if (physMap.isEmpty)
         return miss("view predates DISTINCT-rollup navigation metadata")
+      // invariant across the per-argument subqueries below
+      val physGroups = qGroupSrcs.map(s => physMap.getOrElse(s,
+        return miss("view predates DISTINCT-rollup navigation metadata")))
+      val resPhys = residual.map { c =>
+        substGroupRefs(c, physMap) match {
+          case Some(s2) => s2
+          case None => return miss(s"residual WHERE conjunct '$c' " +
+            "is not substitutable onto the aux pair state")
+        }
+      }
       val argIdx: Map[String, Int] = distinctArgs.zipWithIndex.toMap
       val gIdx: Map[String, Int] = qGroupSrcs.zipWithIndex.toMap
       def gName(i: Int) = s"_g$i"
@@ -918,14 +930,9 @@ object GraftMvNav {
           case None => return miss(s"no served expression for $k")
         }
       }
-      // a GLOBAL distinct query with no other aggregates still needs a
-      // one-row anchor on the main side (every global aggregate
-      // subquery returns exactly one row)
-      val mSel0 = qGroupSrcs.zipWithIndex.map { case (s, i) =>
+      val mSel = qGroupSrcs.zipWithIndex.map { case (s, i) =>
         s"${bt(vGroup(s))} AS ${bt(gName(i))}"
       } ++ mAggSel
-      val mSel =
-        if (mSel0.nonEmpty) mSel0 else Seq("COUNT(1) AS `_anchor`")
       val mWhere =
         if (residualSql.isEmpty) ""
         else " WHERE " + residualSql.map(c => s"($c)").mkString(" AND ")
@@ -933,7 +940,7 @@ object GraftMvNav {
         if (qGroupSrcs.isEmpty) "" // global: one row per subquery
         else " GROUP BY " +
           qGroupSrcs.map(s => bt(vGroup(s))).mkString(", ")
-      val mSub = s"(SELECT ${mSel.mkString(", ")} FROM ${h.name}" +
+      def mSub = s"(SELECT ${mSel.mkString(", ")} FROM ${h.name}" +
         s"$mWhere$mGroupBy) m"
 
       val auxSubs = distinctArgs.zipWithIndex.map { case (a, j) =>
@@ -943,9 +950,6 @@ object GraftMvNav {
         val kinds = allKeys.collect {
           case NavKey.Agg(k, `a`) if distinctKinds.contains(k) => k
         }
-        val physGroups = qGroupSrcs.map(s => physMap.getOrElse(s,
-          return miss("view predates DISTINCT-rollup navigation " +
-            "metadata")))
         val aggSel = kinds.map {
           case "cntd" =>
             s"COUNT(DISTINCT ${bt(valueCol)}) AS ${bt(s"_dc_$j")}"
@@ -953,13 +957,6 @@ object GraftMvNav {
             s"SUM(DISTINCT ${bt(valueCol)}) AS ${bt(s"_ds_$j")}"
           case "avgd" =>
             s"AVG(DISTINCT ${bt(valueCol)}) AS ${bt(s"_da_$j")}"
-        }
-        val resPhys = residual.map { c =>
-          substGroupRefs(c, physMap) match {
-            case Some(s2) => s2
-            case None => return miss(s"residual WHERE conjunct '$c' " +
-              "is not substitutable onto the aux pair state")
-          }
         }
         val w =
           if (resPhys.isEmpty) ""
@@ -972,14 +969,21 @@ object GraftMvNav {
           else " GROUP BY " + physGroups.map(bt).mkString(", ")
         s"(SELECT ${sel2.mkString(", ")} FROM $tv$w$gby) d$j"
       }
-      val joinTails = distinctArgs.indices.map { j =>
-        val on =
-          if (qGroupSrcs.isEmpty) "true" // two one-row relations
-          else qGroupSrcs.indices.map(i =>
-            s"m.${bt(gName(i))} <=> d$j.${bt(hName(j, i))}")
-            .mkString(" AND ")
-        s" LEFT JOIN ${auxSubs(j)} ON $on"
-      }.mkString
+      def onCond(j: Int): String =
+        if (qGroupSrcs.isEmpty) "true" // one-row global relations
+        else qGroupSrcs.indices.map(i =>
+          s"m.${bt(gName(i))} <=> d$j.${bt(hName(j, i))}")
+          .mkString(" AND ")
+      // mSel empty = GLOBAL query with ONLY distinct aggregates: every
+      // aux subquery is a one-row global aggregate, so the FIRST aux
+      // anchors the join and the main state is never scanned
+      val fromClause =
+        if (mSel.nonEmpty)
+          mSub + distinctArgs.indices.map(j =>
+            s" LEFT JOIN ${auxSubs(j)} ON ${onCond(j)}").mkString
+        else
+          auxSubs.head + distinctArgs.indices.drop(1).map(j =>
+            s" LEFT JOIN ${auxSubs(j)} ON true").mkString
 
       def topExpr(key: NavKey): String = key match {
         case NavKey.Agg("cntd", a) =>
@@ -1010,7 +1014,7 @@ object GraftMvNav {
           }.mkString)
         }
       val wTop = hvTop.map(t => s" WHERE ($t)").getOrElse("")
-      s"SELECT ${topSel.mkString(", ")} FROM $mSub$joinTails$wTop" +
+      s"SELECT ${topSel.mkString(", ")} FROM $fromClause$wTop" +
         (if (tail.isEmpty) "" else " " + tail)
     }
 

@@ -730,8 +730,12 @@ class GraftMvNavSpec extends AnyFunSuite {
 
       // the float/double SUM exactness gate applies to the rollup too:
       // the recomputed SUM(DISTINCT double) is order-sensitive exactly
-      // like the stored one
+      // like the stored one. DROP must also unbind the aux temp views
+      // the navigated queries above registered.
       GraftSql.sql(spark, "DROP MATERIALIZED VIEW dr_v")
+      assert(!spark.catalog.tableExists("dr_v__dist__tag") &&
+        !spark.catalog.tableExists("dr_v__dist__amt"),
+        "DROP must clean up the navigator's aux pair bindings")
       GraftSql.sql(spark, "CREATE MATERIALIZED VIEW dr_vd WITH " +
         "(valid_at = '2030-01-01 00:00:00', buckets = 4, " +
         "rewrite = 'trusted') AS " +
@@ -789,6 +793,24 @@ class GraftMvNavSpec extends AnyFunSuite {
       val navH = GraftSql.sql(spark, qh)
       assert(scansMatview(navH))
       assert(rows(navH) == rows(baseTruth(qh, "gb_t" -> t)))
+
+      // distinct-ONLY global: the aux pair state alone answers — the
+      // one-row global aux aggregate anchors the rewrite and the main
+      // state is never scanned
+      val qd = "SELECT COUNT(DISTINCT tag) AS dt, " +
+        "SUM(DISTINCT amt) AS sd FROM gb_t"
+      val navD = GraftSql.sql(spark, qd)
+      assert(scansMatview(navD))
+      assert(rows(navD) == rows(baseTruth(qd, "gb_t" -> t)))
+      val mvPaths = navD.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => r.relation
+      }.collect {
+        case h: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+      }.flatten.filter(_.contains("matview"))
+      assert(mvPaths.nonEmpty && mvPaths.forall(_.contains("_dist")),
+        s"distinct-only global must scan ONLY aux pair state: $mvPaths")
 
       // a plain SELECT without aggregates must never match
       assert(GraftMvNav.rewrite(spark, "SELECT grp FROM gb_t").isEmpty,
