@@ -842,4 +842,58 @@ class GraftMvNavSpec extends AnyFunSuite {
       GraftMatviews.reset()
     }
   }
+
+  test("candidate preference: an equal-groups view beats a wider " +
+      "rollup candidate (direct serve, no join form); dropping it " +
+      "falls over to the wide view's aux-pair join form — EXPLAIN " +
+      "REWRITE names both shapes") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable(Seq("grp", "sub", "tag", "amt"))
+    GraftServer.register("mc_t", t)
+    try {
+      t.put(Seq((1L, "a", "p", "x", 10L), (2L, "a", "q", "y", 20L),
+          (3L, "b", "p", "x", 5L), (4L, "b", "p", "z", 7L))
+          .toDF("id", "g", "u", "tg", "m"), $"id",
+        lit("2020-01-01").cast("timestamp"), None,
+        Seq("grp" -> $"g", "sub" -> $"u", "tag" -> $"tg", "amt" -> $"m"),
+        ts("2024-01-01 00:00:00"))
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mc_wide WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4, " +
+        "rewrite = 'trusted') AS " +
+        "SELECT grp, sub, COUNT(*) AS n, SUM(amt) AS sm, " +
+        "COUNT(DISTINCT tag) AS dt FROM mc_t GROUP BY grp, sub")
+      GraftSql.sql(spark, "CREATE MATERIALIZED VIEW mc_narrow WITH " +
+        "(valid_at = '2030-01-01 00:00:00', buckets = 4, " +
+        "rewrite = 'trusted') AS " +
+        "SELECT grp, COUNT(*) AS n, SUM(amt) AS sm, " +
+        "COUNT(DISTINCT tag) AS dt FROM mc_t GROUP BY grp")
+
+      val q = "SELECT grp, COUNT(DISTINCT tag) AS dt FROM mc_t " +
+        "GROUP BY grp"
+      // both views match — the equal-groups candidate must win: the
+      // state rows ARE the output, no re-aggregation, no aux join
+      val pref = GraftSql.sql(spark, s"EXPLAIN REWRITE $q").collect()(0)
+      assert(pref.getBoolean(0), pref.toString)
+      assert(pref.getString(1).contains("FROM mc_narrow") &&
+        !pref.getString(1).toUpperCase.contains("LEFT JOIN"),
+        pref.getString(1))
+      val base = baseTruth(q, "mc_t" -> t)
+      assert(rows(GraftSql.sql(spark, q)) == rows(base))
+
+      // narrow view gone: the SAME query falls over to the wide view's
+      // DISTINCT-rollup join form (aux pair state re-aggregated)
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mc_narrow")
+      val wide = GraftSql.sql(spark, s"EXPLAIN REWRITE $q").collect()(0)
+      assert(wide.getBoolean(0), wide.toString)
+      assert(wide.getString(1).contains("__dist__") &&
+        wide.getString(1).toUpperCase.contains("LEFT JOIN"),
+        wide.getString(1))
+      assert(rows(GraftSql.sql(spark, q)) == rows(base))
+      GraftSql.sql(spark, "DROP MATERIALIZED VIEW mc_wide")
+    } finally {
+      GraftServer.unregister("mc_t")
+      GraftMatviews.reset()
+    }
+  }
 }
