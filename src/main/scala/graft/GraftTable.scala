@@ -389,7 +389,7 @@ final class GraftTable(spark: SparkSession, dir: String,
     def foldPruned(parts: Seq[String]): DataFrame =
       if (parts.isEmpty) none
       else {
-        val df = spark.read.option("mergeSchema", "true").parquet(parts: _*)
+        val df = TxLog.readMerged(spark, parts)
         // schemaless edge: if the id's files predate a payload column,
         // the pruned union lacks it — fall back to the full read where
         // mergeSchema over the whole log supplies the type
@@ -418,7 +418,7 @@ final class GraftTable(spark: SparkSession, dir: String,
       // covering base files are the state, its covering tail files the
       // ops; pre-watermark log files are never read (and may be
       // truncated away entirely, see [[vacuumLog]])
-      val ops = spark.read.option("mergeSchema", "true").parquet(tailParts: _*)
+      val ops = TxLog.readMerged(spark, tailParts)
       val state = baseState
       if (payloadCols.forall(c =>
             ops.columns.contains(c) && state.columns.contains(c)))
@@ -655,33 +655,46 @@ final class GraftTable(spark: SparkSession, dir: String,
     * invariant — so [[dml]] checks inserts only. */
   private def requireDisjoint(ops: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
-    // reject NULL keys/instants BEFORE the append: a committed op with
-    // a null _id (e.g. a COPY `\N` cell or INSERT NULL literal) would
-    // ack the transaction and then crash EVERY later fold/read of the
-    // table — log poisoning, found only after the client is gone.
-    // (_valid_to null is legal: unbounded.)
-    val nulls = ops.filter(col("_id").isNull || col("_valid_from").isNull)
-      .limit(1).collect()
-    require(nulls.isEmpty,
+    // One fused validation pass (optimization r16, guide §2.3
+    // "aggregate before you shuffle / don't re-scan"): the pre-r16
+    // shape ran THREE driver actions — a null-key probe, an
+    // erase-mix groupBy probe and an overlap window probe — each a full
+    // scan of the tx's ops in the valid (no-violation) case. All three
+    // checks now ride ONE window pass + ONE aggregation job; messages
+    // and check priority (null key, then erase-mix, then overlap) are
+    // unchanged.
+    //
+    // Overlap-lag parity with the old shape (which filtered erase ops
+    // out BEFORE its window): erase rows sort LAST within an id (the
+    // leading isErase sort key) and never raise the overlap flag
+    // themselves, so a non-erase row's lag sees exactly the non-erase
+    // predecessors it used to — and an id mixing erase with anything
+    // else is already reported by the higher-priority erase-mix check.
+    val inf = lit("9999-12-31 00:00:00").cast("timestamp")
+    val isErase = col("_op") === Bitemporal.Erase
+    val wAll = Window.partitionBy("_id")
+    val wOrd = Window.partitionBy("_id")
+      .orderBy(isErase, col("_valid_from"), col("_valid_to"))
+    val erases = sum(when(isErase, 1L).otherwise(0L)).over(wAll)
+    val flags = ops.select(
+      (col("_id").isNull || col("_valid_from").isNull).as("_nullkey"),
+      (erases > 0 && count(lit(1)).over(wAll) > erases).as("_erasemix"),
+      (!isErase &&
+        lag(coalesce(col("_valid_to"), inf), 1).over(wOrd) > col("_valid_from"))
+        .as("_overlap"),
+      col("_id").cast("string").as("_ids"))
+    val r = flags.agg(
+      coalesce(max(col("_nullkey")), lit(false)).as("nk"),
+      max(when(col("_erasemix"), col("_ids"))).as("em"),
+      max(when(col("_overlap"), col("_ids"))).as("ov")).head
+    require(!r.getBoolean(0),
       "op with NULL _id or _valid_from — every row of a transaction " +
         "needs a non-null id and valid-from instant")
-    val inf = lit("9999-12-31 00:00:00").cast("timestamp")
-    val eraseIds = ops.groupBy("_id").agg(
-        sum(when(col("_op") === Bitemporal.Erase, 1).otherwise(0)).as("_erases"),
-        count(lit(1)).as("_ops"))
-      .filter(col("_erases") > 0 && col("_ops") > col("_erases"))
-      .select("_id").limit(1).collect()
-    require(eraseIds.isEmpty,
-      s"transaction mixes ERASE with other writes for _id ${eraseIds.headOption.map(_.get(0)).getOrElse("")} — " +
+    require(r.isNullAt(1),
+      s"transaction mixes ERASE with other writes for _id ${r.getString(1)} — " +
         "an erase drops the id's whole history; submit it alone")
-    val w = Window.partitionBy("_id").orderBy(col("_valid_from"), col("_valid_to"))
-    val bad = ops.filter(col("_op") =!= Bitemporal.Erase)
-      .withColumn("_prev_to",
-        lag(coalesce(col("_valid_to"), inf), 1).over(w))
-      .filter(col("_prev_to").isNotNull && col("_prev_to") > col("_valid_from"))
-      .select("_id").limit(1).collect()
-    require(bad.isEmpty,
-      s"transaction writes overlapping valid intervals for _id ${bad.headOption.map(_.get(0)).getOrElse("")} — " +
+    require(r.isNullAt(2),
+      s"transaction writes overlapping valid intervals for _id ${r.getString(2)} — " +
         "use disjoint FOR PORTION OF intervals or separate transactions")
   }
 

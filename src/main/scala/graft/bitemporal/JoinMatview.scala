@@ -307,12 +307,14 @@ final class JoinMatview private[graft] (
     if (rangeLayout) MvState.checkRangeKey(schema, groupCols.head)
 
   /** Pin every DISTINCT aux to exactly the per-log watermarks this
-    * refresh will record — see [[Matview.syncAuxes]]. */
+    * refresh will record — see [[Matview.syncAuxes]]. Star-form auxes
+    * derive their own delta (the single-table sharing shortcut does not
+    * apply across a join). */
   private def syncAuxes(lasts: Seq[Long]): Unit =
-    distincts.foreach(_.refreshAuxTo(lasts))
+    distincts.foreach(_.refreshAuxTo(lasts, None))
 
   private def readTx(files: Seq[Path]): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(files.map(_.toString): _*)
+    TxLog.readMerged(spark, files.map(_.toString))
 
   private def lastOf(log: TxLog): Long =
     (log.txFiles().map(_.getFileName.toString
@@ -484,9 +486,27 @@ final class JoinMatview private[graft] (
     def antiOn(df: DataFrame, key: Column, ids: DataFrame): DataFrame =
       df.join(ids, key === ids("_t_id"), "left_anti")
 
+    // A/B gate for the subtree-reuse checkpoints below (measurement:
+    // reuse trades duplicated subtree work for serialized jobs — the
+    // win must be measured, not assumed). Default on.
+    val reuseShared = spark.conf
+      .getOption("spark.graft.mv.reuseShared").forall(_.toBoolean)
     val vaNew = project(visibleFact(lasts.head), "_fact_id", factKeep)
-    val vbNews = dims.indices.map(i =>
-      project(visibleDim(i, lasts(i + 1)), dimId(i), dimKeep(i)))
+    // each dim's visible relation feeds the new-side join, the old-side
+    // union AND (for min/max views) the member re-join — up to three
+    // executions of the dim log's full fold per refresh (no cross-
+    // branch CSE). Dims are the small side by construction (the same
+    // assumption that broadcasts them into the join), so materialize
+    // each ONCE (r16, guide §2.3): one fold job per dim, every
+    // consumer reads the checkpoint; AQE's runtime stats still pick the
+    // broadcast side.
+    val vbNews = dims.indices.map { i =>
+      val v = project(visibleDim(i, lasts(i + 1)), dimId(i), dimKeep(i))
+      if (reuseShared)
+        org.apache.spark.sql.graftbridge.RddBridge
+          .localCheckpointWithCount(v)._1
+      else v
+    }
     val vaOldT = project(oldTouched(factLog, factCols, ta, ws.head),
       "_fact_id", factKeep)
     // dim OLD relations: untouched dims unchanged; touched re-folded
@@ -535,7 +555,31 @@ final class JoinMatview private[graft] (
       else parts.reduce(_ unionByName _).dropDuplicates("_fact_id")
     }
     val antiOwn = antiOn(vaNew, col("_fact_id"), ta)
-    val dimAff = dimTouchedAny(antiOwn)
+    // dim-affected facts feed BOTH delta legs (they are affNew's second
+    // branch and affOld's second branch). Catalyst has no cross-branch
+    // CSE, so the pre-r16 plan executed the whole subtree — a full
+    // visible-fact derivation plus the touched-dim restriction — TWICE
+    // inside the delta job. Checkpoint it once (rows ∝ facts referencing
+    // touched dims — the refresh's own IVM cost contract, same size
+    // class as the delta checkpoint); skip the job entirely when no dim
+    // has tail ops (the fact-only refresh, where the subtree is empty
+    // by construction).
+    val noDimTail = dims.indices.forall(i => lasts(i + 1) <= ws(i + 1))
+    val dimAff =
+      if (noDimTail) vaNew.limit(0)
+      else if (!reuseShared) dimTouchedAny(antiOwn)
+      else {
+        val da = dimTouchedAny(antiOwn)
+        // the touched-dim fact restriction now executes in THIS job, so
+        // the pushdown spec snapshots its plan here (the delta plan
+        // below only sees the checkpointed RDD)
+        if (JoinMatview.capturePlans) JoinMatview.capturedPlans.synchronized {
+          JoinMatview.capturedPlans +=
+            da.queryExecution.executedPlan.toString: Unit
+        }
+        org.apache.spark.sql.graftbridge.RddBridge
+          .localCheckpointWithCount(da)._1
+      }
     val affNew = semiOn(vaNew, col("_fact_id"), ta).unionByName(dimAff)
     val affOld = vaOldT // own id touched: every old version is affected
       .unionByName(dimAff)

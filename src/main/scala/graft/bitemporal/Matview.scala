@@ -223,18 +223,24 @@ final class Matview private[graft] (
 
   /** Pin every DISTINCT aux to exactly the watermark this refresh will
     * record, so the rollup below reads pair state at the same log
-    * prefix the main state describes. */
-  private def syncAuxes(last: Long): Unit =
-    distincts.foreach(_.refreshAuxTo(Seq(last)))
+    * prefix the main state describes. `shared` hands the aux the main
+    * refresh's already-derived (touched, old/new rectangle) relations —
+    * the aux aggregates the SAME table at the SAME watermarks, so
+    * re-deriving them would re-fold the tail once per DISTINCT
+    * argument (r16, guide §2.3). */
+  private def syncAuxes(last: Long,
+                        shared: Option[MvSharedDelta] = None): Unit =
+    distincts.foreach(_.refreshAuxTo(Seq(last), shared))
 
   private def readTx(files: Seq[Path]): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(files.map(_.toString): _*)
+    TxLog.readMerged(spark, files.map(_.toString))
 
-  /** Per-group COUNT/SUM contribution of `ops` at the view's basis —
-    * the self-maintainable part, used on both sides of the delta. */
-  private def contrib(ops: DataFrame): DataFrame =
-    prep(Bitemporal.asOf(Bitemporal.fold(ops, payloadCols),
-        lit(validAt), lit(sysProbe)))
+  /** Per-group COUNT/SUM contribution of an already-folded RECTANGLE
+    * relation at the view's basis — the self-maintainable part, used on
+    * both sides of the delta (the old side folds once and is
+    * checkpointed; the new side derives from it by fold-from-state). */
+  private def contribRect(rect: DataFrame): DataFrame =
+    prep(Bitemporal.asOf(rect, lit(validAt), lit(sysProbe)))
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sumCols.map(c => sum(col(c)).as(sumAlias(c))) ++ cntAggs: _*)
@@ -314,7 +320,8 @@ final class Matview private[graft] (
     * the same log prefix (a tx landing between the two refreshes stays
     * wholly in the next one). A pin at or below the current watermark
     * is a no-op. */
-  private[graft] def refreshUpTo(pin: Option[Long]): Long =
+  private[graft] def refreshUpTo(pin: Option[Long],
+      sharedIn: Option[MvSharedDelta] = None): Long =
     MaintainerLease.withLease(
       java.nio.file.Paths.get(log.dir), "matview-refresh") {
     // a DEFINITION change over the same state dir (JVM restart +
@@ -377,15 +384,64 @@ final class Matview private[graft] (
     // in the NEXT refresh (its id would otherwise join `touched` while
     // the pinned hist lacks its ops — harmless for COUNT/SUM deltas,
     // but the bound makes the snapshot airtight rather than argued)
-    val tail = readTx(log.txFilesAfter(w).filter(_.getFileName.toString
-      .stripPrefix("tx_").stripSuffix(".parquet").toLong <= last))
-    val touched = tail.select(col("_id").cast("long").as("_id")).distinct()
-    val hist = {
-      val all = readTx(files)
-      all.join(touched, all("_id").cast("long") === touched("_id"), "left_semi")
+    // Old and new contributions from ONE full-history fold (r16 guide
+    // §2.3 "don't compute things twice"): the pre-r16 shape folded the
+    // touched ids' history TWICE (once ≤ w for the old side, once whole
+    // for the new side) — two scans of every tx file, two sort shuffles.
+    // Now the old rectangles fold once (the `_tx_id ≤ w` filter prunes
+    // tail files via their constant-_tx_id footer stats), checkpoint
+    // (rows ∝ touched ids' rectangles — the same size class as the
+    // delta checkpoint below), and the new side derives by FOLD FROM
+    // STATE: applyOps(old rectangles, tail ops) — the exact-equivalence
+    // contract BitemporalSpec locks ("applyOps == full fold at EVERY
+    // split point") under the storage-wide monotonic-system-time
+    // contract every readAll/compaction path already assumes.
+    //
+    // An aux refresh driven by its parent over the SAME log at the SAME
+    // watermarks adopts the parent's relations outright (sharedIn) —
+    // zero re-derivation; the gate falls back to self-derivation on any
+    // watermark drift (post-restore, def-change rebuild).
+    // A/B gate shared with JoinMatview (same key): off = the pre-r16
+    // two-full-folds shape, for same-JVM measurement
+    val reuseShared = spark.conf
+      .getOption("spark.graft.mv.reuseShared").forall(_.toBoolean)
+    val (touched, oldRect, newRect) = sharedIn match {
+      case Some(sd) if sd.baseW == w && sd.last == last =>
+        (sd.touched, sd.oldRect, sd.newRect)
+      case _ =>
+        val tail = readTx(log.txFilesAfter(w).filter(_.getFileName.toString
+          .stripPrefix("tx_").stripSuffix(".parquet").toLong <= last))
+        val tch = tail.select(col("_id").cast("long").as("_id")).distinct()
+        val hist = {
+          val all = readTx(files)
+          all.join(tch, all("_id").cast("long") === tch("_id"), "left_semi")
+        }
+        if (!reuseShared)
+          (tch, Bitemporal.fold(hist.filter(col("_tx_id") <= w), payloadCols),
+            Bitemporal.fold(hist, payloadCols))
+        else {
+          val oldRect0 =
+            Bitemporal.fold(hist.filter(col("_tx_id") <= w), payloadCols)
+          val (oldCp, _) = org.apache.spark.sql.graftbridge.RddBridge
+            .localCheckpointWithCount(oldRect0)
+          // schemaless normalization for the tail ops (refoldTouched's
+          // contract): a short tail may lack payload columns older txs
+          // carried
+          val tailOps = payloadCols.foldLeft(tail)((d, c) =>
+            if (d.columns.contains(c)) d
+            else d.withColumn(c, lit(null).cast(oldCp.schema(c).dataType)))
+          (tch, oldCp, Bitemporal.applyOps(oldCp, tailOps, payloadCols))
+        }
     }
-    val oldC = contrib(hist.filter(col("_tx_id") <= w))
-    val newC = contrib(hist)
+    // with DISTINCT auxes the new-side rectangles are consumed by this
+    // refresh's delta AND by every aux's (shared) delta — pin them once
+    // so the applyOps fold runs one time, not once per consumer
+    val newRectS =
+      if (!reuseShared || distincts.isEmpty || sharedIn.nonEmpty) newRect
+      else org.apache.spark.sql.graftbridge.RddBridge
+        .localCheckpointWithCount(newRect)._1
+    val oldC = contribRect(oldRect)
+    val newC = contribRect(newRectS)
     // sum types pinned to the plain aggregate's: uncapped, each delta/
     // merge +/- widens decimal precision by one per refresh until the
     // parquet FIXED_LEN byte width diverges from older bucket files
@@ -510,7 +566,10 @@ final class Matview private[graft] (
     val finalMerged =
       if (distincts.isEmpty) merged
       else {
-        syncAuxes(last)
+        syncAuxes(last,
+          if (reuseShared)
+            Some(MvSharedDelta(w, last, touched, oldRect, newRectS))
+          else None)
         MvState.overlayDistinct(merged, groupCols, touchedGroups,
           affected, distincts, spark)
       }
@@ -568,13 +627,27 @@ private[graft] final case class MvDistinct(
     /** the aux pair state (groups…, arg, n, _bucket) — WITH _bucket. */
     readAux: SparkSession => DataFrame,
     /** refresh the aux pinned to exactly these watermarks
-      * ([[Matview]]: length 1; [[JoinMatview]]: fact +: dims). */
-    refreshAuxTo: Seq[Long] => Unit) {
+      * ([[Matview]]: length 1; [[JoinMatview]]: fact +: dims). The
+      * second argument optionally shares the parent refresh's derived
+      * delta relations ([[MvSharedDelta]], single-table form only —
+      * star auxes ignore it). */
+    refreshAuxTo: (Seq[Long], Option[MvSharedDelta]) => Unit) {
   def cntAlias: String = s"cntd_$arg"
   def sumAlias: String = s"sumd_$arg"
   def aliases: Seq[String] =
     cntAlias +: (if (needSum) Seq(sumAlias) else Nil)
 }
+
+/** The parent refresh's derived incremental-delta relations, handed to
+  * each DISTINCT aux over the SAME tx log so the aux does not re-read
+  * the tail and re-fold the touched ids' history once per argument:
+  * `baseW`/`last` gate adoption (the aux self-derives on any watermark
+  * drift), `touched` the tail's id set, `oldRect` the touched ids'
+  * rectangles at `baseW` (checkpointed by the parent), `newRect` the
+  * same ids' rectangles at `last` (checkpointed when auxes exist). */
+private[graft] final case class MvSharedDelta(
+    baseW: Long, last: Long, touched: DataFrame,
+    oldRect: DataFrame, newRect: DataFrame)
 
 /** One percentile aggregate: MEDIAN / PERCENTILE_CONT (`approx =
   * false`, exact — Spark's `percentile`, the standard continuous

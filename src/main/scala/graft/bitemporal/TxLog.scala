@@ -198,7 +198,7 @@ final class TxLog(val dir: String) {
   def read(spark: SparkSession, afterTx: Long = -1L): DataFrame = {
     val files = txFiles().map(_.toString)
     require(files.nonEmpty, s"empty tx log at $logDir")
-    val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    val df = TxLog.readMerged(spark, files)
     if (afterTx < 0) df else df.filter(col("_tx_id") > afterTx)
   }
 
@@ -216,8 +216,7 @@ final class TxLog(val dir: String) {
     val last = files
       .map(_.getFileName.toString.stripPrefix("tx_").stripSuffix(".parquet").toLong)
       .max
-    val log = spark.read.option("mergeSchema", "true")
-      .parquet(files.map(_.toString): _*)
+    val log = TxLog.readMerged(spark, files.map(_.toString))
     writeBase(Bitemporal.fold(log, payloadCols)
       .withColumn("_sys_date", to_date(col("_system_from"))), baseDir,
       clusterBy)
@@ -332,8 +331,7 @@ final class TxLog(val dir: String) {
       val snapFiles = txFiles().filter(txIdOf(_) <= upToTx)
       if (snapFiles.isEmpty) // nothing existed at the snapshot — empty
         return readBase(spark).drop("_sys_date").limit(0) // …with schema
-      val log = spark.read.option("mergeSchema", "true")
-        .parquet(snapFiles.map(_.toString): _*)
+      val log = TxLog.readMerged(spark, snapFiles.map(_.toString))
       return Bitemporal.fold(log, payloadCols)
     }
     // the base may also have advanced WITHIN the snapshot bound
@@ -343,10 +341,14 @@ final class TxLog(val dir: String) {
     val tailFiles = txFilesAfter(effCompacted).filter(txIdOf(_) <= upToTx)
     if (tailFiles.isEmpty)
       return readBase(spark).drop("_sys_date")
-    val tail = spark.read.option("mergeSchema", "true")
-      .parquet(tailFiles.map(_.toString): _*)
+    val tail = TxLog.readMerged(spark, tailFiles.map(_.toString))
       .filter(col("_tx_id") > effCompacted)
-    if (tail.isEmpty) return readBase(spark).drop("_sys_date")
+    // emptiness from cached footers (tx files are immutable; `_tx_id`
+    // content always equals the file name's id, so file-level row
+    // counts decide) — replaces a per-readAll `limit(1)` Spark job
+    val tailEmpty = TxLog.cachedRowCount(spark,
+      tailFiles.map(_.toString)).map(_ == 0L).getOrElse(tail.isEmpty)
+    if (tailEmpty) return readBase(spark).drop("_sys_date")
     val touched = tail.select(col("_id").cast("long").as("_id")).distinct()
     val base = readBase(spark).drop("_sys_date")
     val untouched = base.join(touched, Seq("_id"), "left_anti")
@@ -503,6 +505,124 @@ object TxLog {
   private def lockFor(logDir: Path): Object =
     locks.computeIfAbsent(
       logDir.toAbsolutePath.normalize.toString, _ => new Object)
+
+  // ---- footer-metadata cache (optimization r16, guide §1/§6) ----
+  //
+  // Every tx-file read used to go through `spark.read.option(
+  // "mergeSchema", "true").parquet(files)`, whose schema inference is a
+  // DISTRIBUTED FOOTER PASS over the whole file set — one Spark job per
+  // read call, re-reading footers that never change (tx files are
+  // immutable once `_SUCCESS` is published). A refresh issues several
+  // such reads (tail, touched history, visibles), so the footer pass
+  // multiplied: measured 36–47 jobs per storage-lifecycle bench entry,
+  // a third of them 1-task schema/metadata jobs. At the 100 TB tier the
+  // same pattern re-reads thousands of tx footers per refresh.
+  //
+  // The cache keys on the tx path (file or directory): value = (exact
+  // Spark schema from the footer's serialized
+  // `org.apache.spark.sql.parquet.row.metadata` key — the SAME source
+  // Spark's own inference prefers — plus total row count). Reads then
+  // pass the driver-merged schema explicitly (`StructType.merge`, the
+  // merge mergeSchema itself applies), so no inference job runs at all,
+  // and emptiness probes become driver-side metadata lookups instead of
+  // `limit(1)` jobs. A footer without the serialized key (non-Spark
+  // writer) falls back to the legacy mergeSchema read — slower, never
+  // wrong. LRU-bounded like GraftTable's id-range cache: eviction is
+  // pure cost (one footer re-read), never correctness.
+  private val footerCacheCap = 1 << 16
+  private val footerCache =
+    new java.util.LinkedHashMap[String, (org.apache.spark.sql.types.StructType, Long)](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (org.apache.spark.sql.types.StructType, Long)])
+          : Boolean = size() > footerCacheCap
+    }
+
+  /** Footer (schema, rows) for one committed tx path — None when any
+    * part lacks Spark's serialized schema (caller falls back to the
+    * legacy mergeSchema read). A path with zero part files (a
+    * zero-partition write: `_SUCCESS` only) is (empty schema, 0). */
+  private def readFooterMeta(spark: SparkSession, path: String)
+      : Option[(org.apache.spark.sql.types.StructType, Long)] = {
+    val parts = ChunkMetadata.files(spark, Seq(path))
+    if (parts.isEmpty)
+      return Some((org.apache.spark.sql.types.StructType(Nil), 0L))
+    val conf = spark.sessionState.newHadoopConf()
+    var schema: org.apache.spark.sql.types.StructType = null
+    var rows = 0L
+    parts.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        rows += r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        if (schema == null) {
+          // all part files of one Spark write share a schema — one
+          // footer's serialized schema covers the tx
+          val json = r.getFooter.getFileMetaData.getKeyValueMetaData
+            .get("org.apache.spark.sql.parquet.row.metadata")
+          if (json == null) return None
+          schema = org.apache.spark.sql.types.DataType.fromJson(json)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+        }
+      } finally r.close()
+    }
+    Some((schema, rows))
+  }
+
+  /** (schema, rows) per path, cached; None = fall back to legacy. */
+  private def footerMeta(spark: SparkSession, paths: Seq[String])
+      : Option[Seq[(org.apache.spark.sql.types.StructType, Long)]] = {
+    val out = new Array[(org.apache.spark.sql.types.StructType, Long)](paths.size)
+    val missing = footerCache.synchronized {
+      paths.zipWithIndex.filter { case (p, i) =>
+        Option(footerCache.get(p)) match {
+          case Some(m) => out(i) = m; false
+          case None => true
+        }
+      }
+    }
+    missing.foreach { case (p, i) =>
+      readFooterMeta(spark, p) match {
+        case Some(m) =>
+          out(i) = m
+          footerCache.synchronized { footerCache.put(p, m): Unit }
+        case None => return None
+      }
+    }
+    Some(out.toSeq)
+  }
+
+  /** Read a set of committed tx paths with mergeSchema SEMANTICS but no
+    * schema-inference job: the merged schema comes from the cached
+    * footers (exact — Spark's own inference prefers the same serialized
+    * footer schema), merged driver-side in the given path order exactly
+    * like mergeSchema merges. Falls back to the legacy
+    * `mergeSchema=true` read when a footer lacks the serialized schema
+    * or every path is part-less. */
+  def readMerged(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    def legacy = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    footerMeta(spark, paths) match {
+      case Some(metas) =>
+        val schemas = metas.map(_._1).filter(_.nonEmpty)
+        if (schemas.isEmpty) legacy
+        else {
+          val merged = schemas.reduce(
+            org.apache.spark.sql.graftbridge.SchemaBridge.merge)
+          spark.read.schema(merged).parquet(paths: _*)
+        }
+      case None => legacy
+    }
+  }
+
+  /** Total committed rows under `paths` from cached footers — the
+    * driver-side replacement for `df.isEmpty` probes over immutable tx
+    * files (no Spark job). None when a footer is unreadable through the
+    * cache (caller keeps its job-based probe). */
+  def cachedRowCount(spark: SparkSession, paths: Seq[String])
+      : Option[Long] =
+    footerMeta(spark, paths).map(_.map(_._2).sum)
 
   def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

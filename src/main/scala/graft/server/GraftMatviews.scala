@@ -1380,7 +1380,7 @@ object GraftMatviews {
               auxDerived(d), bucketCols = effBucketKey, rangeLayout)
             graft.bitemporal.MvDistinct(d, distinctSums.contains(d),
               sess => a.readRaw(sess),
-              ws => { a.refreshUpTo(Some(ws.head)): Unit })
+              (ws, sh) => { a.refreshUpTo(Some(ws.head), sh): Unit })
           }
         val mv = fact.matviewN(name, groups, sums.result().distinct, validAt,
           nb, mins.result(), maxs.result(),
@@ -1446,7 +1446,7 @@ object GraftMatviews {
               auxDerived(d), bucketCols = effBucketKey, rangeLayout, leftJoins)
             graft.bitemporal.MvDistinct(d, distinctSums.contains(d),
               sess => a.readRaw(sess),
-              ws => { a.refreshUpTo(Some(ws)): Unit })
+              (ws, _) => { a.refreshUpTo(Some(ws)): Unit })
           }
         val mv = fact.starMatview(name, dims, groups,
           sums.result().distinct, validAt, nb,

@@ -44,7 +44,7 @@ object QueryJobProbe {
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .orElse(Option(e.properties)
             .flatMap(p => Option(p.getProperty("callSite.short"))))
-          .getOrElse("")
+          .getOrElse(e.stageInfos.lastOption.map(_.name).getOrElse(""))
         j.tasks = e.stageInfos.map(_.numTasks).sum
         jobs.put(j.id, j): Unit
       }

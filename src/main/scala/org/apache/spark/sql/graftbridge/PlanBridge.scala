@@ -43,6 +43,19 @@ object PlanBridge {
     classic.ExpressionUtils.column(e)
 }
 
+object SchemaBridge {
+  /** Merge two parquet-file schemas exactly the way Spark's
+    * `mergeSchema` inference does (`StructType.merge`: left's fields
+    * keep their order, right's new fields append; conflicting types
+    * throw) — the driver-side half of [[graft.bitemporal.TxLog]]'s
+    * footer-metadata cache, which replaces the per-read distributed
+    * schema-inference job over immutable tx files. */
+  def merge(a: org.apache.spark.sql.types.StructType,
+            b: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    a.merge(b)
+}
+
 object ConfBridge {
   /** Set a key on the LIVE SparkContext conf (`sc.conf` is
     * private[spark]; `getConf` hands back a copy) — needed to point
