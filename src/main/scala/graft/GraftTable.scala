@@ -499,7 +499,20 @@ final class GraftTable(spark: SparkSession, dir: String,
   def dmlTx(name: String, statements: Seq[String],
             systemTime: Timestamp): Long = {
     require(statements.nonEmpty, "empty transaction")
-    val ops = statements.map(compileDml(name, _, systemTime))
+    // Every UPDATE/DELETE/ERASE of the tx reads the SAME pre-tx
+    // snapshot (the documented semantics). Materialize it ONCE when
+    // two or more statements would each re-fold the whole log for it
+    // (r17, guide §2.3 "don't compute things twice"): the snapshot is
+    // the table's current state — the same relation either way, so
+    // results are unchanged; only the per-statement re-derivation goes.
+    val nReaders = statements.count(s =>
+      !s.trim.take(6).equalsIgnoreCase("INSERT"))
+    val snap: Option[DataFrame] =
+      if (nReaders >= 2)
+        Some(org.apache.spark.sql.graftbridge.RddBridge
+          .localCheckpointWithCount(current())._1)
+      else None
+    val ops = statements.map(compileDml(name, _, systemTime, snap))
       .reduce(_.unionByName(_))
     validatedAppend(ops, systemTime)
   }
@@ -698,9 +711,12 @@ final class GraftTable(spark: SparkSession, dir: String,
         "use disjoint FOR PORTION OF intervals or separate transactions")
   }
 
-  /** One statement -> its tx-log op rows (not yet appended). */
+  /** One statement -> its tx-log op rows (not yet appended).
+    * `snapshot` optionally supplies an already-materialized pre-tx
+    * current state shared across a transaction's statements. */
   private def compileDml(name: String, statement: String,
-                         systemTime: Timestamp): DataFrame = {
+                         systemTime: Timestamp,
+                         snapshot: Option[DataFrame] = None): DataFrame = {
     import BitemporalDml._
     val stmt = BitemporalDml.parse(statement)
     require(stmt.table.equalsIgnoreCase(name),
@@ -747,7 +763,7 @@ final class GraftTable(spark: SparkSession, dir: String,
                 else lit(null).cast(knownTypes(c)))
         })
       case Update(_, portion, sets, where) =>
-        val rows = current().filter(expr(where))
+        val rows = snapshot.getOrElse(current()).filter(expr(where))
         val (vf, vt) = interval(portion)
         val payload = payloadCols.map { c =>
           c -> sets.collectFirst { case (n, rhs) if n == c => expr(rhs) }
@@ -757,11 +773,11 @@ final class GraftTable(spark: SparkSession, dir: String,
         require(unknown.isEmpty, s"SET of non-payload column: ${unknown.mkString(", ")}")
         TxOps.put(rows, col("_id"), vf, vt, payload)
       case Delete(_, portion, where) =>
-        val rows = current().filter(expr(where))
+        val rows = snapshot.getOrElse(current()).filter(expr(where))
         val (vf, vt) = interval(portion)
         TxOps.delete(rows, col("_id"), vf, vt, nullPayload(rows))
       case Erase(_, where) =>
-        val rows = current().filter(expr(where))
+        val rows = snapshot.getOrElse(current()).filter(expr(where))
         TxOps.erase(rows, col("_id"), nullPayload(rows))
     }
   }

@@ -584,48 +584,93 @@ final class JoinMatview private[graft] (
     val affOld = vaOldT // own id touched: every old version is affected
       .unionByName(dimAff)
 
-    val newC = joinAgg(affNew, vbNews)
-    val oldC = joinAgg(affOld, vbOlds)
+    // Delta per group as ONE aggregation over the SIGNED union of both
+    // legs' joined member relations (r17, guide §2.4 "share one
+    // exchange") — the pre-r17 shape aggregated new and old separately
+    // and full-outer-joined them: two exchanges plus a join where one
+    // exchange suffices. The two star joins themselves remain (their
+    // inputs differ); only the aggregate+merge fuses. Numerically
+    // identical for exact (integral/DECIMAL) sum types: SUM(new) −
+    // SUM(old) = SUM(±x) term for term. A/B gate:
+    // spark.graft.mv.unionDelta=false restores the join shape.
+    val unionDelta = spark.conf
+      .getOption("spark.graft.mv.unionDelta").forall(_.toBoolean)
+    val delta0 =
+      if (unionDelta) {
+        def side(fact: DataFrame, dimDfs: Seq[DataFrame], sign: Int) =
+          prep(joinAll(fact, dimDfs)).withColumn("_sign", lit(sign.toLong))
+        side(affNew, vbNews, 1).unionByName(side(affOld, vbOlds, -1))
+          .groupBy(groupCols.map(col): _*)
+          .agg(sum(col("_sign")).as("n"),
+            sumCols.map(c => sum(when(col("_sign") === 1L, col(c))
+              .otherwise(-col(c))).as(sumAlias(c))) ++
+              cntCols.map(c => sum(when(col(c).isNotNull, col("_sign"))
+                .otherwise(0L)).as(cntAlias(c))): _*)
+      } else {
+        val newC = joinAgg(affNew, vbNews)
+        val oldC = joinAgg(affOld, vbOlds)
+        val o = oldC.as("o"); val nw = newC.as("n")
+        val dKey = groupCols.map(g =>
+          col(s"n.$g") <=> col(s"o.$g")).reduce(_ && _)
+        nw.join(o, dKey, "full_outer")
+          .select(
+            (groupCols.map(g =>
+              coalesce(col(s"n.$g"), col(s"o.$g")).as(g)) :+
+              (coalesce(col("n.n"), lit(0L)) - coalesce(col("o.n"), lit(0L)))
+                .as("n")) ++
+              sumCols.map { c =>
+                val a = sumAlias(c)
+                (coalesce(col(s"n.$a"), lit(0)) - coalesce(col(s"o.$a"), lit(0)))
+                  .as(a)
+              } ++ cntCols.map { c =>
+                val a = cntAlias(c)
+                (coalesce(col(s"n.$a"), lit(0L)) - coalesce(col(s"o.$a"), lit(0L)))
+                  .as(a)
+              }: _*)
+      }
     // the state's sum types are pinned to the plain aggregate's types:
     // uncapped, each merge's +/- widens decimal precision by one until
     // the parquet byte width no longer matches older bucket files
     // (FIXED_LEN_BYTE_ARRAY grows at p=23 and p=26) and reads fail
     val sumT: Map[String, org.apache.spark.sql.types.DataType] =
       sumCols.map(c => sumAlias(c) ->
-        newC.schema(sumAlias(c)).dataType).toMap
-    val o = oldC.as("o"); val nw = newC.as("n")
-    val dKey = groupCols.map(g =>
-      col(s"n.$g") <=> col(s"o.$g")).reduce(_ && _)
-    val delta = nw.join(o, dKey, "full_outer")
-      .select(
-        (groupCols.map(g =>
-          coalesce(col(s"n.$g"), col(s"o.$g")).as(g)) :+
-          (coalesce(col("n.n"), lit(0L)) - coalesce(col("o.n"), lit(0L)))
-            .as("n")) ++
-          sumCols.map { c =>
-            val a = sumAlias(c)
-            (coalesce(col(s"n.$a"), lit(0)) - coalesce(col(s"o.$a"), lit(0)))
-              .cast(sumT(a)).as(a)
-          } ++ cntCols.map { c =>
-            val a = cntAlias(c)
-            (coalesce(col(s"n.$a"), lit(0L)) - coalesce(col(s"o.$a"), lit(0L)))
-              .as(a)
-          }: _*)
+        joinAgg(affNew, vbNews).schema(sumAlias(c)).dataType).toMap
+    val delta = delta0.select(
+      (groupCols.map(col) :+ col("n")) ++
+        (sumCols.map(c => col(sumAlias(c)).cast(sumT(sumAlias(c)))
+          .as(sumAlias(c))) ++
+          cntCols.map(c => col(cntAlias(c)))): _*)
       .withColumn("_bucket", bucketCol)
     // the delta feeds the affected-bucket collect, the state merge AND
     // (for min/max views) the touched-group set — checkpoint it once
     // (rows ∝ touched groups) so the Δ(A⋈B) pipeline upstream runs one
-    // time, not once per consumer
+    // time, not once per consumer. Bucket set + group-tuple probe ride
+    // INSIDE the materializing job (r17 fused stats — see [[Matview]]).
     if (JoinMatview.capturePlans) JoinMatview.capturedPlans.synchronized {
       JoinMatview.capturedPlans +=
         delta.queryExecution.executedPlan.toString: Unit
     }
-    val (deltaCp, deltaRows) = org.apache.spark.sql.graftbridge.RddBridge
-      .localCheckpointWithCount(delta)
+    val groupCap =
+      if (groupCols.size == 1) MvState.MaxInlineGroups
+      else MvState.MaxInlineGroupTuples
+    val fusedCollect = spark.conf
+      .getOption("spark.graft.mv.fusedCollect").forall(_.toBoolean)
+    val (deltaCp, deltaRows, bucketsOpt, tuplesOpt) =
+      if (fusedCollect)
+        org.apache.spark.sql.graftbridge.RddBridge.localCheckpointWithStats(
+          delta, delta.schema.fieldIndex("_bucket"),
+          math.max(nBuckets, MvState.MaxRangeDirs + 1),
+          groupCols.map(delta.schema.fieldIndex), groupCap)
+      else {
+        val (cp, n) = org.apache.spark.sql.graftbridge.RddBridge
+          .localCheckpointWithCount(delta)
+        (cp, n, None, None)
+      }
     val affected: Seq[Any] =
       if (deltaRows == 0L) Nil
-      else deltaCp.select(col("_bucket")).distinct()
-        .collect().map(_.get(0)).toSeq
+      else bucketsOpt.getOrElse(
+        deltaCp.select(col("_bucket")).distinct()
+          .collect().map(_.get(0)).toSeq)
     if (affected.isEmpty) {
       MvState.pinDef(stateRoot, defFp)
       setWatermarks(lasts); return ret(lasts)
@@ -668,9 +713,18 @@ final class JoinMatview private[graft] (
     // and only those — re-derive their member facts by re-joining at
     // the basis and recompute extremes from scratch. COUNT/SUM-only
     // views skip all of this, keeping refresh ∝ the tails.
-    // shared by the mm fallback AND the distinct-rollup overlay below
-    lazy val touchedGroups = deltaCp
-      .select(groupCols.map(col): _*).distinct()
+    // shared by the mm fallback AND the distinct-rollup overlay below;
+    // fused-stats tuples (≤ cap) serve as a LOCAL relation — see
+    // [[Matview]]'s matching note
+    lazy val touchedGroups = tuplesOpt match {
+      case Some(rows) =>
+        spark.createDataFrame(
+          new java.util.ArrayList(
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          org.apache.spark.sql.types.StructType(
+            groupCols.map(g => deltaCp.schema(g))))
+      case None => deltaCp.select(groupCols.map(col): _*).distinct()
+    }
     val merged =
       if (mmAliases.isEmpty) countSum
       else {
@@ -747,7 +801,7 @@ object JoinMatview {
   /** Test hook: the delta executes as a bare RDD checkpoint job (no
     * QueryExecutionListener event), so the pruning spec captures its
     * physical plan here instead. Off (zero cost) outside tests. */
-  @volatile private[bitemporal] var capturePlans = false
-  private[bitemporal] val capturedPlans =
+  @volatile private[graft] var capturePlans = false
+  private[graft] val capturedPlans =
     scala.collection.mutable.Buffer.empty[String]
 }

@@ -229,7 +229,7 @@ final class Matview private[graft] (
     * re-deriving them would re-fold the tail once per DISTINCT
     * argument (r16, guide §2.3). */
   private def syncAuxes(last: Long,
-                        shared: Option[MvSharedDelta] = None): Unit =
+                        shared: Option[MvShared] = None): Unit =
     distincts.foreach(_.refreshAuxTo(Seq(last), shared))
 
   private def readTx(files: Seq[Path]): DataFrame =
@@ -321,7 +321,7 @@ final class Matview private[graft] (
     * wholly in the next one). A pin at or below the current watermark
     * is a no-op. */
   private[graft] def refreshUpTo(pin: Option[Long],
-      sharedIn: Option[MvSharedDelta] = None): Long =
+      sharedIn: Option[MvShared] = None): Long =
     MaintainerLease.withLease(
       java.nio.file.Paths.get(log.dir), "matview-refresh") {
     // a DEFINITION change over the same state dir (JVM restart +
@@ -356,13 +356,32 @@ final class Matview private[graft] (
     if (files.isEmpty) return w
     if (last <= w) return w
 
+    // A/B gate shared with JoinMatview (same key): off = the pre-r16
+    // shapes, for same-JVM measurement
+    val reuseShared = spark.conf
+      .getOption("spark.graft.mv.reuseShared").forall(_.toBoolean)
     if (w < 0 || !Files.exists(dataDir)) {
-      // first build: one full fold, all buckets written once
-      syncAuxes(last)
+      // first build: one full fold, all buckets written once. With
+      // DISTINCT auxes the SAME fold feeds the main build and every
+      // aux's first build (each aux is a view over the same log at the
+      // same basis) — fold once, checkpoint the rectangles (one write
+      // + re-reads instead of one full log fold per aux; r17, guide
+      // §2.3 "don't compute things twice"), hand them down like the
+      // incremental path's MvSharedDelta.
+      val rect0 = sharedIn match {
+        case Some(sb: MvSharedBuild) if sb.last == last => sb.rect
+        case _ => Bitemporal.fold(readTx(files), payloadCols)
+      }
+      val rect =
+        if (reuseShared && distincts.nonEmpty && sharedIn.isEmpty)
+          org.apache.spark.sql.graftbridge.RddBridge
+            .localCheckpointWithCount(rect0)._1
+        else rect0
+      syncAuxes(last,
+        if (reuseShared && distincts.nonEmpty) Some(MvSharedBuild(last, rect))
+        else None)
       val firstAgg = MvState.attachDistinctFull(
-        fullAgg(prep(Bitemporal.asOf(
-            Bitemporal.fold(readTx(files), payloadCols),
-            lit(validAt), lit(sysProbe))))
+        fullAgg(prep(Bitemporal.asOf(rect, lit(validAt), lit(sysProbe))))
           .withColumn("_bucket", bucketCol),
         groupCols, distincts, spark)
       checkRangeKey(firstAgg.schema)
@@ -401,12 +420,8 @@ final class Matview private[graft] (
     // watermarks adopts the parent's relations outright (sharedIn) —
     // zero re-derivation; the gate falls back to self-derivation on any
     // watermark drift (post-restore, def-change rebuild).
-    // A/B gate shared with JoinMatview (same key): off = the pre-r16
-    // two-full-folds shape, for same-JVM measurement
-    val reuseShared = spark.conf
-      .getOption("spark.graft.mv.reuseShared").forall(_.toBoolean)
     val (touched, oldRect, newRect) = sharedIn match {
-      case Some(sd) if sd.baseW == w && sd.last == last =>
+      case Some(sd: MvSharedDelta) if sd.baseW == w && sd.last == last =>
         (sd.touched, sd.oldRect, sd.newRect)
       case _ =>
         val tail = readTx(log.txFilesAfter(w).filter(_.getFileName.toString
@@ -440,8 +455,49 @@ final class Matview private[graft] (
       if (!reuseShared || distincts.isEmpty || sharedIn.nonEmpty) newRect
       else org.apache.spark.sql.graftbridge.RddBridge
         .localCheckpointWithCount(newRect)._1
-    val oldC = contribRect(oldRect)
-    val newC = contribRect(newRectS)
+    // Delta per group: (new minus old) as ONE aggregation over the
+    // SIGNED union of both rectangle contributions (r17, guide §2.4
+    // "two operations keyed the same way can share one exchange") —
+    // the pre-r17 shape aggregated each side separately and full-outer-
+    // joined them: two exchanges plus a join where one exchange
+    // suffices. Numerically identical for the exact (integral/DECIMAL)
+    // sum types the views use: SUM(new) − SUM(old) = SUM(±x) term for
+    // term. A/B gate: spark.graft.mv.unionDelta=false restores the
+    // join shape for same-JVM measurement.
+    val unionDelta = spark.conf
+      .getOption("spark.graft.mv.unionDelta").forall(_.toBoolean)
+    val delta0 =
+      if (unionDelta) {
+        def side(rect: DataFrame, sign: Int): DataFrame =
+          prep(Bitemporal.asOf(rect, lit(validAt), lit(sysProbe)))
+            .withColumn("_sign", lit(sign.toLong))
+        side(newRectS, 1).unionByName(side(oldRect, -1))
+          .groupBy(groupCols.map(col): _*)
+          .agg(sum(col("_sign")).as("n"),
+            sumCols.map(c => sum(when(col("_sign") === 1L, col(c))
+              .otherwise(-col(c))).as(sumAlias(c))) ++
+              cntCols.map(c => sum(when(col(c).isNotNull, col("_sign"))
+                .otherwise(0L)).as(cntAlias(c))): _*)
+      } else {
+        val oldC = contribRect(oldRect)
+        val newC = contribRect(newRectS)
+        val o = oldC.as("o")
+        val nw = newC.as("n")
+        val key = groupCols.map(g =>
+          col(s"n.$g") <=> col(s"o.$g")).reduce(_ && _)
+        nw.join(o, key, "full_outer")
+          .select(
+            groupCols.map(g =>
+              coalesce(col(s"n.$g"), col(s"o.$g")).as(g)) ++
+              ((coalesce(col("n.n"), lit(0L)) - coalesce(col("o.n"), lit(0L))).as("n") +:
+                (sumCols.map { c =>
+                  val a = sumAlias(c)
+                  (coalesce(col(s"n.$a"), lit(0)) - coalesce(col(s"o.$a"), lit(0))).as(a)
+                } ++ cntCols.map { c =>
+                  val a = cntAlias(c)
+                  (coalesce(col(s"n.$a"), lit(0L)) - coalesce(col(s"o.$a"), lit(0L))).as(a)
+                })): _*)
+      }
     // sum types pinned to the plain aggregate's: uncapped, each delta/
     // merge +/- widens decimal precision by one per refresh until the
     // parquet FIXED_LEN byte width diverges from older bucket files
@@ -449,37 +505,42 @@ final class Matview private[graft] (
     // MatviewSpec's many-refresh test
     val sumT: Map[String, org.apache.spark.sql.types.DataType] =
       sumCols.map(c => sumAlias(c) ->
-        newC.schema(sumAlias(c)).dataType).toMap
-    // delta per group: new minus old, null-safe on the group key
-    val o = oldC.as("o")
-    val nw = newC.as("n")
-    val key = groupCols.map(g =>
-      col(s"n.$g") <=> col(s"o.$g")).reduce(_ && _)
-    val delta = nw.join(o, key, "full_outer")
-      .select(
-        groupCols.map(g =>
-          coalesce(col(s"n.$g"), col(s"o.$g")).as(g)) ++
-          ((coalesce(col("n.n"), lit(0L)) - coalesce(col("o.n"), lit(0L))).as("n") +:
-            (sumCols.map { c =>
-              val a = sumAlias(c)
-              (coalesce(col(s"n.$a"), lit(0)) - coalesce(col(s"o.$a"), lit(0)))
-                .cast(sumT(a)).as(a)
-            } ++ cntCols.map { c =>
-              val a = cntAlias(c)
-              (coalesce(col(s"n.$a"), lit(0L)) - coalesce(col(s"o.$a"), lit(0L))).as(a)
-            })): _*)
+        contribRect(newRectS).schema(sumAlias(c)).dataType).toMap
+    val delta = delta0.select(
+      (groupCols.map(col) :+ col("n")) ++
+        (sumCols.map(c => col(sumAlias(c)).cast(sumT(sumAlias(c)))
+          .as(sumAlias(c))) ++
+          cntCols.map(c => col(cntAlias(c)))): _*)
       .withColumn("_bucket", bucketCol)
-    // the delta feeds BOTH the affected-bucket collect and the state
-    // merge below — checkpoint it once (rows ∝ touched groups, tiny)
-    // so the whole upstream refold+aggregate pipeline runs one time,
-    // not once per consumer
-    val (deltaCp, deltaRows) = org.apache.spark.sql.graftbridge.RddBridge
-      .localCheckpointWithCount(delta)
+    // the delta feeds the affected-bucket collect, the touched-group
+    // probe AND the state merge below — checkpoint it once (rows ∝
+    // touched groups, tiny) so the whole upstream refold+aggregate
+    // pipeline runs one time, not once per consumer. The bucket set
+    // and group-tuple probe ride INSIDE the materializing job (r17,
+    // fused stats — they each cost one more job over the checkpoint
+    // before; spark.graft.mv.fusedCollect=false restores that shape).
+    val groupCap =
+      if (groupCols.size == 1) MvState.MaxInlineGroups
+      else MvState.MaxInlineGroupTuples
+    val fusedCollect = spark.conf
+      .getOption("spark.graft.mv.fusedCollect").forall(_.toBoolean)
+    val (deltaCp, deltaRows, bucketsOpt, tuplesOpt) =
+      if (fusedCollect)
+        org.apache.spark.sql.graftbridge.RddBridge.localCheckpointWithStats(
+          delta, delta.schema.fieldIndex("_bucket"),
+          math.max(nBuckets, MvState.MaxRangeDirs + 1),
+          groupCols.map(delta.schema.fieldIndex), groupCap)
+      else {
+        val (cp, n) = org.apache.spark.sql.graftbridge.RddBridge
+          .localCheckpointWithCount(delta)
+        (cp, n, None, None)
+      }
     // ≤ nBuckets longs — the only data-dependent collect in a refresh
     val affected: Seq[Any] =
       if (deltaRows == 0L) Nil
-      else deltaCp.select(col("_bucket")).distinct()
-        .collect().map(_.get(0)).toSeq
+      else bucketsOpt.getOrElse(
+        deltaCp.select(col("_bucket")).distinct()
+          .collect().map(_.get(0)).toSeq)
     if (affected.isEmpty) {
       MvState.pinDef(stateRoot, defFp); setWatermark(last); return last
     }
@@ -526,9 +587,20 @@ final class Matview private[graft] (
     // all of this, keeping refresh ∝ tail.
     // shared by the mm fallback AND the distinct-rollup overlay below
     // (one plan, built once — rows ∝ touched groups over the
-    // checkpointed delta)
-    lazy val touchedGroups = deltaCp
-      .select(groupCols.map(col): _*).distinct()
+    // checkpointed delta). When the fused stats already collected the
+    // distinct group tuples (≤ cap), serve them as a LOCAL relation:
+    // downstream probes/joins then read driver-local rows instead of
+    // re-scanning the checkpoint (membersOfTouched's limit-collect
+    // becomes job-free).
+    lazy val touchedGroups = tuplesOpt match {
+      case Some(rows) =>
+        spark.createDataFrame(
+          new java.util.ArrayList(
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          org.apache.spark.sql.types.StructType(
+            groupCols.map(g => deltaCp.schema(g))))
+      case None => deltaCp.select(groupCols.map(col): _*).distinct()
+    }
     val merged =
       if (mmAliases.isEmpty) countSum
       else {
@@ -629,14 +701,20 @@ private[graft] final case class MvDistinct(
     /** refresh the aux pinned to exactly these watermarks
       * ([[Matview]]: length 1; [[JoinMatview]]: fact +: dims). The
       * second argument optionally shares the parent refresh's derived
-      * delta relations ([[MvSharedDelta]], single-table form only —
+      * relations ([[MvSharedDelta]] on incremental refreshes,
+      * [[MvSharedBuild]] on first builds; single-table form only —
       * star auxes ignore it). */
-    refreshAuxTo: (Seq[Long], Option[MvSharedDelta]) => Unit) {
+    refreshAuxTo: (Seq[Long], Option[MvShared]) => Unit) {
   def cntAlias: String = s"cntd_$arg"
   def sumAlias: String = s"sumd_$arg"
   def aliases: Seq[String] =
     cntAlias +: (if (needSum) Seq(sumAlias) else Nil)
 }
+
+/** A parent refresh's derived relations handed to its DISTINCT auxes
+  * over the SAME tx log — the aux adopts them instead of re-deriving
+  * (watermark-gated; any drift self-derives as before). */
+private[graft] sealed trait MvShared
 
 /** The parent refresh's derived incremental-delta relations, handed to
   * each DISTINCT aux over the SAME tx log so the aux does not re-read
@@ -647,7 +725,14 @@ private[graft] final case class MvDistinct(
   * same ids' rectangles at `last` (checkpointed when auxes exist). */
 private[graft] final case class MvSharedDelta(
     baseW: Long, last: Long, touched: DataFrame,
-    oldRect: DataFrame, newRect: DataFrame)
+    oldRect: DataFrame, newRect: DataFrame) extends MvShared
+
+/** The parent FIRST BUILD's folded rectangle relation at `last`
+  * (checkpointed by the parent when auxes exist): the aux's first
+  * build aggregates the SAME rectangles at the SAME basis, so adopting
+  * them saves one full log fold per DISTINCT argument (r17). */
+private[graft] final case class MvSharedBuild(
+    last: Long, rect: DataFrame) extends MvShared
 
 /** One percentile aggregate: MEDIAN / PERCENTILE_CONT (`approx =
   * false`, exact — Spark's `percentile`, the standard continuous

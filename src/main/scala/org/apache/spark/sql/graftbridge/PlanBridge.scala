@@ -121,6 +121,66 @@ object RddBridge {
     (classic.Dataset.ofRows(ds.sparkSession, plan), n)
   }
 
+  /** [[localCheckpointWithCount]] that ALSO collects, inside the same
+    * materializing job, (a) the distinct values of the column at
+    * `keyOrdinal` up to `keyCap` + 1 of them and (b) the distinct
+    * tuples over `tupleOrdinals` up to `tupleCap` + 1 — the matview
+    * refresh's affected-bucket set and touched-group probe, which
+    * otherwise each cost one more Spark job over the just-checkpointed
+    * delta (optimization r17, guide §2.4 "do fewer passes"). A `None`
+    * means that collection OVERFLOWED its cap (the caller keeps its
+    * job-based fallback path); the driver-side footprint is bounded by
+    * the caps either way — the same metadata size class as the
+    * affected-bucket collect this replaces. Values convert to external
+    * Scala types (what `lit()`/`isin` expect), exactly like a
+    * `collect()` would hand back. */
+  def localCheckpointWithStats(df: DataFrame, keyOrdinal: Int, keyCap: Int,
+                               tupleOrdinals: Seq[Int], tupleCap: Int)
+      : (DataFrame, Long, Option[Seq[Any]],
+         Option[Seq[org.apache.spark.sql.Row]]) = {
+    probeActions.incrementAndGet()
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val schema = ds.schema
+    val keyType = schema(keyOrdinal).dataType
+    val keyConv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(keyType)
+    val tupleTypes = tupleOrdinals.map(schema(_).dataType)
+    val tupleConvs = tupleTypes.map(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter)
+    val tupleOrds = tupleOrdinals.toArray
+    // (rows, distinct keys, distinct tuples); sets stop growing one
+    // past their cap — enough for the caller to detect overflow
+    type Acc = (Long, Set[Any], Set[Seq[Any]])
+    val zero: Acc = (0L, Set.empty, Set.empty)
+    val (n, keys, tuples) = rdd.aggregate(zero)(
+      (acc, row) => {
+        val ks =
+          if (acc._2.size > keyCap) acc._2
+          else acc._2 + keyConv(row.get(keyOrdinal, keyType))
+        val ts =
+          if (acc._3.size > tupleCap) acc._3
+          else acc._3 + tupleOrds.indices
+            .map(i => tupleConvs(i)(row.get(tupleOrds(i), tupleTypes(i))))
+            .toSeq
+        (acc._1 + 1L, ks, ts)
+      },
+      (a, b) => (a._1 + b._1,
+        if (a._2.size > keyCap) a._2
+        else (a._2 ++ b._2).take(keyCap + 1),
+        if (a._3.size > tupleCap) a._3
+        else (a._3 ++ b._3).take(tupleCap + 1)))
+    val plan = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(rdd, ds, isStreaming = false)
+    (classic.Dataset.ofRows(ds.sparkSession, plan), n,
+      if (keys.size > keyCap) None else Some(keys.toSeq),
+      if (tuples.size > tupleCap) None
+      else Some(tuples.toSeq.map(
+        vs => org.apache.spark.sql.Row.fromSeq(vs))))
+  }
+
   def localCheckpointWithTagCounts(df: DataFrame): (DataFrame, Map[Int, Long]) = {
     probeActions.incrementAndGet()
     val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
